@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational scan/agg/join anchors.
+  *
+  * These re-express the scan→conditional-aggregate shape of the reference's
+  * per-match stats pipeline (reference: core/pedri_analysis.py:231-299) on
+  * the TPC-H-ish tables, and serve as the benchmark anchors for partial
+  * aggregation, broadcast joins, and shuffle joins.
+  *
+  * Numeric discipline: money-ish doubles are cast to DECIMAL before SUM so
+  * the result is order-independent (exact decimal arithmetic), then cast
+  * back to DOUBLE — Spark and the DuckDB oracle produce bit-identical
+  * values regardless of partial-aggregation order. At 100 TB this also
+  * means the partial-agg tree can be arbitrarily deep without float drift.
+  */
+object Relational {
+
+  private val d18 = DecimalType(18, 2)
+
+  /** TPC-H-Q1-shaped pricing summary.
+    *
+    * Plan shape: parquet scan (filter + projection pushed down) →
+    * partial hash agg (map-side) → single shuffle on the 2 group keys →
+    * final agg → tiny sort. The group-key cardinality is O(10) so the
+    * shuffle payload is partials only — this survives any scale-up.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val qty   = col("l_quantity").cast(d18)
+    val price = col("l_extendedprice").cast(d18)
+    val disc  = col("l_discount").cast(d18)
+    val tax   = col("l_tax").cast(d18)
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (lit(1) - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Revenue per nation: fact ⋈ small dims.
+    *
+    * Dimension enrichment shape (reference joins lineup/team metadata onto
+    * events, core/pedri_analysis_extended.py:199-223). customer/nation/
+    * region are broadcast — zero shuffle for the dims, one shuffle for the
+    * fact aggregation. At 100 TB the dims are still KB–MB: broadcast holds.
+    */
+  def revenueByNation(orders: DataFrame, customer: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame = {
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast(d18)).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Top customers by lineitem revenue: fact ⋈ fact, then top-N.
+    *
+    * The big-join shape. lineitem⋈orders shuffles on orderkey (AQE picks
+    * sort-merge vs shuffled-hash and handles skew); the customer dim is
+    * broadcast. The final top-N compiles to TakeOrderedAndProject — no
+    * global sort of the aggregate.
+    */
+  def topCustomers(lineitem: DataFrame, orders: DataFrame,
+                   customer: DataFrame, n: Int = 20): DataFrame = {
+    val revenue = sum(
+      col("l_extendedprice").cast(d18) * (lit(1) - col("l_discount").cast(d18)))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(revenue.cast("double").as("revenue"),
+           countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(n)
+  }
+}
