@@ -14,6 +14,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational anchors (§2 rows 20-22) ---
     "q1_pricing" -> ((s, dir) =>
       Relational.pricingSummary(Tables.lineitem(s, dir))),
     "q_revenue_nation" -> ((s, dir) =>
@@ -21,7 +22,31 @@ object SparkEntry {
         Tables.nation(s, dir), Tables.region(s, dir))),
     "q_top_customers" -> ((s, dir) =>
       Relational.topCustomers(Tables.lineitem(s, dir), Tables.orders(s, dir),
-        Tables.customer(s, dir)))
+        Tables.customer(s, dir))),
+    // --- event analytics (§2 rows 1-4, 10, 14, 23) ---
+    "q_event_scan" -> ((s, dir) => EventOps.eventScan(Tables.events(s, dir))),
+    "q_match_stats" -> ((s, dir) => EventOps.matchStats(Tables.events(s, dir))),
+    "q_summary" -> ((s, dir) => EventOps.summary(Tables.events(s, dir))),
+    "q_per90" -> ((s, dir) => EventOps.per90(Tables.events(s, dir))),
+    "q_weighted_ratio" -> ((s, dir) => EventOps.weightedRatio(Tables.events(s, dir))),
+    "q_direction" -> ((s, dir) => EventOps.direction(Tables.events(s, dir))),
+    "q_tumbling" -> ((s, dir) => EventOps.tumbling(Tables.events(s, dir))),
+    // --- stats / viz-feeding (§2 rows 5-9, 16, 19) ---
+    "q_percentile" -> ((s, dir) => StatsOps.percentile(Tables.events(s, dir))),
+    "q_topn" -> ((s, dir) => StatsOps.topN(Tables.events(s, dir))),
+    "q_hist1d" -> ((s, dir) => StatsOps.hist1d(Tables.events(s, dir))),
+    "q_heatmap2d" -> ((s, dir) => StatsOps.heatmap2d(Tables.events(s, dir))),
+    "q_trend" -> ((s, dir) => StatsOps.trend(Tables.events(s, dir))),
+    "q_position_counts" -> ((s, dir) => StatsOps.positionCounts(Tables.events(s, dir))),
+    "q_radar_norm" -> ((s, dir) => StatsOps.radarNorm(Tables.events(s, dir))),
+    // --- temporal (§2 rows 11-13) ---
+    "q_sessionize" -> ((s, dir) => SessionOps.sessionize(Tables.events(s, dir))),
+    "q_window_after" -> ((s, dir) => SessionOps.windowAfter(Tables.events(s, dir))),
+    "q_key_join" -> ((s, dir) => SessionOps.keyJoin(Tables.events(s, dir))),
+    // --- geometry (§2 rows 15, 17, 18) ---
+    "q_pitch_geometry" -> ((s, dir) => GeometryOps.pitchGeometry(Tables.events(s, dir))),
+    "q_pass_segments" -> ((s, dir) => GeometryOps.passSegments(Tables.events(s, dir))),
+    "q_receptions" -> ((s, dir) => GeometryOps.receptions(Tables.events(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,39 +54,7 @@ object SparkEntry {
     * Aliases must match the Spark output exactly (driver hash-compares by
     * column name); every query has a deterministic ORDER BY on both sides.
     */
-  def oracleSql: Map[String, String] = Map(
-    "q1_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-        |  COUNT(*) AS count_order,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "q_revenue_nation" ->
-      """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  COUNT(*) AS n_orders
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name
-        |ORDER BY r_name, n_name""".stripMargin,
-    "q_top_customers" ->
-      """SELECT c_custkey, c_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-        |  COUNT(DISTINCT o_orderkey) AS n_orders
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_custkey, c_name
-        |ORDER BY revenue DESC, c_custkey ASC
-        |LIMIT 20""".stripMargin
-  )
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ EventOps.oracles ++ StatsOps.oracles ++
+      SessionOps.oracles ++ GeometryOps.oracles
 }

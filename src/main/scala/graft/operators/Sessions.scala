@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.EventCols
+import graft.functions.EventCols.{d18, sql => S}
+
+/** Temporal operators: sessionization and time-window / key-linked
+  * self-joins (SURVEY.md §2 rows 11–13).
+  *
+  * All three shuffle ONCE on `user_id` so the per-entity work (ordering,
+  * band matching) is partition-local — the co-partitioned shape that holds
+  * on a 1000-executor cluster. Time math is exact int64 microseconds.
+  */
+object SessionOps {
+
+  /** Gap threshold: 4 h in microseconds. */
+  val GapUs: Long = 4L * 3600 * 1000000
+
+  /** §2-11 `q_sessionize`: gap-based sessionization via lag + running sum
+    * (re-expresses the reference's event-time-span heuristics,
+    * core/pedri_analysis.py:201-218, as proper sessions). One shuffle on
+    * user_id; both windows share the same sort, so Spark plans a single
+    * Window exchange. */
+  def sessionize(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), EventCols.us)
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(w) > GapUs || lag(col("us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        ((max(col("us")) - min(col("us"))) / 1000000.0).as("duration_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Band width for the after-window join: 6 h in microseconds. */
+  val BandUs: Long = 6L * 3600 * 1000000
+
+  /** §2-12 `q_window_after`: count events of type B within Δt after each
+    * type-A event of the same entity (reference extended.py:356-384
+    * pressures_after_loss: pressures within 5 s of own turnover). Here:
+    * 'view' events within 6 h after each 'error'. The equi-key (user_id)
+    * makes this a co-partitioned join; the time band is a partition-local
+    * post-filter, so no n² blowup at scale. */
+  def windowAfter(events: DataFrame): DataFrame = {
+    val a = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("a_id"), col("user_id"), EventCols.us.as("a_us"))
+    val b = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("b_user"), EventCols.us.as("b_us"))
+    a.join(b,
+        col("user_id") === col("b_user") &&
+          col("b_us") > col("a_us") && col("b_us") <= col("a_us") + BandUs,
+        "left")
+      .groupBy(col("a_id"), col("user_id"))
+      .agg(count(col("b_us")).as("n_after"))
+      .orderBy("a_id")
+  }
+
+  /** §2-13 `q_key_join`: credit linker — join each type-B event to the
+    * type-A event it references and credit A's owner with B's value
+    * (reference extended.py:245-253 xA: shot.key_pass_id → pass, passer
+    * credited with shot xG). The synthetic link key is (user_id, k); where
+    * several clicks share the key, the LATEST click before the purchase
+    * takes the credit — an as-of join, expressed as equi-join +
+    * row_number()=1 so Catalyst keeps it a co-partitioned shuffle join. */
+  def keyJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        EventCols.k.as("p_k"), EventCols.us.as("p_us"), col("value").as("p_value"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        EventCols.k.as("c_k"), EventCols.us.as("c_us"))
+    val asof = purchases
+      .join(clicks,
+        col("p_user") === col("c_user") && col("p_k") === col("c_k") &&
+          col("c_us") < col("p_us"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_id").orderBy(col("c_us").desc, col("c_id").desc)))
+      .filter(col("rn") === 1)
+    asof
+      .groupBy(col("c_user").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_assisted"),
+        sum(col("p_value").cast(d18)).cast("double").as("xa_value"))
+      .orderBy("user_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, ts, ${S.us} AS us FROM events
+         |), flagged AS (
+         |  SELECT *, CASE WHEN us - lag(us) OVER w > $GapUs
+         |                   OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         |), sess AS (
+         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged
+         |)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  COUNT(*) AS n_events,
+         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |  (MAX(us) - MIN(us)) / 1000000.0 AS duration_sec
+         |FROM sess
+         |GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+    "q_window_after" ->
+      s"""WITH a AS (
+         |  SELECT event_id AS a_id, user_id, ${S.us} AS a_us
+         |  FROM events WHERE event_type = 'error'
+         |), b AS (
+         |  SELECT user_id AS b_user, ${S.us} AS b_us
+         |  FROM events WHERE event_type = 'view'
+         |)
+         |SELECT a_id, user_id, COUNT(b_us) AS n_after
+         |FROM a LEFT JOIN b
+         |  ON user_id = b_user AND b_us > a_us AND b_us <= a_us + $BandUs
+         |GROUP BY a_id, user_id
+         |ORDER BY a_id""".stripMargin,
+    "q_key_join" ->
+      s"""WITH p AS (
+         |  SELECT event_id AS p_id, user_id AS p_user, ${S.k} AS p_k,
+         |         ${S.us} AS p_us, value AS p_value
+         |  FROM events WHERE event_type = 'purchase'
+         |), c AS (
+         |  SELECT event_id AS c_id, user_id AS c_user, ${S.k} AS c_k,
+         |         ${S.us} AS c_us
+         |  FROM events WHERE event_type = 'click'
+         |), linked AS (
+         |  SELECT p_id, c_user, p_value,
+         |    row_number() OVER (PARTITION BY p_id ORDER BY c_us DESC, c_id DESC) AS rn
+         |  FROM p JOIN c ON p_user = c_user AND p_k = c_k AND c_us < p_us
+         |)
+         |SELECT c_user AS user_id, COUNT(*) AS n_assisted,
+         |  CAST(SUM(CAST(p_value AS DECIMAL(18,2))) AS DOUBLE) AS xa_value
+         |FROM linked WHERE rn = 1
+         |GROUP BY c_user
+         |ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.EventCols
+import graft.functions.EventCols.{d18, sql => S}
+
+/** Statistical / viz-feeding operators (SURVEY.md §2 rows 5–9, 16, 19).
+  *
+  * Everything a reference figure consumes — histogram bins, heatmap cells,
+  * top-N bars, percentile radars, normalized radar vectors, trend series —
+  * computed as DataFrames. The heavy reduction (raw rows → per-group
+  * aggregates) happens FIRST in one shuffle; the window functions then run
+  * over the tiny aggregated frame (≤ users×days rows), which is the right
+  * shape at 100 TB: windows never see raw events.
+  */
+object StatsOps {
+
+  /** §2-5 `q_percentile`: percentile rank of each per-match value within the
+    * entity's own distribution (reference core/pedri_analysis.py:488-522
+    * `_percentile_rank`: mean(s <= v) * 100 ≡ cume_dist * 100). */
+  def percentile(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), EventCols.day)
+      .agg(count(when(col("event_type") === "purchase", 1)).as("n_purchase"))
+    val w = Window.partitionBy("user_id").orderBy("n_purchase")
+    daily
+      .withColumn("pct", cume_dist().over(w) * 100.0)
+      .orderBy("user_id", "day")
+  }
+
+  /** §2-6 `q_topn`: top-20 groups by a metric with deterministic ties
+    * (reference core/pedri_analysis.py:355-380 plot_bar top_n=20). Compiles
+    * to TakeOrderedAndProject — each partition keeps 20, no global sort. */
+  def topN(events: DataFrame, n: Int = 20): DataFrame =
+    events
+      .groupBy(col("user_id"), EventCols.day)
+      .agg(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(0.0).cast(d18)).cast("double").as("purchase_value"))
+      .orderBy(col("purchase_value").desc, col("user_id").asc, col("day").asc)
+      .limit(n)
+
+  /** §2-8 `q_hist1d`: fixed-width 1-D histogram (reference
+    * core/pedri_analysis.py:383-395 plot_hist). Bin id is a codegen'd
+    * row-level expression; the shuffle carries ≤ #bins cells. */
+  def hist1d(events: DataFrame, width: Double = 20.0): DataFrame =
+    events
+      .groupBy(floor(col("value") / width).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", col("bin") * width)
+      .orderBy("bin")
+
+  /** §2-7 `q_heatmap2d`: 2-D spatial histogram on the 120×80 pitch
+    * (reference core/pedri_analysis.py:416-433 hexbin,
+    * extended.py:543-585 48×32 grid). ≤ 48×32 cells regardless of input
+    * size — the shuffle payload is constant. */
+  def heatmap2d(events: DataFrame): DataFrame =
+    EventCols.withGeometry(events.filter(col("event_type") === "click"))
+      .groupBy(
+        floor(col("x") / 2.5).cast("int").as("bx"),
+        floor(col("y") / 2.5).cast("int").as("by"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bx", "by")
+
+  /** §2-9 `q_trend`: 7-day moving average over each entity's ordered daily
+    * series (reference extended.py:475-517 plot_trends). Runs on the
+    * post-agg frame. The moving average divides two window SUMs (exact
+    * bigints) so the double is order-independent. */
+  def trend(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), EventCols.day)
+      .agg(count(when(col("event_type") === "purchase", 1)).as("n_purchase"))
+    val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("ma7",
+        sum(col("n_purchase")).over(w) / count(col("n_purchase")).over(w))
+      .orderBy("user_id", "day")
+  }
+
+  /** §2-16 `q_position_counts`: most-common value per entity (mode;
+    * reference core/pedri_profile.py `Counter.most_common` over positions).
+    * Count-agg then a row_number over the tiny (entity × type) frame. */
+  def positionCounts(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("n").desc, col("event_type").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"), col("n"))
+      .orderBy("user_id")
+  }
+
+  /** §2-19 `q_radar_norm`: min-max normalize each entity's metric vector
+    * against the population ranges (reference utils/viz_radar.py
+    * `_normalize_values`). Window over the 150-row aggregated frame; the
+    * (v-min)/(max-min) operands are identical doubles in both engines. */
+  def radarNorm(events: DataFrame): DataFrame = {
+    val metrics = events
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        sum(col("value").cast(d18)).cast("double").as("sum_value"))
+    val w = Window.partitionBy()
+    def norm(c: String) =
+      (col(c) - min(col(c)).over(w)) /
+        (max(col(c)).over(w) - min(col(c)).over(w))
+    metrics
+      .withColumn("click_norm", norm("n_click"))
+      .withColumn("purchase_norm", norm("n_purchase"))
+      .withColumn("value_norm", norm("sum_value"))
+      .select("user_id", "click_norm", "purchase_norm", "value_norm")
+      .orderBy("user_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_percentile" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, ${S.day} AS day,
+         |    COUNT(*) FILTER (event_type = 'purchase') AS n_purchase
+         |  FROM events GROUP BY user_id, ${S.day}
+         |)
+         |SELECT user_id, day, n_purchase,
+         |  cume_dist() OVER (PARTITION BY user_id ORDER BY n_purchase) * 100.0 AS pct
+         |FROM daily
+         |ORDER BY user_id, day""".stripMargin,
+    "q_topn" ->
+      s"""SELECT user_id, ${S.day} AS day,
+         |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+         |FROM events
+         |GROUP BY user_id, ${S.day}
+         |ORDER BY purchase_value DESC, user_id ASC, day ASC
+         |LIMIT 20""".stripMargin,
+    "q_hist1d" ->
+      """SELECT CAST(floor(value / 20.0) AS INTEGER) AS bin,
+        |  COUNT(*) AS n,
+        |  CAST(floor(value / 20.0) AS INTEGER) * 20.0 AS lo
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY bin""".stripMargin,
+    "q_heatmap2d" ->
+      s"""${S.geo("click")}
+         |SELECT CAST(floor(x / 2.5) AS INTEGER) AS bx,
+         |  CAST(floor(y / 2.5) AS INTEGER) AS by,
+         |  COUNT(*) AS n
+         |FROM g
+         |GROUP BY 1, 2
+         |ORDER BY bx, by""".stripMargin,
+    "q_trend" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, ${S.day} AS day,
+         |    COUNT(*) FILTER (event_type = 'purchase') AS n_purchase
+         |  FROM events GROUP BY user_id, ${S.day}
+         |)
+         |SELECT user_id, day, n_purchase,
+         |  SUM(n_purchase) OVER w / COUNT(n_purchase) OVER w AS ma7
+         |FROM daily
+         |WINDOW w AS (PARTITION BY user_id ORDER BY day
+         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, day""".stripMargin,
+    "q_position_counts" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, event_type
+        |), ranked AS (
+        |  SELECT user_id, event_type AS top_type, n,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY n DESC, event_type ASC) AS rn
+        |  FROM counts
+        |)
+        |SELECT user_id, top_type, n FROM ranked WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_radar_norm" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    COUNT(*) FILTER (event_type = 'click') AS n_click,
+        |    COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id,
+        |  (n_click - MIN(n_click) OVER ()) / (MAX(n_click) OVER () - MIN(n_click) OVER ()) AS click_norm,
+        |  (n_purchase - MIN(n_purchase) OVER ()) / (MAX(n_purchase) OVER () - MIN(n_purchase) OVER ()) AS purchase_norm,
+        |  (sum_value - MIN(sum_value) OVER ()) / (MAX(sum_value) OVER () - MIN(sum_value) OVER ()) AS value_norm
+        |FROM m
+        |ORDER BY user_id""".stripMargin
+  )
+}

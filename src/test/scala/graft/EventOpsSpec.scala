@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Semantic invariants for the event-analytics operators (sf0.001). */
+class EventOpsSpec extends SparkSpec {
+
+  private def events = Tables.events(spark, sfDir)
+
+  test("eventScan filters to one user+type and projects") {
+    val df = EventOps.eventScan(events)
+    assert(df.columns.toSeq == Seq("event_id", "ts", "user_id", "value"))
+    val rows = df.collect()
+    assert(rows.forall(_.getLong(2) == 42L))
+  }
+
+  test("matchStats counters sum to n_events and rates bounded") {
+    val df = EventOps.matchStats(events).cache()
+    assert(df.count() > 0)
+    val bad = df.filter(
+      col("n_click") + col("n_view") + col("n_purchase") +
+        col("n_error") + col("n_signup") =!= col("n_events")).count()
+    assert(bad == 0)
+    assert(df.filter(col("purchase_rate") < 0 || col("purchase_rate") > 1).count() == 0)
+  }
+
+  test("summary is a single global row consistent with raw counts") {
+    val row = EventOps.summary(events).collect().head
+    assert(row.getAs[Long]("n_events") == events.count())
+  }
+
+  test("per90 minutes clamped to [10, 95]") {
+    val df = EventOps.per90(events)
+    assert(df.filter(col("minutes") < 10.0 || col("minutes") > 95.0).count() == 0)
+  }
+
+  test("percentile pct in (0, 100]") {
+    val df = StatsOps.percentile(events)
+    assert(df.filter(col("pct") <= 0.0 || col("pct") > 100.0).count() == 0)
+  }
+
+  test("topN returns at most 20 in non-increasing order") {
+    val vals = StatsOps.topN(events).collect().map(_.getAs[Double]("purchase_value"))
+    assert(vals.length <= 20)
+    assert(vals.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("heatmap2d bins within 48x32 grid and counts sum to input") {
+    val df = StatsOps.heatmap2d(events).cache()
+    assert(df.filter(col("bx") < 0 || col("bx") > 47 || col("by") < 0 || col("by") > 31).count() == 0)
+    val total = df.agg(sum("n")).collect().head.getLong(0)
+    assert(total == events.filter(col("event_type") === "click").count())
+  }
+
+  test("hist1d bin counts sum to input rows") {
+    val df = StatsOps.hist1d(events)
+    assert(df.agg(sum("n")).collect().head.getLong(0) == events.count())
+  }
+
+  test("trend ma7 equals n_purchase where only one day exists in frame") {
+    val first = StatsOps.trend(events)
+      .filter(col("day") === to_date(lit("2024-01-01"))).collect()
+    assert(first.forall(r =>
+      r.getAs[Double]("ma7") == r.getAs[Long]("n_purchase").toDouble))
+  }
+
+  test("positionCounts yields one row per user") {
+    val df = StatsOps.positionCounts(events).cache()
+    assert(df.count() == df.select("user_id").distinct().count())
+  }
+
+  test("radarNorm values within [0, 1]") {
+    val df = StatsOps.radarNorm(events)
+    val bad = Seq("click_norm", "purchase_norm", "value_norm").map(c =>
+      df.filter(col(c) < 0.0 || col(c) > 1.0).count()).sum
+    assert(bad == 0)
+  }
+
+  test("sessionize: intra-session gaps never exceed the threshold") {
+    // duration <= (n_events - 1) * gap bounds every in-session gap.
+    val df = SessionOps.sessionize(events)
+    val bad = df.filter(
+      col("duration_sec") * 1000000.0 >
+        (col("n_events") - 1) * SessionOps.GapUs).count()
+    assert(bad == 0)
+  }
+
+  test("windowAfter covers every error event exactly once") {
+    val df = SessionOps.windowAfter(events)
+    assert(df.count() == events.filter(col("event_type") === "error").count())
+    assert(df.filter(col("n_after") < 0).count() == 0)
+  }
+
+  test("keyJoin credits at most one click per purchase") {
+    val df = SessionOps.keyJoin(events)
+    val totalAssists = df.agg(sum("n_assisted")).collect().head.getLong(0)
+    assert(totalAssists <= events.filter(col("event_type") === "purchase").count())
+  }
+
+  test("pitchGeometry: progressive implies dx >= 10") {
+    import graft.functions.EventCols
+    val g = EventCols.withGeometry(events.filter(col("event_type") === "click"))
+    val bad = g.filter(EventCols.isProgressive && col("dx") < 10.0).count()
+    assert(bad == 0)
+    assert(GeometryOps.pitchGeometry(events).count() ==
+      events.filter(col("event_type") === "click").count())
+  }
+
+  test("passSegments ⊆ click events and all progressive") {
+    val segs = GeometryOps.passSegments(events)
+    assert(segs.filter(col("x2") - col("x") < 10.0).count() == 0)
+  }
+
+  test("receptions recipient ids stay in the user id space") {
+    val df = GeometryOps.receptions(events)
+    assert(df.filter(col("recipient_id") < 0 || col("recipient_id") > 149).count() == 0)
+  }
+
+  test("direction: n_right + n_left <= first-half clicks") {
+    val df = EventOps.direction(events)
+    assert(df.count() > 0)
+  }
+
+  test("tumbling counts sum to input rows") {
+    val df = EventOps.tumbling(events)
+    assert(df.agg(sum("n")).collect().head.getLong(0) == events.count())
+  }
+}
