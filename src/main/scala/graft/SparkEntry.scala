@@ -46,7 +46,23 @@ object SparkEntry {
     // --- geometry (§2 rows 15, 17, 18) ---
     "q_pitch_geometry" -> ((s, dir) => GeometryOps.pitchGeometry(Tables.events(s, dir))),
     "q_pass_segments" -> ((s, dir) => GeometryOps.passSegments(Tables.events(s, dir))),
-    "q_receptions" -> ((s, dir) => GeometryOps.receptions(Tables.events(s, dir)))
+    "q_receptions" -> ((s, dir) => GeometryOps.receptions(Tables.events(s, dir))),
+    // --- dedup family (§2 rows 24-28) ---
+    "q_dedup_exact" -> ((s, dir) => DedupOps.dedupExact(Tables.documents(s, dir))),
+    "q_dedup_minhash" -> ((s, dir) => DedupOps.dedupMinhash(Tables.documents(s, dir))),
+    "q_dedup_simhash" -> ((s, dir) => DedupOps.dedupSimhash(Tables.documents(s, dir))),
+    "q_dedup_ngram" -> ((s, dir) => DedupOps.dedupNgram(Tables.documents(s, dir))),
+    "q_dedup_embedding" -> ((s, dir) => DedupOps.dedupEmbedding(Tables.embeddings(s, dir))),
+    // --- ANN (§2 rows 29-30) ---
+    "q_ann_topk" -> ((s, dir) => AnnOps.annTopK(Tables.embeddings(s, dir))),
+    "q_ann_lsh" -> ((s, dir) => AnnOps.annLsh(Tables.embeddings(s, dir))),
+    // --- text analysis (§2 rows 31-34) ---
+    "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    "q_quality" -> ((s, dir) => TextOps.quality(Tables.documents(s, dir))),
+    "q_tokens" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
+    "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
+    // --- multimodal plumbing (§2 row 35) ---
+    "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,5 +72,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ StatsOps.oracles ++
-      SessionOps.oracles ++ GeometryOps.oracles
+      SessionOps.oracles ++ GeometryOps.oracles ++ DedupOps.oracles ++
+      AnnOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles
 }

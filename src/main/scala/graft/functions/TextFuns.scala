@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline building blocks (SURVEY.md §2-B): normalization, tokens,
+  * character shingles, and hash fingerprints.
+  *
+  * Everything is built from `org.apache.spark.sql.functions` + higher-order
+  * array functions — codegen'd row-level expressions, no UDFs. Hashes are
+  * md5 hex strings in BOTH engines (Spark md5 and DuckDB md5 produce the
+  * same lowercase hex for the same bytes), and "minimum hash" means the
+  * lexicographic minimum of those hex strings — deterministic and
+  * engine-portable, no integer-conversion games.
+  */
+object TextFuns {
+
+  /** Canonical normalization applied before any hashing/tokenizing. */
+  def norm(text: Column): Column = lower(trim(text))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(norm(text), " ")
+
+  /** 0-based start positions of all char q-grams: 0 .. len-q. Callers must
+    * pre-filter length >= q — Spark's `sequence(1, 0)` counts DOWN instead
+    * of producing an empty array. */
+  def shinglePositions(text: Column, q: Int): Column =
+    sequence(lit(0), length(norm(text)) - q)
+
+  /** MinHash permutation i of a shingle: md5 of the seeded shingle; the
+    * K "permutations" are K independent seeds, min taken lexicographically
+    * over hex strings (identical in DuckDB). */
+  def permHash(i: Int, shingle: Column): Column =
+    md5(concat(lit(s"$i:"), shingle).cast("binary"))
+
+  /** SimHash ±1 weight for bit `b` of a token: parity of hex digit `b` of
+    * the token's md5 (odd hex digits have their low bit set). SUM of these
+    * over a doc's tokens is the signed bit weight — exact integer math,
+    * identical to the oracle's `strpos('13579bdf', digit) > 0` test. */
+  def simhashWeight(tokenMd5Hex: Column, b: Int): Column =
+    when(substring(tokenMd5Hex, b + 1, 1)
+      .isin("1", "3", "5", "7", "9", "b", "d", "f"), lit(1))
+      .otherwise(lit(-1))
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `array<float>` columns (SURVEY.md §2-B
+  * rows 28-30).
+  *
+  * Catalyst higher-order functions (`zip_with`/`aggregate`/`transform`) —
+  * evaluated per-row with no shuffle and no UDF serialization. Floats are
+  * widened to double element-wise before multiply/accumulate; the fold is
+  * sequential left-to-right. Engine-specific summation order still differs
+  * from DuckDB's list_sum in the last ulp, so any cross-engine-compared
+  * cosine is rounded to 6 dp on BOTH sides.
+  */
+object VectorFuns {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** ‖a‖₂ in double precision. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity rounded to 6 dp (cross-engine-stable). */
+  def cosine6(a: Column, b: Column): Column =
+    round(dot(a, b) / (l2norm(a) * l2norm(b)), 6)
+
+  /** Sign-LSH bucket from the first `bits` dimensions: bit i set iff
+    * component i > 0 (exact float comparison — engine-portable). On a
+    * cluster this bucket id is the partition/prune key for ANN search. */
+  def signBucket(a: Column, bits: Int = 8): Column =
+    (0 until bits).map(i =>
+      when(element_at(a, i + 1) > 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** The DuckDB-side twins (oracle SQL fragments). */
+  object sql {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    def l2norm(a: String): String =
+      s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    def cosine6(a: String, b: String): String =
+      s"round(${dot(a, b)} / (${l2norm(a)} * ${l2norm(b)}), 6)"
+    def signBucket(a: String, bits: Int = 8): String =
+      (0 until bits).map(i =>
+        s"(CASE WHEN $a[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+  }
+}

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFuns, VectorFuns}
+
+/** Deduplication family (SURVEY.md §2-B rows 24-28) — the core of a
+  * training-data pipeline at 100 TB. Design rule: NEVER materialize n²
+  * pairs. Exact dedup is a hash groupBy; MinHash/n-gram near-dup go through
+  * inverted-index / band joins whose candidate sets are bounded by actual
+  * collisions; embedding near-dup only compares inside blocks.
+  */
+object DedupOps {
+
+  /** §2-24 `q_dedup_exact`: exact dedup on the md5 of normalized text,
+    * keeping the minimum doc_id as representative. ONE shuffle on a
+    * 128-bit key; at 100 TB this is the cheapest possible full-corpus
+    * dedup (no sort, partial agg does the heavy lifting map-side). */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(TextFuns.norm(col("text")).cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("rep_doc_id")
+
+  /** MinHash parameters: K seeded hash functions in B bands of R rows
+    * (K = B·R). With Jaccard-0.9 near-dups, P[detect] = 1-(1-0.9^R)^B
+    * ≈ 0.9997 — and the planted dups here are ≈ 0.99. */
+  val MinhashK = 6
+  val Bands = 3 // of R = 2 rows each
+
+  /** §2-25 `q_dedup_minhash`: MinHash signatures + LSH band join.
+    *
+    * explode char-8-gram shingles → ONE aggregation computes all K minima
+    * (map-side partials make the shuffle per-doc, not per-shingle) →
+    * explode B band keys → self-join on (band, key). Candidate pairs are
+    * bounded by real LSH collisions, never n². On a cluster the band key
+    * becomes the shuffle key; AQE handles hot buckets. */
+  def dedupMinhash(documents: DataFrame): DataFrame = {
+    val shingled = documents
+      .filter(length(TextFuns.norm(col("text"))) >= 8)
+      .select(col("doc_id"),
+        explode(TextFuns.shinglePositions(col("text"), 8)).as("pos"),
+        TextFuns.norm(col("text")).as("t"))
+      .select(col("doc_id"), expr("substring(t, pos + 1, 8)").as("shingle"))
+    val minExprs = (0 until MinhashK).map(i =>
+      min(TextFuns.permHash(i, col("shingle"))).as(s"mh$i"))
+    val sig = shingled.groupBy(col("doc_id"))
+      .agg(minExprs.head, minExprs.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array((0 until Bands).map(b =>
+      struct(lit(b).as("band"),
+        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** §2-26 `q_dedup_simhash`: 16-bit SimHash fingerprint. Tokens explode
+    * once; all 16 signed bit-weights come out of ONE aggregation pass
+    * (exact ±1 integer sums); the fingerprint is then a row-level bit
+    * pack. Fingerprint equality (or Hamming distance via xor) groups
+    * near-dups — here we emit the per-doc fingerprint. */
+  def dedupSimhash(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(TextFuns.tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val sumExprs = (0 until 16).map(b =>
+      sum(TextFuns.simhashWeight(col("h"), b)).as(s"s$b"))
+    val weights = toks.groupBy(col("doc_id"))
+      .agg(sumExprs.head, sumExprs.tail: _*)
+    weights
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** §2-27 `q_dedup_ngram`: verified near-dup pairs by token-3-gram
+    * Jaccard ≥ 0.5, candidate generation via inverted-index join on shared
+    * shingles (blocking) — the join only ever touches docs that actually
+    * share a shingle, then exact integer intersection/union counts verify.
+    * The planted ≈0.99-Jaccard pairs surface; random docs don't. */
+  def dedupNgram(documents: DataFrame, tau: Double = 0.5): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), TextFuns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))")).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c") * 1.0 / (col("sa.n") + col("sb.n") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** §2-28 `q_dedup_embedding`: blocked cosine near-dup pairs (cos ≥ τ).
+    * The block key (here `label`; LSH sign-bucket in the general case —
+    * see [[AnnOps.annLsh]]) turns the n² problem into Σ block². Cosines
+    * are rounded to 6 dp on both engines (summation-order ulp). */
+  def dedupEmbedding(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        VectorFuns.cosine6(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= tau)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val normSql = "lower(trim(text))"
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""SELECT md5($normSql) AS text_hash,
+         |  MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+         |FROM documents
+         |GROUP BY 1
+         |ORDER BY rep_doc_id""".stripMargin,
+    "q_dedup_minhash" -> {
+      val mins = (0 until MinhashK).map(i =>
+        s"MIN(md5('$i:' || shingle)) AS mh$i").mkString(",\n  ")
+      val bandCond = (0 until Bands).map(b =>
+        s"(a.mh${2 * b} || a.mh${2 * b + 1}) = (b.mh${2 * b} || b.mh${2 * b + 1})")
+        .mkString(" OR ")
+      s"""WITH n AS (
+         |  SELECT doc_id, $normSql AS t FROM documents WHERE length($normSql) >= 8
+         |), sh AS (
+         |  SELECT doc_id, substr(t, i + 1, 8) AS shingle
+         |  FROM (SELECT doc_id, t, unnest(generate_series(0, length(t) - 8)) AS i FROM n)
+         |), sig AS (
+         |  SELECT doc_id, $mins FROM sh GROUP BY doc_id
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_dedup_simhash" -> {
+      val sums = (0 until 16).map(b =>
+        s"SUM(CASE WHEN strpos('13579bdf', substr(md5(tok), ${b + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n  ")
+      val pack = (0 until 16).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents
+         |), w AS (
+         |  SELECT doc_id, $sums FROM toks GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST($pack AS BIGINT) AS simhash
+         |FROM w
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_dedup_ngram" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS ts FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+         |        FROM toks WHERE len(ts) >= 3)
+         |), sz AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON doc_a = sa.doc_id
+         |JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFuns
+
+/** Text-analysis operators (SURVEY.md §2-B rows 31-34): language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All four are single-pass row-level expression pipelines (no shuffle
+  * except the fingerprint's per-doc min) that stay inside WholeStageCodegen
+  * — exactly what you want when the corpus is 100 TB: cost is one scan.
+  */
+object TextOps {
+
+  /** Marker-word sets per language. The synthetic corpus shares one
+    * vocabulary, so these act as a deterministic n-gram-style heuristic
+    * (the real-corpus analog would use per-language stopword lists). */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "fr" -> Seq("table", "part"),
+    "de" -> Seq("window", "batch"),
+    "es" -> Seq("data", "row"),
+    "zh" -> Seq("vector", "stream"))
+
+  /** §2-31 `q_lang_id`: marker-word language identification — count marker
+    * hits per language over the token array (higher-order `filter`, no
+    * explode), argmax with a fixed priority order for ties. */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = TextFuns.tokens(col("text"))
+    val scored = documents.select(
+      (col("doc_id") +: Markers.map { case (l, ws) =>
+        size(filter(toks, t => t.isin(ws.map(lit(_)): _*))).as(s"s_$l")
+      }): _*)
+    // argmax with deterministic priority = declaration order
+    val langs = Markers.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last)) { case ((l, i), els) =>
+      val rest = langs.drop(i + 1)
+      if (rest.isEmpty) els
+      else when(rest.map(r => col(s"s_$l") >= col(s"s_$r")).reduce(_ && _), lit(l))
+        .otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred).orderBy("doc_id")
+  }
+
+  /** Stopword list for the quality heuristic. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and")
+
+  /** §2-32 `q_quality`: document quality scoring from surface statistics —
+    * token count, average token length, stopword ratio (reference-style
+    * heuristics scaled to row-level expressions; cf. published quality
+    * filters à la C4/Gopher rules). All ratios divide identical operands
+    * in both engines, so no rounding is needed. */
+  def quality(documents: DataFrame): DataFrame = {
+    val t = TextFuns.norm(col("text"))
+    val toks = TextFuns.tokens(col("text"))
+    documents.select(col("doc_id"),
+      length(t).as("n_chars_norm"),
+      size(toks).as("n_tokens"),
+      ((length(t) - (size(toks) - 1)) * lit(1.0) / size(toks)).as("avg_token_len"),
+      (size(filter(toks, tk => tk.isin(Stopwords.map(lit(_)): _*))) * lit(1.0)
+        / size(toks)).as("stopword_ratio"))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens") / 100.0) * 0.6
+          + col("stopword_ratio") * 0.2
+          + when(col("avg_token_len") >= 3.0 && col("avg_token_len") <= 8.0, 0.2)
+            .otherwise(0.0))
+      .orderBy("doc_id")
+  }
+
+  /** §2-33 `q_tokens`: token counting — whitespace tokens and a BPE-ish
+    * regex segmentation (letter runs / digit runs / single other chars),
+    * plus a chars-per-token ratio (the usual tokens≈chars/4 estimator). */
+  def tokenCounts(documents: DataFrame): DataFrame = {
+    val t = TextFuns.norm(col("text"))
+    documents.select(col("doc_id"),
+      size(TextFuns.tokens(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(t, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("n_bpe_tokens"),
+      length(t).as("n_chars_norm"))
+      .withColumn("chars_per_token",
+        col("n_chars_norm") * lit(1.0) / col("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** §2-34 `q_fingerprint`: winnowing-style document fingerprint — the
+    * minimum md5 over char 16-gram shingles (the min-hash member of the
+    * winnowing window family), plus the shingle count. Explode → per-doc
+    * min: partial-agg keeps the shuffle at one row per doc. */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .filter(length(TextFuns.norm(col("text"))) >= 16)
+      .select(col("doc_id"),
+        explode(TextFuns.shinglePositions(col("text"), 16)).as("pos"),
+        TextFuns.norm(col("text")).as("t"))
+      .select(col("doc_id"),
+        md5(expr("substring(t, pos + 1, 16)").cast("binary")).as("h"))
+      .groupBy("doc_id")
+      .agg(min(col("h")).as("fingerprint"), count(lit(1)).as("n_shingles"))
+      .orderBy("doc_id")
+
+  private val normSql = "lower(trim(text))"
+  private val toksSql = s"string_split($normSql, ' ')"
+
+  val oracles: Map[String, String] = Map(
+    "q_lang_id" -> {
+      val scores = Markers.map { case (l, ws) =>
+        val in = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter($toksSql, t -> t IN ($in))) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = Markers.map(_._1)
+      val cases = langs.init.zipWithIndex.map { case (l, i) =>
+        val conds = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n    ")
+      s"""WITH s AS (
+         |  SELECT doc_id, $scores FROM documents
+         |)
+         |SELECT *, CASE $cases ELSE '${langs.last}' END AS pred_lang
+         |FROM s
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_quality" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    length($normSql) AS n_chars_norm,
+         |    len($toksSql) AS n_tokens,
+         |    (length($normSql) - (len($toksSql) - 1)) * 1.0 / len($toksSql) AS avg_token_len,
+         |    len(list_filter($toksSql, t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+         |      / len($toksSql) AS stopword_ratio
+         |  FROM documents
+         |)
+         |SELECT *,
+         |  least(CAST(1 AS DOUBLE), n_tokens / 100.0) * 0.6
+         |    + stopword_ratio * 0.2
+         |    + (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 8.0
+         |            THEN 0.2 ELSE 0.0 END) AS quality_score
+         |FROM s
+         |ORDER BY doc_id""".stripMargin,
+    "q_tokens" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    len($toksSql) AS n_ws_tokens,
+         |    len(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+         |    length($normSql) AS n_chars_norm
+         |  FROM documents
+         |)
+         |SELECT *, n_chars_norm * 1.0 / n_bpe_tokens AS chars_per_token
+         |FROM s
+         |ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, $normSql AS t FROM documents WHERE length($normSql) >= 16
+         |), sh AS (
+         |  SELECT doc_id, md5(substr(t, i + 1, 16)) AS h
+         |  FROM (SELECT doc_id, t, unnest(generate_series(0, length(t) - 16)) AS i FROM n)
+         |)
+         |SELECT doc_id, MIN(h) AS fingerprint, COUNT(*) AS n_shingles
+         |FROM sh
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Semantic invariants for the LLM-data-pipeline operators (sf0.001). */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir)
+  private def embs = Tables.embeddings(spark, sfDir)
+
+  test("dedupExact: representatives cover all docs, n_copies sums to corpus") {
+    val df = DedupOps.dedupExact(docs)
+    assert(df.agg(sum("n_copies")).collect().head.getLong(0) == docs.count())
+  }
+
+  test("dedupMinhash: candidate pairs include the near-identical planted pairs") {
+    val cands = DedupOps.dedupMinhash(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = DedupOps.dedupNgram(docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH with 3 bands of 2 at j≈0.99 detects with prob ~1-1e-7
+    assert(truth.subsetOf(cands), s"missing: ${truth -- cands}")
+    assert(cands.forall { case (a, b) => a < b })
+  }
+
+  test("dedupSimhash: one 16-bit fingerprint per doc") {
+    val df = DedupOps.dedupSimhash(docs).cache()
+    assert(df.count() == docs.count())
+    assert(df.filter(col("simhash") < 0 || col("simhash") > 0xffffL).count() == 0)
+  }
+
+  test("dedupNgram: jaccard within (0,1], pairs ordered") {
+    val rows = DedupOps.dedupNgram(docs).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0))
+  }
+
+  test("dedupEmbedding: cos >= tau and only intra-label pairs") {
+    val pairs = DedupOps.dedupEmbedding(embs, 0.3)
+    val labels = embs.select("vec_id", "label")
+    val joined = pairs
+      .join(labels.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("label", "la"), "vec_a")
+      .join(labels.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("label", "lb"), "vec_b")
+    assert(joined.filter(col("la") =!= col("lb")).count() == 0)
+  }
+
+  test("annTopK: scores descend and exclude the query") {
+    val rows = AnnOps.annTopK(embs).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getLong(0) != 0L))
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("annLsh results are a subset of brute-force ranking restricted to the bucket") {
+    val lsh = AnnOps.annLsh(embs).collect()
+    assert(lsh.forall(_.getLong(0) != 0L))
+    // every LSH hit shares the query's bucket by construction
+    val buckets = lsh.map(_.getAs[Int]("bucket")).toSet
+    assert(buckets.size <= 1)
+  }
+
+  test("langId: prediction is one of the marker languages") {
+    val langs = TextOps.Markers.map(_._1).toSet
+    val df = TextOps.langId(docs).cache()
+    assert(df.count() == docs.count())
+    assert(df.select("pred_lang").distinct().collect()
+      .forall(r => langs.contains(r.getString(0))))
+  }
+
+  test("quality: score within [0, 1]") {
+    val df = TextOps.quality(docs)
+    assert(df.filter(col("quality_score") < 0.0 || col("quality_score") > 1.0).count() == 0)
+  }
+
+  test("tokenCounts: bpe tokens >= ws tokens for space-free words") {
+    val df = TextOps.tokenCounts(docs)
+    assert(df.filter(col("n_bpe_tokens") < col("n_ws_tokens")).count() == 0)
+  }
+
+  test("fingerprint: deterministic across runs") {
+    val a = TextOps.fingerprint(docs).collect().map(_.toString).toSeq
+    val b = TextOps.fingerprint(docs).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("multimodalMeta + decodeBatches plumbing round-trips") {
+    val meta = MultimodalOps.multimodalMeta(docs)
+    assert(meta.count() == docs.count())
+    val withPayload = docs.withColumn("payload", col("text").cast("binary"))
+      .withColumn("mime", lit("image/png"))
+    val decoded = MultimodalOps.decodeBatches(withPayload, dim = 16).cache()
+    assert(decoded.count() == docs.count())
+    assert(decoded.schema == MultimodalOps.decodedSchema)
+    val feats = decoded.select("feature").head().getSeq[Float](0)
+    assert(feats.length == 16 && feats.forall(f => f >= 0f && f < 1f))
+  }
+}
