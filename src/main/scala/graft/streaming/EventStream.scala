@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch operators (SURVEY.md §2-C).
+  *
+  * The same logical computations as `EventOps.tumbling` and
+  * `SessionOps.sessionize`, expressed over an unbounded source: watermarked
+  * event-time windows for the aggregation, and `flatMapGroupsWithState`
+  * for gap sessions (per-key state + event-time timeout — state size is
+  * O(open sessions), not O(events), which is what survives an unbounded
+  * 100 TB/day stream).
+  */
+object EventStream {
+
+  /** One input event (the streaming projection of the events table). */
+  case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  /** Emitted session (same shape as the batch `q_sessionize` output). */
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long, duration_sec: Double)
+
+  /** Open-session state carried between micro-batches. */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  /** §2-C `windowedCounts`: watermark → tumbling (or sliding) event-time
+    * window → per-type counts + value sum. The streaming twin of
+    * `q_tumbling`: identical grouping semantics, plus late-data bounds.
+    * Append-mode-ready (aggregation closes when the watermark passes the
+    * window end). */
+  def windowedCounts(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     slide: Option[String] = None,
+                     watermark: String = "2 hours"): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col("ts"), windowLen, s)
+      case None    => window(col("ts"), windowLen)
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(win.as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("window_start"),
+        col("win.end").as("window_end"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Gap threshold shared with the batch twin. */
+  val GapUs: Long = graft.operators.SessionOps.GapUs
+
+  /** §2-C `sessionize`: gap-based sessions via `flatMapGroupsWithState`.
+    *
+    * Per user: events in a micro-batch are processed in event-time order;
+    * a gap > [[GapUs]] closes the current session and emits it. The
+    * event-time timeout (watermark + gap) flushes idle sessions so state
+    * never grows unboundedly. Update mode; one state row per active user. */
+  def sessionize(events: Dataset[Event],
+                 watermark: String = "2 hours"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed: flush the open session
+            val out = state.getOption.map(emit(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.user_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if us - s.lastUs > GapUs =>
+                  closed += emit(userId, s)
+                  cur = Some(SessionState(us, us, 1))
+                case Some(s) =>
+                  cur = Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // time out once the watermark passes the gap after last event
+              state.setTimeoutTimestamp((s.lastUs + GapUs) / 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  private def emit(userId: Long, s: SessionState): Session =
+    Session(userId, new Timestamp(s.startUs / 1000L),
+      new Timestamp(s.lastUs / 1000L), s.n, (s.lastUs - s.startUs) / 1e6)
+}

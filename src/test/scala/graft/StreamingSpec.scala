@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventOps
+import graft.sources.{EventsJsonSource, Tables}
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Streaming twins + nested JSON source (SURVEY.md §2-C). */
+class StreamingSpec extends SparkSpec {
+
+  test("windowedCounts (batch mode) matches q_tumbling semantics") {
+    val events = Tables.events(spark, sfDir)
+    val streamedShape = EventStream.windowedCounts(events)
+      .select(col("window_start").as("hour"), col("event_type"), col("n"))
+    val batch = EventOps.tumbling(events).select(col("hour"), col("event_type"), col("n"))
+    assert(streamedShape.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamedShape).count() == 0)
+  }
+
+  test("windowedCounts runs as a real stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedCounts(input.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wc").outputMode("update").start()
+    try {
+      input.addData(
+        Event(Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click", 1.0),
+        Event(Timestamp.valueOf("2024-01-01 10:45:00"), 1L, "click", 2.0),
+        Event(Timestamp.valueOf("2024-01-01 11:05:00"), 2L, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+      assert(rows.exists(r => r.getAs[Long]("n") == 2L)) // 10:00 window
+    } finally q.stop()
+  }
+
+  test("streaming sessionize emits the same sessions as the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val gapMs = EventStream.GapUs / 1000
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val evs = Seq(
+      Event(new Timestamp(base), 1L, "click", 1.0),
+      Event(new Timestamp(base + 60000), 1L, "view", 1.0), // same session
+      Event(new Timestamp(base + gapMs + 120000), 1L, "click", 1.0), // new session
+      Event(new Timestamp(base + 30000), 2L, "click", 1.0))
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      // push the watermark far past every gap so open sessions flush
+      input.addData(Event(new Timestamp(base + 10 * gapMs), 99L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(new Timestamp(base + 20 * gapMs), 99L, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sess").as[EventStream.Session].collect()
+        .filter(_.user_id != 99L)
+      assert(got.count(_.user_id == 1L) == 2)
+      assert(got.count(_.user_id == 2L) == 1)
+      val first = got.filter(_.user_id == 1L).minBy(_.session_start.getTime)
+      assert(first.n_events == 2 && first.duration_sec == 60.0)
+    } finally q.stop()
+  }
+
+  test("EventsJsonSource reads and flattens StatsBomb-shaped nested JSON") {
+    val dir = Files.createTempDirectory("graft_json").toFile
+    val json =
+      """[
+        |{"id":"e1","index":1,"period":1,"timestamp":"00:00:01.000","minute":0,"second":1,
+        | "type":{"id":30,"name":"Pass"},"player":{"id":30486,"name":"P"},
+        | "team":{"id":200,"name":"T"},"position":{"id":15,"name":"Left Center Midfield"},
+        | "location":[50.0,40.0],
+        | "pass":{"recipient":{"id":5503,"name":"R"},"length":22.4,"angle":0.1,
+        |          "end_location":[72.0,41.0],"shot_assist":true}},
+        |{"id":"e2","index":2,"period":1,"timestamp":"00:00:03.000","minute":0,"second":3,
+        | "type":{"id":16,"name":"Shot"},"player":{"id":5503,"name":"R"},
+        | "team":{"id":200,"name":"T"},"location":[100.0,40.0],
+        | "shot":{"statsbomb_xg":0.31,"key_pass_id":"e1"}},
+        |{"id":"e3","index":3,"period":2,"timestamp":"00:10:00.000","minute":55,"second":0,
+        | "type":{"id":43,"name":"Carry"},"player":{"id":30486,"name":"P"},
+        | "team":{"id":200,"name":"T"},"location":[30.0,20.0],
+        | "carry":{"end_location":[45.0,25.0]}}
+        |]""".stripMargin
+    Files.writeString(new java.io.File(dir, "match_1.json").toPath, json)
+    val flat = EventsJsonSource.flatten(
+      EventsJsonSource.read(spark, dir.getAbsolutePath)).cache()
+    assert(flat.count() == 3)
+    val pass = flat.filter(col("event_id") === "e1").head()
+    assert(pass.getAs[Boolean]("completed_pass"))
+    assert(pass.getAs[Boolean]("key_pass"))
+    assert(pass.getAs[Double]("x2") == 72.0)
+    assert(pass.getAs[Long]("recipient_id") == 5503L)
+    val carry = flat.filter(col("event_id") === "e3").head()
+    assert(carry.getAs[Double]("x2") == 45.0 && carry.getAs[Double]("y2") == 25.0)
+    // xA join shape: shot.key_pass_id → pass event (reference extended.py:245-253)
+    val xa = flat.as("s").filter(col("s.key_pass_id").isNotNull)
+      .join(flat.as("p"), col("s.key_pass_id") === col("p.event_id"))
+      .select(col("p.player_id"), col("s.xg"))
+    val r = xa.head()
+    assert(r.getLong(0) == 30486L && r.getDouble(1) == 0.31)
+  }
+}
