@@ -27,11 +27,12 @@ object TextFuns {
   def shinglePositions(text: Column, q: Int): Column =
     sequence(lit(0), length(norm(text)) - q)
 
-  /** MinHash permutation i of a shingle: md5 of the seeded shingle; the
-    * K "permutations" are K independent seeds, min taken lexicographically
-    * over hex strings (identical in DuckDB). */
+  /** MinHash permutation i of a shingle: 8-hex-char slice i of ONE md5 of
+    * the shingle (md5's 128 bits give four independent 32-bit slices —
+    * one hash invocation instead of K seeded ones). Min is taken
+    * lexicographically over the hex slices, identical in DuckDB. */
   def permHash(i: Int, shingle: Column): Column =
-    md5(concat(lit(s"$i:"), shingle).cast("binary"))
+    substring(md5(shingle.cast("binary")), 8 * i + 1, 8)
 
   /** SimHash ±1 weight for bit `b` of a token: parity of hex digit `b` of
     * the token's md5 (odd hex digits have their low bit set). SUM of these

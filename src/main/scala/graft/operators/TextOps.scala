@@ -86,18 +86,19 @@ object TextOps {
 
   /** §2-34 `q_fingerprint`: winnowing-style document fingerprint — the
     * minimum md5 over char 16-gram shingles (the min-hash member of the
-    * winnowing window family), plus the shingle count. Explode → per-doc
-    * min: partial-agg keeps the shuffle at one row per doc. */
+    * winnowing window family), plus the shingle count. Computed entirely
+    * row-level (`transform` + `array_min` over the position array): no
+    * explode, no shuffle — a pure map over the corpus. */
   def fingerprint(documents: DataFrame): DataFrame =
     documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
       .filter(length(TextFuns.norm(col("text"))) >= 16)
+      .select(col("doc_id"), TextFuns.norm(col("text")).as("t"))
       .select(col("doc_id"),
-        explode(TextFuns.shinglePositions(col("text"), 16)).as("pos"),
-        TextFuns.norm(col("text")).as("t"))
-      .select(col("doc_id"),
-        md5(expr("substring(t, pos + 1, 16)").cast("binary")).as("h"))
-      .groupBy("doc_id")
-      .agg(min(col("h")).as("fingerprint"), count(lit(1)).as("n_shingles"))
+        array_min(expr(
+          "transform(sequence(0, length(t) - 16), " +
+            "p -> md5(cast(substring(t, p + 1, 16) as binary)))")).as("fingerprint"),
+        (length(col("t")) - 15).cast("long").as("n_shingles"))
       .orderBy("doc_id")
 
   private val normSql = "lower(trim(text))"
