@@ -24,13 +24,21 @@ object EventOps {
     * find_pedri_matches_in_events.py presence scan). Filter + projection
     * both reach the parquet reader (PushedFilters / ReadSchema). */
   def eventScan(events: DataFrame, userId: Long = 42L,
-                eventType: String = "click"): DataFrame =
+                eventType: String = "click"): DataFrame = {
+    // time band expressed on the RAW stored nano column (ts_ns) so the
+    // range predicate reaches the parquet reader (PushedFilters) —
+    // micro-truncated ts >= T ⟺ ts_ns >= T·1000 exactly, since the
+    // bounds are whole microseconds.
+    def utcNs(s: String): Long = java.time.LocalDateTime.parse(s)
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    val loNs = utcNs("2024-01-10T00:00:00")
+    val hiNs = utcNs("2024-01-25T00:00:00")
     events
       .filter(col("user_id") === userId && col("event_type") === eventType &&
-        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
-        col("ts") < lit("2024-01-25 00:00:00").cast("timestamp"))
+        col("ts_ns") >= loNs && col("ts_ns") < hiNs)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       .orderBy("event_id")
+  }
 
   /** §2-2 `q_match_stats`: per-(user, day) conditional aggregation — the
     * compute_stats_for_match shape: ~N counters + sums + ratios in ONE

@@ -31,10 +31,15 @@ object Tables {
     * truncates ns→us the same way, so both engines see identical
     * timestamps. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      // keep the RAW nano column: predicates on `ts_ns` are plain long
+      // comparisons on a stored column, so they push down to the parquet
+      // scan (row-group/page skipping) — predicates on the derived
+      // timestamp cannot. Operators with time-range filters use ts_ns.
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Physical-plan audits (SURVEY.md §5): the scale properties are part of
+  * the contract, so they are asserted, not just eyeballed. If a refactor
+  * turns a broadcast into a shuffle join or un-pushes a filter, these fail.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = {
+    // other specs may have cached identical subtrees; audit the real plan
+    spark.catalog.clearCache()
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("q_event_scan: equality AND time-range predicates reach the parquet scan") {
+    val p = plan(EventOps.eventScan(Tables.events(spark, sfDir)))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("EqualTo(user_id,42)"), p)
+    assert(p.contains("EqualTo(event_type,click)"), p)
+    // Catalyst rewrites ts_ns back to the stored column `ts` (raw nanos)
+    assert(p.contains("GreaterThanOrEqual(ts,"), p)
+    assert(p.contains("LessThan(ts,"), p)
+  }
+
+  test("q_event_scan: scan reads only the projected columns") {
+    val p = plan(EventOps.eventScan(Tables.events(spark, sfDir)))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("props"), readSchema) // unused column pruned
+  }
+
+  test("q_revenue_nation: all three dims broadcast, no shuffle join") {
+    val p = plan(Relational.revenueByNation(
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("top-N queries compile to TakeOrderedAndProject (no global sort)") {
+    val topn = plan(StatsOps.topN(Tables.events(spark, sfDir)))
+    assert(topn.contains("TakeOrderedAndProject"), topn)
+    val topc = plan(Relational.topCustomers(Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir)))
+    assert(topc.contains("TakeOrderedAndProject"), topc)
+    val ann = plan(AnnOps.annTopK(Tables.embeddings(spark, sfDir)))
+    assert(ann.contains("TakeOrderedAndProject"), ann)
+  }
+
+  /** Count Exchange operators from the detail section (`(n) Exchange`). */
+  private def exchangeCount(p: String): Int =
+    p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+
+  test("q_match_stats: exactly one shuffle (partial agg map-side)") {
+    val p = plan(EventOps.matchStats(Tables.events(spark, sfDir)))
+    // one Exchange for the groupBy, one for the final orderBy — no more
+    assert(exchangeCount(p) <= 2, s"${exchangeCount(p)} exchanges:\n$p")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q_pitch_geometry: pure row-level — no Exchange except the output sort") {
+    val p = plan(GeometryOps.pitchGeometry(Tables.events(spark, sfDir)))
+    assert(exchangeCount(p) <= 1, s"plan had ${exchangeCount(p)} Exchanges:\n$p")
+  }
+
+  test("native float_dot appears in the ANN plan (not a HOF fallback)") {
+    graft.plans.GraftFunctions.register(spark)
+    val p = plan(AnnOps.annTopK(Tables.embeddings(spark, sfDir)))
+    assert(p.contains("float_dot"), p)
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
+
+  test("q_dedup_minhash signature stage has no explode (row-level transform)") {
+    val p = plan(DedupOps.dedupMinhash(Tables.documents(spark, sfDir)))
+    // one explode exists for band keys only; the shingle stage must not
+    // blow rows up (band explode emits Bands=2 rows per doc)
+    val generates = p.linesIterator.count(_.trim.startsWith("Generate"))
+    assert(generates <= 2, s"$generates Generate nodes:\n$p")
+  }
+}
