@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference pipeline end-to-end on StatsBomb-SHAPED data.
+  *
+  * `graft.sources.EventsJsonSource.flatten` output is the input contract
+  * here — a user of the reference pipeline points [[matchStats]] at their
+  * own event JSON and gets the per-match stat table the reference's
+  * `compute_stats_for_match` produces (reference:
+  * core/pedri_analysis.py:231-299), computed as one distributed
+  * aggregation instead of a per-file Python loop.
+  *
+  * The generic operators (EventOps/StatsOps/...) carry the oracle-verified
+  * semantics on the synthetic tables; this object binds the same shapes to
+  * the real StatsBomb schema (spec-tested — the synthetic corpus has no
+  * StatsBomb files).
+  */
+object StatsBombOps {
+
+  /** reference core/pedri_analysis.py:154-162 — progressive pass:
+    * dx ≥ 10 ∧ dx > |dy| on the real pitch coordinates. */
+  private def progressive = (col("x2") - col("x") >= 10.0) &&
+    (col("x2") - col("x") > abs(col("y2") - col("y")))
+
+  /** Per-(player, match) stat table — the reference's ~20 counters/ratios
+    * in ONE aggregation pass over the flattened events. */
+  def matchStats(flat: DataFrame): DataFrame =
+    flat
+      .groupBy(col("player_id"), col("match_file"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "Pass", 1)).as("total_pass"),
+        count(when(col("completed_pass"), 1)).as("comp_pass"),
+        count(when(col("key_pass"), 1)).as("key_passes"),
+        count(when(col("event_type") === "Pass" && progressive, 1)).as("prog_pass"),
+        count(when(col("event_type") === "Carry" && progressive, 1)).as("prog_carries"),
+        count(when(col("event_type") === "Shot", 1)).as("shots"),
+        sum(when(col("event_type") === "Shot", col("xg")).otherwise(0.0)).as("total_xg"),
+        count(when(col("event_type") === "Pressure", 1)).as("pressures"),
+        count(when(col("event_type") === "Ball Recovery", 1)).as("recoveries"),
+        count(when(col("event_type") === "Dispossessed", 1)).as("dispossessed"),
+        min(col("t_sec")).as("first_sec"),
+        max(col("t_sec")).as("last_sec"))
+      .withColumn("pass_pct",
+        when(col("total_pass") > 0, col("comp_pass") * 100.0 / col("total_pass")))
+      // reference core/pedri_analysis.py:201-218: minutes from the event
+      // span, clamped to [10, 95] (substitution handling in [[minutesPlayed]])
+      .withColumn("minutes_est",
+        greatest(lit(10.0), least(lit(95.0),
+          (col("last_sec") - col("first_sec")) / 60.0)))
+      .withColumn("passes_per90", col("total_pass") * 90.0 / col("minutes_est"))
+      .withColumn("xg_per90", col("total_xg") * 90.0 / col("minutes_est"))
+
+  /** reference core/pedri_analysis.py:201-218 — minutes played with the
+    * substitution window: if the player was substituted OFF, minutes run
+    * to the substitution; else to the match's last event (clamped).
+    * One join against the (tiny, broadcast) substitution events. */
+  def minutesPlayed(flat: DataFrame, playerId: Long): DataFrame = {
+    val matchEnd = flat.groupBy(col("match_file").as("m"))
+      .agg(max(col("t_sec")).as("match_end_sec"))
+    val subbedOff = flat
+      .filter(col("event_type") === "Substitution" &&
+        col("player_id") === playerId)
+      .select(col("match_file").as("m2"), col("t_sec").as("sub_off_sec"))
+    flat.filter(col("player_id") === playerId)
+      .groupBy(col("match_file"))
+      .agg(min(col("t_sec")).as("first_sec"))
+      .join(broadcast(matchEnd), col("match_file") === col("m"))
+      .join(broadcast(subbedOff), col("match_file") === col("m2"), "left")
+      .select(col("match_file"),
+        (greatest(lit(10.0), least(lit(95.0),
+          (coalesce(col("sub_off_sec"), col("match_end_sec")) - col("first_sec"))
+            / 60.0))).as("minutes"))
+  }
+
+  /** reference extended.py:245-253 — xA: join each shot to the pass that
+    * assisted it (`shot.key_pass_id` → pass event id) and credit the
+    * passer with the shot's xG. Equi-join on the event id — broadcast the
+    * (small) shot side per match at scale. */
+  def xA(flat: DataFrame): DataFrame = {
+    val shots = flat.filter(col("key_pass_id").isNotNull)
+      .select(col("key_pass_id"), col("xg"))
+    val passes = flat.filter(col("event_type") === "Pass")
+      .select(col("event_id"), col("player_id"), col("match_file"))
+    passes.join(shots, passes("event_id") === shots("key_pass_id"))
+      .groupBy(col("player_id"), col("match_file"))
+      .agg(count(lit(1)).as("n_assisted_shots"), sum(col("xg")).as("xa"))
+  }
+
+  /** reference pedri_profile.py — position frequency per player
+    * (`Counter.most_common`): full ranked table, ready for top-1 or top-k. */
+  def positionFrequency(flat: DataFrame): DataFrame =
+    flat.filter(col("position").isNotNull)
+      .groupBy(col("player_id"), col("position"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("player_id").orderBy(col("n").desc, col("position").asc)))
+}
