@@ -17,6 +17,18 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Persist a fact table bucketed (and sorted) by its join key.
+    *
+    * Two tables bucketed by the same key into the same bucket count join
+    * with NO Exchange (and no Sort if sortBy matches) — at 100 TB this is
+    * the difference between re-shuffling the fact table per query and
+    * paying the shuffle once at ingest. See `BucketedJoinSpec` for the
+    * asserted plan. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 32): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")

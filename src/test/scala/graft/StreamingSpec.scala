@@ -23,6 +23,15 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamedShape).count() == 0)
   }
 
+  test("windowedCounts sliding variant emits overlapping windows") {
+    val events = Tables.events(spark, sfDir)
+    val slid = EventStream.windowedCounts(events,
+      windowLen = "2 hours", slide = Some("1 hour"))
+    // every event lands in exactly 2 overlapping windows
+    val total = slid.agg(sum(col("n"))).collect().head.getLong(0)
+    assert(total == 2 * events.count())
+  }
+
   test("windowedCounts runs as a real stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
