@@ -133,6 +133,21 @@ object EventOps {
       .withColumn("attacks_right", col("n_right") > col("n_left"))
       .orderBy("user_id")
 
+  /** Approximate twin of [[summary]] for the 100 TB path.
+    *
+    * Exact `countDistinct` rewrites into an Expand + extra shuffle of the
+    * distinct values — at 100 TB that is the query's whole cost. HLL-based
+    * `approx_count_distinct` keeps the rollup a SINGLE partial-aggregated
+    * pass (±~2.3% default error), which is the right trade for monitoring
+    * rollups. No DuckDB oracle (approximate by design) — spec-tested
+    * against the exact version instead. */
+  def summaryApprox(events: DataFrame): DataFrame =
+    events.agg(
+      count(lit(1)).as("n_events"),
+      approx_count_distinct(col("user_id")).as("n_users_approx"),
+      approx_count_distinct(EventCols.day).as("n_days_approx"),
+      sum(col("value").cast(d18)).cast("double").as("sum_value"))
+
   /** §2-23 `q_tumbling`: tumbling 1-hour window counts — the batch twin of
     * the streaming path (reference extended.py:475-517 per-match trend
     * series; here per-hour). Window start is a row-level date_trunc, then

@@ -79,6 +79,19 @@ object StatsOps {
       .orderBy("user_id", "day")
   }
 
+  /** Approximate twin of [[percentile]] for the 100 TB path: global
+    * quantiles of a metric via `approx_percentile` (t-digest-style sketch)
+    * — one partial-aggregated pass, no sort, no window, mergeable across
+    * partitions. The exact `cume_dist` version ranks WITHIN an entity
+    * (small frames); this one answers "where does a value sit in the
+    * whole-population distribution" without materializing it. */
+  def percentileApprox(events: DataFrame,
+                       qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    events.agg(
+      percentile_approx(col("value"),
+        array(qs.map(lit(_)): _*), lit(10000)).as("value_quantiles"),
+      count(lit(1)).as("n"))
+
   /** §2-16 `q_position_counts`: most-common value per entity (mode;
     * reference core/pedri_profile.py `Counter.most_common` over positions).
     * Count-agg then a row_number over the tiny (entity × type) frame. */

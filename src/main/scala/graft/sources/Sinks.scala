@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Output-layout helpers — the write side of the 100 TB contract.
+  *
+  * The reference pipeline writes per-match CSVs from a driver loop; at
+  * scale the equivalents are (a) a date-partitioned columnar layout that
+  * later scans can partition-prune, and (b) bucketed fact tables
+  * ([[Tables.writeBucketed]]) that later joins need not shuffle.
+  */
+object Sinks {
+
+  /** Write events partitioned by day: `path/day=YYYY-MM-DD/part-*.parquet`.
+    *
+    * Day is derived once at write time; readers filtering on `day` prune
+    * whole directories before any IO (PartitionFilters, asserted in
+    * `SinksSpec`). `maxRecordsPerFile` bounds file sizes so a hot day
+    * still splits across executors. */
+  def writePartitionedByDay(events: DataFrame, path: String,
+                            maxRecordsPerFile: Long = 5000000L): Unit =
+    events
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("day")
+      .parquet(path)
+
+  /** Read back a day-partitioned event layout. */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
