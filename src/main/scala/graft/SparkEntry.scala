@@ -51,6 +51,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => DedupOps.dedupExact(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => DedupOps.dedupMinhash(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => DedupOps.dedupSimhash(Tables.documents(s, dir))),
+    "q_dedup_simhash_pairs" -> ((s, dir) => DedupOps.dedupSimhashPairs(Tables.documents(s, dir))),
     "q_dedup_ngram" -> ((s, dir) => DedupOps.dedupNgram(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => DedupOps.dedupEmbedding(Tables.embeddings(s, dir))),
     // --- ANN (§2 rows 29-30) ---

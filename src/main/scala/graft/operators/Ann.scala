@@ -56,6 +56,48 @@ object AnnOps {
       .limit(k)
   }
 
+  /** IVF-style ANN (the other classic scale path next to sign-LSH):
+    * centroid per inverted-list (here the `label` partition stands in for
+    * k-means cells), probe the `nProbe` nearest lists, search only those.
+    *
+    * Centroids are computed distributively (posexplode → per-(list, dim)
+    * avg → re-assembled in dim order) — never collected to the driver; the
+    * probed-list set IS broadcast (it's nProbe rows). At 100 TB the list id
+    * is the partition key, so a query touches nProbe/nLists of the data.
+    * Spec-tested (no DuckDB oracle: centroid averaging is float-order
+    * sensitive; the RESULT contract — hits come only from probed lists,
+    * recall vs brute force — is asserted instead). */
+  def annIvf(embeddings: DataFrame, queryId: Long = 0L, k: Int = 5,
+             nProbe: Int = 2): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val centroids = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i"))
+      .agg(avg(col("v")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c").cast("float")).as("centroid"))
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"),
+        VectorFuns.l2normNative(col("embedding")).as("q_nrm"))
+    val probed = centroids.join(broadcast(q))
+      .select(col("label"),
+        (VectorFuns.dotNative(col("centroid"), col("q_emb")) /
+          (VectorFuns.l2normNative(col("centroid")) * col("q_nrm"))).as("c_score"))
+      .orderBy(col("c_score").desc, col("label").asc)
+      .limit(nProbe)
+      .select(col("label"))
+    embeddings
+      .join(broadcast(probed), "label")
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        VectorFuns.cosine6Pre(col("embedding"), col("q_emb"),
+          VectorFuns.l2normNative(col("embedding")), col("q_nrm")).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   val oracles: Map[String, String] = Map(
     "q_ann_topk" ->
       s"""SELECT e.vec_id, e.label,

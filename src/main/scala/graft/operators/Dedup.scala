@@ -94,6 +94,31 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** §2-26b `q_dedup_simhash_pairs`: near-dup pairs by SimHash Hamming
+    * distance ≤ 3, found WITHOUT an n² comparison via pigeonhole blocking:
+    * split the 16-bit fingerprint into 4 nibbles — any pair within
+    * Hamming 3 agrees exactly on ≥ 1 nibble (pigeonhole), so blocking on
+    * (nibble index, nibble value) finds every such pair; an exact
+    * `bit_count(xor)` then verifies. The DuckDB oracle does the plain
+    * quadratic join — same RESULT, different (scale-ready) plan. */
+  def dedupSimhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = dedupSimhash(documents) // (doc_id, simhash)
+    val blocks = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(nib => struct(lit(nib).as("nib"),
+        shiftright(col("simhash"), 4 * nib).bitwiseAND(0xfL).as("v"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.nib").as("nib"), col("b.v").as("v"))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.nib") === col("b.nib") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** §2-27 `q_dedup_ngram`: verified near-dup pairs by token-3-gram
     * Jaccard ≥ 0.5, candidate generation via inverted-index join on shared
     * shingles (blocking) — the join only ever touches docs that actually
@@ -186,6 +211,25 @@ object DedupOps {
          |SELECT doc_id, CAST($pack AS BIGINT) AS simhash
          |FROM w
          |ORDER BY doc_id""".stripMargin
+    },
+    "q_dedup_simhash_pairs" -> {
+      val sums = (0 until 16).map(b =>
+        s"SUM(CASE WHEN strpos('13579bdf', substr(md5(tok), ${b + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n  ")
+      val pack = (0 until 16).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents
+         |), w AS (
+         |  SELECT doc_id, $sums FROM toks GROUP BY doc_id
+         |), f AS (
+         |  SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM w
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
     "q_dedup_ngram" ->
       s"""WITH toks AS (

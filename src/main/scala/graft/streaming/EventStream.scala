@@ -101,4 +101,22 @@ object EventStream {
   private def emit(userId: Long, s: SessionState): Session =
     Session(userId, new Timestamp(s.startUs / 1000L),
       new Timestamp(s.lastUs / 1000L), s.n, (s.lastUs - s.startUs) / 1e6)
+
+  /** §2-C streaming twin of `SessionOps.windowAfter`: stream-stream
+    * interval join — for each type-A event, the type-B events of the same
+    * user within `band` after it. Watermarks on BOTH sides bound the join
+    * state (Spark drops buffered rows once the watermark passes the
+    * interval), which is what keeps an unbounded self-correlation feasible
+    * — state is O(events in the band window), not O(stream). Append mode. */
+  def windowAfterStream(typeA: DataFrame, typeB: DataFrame,
+                        band: String = "6 hours",
+                        watermark: String = "2 hours"): DataFrame = {
+    val a = typeA.withWatermark("ts", watermark)
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"))
+    val b = typeB.withWatermark("ts", watermark)
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    a.join(b, expr(
+      s"a_user = b_user AND b_ts > a_ts AND b_ts <= a_ts + interval $band"))
+  }
 }

@@ -63,6 +63,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(buckets.size <= 1)
   }
 
+  test("dedupSimhashPairs: pigeonhole blocking finds exactly the Hamming<=3 pairs") {
+    val fps = DedupOps.dedupSimhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      (a, fa) <- fps.toSeq; (b, fb) <- fps.toSeq if a < b
+      if java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (a, b)).toSet
+    val got = DedupOps.dedupSimhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("annIvf: hits come from probed lists and overlap brute-force top-k") {
+    val ivf = AnnOps.annIvf(embs, k = 5, nProbe = 10) // all lists probed
+    val brute = AnnOps.annTopK(embs, k = 5)
+    // with every list probed, IVF must equal brute force exactly
+    assert(ivf.collect().map(_.getLong(0)).toSeq ==
+      brute.limit(5).collect().map(_.getLong(0)).toSeq)
+    val narrow = AnnOps.annIvf(embs, k = 5, nProbe = 2).collect()
+    assert(narrow.nonEmpty && narrow.forall(_.getLong(0) != 0L))
+  }
+
   test("langId: prediction is one of the marker languages") {
     val langs = TextOps.Markers.map(_._1).toSet
     val df = TextOps.langId(docs).cache()

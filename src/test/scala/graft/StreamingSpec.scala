@@ -79,6 +79,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowAfterStream: stream-stream interval join matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val errs = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val errDf = errs.toDF().withColumn("event_id", col("value").cast("long"))
+    val q = EventStream.windowAfterStream(errDf, views.toDF())
+      .writeStream.format("memory").queryName("wa").outputMode("append").start()
+    try {
+      errs.addData(Event(new Timestamp(base), 1L, "error", 100.0))
+      views.addData(
+        Event(new Timestamp(base + 3600000), 1L, "view", 1.0),   // +1h: in band
+        Event(new Timestamp(base + 7 * 3600000), 1L, "view", 2.0), // +7h: out
+        Event(new Timestamp(base + 3600000), 2L, "view", 3.0))   // other user
+      q.processAllAvailable()
+      val rows = spark.table("wa").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("a_user") == 1L)
+    } finally q.stop()
+  }
+
   test("EventsJsonSource reads and flattens StatsBomb-shaped nested JSON") {
     val dir = Files.createTempDirectory("graft_json").toFile
     val json =
