@@ -78,34 +78,43 @@ object DedupOps {
     * (exact ±1 integer sums); the fingerprint is then a row-level bit
     * pack. Fingerprint equality (or Hamming distance via xor) groups
     * near-dups — here we emit the per-doc fingerprint. */
-  def dedupSimhash(documents: DataFrame): DataFrame = {
+  def dedupSimhash(documents: DataFrame): DataFrame =
+    simhashFingerprints(documents, bits = 16).orderBy("doc_id")
+
+  /** Width-parameterized SimHash (md5's 32 hex digits give up to 32 bit
+    * parities). 16 bits for the §2-26 fingerprint; 32 for pair mining,
+    * where a denser space would drown the blocking join in false
+    * candidates. */
+  def simhashFingerprints(documents: DataFrame, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 32, s"bits=$bits out of md5 hex range")
     val toks = spread(documents).select(col("doc_id"),
       explode(TextFuns.tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
-    val sumExprs = (0 until 16).map(b =>
+    val sumExprs = (0 until bits).map(b =>
       sum(TextFuns.simhashWeight(col("h"), b)).as(s"s$b"))
     val weights = toks.groupBy(col("doc_id"))
       .agg(sumExprs.head, sumExprs.tail: _*)
     weights
       .select(col("doc_id"),
-        (0 until 16).map(b =>
+        (0 until bits).map(b =>
           when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
-      .orderBy("doc_id")
   }
 
   /** §2-26b `q_dedup_simhash_pairs`: near-dup pairs by SimHash Hamming
-    * distance ≤ 3, found WITHOUT an n² comparison via pigeonhole blocking:
-    * split the 16-bit fingerprint into 4 nibbles — any pair within
-    * Hamming 3 agrees exactly on ≥ 1 nibble (pigeonhole), so blocking on
-    * (nibble index, nibble value) finds every such pair; an exact
+    * distance ≤ 3 over a 32-BIT fingerprint (16 bits is too clumpy on a
+    * shared-vocabulary corpus — ~19% of random pairs landed within 3
+    * bits; at 32 bits only truly similar docs do), found WITHOUT an n²
+    * comparison via pigeonhole blocking: split the fingerprint into 4
+    * bytes — any pair within Hamming 3 agrees exactly on ≥ 1 byte, so
+    * blocking on (byte index, byte value) finds every such pair; an exact
     * `bit_count(xor)` then verifies. The DuckDB oracle does the plain
     * quadratic join — same RESULT, different (scale-ready) plan. */
   def dedupSimhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = dedupSimhash(documents) // (doc_id, simhash)
+    val fp = simhashFingerprints(documents, bits = 32)
     val blocks = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(nib => struct(lit(nib).as("nib"),
-        shiftright(col("simhash"), 4 * nib).bitwiseAND(0xfL).as("v"))): _*)).as("b"))
+        shiftright(col("simhash"), 8 * nib).bitwiseAND(0xffL).as("v"))): _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.nib").as("nib"), col("b.v").as("v"))
     blocks.as("a")
@@ -213,10 +222,10 @@ object DedupOps {
          |ORDER BY doc_id""".stripMargin
     },
     "q_dedup_simhash_pairs" -> {
-      val sums = (0 until 16).map(b =>
+      val sums = (0 until 32).map(b =>
         s"SUM(CASE WHEN strpos('13579bdf', substr(md5(tok), ${b + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS s$b")
         .mkString(",\n  ")
-      val pack = (0 until 16).map(b =>
+      val pack = (0 until 32).map(b =>
         s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents

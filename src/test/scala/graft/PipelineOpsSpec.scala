@@ -64,7 +64,7 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("dedupSimhashPairs: pigeonhole blocking finds exactly the Hamming<=3 pairs") {
-    val fps = DedupOps.dedupSimhash(docs).collect()
+    val fps = DedupOps.simhashFingerprints(docs, bits = 32).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = (for {
       (a, fa) <- fps.toSeq; (b, fb) <- fps.toSeq if a < b
