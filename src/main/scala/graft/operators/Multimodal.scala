@@ -71,6 +71,28 @@ object MultimodalOps {
     Array.tabulate(dim)(i =>
       if (bytes.isEmpty) 0f else (bytes(i % bytes.length) & 0xff) / 256f)
 
+  /** §2-C frame sampling as a DECLARATIVE plan: split the binary payload
+    * into fixed-size frames and keep every `everyNth` — `substring` works
+    * on BinaryType, so the whole thing is a codegen'd row-level
+    * transform + explode, no UDF and no decode. This is the video
+    * pattern: frame boundaries are byte-offset arithmetic (real codecs
+    * index frames the same way via a keyframe table), decode happens
+    * AFTER sampling, on 1/everyNth of the bytes. */
+  def frameSample(withPayload: DataFrame, frameBytes: Int = 32,
+                  everyNth: Int = 4): DataFrame =
+    withPayload
+      .select(col("doc_id"), col("payload"),
+        floor(octet_length(col("payload")) / frameBytes).as("n_frames"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(filter(sequence(0, int(n_frames) - 1), " +
+            s"i -> i % $everyNth = 0), " +
+            s"i -> struct(i as frame_idx, " +
+            s"substring(payload, i * $frameBytes + 1, $frameBytes) as frame))"))
+          .as("f"))
+      .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+        col("f.frame").as("frame"))
+
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -109,6 +109,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("frameSample keeps every Nth fixed-size frame, declaratively") {
+    val withPayload = docs.withColumn("payload", col("text").cast("binary"))
+    val frames = MultimodalOps.frameSample(withPayload,
+      frameBytes = 32, everyNth = 4).cache()
+    assert(frames.count() > 0)
+    assert(frames.filter(col("frame_idx") % 4 =!= 0).count() == 0)
+    assert(frames.filter(org.apache.spark.sql.functions
+      .octet_length(col("frame")) =!= 32).count() == 0)
+    // no Generate beyond the single frame explode, no shuffle at all
+    val p = frames.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("multimodalMeta + decodeBatches plumbing round-trips") {
     val meta = MultimodalOps.multimodalMeta(docs)
     assert(meta.count() == docs.count())
