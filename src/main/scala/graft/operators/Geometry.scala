@@ -36,7 +36,11 @@ object GeometryOps {
     EventCols.withGeometry(events.filter(col("event_type") === "click"))
       .filter(EventCols.isProgressive)
       .select(col("event_id"), col("user_id"),
-        col("x"), col("y"), col("x2"), col("y2"))
+        col("x"), col("y"), col("x2"), col("y2"),
+        // segment length (reference extended.py:74-80 distance,
+        // 180-185 carry_distance); sqrt of identical doubles — exact
+        sqrt((col("x2") - col("x")) * (col("x2") - col("x")) +
+          (col("y2") - col("y")) * (col("y2") - col("y"))).as("dist"))
       .orderBy("event_id")
 
   /** §2-18 `q_receptions`: recipient-perspective aggregation (reference
@@ -67,7 +71,8 @@ object GeometryOps {
          |ORDER BY event_id""".stripMargin,
     "q_pass_segments" ->
       s"""${S.geo("click")}
-         |SELECT event_id, user_id, x, y, x2, y2
+         |SELECT event_id, user_id, x, y, x2, y2,
+         |  sqrt((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y)) AS dist
          |FROM g
          |WHERE ${S.isProgressive}
          |ORDER BY event_id""".stripMargin,

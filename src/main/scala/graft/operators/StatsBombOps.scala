@@ -54,6 +54,42 @@ object StatsBombOps {
       .withColumn("passes_per90", col("total_pass") * 90.0 / col("minutes_est"))
       .withColumn("xg_per90", col("total_xg") * 90.0 / col("minutes_est"))
 
+  /** reference extended.py:89-107 + 82-87 — normalize coordinates so every
+    * team attacks left→right in every half.
+    *
+    * Direction is inferred per (team, match, period) group from the
+    * majority sign of Δx over completed passes (the distributed,
+    * float-order-free version of "sign of mean Δx"), broadcast back, and
+    * the pitch is flipped (x → 120−x, y → 80−y) where a team attacks
+    * left. All downstream geometry (progressive, final third, pen area)
+    * then works on adjusted coordinates — exactly the reference's
+    * `toward_goal_delta` contract, computed once per match instead of per
+    * event. */
+  def withAttackDirection(flat: DataFrame): DataFrame = {
+    val dir = flat
+      .filter(col("completed_pass") && col("period") === 1)
+      .groupBy(col("team_id").as("d_team"), col("match_file").as("d_match"))
+      .agg((count(when(col("x2") > col("x"), 1)) >
+        count(when(col("x2") < col("x"), 1))).as("attacks_right_p1"))
+    def flip(c: String, max: Double, attacksRight: org.apache.spark.sql.Column) =
+      when(attacksRight, col(c)).otherwise(lit(max) - col(c))
+    flat
+      .join(broadcast(dir),
+        col("team_id") === col("d_team") && col("match_file") === col("d_match"),
+        "left")
+      .withColumn("attacks_right",
+        // teams swap ends at half time
+        when(col("period") % 2 === 1, coalesce(col("attacks_right_p1"), lit(true)))
+          .otherwise(!coalesce(col("attacks_right_p1"), lit(true))))
+      .withColumn("xa_", flip("x", 120.0, col("attacks_right")))
+      .withColumn("ya_", flip("y", 80.0, col("attacks_right")))
+      .withColumn("x2a_", flip("x2", 120.0, col("attacks_right")))
+      .withColumn("y2a_", flip("y2", 80.0, col("attacks_right")))
+      .drop("d_team", "d_match", "attacks_right_p1", "x", "y", "x2", "y2")
+      .withColumnRenamed("xa_", "x").withColumnRenamed("ya_", "y")
+      .withColumnRenamed("x2a_", "x2").withColumnRenamed("y2a_", "y2")
+  }
+
   /** reference core/pedri_analysis.py:201-218 — minutes played with the
     * substitution window: if the player was substituted OFF, minutes run
     * to the substitution; else to the match's last event (clamped).

@@ -81,6 +81,20 @@ class StatsBombOpsSpec extends SparkSpec {
     assert(xa.head.getAs[Double]("xa") == 0.4)
   }
 
+  test("withAttackDirection flips the pitch for left-attacking halves") {
+    val adjusted = StatsBombOps.withAttackDirection(flat)
+    // m1: first-half completed pass p1 goes +x → attacks right in p1,
+    // so p1's coordinates are unchanged...
+    val p1 = adjusted.filter(col("event_id") === "p1").head()
+    assert(p1.getAs[Double]("x") == 40.0 && p1.getAs[Double]("x2") == 60.0)
+    assert(p1.getAs[Boolean]("attacks_right"))
+    // ...and the second-half shot s1 is flipped (team swaps ends)
+    val s1 = adjusted.filter(col("event_id") === "s1").head()
+    assert(!s1.getAs[Boolean]("attacks_right"))
+    assert(s1.getAs[Double]("x") == 10.0) // 120 - 110
+    assert(s1.getAs[Double]("y") == 40.0) // 80 - 40
+  }
+
   test("positionFrequency ranks positions per player") {
     val top = StatsBombOps.positionFrequency(flat)
       .filter(col("player_id") === 30486L && col("rank") === 1).collect()
