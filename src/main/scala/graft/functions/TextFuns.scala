@@ -4,14 +4,17 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-pipeline building blocks (SURVEY.md §2-B): normalization, tokens,
-  * character shingles, and hash fingerprints.
+  * and hash-parity weights.
   *
   * Everything is built from `org.apache.spark.sql.functions` + higher-order
   * array functions — codegen'd row-level expressions, no UDFs. Hashes are
   * md5 hex strings in BOTH engines (Spark md5 and DuckDB md5 produce the
   * same lowercase hex for the same bytes), and "minimum hash" means the
   * lexicographic minimum of those hex strings — deterministic and
-  * engine-portable, no integer-conversion games.
+  * engine-portable, no integer-conversion games. The char-shingle hash
+  * arrays themselves are inlined in `DedupOps.dedupMinhash` /
+  * `TextOps.fingerprint` (transform over a position sequence — dynamic
+  * substring start needs the SQL expression form).
   */
 object TextFuns {
 
@@ -20,19 +23,6 @@ object TextFuns {
 
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(norm(text), " ")
-
-  /** 0-based start positions of all char q-grams: 0 .. len-q. Callers must
-    * pre-filter length >= q — Spark's `sequence(1, 0)` counts DOWN instead
-    * of producing an empty array. */
-  def shinglePositions(text: Column, q: Int): Column =
-    sequence(lit(0), length(norm(text)) - q)
-
-  /** MinHash permutation i of a shingle: 8-hex-char slice i of ONE md5 of
-    * the shingle (md5's 128 bits give four independent 32-bit slices —
-    * one hash invocation instead of K seeded ones). Min is taken
-    * lexicographically over the hex slices, identical in DuckDB. */
-  def permHash(i: Int, shingle: Column): Column =
-    substring(md5(shingle.cast("binary")), 8 * i + 1, 8)
 
   /** SimHash ±1 weight for bit `b` of a token: parity of hex digit `b` of
     * the token's md5 (odd hex digits have their low bit set). SUM of these
