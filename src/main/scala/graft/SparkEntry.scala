@@ -63,7 +63,14 @@ object SparkEntry {
     "q_tokens" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 row 35) ---
-    "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir)))
+    "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
+    // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---
+    "q_summary_approx" -> ((s, dir) => EventOps.summaryApprox(Tables.events(s, dir))),
+    "q_percentile_approx" -> ((s, dir) => StatsOps.percentileApprox(Tables.events(s, dir))),
+    "q_ann_ivf" -> ((s, dir) => AnnOps.annIvf(Tables.embeddings(s, dir))),
+    "q_frame_sample" -> ((s, dir) => MultimodalOps.frameSample(
+      Tables.documents(s, dir).withColumn(
+        "payload", org.apache.spark.sql.functions.col("text").cast("binary"))))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -102,6 +102,16 @@ object EventStream {
     Session(userId, new Timestamp(s.startUs / 1000L),
       new Timestamp(s.lastUs / 1000L), s.n, (s.lastUs - s.startUs) / 1e6)
 
+  /** §2-C streaming exactly-once dedup: drop duplicate event ids within
+    * the watermark horizon — the streaming twin of `q_dedup_exact` for an
+    * at-least-once ingest (Kafka replays, task retries). State is bounded
+    * by the watermark: ids older than it are evicted, which is the only
+    * way unbounded-stream dedup stays O(window). */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** §2-C streaming twin of `SessionOps.windowAfter`: stream-stream
     * interval join — for each type-A event, the type-B events of the same
     * user within `band` after it. Watermarks on BOTH sides bound the join

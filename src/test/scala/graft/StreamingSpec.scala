@@ -79,6 +79,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops replayed event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val input = MemoryStream[Event]
+    val withId = input.toDF().withColumn("event_id", col("value").cast("long"))
+    val q = EventStream.dedupStream(withId)
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        Event(new Timestamp(base), 1L, "click", 7.0),
+        Event(new Timestamp(base + 1000), 1L, "click", 7.0), // replayed id 7
+        Event(new Timestamp(base + 2000), 2L, "view", 8.0))
+      q.processAllAvailable()
+      input.addData(Event(new Timestamp(base + 3000), 1L, "click", 7.0)) // replay again
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
   test("windowAfterStream: stream-stream interval join matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
