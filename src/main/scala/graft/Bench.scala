@@ -23,25 +23,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String, dir: String): Double = {
+    // None = the query failed; failures are reported, never summed or
+    // min()'d against a successful pass (a -1 sentinel would both win the
+    // best-of-2 min and silently shrink the total).
+    def run(name: String, dir: String): Option[Double] = {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
     }
+    def best(a: Option[Double], b: Option[Double]): Option[Double] =
+      (a.toList ::: b.toList).minOption
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(run(_, "/root/testdata/sf0.001")) // warmup
     // best-of-2: JIT noise on the first timed pass is real but not the
     // steady-state throughput the number is meant to represent
     val pass1 = names.map(n => n -> run(n, sfDir)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), run(n, sfDir)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = names.map(n => n -> best(pass1(n), run(n, sfDir)))
+    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None) => k }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,7 +52,9 @@ object EventCols {
   def isProgressive: Column =
     (col("dx") >= 10.0) && (col("dx") > col("dy"))
 
-  /** reference extended.py:110-130 — 30%-of-remaining-distance gain rule. */
+  /** Simplified variant of reference extended.py:110-130's
+    * 30%-of-remaining-distance gain rule (the reference also requires
+    * dx ≥ 10; this synthetic rule keeps just the proportional-gain core). */
   def isProgressive30: Column =
     (col("dx") >= (lit(120.0) - col("x")) * 0.3) && (col("x2") > col("x"))
 
@@ -63,17 +65,21 @@ object EventCols {
   def isPenaltyArea: Column =
     (col("x2") >= 102.0) && (col("y2") >= 18.0) && (col("y2") <= 62.0)
 
-  /** reference extended.py:153-165 — deep completion: ends within 20 units
-    * of the goal centre (120, 40). Squares via explicit multiply (not pow,
-    * which is only 1-ulp-accurate libm); sqrt IS IEEE-correctly-rounded in
-    * both engines, so the oracle matches bit-for-bit. */
+  /** Simplified variant of reference extended.py:153-165's deep completion
+    * (the reference uses x-distance to the goal LINE, strict < 20; this
+    * synthetic rule uses Euclidean distance to the goal centre (120, 40)
+    * with ≤ 20). Squares via explicit multiply (not pow, which is only
+    * 1-ulp-accurate libm); sqrt IS IEEE-correctly-rounded in both engines,
+    * so the oracle matches bit-for-bit. */
   def isDeepCompletion: Column = {
     val gx = lit(120.0) - col("x2")
     val gy = lit(40.0) - col("y2")
     sqrt(gx * gx + gy * gy) <= 20.0
   }
 
-  /** reference extended.py:167-177 — switch of play: ≥ 40 units across. */
+  /** Simplified variant of reference extended.py:167-177's switch of play
+    * (the reference also requires pass length ≥ 30; this synthetic rule
+    * keeps just the ≥ 40-units-across core). */
   def isSwitch: Column = col("dy") >= 40.0
 
   /** Events with all derived geometry columns attached. */

@@ -84,9 +84,13 @@ object MultimodalOps {
       .select(col("doc_id"), col("payload"),
         floor(octet_length(col("payload")) / frameBytes).as("n_frames"))
       .select(col("doc_id"),
+        // n_frames = 0 must emit NO rows: sequence(0, -1) is the DESCENDING
+        // sequence [0, -1] in Spark, so the upper bound is clamped and the
+        // lambda re-checks i < n_frames — otherwise a truncated partial
+        // frame leaks through the i % N filter for short payloads.
         explode(expr(
-          s"transform(filter(sequence(0, int(n_frames) - 1), " +
-            s"i -> i % $everyNth = 0), " +
+          s"transform(filter(sequence(0, greatest(int(n_frames), 1) - 1), " +
+            s"i -> i < n_frames AND i % $everyNth = 0), " +
             s"i -> struct(i as frame_idx, " +
             s"substring(payload, i * $frameBytes + 1, $frameBytes) as frame))"))
           .as("f"))

@@ -8,15 +8,28 @@ import org.apache.spark.sql.functions._
   * AQE's skew-join split handles most cases at runtime; explicit salting
   * remains the tool when a single key is so hot that even split shuffle
   * blocks overwhelm one executor (the classic power-law `user_id`), or
-  * when AQE is unavailable (streaming joins). Semantics are identical to
-  * the unsalted join — asserted in `SkewSpec`.
+  * when AQE is unavailable (streaming joins). For the supported join
+  * types semantics are identical to the unsalted join — asserted in
+  * `SkewSpec`.
   */
 object Skew {
+
+  /** Join types for which replicating the right side preserves semantics.
+    * Right/full outer are NOT supported: the right side is exploded into
+    * `salts` copies before the join, so an unmatched right row would
+    * surface `salts` times instead of once. */
+  private val SupportedJoinTypes = Set(
+    "inner", "cross", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "left_anti", "leftanti")
 
   /** Equi-join `left ⋈ right` on `key`, salting the LEFT (large, skewed)
     * side into `salts` sub-keys and replicating the RIGHT side once per
     * salt. The shuffle spreads each hot key over `salts` reducers; the
     * replication multiplies the small side only.
+    *
+    * `joinType` must be inner or a left variant (outer/semi/anti) — see
+    * [[SupportedJoinTypes]]; right/full outer would duplicate unmatched
+    * right rows and are rejected.
     *
     * Deterministic salt (hash of the whole left row's monotonic id would
     * break reproducibility across retries — instead: hash of stable
@@ -24,11 +37,19 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltBy: Column, salts: Int = 8,
                  joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replace(" ", "_")
+    require(SupportedJoinTypes.contains(jt),
+      s"saltedJoin supports inner/left join types only, got '$joinType' — " +
+        "right/full outer would emit unmatched right rows once per salt")
     val l = left.withColumn("_salt", pmod(xxhash64(saltBy), lit(salts)))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0L), lit((salts - 1).toLong))))
-    l.join(r,
-      l(key) === r(key) && l("_salt") === r("_salt"), joinType)
-      .drop(l("_salt")).drop(r("_salt")).drop(r(key))
+    val joined = l.join(r,
+      l(key) === r(key) && l("_salt") === r("_salt"), jt)
+    if (jt == "left_semi" || jt == "leftsemi" ||
+        jt == "left_anti" || jt == "leftanti")
+      joined.drop("_salt") // semi/anti keep left columns only
+    else
+      joined.drop(l("_salt")).drop(r("_salt")).drop(r(key))
   }
 }

@@ -84,13 +84,21 @@ object StatsOps {
     * — one partial-aggregated pass, no sort, no window, mergeable across
     * partitions. The exact `cume_dist` version ranks WITHIN an entity
     * (small frames); this one answers "where does a value sit in the
-    * whole-population distribution" without materializing it. */
+    * whole-population distribution" without materializing it.
+    * Output is flat scalar columns (one per quantile), not an array —
+    * downstream consumers (and the driver's compare) want plain cells. */
   def percentileApprox(events: DataFrame,
-                       qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
-    events.agg(
+                       qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val agged = events.agg(
       percentile_approx(col("value"),
         array(qs.map(lit(_)): _*), lit(10000)).as("value_quantiles"),
       count(lit(1)).as("n"))
+    val qCols = qs.zipWithIndex.map { case (q, i) =>
+      col("value_quantiles").getItem(i)
+        .as("p" + math.round(q * 100).toString)
+    }
+    agged.select(qCols :+ col("n"): _*)
+  }
 
   /** §2-16 `q_position_counts`: most-common value per entity (mode;
     * reference core/pedri_profile.py `Counter.most_common` over positions).

@@ -73,11 +73,11 @@ object EventStream {
             state.remove()
             out.iterator
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.user_id))
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.user_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000L
+              val us = micros(e.ts)
               cur match {
                 case Some(s) if us - s.lastUs > GapUs =>
                   closed += emit(userId, s)
@@ -98,9 +98,22 @@ object EventStream {
       }
   }
 
+  /** Exact micros from a Timestamp: whole seconds from the epoch millis
+    * plus the FULL sub-second nanos — `getTime * 1000` pads milliseconds
+    * with zeros and can land a sub-millisecond event on the wrong side of
+    * the gap boundary vs the batch twin's `unix_micros`. */
+  private def micros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   private def emit(userId: Long, s: SessionState): Session =
-    Session(userId, new Timestamp(s.startUs / 1000L),
-      new Timestamp(s.lastUs / 1000L), s.n, (s.lastUs - s.startUs) / 1e6)
+    Session(userId, fromMicros(s.startUs),
+      fromMicros(s.lastUs), s.n, (s.lastUs - s.startUs) / 1e6)
 
   /** §2-C streaming exactly-once dedup: drop duplicate event ids within
     * the watermark horizon — the streaming twin of `q_dedup_exact` for an

@@ -123,6 +123,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("frameSample emits no rows for payloads shorter than one frame") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "short"),                  // 5 bytes < 32 → zero frames
+      (2L, ""),                       // empty payload → zero frames
+      (3L, "x" * 64)                  // exactly 2 frames → frame 0 kept
+    ).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val frames = MultimodalOps.frameSample(tiny, frameBytes = 32, everyNth = 4)
+      .collect()
+    assert(frames.forall(_.getAs[Long]("doc_id") == 3L),
+      frames.mkString(", "))
+    assert(frames.length == 1)
+    assert(frames.head.getAs[Array[Byte]]("frame").length == 32)
+  }
+
   test("multimodalMeta + decodeBatches plumbing round-trips") {
     val meta = MultimodalOps.multimodalMeta(docs)
     assert(meta.count() == docs.count())

@@ -39,12 +39,18 @@ class SinksSpec extends SparkSpec {
       s"approx $gotUsers vs exact $exactUsers")
   }
 
-  test("percentileApprox quantiles are ordered and bracket the median") {
+  test("percentileApprox quantiles are flat scalar columns, ordered") {
     val events = Tables.events(spark, sfDir)
-    val r = StatsOps.percentileApprox(events).collect().head
-    val qs = r.getSeq[Double](0)
-    assert(qs.length == 3)
-    assert(qs(0) <= qs(1) && qs(1) <= qs(2))
-    assert(qs(0) > 0.0)
+    val df = StatsOps.percentileApprox(events)
+    // flat cells only — no array/struct columns (driver compare + BI tools)
+    assert(df.schema.fields.forall(f =>
+      f.dataType.typeName != "array" && f.dataType.typeName != "struct"),
+      df.schema.treeString)
+    assert(df.columns.toSeq == Seq("p50", "p90", "p99", "n"))
+    val r = df.collect().head
+    val (p50, p90, p99) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(p50 <= p90 && p90 <= p99)
+    assert(p50 > 0.0)
   }
 }

@@ -32,4 +32,38 @@ class SkewSpec extends SparkSpec {
       .select("_salt").distinct().count()
     assert(salts > 1)
   }
+
+  test("saltedJoin left outer keeps unmatched left rows exactly once") {
+    import spark.implicits._
+    val big = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("id", "k")
+    val dim = Seq((10L, "x")).toDF("k", "v")
+    val out = Skew.saltedJoin(big, dim, "k", saltBy = col("id"),
+      salts = 4, joinType = "left")
+    assert(out.count() == 3)
+    assert(out.filter(col("id") === 3L && col("v").isNull).count() == 1)
+  }
+
+  test("saltedJoin left_semi/left_anti partition left rows") {
+    import spark.implicits._
+    val big = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("id", "k")
+    val dim = Seq((10L, "x")).toDF("k", "v")
+    val semi = Skew.saltedJoin(big, dim, "k", saltBy = col("id"),
+      salts = 4, joinType = "left_semi")
+    val anti = Skew.saltedJoin(big, dim, "k", saltBy = col("id"),
+      salts = 4, joinType = "left_anti")
+    assert(semi.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(anti.select("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(semi.columns.toSeq == Seq("id", "k")) // left columns only
+  }
+
+  test("saltedJoin rejects right/full outer join types") {
+    import spark.implicits._
+    val big = Seq((1L, 10L)).toDF("id", "k")
+    val dim = Seq((10L, "x")).toDF("k", "v")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      intercept[IllegalArgumentException] {
+        Skew.saltedJoin(big, dim, "k", saltBy = col("id"), joinType = jt)
+      }
+    }
+  }
 }
