@@ -31,6 +31,8 @@ object SparkEntry {
     "q_weighted_ratio" -> ((s, dir) => EventOps.weightedRatio(Tables.events(s, dir))),
     "q_direction" -> ((s, dir) => EventOps.direction(Tables.events(s, dir))),
     "q_tumbling" -> ((s, dir) => EventOps.tumbling(Tables.events(s, dir))),
+    "q_range_join" -> ((s, dir) => EventOps.rangeJoin(Tables.events(s, dir))),
+    "q_pivot" -> ((s, dir) => EventOps.pivotCounts(Tables.events(s, dir))),
     // --- stats / viz-feeding (§2 rows 5-9, 16, 19) ---
     "q_percentile" -> ((s, dir) => StatsOps.percentile(Tables.events(s, dir))),
     "q_topn" -> ((s, dir) => StatsOps.topN(Tables.events(s, dir))),
@@ -43,6 +45,7 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) => SessionOps.sessionize(Tables.events(s, dir))),
     "q_window_after" -> ((s, dir) => SessionOps.windowAfter(Tables.events(s, dir))),
     "q_key_join" -> ((s, dir) => SessionOps.keyJoin(Tables.events(s, dir))),
+    "q_asof_join" -> ((s, dir) => SessionOps.asofJoin(Tables.events(s, dir))),
     // --- geometry (§2 rows 15, 17, 18) ---
     "q_pitch_geometry" -> ((s, dir) => GeometryOps.pitchGeometry(Tables.events(s, dir))),
     "q_pass_segments" -> ((s, dir) => GeometryOps.passSegments(Tables.events(s, dir))),
@@ -53,6 +56,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => DedupOps.dedupSimhash(Tables.documents(s, dir))),
     "q_dedup_simhash_pairs" -> ((s, dir) => DedupOps.dedupSimhashPairs(Tables.documents(s, dir))),
     "q_dedup_ngram" -> ((s, dir) => DedupOps.dedupNgram(Tables.documents(s, dir))),
+    "q_dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => DedupOps.dedupEmbedding(Tables.embeddings(s, dir))),
     // --- ANN (§2 rows 29-30) ---
     "q_ann_topk" -> ((s, dir) => AnnOps.annTopK(Tables.embeddings(s, dir))),
@@ -62,6 +66,12 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => TextOps.quality(Tables.documents(s, dir))),
     "q_tokens" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
+    // --- corpus-pipeline composites (§2 rows 36-40) ---
+    "q_sample" -> ((s, dir) => CorpusOps.sample(Tables.documents(s, dir))),
+    "q_ngram_counts" -> ((s, dir) => CorpusOps.ngramCounts(Tables.documents(s, dir))),
+    "q_tfidf" -> ((s, dir) => CorpusOps.tfidf(Tables.documents(s, dir))),
+    "q_rollup" -> ((s, dir) => CorpusOps.rollup(Tables.documents(s, dir))),
+    "q_corpus_filter" -> ((s, dir) => CorpusOps.corpusFilter(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 row 35) ---
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---
@@ -81,5 +91,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ StatsOps.oracles ++
       SessionOps.oracles ++ GeometryOps.oracles ++ DedupOps.oracles ++
-      AnnOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles
+      AnnOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles ++
+      CorpusOps.oracles
 }

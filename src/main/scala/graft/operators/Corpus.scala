@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFuns
+
+/** Corpus-level training-data-pipeline operators (SURVEY.md §2-B rows
+  * 36–40): deterministic sampling, corpus statistics, TF-IDF, and the
+  * composed keep-set filter a real 100 TB ingest runs end-to-end.
+  *
+  * Design rules match the rest of the B-block: row-level codegen'd
+  * expressions wherever possible, aggregation shuffles carry partials
+  * only, and every random-looking choice (sampling) is a deterministic
+  * hash so reruns and retries agree.
+  */
+object CorpusOps {
+
+  /** Per-language sampling-rate band: md5-prefix upper bound (hex).
+    * 'en' is the over-represented stratum in this corpus → 12.5 %
+    * ("< 20"); everything else keeps 50 % ("< 80"). */
+  val SampleBands: Map[String, String] = Map("en" -> "20").withDefaultValue("80")
+
+  /** §2-36 `q_sample`: deterministic stratified downsampling — the
+    * rebalance step of a training mix. The keep/drop decision is the md5
+    * of the doc id against a per-stratum threshold: a pure row-level
+    * predicate (no shuffle, no RNG), so it pushes into the scan, reruns
+    * identically on retries, and at 100 TB "take an X% stratified sample"
+    * costs one filtered pass. */
+  def sample(documents: DataFrame): DataFrame = {
+    val key = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    documents
+      .filter(
+        when(col("lang") === "en", key < SampleBands("en"))
+          .otherwise(key < SampleBands("other")))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** §2-37 `q_ngram_counts`: corpus-wide token-trigram frequencies, top 50
+    * with deterministic ties. The explode shuffles (shingle → count)
+    * partials only; the final top-N is TakeOrderedAndProject. This is the
+    * vocabulary/contamination-scan shape: at 100 TB the agg key space is
+    * the distinct-shingle set, bounded by vocabulary, not corpus size. */
+  def ngramCounts(documents: DataFrame, topK: Int = 50): DataFrame =
+    documents
+      .select(col("doc_id"), TextFuns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(topK)
+
+  /** §2-38 `q_tfidf`: each document's top term by TF-IDF.
+    *
+    * tf = in-doc term count; df = docs containing the term; idf =
+    * ln((N+1)/(df+1)). Three aggregations, all on keys whose cardinality
+    * is vocabulary-bounded; N broadcasts as a 1-row aggregate. Ranking
+    * uses the 6-dp-ROUNDED score (cross-engine: ln is libm, 1-ulp) with
+    * the term as tiebreak, so the row_number is deterministic in both
+    * engines. */
+  def tfidf(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(TextFuns.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+      .orderBy("doc_id")
+  }
+
+  /** §2-39 `q_rollup`: multi-granularity corpus accounting — doc counts
+    * and exact char sums per (source, lang), per source, and grand total
+    * in ONE pass via ROLLUP (Spark plans a single Expand + one shuffle;
+    * no re-scan per granularity). The per-source/per-language mix report
+    * every dataset card needs. */
+  def rollup(documents: DataFrame): DataFrame =
+    documents
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"))
+
+  /** Quality threshold for the keep-set filter. */
+  val QualityTau = 0.5
+
+  /** §2-40 `q_corpus_filter`: the composed end-to-end keep-set — what a
+    * training-data ingest actually materializes. One pass computes, per
+    * doc: exact-dup representative (min doc_id over the md5-of-normalized-
+    * text group — the ONLY shuffle), predicted language, quality score;
+    * the filter keeps English-classified, above-threshold representatives.
+    * Composition stays single-scan because the language/quality predicates
+    * are row-level Columns ([[TextOps.predLang]]/[[TextOps.qualityScore]]),
+    * not separate passes that would re-read 100 TB. */
+  def corpusFilter(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("text_hash")
+    documents
+      .withColumn("text_hash", md5(TextFuns.norm(col("text")).cast("binary")))
+      .withColumn("rep_doc_id", min(col("doc_id")).over(w))
+      .withColumn("pred_lang", TextOps.predLang(col("text")))
+      .withColumn("quality_score", TextOps.qualityScore(col("text")))
+      .filter(col("doc_id") === col("rep_doc_id") &&
+        col("pred_lang") === "en" && col("quality_score") >= QualityTau)
+      .select(col("doc_id"), col("source"), col("pred_lang"),
+        col("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  private val normSql = "lower(trim(text))"
+  private val toksSql = s"string_split($normSql, ' ')"
+
+  val oracles: Map[String, String] = Map(
+    "q_sample" ->
+      s"""SELECT doc_id, lang, source
+         |FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+         |  (CASE WHEN lang = 'en' THEN '${SampleBands("en")}'
+         |        ELSE '${SampleBands("other")}' END)
+         |ORDER BY doc_id""".stripMargin,
+    "q_ngram_counts" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS ts FROM documents
+         |), sh AS (
+         |  SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ngram
+         |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+         |        FROM toks WHERE len(ts) >= 3)
+         |)
+         |SELECT ngram, COUNT(*) AS n
+         |FROM sh
+         |GROUP BY ngram
+         |ORDER BY n DESC, ngram ASC
+         |LIMIT 50""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tfc AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+         |), dfc AS (
+         |  SELECT term, COUNT(*) AS df FROM tfc GROUP BY term
+         |), n AS (
+         |  SELECT COUNT(*) AS n_docs FROM documents
+         |), scored AS (
+         |  SELECT doc_id, tfc.term, round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+         |  FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n
+         |), ranked AS (
+         |  SELECT doc_id, term AS top_term, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY tfidf DESC, term ASC) AS rn
+         |  FROM scored
+         |)
+         |SELECT doc_id, top_term, tfidf FROM ranked WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY ROLLUP (source, lang)
+        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
+    "q_corpus_filter" -> {
+      val langScores = TextOps.Markers.map { case (l, ws) =>
+        val in = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter($toksSql, t -> t IN ($in))) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextOps.Markers.map(_._1)
+      val langCases = langs.init.zipWithIndex.map { case (l, i) =>
+        val conds = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n    ")
+      val stopIn = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH s AS (
+         |  SELECT doc_id, source, text,
+         |    MIN(doc_id) OVER (PARTITION BY md5($normSql)) AS rep_doc_id,
+         |    $langScores,
+         |    least(CAST(1 AS DOUBLE), len($toksSql) / 100.0) * 0.6
+         |      + len(list_filter($toksSql, t -> t IN ($stopIn))) * 1.0
+         |        / len($toksSql) * 0.2
+         |      + (CASE WHEN (length($normSql) - (len($toksSql) - 1)) * 1.0 / len($toksSql)
+         |              BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END) AS quality_score
+         |  FROM documents
+         |), p AS (
+         |  SELECT *, CASE $langCases ELSE '${langs.last}' END AS pred_lang FROM s
+         |)
+         |SELECT doc_id, source, pred_lang, quality_score
+         |FROM p
+         |WHERE doc_id = rep_doc_id AND pred_lang = 'en' AND quality_score >= $QualityTau
+         |ORDER BY doc_id""".stripMargin
+    }
+  )
+}

@@ -160,6 +160,69 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** §2-44 `q_dedup_clusters`: connected components over the MinHash
+    * near-dup pair graph — the dedup ENDGAME: candidate pairs are only
+    * half the job; the keep/drop decision needs the transitive closure
+    * (A≈B, B≈C ⇒ one cluster) with one representative per cluster.
+    *
+    * Distributed min-label propagation: every doc starts labeled with its
+    * own id; each round takes the min of its own and its neighbors'
+    * labels; converges to the component-minimum in O(graph diameter)
+    * rounds (near-dup components are clique-ish — 2-3 rounds in
+    * practice). Each round is two co-partitioned joins over the EDGE set
+    * (≪ corpus, bounded by LSH collisions), never over n² — the same
+    * iterate-to-fixpoint shape GraphX/GraphFrames use at cluster scale.
+    * The DuckDB oracle walks the same closure with a recursive CTE —
+    * same RESULT, single-node plan. */
+  def dedupClusters(documents: DataFrame, maxIters: Int = 50): DataFrame = {
+    val pairs = dedupMinhash(documents).select(col("doc_a"), col("doc_b"))
+    // localCheckpoint (eager) everywhere, NOT cache: caching truncates
+    // re-execution but keeps the logical plan, so an iterate-to-fixpoint
+    // loop builds a plan that doubles in depth per round and kills the
+    // driver (plan-string generation alone OOMs). Checkpointing cuts the
+    // lineage each round — the standard move for iterative graph
+    // algorithms (on a long-running cluster job, a reliable checkpoint
+    // dir makes this restart-safe too).
+    // materialize the pair set ONCE (the union below would otherwise run
+    // the whole MinHash pipeline twice — once per branch)
+    val p = pairs.localCheckpoint(true)
+    val edges = p.union(p.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = documents.select(col("doc_id"),
+      col("doc_id").as("cluster_id")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      val stepped = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("mid"),
+          col("cluster_id").as("prev"))
+      // pointer jumping: follow the label's label. Plain neighbor-min
+      // needs O(path length) rounds on chain-shaped components (A≈B≈C≈…
+      // happens whenever near-dups drift gradually); compressing one hop
+      // per round makes the propagation distance DOUBLE per round →
+      // O(log diameter). mid is always a valid doc_id, so the self-join
+      // is total. `prev` rides along so the convergence check below is a
+      // narrow scan of the checkpoint, not another shuffle join.
+      val next = stepped.as("x")
+        .join(stepped.as("y"), col("x.mid") === col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"),
+          col("y.mid").as("cluster_id"), col("x.prev").as("prev"))
+        .localCheckpoint(true)
+      changed = next.filter(col("cluster_id") < col("prev")).count()
+      labels = next.select(col("doc_id"), col("cluster_id"))
+      iter += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
   /** §2-28 `q_dedup_embedding`: blocked cosine near-dup pairs (cos ≥ τ).
     * The block key (here `label`; LSH sign-bucket in the general case —
     * see [[AnnOps.annLsh]]) turns the n² problem into Σ block². Cosines
@@ -181,6 +244,27 @@ object DedupOps {
 
   private val normSql = "lower(trim(text))"
 
+  /** MinHash candidate-pair SQL, shared by the q_dedup_minhash oracle and
+    * the q_dedup_clusters closure. */
+  private val minhashPairsSql: String = {
+    val mins = (0 until MinhashK).map(i =>
+      s"MIN(substr(md5(shingle), ${8 * i + 1}, 8)) AS mh$i").mkString(",\n  ")
+    val bandCond = (0 until Bands).map(b =>
+      s"(a.mh${2 * b} || a.mh${2 * b + 1}) = (b.mh${2 * b} || b.mh${2 * b + 1})")
+      .mkString(" OR ")
+    s"""WITH n AS (
+       |  SELECT doc_id, $normSql AS t FROM documents WHERE length($normSql) >= 8
+       |), sh AS (
+       |  SELECT doc_id, substr(t, i + 1, 8) AS shingle
+       |  FROM (SELECT doc_id, t, unnest(generate_series(0, length(t) - 8)) AS i FROM n)
+       |), sig AS (
+       |  SELECT doc_id, $mins FROM sh GROUP BY doc_id
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""SELECT md5($normSql) AS text_hash,
@@ -188,24 +272,23 @@ object DedupOps {
          |FROM documents
          |GROUP BY 1
          |ORDER BY rep_doc_id""".stripMargin,
-    "q_dedup_minhash" -> {
-      val mins = (0 until MinhashK).map(i =>
-        s"MIN(substr(md5(shingle), ${8 * i + 1}, 8)) AS mh$i").mkString(",\n  ")
-      val bandCond = (0 until Bands).map(b =>
-        s"(a.mh${2 * b} || a.mh${2 * b + 1}) = (b.mh${2 * b} || b.mh${2 * b + 1})")
-        .mkString(" OR ")
-      s"""WITH n AS (
-         |  SELECT doc_id, $normSql AS t FROM documents WHERE length($normSql) >= 8
-         |), sh AS (
-         |  SELECT doc_id, substr(t, i + 1, 8) AS shingle
-         |  FROM (SELECT doc_id, t, unnest(generate_series(0, length(t) - 8)) AS i FROM n)
-         |), sig AS (
-         |  SELECT doc_id, $mins FROM sh GROUP BY doc_id
+    "q_dedup_minhash" -> minhashPairsSql,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashPairsSql
+         |), edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION
+         |  SELECT doc_b AS u, doc_a AS v FROM pairs
+         |), walk(u, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
          |)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |SELECT u AS doc_id, MIN(lbl) AS cluster_id
+         |FROM walk
+         |GROUP BY u
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" -> {
       val sums = (0 until 16).map(b =>
         s"SUM(CASE WHEN strpos('13579bdf', substr(md5(tok), ${b + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS s$b")

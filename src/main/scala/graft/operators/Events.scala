@@ -133,6 +133,50 @@ object EventOps {
       .withColumn("attacks_right", col("n_right") > col("n_left"))
       .orderBy("user_id")
 
+  /** Value tiers for the range join: (tier, lo, hi) with value ∈ [lo, hi). */
+  val Tiers: Seq[(String, Double, Double)] =
+    Seq(("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e18))
+
+  /** §2-41 `q_range_join`: band (non-equi) join of the fact stream to a
+    * tiny tier dimension — the bucketing-by-range shape (histogram bins,
+    * SLA bands, price tiers). The dimension is BROADCAST so the range
+    * condition is evaluated map-side (BroadcastNestedLoopJoin over 3
+    * rows), never a shuffle: at 100 TB this is a scan + partial agg, the
+    * same cost as a CASE expression but with the dimension as data. */
+  def rangeJoin(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tiers = Tiers.toDF("tier", "lo", "hi")
+    events
+      .join(broadcast(tiers),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(d18)).cast("double").as("sum_value"))
+      .orderBy("tier")
+  }
+
+  /** The pivot column domain, stated explicitly: with the values known
+    * up front Spark plans ONE aggregation pass (no extra distinct-scan to
+    * discover them — that discovery pass is what makes naive pivot
+    * unusable at 100 TB). */
+  val EventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** §2-42 `q_pivot`: long→wide — per-user event counts as one column per
+    * event type. Single shuffle on user_id, map-side partials; missing
+    * combinations become 0. */
+  def pivotCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .select(col("user_id") +:
+        EventTypes.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy("user_id")
+
   /** Approximate twin of [[summary]] for the 100 TB path.
     *
     * Exact `countDistinct` rewrites into an Expand + extra shuffle of the
@@ -238,6 +282,26 @@ object EventOps {
          |WHERE hour(ts) < 12
          |GROUP BY user_id
          |ORDER BY user_id""".stripMargin,
+    "q_range_join" -> {
+      val values = Tiers.map { case (t, lo, hi) => s"('$t', $lo, $hi)" }
+        .mkString(", ")
+      s"""SELECT tier, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events
+         |JOIN (VALUES $values) AS t(tier, lo, hi)
+         |  ON value >= lo AND value < hi
+         |GROUP BY tier
+         |ORDER BY tier""".stripMargin
+    },
+    "q_pivot" -> {
+      val counts = EventTypes.map(t =>
+        s"COUNT(*) FILTER (event_type = '$t') AS n_$t").mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $counts
+         |FROM events
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin
+    },
     "q_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n,

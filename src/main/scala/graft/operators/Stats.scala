@@ -118,7 +118,10 @@ object StatsOps {
 
   /** §2-19 `q_radar_norm`: min-max normalize each entity's metric vector
     * against the population ranges (reference utils/viz_radar.py
-    * `_normalize_values`). Window over the 150-row aggregated frame; the
+    * `_normalize_values`). The population min/max come from a 1-row global
+    * aggregate broadcast back onto the per-entity frame — NOT an
+    * unpartitioned window, which would funnel every row through a single
+    * partition (WindowExec warns exactly about that). The
     * (v-min)/(max-min) operands are identical doubles in both engines. */
   def radarNorm(events: DataFrame): DataFrame = {
     val metrics = events
@@ -127,14 +130,18 @@ object StatsOps {
         count(when(col("event_type") === "click", 1)).as("n_click"),
         count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
         sum(col("value").cast(d18)).cast("double").as("sum_value"))
-    val w = Window.partitionBy()
-    def norm(c: String) =
-      (col(c) - min(col(c)).over(w)) /
-        (max(col(c)).over(w) - min(col(c)).over(w))
+    val ranges = metrics.agg(
+      min("n_click").as("min_click"), max("n_click").as("max_click"),
+      min("n_purchase").as("min_purchase"), max("n_purchase").as("max_purchase"),
+      min("sum_value").as("min_value"), max("sum_value").as("max_value"))
+    def norm(c: String, suffix: String) =
+      (col(c) - col("min_" + suffix)) /
+        (col("max_" + suffix) - col("min_" + suffix))
     metrics
-      .withColumn("click_norm", norm("n_click"))
-      .withColumn("purchase_norm", norm("n_purchase"))
-      .withColumn("value_norm", norm("sum_value"))
+      .crossJoin(broadcast(ranges))
+      .withColumn("click_norm", norm("n_click", "click"))
+      .withColumn("purchase_norm", norm("n_purchase", "purchase"))
+      .withColumn("value_norm", norm("sum_value", "value"))
       .select("user_id", "click_norm", "purchase_norm", "value_norm")
       .orderBy("user_id")
   }

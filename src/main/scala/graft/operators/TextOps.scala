@@ -24,6 +24,28 @@ object TextOps {
     "es" -> Seq("data", "row"),
     "zh" -> Seq("vector", "stream"))
 
+  /** Argmax over per-language marker scores with deterministic priority =
+    * declaration order ([[Markers]]); `scores(i)` is the hit count for
+    * `Markers(i)`. */
+  private def argmaxLang(scores: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    val langs = Markers.map(_._1)
+    langs.zipWithIndex.foldRight(lit(langs.last)) { case ((l, i), els) =>
+      val rest = (i + 1) until langs.length
+      if (rest.isEmpty) els
+      else when(rest.map(r => scores(i) >= scores(r)).reduce(_ && _), lit(l))
+        .otherwise(els)
+    }
+  }
+
+  /** Language prediction as a single row-level Column (for composition in
+    * corpus-wide pipelines — same semantics as [[langId]]'s pred_lang). */
+  def predLang(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = TextFuns.tokens(text)
+    argmaxLang(Markers.map { case (_, ws) =>
+      size(filter(toks, t => t.isin(ws.map(lit(_)): _*)))
+    })
+  }
+
   /** §2-31 `q_lang_id`: marker-word language identification — count marker
     * hits per language over the token array (higher-order `filter`, no
     * explode), argmax with a fixed priority order for ties. */
@@ -33,19 +55,28 @@ object TextOps {
       (col("doc_id") +: Markers.map { case (l, ws) =>
         size(filter(toks, t => t.isin(ws.map(lit(_)): _*))).as(s"s_$l")
       }): _*)
-    // argmax with deterministic priority = declaration order
-    val langs = Markers.map(_._1)
-    val pred = langs.zipWithIndex.foldRight(lit(langs.last)) { case ((l, i), els) =>
-      val rest = langs.drop(i + 1)
-      if (rest.isEmpty) els
-      else when(rest.map(r => col(s"s_$l") >= col(s"s_$r")).reduce(_ && _), lit(l))
-        .otherwise(els)
-    }
-    scored.withColumn("pred_lang", pred).orderBy("doc_id")
+    scored
+      .withColumn("pred_lang",
+        argmaxLang(Markers.map { case (l, _) => col(s"s_$l") }))
+      .orderBy("doc_id")
   }
 
   /** Stopword list for the quality heuristic. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and")
+
+  /** Quality score as a single row-level Column (same formula as
+    * [[quality]]'s quality_score — token count, stopword ratio, average
+    * token length band; the operands are identical doubles). */
+  def qualityScore(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = TextFuns.norm(text)
+    val toks = TextFuns.tokens(text)
+    val nTokens = size(toks)
+    val avgLen = (length(t) - (nTokens - 1)) * lit(1.0) / nTokens
+    val stopRatio =
+      size(filter(toks, tk => tk.isin(Stopwords.map(lit(_)): _*))) * lit(1.0) / nTokens
+    least(lit(1.0), nTokens / 100.0) * 0.6 + stopRatio * 0.2 +
+      when(avgLen >= 3.0 && avgLen <= 8.0, 0.2).otherwise(0.0)
+  }
 
   /** §2-32 `q_quality`: document quality scoring from surface statistics —
     * token count, average token length, stopword ratio (reference-style

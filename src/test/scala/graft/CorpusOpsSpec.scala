@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusOps, DedupOps, EventOps, SessionOps, TextOps}
+import graft.sources.Tables
+
+/** Behavior specs for the corpus-pipeline composites (§2 rows 36-44). */
+class CorpusOpsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val events = Tables.events(spark, sfDir)
+
+  test("sample is deterministic and downsamples 'en' harder") {
+    val a = CorpusOps.sample(docs).collect().map(_.getLong(0)).toSeq
+    val b = CorpusOps.sample(docs).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = CorpusOps.sample(docs).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = kept.getOrElse("en", 0L).toDouble / total("en")
+    val otherRate = (kept - "en").values.sum.toDouble / (total - "en").values.sum
+    assert(enRate < otherRate, s"en $enRate vs other $otherRate")
+  }
+
+  test("ngramCounts returns top-50 in descending order") {
+    val rows = CorpusOps.ngramCounts(docs).collect()
+    assert(rows.length == 50)
+    val ns = rows.map(_.getAs[Long]("n")).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+
+  test("tfidf yields one positive-scored top term per document") {
+    val rows = CorpusOps.tfidf(docs).collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(_.getAs[Double]("tfidf") > 0.0))
+  }
+
+  test("rollup granularities are consistent (subtotals sum to grand total)") {
+    val rows = CorpusOps.rollup(docs).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_docs") == docs.count())
+    val perSource = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(perSource.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val leaves = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(leaves.map(_.getAs[Long]("sum_chars")).sum ==
+      grand.head.getAs[Long]("sum_chars"))
+  }
+
+  test("corpusFilter keeps only en-classified, high-quality dedup reps") {
+    val kept = CorpusOps.corpusFilter(docs).collect()
+    assert(kept.nonEmpty)
+    assert(kept.forall(_.getAs[String]("pred_lang") == "en"))
+    assert(kept.forall(_.getAs[Double]("quality_score") >= CorpusOps.QualityTau))
+    val reps = DedupOps.dedupExact(docs).select("rep_doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.forall(r => reps.contains(r.getAs[Long]("doc_id"))))
+  }
+
+  test("asofJoin matches the join+row_number as-of formulation") {
+    import graft.functions.EventCols
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        EventCols.us.as("p_us"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        EventCols.us.as("c_us"))
+    val expected = purchases
+      .join(clicks, col("p_user") === col("c_user") && col("c_us") < col("p_us"), "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_id").orderBy(
+          col("c_us").desc_nulls_last, col("c_id").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("p_user").as("user_id"),
+        col("c_id").as("asof_c_id"),
+        ((col("p_us") - col("c_us")) / 1000000.0).as("gap_sec"))
+    val got = SessionOps.asofJoin(events)
+    assert(got.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(got).count() == 0)
+  }
+
+  test("asofJoin plans a window, not a join") {
+    val p = SessionOps.asofJoin(events).queryExecution
+      .explainString(FormattedMode)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("dedupClusters: pairs share a cluster, reps are component minima") {
+    val labels = DedupOps.dedupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == docs.count())
+    val pairs = DedupOps.dedupMinhash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a, $b) split across clusters")
+    }
+    // cluster id is the minimum member id of its component
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid min is ${members.keys.min}")
+    }
+    // docs in no pair keep their own id
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.filterNot(kv => paired.contains(kv._1)).foreach { case (d, c) =>
+      assert(d == c)
+    }
+  }
+
+  test("rangeJoin broadcasts the tier dim and covers all in-band events") {
+    val out = EventOps.rangeJoin(events)
+    val p = out.queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val total = out.collect().map(_.getAs[Long]("n")).sum
+    assert(total == events.filter(col("value") >= 0.0).count())
+  }
+
+  test("pivotCounts matches conditional aggregation, one shuffle") {
+    val out = EventOps.pivotCounts(events)
+    val expected = events.groupBy("user_id").agg(
+      count(when(col("event_type") === "click", 1)).as("n_click"),
+      count(when(col("event_type") === "error", 1)).as("n_error"),
+      count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+      count(when(col("event_type") === "signup", 1)).as("n_signup"),
+      count(when(col("event_type") === "view", 1)).as("n_view"))
+    assert(out.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(out).count() == 0)
+  }
+
+  test("corpusFilter helper columns agree with the standalone operators") {
+    val q = TextOps.quality(docs).select(col("doc_id"), col("quality_score"))
+    val viaHelper = docs.select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality_score"))
+    assert(q.exceptAll(viaHelper).count() == 0)
+    val l = TextOps.langId(docs).select(col("doc_id"), col("pred_lang"))
+    val viaLang = docs.select(col("doc_id"),
+      TextOps.predLang(col("text")).as("pred_lang"))
+    assert(l.exceptAll(viaLang).count() == 0)
+  }
+}
