@@ -33,6 +33,8 @@ object SparkEntry {
     "q_tumbling" -> ((s, dir) => EventOps.tumbling(Tables.events(s, dir))),
     "q_range_join" -> ((s, dir) => EventOps.rangeJoin(Tables.events(s, dir))),
     "q_pivot" -> ((s, dir) => EventOps.pivotCounts(Tables.events(s, dir))),
+    "q_sliding" -> ((s, dir) => EventOps.sliding(Tables.events(s, dir))),
+    "q_skew_join" -> ((s, dir) => Skew.skewJoinQuery(Tables.events(s, dir))),
     // --- stats / viz-feeding (§2 rows 5-9, 16, 19) ---
     "q_percentile" -> ((s, dir) => StatsOps.percentile(Tables.events(s, dir))),
     "q_topn" -> ((s, dir) => StatsOps.topN(Tables.events(s, dir))),
@@ -41,6 +43,7 @@ object SparkEntry {
     "q_trend" -> ((s, dir) => StatsOps.trend(Tables.events(s, dir))),
     "q_position_counts" -> ((s, dir) => StatsOps.positionCounts(Tables.events(s, dir))),
     "q_radar_norm" -> ((s, dir) => StatsOps.radarNorm(Tables.events(s, dir))),
+    "q_topk_per_group" -> ((s, dir) => StatsOps.topKPerGroup(Tables.events(s, dir))),
     // --- temporal (§2 rows 11-13) ---
     "q_sessionize" -> ((s, dir) => SessionOps.sessionize(Tables.events(s, dir))),
     "q_window_after" -> ((s, dir) => SessionOps.windowAfter(Tables.events(s, dir))),
@@ -92,5 +95,5 @@ object SparkEntry {
     Relational.oracles ++ EventOps.oracles ++ StatsOps.oracles ++
       SessionOps.oracles ++ GeometryOps.oracles ++ DedupOps.oracles ++
       AnnOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles ++
-      CorpusOps.oracles
+      CorpusOps.oracles ++ Skew.oracles
 }

@@ -204,6 +204,22 @@ object EventOps {
         sum(col("value").cast(d18)).cast("double").as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** §2-46 `q_sliding`: SLIDING 2-hour windows every hour — each event
+    * lands in size/slide = 2 windows (Spark's `window()` generates them
+    * row-level before the agg; no self-join). The overlap factor
+    * multiplies the shuffle payload by 2, which is the honest cost of
+    * sliding windows at any scale — the partials are still O(windows),
+    * not O(events). Batch twin of `EventStream.windowedCounts(slide=…)`. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("win"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(d18)).cast("double").as("sum_value"))
+      .select(col("win.start").as("window_start"),
+        col("win.end").as("window_end"), col("n"), col("sum_value"))
+      .orderBy("window_start")
+
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (driver hash-compares by column name — aliases
   // match the Spark output exactly; deterministic ORDER BY everywhere).
@@ -308,6 +324,15 @@ object EventOps {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY date_trunc('hour', ts), event_type
-        |ORDER BY hour, event_type""".stripMargin
+        |ORDER BY hour, event_type""".stripMargin,
+    "q_sliding" ->
+      """SELECT date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS window_start,
+        |  date_trunc('hour', ts) - i * INTERVAL 1 HOUR + INTERVAL 2 HOUR AS window_end,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |CROSS JOIN (VALUES (0), (1)) AS s(i)
+        |GROUP BY 1, 2
+        |ORDER BY window_start""".stripMargin
   )
 }

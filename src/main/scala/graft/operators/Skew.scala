@@ -52,4 +52,32 @@ object Skew {
     else
       joined.drop(l("_salt")).drop(r("_salt")).drop(r(key))
   }
+
+  /** §2-47 `q_skew_join`: the salted join as a checked query — enrich every
+    * event with its user's total event count (the power-law key: a few
+    * users own most events) and roll up per type. The salt spreads each
+    * hot user over 8 reducers; results are identical to the plain join
+    * (the oracle IS the plain join), which is exactly the salting
+    * contract. */
+  def skewJoinQuery(events: DataFrame): DataFrame = {
+    val userTotals = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_total"))
+    saltedJoin(events.select("event_id", "user_id", "event_type"),
+        userTotals, "user_id", saltBy = col("event_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_total")).as("sum_user_total"))
+      .orderBy("event_type")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_skew_join" ->
+      """WITH ut AS (
+        |  SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id
+        |)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(user_total) AS BIGINT) AS sum_user_total
+        |FROM events JOIN ut USING (user_id)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+  )
 }

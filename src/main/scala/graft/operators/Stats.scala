@@ -100,6 +100,25 @@ object StatsOps {
     agged.select(qCols :+ col("n"): _*)
   }
 
+  /** §2-45 `q_topk_per_group`: top-k days per user by purchase value —
+    * the GROUP-WISE top-N ([[topN]] is global). Aggregate first (one
+    * shuffle), then row_number over the per-user frame: the window input
+    * is users × days, never raw events, and each partition's sort is
+    * local — the shape that survives 100 TB where a global sort or a
+    * per-group collect would not. */
+  def topKPerGroup(events: DataFrame, k: Int = 3): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), EventCols.day)
+      .agg(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(0.0).cast(d18)).cast("double").as("purchase_value"))
+    daily
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("purchase_value").desc, col("day").asc)))
+      .filter(col("rk") <= k)
+      .orderBy("user_id", "rk")
+  }
+
   /** §2-16 `q_position_counts`: most-common value per entity (mode;
     * reference core/pedri_profile.py `Counter.most_common` over positions).
     * Count-agg then a row_number over the tiny (entity × type) frame. */
@@ -147,6 +166,19 @@ object StatsOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_topk_per_group" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, ${S.day} AS day,
+         |    CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+         |  FROM events GROUP BY user_id, ${S.day}
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY purchase_value DESC, day ASC) AS rk
+         |  FROM daily
+         |)
+         |SELECT user_id, day, purchase_value, CAST(rk AS INTEGER) AS rk
+         |FROM ranked WHERE rk <= 3
+         |ORDER BY user_id, rk""".stripMargin,
     "q_percentile" ->
       s"""WITH daily AS (
          |  SELECT user_id, ${S.day} AS day,

@@ -132,6 +132,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(expected.exceptAll(out).count() == 0)
   }
 
+  test("topKPerGroup keeps at most k ranked days per user") {
+    val rows = graft.operators.StatsOps.topKPerGroup(events, k = 3).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.values.forall(_.length <= 3))
+    byUser.values.foreach { rs =>
+      val ranked = rs.sortBy(_.getAs[Int]("rk"))
+      assert(ranked.map(_.getAs[Int]("rk")).toSeq == (1 to rs.length))
+      val vals = ranked.map(_.getAs[Double]("purchase_value")).toSeq
+      assert(vals == vals.sorted.reverse)
+    }
+  }
+
+  test("sliding windows count every event exactly size/slide times") {
+    val out = EventOps.sliding(events)
+    val total = out.agg(sum("n")).collect().head.getLong(0)
+    assert(total == 2 * events.count())
+    // every window is exactly 2 hours wide
+    assert(out.filter(
+      col("window_end").cast("long") - col("window_start").cast("long")
+        =!= 7200L).count() == 0)
+  }
+
+  test("skewJoinQuery equals the plain unsalted join rollup") {
+    val ut = events.groupBy("user_id").agg(count(lit(1)).as("user_total"))
+    val expected = events.select("event_id", "user_id", "event_type")
+      .join(ut, "user_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_total").as("sum_user_total"))
+    val got = graft.operators.Skew.skewJoinQuery(events)
+    assert(got.select("event_type", "n", "sum_user_total")
+      .exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(
+      got.select("event_type", "n", "sum_user_total")).count() == 0)
+  }
+
   test("corpusFilter helper columns agree with the standalone operators") {
     val q = TextOps.quality(docs).select(col("doc_id"), col("quality_score"))
     val viaHelper = docs.select(col("doc_id"),
