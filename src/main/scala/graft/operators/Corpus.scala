@@ -75,12 +75,17 @@ object CorpusOps {
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+    // argmax as ONE partial-aggregatable struct-min (score desc, term asc
+    // ≡ (-score, term) struct ordering) — no window, no per-doc sort:
+    // the shuffle carries one candidate per (partition, doc) instead of
+    // every (doc, term) row through a sort. Negation is a sign-bit flip,
+    // so the recovered score is bit-identical to the oracle's.
     scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id")
-          .orderBy(col("tfidf").desc, col("term").asc)))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("tfidf")).as("neg"), col("term").as("term")))
+        .as("m"))
+      .select(col("doc_id"), col("m.term").as("top_term"),
+        (-col("m.neg")).as("tfidf"))
       .orderBy("doc_id")
   }
 
@@ -107,14 +112,20 @@ object CorpusOps {
     * are row-level Columns ([[TextOps.predLang]]/[[TextOps.qualityScore]]),
     * not separate passes that would re-read 100 TB. */
   def corpusFilter(documents: DataFrame): DataFrame = {
+    // Row-level predicates FIRST: exact copies share identical text, so
+    // their language/quality verdicts are identical — a dup group either
+    // survives whole or drops whole, and min(doc_id) over the survivors
+    // equals min over all copies. Filtering before the text_hash shuffle
+    // means the one wide shuffle (rows carry source etc.) only moves the
+    // keep-candidates, not the whole 100 TB corpus.
     val w = Window.partitionBy("text_hash")
     documents
-      .withColumn("text_hash", md5(TextFuns.norm(col("text")).cast("binary")))
-      .withColumn("rep_doc_id", min(col("doc_id")).over(w))
       .withColumn("pred_lang", TextOps.predLang(col("text")))
       .withColumn("quality_score", TextOps.qualityScore(col("text")))
-      .filter(col("doc_id") === col("rep_doc_id") &&
-        col("pred_lang") === "en" && col("quality_score") >= QualityTau)
+      .filter(col("pred_lang") === "en" && col("quality_score") >= QualityTau)
+      .withColumn("text_hash", md5(TextFuns.norm(col("text")).cast("binary")))
+      .withColumn("rep_doc_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("rep_doc_id"))
       .select(col("doc_id"), col("source"), col("pred_lang"),
         col("quality_score"))
       .orderBy("doc_id")

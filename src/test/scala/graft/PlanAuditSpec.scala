@@ -75,6 +75,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("aggregate(zip_with"), p)
   }
 
+  test("q_sample: the sampling predicate pushes into the scan stage (no shuffle)") {
+    val p = plan(CorpusOps.sample(Tables.documents(spark, sfDir)))
+    // row-level filter + projection + output sort only
+    assert(exchangeCount(p) <= 1, s"${exchangeCount(p)} exchanges:\n$p")
+    assert(p.contains("Filter"), p)
+  }
+
+  test("q_rollup: one Expand, one shuffle (no per-granularity re-scan)") {
+    val p = plan(CorpusOps.rollup(Tables.documents(spark, sfDir)))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Expand.*""")) == 1, p)
+    // groupBy shuffle + output sort
+    assert(exchangeCount(p) <= 2, s"${exchangeCount(p)} exchanges:\n$p")
+  }
+
+  test("q_tfidf: argmax is an aggregation, not a window sort") {
+    val p = plan(CorpusOps.tfidf(Tables.documents(spark, sfDir)))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("q_sliding: windows generated row-level — no join, no Generate blowup") {
+    val p = plan(EventOps.sliding(Tables.events(spark, sfDir)))
+    assert(!p.contains("Join"), p)
+    assert(exchangeCount(p) <= 2, s"${exchangeCount(p)} exchanges:\n$p")
+  }
+
   test("q_dedup_minhash signature stage has no explode (row-level transform)") {
     val p = plan(DedupOps.dedupMinhash(Tables.documents(spark, sfDir)))
     // one explode exists for band keys only; the shingle stage must not
