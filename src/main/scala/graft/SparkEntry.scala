@@ -49,6 +49,7 @@ object SparkEntry {
     "q_window_after" -> ((s, dir) => SessionOps.windowAfter(Tables.events(s, dir))),
     "q_key_join" -> ((s, dir) => SessionOps.keyJoin(Tables.events(s, dir))),
     "q_asof_join" -> ((s, dir) => SessionOps.asofJoin(Tables.events(s, dir))),
+    "q_lag_delta" -> ((s, dir) => SessionOps.lagDelta(Tables.events(s, dir))),
     // --- geometry (§2 rows 15, 17, 18) ---
     "q_pitch_geometry" -> ((s, dir) => GeometryOps.pitchGeometry(Tables.events(s, dir))),
     "q_pass_segments" -> ((s, dir) => GeometryOps.passSegments(Tables.events(s, dir))),
@@ -74,6 +75,7 @@ object SparkEntry {
     "q_ngram_counts" -> ((s, dir) => CorpusOps.ngramCounts(Tables.documents(s, dir))),
     "q_tfidf" -> ((s, dir) => CorpusOps.tfidf(Tables.documents(s, dir))),
     "q_rollup" -> ((s, dir) => CorpusOps.rollup(Tables.documents(s, dir))),
+    "q_cube" -> ((s, dir) => CorpusOps.cube(Tables.documents(s, dir))),
     "q_corpus_filter" -> ((s, dir) => CorpusOps.corpusFilter(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 row 35) ---
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),

@@ -100,6 +100,16 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"))
 
+  /** §2-48 `q_cube`: CUBE over (source, lang) — every grouping-set
+    * combination incl. the lang-only marginals ROLLUP lacks, still ONE
+    * pass (single Expand ×4 + one shuffle). Same null-ordering contract
+    * as [[rollup]]. */
+  def cube(documents: DataFrame): DataFrame =
+    documents
+      .cube(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"))
+
   /** Quality threshold for the keep-set filter. */
   val QualityTau = 0.5
 
@@ -180,6 +190,12 @@ object CorpusOps {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |GROUP BY ROLLUP (source, lang)
+        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY CUBE (source, lang)
         |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
     "q_corpus_filter" -> {
       val langScores = TextOps.Markers.map { case (l, ws) =>

@@ -126,7 +126,32 @@ object SessionOps {
       .orderBy("p_id")
   }
 
+  /** §2-49 `q_lag_delta`: per-event deltas vs the user's previous event
+    * (time gap + value change) — the lead/lag feature-engineering shape.
+    * ONE shuffle on user_id; both lags share the same window sort. Unlike
+    * the other windows this one runs over RAW events — the honest cost of
+    * row-level sequential features at 100 TB is exactly this one
+    * co-partitioned sort, same as [[sessionize]]. */
+  def lagDelta(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), EventCols.us, col("value"))
+      .withColumn("gap_sec",
+        (col("us") - lag(col("us"), 1).over(w)) / 1000000.0)
+      .withColumn("value_delta", col("value") - lag(col("value"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("gap_sec"),
+        col("value_delta"))
+      .orderBy("user_id", "event_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_lag_delta" ->
+      s"""SELECT user_id, event_id,
+         |  (${S.us} - lag(${S.us}) OVER w) / 1000000.0 AS gap_sec,
+         |  value - lag(value) OVER w AS value_delta
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ${S.us}, event_id)
+         |ORDER BY user_id, event_id""".stripMargin,
     "q_asof_join" ->
       s"""WITH t AS (
          |  SELECT user_id, event_id, ${S.us} AS us,

@@ -51,6 +51,27 @@ class CorpusOpsSpec extends SparkSpec {
       grand.head.getAs[Long]("sum_chars"))
   }
 
+  test("cube adds the lang-only marginals rollup lacks, consistently") {
+    val rows = CorpusOps.cube(docs).collect()
+    val langOnly = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+    assert(langOnly.nonEmpty)
+    assert(langOnly.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.head.getAs[Long]("n_docs") == docs.count())
+  }
+
+  test("lagDelta: first event per user has null deltas, gaps non-negative") {
+    val rows = graft.operators.SessionOps.lagDelta(events).collect()
+    assert(rows.length == events.count())
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { rs =>
+      // output is ordered user_id, event_id; first-in-time row is the null one
+      assert(rs.count(_.isNullAt(2)) == 1)
+      rs.filterNot(_.isNullAt(2)).foreach(r =>
+        assert(r.getAs[Double]("gap_sec") >= 0.0))
+    }
+  }
+
   test("corpusFilter keeps only en-classified, high-quality dedup reps") {
     val kept = CorpusOps.corpusFilter(docs).collect()
     assert(kept.nonEmpty)
