@@ -183,44 +183,67 @@ object DedupOps {
     // lineage each round — the standard move for iterative graph
     // algorithms (on a long-running cluster job, a reliable checkpoint
     // dir makes this restart-safe too).
+    val dbg = sys.env.contains("GRAFT_DEBUG_CLUSTERS")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      println(f"  [clusters] $tag: ${(now - t0) / 1e9}%.3f s")
+      t0 = now
+    }
     // materialize the pair set ONCE (the union below would otherwise run
     // the whole MinHash pipeline twice — once per branch)
     val p = pairs.localCheckpoint(true)
+    lap("minhash pairs")
     val edges = p.union(p.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .localCheckpoint(true)
     var labels = documents.select(col("doc_id"),
-      col("doc_id").as("cluster_id")).localCheckpoint(true)
+      col("doc_id").as("cluster_id"),
+      col("doc_id").as("prev")).localCheckpoint(true)
+
+    // One propagation step: neighbor-min, then pointer jump (follow the
+    // label's label). Plain neighbor-min needs O(path length) rounds on
+    // chain-shaped components (A≈B≈C≈… happens whenever near-dups drift
+    // gradually); compressing one hop per step makes the propagation
+    // distance DOUBLE → O(log diameter). cluster_id is always a valid
+    // doc_id, so the jump self-join is total. `prev` (the label at round
+    // start) rides along so the convergence check is a narrow scan of
+    // the checkpoint, not another shuffle join.
+    def step(lbl: DataFrame): DataFrame = {
+      val compact = lbl.select(col("doc_id").as("n_id"),
+        col("cluster_id").as("n_cl"))
+      val neighborMin = edges
+        .join(compact, edges("dst") === col("n_id"))
+        .groupBy(col("src"))
+        .agg(min(col("n_cl")).as("nmin"))
+      val stepped = lbl
+        .join(neighborMin, lbl("doc_id") === neighborMin("src"), "left")
+        .select(lbl("doc_id").as("doc_id"),
+          least(lbl("cluster_id"), coalesce(col("nmin"), lbl("cluster_id")))
+            .as("cluster_id"),
+          lbl("prev").as("prev"))
+      val jumpTo = stepped.select(col("doc_id").as("j_id"),
+        col("cluster_id").as("j_cl"))
+      stepped
+        .join(jumpTo, stepped("cluster_id") === col("j_id"))
+        .select(stepped("doc_id").as("doc_id"), col("j_cl").as("cluster_id"),
+          stepped("prev").as("prev"))
+    }
+
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src"))
-        .agg(min(col("cluster_id")).as("nmin"))
-      val stepped = labels
-        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-        .select(labels("doc_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("mid"),
-          col("cluster_id").as("prev"))
-      // pointer jumping: follow the label's label. Plain neighbor-min
-      // needs O(path length) rounds on chain-shaped components (A≈B≈C≈…
-      // happens whenever near-dups drift gradually); compressing one hop
-      // per round makes the propagation distance DOUBLE per round →
-      // O(log diameter). mid is always a valid doc_id, so the self-join
-      // is total. `prev` rides along so the convergence check below is a
-      // narrow scan of the checkpoint, not another shuffle join.
-      val next = stepped.as("x")
-        .join(stepped.as("y"), col("x.mid") === col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_id"),
-          col("y.mid").as("cluster_id"), col("x.prev").as("prev"))
-        .localCheckpoint(true)
+      // one step per materialized round — batching two steps per
+      // checkpoint was measured SLOWER (deeper per-round plans cost more
+      // in planning/codegen than the saved checkpoint+count jobs)
+      val next = step(labels).localCheckpoint(true)
       changed = next.filter(col("cluster_id") < col("prev")).count()
-      labels = next.select(col("doc_id"), col("cluster_id"))
+      labels = next.select(col("doc_id"), col("cluster_id"),
+        col("cluster_id").as("prev"))
       iter += 1
+      lap(s"round $iter (changed=$changed)")
     }
-    labels.orderBy("doc_id")
+    labels.select(col("doc_id"), col("cluster_id")).orderBy("doc_id")
   }
 
   /** §2-28 `q_dedup_embedding`: blocked cosine near-dup pairs (cos ≥ τ).

@@ -125,6 +125,16 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** §2-C stream-static enrichment: join the unbounded stream against a
+    * bounded dimension. The static side is re-read per micro-batch (so a
+    * slowly-changing dim refreshes without restarting the query) and
+    * broadcast — no stream-side state at all, unlike a stream-stream
+    * join. This is the dimension-enrichment shape of `q_revenue_nation`
+    * on a live stream; at 100 TB/day the stream never shuffles. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** §2-C streaming twin of `SessionOps.windowAfter`: stream-stream
     * interval join — for each type-A event, the type-B events of the same
     * user within `band` after it. Watermarks on BOTH sides bound the join

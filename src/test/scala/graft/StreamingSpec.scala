@@ -121,6 +121,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream joins a static dim with no stream-side shuffle state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = EventStream.enrichStream(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      input.addData(
+        Event(new Timestamp(base), 1L, "click", 1.0),
+        Event(new Timestamp(base + 1000), 3L, "view", 2.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enrich").collect()
+      assert(rows.length == 2)
+      assert(rows.find(_.getAs[Long]("user_id") == 1L)
+        .get.getAs[String]("tier") == "gold")
+      assert(rows.find(_.getAs[Long]("user_id") == 3L).get.isNullAt(
+        rows.head.fieldIndex("tier"))) // left join keeps unmatched stream rows
+    } finally q.stop()
+  }
+
   test("EventsJsonSource reads and flattens StatsBomb-shaped nested JSON") {
     val dir = Files.createTempDirectory("graft_json").toFile
     val json =
