@@ -42,24 +42,25 @@ object DedupOps {
 
   /** §2-25 `q_dedup_minhash`: MinHash signatures + LSH band join.
     *
-    * The K-slice signature is computed ENTIRELY row-level: one md5 per
-    * char-8-gram via `transform` over the position array, then K
-    * `array_min`s over hex slices — no explode, no shuffle, stays in one
-    * codegen stage per doc (at 100 TB the signature pass is a pure map).
-    * Only the B band keys shuffle (explode → self-join on (band, key));
-    * candidate pairs are bounded by real LSH collisions, never n². On a
-    * cluster the band key becomes the shuffle key; AQE handles hot
-    * buckets. */
+    * The K-slice signature is computed ENTIRELY row-level in ONE pass by
+    * the native `minhash_slices` expression (graft.plans.MinhashSlices:
+    * md5 per char-8-gram, band minima tracked as primitive ints — the
+    * HOF `transform`+`array_min` formulation allocates a 32-char hex
+    * string per position and runs interpreted; bit-identical result,
+    * asserted in TextHashExprSpec). No explode, no shuffle: at 100 TB
+    * the signature pass is a pure map. Only the B band keys shuffle
+    * (explode → self-join on (band, key)); candidate pairs are bounded
+    * by real LSH collisions, never n². On a cluster the band key becomes
+    * the shuffle key; AQE handles hot buckets. */
   def dedupMinhash(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
     val sig = spread(documents)
       .filter(length(TextFuns.norm(col("text"))) >= 8)
-      .select(col("doc_id"), TextFuns.norm(col("text")).as("t"))
-      .withColumn("md5s", expr(
-        "transform(sequence(0, length(t) - 8), " +
-          "p -> md5(cast(substring(t, p + 1, 8) as binary)))"))
+      .select(col("doc_id"),
+        call_function("minhash_slices", TextFuns.norm(col("text")), lit(8))
+          .as("sig"))
       .select(col("doc_id") +: (0 until MinhashK).map(i =>
-        array_min(transform(col("md5s"),
-          h => substring(h, 8 * i + 1, 8))).as(s"mh$i")): _*)
+        col("sig").getItem(i).as(s"mh$i")): _*)
     val bands = sig.select(col("doc_id"), explode(array((0 until Bands).map(b =>
       struct(lit(b).as("band"),
         concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))): _*)).as("bk"))

@@ -118,19 +118,22 @@ object TextOps {
   /** §2-34 `q_fingerprint`: winnowing-style document fingerprint — the
     * minimum md5 over char 16-gram shingles (the min-hash member of the
     * winnowing window family), plus the shingle count. Computed entirely
-    * row-level (`transform` + `array_min` over the position array): no
+    * row-level in ONE pass by the native `fingerprint_min` expression
+    * (graft.plans.FingerprintMin — minimum tracked on raw digest bytes,
+    * bit-identical to the `transform`+`array_min` HOF formulation, which
+    * allocated a hex string per position and ran interpreted): no
     * explode, no shuffle — a pure map over the corpus. */
-  def fingerprint(documents: DataFrame): DataFrame =
+  def fingerprint(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
     documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism)
       .filter(length(TextFuns.norm(col("text"))) >= 16)
       .select(col("doc_id"), TextFuns.norm(col("text")).as("t"))
       .select(col("doc_id"),
-        array_min(expr(
-          "transform(sequence(0, length(t) - 16), " +
-            "p -> md5(cast(substring(t, p + 1, 16) as binary)))")).as("fingerprint"),
+        call_function("fingerprint_min", col("t"), lit(16)).as("fingerprint"),
         (length(col("t")) - 15).cast("long").as("n_shingles"))
       .orderBy("doc_id")
+  }
 
   private val normSql = "lower(trim(text))"
   private val toksSql = s"string_split($normSql, ' ')"

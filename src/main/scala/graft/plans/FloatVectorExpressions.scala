@@ -134,7 +134,15 @@ object GraftFunctions {
       (es: Seq[Expression]) => FloatDot(es(0), es(1))),
     (FunctionIdentifier("float_norm"),
       new ExpressionInfo(classOf[FloatNorm].getName, "float_norm"),
-      (es: Seq[Expression]) => FloatNorm(es(0))))
+      (es: Seq[Expression]) => FloatNorm(es(0))),
+    (FunctionIdentifier("minhash_slices"),
+      new ExpressionInfo(classOf[MinhashSlices].getName, "minhash_slices"),
+      (es: Seq[Expression]) => MinhashSlices(es(0),
+        es(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("fingerprint_min"),
+      new ExpressionInfo(classOf[FingerprintMin].getName, "fingerprint_min"),
+      (es: Seq[Expression]) => FingerprintMin(es(0),
+        es(1).eval().asInstanceOf[Number].intValue())))
 
   /** Idempotently register on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -1,0 +1,157 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared digest loop for the text-hashing native expressions.
+  *
+  * Contract (oracle compatibility): shingles are CHARACTER n-grams of the
+  * input (Spark `substring` semantics), hashed as their UTF-8 bytes with
+  * md5 — identical to `md5(cast(substring(t, p+1, n) as binary))`. "Min
+  * hash-slice" compares the lowercase-hex slice lexicographically, which
+  * for fixed-width hex equals unsigned numeric order of the underlying
+  * digest bytes — so minima are tracked as primitive ints/byte arrays and
+  * the hex string is materialized ONCE at the end, not per shingle. The
+  * HOF formulation allocates a 32-char hex string per position; at
+  * corpus scale that allocation (and the interpreted lambda around it)
+  * is the whole profile.
+  */
+object GraftHash {
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** md5 digest of character shingle [p, p+n) of `t`, ASCII fast path. */
+  private def shingleDigest(md: MessageDigest, t: UTF8String,
+                            bytes: Array[Byte], ascii: Boolean,
+                            p: Int, n: Int): Array[Byte] = {
+    if (ascii) md.update(bytes, p, n)
+    else md.update(t.substring(p, p + n).getBytes)
+    md.digest()
+  }
+
+  /** The K=4 band minima of 8-hex-char md5 slices over char `nGram`-grams
+    * — the MinHash signature of `DedupOps.dedupMinhash`, one pass, no
+    * per-shingle allocation on ASCII text. Returns null when the text is
+    * shorter than one shingle. */
+  def minhashSlices(t: UTF8String, nGram: Int): ArrayData = {
+    val nChars = t.numChars()
+    if (nChars < nGram) return null
+    val bytes = t.getBytes
+    val ascii = bytes.length == nChars
+    val md = mdLocal.get()
+    val mins = Array.fill(4)(0xFFFFFFFFFFFFFFFFL >>> 32) // max unsigned 32-bit
+    var p = 0
+    while (p <= nChars - nGram) {
+      val d = shingleDigest(md, t, bytes, ascii, p, nGram)
+      var i = 0
+      while (i < 4) {
+        val v = ((d(4 * i) & 0xffL) << 24) | ((d(4 * i + 1) & 0xffL) << 16) |
+          ((d(4 * i + 2) & 0xffL) << 8) | (d(4 * i + 3) & 0xffL)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(
+      mins.map(v => UTF8String.fromString(f"$v%08x"): Any))
+  }
+
+  /** The lexicographic minimum full md5 hex over char `nGram`-grams — the
+    * winnowing-style fingerprint of `TextOps.fingerprint`. Minimum is
+    * tracked on the 16 raw digest bytes (unsigned compare ≡ hex-string
+    * order); hex is materialized once. Null below one shingle. */
+  def fingerprintMin(t: UTF8String, nGram: Int): UTF8String = {
+    val nChars = t.numChars()
+    if (nChars < nGram) return null
+    val bytes = t.getBytes
+    val ascii = bytes.length == nChars
+    val md = mdLocal.get()
+    var min: Array[Byte] = null
+    var p = 0
+    while (p <= nChars - nGram) {
+      val d = shingleDigest(md, t, bytes, ascii, p, nGram)
+      if (min == null || unsignedLess(d, min)) min = d
+      p += 1
+    }
+    val sb = new java.lang.StringBuilder(32)
+    min.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+}
+
+/** `minhash_slices(text, nGram)` → array of the 4 band-minimum 8-hex-char
+  * md5 slices (see [[GraftHash.minhashSlices]]). */
+case class MinhashSlices(child: Expression, nGram: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true // short input → null
+  override def prettyName: String = "minhash_slices"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.minhashSlices(input.asInstanceOf[UTF8String], nGram)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.GraftHash.minhashSlices($c, $nGram);
+         |${ev.isNull} = ${ev.value} == null;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSlices =
+    copy(child = newChild)
+}
+
+/** `fingerprint_min(text, nGram)` → lexicographic minimum md5 hex over the
+  * char n-gram shingles (see [[GraftHash.fingerprintMin]]). */
+case class FingerprintMin(child: Expression, nGram: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.sql}")
+    }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fingerprint_min"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.fingerprintMin(input.asInstanceOf[UTF8String], nGram)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.GraftHash.fingerprintMin($c, $nGram);
+         |${ev.isNull} = ${ev.value} == null;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FingerprintMin =
+    copy(child = newChild)
+}
