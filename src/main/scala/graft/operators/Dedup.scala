@@ -85,21 +85,20 @@ object DedupOps {
   /** Width-parameterized SimHash (md5's 32 hex digits give up to 32 bit
     * parities). 16 bits for the §2-26 fingerprint; 32 for pair mining,
     * where a denser space would drown the blocking join in false
-    * candidates. */
+    * candidates.
+    *
+    * Computed by the native `simhash_fp` expression in ONE row-level pass
+    * (graft.plans.SimhashFp) — the explode + 32-bit-sum aggregation it
+    * replaces shuffled every token; this shuffles NOTHING (the
+    * fingerprint map is embarrassingly parallel at any scale).
+    * Bit-identical by construction (integer parity sums), asserted in
+    * TextHashExprSpec. */
   def simhashFingerprints(documents: DataFrame, bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 32, s"bits=$bits out of md5 hex range")
-    val toks = spread(documents).select(col("doc_id"),
-      explode(TextFuns.tokens(col("text"))).as("tok"))
-      .withColumn("h", md5(col("tok").cast("binary")))
-    val sumExprs = (0 until bits).map(b =>
-      sum(TextFuns.simhashWeight(col("h"), b)).as(s"s$b"))
-    val weights = toks.groupBy(col("doc_id"))
-      .agg(sumExprs.head, sumExprs.tail: _*)
-    weights
-      .select(col("doc_id"),
-        (0 until bits).map(b =>
-          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    spread(documents).select(col("doc_id"),
+      call_function("simhash_fp", TextFuns.norm(col("text")), lit(bits))
+        .as("simhash"))
   }
 
   /** §2-26b `q_dedup_simhash_pairs`: near-dup pairs by SimHash Hamming

@@ -142,6 +142,10 @@ object GraftFunctions {
     (FunctionIdentifier("fingerprint_min"),
       new ExpressionInfo(classOf[FingerprintMin].getName, "fingerprint_min"),
       (es: Seq[Expression]) => FingerprintMin(es(0),
+        es(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimhashFp].getName, "simhash_fp"),
+      (es: Seq[Expression]) => SimhashFp(es(0),
         es(1).eval().asInstanceOf[Number].intValue())))
 
   /** Idempotently register on an existing session. */

@@ -94,6 +94,46 @@ object GraftHash {
     }
     false
   }
+
+  /** SimHash fingerprint over whitespace tokens in ONE pass — the
+    * explode-free twin of `DedupOps.simhashFingerprints`' explode +
+    * 32-sum aggregation. Token split replicates Spark
+    * `split(t, " ")` exactly: single-space separators, EMPTY tokens kept
+    * (incl. leading/trailing) — byte-level split on 0x20 is exact for
+    * UTF-8. Weight for bit b is the parity of hex digit b of the token's
+    * md5 (= low bit of nibble b of the digest); fingerprint bit b is set
+    * iff the signed sum over tokens is positive. All-integer math —
+    * bit-identical to the aggregation formulation by construction,
+    * asserted in TextHashExprSpec. */
+  def simhashFp(t: UTF8String, bits: Int): Long = {
+    val md = mdLocal.get()
+    val bytes = t.getBytes
+    val n = bytes.length
+    val sums = new Array[Int](bits)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        var b = 0
+        while (b < bits) {
+          val bit = if ((b & 1) == 0) (d(b >> 1) >> 4) & 1 else d(b >> 1) & 1
+          sums(b) += (if (bit == 1) 1 else -1)
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) {
+      if (sums(b) > 0) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
 }
 
 /** `minhash_slices(text, nGram)` → array of the 4 band-minimum 8-hex-char
@@ -123,6 +163,31 @@ case class MinhashSlices(child: Expression, nGram: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSlices =
+    copy(child = newChild)
+}
+
+/** `simhash_fp(text, bits)` → SimHash fingerprint long (see
+  * [[GraftHash.simhashFp]]). */
+case class SimhashFp(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 32, s"bits=$bits out of md5 hex range")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash_fp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.simhashFp(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHash.simhashFp($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashFp =
     copy(child = newChild)
 }
 

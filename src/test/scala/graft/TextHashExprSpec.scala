@@ -46,6 +46,45 @@ class TextHashExprSpec extends SparkSpec {
     assert(hof.exceptAll(native).count() == 0)
   }
 
+  test("simhash_fp matches the explode+bit-sum aggregation formulation") {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    // corpus rows PLUS adversarial token shapes: empty string, double
+    // spaces (empty tokens), leading/trailing spaces, unicode
+    val extra = Seq((9001L, "double  space"), (9002L, " leading"),
+      (9003L, "trailing "), (9004L, ""), (9005L, "héllo wörld"))
+      .toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"), col("text")).union(extra)
+      .select(col("doc_id"), TextFuns.norm(col("text")).as("t"))
+    for (bits <- Seq(16, 32)) {
+      val toks = base.select(col("doc_id"),
+        explode(split(col("t"), " ")).as("tok"))
+        .withColumn("h", md5(col("tok").cast("binary")))
+      val sumExprs = (0 until bits).map(b =>
+        sum(TextFuns.simhashWeight(col("h"), b)).as(s"s$b"))
+      val hof = toks.groupBy(col("doc_id"))
+        .agg(sumExprs.head, sumExprs.tail: _*)
+        .select(col("doc_id"),
+          (0 until bits).map(b =>
+            when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+      val native = base.select(col("doc_id"),
+        call_function("simhash_fp", col("t"), lit(bits)).as("simhash"))
+      assert(native.exceptAll(hof).count() == 0, s"bits=$bits")
+      assert(hof.exceptAll(native).count() == 0, s"bits=$bits")
+    }
+  }
+
+  test("q_dedup_simhash fingerprint map plans zero shuffles") {
+    val df = graft.operators.DedupOps.simhashFingerprints(docs, bits = 16)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange") ||
+      // the deliberate spread() repartition is the only allowed Exchange
+      p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) <= 1, p)
+    assert(!p.contains("Generate"), p) // no explode anywhere
+  }
+
   test("text-hash expressions survive both codegen and interpreted eval") {
     import graft.plans.{FingerprintMin, MinhashSlices}
     import org.apache.spark.sql.catalyst.expressions.Literal
