@@ -121,8 +121,11 @@ case class FloatNorm(child: Expression)
   * sessions built elsewhere (tests, the driver's own session).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    // HOF dot/norm → native codegen expressions (bit-identical rewrite)
+    ext.injectOptimizerRule(_ => RewriteHofVectorOps)
+  }
 }
 
 object GraftFunctions {

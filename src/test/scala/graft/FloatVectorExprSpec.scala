@@ -13,16 +13,61 @@ class FloatVectorExprSpec extends SparkSpec {
 
   test("FloatDot / FloatNorm match the higher-order-function arithmetic exactly") {
     GraftFunctions.register(spark)
+    // exclude the rewrite rule so the HOF side really runs the HOF fold
+    // (RewriteHofVectorOps would otherwise turn both sides native)
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.plans.RewriteHofVectorOps")
+    try {
+      val e = Tables.embeddings(spark, sfDir)
+      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .limit(500)
+        .select(
+          VectorFuns.dot(col("a.embedding"), col("b.embedding")).as("hof_dot"),
+          VectorFuns.dotNative(col("a.embedding"), col("b.embedding")).as("nat_dot"),
+          VectorFuns.l2norm(col("a.embedding")).as("hof_norm"),
+          VectorFuns.l2normNative(col("a.embedding")).as("nat_norm"))
+      // the exclusion must actually have kept the HOF fold in the plan
+      val p = pairs.queryExecution.optimizedPlan.toString
+      assert(p.contains("aggregate("), p)
+      assert(pairs.filter(col("hof_dot") =!= col("nat_dot")).count() == 0)
+      assert(pairs.filter(col("hof_norm") =!= col("nat_norm")).count() == 0)
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  test("RewriteHofVectorOps turns the HOF dot/norm into native expressions") {
+    GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .limit(500)
-      .select(
-        VectorFuns.dot(col("a.embedding"), col("b.embedding")).as("hof_dot"),
-        VectorFuns.dotNative(col("a.embedding"), col("b.embedding")).as("nat_dot"),
-        VectorFuns.l2norm(col("a.embedding")).as("hof_norm"),
-        VectorFuns.l2normNative(col("a.embedding")).as("nat_norm"))
-    assert(pairs.filter(col("hof_dot") =!= col("nat_dot")).count() == 0)
-    assert(pairs.filter(col("hof_norm") =!= col("nat_norm")).count() == 0)
+    val df = e.select(
+      VectorFuns.dot(col("embedding"), col("embedding")).as("d"),
+      VectorFuns.l2norm(col("embedding")).as("n"))
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("float_dot"), p)
+    assert(p.contains("float_norm"), p)
+    assert(!p.contains("zip_with"), p)
+    // and the rewritten plan computes the same values as the native calls
+    val direct = e.select(
+      VectorFuns.dotNative(col("embedding"), col("embedding")).as("d"),
+      VectorFuns.l2normNative(col("embedding")).as("n"))
+    assert(df.exceptAll(direct).count() == 0)
+  }
+
+  test("RewriteHofVectorOps leaves non-matching folds untouched") {
+    import spark.implicits._
+    // double arrays (not float): must NOT rewrite — FloatDot reads floats
+    val dd = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val df = dd.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v).as("d"))
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("float_dot"), p)
+    assert(df.head().getDouble(0) == 11.0)
+    // non-zero seed: must NOT rewrite
+    val e = Tables.embeddings(spark, sfDir).limit(5)
+    val seeded = e.select(aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(1.0), (acc, v) => acc + v).as("d"))
+    assert(!seeded.queryExecution.optimizedPlan.toString.contains("float_dot"))
   }
 
   test("native expressions survive both codegen and interpreted eval") {
