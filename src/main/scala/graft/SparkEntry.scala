@@ -77,6 +77,8 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => CorpusOps.rollup(Tables.documents(s, dir))),
     "q_cube" -> ((s, dir) => CorpusOps.cube(Tables.documents(s, dir))),
     "q_corpus_filter" -> ((s, dir) => CorpusOps.corpusFilter(Tables.documents(s, dir))),
+    "q_contamination" -> ((s, dir) => CorpusOps.contamination(Tables.documents(s, dir))),
+    "q_repetition" -> ((s, dir) => CorpusOps.repetition(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 row 35) ---
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---

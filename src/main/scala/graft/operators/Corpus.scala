@@ -141,10 +141,80 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark probes for the decontamination scan — in production this
+    * is the eval-set n-gram list; here a deterministic sample of corpus
+    * phrases. */
+  val Probes: Seq[String] =
+    Seq("fast slow filter", "window batch", "the spark table")
+
+  /** §2-50 `q_contamination`: benchmark decontamination — find documents
+    * containing any probe string (eval-set leakage scan). The probe set
+    * broadcasts (it is KB even for real eval suites); the scan is one
+    * pass with a codegen'd `contains` per probe — no shuffle, no index.
+    * At 100 TB this is the canonical "grep the corpus for the test set"
+    * job: cost is exactly one read. */
+  def contamination(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val probes = Probes.toDF("probe")
+    documents
+      .join(broadcast(probes),
+        contains(TextFuns.norm(col("text")), col("probe")))
+      .select(col("doc_id"), col("probe"))
+      .orderBy("doc_id", "probe")
+  }
+
+  /** §2-51 `q_repetition`: within-document repetition score — the share
+    * of the document's trigram occurrences taken by its MOST repeated
+    * trigram (the Gopher-style repetition quality rule: boilerplate and
+    * degenerate text repeat). One explode + one (doc, shingle) agg + one
+    * per-doc max — all partial-aggregatable; ratio of exact ints. */
+  def repetition(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("doc_id"), TextFuns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("ngram"))
+      .groupBy(col("doc_id"), col("ngram"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_ngrams"))
+      .select(col("doc_id"), col("max_rep"),
+        col("n_ngrams").cast("bigint").as("n_ngrams"),
+        (col("max_rep") * 1.0 / col("n_ngrams")).as("rep_share"))
+      .orderBy("doc_id")
+  }
+
   private val normSql = "lower(trim(text))"
   private val toksSql = s"string_split($normSql, ' ')"
 
   val oracles: Map[String, String] = Map(
+    "q_contamination" -> {
+      val values = Probes.map(p => s"('$p')").mkString(", ")
+      s"""SELECT doc_id, probe
+         |FROM documents
+         |JOIN (VALUES $values) AS t(probe)
+         |  ON contains($normSql, probe)
+         |ORDER BY doc_id, probe""".stripMargin
+    },
+    "q_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS ts FROM documents
+         |), sh AS (
+         |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ngram
+         |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+         |        FROM toks WHERE len(ts) >= 3)
+         |), counts AS (
+         |  SELECT doc_id, ngram, COUNT(*) AS c FROM sh GROUP BY doc_id, ngram
+         |)
+         |SELECT doc_id, MAX(c) AS max_rep,
+         |  CAST(SUM(c) AS BIGINT) AS n_ngrams,
+         |  MAX(c) * 1.0 / CAST(SUM(c) AS BIGINT) AS rep_share
+         |FROM counts
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "q_sample" ->
       s"""SELECT doc_id, lang, source
          |FROM documents

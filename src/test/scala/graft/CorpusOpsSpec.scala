@@ -72,6 +72,28 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("contamination finds exactly the docs containing a probe, no shuffle") {
+    val hits = CorpusOps.contamination(docs).collect()
+    val probed = docs.filter(
+      CorpusOps.Probes.map(p => lower(trim(col("text"))).contains(p))
+        .reduce(_ || _)).count()
+    assert(hits.map(_.getAs[Long]("doc_id")).distinct.length == probed)
+    val p = CorpusOps.contamination(docs).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("repetition: shares in (0,1], max_rep consistent with counts") {
+    val rows = CorpusOps.repetition(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("rep_share")
+      assert(share > 0.0 && share <= 1.0)
+      assert(r.getAs[Long]("max_rep") <= r.getAs[Long]("n_ngrams"))
+    }
+  }
+
   test("corpusFilter keeps only en-classified, high-quality dedup reps") {
     val kept = CorpusOps.corpusFilter(docs).collect()
     assert(kept.nonEmpty)
