@@ -119,6 +119,23 @@ object StatsOps {
       .orderBy("user_id", "rk")
   }
 
+  /** §2-52 `q_ntile`: decile assignment of each user's daily purchase
+    * values within their own history — the quantile-bucketed feature
+    * (spend-decile) shape. Window over the post-agg daily frame with a
+    * FULL tie-break order (value, then day), so the NTILE assignment is
+    * deterministic and engine-portable. */
+  def ntileDeciles(events: DataFrame, n: Int = 10): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), EventCols.day)
+      .agg(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(0.0).cast(d18)).cast("double").as("purchase_value"))
+    daily
+      .withColumn("decile", ntile(n).over(
+        Window.partitionBy("user_id")
+          .orderBy(col("purchase_value").asc, col("day").asc)))
+      .orderBy("user_id", "day")
+  }
+
   /** §2-16 `q_position_counts`: most-common value per entity (mode;
     * reference core/pedri_profile.py `Counter.most_common` over positions).
     * Count-agg then a row_number over the tiny (entity × type) frame. */
@@ -166,6 +183,17 @@ object StatsOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_ntile" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, ${S.day} AS day,
+         |    CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+         |  FROM events GROUP BY user_id, ${S.day}
+         |)
+         |SELECT user_id, day, purchase_value,
+         |  CAST(ntile(10) OVER (PARTITION BY user_id
+         |    ORDER BY purchase_value ASC, day ASC) AS INTEGER) AS decile
+         |FROM daily
+         |ORDER BY user_id, day""".stripMargin,
     "q_topk_per_group" ->
       s"""WITH daily AS (
          |  SELECT user_id, ${S.day} AS day,
