@@ -14,7 +14,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Generic accessor — routes `events` through its typed reader (the raw
+    * parquet stores INT64 TIMESTAMP(NANOS), which the default reader
+    * rejects; see [[events]]), everything else reads directly. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else raw(spark, dir, name)
+
+  private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Persist a fact table bucketed (and sorted) by its join key.
@@ -45,7 +52,7 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
+    raw(spark, dir, "events")
       // keep the RAW nano column: predicates on `ts_ns` are plain long
       // comparisons on a stored column, so they push down to the parquet
       // scan (row-group/page skipping) — predicates on the derived

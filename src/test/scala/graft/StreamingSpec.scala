@@ -121,6 +121,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedCounts drops data later than the watermark (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedCounts(input.toDF(),
+      windowLen = "1 hour", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("wm").outputMode("append").start()
+    try {
+      input.addData(Event(new Timestamp(base), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far past the 10:00 window + watermark → closes it
+      input.addData(Event(new Timestamp(base + 4 * 3600000), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // this event is 4h late — behind the watermark, must be DROPPED
+      input.addData(Event(new Timestamp(base + 60000), 1L, "click", 99.0))
+      q.processAllAvailable()
+      // nudge the watermark so any (incorrect) state would flush
+      input.addData(Event(new Timestamp(base + 5 * 3600000), 2L, "view", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("wm").collect()
+        .filter(_.getAs[Timestamp]("window_start").getTime == base)
+      assert(closed.length == 1)
+      assert(closed.head.getAs[Long]("n") == 1L) // late event not counted
+    } finally q.stop()
+  }
+
   test("enrichStream joins a static dim with no stream-side shuffle state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
