@@ -38,18 +38,24 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** One row per token-trigram OCCURRENCE: (doc_id, ngram). The single
+    * shingle definition shared by [[ngramCounts]] and [[repetition]] (and
+    * mirrored once in [[trigramSql]] for their oracles). */
+  private def tokenTrigrams(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), TextFuns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("ngram"))
+
   /** §2-37 `q_ngram_counts`: corpus-wide token-trigram frequencies, top 50
     * with deterministic ties. The explode shuffles (shingle → count)
     * partials only; the final top-N is TakeOrderedAndProject. This is the
     * vocabulary/contamination-scan shape: at 100 TB the agg key space is
     * the distinct-shingle set, bounded by vocabulary, not corpus size. */
   def ngramCounts(documents: DataFrame, topK: Int = 50): DataFrame =
-    documents
-      .select(col("doc_id"), TextFuns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(explode(expr(
-        "transform(sequence(1, size(toks) - 2), " +
-          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("ngram"))
+    tokenTrigrams(documents)
       .groupBy("ngram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram").asc)
@@ -93,22 +99,32 @@ object CorpusOps {
     * and exact char sums per (source, lang), per source, and grand total
     * in ONE pass via ROLLUP (Spark plans a single Expand + one shuffle;
     * no re-scan per granularity). The per-source/per-language mix report
-    * every dataset card needs. */
+    * every dataset card needs. `gid` (grouping_id) marks which level a
+    * row belongs to — without it a genuine NULL data value would be
+    * indistinguishable from a subtotal row (and the ordered compare
+    * nondeterministic); it also joins the sort key for exactly that
+    * reason. */
   def rollup(documents: DataFrame): DataFrame =
     documents
       .rollup(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-      .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("source"), col("lang"), col("gid"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"), col("gid"))
 
   /** §2-48 `q_cube`: CUBE over (source, lang) — every grouping-set
     * combination incl. the lang-only marginals ROLLUP lacks, still ONE
-    * pass (single Expand ×4 + one shuffle). Same null-ordering contract
-    * as [[rollup]]. */
+    * pass (single Expand ×4 + one shuffle). Same null-disambiguation
+    * (`gid`) and ordering contract as [[rollup]]. */
   def cube(documents: DataFrame): DataFrame =
     documents
       .cube(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-      .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("source"), col("lang"), col("gid"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"), col("gid"))
 
   /** Quality threshold for the keep-set filter. */
   val QualityTau = 0.5
@@ -158,8 +174,10 @@ object CorpusOps {
     import spark.implicits._
     val probes = Probes.toDF("probe")
     documents
-      .join(broadcast(probes),
-        contains(TextFuns.norm(col("text")), col("probe")))
+      // normalize ONCE per row, not once per (row, probe) inside the
+      // nested-loop condition
+      .select(col("doc_id"), TextFuns.norm(col("text")).as("t"))
+      .join(broadcast(probes), contains(col("t"), col("probe")))
       .select(col("doc_id"), col("probe"))
       .orderBy("doc_id", "probe")
   }
@@ -170,12 +188,7 @@ object CorpusOps {
     * degenerate text repeat). One explode + one (doc, shingle) agg + one
     * per-doc max — all partial-aggregatable; ratio of exact ints. */
   def repetition(documents: DataFrame): DataFrame = {
-    val counts = documents
-      .select(col("doc_id"), TextFuns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 2), " +
-          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("ngram"))
+    val counts = tokenTrigrams(documents)
       .groupBy(col("doc_id"), col("ngram"))
       .agg(count(lit(1)).as("c"))
     counts
@@ -190,6 +203,17 @@ object CorpusOps {
   private val normSql = "lower(trim(text))"
   private val toksSql = s"string_split($normSql, ' ')"
 
+  /** DuckDB twin of [[tokenTrigrams]] — the shared shingle definition as
+    * a WITH-clause body producing `sh(doc_id, ngram)`. */
+  private val trigramSql: String =
+    s"""toks AS (
+       |  SELECT doc_id, $toksSql AS ts FROM documents
+       |), sh AS (
+       |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ngram
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+       |        FROM toks WHERE len(ts) >= 3)
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_contamination" -> {
       val values = Probes.map(p => s"('$p')").mkString(", ")
@@ -200,13 +224,7 @@ object CorpusOps {
          |ORDER BY doc_id, probe""".stripMargin
     },
     "q_repetition" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $toksSql AS ts FROM documents
-         |), sh AS (
-         |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ngram
-         |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
-         |        FROM toks WHERE len(ts) >= 3)
-         |), counts AS (
+      s"""WITH $trigramSql, counts AS (
          |  SELECT doc_id, ngram, COUNT(*) AS c FROM sh GROUP BY doc_id, ngram
          |)
          |SELECT doc_id, MAX(c) AS max_rep,
@@ -223,13 +241,7 @@ object CorpusOps {
          |        ELSE '${SampleBands("other")}' END)
          |ORDER BY doc_id""".stripMargin,
     "q_ngram_counts" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $toksSql AS ts FROM documents
-         |), sh AS (
-         |  SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ngram
-         |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
-         |        FROM toks WHERE len(ts) >= 3)
-         |)
+      s"""WITH $trigramSql
          |SELECT ngram, COUNT(*) AS n
          |FROM sh
          |GROUP BY ngram
@@ -256,17 +268,19 @@ object CorpusOps {
          |SELECT doc_id, top_term, tfidf FROM ranked WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
     "q_rollup" ->
-      """SELECT source, lang, COUNT(*) AS n_docs,
+      """SELECT source, lang, GROUPING(source, lang) AS gid,
+        |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |GROUP BY ROLLUP (source, lang)
-        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
+        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST, gid""".stripMargin,
     "q_cube" ->
-      """SELECT source, lang, COUNT(*) AS n_docs,
+      """SELECT source, lang, GROUPING(source, lang) AS gid,
+        |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |GROUP BY CUBE (source, lang)
-        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
+        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST, gid""".stripMargin,
     "q_corpus_filter" -> {
       val langScores = TextOps.Markers.map { case (l, ws) =>
         val in = ws.map(w => s"'$w'").mkString(", ")

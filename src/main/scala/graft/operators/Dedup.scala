@@ -57,8 +57,8 @@ object DedupOps {
     val sig = spread(documents)
       .filter(length(TextFuns.norm(col("text"))) >= 8)
       .select(col("doc_id"),
-        call_function("minhash_slices", TextFuns.norm(col("text")), lit(8))
-          .as("sig"))
+        call_function("minhash_slices", TextFuns.norm(col("text")), lit(8),
+          lit(MinhashK)).as("sig"))
       .select(col("doc_id") +: (0 until MinhashK).map(i =>
         col("sig").getItem(i).as(s"mh$i")): _*)
     val bands = sig.select(col("doc_id"), explode(array((0 until Bands).map(b =>
@@ -243,6 +243,11 @@ object DedupOps {
       iter += 1
       lap(s"round $iter (changed=$changed)")
     }
+    // a non-converged result is WRONG (labels are not component minima,
+    // pairs may split across clusters) — fail loudly, never return it
+    require(changed == 0,
+      s"dedupClusters did not converge within $maxIters rounds " +
+        s"($changed labels still changing) — raise maxIters")
     labels.select(col("doc_id"), col("cluster_id")).orderBy("doc_id")
   }
 

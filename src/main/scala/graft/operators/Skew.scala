@@ -20,7 +20,7 @@ object Skew {
     * surface `salts` times instead of once. */
   private val SupportedJoinTypes = Set(
     "inner", "cross", "left", "left_outer", "leftouter",
-    "left_semi", "leftsemi", "left_anti", "leftanti")
+    "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
 
   /** Equi-join `left ⋈ right` on `key`, salting the LEFT (large, skewed)
     * side into `salts` sub-keys and replicating the RIGHT side once per
@@ -46,8 +46,7 @@ object Skew {
       explode(sequence(lit(0L), lit((salts - 1).toLong))))
     val joined = l.join(r,
       l(key) === r(key) && l("_salt") === r("_salt"), jt)
-    if (jt == "left_semi" || jt == "leftsemi" ||
-        jt == "left_anti" || jt == "leftanti")
+    if (jt.contains("semi") || jt.contains("anti"))
       joined.drop("_salt") // semi/anti keep left columns only
     else
       joined.drop(l("_salt")).drop(r("_salt")).drop(r(key))

@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * float→double, multiplied in double, accumulated sequentially left to
   * right — exactly the HOF fold's arithmetic, so results are bit-identical
   * to the `zip_with`/`aggregate` formulation and the 6-dp-rounded DuckDB
-  * comparison is unchanged.
+  * comparison is unchanged. Edge inputs follow the HOF too: a null
+  * element, or unequal lengths (zip_with null-pads the shorter side),
+  * make the fold NULL — required for [[RewriteHofVectorOps]] to be a
+  * sound rewrite of arbitrary user SQL, not just the library's calls.
   */
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -32,15 +35,18 @@ case class FloatDot(left: Expression, right: Expression)
       s"$prettyName requires two array<float> arguments, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null element / length mismatch
   override def prettyName: String = "float_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -53,12 +59,17 @@ case class FloatDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
          |""".stripMargin
     })
 
@@ -78,6 +89,7 @@ case class FloatNorm(child: Expression)
         s"$prettyName requires array<float>, got ${other.sql}")
     }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null element → null, like the HOF
   override def prettyName: String = "float_norm"
 
   override protected def nullSafeEval(a: Any): Any = {
@@ -86,6 +98,7 @@ case class FloatNorm(child: Expression)
     var i = 0
     val n = x.numElements()
     while (i < n) {
+      if (x.isNullAt(i)) return null
       val v = x.getFloat(i).toDouble
       acc += v * v
       i += 1
@@ -103,10 +116,11 @@ case class FloatNorm(child: Expression)
          |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $v = (double) $a.getFloat($i);
          |  $acc += $v * $v;
          |}
-         |${ev.value} = java.lang.Math.sqrt($acc);
+         |if (!${ev.isNull}) ${ev.value} = java.lang.Math.sqrt($acc);
          |""".stripMargin
     })
 
@@ -131,6 +145,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 object GraftFunctions {
   type Descriptor = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  /** Second arguments of the text-hash functions must be integer
+    * LITERALS (they parameterize codegen) — anything else gets a clear
+    * analysis-time error instead of an eval() crash on an unresolved or
+    * null expression. */
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _)
+        if v != null => v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$fn requires a non-null integer literal second argument, got ${other.sql}")
+  }
+
   val descriptors: Seq[Descriptor] = Seq(
     (FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
@@ -141,15 +166,16 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_slices"),
       new ExpressionInfo(classOf[MinhashSlices].getName, "minhash_slices"),
       (es: Seq[Expression]) => MinhashSlices(es(0),
-        es(1).eval().asInstanceOf[Number].intValue())),
+        litInt(es(1), "minhash_slices"),
+        if (es.length > 2) litInt(es(2), "minhash_slices") else 4)),
     (FunctionIdentifier("fingerprint_min"),
       new ExpressionInfo(classOf[FingerprintMin].getName, "fingerprint_min"),
       (es: Seq[Expression]) => FingerprintMin(es(0),
-        es(1).eval().asInstanceOf[Number].intValue())),
+        litInt(es(1), "fingerprint_min"))),
     (FunctionIdentifier("simhash_fp"),
       new ExpressionInfo(classOf[SimhashFp].getName, "simhash_fp"),
       (es: Seq[Expression]) => SimhashFp(es(0),
-        es(1).eval().asInstanceOf[Number].intValue())))
+        litInt(es(1), "simhash_fp"))))
 
   /** Idempotently register on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -36,22 +36,25 @@ object GraftHash {
     md.digest()
   }
 
-  /** The K=4 band minima of 8-hex-char md5 slices over char `nGram`-grams
+  /** The `k` band minima of 8-hex-char md5 slices over char `nGram`-grams
     * — the MinHash signature of `DedupOps.dedupMinhash`, one pass, no
-    * per-shingle allocation on ASCII text. Returns null when the text is
+    * per-shingle allocation on ASCII text. md5's 32 hex chars bound k at
+    * 4 slices; a mismatched caller fails loudly instead of emitting
+    * silent nulls on out-of-range getItem. Returns null when the text is
     * shorter than one shingle. */
-  def minhashSlices(t: UTF8String, nGram: Int): ArrayData = {
+  def minhashSlices(t: UTF8String, nGram: Int, k: Int): ArrayData = {
+    require(k >= 1 && k <= 4, s"k=$k: md5 has 32 hex chars = at most 4 slices")
     val nChars = t.numChars()
     if (nChars < nGram) return null
     val bytes = t.getBytes
     val ascii = bytes.length == nChars
     val md = mdLocal.get()
-    val mins = Array.fill(4)(0xFFFFFFFFFFFFFFFFL >>> 32) // max unsigned 32-bit
+    val mins = Array.fill(k)(0xFFFFFFFFFFFFFFFFL >>> 32) // max unsigned 32-bit
     var p = 0
     while (p <= nChars - nGram) {
       val d = shingleDigest(md, t, bytes, ascii, p, nGram)
       var i = 0
-      while (i < 4) {
+      while (i < k) {
         val v = ((d(4 * i) & 0xffL) << 24) | ((d(4 * i + 1) & 0xffL) << 16) |
           ((d(4 * i + 2) & 0xffL) << 8) | (d(4 * i + 3) & 0xffL)
         if (v < mins(i)) mins(i) = v
@@ -136,10 +139,11 @@ object GraftHash {
   }
 }
 
-/** `minhash_slices(text, nGram)` → array of the 4 band-minimum 8-hex-char
-  * md5 slices (see [[GraftHash.minhashSlices]]). */
-case class MinhashSlices(child: Expression, nGram: Int)
+/** `minhash_slices(text, nGram, k)` → array of the k band-minimum
+  * 8-hex-char md5 slices (see [[GraftHash.minhashSlices]]). */
+case class MinhashSlices(child: Expression, nGram: Int, k: Int = 4)
     extends UnaryExpression {
+  require(k >= 1 && k <= 4, s"k=$k: md5 has 32 hex chars = at most 4 slices")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -152,12 +156,12 @@ case class MinhashSlices(child: Expression, nGram: Int)
   override def prettyName: String = "minhash_slices"
 
   override protected def nullSafeEval(input: Any): Any =
-    GraftHash.minhashSlices(input.asInstanceOf[UTF8String], nGram)
+    GraftHash.minhashSlices(input.asInstanceOf[UTF8String], nGram, k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |${ev.value} = graft.plans.GraftHash.minhashSlices($c, $nGram);
+         |${ev.value} = graft.plans.GraftHash.minhashSlices($c, $nGram, $k);
          |${ev.isNull} = ${ev.value} == null;
          |""".stripMargin
     })

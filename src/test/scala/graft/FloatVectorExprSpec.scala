@@ -70,6 +70,32 @@ class FloatVectorExprSpec extends SparkSpec {
     assert(!seeded.queryExecution.optimizedPlan.toString.contains("float_dot"))
   }
 
+  test("edge inputs match the HOF: unequal lengths and null elements → NULL") {
+    GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.plans.RewriteHofVectorOps")
+    try {
+      import spark.implicits._
+      val df = Seq(
+        (Array[java.lang.Float](1f, 2f), Array[java.lang.Float](3f)),      // unequal
+        (Array[java.lang.Float](1f, null), Array[java.lang.Float](3f, 4f)), // null elem
+        (Array[java.lang.Float](1f, 2f), Array[java.lang.Float](3f, 4f))   // clean
+      ).toDF("a", "b")
+      val r = df.select(
+        VectorFuns.dot(col("a"), col("b")).as("hof"),
+        VectorFuns.dotNative(col("a"), col("b")).as("nat"),
+        VectorFuns.l2norm(col("a")).as("hof_n"),
+        VectorFuns.l2normNative(col("a")).as("nat_n")).collect()
+      r.foreach { row =>
+        assert(row.isNullAt(0) == row.isNullAt(1), row.toString)
+        assert(row.isNullAt(2) == row.isNullAt(3), row.toString)
+        if (!row.isNullAt(0)) assert(row.getDouble(0) == row.getDouble(1))
+        if (!row.isNullAt(2)) assert(row.getDouble(2) == row.getDouble(3))
+      }
+      assert(r(0).isNullAt(1) && r(1).isNullAt(1) && !r(2).isNullAt(1))
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
   test("native expressions survive both codegen and interpreted eval") {
     GraftFunctions.register(spark)
     import spark.implicits._

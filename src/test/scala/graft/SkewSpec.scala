@@ -56,6 +56,16 @@ class SkewSpec extends SparkSpec {
     assert(semi.columns.toSeq == Seq("id", "k")) // left columns only
   }
 
+  test("saltedJoin accepts Spark's bare semi/anti aliases") {
+    import spark.implicits._
+    val big = Seq((1L, 10L), (2L, 99L)).toDF("id", "k")
+    val dim = Seq((10L, "x")).toDF("k", "v")
+    assert(Skew.saltedJoin(big, dim, "k", saltBy = col("id"),
+      joinType = "semi").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(Skew.saltedJoin(big, dim, "k", saltBy = col("id"),
+      joinType = "anti").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("saltedJoin rejects right/full outer join types") {
     import spark.implicits._
     val big = Seq((1L, 10L)).toDF("id", "k")
