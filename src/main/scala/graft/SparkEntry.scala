@@ -51,6 +51,7 @@ object SparkEntry {
     "q_key_join" -> ((s, dir) => SessionOps.keyJoin(Tables.events(s, dir))),
     "q_asof_join" -> ((s, dir) => SessionOps.asofJoin(Tables.events(s, dir))),
     "q_lag_delta" -> ((s, dir) => SessionOps.lagDelta(Tables.events(s, dir))),
+    "q_journey" -> ((s, dir) => SessionOps.journey(Tables.events(s, dir))),
     // --- geometry (§2 rows 15, 17, 18) ---
     "q_pitch_geometry" -> ((s, dir) => GeometryOps.pitchGeometry(Tables.events(s, dir))),
     "q_pass_segments" -> ((s, dir) => GeometryOps.passSegments(Tables.events(s, dir))),

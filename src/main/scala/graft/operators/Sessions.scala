@@ -144,7 +144,32 @@ object SessionOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** §2-53 `q_journey`: each user-day's ORDERED event-type sequence as one
+    * string — the behavioral-sequence feature (session paths for sequence
+    * models). One aggregation pass: collect (us, event_id, type) structs,
+    * sort INSIDE the row (array_sort on the struct's natural order — time
+    * then id, deterministic), join with `->`. The shuffle carries each
+    * group's struct list once; no window, no per-group sort stage. */
+  def journey(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), EventCols.day, EventCols.us,
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        concat_ws("->", transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      .orderBy("user_id", "day")
+
   val oracles: Map[String, String] = Map(
+    "q_journey" ->
+      s"""SELECT user_id, ${S.day} AS day, COUNT(*) AS n_events,
+         |  string_agg(event_type, '->' ORDER BY ${S.us}, event_id) AS path
+         |FROM events
+         |GROUP BY user_id, ${S.day}
+         |ORDER BY user_id, day""".stripMargin,
     "q_lag_delta" ->
       s"""SELECT user_id, event_id,
          |  (${S.us} - lag(${S.us}) OVER w) / 1000000.0 AS gap_sec,
