@@ -135,6 +135,24 @@ object EventStream {
                    key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** §2-C streaming sink: append the stream to a day-partitioned parquet
+    * layout with exactly-once file commits (checkpointed offsets +
+    * Spark's transactional file sink). The streaming twin of
+    * `Sinks.writePartitionedByDay` — downstream BATCH readers
+    * partition-prune the same `day=` directories, which is how a live
+    * ingest and the 100 TB batch estate share one table layout. */
+  def writePartitionedStream(events: DataFrame, path: String,
+                             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("day", to_date(col("ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("day")
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** §2-C streaming twin of `SessionOps.windowAfter`: stream-stream
     * interval join — for each type-A event, the type-B events of the same
     * user within `band` after it. Watermarks on BOTH sides bound the join

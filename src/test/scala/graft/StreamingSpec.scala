@@ -170,6 +170,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("writePartitionedStream lands day-partitioned files batch readers prune") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_stream_sink").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toFile.getAbsolutePath
+    val input = MemoryStream[Event]
+    val q = EventStream.writePartitionedStream(input.toDF(), out, ckpt)
+    try {
+      input.addData(
+        Event(Timestamp.valueOf("2024-01-05 10:00:00"), 1L, "click", 1.0),
+        Event(Timestamp.valueOf("2024-01-06 11:00:00"), 2L, "view", 2.0))
+      q.processAllAvailable()
+      val back = spark.read.parquet(out)
+      assert(back.count() == 2)
+      // the layout is the same contract as the batch sink: day= dirs prune
+      val pruned = back.filter(col("day") === "2024-01-05")
+      val p = pruned.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("PartitionFilters"), p)
+      assert(pruned.count() == 1)
+    } finally q.stop()
+  }
+
   test("EventsJsonSource reads and flattens StatsBomb-shaped nested JSON") {
     val dir = Files.createTempDirectory("graft_json").toFile
     val json =
