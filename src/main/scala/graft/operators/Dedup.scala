@@ -52,7 +52,14 @@ object DedupOps {
     * (explode → self-join on (band, key)); candidate pairs are bounded
     * by real LSH collisions, never n². On a cluster the band key becomes
     * the shuffle key; AQE handles hot buckets. */
-  def dedupMinhash(documents: DataFrame): DataFrame = {
+  def dedupMinhash(documents: DataFrame): DataFrame =
+    minhashPairs(documents).orderBy("doc_a", "doc_b")
+
+  /** The unsorted MinHash candidate-pair set — [[dedupMinhash]] adds the
+    * presentation sort; [[dedupClusters]] consumes this directly (sorting
+    * an edge list that feeds a join would be a wasted range-partition
+    * exchange). */
+  def minhashPairs(documents: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(documents.sparkSession)
     val sig = spread(documents)
       .filter(length(TextFuns.norm(col("text"))) >= 8)
@@ -71,7 +78,6 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   /** §2-26 `q_dedup_simhash`: 16-bit SimHash fingerprint. Tokens explode
@@ -175,7 +181,7 @@ object DedupOps {
     * The DuckDB oracle walks the same closure with a recursive CTE —
     * same RESULT, single-node plan. */
   def dedupClusters(documents: DataFrame, maxIters: Int = 50): DataFrame = {
-    val pairs = dedupMinhash(documents).select(col("doc_a"), col("doc_b"))
+    val pairs = minhashPairs(documents)
     // localCheckpoint (eager) everywhere, NOT cache: caching truncates
     // re-execution but keeps the logical plan, so an iterate-to-fixpoint
     // loop builds a plan that doubles in depth per round and kills the
