@@ -41,15 +41,23 @@ object Skew {
     require(SupportedJoinTypes.contains(jt),
       s"saltedJoin supports inner/left join types only, got '$joinType' — " +
         "right/full outer would emit unmatched right rows once per salt")
+    // explicit aliases: when `right` derives from `left` (the common
+    // fact ⋈ agg-of-fact case) unqualified columns share lineage and the
+    // equi-predicate resolves trivially-true before self-join
+    // disambiguation kicks in
     val l = left.withColumn("_salt", pmod(xxhash64(saltBy), lit(salts)))
+      .alias("_sj_l")
     val r = right.withColumn("_salt",
-      explode(sequence(lit(0L), lit((salts - 1).toLong))))
+      explode(sequence(lit(0L), lit((salts - 1).toLong)))).alias("_sj_r")
     val joined = l.join(r,
-      l(key) === r(key) && l("_salt") === r("_salt"), jt)
+      col(s"_sj_l.$key") === col(s"_sj_r.$key") &&
+        col("_sj_l._salt") === col("_sj_r._salt"), jt)
     if (jt.contains("semi") || jt.contains("anti"))
       joined.drop("_salt") // semi/anti keep left columns only
     else
-      joined.drop(l("_salt")).drop(r("_salt")).drop(r(key))
+      joined
+        .drop(col("_sj_l._salt")).drop(col("_sj_r._salt"))
+        .drop(col(s"_sj_r.$key"))
   }
 
   /** §2-47 `q_skew_join`: the salted join as a checked query — enrich every
