@@ -81,6 +81,7 @@ object SparkEntry {
     "q_corpus_filter" -> ((s, dir) => CorpusOps.corpusFilter(Tables.documents(s, dir))),
     "q_contamination" -> ((s, dir) => CorpusOps.contamination(Tables.documents(s, dir))),
     "q_repetition" -> ((s, dir) => CorpusOps.repetition(Tables.documents(s, dir))),
+    "q_chunks" -> ((s, dir) => CorpusOps.chunks(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 row 35) ---
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---

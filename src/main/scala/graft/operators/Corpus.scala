@@ -126,6 +126,33 @@ object CorpusOps {
         col("n_docs"), col("sum_chars"))
       .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"), col("gid"))
 
+  /** Chunking geometry: window of [[ChunkTokens]] tokens every
+    * [[ChunkStride]] (overlap = ChunkTokens − ChunkStride). */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** §2-54 `q_chunks`: split every document into fixed-token-count
+    * overlapping chunks — the context-window preparation step of a
+    * pretraining pipeline. Chunk starts are a row-level stepped
+    * `sequence`, the chunk itself a `slice` of the token array: explode
+    * multiplies rows by ~n_tokens/stride but ships no shuffle at all
+    * (chunking is a pure map; at 100 TB the cost is one read + one
+    * write). Short final windows are kept (standard practice — the tail
+    * tokens still train). */
+  def chunks(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), TextFuns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(toks) - 1, $ChunkStride)")).as("st"),
+        col("toks"))
+      .select(col("doc_id"),
+        expr(s"st DIV $ChunkStride").cast("int").as("chunk_id"),
+        expr(s"slice(toks, st + 1, $ChunkTokens)").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Quality threshold for the keep-set filter. */
   val QualityTau = 0.5
 
@@ -267,6 +294,20 @@ object CorpusOps {
          |)
          |SELECT doc_id, top_term, tfidf FROM ranked WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+    "q_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS ts FROM documents
+         |), starts AS (
+         |  SELECT doc_id, ts,
+         |    unnest(generate_series(0, len(ts) - 1, $ChunkStride)) AS st
+         |  FROM toks
+         |)
+         |SELECT doc_id,
+         |  CAST(st // $ChunkStride AS INTEGER) AS chunk_id,
+         |  len(ts[st + 1 : st + $ChunkTokens]) AS n_chunk_tokens,
+         |  array_to_string(ts[st + 1 : st + $ChunkTokens], ' ') AS chunk_text
+         |FROM starts
+         |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_rollup" ->
       """SELECT source, lang, GROUPING(source, lang) AS gid,
         |  COUNT(*) AS n_docs,

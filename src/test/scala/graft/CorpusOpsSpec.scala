@@ -94,6 +94,33 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunks cover every token with the declared stride and overlap") {
+    val rows = CorpusOps.chunks(docs).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    val tokenCounts = docs.select(col("doc_id"),
+      size(graft.functions.TextFuns.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (docId, chunks) =>
+      val n = tokenCounts(docId)
+      val expected = (0 until n by CorpusOps.ChunkStride).length
+      assert(chunks.length == expected, s"doc $docId: $n tokens")
+      val sorted = chunks.sortBy(_.getAs[Int]("chunk_id"))
+      // all but possibly the tail are full-size; tail covers the rest
+      sorted.init.foreach(c =>
+        assert(c.getAs[Int]("n_chunk_tokens") ==
+          math.min(CorpusOps.ChunkTokens,
+            n - c.getAs[Int]("chunk_id") * CorpusOps.ChunkStride)))
+      // last chunk reaches the final token
+      val last = sorted.last
+      assert(last.getAs[Int]("chunk_id") * CorpusOps.ChunkStride +
+        last.getAs[Int]("n_chunk_tokens") == n)
+    }
+    // chunking is a pure map — no shuffle
+    val p = CorpusOps.chunks(docs).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) <= 1, p)
+  }
+
   test("corpusFilter keeps only en-classified, high-quality dedup reps") {
     val kept = CorpusOps.corpusFilter(docs).collect()
     assert(kept.nonEmpty)
