@@ -135,10 +135,12 @@ object CorpusOps {
     * overlapping chunks — the context-window preparation step of a
     * pretraining pipeline. Chunk starts are a row-level stepped
     * `sequence`, the chunk itself a `slice` of the token array: explode
-    * multiplies rows by ~n_tokens/stride but ships no shuffle at all
-    * (chunking is a pure map; at 100 TB the cost is one read + one
-    * write). Short final windows are kept (standard practice — the tail
-    * tokens still train). */
+    * multiplies rows by ~n_tokens/stride but the chunking itself is a
+    * pure map — the only Exchange in the plan is the final presentation
+    * `orderBy` (same convention as every sibling operator; at 100 TB you
+    * write the chunks unsorted and the cost is one read + one write).
+    * Short final windows are kept (standard practice — the tail tokens
+    * still train). */
   def chunks(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), TextFuns.tokens(col("text")).as("toks"))

@@ -166,7 +166,8 @@ object SessionOps {
   val oracles: Map[String, String] = Map(
     "q_journey" ->
       s"""SELECT user_id, ${S.day} AS day, COUNT(*) AS n_events,
-         |  string_agg(event_type, '->' ORDER BY ${S.us}, event_id) AS path
+         |  string_agg(event_type, '->'
+         |    ORDER BY ${S.us}, event_id, event_type) AS path
          |FROM events
          |GROUP BY user_id, ${S.day}
          |ORDER BY user_id, day""".stripMargin,

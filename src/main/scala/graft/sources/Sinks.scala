@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
+  /** THE day-partition derivation — single definition shared by the batch
+    * sink and `EventStream.writePartitionedStream`, so the two estates
+    * can never silently write incompatible `day=` layouts. */
+  def withDay(events: DataFrame): DataFrame =
+    events.withColumn("day", to_date(col("ts")))
+
   /** Write events partitioned by day: `path/day=YYYY-MM-DD/part-*.parquet`.
     *
     * Day is derived once at write time; readers filtering on `day` prune
@@ -20,8 +26,7 @@ object Sinks {
     * still splits across executors. */
   def writePartitionedByDay(events: DataFrame, path: String,
                             maxRecordsPerFile: Long = 5000000L): Unit =
-    events
-      .withColumn("day", to_date(col("ts")))
+    withDay(events)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("day")

@@ -143,8 +143,7 @@ object EventStream {
     * ingest and the 100 TB batch estate share one table layout. */
   def writePartitionedStream(events: DataFrame, path: String,
                              checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    events
-      .withColumn("day", to_date(col("ts")))
+    graft.sources.Sinks.withDay(events)
       .writeStream
       .format("parquet")
       .option("path", path)
