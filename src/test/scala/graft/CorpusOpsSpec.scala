@@ -237,6 +237,23 @@ class CorpusOpsSpec extends SparkSpec {
       got.select("event_type", "n", "sum_user_total")).count() == 0)
   }
 
+  test("journey paths equal the window-ordered concatenation") {
+    import graft.functions.EventCols
+    val w = Window.partitionBy("user_id", "day")
+      .orderBy("us", "event_id", "event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val viaWindow = events
+      .select(col("user_id"), EventCols.day, EventCols.us,
+        col("event_id"), col("event_type"))
+      .withColumn("path", concat_ws("->",
+        collect_list(col("event_type")).over(w)))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"), first(col("path")).as("path"))
+    val got = graft.operators.SessionOps.journey(events)
+    assert(got.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(got).count() == 0)
+  }
+
   test("corpusFilter helper columns agree with the standalone operators") {
     val q = TextOps.quality(docs).select(col("doc_id"), col("quality_score"))
     val viaHelper = docs.select(col("doc_id"),

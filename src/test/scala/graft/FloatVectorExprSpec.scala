@@ -51,6 +51,19 @@ class FloatVectorExprSpec extends SparkSpec {
     assert(df.exceptAll(direct).count() == 0)
   }
 
+  test("RewriteHofVectorOps rewrites the HOF pattern written in raw SQL text") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_hof")
+    val df = spark.sql(
+      """SELECT vec_id,
+        |  aggregate(zip_with(embedding, embedding,
+        |    (x, y) -> cast(x as double) * cast(y as double)),
+        |    cast(0.0 as double), (acc, v) -> acc + v) AS d
+        |FROM emb_hof""".stripMargin)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("float_dot"), p)
+  }
+
   test("RewriteHofVectorOps leaves non-matching folds untouched") {
     import spark.implicits._
     // double arrays (not float): must NOT rewrite — FloatDot reads floats
