@@ -32,7 +32,12 @@ object Bench {
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
-      } catch { case _: Throwable => None }
+      } catch {
+        // NonFatal only: after an OutOfMemoryError/StackOverflowError the
+        // JVM is in an unknown state and every subsequent timing would be
+        // untrustworthy — let fatal errors abort the whole run loudly.
+        case scala.util.control.NonFatal(_) => None
+      }
     }
     def best(a: Option[Double], b: Option[Double]): Option[Double] =
       (a.toList ::: b.toList).minOption

@@ -24,6 +24,12 @@ object TextFuns {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(norm(text), " ")
 
+  /** Single-quoted SQL string literal with `''` escaping — every oracle
+    * that interpolates a Scala string constant (probes, marker words,
+    * stopwords) goes through this, so a future constant containing a
+    * quote (e.g. "don't") cannot produce malformed oracle SQL. */
+  def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** SimHash ±1 weight for bit `b` of a token: parity of hex digit `b` of
     * the token's md5 (odd hex digits have their low bit set). SUM of these
     * over a doc's tokens is the signed bit weight — exact integer math,

@@ -245,7 +245,7 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "q_contamination" -> {
-      val values = Probes.map(p => s"('$p')").mkString(", ")
+      val values = Probes.map(p => s"(${TextFuns.sqlLit(p)})").mkString(", ")
       s"""SELECT doc_id, probe
          |FROM documents
          |JOIN (VALUES $values) AS t(probe)
@@ -326,7 +326,7 @@ object CorpusOps {
         |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST, gid""".stripMargin,
     "q_corpus_filter" -> {
       val langScores = TextOps.Markers.map { case (l, ws) =>
-        val in = ws.map(w => s"'$w'").mkString(", ")
+        val in = ws.map(TextFuns.sqlLit).mkString(", ")
         s"len(list_filter($toksSql, t -> t IN ($in))) AS s_$l"
       }.mkString(",\n  ")
       val langs = TextOps.Markers.map(_._1)
@@ -334,7 +334,7 @@ object CorpusOps {
         val conds = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
         s"WHEN $conds THEN '$l'"
       }.mkString("\n    ")
-      val stopIn = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+      val stopIn = TextOps.Stopwords.map(TextFuns.sqlLit).mkString(", ")
       s"""WITH s AS (
          |  SELECT doc_id, source, text,
          |    MIN(doc_id) OVER (PARTITION BY md5($normSql)) AS rep_doc_id,

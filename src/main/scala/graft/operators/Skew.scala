@@ -41,22 +41,27 @@ object Skew {
     require(SupportedJoinTypes.contains(jt),
       s"saltedJoin supports inner/left join types only, got '$joinType' — " +
         "right/full outer would emit unmatched right rows once per salt")
+    // collision-proof internal salt column: a caller's own "_salt" would
+    // otherwise be silently overwritten (and dropped from the output)
+    val saltCol = Iterator.from(0)
+      .map(i => if (i == 0) "_salt" else s"_salt$i")
+      .find(n => !left.columns.contains(n) && !right.columns.contains(n)).get
     // explicit aliases: when `right` derives from `left` (the common
     // fact ⋈ agg-of-fact case) unqualified columns share lineage and the
     // equi-predicate resolves trivially-true before self-join
     // disambiguation kicks in
-    val l = left.withColumn("_salt", pmod(xxhash64(saltBy), lit(salts)))
+    val l = left.withColumn(saltCol, pmod(xxhash64(saltBy), lit(salts)))
       .alias("_sj_l")
-    val r = right.withColumn("_salt",
+    val r = right.withColumn(saltCol,
       explode(sequence(lit(0L), lit((salts - 1).toLong)))).alias("_sj_r")
     val joined = l.join(r,
       col(s"_sj_l.$key") === col(s"_sj_r.$key") &&
-        col("_sj_l._salt") === col("_sj_r._salt"), jt)
+        col(s"_sj_l.$saltCol") === col(s"_sj_r.$saltCol"), jt)
     if (jt.contains("semi") || jt.contains("anti"))
-      joined.drop("_salt") // semi/anti keep left columns only
+      joined.drop(saltCol) // semi/anti keep left columns only
     else
       joined
-        .drop(col("_sj_l._salt")).drop(col("_sj_r._salt"))
+        .drop(col(s"_sj_l.$saltCol")).drop(col(s"_sj_r.$saltCol"))
         .drop(col(s"_sj_r.$key"))
   }
 

@@ -93,9 +93,16 @@ object StatsOps {
       percentile_approx(col("value"),
         array(qs.map(lit(_)): _*), lit(10000)).as("value_quantiles"),
       count(lit(1)).as("n"))
-    val qCols = qs.zipWithIndex.map { case (q, i) =>
-      col("value_quantiles").getItem(i)
-        .as("p" + math.round(q * 100).toString)
+    // label from the FULL quantile value (0.995 → p99_5), not a rounded
+    // percent — rounding made 0.995 and 1.0 collide as "p100"
+    def label(q: Double): String =
+      "p" + (BigDecimal(q.toString) * 100).underlying.stripTrailingZeros
+        .toPlainString.replace(".", "_")
+    val labels = qs.map(label)
+    require(labels.distinct.size == labels.size,
+      s"duplicate quantile labels from $qs: $labels")
+    val qCols = labels.zipWithIndex.map { case (lbl, i) =>
+      col("value_quantiles").getItem(i).as(lbl)
     }
     agged.select(qCols :+ col("n"): _*)
   }

@@ -141,7 +141,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q_lang_id" -> {
       val scores = Markers.map { case (l, ws) =>
-        val in = ws.map(w => s"'$w'").mkString(", ")
+        val in = ws.map(TextFuns.sqlLit).mkString(", ")
         s"len(list_filter($toksSql, t -> t IN ($in))) AS s_$l"
       }.mkString(",\n  ")
       val langs = Markers.map(_._1)
@@ -162,7 +162,7 @@ object TextOps {
          |    length($normSql) AS n_chars_norm,
          |    len($toksSql) AS n_tokens,
          |    (length($normSql) - (len($toksSql) - 1)) * 1.0 / len($toksSql) AS avg_token_len,
-         |    len(list_filter($toksSql, t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+         |    len(list_filter($toksSql, t -> t IN (${Stopwords.map(TextFuns.sqlLit).mkString(", ")}))) * 1.0
          |      / len($toksSql) AS stopword_ratio
          |  FROM documents
          |)
