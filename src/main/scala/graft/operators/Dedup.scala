@@ -88,10 +88,10 @@ object DedupOps {
   def dedupSimhash(documents: DataFrame): DataFrame =
     simhashFingerprints(documents, bits = 16).orderBy("doc_id")
 
-  /** Width-parameterized SimHash (md5's 32 hex digits give up to 32 bit
-    * parities). 16 bits for the §2-26 fingerprint; 32 for pair mining,
-    * where a denser space would drown the blocking join in false
-    * candidates.
+  /** Width-parameterized SimHash (md5's 32 hex digits give two bit planes
+    * = up to 64 bits: low nibble bit for 0-31, second nibble bit for
+    * 32-63). 16 bits for the §2-26 fingerprint; 64 for pair mining, where
+    * a denser space would drown the blocking join in false candidates.
     *
     * Computed by the native `simhash_fp` expression in ONE row-level pass
     * (graft.plans.SimhashFp) — the explode + 32-bit-sum aggregation it
@@ -100,38 +100,61 @@ object DedupOps {
     * Bit-identical by construction (integer parity sums), asserted in
     * TextHashExprSpec. */
   def simhashFingerprints(documents: DataFrame, bits: Int): DataFrame = {
-    require(bits >= 1 && bits <= 32, s"bits=$bits out of md5 hex range")
+    require(bits >= 1 && bits <= 64, s"bits=$bits out of the md5 bit planes")
     graft.plans.GraftFunctions.register(documents.sparkSession)
     spread(documents).select(col("doc_id"),
       call_function("simhash_fp", TextFuns.norm(col("text")), lit(bits))
         .as("simhash"))
   }
 
+  /** Pair-mining fingerprint width / pigeonhole split. 64-bit fingerprint
+    * in 4×16-bit pieces: any pair within Hamming 3 still agrees exactly on
+    * ≥ 1 piece (3 differing bits touch ≤ 3 of the 4), but the per-piece
+    * key space grows 256× vs the former 32-bit/4×8-bit blocking — expected
+    * block size drops from n/1024 to n/65536·4, which is the difference
+    * between ~n²/2048 candidates and a near-linear candidate set on a
+    * 10⁹-doc corpus. Asserted (vs the 32-bit scheme, on the test corpus)
+    * in PipelineOpsSpec. */
+  val SimhashPairBits = 64
+  val SimhashPieces = 4
+
   /** §2-26b `q_dedup_simhash_pairs`: near-dup pairs by SimHash Hamming
-    * distance ≤ 3 over a 32-BIT fingerprint (16 bits is too clumpy on a
+    * distance ≤ 3 over a 64-BIT fingerprint (16 bits is too clumpy on a
     * shared-vocabulary corpus — ~19% of random pairs landed within 3
-    * bits; at 32 bits only truly similar docs do), found WITHOUT an n²
-    * comparison via pigeonhole blocking: split the fingerprint into 4
-    * bytes — any pair within Hamming 3 agrees exactly on ≥ 1 byte, so
-    * blocking on (byte index, byte value) finds every such pair; an exact
-    * `bit_count(xor)` then verifies. The DuckDB oracle does the plain
-    * quadratic join — same RESULT, different (scale-ready) plan. */
-  def dedupSimhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = simhashFingerprints(documents, bits = 32)
-    val blocks = fp.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(nib => struct(lit(nib).as("nib"),
-        shiftright(col("simhash"), 8 * nib).bitwiseAND(0xffL).as("v"))): _*)).as("b"))
-      .select(col("doc_id"), col("simhash"),
-        col("b.nib").as("nib"), col("b.v").as("v"))
-    blocks.as("a")
-      .join(blocks.as("b"),
-        col("a.nib") === col("b.nib") && col("a.v") === col("b.v") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+    * bits; at 64 only truly similar docs do), found WITHOUT an n²
+    * comparison via pigeonhole blocking: split the fingerprint into
+    * [[SimhashPieces]] 16-bit pieces — any pair within Hamming 3 agrees
+    * exactly on ≥ 1 piece, so blocking on (piece index, piece value)
+    * finds every such pair; an exact `bit_count(xor)` then verifies.
+    * The DuckDB oracle does the plain quadratic join — same RESULT,
+    * different (scale-ready) plan. */
+  def dedupSimhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashBlockCandidates(
+      simhashFingerprints(documents, bits = SimhashPairBits),
+      pieceBits = SimhashPairBits / SimhashPieces)
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy("doc_a", "doc_b")
+
+  /** Pigeonhole candidate pairs (pre-Hamming-filter) for fingerprints
+    * split into `64/pieceBits` pieces of `pieceBits` bits — shared by
+    * [[dedupSimhashPairs]] and the block-density spec (which compares
+    * candidate volumes across widths on one corpus). */
+  private[graft] def simhashBlockCandidates(fp: DataFrame,
+                                            pieceBits: Int): DataFrame = {
+    val pieces = (0 until SimhashPieces).map(p => struct(lit(p).as("p"),
+      shiftright(col("simhash"), pieceBits * p)
+        .bitwiseAND((1L << pieceBits) - 1).as("v")))
+    val blocks = fp.select(col("doc_id"), col("simhash"),
+      explode(array(pieces: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.p").as("p"), col("b.v").as("v"))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.p") === col("b.p") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
   }
 
   /** §2-27 `q_dedup_ngram`: verified near-dup pairs by token-3-gram
@@ -339,11 +362,17 @@ object DedupOps {
          |ORDER BY doc_id""".stripMargin
     },
     "q_dedup_simhash_pairs" -> {
-      val sums = (0 until 32).map(b =>
-        s"SUM(CASE WHEN strpos('13579bdf', substr(md5(tok), ${b + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS s$b")
-        .mkString(",\n  ")
-      val pack = (0 until 32).map(b =>
-        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      // two bit planes per md5 hex digit: bits 0-31 = low nibble bit
+      // ('13579bdf'), bits 32-63 = second nibble bit ('2367abef')
+      val sums = (0 until 64).map { b =>
+        val digits = if (b < 32) "13579bdf" else "2367abef"
+        s"SUM(CASE WHEN strpos('$digits', substr(md5(tok), ${(b & 31) + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(",\n  ")
+      // bit 63 is the BIGINT sign bit: add it as -2^63 (two's complement)
+      // and LAST, so every intermediate sum stays in BIGINT range
+      val pack = (0 until 63).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ") +
+        " + (CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents
          |), w AS (

@@ -100,12 +100,15 @@ object GraftHash {
 
   /** SimHash fingerprint over whitespace tokens in ONE pass — the
     * explode-free twin of `DedupOps.simhashFingerprints`' explode +
-    * 32-sum aggregation. Token split replicates Spark
+    * bit-sum aggregation. Token split replicates Spark
     * `split(t, " ")` exactly: single-space separators, EMPTY tokens kept
     * (incl. leading/trailing) — byte-level split on 0x20 is exact for
-    * UTF-8. Weight for bit b is the parity of hex digit b of the token's
-    * md5 (= low bit of nibble b of the digest); fingerprint bit b is set
-    * iff the signed sum over tokens is positive. All-integer math —
+    * UTF-8. Weight for bit b (b < 32) is the parity of hex digit b of the
+    * token's md5 (= low bit of nibble b of the digest); bits 32-63 use the
+    * SECOND bit of nibble b-32, so a 64-bit fingerprint draws two
+    * independent bit planes from the same digest and bits 0-31 are
+    * IDENTICAL to the 32-bit fingerprint. Fingerprint bit b is set iff
+    * the signed sum over tokens is positive. All-integer math —
     * bit-identical to the aggregation formulation by construction,
     * asserted in TextHashExprSpec. */
   def simhashFp(t: UTF8String, bits: Int): Long = {
@@ -121,8 +124,12 @@ object GraftHash {
         val d = md.digest()
         var b = 0
         while (b < bits) {
-          val bit = if ((b & 1) == 0) (d(b >> 1) >> 4) & 1 else d(b >> 1) & 1
-          sums(b) += (if (bit == 1) 1 else -1)
+          val digit = b & 31 // hex digit index; b >= 32 reuses digits 0-31
+          val plane = b >>> 5 // 0: low bit of the nibble, 1: second bit
+          val nib =
+            if ((digit & 1) == 0) (d(digit >> 1) >> 4) & 0xf
+            else d(digit >> 1) & 0xf
+          sums(b) += (if (((nib >>> plane) & 1) == 1) 1 else -1)
           b += 1
         }
         start = i + 1
@@ -174,7 +181,8 @@ case class MinhashSlices(child: Expression, nGram: Int, k: Int = 4)
   * [[GraftHash.simhashFp]]). */
 case class SimhashFp(child: Expression, bits: Int)
     extends UnaryExpression {
-  require(bits >= 1 && bits <= 32, s"bits=$bits out of md5 hex range")
+  require(bits >= 1 && bits <= 64,
+    s"bits=$bits out of range: md5's 32 hex digits give two bit planes = 64 bits")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {

@@ -64,7 +64,8 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("dedupSimhashPairs: pigeonhole blocking finds exactly the Hamming<=3 pairs") {
-    val fps = DedupOps.simhashFingerprints(docs, bits = 32).collect()
+    val fps = DedupOps.simhashFingerprints(docs,
+        bits = DedupOps.SimhashPairBits).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = (for {
       (a, fa) <- fps.toSeq; (b, fb) <- fps.toSeq if a < b
@@ -73,6 +74,19 @@ class PipelineOpsSpec extends SparkSpec {
     val got = DedupOps.dedupSimhashPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected)
+  }
+
+  test("64-bit/16-bit-piece blocking is far sparser than the 32-bit/8-bit scheme") {
+    // candidate volume = block-join pairs BEFORE the Hamming verify — the
+    // quantity that scales ~n²/2^pieceBits; widening the pieces from 8 to
+    // 16 bits should collapse it (random-fingerprint expectation: 256×;
+    // a real shared-vocab corpus clusters, so assert a conservative 8×)
+    def candidates(bits: Int): Long =
+      DedupOps.simhashBlockCandidates(
+        DedupOps.simhashFingerprints(docs, bits), pieceBits = bits / 4).count()
+    val c32 = candidates(32)
+    val c64 = candidates(64)
+    assert(c64 * 8 <= c32, s"64-bit candidates=$c64 vs 32-bit=$c32")
   }
 
   test("annIvf: hits come from probed lists and overlap brute-force top-k") {

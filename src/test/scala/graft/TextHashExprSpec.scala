@@ -56,7 +56,7 @@ class TextHashExprSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val base = docs.select(col("doc_id"), col("text")).union(extra)
       .select(col("doc_id"), TextFuns.norm(col("text")).as("t"))
-    for (bits <- Seq(16, 32)) {
+    for (bits <- Seq(16, 32, 64)) {
       val toks = base.select(col("doc_id"),
         explode(split(col("t"), " ")).as("tok"))
         .withColumn("h", md5(col("tok").cast("binary")))
