@@ -38,6 +38,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0))
   }
 
+  test("dedupNgram df-cap: planted near-dups survive, boilerplate candidates collapse") {
+    import spark.implicits._
+    // 100 docs share one boilerplate trigram (df=100 ≫ cap) but are
+    // otherwise unique; docs 200/201 are a planted near-dup pair whose
+    // shingles are all rare (df ≤ 2)
+    val boiler = "all rights reserved"
+    val corpus = (1L to 100L).map(i =>
+      (i, s"$boiler unique$i content$i word$i more$i")) ++ Seq(
+      (200L, "the planted duplicate document body stays identical across copies one"),
+      (201L, "the planted duplicate document body stays identical across copies two"))
+    val synth = corpus.toDF("doc_id", "text")
+    // candidate volume = Σ C(|posting list|, 2): the boilerplate shingle
+    // alone contributes C(100,2) = 4950 without the cap
+    def candidates(cap: Int): Long = {
+      val g = DedupOps.ngramIndex(synth)
+      val f = if (cap > 0) g.filter(size(col("ds")) <= cap) else g
+      f.select((size(col("ds")).cast("long") *
+          (size(col("ds")) - 1) / 2).cast("long").as("c"))
+        .agg(sum(col("c"))).collect().head.getLong(0)
+    }
+    val uncapped = candidates(0)
+    val capped = candidates(DedupOps.NgramDfCap)
+    assert(uncapped >= 4950, s"uncapped=$uncapped")
+    assert(capped * 10 <= uncapped,
+      s"df-cap barely prunes: capped=$capped uncapped=$uncapped")
+    // the planted pair surfaces under the cap, and — its shingles all
+    // being rare — with the SAME jaccard the uncapped universe gives it
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val got = pairs(DedupOps.dedupNgram(synth))
+    val unc = pairs(DedupOps.dedupNgram(synth, dfCap = 0))
+    assert(got.contains((200L, 201L)), s"planted pair lost: $got")
+    assert(got((200L, 201L)) == unc((200L, 201L)))
+    // no false pairs from the boilerplate group
+    assert(got.keySet == Set((200L, 201L)), got.keySet)
+  }
+
   test("dedupEmbedding: cos >= tau and only intra-label pairs") {
     val pairs = DedupOps.dedupEmbedding(embs, 0.3)
     val labels = embs.select("vec_id", "label")
