@@ -39,9 +39,28 @@ object StatsBombOps {
         count(when(col("event_type") === "Carry" && progressive, 1)).as("prog_carries"),
         count(when(col("event_type") === "Shot", 1)).as("shots"),
         sum(when(col("event_type") === "Shot", col("xg")).otherwise(0.0)).as("total_xg"),
+        // reference core/pedri_analysis.py:96-104, emitted at :253-254
+        count(when(col("event_type") === "Dribble", 1)).as("dribbles_attempted"),
+        count(when(col("event_type") === "Dribble" &&
+          col("dribble_outcome") === "Complete", 1)).as("dribbles_completed"),
+        // reference :104-106 and carry_distance :165-171 (0.0 when either
+        // endpoint is missing), emitted at :255-256
+        count(when(col("event_type") === "Carry", 1)).as("carries"),
+        sum(when(col("event_type") === "Carry",
+          coalesce(sqrt((col("x2") - col("x")) * (col("x2") - col("x")) +
+            (col("y2") - col("y")) * (col("y2") - col("y"))),
+            lit(0.0))).otherwise(0.0)).as("carry_distance_units"),
         count(when(col("event_type") === "Pressure", 1)).as("pressures"),
+        // reference :112-117 — a tackle is a Duel with duel.type "Tackle"
+        count(when(col("event_type") === "Duel" &&
+          col("duel_type") === "Tackle", 1)).as("tackles"),
+        count(when(col("event_type") === "Interception", 1)).as("interceptions"),
         count(when(col("event_type") === "Ball Recovery", 1)).as("recoveries"),
         count(when(col("event_type") === "Dispossessed", 1)).as("dispossessed"),
+        // reference extended.py:286-287 — pass events with the
+        // under_pressure flag set
+        count(when(col("event_type") === "Pass" && col("under_pressure"), 1))
+          .as("passes_under_pressure"),
         min(col("t_sec")).as("first_sec"),
         max(col("t_sec")).as("last_sec"))
       .withColumn("pass_pct",

@@ -57,6 +57,10 @@ object EventsJsonSource {
       StructField("assisted_shot_id", StringType)))),
     StructField("carry", StructType(Seq(
       StructField("end_location", ArrayType(DoubleType))))),
+    StructField("dribble", StructType(Seq(
+      StructField("outcome", idName)))),
+    StructField("duel", StructType(Seq(
+      StructField("type", idName)))),
     StructField("shot", StructType(Seq(
       StructField("statsbomb_xg", DoubleType),
       StructField("key_pass_id", StringType),
@@ -90,13 +94,19 @@ object EventsJsonSource {
       element_at(col("location"), 2).as("y"),
       coalesce(col("pass.end_location"), col("carry.end_location")).getItem(0).as("x2"),
       coalesce(col("pass.end_location"), col("carry.end_location")).getItem(1).as("y2"),
-      // completed pass = no outcome object (StatsBomb convention) —
-      // reference core/pedri_analysis.py:85-90
-      (col("type.name") === "Pass" && col("pass.outcome.name").isNull)
-        .as("completed_pass"),
+      // completed pass = no outcome object, or an explicit "Complete" —
+      // reference core/pedri_analysis.py:85-90 accepts both
+      (col("type.name") === "Pass" &&
+        (col("pass.outcome.name").isNull ||
+          col("pass.outcome.name") === "Complete")).as("completed_pass"),
       (col("pass.shot_assist") === true || col("pass.assisted_shot_id").isNotNull)
         .as("key_pass"),
       col("pass.recipient.id").as("recipient_id"),
+      // absent flag ≡ false in the StatsBomb spec (the key is only present
+      // when true) — reference extended.py:286-287 tests truthiness
+      coalesce(col("under_pressure"), lit(false)).as("under_pressure"),
+      col("dribble.outcome.name").as("dribble_outcome"),
+      col("duel.type.name").as("duel_type"),
       col("shot.statsbomb_xg").as("xg"),
       col("shot.key_pass_id").as("key_pass_id"),
       col("substitution.replacement.id").as("sub_replacement_id"))

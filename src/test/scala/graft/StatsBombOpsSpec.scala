@@ -47,8 +47,48 @@ class StatsBombOpsSpec extends SparkSpec {
         | "type":{"id":34,"name":"Half End"},"player":{"id":7,"name":"R"},
         | "team":{"id":1,"name":"T"}}
         |]""".stripMargin
+    // player 555 exercises the defensive/ball-carrying counters —
+    // reference core/pedri_analysis.py:96-121 + extended.py:286-287
+    val m3 =
+      """[
+        |{"id":"d1","index":1,"period":1,"minute":5,"second":0,
+        | "type":{"id":14,"name":"Dribble"},"player":{"id":555,"name":"D"},
+        | "team":{"id":2,"name":"U"},"location":[50.0,20.0],
+        | "dribble":{"outcome":{"id":8,"name":"Complete"}}},
+        |{"id":"d2","index":2,"period":1,"minute":6,"second":0,
+        | "type":{"id":14,"name":"Dribble"},"player":{"id":555,"name":"D"},
+        | "team":{"id":2,"name":"U"},"location":[52.0,22.0],
+        | "dribble":{"outcome":{"id":9,"name":"Incomplete"}}},
+        |{"id":"c1","index":3,"period":1,"minute":7,"second":0,
+        | "type":{"id":43,"name":"Carry"},"player":{"id":555,"name":"D"},
+        | "team":{"id":2,"name":"U"},"location":[10.0,10.0],
+        | "carry":{"end_location":[13.0,14.0]}},
+        |{"id":"c2","index":4,"period":1,"minute":8,"second":0,
+        | "type":{"id":43,"name":"Carry"},"player":{"id":555,"name":"D"},
+        | "team":{"id":2,"name":"U"},"location":[20.0,20.0]},
+        |{"id":"t1","index":5,"period":1,"minute":9,"second":0,
+        | "type":{"id":4,"name":"Duel"},"player":{"id":555,"name":"D"},
+        | "team":{"id":2,"name":"U"},"location":[30.0,30.0],
+        | "duel":{"type":{"id":11,"name":"Tackle"}}},
+        |{"id":"t2","index":6,"period":1,"minute":10,"second":0,
+        | "type":{"id":4,"name":"Duel"},"player":{"id":555,"name":"D"},
+        | "team":{"id":2,"name":"U"},"location":[31.0,31.0],
+        | "duel":{"type":{"id":10,"name":"Aerial Lost"}}},
+        |{"id":"i1","index":7,"period":1,"minute":11,"second":0,
+        | "type":{"id":10,"name":"Interception"},"player":{"id":555,"name":"D"},
+        | "team":{"id":2,"name":"U"},"location":[40.0,40.0]},
+        |{"id":"u1","index":8,"period":1,"minute":12,"second":0,
+        | "type":{"id":30,"name":"Pass"},"player":{"id":555,"name":"D"},
+        | "team":{"id":2,"name":"U"},"location":[45.0,40.0],"under_pressure":true,
+        | "pass":{"end_location":[50.0,41.0]}},
+        |{"id":"u2","index":9,"period":1,"minute":13,"second":0,
+        | "type":{"id":30,"name":"Pass"},"player":{"id":555,"name":"D"},
+        | "team":{"id":2,"name":"U"},"location":[50.0,40.0],
+        | "pass":{"end_location":[55.0,41.0],"outcome":{"id":8,"name":"Complete"}}}
+        |]""".stripMargin
     Files.writeString(new java.io.File(dir, "m1.json").toPath, m1)
     Files.writeString(new java.io.File(dir, "m2.json").toPath, m2)
+    Files.writeString(new java.io.File(dir, "m3.json").toPath, m3)
     EventsJsonSource.flatten(
       EventsJsonSource.read(spark, dir.getAbsolutePath)).cache()
   }
@@ -63,6 +103,21 @@ class StatsBombOpsSpec extends SparkSpec {
     assert(m1.getAs[Long]("key_passes") == 0) // shot_assist flag unset in the JSON; credit flows via xA
     assert(m1.getAs[Long]("prog_pass") == 1) // p1: dx=20 > dy=2, >= 10
     assert(m1.getAs[Double]("pass_pct") == 50.0)
+  }
+
+  test("matchStats covers the defensive and ball-carrying counters") {
+    val s = StatsBombOps.matchStats(flat)
+      .filter(col("player_id") === 555L).head()
+    assert(s.getAs[Long]("dribbles_attempted") == 2)
+    assert(s.getAs[Long]("dribbles_completed") == 1) // only outcome "Complete"
+    assert(s.getAs[Long]("carries") == 2)
+    // c1 moves (10,10)→(13,14) = 5.0; c2 has no end_location → 0.0
+    assert(s.getAs[Double]("carry_distance_units") == 5.0)
+    assert(s.getAs[Long]("tackles") == 1) // the Aerial Lost duel is not a tackle
+    assert(s.getAs[Long]("interceptions") == 1)
+    assert(s.getAs[Long]("passes_under_pressure") == 1)
+    // an explicit "Complete" outcome counts as completed (reference :85-90)
+    assert(s.getAs[Long]("total_pass") == 2 && s.getAs[Long]("comp_pass") == 2)
   }
 
   test("minutesPlayed honors the substitution window") {
