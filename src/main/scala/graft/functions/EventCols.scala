@@ -82,6 +82,33 @@ object EventCols {
     * keeps just the ≥ 40-units-across core). */
   def isSwitch: Column = col("dy") >= 40.0
 
+  // --- exact-reference variants -------------------------------------------
+  // The three rules above intentionally simplify; these are the reference's
+  // own formulas verbatim, kept alongside so a user can pick fidelity.
+
+  /** EXACT reference extended.py:150-165 — deep completion is x-distance to
+    * the goal LINE (not the centre), clamped at 0, strictly < 20. */
+  def isDeepCompletionExact: Column =
+    greatest(lit(0.0), lit(120.0) - col("x2")) < 20.0
+
+  /** EXACT reference extended.py:167-177 — switch of play needs BOTH the
+    * ≥ 40-units lateral move AND segment length ≥ 30. */
+  def isSwitchExact: Column =
+    (col("dy") >= 40.0) &&
+      (sqrt(col("dx") * col("dx") + col("dy") * col("dy")) >= 30.0)
+
+  /** EXACT reference extended.py:110-130 — progressive-30: dx ≥ 10 first,
+    * then the gain toward the goal line must be ≥ 30% of the remaining
+    * distance (which must be positive). With dist = max(0, 120−x) the gain
+    * is dist_start − dist_end, written exactly as the reference computes
+    * it so the float ops match. */
+  def isProgressive30Exact: Column = {
+    val distStart = greatest(lit(0.0), lit(120.0) - col("x"))
+    val distEnd = greatest(lit(0.0), lit(120.0) - col("x2"))
+    (col("dx") >= 10.0) && (distStart > 0.0) &&
+      ((distStart - distEnd) >= distStart * 0.3)
+  }
+
   /** Events with all derived geometry columns attached. */
   def withGeometry(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     events
@@ -120,5 +147,14 @@ object EventCols {
       "(sqrt((CAST(120 AS DOUBLE) - x2) * (CAST(120 AS DOUBLE) - x2) + " +
         "(CAST(40 AS DOUBLE) - y2) * (CAST(40 AS DOUBLE) - y2)) <= 20.0)"
     val isSwitch = "(dy >= 40.0)"
+    val isDeepCompletionExact =
+      "(greatest(0.0, CAST(120 AS DOUBLE) - x2) < 20.0)"
+    val isSwitchExact =
+      "(dy >= 40.0 AND sqrt(dx * dx + dy * dy) >= 30.0)"
+    val isProgressive30Exact =
+      "(dx >= 10.0 AND greatest(0.0, CAST(120 AS DOUBLE) - x) > 0.0 AND " +
+        "(greatest(0.0, CAST(120 AS DOUBLE) - x) - " +
+        "greatest(0.0, CAST(120 AS DOUBLE) - x2)) >= " +
+        "greatest(0.0, CAST(120 AS DOUBLE) - x) * 0.3)"
   }
 }

@@ -26,7 +26,12 @@ object GeometryOps {
         EventCols.isFinalThird.as("final_third"),
         EventCols.isPenaltyArea.as("penalty_area"),
         EventCols.isDeepCompletion.as("deep_completion"),
-        EventCols.isSwitch.as("switch_play"))
+        EventCols.isSwitch.as("switch_play"),
+        // exact-reference formulations (extended.py:110-177) alongside the
+        // simplified synthetic variants — same row-level codegen span
+        EventCols.isProgressive30Exact.as("progressive30_exact"),
+        EventCols.isDeepCompletionExact.as("deep_completion_exact"),
+        EventCols.isSwitchExact.as("switch_play_exact"))
       .orderBy("event_id")
 
   /** §2-17 `q_pass_segments`: start→end segment extraction, progressive
@@ -66,7 +71,10 @@ object GeometryOps {
          |  ${S.isFinalThird} AS final_third,
          |  ${S.isPenaltyArea} AS penalty_area,
          |  ${S.isDeepCompletion} AS deep_completion,
-         |  ${S.isSwitch} AS switch_play
+         |  ${S.isSwitch} AS switch_play,
+         |  ${S.isProgressive30Exact} AS progressive30_exact,
+         |  ${S.isDeepCompletionExact} AS deep_completion_exact,
+         |  ${S.isSwitchExact} AS switch_play_exact
          |FROM g
          |ORDER BY event_id""".stripMargin,
     "q_pass_segments" ->

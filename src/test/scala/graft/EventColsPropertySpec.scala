@@ -26,6 +26,15 @@ class EventColsPropertySpec extends SparkSpec {
       math.sqrt(gx * gx + gy * gy) <= 20.0
     }
     def switch: Boolean = dy >= 40.0
+    // exact-reference formulations (extended.py:110-177)
+    def deepExact: Boolean = math.max(0.0, 120.0 - x2) < 20.0
+    def switchExact: Boolean =
+      dy >= 40.0 && math.sqrt(dx * dx + dy * dy) >= 30.0
+    def prog30Exact: Boolean = {
+      val distStart = math.max(0.0, 120.0 - x)
+      val distEnd = math.max(0.0, 120.0 - x2)
+      dx >= 10.0 && distStart > 0.0 && (distStart - distEnd) >= distStart * 0.3
+    }
   }
 
   test("derived geometry matches the Scala model on arbitrary inputs") {
@@ -44,7 +53,10 @@ class EventColsPropertySpec extends SparkSpec {
         EventCols.isFinalThird.as("ft"),
         EventCols.isPenaltyArea.as("pa"),
         EventCols.isDeepCompletion.as("deep"),
-        EventCols.isSwitch.as("sw"))
+        EventCols.isSwitch.as("sw"),
+        EventCols.isDeepCompletionExact.as("deep_x"),
+        EventCols.isSwitchExact.as("sw_x"),
+        EventCols.isProgressive30Exact.as("p30_x"))
       .collect()
     got.foreach { r =>
       val m = Model(r.getDouble(0), r.getInt(1))
@@ -55,6 +67,9 @@ class EventColsPropertySpec extends SparkSpec {
       assert(r.getBoolean(8) == m.penaltyArea, s"pa $m")
       assert(r.getBoolean(9) == m.deep, s"deep $m")
       assert(r.getBoolean(10) == m.switch, s"switch $m")
+      assert(r.getBoolean(11) == m.deepExact, s"deepExact $m")
+      assert(r.getBoolean(12) == m.switchExact, s"switchExact $m")
+      assert(r.getBoolean(13) == m.prog30Exact, s"prog30Exact $m")
     }
   }
 
