@@ -80,6 +80,7 @@ object SparkEntry {
     "q_cube" -> ((s, dir) => CorpusOps.cube(Tables.documents(s, dir))),
     "q_corpus_filter" -> ((s, dir) => CorpusOps.corpusFilter(Tables.documents(s, dir))),
     "q_contamination" -> ((s, dir) => CorpusOps.contamination(Tables.documents(s, dir))),
+    "q_contamination_ngram" -> ((s, dir) => CorpusOps.contaminationNgram(Tables.documents(s, dir))),
     "q_repetition" -> ((s, dir) => CorpusOps.repetition(Tables.documents(s, dir))),
     "q_chunks" -> ((s, dir) => CorpusOps.chunks(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 row 35) ---

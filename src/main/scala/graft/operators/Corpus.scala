@@ -211,6 +211,53 @@ object CorpusOps {
       .orderBy("doc_id", "probe")
   }
 
+  /** §2-55 `q_contamination_ngram`: decontamination at real probe scale.
+    *
+    * [[contamination]]'s broadcast-contains scan is O(docs × probes)
+    * substring work per row — right for KB probe sets, hopeless for the
+    * 10⁵–10⁶ n-gram probes of a full eval-suite decontamination. This is
+    * the inverted-index shape: documents explode into hashed token
+    * n-grams — one gram stream per DISTINCT probe token-length, the
+    * lengths read from the probe table itself (broadcast; it has a
+    * handful of rows) — and a plain shuffled equi-join on the 8-byte
+    * xxhash64 key finds hits. Map-side cost is O(corpus tokens ×
+    * #distinct lengths); the join partitions both sides by the hash, so
+    * at 100 TB it scales like any other key join instead of like a
+    * substring grep. Matching is exact token-sequence (the standard
+    * decontamination contract) vs [[contamination]]'s substring
+    * semantics; hash collisions would need two distinct grams with equal
+    * xxhash64 in one corpus (P ≈ n²/2⁶⁴ — same accepted trade as
+    * [[DedupOps.dedupNgram]]'s keys). */
+  def contaminationNgram(documents: DataFrame, probes: DataFrame): DataFrame = {
+    val pk = probes
+      .select(col("probe"), TextFuns.tokens(col("probe")).as("pt"))
+      .select(col("probe"), size(col("pt")).as("g"),
+        xxhash64(concat_ws(" ", col("pt"))).as("pk"))
+    val lens = pk.select("g").distinct()
+    val grams = documents
+      .select(col("doc_id"), TextFuns.tokens(col("text")).as("toks"))
+      .crossJoin(broadcast(lens))
+      .filter(size(col("toks")) >= col("g"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - g + 1), " +
+          "i -> xxhash64(concat_ws(' ', slice(toks, i, g))))")).as("pk"))
+      // a probe occurring k times in a doc is still one hit — dedup
+      // BEFORE the join so repeats never reach the shuffle
+      .distinct()
+    grams
+      .join(pk.select(col("pk"), col("probe")), "pk")
+      .select(col("doc_id"), col("probe"))
+      .orderBy("doc_id", "probe")
+  }
+
+  /** [[contaminationNgram]] with the benchmark [[Probes]] as the probe
+    * table (the `queries()` binding). */
+  def contaminationNgram(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    contaminationNgram(documents, Probes.toDF("probe"))
+  }
+
   /** §2-51 `q_repetition`: within-document repetition score — the share
     * of the document's trigram occurrences taken by its MOST repeated
     * trigram (the Gopher-style repetition quality rule: boilerplate and
@@ -250,6 +297,27 @@ object CorpusOps {
          |FROM documents
          |JOIN (VALUES $values) AS t(probe)
          |  ON contains($normSql, probe)
+         |ORDER BY doc_id, probe""".stripMargin
+    },
+    "q_contamination_ngram" -> {
+      val values = Probes.map(p => s"(${TextFuns.sqlLit(p)})").mkString(", ")
+      // same token-sequence contract: docs explode into n-grams of each
+      // distinct probe token-length; string equality replaces the hash
+      s"""WITH p AS (
+         |  SELECT probe, string_split(lower(trim(probe)), ' ') AS pt
+         |  FROM (VALUES $values) AS t(probe)
+         |), plen AS (
+         |  SELECT DISTINCT len(pt) AS g FROM p
+         |), toks AS (
+         |  SELECT doc_id, $toksSql AS ts FROM documents
+         |), grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(ts[i : i + g - 1], ' ') AS gram
+         |  FROM (SELECT doc_id, ts, g,
+         |          unnest(generate_series(1, len(ts) - g + 1)) AS i
+         |        FROM toks CROSS JOIN plen WHERE len(ts) >= g)
+         |)
+         |SELECT doc_id, probe
+         |FROM grams JOIN p ON gram = array_to_string(pt, ' ')
          |ORDER BY doc_id, probe""".stripMargin
     },
     "q_repetition" ->

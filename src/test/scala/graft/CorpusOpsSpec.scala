@@ -84,6 +84,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("contaminationNgram: token-sequence hits via a hash equi-join, no NLJ") {
+    import spark.implicits._
+    // token-boundary semantics: "big cat" matches only as whole tokens;
+    // the substring occurrence inside "bigger cattle" must NOT hit
+    val synth = Seq(
+      (1L, "the big cat sat down"),
+      (2L, "a bigger cattle farm"),
+      (3L, "one two three four"),
+      (4L, "zzz one two three")).toDF("doc_id", "text")
+    val probes = Seq("big cat", "one two three").toDF("probe")
+    val got = CorpusOps.contaminationNgram(synth, probes)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "big cat"), (3L, "one two three"),
+      (4L, "one two three")))
+    // plan: the probe MATCH is a hash equi-join on the 8-byte gram key —
+    // the only nested loop allowed is the Cross with the broadcast
+    // 1-or-2-row probe-LENGTH dim (no join condition by construction)
+    val p = CorpusOps.contaminationNgram(docs).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin Inner"), p)
+    assert(p.contains("BroadcastNestedLoopJoin Cross"), p)
+  }
+
   test("repetition: shares in (0,1], max_rep consistent with counts") {
     val rows = CorpusOps.repetition(docs).collect()
     assert(rows.nonEmpty)
