@@ -245,8 +245,24 @@ object DedupOps {
     * iterate-to-fixpoint shape GraphX/GraphFrames use at cluster scale.
     * The DuckDB oracle walks the same closure with a recursive CTE —
     * same RESULT, single-node plan. */
-  def dedupClusters(documents: DataFrame, maxIters: Int = 50): DataFrame = {
-    val pairs = minhashPairs(documents)
+  def dedupClusters(documents: DataFrame, maxIters: Int = 50): DataFrame =
+    connectedComponents(documents.select(col("doc_id")),
+      minhashPairs(documents), maxIters)
+      .orderBy("doc_id")
+
+  /** Distributed connected components over an undirected pair list —
+    * the reusable core of [[dedupClusters]]. `vertices` has one `doc_id`
+    * column; `pairs` has (`doc_a`, `doc_b`). Output: (doc_id,
+    * cluster_id) with cluster_id = the component's minimum doc_id. */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+                          maxIters: Int = 50): DataFrame =
+    ccWithRounds(vertices, pairs, maxIters)._1
+
+  /** [[connectedComponents]] + the number of propagation rounds it took
+    * (the last round is the no-change fixpoint probe) — exposed so the
+    * O(log diameter) pointer-jumping guarantee is spec-testable. */
+  private[graft] def ccWithRounds(vertices: DataFrame, pairs: DataFrame,
+                                  maxIters: Int): (DataFrame, Int) = {
     // localCheckpoint (eager) everywhere, NOT cache: caching truncates
     // re-execution but keeps the logical plan, so an iterate-to-fixpoint
     // loop builds a plan that doubles in depth per round and kills the
@@ -262,13 +278,13 @@ object DedupOps {
       t0 = now
     }
     // materialize the pair set ONCE (the union below would otherwise run
-    // the whole MinHash pipeline twice — once per branch)
+    // the whole upstream pipeline twice — once per branch)
     val p = pairs.localCheckpoint(true)
-    lap("minhash pairs")
+    lap("pair edges")
     val edges = p.union(p.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .localCheckpoint(true)
-    var labels = documents.select(col("doc_id"),
+    var labels = vertices.select(col("doc_id"),
       col("doc_id").as("cluster_id"),
       col("doc_id").as("prev")).localCheckpoint(true)
 
@@ -317,9 +333,9 @@ object DedupOps {
     // a non-converged result is WRONG (labels are not component minima,
     // pairs may split across clusters) — fail loudly, never return it
     require(changed == 0,
-      s"dedupClusters did not converge within $maxIters rounds " +
+      s"connectedComponents did not converge within $maxIters rounds " +
         s"($changed labels still changing) — raise maxIters")
-    labels.select(col("doc_id"), col("cluster_id")).orderBy("doc_id")
+    (labels.select(col("doc_id"), col("cluster_id")), iter)
   }
 
   /** §2-28 `q_dedup_embedding`: blocked cosine near-dup pairs (cos ≥ τ).

@@ -75,6 +75,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.keySet == Set((200L, 201L)), got.keySet)
   }
 
+  test("connectedComponents converges in O(log diameter) rounds on a chain") {
+    import spark.implicits._
+    // worst-case shape for plain label propagation: a 33-node chain
+    // (diameter 32) — neighbor-min alone needs ~32 rounds; pointer
+    // jumping must close it in ~log2(32)+c
+    val diameter = 32
+    val verts = (0L to diameter.toLong).toDF("doc_id")
+    val pairs = (0L until diameter.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = DedupOps.ccWithRounds(verts, pairs, maxIters = 50)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == diameter + 1 && got.values.forall(_ == 0L), got)
+    // log2(32) = 5 propagation-doubling rounds, +1 fixpoint probe, +2
+    // slack for the off-by-one of combined hop+jump distance growth
+    val bound = (math.log(diameter) / math.log(2)).ceil.toInt + 3
+    assert(rounds <= bound, s"$rounds rounds > bound $bound — pointer jumping broken?")
+  }
+
   test("dedupEmbedding: cos >= tau and only intra-label pairs") {
     val pairs = DedupOps.dedupEmbedding(embs, 0.3)
     val labels = embs.select("vec_id", "label")

@@ -101,6 +101,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchangeCount(p) <= 2, s"${exchangeCount(p)} exchanges:\n$p")
   }
 
+  test("q_skew_join: salt is in the join keys; only the small side explodes") {
+    val p = plan(Skew.skewJoinQuery(Tables.events(spark, sfDir)))
+    // the equi-join keys include the salt column → hot users spread over
+    // `salts` reducers
+    val joinKeys = p.linesIterator.filter(_.contains("keys")).mkString("\n")
+    assert(joinKeys.contains("_salt"), p)
+    // exactly one Generate: the salt-sequence explode on the (small)
+    // aggregate side; the fact side must never be replicated. The
+    // sequence(0,7) literal constant-folds, so assert via the Generate's
+    // output column being the salt.
+    val generates = p.linesIterator.count(_.matches("""\(\d+\) Generate.*"""))
+    assert(generates == 1, s"$generates Generate nodes:\n$p")
+    val genArgs = p.linesIterator.dropWhile(!_.matches("""\(\d+\) Generate.*"""))
+      .take(3).mkString("\n")
+    assert(genArgs.contains("explode(") && genArgs.contains("[_salt"), p)
+  }
+
+  test("q_window_after: co-partitioned equi-join on user_id, no nested loop") {
+    val p = plan(SessionOps.windowAfter(Tables.events(spark, sfDir)))
+    // the time band must ride the user_id equi-join as a post-filter —
+    // a pure band join would be a nested loop and n² at scale
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    // two input shuffles (either join side) + at most agg reuse + output
+    // sort; the groupBy reuses the user_id partitioning
+    assert(exchangeCount(p) <= 3, s"${exchangeCount(p)} exchanges:\n$p")
+  }
+
+  test("q_asof_join: one user_id shuffle, a window, and NO join operator") {
+    val p = plan(SessionOps.asofJoin(Tables.events(spark, sfDir)))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    // the user_id shuffle + the output sort — nothing else moves data
+    assert(exchangeCount(p) <= 2, s"${exchangeCount(p)} exchanges:\n$p")
+  }
+
   test("q_dedup_minhash signature stage has no explode (row-level transform)") {
     val p = plan(DedupOps.dedupMinhash(Tables.documents(spark, sfDir)))
     // one explode exists for band keys only; the shingle stage must not
