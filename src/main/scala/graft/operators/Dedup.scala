@@ -281,12 +281,24 @@ object DedupOps {
     // the whole upstream pipeline twice — once per branch)
     val p = pairs.localCheckpoint(true)
     lap("pair edges")
+    // pre-partition the (bigger) edge side by the per-round join key ONCE
+    // — localCheckpoint preserves outputPartitioning, so every round's
+    // edges⋈labels join shuffles only the label side, never the edges
     val edges = p.union(p.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
+      .repartition(col("dst"))
       .localCheckpoint(true)
-    var labels = vertices.select(col("doc_id"),
+    // Iterate ONLY over edge-touched vertices: a near-dup graph is sparse
+    // — the overwhelming share of a real corpus has no candidate pair at
+    // all and is trivially its own singleton cluster. Keeping isolated
+    // vertices out of the loop shrinks every round's joins, checkpoints,
+    // and convergence counts from O(corpus) to O(touched vertices); the
+    // singletons re-enter once, join-free, after the fixpoint.
+    val touched = edges.select(col("src").as("doc_id")).distinct()
+    var labels = touched.select(col("doc_id"),
       col("doc_id").as("cluster_id"),
       col("doc_id").as("prev")).localCheckpoint(true)
+    lap("touched vertices")
 
     // One propagation step: neighbor-min, then pointer jump (follow the
     // label's label). Plain neighbor-min needs O(path length) rounds on
@@ -309,6 +321,10 @@ object DedupOps {
           least(lbl("cluster_id"), coalesce(col("nmin"), lbl("cluster_id")))
             .as("cluster_id"),
           lbl("prev").as("prev"))
+      // one jump per round — a second jump per round was tried and did
+      // NOT reduce the round count on this corpus (the late rounds are
+      // new-minimum discovery through the edge graph, not label-chain
+      // compression), so it only added a join per round
       val jumpTo = stepped.select(col("doc_id").as("j_id"),
         col("cluster_id").as("j_cl"))
       stepped
@@ -323,7 +339,12 @@ object DedupOps {
       // one step per materialized round — batching two steps per
       // checkpoint was measured SLOWER (deeper per-round plans cost more
       // in planning/codegen than the saved checkpoint+count jobs)
-      val next = step(labels).localCheckpoint(true)
+      // re-partition by doc_id before the checkpoint: the jump join
+      // leaves the frame keyed on cluster_id, but the NEXT round joins
+      // labels on doc_id twice (neighbor-min compact + left join) — one
+      // shuffle here buys two shuffle-free joins there, and keeps every
+      // round's plan shape identical
+      val next = step(labels).repartition(col("doc_id")).localCheckpoint(true)
       changed = next.filter(col("cluster_id") < col("prev")).count()
       labels = next.select(col("doc_id"), col("cluster_id"),
         col("cluster_id").as("prev"))
@@ -335,7 +356,10 @@ object DedupOps {
     require(changed == 0,
       s"connectedComponents did not converge within $maxIters rounds " +
         s"($changed labels still changing) — raise maxIters")
-    (labels.select(col("doc_id"), col("cluster_id")), iter)
+    val isolated = vertices
+      .join(touched, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    (labels.select(col("doc_id"), col("cluster_id")).union(isolated), iter)
   }
 
   /** §2-28 `q_dedup_embedding`: blocked cosine near-dup pairs (cos ≥ τ).

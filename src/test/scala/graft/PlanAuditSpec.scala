@@ -139,6 +139,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchangeCount(p) <= 2, s"${exchangeCount(p)} exchanges:\n$p")
   }
 
+  test("localCheckpoint keeps hash partitioning (CC per-round edge-reuse)") {
+    // connectedComponents pre-partitions the edge set by the per-round
+    // join key before checkpointing; this only pays off if the
+    // checkpointed frame keeps its outputPartitioning — pin that Spark
+    // contract so an upgrade that drops it fails here, not silently in
+    // every CC round at cluster scale
+    import org.apache.spark.sql.functions.col
+    val big = spark.range(1000).toDF("id").repartition(col("id"))
+      .localCheckpoint(true)
+    val small = spark.range(100).toDF("id")
+    val p = plan(big.join(small, "id"))
+    // the small side shuffles (or broadcasts); the checkpointed side
+    // must NOT re-shuffle
+    val exchanges = p.linesIterator.filter(_.matches("""\(\d+\) Exchange.*""")).size
+    assert(exchanges <= 1, s"$exchanges exchanges — checkpoint lost partitioning:\n$p")
+  }
+
   test("q_dedup_minhash signature stage has no explode (row-level transform)") {
     val p = plan(DedupOps.dedupMinhash(Tables.documents(spark, sfDir)))
     // one explode exists for band keys only; the shingle stage must not
