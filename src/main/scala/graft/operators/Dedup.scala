@@ -226,9 +226,11 @@ object DedupOps {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 2), " +
           "i -> xxhash64(toks[i-1], toks[i], toks[i+1]))")).as("shingle"))
-      .distinct()
+      // collect_SET folds the per-doc gram dedup into the posting-list
+      // aggregation itself: one shuffle of the gram stream instead of
+      // two (a standalone distinct re-shuffled the whole stream first)
       .groupBy("shingle")
-      .agg(collect_list(col("doc_id")).as("ds"))
+      .agg(collect_set(col("doc_id")).as("ds"))
   }
 
   /** §2-44 `q_dedup_clusters`: connected components over the MinHash
