@@ -83,6 +83,8 @@ object SparkEntry {
     "q_contamination_ngram" -> ((s, dir) => CorpusOps.contaminationNgram(Tables.documents(s, dir))),
     "q_repetition" -> ((s, dir) => CorpusOps.repetition(Tables.documents(s, dir))),
     "q_chunks" -> ((s, dir) => CorpusOps.chunks(Tables.documents(s, dir))),
+    "q_pack" -> ((s, dir) => CorpusOps.pack(Tables.documents(s, dir))),
+    "q_group_sample" -> ((s, dir) => CorpusOps.groupSample(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 row 35) ---
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---

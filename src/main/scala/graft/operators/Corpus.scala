@@ -155,6 +155,54 @@ object CorpusOps {
         concat_ws(" ", col("chunk")).as("chunk_text"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Token budget of one packed training sequence. */
+  val PackBudget = 256
+
+  /** §2-56 `q_pack`: sequence packing — assign consecutive documents of
+    * each source to ~[[PackBudget]]-token training sequences (the
+    * standard pretraining move: short docs are concatenated so no
+    * context-window tokens are wasted). Declarative greedy: a running
+    * token count per source (ONE window cumsum, partition-local after
+    * the source shuffle) and `pack_id = tokens-before DIV budget` — a
+    * doc straddling a boundary stays in the earlier pack (truncation is
+    * the trainer's call). Per-(source, pack) accounting comes out of the
+    * same pass. Scales: the window partitions by source (the shard key
+    * of a real corpus layout), never globally. */
+  def pack(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(TextFuns.tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        ((col("cum") - col("n_tokens")) / PackBudget).cast("bigint"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("pack_tokens"),
+        min(col("doc_id")).as("first_doc_id"))
+      .orderBy("source", "pack_id")
+  }
+
+  /** Per-source sample size for [[groupSample]]. */
+  val GroupSampleK = 10
+
+  /** §2-57 `q_group_sample`: deterministic k-per-group sample — the
+    * "inspect k docs from every source" eval-subset builder. Hash order
+    * (md5 of the doc id) makes it a uniform-ish, rerun-stable draw;
+    * row_number over the per-source frame keeps the sort partition-local
+    * (no global order). The same shape at 100 TB: one source shuffle,
+    * k rows per group out. */
+  def groupSample(documents: DataFrame, k: Int = GroupSampleK): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy("source", "rk")
+  }
+
   /** Quality threshold for the keep-set filter. */
   val QualityTau = 0.5
 
@@ -303,6 +351,31 @@ object CorpusOps {
          |  ON contains($normSql, probe)
          |ORDER BY doc_id, probe""".stripMargin
     },
+    "q_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len($toksSql) AS n_tokens FROM documents
+         |), c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t
+         |)
+         |SELECT source,
+         |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS pack_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+         |  MIN(doc_id) AS first_doc_id
+         |FROM c
+         |GROUP BY 1, 2
+         |ORDER BY source, pack_id""".stripMargin,
+    "q_group_sample" ->
+      s"""SELECT doc_id, source, lang, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT doc_id, source, lang,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $GroupSampleK
+         |ORDER BY source, rk""".stripMargin,
     "q_contamination_ngram" -> {
       val values = Probes.map(p => s"(${TextFuns.sqlLit(p)})").mkString(", ")
       // same token-sequence contract: docs explode into n-grams of each

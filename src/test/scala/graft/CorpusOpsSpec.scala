@@ -145,6 +145,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) <= 1, p)
   }
 
+  test("pack: per-source token accounting is exact and packs stay near budget") {
+    val packs = CorpusOps.pack(docs).collect()
+    assert(packs.nonEmpty)
+    // token conservation: pack totals sum to the corpus token count
+    val packed = packs.map(_.getAs[Long]("pack_tokens")).sum
+    val total = docs.select(sum(size(split(lower(trim(col("text"))), " "))))
+      .collect().head.getLong(0)
+    assert(packed == total, s"$packed != $total")
+    // every pack except a source's last starts within-budget: its
+    // predecessor closed because the budget filled
+    packs.groupBy(_.getAs[String]("source")).foreach { case (_, ps) =>
+      val sorted = ps.sortBy(_.getAs[Long]("pack_id"))
+      // pack ids are the dense-ish prefix of the cum DIV budget sequence
+      assert(sorted.head.getAs[Long]("pack_id") == 0L)
+      sorted.init.foreach { p =>
+        assert(p.getAs[Long]("pack_tokens") >= 1)
+      }
+    }
+  }
+
+  test("groupSample: exactly k per source (or all, if fewer), rerun-stable") {
+    val s1 = CorpusOps.groupSample(docs).collect()
+    val bySrc = s1.groupBy(_.getAs[String]("source"))
+    val srcCounts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.length == math.min(CorpusOps.GroupSampleK, srcCounts(src)))
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rows.length))
+    }
+    // deterministic: a second run draws the identical sample
+    val s2 = CorpusOps.groupSample(docs).collect()
+    assert(s1.map(_.toString).sorted.toSeq == s2.map(_.toString).sorted.toSeq)
+  }
+
   test("corpusFilter keeps only en-classified, high-quality dedup reps") {
     val kept = CorpusOps.corpusFilter(docs).collect()
     assert(kept.nonEmpty)
