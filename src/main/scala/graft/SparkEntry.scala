@@ -67,6 +67,7 @@ object SparkEntry {
     // --- ANN (§2 rows 29-30) ---
     "q_ann_topk" -> ((s, dir) => AnnOps.annTopK(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => AnnOps.annLsh(Tables.embeddings(s, dir))),
+    "q_centroid" -> ((s, dir) => AnnOps.centroid(Tables.embeddings(s, dir))),
     // --- text analysis (§2 rows 31-34) ---
     "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextOps.quality(Tables.documents(s, dir))),

@@ -98,7 +98,50 @@ object AnnOps {
       .limit(k)
   }
 
+  /** §2-58 `q_centroid`: per-label embedding centroid — the prototype /
+    * IVF-list-training step of an ANN index build. Each element is
+    * quantized to integer micro-units (round(v×10⁶) — the same 6-dp
+    * convention every cross-engine float output here uses; a float →
+    * DECIMAL cast instead hits the engines' shortest-repr vs
+    * exact-binary rounding mismatch at the 8th digit) and summed as
+    * EXACT int64, so the result is independent of partial-aggregation
+    * order and oracle-hashable — the float-avg nondeterminism that
+    * keeps [[annIvf]] rows-only is exactly what this avoids. Scale:
+    * posexplode emits rows × dims, but the agg keys are (label, dim) —
+    * partials bound the shuffle by labels × dims. */
+  def centroid(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as("sum_q6"),
+        count(lit(1)).as("n"))
+      // NO round() on the mean: sum_q6 and n are exact integers, so
+      // sum_q6/1e6/n is two IEEE divisions on identical operands in both
+      // engines — bit-deterministic. (round() is NOT: Spark rounds the
+      // shortest decimal repr, DuckDB the exact binary — they disagree on
+      // quotients near a 5×10⁻⁷ boundary; one such row existed at sf0.1.)
+      .select(col("label"), col("pos"), col("sum_q6"), col("n"),
+        (col("sum_q6") / 1e6 / col("n")).as("mean_val"))
+      .orderBy("label", "pos")
+
   val oracles: Map[String, String] = Map(
+    "q_centroid" ->
+      """WITH idx AS (
+        |  SELECT label, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings
+        |), sums AS (
+        |  SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+        |    CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT))
+        |      AS BIGINT) AS sum_q6,
+        |    COUNT(*) AS n
+        |  FROM idx
+        |  GROUP BY label, i
+        |)
+        |SELECT label, pos, sum_q6, n,
+        |  sum_q6 / 1e6 / n AS mean_val
+        |FROM sums
+        |ORDER BY label, pos""".stripMargin,
     "q_ann_topk" ->
       s"""SELECT e.vec_id, e.label,
          |  ${VectorFuns.sql.cosine6("e.embedding", "q.embedding")} AS score

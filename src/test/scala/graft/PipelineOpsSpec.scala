@@ -143,6 +143,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(c64 * 8 <= c32, s"64-bit candidates=$c64 vs 32-bit=$c32")
   }
 
+  test("centroid: exact decimal sums agree with float averaging, full shape") {
+    val c = AnnOps.centroid(embs).collect()
+    val dims = embs.select(size(col("embedding"))).head().getInt(0)
+    val labels = embs.select("label").distinct().count()
+    assert(c.length == labels * dims)
+    // n is the label's row count for every dim
+    val counts = embs.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    c.foreach { r =>
+      assert(r.getAs[Long]("n") == counts(r.getAs[Int]("label")))
+    }
+    // mean from exact sums ≈ naive float avg (within float-summation slack)
+    val avg0 = embs.filter(col("label") === 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .filter(col("pos") === 0).agg(avg(col("v"))).head().getDouble(0)
+    val got = c.find(r => r.getAs[Int]("label") == 0 && r.getAs[Int]("pos") == 0)
+      .get.getAs[Double]("mean_val")
+    assert(math.abs(got - avg0) < 1e-5, s"$got vs $avg0")
+  }
+
   test("annIvf: hits come from probed lists and overlap brute-force top-k") {
     val ivf = AnnOps.annIvf(embs, k = 5, nProbe = 10) // all lists probed
     val brute = AnnOps.annTopK(embs, k = 5)
