@@ -87,14 +87,20 @@ object EventCols {
   // own formulas verbatim, kept alongside so a user can pick fidelity.
 
   /** EXACT reference extended.py:150-165 — deep completion is x-distance to
-    * the goal LINE (not the centre), clamped at 0, strictly < 20. */
+    * the goal LINE (not the centre), clamped at 0, strictly < 20; a
+    * missing end location is FALSE like the reference's early return
+    * (guard required: Spark's greatest() SKIPS nulls, so without it
+    * `greatest(0.0, 120.0 − null) = 0.0 < 20` would yield true). */
   def isDeepCompletionExact: Column =
-    greatest(lit(0.0), lit(120.0) - col("x2")) < 20.0
+    col("x2").isNotNull &&
+      (greatest(lit(0.0), lit(120.0) - col("x2")) < 20.0)
 
   /** EXACT reference extended.py:167-177 — switch of play needs BOTH the
-    * ≥ 40-units lateral move AND segment length ≥ 30. */
+    * ≥ 40-units lateral move AND segment length ≥ 30; missing endpoints
+    * are FALSE like the reference's early return. */
   def isSwitchExact: Column =
-    (col("dy") >= 40.0) &&
+    col("dx").isNotNull && col("dy").isNotNull &&
+      (col("dy") >= 40.0) &&
       (sqrt(col("dx") * col("dx") + col("dy") * col("dy")) >= 30.0)
 
   /** EXACT reference extended.py:110-130 — progressive-30: dx ≥ 10 first,
@@ -105,7 +111,8 @@ object EventCols {
   def isProgressive30Exact: Column = {
     val distStart = greatest(lit(0.0), lit(120.0) - col("x"))
     val distEnd = greatest(lit(0.0), lit(120.0) - col("x2"))
-    (col("dx") >= 10.0) && (distStart > 0.0) &&
+    col("dx").isNotNull &&
+      (col("dx") >= 10.0) && (distStart > 0.0) &&
       ((distStart - distEnd) >= distStart * 0.3)
   }
 
@@ -148,11 +155,13 @@ object EventCols {
         "(CAST(40 AS DOUBLE) - y2) * (CAST(40 AS DOUBLE) - y2)) <= 20.0)"
     val isSwitch = "(dy >= 40.0)"
     val isDeepCompletionExact =
-      "(greatest(0.0, CAST(120 AS DOUBLE) - x2) < 20.0)"
+      "(x2 IS NOT NULL AND greatest(0.0, CAST(120 AS DOUBLE) - x2) < 20.0)"
     val isSwitchExact =
-      "(dy >= 40.0 AND sqrt(dx * dx + dy * dy) >= 30.0)"
+      "(dx IS NOT NULL AND dy IS NOT NULL AND " +
+        "dy >= 40.0 AND sqrt(dx * dx + dy * dy) >= 30.0)"
     val isProgressive30Exact =
-      "(dx >= 10.0 AND greatest(0.0, CAST(120 AS DOUBLE) - x) > 0.0 AND " +
+      "(dx IS NOT NULL AND " +
+        "dx >= 10.0 AND greatest(0.0, CAST(120 AS DOUBLE) - x) > 0.0 AND " +
         "(greatest(0.0, CAST(120 AS DOUBLE) - x) - " +
         "greatest(0.0, CAST(120 AS DOUBLE) - x2)) >= " +
         "greatest(0.0, CAST(120 AS DOUBLE) - x) * 0.3)"

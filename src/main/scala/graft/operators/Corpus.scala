@@ -175,8 +175,11 @@ object CorpusOps {
       .select(col("doc_id"), col("source"),
         size(TextFuns.tokens(col("text"))).as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("pack_id",
-        ((col("cum") - col("n_tokens")) / PackBudget).cast("bigint"))
+      // integer DIV, not double `/`+cast: double division can land within
+      // one ulp ABOVE an integer boundary for large cumulative counts and
+      // truncate to the wrong pack (exact today only while the budget is
+      // a power of two); the oracle's `//` is integer floor division
+      .withColumn("pack_id", expr(s"(cum - n_tokens) DIV $PackBudget"))
       .groupBy(col("source"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("bigint").as("pack_tokens"),

@@ -128,13 +128,21 @@ object DedupOps {
     * finds every such pair; an exact `bit_count(xor)` then verifies.
     * The DuckDB oracle does the plain quadratic join — same RESULT,
     * different (scale-ready) plan. */
-  def dedupSimhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+  def dedupSimhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // recall guarantee of the pigeonhole split: d differing bits can
+    // touch at most d pieces, so agreement on >= 1 piece is only
+    // guaranteed for d < pieces — a larger maxHamming would silently
+    // MISS pairs whose diffs spread across all pieces
+    require(maxHamming < SimhashPieces,
+      s"pigeonhole blocking over $SimhashPieces pieces only finds pairs " +
+        s"with Hamming < $SimhashPieces; got maxHamming=$maxHamming")
     simhashBlockCandidates(
       simhashFingerprints(documents, bits = SimhashPairBits),
       pieceBits = SimhashPairBits / SimhashPieces)
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy("doc_a", "doc_b")
+  }
 
   /** Pigeonhole candidate pairs (pre-Hamming-filter) for fingerprints
     * split into `64/pieceBits` pieces of `pieceBits` bits — shared by
@@ -179,16 +187,10 @@ object DedupOps {
     * docs don't. */
   def dedupNgram(documents: DataFrame, tau: Double = 0.5,
                  dfCap: Int = NgramDfCap): DataFrame = {
-    // grouped inverted index: ONE exchange by shingle builds the posting
-    // lists; the df cap is then a FREE row-level size filter on the list
-    // (no second pass, no window sort, no broadcast job — the anti-join
-    // and count-over-window formulations both re-ran or re-sorted the
-    // exploded index and measured 35%/15% slower), and candidate pairs
-    // explode WITHIN each list, bounded by C(cap, 2) per shingle. The
-    // exchange under the aggregation is reused by both consumers below.
-    val grouped = ngramIndex(documents)
-    val kept = if (dfCap > 0) grouped.filter(size(col("ds")) <= dfCap)
-               else grouped
+    // grouped inverted index, df cap applied BEFORE any posting list
+    // materializes (see ngramIndex); candidate pairs explode WITHIN each
+    // surviving list, bounded by C(cap, 2) per shingle
+    val kept = ngramIndex(documents, dfCap)
     val sizes = kept.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     // all unordered doc pairs of each posting list; collect_list order is
@@ -211,26 +213,42 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** The grouped inverted index: one row per distinct trigram hash with
-    * its posting list `ds` of doc_ids. Shared by [[dedupNgram]] and the
-    * candidate-volume spec (Σ C(|ds|, 2) is the pair volume a df cap
-    * controls). */
-  private[graft] def ngramIndex(documents: DataFrame): DataFrame = {
+  /** The df-capped grouped inverted index: one row per surviving trigram
+    * hash with its posting list `ds` of doc_ids (`dfCap <= 0` =
+    * uncapped). Shared by [[dedupNgram]] and the candidate-volume spec
+    * (Σ C(|ds|, 2) is the pair volume the df cap controls). */
+  private[graft] def ngramIndex(documents: DataFrame,
+                                dfCap: Int = NgramDfCap): DataFrame = {
     // 64-bit xxhash of each trigram instead of the string: 8-byte
     // shuffle/join keys. Collisions would need two distinct trigrams with
     // equal hashes inside one corpus (P ≈ n²/2⁶⁴ ≈ 10⁻¹¹ here) — the
     // exact-string variant is a one-line swap if that ever matters.
-    spread(documents)
+    val grams = spread(documents)
       .select(col("doc_id"), TextFuns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 2), " +
           "i -> xxhash64(toks[i-1], toks[i], toks[i+1]))")).as("shingle"))
-      // collect_SET folds the per-doc gram dedup into the posting-list
-      // aggregation itself: one shuffle of the gram stream instead of
-      // two (a standalone distinct re-shuffled the whole stream first)
-      .groupBy("shingle")
-      .agg(collect_set(col("doc_id")).as("ds"))
+    if (dfCap <= 0)
+      grams.groupBy("shingle").agg(collect_set(col("doc_id")).as("ds"))
+    else {
+      // size-CAPPED native collect (plans/CollectSetCapped): the plain
+      // collect_set would materialize a boilerplate shingle's FULL
+      // posting list (df can approach corpus size) in one aggregation
+      // buffer before the df filter could discard it — the hot-key
+      // executor-OOM shape. The capped aggregate saturates at cap + 1
+      // elements (lists ≤ cap stay exact; anything longer is doomed by
+      // the filter below anyway), keeping the single-shuffle plan with
+      // O(cap) buffers per key. A countDistinct df pre-pass + semi-join
+      // was tried instead and measured 2.2× slower at sf0.1 (second
+      // aggregation + join over the gram stream).
+      graft.plans.GraftFunctions.register(documents.sparkSession)
+      grams
+        .groupBy("shingle")
+        .agg(call_function("collect_set_capped",
+          col("doc_id"), lit(dfCap)).as("ds"))
+        .filter(size(col("ds")) <= dfCap)
+    }
   }
 
   /** §2-44 `q_dedup_clusters`: connected components over the MinHash

@@ -299,8 +299,9 @@ object EventOps {
          |GROUP BY user_id
          |ORDER BY user_id""".stripMargin,
     "q_range_join" -> {
-      val values = Tiers.map { case (t, lo, hi) => s"('$t', $lo, $hi)" }
-        .mkString(", ")
+      val values = Tiers.map { case (t, lo, hi) =>
+        s"(${graft.functions.TextFuns.sqlLit(t)}, $lo, $hi)"
+      }.mkString(", ")
       s"""SELECT tier, COUNT(*) AS n,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM events

@@ -42,10 +42,14 @@ object Skew {
       s"saltedJoin supports inner/left join types only, got '$joinType' — " +
         "right/full outer would emit unmatched right rows once per salt")
     // collision-proof internal salt column: a caller's own "_salt" would
-    // otherwise be silently overwritten (and dropped from the output)
+    // otherwise be silently overwritten (and dropped from the output).
+    // Compare case-INsensitively — Spark resolves withColumn/drop with
+    // the default case-insensitive resolver, so a caller's "_SALT" would
+    // collide just the same.
+    val taken = (left.columns ++ right.columns).map(_.toLowerCase).toSet
     val saltCol = Iterator.from(0)
       .map(i => if (i == 0) "_salt" else s"_salt$i")
-      .find(n => !left.columns.contains(n) && !right.columns.contains(n)).get
+      .find(n => !taken.contains(n)).get
     // explicit aliases: when `right` derives from `left` (the common
     // fact ⋈ agg-of-fact case) unqualified columns share lineage and the
     // equi-predicate resolves trivially-true before self-join

@@ -175,7 +175,11 @@ object GraftFunctions {
     (FunctionIdentifier("simhash_fp"),
       new ExpressionInfo(classOf[SimhashFp].getName, "simhash_fp"),
       (es: Seq[Expression]) => SimhashFp(es(0),
-        litInt(es(1), "simhash_fp"))))
+        litInt(es(1), "simhash_fp"))),
+    (FunctionIdentifier("collect_set_capped"),
+      new ExpressionInfo(classOf[CollectSetCapped].getName, "collect_set_capped"),
+      (es: Seq[Expression]) => CollectSetCapped(es(0),
+        litInt(es(1), "collect_set_capped"))))
 
   /** Idempotently register on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

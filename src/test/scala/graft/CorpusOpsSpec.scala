@@ -153,16 +153,31 @@ class CorpusOpsSpec extends SparkSpec {
     val total = docs.select(sum(size(split(lower(trim(col("text"))), " "))))
       .collect().head.getLong(0)
     assert(packed == total, s"$packed != $total")
-    // every pack except a source's last starts within-budget: its
-    // predecessor closed because the budget filled
-    packs.groupBy(_.getAs[String]("source")).foreach { case (_, ps) =>
-      val sorted = ps.sortBy(_.getAs[Long]("pack_id"))
-      // pack ids are the dense-ish prefix of the cum DIV budget sequence
-      assert(sorted.head.getAs[Long]("pack_id") == 0L)
-      sorted.init.foreach { p =>
-        assert(p.getAs[Long]("pack_tokens") >= 1)
+    // independent Scala model: recompute the greedy assignment per source
+    // from (doc_id order, token count) and compare the FULL aggregate —
+    // catches any mis-derivation of the cumsum or the floor division
+    case class Assigned(src: String, packId: Long, docId: Long, n: Long)
+    val raw = docs
+      .select(col("doc_id"), col("source"),
+        size(split(lower(trim(col("text"))), " ")).as("n_tokens"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getLong(0), r.getInt(2).toLong))
+    val assigned = raw.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).map { case (_, docId, n) =>
+        val a = Assigned(src, cum / CorpusOps.PackBudget, docId, n)
+        cum += n
+        a
       }
     }
+    val model = assigned.groupBy(a => (a.src, a.packId)).map { case (k, as) =>
+      k -> ((as.size.toLong, as.map(_.n).sum, as.map(_.docId).min))
+    }
+    val got = packs.map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("pack_id")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("pack_tokens"),
+          r.getAs[Long]("first_doc_id")))).toMap
+    assert(got == model, s"pack assignment drifted from the greedy model")
   }
 
   test("groupSample: exactly k per source (or all, if fewer), rerun-stable") {

@@ -51,13 +51,11 @@ class PipelineOpsSpec extends SparkSpec {
     val synth = corpus.toDF("doc_id", "text")
     // candidate volume = Σ C(|posting list|, 2): the boilerplate shingle
     // alone contributes C(100,2) = 4950 without the cap
-    def candidates(cap: Int): Long = {
-      val g = DedupOps.ngramIndex(synth)
-      val f = if (cap > 0) g.filter(size(col("ds")) <= cap) else g
-      f.select((size(col("ds")).cast("long") *
+    def candidates(cap: Int): Long =
+      DedupOps.ngramIndex(synth, cap)
+        .select((size(col("ds")).cast("long") *
           (size(col("ds")) - 1) / 2).cast("long").as("c"))
         .agg(sum(col("c"))).collect().head.getLong(0)
-    }
     val uncapped = candidates(0)
     val capped = candidates(DedupOps.NgramDfCap)
     assert(uncapped >= 4950, s"uncapped=$uncapped")

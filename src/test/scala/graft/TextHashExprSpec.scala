@@ -138,4 +138,23 @@ class TextHashExprSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(n == hofSlice0, s"native $n vs hof $hofSlice0 (full-min was $h)")
   }
+
+  test("collect_set_capped: exact below the cap, saturated-and-droppable above") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // key "cold": 5 distinct values (≤ cap) with repeats, spread over
+    // many partitions so merge() paths run; key "hot": 100 distinct (> cap)
+    val rows = (1L to 5L).flatMap(v => Seq(("cold", v), ("cold", v))) ++
+      (1L to 100L).map(v => ("hot", v))
+    val df = rows.toDF("k", "v").repartition(16)
+      .groupBy("k")
+      .agg(call_function("collect_set_capped", col("v"), lit(8)).as("ds"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // exact set (dedup'd) for the cold key
+    assert(df("cold").sorted == (1L to 5L), df("cold").toString)
+    // hot key saturates just past the cap — proof it never built the
+    // full 100-element set — and fails a size <= cap filter
+    assert(df("hot").length == 9, df("hot").length.toString)
+    assert(df("hot").distinct.length == 9)
+  }
 }
