@@ -139,6 +139,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchangeCount(p) <= 2, s"${exchangeCount(p)} exchanges:\n$p")
   }
 
+  test("q_pack / q_group_sample: per-source windows, no global pre-sort") {
+    for (df <- Seq(CorpusOps.pack(Tables.documents(spark, sfDir)),
+                   CorpusOps.groupSample(Tables.documents(spark, sfDir)))) {
+      val p = plan(df)
+      assert(p.contains("Window"), p)
+      // one source shuffle feeding the window (+ agg reuse) + output sort
+      assert(exchangeCount(p) <= 2, s"${exchangeCount(p)} exchanges:\n$p")
+      // the window's sort is partition-local (global=false) — a global
+      // sort before the window would be the 100 TB anti-pattern
+      val windowSorts = p.linesIterator.filter(_.matches("""\(\d+\) Sort.*"""))
+      assert(windowSorts.nonEmpty, p)
+    }
+  }
+
+  test("q_centroid: one explode, one agg shuffle, nothing else moves data") {
+    val p = plan(AnnOps.centroid(Tables.embeddings(spark, sfDir)))
+    val generates = p.linesIterator.count(_.matches("""\(\d+\) Generate.*"""))
+    assert(generates == 1, s"$generates Generate nodes:\n$p")
+    // (label, pos) agg shuffle + output sort
+    assert(exchangeCount(p) <= 2, s"${exchangeCount(p)} exchanges:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("localCheckpoint keeps hash partitioning (CC per-round edge-reuse)") {
     // connectedComponents pre-partitions the edge set by the per-round
     // join key before checkpointing; this only pays off if the
