@@ -57,9 +57,10 @@ object StatsBombOps {
         count(when(col("event_type") === "Interception", 1)).as("interceptions"),
         count(when(col("event_type") === "Ball Recovery", 1)).as("recoveries"),
         count(when(col("event_type") === "Dispossessed", 1)).as("dispossessed"),
-        // reference extended.py:286-287 — pass events with the
-        // under_pressure flag set
-        count(when(col("event_type") === "Pass" && col("under_pressure"), 1))
+        // reference extended.py:286-287 — COMPLETED passes with the
+        // under_pressure flag (the counter is nested inside the
+        // is_completed_pass branch of the reference loop)
+        count(when(col("completed_pass") && col("under_pressure"), 1))
           .as("passes_under_pressure"),
         min(col("t_sec")).as("first_sec"),
         max(col("t_sec")).as("last_sec"))
@@ -108,6 +109,133 @@ object StatsBombOps {
       .withColumnRenamed("xa_", "x").withColumnRenamed("ya_", "y")
       .withColumnRenamed("x2a_", "x2").withColumnRenamed("y2a_", "y2")
   }
+
+  /** reference extended.py:199-440 `analyze_match_extended` — the
+    * EXTENDED per-(player, match) row: geometry-aware counters on
+    * direction-ADJUSTED coordinates (input goes through
+    * [[withAttackDirection]], after which every team attacks
+    * left→right, so `in_final_third` etc. lose their direction
+    * argument), plus goals / turnovers / cross-excluded deep
+    * completions / switches / extended-progressive passes and carries.
+    * One aggregation pass like [[matchStats]]; join
+    * [[progressiveReceptions]], [[pressuresAfterLoss]], [[xA]] and
+    * [[teamTotalXg]] for the reference's full extended row. */
+  def extendedMatchStats(flat: DataFrame): DataFrame = {
+    val adj = withAttackDirection(flat)
+    val comp = col("completed_pass")
+    val isPass = col("event_type") === "Pass"
+    val hasSeg = col("x").isNotNull && col("x2").isNotNull
+    val dx = col("x2") - col("x")
+    val dyAbs = abs(col("y2") - col("y"))
+    // extended.py:110-130 — completed ∧ dx ≥ 10 ∧ gain ≥ 30% of the
+    // remaining distance, on adjusted coordinates
+    val distStart = greatest(lit(0.0), lit(120.0) - col("x"))
+    val distEnd = greatest(lit(0.0), lit(120.0) - col("x2"))
+    val progExt = hasSeg && (dx >= 10.0) && (distStart > 0.0) &&
+      ((distStart - distEnd) >= distStart * 0.3)
+    adj
+      .groupBy(col("player_id"), col("match_file"))
+      .agg(
+        count(when(isPass, 1)).as("passes_total"),
+        count(when(comp, 1)).as("passes_completed"),
+        // extended key passes add the goal_assist flag (:279-283) and
+        // are nested in the completed branch
+        count(when(comp && (col("key_pass") || col("goal_assist")), 1))
+          .as("key_passes"),
+        count(when(col("event_type") === "Shot", 1)).as("shots"),
+        // :304-305
+        count(when(col("event_type") === "Shot" &&
+          col("shot_outcome") === "Goal", 1)).as("goals"),
+        sum(when(col("event_type") === "Shot", col("xg")).otherwise(0.0)).as("xg"),
+        // :308-309
+        count(when(col("event_type") === "Shot" &&
+          col("key_pass_id").isNotNull, 1)).as("shots_after_key_pass"),
+        count(when(col("event_type") === "Dribble", 1)).as("dribbles_attempted"),
+        count(when(col("event_type") === "Dribble" &&
+          col("dribble_outcome") === "Complete", 1)).as("dribbles_completed"),
+        // :265-267 — Miscontrol or Dispossessed
+        count(when(col("event_type").isin("Miscontrol", "Dispossessed"), 1))
+          .as("turnovers"),
+        count(when(col("event_type") === "Pressure", 1)).as("pressures"),
+        count(when(col("event_type") === "Duel" &&
+          col("duel_type") === "Tackle", 1)).as("tackles"),
+        count(when(col("event_type") === "Interception", 1)).as("interceptions"),
+        count(when(col("event_type") === "Ball Recovery", 1)).as("ball_recoveries"),
+        // :286-297 — all nested in the completed-pass branch
+        count(when(comp && col("under_pressure"), 1)).as("passes_under_pressure"),
+        count(when(comp && col("x2") >= 80.0, 1)).as("passes_into_final_third"),
+        count(when(comp && col("x2") >= 102.0 &&
+          col("y2") >= 18.0 && col("y2") <= 62.0, 1)).as("passes_into_penalty_area"),
+        // :150-165 — completed, NOT a cross, x-distance to goal line < 20
+        count(when(comp && !col("pass_cross") && col("x2").isNotNull &&
+          (greatest(lit(0.0), lit(120.0) - col("x2")) < 20.0), 1))
+          .as("deep_completions"),
+        // :167-177
+        count(when(comp && hasSeg && (dyAbs >= 40.0) &&
+          (sqrt(dx * dx + dyAbs * dyAbs) >= 30.0), 1)).as("switches_of_play"),
+        count(when(isPass && progExt, 1)).as("progressive_passes"),
+        // :316-327 — carry with toward-goal dx ≥ 10 on adjusted coords
+        count(when(col("event_type") === "Carry" && hasSeg && (dx >= 10.0), 1))
+          .as("progressive_carries"),
+        sum(when(col("event_type") === "Carry",
+          coalesce(sqrt(dx * dx + (col("y2") - col("y")) * (col("y2") - col("y"))),
+            lit(0.0))).otherwise(0.0)).as("carry_distance"))
+      .withColumn("pass_pct",
+        when(col("passes_total") > 0,
+          col("passes_completed") * 100.0 / col("passes_total")).otherwise(0.0))
+      .withColumn("dribbles_pct",
+        when(col("dribbles_attempted") > 0,
+          col("dribbles_completed") * 100.0 / col("dribbles_attempted"))
+          .otherwise(0.0))
+  }
+
+  /** reference extended.py:338-353 — progressive receptions: completed,
+    * extended-progressive passes RECEIVED, credited to the recipient.
+    * Adjusted coordinates come from the PASSER's team direction, which
+    * [[withAttackDirection]] already applied row-wise. */
+  def progressiveReceptions(flat: DataFrame): DataFrame = {
+    val adj = withAttackDirection(flat)
+    val distStart = greatest(lit(0.0), lit(120.0) - col("x"))
+    val distEnd = greatest(lit(0.0), lit(120.0) - col("x2"))
+    adj
+      .filter(col("event_type") === "Pass" && col("completed_pass") &&
+        col("recipient_id").isNotNull &&
+        col("x").isNotNull && col("x2").isNotNull &&
+        (col("x2") - col("x") >= 10.0) && (distStart > 0.0) &&
+        ((distStart - distEnd) >= distStart * 0.3))
+      .groupBy(col("recipient_id").as("player_id"), col("match_file"))
+      .agg(count(lit(1)).as("progressive_receptions"))
+  }
+
+  /** reference extended.py:356-384 — pressures within 5 s after the same
+    * player's own turnover (Miscontrol/Dispossessed), same period. The
+    * reference's loop counts each pressure at most once; the equi-join on
+    * (player, match, period) + band [0 s, 5 s] followed by a distinct
+    * pressure count is the set-semantics twin. Co-partitioned join, no
+    * n²: both sides shuffle once on the player key. */
+  def pressuresAfterLoss(flat: DataFrame): DataFrame = {
+    val losses = flat
+      .filter(col("event_type").isin("Miscontrol", "Dispossessed"))
+      .select(col("player_id").as("l_player"), col("match_file").as("l_match"),
+        col("period").as("l_period"), col("t_sec").as("l_sec"))
+    flat
+      .filter(col("event_type") === "Pressure")
+      .join(losses,
+        col("player_id") === col("l_player") &&
+          col("match_file") === col("l_match") &&
+          col("period") === col("l_period") &&
+          col("t_sec") >= col("l_sec") && col("t_sec") <= col("l_sec") + 5)
+      .groupBy(col("player_id"), col("match_file"))
+      .agg(countDistinct(col("event_id")).as("pressures_after_loss"))
+  }
+
+  /** reference extended.py:246-249 — whole-team xG per match (the
+    * denominator of share-of-team metrics). */
+  def teamTotalXg(flat: DataFrame): DataFrame =
+    flat
+      .filter(col("event_type") === "Shot")
+      .groupBy(col("team_id"), col("match_file"))
+      .agg(sum(coalesce(col("xg"), lit(0.0))).as("team_total_xg"))
 
   /** reference core/pedri_analysis.py:201-218 — minutes played with the
     * substitution window: if the player was substituted OFF, minutes run

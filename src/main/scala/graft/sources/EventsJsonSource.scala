@@ -54,6 +54,8 @@ object EventsJsonSource {
       StructField("end_location", ArrayType(DoubleType)),
       StructField("outcome", idName),
       StructField("shot_assist", BooleanType),
+      StructField("goal_assist", BooleanType),
+      StructField("cross", BooleanType),
       StructField("assisted_shot_id", StringType)))),
     StructField("carry", StructType(Seq(
       StructField("end_location", ArrayType(DoubleType))))),
@@ -107,6 +109,9 @@ object EventsJsonSource {
       coalesce(col("under_pressure"), lit(false)).as("under_pressure"),
       col("dribble.outcome.name").as("dribble_outcome"),
       col("duel.type.name").as("duel_type"),
+      col("shot.outcome.name").as("shot_outcome"),
+      coalesce(col("pass.goal_assist"), lit(false)).as("goal_assist"),
+      coalesce(col("pass.cross"), lit(false)).as("pass_cross"),
       col("shot.statsbomb_xg").as("xg"),
       col("shot.key_pass_id").as("key_pass_id"),
       col("substitution.replacement.id").as("sub_replacement_id"))

@@ -86,9 +86,58 @@ class StatsBombOpsSpec extends SparkSpec {
         | "team":{"id":2,"name":"U"},"location":[50.0,40.0],
         | "pass":{"end_location":[55.0,41.0],"outcome":{"id":8,"name":"Complete"}}}
         |]""".stripMargin
+    // player 777 exercises analyze_match_extended's geometry counters
+    // (reference extended.py:199-440); all first-half completed passes go
+    // +x so the inferred direction is attacks-right and nothing flips
+    val m4 =
+      """[
+        |{"id":"x1","index":1,"period":1,"minute":1,"second":0,
+        | "type":{"id":30,"name":"Pass"},"player":{"id":777,"name":"E"},
+        | "team":{"id":3,"name":"V"},"location":[40.0,40.0],"under_pressure":true,
+        | "pass":{"end_location":[85.0,50.0],"recipient":{"id":888,"name":"R"}}},
+        |{"id":"x2","index":2,"period":1,"minute":2,"second":0,
+        | "type":{"id":30,"name":"Pass"},"player":{"id":777,"name":"E"},
+        | "team":{"id":3,"name":"V"},"location":[90.0,40.0],
+        | "pass":{"end_location":[105.0,40.0]}},
+        |{"id":"x3","index":3,"period":1,"minute":3,"second":0,
+        | "type":{"id":30,"name":"Pass"},"player":{"id":777,"name":"E"},
+        | "team":{"id":3,"name":"V"},"location":[90.0,20.0],
+        | "pass":{"end_location":[110.0,40.0],"cross":true}},
+        |{"id":"x4","index":4,"period":1,"minute":4,"second":0,
+        | "type":{"id":30,"name":"Pass"},"player":{"id":777,"name":"E"},
+        | "team":{"id":3,"name":"V"},"location":[30.0,10.0],
+        | "pass":{"end_location":[45.0,55.0]}},
+        |{"id":"x5","index":5,"period":1,"minute":5,"second":0,
+        | "type":{"id":30,"name":"Pass"},"player":{"id":777,"name":"E"},
+        | "team":{"id":3,"name":"V"},"location":[50.0,40.0],"under_pressure":true,
+        | "pass":{"end_location":[55.0,41.0],"outcome":{"id":9,"name":"Incomplete"}}},
+        |{"id":"x6","index":6,"period":1,"minute":6,"second":0,
+        | "type":{"id":30,"name":"Pass"},"player":{"id":777,"name":"E"},
+        | "team":{"id":3,"name":"V"},"location":[10.0,10.0],
+        | "pass":{"end_location":[12.0,11.0],"goal_assist":true}},
+        |{"id":"xs","index":7,"period":1,"minute":7,"second":0,
+        | "type":{"id":16,"name":"Shot"},"player":{"id":777,"name":"E"},
+        | "team":{"id":3,"name":"V"},"location":[100.0,40.0],
+        | "shot":{"statsbomb_xg":0.5,"key_pass_id":"x6",
+        |         "outcome":{"id":97,"name":"Goal"}}},
+        |{"id":"xc","index":8,"period":1,"minute":8,"second":0,
+        | "type":{"id":43,"name":"Carry"},"player":{"id":777,"name":"E"},
+        | "team":{"id":3,"name":"V"},"location":[50.0,40.0],
+        | "carry":{"end_location":[62.0,40.0]}},
+        |{"id":"xm","index":9,"period":1,"minute":10,"second":0,
+        | "type":{"id":38,"name":"Miscontrol"},"player":{"id":777,"name":"E"},
+        | "team":{"id":3,"name":"V"},"location":[60.0,40.0]},
+        |{"id":"xp1","index":10,"period":1,"minute":10,"second":3,
+        | "type":{"id":17,"name":"Pressure"},"player":{"id":777,"name":"E"},
+        | "team":{"id":3,"name":"V"},"location":[61.0,40.0]},
+        |{"id":"xp2","index":11,"period":1,"minute":10,"second":30,
+        | "type":{"id":17,"name":"Pressure"},"player":{"id":777,"name":"E"},
+        | "team":{"id":3,"name":"V"},"location":[62.0,40.0]}
+        |]""".stripMargin
     Files.writeString(new java.io.File(dir, "m1.json").toPath, m1)
     Files.writeString(new java.io.File(dir, "m2.json").toPath, m2)
     Files.writeString(new java.io.File(dir, "m3.json").toPath, m3)
+    Files.writeString(new java.io.File(dir, "m4.json").toPath, m4)
     EventsJsonSource.flatten(
       EventsJsonSource.read(spark, dir.getAbsolutePath)).cache()
   }
@@ -120,6 +169,51 @@ class StatsBombOpsSpec extends SparkSpec {
     assert(s.getAs[Long]("total_pass") == 2 && s.getAs[Long]("comp_pass") == 2)
   }
 
+  test("extendedMatchStats reproduces analyze_match_extended's counters") {
+    val s = StatsBombOps.extendedMatchStats(flat)
+      .filter(col("player_id") === 777L).head()
+    assert(s.getAs[Long]("passes_total") == 6)
+    assert(s.getAs[Long]("passes_completed") == 5) // x5 incomplete
+    assert(s.getAs[Long]("key_passes") == 1) // x6 via goal_assist
+    assert(s.getAs[Long]("shots") == 1 && s.getAs[Long]("goals") == 1)
+    assert(s.getAs[Double]("xg") == 0.5)
+    assert(s.getAs[Long]("shots_after_key_pass") == 1)
+    assert(s.getAs[Long]("turnovers") == 1) // the Miscontrol
+    // completed-gated: x5 is under pressure but incomplete
+    assert(s.getAs[Long]("passes_under_pressure") == 1)
+    assert(s.getAs[Long]("passes_into_final_third") == 3) // x1 x2 x3
+    assert(s.getAs[Long]("passes_into_penalty_area") == 2) // x2 x3
+    assert(s.getAs[Long]("deep_completions") == 1) // x2; x3 is a cross
+    assert(s.getAs[Long]("switches_of_play") == 1) // x4: dy 45, dist ~47
+    // x1 (gain 45/80), x2 (15/30), x3 (20/30); x4 fails the 30% rule
+    assert(s.getAs[Long]("progressive_passes") == 3)
+    assert(s.getAs[Long]("progressive_carries") == 1)
+    assert(s.getAs[Double]("carry_distance") == 12.0)
+    assert(math.abs(s.getAs[Double]("pass_pct") - 500.0 / 6) < 1e-9)
+    assert(s.getAs[Double]("dribbles_pct") == 0.0)
+    assert(s.getAs[Long]("pressures") == 2)
+  }
+
+  test("progressiveReceptions credits the receiver of progressive passes") {
+    val r = StatsBombOps.progressiveReceptions(flat)
+      .filter(col("player_id") === 888L).head()
+    assert(r.getAs[Long]("progressive_receptions") == 1) // x1 only has a recipient
+  }
+
+  test("pressuresAfterLoss counts own pressures within 5s of own turnovers") {
+    val p = StatsBombOps.pressuresAfterLoss(flat).collect()
+    assert(p.length == 1)
+    assert(p.head.getAs[Long]("player_id") == 777L)
+    // xp1 at +3s counts; xp2 at +30s does not
+    assert(p.head.getAs[Long]("pressures_after_loss") == 1)
+  }
+
+  test("teamTotalXg sums the whole team's shot xG per match") {
+    val t = StatsBombOps.teamTotalXg(flat)
+      .filter(col("team_id") === 3L).head()
+    assert(t.getAs[Double]("team_total_xg") == 0.5)
+  }
+
   test("minutesPlayed honors the substitution window") {
     val mins = StatsBombOps.minutesPlayed(flat, 30486L)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -130,9 +224,9 @@ class StatsBombOpsSpec extends SparkSpec {
   }
 
   test("xA credits the passer with the shot's xG") {
-    val xa = StatsBombOps.xA(flat).collect()
+    val xa = StatsBombOps.xA(flat)
+      .filter(col("player_id") === 30486L).collect()
     assert(xa.length == 1)
-    assert(xa.head.getAs[Long]("player_id") == 30486L)
     assert(xa.head.getAs[Double]("xa") == 0.4)
   }
 
