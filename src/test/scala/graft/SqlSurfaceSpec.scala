@@ -32,5 +32,11 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT doc_id, simhash_fp(lower(trim(text)), 16) AS fp FROM documents LIMIT 3")
       .collect()
     assert(sim.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1L << 16)))
+    // the capped posting-list aggregate resolves from SQL text too
+    val capped = spark.sql(
+      """SELECT lang, collect_set_capped(doc_id, 5) AS ds
+        |FROM documents GROUP BY lang""".stripMargin).collect()
+    assert(capped.nonEmpty)
+    assert(capped.forall(_.getSeq[Long](1).length <= 6)) // saturates at cap+1
   }
 }
