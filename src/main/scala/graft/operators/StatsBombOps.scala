@@ -237,27 +237,53 @@ object StatsBombOps {
       .groupBy(col("team_id"), col("match_file"))
       .agg(sum(coalesce(col("xg"), lit(0.0))).as("team_total_xg"))
 
-  /** reference core/pedri_analysis.py:201-218 — minutes played with the
-    * substitution window: if the player was substituted OFF, minutes run
-    * to the substitution; else to the match's last event (clamped).
-    * One join against the (tiny, broadcast) substitution events. */
+  /** reference core/pedri_analysis.py:201-218 `minutes_played_estimate`,
+    * EXACT semantics: if the player was substituted OFF, minutes =
+    * off-time − on-time (on-time is the substitution that brought them
+    * ON if any, else 0 — kickoff starters), clamped to [0, 95]; else the
+    * span of the player's OWN events, clamped to [10, 95]. Substitution
+    * events are tiny → broadcast joins. Note the event's `player` is the
+    * one GOING OFF; `substitution.replacement` is the one coming on. */
   def minutesPlayed(flat: DataFrame, playerId: Long): DataFrame = {
-    val matchEnd = flat.groupBy(col("match_file").as("m"))
-      .agg(max(col("t_sec")).as("match_end_sec"))
     val subbedOff = flat
       .filter(col("event_type") === "Substitution" &&
         col("player_id") === playerId)
-      .select(col("match_file").as("m2"), col("t_sec").as("sub_off_sec"))
+      .groupBy(col("match_file").as("m_off"))
+      .agg(min(col("t_sec")).as("off_sec"))
+    val subbedOn = flat
+      .filter(col("event_type") === "Substitution" &&
+        col("sub_replacement_id") === playerId)
+      .groupBy(col("match_file").as("m_on"))
+      .agg(min(col("t_sec")).as("on_sec"))
     flat.filter(col("player_id") === playerId)
       .groupBy(col("match_file"))
-      .agg(min(col("t_sec")).as("first_sec"))
-      .join(broadcast(matchEnd), col("match_file") === col("m"))
-      .join(broadcast(subbedOff), col("match_file") === col("m2"), "left")
+      .agg(min(col("t_sec")).as("first_sec"), max(col("t_sec")).as("last_sec"))
+      .join(broadcast(subbedOff), col("match_file") === col("m_off"), "left")
+      .join(broadcast(subbedOn), col("match_file") === col("m_on"), "left")
       .select(col("match_file"),
-        (greatest(lit(10.0), least(lit(95.0),
-          (coalesce(col("sub_off_sec"), col("match_end_sec")) - col("first_sec"))
-            / 60.0))).as("minutes"))
+        when(col("off_sec").isNotNull,
+          greatest(lit(0.0), least(lit(95.0),
+            (col("off_sec") - coalesce(col("on_sec"), lit(0L))) / 60.0)))
+        .otherwise(
+          greatest(lit(10.0), least(lit(95.0),
+            (col("last_sec") - col("first_sec")) / 60.0)))
+        .as("minutes"))
   }
+
+  /** reference core/pedri_analysis.py:190-198 `lineup_position_for_pedri`,
+    * generalized: every (match, team, player, position) of the Starting
+    * XI events' `tactics.lineup` arrays — one distributed explode over
+    * the nested frame (the reference loops per file). Input is the
+    * NESTED frame from [[graft.sources.EventsJsonSource.read]] (the
+    * lineup array would be lost in `flatten`). */
+  def lineupPositions(nested: DataFrame): DataFrame =
+    nested
+      .filter(col("type.name") === "Starting XI")
+      .select(col("match_file"), col("team.id").as("team_id"),
+        explode(col("tactics.lineup")).as("entry"))
+      .select(col("match_file"), col("team_id"),
+        col("entry.player.id").as("player_id"),
+        col("entry.position.name").as("lineup_position"))
 
   /** reference extended.py:245-253 — xA: join each shot to the pass that
     * assisted it (`shot.key_pass_id` → pass event id) and credit the

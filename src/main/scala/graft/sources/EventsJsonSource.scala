@@ -68,7 +68,12 @@ object EventsJsonSource {
       StructField("key_pass_id", StringType),
       StructField("outcome", idName)))),
     StructField("substitution", StructType(Seq(
-      StructField("replacement", idName))))))
+      StructField("replacement", idName)))),
+    StructField("tactics", StructType(Seq(
+      StructField("formation", LongType),
+      StructField("lineup", ArrayType(StructType(Seq(
+        StructField("player", idName),
+        StructField("position", idName))))))))))
 
   /** Read one-or-many event files (glob/dir ok) into the nested frame. */
   def read(spark: SparkSession, path: String): DataFrame =

@@ -10,11 +10,16 @@ import graft.sources.EventsJsonSource
 /** End-to-end reference-pipeline semantics over StatsBomb-shaped JSON. */
 class StatsBombOpsSpec extends SparkSpec {
 
-  private lazy val flat = {
+  private lazy val nested = {
     val dir = Files.createTempDirectory("graft_sb").toFile
     // two "matches"; player 30486 passes, assists, gets subbed off in m2
     val m1 =
       """[
+        |{"id":"xi","index":0,"period":1,"minute":0,"second":0,
+        | "type":{"id":35,"name":"Starting XI"},"team":{"id":1,"name":"T"},
+        | "tactics":{"formation":433,"lineup":[
+        |   {"player":{"id":30486,"name":"P"},"position":{"id":15,"name":"Left Center Midfield"}},
+        |   {"player":{"id":7,"name":"R"},"position":{"id":23,"name":"Center Forward"}}]}},
         |{"id":"p1","index":1,"period":1,"minute":1,"second":0,
         | "type":{"id":30,"name":"Pass"},"player":{"id":30486,"name":"P"},
         | "team":{"id":1,"name":"T"},"position":{"id":15,"name":"LCM"},
@@ -43,7 +48,15 @@ class StatsBombOpsSpec extends SparkSpec {
         | "type":{"id":19,"name":"Substitution"},"player":{"id":30486,"name":"P"},
         | "team":{"id":1,"name":"T"},
         | "substitution":{"replacement":{"id":99,"name":"X"}}},
-        |{"id":"q3","index":3,"period":2,"minute":92,"second":0,
+        |{"id":"q2b","index":3,"period":2,"minute":70,"second":0,
+        | "type":{"id":30,"name":"Pass"},"player":{"id":99,"name":"X"},
+        | "team":{"id":1,"name":"T"},"location":[50.0,40.0],
+        | "pass":{"end_location":[60.0,41.0]}},
+        |{"id":"q2c","index":4,"period":2,"minute":80,"second":0,
+        | "type":{"id":19,"name":"Substitution"},"player":{"id":99,"name":"X"},
+        | "team":{"id":1,"name":"T"},
+        | "substitution":{"replacement":{"id":7,"name":"R"}}},
+        |{"id":"q3","index":5,"period":2,"minute":92,"second":0,
         | "type":{"id":34,"name":"Half End"},"player":{"id":7,"name":"R"},
         | "team":{"id":1,"name":"T"}}
         |]""".stripMargin
@@ -138,9 +151,10 @@ class StatsBombOpsSpec extends SparkSpec {
     Files.writeString(new java.io.File(dir, "m2.json").toPath, m2)
     Files.writeString(new java.io.File(dir, "m3.json").toPath, m3)
     Files.writeString(new java.io.File(dir, "m4.json").toPath, m4)
-    EventsJsonSource.flatten(
-      EventsJsonSource.read(spark, dir.getAbsolutePath)).cache()
+    EventsJsonSource.read(spark, dir.getAbsolutePath).cache()
   }
+
+  private lazy val flat = EventsJsonSource.flatten(nested).cache()
 
   test("matchStats reproduces the reference per-match counters") {
     val stats = StatsBombOps.matchStats(flat)
@@ -214,13 +228,20 @@ class StatsBombOpsSpec extends SparkSpec {
     assert(t.getAs[Double]("team_total_xg") == 0.5)
   }
 
-  test("minutesPlayed honors the substitution window") {
+  test("minutesPlayed honors the substitution window (exact reference rule)") {
     val mins = StatsBombOps.minutesPlayed(flat, 30486L)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val m1 = mins.keys.find(_.contains("m1.json")).map(mins).get
     val m2 = mins.keys.find(_.contains("m2.json")).map(mins).get
-    assert(m1 == 92.0) // first event min 1 → last match event min 93
-    assert(m2 == 59.5) // first event 0:30 → subbed off at 60:00
+    // no substitution in m1 → span of the player's OWN events (1 min),
+    // clamped up to the reference's 10-minute floor
+    assert(m1 == 10.0)
+    // subbed off at 60:00, started (no sub-on) → 60 − 0
+    assert(m2 == 60.0)
+    // player 99 came ON at 60:00 and went OFF at 80:00 → 20 minutes
+    val sub = StatsBombOps.minutesPlayed(flat, 99L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sub.keys.find(_.contains("m2.json")).map(sub).get == 20.0)
   }
 
   test("xA credits the passer with the shot's xG") {
@@ -242,6 +263,13 @@ class StatsBombOpsSpec extends SparkSpec {
     assert(!s1.getAs[Boolean]("attacks_right"))
     assert(s1.getAs[Double]("x") == 10.0) // 120 - 110
     assert(s1.getAs[Double]("y") == 40.0) // 80 - 40
+  }
+
+  test("lineupPositions reads the Starting XI tactics array") {
+    val xi = StatsBombOps.lineupPositions(nested).collect()
+      .map(r => r.getAs[Long]("player_id") -> r.getAs[String]("lineup_position"))
+      .toMap
+    assert(xi == Map(30486L -> "Left Center Midfield", 7L -> "Center Forward"))
   }
 
   test("positionFrequency ranks positions per player") {
