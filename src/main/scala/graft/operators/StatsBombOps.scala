@@ -25,6 +25,20 @@ object StatsBombOps {
   private def progressive = (col("x2") - col("x") >= 10.0) &&
     (col("x2") - col("x") > abs(col("y2") - col("y")))
 
+  /** reference extended.py:110-130 — the EXTENDED progressive rule on
+    * direction-adjusted coordinates: completed ∧ dx ≥ 10 ∧ gain ≥ 30% of
+    * the remaining distance to the goal line. ONE definition shared by
+    * [[extendedMatchStats]] and [[progressiveReceptions]] so the two can
+    * never drift. */
+  private def progressiveExtended: org.apache.spark.sql.Column = {
+    val distStart = greatest(lit(0.0), lit(120.0) - col("x"))
+    val distEnd = greatest(lit(0.0), lit(120.0) - col("x2"))
+    col("completed_pass") &&
+      col("x").isNotNull && col("x2").isNotNull &&
+      (col("x2") - col("x") >= 10.0) && (distStart > 0.0) &&
+      ((distStart - distEnd) >= distStart * 0.3)
+  }
+
   /** Per-(player, match) stat table — the reference's ~20 counters/ratios
     * in ONE aggregation pass over the flattened events. */
   def matchStats(flat: DataFrame): DataFrame =
@@ -127,12 +141,6 @@ object StatsBombOps {
     val hasSeg = col("x").isNotNull && col("x2").isNotNull
     val dx = col("x2") - col("x")
     val dyAbs = abs(col("y2") - col("y"))
-    // extended.py:110-130 — completed ∧ dx ≥ 10 ∧ gain ≥ 30% of the
-    // remaining distance, on adjusted coordinates
-    val distStart = greatest(lit(0.0), lit(120.0) - col("x"))
-    val distEnd = greatest(lit(0.0), lit(120.0) - col("x2"))
-    val progExt = hasSeg && (dx >= 10.0) && (distStart > 0.0) &&
-      ((distStart - distEnd) >= distStart * 0.3)
     adj
       .groupBy(col("player_id"), col("match_file"))
       .agg(
@@ -170,10 +178,12 @@ object StatsBombOps {
         count(when(comp && !col("pass_cross") && col("x2").isNotNull &&
           (greatest(lit(0.0), lit(120.0) - col("x2")) < 20.0), 1))
           .as("deep_completions"),
-        // :167-177
-        count(when(comp && hasSeg && (dyAbs >= 40.0) &&
-          (sqrt(dx * dx + dyAbs * dyAbs) >= 30.0), 1)).as("switches_of_play"),
-        count(when(isPass && progExt, 1)).as("progressive_passes"),
+        // :167-177 — the reference also tests segment length ≥ 30, but
+        // dy ≥ 40 already implies length ≥ 40 (hypotenuse ≥ a leg), so
+        // the conjunct is vacuous and the sqrt is skipped here;
+        // EventCols.isSwitchExact keeps the literal two-condition formula
+        count(when(comp && hasSeg && (dyAbs >= 40.0), 1)).as("switches_of_play"),
+        count(when(progressiveExtended, 1)).as("progressive_passes"),
         // :316-327 — carry with toward-goal dx ≥ 10 on adjusted coords
         count(when(col("event_type") === "Carry" && hasSeg && (dx >= 10.0), 1))
           .as("progressive_carries"),
@@ -193,26 +203,23 @@ object StatsBombOps {
     * extended-progressive passes RECEIVED, credited to the recipient.
     * Adjusted coordinates come from the PASSER's team direction, which
     * [[withAttackDirection]] already applied row-wise. */
-  def progressiveReceptions(flat: DataFrame): DataFrame = {
-    val adj = withAttackDirection(flat)
-    val distStart = greatest(lit(0.0), lit(120.0) - col("x"))
-    val distEnd = greatest(lit(0.0), lit(120.0) - col("x2"))
-    adj
-      .filter(col("event_type") === "Pass" && col("completed_pass") &&
-        col("recipient_id").isNotNull &&
-        col("x").isNotNull && col("x2").isNotNull &&
-        (col("x2") - col("x") >= 10.0) && (distStart > 0.0) &&
-        ((distStart - distEnd) >= distStart * 0.3))
+  def progressiveReceptions(flat: DataFrame): DataFrame =
+    withAttackDirection(flat)
+      .filter(col("event_type") === "Pass" && progressiveExtended &&
+        col("recipient_id").isNotNull)
       .groupBy(col("recipient_id").as("player_id"), col("match_file"))
       .agg(count(lit(1)).as("progressive_receptions"))
-  }
 
   /** reference extended.py:356-384 — pressures within 5 s after the same
     * player's own turnover (Miscontrol/Dispossessed), same period. The
     * reference's loop counts each pressure at most once; the equi-join on
     * (player, match, period) + band [0 s, 5 s] followed by a distinct
-    * pressure count is the set-semantics twin. Co-partitioned join, no
-    * n²: both sides shuffle once on the player key. */
+    * pressure count is the set-semantics twin. Same-second ties: the
+    * reference's `event_minute` is second-granular too and its candidate
+    * scan accepts `tstamp - p_t == 0` regardless of file order, so a
+    * pressure in the same second as the turnover counts in BOTH
+    * formulations — no ordering divergence. Co-partitioned join, no n²:
+    * both sides shuffle once on the player key. */
   def pressuresAfterLoss(flat: DataFrame): DataFrame = {
     val losses = flat
       .filter(col("event_type").isin("Miscontrol", "Dispossessed"))

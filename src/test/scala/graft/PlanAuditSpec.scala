@@ -146,10 +146,14 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("Window"), p)
       // one source shuffle feeding the window (+ agg reuse) + output sort
       assert(exchangeCount(p) <= 2, s"${exchangeCount(p)} exchanges:\n$p")
-      // the window's sort is partition-local (global=false) — a global
-      // sort before the window would be the 100 TB anti-pattern
-      val windowSorts = p.linesIterator.filter(_.matches("""\(\d+\) Sort.*"""))
-      assert(windowSorts.nonEmpty, p)
+      // the window's sort is partition-local — the ONLY range shuffle
+      // (global ordering) allowed is the final presentation orderBy; a
+      // rangepartitioning Exchange feeding the Window would be the
+      // 100 TB anti-pattern
+      val rangeExchanges = p.linesIterator
+        .count(l => l.contains("Arguments: rangepartitioning"))
+      assert(rangeExchanges <= 1, s"$rangeExchanges range exchanges:\n$p")
+      assert(p.contains("Arguments: hashpartitioning"), p)
     }
   }
 

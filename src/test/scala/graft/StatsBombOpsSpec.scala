@@ -97,7 +97,11 @@ class StatsBombOpsSpec extends SparkSpec {
         |{"id":"u2","index":9,"period":1,"minute":13,"second":0,
         | "type":{"id":30,"name":"Pass"},"player":{"id":555,"name":"D"},
         | "team":{"id":2,"name":"U"},"location":[50.0,40.0],
-        | "pass":{"end_location":[55.0,41.0],"outcome":{"id":8,"name":"Complete"}}}
+        | "pass":{"end_location":[55.0,41.0],"outcome":{"id":8,"name":"Complete"}}},
+        |{"id":"u3","index":10,"period":1,"minute":14,"second":0,
+        | "type":{"id":30,"name":"Pass"},"player":{"id":555,"name":"D"},
+        | "team":{"id":2,"name":"U"},"location":[55.0,40.0],"under_pressure":true,
+        | "pass":{"end_location":[60.0,41.0],"outcome":{"id":9,"name":"Incomplete"}}}
         |]""".stripMargin
     // player 777 exercises analyze_match_extended's geometry counters
     // (reference extended.py:199-440); all first-half completed passes go
@@ -128,6 +132,10 @@ class StatsBombOpsSpec extends SparkSpec {
         | "type":{"id":30,"name":"Pass"},"player":{"id":777,"name":"E"},
         | "team":{"id":3,"name":"V"},"location":[10.0,10.0],
         | "pass":{"end_location":[12.0,11.0],"goal_assist":true}},
+        |{"id":"x7","index":12,"period":1,"minute":9,"second":0,
+        | "type":{"id":30,"name":"Pass"},"player":{"id":777,"name":"E"},
+        | "team":{"id":3,"name":"V"},"location":[40.0,40.0],
+        | "pass":{"end_location":[85.0,41.0],"outcome":{"id":9,"name":"Incomplete"}}},
         |{"id":"xs","index":7,"period":1,"minute":7,"second":0,
         | "type":{"id":16,"name":"Shot"},"player":{"id":777,"name":"E"},
         | "team":{"id":3,"name":"V"},"location":[100.0,40.0],
@@ -178,16 +186,17 @@ class StatsBombOpsSpec extends SparkSpec {
     assert(s.getAs[Double]("carry_distance_units") == 5.0)
     assert(s.getAs[Long]("tackles") == 1) // the Aerial Lost duel is not a tackle
     assert(s.getAs[Long]("interceptions") == 1)
+    // completed-gated: u3 is under pressure but incomplete
     assert(s.getAs[Long]("passes_under_pressure") == 1)
     // an explicit "Complete" outcome counts as completed (reference :85-90)
-    assert(s.getAs[Long]("total_pass") == 2 && s.getAs[Long]("comp_pass") == 2)
+    assert(s.getAs[Long]("total_pass") == 3 && s.getAs[Long]("comp_pass") == 2)
   }
 
   test("extendedMatchStats reproduces analyze_match_extended's counters") {
     val s = StatsBombOps.extendedMatchStats(flat)
       .filter(col("player_id") === 777L).head()
-    assert(s.getAs[Long]("passes_total") == 6)
-    assert(s.getAs[Long]("passes_completed") == 5) // x5 incomplete
+    assert(s.getAs[Long]("passes_total") == 7)
+    assert(s.getAs[Long]("passes_completed") == 5) // x5, x7 incomplete
     assert(s.getAs[Long]("key_passes") == 1) // x6 via goal_assist
     assert(s.getAs[Long]("shots") == 1 && s.getAs[Long]("goals") == 1)
     assert(s.getAs[Double]("xg") == 0.5)
@@ -199,11 +208,12 @@ class StatsBombOpsSpec extends SparkSpec {
     assert(s.getAs[Long]("passes_into_penalty_area") == 2) // x2 x3
     assert(s.getAs[Long]("deep_completions") == 1) // x2; x3 is a cross
     assert(s.getAs[Long]("switches_of_play") == 1) // x4: dy 45, dist ~47
-    // x1 (gain 45/80), x2 (15/30), x3 (20/30); x4 fails the 30% rule
+    // x1 (gain 45/80), x2 (15/30), x3 (20/30); x4 fails the 30% rule and
+    // x7 is progressive-shaped but INCOMPLETE (the reference's gate)
     assert(s.getAs[Long]("progressive_passes") == 3)
     assert(s.getAs[Long]("progressive_carries") == 1)
     assert(s.getAs[Double]("carry_distance") == 12.0)
-    assert(math.abs(s.getAs[Double]("pass_pct") - 500.0 / 6) < 1e-9)
+    assert(math.abs(s.getAs[Double]("pass_pct") - 500.0 / 7) < 1e-9)
     assert(s.getAs[Double]("dribbles_pct") == 0.0)
     assert(s.getAs[Long]("pressures") == 2)
   }
