@@ -306,6 +306,31 @@ object StatsBombOps {
       .agg(count(lit(1)).as("n_assisted_shots"), sum(col("xg")).as("xa"))
   }
 
+  /** reference extended.py:543-585 `plot_heatmap_points` + :272-274/
+    * :317-318 — the heatmap FEED: completed-pass or carry start
+    * locations binned on the 48×32 grid over the 120×80 pitch
+    * (np.histogram2d semantics: cell = 2.5×2.5, upper edge inclusive in
+    * the last bin, out-of-range dropped), with the reference's log1p
+    * intensity. Raw (unadjusted) locations, like the reference. The
+    * plot itself is out of scope; this DataFrame is its input. */
+  def heatmapBins(flat: DataFrame, kind: String = "pass"): DataFrame = {
+    require(kind == "pass" || kind == "carry",
+      s"kind must be 'pass' or 'carry', got '$kind'")
+    val src =
+      if (kind == "pass") flat.filter(col("completed_pass"))
+      else flat.filter(col("event_type") === "Carry")
+    src
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        col("x") >= 0.0 && col("x") <= 120.0 &&
+        col("y") >= 0.0 && col("y") <= 80.0)
+      .select(
+        least(floor(col("x") / 2.5), lit(47.0)).cast("int").as("bx"),
+        least(floor(col("y") / 2.5), lit(31.0)).cast("int").as("by"))
+      .groupBy(col("bx"), col("by"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("intensity", log1p(col("n")))
+  }
+
   /** reference pedri_profile.py — position frequency per player
     * (`Counter.most_common`): full ranked table, ready for top-1 or top-k. */
   def positionFrequency(flat: DataFrame): DataFrame =

@@ -275,6 +275,25 @@ class StatsBombOpsSpec extends SparkSpec {
     assert(s1.getAs[Double]("y") == 40.0) // 80 - 40
   }
 
+  test("heatmapBins: histogram2d-compatible 48x32 binning with log1p intensity") {
+    val bins = StatsBombOps.heatmapBins(flat, "pass").collect()
+    // total binned = completed passes with an in-range location
+    val expected = flat.filter(col("completed_pass") &&
+      col("x").isNotNull && col("y").isNotNull).count()
+    assert(bins.map(_.getAs[Long]("n")).sum == expected)
+    bins.foreach { r =>
+      val (bx, by, n) = (r.getAs[Int]("bx"), r.getAs[Int]("by"), r.getAs[Long]("n"))
+      assert(bx >= 0 && bx < 48 && by >= 0 && by < 32)
+      assert(r.getAs[Double]("intensity") == math.log1p(n.toDouble))
+    }
+    // x1 starts at (40, 40) → cell (16, 16)
+    assert(bins.exists(r => r.getAs[Int]("bx") == 16 && r.getAs[Int]("by") == 16))
+    // carries bin separately
+    assert(StatsBombOps.heatmapBins(flat, "carry")
+      .agg(sum(col("n"))).head().getLong(0) ==
+      flat.filter(col("event_type") === "Carry" && col("x").isNotNull).count())
+  }
+
   test("lineupPositions reads the Starting XI tactics array") {
     val xi = StatsBombOps.lineupPositions(nested).collect()
       .map(r => r.getAs[Long]("player_id") -> r.getAs[String]("lineup_position"))
