@@ -64,6 +64,7 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) => DedupOps.dedupNgram(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => DedupOps.dedupEmbedding(Tables.embeddings(s, dir))),
+    "q_dedup_embedding_lsh" -> ((s, dir) => DedupOps.dedupEmbeddingLsh(Tables.embeddings(s, dir))),
     // --- ANN (§2 rows 29-30) ---
     "q_ann_topk" -> ((s, dir) => AnnOps.annTopK(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => AnnOps.annLsh(Tables.embeddings(s, dir))),

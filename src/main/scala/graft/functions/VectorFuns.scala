@@ -51,8 +51,15 @@ object VectorFuns {
     * component i > 0 (exact float comparison — engine-portable). On a
     * cluster this bucket id is the partition/prune key for ANN search. */
   def signBucket(a: Column, bits: Int = 8): Column =
-    (0 until bits).map(i =>
-      when(element_at(a, i + 1) > 0f, lit(1 << i)).otherwise(lit(0)))
+    signBandKey(a, 0 until bits)
+
+  /** Sign band key over an explicit dimension list (0-indexed): bit i set
+    * iff component `dims(i)` > 0 — the banded generalization of
+    * [[signBucket]] used by the LSH-blocked embedding dedup (one key per
+    * band of dims). Exact float comparison — engine-portable. */
+  def signBandKey(a: Column, dims: Seq[Int]): Column =
+    dims.zipWithIndex.map { case (d, i) =>
+      when(element_at(a, d + 1) > 0f, lit(1 << i)).otherwise(lit(0)) }
       .reduce(_ + _)
 
   /** The DuckDB-side twins (oracle SQL fragments). */
@@ -64,7 +71,9 @@ object VectorFuns {
     def cosine6(a: String, b: String): String =
       s"round(${dot(a, b)} / (${l2norm(a)} * ${l2norm(b)}), 6)"
     def signBucket(a: String, bits: Int = 8): String =
-      (0 until bits).map(i =>
-        s"(CASE WHEN $a[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+      signBandKey(a, 0 until bits)
+    def signBandKey(a: String, dims: Seq[Int]): String =
+      dims.zipWithIndex.map { case (d, i) =>
+        s"(CASE WHEN $a[${d + 1}] > 0 THEN ${1 << i} ELSE 0 END)" }.mkString(" + ")
   }
 }

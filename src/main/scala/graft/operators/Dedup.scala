@@ -382,10 +382,14 @@ object DedupOps {
     (labels.select(col("doc_id"), col("cluster_id")).union(isolated), iter)
   }
 
-  /** §2-28 `q_dedup_embedding`: blocked cosine near-dup pairs (cos ≥ τ).
-    * The block key (here `label`; LSH sign-bucket in the general case —
-    * see [[AnnOps.annLsh]]) turns the n² problem into Σ block². Cosines
-    * are rounded to 6 dp on both engines (summation-order ulp). */
+  /** §2-28 `q_dedup_embedding`: blocked cosine near-dup pairs (cos ≥ τ)
+    * for a LABELED corpus — the block key is `label`, so candidates are
+    * Σ block², which only beats n² while label cardinality grows with the
+    * corpus (n²/L pairs at fixed L). Real corpora are unlabeled or
+    * coarsely labeled: the general path is [[dedupEmbeddingLsh]], which
+    * blocks on sign-LSH bands instead and is the operator a 100 TB
+    * pipeline would run. Cosines are rounded to 6 dp on both engines
+    * (summation-order ulp). */
   def dedupEmbedding(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     // norms once per row BEFORE the pair join (not once per pair)
@@ -397,6 +401,65 @@ object DedupOps {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         VectorFuns.cosine6Pre(col("a.embedding"), col("b.embedding"),
           col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= tau)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Sign-LSH banding for [[dedupEmbeddingLsh]]: each band is
+    * [[EmbBandBits]] consecutive dimensions' sign bits, tiled over the
+    * vector twice — phase 0 and a second tiling offset by half a band
+    * (the "rotated second projection" recall trick: a pair that loses
+    * one phase-0 band to a single sign flip near a band boundary still
+    * has the straddling phase-1 band). For zero-centered embeddings each
+    * sign bit agrees with probability 1 − θ/π (random-hyperplane LSH),
+    * so a cos-0.9 pair (θ ≈ 26°) collides in ≥ 1 of the 16 bands with
+    * P = 1 − (1 − 0.857⁸)¹⁶ ≈ 0.996, while random pairs fill each
+    * 256-value band key uniformly — candidates ≈ 16·n²/512 = n²/32
+    * (measured 5.7% of all pairs on the test corpus), vs the n²/2 of an
+    * unblocked pass. */
+  val EmbBandBits = 8
+  val EmbDims = 64
+  private[graft] val embeddingBandDims: Seq[Seq[Int]] =
+    for (phase <- Seq(0, EmbBandBits / 2); b <- 0 until EmbDims / EmbBandBits)
+      yield (0 until EmbBandBits).map(i => (phase + b * EmbBandBits + i) % EmbDims)
+
+  /** Distinct LSH candidate pairs (pre-cosine-verify) — the blocks frame
+    * carries ONLY (vec_id, band, key): the 64-float payload never rides
+    * the exploded band stream or its shuffle; exposed for the
+    * candidate-volume spec. */
+  private[graft] def embeddingLshCandidates(embeddings: DataFrame): DataFrame = {
+    val bands = embeddingBandDims.zipWithIndex.map { case (dims, j) =>
+      struct(lit(j).as("band"),
+        VectorFuns.signBandKey(col("embedding"), dims).as("key")) }
+    val blocks = embeddings
+      .select(col("vec_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+  }
+
+  /** §2-59 `q_dedup_embedding_lsh`: cosine near-dup pairs (cos ≥ τ) with
+    * NO label/metadata requirement — the general-corpus embedding dedup.
+    * Blocking = [[embeddingBandDims]] sign-LSH bands (equi-join on
+    * (band, key), candidates bounded by real band collisions, never n²);
+    * verification = exact 6-dp cosine on the deduped candidate set, with
+    * per-row norms computed once before the pair join. The contract is
+    * "collides in ≥ 1 band ∧ cos ≥ τ" — the DuckDB oracle derives the
+    * SAME band keys, so both engines see the identical pair universe. */
+  def dedupEmbeddingLsh(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      VectorFuns.l2normNative(col("embedding")).as("nrm"))
+    embeddingLshCandidates(embeddings)
+      .join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
+      .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        VectorFuns.cosine6Pre(col("ea.embedding"), col("eb.embedding"),
+          col("ea.nrm"), col("eb.nrm")).as("cos"))
       .filter(col("cos") >= tau)
       .orderBy("vec_a", "vec_b")
   }
@@ -521,6 +584,26 @@ object DedupOps {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_dedup_embedding_lsh" -> {
+      // the SAME 16 sign-band keys the Spark side blocks on; DuckDB's
+      // single-node plan is the OR-of-bands nested loop — identical pair
+      // universe, different physical strategy
+      val keys = embeddingBandDims.zipWithIndex.map { case (dims, j) =>
+        s"${VectorFuns.sql.signBandKey("embedding", dims)} AS k$j"
+      }.mkString(",\n    ")
+      val anyBand = embeddingBandDims.indices
+        .map(j => s"a.k$j = b.k$j").mkString(" OR ")
+      s"""WITH bk AS (
+         |  SELECT vec_id, embedding,
+         |    $keys
+         |  FROM embeddings
+         |)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} AS cos
+         |FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ($anyBand)
+         |WHERE ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin
+    }
   )
 }

@@ -99,6 +99,73 @@ class PipelineOpsSpec extends SparkSpec {
     assert(joined.filter(col("la") =!= col("lb")).count() == 0)
   }
 
+  test("dedupEmbeddingLsh: exact band-collision ∧ cosine contract, label-free") {
+    // brute-force twin in plain Scala: same band keys, same sequential
+    // double-fold cosine, same HALF_UP 6-dp rounding as Spark's round()
+    val rows = embs.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def keys(v: Array[Float]): Seq[Int] =
+      DedupOps.embeddingBandDims.map(dims =>
+        dims.zipWithIndex.map { case (d, i) => if (v(d) > 0f) 1 << i else 0 }.sum)
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val keyed = rows.map { case (id, v) => (id, keys(v), v) }
+    val expected = (for {
+      (a, ka, va) <- keyed; (b, kb, vb) <- keyed if a < b
+      if ka.zip(kb).exists { case (x, y) => x == y }
+      c = cos6(va, vb) if c >= 0.4
+    } yield (a, b, c)).toSet
+    val got = DedupOps.dedupEmbeddingLsh(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.nonEmpty)
+  }
+
+  test("dedupEmbeddingLsh: candidate volume is a small fraction of n(n-1)/2") {
+    val n = embs.count()
+    val allPairs = n * (n - 1) / 2
+    val cands = DedupOps.embeddingLshCandidates(embs).count()
+    // measured 5.7% on this corpus; assert an order-of-magnitude margin
+    // under the unblocked quadratic
+    assert(cands * 10 <= allPairs,
+      s"candidates=$cands vs all pairs=$allPairs — banding isn't pruning")
+    assert(cands > 0)
+  }
+
+  test("dedupEmbeddingLsh: planted near-dup pairs are recalled without labels") {
+    import spark.implicits._
+    // deterministic pseudo-random base vectors (LCG), each with a planted
+    // near-twin: 90% base + 10% fresh noise, renormalized — cos ≈ 0.99;
+    // NO label column anywhere
+    var seed = 42L
+    def nextF(): Float = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33).toInt % 1000) / 1000.0f
+    }
+    def vec(): Array[Float] = Array.fill(DedupOps.EmbDims)(nextF() - 0.5f)
+    val base = (0 until 50).map(i => (i.toLong, vec()))
+    val twins = base.map { case (i, v) =>
+      val noise = vec()
+      (i + 1000L, v.zip(noise).map { case (x, e) => 0.9f * x + 0.1f * e })
+    }
+    val synth = (base ++ twins).toDF("vec_id", "embedding")
+    val found = DedupOps.dedupEmbeddingLsh(synth, tau = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = base.map { case (i, _) => (i, i + 1000L) }.toSet
+    val missed = planted -- found
+    assert(missed.isEmpty, s"planted near-twins missed: $missed")
+  }
+
   test("annTopK: scores descend and exclude the query") {
     val rows = AnnOps.annTopK(embs).collect()
     assert(rows.length == 10)

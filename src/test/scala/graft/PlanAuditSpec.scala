@@ -183,6 +183,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 1, s"$exchanges exchanges — checkpoint lost partitioning:\n$p")
   }
 
+  test("q_dedup_embedding_lsh: equi-join blocking, no nested loop, payload-free band stream") {
+    val p = plan(DedupOps.dedupEmbeddingLsh(Tables.embeddings(spark, sfDir)))
+    // the band self-join must be a hash/merge equi-join on (band, key) —
+    // a nested loop here is the n² the banding exists to avoid
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the band explode (Generate) must emit only (vec_id, band-key struct)
+    // — the 64-float embedding is read by the key EXPRESSIONS but must not
+    // ride the 16×-exploded output stream
+    val gens = DedupOps.dedupEmbeddingLsh(Tables.embeddings(spark, sfDir))
+      .queryExecution.sparkPlan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+    assert(gens.nonEmpty, p)
+    gens.foreach(g => assert(!g.output.map(_.name).contains("embedding"),
+      s"payload rides the band explode: ${g.output.map(_.name)}"))
+  }
+
   test("q_dedup_minhash signature stage has no explode (row-level transform)") {
     val p = plan(DedupOps.dedupMinhash(Tables.documents(spark, sfDir)))
     // one explode exists for band keys only; the shingle stage must not
