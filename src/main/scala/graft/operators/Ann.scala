@@ -61,29 +61,40 @@ object AnnOps {
     * k-means cells), probe the `nProbe` nearest lists, search only those.
     *
     * Centroids are computed distributively (posexplode → per-(list, dim)
-    * avg → re-assembled in dim order) — never collected to the driver; the
+    * agg → re-assembled in dim order) — never collected to the driver; the
     * probed-list set IS broadcast (it's nProbe rows). At 100 TB the list id
     * is the partition key, so a query touches nProbe/nLists of the data.
-    * Spec-tested (no DuckDB oracle: centroid averaging is float-order
-    * sensitive; the RESULT contract — hits come only from probed lists,
-    * recall vs brute force — is asserted instead). */
+    *
+    * Centroid means use [[centroid]]'s quantized-integer-sum trick
+    * (round(v×10⁶) summed as exact int64, mean emitted as the bare IEEE
+    * division sum/1e6/n): the sums are aggregation-order-FREE, so the
+    * centroids — and with the (c_score, label) / (score, vec_id)
+    * tie-breaks, the probe set and the hit list — are bit-reproducible in
+    * DuckDB. That lifts this from the rows-only bucket (the float-avg
+    * formulation was summation-order sensitive) to a hash-checked oracle
+    * entry. */
   def annIvf(embeddings: DataFrame, queryId: Long = 0L, k: Int = 5,
              nProbe: Int = 2): DataFrame = {
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val centroids = embeddings
-      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
-      .groupBy(col("label"), col("i"))
-      .agg(avg(col("v")).as("c"))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as("sum_q6"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("sum_q6") / 1e6 / col("n")).as("c"))
       .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-        s => s.getField("c").cast("float")).as("centroid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"))
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"),
         VectorFuns.l2normNative(col("embedding")).as("q_nrm"))
     val probed = centroids.join(broadcast(q))
       .select(col("label"),
-        (VectorFuns.dotNative(col("centroid"), col("q_emb")) /
-          (VectorFuns.l2normNative(col("centroid")) * col("q_nrm"))).as("c_score"))
+        // HOF dot/norm (not the float-native path): the centroid is an
+        // array<double>; rounded to 6 dp for the cross-engine probe order
+        round(VectorFuns.dot(col("centroid"), col("q_emb")) /
+          (VectorFuns.l2norm(col("centroid")) * col("q_nrm")), 6).as("c_score"))
       .orderBy(col("c_score").desc, col("label").asc)
       .limit(nProbe)
       .select(col("label"))
@@ -105,8 +116,8 @@ object AnnOps {
     * DECIMAL cast instead hits the engines' shortest-repr vs
     * exact-binary rounding mismatch at the 8th digit) and summed as
     * EXACT int64, so the result is independent of partial-aggregation
-    * order and oracle-hashable — the float-avg nondeterminism that
-    * keeps [[annIvf]] rows-only is exactly what this avoids. Scale:
+    * order and oracle-hashable — the trick that also lifted [[annIvf]]'s
+    * centroids out of float-avg nondeterminism. Scale:
     * posexplode emits rows × dims, but the agg keys are (label, dim) —
     * partials bound the shuffle by labels × dims. */
   def centroid(embeddings: DataFrame): DataFrame =
@@ -150,6 +161,41 @@ object AnnOps {
          |WHERE e.vec_id <> 0
          |ORDER BY score DESC, vec_id ASC
          |LIMIT 10""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH idx AS (
+         |  SELECT label, embedding,
+         |    unnest(generate_series(1, len(embedding))) AS i
+         |  FROM embeddings
+         |), sums AS (
+         |  SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+         |    CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT))
+         |      AS BIGINT) AS sum_q6,
+         |    COUNT(*) AS n
+         |  FROM idx
+         |  GROUP BY label, i
+         |), cent AS (
+         |  SELECT label, array_agg(sum_q6 / 1e6 / n ORDER BY pos) AS centroid
+         |  FROM sums GROUP BY label
+         |), q AS (
+         |  SELECT embedding AS q_emb,
+         |    ${VectorFuns.sql.l2norm("embedding")} AS q_nrm
+         |  FROM embeddings WHERE vec_id = 0
+         |), probe AS (
+         |  SELECT label,
+         |    round(${VectorFuns.sql.dot("centroid", "q_emb")} /
+         |      (${VectorFuns.sql.l2norm("centroid")} * q_nrm), 6) AS c_score
+         |  FROM cent CROSS JOIN q
+         |  ORDER BY c_score DESC, label ASC
+         |  LIMIT 2
+         |)
+         |SELECT e.vec_id, e.label,
+         |  ${VectorFuns.sql.cosine6("e.embedding", "q.q_emb")} AS score
+         |FROM embeddings e
+         |JOIN probe USING (label)
+         |CROSS JOIN q
+         |WHERE e.vec_id <> 0
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT 5""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH b AS (
          |  SELECT vec_id, label, embedding,
