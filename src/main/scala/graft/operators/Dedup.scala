@@ -34,9 +34,14 @@ object DedupOps {
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("rep_doc_id")
 
-  /** MinHash parameters: K hash slices in B bands of R rows (K = B·R).
+  /** Default MinHash parameters: K hash slices in B bands of R = K/B rows.
     * With Jaccard-0.9 near-dups, P[detect] = 1-(1-0.9^R)^B ≈ 0.996 —
-    * and the planted dups here are ≈ 0.99 (P ≈ 0.9996). */
+    * and the planted dups in the test corpus are ≈ 0.99 (P ≈ 0.9996).
+    * These defaults are sized for THAT contract (and the DuckDB oracle
+    * mirrors them); a production 0.8-threshold dedup wants a wider
+    * signature — K=128/B=32 gives P[detect | J=0.8] ≈ 0.9999 vs ≈ 0.87
+    * here — which is exactly what [[minhashPairs]]'s (k, bands) arguments
+    * are for (recall spec'd at K=128/B=32 in PipelineOpsSpec). */
   val MinhashK = 4
   val Bands = 2 // of R = 2 rows each
 
@@ -59,21 +64,25 @@ object DedupOps {
     * presentation sort; [[dedupClusters]] consumes this directly (sorting
     * an edge list that feeds a join would be a wasted range-partition
     * exchange). */
-  def minhashPairs(documents: DataFrame): DataFrame = {
+  def minhashPairs(documents: DataFrame, k: Int = MinhashK,
+                   bands: Int = Bands): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"k=$k must split evenly into bands=$bands (rows per band = k/bands)")
+    val r = k / bands
     graft.plans.GraftFunctions.register(documents.sparkSession)
     val sig = spread(documents)
       .filter(length(TextFuns.norm(col("text"))) >= 8)
       .select(col("doc_id"),
         call_function("minhash_slices", TextFuns.norm(col("text")), lit(8),
-          lit(MinhashK)).as("sig"))
-      .select(col("doc_id") +: (0 until MinhashK).map(i =>
+          lit(k)).as("sig"))
+      .select(col("doc_id") +: (0 until k).map(i =>
         col("sig").getItem(i).as(s"mh$i")): _*)
-    val bands = sig.select(col("doc_id"), explode(array((0 until Bands).map(b =>
+    val bandKeys = sig.select(col("doc_id"), explode(array((0 until bands).map(b =>
       struct(lit(b).as("band"),
-        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))): _*)).as("bk"))
+        concat((0 until r).map(i => col(s"mh${r * b + i}")): _*).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.as("a")
-      .join(bands.as("b"),
+    bandKeys.as("a")
+      .join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

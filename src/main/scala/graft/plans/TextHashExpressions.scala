@@ -38,27 +38,41 @@ object GraftHash {
 
   /** The `k` band minima of 8-hex-char md5 slices over char `nGram`-grams
     * — the MinHash signature of `DedupOps.dedupMinhash`, one pass, no
-    * per-shingle allocation on ASCII text. md5's 32 hex chars bound k at
-    * 4 slices; a mismatched caller fails loudly instead of emitting
-    * silent nulls on out-of-range getItem. Returns null when the text is
-    * shorter than one shingle. */
+    * per-shingle allocation on ASCII text.
+    *
+    * One md5 (32 hex chars) yields 4 slices; slices 0-3 come from the
+    * PLAIN digest — bit-compatible with the original k ≤ 4 contract and
+    * its `md5(shingle)` oracle. Larger k draws ⌈k/4⌉ digests per shingle,
+    * digest j > 0 salted with the single byte j (distinct, deterministic
+    * hash families — the standard salted-permutation construction).
+    * Production dedup configs (K=128, B=32) fit in 32 digests/shingle.
+    * Returns null when the text is shorter than one shingle. */
   def minhashSlices(t: UTF8String, nGram: Int, k: Int): ArrayData = {
-    require(k >= 1 && k <= 4, s"k=$k: md5 has 32 hex chars = at most 4 slices")
+    require(k >= 1 && k <= 256,
+      s"k=$k out of range: 1..256 (${(k + 3) / 4} salted md5 per shingle)")
     val nChars = t.numChars()
     if (nChars < nGram) return null
     val bytes = t.getBytes
     val ascii = bytes.length == nChars
     val md = mdLocal.get()
+    val nDigests = (k + 3) / 4
     val mins = Array.fill(k)(0xFFFFFFFFFFFFFFFFL >>> 32) // max unsigned 32-bit
     var p = 0
     while (p <= nChars - nGram) {
-      val d = shingleDigest(md, t, bytes, ascii, p, nGram)
-      var i = 0
-      while (i < k) {
-        val v = ((d(4 * i) & 0xffL) << 24) | ((d(4 * i + 1) & 0xffL) << 16) |
-          ((d(4 * i + 2) & 0xffL) << 8) | (d(4 * i + 3) & 0xffL)
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      var j = 0
+      while (j < nDigests) {
+        if (j > 0) md.update(j.toByte) // salt BEFORE the shingle bytes
+        val d = shingleDigest(md, t, bytes, ascii, p, nGram)
+        var s = 0
+        val lim = math.min(4, k - 4 * j)
+        while (s < lim) {
+          val i = 4 * j + s
+          val v = ((d(4 * s) & 0xffL) << 24) | ((d(4 * s + 1) & 0xffL) << 16) |
+            ((d(4 * s + 2) & 0xffL) << 8) | (d(4 * s + 3) & 0xffL)
+          if (v < mins(i)) mins(i) = v
+          s += 1
+        }
+        j += 1
       }
       p += 1
     }
@@ -150,7 +164,8 @@ object GraftHash {
   * 8-hex-char md5 slices (see [[GraftHash.minhashSlices]]). */
 case class MinhashSlices(child: Expression, nGram: Int, k: Int = 4)
     extends UnaryExpression {
-  require(k >= 1 && k <= 4, s"k=$k: md5 has 32 hex chars = at most 4 slices")
+  require(k >= 1 && k <= 256,
+    s"k=$k out of range: 1..256 (see GraftHash.minhashSlices)")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {

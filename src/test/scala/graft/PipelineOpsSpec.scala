@@ -26,6 +26,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cands.forall { case (a, b) => a < b })
   }
 
+  test("minhashPairs at production K=128/B=32 recalls planted Jaccard-0.8 pairs") {
+    import spark.implicits._
+    // deterministic token soup: each doc is 40 seven-char tokens; its twin
+    // rewrites the last 5 tokens, putting char-8-gram Jaccard near 0.8
+    // (the exact value is computed per pair below — the assertion is
+    // against measured J, not the construction's intent)
+    var seed = 7L
+    def tok(): String = {
+      val sb = new StringBuilder
+      for (_ <- 0 until 7) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        sb.append(('a' + ((seed >>> 33) % 26).toInt).toChar)
+      }
+      sb.toString
+    }
+    val nPairs = 100
+    val base = (0 until nPairs).map(i =>
+      (i.toLong, (0 until 40).map(_ => tok()).mkString(" ")))
+    val twins = base.map { case (i, t) =>
+      val toks = t.split(" ")
+      (i + 10000L, (toks.dropRight(5) ++ Seq.fill(5)(tok())).mkString(" "))
+    }
+    def shingles(t: String): Set[String] =
+      (0 to t.length - 8).map(p => t.substring(p, p + 8)).toSet
+    val planted = base.zip(twins).map { case ((i, a), (j, b)) =>
+      val (sa, sb) = (shingles(a), shingles(b))
+      (i, j, (sa & sb).size.toDouble / (sa | sb).size)
+    }
+    val moderate = planted.filter { case (_, _, jac) => jac >= 0.7 && jac <= 0.9 }
+    assert(moderate.size >= nPairs * 4 / 5,
+      s"construction drifted: only ${moderate.size} pairs landed in J [0.7, 0.9]")
+    val docs = (base ++ twins).toDF("doc_id", "text")
+    // wide config: P[detect | J=0.7] = 1-(1-0.7^4)^32 ≈ 0.99985
+    val wide = DedupOps.minhashPairs(docs, k = 128, bands = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = moderate.count { case (i, j, _) => wide.contains((i, j)) }
+    assert(recalled.toDouble / moderate.size >= 0.99,
+      s"wide recall $recalled/${moderate.size}")
+    // the narrow default (K=4, B=2: P[detect | J=0.8] ≈ 0.87) exists for
+    // the ≈0.99-Jaccard planted-dup contract, NOT this threshold — it
+    // should visibly miss here (P[all ${moderate.size} found] ≈ 1e-6)
+    val narrow = DedupOps.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrowRecalled = moderate.count { case (i, j, _) => narrow.contains((i, j)) }
+    assert(narrowRecalled < moderate.size,
+      s"narrow config unexpectedly recalled all ${moderate.size} — spec can't discriminate")
+  }
+
   test("dedupSimhash: one 16-bit fingerprint per doc") {
     val df = DedupOps.dedupSimhash(docs).cache()
     assert(df.count() == docs.count())
