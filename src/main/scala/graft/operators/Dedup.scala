@@ -193,7 +193,13 @@ object DedupOps {
     * computed over the SAME capped universe on both engines (stop-shingle
     * semantics — like similarity after stopword removal), so the oracle
     * mirrors the cap. The planted ≈0.99-Jaccard pairs surface; random
-    * docs don't. */
+    * docs don't.
+    *
+    * Contract (PipelineOpsSpec "df-cap boundary"): a near-dup pair whose
+    * shared shingles ALL exceed `dfCap` is undetectable by construction —
+    * on template-heavy corpora (boilerplate duplicated more than `dfCap`
+    * times) size the cap above the legitimate copy count, or pair this
+    * with [[dedupSimhashPairs]], whose signal is shingle-free. */
   def dedupNgram(documents: DataFrame, tau: Double = 0.5,
                  dfCap: Int = NgramDfCap): DataFrame = {
     // grouped inverted index, df cap applied BEFORE any posting list

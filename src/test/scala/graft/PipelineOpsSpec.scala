@@ -121,6 +121,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.keySet == Set((200L, 201L)), got.keySet)
   }
 
+  test("dedupNgram df-cap boundary: a pair sharing ONLY df>cap shingles is undetectable by design") {
+    import spark.implicits._
+    // 40 exact clones of one template push every template trigram's df to
+    // 42; docs 500/501 are the template plus distinct short tails — their
+    // ONLY shared shingles are the template's, all above the cap
+    val template = (1 to 60).map(i => s"tmpl$i").mkString(" ")
+    val corpus = (1L to 40L).map(i => (i, template)) ++ Seq(
+      (500L, s"$template gecko"),
+      (501L, s"$template lynx"))
+    val synth = corpus.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the documented false-negative: capped at 32, the pair vanishes —
+    // every shared shingle is boilerplate by the cap's own definition
+    assert(!pairs(DedupOps.dedupNgram(synth)).contains((500L, 501L)))
+    // it IS a real near-dup: the uncapped universe finds it…
+    assert(pairs(DedupOps.dedupNgram(synth, dfCap = 0)).contains((500L, 501L)))
+    // …and so does raising the cap above the clone count (the contract:
+    // template-heavy corpora need the cap sized above legitimate
+    // duplication, or a shingle-free complementary signal)
+    assert(pairs(DedupOps.dedupNgram(synth, dfCap = 64)).contains((500L, 501L)))
+    // SimHash is that complementary signal here: 1 token of 61 differs,
+    // and a differing bit needs the template's 60-token ±1 bit-sum to be
+    // exactly 0 — for THIS tail pair the fingerprints differ by 1 bit
+    // (deterministic; tail words chosen so the distance is within the
+    // pigeonhole threshold, since ~6 of 64 sums are zero in expectation)
+    assert(pairs(DedupOps.dedupSimhashPairs(synth)).contains((500L, 501L)))
+  }
+
   test("connectedComponents converges in O(log diameter) rounds on a chain") {
     import spark.implicits._
     // worst-case shape for plain label propagation: a 33-node chain
