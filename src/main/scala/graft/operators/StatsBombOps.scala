@@ -165,6 +165,10 @@ object StatsBombOps {
         count(when(col("event_type").isin("Miscontrol", "Dispossessed"), 1))
           .as("turnovers"),
         count(when(col("event_type") === "Pressure", 1)).as("pressures"),
+        // deliberate divergence: extended.py tests etype == 'Tackle', an
+        // event type that never occurs in StatsBomb data (its extended
+        // tackles counter is always 0); this keeps pedri_analysis.py's
+        // is_tackle formulation (Duel + duel.type), which counts real data
         count(when(col("event_type") === "Duel" &&
           col("duel_type") === "Tackle", 1)).as("tackles"),
         count(when(col("event_type") === "Interception", 1)).as("interceptions"),
@@ -202,7 +206,12 @@ object StatsBombOps {
   /** reference extended.py:338-353 — progressive receptions: completed,
     * extended-progressive passes RECEIVED, credited to the recipient.
     * Adjusted coordinates come from the PASSER's team direction, which
-    * [[withAttackDirection]] already applied row-wise. */
+    * [[withAttackDirection]] already applied row-wise. Deliberate
+    * divergence: the reference's receptions loop caches the FIRST-HALF
+    * direction and never flips it at half time (extended.py:350), so its
+    * second-half receptions evaluate the progressive rule on
+    * wrong-direction coordinates; this version flips per period like
+    * every other adjusted-geometry counter. */
   def progressiveReceptions(flat: DataFrame): DataFrame =
     withAttackDirection(flat)
       .filter(col("event_type") === "Pass" && progressiveExtended &&
@@ -236,8 +245,13 @@ object StatsBombOps {
       .agg(countDistinct(col("event_id")).as("pressures_after_loss"))
   }
 
-  /** reference extended.py:246-249 — whole-team xG per match (the
-    * denominator of share-of-team metrics). */
+  /** reference extended.py:246-249 — team xG per match (the denominator
+    * of share-of-team metrics). Deliberate divergence: the reference's
+    * loop accumulates EVERY shot in the match — both teams — into
+    * `team_total_xg`, so its row value is really the MATCH total. This
+    * groups by (team, match), the quantity the share metric means;
+    * `SUM(team_total_xg) OVER (PARTITION BY match_file)` recovers the
+    * reference's literal number. */
   def teamTotalXg(flat: DataFrame): DataFrame =
     flat
       .filter(col("event_type") === "Shot")
@@ -252,16 +266,19 @@ object StatsBombOps {
     * events are tiny → broadcast joins. Note the event's `player` is the
     * one GOING OFF; `substitution.replacement` is the one coming on. */
   def minutesPlayed(flat: DataFrame, playerId: Long): DataFrame = {
+    // max = the reference's last-write-wins over the event loop; matches
+    // only diverge from min() when a player has >1 substitution event in
+    // one match (malformed data), and then the reference keeps the last
     val subbedOff = flat
       .filter(col("event_type") === "Substitution" &&
         col("player_id") === playerId)
       .groupBy(col("match_file").as("m_off"))
-      .agg(min(col("t_sec")).as("off_sec"))
+      .agg(max(col("t_sec")).as("off_sec"))
     val subbedOn = flat
       .filter(col("event_type") === "Substitution" &&
         col("sub_replacement_id") === playerId)
       .groupBy(col("match_file").as("m_on"))
-      .agg(min(col("t_sec")).as("on_sec"))
+      .agg(max(col("t_sec")).as("on_sec"))
     flat.filter(col("player_id") === playerId)
       .groupBy(col("match_file"))
       .agg(min(col("t_sec")).as("first_sec"), max(col("t_sec")).as("last_sec"))
