@@ -348,6 +348,57 @@ object StatsBombOps {
       .withColumn("intensity", log1p(col("n")))
   }
 
+  /** The match id a profile row keys on, derived from the event file path
+    * (the reference names event files `<match_id>.json` —
+    * extended.py:60-62 `load_events`). */
+  def matchId(matchFile: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(matchFile, "([^/]+)\\.json$", 1)
+
+  /** reference extended.py:40-58 `load_profile` — the profile JSON array
+    * as a DataFrame keyed by match id. Mirrors the reference's key
+    * coalescing (`match_id`/`id`/`matchId`/`match`, first present wins)
+    * and leaves the falsy-value defaults to [[withMatchMeta]] (the
+    * reference applies them at lookup time, so a match missing from the
+    * profile gets them too). */
+  def readProfile(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("match_id", StringType), StructField("id", StringType),
+      StructField("matchId", StringType), StructField("match", StringType),
+      StructField("team_name", StringType), StructField("team", StringType),
+      StructField("minutes", DoubleType), StructField("position", StringType)))
+    spark.read.schema(schema).option("multiLine", true).json(path)
+      .select(
+        coalesce(col("match_id"), col("id"), col("matchId"), col("match"))
+          .as("match_id"),
+        coalesce(col("team_name"), col("team")).as("team"),
+        col("minutes"), col("position"))
+      .filter(col("match_id").isNotNull)
+  }
+
+  /** reference extended.py:40-58 + :203-205 — enrich per-match rows with
+    * the profile's match metadata (team, minutes, position). Broadcast
+    * left join on the match id: the profile is tiny (one row per match)
+    * next to the stats side, and matches absent from the profile keep the
+    * reference's defaults. The reference's `or`-defaults treat falsy
+    * values (empty string, 0.0) as absent — mirrored via nullif. */
+  def withMatchMeta(stats: DataFrame, profile: DataFrame): DataFrame = {
+    val meta = profile.select(
+      col("match_id").as("meta_match_id"),
+      col("team").as("meta_team"), col("minutes").as("meta_minutes"),
+      col("position").as("meta_position"))
+    stats
+      .join(broadcast(meta), matchId(col("match_file")) === col("meta_match_id"),
+        "left")
+      .withColumn("profile_team",
+        coalesce(nullif(col("meta_team"), lit("")), lit("Barcelona/Spain")))
+      .withColumn("profile_minutes",
+        coalesce(nullif(col("meta_minutes"), lit(0.0)), lit(90.0)))
+      .withColumn("profile_position",
+        coalesce(nullif(col("meta_position"), lit("")), lit("Unknown")))
+      .drop("meta_match_id", "meta_team", "meta_minutes", "meta_position")
+  }
+
   /** reference pedri_profile.py — position frequency per player
     * (`Counter.most_common`): full ranked table, ready for top-1 or top-k. */
   def positionFrequency(flat: DataFrame): DataFrame =
