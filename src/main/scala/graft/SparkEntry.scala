@@ -65,6 +65,7 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => DedupOps.dedupEmbedding(Tables.embeddings(s, dir))),
     "q_dedup_embedding_lsh" -> ((s, dir) => DedupOps.dedupEmbeddingLsh(Tables.embeddings(s, dir))),
+    "q_dedup_embedding_clusters" -> ((s, dir) => DedupOps.dedupEmbeddingClusters(Tables.embeddings(s, dir))),
     // --- ANN (§2 rows 29-30) ---
     "q_ann_topk" -> ((s, dir) => AnnOps.annTopK(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => AnnOps.annLsh(Tables.embeddings(s, dir))),
@@ -87,6 +88,7 @@ object SparkEntry {
     "q_chunks" -> ((s, dir) => CorpusOps.chunks(Tables.documents(s, dir))),
     "q_pack" -> ((s, dir) => CorpusOps.pack(Tables.documents(s, dir))),
     "q_group_sample" -> ((s, dir) => CorpusOps.groupSample(Tables.documents(s, dir))),
+    "q_token_budget" -> ((s, dir) => CorpusOps.tokenBudgetSample(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 row 35) ---
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---

@@ -206,6 +206,34 @@ object CorpusOps {
       .orderBy("source", "rk")
   }
 
+  /** Per-source token budget for [[tokenBudgetSample]] — sized so the
+    * budget BITES at every test SF (sources carry ≈1.3k tokens at sf0.01):
+    * a budget above the per-source total would make the oracle vacuous. */
+  val TokenBudget = 800L
+
+  /** §2-61 `q_token_budget`: token-budgeted mixture sampling — the data-
+    * mixing step of a pretraining corpus: "take N tokens from every
+    * source". Docs are drawn in deterministic hash order (md5 of the doc
+    * id — uniform-ish, rerun-stable, like [[groupSample]]) and kept while
+    * the budget isn't exhausted: a doc is in iff the tokens BEFORE it are
+    * under the budget, so the mix overshoots by at most one document
+    * (truncation is the trainer's call, same contract as [[pack]]'s
+    * boundary). ONE window cumsum partitioned by source — the shard key —
+    * so at 100 TB this is a single source-shuffle pass; per-source budgets
+    * that differ (mixture WEIGHTS) are a map over this same shape. */
+  def tokenBudgetSample(documents: DataFrame,
+                        budget: Long = TokenBudget): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(TextFuns.tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .orderBy("doc_id")
+  }
+
   /** Quality threshold for the keep-set filter. */
   val QualityTau = 0.5
 
@@ -379,6 +407,19 @@ object CorpusOps {
          |  FROM documents)
          |WHERE rk <= $GroupSampleK
          |ORDER BY source, rk""".stripMargin,
+    "q_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len($toksSql) AS n_tokens FROM documents
+         |), c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM t
+         |)
+         |SELECT * FROM c WHERE cum_tokens - n_tokens < $TokenBudget
+         |ORDER BY doc_id""".stripMargin,
     "q_contamination_ngram" -> {
       val values = Probes.map(p => s"(${TextFuns.sqlLit(p)})").mkString(", ")
       // same token-sequence contract: docs explode into n-grams of each

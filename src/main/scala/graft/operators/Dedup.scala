@@ -465,7 +465,12 @@ object DedupOps {
     * per-row norms computed once before the pair join. The contract is
     * "collides in ≥ 1 band ∧ cos ≥ τ" — the DuckDB oracle derives the
     * SAME band keys, so both engines see the identical pair universe. */
-  def dedupEmbeddingLsh(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
+  def dedupEmbeddingLsh(embeddings: DataFrame, tau: Double = 0.4): DataFrame =
+    embeddingLshPairs(embeddings, tau).orderBy("vec_a", "vec_b")
+
+  /** [[dedupEmbeddingLsh]] without the presentation sort — the edge feed
+    * for [[dedupEmbeddingClusters]]. */
+  private def embeddingLshPairs(embeddings: DataFrame, tau: Double): DataFrame = {
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("embedding"),
       VectorFuns.l2normNative(col("embedding")).as("nrm"))
@@ -476,8 +481,26 @@ object DedupOps {
         VectorFuns.cosine6Pre(col("ea.embedding"), col("eb.embedding"),
           col("ea.nrm"), col("eb.nrm")).as("cos"))
       .filter(col("cos") >= tau)
-      .orderBy("vec_a", "vec_b")
   }
+
+  /** §2-62 `q_dedup_embedding_clusters`: the SEMANTIC dedup endgame —
+    * connected components over the sign-LSH cosine pair graph
+    * ([[dedupEmbeddingLsh]]'s universe), one representative (minimum
+    * vec_id) per cluster. Same rationale as [[dedupClusters]]: pairs are
+    * half the job; the keep/drop decision needs the transitive closure
+    * (A≈B, B≈C ⇒ one cluster even when cos(A,C) < τ). Reuses
+    * [[connectedComponents]] — edge-set joins bounded by band collisions,
+    * O(log diameter) rounds, never n². The DuckDB oracle walks the same
+    * closure with a recursive CTE over the same band-key pair universe. */
+  def dedupEmbeddingClusters(embeddings: DataFrame, tau: Double = 0.4,
+                             maxIters: Int = 50): DataFrame =
+    connectedComponents(
+      embeddings.select(col("vec_id").as("doc_id")),
+      embeddingLshPairs(embeddings, tau)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+      maxIters)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
 
   private val normSql = "lower(trim(text))"
 
@@ -600,25 +623,43 @@ object DedupOps {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
-    "q_dedup_embedding_lsh" -> {
-      // the SAME 16 sign-band keys the Spark side blocks on; DuckDB's
-      // single-node plan is the OR-of-bands nested loop — identical pair
-      // universe, different physical strategy
-      val keys = embeddingBandDims.zipWithIndex.map { case (dims, j) =>
-        s"${VectorFuns.sql.signBandKey("embedding", dims)} AS k$j"
-      }.mkString(",\n    ")
-      val anyBand = embeddingBandDims.indices
-        .map(j => s"a.k$j = b.k$j").mkString(" OR ")
-      s"""WITH bk AS (
-         |  SELECT vec_id, embedding,
-         |    $keys
-         |  FROM embeddings
+    "q_dedup_embedding_lsh" -> embeddingLshPairsSql,
+    "q_dedup_embedding_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$embeddingLshPairsSql
+         |), edges AS (
+         |  SELECT vec_a AS u, vec_b AS v FROM pairs
+         |  UNION
+         |  SELECT vec_b AS u, vec_a AS v FROM pairs
+         |), walk(u, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
          |)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} AS cos
-         |FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ($anyBand)
-         |WHERE ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin
-    }
+         |SELECT u AS vec_id, MIN(lbl) AS cluster_id
+         |FROM walk GROUP BY u ORDER BY vec_id""".stripMargin
   )
+
+  /** Sign-LSH cosine pair SQL — the SAME 16 band keys the Spark side
+    * blocks on; DuckDB's single-node plan is the OR-of-bands nested loop
+    * (identical pair universe, different physical strategy). Shared by
+    * the q_dedup_embedding_lsh oracle and the q_dedup_embedding_clusters
+    * closure. */
+  private lazy val embeddingLshPairsSql: String = {
+    val keys = embeddingBandDims.zipWithIndex.map { case (dims, j) =>
+      s"${VectorFuns.sql.signBandKey("embedding", dims)} AS k$j"
+    }.mkString(",\n    ")
+    val anyBand = embeddingBandDims.indices
+      .map(j => s"a.k$j = b.k$j").mkString(" OR ")
+    s"""WITH bk AS (
+       |  SELECT vec_id, embedding,
+       |    $keys
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} AS cos
+       |FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ($anyBand)
+       |WHERE ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 }

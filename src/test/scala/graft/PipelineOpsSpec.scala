@@ -244,6 +244,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(missed.isEmpty, s"planted near-twins missed: $missed")
   }
 
+  test("dedupEmbeddingClusters: transitive closure glues chains the pair threshold can't") {
+    import spark.implicits._
+    // 2-D subspace geometry: B at 0°, A at +50°, C at −50° — the adjacent
+    // pairs sit at cos 50° ≈ 0.64 ≥ τ=0.4, but cos(A, C) = cos 100° < τ;
+    // D points the other way (no edges at all)
+    val c50 = math.cos(math.toRadians(50)).toFloat
+    val s50 = math.sin(math.toRadians(50)).toFloat
+    def v(x: Float, y: Float): Array[Float] =
+      Array.fill(DedupOps.EmbDims)(0.0f).updated(0, x).updated(1, y)
+    val synth = Seq(
+      (1L, v(c50, s50)), (2L, v(1.0f, 0.0f)), (3L, v(c50, -s50)),
+      (4L, v(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = DedupOps.dedupEmbeddingLsh(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)) &&
+      !pairs.contains((1L, 3L)), pairs)
+    val clusters = DedupOps.dedupEmbeddingClusters(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), clusters)
+  }
+
+  test("tokenBudgetSample: budget boundary, one-doc overshoot cap, per-source independence") {
+    import spark.implicits._
+    // source 'a': 10 docs × 4 tokens, budget 10 → keep while tokens-before
+    // < 10 (before ∈ {0,4,8}): exactly 3 docs, a one-doc overshoot.
+    // source 'b': 2 docs × 5 tokens → both fit, budget not exhausted.
+    val docs = ((1L to 10L).map(i => (i, "a", "t1 t2 t3 t4")) ++
+      Seq((21L, "b", "u1 u2 u3 u4 u5"), (22L, "b", "v1 v2 v3 v4 v5")))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOps.tokenBudgetSample(docs, budget = 10L).collect()
+    val bySource = got.groupBy(_.getString(1))
+    assert(bySource("a").length == 3, bySource.view.mapValues(_.length).toMap)
+    assert(bySource("b").length == 2)
+    // every kept doc STARTS inside the budget
+    assert(got.forall(r => r.getLong(3) - r.getInt(2) < 10L))
+    // exact boundary: tokens-before == budget is OUT (third 5-token doc
+    // starts exactly at 10)
+    val exact = Seq((31L, "c", "w1 w2 w3 w4 w5"), (32L, "c", "x1 x2 x3 x4 x5"),
+      (33L, "c", "y1 y2 y3 y4 y5")).toDF("doc_id", "source", "text")
+    assert(CorpusOps.tokenBudgetSample(exact, budget = 10L).count() == 2)
+    // rerun-stable draw
+    val again = CorpusOps.tokenBudgetSample(docs, budget = 10L).collect()
+    assert(got.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
   test("annTopK: scores descend and exclude the query") {
     val rows = AnnOps.annTopK(embs).collect()
     assert(rows.length == 10)
