@@ -139,9 +139,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchangeCount(p) <= 2, s"${exchangeCount(p)} exchanges:\n$p")
   }
 
-  test("q_pack / q_group_sample: per-source windows, no global pre-sort") {
+  test("q_pack / q_group_sample / q_token_budget: per-source windows, no global pre-sort") {
     for (df <- Seq(CorpusOps.pack(Tables.documents(spark, sfDir)),
-                   CorpusOps.groupSample(Tables.documents(spark, sfDir)))) {
+                   CorpusOps.groupSample(Tables.documents(spark, sfDir)),
+                   CorpusOps.tokenBudgetSample(Tables.documents(spark, sfDir)))) {
       val p = plan(df)
       assert(p.contains("Window"), p)
       // one source shuffle feeding the window (+ agg reuse) + output sort
