@@ -60,42 +60,48 @@ object AnnOps {
     * centroid per inverted-list (here the `label` partition stands in for
     * k-means cells), probe the `nProbe` nearest lists, search only those.
     *
-    * Centroids are computed distributively (posexplode → per-(list, dim)
-    * agg → re-assembled in dim order) — never collected to the driver; the
-    * probed-list set IS broadcast (it's nProbe rows). At 100 TB the list id
-    * is the partition key, so a query touches nProbe/nLists of the data.
+    * The list ranking never leaves integer space until the final two IEEE
+    * ops: with s_i = Σ round(v_i×10⁶) (the exact per-(list, dim) int sums
+    * [[centroid]] uses) and qq_i = round(q_i×10⁶), the probe key is
     *
-    * Centroid means use [[centroid]]'s quantized-integer-sum trick
-    * (round(v×10⁶) summed as exact int64, mean emitted as the bare IEEE
-    * division sum/1e6/n): the sums are aggregation-order-FREE, so the
-    * centroids — and with the (c_score, label) / (score, vec_id)
-    * tie-breaks, the probe set and the hit list — are bit-reproducible in
-    * DuckDB. That lifts this from the rows-only bucket (the float-avg
-    * formulation was summation-order sensitive) to a hash-checked oracle
-    * entry. */
+    *   c_key = Σ s_i·qq_i / √(Σ s_i²)
+    *
+    * — cosine similarity to the list centroid against the 6-dp-quantized
+    * query, with the 10⁶ scale, the list size n, and the query norm all
+    * cancelling out of the ranking. Both Σ are exact DECIMAL sums
+    * (aggregation-order-free, overflow-proof), and decimal→double, sqrt,
+    * and ÷ are each exactly rounded, so the key is bit-identical in
+    * DuckDB BY CONSTRUCTION — no round(x, 6) whose half-ulp boundary the
+    * two engines could disagree on while it decides the whole probed-list
+    * set (ORDER BY … LIMIT nProbe amplifies one boundary into a different
+    * result SET, unlike a rounded output cell).
+    *
+    * Everything is distributed: the dim-level sums shuffle (lists × dims)
+    * keys, the probed-list set is broadcast (nProbe rows). At 100 TB the
+    * list id is the partition key, so a query touches nProbe/nLists of
+    * the data. */
   def annIvf(embeddings: DataFrame, queryId: Long = 0L, k: Int = 5,
              nProbe: Int = 2): DataFrame = {
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
-    val centroids = embeddings
+    val dec = "decimal(38,0)"
+    val listSums = embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
-      .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as("sum_q6"),
-        count(lit(1)).as("n"))
-      .select(col("label"), col("pos"),
-        (col("sum_q6") / 1e6 / col("n")).as("c"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        s => s.getField("c")).as("centroid"))
+      .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as("s"))
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"),
         VectorFuns.l2normNative(col("embedding")).as("q_nrm"))
-    val probed = centroids.join(broadcast(q))
+    val qq = q
+      .select(posexplode(col("q_emb")).as(Seq("pos", "qv")))
+      .select(col("pos"), round(col("qv").cast("double") * 1e6).cast("long").as("qq"))
+    val probed = listSums
+      .join(broadcast(qq), "pos")
+      .groupBy(col("label"))
+      .agg(sum(col("s").cast(dec) * col("qq").cast(dec)).as("dq"),
+        sum(col("s").cast(dec) * col("s").cast(dec)).as("ss"))
       .select(col("label"),
-        // HOF dot/norm (not the float-native path): the centroid is an
-        // array<double>; rounded to 6 dp for the cross-engine probe order
-        round(VectorFuns.dot(col("centroid"), col("q_emb")) /
-          (VectorFuns.l2norm(col("centroid")) * col("q_nrm")), 6).as("c_score"))
-      .orderBy(col("c_score").desc, col("label").asc)
+        (col("dq").cast("double") / sqrt(col("ss").cast("double"))).as("c_key"))
+      .orderBy(col("c_key").desc, col("label").asc)
       .limit(nProbe)
       .select(col("label"))
     embeddings
@@ -169,23 +175,21 @@ object AnnOps {
          |), sums AS (
          |  SELECT label, CAST(i - 1 AS INTEGER) AS pos,
          |    CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT))
-         |      AS BIGINT) AS sum_q6,
-         |    COUNT(*) AS n
+         |      AS HUGEINT) AS s
          |  FROM idx
          |  GROUP BY label, i
-         |), cent AS (
-         |  SELECT label, array_agg(sum_q6 / 1e6 / n ORDER BY pos) AS centroid
-         |  FROM sums GROUP BY label
          |), q AS (
-         |  SELECT embedding AS q_emb,
-         |    ${VectorFuns.sql.l2norm("embedding")} AS q_nrm
-         |  FROM embeddings WHERE vec_id = 0
+         |  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+         |), qq AS (
+         |  SELECT CAST(i - 1 AS INTEGER) AS pos,
+         |    CAST(round(CAST(q_emb[i] AS DOUBLE) * 1e6) AS HUGEINT) AS qq
+         |  FROM (SELECT q_emb, unnest(generate_series(1, len(q_emb))) AS i FROM q)
          |), probe AS (
          |  SELECT label,
-         |    round(${VectorFuns.sql.dot("centroid", "q_emb")} /
-         |      (${VectorFuns.sql.l2norm("centroid")} * q_nrm), 6) AS c_score
-         |  FROM cent CROSS JOIN q
-         |  ORDER BY c_score DESC, label ASC
+         |    CAST(SUM(s * qq) AS DOUBLE) / sqrt(CAST(SUM(s * s) AS DOUBLE)) AS c_key
+         |  FROM sums JOIN qq USING (pos)
+         |  GROUP BY label
+         |  ORDER BY c_key DESC, label ASC
          |  LIMIT 2
          |)
          |SELECT e.vec_id, e.label,

@@ -428,10 +428,16 @@ object DedupOps {
     * has the straddling phase-1 band). For zero-centered embeddings each
     * sign bit agrees with probability 1 − θ/π (random-hyperplane LSH),
     * so a cos-0.9 pair (θ ≈ 26°) collides in ≥ 1 of the 16 bands with
-    * P = 1 − (1 − 0.857⁸)¹⁶ ≈ 0.996, while random pairs fill each
-    * 256-value band key uniformly — candidates ≈ 16·n²/512 = n²/32
-    * (measured 5.7% of all pairs on the test corpus), vs the n²/2 of an
-    * unblocked pass. */
+    * P ≈ 1 − (1 − 0.857⁸)¹⁶ ≈ 0.996 — an independence ESTIMATE: both
+    * tilings regroup the same 64 sign bits (each phase-1 band shares 4
+    * bits with two phase-0 bands), so band failures are positively
+    * correlated and true recall sits somewhat below the formula; sizing
+    * a production τ-0.9 dedup to a hard recall target needs genuinely
+    * independent projections (fresh random hyperplanes per band), which
+    * this fixed-dim regrouping deliberately trades away to keep the band
+    * key a pure column slice. Random pairs fill each 256-value band key
+    * uniformly — candidates ≈ 16·n²/512 = n²/32 (measured 5.7% of all
+    * pairs on the test corpus), vs the n²/2 of an unblocked pass. */
   val EmbBandBits = 8
   val EmbDims = 64
   private[graft] val embeddingBandDims: Seq[Seq[Int]] =

@@ -266,9 +266,10 @@ object StatsBombOps {
     * events are tiny → broadcast joins. Note the event's `player` is the
     * one GOING OFF; `substitution.replacement` is the one coming on. */
   def minutesPlayed(flat: DataFrame, playerId: Long): DataFrame = {
-    // max = the reference's last-write-wins over the event loop; matches
-    // only diverge from min() when a player has >1 substitution event in
-    // one match (malformed data), and then the reference keeps the last
+    // max(t_sec) = chronological last. The reference's loop keeps the
+    // last event in FILE order — the two agree unless a player's
+    // duplicate substitution events (malformed data to begin with) are
+    // ALSO listed out of time order, where no reading is authoritative
     val subbedOff = flat
       .filter(col("event_type") === "Substitution" &&
         col("player_id") === playerId)

@@ -236,17 +236,6 @@ class StatsBombOracleSpec extends SparkSpec {
 
   // ---- the gate ---------------------------------------------------------
 
-  /** JSON string escape (same contract as Verify's). */
-  private def jq(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
-
   test("every StatsBombOps output hash-matches its DuckDB oracle on the branch-coverage fixture") {
     val probe = Process(Seq("python3", "-c", "import duckdb, pandas")).!(ProcessLogger(_ => ()))
     assume(probe == 0, "python3 + duckdb unavailable; oracle compare skipped")
@@ -291,7 +280,8 @@ class StatsBombOracleSpec extends SparkSpec {
       p = s"read_parquet('$dir/profile/*.parquet')")
     assert(sql.keySet == queries.keySet)
     Files.writeString(Paths.get(s"$out/oracle_sql.json"),
-      sql.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}"))
+      sql.map { case (k, v) => s"${Verify.jsonQuote(k)}: ${Verify.jsonQuote(v)}" }
+        .mkString("{", ",", "}"))
 
     val log = new StringBuilder
     val code = Process(Seq("python3", "tools/check_correctness.py", out, s"$dir/nosf"))
