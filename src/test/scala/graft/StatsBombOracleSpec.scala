@@ -287,7 +287,14 @@ class StatsBombOracleSpec extends SparkSpec {
     val code = Process(Seq("python3", "tools/check_correctness.py", out, s"$dir/nosf"))
       .!(ProcessLogger(l => log.append(l).append('\n')))
     info(log.toString)
-    assert(code == 0, s"oracle compare failed:\n$log")
-    assert(log.toString.contains(s"${queries.size} pass, 0 fail"))
+    assert(code == 0, s"oracle compare failed (artifacts kept at $dir):\n$log")
+    assert(log.toString.contains(s"${queries.size} pass, 0 fail"),
+      s"unexpected summary (artifacts kept at $dir):\n$log")
+
+    // green runs clean up after themselves; a failing run keeps the dir
+    // (its path is in the assertion output) for inspection
+    nested.unpersist(); flat.unpersist()
+    import scala.jdk.CollectionConverters._
+    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
   }
 }
