@@ -404,12 +404,17 @@ object DedupOps {
     * coarsely labeled: the general path is [[dedupEmbeddingLsh]], which
     * blocks on sign-LSH bands instead and is the operator a 100 TB
     * pipeline would run. Cosines are rounded to 6 dp on both engines
-    * (summation-order ulp). */
+    * (summation-order ulp). Zero-norm vectors are excluded from the pair
+    * universe on BOTH engines: their cosine is 0/0 = NaN, and the two
+    * engines disagree on `NaN >= τ` (Spark's NaN-greatest comparison
+    * keeps the pair, DuckDB's NULL drops it) — an undefined similarity
+    * is not a near-duplicate. */
   def dedupEmbedding(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     // norms once per row BEFORE the pair join (not once per pair)
     val e = embeddings.select(col("vec_id"), col("label"), col("embedding"),
       VectorFuns.l2normNative(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0.0)
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
@@ -475,11 +480,14 @@ object DedupOps {
     embeddingLshPairs(embeddings, tau).orderBy("vec_a", "vec_b")
 
   /** [[dedupEmbeddingLsh]] without the presentation sort — the edge feed
-    * for [[dedupEmbeddingClusters]]. */
+    * for [[dedupEmbeddingClusters]]. Zero-norm vectors are excluded like
+    * in [[dedupEmbedding]] (NaN-vs-τ semantics diverge across engines);
+    * they surface as singleton clusters downstream. */
   private def embeddingLshPairs(embeddings: DataFrame, tau: Double): DataFrame = {
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("embedding"),
       VectorFuns.l2normNative(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0.0)
     embeddingLshCandidates(embeddings)
       .join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
       .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))
@@ -627,7 +635,9 @@ object DedupOps {
          |  ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} AS cos
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} >= 0.4
+         |WHERE ${VectorFuns.sql.l2norm("a.embedding")} > 0
+         |  AND ${VectorFuns.sql.l2norm("b.embedding")} > 0
+         |  AND ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
     "q_dedup_embedding_lsh" -> embeddingLshPairsSql,
     "q_dedup_embedding_clusters" ->
@@ -661,6 +671,7 @@ object DedupOps {
        |  SELECT vec_id, embedding,
        |    $keys
        |  FROM embeddings
+       |  WHERE ${VectorFuns.sql.l2norm("embedding")} > 0
        |)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} AS cos

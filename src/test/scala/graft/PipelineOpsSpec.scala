@@ -253,16 +253,22 @@ class PipelineOpsSpec extends SparkSpec {
     val s50 = math.sin(math.toRadians(50)).toFloat
     def v(x: Float, y: Float): Array[Float] =
       Array.fill(DedupOps.EmbDims)(0.0f).updated(0, x).updated(1, y)
+    // vec 5 is the ZERO vector: cosine to anything is 0/0 = NaN, and
+    // Spark (NaN-greatest) vs DuckDB (NULL) disagree on NaN >= τ — the
+    // operators exclude zero norms from the pair universe by contract,
+    // so it must emit NO pairs and come out a singleton cluster
     val synth = Seq(
       (1L, v(c50, s50)), (2L, v(1.0f, 0.0f)), (3L, v(c50, -s50)),
-      (4L, v(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+      (4L, v(-1.0f, 0.0f)), (5L, v(0.0f, 0.0f))).toDF("vec_id", "embedding")
     val pairs = DedupOps.dedupEmbeddingLsh(synth).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)) &&
       !pairs.contains((1L, 3L)), pairs)
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), pairs)
     val clusters = DedupOps.dedupEmbeddingClusters(synth).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), clusters)
+    assert(clusters ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L), clusters)
   }
 
   test("tokenBudgetSample: budget boundary, one-doc overshoot cap, per-source independence") {
