@@ -157,6 +157,12 @@ object StatsBombFixture {
     // completed pass with NO end_location and NO recipient (null guards)
     ev("e16", 10, 1, 11, 0, "Pass", 101L, 1001L, CM, (55.0, 35.0),
       Seq(pass())),
+    // completed pass with NO start location: excluded from heatmap and
+    // from every x-guarded predicate, but passes_into_final_third only
+    // tests x2 — it still counts (matching the reference's per-counter
+    // guard granularity)
+    ev("e17", 44, 1, 11, 30, "Pass", 101L, 1001L, CM,
+      extra = Seq(pass(end = (85.0, 50.0), recipient = 1002L))),
     ev("e20", 11, 1, 8, 30, "Shot", 101L, 1001L, CM, (108.0, 42.0),
       Seq(shot(xg = 0.25, outcome = "Saved", keyPassId = "e13"))),
     ev("e21", 12, 1, 10, 30, "Shot", 101L, 1002L, RW, (110.0, 38.0),
@@ -189,6 +195,13 @@ object StatsBombFixture {
       Seq(duel("Tackle"))),
     ev("d2", 30, 1, 30, 0, "Duel", 101L, 1001L, CM, (56.0, 50.0),
       Seq(duel("Aerial Lost"))),
+    // Duel with NO type struct at all (null duel_type — not a tackle)
+    ev("d3", 45, 1, 31, 0, "Duel", 101L, 1001L, CM, (57.0, 50.0)),
+    // extra time (period 3): odd parity flips BACK to the first-half
+    // direction — team 101 attacks right again, so this is progressive
+    // on unflipped coordinates
+    ev("e60", 46, 3, 95, 0, "Pass", 101L, 1001L, CM, (30.0, 40.0),
+      Seq(pass(end = (65.0, 42.0), recipient = 1002L))),
     // team 102 attacks LEFT in p1 (completed dx majority negative)
     ev("e50", 31, 1, 18, 0, "Pass", 102L, 2001L, LB, (90.0, 40.0),
       Seq(pass(end = (70.0, 42.0), recipient = 2002L))),
