@@ -59,12 +59,14 @@ object SparkEntry {
     // --- dedup family (§2 rows 24-28) ---
     "q_dedup_exact" -> ((s, dir) => DedupOps.dedupExact(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => DedupOps.dedupMinhash(Tables.documents(s, dir))),
+    "q_dedup_minhash_wide" -> ((s, dir) => DedupOps.dedupMinhashWide(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => DedupOps.dedupSimhash(Tables.documents(s, dir))),
     "q_dedup_simhash_pairs" -> ((s, dir) => DedupOps.dedupSimhashPairs(Tables.documents(s, dir))),
     "q_dedup_ngram" -> ((s, dir) => DedupOps.dedupNgram(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => DedupOps.dedupEmbedding(Tables.embeddings(s, dir))),
     "q_dedup_embedding_lsh" -> ((s, dir) => DedupOps.dedupEmbeddingLsh(Tables.embeddings(s, dir))),
+    "q_dedup_embedding_rp" -> ((s, dir) => DedupOps.dedupEmbeddingRp(Tables.embeddings(s, dir))),
     "q_dedup_embedding_clusters" -> ((s, dir) => DedupOps.dedupEmbeddingClusters(Tables.embeddings(s, dir))),
     // --- ANN (§2 rows 29-30) ---
     "q_ann_topk" -> ((s, dir) => AnnOps.annTopK(Tables.embeddings(s, dir))),
@@ -89,6 +91,7 @@ object SparkEntry {
     "q_pack" -> ((s, dir) => CorpusOps.pack(Tables.documents(s, dir))),
     "q_group_sample" -> ((s, dir) => CorpusOps.groupSample(Tables.documents(s, dir))),
     "q_token_budget" -> ((s, dir) => CorpusOps.tokenBudgetSample(Tables.documents(s, dir))),
+    "q_token_budget_weighted" -> ((s, dir) => CorpusOps.tokenBudgetSampleWeighted(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 row 35) ---
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---

@@ -75,5 +75,25 @@ object VectorFuns {
     def signBandKey(a: String, dims: Seq[Int]): String =
       dims.zipWithIndex.map { case (d, i) =>
         s"(CASE WHEN $a[${d + 1}] > 0 THEN ${1 << i} ELSE 0 END)" }.mkString(" + ")
+
+    /** The 10⁶-quantized integer vector (DuckDB list) the random-
+      * hyperplane band keys are computed over — `round` ↔ Spark `round`
+      * is the proven cross-engine pairing (see `AnnOps.centroid`). */
+    def q6List(a: String): String =
+      s"list_transform($a, v -> CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT))"
+
+    /** Band key `band` of `graft.plans.RpLsh`, as exact BIGINT arithmetic
+      * over a pre-quantized list column `qv` — a literal transcription of
+      * the same coefficient table the native `rp_band_keys` uses, so both
+      * engines compute identical keys by construction. */
+    def rpBandKey(qv: String, band: Int): String = {
+      import graft.plans.RpLsh
+      (0 until RpLsh.BitsPerBand).map { i =>
+        val c = RpLsh.planes(band * RpLsh.BitsPerBand + i)
+        val dot = c.zipWithIndex
+          .map { case (cf, d) => s"($cf)*$qv[${d + 1}]" }.mkString(" + ")
+        s"(CASE WHEN ($dot) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+    }
   }
 }

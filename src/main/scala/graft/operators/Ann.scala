@@ -68,13 +68,19 @@ object AnnOps {
     *
     * — cosine similarity to the list centroid against the 6-dp-quantized
     * query, with the 10⁶ scale, the list size n, and the query norm all
-    * cancelling out of the ranking. Both Σ are exact DECIMAL sums
-    * (aggregation-order-free, overflow-proof), and decimal→double, sqrt,
-    * and ÷ are each exactly rounded, so the key is bit-identical in
-    * DuckDB BY CONSTRUCTION — no round(x, 6) whose half-ulp boundary the
-    * two engines could disagree on while it decides the whole probed-list
-    * set (ORDER BY … LIMIT nProbe amplifies one boundary into a different
-    * result SET, unlike a rounded output cell).
+    * cancelling out of the ranking. Every sum — the per-(list, dim) s_i
+    * and the dq/ss reductions over dims — is an exact DECIMAL sum
+    * (aggregation-order-free, overflow-proof; DuckDB sums the same values
+    * into HUGEINT), and decimal→double, sqrt, and ÷ are each exactly
+    * rounded, so the key is bit-identical in DuckDB BY CONSTRUCTION — no
+    * round(x, 6) whose half-ulp boundary the two engines could disagree
+    * on while it decides the whole probed-list set (ORDER BY … LIMIT
+    * nProbe amplifies one boundary into a different result SET, unlike a
+    * rounded output cell). Degenerate lists (all-zero embeddings ⇒
+    * ss = 0 ⇒ c_key = 0/0) are excluded BEFORE the ranking on both
+    * engines: Spark's 0/0 is NaN (sorts greatest — probed first!) while
+    * DuckDB's sorts last, so an unfiltered degenerate list would silently
+    * flip the probed set across engines.
     *
     * Everything is distributed: the dim-level sums shuffle (lists × dims)
     * keys, the probed-list set is broadcast (nProbe rows). At 100 TB the
@@ -87,7 +93,8 @@ object AnnOps {
     val listSums = embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
-      .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as("s"))
+      .agg(sum(round(col("v").cast("double") * 1e6).cast("long").cast(dec))
+        .as("s"))
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"),
         VectorFuns.l2normNative(col("embedding")).as("q_nrm"))
@@ -97,8 +104,9 @@ object AnnOps {
     val probed = listSums
       .join(broadcast(qq), "pos")
       .groupBy(col("label"))
-      .agg(sum(col("s").cast(dec) * col("qq").cast(dec)).as("dq"),
-        sum(col("s").cast(dec) * col("s").cast(dec)).as("ss"))
+      .agg(sum(col("s") * col("qq").cast(dec)).as("dq"),
+        sum(col("s") * col("s")).as("ss"))
+      .filter(col("ss") > 0)
       .select(col("label"),
         (col("dq").cast("double") / sqrt(col("ss").cast("double"))).as("c_key"))
       .orderBy(col("c_key").desc, col("label").asc)
@@ -189,6 +197,7 @@ object AnnOps {
          |    CAST(SUM(s * qq) AS DOUBLE) / sqrt(CAST(SUM(s * s) AS DOUBLE)) AS c_key
          |  FROM sums JOIN qq USING (pos)
          |  GROUP BY label
+         |  HAVING SUM(s * s) > 0
          |  ORDER BY c_key DESC, label ASC
          |  LIMIT 2
          |)

@@ -222,7 +222,34 @@ object CorpusOps {
     * so at 100 TB this is a single source-shuffle pass; per-source budgets
     * that differ (mixture WEIGHTS) are a map over this same shape. */
   def tokenBudgetSample(documents: DataFrame,
-                        budget: Long = TokenBudget): DataFrame = {
+                        budget: Long = TokenBudget): DataFrame =
+    budgetFiltered(documents, lit(budget))
+
+  /** Mixture weights for [[tokenBudgetSampleWeighted]] — deliberately
+    * asymmetric (¼× and 2× the default) so the weighted draw visibly
+    * diverges from the uniform one and the oracle bites per source. */
+  val WeightedBudgets: Map[String, Long] = Map(
+    "src0" -> 200L, "src1" -> 200L, "src2" -> 1600L, "src3" -> 1600L)
+
+  /** §2-65 `q_token_budget_weighted`: [[tokenBudgetSample]] with
+    * per-source mixture WEIGHTS — "2× src2, ¼× src0, default the rest" —
+    * the actual data-mixing knob. The budget map rides into the plan as
+    * a literal map column (`element_at` lookup per row — broadcast-sized
+    * by definition: one entry per source shard, no join, no extra
+    * shuffle), so the plan is bit-for-bit the same single
+    * source-partitioned window cumsum as the uniform draw. */
+  def tokenBudgetSampleWeighted(documents: DataFrame,
+                                budgets: Map[String, Long] = WeightedBudgets,
+                                defaultBudget: Long = TokenBudget): DataFrame =
+    budgetFiltered(documents,
+      coalesce(element_at(typedlit(budgets), col("source")),
+        lit(defaultBudget)))
+
+  /** The shared single-cumsum core: keep a doc iff the tokens BEFORE it
+    * (in deterministic hash order, per source) are under that row's
+    * budget expression. */
+  private def budgetFiltered(documents: DataFrame,
+                             budget: org.apache.spark.sql.Column): DataFrame = {
     val w = Window.partitionBy("source")
       .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -420,6 +447,23 @@ object CorpusOps {
          |)
          |SELECT * FROM c WHERE cum_tokens - n_tokens < $TokenBudget
          |ORDER BY doc_id""".stripMargin,
+    "q_token_budget_weighted" -> {
+      val budgetCase = WeightedBudgets.toSeq.sorted
+        .map { case (s, b) => s"WHEN source = '$s' THEN $b" }
+        .mkString("CASE ", " ", s" ELSE $TokenBudget END")
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len($toksSql) AS n_tokens FROM documents
+         |), c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM t
+         |)
+         |SELECT * FROM c WHERE cum_tokens - n_tokens < ($budgetCase)
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_contamination_ngram" -> {
       val values = Probes.map(p => s"(${TextFuns.sqlLit(p)})").mkString(", ")
       // same token-sequence contract: docs explode into n-grams of each

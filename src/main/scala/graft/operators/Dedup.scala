@@ -60,6 +60,23 @@ object DedupOps {
   def dedupMinhash(documents: DataFrame): DataFrame =
     minhashPairs(documents).orderBy("doc_a", "doc_b")
 
+  /** Production MinHash parameters: K=128 slices in B=32 bands of R=4 —
+    * P[detect | J=0.8] = 1-(1-0.8⁴)³² ≈ 0.9999999, the config a real
+    * 0.8-threshold dedup runs (recall gap vs the narrow fixture config
+    * demonstrated in PipelineOpsSpec). */
+  val MinhashKWide = 128
+  val BandsWide = 32
+
+  /** §2-64 `q_dedup_minhash_wide`: [[dedupMinhash]] at the PRODUCTION
+    * config — same pure-map signature pass (32 salted md5 digests per
+    * shingle, one native-expression map, no explode) and band join, but
+    * cross-engine hash-verified at the config a real pipeline runs, not
+    * just at the fixture contract. The oracle mirrors the salted hash
+    * family literally (see [[minhashPairsSqlFor]]). */
+  def dedupMinhashWide(documents: DataFrame): DataFrame =
+    minhashPairs(documents, k = MinhashKWide, bands = BandsWide)
+      .orderBy("doc_a", "doc_b")
+
   /** The unsorted MinHash candidate-pair set — [[dedupMinhash]] adds the
     * presentation sort; [[dedupClusters]] consumes this directly (sorting
     * an edge list that feeds a join would be a wasted range-partition
@@ -68,6 +85,10 @@ object DedupOps {
                    bands: Int = Bands): DataFrame = {
     require(bands >= 1 && k % bands == 0,
       s"k=$k must split evenly into bands=$bands (rows per band = k/bands)")
+    // surface the slice limit at the operator boundary, not from inside
+    // the hash expression (MinhashSlices draws ceil(k/4) salted digests)
+    require(k >= 1 && k <= 256,
+      s"k=$k out of range: 1..256 (4 slices per salted md5, 64 salts)")
     val r = k / bands
     graft.plans.GraftFunctions.register(documents.sparkSession)
     val sig = spread(documents)
@@ -280,31 +301,48 @@ object DedupOps {
     * iterate-to-fixpoint shape GraphX/GraphFrames use at cluster scale.
     * The DuckDB oracle walks the same closure with a recursive CTE —
     * same RESULT, single-node plan. */
-  def dedupClusters(documents: DataFrame, maxIters: Int = 50): DataFrame =
+  def dedupClusters(documents: DataFrame, maxIters: Int = 50,
+                    checkpointDir: Option[String] = None): DataFrame =
     connectedComponents(documents.select(col("doc_id")),
-      minhashPairs(documents), maxIters)
+      minhashPairs(documents), maxIters, checkpointDir)
       .orderBy("doc_id")
 
   /** Distributed connected components over an undirected pair list —
     * the reusable core of [[dedupClusters]]. `vertices` has one `doc_id`
     * column; `pairs` has (`doc_a`, `doc_b`). Output: (doc_id,
-    * cluster_id) with cluster_id = the component's minimum doc_id. */
+    * cluster_id) with cluster_id = the component's minimum doc_id.
+    *
+    * `checkpointDir`: when set, every per-round materialization is a
+    * RELIABLE checkpoint into that directory (HDFS/object store on a
+    * cluster) instead of `localCheckpoint` — localCheckpoint blocks live
+    * on executors and die with them, so a multi-hour 100 TB CC job would
+    * be killed by its first lost executor; the reliable path re-reads
+    * the checkpoint files instead. Identical results (spec-asserted);
+    * the local default stays the fast single-process choice. */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-                          maxIters: Int = 50): DataFrame =
-    ccWithRounds(vertices, pairs, maxIters)._1
+                          maxIters: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame =
+    ccWithRounds(vertices, pairs, maxIters, checkpointDir)._1
 
   /** [[connectedComponents]] + the number of propagation rounds it took
     * (the last round is the no-change fixpoint probe) — exposed so the
     * O(log diameter) pointer-jumping guarantee is spec-testable. */
   private[graft] def ccWithRounds(vertices: DataFrame, pairs: DataFrame,
-                                  maxIters: Int): (DataFrame, Int) = {
-    // localCheckpoint (eager) everywhere, NOT cache: caching truncates
+                                  maxIters: Int,
+                                  checkpointDir: Option[String] = None)
+      : (DataFrame, Int) = {
+    // Eager checkpointing everywhere, NOT cache: caching truncates
     // re-execution but keeps the logical plan, so an iterate-to-fixpoint
     // loop builds a plan that doubles in depth per round and kills the
     // driver (plan-string generation alone OOMs). Checkpointing cuts the
     // lineage each round — the standard move for iterative graph
-    // algorithms (on a long-running cluster job, a reliable checkpoint
-    // dir makes this restart-safe too).
+    // algorithms. Local by default (fast, blocks on executors); with
+    // `checkpointDir` set the blocks go to reliable storage and the job
+    // survives executor loss.
+    checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
+    def mat(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     val dbg = sys.env.contains("GRAFT_DEBUG_CLUSTERS")
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = if (dbg) {
@@ -314,15 +352,14 @@ object DedupOps {
     }
     // materialize the pair set ONCE (the union below would otherwise run
     // the whole upstream pipeline twice — once per branch)
-    val p = pairs.localCheckpoint(true)
+    val p = mat(pairs)
     lap("pair edges")
     // pre-partition the (bigger) edge side by the per-round join key ONCE
-    // — localCheckpoint preserves outputPartitioning, so every round's
+    // — checkpointing preserves outputPartitioning, so every round's
     // edges⋈labels join shuffles only the label side, never the edges
-    val edges = p.union(p.select(col("doc_b"), col("doc_a")))
+    val edges = mat(p.union(p.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-      .repartition(col("dst"))
-      .localCheckpoint(true)
+      .repartition(col("dst")))
     // Iterate ONLY over edge-touched vertices: a near-dup graph is sparse
     // — the overwhelming share of a real corpus has no candidate pair at
     // all and is trivially its own singleton cluster. Keeping isolated
@@ -330,9 +367,9 @@ object DedupOps {
     // and convergence counts from O(corpus) to O(touched vertices); the
     // singletons re-enter once, join-free, after the fixpoint.
     val touched = edges.select(col("src").as("doc_id")).distinct()
-    var labels = touched.select(col("doc_id"),
+    var labels = mat(touched.select(col("doc_id"),
       col("doc_id").as("cluster_id"),
-      col("doc_id").as("prev")).localCheckpoint(true)
+      col("doc_id").as("prev")))
     lap("touched vertices")
 
     // One propagation step: neighbor-min, then pointer jump (follow the
@@ -378,9 +415,20 @@ object DedupOps {
       // leaves the frame keyed on cluster_id, but the NEXT round joins
       // labels on doc_id twice (neighbor-min compact + left join) — one
       // shuffle here buys two shuffle-free joins there, and keeps every
-      // round's plan shape identical
-      val next = step(labels).repartition(col("doc_id")).localCheckpoint(true)
-      changed = next.filter(col("cluster_id") < col("prev")).count()
+      // round's plan shape identical.
+      // The convergence count rides the checkpoint job as observe()
+      // metrics (CollectMetrics accumulators, gathered while the
+      // checkpoint action materializes the rows): ONE job per round
+      // where checkpoint-then-count was two — one fewer scheduling
+      // barrier AND one fewer full pass over the label frame per round,
+      // at any scale. Speculative/checkpoint-write re-execution can only
+      // OVER-count `changed`; the loop tests it against zero, so an
+      // over-count never converges early.
+      val obs = org.apache.spark.sql.Observation()
+      val next = mat(step(labels).repartition(col("doc_id"))
+        .observe(obs,
+          count(when(col("cluster_id") < col("prev"), 1)).as("changed")))
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select(col("doc_id"), col("cluster_id"),
         col("cluster_id").as("prev"))
       iter += 1
@@ -440,9 +488,12 @@ object DedupOps {
     * a production τ-0.9 dedup to a hard recall target needs genuinely
     * independent projections (fresh random hyperplanes per band), which
     * this fixed-dim regrouping deliberately trades away to keep the band
-    * key a pure column slice. Random pairs fill each 256-value band key
-    * uniformly — candidates ≈ 16·n²/512 = n²/32 (measured 5.7% of all
-    * pairs on the test corpus), vs the n²/2 of an unblocked pass. */
+    * key a pure column slice — [[dedupEmbeddingRp]] is that hard-recall
+    * operator (measured at-or-above the formula in PipelineOpsSpec,
+    * where this scheme measures below it). Random pairs fill each
+    * 256-value band key uniformly — candidates ≈ 16·n²/512 = n²/32
+    * (measured 5.7% of all pairs on the test corpus), vs the n²/2 of an
+    * unblocked pass. */
   val EmbBandBits = 8
   val EmbDims = 64
   private[graft] val embeddingBandDims: Seq[Seq[Int]] =
@@ -483,18 +534,64 @@ object DedupOps {
     * for [[dedupEmbeddingClusters]]. Zero-norm vectors are excluded like
     * in [[dedupEmbedding]] (NaN-vs-τ semantics diverge across engines);
     * they surface as singleton clusters downstream. */
-  private def embeddingLshPairs(embeddings: DataFrame, tau: Double): DataFrame = {
+  private def embeddingLshPairs(embeddings: DataFrame, tau: Double): DataFrame =
+    cosineVerifiedPairs(embeddings, embeddingLshCandidates(embeddings), tau)
+
+  /** Exact 6-dp cosine verification of a blocked candidate-pair set —
+    * the shared back half of [[dedupEmbeddingLsh]] and
+    * [[dedupEmbeddingRp]]: per-row norms once BEFORE the pair join,
+    * zero-norm vectors out of the pair universe (NaN-vs-τ semantics
+    * diverge across engines). */
+  private def cosineVerifiedPairs(embeddings: DataFrame,
+                                  candidates: DataFrame,
+                                  tau: Double): DataFrame = {
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("embedding"),
       VectorFuns.l2normNative(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0.0)
-    embeddingLshCandidates(embeddings)
+    candidates
       .join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
       .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))
       .select(col("vec_a"), col("vec_b"),
         VectorFuns.cosine6Pre(col("ea.embedding"), col("eb.embedding"),
           col("ea.nrm"), col("eb.nrm")).as("cos"))
       .filter(col("cos") >= tau)
+  }
+
+  /** §2-63 `q_dedup_embedding_rp`: hard-recall-floor embedding dedup —
+    * the same blocked-join shape as [[dedupEmbeddingLsh]], but every band
+    * bit is its own INDEPENDENT random hyperplane (graft.plans.RpLsh:
+    * 16 bands × 8 bits of seeded, integer-quantized Gaussian normals,
+    * signs decided by exact int64 dots over the 10⁶-quantized vector —
+    * bit-reproducible in DuckDB by construction). Independence makes
+    * P[detect] = 1 − (1 − p^8)^16, p = 1 − θ/π, an actual expected-recall
+    * floor rather than the tiled scheme's optimistic estimate — the
+    * operator a 100 TB semantic dedup sized to "≥99.5% recall at cos 0.9"
+    * should run (measured on planted cos-0.9 pairs in PipelineOpsSpec).
+    * Candidate volume is the same ≈ 16·n²/512 as the tiled scheme;
+    * non-64-dim vectors are dropped (the key is null — the coefficient
+    * table is fixed-width like any trained LSH index). */
+  def dedupEmbeddingRp(embeddings: DataFrame, tau: Double = 0.4): DataFrame =
+    cosineVerifiedPairs(embeddings, embeddingRpCandidates(embeddings), tau)
+      .orderBy("vec_a", "vec_b")
+
+  /** Distinct random-hyperplane candidate pairs (pre-cosine-verify) —
+    * like [[embeddingLshCandidates]], the band stream carries ONLY
+    * (vec_id, band, key); the native `rp_band_keys` computes all 16 keys
+    * in one primitive-loop pass and `posexplode` supplies the band index.
+    * Exposed for the recall spec. */
+  private[graft] def embeddingRpCandidates(embeddings: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val blocks = embeddings
+      .select(col("vec_id"),
+        posexplode(call_function("rp_band_keys", col("embedding")))
+          .as(Seq("band", "key")))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
   }
 
   /** §2-62 `q_dedup_embedding_clusters`: the SEMANTIC dedup endgame —
@@ -507,25 +604,38 @@ object DedupOps {
     * O(log diameter) rounds, never n². The DuckDB oracle walks the same
     * closure with a recursive CTE over the same band-key pair universe. */
   def dedupEmbeddingClusters(embeddings: DataFrame, tau: Double = 0.4,
-                             maxIters: Int = 50): DataFrame =
+                             maxIters: Int = 50,
+                             checkpointDir: Option[String] = None): DataFrame =
     connectedComponents(
       embeddings.select(col("vec_id").as("doc_id")),
       embeddingLshPairs(embeddings, tau)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
-      maxIters)
+      maxIters, checkpointDir)
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy("vec_id")
 
   private val normSql = "lower(trim(text))"
 
-  /** MinHash candidate-pair SQL, shared by the q_dedup_minhash oracle and
-    * the q_dedup_clusters closure. */
-  private val minhashPairsSql: String = {
-    val mins = (0 until MinhashK).map(i =>
-      s"MIN(substr(md5(shingle), ${8 * i + 1}, 8)) AS mh$i").mkString(",\n  ")
-    val bandCond = (0 until Bands).map(b =>
-      s"(a.mh${2 * b} || a.mh${2 * b + 1}) = (b.mh${2 * b} || b.mh${2 * b + 1})")
-      .mkString(" OR ")
+  /** MinHash candidate-pair SQL for any (k, bands) — mirrors
+    * [[graft.plans.GraftHash.minhashSlices]]'s hash family exactly: slice
+    * i comes from md5 digest ⌊i/4⌋ (digest j > 0 salted by PREPENDING the
+    * single byte j — `chr(j)` is that byte in UTF-8 for j ≤ 127; j stays
+    * ≤ 63 by the k ≤ 256 bound), hex chars 8·(i mod 4)+1..8. Shared by
+    * the q_dedup_minhash / q_dedup_minhash_wide oracles and the
+    * q_dedup_clusters closure. */
+  private def minhashPairsSqlFor(k: Int, bands: Int): String = {
+    val r = k / bands
+    val mins = (0 until k).map { i =>
+      val j = i / 4
+      val s = i % 4
+      val digest = if (j == 0) "md5(shingle)" else s"md5(chr($j) || shingle)"
+      s"MIN(substr($digest, ${8 * s + 1}, 8)) AS mh$i"
+    }.mkString(",\n  ")
+    val bandCond = (0 until bands).map { b =>
+      val a = (0 until r).map(i => s"a.mh${r * b + i}").mkString(" || ")
+      val bb = (0 until r).map(i => s"b.mh${r * b + i}").mkString(" || ")
+      s"($a) = ($bb)"
+    }.mkString(" OR ")
     s"""WITH n AS (
        |  SELECT doc_id, $normSql AS t FROM documents WHERE length($normSql) >= 8
        |), sh AS (
@@ -539,6 +649,9 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The fixture-config pair SQL (see [[MinhashK]]/[[Bands]]). */
+  private val minhashPairsSql: String = minhashPairsSqlFor(MinhashK, Bands)
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""SELECT md5($normSql) AS text_hash,
@@ -547,6 +660,7 @@ object DedupOps {
          |GROUP BY 1
          |ORDER BY rep_doc_id""".stripMargin,
     "q_dedup_minhash" -> minhashPairsSql,
+    "q_dedup_minhash_wide" -> minhashPairsSqlFor(MinhashKWide, BandsWide),
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (
          |$minhashPairsSql
@@ -640,6 +754,7 @@ object DedupOps {
          |  AND ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
     "q_dedup_embedding_lsh" -> embeddingLshPairsSql,
+    "q_dedup_embedding_rp" -> embeddingRpPairsSql,
     "q_dedup_embedding_clusters" ->
       s"""WITH RECURSIVE pairs AS (
          |$embeddingLshPairsSql
@@ -672,6 +787,32 @@ object DedupOps {
        |    $keys
        |  FROM embeddings
        |  WHERE ${VectorFuns.sql.l2norm("embedding")} > 0
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} AS cos
+       |FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ($anyBand)
+       |WHERE ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** Random-hyperplane pair SQL — a literal integer-arithmetic
+    * transcription of graft.plans.RpLsh's coefficient table over the
+    * 10⁶-quantized vector, so DuckDB derives the SAME 16 band keys the
+    * native `rp_band_keys` does and both engines see an identical pair
+    * universe. */
+  private lazy val embeddingRpPairsSql: String = {
+    val keys = (0 until graft.plans.RpLsh.Bands).map(j =>
+      s"${VectorFuns.sql.rpBandKey("qv", j)} AS k$j").mkString(",\n    ")
+    val anyBand = (0 until graft.plans.RpLsh.Bands)
+      .map(j => s"a.k$j = b.k$j").mkString(" OR ")
+    s"""WITH q AS (
+       |  SELECT vec_id, embedding, ${VectorFuns.sql.q6List("embedding")} AS qv
+       |  FROM embeddings
+       |  WHERE ${VectorFuns.sql.l2norm("embedding")} > 0
+       |), bk AS (
+       |  SELECT vec_id, embedding,
+       |    $keys
+       |  FROM q
        |)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} AS cos

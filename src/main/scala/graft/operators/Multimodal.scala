@@ -47,10 +47,15 @@ object MultimodalOps {
     *
     * Spark-side plumbing is real: `mapPartitions` over an iterator (bounded
     * memory — never materializes a partition), typed output schema, payload
-    * column pruned everywhere else. The CODEC is a deterministic stub
-    * (first-16-bytes → float features); swap `decodeStub` for a real
-    * image/audio decoder (e.g. a JNI codec or `mapInPandas` + PIL on a
-    * cluster with the libs installed) without touching the plumbing. */
+    * column pruned everywhere else. The codec is real too for PPM P6
+    * payloads (the dependency-free portable-pixmap format): header +
+    * RGB24 pixel plane parse into per-channel image statistics
+    * ([[decodePpm]]) — proving the batched binary path decodes actual
+    * image bytes end-to-end without image libraries. Payloads in any
+    * other format fall back to the deterministic byte-feature stub; on a
+    * cluster with codec libs, that branch is where a JPEG/WAV decoder
+    * (JNI or `mapInPandas` + PIL) slots in without touching the
+    * plumbing. */
   def decodeBatches(withPayload: DataFrame, dim: Int = 16): DataFrame = {
     val spark = withPayload.sparkSession
     val rdd = withPayload
@@ -60,13 +65,75 @@ object MultimodalOps {
           val id = r.getLong(0)
           val mime = r.getString(1)
           val bytes = r.getAs[Array[Byte]](2)
-          Row(id, mime, bytes.length, decodeStub(bytes, dim))
+          val feats = decodePpm(bytes, dim).getOrElse(decodeStub(bytes, dim))
+          Row(id, mime, bytes.length, feats)
         }
       }
     spark.createDataFrame(rdd, decodedSchema)
   }
 
-  /** Deterministic fake decoder: byte i (cyclic) scaled to [0, 1). */
+  /** Dependency-free PPM P6 decoder: magic "P6", ASCII header (width,
+    * height, maxval ≤ 255, `#` comments allowed), one whitespace byte,
+    * then width×height RGB24 pixels. Features (padded/truncated to
+    * `dim`): [w, h, mean R, mean G, mean B, min R..B, max R..B], with
+    * pixel stats normalized by maxval to [0, 1]. None = not a P6
+    * payload or malformed/truncated — the caller falls back to the
+    * stub rather than poisoning the batch. */
+  private[graft] def decodePpm(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def ws(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def skipWsAndComments(): Unit = {
+      var more = true
+      while (more) {
+        while (i < bytes.length && ws(bytes(i))) i += 1
+        if (i < bytes.length && bytes(i) == '#') {
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+        } else more = false
+      }
+    }
+    def int(): Int = {
+      skipWsAndComments()
+      var v = 0
+      var digits = 0
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1; digits += 1
+      }
+      if (digits == 0) -1 else v
+    }
+    val w = int(); val h = int(); val maxv = int()
+    // maxval > 255 would mean 2-byte samples; out of scope for RGB24
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    if (i >= bytes.length || !ws(bytes(i))) return None
+    i += 1 // exactly ONE whitespace byte separates header and pixels
+    val n = w.toLong * h
+    if (bytes.length - i < n * 3) return None // truncated pixel plane
+    val sum = new Array[Long](3)
+    val min = Array.fill(3)(255)
+    val max = new Array[Int](3)
+    var p = 0L
+    while (p < n * 3) {
+      val c = (p % 3).toInt
+      val v = bytes(i + p.toInt) & 0xff
+      sum(c) += v
+      if (v < min(c)) min(c) = v
+      if (v > max(c)) max(c) = v
+      p += 1
+    }
+    val feats = new Array[Float](dim)
+    val raw = Array[Float](w.toFloat, h.toFloat,
+      (sum(0).toDouble / n / maxv).toFloat,
+      (sum(1).toDouble / n / maxv).toFloat,
+      (sum(2).toDouble / n / maxv).toFloat,
+      min(0).toFloat / maxv, min(1).toFloat / maxv, min(2).toFloat / maxv,
+      max(0).toFloat / maxv, max(1).toFloat / maxv, max(2).toFloat / maxv)
+    System.arraycopy(raw, 0, feats, 0, math.min(raw.length, dim))
+    Some(feats)
+  }
+
+  /** Deterministic fallback for non-PPM payloads: byte i (cyclic) scaled
+    * to [0, 1). */
   private def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] =
     Array.tabulate(dim)(i =>
       if (bytes.isEmpty) 0f else (bytes(i % bytes.length) & 0xff) / 256f)

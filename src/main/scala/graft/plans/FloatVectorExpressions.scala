@@ -179,7 +179,10 @@ object GraftFunctions {
     (FunctionIdentifier("collect_set_capped"),
       new ExpressionInfo(classOf[CollectSetCapped].getName, "collect_set_capped"),
       (es: Seq[Expression]) => CollectSetCapped(es(0),
-        litInt(es(1), "collect_set_capped"))))
+        litInt(es(1), "collect_set_capped"))),
+    (FunctionIdentifier("rp_band_keys"),
+      new ExpressionInfo(classOf[RpBandKeys].getName, "rp_band_keys"),
+      (es: Seq[Expression]) => RpBandKeys(es(0))))
 
   /** Idempotently register on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -1,0 +1,126 @@
+package graft.plans
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+
+/** Independent random-hyperplane sign-LSH for embedding dedup
+  * (`DedupOps.dedupEmbeddingRp`, SURVEY.md §2-63).
+  *
+  * The fixed-dimension sign banding of `DedupOps.dedupEmbeddingLsh`
+  * regroups the SAME 64 sign bits into overlapping bands, so band
+  * failures are positively correlated and recall has no guaranteed
+  * floor. Here every one of the [[Bands]]×[[BitsPerBand]] = 128 bits is
+  * its own random hyperplane — fresh i.i.d. Gaussian normals per bit —
+  * so the per-band collision events are genuinely independent and the
+  * textbook bound P[detect] = 1 − (1 − p^r)^b with p = 1 − θ/π is an
+  * actual floor in expectation, not an estimate (measured on planted
+  * cos-0.9 pairs in PipelineOpsSpec, where the tiled scheme lands BELOW
+  * the formula and this one does not).
+  *
+  * Cross-engine exactness: a float dot against float coefficients would
+  * put the sign decision one summation-order ulp from flipping a band
+  * key across engines. Instead both the vector and the hyperplanes live
+  * in integer space — component qᵢ = round(vᵢ×10⁶) (the repo-wide 6-dp
+  * quantization, the same one `AnnOps.centroid` proved hash-stable
+  * against DuckDB's round), coefficient cᵢ = round(gᵢ×10³) — and the
+  * sign comes from an exact int64 Σ cᵢ·qᵢ (|Σ| ≤ 64·5·10³·10⁷ ≈ 3·10¹²,
+  * no overflow). Quantizing the normals at 10⁻³ perturbs each
+  * hyperplane's direction by ~0.006° in expectation — immaterial to the
+  * collision probability — while keeping the DuckDB twin a literal
+  * integer-arithmetic transcription of the same table.
+  *
+  * The table is generated once from a fixed seed via `java.util.Random`
+  * (`nextGaussian` is algorithm-specified in its Javadoc, so the table is
+  * identical on every JVM) and embedded as literals into the oracle SQL.
+  */
+object RpLsh {
+  val Bands = 16
+  val BitsPerBand = 8
+  val Dims = 64
+  val Seed = 20260812L
+
+  /** planes(band × BitsPerBand + bit)(dim) = round(1000 × N(0,1)). */
+  val planes: Array[Array[Long]] = {
+    val rnd = new java.util.Random(Seed)
+    Array.fill(Bands * BitsPerBand)(
+      Array.fill(Dims)(math.round(rnd.nextGaussian() * 1000)))
+  }
+
+  /** round(v×10⁶) with Spark `round`'s exact semantics (shortest-decimal
+    * BigDecimal, HALF_UP) — keeps this expression bit-aligned with the
+    * `CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)` oracle twin. */
+  private def q6(v: Float): Long =
+    JBigDecimal.valueOf(v.toDouble * 1e6)
+      .setScale(0, RoundingMode.HALF_UP).longValueExact()
+
+  /** The [[Bands]] 8-bit band keys of one embedding; null on a null
+    * element or a non-[[Dims]] vector (same edge contract as FloatDot). */
+  def bandKeys(v: ArrayData): ArrayData = {
+    if (v.numElements() != Dims) return null
+    val qv = new Array[Long](Dims)
+    var d = 0
+    while (d < Dims) {
+      if (v.isNullAt(d)) return null
+      qv(d) = q6(v.getFloat(d))
+      d += 1
+    }
+    val keys = new Array[Int](Bands)
+    var b = 0
+    while (b < Bands) {
+      var key = 0
+      var i = 0
+      while (i < BitsPerBand) {
+        val c = planes(b * BitsPerBand + i)
+        var acc = 0L
+        var j = 0
+        while (j < Dims) {
+          acc += c(j) * qv(j)
+          j += 1
+        }
+        if (acc > 0) key |= 1 << i
+        i += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys.map(x => x: Any))
+  }
+}
+
+/** `rp_band_keys(embedding)` → array<int> of the [[RpLsh.Bands]] band
+  * keys (see [[RpLsh.bandKeys]]). One primitive-loop pass per row — the
+  * 128×64 integer multiply-adds stay inside codegen; the declarative
+  * twin (asserted bit-identical in FloatVectorExprSpec) would be an
+  * 8192-term Catalyst expression tree. */
+case class RpBandKeys(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true // null element / wrong dims → null
+  override def prettyName: String = "rp_band_keys"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RpLsh.bandKeys(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.RpLsh.bandKeys($c);
+         |${ev.isNull} = ${ev.value} == null;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RpBandKeys =
+    copy(child = newChild)
+}

@@ -35,4 +35,19 @@ object Sinks {
   /** Read back a day-partitioned event layout. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** The IVF index layout: embeddings partitioned by list id —
+    * `path/label=N/part-*.parquet`. An `AnnOps.annIvf` probe over this
+    * layout reads only the probed lists' directories: the probe set is
+    * a broadcast joined on the partition column, so dynamic partition
+    * pruning turns "scan the corpus" into "scan nProbe/nLists of it"
+    * (PartitionFilters carries the dynamicpruning subquery — asserted in
+    * `SinksSpec`). This is the §2-60 claim made physical. */
+  def writePartitionedByLabel(embeddings: DataFrame, path: String,
+                              maxRecordsPerFile: Long = 5000000L): Unit =
+    embeddings
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("label")
+      .parquet(path)
 }

@@ -109,6 +109,30 @@ class FloatVectorExprSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
+  test("rp_band_keys matches the declarative round/cast formulation bit-for-bit") {
+    GraftFunctions.register(spark)
+    import graft.plans.RpLsh
+    // The native expression replicates Spark round's shortest-decimal
+    // HALF_UP quantization in Scala; this builds the same keys out of
+    // Spark's OWN round()/cast/sum expressions — if the two ever drift,
+    // the q_dedup_embedding_rp oracle drifts with them.
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("qv", transform(col("embedding"),
+        v => round(v.cast("double") * lit(1e6), 0).cast("long")))
+    def declaredKey(band: Int) =
+      (0 until RpLsh.BitsPerBand).map { i =>
+        val dot = RpLsh.planes(band * RpLsh.BitsPerBand + i).zipWithIndex
+          .map { case (cf, d) => lit(cf) * element_at(col("qv"), d + 1) }
+          .reduce(_ + _)
+        when(dot > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _).cast("int")
+    val df = e.select(
+      call_function("rp_band_keys", col("embedding")).as("nat"),
+      array((0 until RpLsh.Bands).map(declaredKey): _*).as("dec"))
+    assert(df.filter(col("nat") =!= col("dec")).count() == 0)
+    assert(df.count() > 0)
+  }
+
   test("native expressions survive both codegen and interpreted eval") {
     GraftFunctions.register(spark)
     import spark.implicits._

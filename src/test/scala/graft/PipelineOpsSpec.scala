@@ -74,6 +74,76 @@ class PipelineOpsSpec extends SparkSpec {
       s"narrow config unexpectedly recalled all ${moderate.size} — spec can't discriminate")
   }
 
+  test("connectedComponents: reliable-checkpoint path matches the local path on both cluster queries") {
+    // localCheckpoint blocks die with their executor — a multi-hour
+    // 100 TB CC job needs the reliable path; results must be identical
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val localDocs = collect(DedupOps.dedupClusters(docs))
+    val reliableDocs = collect(DedupOps.dedupClusters(docs,
+      checkpointDir = Some(dir)))
+    assert(reliableDocs == localDocs)
+    val localEmb = collect(DedupOps.dedupEmbeddingClusters(embs))
+    val reliableEmb = collect(DedupOps.dedupEmbeddingClusters(embs,
+      checkpointDir = Some(dir)))
+    assert(reliableEmb == localEmb)
+    // the rounds really went through reliable storage
+    val files = new java.io.File(dir).listFiles
+    assert(files != null && files.nonEmpty, s"no checkpoint data under $dir")
+  }
+
+  test("CC convergence count rides the checkpoint job (no per-round count job)") {
+    import spark.implicits._
+    // chain graph: several pointer-jumping rounds, so a reintroduced
+    // per-round count() job would show up multiplied by the round count
+    val n = 32L
+    val verts = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val group = "cc-job-fold-spec"
+    val jobStages =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+          group == js.properties.getProperty("spark.jobGroup.id"))
+          jobStages.add(js.stageInfos.map(_.name).toSeq)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE off so every Dataset action is exactly one scheduler job
+    // (with AQE each exchange materializes as its own stage-job and the
+    // accounting measures shuffle count, not action count; the fold
+    // holds under AQE too — this just makes it countable). Broadcast
+    // futures still fire their own 1-stage jobs on a fixture this small
+    // (the checkpointed label frame carries accurate stats, so the
+    // planner broadcasts it), which is why the assertions key on stage
+    // NAMES — the action call sites — not raw job totals.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setJobGroup(group, "cc job fold spec")
+    val rounds = try {
+      DedupOps.ccWithRounds(verts, pairs, maxIters = 50)._2
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    Thread.sleep(2000) // listener bus is async
+    spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    val actions = jobStages.asScala.toSeq.map(_.headOption.getOrElse(""))
+    val checkpoints = actions.count(_.toLowerCase.contains("checkpoint"))
+    val counts = actions.count(_.startsWith("count at"))
+    // 3 one-off materializations (pairs, edges, initial labels) + ONE
+    // checkpoint action per round, which carries the observe() metrics
+    // the loop reads `changed` from — and NO count() action anywhere: a
+    // reintroduced per-round convergence count would show up as `rounds`
+    // "count at" jobs.
+    assert(checkpoints == 3 + rounds,
+      s"$checkpoints checkpoint actions for $rounds rounds (want ${3 + rounds}): $actions")
+    assert(counts == 0,
+      s"$counts count() jobs — the convergence count is a separate job again: $actions")
+  }
+
   test("dedupSimhash: one 16-bit fingerprint per doc") {
     val df = DedupOps.dedupSimhash(docs).cache()
     assert(df.count() == docs.count())
@@ -244,6 +314,90 @@ class PipelineOpsSpec extends SparkSpec {
     assert(missed.isEmpty, s"planted near-twins missed: $missed")
   }
 
+  test("dedupEmbeddingRp: exact band-collision ∧ cosine contract on real embeddings") {
+    import graft.plans.RpLsh
+    // brute-force twin in plain Scala: quantize, dot against the shared
+    // coefficient table, pigeonhole on any equal band key, verify cosine
+    val rows = embs.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def q6(v: Float): Long = java.math.BigDecimal.valueOf(v.toDouble * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    def keys(v: Array[Float]): Seq[Int] = {
+      val qv = v.map(q6)
+      (0 until RpLsh.Bands).map { b =>
+        (0 until RpLsh.BitsPerBand).map { i =>
+          val c = RpLsh.planes(b * RpLsh.BitsPerBand + i)
+          if (qv.indices.map(d => c(d) * qv(d)).sum > 0) 1 << i else 0
+        }.sum
+      }
+    }
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val keyed = rows.map { case (id, v) => (id, keys(v), v) }
+    val expected = (for {
+      (a, ka, va) <- keyed; (b, kb, vb) <- keyed if a < b
+      if ka.zip(kb).exists { case (x, y) => x == y }
+      c = cos6(va, vb) if c >= 0.4
+    } yield (a, b, c)).toSet
+    val got = DedupOps.dedupEmbeddingRp(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.nonEmpty)
+  }
+
+  test("dedupEmbeddingRp: independent hyperplanes hold the formula recall floor; the tiled bands don't") {
+    import spark.implicits._
+    // planted pairs at EXACTLY cos 0.9: v = 0.9·u + √(1−0.81)·z with z a
+    // unit vector Gram-Schmidt-orthogonalized against u — so the
+    // independence prediction P = 1−(1−p⁸)¹⁶, p = 1−acos(0.9)/π ≈ 0.856,
+    // applies per pair with no angle slack
+    val rnd = new java.util.Random(7L)
+    def unit(): Array[Double] = {
+      val v = Array.fill(DedupOps.EmbDims)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val nPairs = 400
+    val planted = (0 until nPairs).map { j =>
+      val u = unit()
+      val w = unit()
+      val d = u.indices.map(i => u(i) * w(i)).sum
+      val zRaw = u.indices.map(i => w(i) - d * u(i)).toArray
+      val zn = math.sqrt(zRaw.map(x => x * x).sum)
+      val v = u.indices.map(i => 0.9 * u(i) + math.sqrt(1 - 0.81) * zRaw(i) / zn)
+      (2L * j, u.map(_.toFloat), 2L * j + 1, v.map(_.toFloat).toArray)
+    }
+    val df = planted.flatMap { case (ia, va, ib, vb) =>
+      Seq((ia, va), (ib, vb)) }.toDF("vec_id", "embedding")
+    def detected(cands: org.apache.spark.sql.DataFrame): Int = {
+      val got = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      planted.count { case (ia, _, ib, _) => got.contains((ia, ib)) }
+    }
+    val rpRecall = detected(DedupOps.embeddingRpCandidates(df)).toDouble / nPairs
+    val tiledRecall = detected(DedupOps.embeddingLshCandidates(df)).toDouble / nPairs
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    val formula = 1.0 - math.pow(1.0 - math.pow(p, 8), 16)
+    // the headline claim of §2-63: independent projections measure AT OR
+    // ABOVE the formula on this fixture, the correlated tiling BELOW it —
+    // the gap the VERDICT-4 hardening item asked to close
+    assert(rpRecall >= formula,
+      f"rp recall $rpRecall%.4f fell below the independence formula $formula%.4f")
+    assert(tiledRecall < formula,
+      f"tiled recall $tiledRecall%.4f not below the formula $formula%.4f — fixture no longer demonstrates the correlation penalty")
+    assert(rpRecall > tiledRecall,
+      f"rp $rpRecall%.4f vs tiled $tiledRecall%.4f")
+  }
+
   test("dedupEmbeddingClusters: transitive closure glues chains the pair threshold can't") {
     import spark.implicits._
     // 2-D subspace geometry: B at 0°, A at +50°, C at −50° — the adjacent
@@ -293,6 +447,23 @@ class PipelineOpsSpec extends SparkSpec {
     // rerun-stable draw
     val again = CorpusOps.tokenBudgetSample(docs, budget = 10L).collect()
     assert(got.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
+  test("tokenBudgetSampleWeighted: per-source budgets bite independently, default covers the rest") {
+    import spark.implicits._
+    // 10 docs × 4 tokens per source; a→4 (1 doc), b→12 (3 docs),
+    // c unmapped → default 8 (2 docs)
+    val docs = (for (s <- Seq("a", "b", "c"); i <- 1 to 10) yield
+      (s(0).toLong * 100 + i, s, "t1 t2 t3 t4")).toDF("doc_id", "source", "text")
+    val got = CorpusOps.tokenBudgetSampleWeighted(docs,
+      budgets = Map("a" -> 4L, "b" -> 12L), defaultBudget = 8L).collect()
+    val by = got.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(by == Map("a" -> 1, "b" -> 3, "c" -> 2), by)
+    // weights only move the cutoff — the hash draw ORDER is the uniform
+    // sampler's, so a weighted mix is reproducible from the same shuffle
+    val uniform = CorpusOps.tokenBudgetSample(docs, budget = 12L).collect()
+      .filter(_.getString(1) == "b").map(_.getLong(0)).toSeq
+    assert(got.filter(_.getString(1) == "b").map(_.getLong(0)).toSeq == uniform)
   }
 
   test("annTopK: scores descend and exclude the query") {
@@ -419,6 +590,33 @@ class PipelineOpsSpec extends SparkSpec {
       frames.mkString(", "))
     assert(frames.length == 1)
     assert(frames.head.getAs[Array[Byte]]("frame").length == 32)
+  }
+
+  test("decodeBatches really decodes PPM P6 payloads: header, comments, pixel stats") {
+    import spark.implicits._
+    def ppm(header: String, pixels: Array[Int]): Array[Byte] =
+      header.getBytes("US-ASCII") ++ pixels.map(_.toByte)
+    // 2×2 RGB: red, green, blue, white — plus a header comment line
+    val px = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+    val img = ppm("P6\n# fixture image\n2 2\n255\n", px)
+    val txt = "not an image".getBytes("US-ASCII")
+    val df = Seq((1L, "image/ppm", img), (2L, "text/plain", txt))
+      .toDF("doc_id", "mime", "payload")
+    val out = MultimodalOps.decodeBatches(df, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    val f = out(1L)
+    assert(f(0) == 2f && f(1) == 2f, f)            // width, height
+    // channel means: R = (255+0+0+255)/4/255, same for G and B
+    assert(f(2) == 0.5f && f(3) == 0.5f && f(4) == 0.5f, f)
+    assert(f(5) == 0f && f(8) == 1f, f)            // min/max of R
+    assert(f.drop(11).forall(_ == 0f), f)          // padding to dim
+    // non-PPM payloads take the stub path (byte 0 scaled)
+    assert(out(2L)(0) == 'n'.toInt / 256f)
+    // malformed P6 must NOT decode: truncated pixel plane, bad maxval
+    assert(MultimodalOps.decodePpm(
+      ppm("P6\n2 2\n255\n", px.take(6)), 16).isEmpty)
+    assert(MultimodalOps.decodePpm(
+      ppm("P6\n2 2\n65535\n", px), 16).isEmpty)
   }
 
   test("multimodalMeta + decodeBatches plumbing round-trips") {

@@ -27,6 +27,28 @@ class SinksSpec extends SparkSpec {
       events.filter(to_date(col("ts")) === "2024-01-05").count())
   }
 
+  test("annIvf over the label-partitioned layout: probe scan is dynamically partition-pruned") {
+    import graft.operators.AnnOps
+    val out = Files.createTempDirectory("graft_ivf").toFile.getAbsolutePath
+    val embs = Tables.embeddings(spark, sfDir)
+    Sinks.writePartitionedByLabel(embs, out)
+    val back = spark.read.parquet(out)
+    val df = AnnOps.annIvf(back)
+    val p = df.queryExecution.explainString(FormattedMode)
+    // the candidate-fetch scan must carry a dynamicpruning subquery in
+    // its PartitionFilters — the probed-list broadcast prunes label
+    // directories BEFORE IO, so a query touches nProbe/nLists of the
+    // data (SURVEY §2-60's scale claim, plan-asserted)
+    val pruned = p.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(pruned.exists(_.toLowerCase.contains("dynamicpruning")),
+      s"no dynamic partition pruning on the probe scan:\n$p")
+    // identical results to the flat single-file layout
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(rows(df) == rows(AnnOps.annIvf(embs)))
+  }
+
   test("summaryApprox: single pass, no Expand, within HLL error of exact") {
     val events = Tables.events(spark, sfDir)
     val approx = EventOps.summaryApprox(events)
