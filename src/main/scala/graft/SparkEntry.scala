@@ -60,6 +60,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => DedupOps.dedupExact(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => DedupOps.dedupMinhash(Tables.documents(s, dir))),
     "q_dedup_minhash_wide" -> ((s, dir) => DedupOps.dedupMinhashWide(Tables.documents(s, dir))),
+    "q_dedup_incremental" -> ((s, dir) => DedupOps.dedupIncremental(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => DedupOps.dedupSimhash(Tables.documents(s, dir))),
     "q_dedup_simhash_pairs" -> ((s, dir) => DedupOps.dedupSimhashPairs(Tables.documents(s, dir))),
     "q_dedup_ngram" -> ((s, dir) => DedupOps.dedupNgram(Tables.documents(s, dir))),
@@ -92,6 +93,8 @@ object SparkEntry {
     "q_group_sample" -> ((s, dir) => CorpusOps.groupSample(Tables.documents(s, dir))),
     "q_token_budget" -> ((s, dir) => CorpusOps.tokenBudgetSample(Tables.documents(s, dir))),
     "q_token_budget_weighted" -> ((s, dir) => CorpusOps.tokenBudgetSampleWeighted(Tables.documents(s, dir))),
+    "q_split" -> ((s, dir) => CorpusOps.split(Tables.documents(s, dir))),
+    "q_source_overlap" -> ((s, dir) => CorpusOps.sourceOverlap(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 row 35) ---
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---

@@ -38,14 +38,42 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  /** One row per token-trigram OCCURRENCE: (doc_id, ngram). The single
-    * shingle definition shared by [[ngramCounts]] and [[repetition]] (and
-    * mirrored once in [[trigramSql]] for their oracles). */
-  private def tokenTrigrams(documents: DataFrame): DataFrame =
+  /** Split-band upper bounds on the 2-hex-char md5 prefix: < cc → train
+    * (204/256 ≈ 79.7%), < e6 → val (26/256 ≈ 10.2%), else test
+    * (26/256 ≈ 10.2%). */
+  val TrainBand = "cc"
+  val ValBand = "e6"
+
+  /** §2-67 `q_split`: deterministic train/val/test assignment — the split
+    * step every training pipeline runs before anything else. The split is
+    * a pure function of the doc id (md5-prefix bands, like [[sample]]):
+    * a row-level predicate with no shuffle, no RNG state, no global sort.
+    * That purity is the scale contract: reruns and speculative retries
+    * agree; the corpus can GROW and every existing doc keeps its split
+    * (an ntile/percent_rank split would reshuffle assignments on every
+    * ingest — leaking yesterday's val docs into today's train set); and a
+    * doc's split can be recomputed anywhere without consulting an
+    * assignment table. */
+  def split(documents: DataFrame): DataFrame = {
+    val key = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
     documents
-      .select(col("doc_id"), TextFuns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(key < TrainBand, "train")
+          .when(key < ValBand, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** One row per token-trigram OCCURRENCE keyed by `key`: (key, ngram).
+    * The single shingle definition shared by [[ngramCounts]],
+    * [[repetition]] (doc_id-keyed) and [[sourceOverlap]] (source-keyed);
+    * mirrored once in [[trigramSql]] for the oracles. */
+  private def tokenTrigrams(documents: DataFrame,
+                            key: String = "doc_id"): DataFrame =
+    documents
+      .select(col(key), TextFuns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col(key), explode(expr(
         "transform(sequence(1, size(toks) - 2), " +
           "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("ngram"))
 
@@ -125,6 +153,42 @@ object CorpusOps {
       .select(col("source"), col("lang"), col("gid"),
         col("n_docs"), col("sum_chars"))
       .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"), col("gid"))
+
+  /** §2-68 `q_source_overlap`: pairwise content overlap between sources —
+    * trigram-set Jaccard per (source_a, source_b), the mixing diagnostic
+    * that tells a data-mixing step which "distinct" sources are actually
+    * the same crawl twice (weights double-count them) before any dedup
+    * runs.
+    *
+    * Never a doc×doc or source×source content comparison: distinct
+    * (source, trigram) first — a frame bounded by |vocabulary³| × sources
+    * regardless of corpus size — then an inverted-index self-join on the
+    * trigram. The pre-agg join output is Σ_ngram C(sources sharing it, 2)
+    * ≤ vocab-trigrams × C(S, 2), again corpus-size-free, and the per-pair
+    * count agg reduces map-side. The final |A|+|B| denominator join runs
+    * over the S-row and C(S,2)-row frames (broadcast). Zero-overlap pairs
+    * are kept (LEFT join ← the all-pairs source dim): "no overlap" is a
+    * finding, not a missing row. */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val sh = tokenTrigrams(documents, key = "source").distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.ngram") === col("b.ngram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("c"))
+    sizes.as("x")
+      .join(broadcast(sizes.as("y")), col("x.source") < col("y.source"))
+      .join(broadcast(inter.as("i")),
+        col("i.sa") === col("x.source") && col("i.sb") === col("y.source"),
+        "left")
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        coalesce(col("i.c"), lit(0L)).as("n_common"),
+        round(coalesce(col("i.c"), lit(0L)).cast("double") /
+          (col("x.n") + col("y.n") - coalesce(col("i.c"), lit(0L))), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 
   /** Chunking geometry: window of [[ChunkTokens]] tokens every
     * [[ChunkStride]] (overlap = ChunkTokens − ChunkStride). */
@@ -390,15 +454,17 @@ object CorpusOps {
   private val toksSql = s"string_split($normSql, ' ')"
 
   /** DuckDB twin of [[tokenTrigrams]] — the shared shingle definition as
-    * a WITH-clause body producing `sh(doc_id, ngram)`. */
-  private val trigramSql: String =
+    * a WITH-clause body producing `sh(key, ngram)`. */
+  private def trigramSqlFor(key: String): String =
     s"""toks AS (
-       |  SELECT doc_id, $toksSql AS ts FROM documents
+       |  SELECT $key, $toksSql AS ts FROM documents
        |), sh AS (
-       |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ngram
-       |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+       |  SELECT $key, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ngram
+       |  FROM (SELECT $key, ts, unnest(generate_series(1, len(ts) - 2)) AS i
        |        FROM toks WHERE len(ts) >= 3)
        |)""".stripMargin
+
+  private val trigramSql: String = trigramSqlFor("doc_id")
 
   val oracles: Map[String, String] = Map(
     "q_contamination" -> {
@@ -502,6 +568,33 @@ object CorpusOps {
          |  (CASE WHEN lang = 'en' THEN '${SampleBands("en")}'
          |        ELSE '${SampleBands("other")}' END)
          |ORDER BY doc_id""".stripMargin,
+    "q_split" ->
+      s"""SELECT doc_id, lang, source,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$TrainBand'
+         |         THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$ValBand'
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "q_source_overlap" ->
+      s"""WITH ${trigramSqlFor("source")}, ss AS (
+         |  SELECT DISTINCT source, ngram FROM sh
+         |), sizes AS (
+         |  SELECT source, COUNT(*) AS n FROM ss GROUP BY source
+         |), inter AS (
+         |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS c
+         |  FROM ss a JOIN ss b ON a.ngram = b.ngram AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT x.source AS source_a, y.source AS source_b,
+         |  COALESCE(i.c, 0) AS n_common,
+         |  round(CAST(COALESCE(i.c, 0) AS DOUBLE) /
+         |        (x.n + y.n - COALESCE(i.c, 0)), 6) AS jaccard
+         |FROM sizes x
+         |JOIN sizes y ON x.source < y.source
+         |LEFT JOIN inter i ON i.sa = x.source AND i.sb = y.source
+         |ORDER BY source_a, source_b""".stripMargin,
     "q_ngram_counts" ->
       s"""WITH $trigramSql
          |SELECT ngram, COUNT(*) AS n

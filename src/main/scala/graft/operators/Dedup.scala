@@ -83,6 +83,23 @@ object DedupOps {
     * exchange). */
   def minhashPairs(documents: DataFrame, k: Int = MinhashK,
                    bands: Int = Bands): DataFrame = {
+    val bandKeys = minhashBandKeys(documents, k, bands)
+    bandKeys.as("a")
+      .join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The per-document LSH band keys — one (doc_id, band, key) row per
+    * band, the blocking index both the full-corpus pair join
+    * ([[minhashPairs]]) and the delta-vs-corpus incremental join
+    * ([[dedupIncremental]]) probe. The signature itself is ONE row-level
+    * native-expression map (no explode); only the k-wide→bands-long
+    * reshape generates rows. */
+  private[graft] def minhashBandKeys(documents: DataFrame, k: Int,
+                                     bands: Int): DataFrame = {
     require(bands >= 1 && k % bands == 0,
       s"k=$k must split evenly into bands=$bands (rows per band = k/bands)")
     // surface the slice limit at the operator boundary, not from inside
@@ -98,16 +115,49 @@ object DedupOps {
           lit(k)).as("sig"))
       .select(col("doc_id") +: (0 until k).map(i =>
         col("sig").getItem(i).as(s"mh$i")): _*)
-    val bandKeys = sig.select(col("doc_id"), explode(array((0 until bands).map(b =>
+    sig.select(col("doc_id"), explode(array((0 until bands).map(b =>
       struct(lit(b).as("band"),
         concat((0 until r).map(i => col(s"mh${r * b + i}")): _*).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    bandKeys.as("a")
-      .join(bandKeys.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  /** Every deltaMod-th doc_id plays the "new batch"; the rest are the
+    * standing corpus. A synthetic but SF-stable split — the testdata has
+    * no ingest timestamp, and a modulus keeps the delta a fixed fraction
+    * at every scale factor. */
+  val IncrementalDeltaMod = 10
+
+  /** §2-66 `q_dedup_incremental`: incremental (delta-vs-corpus) MinHash
+    * dedup — the continuous-ingestion shape. A full-corpus re-dedup per
+    * arriving batch is O(corpus²) work for O(delta) new information; here
+    * the new batch's band keys probe the standing corpus's band index and
+    * corpus×corpus pairs are never formed: candidates are (new, corpus)
+    * band collisions only, exactly [[minhashPairs]]' universe restricted
+    * to cross-set pairs (spec-asserted).
+    *
+    * Scale: the corpus side of the join is the WRITE-ONCE band index a
+    * real pipeline persists bucketed by (band, key)
+    * (`Tables.writeBucketed`) — amortized across every future batch, it
+    * never reshuffles. The delta side is `broadcast()` by definition of
+    * incremental (a daily batch is ≪ the standing corpus): the join is a
+    * map-side probe of the corpus index, no corpus motion at all. A
+    * backfill-scale delta should drop the hint and fall back to the
+    * bucketed shuffle join. Here both sides derive from one table via
+    * the modulus split; the plan shape (BroadcastHashJoin, corpus side
+    * exchange-free past the index build) is what PlanAuditSpec pins. */
+  def dedupIncremental(documents: DataFrame,
+                       deltaMod: Int = IncrementalDeltaMod,
+                       k: Int = MinhashK, bands: Int = Bands): DataFrame = {
+    require(deltaMod >= 2, s"deltaMod=$deltaMod must be >= 2")
+    val bk = minhashBandKeys(documents, k, bands)
+    val delta = bk.filter(pmod(col("doc_id"), lit(deltaMod)) === 0)
+    val corpus = bk.filter(pmod(col("doc_id"), lit(deltaMod)) =!= 0)
+    corpus.as("c")
+      .join(broadcast(delta.as("d")),
+        col("d.band") === col("c.band") && col("d.key") === col("c.key"))
+      .select(col("d.doc_id").as("doc_new"), col("c.doc_id").as("doc_corpus"))
       .distinct()
+      .orderBy("doc_new", "doc_corpus")
   }
 
   /** §2-26 `q_dedup_simhash`: 16-bit SimHash fingerprint. Tokens explode
@@ -623,30 +673,40 @@ object DedupOps {
     * ≤ 63 by the k ≤ 256 bound), hex chars 8·(i mod 4)+1..8. Shared by
     * the q_dedup_minhash / q_dedup_minhash_wide oracles and the
     * q_dedup_clusters closure. */
-  private def minhashPairsSqlFor(k: Int, bands: Int): String = {
-    val r = k / bands
+  private def minhashPairsSqlFor(k: Int, bands: Int): String =
+    s"""WITH ${minhashSigSqlFor(k)}
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (${bandCondSqlFor(k, bands)})
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The shared signature CTE chain (normalize → 8-char shingles →
+    * per-doc MIN slices) of every MinHash oracle. */
+  private def minhashSigSqlFor(k: Int): String = {
     val mins = (0 until k).map { i =>
       val j = i / 4
       val s = i % 4
       val digest = if (j == 0) "md5(shingle)" else s"md5(chr($j) || shingle)"
       s"MIN(substr($digest, ${8 * s + 1}, 8)) AS mh$i"
     }.mkString(",\n  ")
-    val bandCond = (0 until bands).map { b =>
-      val a = (0 until r).map(i => s"a.mh${r * b + i}").mkString(" || ")
-      val bb = (0 until r).map(i => s"b.mh${r * b + i}").mkString(" || ")
-      s"($a) = ($bb)"
-    }.mkString(" OR ")
-    s"""WITH n AS (
+    s"""n AS (
        |  SELECT doc_id, $normSql AS t FROM documents WHERE length($normSql) >= 8
        |), sh AS (
        |  SELECT doc_id, substr(t, i + 1, 8) AS shingle
        |  FROM (SELECT doc_id, t, unnest(generate_series(0, length(t) - 8)) AS i FROM n)
        |), sig AS (
        |  SELECT doc_id, $mins FROM sh GROUP BY doc_id
-       |)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |)""".stripMargin
+  }
+
+  /** `a`-vs-`b` band-collision predicate over the [[minhashSigSqlFor]]
+    * columns: any of the `bands` concatenated r-slice keys equal. */
+  private def bandCondSqlFor(k: Int, bands: Int): String = {
+    val r = k / bands
+    (0 until bands).map { b =>
+      val a = (0 until r).map(i => s"a.mh${r * b + i}").mkString(" || ")
+      val bb = (0 until r).map(i => s"b.mh${r * b + i}").mkString(" || ")
+      s"($a) = ($bb)"
+    }.mkString(" OR ")
   }
 
   /** The fixture-config pair SQL (see [[MinhashK]]/[[Bands]]). */
@@ -661,6 +721,14 @@ object DedupOps {
          |ORDER BY rep_doc_id""".stripMargin,
     "q_dedup_minhash" -> minhashPairsSql,
     "q_dedup_minhash_wide" -> minhashPairsSqlFor(MinhashKWide, BandsWide),
+    "q_dedup_incremental" ->
+      s"""WITH ${minhashSigSqlFor(MinhashK)}
+         |SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_corpus
+         |FROM sig a JOIN sig b
+         |  ON a.doc_id % $IncrementalDeltaMod = 0
+         | AND b.doc_id % $IncrementalDeltaMod <> 0
+         | AND (${bandCondSqlFor(MinhashK, Bands)})
+         |ORDER BY doc_new, doc_corpus""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (
          |$minhashPairsSql

@@ -194,6 +194,58 @@ class CorpusOpsSpec extends SparkSpec {
     assert(s1.map(_.toString).sorted.toSeq == s2.map(_.toString).sorted.toSeq)
   }
 
+  test("split: every doc gets exactly one growth-stable split, ~80/10/10") {
+    val assigned = CorpusOps.split(docs).collect()
+    assert(assigned.length == docs.count())
+    val bySplit = assigned.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    val n = assigned.length.toDouble
+    // binomial 4σ bands around the designed 204/26/26-of-256 fractions
+    def within(k: String, p: Double): Unit = {
+      val tol = 4 * math.sqrt(n * p * (1 - p))
+      assert(math.abs(bySplit.getOrElse(k, 0) - n * p) <= tol,
+        s"$k=${bySplit.getOrElse(k, 0)} expected ${n * p} ± $tol")
+    }
+    within("train", 204.0 / 256)
+    within("val", 26.0 / 256)
+    within("test", 26.0 / 256)
+    // growth-stability: the assignment is a pure per-doc function, so a
+    // SUBSET corpus assigns every surviving doc identically (an
+    // ntile/percent_rank split would not)
+    val subset = CorpusOps.split(docs.filter(col("doc_id") < 100)).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val full = assigned.map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    subset.foreach { case (id, s) => assert(full(id) == s) }
+    // one Exchange total — the presentation sort's range partitioning;
+    // the assignment itself never shuffles
+    val plan = CorpusOps.split(docs).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("sourceOverlap: hand-computed Jaccard incl. the zero-overlap pairs") {
+    import spark.implicits._
+    val tiny = Seq(
+      ("srcA", "a b c d"),  // trigrams {a b c, b c d}
+      ("srcB", "a b c x"),  // trigrams {a b c, b c x} — shares 1 with A
+      ("srcC", "p q r s")   // disjoint from both
+    ).toDF("source", "text")
+    val got = CorpusOps.sourceOverlap(tiny).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("srcA", "srcB", 1L, 0.333333),  // 1 / (2 + 2 - 1)
+      ("srcA", "srcC", 0L, 0.0),
+      ("srcB", "srcC", 0L, 0.0)))
+    // real table: C(S,2) rows, jaccard within [0,1]
+    val full = CorpusOps.sourceOverlap(docs).collect()
+    val s = docs.select("source").distinct().count()
+    assert(full.length == s * (s - 1) / 2)
+    assert(full.forall { r =>
+      val j = r.getDouble(3); j >= 0.0 && j <= 1.0
+    })
+  }
+
   test("corpusFilter keeps only en-classified, high-quality dedup reps") {
     val kept = CorpusOps.corpusFilter(docs).collect()
     assert(kept.nonEmpty)

@@ -144,6 +144,29 @@ class PipelineOpsSpec extends SparkSpec {
       s"$counts count() jobs — the convergence count is a separate job again: $actions")
   }
 
+  test("dedupIncremental: exactly the cross-set restriction of the full pair universe, via a broadcast probe") {
+    val full = DedupOps.minhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val m = DedupOps.IncrementalDeltaMod
+    // orient every full pair with exactly one delta-side doc as (new, corpus)
+    val expected = full.flatMap { case (a, b) =>
+      (a % m == 0, b % m == 0) match {
+        case (true, false) => Some((a, b))
+        case (false, true) => Some((b, a))
+        case _             => None
+      }
+    }.toSet
+    val inc = DedupOps.dedupIncremental(docs)
+    val got = inc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"extra=${got -- expected} missing=${expected -- got}")
+    // the delta side is a broadcast probe of the corpus band index —
+    // never a corpus reshuffle (no sort-merge join anywhere in the plan)
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("dedupSimhash: one 16-bit fingerprint per doc") {
     val df = DedupOps.dedupSimhash(docs).cache()
     assert(df.count() == docs.count())
