@@ -94,6 +94,7 @@ object SparkEntry {
     "q_token_budget" -> ((s, dir) => CorpusOps.tokenBudgetSample(Tables.documents(s, dir))),
     "q_token_budget_weighted" -> ((s, dir) => CorpusOps.tokenBudgetSampleWeighted(Tables.documents(s, dir))),
     "q_split" -> ((s, dir) => CorpusOps.split(Tables.documents(s, dir))),
+    "q_upsample" -> ((s, dir) => CorpusOps.upsample(Tables.documents(s, dir))),
     "q_source_overlap" -> ((s, dir) => CorpusOps.sourceOverlap(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 row 35) ---
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),

@@ -309,6 +309,54 @@ object CorpusOps {
       coalesce(element_at(typedlit(budgets), col("source")),
         lit(defaultBudget)))
 
+  /** Per-source epoch weights for [[upsample]]: full repeats + a
+    * fractional final epoch in EXACT 256ths (the 2-hex-char md5-prefix
+    * band, like [[SampleBands]]), so the draw is bit-reproducible across
+    * engines. src0 ×2.5 (over-sample the "high-quality" source), src1
+    * ×0.25 (down-weight), everything else ×1. */
+  val UpsampleFull: Map[String, Int] = Map("src0" -> 2, "src1" -> 0)
+  val UpsampleFracBand: Map[String, String] = Map("src0" -> "80", "src1" -> "40")
+
+  /** §2-69 `q_upsample`: mixture-epoch materialization — repeat each
+    * source's docs `w` times (w = full epochs + a fractional epoch, e.g.
+    * ×2.5 → every doc twice, half the docs a third time), emitting
+    * (doc_id, source, epoch) rows. [[tokenBudgetSampleWeighted]] caps a
+    * source DOWN to a budget; this is the other half of the mixing knob —
+    * sampling a source UP past one epoch, the "books ×3, web ×0.5" step
+    * that turns mixture weights into a physical training set.
+    *
+    * Pure map at any scale: the epoch fan-out is a row-level
+    * `explode(sequence(...))` (a Generate — no shuffle, no join back),
+    * and the fractional-epoch draw is the same deterministic
+    * md5-of-(id, epoch) band as [[sample]] — rerun-stable, co-located
+    * with the doc, and independent across epochs so the fractional
+    * epoch is an unbiased sample. */
+  def upsample(documents: DataFrame,
+               full: Map[String, Int] = UpsampleFull,
+               fracBand: Map[String, String] = UpsampleFracBand): DataFrame = {
+    require(full.values.forall(_ >= 0), s"full epochs must be >= 0: $full")
+    require(fracBand.values.forall(b => b.length == 2 &&
+      b.forall(c => c.isDigit || ('a' to 'f').contains(c))),
+      s"fracBand values must be 2 lowercase hex chars: $fracBand")
+    val nFull = coalesce(element_at(typedlit(full), col("source")), lit(1))
+    val band = element_at(typedlit(fracBand), col("source")) // null → no frac epoch
+    val draw = substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+      col("epoch").cast("string")).cast("binary")), 1, 2)
+    documents
+      .select(col("doc_id"), col("source"), nFull.as("n_full"), band.as("band"))
+      // weight 0 with no fractional band → upper bound 0: Spark's
+      // sequence(1, 0) DESCENDS ([1, 0]); an empty array is what "zero
+      // epochs" means (the source is dropped entirely)
+      .withColumn("upper",
+        col("n_full") + when(col("band").isNull, 0).otherwise(1))
+      .withColumn("epoch", explode(when(col("upper") >= 1,
+        sequence(lit(1), col("upper")))
+        .otherwise(expr("cast(array() as array<int>)"))))
+      .filter(col("epoch") <= col("n_full") || draw < col("band"))
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** The shared single-cumsum core: keep a doc iff the tokens BEFORE it
     * (in deterministic hash order, per source) are under that row's
     * budget expression. */
@@ -568,6 +616,31 @@ object CorpusOps {
          |  (CASE WHEN lang = 'en' THEN '${SampleBands("en")}'
          |        ELSE '${SampleBands("other")}' END)
          |ORDER BY doc_id""".stripMargin,
+    "q_upsample" -> {
+      // CASE ladders generated from the SAME weight maps the operator
+      // defaults to — single source of truth for the mixture config
+      val fullCase = UpsampleFull.toSeq.sorted
+        .map { case (s, n) => s"WHEN '$s' THEN $n" }
+        .mkString("CASE source ", " ", " ELSE 1 END")
+      val bandCase = UpsampleFracBand.toSeq.sorted
+        .map { case (s, b) => s"WHEN '$s' THEN '$b'" }
+        .mkString("CASE source ", " ", " ELSE NULL END")
+      s"""WITH w AS (
+         |  SELECT doc_id, source, $fullCase AS n_full, $bandCase AS band
+         |  FROM documents
+         |), e AS (
+         |  SELECT doc_id, source, n_full, band,
+         |    unnest(generate_series(1,
+         |      n_full + CASE WHEN band IS NULL THEN 0 ELSE 1 END)) AS ep
+         |  FROM w
+         |)
+         |SELECT doc_id, source, CAST(ep AS INT) AS epoch
+         |FROM e
+         |WHERE ep <= n_full
+         |   OR substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |             CAST(ep AS VARCHAR)), 1, 2) < band
+         |ORDER BY doc_id, epoch""".stripMargin
+    },
     "q_split" ->
       s"""SELECT doc_id, lang, source,
          |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$TrainBand'

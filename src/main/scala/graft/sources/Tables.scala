@@ -32,9 +32,11 @@ object Tables {
     * paying the shuffle once at ingest. See `BucketedJoinSpec` for the
     * asserted plan. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int = 32): Unit =
+                    buckets: Int = 32, moreKeys: Seq[String] = Nil): Unit =
     df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+      .bucketBy(buckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
+      .saveAsTable(table)
 
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")

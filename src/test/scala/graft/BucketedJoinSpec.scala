@@ -10,6 +10,43 @@ import graft.sources.Tables
   * Exchange on either side. */
 class BucketedJoinSpec extends SparkSpec {
 
+  test("backfill-scale incremental dedup: co-bucketed band indexes join exchange-free") {
+    import graft.operators.DedupOps
+    val docs = Tables.documents(spark, sfDir)
+    val bk = DedupOps.minhashBandKeys(docs, graft.operators.DedupOps.MinhashK,
+      graft.operators.DedupOps.Bands)
+    val m = DedupOps.IncrementalDeltaMod
+    // a backfill delta is corpus-sized — broadcast is off the table; the
+    // answer is the persisted layout: both band indexes bucketed by the
+    // join key, so the per-batch join never re-shuffles the corpus
+    Tables.writeBucketed(bk.filter(pmod(col("doc_id"), lit(m)) =!= 0),
+      "corpus_band_idx", "band", buckets = 8, moreKeys = Seq("key"))
+    Tables.writeBucketed(bk.filter(pmod(col("doc_id"), lit(m)) === 0),
+      "delta_band_idx", "band", buckets = 8, moreKeys = Seq("key"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("delta_band_idx").as("d")
+        .join(spark.table("corpus_band_idx").as("c"), Seq("band", "key"))
+        .select(col("d.doc_id").as("doc_new"), col("c.doc_id").as("doc_corpus"))
+      val p = joined.queryExecution.explainString(FormattedMode)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) == 0,
+        s"unexpected Exchange:\n$p")
+      // and the bucketed path computes the same pair universe as the
+      // inline operator
+      val got = joined.distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = DedupOps.dedupIncremental(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS corpus_band_idx")
+      spark.sql("DROP TABLE IF EXISTS delta_band_idx")
+    }
+  }
+
   test("co-bucketed fact tables join without any Exchange") {
     val li = Tables.lineitem(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)

@@ -223,6 +223,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("upsample: full epochs always, fractional epochs at the banded rate, zero-weight drops") {
+    val rows = CorpusOps.upsample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byDoc = rows.groupBy(_._1)
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    srcOf.foreach { case (id, src) =>
+      val epochs = byDoc.getOrElse(id, Array.empty).map(_._3).sorted.toSeq
+      src match {
+        case "src0" => // ×2.5: epochs {1,2} always, 3 for ~half
+          assert(epochs == Seq(1, 2) || epochs == Seq(1, 2, 3), s"$id: $epochs")
+        case "src1" => // ×0.25: at most the single banded epoch
+          assert(epochs.isEmpty || epochs == Seq(1), s"$id: $epochs")
+        case _ => assert(epochs == Seq(1), s"$id: $epochs")
+      }
+    }
+    // the fractional draws land near their designed rates (4σ binomial)
+    def rate(src: String, epoch: Int): (Int, Int) = {
+      val ids = srcOf.collect { case (id, s) if s == src => id }
+      (ids.count(id => byDoc.getOrElse(id, Array.empty).exists(_._3 == epoch)),
+        ids.size)
+    }
+    val (hit0, n0) = rate("src0", 3)
+    assert(math.abs(hit0 - n0 * 0.5) <= 4 * math.sqrt(n0 * 0.25) + 1,
+      s"src0 epoch-3 rate $hit0/$n0")
+    val (hit1, n1) = rate("src1", 1)
+    assert(math.abs(hit1 - n1 * 0.25) <= 4 * math.sqrt(n1 * 0.25 * 0.75) + 1,
+      s"src1 epoch-1 rate $hit1/$n1")
+    // weight 0 with no fractional band = drop the source entirely (and
+    // never emit a phantom epoch-0 row via a descending sequence)
+    val dropped = CorpusOps.upsample(docs,
+      full = Map("src2" -> 0), fracBand = Map.empty).collect()
+      .map(r => (r.getString(1), r.getInt(2)))
+    assert(!dropped.exists(_._1 == "src2"))
+    assert(dropped.forall(_._2 == 1))
+    // rerun-stable
+    val again = CorpusOps.upsample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("sourceOverlap: hand-computed Jaccard incl. the zero-overlap pairs") {
     import spark.implicits._
     val tiny = Seq(
