@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 70+ whole-stage-codegen'd queries × (warmup + 2 timed passes) in one
+  // JVM overflow the default 240 MB code cache — the JIT then silently
+  // stops compiling and EVERY query runs ~1.5-2x slower (measured on the
+  // bench). Size it so steady-state stays fully JIT'd.
+  "-XX:ReservedCodeCacheSize=1g",
 )

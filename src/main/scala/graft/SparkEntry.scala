@@ -71,6 +71,7 @@ object SparkEntry {
     "q_dedup_embedding_clusters" -> ((s, dir) => DedupOps.dedupEmbeddingClusters(Tables.embeddings(s, dir))),
     // --- ANN (§2 rows 29-30) ---
     "q_ann_topk" -> ((s, dir) => AnnOps.annTopK(Tables.embeddings(s, dir))),
+    "q_quantize" -> ((s, dir) => AnnOps.quantize(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => AnnOps.annLsh(Tables.embeddings(s, dir))),
     "q_centroid" -> ((s, dir) => AnnOps.centroid(Tables.embeddings(s, dir))),
     // --- text analysis (§2 rows 31-34) ---

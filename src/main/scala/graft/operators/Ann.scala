@@ -149,7 +149,63 @@ object AnnOps {
         (col("sum_q6") / 1e6 / col("n")).as("mean_val"))
       .orderBy("label", "pos")
 
+  /** §2-70 `q_quantize`: per-vector symmetric int8 quantization — the
+    * index-compression step of a product/scalar-quantized ANN index
+    * (IVF-PQ's little sibling): each component becomes
+    * qv = round(v / scale) with scale = max|v| / 127, so the widest
+    * component maps to ±127 and reconstruction error is ≤ scale/2 per
+    * component. 16× smaller than float32 at 100 TB — the difference
+    * between an index that fits executor memory and one that doesn't.
+    *
+    * Fully row-level — ZERO shuffle: the per-vector scale is an
+    * `array_max` over the row's own quantized components (no window, no
+    * join-back), and the (vec_id, pos, qv, scale6) fan-out is one
+    * posexplode. Cross-engine exactness by integer arithmetic end to
+    * end: q6 = round(v×10⁶) (the repo-wide 6-dp convention), scale6 =
+    * max|q6| (exact int64), and qv = half-away-from-zero(q6·127 /
+    * scale6) via the integer identity (2a + b) div (2b) on non-negative
+    * operands — no float division anywhere, so a 1-ulp quotient can
+    * never flip a quantized value across engines. Zero vectors
+    * (scale6 = 0) are excluded like every zero-norm guard here.
+    * |2·q6·127| ≤ 2¹⁰·10⁷ — no overflow. */
+  def quantize(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), expr(
+        "transform(embedding, v -> cast(round(cast(v as double) * 1e6) as bigint))")
+        .as("q6s"))
+      .withColumn("scale6", expr("array_max(transform(q6s, x -> abs(x)))"))
+      .filter(col("scale6") > 0)
+      .select(col("vec_id"), col("scale6"),
+        posexplode(col("q6s")).as(Seq("pos", "q6")))
+      .select(col("vec_id"), col("pos"),
+        expr("cast(if(q6 >= 0, (2*q6*127 + scale6) div (2*scale6), " +
+          "-((2*(-q6)*127 + scale6) div (2*scale6))) as int)").as("qv"),
+        col("scale6"))
+      .orderBy("vec_id", "pos")
+
   val oracles: Map[String, String] = Map(
+    "q_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      v -> CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS q6s
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, q6s,
+        |    list_max(list_transform(q6s, x -> abs(x))) AS scale6
+        |  FROM q
+        |), e AS (
+        |  SELECT vec_id, scale6, CAST(i - 1 AS INTEGER) AS pos, q6s[i] AS q6
+        |  FROM (SELECT vec_id, scale6, q6s,
+        |        unnest(generate_series(1, len(q6s))) AS i FROM s)
+        |  WHERE scale6 > 0
+        |)
+        |SELECT vec_id, pos,
+        |  CAST(CASE WHEN q6 >= 0 THEN (2*q6*127 + scale6) // (2*scale6)
+        |       ELSE -((2*(-q6)*127 + scale6) // (2*scale6)) END AS INT) AS qv,
+        |  scale6
+        |FROM e
+        |ORDER BY vec_id, pos""".stripMargin,
     "q_centroid" ->
       """WITH idx AS (
         |  SELECT label, embedding,

@@ -171,11 +171,27 @@ object CorpusOps {
     * finding, not a missing row. */
   def sourceOverlap(documents: DataFrame): DataFrame = {
     val sh = tokenTrigrams(documents, key = "source").distinct()
-    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.ngram") === col("b.ngram") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+    // ONE corpus pass: per-trigram ordered source list. Everything below
+    // consumes this vocab-bounded frame, so the corpus-sized explode +
+    // distinct never runs twice (a naive sizes-agg + inverted self-join
+    // formulation plans FOUR independent corpus scans — measured, and
+    // ReuseExchange does not rescue it); the lazy localCheckpoint
+    // materializes the frame once at the first action. sort_array makes
+    // the set order deterministic; the combination fan-out below is
+    // C(sources-sharing, 2) per trigram — the same pair volume the
+    // inverted-index join would emit, without the join.
+    val byNgram = sh.groupBy("ngram")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .localCheckpoint(false)
+    val sizes = byNgram
+      .select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = byNgram
+      .select(explode(expr(
+        "flatten(transform(srcs, (x, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), " +
+          "y -> named_struct('sa', x, 'sb', y))))")).as("p"))
+      .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
       .agg(count(lit(1)).as("c"))
     sizes.as("x")
       .join(broadcast(sizes.as("y")), col("x.source") < col("y.source"))

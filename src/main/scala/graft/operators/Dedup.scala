@@ -83,7 +83,13 @@ object DedupOps {
     * exchange). */
   def minhashPairs(documents: DataFrame, k: Int = MinhashK,
                    bands: Int = Bands): DataFrame = {
-    val bandKeys = minhashBandKeys(documents, k, bands)
+    // a self-join references the band frame twice, and AQE does NOT
+    // dedupe the two identical subtrees (measured: the k salted digests
+    // per shingle are computed twice). The lazy localCheckpoint
+    // materializes the (doc_id, band, key) stream once — ~20 bytes/row ×
+    // bands rows per doc, far cheaper to store than to re-hash at any
+    // scale (k=128: 32 md5s per shingle, thousands of shingles per doc).
+    val bandKeys = minhashBandKeys(documents, k, bands).localCheckpoint(false)
     bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -95,11 +101,15 @@ object DedupOps {
   /** The per-document LSH band keys — one (doc_id, band, key) row per
     * band, the blocking index both the full-corpus pair join
     * ([[minhashPairs]]) and the delta-vs-corpus incremental join
-    * ([[dedupIncremental]]) probe. The signature itself is ONE row-level
-    * native-expression map (no explode); only the k-wide→bands-long
-    * reshape generates rows. */
-  private[graft] def minhashBandKeys(documents: DataFrame, k: Int,
-                                     bands: Int): DataFrame = {
+    * ([[dedupIncremental]]) probe. Public because it is ALSO the
+    * persisted-index builder: a real pipeline writes this frame once,
+    * bucketed by (band, key) (`Tables.writeBucketed(..., "band",
+    * moreKeys = Seq("key"))`), and every future batch joins against it
+    * exchange-free (BucketedJoinSpec asserts the plan). The signature
+    * itself is ONE row-level native-expression map (no explode); only
+    * the k-wide→bands-long reshape generates rows. */
+  def minhashBandKeys(documents: DataFrame, k: Int,
+                      bands: Int): DataFrame = {
     require(bands >= 1 && k % bands == 0,
       s"k=$k must split evenly into bands=$bands (rows per band = k/bands)")
     // surface the slice limit at the operator boundary, not from inside
@@ -233,10 +243,14 @@ object DedupOps {
     val pieces = (0 until SimhashPieces).map(p => struct(lit(p).as("p"),
       shiftright(col("simhash"), pieceBits * p)
         .bitwiseAND((1L << pieceBits) - 1).as("v")))
+    // checkpoint for the same reason as bandSelfJoin: the fingerprint
+    // (a full-text token-hash pass) would otherwise compute once per
+    // self-join side
     val blocks = fp.select(col("doc_id"), col("simhash"),
       explode(array(pieces: _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.p").as("p"), col("b.v").as("v"))
+      .localCheckpoint(false)
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.p") === col("b.p") && col("a.v") === col("b.v") &&
@@ -276,9 +290,14 @@ object DedupOps {
     // grouped inverted index, df cap applied BEFORE any posting list
     // materializes (see ngramIndex); candidate pairs explode WITHIN each
     // surviving list, bounded by C(cap, 2) per shingle
-    val kept = ngramIndex(documents, dfCap)
+    // both consumers below (sizes, inter) would otherwise re-run the
+    // full shingle explode + capped-collect aggregation — and sizes
+    // itself feeds two join sides; two lazy checkpoints make the
+    // expensive index and the tiny per-doc sizes each compute once
+    val kept = ngramIndex(documents, dfCap).localCheckpoint(false)
     val sizes = kept.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     // all unordered doc pairs of each posting list; collect_list order is
     // nondeterministic, so least/greatest canonicalizes each pair
     val inter = kept
@@ -554,13 +573,30 @@ object DedupOps {
     * carries ONLY (vec_id, band, key): the 64-float payload never rides
     * the exploded band stream or its shuffle; exposed for the
     * candidate-volume spec. */
-  private[graft] def embeddingLshCandidates(embeddings: DataFrame): DataFrame = {
+  /** The (vec_id, band, key) tiled-sign band stream — exposed so
+    * PlanAuditSpec can assert the payload-free Generate on the frame
+    * that actually executes (the candidates join checkpoints it, which
+    * hides the subtree from the final SQL plan). */
+  private[graft] def embeddingLshBlocks(embeddings: DataFrame): DataFrame = {
     val bands = embeddingBandDims.zipWithIndex.map { case (dims, j) =>
       struct(lit(j).as("band"),
         VectorFuns.signBandKey(col("embedding"), dims).as("key")) }
-    val blocks = embeddings
+    embeddings
       .select(col("vec_id"), explode(array(bands: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  private[graft] def embeddingLshCandidates(embeddings: DataFrame): DataFrame =
+    bandSelfJoin(embeddingLshBlocks(embeddings))
+
+  /** Self-join a (vec_id, band, key) block stream into distinct ordered
+    * candidate pairs. The lazy localCheckpoint materializes the band
+    * keys once — AQE does not dedupe the two identical self-join
+    * subtrees, so without it every band key (64 sign dots, or the rp
+    * scheme's 128×64 integer dots) is computed twice (measured on the
+    * MinHash twin of this shape). */
+  private def bandSelfJoin(blockStream: DataFrame): DataFrame = {
+    val blocks = blockStream.localCheckpoint(false)
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -630,19 +666,18 @@ object DedupOps {
     * (vec_id, band, key); the native `rp_band_keys` computes all 16 keys
     * in one primitive-loop pass and `posexplode` supplies the band index.
     * Exposed for the recall spec. */
-  private[graft] def embeddingRpCandidates(embeddings: DataFrame): DataFrame = {
+  /** The (vec_id, band, key) random-hyperplane band stream (see
+    * [[embeddingLshBlocks]] for why it is exposed). */
+  private[graft] def embeddingRpBlocks(embeddings: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
-    val blocks = embeddings
+    embeddings
       .select(col("vec_id"),
         posexplode(call_function("rp_band_keys", col("embedding")))
           .as(Seq("band", "key")))
-    blocks.as("a")
-      .join(blocks.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
   }
+
+  private[graft] def embeddingRpCandidates(embeddings: DataFrame): DataFrame =
+    bandSelfJoin(embeddingRpBlocks(embeddings))
 
   /** §2-62 `q_dedup_embedding_clusters`: the SEMANTIC dedup endgame —
     * connected components over the sign-LSH cosine pair graph

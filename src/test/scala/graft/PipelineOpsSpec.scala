@@ -489,6 +489,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.filter(_.getString(1) == "b").map(_.getLong(0)).toSeq == uniform)
   }
 
+  test("quantize: int8 range, widest component pins to ±127, reconstruction within half a step") {
+    val q = AnnOps.quantize(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(q.nonEmpty)
+    assert(q.forall { case (_, _, qv, _) => qv >= -127 && qv <= 127 })
+    val orig = embs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    q.groupBy(_._1).foreach { case (id, rows) =>
+      val v = orig(id)
+      val scale6 = rows.head._4.toDouble
+      // the widest component maps to exactly ±127…
+      assert(rows.map(_._3.abs).max == 127, s"vec $id")
+      // …and every component reconstructs within half a quantization
+      // step (+ the 6-dp input rounding)
+      rows.foreach { case (_, pos, qv, _) =>
+        val recon = qv * scale6 / (127 * 1e6)
+        val step = scale6 / (127 * 1e6)
+        assert(math.abs(v(pos) - recon) <= step / 2 + 1e-6,
+          s"vec $id pos $pos: ${v(pos)} vs $recon (step $step)")
+      }
+    }
+    // zero shuffle: the plan has no Exchange except the presentation sort
+    val plan = AnnOps.quantize(embs).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("annTopK: scores descend and exclude the query") {
     val rows = AnnOps.annTopK(embs).collect()
     assert(rows.length == 10)

@@ -192,14 +192,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     // the band explode (Generate) must emit only (vec_id, band-key struct)
     // — the 64-float embedding is read by the key EXPRESSIONS but must not
-    // ride the 16×-exploded output stream
-    val gens = DedupOps.dedupEmbeddingLsh(Tables.embeddings(spark, sfDir))
-      .queryExecution.sparkPlan.collect {
-        case g: org.apache.spark.sql.execution.GenerateExec => g
+    // ride the 16×-exploded output stream. Audited on the block-stream
+    // frame: the candidates join checkpoints it (one band-key
+    // materialization for both self-join sides), which hides the
+    // subtree from the final SQL plan — the block stream IS what
+    // executes under the checkpoint.
+    Seq(DedupOps.embeddingLshBlocks(Tables.embeddings(spark, sfDir)),
+        DedupOps.embeddingRpBlocks(Tables.embeddings(spark, sfDir)))
+      .foreach { blocks =>
+        val gens = blocks.queryExecution.sparkPlan.collect {
+          case g: org.apache.spark.sql.execution.GenerateExec => g
+        }
+        assert(gens.nonEmpty, blocks.queryExecution.sparkPlan.toString)
+        gens.foreach(g => assert(!g.output.map(_.name).contains("embedding"),
+          s"payload rides the band explode: ${g.output.map(_.name)}"))
       }
-    assert(gens.nonEmpty, p)
-    gens.foreach(g => assert(!g.output.map(_.name).contains("embedding"),
-      s"payload rides the band explode: ${g.output.map(_.name)}"))
   }
 
   test("q_dedup_minhash signature stage has no explode (row-level transform)") {
