@@ -85,11 +85,15 @@ object DedupOps {
                    bands: Int = Bands): DataFrame = {
     // a self-join references the band frame twice, and AQE does NOT
     // dedupe the two identical subtrees (measured: the k salted digests
-    // per shingle are computed twice). The lazy localCheckpoint
-    // materializes the (doc_id, band, key) stream once — ~20 bytes/row ×
-    // bands rows per doc, far cheaper to store than to re-hash at any
-    // scale (k=128: 32 md5s per shingle, thousands of shingles per doc).
-    val bandKeys = minhashBandKeys(documents, k, bands).localCheckpoint(false)
+    // per shingle are computed twice). For wide signatures the lazy
+    // localCheckpoint materializes the (doc_id, band, key) stream once —
+    // ~20 bytes/row × bands rows per doc, far cheaper to store than to
+    // re-hash (k=128: 32 md5s per shingle, thousands of shingles per
+    // doc). For narrow ones (the k=4 fixture config, one md5 per
+    // shingle) recompute is cheaper than the block-cache round trip —
+    // measured both ways at sf0.1.
+    val bk = minhashBandKeys(documents, k, bands)
+    val bandKeys = if (k >= 16) bk.localCheckpoint(false) else bk
     bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
