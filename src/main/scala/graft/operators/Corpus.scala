@@ -183,9 +183,16 @@ object CorpusOps {
     val byNgram = sh.groupBy("ngram")
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
       .localCheckpoint(false)
-    val sizes = byNgram
+    // the pair dim comes from the DOCUMENTS, not the trigram stream: a
+    // source whose every doc is shorter than one trigram must still
+    // appear in every one of its pairs (n = 0) — "no overlap" is a
+    // finding, not a missing row
+    val srcs = documents.select(col("source")).distinct()
+    val counts = byNgram
       .select(explode(col("srcs")).as("source"))
-      .groupBy("source").agg(count(lit(1)).as("n"))
+      .groupBy("source").agg(count(lit(1)).as("cnt"))
+    val sizes = srcs.join(counts, Seq("source"), "left")
+      .select(col("source"), coalesce(col("cnt"), lit(0L)).as("n"))
     val inter = byNgram
       .select(explode(expr(
         "flatten(transform(srcs, (x, i) -> " +
@@ -193,16 +200,18 @@ object CorpusOps {
           "y -> named_struct('sa', x, 'sb', y))))")).as("p"))
       .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
       .agg(count(lit(1)).as("c"))
+    val common = coalesce(col("i.c"), lit(0L))
+    val union = col("x.n") + col("y.n") - common
     sizes.as("x")
       .join(broadcast(sizes.as("y")), col("x.source") < col("y.source"))
       .join(broadcast(inter.as("i")),
         col("i.sa") === col("x.source") && col("i.sb") === col("y.source"),
         "left")
       .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
-        coalesce(col("i.c"), lit(0L)).as("n_common"),
-        round(coalesce(col("i.c"), lit(0L)).cast("double") /
-          (col("x.n") + col("y.n") - coalesce(col("i.c"), lit(0L))), 6)
-          .as("jaccard"))
+        common.as("n_common"),
+        // two empty trigram sets → 0/0; "no content" = "no overlap"
+        when(union === 0, lit(0.0))
+          .otherwise(round(common.cast("double") / union, 6)).as("jaccard"))
       .orderBy("source_a", "source_b")
   }
 
@@ -669,8 +678,13 @@ object CorpusOps {
     "q_source_overlap" ->
       s"""WITH ${trigramSqlFor("source")}, ss AS (
          |  SELECT DISTINCT source, ngram FROM sh
+         |), srcs AS (
+         |  SELECT DISTINCT source FROM documents
          |), sizes AS (
-         |  SELECT source, COUNT(*) AS n FROM ss GROUP BY source
+         |  SELECT s.source, COALESCE(c.n, 0) AS n
+         |  FROM srcs s LEFT JOIN (
+         |    SELECT source, COUNT(*) AS n FROM ss GROUP BY source
+         |  ) c ON c.source = s.source
          |), inter AS (
          |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS c
          |  FROM ss a JOIN ss b ON a.ngram = b.ngram AND a.source < b.source
@@ -678,8 +692,9 @@ object CorpusOps {
          |)
          |SELECT x.source AS source_a, y.source AS source_b,
          |  COALESCE(i.c, 0) AS n_common,
-         |  round(CAST(COALESCE(i.c, 0) AS DOUBLE) /
-         |        (x.n + y.n - COALESCE(i.c, 0)), 6) AS jaccard
+         |  CASE WHEN x.n + y.n - COALESCE(i.c, 0) = 0 THEN 0.0
+         |       ELSE round(CAST(COALESCE(i.c, 0) AS DOUBLE) /
+         |            (x.n + y.n - COALESCE(i.c, 0)), 6) END AS jaccard
          |FROM sizes x
          |JOIN sizes y ON x.source < y.source
          |LEFT JOIN inter i ON i.sa = x.source AND i.sb = y.source

@@ -591,16 +591,27 @@ object DedupOps {
   }
 
   private[graft] def embeddingLshCandidates(embeddings: DataFrame): DataFrame =
-    bandSelfJoin(embeddingLshBlocks(embeddings))
+    // NO checkpoint here, deliberately: the tiled sign keys are cheap
+    // column slices (recompute ≈ free, the minhash k<16 case), and this
+    // pair stream feeds dedupEmbeddingClusters' reliable-checkpoint CC —
+    // a lazily localCheckpointed subtree would truncate lineage, so an
+    // executor lost during pair materialization could not recompute its
+    // blocks and the executor-loss-safety the checkpointDir option
+    // exists for would be silently void.
+    bandSelfJoin(embeddingLshBlocks(embeddings), checkpoint = false)
 
   /** Self-join a (vec_id, band, key) block stream into distinct ordered
-    * candidate pairs. The lazy localCheckpoint materializes the band
-    * keys once — AQE does not dedupe the two identical self-join
-    * subtrees, so without it every band key (64 sign dots, or the rp
-    * scheme's 128×64 integer dots) is computed twice (measured on the
-    * MinHash twin of this shape). */
-  private def bandSelfJoin(blockStream: DataFrame): DataFrame = {
-    val blocks = blockStream.localCheckpoint(false)
+    * candidate pairs. With `checkpoint` the lazy localCheckpoint
+    * materializes the band keys once — AQE does not dedupe the two
+    * identical self-join subtrees, so an expensive key map (the rp
+    * scheme's 128×64 integer dots) is otherwise computed twice
+    * (measured on the MinHash twin of this shape). Cheap key maps
+    * should pass false: recompute costs less than the block-cache round
+    * trip, and lineage stays intact for fault recovery. */
+  private def bandSelfJoin(blockStream: DataFrame,
+                           checkpoint: Boolean): DataFrame = {
+    val blocks =
+      if (checkpoint) blockStream.localCheckpoint(false) else blockStream
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -681,7 +692,7 @@ object DedupOps {
   }
 
   private[graft] def embeddingRpCandidates(embeddings: DataFrame): DataFrame =
-    bandSelfJoin(embeddingRpBlocks(embeddings))
+    bandSelfJoin(embeddingRpBlocks(embeddings), checkpoint = true)
 
   /** §2-62 `q_dedup_embedding_clusters`: the SEMANTIC dedup endgame —
     * connected components over the sign-LSH cosine pair graph
@@ -916,6 +927,14 @@ object DedupOps {
        |  SELECT vec_id, embedding, ${VectorFuns.sql.q6List("embedding")} AS qv
        |  FROM embeddings
        |  WHERE ${VectorFuns.sql.l2norm("embedding")} > 0
+       |    -- mirror rp_band_keys' null contract: a non-64-dim vector's
+       |    -- key is null on the Spark side (out-of-range list indexing
+       |    -- here would quietly yield key 0 instead), and a non-finite
+       |    -- component drops the row there (CAST(NaN AS BIGINT) would
+       |    -- ERROR here)
+       |    AND len(embedding) = ${graft.plans.RpLsh.Dims}
+       |    AND len(list_filter(embedding,
+       |          v -> NOT isfinite(CAST(v AS DOUBLE)))) = 0
        |), bk AS (
        |  SELECT vec_id, embedding,
        |    $keys

@@ -100,7 +100,9 @@ object MultimodalOps {
       while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
         v = v * 10 + (bytes(i) - '0'); i += 1; digits += 1
       }
-      if (digits == 0) -1 else v
+      // >9 digits would wrap Int (a wrapped-positive value slips past
+      // the w/h/maxv range checks) — malformed, not an image
+      if (digits == 0 || digits > 9) -1 else v
     }
     val w = int(); val h = int(); val maxv = int()
     // maxval > 255 would mean 2-byte samples; out of scope for RGB24
@@ -108,7 +110,10 @@ object MultimodalOps {
     if (i >= bytes.length || !ws(bytes(i))) return None
     i += 1 // exactly ONE whitespace byte separates header and pixels
     val n = w.toLong * h
-    if (bytes.length - i < n * 3) return None // truncated pixel plane
+    // compare by division: n*3 can overflow Long for absurd declared
+    // dims (w = h = MaxInt → n·3 wraps NEGATIVE and the guard would
+    // pass, fabricating stats from a 30-byte payload)
+    if ((bytes.length - i) / 3L < n) return None // truncated pixel plane
     val sum = new Array[Long](3)
     val min = Array.fill(3)(255)
     val max = new Array[Int](3)

@@ -53,20 +53,38 @@ object RpLsh {
 
   /** round(v×10⁶) with Spark `round`'s exact semantics (shortest-decimal
     * BigDecimal, HALF_UP) — keeps this expression bit-aligned with the
-    * `CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)` oracle twin. */
+    * `CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)` oracle twin.
+    * Callers must pre-check finiteness and magnitude: on NaN/Infinity
+    * `BigDecimal.valueOf` throws, and a float beyond ~9.2e12 overflows
+    * `longValueExact` — either would kill the whole job from one bad
+    * row. */
   private def q6(v: Float): Long =
     JBigDecimal.valueOf(v.toDouble * 1e6)
       .setScale(0, RoundingMode.HALF_UP).longValueExact()
 
+  /** Any |v| above this has no meaningful sign-LSH key anyway (the
+    * overflow-freedom argument in the scaladoc assumes unit-ish
+    * embeddings): beyond it q6 itself stays exact but the int64 band
+    * dot Σ cᵢ·qᵢ could overflow (64 · max|c|≈5·10³ · 10¹² ≈ 3·10¹⁷ is
+    * the kept headroom). Such vectors drop via the null contract
+    * rather than crashing the job. */
+  private val MaxAbs = 1e6
+
   /** The [[Bands]] 8-bit band keys of one embedding; null on a null
-    * element or a non-[[Dims]] vector (same edge contract as FloatDot). */
+    * element, a non-[[Dims]] vector, or a non-finite / out-of-range
+    * component (one poisoned row must drop out of the dedup, not throw
+    * from inside a task and kill the 100 TB job — same edge contract as
+    * FloatDot). */
   def bandKeys(v: ArrayData): ArrayData = {
     if (v.numElements() != Dims) return null
     val qv = new Array[Long](Dims)
     var d = 0
     while (d < Dims) {
       if (v.isNullAt(d)) return null
-      qv(d) = q6(v.getFloat(d))
+      val f = v.getFloat(d)
+      if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f) ||
+        math.abs(f) > MaxAbs) return null
+      qv(d) = q6(f)
       d += 1
     }
     val keys = new Array[Int](Bands)

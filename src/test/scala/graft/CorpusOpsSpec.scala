@@ -269,7 +269,8 @@ class CorpusOpsSpec extends SparkSpec {
     val tiny = Seq(
       ("srcA", "a b c d"),  // trigrams {a b c, b c d}
       ("srcB", "a b c x"),  // trigrams {a b c, b c x} — shares 1 with A
-      ("srcC", "p q r s")   // disjoint from both
+      ("srcC", "p q r s"),  // disjoint from both
+      ("srcD", "a b")       // too short for ANY trigram — must still pair
     ).toDF("source", "text")
     val got = CorpusOps.sourceOverlap(tiny).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
@@ -277,7 +278,10 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Seq(
       ("srcA", "srcB", 1L, 0.333333),  // 1 / (2 + 2 - 1)
       ("srcA", "srcC", 0L, 0.0),
-      ("srcB", "srcC", 0L, 0.0)))
+      ("srcA", "srcD", 0L, 0.0),       // empty side → 0/2, defined as 0
+      ("srcB", "srcC", 0L, 0.0),
+      ("srcB", "srcD", 0L, 0.0),
+      ("srcC", "srcD", 0L, 0.0)))
     // real table: C(S,2) rows, jaccard within [0,1]
     val full = CorpusOps.sourceOverlap(docs).collect()
     val s = docs.select("source").distinct().count()

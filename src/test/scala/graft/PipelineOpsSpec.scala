@@ -666,6 +666,12 @@ class PipelineOpsSpec extends SparkSpec {
       ppm("P6\n2 2\n255\n", px.take(6)), 16).isEmpty)
     assert(MultimodalOps.decodePpm(
       ppm("P6\n2 2\n65535\n", px), 16).isEmpty)
+    // absurd declared dims must not wrap the n*3 byte-count guard into
+    // fabricated stats (Long overflow), nor 10+-digit ints wrap Int
+    assert(MultimodalOps.decodePpm(
+      ppm("P6\n2147483647 2147483647\n255\n", px), 16).isEmpty)
+    assert(MultimodalOps.decodePpm(
+      ppm("P6\n99999999999 2\n255\n", px), 16).isEmpty)
   }
 
   test("multimodalMeta + decodeBatches plumbing round-trips") {
