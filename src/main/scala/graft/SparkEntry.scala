@@ -97,6 +97,7 @@ object SparkEntry {
     "q_split" -> ((s, dir) => CorpusOps.split(Tables.documents(s, dir))),
     "q_upsample" -> ((s, dir) => CorpusOps.upsample(Tables.documents(s, dir))),
     "q_source_overlap" -> ((s, dir) => CorpusOps.sourceOverlap(Tables.documents(s, dir))),
+    "q_split_leakage" -> ((s, dir) => CorpusOps.splitLeakage(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 row 35) ---
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---

@@ -54,14 +54,48 @@ object CorpusOps {
     * ingest — leaking yesterday's val docs into today's train set); and a
     * doc's split can be recomputed anywhere without consulting an
     * assignment table. */
-  def split(documents: DataFrame): DataFrame = {
-    val key = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+  def split(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("lang"), col("source"),
-        when(key < TrainBand, "train")
-          .when(key < ValBand, "val")
-          .otherwise("test").as("split"))
+        splitOf(col("doc_id")).as("split"))
       .orderBy("doc_id")
+
+  /** The split assignment as a pure column expression over the doc id —
+    * exactly what makes it recomputable anywhere: [[splitLeakage]]
+    * derives each band row's split without joining back to an
+    * assignment table. */
+  def splitOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val key = substring(md5(docId.cast("string").cast("binary")), 1, 2)
+    when(key < TrainBand, "train")
+      .when(key < ValBand, "val")
+      .otherwise("test")
+  }
+
+  /** §2-71 `q_split_leakage`: train→eval contamination audit — val/test
+    * docs that are MinHash-band near-dups of a train doc. A dedup pass
+    * that ran BEFORE splitting still leaves this exposure (near-dups
+    * below the dedup threshold, or docs ingested after the split froze),
+    * and an eval set whose members have train-side near-twins measures
+    * memorization, not generalization — this is the audit every
+    * training-data release runs against its own splits.
+    *
+    * Same blocked shape as [[DedupOps.dedupIncremental]] with the split
+    * standing in for the batch boundary: each side's split is
+    * re-derived row-level from doc_id ([[splitOf]] — no assignment-table
+    * join), and candidates are cross-split band collisions only. At
+    * 100 TB the train side is the persisted (band, key)-bucketed index;
+    * only the eval slice moves. */
+  def splitLeakage(documents: DataFrame): DataFrame = {
+    val bk = DedupOps.minhashBandKeys(documents, DedupOps.MinhashK,
+        DedupOps.Bands)
+      .withColumn("split", splitOf(col("doc_id")))
+    bk.filter(col("split") === "train").as("t")
+      .join(bk.filter(col("split") =!= "train").as("e"),
+        col("e.band") === col("t.band") && col("e.key") === col("t.key"))
+      .select(col("e.doc_id").as("doc_eval"), col("e.split").as("split"),
+        col("t.doc_id").as("doc_train"))
+      .distinct()
+      .orderBy("doc_eval", "doc_train")
   }
 
   /** One row per token-trigram OCCURRENCE keyed by `key`: (key, ngram).
@@ -675,6 +709,25 @@ object CorpusOps {
          |       ELSE 'test' END AS split
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "q_split_leakage" -> {
+      val splitCase =
+        s"""CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$TrainBand'
+           |         THEN 'train'
+           |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$ValBand'
+           |         THEN 'val'
+           |       ELSE 'test' END""".stripMargin
+      s"""WITH ${DedupOps.minhashSigSqlFor(DedupOps.MinhashK)}, sp AS (
+         |  SELECT doc_id, $splitCase AS split FROM documents
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_eval, se.split AS split,
+         |  b.doc_id AS doc_train
+         |FROM sig a
+         |JOIN sp se ON se.doc_id = a.doc_id AND se.split <> 'train'
+         |JOIN sig b
+         |  ON (${DedupOps.bandCondSqlFor(DedupOps.MinhashK, DedupOps.Bands)})
+         |JOIN sp st ON st.doc_id = b.doc_id AND st.split = 'train'
+         |ORDER BY doc_eval, doc_train""".stripMargin
+    },
     "q_source_overlap" ->
       s"""WITH ${trigramSqlFor("source")}, ss AS (
          |  SELECT DISTINCT source, ngram FROM sh

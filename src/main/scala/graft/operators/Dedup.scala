@@ -731,7 +731,7 @@ object DedupOps {
 
   /** The shared signature CTE chain (normalize → 8-char shingles →
     * per-doc MIN slices) of every MinHash oracle. */
-  private def minhashSigSqlFor(k: Int): String = {
+  private[graft] def minhashSigSqlFor(k: Int): String = {
     val mins = (0 until k).map { i =>
       val j = i / 4
       val s = i % 4
@@ -750,7 +750,7 @@ object DedupOps {
 
   /** `a`-vs-`b` band-collision predicate over the [[minhashSigSqlFor]]
     * columns: any of the `bands` concatenated r-slice keys equal. */
-  private def bandCondSqlFor(k: Int, bands: Int): String = {
+  private[graft] def bandCondSqlFor(k: Int, bands: Int): String = {
     val r = k / bands
     (0 until bands).map { b =>
       val a = (0 until r).map(i => s"a.mh${r * b + i}").mkString(" || ")

@@ -264,6 +264,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("splitLeakage: exactly the cross-split restriction of the pair universe, splits self-consistent") {
+    val full = DedupOps.minhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val splits = CorpusOps.split(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val expected = full.flatMap { case (a, b) =>
+      (splits(a) == "train", splits(b) == "train") match {
+        case (true, false) => Some((b, splits(b), a))
+        case (false, true) => Some((a, splits(a), b))
+        case _             => None
+      }
+    }.toSet
+    val got = CorpusOps.splitLeakage(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"extra=${got -- expected} missing=${expected -- got}")
+    got.foreach { case (_, s, _) => assert(s == "val" || s == "test") }
+  }
+
   test("sourceOverlap: hand-computed Jaccard incl. the zero-overlap pairs") {
     import spark.implicits._
     val tiny = Seq(
