@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,6 +22,12 @@ object CorpusOps {
     * ("< 20"); everything else keeps 50 % ("< 80"). */
   val SampleBands: Map[String, String] = Map("en" -> "20").withDefaultValue("80")
 
+  /** The 2-hex-char md5 prefix of a value — the deterministic uniform
+    * draw in exact 256ths behind [[sample]], [[splitOf]] and
+    * [[upsample]]'s fractional epochs. */
+  private def md5Band(c: Column): Column =
+    substring(md5(c.cast("string").cast("binary")), 1, 2)
+
   /** §2-36 `q_sample`: deterministic stratified downsampling — the
     * rebalance step of a training mix. The keep/drop decision is the md5
     * of the doc id against a per-stratum threshold: a pure row-level
@@ -29,7 +35,7 @@ object CorpusOps {
     * identically on retries, and at 100 TB "take an X% stratified sample"
     * costs one filtered pass. */
   def sample(documents: DataFrame): DataFrame = {
-    val key = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val key = md5Band(col("doc_id"))
     documents
       .filter(
         when(col("lang") === "en", key < SampleBands("en"))
@@ -64,8 +70,8 @@ object CorpusOps {
     * exactly what makes it recomputable anywhere: [[splitLeakage]]
     * derives each band row's split without joining back to an
     * assignment table. */
-  def splitOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val key = substring(md5(docId.cast("string").cast("binary")), 1, 2)
+  def splitOf(docId: Column): Column = {
+    val key = md5Band(docId)
     when(key < TrainBand, "train")
       .when(key < ValBand, "val")
       .otherwise("test")
@@ -399,8 +405,8 @@ object CorpusOps {
       s"fracBand values must be 2 lowercase hex chars: $fracBand")
     val nFull = coalesce(element_at(typedlit(full), col("source")), lit(1))
     val band = element_at(typedlit(fracBand), col("source")) // null → no frac epoch
-    val draw = substring(md5(concat(col("doc_id").cast("string"), lit(":"),
-      col("epoch").cast("string")).cast("binary")), 1, 2)
+    val draw = md5Band(concat(col("doc_id").cast("string"), lit(":"),
+      col("epoch").cast("string")))
     documents
       .select(col("doc_id"), col("source"), nFull.as("n_full"), band.as("band"))
       // weight 0 with no fractional band → upper bound 0: Spark's
@@ -410,7 +416,7 @@ object CorpusOps {
         col("n_full") + when(col("band").isNull, 0).otherwise(1))
       .withColumn("epoch", explode(when(col("upper") >= 1,
         sequence(lit(1), col("upper")))
-        .otherwise(expr("cast(array() as array<int>)"))))
+        .otherwise(typedlit(Seq.empty[Int]))))
       .filter(col("epoch") <= col("n_full") || draw < col("band"))
       .select(col("doc_id"), col("source"), col("epoch"))
       .orderBy("doc_id", "epoch")
@@ -420,7 +426,7 @@ object CorpusOps {
     * (in deterministic hash order, per source) are under that row's
     * budget expression. */
   private def budgetFiltered(documents: DataFrame,
-                             budget: org.apache.spark.sql.Column): DataFrame = {
+                             budget: Column): DataFrame = {
     val w = Window.partitionBy("source")
       .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -573,6 +579,15 @@ object CorpusOps {
 
   private val trigramSql: String = trigramSqlFor("doc_id")
 
+  /** DuckDB twin of [[splitOf]] — shared by the q_split and
+    * q_split_leakage oracles. */
+  private val splitCaseSql: String =
+    s"""CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$TrainBand'
+       |         THEN 'train'
+       |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$ValBand'
+       |         THEN 'val'
+       |       ELSE 'test' END""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_contamination" -> {
       val values = Probes.map(p => s"(${TextFuns.sqlLit(p)})").mkString(", ")
@@ -701,23 +716,12 @@ object CorpusOps {
          |ORDER BY doc_id, epoch""".stripMargin
     },
     "q_split" ->
-      s"""SELECT doc_id, lang, source,
-         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$TrainBand'
-         |         THEN 'train'
-         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$ValBand'
-         |         THEN 'val'
-         |       ELSE 'test' END AS split
+      s"""SELECT doc_id, lang, source, $splitCaseSql AS split
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
-    "q_split_leakage" -> {
-      val splitCase =
-        s"""CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$TrainBand'
-           |         THEN 'train'
-           |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$ValBand'
-           |         THEN 'val'
-           |       ELSE 'test' END""".stripMargin
+    "q_split_leakage" ->
       s"""WITH ${DedupOps.minhashSigSqlFor(DedupOps.MinhashK)}, sp AS (
-         |  SELECT doc_id, $splitCase AS split FROM documents
+         |  SELECT doc_id, $splitCaseSql AS split FROM documents
          |)
          |SELECT DISTINCT a.doc_id AS doc_eval, se.split AS split,
          |  b.doc_id AS doc_train
@@ -726,8 +730,7 @@ object CorpusOps {
          |JOIN sig b
          |  ON (${DedupOps.bandCondSqlFor(DedupOps.MinhashK, DedupOps.Bands)})
          |JOIN sp st ON st.doc_id = b.doc_id AND st.split = 'train'
-         |ORDER BY doc_eval, doc_train""".stripMargin
-    },
+         |ORDER BY doc_eval, doc_train""".stripMargin,
     "q_source_overlap" ->
       s"""WITH ${trigramSqlFor("source")}, ss AS (
          |  SELECT DISTINCT source, ngram FROM sh
