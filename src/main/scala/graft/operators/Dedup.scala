@@ -672,8 +672,12 @@ object DedupOps {
     * Candidate volume is the same ≈ 16·n²/512 as the tiled scheme;
     * non-64-dim vectors are dropped (the key is null — the coefficient
     * table is fixed-width like any trained LSH index). */
-  def dedupEmbeddingRp(embeddings: DataFrame, tau: Double = 0.4): DataFrame =
-    cosineVerifiedPairs(embeddings, embeddingRpCandidates(embeddings), tau)
+  def dedupEmbeddingRp(embeddings: DataFrame, tau: Double = 0.4,
+                       bands: Int = graft.plans.RpLsh.Bands,
+                       bitsPerBand: Int = graft.plans.RpLsh.BitsPerBand)
+      : DataFrame =
+    cosineVerifiedPairs(embeddings,
+      embeddingRpCandidates(embeddings, bands, bitsPerBand), tau)
       .orderBy("vec_a", "vec_b")
 
   /** Distinct random-hyperplane candidate pairs (pre-cosine-verify) —
@@ -682,17 +686,31 @@ object DedupOps {
     * in one primitive-loop pass and `posexplode` supplies the band index.
     * Exposed for the recall spec. */
   /** The (vec_id, band, key) random-hyperplane band stream (see
-    * [[embeddingLshBlocks]] for why it is exposed). */
-  private[graft] def embeddingRpBlocks(embeddings: DataFrame): DataFrame = {
+    * [[embeddingLshBlocks]] for why it is exposed). The (bands, bits)
+    * geometry is THE corpus-size knob: band collisions scale
+    * ~n²/2^(bits+1), so the 10⁴-vector default (16×8) must widen to
+    * ~log₂(n)+margin bits — trading per-band recall p^bits back via
+    * more bands — before the candidate set quadratics the job
+    * (measured at 10×, SURVEY §8; geometry-sizing invariant spec'd in
+    * PipelineOpsSpec). */
+  private[graft] def embeddingRpBlocks(embeddings: DataFrame,
+                                       bands: Int = graft.plans.RpLsh.Bands,
+                                       bits: Int = graft.plans.RpLsh.BitsPerBand)
+      : DataFrame = {
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     embeddings
       .select(col("vec_id"),
-        posexplode(call_function("rp_band_keys", col("embedding")))
+        posexplode(call_function("rp_band_keys", col("embedding"),
+          lit(bands), lit(bits)))
           .as(Seq("band", "key")))
   }
 
-  private[graft] def embeddingRpCandidates(embeddings: DataFrame): DataFrame =
-    bandSelfJoin(embeddingRpBlocks(embeddings), checkpoint = true)
+  private[graft] def embeddingRpCandidates(embeddings: DataFrame,
+                                           bands: Int = graft.plans.RpLsh.Bands,
+                                           bits: Int = graft.plans.RpLsh.BitsPerBand)
+      : DataFrame =
+    bandSelfJoin(embeddingRpBlocks(embeddings, bands, bits),
+      checkpoint = true)
 
   /** §2-62 `q_dedup_embedding_clusters`: the SEMANTIC dedup endgame —
     * connected components over the sign-LSH cosine pair graph

@@ -182,7 +182,10 @@ object GraftFunctions {
         litInt(es(1), "collect_set_capped"))),
     (FunctionIdentifier("rp_band_keys"),
       new ExpressionInfo(classOf[RpBandKeys].getName, "rp_band_keys"),
-      (es: Seq[Expression]) => RpBandKeys(es(0))))
+      (es: Seq[Expression]) => RpBandKeys(es(0),
+        if (es.length > 1) litInt(es(1), "rp_band_keys") else RpLsh.Bands,
+        if (es.length > 2) litInt(es(2), "rp_band_keys")
+        else RpLsh.BitsPerBand)))
 
   /** Idempotently register on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

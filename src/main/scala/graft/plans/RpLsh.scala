@@ -44,12 +44,36 @@ object RpLsh {
   val Dims = 64
   val Seed = 20260812L
 
-  /** planes(band × BitsPerBand + bit)(dim) = round(1000 × N(0,1)). */
-  val planes: Array[Array[Long]] = {
-    val rnd = new java.util.Random(Seed)
-    Array.fill(Bands * BitsPerBand)(
-      Array.fill(Dims)(math.round(rnd.nextGaussian() * 1000)))
+  /** Hyperplane table for a (bands, bits) geometry: plane
+    * (band × bits + bit)(dim) = round(1000 × N(0,1)), drawn from ONE
+    * seeded stream — so every geometry shares its prefix with the
+    * default table (the 16×8 oracle transcription stays valid verbatim)
+    * and any two geometries' planes are equally i.i.d. Memoized: the
+    * table is embedded into codegen'd row loops, never per-row work.
+    *
+    * WHY geometry is a parameter (measured, SURVEY §8): with b bits per
+    * band there are 2^b buckets, so expected band collisions are
+    * ~n²/2^(b+1) per band — QUADRATIC in corpus size for any fixed b.
+    * 8-bit bands are right for ~10⁴ vectors; every 2 bits buys 4×
+    * fewer random collisions, so a 10⁹-vector dedup wants ~24-bit
+    * bands, compensating the per-band recall drop (p^bits) with more
+    * bands: recall = 1−(1−p^bits)^bands, still a floor under
+    * independence. */
+  def planesFor(bands: Int, bits: Int): Array[Array[Long]] = {
+    require(bands >= 1 && bits >= 1 && bits <= 30,
+      s"rp geometry out of range: bands=$bands bits=$bits (key is a positive Int)")
+    val n = bands * bits
+    cache.computeIfAbsent(n, _ => {
+      val rnd = new java.util.Random(Seed)
+      Array.fill(n)(
+        Array.fill(Dims)(math.round(rnd.nextGaussian() * 1000)))
+    })
   }
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Long]]]()
+
+  /** The default 16×8 table (the oracle-transcribed fixture geometry). */
+  val planes: Array[Array[Long]] = planesFor(Bands, BitsPerBand)
 
   /** round(v×10⁶) with Spark `round`'s exact semantics (shortest-decimal
     * BigDecimal, HALF_UP) — keeps this expression bit-aligned with the
@@ -70,13 +94,14 @@ object RpLsh {
     * rather than crashing the job. */
   private val MaxAbs = 1e6
 
-  /** The [[Bands]] 8-bit band keys of one embedding; null on a null
-    * element, a non-[[Dims]] vector, or a non-finite / out-of-range
-    * component (one poisoned row must drop out of the dedup, not throw
-    * from inside a task and kill the 100 TB job — same edge contract as
-    * FloatDot). */
-  def bandKeys(v: ArrayData): ArrayData = {
+  /** The band keys of one embedding under a (bands, bits) geometry;
+    * null on a null element, a non-[[Dims]] vector, or a non-finite /
+    * out-of-range component (one poisoned row must drop out of the
+    * dedup, not throw from inside a task and kill the 100 TB job — same
+    * edge contract as FloatDot). */
+  def bandKeys(v: ArrayData, bands: Int, bits: Int): ArrayData = {
     if (v.numElements() != Dims) return null
+    val table = planesFor(bands, bits)
     val qv = new Array[Long](Dims)
     var d = 0
     while (d < Dims) {
@@ -87,13 +112,13 @@ object RpLsh {
       qv(d) = q6(f)
       d += 1
     }
-    val keys = new Array[Int](Bands)
+    val keys = new Array[Int](bands)
     var b = 0
-    while (b < Bands) {
+    while (b < bands) {
       var key = 0
       var i = 0
-      while (i < BitsPerBand) {
-        val c = planes(b * BitsPerBand + i)
+      while (i < bits) {
+        val c = table(b * bits + i)
         var acc = 0L
         var j = 0
         while (j < Dims) {
@@ -108,14 +133,21 @@ object RpLsh {
     }
     new GenericArrayData(keys.map(x => x: Any))
   }
+
+  /** Default-geometry keys (the registered 1-arg `rp_band_keys`). */
+  def bandKeys(v: ArrayData): ArrayData = bandKeys(v, Bands, BitsPerBand)
 }
 
-/** `rp_band_keys(embedding)` → array<int> of the [[RpLsh.Bands]] band
-  * keys (see [[RpLsh.bandKeys]]). One primitive-loop pass per row — the
-  * 128×64 integer multiply-adds stay inside codegen; the declarative
-  * twin (asserted bit-identical in FloatVectorExprSpec) would be an
-  * 8192-term Catalyst expression tree. */
-case class RpBandKeys(child: Expression) extends UnaryExpression {
+/** `rp_band_keys(embedding)` → array<int> of the band keys under a
+  * (bands, bits) geometry (default [[RpLsh.Bands]]×[[RpLsh.BitsPerBand]];
+  * see [[RpLsh.bandKeys]] and [[RpLsh.planesFor]] for the sizing rule).
+  * One primitive-loop pass per row — the bands×bits×64 integer
+  * multiply-adds stay inside codegen; the declarative twin (asserted
+  * bit-identical in FloatVectorExprSpec) would be an 8192-term Catalyst
+  * expression tree at the default geometry alone. */
+case class RpBandKeys(child: Expression,
+                      bands: Int = RpLsh.Bands,
+                      bits: Int = RpLsh.BitsPerBand) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -129,12 +161,12 @@ case class RpBandKeys(child: Expression) extends UnaryExpression {
   override def prettyName: String = "rp_band_keys"
 
   override protected def nullSafeEval(input: Any): Any =
-    RpLsh.bandKeys(input.asInstanceOf[ArrayData])
+    RpLsh.bandKeys(input.asInstanceOf[ArrayData], bands, bits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |${ev.value} = graft.plans.RpLsh.bandKeys($c);
+         |${ev.value} = graft.plans.RpLsh.bandKeys($c, $bands, $bits);
          |${ev.isNull} = ${ev.value} == null;
          |""".stripMargin
     })

@@ -421,6 +421,48 @@ class PipelineOpsSpec extends SparkSpec {
       f"rp $rpRecall%.4f vs tiled $tiledRecall%.4f")
   }
 
+  test("rp band geometry is the corpus-size knob: wider bands collapse random collisions, recall holds") {
+    import spark.implicits._
+    // a corpus of mutually-random unit vectors (cos ≈ 0 pairwise): every
+    // band collision is a FALSE candidate, so candidate volume isolates
+    // the n²/2^(bits+1) collision law from true-pair structure…
+    val rnd = new java.util.Random(11L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(DedupOps.EmbDims)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val n = 1500
+    val df = (0 until n).map(i => (i.toLong, unit())).toDF("vec_id", "embedding")
+    val narrow = DedupOps.embeddingRpCandidates(df, bands = 16, bits = 8).count()
+    val wide = DedupOps.embeddingRpCandidates(df, bands = 64, bits = 16).count()
+    // 16 bands × 256 buckets vs 64 bands × 65536 buckets: expected false
+    // candidates drop ~(65536/256)/(64/16) = 64×; require a loose 10×
+    assert(wide * 10 <= narrow,
+      s"wide-geometry candidates $wide not ≪ narrow $narrow")
+    // …while planted cos-0.9 pairs keep a ≥99% recall floor at the wide
+    // geometry: 1−(1−p¹⁶)⁶⁴ ≈ 0.996 under independence
+    val planted = (0 until 200).map { j =>
+      val u = unit().map(_.toDouble)
+      val w = unit().map(_.toDouble)
+      val d = u.indices.map(i => u(i) * w(i)).sum
+      val zRaw = u.indices.map(i => w(i) - d * u(i)).toArray
+      val zn = math.sqrt(zRaw.map(x => x * x).sum)
+      val v = u.indices.map(i => 0.9 * u(i) + math.sqrt(1 - 0.81) * zRaw(i) / zn)
+      (10000L + 2 * j, u.map(_.toFloat), 10001L + 2 * j,
+        v.map(_.toFloat).toArray)
+    }
+    val pdf = planted.flatMap { case (ia, va, ib, vb) =>
+      Seq((ia, va), (ib, vb)) }.toDF("vec_id", "embedding")
+    val got = DedupOps.embeddingRpCandidates(pdf, bands = 64, bits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = planted.count { case (ia, _, ib, _) => got.contains((ia, ib)) }
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    val formula = 1.0 - math.pow(1.0 - math.pow(p, 16), 64)
+    assert(hit.toDouble / planted.size >= formula - 0.03,
+      f"wide-geometry recall ${hit.toDouble / planted.size}%.3f below ${formula}%.3f - 3%%")
+  }
+
   test("dedupEmbeddingClusters: transitive closure glues chains the pair threshold can't") {
     import spark.implicits._
     // 2-D subspace geometry: B at 0°, A at +50°, C at −50° — the adjacent
