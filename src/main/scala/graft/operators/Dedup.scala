@@ -591,13 +591,9 @@ object DedupOps {
   }
 
   private[graft] def embeddingLshCandidates(embeddings: DataFrame): DataFrame =
-    // NO checkpoint here, deliberately: the tiled sign keys are cheap
-    // column slices (recompute ≈ free, the minhash k<16 case), and this
-    // pair stream feeds dedupEmbeddingClusters' reliable-checkpoint CC —
-    // a lazily localCheckpointed subtree would truncate lineage, so an
-    // executor lost during pair materialization could not recompute its
-    // blocks and the executor-loss-safety the checkpointDir option
-    // exists for would be silently void.
+    // NO checkpoint: the tiled sign keys are cheap column slices —
+    // recompute ≈ free (the minhash k<16 case), so lineage stays whole
+    // for nothing.
     bandSelfJoin(embeddingLshBlocks(embeddings), checkpoint = false)
 
   /** Self-join a (vec_id, band, key) block stream into distinct ordered
@@ -705,12 +701,18 @@ object DedupOps {
           .as(Seq("band", "key")))
   }
 
+  /** `checkpoint = false` is for consumers that re-materialize the pair
+    * stream through a RELIABLE checkpoint ([[dedupEmbeddingClusters]]):
+    * a lazily localCheckpointed subtree truncates lineage, so an
+    * executor lost during that materialization could not recompute its
+    * blocks — the executor-loss safety the checkpointDir option exists
+    * for would be silently void. */
   private[graft] def embeddingRpCandidates(embeddings: DataFrame,
                                            bands: Int = graft.plans.RpLsh.Bands,
-                                           bits: Int = graft.plans.RpLsh.BitsPerBand)
+                                           bits: Int = graft.plans.RpLsh.BitsPerBand,
+                                           checkpoint: Boolean = true)
       : DataFrame =
-    bandSelfJoin(embeddingRpBlocks(embeddings, bands, bits),
-      checkpoint = true)
+    bandSelfJoin(embeddingRpBlocks(embeddings, bands, bits), checkpoint)
 
   /** §2-62 `q_dedup_embedding_clusters`: the SEMANTIC dedup endgame —
     * connected components over the sign-LSH cosine pair graph
@@ -723,10 +725,19 @@ object DedupOps {
     * closure with a recursive CTE over the same band-key pair universe. */
   def dedupEmbeddingClusters(embeddings: DataFrame, tau: Double = 0.4,
                              maxIters: Int = 50,
-                             checkpointDir: Option[String] = None): DataFrame =
+                             checkpointDir: Option[String] = None,
+                             bands: Int = graft.plans.RpLsh.Bands,
+                             bitsPerBand: Int = graft.plans.RpLsh.BitsPerBand)
+      : DataFrame =
     connectedComponents(
       embeddings.select(col("vec_id").as("doc_id")),
-      embeddingLshPairs(embeddings, tau)
+      // the rp pair graph (hard recall floor + the (bands, bits)
+      // corpus-size knob — SURVEY §8), NOT the fixed-width tiled one;
+      // checkpoint = false because CC reliably re-materializes the
+      // pairs itself (see embeddingRpCandidates)
+      cosineVerifiedPairs(embeddings,
+        embeddingRpCandidates(embeddings, bands, bitsPerBand,
+          checkpoint = false), tau)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
       maxIters, checkpointDir)
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
@@ -893,7 +904,7 @@ object DedupOps {
     "q_dedup_embedding_rp" -> embeddingRpPairsSql,
     "q_dedup_embedding_clusters" ->
       s"""WITH RECURSIVE pairs AS (
-         |$embeddingLshPairsSql
+         |$embeddingRpPairsSql
          |), edges AS (
          |  SELECT vec_a AS u, vec_b AS v FROM pairs
          |  UNION
