@@ -732,12 +732,16 @@ object DedupOps {
     connectedComponents(
       embeddings.select(col("vec_id").as("doc_id")),
       // the rp pair graph (hard recall floor + the (bands, bits)
-      // corpus-size knob — SURVEY §8), NOT the fixed-width tiled one;
-      // checkpoint = false because CC reliably re-materializes the
-      // pairs itself (see embeddingRpCandidates)
+      // corpus-size knob — SURVEY §8), NOT the fixed-width tiled one.
+      // Block-stream checkpointing follows the CC durability mode: on
+      // the reliable path a localCheckpointed subtree would truncate
+      // lineage and void executor-loss recovery (see
+      // embeddingRpCandidates); on the local path lineage is truncated
+      // by mat() regardless, so the checkpoint just saves computing the
+      // rp keys once per self-join side.
       cosineVerifiedPairs(embeddings,
         embeddingRpCandidates(embeddings, bands, bitsPerBand,
-          checkpoint = false), tau)
+          checkpoint = checkpointDir.isEmpty), tau)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
       maxIters, checkpointDir)
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
