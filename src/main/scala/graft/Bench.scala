@@ -9,6 +9,21 @@ import org.apache.spark.sql.SparkSession
   * interpreter), then timed at the target SF with a `noop` sink so the
   * WHOLE plan materializes (a bare `.count()` lets Catalyst prune the
   * computed columns away and under-reports real work).
+  *
+  * Self-diagnosis (the round-5 lesson: a loaded machine once inflated
+  * the driver series ~2× with 5-11× outliers and nearly booked a
+  * phantom regression — a bench that cannot distinguish "machine was
+  * busy" from "code got slower" has no diagnostic value):
+  *   - `calib`: a FIXED calibration workload — constant-seed in-memory
+  *     range→hash→aggregate, no IO, no query code, UNCHANGED FOREVER —
+  *     timed at the start, middle, and end of the timed section. Code
+  *     changes cannot move it, so calib drift across rounds (or across
+  *     its own three samples within a run) is a direct measurement of
+  *     environment contamination, and any query's number can be read as
+  *     a query/calib ratio when machines disagree.
+  *   - `passes`: BOTH raw timed passes per query (the headline number is
+  *     still the min). A genuine plan regression slows both passes
+  *     equally; a load spike shows up as pass disagreement.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,19 +57,48 @@ object Bench {
     def best(a: Option[Double], b: Option[Double]): Option[Double] =
       (a.toList ::: b.toList).minOption
 
+    // The calibration workload. FROZEN — never change the constants or
+    // the shape: its only value is being identical across every round,
+    // so its wall time measures the environment, not the repo. All in
+    // memory (range source), constant seed (hash of the row id — no
+    // RNG), one shuffle into 1024 keys, noop sink like the real queries.
+    def calib(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0L, 64L * 1000 * 1000, 1L, 32)
+        .select(pmod(hash(col("id"), lit(20260813)), lit(1024)).as("k"),
+          hash(col("id"), lit(7)).cast("long").as("h"))
+        .groupBy(col("k"))
+        .agg(sum(col("h")).as("s"), avg(col("h")).as("a"),
+          max(col("h")).as("m"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(run(_, "/root/testdata/sf0.001")) // warmup
+    calib() // warm the calib plan's codegen like everything else
     // best-of-2: JIT noise on the first timed pass is real but not the
     // steady-state throughput the number is meant to represent
+    val calib0 = calib()
     val pass1 = names.map(n => n -> run(n, sfDir)).toMap
-    val results = names.map(n => n -> best(pass1(n), run(n, sfDir)))
+    val calib1 = calib()
+    val pass2 = names.map(n => n -> run(n, sfDir)).toMap
+    val calib2 = calib()
+    val results = names.map(n => n -> best(pass1(n), pass2(n)))
     val ok = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
+    def num(o: Option[Double]): String = o.map(_.toString).getOrElse("null")
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val passes = names.map(n =>
+      "\"" + n + "\":[" + num(pass1(n)) + "," + num(pass2(n)) + "]")
+      .mkString("{", ",", "}")
+    val calibJson =
+      s"""{"sec":${Seq(calib0, calib1, calib2).min},"passes":[$calib0,$calib1,$calib2]}"""
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"calib":$calibJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
