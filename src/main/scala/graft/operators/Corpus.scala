@@ -90,10 +90,17 @@ object CorpusOps {
     * re-derived row-level from doc_id ([[splitOf]] — no assignment-table
     * join), and candidates are cross-split band collisions only. At
     * 100 TB the train side is the persisted (band, key)-bucketed index;
-    * only the eval slice moves. */
-  def splitLeakage(documents: DataFrame): DataFrame = {
-    val bk = DedupOps.minhashBandKeys(documents, DedupOps.MinhashK,
-        DedupOps.Bands)
+    * only the eval slice moves.
+    *
+    * (k, bands) size the MinHash band index the audit probes — defaults
+    * are the fixture contract the oracle mirrors; a production
+    * 0.8-threshold audit passes [[DedupOps.MinhashKWide]]/
+    * [[DedupOps.BandsWide]] (spec'd on planted cross-split near-dups in
+    * PipelineOpsSpec). */
+  def splitLeakage(documents: DataFrame,
+                   k: Int = DedupOps.MinhashK,
+                   bands: Int = DedupOps.Bands): DataFrame = {
+    val bk = DedupOps.minhashBandKeys(documents, k, bands)
       .withColumn("split", splitOf(col("doc_id")))
     bk.filter(col("split") === "train").as("t")
       .join(bk.filter(col("split") =!= "train").as("e"),

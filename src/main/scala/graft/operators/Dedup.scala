@@ -158,16 +158,27 @@ object DedupOps {
     * backfill-scale delta should drop the hint and fall back to the
     * bucketed shuffle join. Here both sides derive from one table via
     * the modulus split; the plan shape (BroadcastHashJoin, corpus side
-    * exchange-free past the index build) is what PlanAuditSpec pins. */
+    * exchange-free past the index build) is what PlanAuditSpec pins.
+    *
+    * `broadcastDelta = false` is the backfill path: a delta that is NOT
+    * ≪ the corpus (a history re-ingest, a merged sibling corpus) cannot
+    * be broadcast — 1/deltaMod of a 100 TB band-key stream is far past
+    * any driver/executor broadcast budget — so the hint must be
+    * droppable, letting the planner take the shuffle (or, against the
+    * persisted bucketed index, the exchange-free sort-merge) join that
+    * BucketedJoinSpec demonstrates. Same rows either way
+    * (spec-asserted); only the physical join strategy moves. */
   def dedupIncremental(documents: DataFrame,
                        deltaMod: Int = IncrementalDeltaMod,
-                       k: Int = MinhashK, bands: Int = Bands): DataFrame = {
+                       k: Int = MinhashK, bands: Int = Bands,
+                       broadcastDelta: Boolean = true): DataFrame = {
     require(deltaMod >= 2, s"deltaMod=$deltaMod must be >= 2")
     val bk = minhashBandKeys(documents, k, bands)
-    val delta = bk.filter(pmod(col("doc_id"), lit(deltaMod)) === 0)
+    val delta0 = bk.filter(pmod(col("doc_id"), lit(deltaMod)) === 0).as("d")
+    val delta = if (broadcastDelta) broadcast(delta0) else delta0
     val corpus = bk.filter(pmod(col("doc_id"), lit(deltaMod)) =!= 0)
     corpus.as("c")
-      .join(broadcast(delta.as("d")),
+      .join(delta,
         col("d.band") === col("c.band") && col("d.key") === col("c.key"))
       .select(col("d.doc_id").as("doc_new"), col("c.doc_id").as("doc_corpus"))
       .distinct()
@@ -373,11 +384,18 @@ object DedupOps {
     * (≪ corpus, bounded by LSH collisions), never over n² — the same
     * iterate-to-fixpoint shape GraphX/GraphFrames use at cluster scale.
     * The DuckDB oracle walks the same closure with a recursive CTE —
-    * same RESULT, single-node plan. */
+    * same RESULT, single-node plan.
+    *
+    * (k, bands) size the MinHash pair graph the closure runs over —
+    * defaults are the fixture contract the oracle mirrors; a production
+    * 0.8-threshold run passes the [[MinhashKWide]]/[[BandsWide]] config
+    * (clusters-over-the-wide-graph spec'd on planted near-dups in
+    * PipelineOpsSpec). */
   def dedupClusters(documents: DataFrame, maxIters: Int = 50,
-                    checkpointDir: Option[String] = None): DataFrame =
+                    checkpointDir: Option[String] = None,
+                    k: Int = MinhashK, bands: Int = Bands): DataFrame =
     connectedComponents(documents.select(col("doc_id")),
-      minhashPairs(documents), maxIters, checkpointDir)
+      minhashPairs(documents, k, bands), maxIters, checkpointDir)
       .orderBy("doc_id")
 
   /** Distributed connected components over an undirected pair list —
@@ -960,14 +978,19 @@ object DedupOps {
        |  SELECT vec_id, embedding, ${VectorFuns.sql.q6List("embedding")} AS qv
        |  FROM embeddings
        |  WHERE ${VectorFuns.sql.l2norm("embedding")} > 0
-       |    -- mirror rp_band_keys' null contract: a non-64-dim vector's
-       |    -- key is null on the Spark side (out-of-range list indexing
-       |    -- here would quietly yield key 0 instead), and a non-finite
-       |    -- component drops the row there (CAST(NaN AS BIGINT) would
-       |    -- ERROR here)
+       |    -- mirror rp_band_keys' FULL null contract: a non-64-dim
+       |    -- vector's key is null on the Spark side (out-of-range list
+       |    -- indexing here would quietly yield key 0 instead); a NULL
+       |    -- element, a non-finite component (CAST(NaN AS BIGINT) would
+       |    -- ERROR here), or one beyond the 1e6 magnitude bound
+       |    -- (RpLsh.MaxAbs — int64 band-dot headroom) drops the row
+       |    -- there. v IS NULL must be an explicit disjunct: NOT
+       |    -- isfinite(NULL) is NULL, which list_filter silently DROPS —
+       |    -- the row would pass while Spark nulls its key.
        |    AND len(embedding) = ${graft.plans.RpLsh.Dims}
        |    AND len(list_filter(embedding,
-       |          v -> NOT isfinite(CAST(v AS DOUBLE)))) = 0
+       |          v -> v IS NULL OR NOT isfinite(CAST(v AS DOUBLE))
+       |               OR abs(CAST(v AS DOUBLE)) > 1e6)) = 0
        |), bk AS (
        |  SELECT vec_id, embedding,
        |    $keys
