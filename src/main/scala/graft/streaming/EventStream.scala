@@ -125,6 +125,40 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** §2-C streaming incremental NEAR-dup dedup: the streaming twin of
+    * `DedupOps.dedupIncremental`, completing the twin pattern — the
+    * micro-batch IS the delta. Each batch of (doc_id, text) documents
+    * maps to its MinHash band keys (`DedupOps.minhashBandKeys` — one
+    * row-level native-expression signature pass, stateless, so it runs
+    * unchanged on an unbounded stream) and stream-static-joins the
+    * PERSISTED corpus band index (the write-once (band, key)-bucketed
+    * frame a real pipeline maintains with `Tables.writeBucketed`; the
+    * static side is re-read per micro-batch, so a nightly index refresh
+    * picks up without restarting the query). Corpus×corpus pairs never
+    * form — candidates are (new, corpus) band collisions only, exactly
+    * the batch twin's universe (spec-asserted batch-equivalent on the
+    * same delta in StreamingSpec).
+    *
+    * The trailing `dropDuplicates` collapses multi-band collisions AND
+    * re-reports of the same pair across micro-batches (an at-least-once
+    * source replaying docs). Its state grows with the distinct REPORTED
+    * pair set — the matches, not the corpus; a production deployment
+    * whose stream carries an ingest timestamp should swap in
+    * `dropDuplicatesWithinWatermark` to bound state by the replay
+    * horizon instead (the same trade [[dedupStream]] makes). Append
+    * mode; exactly-once into a file sink via checkpointed offsets +
+    * the transactional sink log (restart spec'd like
+    * [[writePartitionedStream]]). */
+  def dedupIncrementalStream(docs: DataFrame, corpusIndex: DataFrame,
+                             k: Int = graft.operators.DedupOps.MinhashK,
+                             bands: Int = graft.operators.DedupOps.Bands)
+      : DataFrame =
+    graft.operators.DedupOps.minhashBandKeys(docs, k, bands).as("d")
+      .join(corpusIndex.as("c"),
+        col("d.band") === col("c.band") && col("d.key") === col("c.key"))
+      .select(col("d.doc_id").as("doc_new"), col("c.doc_id").as("doc_corpus"))
+      .dropDuplicates("doc_new", "doc_corpus")
+
   /** §2-C stream-static enrichment: join the unbounded stream against a
     * bounded dimension. The static side is re-read per micro-batch (so a
     * slowly-changing dim refreshes without restarting the query) and

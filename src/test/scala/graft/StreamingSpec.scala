@@ -225,6 +225,88 @@ class StreamingSpec extends SparkSpec {
     assert(back.filter(col("day") === "2024-01-06").count() == 2)
   }
 
+  test("dedupIncrementalStream matches dedupIncremental on the same delta") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val docs = Tables.documents(spark, sfDir)
+    val m = DedupOps.IncrementalDeltaMod
+    // the standing corpus's PERSISTED band index (write-once in a real
+    // pipeline; plain parquet here — the bucketed layout is
+    // BucketedJoinSpec's subject)
+    val idxDir = Files.createTempDirectory("graft_inc_idx").toFile.getAbsolutePath
+    DedupOps.minhashBandKeys(docs.filter(pmod(col("doc_id"), lit(m)) =!= 0),
+      DedupOps.MinhashK, DedupOps.Bands).write.mode("overwrite").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    val delta = docs.filter(pmod(col("doc_id"), lit(m)) === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (d1, d2) = delta.splitAt(delta.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.dedupIncrementalStream(
+      input.toDF().toDF("doc_id", "text"), idx)
+      .writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(d1: _*)
+      q.processAllAvailable()
+      // second micro-batch: the rest of the delta PLUS a replay of the
+      // first half (an at-least-once source) — replayed pairs must not
+      // re-emit
+      input.addData(d2 ++ d1: _*)
+      q.processAllAvailable()
+      val got = spark.table("incdedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val expected = DedupOps.dedupIncremental(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expected.nonEmpty, "fixture has no cross-set near-dup pair")
+      assert(got.toSet == expected,
+        s"extra=${got.toSet -- expected} missing=${expected -- got.toSet}")
+      assert(got.length == got.toSet.size, "replayed pairs re-emitted")
+    } finally q.stop()
+  }
+
+  test("dedupIncrementalStream restart from checkpoint: no lost, no duplicate pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val docs = Tables.documents(spark, sfDir)
+    val m = DedupOps.IncrementalDeltaMod
+    val idxDir = Files.createTempDirectory("graft_inc_idx2").toFile.getAbsolutePath
+    DedupOps.minhashBandKeys(docs.filter(pmod(col("doc_id"), lit(m)) =!= 0),
+      DedupOps.MinhashK, DedupOps.Bands).write.mode("overwrite").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    val delta = docs.filter(pmod(col("doc_id"), lit(m)) === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (d1, d2) = delta.splitAt(delta.length / 2)
+    val out = Files.createTempDirectory("graft_inc_sink").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_inc_ckpt").toFile.getAbsolutePath
+    def start(input: MemoryStream[(Long, String)]) =
+      EventStream.dedupIncrementalStream(input.toDF().toDF("doc_id", "text"), idx)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    // run 1: commit the first half of the delta, then stop
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = start(in1)
+    try { in1.addData(d1: _*); q1.processAllAvailable() } finally q1.stop()
+    // run 2: SAME checkpoint; the replayed source re-offers d1 (an
+    // at-least-once upstream) plus the rest — offsets + the file sink's
+    // transactional log must keep exactly one copy of every pair
+    val in2 = MemoryStream[(Long, String)]
+    in2.addData(d1: _*)
+    in2.addData(d2: _*)
+    val q2 = start(in2)
+    try q2.processAllAvailable() finally q2.stop()
+    val back = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = DedupOps.dedupIncremental(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back.toSet == expected,
+      s"extra=${back.toSet -- expected} missing=${expected -- back.toSet}")
+    assert(back.length == expected.size, "duplicate pairs across restart")
+  }
+
   test("EventsJsonSource reads and flattens StatsBomb-shaped nested JSON") {
     val dir = Files.createTempDirectory("graft_json").toFile
     val json =
