@@ -73,6 +73,8 @@ object SparkEntry {
     "q_ann_topk" -> ((s, dir) => AnnOps.annTopK(Tables.embeddings(s, dir))),
     "q_quantize" -> ((s, dir) => AnnOps.quantize(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => AnnOps.annLsh(Tables.embeddings(s, dir))),
+    "q_ann_ivf_q8" -> ((s, dir) =>
+      AnnOps.annIvfQ8(AnnOps.quantizedVectors(Tables.embeddings(s, dir)))),
     "q_centroid" -> ((s, dir) => AnnOps.centroid(Tables.embeddings(s, dir))),
     // --- text analysis (§2 rows 31-34) ---
     "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),

@@ -167,29 +167,197 @@ object AnnOps {
     * operands — no float division anywhere, so a 1-ulp quotient can
     * never flip a quantized value across engines. Zero vectors
     * (scale6 = 0) are excluded like every zero-norm guard here.
-    * |2·q6·127| ≤ 2¹⁰·10⁷ — no overflow. */
+    * |2·q6·127| ≤ 2¹⁰·10⁷ — no overflow.
+    *
+    * Input contract (the same guard [[graft.plans.RpLsh]] applies): a
+    * vector with a NULL, non-finite, or |v| > 1e6 component drops out —
+    * Spark's non-ANSI cast(NaN as bigint) silently yields 0 while
+    * DuckDB's CAST(NaN AS BIGINT) raises, so an unguarded poisoned row
+    * would either corrupt the index or kill the oracle; and the
+    * (2a+b) div (2b) identity's no-overflow argument needs
+    * |q6| ≤ 10¹². Filtered identically on BOTH engines (the oracle's
+    * list_filter keeps v IS NULL as an explicit disjunct — NOT
+    * isfinite(NULL) is NULL and would be silently dropped). */
   def quantize(embeddings: DataFrame): DataFrame =
+    quantizedBase(embeddings)
+      .select(col("vec_id"), col("scale6"),
+        posexplode(col("q6s")).as(Seq("pos", "q6")))
+      .select(col("vec_id"), col("pos"),
+        expr(s"cast($QvExpr as int)").as("qv"),
+        col("scale6"))
+      .orderBy("vec_id", "pos")
+
+  /** The (vec_id, label, q6s, scale6) stream both quantized shapes share:
+    * finiteness/magnitude-guarded input, 10⁶-quantized components, exact
+    * int64 per-vector scale. */
+  private def quantizedBase(embeddings: DataFrame): DataFrame =
     embeddings
-      .select(col("vec_id"), expr(
+      .filter(expr(
+        "size(filter(embedding, v -> v is null or isnan(cast(v as double)) " +
+          "or abs(cast(v as double)) > 1e6)) = 0"))
+      .select(col("vec_id"), col("label"), expr(
         "transform(embedding, v -> cast(round(cast(v as double) * 1e6) as bigint))")
         .as("q6s"))
       .withColumn("scale6", expr("array_max(transform(q6s, x -> abs(x)))"))
       .filter(col("scale6") > 0)
-      .select(col("vec_id"), col("scale6"),
-        posexplode(col("q6s")).as(Seq("pos", "q6")))
-      .select(col("vec_id"), col("pos"),
-        expr("cast(if(q6 >= 0, (2*q6*127 + scale6) div (2*scale6), " +
-          "-((2*(-q6)*127 + scale6) div (2*scale6))) as int)").as("qv"),
+
+  /** The per-component int8 value as a SQL fragment over (`q6`, `scale6`)
+    * — the (2a+b) div (2b) half-away-from-zero identity [[quantize]]'s
+    * scaladoc derives; shared verbatim by the exploded and packed
+    * shapes so they can never drift. */
+  private val QvExpr =
+    "if(q6 >= 0, (2*q6*127 + scale6) div (2*scale6), " +
+      "-((2*(-q6)*127 + scale6) div (2*scale6)))"
+
+  /** The PACKED int8 index — [[quantize]]'s values as one
+    * (vec_id, label, qvs array<tinyint>, scale6, ss) row per vector:
+    * the at-rest ANN index layout ([[quantize]]'s exploded shape is the
+    * oracle-friendly long form of the same numbers; `QvExpr` is shared
+    * so they cannot drift). `qvs` elements are TINYINT — genuinely
+    * 1 byte per component, the 4×-vs-int32 / 16×-ish-vs-float32 shrink
+    * the quantize docstring promises, which at 100 TB is an index that
+    * fits executor memory. `ss` = Σ qv² (exact int64, ≤ 64·127²) is the
+    * vector's quantized self-dot, precomputed once at index-build time
+    * so searches never re-scan for norms.
+    *
+    * Zero shuffle end to end — a pure map over the embedding scan; a
+    * real pipeline writes this frame label-partitioned
+    * (`Sinks.writePartitionedByLabel`) and [[annIvfQ8]] searches THAT,
+    * never the float column. */
+  def quantizedVectors(embeddings: DataFrame): DataFrame =
+    quantizedBase(embeddings)
+      .select(col("vec_id"), col("label"),
+        expr(s"transform(q6s, q6 -> cast($QvExpr as tinyint))").as("qvs"),
         col("scale6"))
-      .orderBy("vec_id", "pos")
+      .withColumn("ss", expr(
+        "aggregate(qvs, cast(0 as bigint), " +
+          "(acc, x) -> acc + cast(x as bigint) * cast(x as bigint))"))
+
+  /** §2-72 `q_ann_ivf_q8`: IVF ANN over the int8 index — the search path
+    * that PROVES the quantized index is searchable: every stage reads
+    * [[quantizedVectors]]' (vec_id, label, qvs, scale6, ss) columns; the
+    * float embedding column does not exist past the index build (a real
+    * deployment searches the persisted index without the float corpus
+    * even mounted).
+    *
+    * The key fact making this BOTH cheap and oracle-exact: the
+    * per-vector scale CANCELS in cosine — cos(â, b̂) over dequantized
+    * vectors â_i = qa_i·s_a is Σ qa_i·qb_i / (√Σqa²·√Σqb²), pure int8
+    * arithmetic (dq ≤ 64·127² < 2²⁰ — exact int64, order-free), with
+    * the two precomputed `ss` norms; the score is then one exactly-
+    * rounded IEEE divide of exact integers — bit-identical in DuckDB
+    * with NO round() anywhere. The probe stage ranks lists by cosine
+    * of the query against the DEQUANTIZED list centroid: s_i =
+    * Σ_vec qv_i·scale6 (the scale must ride here — vectors are scaled
+    * differently), summed as exact DECIMAL like [[annIvf]], and the
+    * same c_key = Σs·qq/√Σs² construction (query scale cancels in the
+    * ranking). Distribution mirrors [[annIvf]]: dim-level partial aggs,
+    * nProbe-row broadcasts, label as the partition/prune key — probes
+    * touch nProbe/nLists of an index already 4×+ smaller. */
+  def annIvfQ8(index: DataFrame, queryId: Long = 0L, k: Int = 5,
+               nProbe: Int = 2): DataFrame = {
+    val dec = "decimal(38,0)"
+    val listSums = index
+      .select(col("label"), col("scale6"),
+        posexplode(col("qvs")).as(Seq("pos", "qv")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("qv").cast(dec) * col("scale6").cast(dec)).as("s"))
+    val q = index.filter(col("vec_id") === queryId)
+      .select(col("qvs").as("q_qvs"), col("ss").as("q_ss"))
+    val qq = q.select(posexplode(col("q_qvs")).as(Seq("pos", "qv")))
+      .select(col("pos"), col("qv").cast(dec).as("qq"))
+    val probed = listSums
+      .join(broadcast(qq), "pos")
+      .groupBy(col("label"))
+      .agg(sum(col("s") * col("qq")).as("dq"), sum(col("s") * col("s")).as("ss"))
+      .filter(col("ss") > 0)
+      .select(col("label"),
+        (col("dq").cast("double") / sqrt(col("ss").cast("double"))).as("c_key"))
+      .orderBy(col("c_key").desc, col("label").asc)
+      .limit(nProbe)
+      .select(col("label"))
+    index
+      .join(broadcast(probed), "label")
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        (expr("aggregate(zip_with(qvs, q_qvs, (x, y) -> " +
+          "cast(x as bigint) * cast(y as bigint)), cast(0 as bigint), " +
+          "(acc, v) -> acc + v)").cast("double") /
+          (sqrt(col("ss").cast("double")) * sqrt(col("q_ss").cast("double"))))
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
 
   val oracles: Map[String, String] = Map(
+    "q_ann_ivf_q8" ->
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      v -> CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS q6s
+        |  FROM embeddings
+        |  WHERE len(list_filter(embedding,
+        |          v -> v IS NULL OR NOT isfinite(CAST(v AS DOUBLE))
+        |               OR abs(CAST(v AS DOUBLE)) > 1e6)) = 0
+        |), scaled AS (
+        |  SELECT vec_id, label, q6s,
+        |    list_max(list_transform(q6s, x -> abs(x))) AS scale6
+        |  FROM base
+        |), qz AS (
+        |  -- the same (2a+b)//(2b) int8 values q_quantize pins
+        |  SELECT vec_id, label, scale6,
+        |    list_transform(q6s, q6 ->
+        |      CASE WHEN q6 >= 0 THEN (2*q6*127 + scale6) // (2*scale6)
+        |           ELSE -((2*(-q6)*127 + scale6) // (2*scale6)) END) AS qvs
+        |  FROM scaled WHERE scale6 > 0
+        |), wss AS (
+        |  SELECT vec_id, label, scale6, qvs,
+        |    CAST(list_sum(list_transform(qvs,
+        |      x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS ss
+        |  FROM qz
+        |), idx AS (
+        |  SELECT label, scale6, qvs,
+        |    unnest(generate_series(1, len(qvs))) AS i
+        |  FROM qz
+        |), sums AS (
+        |  -- dequantized list centroid: the per-vector scale rides here
+        |  SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+        |    CAST(SUM(CAST(qvs[i] AS HUGEINT) * scale6) AS HUGEINT) AS s
+        |  FROM idx GROUP BY label, i
+        |), q AS (
+        |  SELECT qvs AS q_qvs, ss AS q_ss FROM wss WHERE vec_id = 0
+        |), qq AS (
+        |  SELECT CAST(i - 1 AS INTEGER) AS pos, CAST(q_qvs[i] AS HUGEINT) AS qq
+        |  FROM (SELECT q_qvs, unnest(generate_series(1, len(q_qvs))) AS i FROM q)
+        |), probe AS (
+        |  SELECT label,
+        |    CAST(SUM(s * qq) AS DOUBLE) / sqrt(CAST(SUM(s * s) AS DOUBLE)) AS c_key
+        |  FROM sums JOIN qq USING (pos)
+        |  GROUP BY label
+        |  HAVING SUM(s * s) > 0
+        |  ORDER BY c_key DESC, label ASC
+        |  LIMIT 2
+        |)
+        |SELECT e.vec_id, e.label,
+        |  CAST(list_sum(list_transform(list_zip(e.qvs, q.q_qvs),
+        |    p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS DOUBLE)
+        |    / (sqrt(CAST(e.ss AS DOUBLE)) * sqrt(CAST(q.q_ss AS DOUBLE))) AS score
+        |FROM wss e JOIN probe USING (label) CROSS JOIN q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, vec_id ASC
+        |LIMIT 5""".stripMargin,
     "q_quantize" ->
       """WITH q AS (
         |  SELECT vec_id,
         |    list_transform(embedding,
         |      v -> CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS q6s
         |  FROM embeddings
+        |  -- the RpLsh input guard, mirrored (see DedupOps' rp oracle):
+        |  -- v IS NULL must be an explicit disjunct or list_filter drops it
+        |  WHERE len(list_filter(embedding,
+        |          v -> v IS NULL OR NOT isfinite(CAST(v AS DOUBLE))
+        |               OR abs(CAST(v AS DOUBLE)) > 1e6)) = 0
         |), s AS (
         |  SELECT vec_id, q6s,
         |    list_max(list_transform(q6s, x -> abs(x))) AS scale6

@@ -74,6 +74,69 @@ class PipelineOpsSpec extends SparkSpec {
       s"narrow config unexpectedly recalled all ${moderate.size} — spec can't discriminate")
   }
 
+  test("dedupClusters and splitLeakage run the production (k, bands) pair graph") {
+    import spark.implicits._
+    // the two pair-graph CONSUMERS previously hard-wired the fixture
+    // K=4/B=2; this pins that the wide production config threads all the
+    // way through both of them. Same token-soup construction as the
+    // minhashPairs wide test: 40-token docs, twins rewrite the last 5.
+    var seed = 11L
+    def tok(): String = {
+      val sb = new StringBuilder
+      for (_ <- 0 until 7) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        sb.append(('a' + ((seed >>> 33) % 26).toInt).toChar)
+      }
+      sb.toString
+    }
+    val nPairs = 60
+    val base = (0 until nPairs).map(i =>
+      (i.toLong, (0 until 40).map(_ => tok()).mkString(" ")))
+    val twins = base.map { case (i, t) =>
+      val toks = t.split(" ")
+      (i + 10000L, (toks.dropRight(5) ++ Seq.fill(5)(tok())).mkString(" "))
+    }
+    val soup = (base ++ twins).toDF("doc_id", "text")
+    val allIds = (base ++ twins).map(_._1)
+    val wide = DedupOps.minhashPairs(soup, k = 128, bands = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.size >= nPairs * 9 / 10, s"fixture drifted: only ${wide.size} pairs")
+
+    // expected clusters = test-side union-find over the SAME wide graph
+    // (min id as representative, like the operator's min-label contract)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    wide.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expectedClusters = allIds.map(id => id -> find(id)).toMap
+    val got = DedupOps.dedupClusters(soup, k = 128, bands = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expectedClusters)
+
+    // splitLeakage at the wide config audits EXACTLY the cross-split
+    // slice of the same band-collision universe
+    val splits = soup.select(col("doc_id"),
+        CorpusOps.splitOf(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expectedLeaks = wide.flatMap { case (a, b) =>
+      (splits(a), splits(b)) match {
+        case ("train", e) if e != "train" => Some((b, a))
+        case (e, "train") if e != "train" => Some((a, b))
+        case _ => None
+      }
+    }
+    assert(expectedLeaks.nonEmpty, "fixture drifted: no cross-split planted pair")
+    val leaks = CorpusOps.splitLeakage(soup, k = 128, bands = 32)
+      .select("doc_eval", "doc_train")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(leaks == expectedLeaks)
+  }
+
   test("connectedComponents: reliable-checkpoint path matches the local path on both cluster queries") {
     // localCheckpoint blocks die with their executor — a multi-hour
     // 100 TB CC job needs the reliable path; results must be identical
@@ -165,6 +228,19 @@ class PipelineOpsSpec extends SparkSpec {
     val plan = inc.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
+    // backfill path (broadcastDelta = false — a history re-ingest's delta
+    // is NOT broadcastable): identical rows, hint actually dropped from
+    // the logical plan (the PHYSICAL join is then the planner's choice —
+    // at this fixture scale AQE may still auto-broadcast on measured
+    // size, which is exactly the point of dropping the hint: size-based,
+    // not hard-wired)
+    val backfill = DedupOps.dedupIncremental(docs, broadcastDelta = false)
+    assert(backfill.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == expected)
+    assert(!backfill.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"))
+    assert(inc.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"))
   }
 
   test("dedupSimhash: one 16-bit fingerprint per doc") {
@@ -627,6 +703,49 @@ class PipelineOpsSpec extends SparkSpec {
       brute.limit(5).collect().map(_.getLong(0)).toSeq)
     val narrow = AnnOps.annIvf(embs, k = 5, nProbe = 2).collect()
     assert(narrow.nonEmpty && narrow.forall(_.getLong(0) != 0L))
+  }
+
+  test("annIvfQ8 searches the persisted int8 index and recalls the float top-k") {
+    // the index is genuinely int8 at rest: tinyint components, persisted
+    // WITHOUT the float column, searched from the parquet round-trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_q8_idx").toString
+    AnnOps.quantizedVectors(embs).write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    assert(idx.schema("qvs").dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.ByteType)
+    assert(!idx.columns.contains("embedding"))
+    // quantization error ≤ scale/2 per component barely moves cosine:
+    // with all lists probed, the q8 ranking must recall the exact float
+    // top-k almost perfectly — and the scores must agree to ~1e-2
+    val k = 10
+    val floatTop = AnnOps.annTopK(embs, k = k).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val q8Top = AnnOps.annIvfQ8(idx, k = k, nProbe = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val overlap = floatTop.keySet & q8Top.keySet
+    assert(overlap.size >= k - 1,
+      s"q8 recalled only ${overlap.size}/$k of the float top-$k")
+    overlap.foreach { id =>
+      assert(math.abs(floatTop(id) - q8Top(id)) < 0.02,
+        s"vec $id: float ${floatTop(id)} vs q8 ${q8Top(id)}")
+    }
+    // narrow probe still returns k hits, never the query itself
+    val narrow = AnnOps.annIvfQ8(idx, k = 5, nProbe = 2).collect()
+    assert(narrow.length == 5 && narrow.forall(_.getLong(0) != 0L))
+    // dequantization identity: qv/127*scale reconstructs each component
+    // to within scale/2 (the quantize contract, via the packed layout)
+    val row = idx.filter(col("vec_id") === 7L)
+      .select("qvs", "scale6").head()
+    val qvs = row.getSeq[Byte](0)
+    val scale6 = row.getLong(1)
+    val orig = embs.filter(col("vec_id") === 7L)
+      .select("embedding").head().getSeq[Float](0)
+    qvs.zip(orig).foreach { case (qv, v) =>
+      val rec = qv.toDouble * scale6 / 127.0 / 1e6
+      assert(math.abs(rec - v) <= scale6 / 127.0 / 1e6 / 2 + 1e-9,
+        s"reconstruction off: $rec vs $v")
+    }
   }
 
   test("langId: prediction is one of the marker languages") {
