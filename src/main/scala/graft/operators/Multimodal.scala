@@ -51,11 +51,15 @@ object MultimodalOps {
     * payloads (the dependency-free portable-pixmap format): header +
     * RGB24 pixel plane parse into per-channel image statistics
     * ([[decodePpm]]) — proving the batched binary path decodes actual
-    * image bytes end-to-end without image libraries. Payloads in any
-    * other format fall back to the deterministic byte-feature stub; on a
-    * cluster with codec libs, that branch is where a JPEG/WAV decoder
-    * (JNI or `mapInPandas` + PIL) slots in without touching the
-    * plumbing. */
+    * image bytes end-to-end without image libraries — AND for WAV/PCM
+    * payloads (RIFF chunk walk + 8/16-bit sample parse into per-channel
+    * audio statistics, [[decodeWav]]), so both an image and an audio
+    * format decode for real. Payloads in any other format fall back to
+    * the deterministic byte-feature stub; on a cluster with codec libs,
+    * that branch is where a JPEG/Opus decoder (JNI or `mapInPandas` +
+    * PIL/soundfile) slots in without touching the plumbing. Formats are
+    * sniffed from magic bytes, not the mime column — an at-scale ingest
+    * cannot trust upstream labels. */
   def decodeBatches(withPayload: DataFrame, dim: Int = 16): DataFrame = {
     val spark = withPayload.sparkSession
     val rdd = withPayload
@@ -65,7 +69,9 @@ object MultimodalOps {
           val id = r.getLong(0)
           val mime = r.getString(1)
           val bytes = r.getAs[Array[Byte]](2)
-          val feats = decodePpm(bytes, dim).getOrElse(decodeStub(bytes, dim))
+          val feats = decodePpm(bytes, dim)
+            .orElse(decodeWav(bytes, dim))
+            .getOrElse(decodeStub(bytes, dim))
           Row(id, mime, bytes.length, feats)
         }
       }
@@ -133,6 +139,86 @@ object MultimodalOps {
       (sum(2).toDouble / n / maxv).toFloat,
       min(0).toFloat / maxv, min(1).toFloat / maxv, min(2).toFloat / maxv,
       max(0).toFloat / maxv, max(1).toFloat / maxv, max(2).toFloat / maxv)
+    System.arraycopy(raw, 0, feats, 0, math.min(raw.length, dim))
+    Some(feats)
+  }
+
+  /** Dependency-free WAV/PCM decoder: RIFF container walk ("RIFF" +
+    * size + "WAVE", then word-aligned chunks), `fmt ` parse (PCM only —
+    * audioFormat 1, 8- or 16-bit samples), `data` chunk sample scan.
+    * Features (padded/truncated to `dim`):
+    * [nch, sampleRate, nFrames, mean ch0, mean ch1, min ch0, min ch1,
+    * max ch0, max ch1, rms ch0, rms ch1] — channels beyond the first
+    * two fold into none (stats are per-channel for ch0/ch1 only; mono
+    * leaves the ch1 slots 0). Samples normalize to [-1, 1]: 16-bit
+    * signed LE / 32768, 8-bit unsigned (s − 128) / 128 (the WAV spec's
+    * two PCM layouts). None = not RIFF/WAVE, non-PCM encoding, absent
+    * fmt/data chunks, or a data chunk longer than the payload
+    * (truncated upload) — the caller falls back to the stub rather
+    * than poisoning the batch. */
+  private[graft] def decodeWav(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    def ascii(off: Int, s: String): Boolean =
+      off + s.length <= bytes.length &&
+        s.indices.forall(j => bytes(off + j) == s.charAt(j).toByte)
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes.length < 12 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    // chunk walk: collect fmt and data; sizes are unsigned 32-bit LE and
+    // chunks start word-aligned (odd sizes carry a pad byte)
+    var i = 12L
+    var fmtOff = -1L
+    var dataOff = -1L
+    var dataLen = -1L
+    while (i + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+      val sz = u32(i.toInt + 4)
+      if (ascii(i.toInt, "fmt ") && sz >= 16) fmtOff = i + 8
+      else if (ascii(i.toInt, "data")) { dataOff = i + 8; dataLen = sz }
+      i += 8 + sz + (sz & 1)
+    }
+    if (fmtOff < 0 || dataOff < 0) return None
+    if (dataOff + dataLen > bytes.length) return None // truncated upload
+    val f = fmtOff.toInt
+    val audioFormat = u16(f)
+    val nch = u16(f + 2)
+    val rate = u32(f + 4)
+    val bits = u16(f + 14)
+    if (audioFormat != 1 || nch < 1 || rate <= 0 ||
+      (bits != 8 && bits != 16)) return None
+    val blockAlign = nch * bits / 8
+    val nFrames = dataLen / blockAlign
+    if (nFrames <= 0) return None
+    val chs = math.min(nch, 2)
+    val sum = new Array[Double](chs)
+    val sumSq = new Array[Double](chs)
+    val min = Array.fill(chs)(Float.MaxValue)
+    val max = Array.fill(chs)(Float.MinValue)
+    var frame = 0L
+    while (frame < nFrames) {
+      var c = 0
+      while (c < chs) {
+        val off = (dataOff + frame * blockAlign).toInt + c * bits / 8
+        val v =
+          if (bits == 16) (u16(off).toShort).toFloat / 32768f
+          else ((bytes(off) & 0xff) - 128).toFloat / 128f
+        sum(c) += v
+        sumSq(c) += v.toDouble * v
+        if (v < min(c)) min(c) = v
+        if (v > max(c)) max(c) = v
+        c += 1
+      }
+      frame += 1
+    }
+    def ch1(a: Array[Float]): Float = if (chs > 1) a(1) else 0f
+    val feats = new Array[Float](dim)
+    val raw = Array[Float](nch.toFloat, rate.toFloat, nFrames.toFloat,
+      (sum(0) / nFrames).toFloat,
+      if (chs > 1) (sum(1) / nFrames).toFloat else 0f,
+      min(0), ch1(min), max(0), ch1(max),
+      math.sqrt(sumSq(0) / nFrames).toFloat,
+      if (chs > 1) math.sqrt(sumSq(1) / nFrames).toFloat else 0f)
     System.arraycopy(raw, 0, feats, 0, math.min(raw.length, dim))
     Some(feats)
   }

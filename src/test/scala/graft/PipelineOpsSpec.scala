@@ -835,6 +835,61 @@ class PipelineOpsSpec extends SparkSpec {
       ppm("P6\n99999999999 2\n255\n", px), 16).isEmpty)
   }
 
+  test("decodeBatches really decodes WAV/PCM payloads: chunk walk, 8/16-bit, per-channel stats") {
+    import spark.implicits._
+    def u16le(v: Int): Seq[Byte] =
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def u32le(v: Int): Seq[Byte] =
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // frames = per-frame per-channel RAW samples (16-bit signed /
+    // 8-bit unsigned); extraChunk prepends a LIST chunk so the test
+    // exercises the chunk WALK, not a fixed layout
+    def wav(bits: Int, nch: Int, rate: Int, frames: Seq[Seq[Int]],
+            fmtCode: Int = 1, extraChunk: Boolean = false): Array[Byte] = {
+      val data = frames.flatMap(fr => fr.flatMap(s =>
+        if (bits == 16) u16le(s & 0xffff) else Seq((s & 0xff).toByte)))
+      val fmt = u16le(fmtCode) ++ u16le(nch) ++ u32le(rate) ++
+        u32le(rate * nch * bits / 8) ++ u16le(nch * bits / 8) ++ u16le(bits)
+      val chunks =
+        (if (extraChunk)
+          "LIST".getBytes("US-ASCII").toSeq ++ u32le(4) ++
+            "INFO".getBytes("US-ASCII").toSeq
+        else Seq.empty[Byte]) ++
+          "fmt ".getBytes("US-ASCII").toSeq ++ u32le(16) ++ fmt ++
+          "data".getBytes("US-ASCII").toSeq ++ u32le(data.length) ++ data
+      ("RIFF".getBytes("US-ASCII").toSeq ++ u32le(4 + chunks.length) ++
+        "WAVE".getBytes("US-ASCII").toSeq ++ chunks).toArray
+    }
+    // 16-bit stereo behind a LIST chunk: ch0 = ±0.25, ch1 = 0.5 constant
+    val stereo = wav(16, 2, 44100,
+      Seq(Seq(8192, 16384), Seq(-8192, 16384)), extraChunk = true)
+    val f = MultimodalOps.decodeWav(stereo, 16).get
+    assert(f(0) == 2f && f(1) == 44100f && f(2) == 2f, f.toSeq) // nch, rate, frames
+    assert(f(3) == 0f && f(4) == 0.5f, f.toSeq)                 // means
+    assert(f(5) == -0.25f && f(7) == 0.25f, f.toSeq)            // ch0 min/max
+    assert(f(6) == 0.5f && f(8) == 0.5f, f.toSeq)               // ch1 min/max
+    assert(f(9) == 0.25f && f(10) == 0.5f, f.toSeq)             // rms (exact here)
+    // 8-bit mono: samples {0, +0.5, -0.5}
+    val mono = wav(8, 1, 8000, Seq(Seq(128), Seq(192), Seq(64)))
+    val g = MultimodalOps.decodeWav(mono, 16).get
+    assert(g(0) == 1f && g(1) == 8000f && g(2) == 3f, g.toSeq)
+    assert(g(3) == 0f && g(5) == -0.5f && g(7) == 0.5f, g.toSeq)
+    assert(g(4) == 0f && g(6) == 0f && g(8) == 0f, g.toSeq)     // no ch1
+    assert(math.abs(g(9) - math.sqrt(1.0 / 6)) < 1e-6, g.toSeq)
+    // rejects: truncated data chunk, non-PCM encoding, not RIFF at all
+    assert(MultimodalOps.decodeWav(stereo.dropRight(1), 16).isEmpty)
+    assert(MultimodalOps.decodeWav(
+      wav(16, 2, 44100, Seq(Seq(1, 2)), fmtCode = 3), 16).isEmpty)
+    assert(MultimodalOps.decodeWav("not audio".getBytes("US-ASCII"), 16).isEmpty)
+    // end-to-end through decodeBatches: format SNIFFED from magic bytes,
+    // the (untrustworthy) mime label ignored
+    val df = Seq((1L, "application/octet-stream", stereo))
+      .toDF("doc_id", "mime", "payload")
+    val out = MultimodalOps.decodeBatches(df, dim = 16).collect().head
+    assert(out.getSeq[Float](3)(1) == 44100f)
+  }
+
   test("multimodalMeta + decodeBatches plumbing round-trips") {
     val meta = MultimodalOps.multimodalMeta(docs)
     assert(meta.count() == docs.count())
