@@ -75,7 +75,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_ONLY=q_a,q_b — diagnostic subset runs (a 111-vs-6 s
+    // question should not cost a 30-minute full sweep). Absent for the
+    // driver's full run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach(run(_, "/root/testdata/sf0.001")) // warmup
     calib() // warm the calib plan's codegen like everything else
     // best-of-2: JIT noise on the first timed pass is real but not the

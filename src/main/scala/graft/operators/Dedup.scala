@@ -732,6 +732,46 @@ object DedupOps {
       : DataFrame =
     bandSelfJoin(embeddingRpBlocks(embeddings, bands, bits), checkpoint)
 
+  /** §2-73 `q_dedup_embedding_incremental`: incremental (delta-vs-corpus)
+    * EMBEDDING dedup — the rp-LSH twin of [[dedupIncremental]],
+    * completing the continuous-ingestion pattern for the semantic
+    * family: a full-corpus re-dedup per arriving embedding batch is
+    * O(corpus²) work for O(delta) new information; here the delta's
+    * random-hyperplane band keys probe the standing corpus's band index
+    * and corpus×corpus candidates never form. Candidates are cross-set
+    * band collisions only, cosine-verified at τ — exactly
+    * [[dedupEmbeddingRp]]'s universe restricted to (delta, corpus)
+    * pairs (spec-asserted).
+    *
+    * Scale story mirrors the MinHash twin: the corpus side is the
+    * write-once persisted (band, key) index; the delta side is
+    * broadcast by definition of incremental (drop via
+    * `broadcastDelta = false` for a backfill — 1/deltaMod of a 100 TB
+    * band stream is past any broadcast budget); the cosine verify
+    * touches only the candidate set. The (bands, bitsPerBand) geometry
+    * knob applies unchanged — an index sized for the corpus keeps the
+    * delta probe linear in delta size. */
+  def dedupEmbeddingIncremental(embeddings: DataFrame, tau: Double = 0.4,
+                                deltaMod: Int = IncrementalDeltaMod,
+                                bands: Int = graft.plans.RpLsh.Bands,
+                                bitsPerBand: Int = graft.plans.RpLsh.BitsPerBand,
+                                broadcastDelta: Boolean = true): DataFrame = {
+    require(deltaMod >= 2, s"deltaMod=$deltaMod must be >= 2")
+    val bk = embeddingRpBlocks(embeddings, bands, bitsPerBand)
+    val delta0 = bk.filter(pmod(col("vec_id"), lit(deltaMod)) === 0).as("d")
+    val delta = if (broadcastDelta) broadcast(delta0) else delta0
+    val corpus = bk.filter(pmod(col("vec_id"), lit(deltaMod)) =!= 0)
+    val cands = corpus.as("c")
+      .join(delta,
+        col("d.band") === col("c.band") && col("d.key") === col("c.key"))
+      .select(col("d.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"))
+      .distinct()
+    cosineVerifiedPairs(embeddings, cands, tau)
+      .select(col("vec_a").as("vec_new"), col("vec_b").as("vec_corpus"),
+        col("cos"))
+      .orderBy("vec_new", "vec_corpus")
+  }
+
   /** §2-62 `q_dedup_embedding_clusters`: the SEMANTIC dedup endgame —
     * connected components over the sign-LSH cosine pair graph
     * ([[dedupEmbeddingLsh]]'s universe), one representative (minimum
@@ -924,6 +964,7 @@ object DedupOps {
          |ORDER BY vec_a, vec_b""".stripMargin,
     "q_dedup_embedding_lsh" -> embeddingLshPairsSql,
     "q_dedup_embedding_rp" -> embeddingRpPairsSql,
+    "q_dedup_embedding_incremental" -> embeddingRpIncrementalSql,
     "q_dedup_embedding_clusters" ->
       s"""WITH RECURSIVE pairs AS (
          |$embeddingRpPairsSql
@@ -964,17 +1005,15 @@ object DedupOps {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  /** Random-hyperplane pair SQL — a literal integer-arithmetic
-    * transcription of graft.plans.RpLsh's coefficient table over the
-    * 10⁶-quantized vector, so DuckDB derives the SAME 16 band keys the
-    * native `rp_band_keys` does and both engines see an identical pair
-    * universe. */
-  private lazy val embeddingRpPairsSql: String = {
+  /** The shared q/bk CTE chain of the random-hyperplane oracles — a
+    * literal integer-arithmetic transcription of graft.plans.RpLsh's
+    * coefficient table over the 10⁶-quantized vector, so DuckDB derives
+    * the SAME 16 band keys the native `rp_band_keys` does and both
+    * engines see an identical pair universe. */
+  private lazy val rpBkCteSql: String = {
     val keys = (0 until graft.plans.RpLsh.Bands).map(j =>
       s"${VectorFuns.sql.rpBandKey("qv", j)} AS k$j").mkString(",\n    ")
-    val anyBand = (0 until graft.plans.RpLsh.Bands)
-      .map(j => s"a.k$j = b.k$j").mkString(" OR ")
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id, embedding, ${VectorFuns.sql.q6List("embedding")} AS qv
        |  FROM embeddings
        |  WHERE ${VectorFuns.sql.l2norm("embedding")} > 0
@@ -995,11 +1034,31 @@ object DedupOps {
        |  SELECT vec_id, embedding,
        |    $keys
        |  FROM q
-       |)
+       |)""".stripMargin
+  }
+
+  private lazy val rpAnyBandSql: String = (0 until graft.plans.RpLsh.Bands)
+    .map(j => s"a.k$j = b.k$j").mkString(" OR ")
+
+  /** Random-hyperplane pair SQL (see [[rpBkCteSql]]). */
+  private lazy val embeddingRpPairsSql: String =
+    s"""WITH $rpBkCteSql
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} AS cos
-       |FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ($anyBand)
+       |FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ($rpAnyBandSql)
        |WHERE ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
-  }
+
+  /** The delta-vs-corpus restriction of the same rp pair universe —
+    * `a` is the delta side, `b` the corpus. */
+  private lazy val embeddingRpIncrementalSql: String =
+    s"""WITH $rpBkCteSql
+       |SELECT a.vec_id AS vec_new, b.vec_id AS vec_corpus,
+       |  ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} AS cos
+       |FROM bk a JOIN bk b
+       |  ON a.vec_id % $IncrementalDeltaMod = 0
+       | AND b.vec_id % $IncrementalDeltaMod <> 0
+       | AND ($rpAnyBandSql)
+       |WHERE ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} >= 0.4
+       |ORDER BY vec_new, vec_corpus""".stripMargin
 }

@@ -243,6 +243,37 @@ class PipelineOpsSpec extends SparkSpec {
       .contains("strategy=broadcast"))
   }
 
+  test("dedupEmbeddingIncremental: the cross-set restriction of the rp pair universe") {
+    val m = DedupOps.IncrementalDeltaMod
+    // full rp pairs are (a < b)-ordered; orient every pair with exactly
+    // one delta-side vector as (new, corpus)
+    val expected = DedupOps.dedupEmbeddingRp(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, cos) =>
+        (a % m == 0, b % m == 0) match {
+          case (true, false) => Some((a, b, cos))
+          case (false, true) => Some((b, a, cos))
+          case _             => None
+        }
+      }.toSet
+    val inc = DedupOps.dedupEmbeddingIncremental(embs)
+    val got = inc.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "fixture has no cross-set rp near-dup pair")
+    assert(got == expected,
+      s"extra=${got -- expected} missing=${expected -- got}")
+    // delta side is a broadcast probe; backfill path drops the hint but
+    // keeps the rows
+    assert(inc.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"))
+    val backfill = DedupOps.dedupEmbeddingIncremental(embs,
+      broadcastDelta = false)
+    assert(backfill.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == expected)
+    assert(!backfill.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"))
+  }
+
   test("dedupSimhash: one 16-bit fingerprint per doc") {
     val df = DedupOps.dedupSimhash(docs).cache()
     assert(df.count() == docs.count())
