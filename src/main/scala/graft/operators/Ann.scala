@@ -257,12 +257,20 @@ object AnnOps {
   def annIvfQ8(index: DataFrame, queryId: Long = 0L, k: Int = 5,
                nProbe: Int = 2): DataFrame = {
     val dec = "decimal(38,0)"
-    val listSums = index
+    // the index frame feeds THREE subtrees (centroid sums, the query
+    // row, the candidate fetch) and AQE does not dedupe identical
+    // subtrees — when the caller passes a derived frame (the bench glue
+    // quantizes floats inline; a real pipeline passes a parquet scan),
+    // the whole quantization chain would run three times. One lazy
+    // localCheckpoint materializes it once (~1 byte/component — this is
+    // the SMALL index); measured ~6 → 1.0-2.2 s at sf0.1.
+    val idx = index.localCheckpoint(false)
+    val listSums = idx
       .select(col("label"), col("scale6"),
         posexplode(col("qvs")).as(Seq("pos", "qv")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("qv").cast(dec) * col("scale6").cast(dec)).as("s"))
-    val q = index.filter(col("vec_id") === queryId)
+    val q = idx.filter(col("vec_id") === queryId)
       .select(col("qvs").as("q_qvs"), col("ss").as("q_ss"))
     val qq = q.select(posexplode(col("q_qvs")).as(Seq("pos", "qv")))
       .select(col("pos"), col("qv").cast(dec).as("qq"))
@@ -276,7 +284,7 @@ object AnnOps {
       .orderBy(col("c_key").desc, col("label").asc)
       .limit(nProbe)
       .select(col("label"))
-    index
+    idx
       .join(broadcast(probed), "label")
       .filter(col("vec_id") =!= queryId)
       .join(broadcast(q))
