@@ -159,6 +159,56 @@ object EventStream {
       .select(col("d.doc_id").as("doc_new"), col("c.doc_id").as("doc_corpus"))
       .dropDuplicates("doc_new", "doc_corpus")
 
+  /** §2-C streaming incremental EMBEDDING dedup — the rp-LSH twin of
+    * [[dedupIncrementalStream]], completing the 2×2 (MinHash/rp ×
+    * batch/stream) ingestion matrix: each micro-batch of
+    * (vec_id, embedding) rows maps to its random-hyperplane band keys
+    * (the stateless native `rp_band_keys` — stream-safe like the
+    * MinHash signature pass), stream-static-joins the persisted corpus
+    * band index, fetches the collided corpus vectors from the persisted
+    * vector table, and cosine-verifies at τ. The embedding payload
+    * rides the micro-batch's exploded band stream — unlike the batch
+    * path, which keeps its band stream payload-free — because a
+    * micro-batch delta is small by definition and the ride saves a
+    * stream-stream self-join (which would need watermark state).
+    * Cosine verify runs BEFORE the pair dedup so the dropDuplicates
+    * state holds (vec_new, vec_corpus, cos) rows, never the 64-float
+    * payload. Batch-equivalence vs `DedupOps.dedupEmbeddingIncremental`
+    * on the same delta is spec-asserted; the state-bound and
+    * exactly-once stories are [[dedupIncrementalStream]]'s. */
+  def dedupEmbeddingIncrementalStream(vecs: DataFrame,
+                                      corpusIndex: DataFrame,
+                                      corpusVectors: DataFrame,
+                                      tau: Double = 0.4,
+                                      bands: Int = graft.plans.RpLsh.Bands,
+                                      bitsPerBand: Int = graft.plans.RpLsh.BitsPerBand)
+      : DataFrame = {
+    import graft.functions.VectorFuns
+    graft.plans.GraftFunctions.register(vecs.sparkSession)
+    val delta = vecs
+      .select(col("vec_id"), col("embedding"),
+        VectorFuns.l2normNative(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0.0)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(call_function("rp_band_keys", col("embedding"),
+          lit(bands), lit(bitsPerBand))).as(Seq("band", "key")))
+    val corpus = corpusVectors
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        VectorFuns.l2normNative(col("embedding")).as("c_nrm"))
+      .filter(col("c_nrm") > 0.0)
+    delta.as("d")
+      .join(corpusIndex.as("ci"),
+        col("d.band") === col("ci.band") && col("d.key") === col("ci.key"))
+      .select(col("d.vec_id").as("vec_new"), col("d.embedding").as("embedding"),
+        col("d.nrm").as("nrm"), col("ci.vec_id").as("vec_corpus"))
+      .join(corpus, col("vec_corpus") === col("c_id"))
+      .select(col("vec_new"), col("vec_corpus"),
+        VectorFuns.cosine6Pre(col("embedding"), col("c_emb"),
+          col("nrm"), col("c_nrm")).as("cos"))
+      .filter(col("cos") >= tau)
+      .dropDuplicates("vec_new", "vec_corpus")
+  }
+
   /** §2-C stream-static enrichment: join the unbounded stream against a
     * bounded dimension. The static side is re-read per micro-batch (so a
     * slowly-changing dim refreshes without restarting the query) and

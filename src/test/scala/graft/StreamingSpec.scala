@@ -307,6 +307,45 @@ class StreamingSpec extends SparkSpec {
     assert(back.length == expected.size, "duplicate pairs across restart")
   }
 
+  test("dedupEmbeddingIncrementalStream matches dedupEmbeddingIncremental on the same delta") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val embs = Tables.embeddings(spark, sfDir)
+    val m = DedupOps.IncrementalDeltaMod
+    val corpusEmbs = embs.filter(pmod(col("vec_id"), lit(m)) =!= 0)
+    // persisted corpus estate: the rp band index + the vector table
+    val idxDir = Files.createTempDirectory("graft_einc_idx").toFile.getAbsolutePath
+    val vecDir = Files.createTempDirectory("graft_einc_vec").toFile.getAbsolutePath
+    DedupOps.embeddingRpBlocks(corpusEmbs).write.mode("overwrite").parquet(idxDir)
+    corpusEmbs.select("vec_id", "embedding").write.mode("overwrite").parquet(vecDir)
+    val idx = spark.read.parquet(idxDir)
+    val cvecs = spark.read.parquet(vecDir)
+    val delta = embs.filter(pmod(col("vec_id"), lit(m)) === 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (d1, d2) = delta.splitAt(delta.length / 2)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.dedupEmbeddingIncrementalStream(
+      input.toDF().toDF("vec_id", "embedding"), idx, cvecs)
+      .writeStream.format("memory").queryName("eincdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(d1: _*)
+      q.processAllAvailable()
+      input.addData(d2 ++ d1: _*) // replay d1: an at-least-once source
+      q.processAllAvailable()
+      val got = spark.table("eincdedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val expected = DedupOps.dedupEmbeddingIncremental(embs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(expected.nonEmpty, "fixture has no cross-set rp near-dup pair")
+      assert(got.toSet == expected,
+        s"extra=${got.toSet -- expected} missing=${expected -- got.toSet}")
+      assert(got.length == got.toSet.size, "replayed pairs re-emitted")
+    } finally q.stop()
+  }
+
   test("EventsJsonSource reads and flattens StatsBomb-shaped nested JSON") {
     val dir = Files.createTempDirectory("graft_json").toFile
     val json =
