@@ -64,7 +64,9 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => DedupOps.dedupSimhash(Tables.documents(s, dir))),
     "q_dedup_simhash_pairs" -> ((s, dir) => DedupOps.dedupSimhashPairs(Tables.documents(s, dir))),
     "q_dedup_ngram" -> ((s, dir) => DedupOps.dedupNgram(Tables.documents(s, dir))),
+    "q_dedup_substring" -> ((s, dir) => DedupOps.dedupSubstring(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),
+    "q_dedup_representative" -> ((s, dir) => DedupOps.dedupRepresentative(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => DedupOps.dedupEmbedding(Tables.embeddings(s, dir))),
     "q_dedup_embedding_lsh" -> ((s, dir) => DedupOps.dedupEmbeddingLsh(Tables.embeddings(s, dir))),
     "q_dedup_embedding_rp" -> ((s, dir) => DedupOps.dedupEmbeddingRp(Tables.embeddings(s, dir))),
@@ -82,6 +84,7 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => TextOps.quality(Tables.documents(s, dir))),
     "q_tokens" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
+    "q_redact" -> ((s, dir) => TextOps.redact(Tables.documents(s, dir))),
     // --- corpus-pipeline composites (§2 rows 36-40) ---
     "q_sample" -> ((s, dir) => CorpusOps.sample(Tables.documents(s, dir))),
     "q_ngram_counts" -> ((s, dir) => CorpusOps.ngramCounts(Tables.documents(s, dir))),
@@ -91,6 +94,7 @@ object SparkEntry {
     "q_corpus_filter" -> ((s, dir) => CorpusOps.corpusFilter(Tables.documents(s, dir))),
     "q_contamination" -> ((s, dir) => CorpusOps.contamination(Tables.documents(s, dir))),
     "q_contamination_ngram" -> ((s, dir) => CorpusOps.contaminationNgram(Tables.documents(s, dir))),
+    "q_contamination_bloom" -> ((s, dir) => CorpusOps.contaminationBloom(Tables.documents(s, dir))),
     "q_repetition" -> ((s, dir) => CorpusOps.repetition(Tables.documents(s, dir))),
     "q_chunks" -> ((s, dir) => CorpusOps.chunks(Tables.documents(s, dir))),
     "q_pack" -> ((s, dir) => CorpusOps.pack(Tables.documents(s, dir))),
@@ -101,6 +105,7 @@ object SparkEntry {
     "q_upsample" -> ((s, dir) => CorpusOps.upsample(Tables.documents(s, dir))),
     "q_source_overlap" -> ((s, dir) => CorpusOps.sourceOverlap(Tables.documents(s, dir))),
     "q_split_leakage" -> ((s, dir) => CorpusOps.splitLeakage(Tables.documents(s, dir))),
+    "q_lm_score" -> ((s, dir) => CorpusOps.lmScore(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 row 35) ---
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---

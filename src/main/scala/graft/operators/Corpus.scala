@@ -170,6 +170,56 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** §2-74 `q_lm_score`: statistical-LM quality scoring — each document's
+    * mean next-token probability under a bigram MLE model fit on the
+    * corpus itself (the CCNet-style "does this read like the corpus"
+    * filter signal; low scores flag gibberish/outlier docs for the
+    * quality gate alongside [[graft.operators.TextOps.quality]]).
+    *
+    * p(w2|w1) = c(w1 w2) / c(w1·) with both counts taken over the bigram
+    * table, so the model is exact MLE and every probability is a small
+    * rational. Cross-engine exactness: each p is quantized to p6 =
+    * round(10⁶·n2/n1) via the integer identity (2a + b) div (2b) on
+    * non-negative operands (no float division — the q_quantize pattern),
+    * per-doc sums stay int64 (p6 ≤ 10⁶), and `lm_score` is ONE final
+    * IEEE division of identical exact operands in both engines.
+    * No-overflow bound: 2·10⁶·n2 + n1 needs n2 ≤ ~4.6·10¹² — a single
+    * bigram occurring 4.6 trillion times; a 100 TB corpus holds ~10¹³
+    * tokens total, so only a degenerate one-token corpus could approach
+    * it (documented, not guarded).
+    *
+    * Plan shape at 100 TB: ONE scan+explode of the corpus into the
+    * bigram stream (lazily localCheckpointed — it feeds the count
+    * aggregation AND the probe side, and AQE does not dedupe repeated
+    * subtrees, so without it the corpus would be scanned three times);
+    * c2 is a vocabulary²-bounded aggregation with map-side partials; c1
+    * derives from c2, never re-touching the corpus; the score join
+    * shuffles on bigram keys — skew-safe under AQE since hot bigrams
+    * hash-spread across c2 partitions. Docs with < 2 tokens have no
+    * bigram and drop out (mirrored by the oracle's len filter). */
+  def lmScore(documents: DataFrame): DataFrame = {
+    val bigrams = documents
+      .select(col("doc_id"), TextFuns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(false)
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("n2")).as("n1"))
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        expr("(2000000 * n2 + n1) div (2 * n1)").as("p6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p6")).as("sum_p6"))
+      .withColumn("lm_score",
+        col("sum_p6").cast("double") / (col("n_bigrams") * lit(1000000.0d)))
+      .orderBy("doc_id")
+  }
+
   /** §2-39 `q_rollup`: multi-granularity corpus accounting — doc counts
     * and exact char sums per (source, lang), per source, and grand total
     * in ONE pass via ROLLUP (Spark plans a single Expand + one shuffle;
@@ -552,6 +602,57 @@ object CorpusOps {
     contaminationNgram(documents, Probes.toDF("probe"))
   }
 
+  /** §2-76 `q_contamination_bloom`: decontamination past even
+    * [[contaminationNgram]]'s join — the probe set compresses into a
+    * [[graft.plans.GraftBloom]] bitmap (8 KiB at the default geometry, ≤
+    * 32 MiB at hexChars=7 for ~18M probe grams) that BROADCASTS, so the
+    * corpus gram stream is screened by a row-level codegen'd
+    * `bloom_contains` with NO join and NO shuffle: where the index join
+    * must move the full 100 TB gram stream through an exchange when the
+    * probe side is too big to broadcast, here only the flagged hits (a
+    * false-positive SUPERSET of the exact answer, rate set by `hexChars`;
+    * never a false negative — spec-asserted against the exact join) reach
+    * the per-doc count. The standard production shape runs this as phase
+    * one and [[contaminationNgram]] on the survivors as the exact
+    * rescreen.
+    *
+    * Fully oracle-hash-checked, false positives included: positions are
+    * the salted-md5-prefix family (substr(md5(chr(j) || gram), 1, 4)),
+    * so DuckDB simulates the EXACT bitmap with a distinct position set —
+    * membership verdicts are bit-identical across engines. */
+  def contaminationBloom(documents: DataFrame, probes: DataFrame,
+                         hexChars: Int = graft.plans.GraftBloom.DefaultHexChars): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val bloom = probes
+      .select(concat_ws(" ", TextFuns.tokens(col("probe"))).as("item"))
+      .agg(call_function("bloom_agg", col("item"), lit(hexChars)).as("bloom"))
+    val lens = probes
+      .select(size(TextFuns.tokens(col("probe"))).as("g")).distinct()
+    documents
+      .select(col("doc_id"), TextFuns.tokens(col("text")).as("toks"))
+      .crossJoin(broadcast(lens))
+      .filter(size(col("toks")) >= col("g"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - g + 1), " +
+          "i -> concat_ws(' ', slice(toks, i, g)))")).as("gram"))
+      .crossJoin(broadcast(bloom))
+      .filter(call_function("bloom_contains", col("bloom"), col("gram"),
+        lit(hexChars)))
+      .select(col("doc_id"), col("gram"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** [[contaminationBloom]] with the benchmark [[Probes]] (the
+    * `queries()` binding). */
+  def contaminationBloom(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    contaminationBloom(documents, Probes.toDF("probe"))
+  }
+
   /** §2-51 `q_repetition`: within-document repetition score — the share
     * of the document's trigram occurrences taken by its MOST repeated
     * trigram (the Gopher-style repetition quality rule: boilerplate and
@@ -596,6 +697,27 @@ object CorpusOps {
        |       ELSE 'test' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_lm_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), p AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1, len(toks) - 1)) AS i
+         |  FROM t WHERE len(toks) >= 2
+         |), b AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM p
+         |), c2 AS (
+         |  SELECT w1, w2, count(*) AS n2 FROM b GROUP BY w1, w2
+         |), c1 AS (
+         |  SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1
+         |), q AS (
+         |  SELECT doc_id, (2000000 * n2 + n1) // (2 * n1) AS p6
+         |  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(p6) AS BIGINT) AS sum_p6,
+         |  CAST(sum(p6) AS DOUBLE) / (count(*) * 1000000.0) AS lm_score
+         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_contamination" -> {
       val values = Probes.map(p => s"(${TextFuns.sqlLit(p)})").mkString(", ")
       s"""SELECT doc_id, probe
@@ -679,6 +801,42 @@ object CorpusOps {
          |SELECT doc_id, probe
          |FROM grams JOIN p ON gram = array_to_string(pt, ' ')
          |ORDER BY doc_id, probe""".stripMargin
+    },
+    "q_contamination_bloom" -> {
+      val values = Probes.map(p => s"(${TextFuns.sqlLit(p)})").mkString(", ")
+      // simulate the bitmap exactly: the distinct salted-md5-prefix
+      // position set of the probe items; a gram is flagged iff ALL four
+      // of its salted positions are present (false positives included —
+      // verdicts are bit-identical to the native bloom_contains)
+      s"""WITH p AS (
+         |  SELECT probe, string_split(lower(trim(probe)), ' ') AS pt
+         |  FROM (VALUES $values) AS t(probe)
+         |), salts AS (
+         |  SELECT unnest([1, 2, 3, 4]) AS j
+         |), pos AS (
+         |  SELECT DISTINCT
+         |    substr(md5(chr(j) || array_to_string(pt, ' ')), 1, 4) AS p
+         |  FROM p, salts
+         |), plen AS (
+         |  SELECT DISTINCT len(pt) AS g FROM p
+         |), toks AS (
+         |  SELECT doc_id, $toksSql AS ts FROM documents
+         |), grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(ts[i : i + g - 1], ' ') AS gram
+         |  FROM (SELECT doc_id, ts, g,
+         |          unnest(generate_series(1, len(ts) - g + 1)) AS i
+         |        FROM toks CROSS JOIN plen WHERE len(ts) >= g)
+         |), g4 AS (
+         |  SELECT doc_id, gram, substr(md5(chr(j) || gram), 1, 4) AS pp
+         |  FROM grams, salts
+         |), flagged AS (
+         |  SELECT doc_id, gram
+         |  FROM g4 LEFT JOIN pos ON g4.pp = pos.p
+         |  GROUP BY doc_id, gram
+         |  HAVING count(pos.p) = 4
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "q_repetition" ->
       s"""WITH $trigramSql, counts AS (

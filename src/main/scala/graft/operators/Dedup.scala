@@ -371,6 +371,57 @@ object DedupOps {
     }
   }
 
+  /** Winnowing geometry: char 16-grams, window 8 ⇒ any common substring
+    * of ≥ 23 chars between two docs shares a fingerprint. */
+  val WinnowK = 16
+  val WinnowW = 8
+
+  /** §2-78 `q_dedup_substring`: exact-PASSAGE dedup — pairs of documents
+    * sharing verbatim character runs, detected via winnowing fingerprints
+    * ([[graft.plans.GraftHash.winnowFingerprints]], the MOSS scheme).
+    * This is the substring-level member of the dedup family (the
+    * suffix-array "deduplicate-text-datasets" capability re-expressed
+    * for Spark): token n-gram Jaccard (row 27) scores whole-doc
+    * similarity, MinHash (row 25) blocks on it — neither sees a long
+    * quoted passage inside two otherwise-different docs. Winnowing
+    * selection is CONTENT-defined, so the shared passage selects the
+    * same fingerprints in both docs regardless of its offset in either
+    * (stride-sampled shingles miss under misalignment — spec-asserted).
+    * Guarantee: a common run ≥ WinnowK + WinnowW − 1 = 23 chars shares
+    * ≥ 1 fingerprint; `minShared` sets the evidence bar.
+    *
+    * Same scale shape as [[dedupNgram]]: the fingerprint stream is one
+    * codegen'd row-level pass (native expression, rolling-min deque, no
+    * per-window allocation); the inverted index df-caps with the capped
+    * native aggregate BEFORE any posting list materializes; pairs
+    * explode within surviving lists, bounded by C(dfCap, 2) per
+    * fingerprint. Docs shorter than one window (< 23 chars) drop out on
+    * both engines. */
+  def dedupSubstring(documents: DataFrame, minShared: Int = 2,
+                     dfCap: Int = NgramDfCap): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val fps = spread(documents)
+      .select(col("doc_id"), TextFuns.norm(col("text")).as("t"))
+      .filter(length(col("t")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"), explode(call_function("winnow_fingerprints",
+        col("t"), lit(WinnowK), lit(WinnowW))).as("f"))
+    val kept = fps
+      .groupBy("f")
+      .agg(call_function("collect_set_capped", col("doc_id"), lit(dfCap))
+        .as("ds"))
+      .filter(size(col("ds")).between(2, dfCap))
+    kept
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> " +
+          "transform(slice(ds, i + 2, size(ds) - i - 1), b -> " +
+          "named_struct('doc_a', least(a, b), 'doc_b', greatest(a, b)))))"))
+        .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** §2-44 `q_dedup_clusters`: connected components over the MinHash
     * near-dup pair graph — the dedup ENDGAME: candidate pairs are only
     * half the job; the keep/drop decision needs the transitive closure
@@ -397,6 +448,38 @@ object DedupOps {
     connectedComponents(documents.select(col("doc_id")),
       minhashPairs(documents, k, bands), maxIters, checkpointDir)
       .orderBy("doc_id")
+
+  /** §2-75 `q_dedup_representative`: the keep/drop DECISION —
+    * [[dedupClusters]]'s components reduced to one surviving doc per
+    * cluster, chosen as the HIGHEST-QUALITY member
+    * ([[TextOps.qualityScore]], doc_id ascending as the tie-break) rather
+    * than the min-id convention. Real pipelines keep the best copy of a
+    * near-dup family (the cleanest mirror of a page, not the first-crawled
+    * one); min-id is only the label.
+    *
+    * The argmax is ONE partial-aggregatable struct-min over
+    * (-quality, doc_id) — the q_tfidf idiom: no window, no per-cluster
+    * sort; the shuffle carries one candidate per (partition, cluster).
+    * Negation is a sign-bit flip, so `rep_quality` is bit-identical to
+    * the oracle's. Quality rides the SAME corpus scan that feeds the
+    * cluster join (row-level Column, not a second pass), and the join
+    * keys are the CC output's doc_ids — corpus-row-bounded, skew-free.
+    * Singleton docs form singleton clusters and survive as their own
+    * representative, so the output is exactly the post-dedup corpus
+    * manifest. */
+  def dedupRepresentative(documents: DataFrame, maxIters: Int = 50,
+                          checkpointDir: Option[String] = None,
+                          k: Int = MinhashK, bands: Int = Bands): DataFrame =
+    dedupClusters(documents, maxIters, checkpointDir, k, bands)
+      .join(documents.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("q")).as("negq"), col("doc_id").as("doc_id")))
+          .as("m"))
+      .select(col("cluster_id"), col("n_members"),
+        col("m.doc_id").as("rep_doc_id"), (-col("m.negq")).as("rep_quality"))
+      .orderBy("cluster_id")
 
   /** Distributed connected components over an undirected pair list —
     * the reusable core of [[dedupClusters]]. `vertices` has one `doc_id`
@@ -886,6 +969,74 @@ object DedupOps {
          |FROM walk
          |GROUP BY u
          |ORDER BY doc_id""".stripMargin,
+    "q_dedup_representative" -> {
+      val tSql = s"string_split($normSql, ' ')"
+      val stopIn = TextOps.Stopwords
+        .map(graft.functions.TextFuns.sqlLit).mkString(", ")
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashPairsSql
+         |), edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION
+         |  SELECT doc_b AS u, doc_a AS v FROM pairs
+         |), walk(u, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+         |), clusters AS (
+         |  SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY u
+         |), q AS (
+         |  SELECT doc_id,
+         |    least(CAST(1 AS DOUBLE), len($tSql) / 100.0) * 0.6
+         |      + len(list_filter($tSql, t -> t IN ($stopIn))) * 1.0
+         |        / len($tSql) * 0.2
+         |      + (CASE WHEN (length($normSql) - (len($tSql) - 1)) * 1.0 / len($tSql)
+         |              BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END) AS qs
+         |  FROM documents
+         |), sel AS (
+         |  SELECT cluster_id, doc_id, qs,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY qs DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM clusters JOIN q USING (doc_id)
+         |)
+         |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+         |  doc_id AS rep_doc_id, qs AS rep_quality
+         |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+    },
+    "q_dedup_substring" -> {
+      // window-min over ordered positions = the deque rolling min;
+      // DISTINCT value sets are identical (fixed-width hex ≡ unsigned
+      // numeric order, ties can't matter in a value set)
+      val minLen = WinnowK + WinnowW - 1
+      s"""WITH n AS (
+         |  SELECT doc_id, $normSql AS t FROM documents
+         |  WHERE length($normSql) >= $minLen
+         |), h AS (
+         |  SELECT doc_id, i, substr(md5(substr(t, i + 1, $WinnowK)), 1, 8) AS h
+         |  FROM (SELECT doc_id, t,
+         |          unnest(generate_series(0, length(t) - $WinnowK)) AS i
+         |        FROM n)
+         |), wm AS (
+         |  SELECT doc_id, i,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS f,
+         |    max(i) OVER (PARTITION BY doc_id) AS mi
+         |  FROM h
+         |), fp AS (
+         |  SELECT DISTINCT doc_id, f FROM wm WHERE i <= mi - ${WinnowW - 1}
+         |), idx AS (
+         |  SELECT f FROM fp GROUP BY f
+         |  HAVING count(*) BETWEEN 2 AND $NgramDfCap
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM fp a JOIN idx ON a.f = idx.f
+         |  JOIN fp b ON b.f = a.f AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, CAST(c AS BIGINT) AS n_shared
+         |FROM pairs WHERE c >= 2 ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q_dedup_simhash" -> {
       val sums = (0 until 16).map(b =>
         s"SUM(CASE WHEN strpos('13579bdf', substr(md5(tok), ${b + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS s$b")

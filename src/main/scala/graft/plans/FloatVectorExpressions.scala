@@ -172,6 +172,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[FingerprintMin].getName, "fingerprint_min"),
       (es: Seq[Expression]) => FingerprintMin(es(0),
         litInt(es(1), "fingerprint_min"))),
+    (FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (es: Seq[Expression]) => WinnowFingerprints(es(0),
+        litInt(es(1), "winnow_fingerprints"),
+        litInt(es(2), "winnow_fingerprints"))),
     (FunctionIdentifier("simhash_fp"),
       new ExpressionInfo(classOf[SimhashFp].getName, "simhash_fp"),
       (es: Seq[Expression]) => SimhashFp(es(0),
@@ -185,7 +190,17 @@ object GraftFunctions {
       (es: Seq[Expression]) => RpBandKeys(es(0),
         if (es.length > 1) litInt(es(1), "rp_band_keys") else RpLsh.Bands,
         if (es.length > 2) litInt(es(2), "rp_band_keys")
-        else RpLsh.BitsPerBand)))
+        else RpLsh.BitsPerBand)),
+    (FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      (es: Seq[Expression]) => BloomAgg(es(0),
+        if (es.length > 1) litInt(es(1), "bloom_agg")
+        else GraftBloom.DefaultHexChars)),
+    (FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_contains"),
+      (es: Seq[Expression]) => BloomMightContain(es(0), es(1),
+        if (es.length > 2) litInt(es(2), "bloom_contains")
+        else GraftBloom.DefaultHexChars)))
 
   /** Idempotently register on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -102,6 +102,58 @@ object GraftHash {
     UTF8String.fromString(sb.toString)
   }
 
+  /** DISTINCT winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    * scheme): the minimum 8-hex-char md5 slice of every length-`w` window
+    * of consecutive char `nGram`-gram hashes, deduplicated. Selection is
+    * CONTENT-defined, so a passage shared by two documents selects the
+    * same fingerprints regardless of its byte offset in either doc —
+    * the alignment-robustness stride-sampled shingles lack — with the
+    * classic guarantee: any common substring of length ≥ nGram + w − 1
+    * shares at least one fingerprint. Only the distinct VALUE set is
+    * returned (ascending), so within-window tie-breaking cannot matter
+    * and the set equals the oracle's DISTINCT window-min formulation
+    * exactly (fixed-width hex ≡ unsigned numeric order). Rolling min via
+    * a monotonic deque — O(n) per doc, one pass, no allocation per
+    * window. Null below one full window (text shorter than
+    * nGram + w − 1). */
+  def winnowFingerprints(t: UTF8String, nGram: Int, w: Int): ArrayData = {
+    val nChars = t.numChars()
+    val nPos = nChars - nGram + 1
+    if (nPos < w) return null
+    val bytes = t.getBytes
+    val ascii = bytes.length == nChars
+    val md = mdLocal.get()
+    val vals = new Array[Long](nPos)
+    var p = 0
+    while (p < nPos) {
+      val d = shingleDigest(md, t, bytes, ascii, p, nGram)
+      vals(p) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      p += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val deque = new Array[Int](nPos)
+    var head = 0
+    var tail = 0
+    var i = 0
+    while (i < nPos) {
+      while (tail > head && vals(deque(tail - 1)) >= vals(i)) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) sel.add(vals(deque(head)))
+      i += 1
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var j = 0
+    while (it.hasNext) {
+      out(j) = UTF8String.fromString(f"${it.next().longValue()}%08x")
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < a.length) {
@@ -215,6 +267,38 @@ case class SimhashFp(child: Expression, bits: Int)
     defineCodeGen(ctx, ev, c => s"graft.plans.GraftHash.simhashFp($c, $bits)")
 
   override protected def withNewChildInternal(newChild: Expression): SimhashFp =
+    copy(child = newChild)
+}
+
+/** `winnow_fingerprints(text, nGram, w)` → ascending array of the distinct
+  * winnowing fingerprints (see [[GraftHash.winnowFingerprints]]). */
+case class WinnowFingerprints(child: Expression, nGram: Int, w: Int)
+    extends UnaryExpression {
+  require(nGram >= 1 && w >= 1,
+    s"winnow_fingerprints needs positive nGram/w, got ($nGram, $w)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true // short input → null
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.winnowFingerprints(input.asInstanceOf[UTF8String], nGram, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.GraftHash.winnowFingerprints($c, $nGram, $w);
+         |${ev.isNull} = ${ev.value} == null;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }
 

@@ -443,6 +443,67 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaWindow.exceptAll(got).count() == 0)
   }
 
+  test("lmScore matches hand-computed bigram MLE on a tiny corpus") {
+    import spark.implicits._
+    // corpus bigram counts: (a,b)=3 (b,a)=1 (b,c)=1 (c,c)=1
+    // contexts: a->3 b->2 c->1  =>  p(b|a)=1  p(a|b)=p(c|b)=1/2  p(c|c)=1
+    val tiny = Seq(
+      (0L, "a b a b"), // p6s: 1000000 + 500000 + 1000000
+      (1L, "a b c"),   // p6s: 1000000 + 500000
+      (2L, "c c"),     // p6s: 1000000
+      (3L, "x")        // single token: no bigram, excluded
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.lmScore(tiny).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    val byDoc = got.map(r => r.getLong(0) ->
+      ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_p6"),
+        r.getAs[Double]("lm_score")))).toMap
+    assert(byDoc(0L) == ((3L, 2500000L, 2500000.0 / 3000000.0)))
+    assert(byDoc(1L) == ((2L, 1500000L, 1500000.0 / 2000000.0)))
+    assert(byDoc(2L) == ((1L, 1000000L, 1.0)))
+  }
+
+  test("lmScore covers every multi-token doc with scores in (0, 1]") {
+    val got = CorpusOps.lmScore(docs)
+    val eligible = docs
+      .filter(size(split(lower(trim(col("text"))), " ")) >= 2).count()
+    assert(got.count() == eligible)
+    val scores = got.collect().map(_.getAs[Double]("lm_score"))
+    assert(scores.forall(s => s > 0.0 && s <= 1.0))
+  }
+
+  test("redact scrubs planted PII and probe phrases with exact counts") {
+    import spark.implicits._
+    val planted = Seq(
+      (0L, "contact Bob.Smith+x@example.co.uk or call 12345678 now"),
+      (1L, "server at 10.0.0.1 and 192.168.1.255 fast slow filter end"),
+      (2L, "clean text with no secrets")
+    ).toDF("doc_id", "text")
+    val by = TextOps.redact(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(by(0L).getAs[Int]("n_email") == 1)
+    assert(by(0L).getAs[Int]("n_num") == 1)
+    assert(by(0L).getAs[String]("text_redacted") ==
+      "contact [EMAIL] or call [NUM] now")
+    assert(by(1L).getAs[Int]("n_ip") == 2)
+    assert(by(1L).getAs[Int]("n_probe") == 1)
+    assert(by(1L).getAs[String]("text_redacted") ==
+      "server at [IP] and [IP] [REDACTED] end")
+    assert(by(2L).getAs[String]("text_redacted") == "clean text with no secrets")
+  }
+
+  test("redact on the corpus: probe phrases hit, PII counts stay zero") {
+    val r = TextOps.redact(docs)
+    assert(r.agg(sum("n_probe")).collect().head.getLong(0) > 0)
+    val pii = r.agg(sum("n_email"), sum("n_ip"), sum("n_num"))
+      .collect().head
+    assert((0 to 2).forall(pii.getLong(_) == 0L))
+    // scrubbed corpus no longer contaminates
+    val rescreen = CorpusOps.contamination(
+      r.select(col("doc_id"), col("text_redacted").as("text")))
+    assert(rescreen.count() == 0)
+  }
+
   test("corpusFilter helper columns agree with the standalone operators") {
     val q = TextOps.quality(docs).select(col("doc_id"), col("quality_score"))
     val viaHelper = docs.select(col("doc_id"),

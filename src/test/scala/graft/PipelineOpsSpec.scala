@@ -11,6 +11,94 @@ class PipelineOpsSpec extends SparkSpec {
   private def docs = Tables.documents(spark, sfDir)
   private def embs = Tables.embeddings(spark, sfDir)
 
+  test("dedupSubstring finds a shared passage regardless of offset") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    val planted = Seq(
+      (0L, s"alpha beta gamma delta $passage epsilon zeta"),
+      (1L, s"unrelated opening phrase entirely distinct here $passage plus trailing tail"),
+      (2L, "no shared runs in this body at all whatsoever for anybody today"),
+      (3L, "another fully separate text corpus with its own tokens only")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.dedupSubstring(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 64-char passage sits at DIFFERENT offsets in 0 and 1 —
+    // content-defined selection still pairs them
+    assert(pairs.contains((0L, 1L)), s"got $pairs")
+    assert(pairs.forall { case (a, b) => !Set(a, b).exists(Set(2L, 3L)) })
+  }
+
+  test("contaminationBloom never misses an exact hit; wider bitmap only narrows") {
+    import spark.implicits._
+    val exact = CorpusOps.contaminationNgram(docs)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val flagged4 = CorpusOps.contaminationBloom(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged4), s"bloom missed: ${exact -- flagged4}")
+    // hexChars=5 positions refine hexChars=4 prefixes, so the flag set is
+    // monotone: anything flagged at 5 hex chars is flagged at 4
+    val flagged5 = CorpusOps.contaminationBloom(docs,
+      CorpusOps.Probes.toDF("probe"), hexChars = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged5))
+    assert(flagged5.subsetOf(flagged4))
+  }
+
+  test("bloom expressions: membership, forced false positives, geometry guard") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val items = (1 to 8).map(i => s"item $i").toDF("s")
+    items.createOrReplaceTempView("bloom_items")
+    // every inserted item is contained (no false negatives, any geometry)
+    val fn = spark.sql(
+      """SELECT count(*) AS n FROM bloom_items,
+        |  (SELECT bloom_agg(s) AS b FROM bloom_items)
+        |WHERE NOT bloom_contains(b, s)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(fn == 0)
+    // at hexChars=1 (16-bit bitmap) 8 items set most bits: false
+    // positives are guaranteed and deterministic
+    val probes = (1 to 50).map(i => s"absent $i").toDF("p")
+    probes.createOrReplaceTempView("bloom_probes")
+    val fp = spark.sql(
+      """SELECT count(*) AS n FROM bloom_probes,
+        |  (SELECT bloom_agg(s, 1) AS b FROM bloom_items)
+        |WHERE bloom_contains(b, p, 1)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(fp > 0, "16-bit bloom over 8 items must false-positive")
+    // build/probe geometry mismatch is a hard error, not a wrong answer
+    val err = intercept[Exception] {
+      spark.sql(
+        """SELECT bloom_contains(b, 'x', 5)
+          |FROM (SELECT bloom_agg(s, 4) AS b FROM bloom_items)""".stripMargin)
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("dedupRepresentative agrees with a window-argmax over dedupClusters") {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = DedupOps.dedupClusters(docs)
+    val q = docs.select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("q"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("q").desc, col("doc_id").asc)
+    val expected = clusters.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("n_members"),
+        col("doc_id").as("rep_doc_id"), col("q").as("rep_quality"))
+    val got = DedupOps.dedupRepresentative(docs)
+    assert(got.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(got).count() == 0)
+    // the fixture corpus has real near-dup families, so the argmax is
+    // exercised on multi-member clusters, not just singletons
+    assert(got.filter(col("n_members") > 1).count() > 0)
+    assert(got.count() == clusters.select("cluster_id").distinct().count())
+  }
+
   test("dedupExact: representatives cover all docs, n_copies sums to corpus") {
     val df = DedupOps.dedupExact(docs)
     assert(df.agg(sum("n_copies")).collect().head.getLong(0) == docs.count())

@@ -209,6 +209,37 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("q_redact: pure row-level — no Exchange except the output sort") {
+    val p = plan(TextOps.redact(Tables.documents(spark, sfDir)))
+    assert(exchangeCount(p) <= 1, s"${exchangeCount(p)} exchanges:\n$p")
+  }
+
+  test("q_lm_score: ONE corpus pass — no parquet re-scan past the checkpoint") {
+    val p = plan(CorpusOps.lmScore(Tables.documents(spark, sfDir)))
+    // counts, c1 derivation, and the probe side all read the
+    // checkpointed bigram RDD; the parquet scan happened exactly once
+    // while building it
+    assert(!p.contains("Scan parquet"), p)
+  }
+
+  test("q_contamination_bloom: the gram stream never shuffles before the probe") {
+    val p = plan(CorpusOps.contaminationBloom(Tables.documents(spark, sfDir)))
+    assert(p.contains("bloom_contains"), p)
+    // hash shuffles belong to the post-filter distinct + per-doc count
+    // ONLY — a third would mean the full gram stream crossed the wire
+    val hashEx = p.linesIterator
+      .count(_.matches("""\(\d+\) Exchange hashpartitioning.*"""))
+    assert(hashEx <= 2, s"$hashEx hash exchanges:\n$p")
+  }
+
+  test("q_dedup_substring: native winnow expression, two Generates only") {
+    graft.plans.GraftFunctions.register(spark)
+    val p = plan(DedupOps.dedupSubstring(Tables.documents(spark, sfDir)))
+    assert(p.contains("winnow_fingerprints"), p)
+    val generates = p.linesIterator.count(_.trim.startsWith("Generate"))
+    assert(generates <= 2, s"$generates Generate nodes:\n$p")
+  }
+
   test("q_dedup_minhash signature stage has no explode (row-level transform)") {
     val p = plan(DedupOps.dedupMinhash(Tables.documents(spark, sfDir)))
     // one explode exists for band keys only; the shingle stage must not
