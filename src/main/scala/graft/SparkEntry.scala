@@ -79,6 +79,7 @@ object SparkEntry {
     "q_ann_ivf_q8" -> ((s, dir) =>
       AnnOps.annIvfQ8(AnnOps.quantizedVectors(Tables.embeddings(s, dir)))),
     "q_centroid" -> ((s, dir) => AnnOps.centroid(Tables.embeddings(s, dir))),
+    "q_kmeans" -> ((s, dir) => AnnOps.kmeans(Tables.embeddings(s, dir))),
     // --- text analysis (§2 rows 31-34) ---
     "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextOps.quality(Tables.documents(s, dir))),

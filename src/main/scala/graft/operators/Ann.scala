@@ -149,6 +149,102 @@ object AnnOps {
         (col("sum_q6") / 1e6 / col("n")).as("mean_val"))
       .orderBy("label", "pos")
 
+  /** §2-79 `q_kmeans`: Lloyd's k-means over the embedding corpus — the
+    * IVF LIST-TRAINING step [[annIvf]]/[[annIvfQ8]] presuppose: they
+    * search `label` lists, and this operator is what turns `label` from
+    * "whatever partition the data arrived with" into LEARNED cells
+    * (assign each vector to its nearest of k trained centroids). Output
+    * is the assignment (vec_id, list_id, dist) — the list layout a real
+    * IVF build writes label-partitioned ([[graft.sources.Sinks]]) and
+    * then searches.
+    *
+    * Every arithmetic step is exact-integer so the whole trajectory —
+    * seeds, every intermediate centroid, every argmin — is
+    * bit-reproducible in DuckDB (the oracle unrolls the iterations as
+    * CTEs):
+    *   - vectors quantize to q6 = round(v×10⁶) int64 micro-units (the
+    *     repo-wide 6-dp convention);
+    *   - seeds are the k vectors first in md5(vec_id) order (the
+    *     deterministic hash-draw q_sample/q_split use) — rerun-stable,
+    *     no RNG state, list_id = draw rank;
+    *   - assignment is argmin of the exact int64 squared distance
+    *     Σ(q6ᵢ−cᵢ)², ties to the smaller list_id;
+    *   - the centroid update is the member mean rounded back to integer
+    *     micro-units via the signed (2a+b) div (2b) half-away-from-zero
+    *     identity ([[quantize]]'s trick) — centroids never leave int64,
+    *     so the NEXT round's argmin is exact too. A list that loses all
+    *     members keeps its previous centroid (both engines).
+    *
+    * Scale shape (the standard broadcast Lloyd's): the k×d centroid
+    * table collapses to ONE collect_list row broadcast to every task,
+    * and each vector argmins LOCALLY (array_min over a codegen'd HOF
+    * loop) — assignment is a pure map, zero shuffle, no groupBy. The
+    * only shuffle per round is the (list, dim)-bounded centroid-update
+    * agg (map-side partials; ≤ k·d rows move). `iters` fixed rounds =
+    * `iters`+1 corpus scans, Lloyd's floor; the quantized stream is
+    * lazily localCheckpointed so the scans re-read ~8 B/component
+    * instead of re-quantizing (and AQE's no-subtree-dedup can't bite).
+    *
+    * Input contract: NULL/non-finite components drop the vector (the
+    * family guard), and the magnitude bound here is |v| ≤ 100 — tighter
+    * than quantize's 10⁶ because the ARGMIN must stay in int64:
+    * |q6| ≤ 10⁸ ⇒ Σ₆₄(2·10⁸)² ≈ 2.6·10¹⁸ < 2⁶³. Unit-norm embedding
+    * corpora sit orders of magnitude inside it. */
+  def kmeans(embeddings: DataFrame, k: Int = 10, iters: Int = 2): DataFrame = {
+    val g = embeddings
+      .filter(expr(
+        "size(filter(embedding, v -> v is null or isnan(cast(v as double)) " +
+          "or abs(cast(v as double)) > 100)) = 0"))
+      .select(col("vec_id"), expr(
+        "transform(embedding, v -> cast(round(cast(v as double) * 1e6) as bigint))")
+        .as("q6s"))
+      .localCheckpoint(false)
+    val seeds = g
+      .select(expr("md5(cast(vec_id as string))").as("h"), col("vec_id"),
+        col("q6s"))
+      .orderBy("h", "vec_id")
+      .limit(k)
+    val c0 = seeds
+      .withColumn("list_id", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("h", "vec_id")) - 1)
+        .cast("int"))
+      .select(col("list_id"), col("q6s").as("c"))
+    // (vec_id, q6s, list_id, dist): nearest-centroid assignment as a pure
+    // map — `cents` (k rows) collapses to one broadcast row; the argmin
+    // runs inside the row. collect_list order is plan-dependent but
+    // array_min is order-insensitive.
+    def assign(cents: DataFrame): DataFrame =
+      g.crossJoin(broadcast(
+          cents.agg(collect_list(struct(col("list_id"), col("c"))).as("cs"))))
+        .select(col("vec_id"), col("q6s"), expr(
+          "array_min(transform(cs, s -> named_struct(" +
+            "'dist', aggregate(zip_with(q6s, s.c, (a, b) -> (a - b) * (a - b)), " +
+            "cast(0 as bigint), (acc, x) -> acc + x), " +
+            "'list_id', s.list_id)))").as("m"))
+        .select(col("vec_id"), col("q6s"),
+          col("m.list_id").as("list_id"), col("m.dist").as("dist"))
+    val cT = (1 to iters).foldLeft(c0) { (c, _) =>
+      val upd = assign(c)
+        .select(col("list_id"), posexplode(col("q6s")).as(Seq("pos", "v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cq", expr(
+          "if(s >= 0, (2*s + n) div (2*n), -((2*(-s) + n) div (2*n)))"))
+        .groupBy("list_id")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, cq))), x -> x.cq)")
+          .as("cu"))
+      // k-row frame: eager checkpoint cuts the per-round lineage (the
+      // iterate-to-fixpoint lesson from connectedComponents) at the cost
+      // of one tiny job per round.
+      c.join(upd, Seq("list_id"), "left")
+        .select(col("list_id"), coalesce(col("cu"), col("c")).as("c"))
+        .localCheckpoint()
+    }
+    assign(cT)
+      .select(col("vec_id"), col("list_id"), col("dist"))
+      .orderBy("vec_id")
+  }
+
   /** §2-70 `q_quantize`: per-vector symmetric int8 quantization — the
     * index-compression step of a product/scalar-quantized ANN index
     * (IVF-PQ's little sibling): each component becomes
@@ -299,6 +395,78 @@ object AnnOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_kmeans" ->
+      """WITH g AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      v -> CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS q6s
+        |  FROM embeddings
+        |  WHERE len(list_filter(embedding,
+        |        v -> v IS NULL OR NOT isfinite(CAST(v AS DOUBLE))
+        |             OR abs(CAST(v AS DOUBLE)) > 100)) = 0
+        |), c0 AS (
+        |  SELECT CAST(rn - 1 AS INTEGER) AS list_id, q6s AS c
+        |  FROM (SELECT q6s, row_number() OVER
+        |          (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM g)
+        |  WHERE rn <= 10
+        |), d0 AS (
+        |  SELECT g.vec_id, g.q6s, c.list_id,
+        |    CAST(list_sum(list_transform(list_zip(g.q6s, c.c),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |  FROM g CROSS JOIN c0 c
+        |), a0 AS (
+        |  SELECT vec_id, q6s, list_id, dist FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY vec_id ORDER BY dist, list_id) AS rn FROM d0)
+        |  WHERE rn = 1
+        |), s1 AS (
+        |  SELECT list_id, CAST(i - 1 AS INTEGER) AS pos,
+        |    SUM(q6s[i]) AS s, COUNT(*) AS n
+        |  FROM (SELECT list_id, q6s,
+        |        unnest(generate_series(1, len(q6s))) AS i FROM a0)
+        |  GROUP BY list_id, i
+        |), u1 AS (
+        |  -- the signed (2a+b)//(2b) half-away-from-zero rounded mean
+        |  SELECT list_id, list(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+        |                       ELSE -((2*(-s) + n) // (2*n)) END ORDER BY pos) AS c
+        |  FROM s1 GROUP BY list_id
+        |), c1 AS (
+        |  SELECT list_id, COALESCE(u1.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN u1 USING (list_id)
+        |), d1 AS (
+        |  SELECT g.vec_id, g.q6s, c.list_id,
+        |    CAST(list_sum(list_transform(list_zip(g.q6s, c.c),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |  FROM g CROSS JOIN c1 c
+        |), a1 AS (
+        |  SELECT vec_id, q6s, list_id, dist FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY vec_id ORDER BY dist, list_id) AS rn FROM d1)
+        |  WHERE rn = 1
+        |), s2 AS (
+        |  SELECT list_id, CAST(i - 1 AS INTEGER) AS pos,
+        |    SUM(q6s[i]) AS s, COUNT(*) AS n
+        |  FROM (SELECT list_id, q6s,
+        |        unnest(generate_series(1, len(q6s))) AS i FROM a1)
+        |  GROUP BY list_id, i
+        |), u2 AS (
+        |  SELECT list_id, list(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+        |                       ELSE -((2*(-s) + n) // (2*n)) END ORDER BY pos) AS c
+        |  FROM s2 GROUP BY list_id
+        |), c2 AS (
+        |  SELECT list_id, COALESCE(u2.c, c1.c) AS c
+        |  FROM c1 LEFT JOIN u2 USING (list_id)
+        |), df AS (
+        |  SELECT g.vec_id, c.list_id,
+        |    CAST(list_sum(list_transform(list_zip(g.q6s, c.c),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |  FROM g CROSS JOIN c2 c
+        |)
+        |SELECT vec_id, list_id, dist FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY dist, list_id) AS rn FROM df)
+        |WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     "q_ann_ivf_q8" ->
       """WITH base AS (
         |  SELECT vec_id, label,

@@ -867,6 +867,49 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans: partitions the corpus, seeds self-assign at iters=0, Lloyd's improves") {
+    val k = 10
+    val a0 = AnnOps.kmeans(embs, k = k, iters = 0).cache()
+    val a2 = AnnOps.kmeans(embs, k = k, iters = 2).cache()
+    val n = embs.count() // fixture vectors are all finite and |v| <= 100
+    for (a <- Seq(a0, a2)) {
+      assert(a.count() == n)
+      assert(a.select("vec_id").distinct().count() == n)
+      val lists = a.select("list_id").distinct().collect().map(_.getInt(0))
+      assert(lists.forall(l => l >= 0 && l < k))
+    }
+    // at iters=0 each of the k seeds is its own centroid: k distinct
+    // lists each contain a dist-0 member (the seed itself)
+    val seedLists = a0.filter(col("dist") === 0L)
+      .select("list_id").distinct().count()
+    assert(seedLists == k, s"only $seedLists/$k seed lists have a dist-0 member")
+    // Lloyd's guarantee survives the integer-rounded centroids: two
+    // update rounds never worsen the total within-cluster distance
+    val d0 = a0.agg(sum("dist")).head().getLong(0)
+    val d2 = a2.agg(sum("dist")).head().getLong(0)
+    assert(d2 <= d0, s"iters=2 total dist $d2 > iters=0 $d0")
+  }
+
+  test("kmeans trains the IVF lists: full-probe annIvf over learned cells equals brute force") {
+    // the composition the operator exists for — the learned assignment
+    // becomes the `label` list layout annIvf searches; probing ALL lists
+    // must reproduce the brute-force ranking exactly (the list layout
+    // changes what is PRUNED, never what is scored)
+    val relabeled = embs.drop("label").join(
+      AnnOps.kmeans(embs, k = 10, iters = 2)
+        .select(col("vec_id"), col("list_id").cast("int").as("label")), "vec_id")
+    val brute = AnnOps.annTopK(embs, k = 5).collect().map(_.getLong(0)).toSeq
+    val full = AnnOps.annIvf(relabeled, k = 5, nProbe = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute, s"full-probe $full != brute $brute")
+    // a narrow probe prunes but still returns k hits from probed lists only
+    val probed = AnnOps.annIvf(relabeled, k = 5, nProbe = 2).collect()
+    val lists = relabeled.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probedLists = probed.map(r => lists(r.getLong(0))).toSet
+    assert(probed.length == 5 && probedLists.size <= 2)
+  }
+
   test("langId: prediction is one of the marker languages") {
     val langs = TextOps.Markers.map(_._1).toSet
     val df = TextOps.langId(docs).cache()

@@ -240,6 +240,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(generates <= 2, s"$generates Generate nodes:\n$p")
   }
 
+  test("q_kmeans assignment is a pure map: broadcast centroids, vector side never shuffles") {
+    val p = plan(AnnOps.kmeans(Tables.embeddings(spark, sfDir), k = 10, iters = 2))
+    // the k-row centroid table rides a broadcast nested loop (one row of
+    // collect_list'd structs); the argmin happens inside each row
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // exchanges: the k-row collect_list agg + the output sort — the
+    // corpus-sized q6 stream itself never crosses the wire
+    assert(exchangeCount(p) <= 2, s"${exchangeCount(p)} exchanges:\n$p")
+  }
+
   test("q_dedup_minhash signature stage has no explode (row-level transform)") {
     val p = plan(DedupOps.dedupMinhash(Tables.documents(spark, sfDir)))
     // one explode exists for band keys only; the shingle stage must not
