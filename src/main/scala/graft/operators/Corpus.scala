@@ -526,6 +526,45 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** §2-80 `q_curate`: the end-to-end curation MANIFEST — the whole
+    * preprocessing pipeline as ONE declarative plan: language gate,
+    * quality gate, decontamination ([[Probes]] screened row-level),
+    * exact-dedup representative, split assignment, and the token count
+    * the mixing stage budgets with — per surviving doc. This is the
+    * composition test of the library: a user runs ONE query and gets
+    * the post-curation training manifest ([[corpusFilter]] is the
+    * keep-set subset of it; [[tokenBudgetSample]]/[[pack]] consume its
+    * columns downstream).
+    *
+    * Composition stays one-scan-one-shuffle: every gate is a row-level
+    * Column over the same pass (lang/quality/contains-probes/split —
+    * Catalyst fuses them into one WholeStageCodegen over the scan), and
+    * the ONLY shuffle is the exact-dup text_hash window. Gate-before-
+    * shuffle is group-sound: exact copies share text, so lang/quality/
+    * contamination verdicts are identical across a dup group — the
+    * group survives or drops whole, and min(doc_id) over survivors
+    * equals min over the group ([[corpusFilter]]'s argument, extended
+    * by the text-pure contamination predicate). At 100 TB the wide
+    * shuffle moves only gate-survivors, and the decontamination costs
+    * zero extra IO (same read). */
+  def curate(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("text_hash")
+    val contaminated = Probes.map(p =>
+      contains(TextFuns.norm(col("text")), lit(p))).reduce(_ || _)
+    documents
+      .withColumn("pred_lang", TextOps.predLang(col("text")))
+      .withColumn("quality_score", TextOps.qualityScore(col("text")))
+      .filter(col("pred_lang") === "en" && col("quality_score") >= QualityTau
+        && !contaminated)
+      .withColumn("text_hash", md5(TextFuns.norm(col("text")).cast("binary")))
+      .withColumn("rep_doc_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("rep_doc_id"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        size(TextFuns.tokens(col("text"))).as("n_tokens"),
+        splitOf(col("doc_id")).as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark probes for the decontamination scan — in production this
     * is the eval-set n-gram list; here a deterministic sample of corpus
     * phrases. */
@@ -975,34 +1014,57 @@ object CorpusOps {
         |FROM documents
         |GROUP BY CUBE (source, lang)
         |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST, gid""".stripMargin,
-    "q_corpus_filter" -> {
-      val langScores = TextOps.Markers.map { case (l, ws) =>
-        val in = ws.map(TextFuns.sqlLit).mkString(", ")
-        s"len(list_filter($toksSql, t -> t IN ($in))) AS s_$l"
-      }.mkString(",\n  ")
-      val langs = TextOps.Markers.map(_._1)
-      val langCases = langs.init.zipWithIndex.map { case (l, i) =>
-        val conds = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
-        s"WHEN $conds THEN '$l'"
-      }.mkString("\n    ")
-      val stopIn = TextOps.Stopwords.map(TextFuns.sqlLit).mkString(", ")
-      s"""WITH s AS (
-         |  SELECT doc_id, source, text,
-         |    MIN(doc_id) OVER (PARTITION BY md5($normSql)) AS rep_doc_id,
-         |    $langScores,
-         |    least(CAST(1 AS DOUBLE), len($toksSql) / 100.0) * 0.6
-         |      + len(list_filter($toksSql, t -> t IN ($stopIn))) * 1.0
-         |        / len($toksSql) * 0.2
-         |      + (CASE WHEN (length($normSql) - (len($toksSql) - 1)) * 1.0 / len($toksSql)
-         |              BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END) AS quality_score
-         |  FROM documents
-         |), p AS (
-         |  SELECT *, CASE $langCases ELSE '${langs.last}' END AS pred_lang FROM s
-         |)
+    "q_corpus_filter" ->
+      s"""$filterCtePrefix
          |SELECT doc_id, source, pred_lang, quality_score
          |FROM p
          |WHERE doc_id = rep_doc_id AND pred_lang = 'en' AND quality_score >= $QualityTau
+         |ORDER BY doc_id""".stripMargin,
+    "q_curate" -> {
+      val notContaminated = Probes
+        .map(p => s"NOT contains($normSql, ${TextFuns.sqlLit(p)})")
+        .mkString(" AND ")
+      s"""$filterCtePrefix
+         |SELECT doc_id, source, quality_score,
+         |  len($toksSql) AS n_tokens,
+         |  $splitCaseSql AS split
+         |FROM p
+         |WHERE doc_id = rep_doc_id AND pred_lang = 'en'
+         |  AND quality_score >= $QualityTau
+         |  AND $notContaminated
          |ORDER BY doc_id""".stripMargin
     }
   )
+
+  /** The `WITH s …, p …` oracle prefix computing per-doc rep_doc_id,
+    * marker-language scores, pred_lang, and quality_score — shared by
+    * the q_corpus_filter and q_curate oracles so the two composed
+    * filters cannot drift. (The rep window runs over ALL docs while the
+    * Spark side gates first — sound because every gate is text-pure, so
+    * a dup group survives or drops whole and the min is unchanged.) */
+  private lazy val filterCtePrefix: String = {
+    val langScores = TextOps.Markers.map { case (l, ws) =>
+      val in = ws.map(TextFuns.sqlLit).mkString(", ")
+      s"len(list_filter($toksSql, t -> t IN ($in))) AS s_$l"
+    }.mkString(",\n  ")
+    val langs = TextOps.Markers.map(_._1)
+    val langCases = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n    ")
+    val stopIn = TextOps.Stopwords.map(TextFuns.sqlLit).mkString(", ")
+    s"""WITH s AS (
+       |  SELECT doc_id, source, text,
+       |    MIN(doc_id) OVER (PARTITION BY md5($normSql)) AS rep_doc_id,
+       |    $langScores,
+       |    least(CAST(1 AS DOUBLE), len($toksSql) / 100.0) * 0.6
+       |      + len(list_filter($toksSql, t -> t IN ($stopIn))) * 1.0
+       |        / len($toksSql) * 0.2
+       |      + (CASE WHEN (length($normSql) - (len($toksSql) - 1)) * 1.0 / len($toksSql)
+       |              BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END) AS quality_score
+       |  FROM documents
+       |), p AS (
+       |  SELECT *, CASE $langCases ELSE '${langs.last}' END AS pred_lang FROM s
+       |)""".stripMargin
+  }
 }

@@ -514,4 +514,22 @@ class CorpusOpsSpec extends SparkSpec {
       TextOps.predLang(col("text")).as("pred_lang"))
     assert(l.exceptAll(viaLang).count() == 0)
   }
+
+  test("curate = corpusFilter keep-set minus contaminated docs, with split/token columns intact") {
+    val manifest = CorpusOps.curate(docs).cache()
+    val keepSet = CorpusOps.corpusFilter(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hits = CorpusOps.contamination(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = manifest.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == (keepSet -- hits),
+      s"manifest ${got.size} docs vs keep ${keepSet.size} minus hits ${hits.size}")
+    assert(hits.nonEmpty, "fixture has no contamination hits — spec can't bite")
+    // the manifest's split and token columns agree with the standalone ops
+    val split = CorpusOps.split(docs).select("doc_id", "split")
+    assert(manifest.select("doc_id", "split").exceptAll(split).count() == 0)
+    val toks = TextOps.tokenCounts(docs)
+      .select(col("doc_id"), col("n_ws_tokens").as("n_tokens"))
+    assert(manifest.select("doc_id", "n_tokens").exceptAll(toks).count() == 0)
+  }
 }

@@ -56,6 +56,13 @@ class PlanAuditSpec extends SparkSpec {
   private def exchangeCount(p: String): Int =
     p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
 
+  /** Count HASH exchanges (FormattedMode puts the partitioning on the
+    * detail node's `Arguments:` line, never on the `(n) Exchange` line —
+    * a regex against the latter counts zero, vacuously). */
+  private def hashExchangeCount(p: String): Int =
+    p.linesIterator.count(l =>
+      l.trim.startsWith("Arguments: hashpartitioning"))
+
   test("q_match_stats: exactly one shuffle (partial agg map-side)") {
     val p = plan(EventOps.matchStats(Tables.events(spark, sfDir)))
     // one Exchange for the groupBy, one for the final orderBy — no more
@@ -225,11 +232,15 @@ class PlanAuditSpec extends SparkSpec {
   test("q_contamination_bloom: the gram stream never shuffles before the probe") {
     val p = plan(CorpusOps.contaminationBloom(Tables.documents(spark, sfDir)))
     assert(p.contains("bloom_contains"), p)
-    // hash shuffles belong to the post-filter distinct + per-doc count
-    // ONLY — a third would mean the full gram stream crossed the wire
-    val hashEx = p.linesIterator
-      .count(_.matches("""\(\d+\) Exchange hashpartitioning.*"""))
-    assert(hashEx <= 2, s"$hashEx hash exchanges:\n$p")
+    // exactly three hash shuffles, none of them the gram stream: the
+    // probe-side lens distinct (3 rows), the POST-filter hit distinct,
+    // and the per-doc count — a fourth would mean the full gram stream
+    // crossed the wire (e.g. a pre-filter distinct)
+    assert(hashExchangeCount(p) <= 3, s"${hashExchangeCount(p)} hash exchanges:\n$p")
+    // and the hit distinct's exchange is keyed (doc_id, gram) — the
+    // gram stream alone is never a shuffle key
+    assert(!p.linesIterator.exists(l =>
+      l.trim.startsWith("Arguments: hashpartitioning(gram")), p)
   }
 
   test("q_dedup_substring: native winnow expression, two Generates only") {
@@ -238,6 +249,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("winnow_fingerprints"), p)
     val generates = p.linesIterator.count(_.trim.startsWith("Generate"))
     assert(generates <= 2, s"$generates Generate nodes:\n$p")
+  }
+
+  test("q_curate: one corpus scan, one hash shuffle (the dedup window)") {
+    val p = plan(CorpusOps.curate(Tables.documents(spark, sfDir)))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) == 1, p)
+    // all gates fuse row-level ahead of the single text_hash exchange;
+    // the only other Exchange is the output sort's range partitioning
+    assert(hashExchangeCount(p) == 1, s"${hashExchangeCount(p)} hash exchanges:\n$p")
   }
 
   test("q_kmeans assignment is a pure map: broadcast centroids, vector side never shuffles") {
