@@ -209,6 +209,47 @@ object EventStream {
       .dropDuplicates("vec_new", "vec_corpus")
   }
 
+  /** §2-C streaming curation — scrub-on-ingest, the streaming twin of
+    * `CorpusOps.curate`: every GATE of the batch manifest is a stateless
+    * row-level Column (language, quality, probe decontamination, split,
+    * token count), so the gate chain runs unchanged on an unbounded
+    * stream of (doc_id, text, source) rows — one micro-batch pass, no
+    * state. The one STATEFUL stage — the exact-dup representative —
+    * becomes the two ingestion-shaped pieces every incremental operator
+    * here uses:
+    *   1. docs whose text_hash already exists in the STANDING corpus
+    *      drop via a stream-static LEFT-ANTI join against the persisted
+    *      hash index (a one-column (text_hash) frame the batch estate
+    *      maintains; re-read per micro-batch, so a nightly index
+    *      refresh picks up without restarting the query);
+    *   2. within and across micro-batches, `dropDuplicates(text_hash)`
+    *      keeps the FIRST arrival as the representative — arrival order
+    *      replaces the batch path's min-doc_id convention, the honest
+    *      streaming semantics (the min id of copies that have not
+    *      arrived yet is unknowable).
+    * State is one 32-char hash per distinct ingested text — never the
+    * text itself; an ingest-timestamped deployment swaps in
+    * `dropDuplicatesWithinWatermark` to bound it by the replay horizon
+    * ([[dedupStream]]'s trade). Append mode; exactly-once via the
+    * checkpointed transactional file sink like every sink here. */
+  def curateStream(docs: DataFrame, corpusHashIndex: DataFrame): DataFrame = {
+    import graft.functions.TextFuns
+    import graft.operators.{CorpusOps, TextOps}
+    val contaminated = CorpusOps.Probes.map(p =>
+      contains(TextFuns.norm(col("text")), lit(p))).reduce(_ || _)
+    docs
+      .withColumn("pred_lang", TextOps.predLang(col("text")))
+      .withColumn("quality_score", TextOps.qualityScore(col("text")))
+      .filter(col("pred_lang") === "en" &&
+        col("quality_score") >= CorpusOps.QualityTau && !contaminated)
+      .withColumn("text_hash", md5(TextFuns.norm(col("text")).cast("binary")))
+      .join(corpusHashIndex.select(col("text_hash")), Seq("text_hash"), "left_anti")
+      .dropDuplicates("text_hash")
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        size(TextFuns.tokens(col("text"))).as("n_tokens"),
+        CorpusOps.splitOf(col("doc_id")).as("split"))
+  }
+
   /** §2-C stream-static enrichment: join the unbounded stream against a
     * bounded dimension. The static side is re-read per micro-batch (so a
     * slowly-changing dim refreshes without restarting the query) and
