@@ -170,6 +170,74 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark retrieval query for [[bm25]] — fixed, like [[Probes]]. */
+  val Bm25Query: Seq[String] = Seq("the", "spark", "fast", "stream")
+
+  /** §2-81 `q_bm25`: BM25 retrieval scoring — rank documents against a
+    * query term set by the classic tf·idf retrieval function with
+    * document-length normalization (k1 = 6/5, b = 3/4). The text-side
+    * twin of the ANN search family: the same "best matches in the
+    * corpus" capability over TOKENS instead of embeddings — and what a
+    * contamination triage or eval-example retrieval runs at curation
+    * time.
+    *
+    * Exactness: textbook BM25 idf is a log — a libm call whose last ulp
+    * is engine-specific (the one class of float op this repo keeps out
+    * of hash compares). This operator uses the raw-odds idf
+    * (N − df + ½)/(df + ½) = (2N − 2df + 1)/(2df + 1): the same
+    * monotone df-ordering, log-free. With k1 = 6/5, b = 3/4 and
+    * avgdl = T/D, the per-term score
+    *   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * multiplies out to the integer ratio
+    *   (2N−2df+1)·22·T·tf / [(2df+1)·(10·T·tf + 3·T + 9·dl·D)]
+    * quantized to q9 micro-units by ONE exact integer division
+    * (`div` / `//` on non-negative DECIMAL operands — identical in
+    * both engines), and the per-doc score is an exact int64 sum of q9
+    * terms. No float op exists anywhere in the query, so the ranking
+    * AND the scores hash-match DuckDB bit for bit. Magnitudes: the
+    * numerator is ≤ 26 digits even at a 10¹³-token corpus —
+    * DECIMAL(38) with headroom (denominator factors are decimal-cast
+    * before multiplying so no int64 intermediate can overflow).
+    *
+    * Scale shape: the exploded token stream filters to QUERY terms at
+    * the map side — only matches reach the (doc, term) shuffle, so the
+    * wire cost is O(query-term occurrences), not O(corpus tokens); dl
+    * rides the explode (min(dl) per group — no join-back to the
+    * corpus); df (≤ |query| rows) and the (D, T) totals broadcast;
+    * top-N compiles to TakeOrderedAndProject. */
+  def bm25(documents: DataFrame, queryTerms: Seq[String] = Bm25Query,
+           topN: Int = 20): DataFrame = {
+    val toks = TextFuns.tokens(col("text"))
+    val totals = documents
+      .agg(count(lit(1)).as("d_total"),
+        sum(size(toks).cast("long")).as("t_total"))
+    val tf = documents
+      .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      // feeds BOTH the score join and the df agg, and AQE does not
+      // dedupe identical subtrees (the round-5 lesson) — without this
+      // the corpus explode+filter runs twice; the checkpointed frame is
+      // (matched docs × query terms) rows, tiny
+      .localCheckpoint(false)
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("score_q9", expr(
+        "cast((cast(2*d_total - 2*df + 1 as decimal(38,0)) * 22 * t_total * tf" +
+          " * 1000000000) div " +
+          "(cast(2*df + 1 as decimal(38,0)) * (10 * cast(t_total as decimal(38,0))" +
+          " * tf + 3 * t_total + 9 * cast(dl as decimal(38,0)) * d_total))" +
+          " as bigint)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_q9")).cast("bigint").as("score_q9"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_q9").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+
   /** §2-74 `q_lm_score`: statistical-LM quality scoring — each document's
     * mean next-token probability under a bigram MLE model fit on the
     * corpus itself (the CCNet-style "does this read like the corpus"
@@ -1014,6 +1082,37 @@ object CorpusOps {
         |FROM documents
         |GROUP BY CUBE (source, lang)
         |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST, gid""".stripMargin,
+    "q_bm25" -> {
+      val terms = Bm25Query.map(TextFuns.sqlLit).mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), tot AS (
+         |  SELECT COUNT(*) AS d_total, CAST(SUM(len(toks)) AS HUGEINT) AS t_total
+         |  FROM d
+         |), m AS (
+         |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d
+         |), tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl FROM m
+         |  WHERE term IN ($terms) GROUP BY doc_id, term
+         |), dft AS (
+         |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  -- the same log-free rational BM25 the Spark side quantizes:
+         |  -- one exact integer division to q9 micro-units per term
+         |  SELECT doc_id,
+         |    CAST((CAST(2*d_total - 2*df + 1 AS HUGEINT) * 22 * t_total * tf
+         |          * 1000000000) //
+         |         (CAST(2*df + 1 AS HUGEINT) *
+         |          (10 * t_total * tf + 3 * t_total + 9 * CAST(dl AS HUGEINT) * d_total))
+         |      AS BIGINT) AS sq
+         |  FROM tf JOIN dft USING (term) CROSS JOIN tot
+         |)
+         |SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_q9,
+         |  COUNT(*) AS n_terms
+         |FROM scored GROUP BY doc_id
+         |ORDER BY score_q9 DESC, doc_id ASC
+         |LIMIT 20""".stripMargin
+    },
     "q_corpus_filter" ->
       s"""$filterCtePrefix
          |SELECT doc_id, source, pred_lang, quality_score

@@ -515,6 +515,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(l.exceptAll(viaLang).count() == 0)
   }
 
+  test("bm25: tf raises a doc, absent terms drop it, length normalization bites") {
+    import spark.implicits._
+    // same-length docs: more 'spark' occurrences must outrank fewer; a
+    // doc with no query term never appears; a SHORTER doc with the same
+    // tf outranks a longer one (the b-normalization)
+    val fixture = Seq(
+      (1L, "spark spark spark pad", "s"),
+      (2L, "spark pad pad pad", "s"),
+      (3L, "pad pad pad pad", "s"),
+      (4L, "spark pad", "s"),
+      (5L, "other words entirely here", "s")).toDF("doc_id", "text", "source")
+    val got = CorpusOps.bm25(fixture, queryTerms = Seq("spark"), topN = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.map(_._1).toSeq == Seq(1L, 4L, 2L),
+      s"ranking was ${got.toSeq}")
+    val score = got.toMap
+    assert(score(1L) > score(4L) && score(4L) > score(2L))
+    // every returned doc really contains >= 1 query term (corpus run)
+    val top = CorpusOps.bm25(docs).collect()
+    assert(top.nonEmpty && top.forall(_.getLong(2) >= 1))
+    val scores = top.map(_.getLong(1)).toSeq
+    assert(scores == scores.sorted.reverse, "scores not non-increasing")
+  }
+
   test("curate = corpusFilter keep-set minus contaminated docs, with split/token columns intact") {
     val manifest = CorpusOps.curate(docs).cache()
     val keepSet = CorpusOps.corpusFilter(docs)

@@ -259,6 +259,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchangeCount(p) == 1, s"${hashExchangeCount(p)} hash exchanges:\n$p")
   }
 
+  test("q_bm25: top-N heap, broadcast stats, map-side term filter — no shuffle join") {
+    val p = plan(CorpusOps.bm25(Tables.documents(spark, sfDir)))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // the df/totals sides broadcast; the corpus-token explode survives
+    // only where a query term matched (filter fused before the agg)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_kmeans assignment is a pure map: broadcast centroids, vector side never shuffles") {
     val p = plan(AnnOps.kmeans(Tables.embeddings(spark, sfDir), k = 10, iters = 2))
     // the k-row centroid table rides a broadcast nested loop (one row of
