@@ -78,6 +78,9 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => AnnOps.annLsh(Tables.embeddings(s, dir))),
     "q_ann_ivf_q8" -> ((s, dir) =>
       AnnOps.annIvfQ8(AnnOps.quantizedVectors(Tables.embeddings(s, dir)))),
+    // (oracle-checked since round 4 — quantized-integer centroids made
+    // the probe order exact)
+    "q_ann_ivf" -> ((s, dir) => AnnOps.annIvf(Tables.embeddings(s, dir))),
     "q_centroid" -> ((s, dir) => AnnOps.centroid(Tables.embeddings(s, dir))),
     "q_kmeans" -> ((s, dir) => AnnOps.kmeans(Tables.embeddings(s, dir))),
     // --- text analysis (§2 rows 31-34) ---
@@ -114,7 +117,6 @@ object SparkEntry {
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---
     "q_summary_approx" -> ((s, dir) => EventOps.summaryApprox(Tables.events(s, dir))),
     "q_percentile_approx" -> ((s, dir) => StatsOps.percentileApprox(Tables.events(s, dir))),
-    "q_ann_ivf" -> ((s, dir) => AnnOps.annIvf(Tables.embeddings(s, dir))),
     "q_frame_sample" -> ((s, dir) => MultimodalOps.frameSample(
       Tables.documents(s, dir).withColumn(
         "payload", org.apache.spark.sql.functions.col("text").cast("binary"))))
