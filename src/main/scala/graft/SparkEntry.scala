@@ -83,6 +83,7 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => AnnOps.annIvf(Tables.embeddings(s, dir))),
     "q_centroid" -> ((s, dir) => AnnOps.centroid(Tables.embeddings(s, dir))),
     "q_kmeans" -> ((s, dir) => AnnOps.kmeans(Tables.embeddings(s, dir))),
+    "q_pq" -> ((s, dir) => AnnOps.pqEncode(Tables.embeddings(s, dir))),
     // --- text analysis (§2 rows 31-34) ---
     "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextOps.quality(Tables.documents(s, dir))),

@@ -190,8 +190,14 @@ object AnnOps {
     * than quantize's 10⁶ because the ARGMIN must stay in int64:
     * |q6| ≤ 10⁸ ⇒ Σ₆₄(2·10⁸)² ≈ 2.6·10¹⁸ < 2⁶³. Unit-norm embedding
     * corpora sit orders of magnitude inside it. */
-  def kmeans(embeddings: DataFrame, k: Int = 10, iters: Int = 2): DataFrame = {
-    val g = embeddings
+  /** The guarded 10⁶-quantized vector stream the clustering family
+    * ([[kmeans]], [[pqEncode]]) shares: NULL/non-finite components drop
+    * the vector, and the magnitude bound is |v| ≤ 100 — tighter than
+    * [[quantize]]'s 10⁶ because integer ARGMINs must stay in int64
+    * (|q6| ≤ 10⁸ ⇒ Σ₆₄(2·10⁸)² ≈ 2.6·10¹⁸ < 2⁶³). Lazily
+    * localCheckpointed: every consumer scans it iters+1 times. */
+  private def q6Guarded(embeddings: DataFrame): DataFrame =
+    embeddings
       .filter(expr(
         "size(filter(embedding, v -> v is null or isnan(cast(v as double)) " +
           "or abs(cast(v as double)) > 100)) = 0"))
@@ -199,6 +205,9 @@ object AnnOps {
         "transform(embedding, v -> cast(round(cast(v as double) * 1e6) as bigint))")
         .as("q6s"))
       .localCheckpoint(false)
+
+  def kmeans(embeddings: DataFrame, k: Int = 10, iters: Int = 2): DataFrame = {
+    val g = q6Guarded(embeddings)
     val seeds = g
       .select(expr("md5(cast(vec_id as string))").as("h"), col("vec_id"),
         col("q6s"))
@@ -243,6 +252,133 @@ object AnnOps {
     assign(cT)
       .select(col("vec_id"), col("list_id"), col("dist"))
       .orderBy("vec_id")
+  }
+
+  /** §2-82 `q_pq`: PRODUCT quantization — the compression endgame of the
+    * ANN family: the vector splits into `m` subspaces, each subspace
+    * gets its own `k`-codeword codebook (per-subspace [[kmeans]], the
+    * same integer-exact Lloyd's), and a vector encodes as `m` codes —
+    * 64 float dims (256 B) become 8 one-byte codes: 32×, past
+    * [[quantize]]'s 4× scalar shrink. [[pqSearch]] is the ADC search
+    * path that reads ONLY codes + codebooks.
+    *
+    * Everything reuses the [[kmeans]] exactness machinery on the
+    * (sub, code) key instead of (list_id): md5-order seed draw (the
+    * same k seed VECTORS sliced per-subspace), int64 squared-distance
+    * argmin per subspace, (2s+n) div (2n) rounded-integer centroid
+    * updates, empty cells keep their previous codeword — the whole
+    * trajectory is bit-reproducible and the DuckDB oracle unrolls the
+    * round as CTEs keyed by (sub, code).
+    *
+    * Scale shape: the m per-subspace trainings run as ONE dataframe
+    * computation — slices explode to (vec_id, sub, sq) rows (×m, but
+    * each row carries dims/m components: total bytes unchanged), the
+    * m×k codebook broadcasts grouped per sub (a BROADCAST hash join on
+    * `sub`; the slice stream never shuffles for assignment), and the
+    * only shuffle per round is the (sub, code, pos)-bounded update agg
+    * (≤ m·k·dims/m = k·dims rows). Output is the oracle-friendly long
+    * form (vec_id, sub, code, dist). */
+  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+               iters: Int = 1): DataFrame =
+    pqPieces(embeddings, m, k, iters)._1
+      .select(col("vec_id"), col("sub"), col("code"), col("dist"))
+      .orderBy("vec_id", "sub")
+
+  /** The trained (sub, code, c) codebook [[pqEncode]]'s codes refer to —
+    * m·k rows of dims/m-component integer centroids; the artifact a real
+    * index build persists next to the codes. */
+  def pqCodebook(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+                 iters: Int = 1): DataFrame =
+    pqPieces(embeddings, m, k, iters)._2
+
+  /** §2-C `pqSearch`: asymmetric-distance (ADC) search over the PQ index
+    * — the query stays UNquantized: its per-(sub, code) squared
+    * distances to every codeword form an m×k lookup TABLE (broadcast;
+    * 128 rows at the default geometry), and each candidate's distance
+    * is the sum of m table lookups on its codes — the classic PQ search
+    * identity: ADC(q, x) = Σ_s ‖q_s − c_{s, code_s(x)}‖², exactly the
+    * distance from q to x's RECONSTRUCTION (spec-asserted as an
+    * identity, plus a recall floor vs exact-L2 brute force). All int64:
+    * the ranking is deterministic and engine-free. The search reads
+    * codes + codebook only — the float corpus exists nowhere in the
+    * plan (the 32×-smaller index is what scans at 100 TB, like
+    * [[annIvfQ8]] proves for the scalar index). */
+  def pqSearch(embeddings: DataFrame, queryId: Long = 0L, topK: Int = 10,
+               m: Int = 8, k: Int = 16, iters: Int = 1): DataFrame = {
+    val (codes, cb) = pqPieces(embeddings, m, k, iters)
+    val qsl = q6Guarded(embeddings)
+      .filter(col("vec_id") === queryId)
+      .select(explode(expr(
+        s"transform(sequence(0, $m - 1), s -> named_struct(" +
+          s"'sub', cast(s as int), " +
+          s"'qsq', slice(q6s, s * (size(q6s) div $m) + 1, size(q6s) div $m)))"))
+        .as("x"))
+      .select(col("x.sub").as("sub"), col("x.qsq").as("qsq"))
+    val dtable = cb.join(broadcast(qsl), "sub")
+      .select(col("sub"), col("code"), expr(
+        "aggregate(zip_with(qsq, c, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as bigint), (acc, v) -> acc + v)").as("d"))
+    codes
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(dtable), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("d")).cast("long").as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(topK)
+  }
+
+  /** The shared PQ fit: returns (final assignment incl. `sq`, final
+    * codebook). One explode into (vec_id, sub, sq) slices (lazily
+    * checkpointed — consumed per round + finally), per-round broadcast
+    * assignment + (sub, code, pos) update agg, [[kmeans]]' rounding. */
+  private def pqPieces(embeddings: DataFrame, m: Int, k: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
+    val g = q6Guarded(embeddings)
+    val sliceExpr = (src: String, out: String) =>
+      s"transform(sequence(0, $m - 1), s -> named_struct(" +
+        s"'sub', cast(s as int), " +
+        s"'$out', slice($src, s * (size($src) div $m) + 1, size($src) div $m)))"
+    val slices = g
+      .select(col("vec_id"), explode(expr(sliceExpr("q6s", "sq"))).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sq").as("sq"))
+      .localCheckpoint(false)
+    val seeds = g
+      .select(expr("md5(cast(vec_id as string))").as("h"), col("vec_id"),
+        col("q6s"))
+      .orderBy("h", "vec_id")
+      .limit(k)
+      .withColumn("code", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("h", "vec_id")) - 1)
+        .cast("int"))
+    val cb0 = seeds
+      .select(col("code"), explode(expr(sliceExpr("q6s", "c"))).as("x"))
+      .select(col("x.sub").as("sub"), col("code"), col("x.c").as("c"))
+    def assign(cb: DataFrame): DataFrame =
+      slices.join(broadcast(
+          cb.groupBy("sub")
+            .agg(collect_list(struct(col("code"), col("c"))).as("cs"))), "sub")
+        .select(col("vec_id"), col("sub"), col("sq"), expr(
+          "array_min(transform(cs, x -> named_struct(" +
+            "'dist', aggregate(zip_with(sq, x.c, (a, b) -> (a - b) * (a - b)), " +
+            "cast(0 as bigint), (acc, v) -> acc + v), " +
+            "'code', x.code)))").as("mi"))
+        .select(col("vec_id"), col("sub"), col("sq"),
+          col("mi.code").as("code"), col("mi.dist").as("dist"))
+    val cbT = (1 to iters).foldLeft(cb0) { (cb, _) =>
+      val upd = assign(cb)
+        .select(col("sub"), col("code"), posexplode(col("sq")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cq", expr(
+          "if(s >= 0, (2*s + n) div (2*n), -((2*(-s) + n) div (2*n)))"))
+        .groupBy("sub", "code")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, cq))), x -> x.cq)")
+          .as("cu"))
+      cb.join(upd, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"), coalesce(col("cu"), col("c")).as("c"))
+        .localCheckpoint()
+    }
+    (assign(cbT), cbT)
   }
 
   /** §2-70 `q_quantize`: per-vector symmetric int8 quantization — the
@@ -395,6 +531,66 @@ object AnnOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_pq" ->
+      """WITH g AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      v -> CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS q6s
+        |  FROM embeddings
+        |  WHERE len(list_filter(embedding,
+        |        v -> v IS NULL OR NOT isfinite(CAST(v AS DOUBLE))
+        |             OR abs(CAST(v AS DOUBLE)) > 100)) = 0
+        |), subs AS (
+        |  SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS sub
+        |), sl AS (
+        |  SELECT vec_id, sub,
+        |    list_slice(q6s, sub * (len(q6s) // 8) + 1,
+        |               (sub + 1) * (len(q6s) // 8)) AS sq
+        |  FROM g CROSS JOIN subs
+        |), seeds AS (
+        |  SELECT CAST(rn - 1 AS INTEGER) AS code, q6s
+        |  FROM (SELECT q6s, row_number() OVER
+        |          (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM g)
+        |  WHERE rn <= 16
+        |), cb0 AS (
+        |  SELECT sub, code,
+        |    list_slice(q6s, sub * (len(q6s) // 8) + 1,
+        |               (sub + 1) * (len(q6s) // 8)) AS c
+        |  FROM seeds CROSS JOIN subs
+        |), d0 AS (
+        |  SELECT sl.vec_id, sl.sub, sl.sq, cb0.code,
+        |    CAST(list_sum(list_transform(list_zip(sl.sq, cb0.c),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |  FROM sl JOIN cb0 USING (sub)
+        |), a0 AS (
+        |  SELECT vec_id, sub, sq, code FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d0)
+        |  WHERE rn = 1
+        |), s1 AS (
+        |  SELECT sub, code, CAST(i - 1 AS INTEGER) AS pos,
+        |    SUM(sq[i]) AS s, COUNT(*) AS n
+        |  FROM (SELECT sub, code, sq,
+        |        unnest(generate_series(1, len(sq))) AS i FROM a0)
+        |  GROUP BY sub, code, i
+        |), u1 AS (
+        |  SELECT sub, code, list(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+        |                         ELSE -((2*(-s) + n) // (2*n)) END ORDER BY pos) AS c
+        |  FROM s1 GROUP BY sub, code
+        |), cb1 AS (
+        |  SELECT sub, code, COALESCE(u1.c, cb0.c) AS c
+        |  FROM cb0 LEFT JOIN u1 USING (sub, code)
+        |), df AS (
+        |  SELECT sl.vec_id, sl.sub, cb1.code,
+        |    CAST(list_sum(list_transform(list_zip(sl.sq, cb1.c),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |  FROM sl JOIN cb1 USING (sub)
+        |)
+        |SELECT vec_id, sub, code, dist FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM df)
+        |WHERE rn = 1
+        |ORDER BY vec_id, sub""".stripMargin,
     "q_kmeans" ->
       """WITH g AS (
         |  SELECT vec_id,

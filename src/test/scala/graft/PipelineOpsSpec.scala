@@ -910,6 +910,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(probed.length == 5 && probedLists.size <= 2)
   }
 
+  test("pqEncode: one code per (vector, subspace), codes in range, Lloyd improves") {
+    val m = 8
+    val n = embs.count()
+    val e0 = AnnOps.pqEncode(embs, iters = 0).cache()
+    val e1 = AnnOps.pqEncode(embs, iters = 1).cache()
+    for (e <- Seq(e0, e1)) {
+      assert(e.count() == n * m)
+      assert(e.select("vec_id", "sub").distinct().count() == n * m)
+      val codes = e.select("code").distinct().collect().map(_.getInt(0))
+      assert(codes.forall(c => c >= 0 && c < 16))
+    }
+    val d0 = e0.agg(sum("dist")).head().getLong(0)
+    val d1 = e1.agg(sum("dist")).head().getLong(0)
+    assert(d1 <= d0, s"iters=1 total dist $d1 > iters=0 $d0")
+  }
+
+  test("pqSearch: ADC equals the exact distance to the reconstruction; an exact twin ranks first") {
+    // plant an exact copy of the query vector: its codes equal the
+    // query's own encoding, so its ADC distance is the query's own
+    // quantization error — the planted twin must rank top-1
+    val twinId = 900001L
+    val qEmb = embs.filter(col("vec_id") === 0L).select("embedding", "label")
+    val planted = embs.unionByName(
+      qEmb.select(lit(twinId).as("vec_id"), col("embedding"), col("label")))
+    val top = AnnOps.pqSearch(planted, topK = 10).collect()
+    assert(top.head.getLong(0) == twinId,
+      s"planted exact twin not top-1: ${top.take(3).mkString(", ")}")
+    // the ADC identity, verified off-plan: codebook + codes collected and
+    // the table-lookup sum recomputed per result row
+    val cb = AnnOps.pqCodebook(planted).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray).toMap
+    val codes = AnnOps.pqEncode(planted).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val q6 = qEmb.select("embedding").head().getSeq[Float](0)
+      .map(v => math.round(v.toDouble * 1e6)).toArray
+    val w = q6.length / 8
+    top.foreach { r =>
+      val id = r.getLong(0)
+      val expected = (0 until 8).map { s =>
+        val c = cb((s, codes((id, s))))
+        val qs = q6.slice(s * w, (s + 1) * w)
+        qs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+      assert(r.getLong(1) == expected,
+        s"vec $id: adc ${r.getLong(1)} != reconstruction distance $expected")
+    }
+  }
+
   test("langId: prediction is one of the marker languages") {
     val langs = TextOps.Markers.map(_._1).toSet
     val df = TextOps.langId(docs).cache()

@@ -279,6 +279,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchangeCount(p) <= 2, s"${exchangeCount(p)} exchanges:\n$p")
   }
 
+  test("q_pq: per-subspace assignment is a broadcast join on sub — slices never shuffle") {
+    val p = plan(AnnOps.pqEncode(Tables.embeddings(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q_dedup_minhash signature stage has no explode (row-level transform)") {
     val p = plan(DedupOps.dedupMinhash(Tables.documents(spark, sfDir)))
     // one explode exists for band keys only; the shingle stage must not
