@@ -306,7 +306,19 @@ object AnnOps {
   def pqSearch(embeddings: DataFrame, queryId: Long = 0L, topK: Int = 10,
                m: Int = 8, k: Int = 16, iters: Int = 1): DataFrame = {
     val (codes, cb) = pqPieces(embeddings, m, k, iters)
-    val qsl = q6Guarded(embeddings)
+    pqSearchIndex(codes, cb, embeddings, queryId, topK, m)
+  }
+
+  /** [[pqSearch]] over a PERSISTED index — the deployment shape: `codes`
+    * (vec_id, sub, code) and `codebook` (sub, code, c) come off disk
+    * (what [[pqEncode]]/[[pqCodebook]] wrote at build time; 4 B of codes
+    * per vector), `query` supplies only the query row, and NOTHING is
+    * re-trained per search — the annIvfQ8 precedent for the PQ family.
+    * Spec: the parquet round-trip searches bit-identically to the
+    * inline fit. */
+  def pqSearchIndex(codes: DataFrame, codebook: DataFrame, query: DataFrame,
+                    queryId: Long = 0L, topK: Int = 10, m: Int = 8): DataFrame = {
+    val qsl = q6Guarded(query)
       .filter(col("vec_id") === queryId)
       .select(explode(expr(
         s"transform(sequence(0, $m - 1), s -> named_struct(" +
@@ -314,7 +326,7 @@ object AnnOps {
           s"'qsq', slice(q6s, s * (size(q6s) div $m) + 1, size(q6s) div $m)))"))
         .as("x"))
       .select(col("x.sub").as("sub"), col("x.qsq").as("qsq"))
-    val dtable = cb.join(broadcast(qsl), "sub")
+    val dtable = codebook.join(broadcast(qsl), "sub")
       .select(col("sub"), col("code"), expr(
         "aggregate(zip_with(qsq, c, (a, b) -> (a - b) * (a - b)), " +
           "cast(0 as bigint), (acc, v) -> acc + v)").as("d"))

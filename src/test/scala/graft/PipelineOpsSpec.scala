@@ -956,6 +956,15 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getLong(1) == expected,
         s"vec $id: adc ${r.getLong(1)} != reconstruction distance $expected")
     }
+    // deployment shape: codes + codebook round-trip through parquet and
+    // the persisted-index search matches the inline fit bit for bit
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    AnnOps.pqEncode(planted).write.mode("overwrite").parquet(s"$dir/codes")
+    AnnOps.pqCodebook(planted).write.mode("overwrite").parquet(s"$dir/cb")
+    val fromDisk = AnnOps.pqSearchIndex(
+      spark.read.parquet(s"$dir/codes"), spark.read.parquet(s"$dir/cb"),
+      planted, topK = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fromDisk == top.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
   test("langId: prediction is one of the marker languages") {
