@@ -206,7 +206,21 @@ object AnnOps {
         .as("q6s"))
       .localCheckpoint(false)
 
-  def kmeans(embeddings: DataFrame, k: Int = 10, iters: Int = 2): DataFrame = {
+  def kmeans(embeddings: DataFrame, k: Int = 10, iters: Int = 2): DataFrame =
+    kmeansPieces(embeddings, k, iters)._1
+      .select(col("vec_id"), col("list_id"), col("dist"))
+      .orderBy("vec_id")
+
+  /** The trained (list_id, c) centroid table [[kmeans]]' assignment
+    * refers to — the coarse-quantizer artifact an IVF build persists
+    * ([[pqSearchIvf]] ranks probe lists against it). */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 10,
+                      iters: Int = 2): DataFrame =
+    kmeansPieces(embeddings, k, iters)._2
+
+  /** Shared k-means fit: (final assignment incl. q6s, final centroids). */
+  private def kmeansPieces(embeddings: DataFrame, k: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
     val g = q6Guarded(embeddings)
     val seeds = g
       .select(expr("md5(cast(vec_id as string))").as("h"), col("vec_id"),
@@ -249,9 +263,7 @@ object AnnOps {
         .select(col("list_id"), coalesce(col("cu"), col("c")).as("c"))
         .localCheckpoint()
     }
-    assign(cT)
-      .select(col("vec_id"), col("list_id"), col("dist"))
-      .orderBy("vec_id")
+    (assign(cT), cT)
   }
 
   /** §2-82 `q_pq`: PRODUCT quantization — the compression endgame of the
@@ -337,6 +349,42 @@ object AnnOps {
       .agg(sum(col("d")).cast("long").as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
       .limit(topK)
+  }
+
+  /** §2-C `pqSearchIvf`: the full IVF-PQ index — [[kmeans]]' coarse
+    * quantizer composed with [[pqEncode]]'s product codes, the
+    * FAISS-IndexIVFPQ shape re-expressed declaratively: the query ranks
+    * the k coarse centroids by exact int64 distance, keeps the `nProbe`
+    * nearest lists, and runs ADC over ONLY the probed lists' codes —
+    * the search cost is (nProbe/nLists)·codes + (k + m·k) table work,
+    * on an index 32× smaller than the floats. At 100 TB the list id is
+    * the partition key of the persisted code table ([[annIvf]]'s
+    * dynamic-pruning story applies unchanged), so a query physically
+    * touches nProbe/nLists of a 32×-compressed index.
+    *
+    * Probing ALL lists is spec-pinned ≡ the flat [[pqSearch]] ranking
+    * (the coarse layer changes what is PRUNED, never how candidates
+    * score — the same invariant the kmeans→annIvf composition pins). */
+  def pqSearchIvf(embeddings: DataFrame, queryId: Long = 0L, topK: Int = 10,
+                  nProbe: Int = 2, nLists: Int = 10, m: Int = 8,
+                  kCodes: Int = 16, iters: Int = 1): DataFrame = {
+    val (codes, cb) = pqPieces(embeddings, m, kCodes, iters)
+    val (assignment, cents) = kmeansPieces(embeddings, nLists, 2)
+    val q = q6Guarded(embeddings).filter(col("vec_id") === queryId)
+      .select(col("q6s").as("qq"))
+    val probed = cents
+      .crossJoin(broadcast(q))
+      .select(col("list_id"), expr(
+        "aggregate(zip_with(qq, c, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as bigint), (acc, v) -> acc + v)").as("d"))
+      .orderBy(col("d").asc, col("list_id").asc)
+      .limit(nProbe)
+      .select(col("list_id"))
+    val candidates = assignment
+      .join(broadcast(probed), "list_id")
+      .select(col("vec_id"))
+    pqSearchIndex(codes.join(candidates, Seq("vec_id"), "left_semi"), cb,
+      embeddings, queryId, topK, m)
   }
 
   /** The shared PQ fit: returns (final assignment incl. `sq`, final

@@ -967,6 +967,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fromDisk == top.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("pqSearchIvf: probing all lists equals flat pqSearch; narrow probe prunes to probed lists") {
+    val flat = AnnOps.pqSearch(embs, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = AnnOps.pqSearchIvf(embs, topK = 10, nProbe = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == flat, s"full-probe IVF-PQ diverged from flat ADC:\n$full\n$flat")
+    // narrow probe: every hit's list is one of the nProbe nearest to the
+    // query — recompute membership from the kmeans assignment
+    val narrow = AnnOps.pqSearchIvf(embs, topK = 10, nProbe = 2).collect()
+    assert(narrow.nonEmpty && narrow.forall(_.getLong(0) != 0L))
+    val lists = AnnOps.kmeans(embs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hitLists = narrow.map(r => lists(r.getLong(0))).toSet
+    assert(hitLists.size <= 2, s"hits from ${hitLists.size} lists at nProbe=2")
+    // flat ADC scores are preserved: the pruned ranking is a sub-ranking
+    val flatMap = flat.toMap
+    narrow.foreach { r =>
+      flatMap.get(r.getLong(0)).foreach(d => assert(d == r.getLong(1)))
+    }
+  }
+
   test("langId: prediction is one of the marker languages") {
     val langs = TextOps.Markers.map(_._1).toSet
     val df = TextOps.langId(docs).cache()
