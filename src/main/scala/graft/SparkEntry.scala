@@ -84,6 +84,7 @@ object SparkEntry {
     "q_centroid" -> ((s, dir) => AnnOps.centroid(Tables.embeddings(s, dir))),
     "q_kmeans" -> ((s, dir) => AnnOps.kmeans(Tables.embeddings(s, dir))),
     "q_pq" -> ((s, dir) => AnnOps.pqEncode(Tables.embeddings(s, dir))),
+    "q_pq_search" -> ((s, dir) => AnnOps.pqSearch(Tables.embeddings(s, dir))),
     // --- text analysis (§2 rows 31-34) ---
     "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextOps.quality(Tables.documents(s, dir))),

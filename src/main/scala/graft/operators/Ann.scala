@@ -320,6 +320,9 @@ object AnnOps {
     val (codes, cb) = pqPieces(embeddings, m, k, iters)
     pqSearchIndex(codes, cb, embeddings, queryId, topK, m)
   }
+  // `q_pq_search` (§2-83) binds pqSearch under the oracle: the whole ADC
+  // ranking — codebook fit, codes, distance table, int64 lookup sums —
+  // is hash-checked end to end (the oracle extends q_pq's CTE chain).
 
   /** [[pqSearch]] over a PERSISTED index — the deployment shape: `codes`
     * (vec_id, sub, code) and `codebook` (sub, code, c) come off disk
@@ -590,67 +593,96 @@ object AnnOps {
       .limit(k)
   }
 
+  /** The q_pq training CTE chain (guard → slices → seeds → one Lloyd
+    * round → final per-(vec, sub) assignment `af`) — shared by the
+    * q_pq and q_pq_search oracles so the encode and search sides can
+    * never drift. */
+  private val pqCtePrefix: String =
+    """WITH g AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      v -> CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS q6s
+      |  FROM embeddings
+      |  WHERE len(list_filter(embedding,
+      |        v -> v IS NULL OR NOT isfinite(CAST(v AS DOUBLE))
+      |             OR abs(CAST(v AS DOUBLE)) > 100)) = 0
+      |), subs AS (
+      |  SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS sub
+      |), sl AS (
+      |  SELECT vec_id, sub,
+      |    list_slice(q6s, sub * (len(q6s) // 8) + 1,
+      |               (sub + 1) * (len(q6s) // 8)) AS sq
+      |  FROM g CROSS JOIN subs
+      |), seeds AS (
+      |  SELECT CAST(rn - 1 AS INTEGER) AS code, q6s
+      |  FROM (SELECT q6s, row_number() OVER
+      |          (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM g)
+      |  WHERE rn <= 16
+      |), cb0 AS (
+      |  SELECT sub, code,
+      |    list_slice(q6s, sub * (len(q6s) // 8) + 1,
+      |               (sub + 1) * (len(q6s) // 8)) AS c
+      |  FROM seeds CROSS JOIN subs
+      |), d0 AS (
+      |  SELECT sl.vec_id, sl.sub, sl.sq, cb0.code,
+      |    CAST(list_sum(list_transform(list_zip(sl.sq, cb0.c),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+      |  FROM sl JOIN cb0 USING (sub)
+      |), a0 AS (
+      |  SELECT vec_id, sub, sq, code FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d0)
+      |  WHERE rn = 1
+      |), s1 AS (
+      |  SELECT sub, code, CAST(i - 1 AS INTEGER) AS pos,
+      |    SUM(sq[i]) AS s, COUNT(*) AS n
+      |  FROM (SELECT sub, code, sq,
+      |        unnest(generate_series(1, len(sq))) AS i FROM a0)
+      |  GROUP BY sub, code, i
+      |), u1 AS (
+      |  SELECT sub, code, list(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+      |                         ELSE -((2*(-s) + n) // (2*n)) END ORDER BY pos) AS c
+      |  FROM s1 GROUP BY sub, code
+      |), cb1 AS (
+      |  SELECT sub, code, COALESCE(u1.c, cb0.c) AS c
+      |  FROM cb0 LEFT JOIN u1 USING (sub, code)
+      |), df AS (
+      |  SELECT sl.vec_id, sl.sub, cb1.code,
+      |    CAST(list_sum(list_transform(list_zip(sl.sq, cb1.c),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+      |  FROM sl JOIN cb1 USING (sub)
+      |), af AS (
+      |  SELECT vec_id, sub, code, dist FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM df)
+      |  WHERE rn = 1
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_pq" ->
-      """WITH g AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding,
-        |      v -> CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS q6s
-        |  FROM embeddings
-        |  WHERE len(list_filter(embedding,
-        |        v -> v IS NULL OR NOT isfinite(CAST(v AS DOUBLE))
-        |             OR abs(CAST(v AS DOUBLE)) > 100)) = 0
-        |), subs AS (
-        |  SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS sub
-        |), sl AS (
-        |  SELECT vec_id, sub,
-        |    list_slice(q6s, sub * (len(q6s) // 8) + 1,
-        |               (sub + 1) * (len(q6s) // 8)) AS sq
-        |  FROM g CROSS JOIN subs
-        |), seeds AS (
-        |  SELECT CAST(rn - 1 AS INTEGER) AS code, q6s
-        |  FROM (SELECT q6s, row_number() OVER
-        |          (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM g)
-        |  WHERE rn <= 16
-        |), cb0 AS (
-        |  SELECT sub, code,
-        |    list_slice(q6s, sub * (len(q6s) // 8) + 1,
-        |               (sub + 1) * (len(q6s) // 8)) AS c
-        |  FROM seeds CROSS JOIN subs
-        |), d0 AS (
-        |  SELECT sl.vec_id, sl.sub, sl.sq, cb0.code,
-        |    CAST(list_sum(list_transform(list_zip(sl.sq, cb0.c),
-        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
-        |  FROM sl JOIN cb0 USING (sub)
-        |), a0 AS (
-        |  SELECT vec_id, sub, sq, code FROM (
-        |    SELECT *, row_number() OVER
-        |      (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d0)
-        |  WHERE rn = 1
-        |), s1 AS (
-        |  SELECT sub, code, CAST(i - 1 AS INTEGER) AS pos,
-        |    SUM(sq[i]) AS s, COUNT(*) AS n
-        |  FROM (SELECT sub, code, sq,
-        |        unnest(generate_series(1, len(sq))) AS i FROM a0)
-        |  GROUP BY sub, code, i
-        |), u1 AS (
-        |  SELECT sub, code, list(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
-        |                         ELSE -((2*(-s) + n) // (2*n)) END ORDER BY pos) AS c
-        |  FROM s1 GROUP BY sub, code
-        |), cb1 AS (
-        |  SELECT sub, code, COALESCE(u1.c, cb0.c) AS c
-        |  FROM cb0 LEFT JOIN u1 USING (sub, code)
-        |), df AS (
-        |  SELECT sl.vec_id, sl.sub, cb1.code,
-        |    CAST(list_sum(list_transform(list_zip(sl.sq, cb1.c),
-        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
-        |  FROM sl JOIN cb1 USING (sub)
-        |)
-        |SELECT vec_id, sub, code, dist FROM (
-        |  SELECT *, row_number() OVER
-        |    (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM df)
-        |WHERE rn = 1
-        |ORDER BY vec_id, sub""".stripMargin,
+      s"""$pqCtePrefix
+         |SELECT vec_id, sub, code, dist FROM af
+         |ORDER BY vec_id, sub""".stripMargin,
+    "q_pq_search" ->
+      s"""$pqCtePrefix,
+         |qsl AS (
+         |  SELECT sub,
+         |    list_slice(q6s, sub * (len(q6s) // 8) + 1,
+         |               (sub + 1) * (len(q6s) // 8)) AS qsq
+         |  FROM (SELECT q6s FROM g WHERE vec_id = 0) CROSS JOIN subs
+         |), dt AS (
+         |  -- the ADC lookup table: query-slice-to-codeword distances
+         |  SELECT cb1.sub, cb1.code,
+         |    CAST(list_sum(list_transform(list_zip(qsl.qsq, cb1.c),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+         |  FROM cb1 JOIN qsl USING (sub)
+         |)
+         |SELECT vec_id, CAST(SUM(d) AS BIGINT) AS adc_dist
+         |FROM af JOIN dt USING (sub, code)
+         |WHERE vec_id <> 0
+         |GROUP BY vec_id
+         |ORDER BY adc_dist ASC, vec_id ASC
+         |LIMIT 10""".stripMargin,
     "q_kmeans" ->
       """WITH g AS (
         |  SELECT vec_id,
