@@ -91,6 +91,7 @@ object SparkEntry {
     "q_tokens" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "q_redact" -> ((s, dir) => TextOps.redact(Tables.documents(s, dir))),
+    "q_hash_embed" -> ((s, dir) => TextOps.hashEmbed(Tables.documents(s, dir))),
     // --- corpus-pipeline composites (§2 rows 36-40) ---
     "q_sample" -> ((s, dir) => CorpusOps.sample(Tables.documents(s, dir))),
     "q_ngram_counts" -> ((s, dir) => CorpusOps.ngramCounts(Tables.documents(s, dir))),

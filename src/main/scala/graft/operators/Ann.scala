@@ -289,7 +289,13 @@ object AnnOps {
     * `sub`; the slice stream never shuffles for assignment), and the
     * only shuffle per round is the (sub, code, pos)-bounded update agg
     * (≤ m·k·dims/m = k·dims rows). Output is the oracle-friendly long
-    * form (vec_id, sub, code, dist). */
+    * form (vec_id, sub, code, dist).
+    *
+    * Dims contract: subspace width is dims div m — when m does not
+    * divide dims, the trailing dims mod m components are excluded from
+    * every subspace on BOTH engines (identical slice arithmetic);
+    * pick m | dims (the 64-dim default uses 8×8) to encode the full
+    * vector. */
   def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
                iters: Int = 1): DataFrame =
     pqPieces(embeddings, m, k, iters)._1

@@ -115,6 +115,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** §2-84 `q_hash_embed`: feature-hashed bag-of-words embedding — the
+    * "hashing trick": every token maps to one of `dims` slots by a hash
+    * of the token itself (no vocabulary, no model, no training pass),
+    * with a ±1 sign bit from the next hash character so collisions
+    * cancel in expectation (the signed variant that keeps inner
+    * products unbiased). This is the model-free featurization bridge
+    * from the documents world to the embedding estate: its output is a
+    * sparse integer vector per doc that the dedup/ANN family
+    * (cosine blocking, k-means, PQ) can consume when no learned
+    * embedding exists — the classic first-pass clustering
+    * representation for a raw crawl.
+    *
+    * Cross-engine exactness: slot = (first md5 hex byte) mod dims and
+    * sign = (third hex char < '8') are pure string/integer operations
+    * on the SAME md5 both engines compute — no engine hash function
+    * (DuckDB's hash() is murmur-incompatible with Spark's xxhash64),
+    * no float. Values are exact int64 sums of ±1 — hash-checked.
+    *
+    * Scale: ONE shuffle, keyed (doc_id, slot) with map-side partials —
+    * the token stream never moves un-aggregated; slot/sign are
+    * codegen'd row-level expressions. Output is the sparse long form
+    * (doc_id, slot, v) with only occupied slots, like q_quantize's. */
+  def hashEmbed(documents: DataFrame, dims: Int = 64): DataFrame = {
+    val t = documents
+      .select(col("doc_id"), explode(TextFuns.tokens(col("text"))).as("term"))
+      .withColumn("h", md5(col("term").cast("binary")))
+      .select(col("doc_id"),
+        (conv(substring(col("h"), 1, 2), 16, 10).cast("int") % dims).as("slot"),
+        when(substring(col("h"), 3, 1) < "8", lit(1L)).otherwise(lit(-1L))
+          .as("sgn"))
+    t.groupBy(col("doc_id"), col("slot"))
+      .agg(sum(col("sgn")).cast("bigint").as("v"))
+      .orderBy("doc_id", "slot")
+  }
+
   /** §2-34 `q_fingerprint`: winnowing-style document fingerprint — the
     * minimum md5 over char 16-gram shingles (the min-hash member of the
     * winnowing window family), plus the shingle count. Computed entirely
@@ -178,6 +213,25 @@ object TextOps {
   private val toksSql = s"string_split($normSql, ' ')"
 
   val oracles: Map[String, String] = Map(
+    "q_hash_embed" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(lower(trim(text)), ' ')) AS term
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, md5(term) AS hh FROM t
+        |), s AS (
+        |  -- first md5 hex byte mod 64 = Spark's conv(substr(h,1,2),16,10)%64
+        |  SELECT doc_id,
+        |    CAST(((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 64
+        |      AS INTEGER) AS slot,
+        |    CASE WHEN substr(hh, 3, 1) < '8' THEN 1 ELSE -1 END AS sgn
+        |  FROM h
+        |)
+        |SELECT doc_id, slot, CAST(SUM(sgn) AS BIGINT) AS v
+        |FROM s GROUP BY doc_id, slot
+        |ORDER BY doc_id, slot""".stripMargin,
     "q_lang_id" -> {
       val scores = Markers.map { case (l, ws) =>
         val in = ws.map(TextFuns.sqlLit).mkString(", ")

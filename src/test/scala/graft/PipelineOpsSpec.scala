@@ -988,6 +988,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("hashEmbed: linear in token counts, slots in range, token-collision consistency") {
+    import spark.implicits._
+    val one = Seq((1L, "zebra quark lattice", "s")).toDF("doc_id", "text", "source")
+    val two = Seq((1L, "zebra quark lattice zebra quark lattice", "s"))
+      .toDF("doc_id", "text", "source")
+    val v1 = TextOps.hashEmbed(one).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val v2 = TextOps.hashEmbed(two).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    // the hashing trick is linear: doubling every token doubles the vector
+    assert(v2 == v1.map { case (s, v) => s -> v * 2 },
+      s"hashEmbed(text||text) $v2 != 2 * $v1")
+    // corpus run: slots within [0, 64), every doc with tokens represented,
+    // and per-doc sum of |v| never exceeds its token count
+    val he = TextOps.hashEmbed(docs).cache()
+    assert(he.select("slot").distinct().collect()
+      .forall(r => r.getInt(0) >= 0 && r.getInt(0) < 64))
+    val mass = he.groupBy("doc_id")
+      .agg(sum(abs(col("v"))).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = TextOps.tokenCounts(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    mass.foreach { case (id, m) => assert(m <= toks(id), s"doc $id: $m > ${toks(id)}") }
+    assert(mass.keySet == toks.keySet)
+  }
+
   test("langId: prediction is one of the marker languages") {
     val langs = TextOps.Markers.map(_._1).toSet
     val df = TextOps.langId(docs).cache()
