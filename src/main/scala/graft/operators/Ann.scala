@@ -149,6 +149,40 @@ object AnnOps {
         (col("sum_q6") / 1e6 / col("n")).as("mean_val"))
       .orderBy("label", "pos")
 
+  /** The guarded 10⁶-quantized vector stream the clustering family
+    * ([[kmeans]], [[pqEncode]]) shares: NULL/non-finite components drop
+    * the vector, and the magnitude bound is |v| ≤ 100 — tighter than
+    * [[quantize]]'s 10⁶ because integer ARGMINs must stay in int64
+    * (|q6| ≤ 10⁸ ⇒ Σ₆₄(2·10⁸)² ≈ 2.6·10¹⁸ < 2⁶³). Lazily
+    * localCheckpointed: every consumer scans it iters+1 times, and
+    * [[pqSearchIvf]] threads ONE of these frames through its PQ fit,
+    * coarse fit, and query lookup (four independent copies would pin
+    * four corpus checkpoints in the block manager — the measured
+    * accumulated-blocks hazard from the round-6 probes). */
+  private def q6Guarded(embeddings: DataFrame): DataFrame =
+    embeddings
+      .filter(expr(
+        "size(filter(embedding, v -> v is null or isnan(cast(v as double)) " +
+          "or abs(cast(v as double)) > 100)) = 0"))
+      .select(col("vec_id"), expr(
+        "transform(embedding, v -> cast(round(cast(v as double) * 1e6) as bigint))")
+        .as("q6s"))
+      .localCheckpoint(false)
+
+  /** One guarded q6 row — the query-side lookup: the vec_id filter runs
+    * BEFORE the guard transform and nothing is checkpointed, so reading
+    * one query row never materializes the corpus (unlike [[q6Guarded]],
+    * whose checkpoint is the point). */
+  private def q6Row(embeddings: DataFrame, vecId: Long): DataFrame =
+    embeddings
+      .filter(col("vec_id") === vecId)
+      .filter(expr(
+        "size(filter(embedding, v -> v is null or isnan(cast(v as double)) " +
+          "or abs(cast(v as double)) > 100)) = 0"))
+      .select(col("vec_id"), expr(
+        "transform(embedding, v -> cast(round(cast(v as double) * 1e6) as bigint))")
+        .as("q6s"))
+
   /** §2-79 `q_kmeans`: Lloyd's k-means over the embedding corpus — the
     * IVF LIST-TRAINING step [[annIvf]]/[[annIvfQ8]] presuppose: they
     * search `label` lists, and this operator is what turns `label` from
@@ -190,24 +224,8 @@ object AnnOps {
     * than quantize's 10⁶ because the ARGMIN must stay in int64:
     * |q6| ≤ 10⁸ ⇒ Σ₆₄(2·10⁸)² ≈ 2.6·10¹⁸ < 2⁶³. Unit-norm embedding
     * corpora sit orders of magnitude inside it. */
-  /** The guarded 10⁶-quantized vector stream the clustering family
-    * ([[kmeans]], [[pqEncode]]) shares: NULL/non-finite components drop
-    * the vector, and the magnitude bound is |v| ≤ 100 — tighter than
-    * [[quantize]]'s 10⁶ because integer ARGMINs must stay in int64
-    * (|q6| ≤ 10⁸ ⇒ Σ₆₄(2·10⁸)² ≈ 2.6·10¹⁸ < 2⁶³). Lazily
-    * localCheckpointed: every consumer scans it iters+1 times. */
-  private def q6Guarded(embeddings: DataFrame): DataFrame =
-    embeddings
-      .filter(expr(
-        "size(filter(embedding, v -> v is null or isnan(cast(v as double)) " +
-          "or abs(cast(v as double)) > 100)) = 0"))
-      .select(col("vec_id"), expr(
-        "transform(embedding, v -> cast(round(cast(v as double) * 1e6) as bigint))")
-        .as("q6s"))
-      .localCheckpoint(false)
-
   def kmeans(embeddings: DataFrame, k: Int = 10, iters: Int = 2): DataFrame =
-    kmeansPieces(embeddings, k, iters)._1
+    kmeansPieces(q6Guarded(embeddings), k, iters)._1
       .select(col("vec_id"), col("list_id"), col("dist"))
       .orderBy("vec_id")
 
@@ -216,12 +234,14 @@ object AnnOps {
     * ([[pqSearchIvf]] ranks probe lists against it). */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 10,
                       iters: Int = 2): DataFrame =
-    kmeansPieces(embeddings, k, iters)._2
+    kmeansPieces(q6Guarded(embeddings), k, iters)._2
 
-  /** Shared k-means fit: (final assignment incl. q6s, final centroids). */
-  private def kmeansPieces(embeddings: DataFrame, k: Int, iters: Int)
+  /** Shared k-means fit over a [[q6Guarded]] frame: (final assignment
+    * incl. q6s, final centroids). Taking the guarded frame (not the raw
+    * embeddings) lets [[pqSearchIvf]] share ONE materialization across
+    * its coarse and product fits. */
+  private def kmeansPieces(g: DataFrame, k: Int, iters: Int)
       : (DataFrame, DataFrame) = {
-    val g = q6Guarded(embeddings)
     val seeds = g
       .select(expr("md5(cast(vec_id as string))").as("h"), col("vec_id"),
         col("q6s"))
@@ -298,7 +318,7 @@ object AnnOps {
     * vector. */
   def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
                iters: Int = 1): DataFrame =
-    pqPieces(embeddings, m, k, iters)._1
+    pqPieces(q6Guarded(embeddings), m, k, iters)._1
       .select(col("vec_id"), col("sub"), col("code"), col("dist"))
       .orderBy("vec_id", "sub")
 
@@ -307,7 +327,7 @@ object AnnOps {
     * index build persists next to the codes. */
   def pqCodebook(embeddings: DataFrame, m: Int = 8, k: Int = 16,
                  iters: Int = 1): DataFrame =
-    pqPieces(embeddings, m, k, iters)._2
+    pqPieces(q6Guarded(embeddings), m, k, iters)._2
 
   /** §2-C `pqSearch`: asymmetric-distance (ADC) search over the PQ index
     * — the query stays UNquantized: its per-(sub, code) squared
@@ -323,8 +343,9 @@ object AnnOps {
     * [[annIvfQ8]] proves for the scalar index). */
   def pqSearch(embeddings: DataFrame, queryId: Long = 0L, topK: Int = 10,
                m: Int = 8, k: Int = 16, iters: Int = 1): DataFrame = {
-    val (codes, cb) = pqPieces(embeddings, m, k, iters)
-    pqSearchIndex(codes, cb, embeddings, queryId, topK, m)
+    val g = q6Guarded(embeddings)
+    val (codes, cb) = pqPieces(g, m, k, iters)
+    pqAdc(codes, cb, querySlices(g, queryId, m), queryId, topK)
   }
   // `q_pq_search` (§2-83) binds pqSearch under the oracle: the whole ADC
   // ranking — codebook fit, codes, distance table, int64 lookup sums —
@@ -338,15 +359,26 @@ object AnnOps {
     * Spec: the parquet round-trip searches bit-identically to the
     * inline fit. */
   def pqSearchIndex(codes: DataFrame, codebook: DataFrame, query: DataFrame,
-                    queryId: Long = 0L, topK: Int = 10, m: Int = 8): DataFrame = {
-    val qsl = q6Guarded(query)
-      .filter(col("vec_id") === queryId)
+                    queryId: Long = 0L, topK: Int = 10, m: Int = 8): DataFrame =
+    // q6Row filters to the query row BEFORE guarding and checkpoints
+    // nothing — reading one query vector must not materialize a corpus
+    pqAdc(codes, codebook, querySlices(q6Row(query, queryId), queryId, m),
+      queryId, topK)
+
+  /** The query's per-subspace q6 slices (sub, qsq) from a guarded frame. */
+  private def querySlices(g: DataFrame, queryId: Long, m: Int): DataFrame =
+    g.filter(col("vec_id") === queryId)
       .select(explode(expr(
         s"transform(sequence(0, $m - 1), s -> named_struct(" +
           s"'sub', cast(s as int), " +
           s"'qsq', slice(q6s, s * (size(q6s) div $m) + 1, size(q6s) div $m)))"))
         .as("x"))
       .select(col("x.sub").as("sub"), col("x.qsq").as("qsq"))
+
+  /** The ADC tail every PQ search shape shares: build the m×k lookup
+    * table from the query slices, rank candidates by int64 lookup sums. */
+  private def pqAdc(codes: DataFrame, codebook: DataFrame, qsl: DataFrame,
+                    queryId: Long, topK: Int): DataFrame = {
     val dtable = codebook.join(broadcast(qsl), "sub")
       .select(col("sub"), col("code"), expr(
         "aggregate(zip_with(qsq, c, (a, b) -> (a - b) * (a - b)), " +
@@ -377,9 +409,14 @@ object AnnOps {
   def pqSearchIvf(embeddings: DataFrame, queryId: Long = 0L, topK: Int = 10,
                   nProbe: Int = 2, nLists: Int = 10, m: Int = 8,
                   kCodes: Int = 16, iters: Int = 1): DataFrame = {
-    val (codes, cb) = pqPieces(embeddings, m, kCodes, iters)
-    val (assignment, cents) = kmeansPieces(embeddings, nLists, 2)
-    val q = q6Guarded(embeddings).filter(col("vec_id") === queryId)
+    // ONE guarded/checkpointed q6 frame threads through the PQ fit, the
+    // coarse fit, and both query lookups — independent q6Guarded calls
+    // here would quantize the corpus four times and pin four identical
+    // checkpoint copies in the block manager
+    val g = q6Guarded(embeddings)
+    val (codes, cb) = pqPieces(g, m, kCodes, iters)
+    val (assignment, cents) = kmeansPieces(g, nLists, 2)
+    val q = g.filter(col("vec_id") === queryId)
       .select(col("q6s").as("qq"))
     val probed = cents
       .crossJoin(broadcast(q))
@@ -392,17 +429,17 @@ object AnnOps {
     val candidates = assignment
       .join(broadcast(probed), "list_id")
       .select(col("vec_id"))
-    pqSearchIndex(codes.join(candidates, Seq("vec_id"), "left_semi"), cb,
-      embeddings, queryId, topK, m)
+    pqAdc(codes.join(candidates, Seq("vec_id"), "left_semi"), cb,
+      querySlices(g, queryId, m), queryId, topK)
   }
 
-  /** The shared PQ fit: returns (final assignment incl. `sq`, final
-    * codebook). One explode into (vec_id, sub, sq) slices (lazily
-    * checkpointed — consumed per round + finally), per-round broadcast
-    * assignment + (sub, code, pos) update agg, [[kmeans]]' rounding. */
-  private def pqPieces(embeddings: DataFrame, m: Int, k: Int, iters: Int)
+  /** The shared PQ fit over a [[q6Guarded]] frame: returns (final
+    * assignment incl. `sq`, final codebook). One explode into
+    * (vec_id, sub, sq) slices (lazily checkpointed — consumed per round
+    * + finally), per-round broadcast assignment + (sub, code, pos)
+    * update agg, [[kmeans]]' rounding. */
+  private def pqPieces(g: DataFrame, m: Int, k: Int, iters: Int)
       : (DataFrame, DataFrame) = {
-    val g = q6Guarded(embeddings)
     val sliceExpr = (src: String, out: String) =>
       s"transform(sequence(0, $m - 1), s -> named_struct(" +
         s"'sub', cast(s as int), " +

@@ -194,10 +194,19 @@ object CorpusOps {
     * (`div` / `//` on non-negative DECIMAL operands — identical in
     * both engines), and the per-doc score is an exact int64 sum of q9
     * terms. No float op exists anywhere in the query, so the ranking
-    * AND the scores hash-match DuckDB bit for bit. Magnitudes: the
-    * numerator is ≤ 26 digits even at a 10¹³-token corpus —
-    * DECIMAL(38) with headroom (denominator factors are decimal-cast
-    * before multiplying so no int64 intermediate can overflow).
+    * AND the scores hash-match DuckDB bit for bit.
+    *
+    * Overflow contract: tf SATURATES at 255 (`least(tf, 255)`, the
+    * Lucene-style impact cap — BM25's tf component is within 0.5% of
+    * its k1+1 asymptote by then, and the cap is identical in both
+    * engines so it is part of the scored definition, not an
+    * approximation of it). With the cap, the numerator's digit count
+    * is ≤ digits(2N)+2+digits(T)+3+9 — at a 10¹³-token, 10⁹-doc
+    * corpus that is 38, the DECIMAL(38) edge, and anything smaller
+    * has headroom; WITHOUT the cap a single spam doc with tf ~ 10⁵
+    * would push the product past 38 digits, where Spark's non-ANSI
+    * decimal overflow yields NULL and silently drops the term while
+    * DuckDB's HUGEINT raises — a silent cross-engine divergence.
     *
     * Scale shape: the exploded token stream filters to QUERY terms at
     * the map side — only matches reach the (doc, term) shuffle, so the
@@ -215,7 +224,7 @@ object CorpusOps {
       .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      .agg(least(count(lit(1)), lit(255L)).as("tf"), min(col("dl")).as("dl"))
       // feeds BOTH the score join and the df agg, and AQE does not
       // dedupe identical subtrees (the round-5 lesson) — without this
       // the corpus explode+filter runs twice; the checkpointed frame is
@@ -574,24 +583,42 @@ object CorpusOps {
     * Composition stays single-scan because the language/quality predicates
     * are row-level Columns ([[TextOps.predLang]]/[[TextOps.qualityScore]]),
     * not separate passes that would re-read 100 TB. */
-  def corpusFilter(documents: DataFrame): DataFrame = {
-    // Row-level predicates FIRST: exact copies share identical text, so
-    // their language/quality verdicts are identical — a dup group either
-    // survives whole or drops whole, and min(doc_id) over the survivors
-    // equals min over all copies. Filtering before the text_hash shuffle
-    // means the one wide shuffle (rows carry source etc.) only moves the
-    // keep-candidates, not the whole 100 TB corpus.
-    val w = Window.partitionBy("text_hash")
-    documents
-      .withColumn("pred_lang", TextOps.predLang(col("text")))
-      .withColumn("quality_score", TextOps.qualityScore(col("text")))
-      .filter(col("pred_lang") === "en" && col("quality_score") >= QualityTau)
-      .withColumn("text_hash", md5(TextFuns.norm(col("text")).cast("binary")))
-      .withColumn("rep_doc_id", min(col("doc_id")).over(w))
+  def corpusFilter(documents: DataFrame): DataFrame =
+    gated(documents, decontaminate = false)
+      .withColumn("rep_doc_id",
+        min(col("doc_id")).over(Window.partitionBy("text_hash")))
       .filter(col("doc_id") === col("rep_doc_id"))
       .select(col("doc_id"), col("source"), col("pred_lang"),
         col("quality_score"))
       .orderBy("doc_id")
+
+  /** The decontamination predicate — any [[Probes]] phrase contained in
+    * the normalized text; shared by [[curate]] and the streaming twin. */
+  def contaminatedCol: Column =
+    Probes.map(p => contains(TextFuns.norm(col("text")), lit(p)))
+      .reduce(_ || _)
+
+  /** The row-level gate chain [[corpusFilter]], [[curate]], and
+    * `EventStream.curateStream` share — ONE definition so the three
+    * composed filters cannot drift (the Scala twin of the oracle-side
+    * `filterCtePrefix`): pred_lang + quality_score computed, the
+    * language/quality gates applied (+ the probe decontamination gate
+    * when `decontaminate`), text_hash added. Gates run BEFORE any
+    * text_hash shuffle/state: exact copies share identical text, so
+    * every gate verdict is identical across a dup group — the group
+    * survives or drops whole, and the representative over survivors
+    * equals the representative over the group. Row-level only: the
+    * dedup-representative stage differs per consumer (min-id window
+    * for batch, first-arrival hash state for streaming) and stays with
+    * them. */
+  private[graft] def gated(documents: DataFrame,
+                           decontaminate: Boolean): DataFrame = {
+    val base = documents
+      .withColumn("pred_lang", TextOps.predLang(col("text")))
+      .withColumn("quality_score", TextOps.qualityScore(col("text")))
+      .filter(col("pred_lang") === "en" && col("quality_score") >= QualityTau)
+    (if (decontaminate) base.filter(!contaminatedCol) else base)
+      .withColumn("text_hash", md5(TextFuns.norm(col("text")).cast("binary")))
   }
 
   /** §2-80 `q_curate`: the end-to-end curation MANIFEST — the whole
@@ -615,23 +642,15 @@ object CorpusOps {
     * by the text-pure contamination predicate). At 100 TB the wide
     * shuffle moves only gate-survivors, and the decontamination costs
     * zero extra IO (same read). */
-  def curate(documents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("text_hash")
-    val contaminated = Probes.map(p =>
-      contains(TextFuns.norm(col("text")), lit(p))).reduce(_ || _)
-    documents
-      .withColumn("pred_lang", TextOps.predLang(col("text")))
-      .withColumn("quality_score", TextOps.qualityScore(col("text")))
-      .filter(col("pred_lang") === "en" && col("quality_score") >= QualityTau
-        && !contaminated)
-      .withColumn("text_hash", md5(TextFuns.norm(col("text")).cast("binary")))
-      .withColumn("rep_doc_id", min(col("doc_id")).over(w))
+  def curate(documents: DataFrame): DataFrame =
+    gated(documents, decontaminate = true)
+      .withColumn("rep_doc_id",
+        min(col("doc_id")).over(Window.partitionBy("text_hash")))
       .filter(col("doc_id") === col("rep_doc_id"))
       .select(col("doc_id"), col("source"), col("quality_score"),
         size(TextFuns.tokens(col("text"))).as("n_tokens"),
         splitOf(col("doc_id")).as("split"))
       .orderBy("doc_id")
-  }
 
   /** Benchmark probes for the decontamination scan — in production this
     * is the eval-set n-gram list; here a deterministic sample of corpus
@@ -1092,7 +1111,8 @@ object CorpusOps {
          |), m AS (
          |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d
          |), tf AS (
-         |  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl FROM m
+         |  -- least(tf, 255): the saturation cap the Spark side applies
+         |  SELECT doc_id, term, least(COUNT(*), 255) AS tf, MIN(dl) AS dl FROM m
          |  WHERE term IN ($terms) GROUP BY doc_id, term
          |), dft AS (
          |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term

@@ -214,9 +214,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q_hash_embed" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    unnest(string_split(lower(trim(text)), ' ')) AS term
+      s"""WITH t AS (
+        |  SELECT doc_id, unnest($toksSql) AS term
         |  FROM documents
         |), h AS (
         |  SELECT doc_id, md5(term) AS hh FROM t

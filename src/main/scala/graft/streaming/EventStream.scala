@@ -234,15 +234,10 @@ object EventStream {
     * checkpointed transactional file sink like every sink here. */
   def curateStream(docs: DataFrame, corpusHashIndex: DataFrame): DataFrame = {
     import graft.functions.TextFuns
-    import graft.operators.{CorpusOps, TextOps}
-    val contaminated = CorpusOps.Probes.map(p =>
-      contains(TextFuns.norm(col("text")), lit(p))).reduce(_ || _)
-    docs
-      .withColumn("pred_lang", TextOps.predLang(col("text")))
-      .withColumn("quality_score", TextOps.qualityScore(col("text")))
-      .filter(col("pred_lang") === "en" &&
-        col("quality_score") >= CorpusOps.QualityTau && !contaminated)
-      .withColumn("text_hash", md5(TextFuns.norm(col("text")).cast("binary")))
+    import graft.operators.CorpusOps
+    // the gate chain is CorpusOps.gated — ONE definition across
+    // corpusFilter/curate/this, so batch and stream cannot drift
+    CorpusOps.gated(docs, decontaminate = true)
       .join(corpusHashIndex.select(col("text_hash")), Seq("text_hash"), "left_anti")
       .dropDuplicates("text_hash")
       .select(col("doc_id"), col("source"), col("quality_score"),
