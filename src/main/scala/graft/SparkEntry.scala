@@ -115,6 +115,7 @@ object SparkEntry {
     "q_split_leakage" -> ((s, dir) => CorpusOps.splitLeakage(Tables.documents(s, dir))),
     "q_lm_score" -> ((s, dir) => CorpusOps.lmScore(Tables.documents(s, dir))),
     "q_bm25" -> ((s, dir) => CorpusOps.bm25(Tables.documents(s, dir))),
+    "q_bm25_multi" -> ((s, dir) => CorpusOps.bm25Multi(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 row 35) ---
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---

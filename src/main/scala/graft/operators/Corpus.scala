@@ -247,6 +247,70 @@ object CorpusOps {
       .limit(topN)
   }
 
+  /** §2-85 `q_bm25_multi`: BM25 retrieval for a QUERY TABLE — every probe
+    * ranked against the corpus in one plan (the realistic
+    * decontamination-triage / eval-retrieval shape: the whole probe
+    * suite runs at once, not query-by-query). Scoring is [[bm25]]'s
+    * log-free rational form verbatim — raw-odds idf, k1 = 6/5, b = 3/4,
+    * the tf ⊓ 255 saturation cap, one exact integer division to q9 —
+    * so every (probe, doc) score is hash-exact; the per-probe top-N is
+    * a row_number window over the POST-aggregation (probe, doc) frame
+    * (the q_topk_per_group shape — bounded by probes × matched docs,
+    * never corpus-sized).
+    *
+    * Scale: the corpus token stream joins the BROADCAST distinct probe
+    * vocabulary (a map-side hash-join filter — only term matches reach
+    * the (doc, term) shuffle, the [[bm25]] story with a dynamic term
+    * set); tf/df/totals compute ONCE across all probes and fan out to
+    * (probe, doc) pairs by the tiny broadcast (probe, term) map. */
+  def bm25Multi(documents: DataFrame, probes: DataFrame,
+                topN: Int = 5): DataFrame = {
+    val toks = TextFuns.tokens(col("text"))
+    val pt = probes
+      .select(col("probe"), explode(TextFuns.tokens(col("probe"))).as("term"))
+      .distinct()
+    val totals = documents
+      .agg(count(lit(1)).as("d_total"),
+        sum(size(toks).cast("long")).as("t_total"))
+    val tf = documents
+      .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+      .join(broadcast(pt.select("term").distinct()), "term")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(least(count(lit(1)), lit(255L)).as("tf"), min(col("dl")).as("dl"))
+      // feeds the score join AND the df agg (the AQE no-subtree-dedup
+      // lesson); (matched docs × probe vocabulary) rows, tiny
+      .localCheckpoint(false)
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dft), "term")
+      .join(broadcast(pt), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("score_q9", expr(
+        "cast((cast(2*d_total - 2*df + 1 as decimal(38,0)) * 22 * t_total * tf" +
+          " * 1000000000) div " +
+          "(cast(2*df + 1 as decimal(38,0)) * (10 * cast(t_total as decimal(38,0))" +
+          " * tf + 3 * t_total + 9 * cast(dl as decimal(38,0)) * d_total))" +
+          " as bigint)"))
+      .groupBy(col("probe"), col("doc_id"))
+      .agg(sum(col("score_q9")).cast("bigint").as("score_q9"),
+        count(lit(1)).as("n_terms"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("probe")
+          .orderBy(col("score_q9").desc, col("doc_id").asc)))
+      .filter(col("rank") <= topN)
+      .select(col("probe"), col("rank"), col("doc_id"), col("score_q9"),
+        col("n_terms"))
+      .orderBy("probe", "rank")
+  }
+
+  /** [[bm25Multi]] with the benchmark [[Probes]] as the query table. */
+  def bm25Multi(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    bm25Multi(documents, Probes.toDF("probe"))
+  }
+
   /** §2-74 `q_lm_score`: statistical-LM quality scoring — each document's
     * mean next-token probability under a bigram MLE model fit on the
     * corpus itself (the CCNet-style "does this read like the corpus"
@@ -1132,6 +1196,43 @@ object CorpusOps {
          |FROM scored GROUP BY doc_id
          |ORDER BY score_q9 DESC, doc_id ASC
          |LIMIT 20""".stripMargin
+    },
+    "q_bm25_multi" -> {
+      val probeValues = Probes.map(p => s"(${TextFuns.sqlLit(p)})").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), tot AS (
+         |  SELECT COUNT(*) AS d_total, CAST(SUM(len(toks)) AS HUGEINT) AS t_total
+         |  FROM d
+         |), m AS (
+         |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d
+         |), pt AS (
+         |  SELECT DISTINCT probe,
+         |    unnest(string_split(lower(trim(probe)), ' ')) AS term
+         |  FROM (VALUES $probeValues) p(probe)
+         |), tf AS (
+         |  SELECT doc_id, term, least(COUNT(*), 255) AS tf, MIN(dl) AS dl FROM m
+         |  WHERE term IN (SELECT term FROM pt) GROUP BY doc_id, term
+         |), dft AS (
+         |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT probe, doc_id,
+         |    CAST(SUM(CAST((CAST(2*d_total - 2*df + 1 AS HUGEINT) * 22 * t_total
+         |          * tf * 1000000000) //
+         |         (CAST(2*df + 1 AS HUGEINT) *
+         |          (10 * t_total * tf + 3 * t_total + 9 * CAST(dl AS HUGEINT) * d_total))
+         |      AS BIGINT)) AS BIGINT) AS score_q9,
+         |    COUNT(*) AS n_terms
+         |  FROM tf JOIN dft USING (term) JOIN pt USING (term) CROSS JOIN tot
+         |  GROUP BY probe, doc_id
+         |)
+         |SELECT probe, CAST(rank AS INTEGER) AS rank, doc_id, score_q9, n_terms
+         |FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY probe ORDER BY score_q9 DESC, doc_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY probe, rank""".stripMargin
     },
     "q_corpus_filter" ->
       s"""$filterCtePrefix

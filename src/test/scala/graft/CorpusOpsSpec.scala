@@ -539,6 +539,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse, "scores not non-increasing")
   }
 
+  test("bm25Multi: each probe's ranking equals the single-query bm25 over its own terms") {
+    import graft.functions.TextFuns
+    val multi = CorpusOps.bm25Multi(docs).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), r.getLong(3))).toSeq).toMap
+    CorpusOps.Probes.foreach { probe =>
+      val terms = probe.split(" ").toSeq
+      val single = CorpusOps.bm25(docs, queryTerms = terms, topN = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(multi(probe) == single,
+        s"probe '$probe': multi ${multi(probe)} != single $single")
+    }
+    assert(multi.keySet == CorpusOps.Probes.toSet)
+  }
+
   test("curate = corpusFilter keep-set minus contaminated docs, with split/token columns intact") {
     val manifest = CorpusOps.curate(docs).cache()
     val keepSet = CorpusOps.corpusFilter(docs)
