@@ -149,11 +149,21 @@ object AnnOps {
         (col("sum_q6") / 1e6 / col("n")).as("mean_val"))
       .orderBy("label", "pos")
 
+  /** The fixed vector width of the clustering/PQ index family — like a
+    * trained LSH coefficient table ([[graft.plans.RpLsh.Dims]]), a
+    * k-means/PQ index is fixed-width by construction: centroids and
+    * codewords have exactly this many components. */
+  val IndexDims: Int = 64
+
   /** The guarded 10⁶-quantized vector stream the clustering family
-    * ([[kmeans]], [[pqEncode]]) shares: NULL/non-finite components drop
-    * the vector, and the magnitude bound is |v| ≤ 100 — tighter than
-    * [[quantize]]'s 10⁶ because integer ARGMINs must stay in int64
-    * (|q6| ≤ 10⁸ ⇒ Σ₆₄(2·10⁸)² ≈ 2.6·10¹⁸ < 2⁶³). Lazily
+    * ([[kmeans]], [[pqEncode]]) shares: a non-[[IndexDims]]-width vector
+    * drops (the rp_band_keys precedent — on a mixed-dimension corpus
+    * Spark's zip_with pads with null and the int64 distance aggregate
+    * yields NULL, while DuckDB's list_sum IGNORES nulls: a silent
+    * cross-engine divergence instead of a clean drop), NULL/non-finite
+    * components drop the vector, and the magnitude bound is |v| ≤ 100 —
+    * tighter than [[quantize]]'s 10⁶ because integer ARGMINs must stay
+    * in int64 (|q6| ≤ 10⁸ ⇒ Σ₆₄(2·10⁸)² ≈ 2.6·10¹⁸ < 2⁶³). Lazily
     * localCheckpointed: every consumer scans it iters+1 times, and
     * [[pqSearchIvf]] threads ONE of these frames through its PQ fit,
     * coarse fit, and query lookup (four independent copies would pin
@@ -161,6 +171,7 @@ object AnnOps {
     * accumulated-blocks hazard from the round-6 probes). */
   private def q6Guarded(embeddings: DataFrame): DataFrame =
     embeddings
+      .filter(size(col("embedding")) === IndexDims)
       .filter(expr(
         "size(filter(embedding, v -> v is null or isnan(cast(v as double)) " +
           "or abs(cast(v as double)) > 100)) = 0"))
@@ -172,10 +183,12 @@ object AnnOps {
   /** One guarded q6 row — the query-side lookup: the vec_id filter runs
     * BEFORE the guard transform and nothing is checkpointed, so reading
     * one query row never materializes the corpus (unlike [[q6Guarded]],
-    * whose checkpoint is the point). */
+    * whose checkpoint is the point). Same guard chain incl. the
+    * [[IndexDims]] width check. */
   private def q6Row(embeddings: DataFrame, vecId: Long): DataFrame =
     embeddings
       .filter(col("vec_id") === vecId)
+      .filter(size(col("embedding")) === IndexDims)
       .filter(expr(
         "size(filter(embedding, v -> v is null or isnan(cast(v as double)) " +
           "or abs(cast(v as double)) > 100)) = 0"))
@@ -591,7 +604,18 @@ object AnnOps {
     * same c_key = Σs·qq/√Σs² construction (query scale cancels in the
     * ranking). Distribution mirrors [[annIvf]]: dim-level partial aggs,
     * nProbe-row broadcasts, label as the partition/prune key — probes
-    * touch nProbe/nLists of an index already 4×+ smaller. */
+    * touch nProbe/nLists of an index already 4×+ smaller.
+    *
+    * No-overflow contract (the probe stage's s·s products live in
+    * DECIMAL(38,0); Spark's non-ANSI decimal overflow silently yields
+    * NULL — a dropped term and a WRONG probe ranking — while DuckDB's
+    * HUGEINT raises): |s| ≤ n_list·127·scale6_max per (list, dim), so
+    * s² stays inside 38 digits iff n_list·127·scale6_max < 10¹⁹. A
+    * unit-norm-ish corpus (scale6 ≤ 10⁶) holds to ~7.8·10¹⁰ vectors PER
+    * LIST — orders past any real list; only a corpus exercising
+    * [[quantizedVectors]]' full |v| ≤ 10⁶ input bound (scale6 ~ 10¹²)
+    * must keep lists under ~7.8·10⁴ or pre-filter magnitudes to
+    * [[q6Guarded]]'s |v| ≤ 100 before indexing. */
   def annIvfQ8(index: DataFrame, queryId: Long = 0L, k: Int = 5,
                nProbe: Int = 2): DataFrame = {
     val dec = "decimal(38,0)"
@@ -646,7 +670,8 @@ object AnnOps {
       |    list_transform(embedding,
       |      v -> CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS q6s
       |  FROM embeddings
-      |  WHERE len(list_filter(embedding,
+      |  WHERE len(embedding) = 64
+      |    AND len(list_filter(embedding,
       |        v -> v IS NULL OR NOT isfinite(CAST(v AS DOUBLE))
       |             OR abs(CAST(v AS DOUBLE)) > 100)) = 0
       |), subs AS (
@@ -732,7 +757,8 @@ object AnnOps {
         |    list_transform(embedding,
         |      v -> CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS q6s
         |  FROM embeddings
-        |  WHERE len(list_filter(embedding,
+        |  WHERE len(embedding) = 64
+        |    AND len(list_filter(embedding,
         |        v -> v IS NULL OR NOT isfinite(CAST(v AS DOUBLE))
         |             OR abs(CAST(v AS DOUBLE)) > 100)) = 0
         |), c0 AS (

@@ -170,6 +170,17 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Escape a probe phrase into a regex LITERAL that Java and RE2
+    * (DuckDB) read identically: backslash every char outside
+    * [a-zA-Z0-9 ] (both engines treat escaped punctuation as the
+    * literal char; a space is left bare because RE2 rejects `\ `).
+    * Today's probes are plain lowercase phrases and pass through
+    * unchanged — this guards the FUTURE probe containing `.` or `+`,
+    * which would otherwise silently change matching on both engines
+    * (and differently on each). Exposed for the invariant spec. */
+  private[graft] def regexLiteral(s: String): String =
+    s.replaceAll("([^a-zA-Z0-9 ])", "\\\\$1")
+
   /** Redaction pattern chain, applied IN ORDER to the running text (so a
     * later pattern never re-matches inside an earlier replacement):
     * emails, IPv4s, long digit runs (phone/ID-ish), then the eval-probe
@@ -177,15 +188,18 @@ object TextOps {
     * leaked eval text instead of dropping the whole document).
     *
     * Regex subset chosen for cross-engine identity: character classes +
-    * greedy counted quantifiers only for the PII patterns, and a
-    * distinct-first-token alternation for the probes — shapes on which
-    * Java's leftmost-first and RE2's (DuckDB's) leftmost-longest
-    * semantics provably agree. */
+    * greedy counted quantifiers only for the PII patterns, and an
+    * escaped-literal alternation for the probes whose branches start
+    * with distinct first tokens and are mutually non-prefix
+    * (spec-asserted over [[CorpusOps.Probes]]) — shapes on which Java's
+    * leftmost-first and RE2's (DuckDB's) leftmost-longest semantics
+    * provably agree: at any position at most ONE branch can match, so
+    * branch preference never arises. */
   val RedactPatterns: Seq[(String, String, String)] = Seq(
     ("n_email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
     ("n_ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
     ("n_num", "\\d{7,}", "[NUM]"),
-    ("n_probe", CorpusOps.Probes.mkString("|"), "[REDACTED]"))
+    ("n_probe", CorpusOps.Probes.map(regexLiteral).mkString("|"), "[REDACTED]"))
 
   /** §2-77 `q_redact`: PII scrubbing + in-place decontamination — the
     * pattern chain above over the normalized text, emitting per-pattern

@@ -492,6 +492,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(by(2L).getAs[String]("text_redacted") == "clean text with no secrets")
   }
 
+  test("redact probe alternation: branches escape to literals, distinct-first-token, non-prefix") {
+    // the Java-leftmost-first ≡ RE2-leftmost-longest argument needs: at
+    // any position at most one branch can begin to match (distinct first
+    // tokens) and no branch is a prefix of another (else the engines
+    // pick different match LENGTHS). Data-driven probes must keep this.
+    val firstToks = CorpusOps.Probes.map(_.split(" ").head)
+    assert(firstToks.distinct.size == firstToks.size,
+      s"probe first tokens collide: $firstToks")
+    for (a <- CorpusOps.Probes; b <- CorpusOps.Probes if a != b)
+      assert(!b.startsWith(a), s"probe '$a' is a prefix of '$b'")
+    // escaping maps a metachar-bearing probe to a literal matcher: the
+    // phrase matches ITSELF, not its regex interpretation
+    val escaped = TextOps.regexLiteral("v2.0+ (beta)")
+    assert("v2.0+ (beta)".matches(escaped))
+    assert(!"v2X0+ (beta)".matches(escaped)) // '.' no longer a wildcard
+    // today's plain-phrase probes pass through unchanged
+    assert(CorpusOps.Probes.forall(p => TextOps.regexLiteral(p) == p))
+  }
+
   test("redact on the corpus: probe phrases hit, PII counts stay zero") {
     val r = TextOps.redact(docs)
     assert(r.agg(sum("n_probe")).collect().head.getLong(0) > 0)
