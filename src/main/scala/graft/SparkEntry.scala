@@ -71,6 +71,7 @@ object SparkEntry {
     "q_dedup_embedding_lsh" -> ((s, dir) => DedupOps.dedupEmbeddingLsh(Tables.embeddings(s, dir))),
     "q_dedup_embedding_rp" -> ((s, dir) => DedupOps.dedupEmbeddingRp(Tables.embeddings(s, dir))),
     "q_dedup_embedding_clusters" -> ((s, dir) => DedupOps.dedupEmbeddingClusters(Tables.embeddings(s, dir))),
+    "q_dedup_embedding_representative" -> ((s, dir) => DedupOps.dedupEmbeddingRepresentative(Tables.embeddings(s, dir))),
     "q_dedup_embedding_incremental" -> ((s, dir) => DedupOps.dedupEmbeddingIncremental(Tables.embeddings(s, dir))),
     // --- ANN (§2 rows 29-30) ---
     "q_ann_topk" -> ((s, dir) => AnnOps.annTopK(Tables.embeddings(s, dir))),

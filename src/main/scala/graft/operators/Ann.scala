@@ -170,6 +170,14 @@ object AnnOps {
     * four corpus checkpoints in the block manager — the measured
     * accumulated-blocks hazard from the round-6 probes). */
   private def q6Guarded(embeddings: DataFrame): DataFrame =
+    q6GuardedRaw(embeddings).localCheckpoint(false)
+
+  /** The guard+quantize chain WITHOUT the checkpoint — the single
+    * definition of the index family's input contract, shared with
+    * [[DedupOps.dedupEmbeddingRepresentative]] (whose consumer
+    * checkpoints a derived frame instead; two checkpoints of the same
+    * stream would pin redundant block-manager copies). */
+  private[graft] def q6GuardedRaw(embeddings: DataFrame): DataFrame =
     embeddings
       .filter(size(col("embedding")) === IndexDims)
       .filter(expr(
@@ -178,7 +186,6 @@ object AnnOps {
       .select(col("vec_id"), expr(
         "transform(embedding, v -> cast(round(cast(v as double) * 1e6) as bigint))")
         .as("q6s"))
-      .localCheckpoint(false)
 
   /** One guarded q6 row — the query-side lookup: the vec_id filter runs
     * BEFORE the guard transform and nothing is checkpointed, so reading

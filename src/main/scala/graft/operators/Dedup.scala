@@ -888,6 +888,66 @@ object DedupOps {
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy("vec_id")
 
+  /** §2-86 `q_dedup_embedding_representative`: the EMBEDDING family's
+    * keep/drop DECISION — [[dedupEmbeddingClusters]]' components reduced
+    * to one surviving vector per cluster, completing the semantic-dedup
+    * manifest the way [[dedupRepresentative]] completes the MinHash one.
+    * Embeddings carry no quality signal, so the kept member is the most
+    * CENTRAL one: the vector nearest its cluster's centroid (the member
+    * that best represents the semantic family; vec_id ascending breaks
+    * ties). Singletons survive as themselves with rep_dist 0.
+    *
+    * Integer-exact end to end — the [[AnnOps.kmeans]] machinery on the
+    * cluster key: members quantize through the index family's shared
+    * guard ([[AnnOps.q6GuardedRaw]] — 64-dim, finite, |v| ≤ 100; an
+    * unguardable member drops from the reduction on BOTH engines, and
+    * `n_members` counts the guarded members the centroid used), the
+    * per-cluster centroid is the (2s + n) div (2n) half-away-from-zero
+    * rounded mean (never leaves int64), and each member's distance is
+    * the exact int64 Σ(q6ᵢ − cᵢ)² — so the argmin, its distance, and
+    * the whole output hash-match DuckDB's unrolled CTE bit for bit.
+    *
+    * Scale shape: the centroid update is a (clusters × dims)-bounded agg
+    * with map-side partials (the [[AnnOps.centroid]] story); the
+    * distance pass joins members to their cluster centroid on
+    * cluster_id (corpus-row-bounded, skew-safe under AQE); the argmin
+    * is ONE partial-aggregatable struct-min — no window, no per-cluster
+    * sort. The member frame feeds both passes, so it is lazily
+    * localCheckpointed once (the AQE no-subtree-dedup lesson). */
+  def dedupEmbeddingRepresentative(embeddings: DataFrame, tau: Double = 0.4,
+                                   maxIters: Int = 50,
+                                   checkpointDir: Option[String] = None,
+                                   bands: Int = graft.plans.RpLsh.Bands,
+                                   bitsPerBand: Int = graft.plans.RpLsh.BitsPerBand)
+      : DataFrame = {
+    val clusters = dedupEmbeddingClusters(embeddings, tau, maxIters,
+      checkpointDir, bands, bitsPerBand)
+    val members = clusters
+      .join(AnnOps.q6GuardedRaw(embeddings), "vec_id")
+      .localCheckpoint(false)
+    val cent = members
+      .select(col("cluster_id"), posexplode(col("q6s")).as(Seq("pos", "v")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cq", expr(
+        "if(s >= 0, (2*s + n) div (2*n), -((2*(-s) + n) div (2*n)))"))
+      .groupBy("cluster_id")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cq))), x -> x.cq)")
+        .as("c"))
+    members
+      .join(cent, "cluster_id")
+      .select(col("cluster_id"), col("vec_id"), expr(
+        "aggregate(zip_with(q6s, c, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)").as("dist"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct(col("dist").as("dist"), col("vec_id").as("vec_id")))
+          .as("mm"))
+      .select(col("cluster_id"), col("n_members"),
+        col("mm.vec_id").as("rep_vec_id"), col("mm.dist").as("rep_dist"))
+      .orderBy("cluster_id")
+  }
+
   private val normSql = "lower(trim(text))"
 
   /** MinHash candidate-pair SQL for any (k, bands) — mirrors
@@ -1129,7 +1189,62 @@ object DedupOps {
          |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
          |)
          |SELECT u AS vec_id, MIN(lbl) AS cluster_id
-         |FROM walk GROUP BY u ORDER BY vec_id""".stripMargin
+         |FROM walk GROUP BY u ORDER BY vec_id""".stripMargin,
+    "q_dedup_embedding_representative" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$embeddingRpPairsSql
+         |), edges AS (
+         |  SELECT vec_a AS u, vec_b AS v FROM pairs
+         |  UNION
+         |  SELECT vec_b AS u, vec_a AS v FROM pairs
+         |), walk(u, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+         |), clusters AS (
+         |  SELECT u AS vec_id, MIN(lbl) AS cluster_id FROM walk GROUP BY u
+         |), g AS (
+         |  -- the index family's shared input guard (AnnOps.q6GuardedRaw)
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      v -> CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS q6s
+         |  FROM embeddings
+         |  WHERE len(embedding) = 64
+         |    AND len(list_filter(embedding,
+         |        v -> v IS NULL OR NOT isfinite(CAST(v AS DOUBLE))
+         |             OR abs(CAST(v AS DOUBLE)) > 100)) = 0
+         |), m AS MATERIALIZED (
+         |  -- MATERIALIZED: m feeds both the centroid chain and the
+         |  -- distance join; inlined twice, DuckDB would re-evaluate the
+         |  -- whole rp pair universe + recursive closure per reference —
+         |  -- measured to exhaust the checker process's memory
+         |  SELECT cluster_id, vec_id, q6s FROM clusters JOIN g USING (vec_id)
+         |), s AS (
+         |  SELECT cluster_id, CAST(i - 1 AS INTEGER) AS pos,
+         |    SUM(q6s[i]) AS s, COUNT(*) AS n
+         |  FROM (SELECT cluster_id, q6s,
+         |        unnest(generate_series(1, len(q6s))) AS i FROM m)
+         |  GROUP BY cluster_id, i
+         |), c AS (
+         |  -- the signed (2a+b)//(2b) half-away-from-zero rounded mean
+         |  SELECT cluster_id,
+         |    list(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+         |         ELSE -((2*(-s) + n) // (2*n)) END ORDER BY pos) AS c
+         |  FROM s GROUP BY cluster_id
+         |), d AS (
+         |  SELECT m.cluster_id, m.vec_id,
+         |    CAST(list_sum(list_transform(list_zip(m.q6s, c.c),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+         |  FROM m JOIN c USING (cluster_id)
+         |)
+         |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+         |  vec_id AS rep_vec_id, dist AS rep_dist
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY dist, vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM d)
+         |WHERE rn = 1 ORDER BY cluster_id""".stripMargin
   )
 
   /** Sign-LSH cosine pair SQL — the SAME 16 band keys the Spark side

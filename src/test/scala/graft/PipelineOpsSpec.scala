@@ -99,6 +99,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.count() == clusters.select("cluster_id").distinct().count())
   }
 
+  test("dedupEmbeddingRepresentative picks the centroid-nearest member per rp cluster") {
+    val clusters = DedupOps.dedupEmbeddingClusters(embs)
+    val got = DedupOps.dedupEmbeddingRepresentative(embs)
+    // one row per cluster; members cover the corpus (all vectors pass the
+    // guard in the fixture), reps are members of their own cluster
+    assert(got.count() == clusters.select("cluster_id").distinct().count())
+    assert(got.agg(sum("n_members")).collect().head.getLong(0) == embs.count())
+    val repCluster = got.select(col("rep_vec_id").as("vec_id"),
+      col("cluster_id").as("rep_cl"))
+    val misplaced = repCluster.join(clusters, "vec_id")
+      .filter(col("rep_cl") =!= col("cluster_id")).count()
+    assert(misplaced == 0)
+    // exercised on real multi-member clusters, and the rep genuinely
+    // minimizes the exact integer distance: recompute per-member dists
+    // the slow way and compare the argmin
+    assert(got.filter(col("n_members") > 1).count() > 0)
+    val q6 = embs.select(col("vec_id"), expr(
+      "transform(embedding, v -> cast(round(cast(v as double) * 1e6) as bigint))")
+      .as("q6s"))
+    val m = clusters.join(q6, "vec_id")
+    val cent = m
+      .select(col("cluster_id"), posexplode(col("q6s")).as(Seq("pos", "v")))
+      .groupBy("cluster_id", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("cq", expr(
+        "if(s >= 0, (2*s + n) div (2*n), -((2*(-s) + n) div (2*n)))"))
+      .groupBy("cluster_id")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cq))), x -> x.cq)")
+        .as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val expected = m.join(cent, "cluster_id")
+      .select(col("cluster_id"), col("vec_id"), expr(
+        "aggregate(zip_with(q6s, c, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)").as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("vec_id").as("rep_vec_id"),
+        col("dist").as("rep_dist"))
+    val gotSlim = got.select("cluster_id", "rep_vec_id", "rep_dist")
+    assert(gotSlim.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(gotSlim).count() == 0)
+    // singletons represent themselves at distance zero
+    val singletonBad = got.filter(col("n_members") === 1)
+      .filter(col("rep_dist") =!= 0L || col("rep_vec_id") =!= col("cluster_id"))
+    assert(singletonBad.count() == 0)
+  }
+
   test("dedupExact: representatives cover all docs, n_copies sums to corpus") {
     val df = DedupOps.dedupExact(docs)
     assert(df.agg(sum("n_copies")).collect().head.getLong(0) == docs.count())
