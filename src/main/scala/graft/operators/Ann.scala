@@ -169,8 +169,25 @@ object AnnOps {
     * coarse fit, and query lookup (four independent copies would pin
     * four corpus checkpoints in the block manager — the measured
     * accumulated-blocks hazard from the round-6 probes). */
-  private def q6Guarded(embeddings: DataFrame): DataFrame =
-    q6GuardedRaw(embeddings).localCheckpoint(false)
+  private def q6Guarded(embeddings: DataFrame,
+                        checkpointDir: Option[String] = None): DataFrame =
+    mat(checkpointDir)(q6GuardedRaw(embeddings), eager = false)
+
+  /** Materialization mode for the iterative fits — the CC durability
+    * option ([[DedupOps.connectedComponents]]) extended to the index
+    * family: local checkpoint by default (fast; blocks on executors),
+    * or RELIABLE checkpoints into `checkpointDir` (HDFS/object store on
+    * a cluster) so a multi-hour 100 TB k-means/PQ training survives its
+    * first lost executor — localCheckpoint blocks die with the executor
+    * AND truncate lineage, so without this every per-round
+    * materialization is a single point of failure. Identical results
+    * through both paths (spec-asserted, the CC spec pattern). */
+  private def mat(checkpointDir: Option[String])(df: DataFrame,
+                                                 eager: Boolean): DataFrame = {
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    if (checkpointDir.isDefined) df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+  }
 
   /** The guard+quantize chain WITHOUT the checkpoint — the single
     * definition of the index family's input contract, shared with
@@ -243,9 +260,19 @@ object AnnOps {
     * family guard), and the magnitude bound here is |v| ≤ 100 — tighter
     * than quantize's 10⁶ because the ARGMIN must stay in int64:
     * |q6| ≤ 10⁸ ⇒ Σ₆₄(2·10⁸)² ≈ 2.6·10¹⁸ < 2⁶³. Unit-norm embedding
-    * corpora sit orders of magnitude inside it. */
-  def kmeans(embeddings: DataFrame, k: Int = 10, iters: Int = 2): DataFrame =
-    kmeansPieces(q6Guarded(embeddings), k, iters)._1
+    * corpora sit orders of magnitude inside it.
+    *
+    * `checkpointDir`: when set, every per-round materialization (and the
+    * guarded input stream) is a RELIABLE checkpoint into that directory
+    * instead of localCheckpoint — the [[DedupOps.connectedComponents]]
+    * durability option extended to the fits, so a multi-hour 100 TB
+    * training survives executor loss. Identical results (spec-asserted);
+    * the local default stays the fast single-process choice. Applies to
+    * the whole family ([[pqEncode]], [[pqSearch]], [[pqSearchIvf]]). */
+  def kmeans(embeddings: DataFrame, k: Int = 10, iters: Int = 2,
+             checkpointDir: Option[String] = None): DataFrame =
+    kmeansPieces(q6Guarded(embeddings, checkpointDir), k, iters,
+      checkpointDir)._1
       .select(col("vec_id"), col("list_id"), col("dist"))
       .orderBy("vec_id")
 
@@ -253,14 +280,17 @@ object AnnOps {
     * refers to — the coarse-quantizer artifact an IVF build persists
     * ([[pqSearchIvf]] ranks probe lists against it). */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 10,
-                      iters: Int = 2): DataFrame =
-    kmeansPieces(q6Guarded(embeddings), k, iters)._2
+                      iters: Int = 2,
+                      checkpointDir: Option[String] = None): DataFrame =
+    kmeansPieces(q6Guarded(embeddings, checkpointDir), k, iters,
+      checkpointDir)._2
 
   /** Shared k-means fit over a [[q6Guarded]] frame: (final assignment
     * incl. q6s, final centroids). Taking the guarded frame (not the raw
     * embeddings) lets [[pqSearchIvf]] share ONE materialization across
     * its coarse and product fits. */
-  private def kmeansPieces(g: DataFrame, k: Int, iters: Int)
+  private def kmeansPieces(g: DataFrame, k: Int, iters: Int,
+                           checkpointDir: Option[String] = None)
       : (DataFrame, DataFrame) = {
     val seeds = g
       .select(expr("md5(cast(vec_id as string))").as("h"), col("vec_id"),
@@ -298,10 +328,11 @@ object AnnOps {
           .as("cu"))
       // k-row frame: eager checkpoint cuts the per-round lineage (the
       // iterate-to-fixpoint lesson from connectedComponents) at the cost
-      // of one tiny job per round.
-      c.join(upd, Seq("list_id"), "left")
-        .select(col("list_id"), coalesce(col("cu"), col("c")).as("c"))
-        .localCheckpoint()
+      // of one tiny job per round; reliable under checkpointDir ([[mat]]).
+      mat(checkpointDir)(
+        c.join(upd, Seq("list_id"), "left")
+          .select(col("list_id"), coalesce(col("cu"), col("c")).as("c")),
+        eager = true)
     }
     (assign(cT), cT)
   }
@@ -337,8 +368,10 @@ object AnnOps {
     * pick m | dims (the 64-dim default uses 8×8) to encode the full
     * vector. */
   def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
-               iters: Int = 1): DataFrame =
-    pqPieces(q6Guarded(embeddings), m, k, iters)._1
+               iters: Int = 1,
+               checkpointDir: Option[String] = None): DataFrame =
+    pqPieces(q6Guarded(embeddings, checkpointDir), m, k, iters,
+      checkpointDir)._1
       .select(col("vec_id"), col("sub"), col("code"), col("dist"))
       .orderBy("vec_id", "sub")
 
@@ -346,8 +379,10 @@ object AnnOps {
     * m·k rows of dims/m-component integer centroids; the artifact a real
     * index build persists next to the codes. */
   def pqCodebook(embeddings: DataFrame, m: Int = 8, k: Int = 16,
-                 iters: Int = 1): DataFrame =
-    pqPieces(q6Guarded(embeddings), m, k, iters)._2
+                 iters: Int = 1,
+                 checkpointDir: Option[String] = None): DataFrame =
+    pqPieces(q6Guarded(embeddings, checkpointDir), m, k, iters,
+      checkpointDir)._2
 
   /** §2-C `pqSearch`: asymmetric-distance (ADC) search over the PQ index
     * — the query stays UNquantized: its per-(sub, code) squared
@@ -362,9 +397,10 @@ object AnnOps {
     * plan (the 32×-smaller index is what scans at 100 TB, like
     * [[annIvfQ8]] proves for the scalar index). */
   def pqSearch(embeddings: DataFrame, queryId: Long = 0L, topK: Int = 10,
-               m: Int = 8, k: Int = 16, iters: Int = 1): DataFrame = {
-    val g = q6Guarded(embeddings)
-    val (codes, cb) = pqPieces(g, m, k, iters)
+               m: Int = 8, k: Int = 16, iters: Int = 1,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val g = q6Guarded(embeddings, checkpointDir)
+    val (codes, cb) = pqPieces(g, m, k, iters, checkpointDir)
     pqAdc(codes, cb, querySlices(g, queryId, m), queryId, topK)
   }
   // `q_pq_search` (§2-83) binds pqSearch under the oracle: the whole ADC
@@ -428,14 +464,15 @@ object AnnOps {
     * score — the same invariant the kmeans→annIvf composition pins). */
   def pqSearchIvf(embeddings: DataFrame, queryId: Long = 0L, topK: Int = 10,
                   nProbe: Int = 2, nLists: Int = 10, m: Int = 8,
-                  kCodes: Int = 16, iters: Int = 1): DataFrame = {
+                  kCodes: Int = 16, iters: Int = 1,
+                  checkpointDir: Option[String] = None): DataFrame = {
     // ONE guarded/checkpointed q6 frame threads through the PQ fit, the
     // coarse fit, and both query lookups — independent q6Guarded calls
     // here would quantize the corpus four times and pin four identical
     // checkpoint copies in the block manager
-    val g = q6Guarded(embeddings)
-    val (codes, cb) = pqPieces(g, m, kCodes, iters)
-    val (assignment, cents) = kmeansPieces(g, nLists, 2)
+    val g = q6Guarded(embeddings, checkpointDir)
+    val (codes, cb) = pqPieces(g, m, kCodes, iters, checkpointDir)
+    val (assignment, cents) = kmeansPieces(g, nLists, 2, checkpointDir)
     val q = g.filter(col("vec_id") === queryId)
       .select(col("q6s").as("qq"))
     val probed = cents
@@ -458,16 +495,17 @@ object AnnOps {
     * (vec_id, sub, sq) slices (lazily checkpointed — consumed per round
     * + finally), per-round broadcast assignment + (sub, code, pos)
     * update agg, [[kmeans]]' rounding. */
-  private def pqPieces(g: DataFrame, m: Int, k: Int, iters: Int)
+  private def pqPieces(g: DataFrame, m: Int, k: Int, iters: Int,
+                       checkpointDir: Option[String] = None)
       : (DataFrame, DataFrame) = {
     val sliceExpr = (src: String, out: String) =>
       s"transform(sequence(0, $m - 1), s -> named_struct(" +
         s"'sub', cast(s as int), " +
         s"'$out', slice($src, s * (size($src) div $m) + 1, size($src) div $m)))"
-    val slices = g
-      .select(col("vec_id"), explode(expr(sliceExpr("q6s", "sq"))).as("x"))
-      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sq").as("sq"))
-      .localCheckpoint(false)
+    val slices = mat(checkpointDir)(
+      g.select(col("vec_id"), explode(expr(sliceExpr("q6s", "sq"))).as("x"))
+        .select(col("vec_id"), col("x.sub").as("sub"), col("x.sq").as("sq")),
+      eager = false)
     val seeds = g
       .select(expr("md5(cast(vec_id as string))").as("h"), col("vec_id"),
         col("q6s"))
@@ -500,9 +538,10 @@ object AnnOps {
         .groupBy("sub", "code")
         .agg(expr("transform(sort_array(collect_list(struct(pos, cq))), x -> x.cq)")
           .as("cu"))
-      cb.join(upd, Seq("sub", "code"), "left")
-        .select(col("sub"), col("code"), coalesce(col("cu"), col("c")).as("c"))
-        .localCheckpoint()
+      mat(checkpointDir)(
+        cb.join(upd, Seq("sub", "code"), "left")
+          .select(col("sub"), col("code"), coalesce(col("cu"), col("c")).as("c")),
+        eager = true)
     }
     (assign(cbT), cbT)
   }

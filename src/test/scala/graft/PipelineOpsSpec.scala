@@ -292,6 +292,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(files != null && files.nonEmpty, s"no checkpoint data under $dir")
   }
 
+  test("kmeans/pq fits: reliable-checkpoint path matches the local path") {
+    // same durability option as CC: per-round localCheckpoint blocks die
+    // with their executor, so a multi-hour 100 TB training needs the
+    // reliable path; the trajectory must be bit-identical through both
+    val dir = java.nio.file.Files.createTempDirectory("graft_fit_ckpt").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(AnnOps.kmeans(embs, checkpointDir = Some(dir))) ==
+      rows(AnnOps.kmeans(embs)))
+    assert(rows(AnnOps.pqEncode(embs, checkpointDir = Some(dir))) ==
+      rows(AnnOps.pqEncode(embs)))
+    assert(rows(AnnOps.pqSearchIvf(embs, checkpointDir = Some(dir))) ==
+      rows(AnnOps.pqSearchIvf(embs)))
+    val files = new java.io.File(dir).listFiles
+    assert(files != null && files.nonEmpty, s"no checkpoint data under $dir")
+  }
+
   test("CC convergence count rides the checkpoint job (no per-round count job)") {
     import spark.implicits._
     // chain graph: several pointer-jumping rounds, so a reintroduced
