@@ -490,6 +490,63 @@ object AnnOps {
       querySlices(g, queryId, m), queryId, topK)
   }
 
+  /** The IVF-PQ index BUILD — the three artifacts a real deployment
+    * writes ONCE and searches forever, from one shared guarded frame
+    * (exactly [[pqSearchIvf]]'s internals, exposed as persistable
+    * tables):
+    *   - codes: (vec_id, sub, code, list_id) — the product codes WITH
+    *     their coarse list assignment, so the table persists
+    *     list-partitioned (`Sinks.writePartitionedBy(codes, path,
+    *     "list_id")`) and a probe physically reads only the probed
+    *     lists' directories (dynamicpruning PartitionFilters, asserted
+    *     in SinksSpec);
+    *   - codebook: (sub, code, c) — m·k integer codewords;
+    *   - centroids: (list_id, c) — the k coarse-quantizer centroids the
+    *     probe ranks against.
+    * The coarse fit runs 2 Lloyd rounds, [[pqSearchIvf]]'s fixed
+    * geometry, so the persisted index searches bit-identically to the
+    * inline fit (spec-pinned). `checkpointDir` = the fit durability
+    * option. */
+  def pqIvfIndex(embeddings: DataFrame, nLists: Int = 10, m: Int = 8,
+                 kCodes: Int = 16, iters: Int = 1,
+                 checkpointDir: Option[String] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val g = q6Guarded(embeddings, checkpointDir)
+    val (codes, cb) = pqPieces(g, m, kCodes, iters, checkpointDir)
+    val (assignment, cents) = kmeansPieces(g, nLists, 2, checkpointDir)
+    (codes.select(col("vec_id"), col("sub"), col("code"))
+      .join(assignment.select(col("vec_id"), col("list_id")), "vec_id"),
+      cb, cents)
+  }
+
+  /** [[pqSearchIvf]] over the PERSISTED index — the deployment shape the
+    * whole PQ estate builds to: `codes`/`codebook`/`centroids` are
+    * [[pqIvfIndex]]'s artifacts off disk (codes list_id-partitioned),
+    * `query` supplies only the query row, and NOTHING re-trains per
+    * search. The probe ranks the k persisted coarse centroids by exact
+    * int64 distance (k-row frame — broadcast), keeps nProbe lists, and
+    * joins the code table on `list_id`: over the partitioned layout that
+    * join IS a dynamic-partition-prune — the scan's PartitionFilters
+    * carries the dynamicpruning subquery and a query physically touches
+    * nProbe/nLists of a 32×-compressed index (SinksSpec asserts both
+    * the prune and bit-identity with the inline [[pqSearchIvf]]). */
+  def pqSearchIvfIndex(codes: DataFrame, codebook: DataFrame,
+                       centroids: DataFrame, query: DataFrame,
+                       queryId: Long = 0L, topK: Int = 10, nProbe: Int = 2,
+                       m: Int = 8): DataFrame = {
+    val qg = q6Row(query, queryId)
+    val probed = centroids
+      .crossJoin(broadcast(qg.select(col("q6s").as("qq"))))
+      .select(col("list_id"), expr(
+        "aggregate(zip_with(qq, c, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as bigint), (acc, v) -> acc + v)").as("d"))
+      .orderBy(col("d").asc, col("list_id").asc)
+      .limit(nProbe)
+      .select(col("list_id"))
+    pqAdc(codes.join(broadcast(probed), "list_id"), codebook,
+      querySlices(qg, queryId, m), queryId, topK)
+  }
+
   /** The shared PQ fit over a [[q6Guarded]] frame: returns (final
     * assignment incl. `sq`, final codebook). One explode into
     * (vec_id, sub, sq) slices (lazily checkpointed — consumed per round

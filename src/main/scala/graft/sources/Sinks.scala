@@ -45,9 +45,18 @@ object Sinks {
     * `SinksSpec`). This is the §2-60 claim made physical. */
   def writePartitionedByLabel(embeddings: DataFrame, path: String,
                               maxRecordsPerFile: Long = 5000000L): Unit =
-    embeddings
-      .write.mode("overwrite")
+    writePartitionedBy(embeddings, path, "label", maxRecordsPerFile)
+
+  /** The general list-keyed index layout — `path/<col>=N/part-*.parquet`.
+    * [[writePartitionedByLabel]] is this on the raw embeddings' label;
+    * the IVF-PQ code table writes through it on the LEARNED `list_id`
+    * (`AnnOps.pqIvfIndex`), so a `pqSearchIvfIndex` probe
+    * dynamic-partition-prunes the code directories the same way
+    * (asserted in `SinksSpec`). */
+  def writePartitionedBy(df: DataFrame, path: String, partitionCol: String,
+                         maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("label")
+      .partitionBy(partitionCol)
       .parquet(path)
 }

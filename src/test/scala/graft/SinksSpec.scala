@@ -49,6 +49,39 @@ class SinksSpec extends SparkSpec {
     assert(rows(df) == rows(AnnOps.annIvf(embs)))
   }
 
+  test("pqSearchIvfIndex: persisted list-partitioned codes are dynamically pruned, search is bit-identical") {
+    import graft.operators.AnnOps
+    val dir = Files.createTempDirectory("graft_ivfpq").toFile.getAbsolutePath
+    val embs = Tables.embeddings(spark, sfDir)
+    // build once, persist the three artifacts (codes list_id-partitioned)
+    val (codes, codebook, centroids) = AnnOps.pqIvfIndex(embs)
+    Sinks.writePartitionedBy(codes, s"$dir/codes", "list_id")
+    codebook.write.parquet(s"$dir/codebook")
+    centroids.write.parquet(s"$dir/centroids")
+    // search reads ONLY the persisted artifacts + the query row
+    val df = AnnOps.pqSearchIvfIndex(
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/centroids"),
+      embs)
+    // the probed-list broadcast must prune list_id= directories BEFORE
+    // IO: the code scan's PartitionFilters carries a dynamicpruning
+    // subquery (the annIvf proof extended to the PQ family)
+    val p = df.queryExecution.explainString(FormattedMode)
+    val pruned = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pruned.nonEmpty, s"no PartitionFilters on the code scan:\n$p")
+    assert(pruned.exists(_.toLowerCase.contains("dynamicpruning")),
+      s"no dynamic partition pruning on the code scan:\n$p")
+    // bit-identical to the inline-fit pqSearchIvf on the same corpus
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows(df) == rows(AnnOps.pqSearchIvf(embs)))
+    // the persisted index genuinely landed as one directory per list
+    val lists = new java.io.File(s"$dir/codes").listFiles
+      .filter(_.getName.startsWith("list_id=")).map(_.getName).toSet
+    assert(lists.size == 10, s"expected 10 list dirs, got $lists")
+  }
+
   test("summaryApprox: single pass, no Expand, within HLL error of exact") {
     val events = Tables.events(spark, sfDir)
     val approx = EventOps.summaryApprox(events)
