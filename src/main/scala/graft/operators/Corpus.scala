@@ -173,13 +173,48 @@ object CorpusOps {
   /** Benchmark retrieval query for [[bm25]] — fixed, like [[Probes]]. */
   val Bm25Query: Seq[String] = Seq("the", "spark", "fast", "stream")
 
+  /** The q9-quantized per-term BM25 score as a SQL fragment over the
+    * (tf, dl, df, d_total, t_total) columns, for RATIONAL k1 = k1n/k1d
+    * and b = bn/bd — the [[bm25]] scaladoc's integer identity re-derived
+    * generically: multiplying idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    * through by k1d·bd·T gives
+    *
+    *   (2N−2df+1) · A·T·tf / [(2df+1) · (B·T·tf + C·T + D·dl·N)]
+    *
+    * with A = (k1n+k1d)·bd, B = k1d·bd, C = k1n·(bd−bn), D = k1n·bn —
+    * reduced by gcd(A,B,C,D) so the default (6/5, 3/4) emits the
+    * historical 22/10/3/9 constants verbatim (exact `div` is invariant
+    * to a common factor, but smaller constants keep the DECIMAL(38)
+    * overflow contract: the numerator's digit budget grows with
+    * digits(A), so exotic (k1, b) rationals shrink the corpus bound
+    * documented at [[bm25]]). Shared by [[bm25]] and [[bm25Multi]] so
+    * the single- and multi-probe scorers can never drift. */
+  private def bm25ScoreQ9Expr(k1n: Long, k1d: Long, bn: Long, bd: Long)
+      : String = {
+    require(k1n >= 0 && k1d > 0 && bn >= 0 && bn <= bd,
+      s"need k1 = $k1n/$k1d >= 0 and 0 <= b = $bn/$bd <= 1")
+    @annotation.tailrec def gcd(a: Long, b: Long): Long =
+      if (b == 0) a else gcd(b, a % b)
+    val (a0, b0, c0, d0) =
+      ((k1n + k1d) * bd, k1d * bd, k1n * (bd - bn), k1n * bn)
+    val g = Seq(b0, c0, d0).foldLeft(a0)(gcd)
+    s"cast((cast(2*d_total - 2*df + 1 as decimal(38,0)) * ${a0 / g} * t_total" +
+      s" * tf * 1000000000) div " +
+      s"(cast(2*df + 1 as decimal(38,0)) * (${b0 / g} * cast(t_total as decimal(38,0))" +
+      s" * tf + ${c0 / g} * t_total + ${d0 / g} * cast(dl as decimal(38,0))" +
+      s" * d_total)) as bigint)"
+  }
+
   /** §2-81 `q_bm25`: BM25 retrieval scoring — rank documents against a
     * query term set by the classic tf·idf retrieval function with
-    * document-length normalization (k1 = 6/5, b = 3/4). The text-side
-    * twin of the ANN search family: the same "best matches in the
-    * corpus" capability over TOKENS instead of embeddings — and what a
-    * contamination triage or eval-example retrieval runs at curation
-    * time.
+    * document-length normalization. (k1, b) are RATIONAL parameters
+    * (k1Num/k1Den, bNum/bDen — defaults 6/5 and 3/4, the classic
+    * 1.2/0.75): the exactness identity below re-derives for any such
+    * rationals in [[bm25ScoreQ9Expr]], so tuning stays hash-exact. The
+    * text-side twin of the ANN search family: the same "best matches in
+    * the corpus" capability over TOKENS instead of embeddings — and
+    * what a contamination triage or eval-example retrieval runs at
+    * curation time.
     *
     * Exactness: textbook BM25 idf is a log — a libm call whose last ulp
     * is engine-specific (the one class of float op this repo keeps out
@@ -215,7 +250,9 @@ object CorpusOps {
     * corpus); df (≤ |query| rows) and the (D, T) totals broadcast;
     * top-N compiles to TakeOrderedAndProject. */
   def bm25(documents: DataFrame, queryTerms: Seq[String] = Bm25Query,
-           topN: Int = 20): DataFrame = {
+           topN: Int = 20,
+           k1Num: Long = 6L, k1Den: Long = 5L,
+           bNum: Long = 3L, bDen: Long = 4L): DataFrame = {
     val toks = TextFuns.tokens(col("text"))
     val totals = documents
       .agg(count(lit(1)).as("d_total"),
@@ -234,12 +271,8 @@ object CorpusOps {
     tf
       .join(broadcast(dft), "term")
       .crossJoin(broadcast(totals))
-      .withColumn("score_q9", expr(
-        "cast((cast(2*d_total - 2*df + 1 as decimal(38,0)) * 22 * t_total * tf" +
-          " * 1000000000) div " +
-          "(cast(2*df + 1 as decimal(38,0)) * (10 * cast(t_total as decimal(38,0))" +
-          " * tf + 3 * t_total + 9 * cast(dl as decimal(38,0)) * d_total))" +
-          " as bigint)"))
+      .withColumn("score_q9",
+        expr(bm25ScoreQ9Expr(k1Num, k1Den, bNum, bDen)))
       .groupBy(col("doc_id"))
       .agg(sum(col("score_q9")).cast("bigint").as("score_q9"),
         count(lit(1)).as("n_terms"))
@@ -264,7 +297,9 @@ object CorpusOps {
     * set); tf/df/totals compute ONCE across all probes and fan out to
     * (probe, doc) pairs by the tiny broadcast (probe, term) map. */
   def bm25Multi(documents: DataFrame, probes: DataFrame,
-                topN: Int = 5): DataFrame = {
+                topN: Int = 5,
+                k1Num: Long = 6L, k1Den: Long = 5L,
+                bNum: Long = 3L, bDen: Long = 4L): DataFrame = {
     val toks = TextFuns.tokens(col("text"))
     val pt = probes
       .select(col("probe"), explode(TextFuns.tokens(col("probe"))).as("term"))
@@ -285,12 +320,8 @@ object CorpusOps {
       .join(broadcast(dft), "term")
       .join(broadcast(pt), "term")
       .crossJoin(broadcast(totals))
-      .withColumn("score_q9", expr(
-        "cast((cast(2*d_total - 2*df + 1 as decimal(38,0)) * 22 * t_total * tf" +
-          " * 1000000000) div " +
-          "(cast(2*df + 1 as decimal(38,0)) * (10 * cast(t_total as decimal(38,0))" +
-          " * tf + 3 * t_total + 9 * cast(dl as decimal(38,0)) * d_total))" +
-          " as bigint)"))
+      .withColumn("score_q9",
+        expr(bm25ScoreQ9Expr(k1Num, k1Den, bNum, bDen)))
       .groupBy(col("probe"), col("doc_id"))
       .agg(sum(col("score_q9")).cast("bigint").as("score_q9"),
         count(lit(1)).as("n_terms"))

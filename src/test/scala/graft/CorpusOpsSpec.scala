@@ -558,6 +558,53 @@ class CorpusOpsSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse, "scores not non-increasing")
   }
 
+  test("bm25 (k1, b) rationals: non-default config matches an exact BigInt recompute; defaults reduce to the frozen constants") {
+    // independent first-principles recompute of the generic identity
+    // (BigInt, no DataFrame machinery) at k1 = 2/1, b = 1/2
+    val (k1n, k1d, bn, bd) = (2L, 1L, 1L, 2L)
+    val terms = CorpusOps.Bm25Query.toSet
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split(" ", -1).toSeq)
+    val n = BigInt(corpus.length)
+    val t = BigInt(corpus.map(_._2.length.toLong).sum)
+    val tfs = corpus.map { case (id, toks) =>
+      id -> (toks.length, terms.toSeq.map(w =>
+        w -> math.min(toks.count(_ == w), 255)).filter(_._2 > 0).toMap)
+    }.toMap
+    val dfs = terms.map(w =>
+      w -> BigInt(tfs.values.count(_._2.contains(w)))).toMap
+    val (a, b, c, d) = (BigInt((k1n + k1d) * bd), BigInt(k1d * bd),
+      BigInt(k1n * (bd - bn)), BigInt(k1n * bn))
+    val expected = tfs.toSeq.flatMap { case (id, (dl, tfm)) =>
+      if (tfm.isEmpty) None
+      else Some((id, tfm.map { case (w, tf) =>
+        val num = (2 * n - 2 * dfs(w) + 1) * a * t * BigInt(tf) * BigInt(1000000000L)
+        val den = (2 * dfs(w) + 1) * (b * t * BigInt(tf) + c * t + d * BigInt(dl) * n)
+        num / den
+      }.sum.toLong, tfm.size.toLong))
+    }.sortBy { case (id, s, _) => (-s, id) }.take(20)
+    val got = CorpusOps.bm25(docs, k1Num = k1n, k1Den = k1d,
+      bNum = bn, bDen = bd)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    // and the non-default config genuinely changes the scores (the
+    // params are live, not decorative)
+    val defaults = CorpusOps.bm25(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(r => (r._1, r._2)) != defaults)
+    // k1 = 0 collapses the tf component: every matching doc scores the
+    // exact idf-only sum regardless of tf or length
+    val flat = CorpusOps.bm25(docs, k1Num = 0L, topN = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val idfOnly = terms.toSeq.map(w =>
+      w -> ((2 * n - 2 * dfs(w) + 1) * BigInt(1000000000L) /
+        (2 * dfs(w) + 1)).toLong).toMap
+    flat.foreach { case (id, s, _) =>
+      val want = tfs(id)._2.keys.map(idfOnly).sum
+      assert(s == want, s"doc $id: k1=0 score $s != idf-only $want")
+    }
+  }
+
   test("bm25Multi: each probe's ranking equals the single-query bm25 over its own terms") {
     import graft.functions.TextFuns
     val multi = CorpusOps.bm25Multi(docs).collect()
