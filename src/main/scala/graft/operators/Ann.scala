@@ -763,6 +763,76 @@ object AnnOps {
       .limit(k)
   }
 
+  /** §2-C `annIvfQ8Multi`: [[annIvfQ8]] for a QUERY TABLE — the SERVING
+    * batch shape (the ANN analogue of [[CorpusOps.bm25Multi]]): a frame
+    * of (q_id, embedding) request vectors all search the persisted int8
+    * index in ONE plan. Queries are EXTERNAL — raw vectors, not index
+    * ids: they quantize through the very same [[quantizedVectors]]
+    * chain the index was built with (zero drift — a query equal to an
+    * indexed vector produces its exact index-row qvs, spec-pinned
+    * against single-query [[annIvfQ8]]), so the scale-cancelling int8
+    * cosine applies unchanged.
+    *
+    * Plan shape: the per-(list, dim) centroid sums compute ONCE across
+    * all queries (the expensive pass — amortized over the batch, the
+    * bm25Multi story); the query-side band of (q_id, pos) rows
+    * broadcasts into the probe agg, the probed (q_id, label) map
+    * broadcasts into the candidate fetch (each query fans out only to
+    * ITS probed lists' rows), and both per-query rankings are
+    * row_number windows over post-agg frames bounded by queries×lists
+    * and queries×candidates — never the corpus. At 100 TB the label
+    * partition key prunes exactly as in [[annIvfQ8]]; a request batch
+    * of q queries reads the UNION of their probed lists once.
+    *
+    * This is the batch half of the streaming serving twin
+    * ([[graft.streaming.EventStream.annSearchStream]] runs it per
+    * micro-batch via foreachBatch — each trigger's requests are a
+    * bounded frame, so the per-query ranking is legal there too). */
+  def annIvfQ8Multi(index: DataFrame, queries: DataFrame, k: Int = 5,
+                    nProbe: Int = 2): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+    val idx = index.localCheckpoint(false)
+    val listSums = idx
+      .select(col("label"), col("scale6"),
+        posexplode(col("qvs")).as(Seq("pos", "qv")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("qv").cast(dec) * col("scale6").cast(dec)).as("s"))
+    // external queries quantize through the index's own build chain
+    val q = quantizedVectors(queries.select(col("q_id").as("vec_id"),
+        lit(0).as("label"), col("embedding")))
+      .select(col("vec_id").as("q_id"), col("qvs").as("q_qvs"),
+        col("ss").as("q_ss"))
+    val qq = q.select(col("q_id"), posexplode(col("q_qvs")).as(Seq("pos", "qv")))
+      .select(col("q_id"), col("pos"), col("qv").cast(dec).as("qq"))
+    val probed = listSums
+      .join(broadcast(qq), "pos")
+      .groupBy(col("q_id"), col("label"))
+      .agg(sum(col("s") * col("qq")).as("dq"), sum(col("s") * col("s")).as("ss"))
+      .filter(col("ss") > 0)
+      .select(col("q_id"), col("label"),
+        (col("dq").cast("double") / sqrt(col("ss").cast("double"))).as("c_key"))
+      .withColumn("prn", row_number().over(w.partitionBy("q_id")
+        .orderBy(col("c_key").desc, col("label").asc)))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("label"))
+    idx
+      .join(broadcast(probed), "label")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"), col("label"),
+        (expr("aggregate(zip_with(qvs, q_qvs, (x, y) -> " +
+          "cast(x as bigint) * cast(y as bigint)), cast(0 as bigint), " +
+          "(acc, v) -> acc + v)").cast("double") /
+          (sqrt(col("ss").cast("double")) * sqrt(col("q_ss").cast("double"))))
+          .as("score"))
+      .withColumn("rank", row_number().over(w.partitionBy("q_id")
+        .orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("label"),
+        col("score"))
+      .orderBy("q_id", "rank")
+  }
+
   /** The q_pq training CTE chain (guard → slices → seeds → one Lloyd
     * round → final per-(vec, sub) assignment `af`) — shared by the
     * q_pq and q_pq_search oracles so the encode and search sides can

@@ -245,6 +245,38 @@ object EventStream {
         CorpusOps.splitOf(col("doc_id")).as("split"))
   }
 
+  /** §2-C streaming ANN SERVING — the search-side twin next to the
+    * ingestion-side [[dedupEmbeddingIncrementalStream]], completing the
+    * index estate's two deployment faces: an unbounded stream of
+    * (q_id, embedding) request vectors searches the PERSISTED int8
+    * index (`AnnOps.quantizedVectors`' layout off disk), emitting each
+    * request's top-k.
+    *
+    * Per-query top-k is a RANKING — not expressible as a watermarked
+    * streaming aggregation — so the query runs through `foreachBatch`:
+    * every trigger's requests form a bounded frame and the ordinary
+    * batch serving plan (`AnnOps.annIvfQ8Multi` — centroid sums once
+    * per batch, probed-list pruning, windows over queries×candidates)
+    * answers the whole batch in one go; `sink` receives the batch's
+    * results (+ the batch id) and appends them wherever the serving
+    * store lives. This IS the deployment shape of a retrieval service
+    * on micro-batch infrastructure: amortize the index pass over each
+    * request batch, never re-train anything. The static index frame is
+    * re-evaluated per micro-batch, so a nightly index rebuild picks up
+    * without restarting the query (the stream-static convention here).
+    * Batch-equivalence vs the batch search on the same queries is
+    * spec-asserted in StreamingSpec. */
+  def annSearchStream(queries: DataFrame, index: () => DataFrame,
+                      k: Int = 5, nProbe: Int = 2)
+                     (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.operators.AnnOps.annIvfQ8Multi(index(), batch, k, nProbe),
+          id)
+      }
+      .start()
+
   /** §2-C stream-static enrichment: join the unbounded stream against a
     * bounded dimension. The static side is re-read per micro-batch (so a
     * slowly-changing dim refreshes without restarting the query) and

@@ -932,6 +932,35 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("annIvfQ8Multi: an indexed vector as external query reproduces annIvfQ8; batch answers all queries") {
+    import spark.implicits._
+    val index = AnnOps.quantizedVectors(embs)
+    // query table = raw embeddings of two indexed vectors, re-quantized
+    // through the serving path from floats
+    val qrows = embs.filter(col("vec_id").isin(0L, 7L))
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val multi = AnnOps.annIvfQ8Multi(index, qrows, k = 6, nProbe = 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1))).toMap
+    assert(multi.keySet == Set(0L, 7L))
+    for (qid <- Seq(0L, 7L)) {
+      val rows = multi(qid)
+      assert(rows.length == 6, s"q$qid returned ${rows.length} rows")
+      // modulo the self row (recalled only when the query's OWN list is
+      // among the probed ones — geometry-dependent), the ranking IS the
+      // single-query search's: same probe set, same scores, same order
+      val rest = rows.filter(_.getLong(2) != qid)
+        .map(r => (r.getLong(2), r.getInt(3), r.getDouble(4))).toSeq
+      val single = AnnOps.annIvfQ8(index, queryId = qid, k = 6)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(rest == single.take(rest.length), s"q$qid: $rest != $single")
+      // any self row scores ~1 (ulp off exact 1.0: sqrt(ss)^2 != ss)
+      rows.find(_.getLong(2) == qid)
+        .foreach(r => assert(r.getDouble(4) > 0.999))
+    }
+  }
+
   test("kmeans: partitions the corpus, seeds self-assign at iters=0, Lloyd's improves") {
     val k = 10
     val a0 = AnnOps.kmeans(embs, k = k, iters = 0).cache()

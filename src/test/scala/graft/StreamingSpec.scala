@@ -451,6 +451,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annSearchStream: micro-batched queries against the persisted int8 index match the batch search") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.AnnOps
+    // the PERSISTED index — built once, off disk for every micro-batch
+    val idxDir = Files.createTempDirectory("graft_serve_idx").toFile.getAbsolutePath
+    AnnOps.quantizedVectors(Tables.embeddings(spark, sfDir))
+      .write.mode("overwrite").parquet(idxDir)
+    val embMap = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(0L, 7L, 13L))
+      .select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val results = new scala.collection.concurrent.TrieMap[Long, Array[org.apache.spark.sql.Row]]
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.annSearchStream(
+      input.toDF().toDF("q_id", "embedding"),
+      () => spark.read.parquet(idxDir)) { (batch, id) =>
+      results.put(id, batch.collect())
+    }
+    try {
+      // two requests in the first trigger, one in the second — each
+      // batch is answered completely, results only ever append
+      input.addData((0L, embMap(0L)), (7L, embMap(7L)))
+      q.processAllAvailable()
+      assert(results.values.flatten.map(_.getLong(0)).toSet == Set(0L, 7L))
+      input.addData((13L, embMap(13L)))
+      q.processAllAvailable()
+      val streamed = results.values.flatten
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+        .toSet
+      // batch-equivalence: the same three queries through the batch
+      // serving shape on the same persisted index
+      val queries = embMap.toSeq.toDF("q_id", "embedding")
+      val batch = AnnOps.annIvfQ8Multi(spark.read.parquet(idxDir), queries)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+        .toSet
+      assert(streamed == batch, s"streamed $streamed\nbatch $batch")
+    } finally q.stop()
+  }
+
   test("EventsJsonSource reads and flattens StatsBomb-shaped nested JSON") {
     val dir = Files.createTempDirectory("graft_json").toFile
     val json =
