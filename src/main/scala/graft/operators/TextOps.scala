@@ -150,6 +150,29 @@ object TextOps {
       .orderBy("doc_id", "slot")
   }
 
+  /** [[hashEmbed]] assembled into the DENSE (vec_id, label, embedding)
+    * layout the embedding estate consumes — the documents→index bridge
+    * made physical: hashEmbedDense → [[AnnOps.kmeans]] →
+    * [[AnnOps.annIvf]]/[[AnnOps.pqSearch]] is a complete model-free
+    * retrieval index over a raw text corpus (composition spec-asserted:
+    * a planted near-dup doc ranks top-1 for its twin's query vector).
+    * Values stay the exact small-integer sums (ints are exact floats),
+    * `label` is a placeholder 0 — kmeans LEARNS the cells downstream.
+    * Built on [[hashEmbed]] itself so slot/sign can never drift; the
+    * assembly adds one (doc_id)-keyed shuffle of ≤ dims-row groups.
+    * Note the index family's |component| ≤ 100 guard: a doc whose net
+    * signed count in one slot exceeds 100 drops from the downstream fit
+    * — fine for quality-bounded corpora; scale-normalize first if
+    * feeding book-length documents. */
+  def hashEmbedDense(documents: DataFrame, dims: Int = 64): DataFrame =
+    hashEmbed(documents, dims)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("slot"), col("v"))).as("sv"))
+      .select(col("doc_id").as("vec_id"), lit(0).as("label"), expr(
+        s"transform(sequence(0, ${dims - 1}), i -> " +
+          "cast(coalesce(element_at(map_from_entries(sv), i), " +
+          "cast(0 as bigint)) as float))").as("embedding"))
+
   /** §2-34 `q_fingerprint`: winnowing-style document fingerprint — the
     * minimum md5 over char 16-gram shingles (the min-hash member of the
     * winnowing window family), plus the shingle count. Computed entirely

@@ -1108,6 +1108,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(mass.keySet == toks.keySet)
   }
 
+  test("hashEmbed bridges documents to the index estate: a planted near-dup ranks top-1 through kmeans-trained IVF and PQ") {
+    import spark.implicits._
+    // two twin docs sharing all but one token, on top of the real corpus
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val twins = Seq(
+      (9001L, s"$body alpha", "s"),
+      (9002L, s"$body omega", "s")).toDF("doc_id", "text", "source")
+    val corpus = docs.select("doc_id", "text", "source").union(twins)
+    // documents → dense hashed vectors → LEARNED IVF cells
+    val dense = TextOps.hashEmbedDense(corpus)
+    assert(dense.count() == corpus.count(), "densify lost docs")
+    val listed = dense.drop("label")
+      .join(AnnOps.kmeans(dense)
+        .select(col("vec_id"), col("list_id").as("label")), "vec_id")
+    // twin A's vector as the query: twin B must rank top-1 through the
+    // pruned IVF search over the learned cells
+    val ivfTop = AnnOps.annIvf(listed, queryId = 9001L, k = 1)
+      .collect().head
+    assert(ivfTop.getLong(0) == 9002L, s"IVF top-1 was $ivfTop")
+    // and through the PQ/ADC path over the same hashed vectors
+    val pqTop = AnnOps.pqSearch(dense, queryId = 9001L, topK = 1)
+      .collect().head
+    assert(pqTop.getLong(0) == 9002L, s"PQ top-1 was $pqTop")
+  }
+
   test("langId: prediction is one of the marker languages") {
     val langs = TextOps.Markers.map(_._1).toSet
     val df = TextOps.langId(docs).cache()
