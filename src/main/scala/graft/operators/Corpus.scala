@@ -842,7 +842,22 @@ object CorpusOps {
     * so DuckDB simulates the EXACT bitmap with a distinct position set —
     * membership verdicts are bit-identical across engines. */
   def contaminationBloom(documents: DataFrame, probes: DataFrame,
-                         hexChars: Int = graft.plans.GraftBloom.DefaultHexChars): DataFrame = {
+                         hexChars: Int = graft.plans.GraftBloom.DefaultHexChars): DataFrame =
+    bloomFlaggedRaw(documents, probes, hexChars)
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_flagged"))
+      .orderBy("doc_id")
+
+  /** The shared stateless half of bloom decontamination — gram stream →
+    * broadcast-bitmap screen → flagged (doc_id, gram) rows, BEFORE any
+    * dedup/agg: every stage is a row-level map, so it runs unchanged on
+    * an unbounded stream. Single definition consumed by the batch
+    * [[contaminationBloom]] (adds distinct + per-doc count) and the
+    * streaming [[graft.streaming.EventStream.contaminationBloomStream]]
+    * (adds dropDuplicates), so the two estates cannot drift. */
+  private[graft] def bloomFlaggedRaw(documents: DataFrame, probes: DataFrame,
+                                     hexChars: Int): DataFrame = {
     graft.plans.GraftFunctions.register(documents.sparkSession)
     val bloom = probes
       .select(concat_ws(" ", TextFuns.tokens(col("probe"))).as("item"))
@@ -860,10 +875,6 @@ object CorpusOps {
       .filter(call_function("bloom_contains", col("bloom"), col("gram"),
         lit(hexChars)))
       .select(col("doc_id"), col("gram"))
-      .distinct()
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_flagged"))
-      .orderBy("doc_id")
   }
 
   /** [[contaminationBloom]] with the benchmark [[Probes]] (the

@@ -245,6 +245,29 @@ object EventStream {
         CorpusOps.splitOf(col("doc_id")).as("split"))
   }
 
+  /** §2-C streaming bloom DECONTAMINATION — the scrub-on-ingest face of
+    * `CorpusOps.contaminationBloom`, completing the decontamination
+    * family's batch/stream pair the way curateStream pairs q_curate:
+    * every arriving doc's token n-grams are screened by the broadcast
+    * probe bitmap (a row-level codegen'd `bloom_contains` — no join, no
+    * shuffle, nothing stateful), emitting flagged (doc_id, gram) hits.
+    * The whole screen is `CorpusOps.bloomFlaggedRaw` — the SAME
+    * definition the batch operator aggregates, so the two estates
+    * cannot drift (batch adds distinct+count; the stream adds
+    * `dropDuplicates`, whose state is the REPORTED hits only — false
+    * positives included, a tiny fraction of the stream; an
+    * ingest-timestamped deployment swaps in
+    * dropDuplicatesWithinWatermark, the [[dedupStream]] trade). The
+    * probes frame is static and re-read per micro-batch, so a probe-set
+    * refresh picks up without restarting the query. At 100 TB/day the
+    * stream cost is exactly the batch screen's: one pass, bitmap
+    * broadcast, only hits move. */
+  def contaminationBloomStream(docs: DataFrame, probes: DataFrame,
+                               hexChars: Int = graft.plans.GraftBloom.DefaultHexChars)
+      : DataFrame =
+    graft.operators.CorpusOps.bloomFlaggedRaw(docs, probes, hexChars)
+      .dropDuplicates("doc_id", "gram")
+
   /** §2-C streaming ANN SERVING — the search-side twin next to the
     * ingestion-side [[dedupEmbeddingIncrementalStream]], completing the
     * index estate's two deployment faces: an unbounded stream of

@@ -451,6 +451,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contaminationBloomStream: flags the batch screen's exact (doc, gram) set, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    val probes = CorpusOps.Probes.toDF("probe")
+    val docsAll = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (h1, h2) = docsAll.splitAt(docsAll.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.contaminationBloomStream(
+      input.toDF().toDF("doc_id", "text"), probes)
+      .writeStream.format("memory").queryName("bloomstream")
+      .outputMode("append").start()
+    try {
+      input.addData(h1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(h2.toSeq: _*)
+      q.processAllAvailable()
+      val afterAll = spark.table("bloomstream").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // an at-least-once source replaying a flagged doc adds NO new rows
+      val replayId = afterAll.head._1
+      input.addData(docsAll.filter(_._1 == replayId).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bloomstream").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(streamed.length == afterAll.length, "replay re-reported hits")
+      assert(streamed.length == streamed.distinct.length)
+      // exact batch equivalence, false positives included: the stream's
+      // hit set IS the batch screen's pre-aggregation set
+      val batchSet = CorpusOps.bloomFlaggedRaw(
+        Tables.documents(spark, sfDir), probes,
+        graft.plans.GraftBloom.DefaultHexChars)
+        .distinct().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed.toSet == batchSet)
+      // and re-aggregating the stream reproduces q_contamination_bloom
+      val counts = streamed.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val batchCounts = CorpusOps.contaminationBloom(
+        Tables.documents(spark, sfDir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(counts == batchCounts)
+    } finally q.stop()
+  }
+
   test("annSearchStream: micro-batched queries against the persisted int8 index match the batch search") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
