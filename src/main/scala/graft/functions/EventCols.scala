@@ -29,8 +29,14 @@ object EventCols {
   def day: Column = to_date(col("ts")).as("day")
 
   /** Event time in exact integer microseconds (all duration math stays in
-    * int64 — no float drift at any scale). */
-  def us: Column = unix_micros(col("ts")).as("us")
+    * int64 — no float drift at any scale). `ts` is TIMESTAMP_NTZ
+    * ([[graft.sources.Tables.events]] normalizes every layout to it), so
+    * the epoch diff is pure integer arithmetic with no timezone in play —
+    * the exact value DuckDB's `epoch_us(ts)` computes on its naive
+    * TIMESTAMP. */
+  def us: Column =
+    expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      .as("us")
 
   /** Nested-payload extraction (reference reads `pass.end_location` etc from
     * nested JSON; here the payload is a JSON string column). */

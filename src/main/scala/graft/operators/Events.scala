@@ -25,17 +25,14 @@ object EventOps {
     * both reach the parquet reader (PushedFilters / ReadSchema). */
   def eventScan(events: DataFrame, userId: Long = 42L,
                 eventType: String = "click"): DataFrame = {
-    // time band expressed on the RAW stored nano column (ts_ns) so the
-    // range predicate reaches the parquet reader (PushedFilters) —
-    // micro-truncated ts >= T ⟺ ts_ns >= T·1000 exactly, since the
-    // bounds are whole microseconds.
-    def utcNs(s: String): Long = java.time.LocalDateTime.parse(s)
-      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
-    val loNs = utcNs("2024-01-10T00:00:00")
-    val hiNs = utcNs("2024-01-25T00:00:00")
+    // time band as TIMESTAMP_NTZ literals against the STORED ts column —
+    // the range predicate reaches the parquet reader (PushedFilters:
+    // GreaterThanOrEqual(ts,…)/LessThan(ts,…) → row-group/page skipping).
+    val lo = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
+    val hi = java.time.LocalDateTime.parse("2024-01-25T00:00:00")
     events
       .filter(col("user_id") === userId && col("event_type") === eventType &&
-        col("ts_ns") >= loNs && col("ts_ns") < hiNs)
+        col("ts") >= lit(lo) && col("ts") < lit(hi))
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       .orderBy("event_id")
   }

@@ -45,22 +45,36 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read the nanos as a plain long and truncate
-    * to a micros timestamp with exact integer division (`DIV`, not `/` —
-    * nanos-since-2024 ≈ 1.7e18 exceeds double's 53-bit mantissa). DuckDB
-    * truncates ns→us the same way, so both engines see identical
-    * timestamps. */
+  /** `events.parquet` stores `ts` as naive micros (TIMESTAMP_NTZ) in the
+    * current testdata layout; earlier layouts used INT64 TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects) or UTC-adjusted
+    * TIMESTAMP(MICROS). Normalize all three to TIMESTAMP_NTZ — the exact
+    * type DuckDB's naive TIMESTAMP has, so oracle values match without any
+    * session-timezone dependence. The current layout passes through
+    * UNTOUCHED: `ts` stays the stored column, so time-range predicates on
+    * it push down to the parquet scan (row-group/page skipping). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw(spark, dir, "events")
-      // keep the RAW nano column: predicates on `ts_ns` are plain long
-      // comparisons on a stored column, so they push down to the parquet
-      // scan (row-group/page skipping) — predicates on the derived
-      // timestamp cannot. Operators with time-range filters use ts_ns.
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = raw(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case TimestampNTZType => df
+      case LongType =>
+        // nanos-as-long: truncate ns→us with exact integer division (DIV,
+        // not `/` — nanos-since-2024 ≈ 1.7e18 exceeds double's 53-bit
+        // mantissa), then rebuild the naive timestamp with pure integer
+        // arithmetic (timezone never enters).
+        df.withColumn("ts", expr(
+          "timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+      case TimestampType =>
+        // UTC-adjusted micros: unix_micros extracts the instant's epoch
+        // micros (timezone-independent), timestampadd rebuilds NTZ.
+        df.withColumn("ts", expr(
+          "timestampadd(MICROSECOND, unix_micros(ts), TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+      case other =>
+        throw new IllegalStateException(s"events.ts: unexpected type $other")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

@@ -407,10 +407,10 @@ class CorpusOpsSpec extends SparkSpec {
     val out = EventOps.sliding(events)
     val total = out.agg(sum("n")).collect().head.getLong(0)
     assert(total == 2 * events.count())
-    // every window is exactly 2 hours wide
+    // every window is exactly 2 hours wide (NTZ-safe integer diff)
     assert(out.filter(
-      col("window_end").cast("long") - col("window_start").cast("long")
-        =!= 7200L).count() == 0)
+      expr("timestampdiff(SECOND, window_start, window_end)") =!= 7200L)
+      .count() == 0)
   }
 
   test("skewJoinQuery equals the plain unsalted join rollup") {

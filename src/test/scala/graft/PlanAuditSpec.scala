@@ -23,7 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters"))
     assert(p.contains("EqualTo(user_id,42)"), p)
     assert(p.contains("EqualTo(event_type,click)"), p)
-    // Catalyst rewrites ts_ns back to the stored column `ts` (raw nanos)
+    // the time band is expressed on the stored TIMESTAMP_NTZ column
     assert(p.contains("GreaterThanOrEqual(ts,"), p)
     assert(p.contains("LessThan(ts,"), p)
   }
