@@ -52,12 +52,16 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => SessionOps.asofJoin(Tables.events(s, dir))),
     "q_lag_delta" -> ((s, dir) => SessionOps.lagDelta(Tables.events(s, dir))),
     "q_journey" -> ((s, dir) => SessionOps.journey(Tables.events(s, dir))),
+    "q_funnel" -> ((s, dir) => SessionOps.funnel(Tables.events(s, dir))),
+    "q_retention" -> ((s, dir) => SessionOps.retention(Tables.events(s, dir))),
+    "q_session_window" -> ((s, dir) => SessionOps.sessionWindow(Tables.events(s, dir))),
     // --- geometry (§2 rows 15, 17, 18) ---
     "q_pitch_geometry" -> ((s, dir) => GeometryOps.pitchGeometry(Tables.events(s, dir))),
     "q_pass_segments" -> ((s, dir) => GeometryOps.passSegments(Tables.events(s, dir))),
     "q_receptions" -> ((s, dir) => GeometryOps.receptions(Tables.events(s, dir))),
     // --- dedup family (§2 rows 24-28) ---
     "q_dedup_exact" -> ((s, dir) => DedupOps.dedupExact(Tables.documents(s, dir))),
+    "q_dedup_canonical" -> ((s, dir) => DedupOps.dedupCanonical(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => DedupOps.dedupMinhash(Tables.documents(s, dir))),
     "q_dedup_minhash_wide" -> ((s, dir) => DedupOps.dedupMinhashWide(Tables.documents(s, dir))),
     "q_dedup_incremental" -> ((s, dir) => DedupOps.dedupIncremental(Tables.documents(s, dir))),
@@ -95,6 +99,7 @@ object SparkEntry {
     "q_hash_embed" -> ((s, dir) => TextOps.hashEmbed(Tables.documents(s, dir))),
     // --- corpus-pipeline composites (§2 rows 36-40) ---
     "q_sample" -> ((s, dir) => CorpusOps.sample(Tables.documents(s, dir))),
+    "q_profile" -> ((s, dir) => CorpusOps.profile(Tables.documents(s, dir))),
     "q_ngram_counts" -> ((s, dir) => CorpusOps.ngramCounts(Tables.documents(s, dir))),
     "q_tfidf" -> ((s, dir) => CorpusOps.tfidf(Tables.documents(s, dir))),
     "q_rollup" -> ((s, dir) => CorpusOps.rollup(Tables.documents(s, dir))),

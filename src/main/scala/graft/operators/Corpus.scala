@@ -903,6 +903,41 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Columns [[profile]] reports on (the documents table's full schema). */
+  val ProfileCols: Seq[String] = Seq("doc_id", "lang", "n_chars", "source", "text")
+
+  /** §2-90 `q_profile`: per-column data-profiling manifest — row count,
+    * null count, EXACT distinct count, min/max (native-type comparison,
+    * then cast to string for the uniform long-format schema), and total
+    * string length. The ingest-QA step a pipeline runs before trusting a
+    * new drop of data.
+    *
+    * ONE pass over the corpus: all metrics partial-aggregate; the
+    * multi-column exact distincts make Catalyst plan an Expand (rows ×
+    * |cols|) feeding one shuffle — the honest cost of exact profiling.
+    * At 100 TB you'd swap the distincts for approx_count_distinct
+    * (the [[EventOps.summaryApprox]] precedent) and keep everything else;
+    * exact is kept here because the oracle hash-checks it. */
+  def profile(documents: DataFrame): DataFrame = {
+    val agg = documents.agg(
+      count(lit(1)).as("n_rows"),
+      ProfileCols.flatMap { c => Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"),
+        coalesce(sum(length(col(c).cast("string")).cast("long")), lit(0L))
+          .as(s"${c}__len"))
+      }: _*)
+    val stackArgs = ProfileCols.map(c =>
+      s"'$c', n_rows, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max, ${c}__len")
+      .mkString(", ")
+    agg.selectExpr(
+      s"stack(${ProfileCols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val, sum_len)")
+      .orderBy("col_name")
+  }
+
   private val normSql = "lower(trim(text))"
   private val toksSql = s"string_split($normSql, ' ')"
 
@@ -928,7 +963,33 @@ object CorpusOps {
        |         THEN 'val'
        |       ELSE 'test' END""".stripMargin
 
+  /** DuckDB twin of [[profile]] — generated from the same ProfileCols list
+    * so the two sides cannot drift column-by-column. */
+  private val profileSql: String = {
+    val metrics = ProfileCols.map { c =>
+      s"""    COUNT(*) FILTER ($c IS NULL) AS ${c}__nulls,
+         |    COUNT(DISTINCT $c) AS ${c}__distinct,
+         |    CAST(MIN($c) AS VARCHAR) AS ${c}__min,
+         |    CAST(MAX($c) AS VARCHAR) AS ${c}__max,
+         |    CAST(COALESCE(SUM(length(CAST($c AS VARCHAR))), 0) AS BIGINT)
+         |      AS ${c}__len""".stripMargin
+    }.mkString(",\n")
+    val branches = ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, n_rows, ${c}__nulls AS n_nulls,
+         |  ${c}__distinct AS n_distinct, ${c}__min AS min_val,
+         |  ${c}__max AS max_val, ${c}__len AS sum_len FROM a""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH a AS (
+       |  SELECT COUNT(*) AS n_rows,
+       |$metrics
+       |  FROM documents
+       |)
+       |$branches
+       |ORDER BY col_name""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_profile" -> profileSql,
     "q_lm_score" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents

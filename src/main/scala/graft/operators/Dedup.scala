@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFuns, VectorFuns}
@@ -32,6 +32,41 @@ object DedupOps {
     documents
       .groupBy(md5(TextFuns.norm(col("text")).cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("rep_doc_id")
+
+  /** Character class stripped by [[canonicalize]] (everything outside
+    * lowercase alphanumerics and basic whitespace) and the whitespace-run
+    * class collapsed to one space. Both are in the Java ≡ RE2 regex
+    * subset (the q_redact discipline) and the PATTERN STRINGS are shared
+    * verbatim with the DuckDB oracle — neither engine's regex dialect
+    * can drift independently. */
+  val CanonStripRe = "[^a-z0-9 \\t\\n]"
+  val CanonWsRe = "[ \\t\\n]+"
+
+  /** Canonical text form: lowercase → strip punctuation/symbols →
+    * collapse whitespace runs → trim. Row-level codegen'd expressions
+    * only — the canon pass adds zero shuffles on top of [[dedupExact]]'s
+    * one. (ASCII corpus; for full Unicode the lower() step would need a
+    * locale contract between engines.) */
+  def canonicalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), CanonStripRe, ""), CanonWsRe, " "))
+
+  /** §2-91 `q_dedup_canonical`: exact dedup AFTER canonicalization — the
+    * normalization layer real pipelines put in front of hash dedup so
+    * that case/punctuation/whitespace variants of the same document
+    * collapse (trafilatura-style boilerplate noise, doubled spaces,
+    * trailing punctuation). Keeps the minimum doc_id; reports how many
+    * docs collapsed and how many DISTINCT raw forms they spanned
+    * (n_variants > 1 is the measure of what plain [[dedupExact]] would
+    * have missed). Same single-shuffle hash-groupBy shape as
+    * [[dedupExact]]; the distinct-variant count is a per-group distinct
+    * on the same shuffle key, not a second pass. */
+  def dedupCanonical(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(canonicalize(col("text")).cast("binary")).as("canon_hash"))
+      .agg(min(col("doc_id")).as("rep_doc_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_variants"))
       .orderBy("rep_doc_id")
 
   /** Default MinHash parameters: K hash slices in B bands of R = K/B rows.
@@ -1000,6 +1035,14 @@ object DedupOps {
     "q_dedup_exact" ->
       s"""SELECT md5($normSql) AS text_hash,
          |  MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+         |FROM documents
+         |GROUP BY 1
+         |ORDER BY rep_doc_id""".stripMargin,
+    "q_dedup_canonical" ->
+      s"""SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '$CanonStripRe', '', 'g'), '$CanonWsRe', ' ', 'g'))) AS canon_hash,
+         |  MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT text) AS n_variants
          |FROM documents
          |GROUP BY 1
          |ORDER BY rep_doc_id""".stripMargin,

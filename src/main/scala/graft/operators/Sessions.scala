@@ -163,7 +163,152 @@ object SessionOps {
           x => x.getField("event_type"))).as("path"))
       .orderBy("user_id", "day")
 
+  /** §2-87 `q_funnel`: ordered conversion funnel view → click → purchase,
+    * counting users reaching each stage plus the exact summed
+    * stage-to-stage gap (int64 micros — no float drift at any corpus
+    * size).
+    *
+    * Spark-first shape: ONE shuffle on user_id and one window sort —
+    * no chained per-stage joins. The running min of view times (`t1r`)
+    * marks each click that has a view strictly before it; the running
+    * min of those qualified click times (`t2r`) marks each purchase
+    * with a qualified click strictly before it. A click qualifies here
+    * iff its time exceeds the user's FIRST view time (t1r at the click
+    * row < us ⟺ us > min view us), so the window formulation computes
+    * exactly the chained-min-join semantics the DuckDB oracle states —
+    * same argument one level up for purchases. At 100 TB this is the
+    * same co-partitioned sort [[sessionize]] pays, vs three shuffled
+    * joins for the naive funnel. */
+  def funnel(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), EventCols.us)
+      .withColumn("t1r",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2c",
+        when(col("event_type") === "click" && col("t1r") < col("us"), col("us")))
+      .withColumn("t2r", min(col("t2c")).over(w))
+      .withColumn("t3c",
+        when(col("event_type") === "purchase" && col("t2r") < col("us"), col("us")))
+    staged
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("us"))).as("t1"),
+        min(col("t2c")).as("t2"),
+        min(col("t3c")).as("t3"))
+      .agg(
+        count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"),
+        coalesce(sum(col("t2") - col("t1")), lit(0L)).as("g2"),
+        coalesce(sum(col("t3") - col("t2")), lit(0L)).as("g3"))
+      .selectExpr(
+        """stack(3,
+          |  '1_view',     n1, CAST(0 AS BIGINT),
+          |  '2_click',    n2, g2,
+          |  '3_purchase', n3, g3) AS (stage, n_users, sum_gap_us)""".stripMargin)
+      .orderBy("stage")
+  }
+
+  /** §2-88 `q_retention`: cohort retention — users grouped by the day of
+    * their first event, counted on each later active day as an offset
+    * from the cohort day. The distinct (user, day) collapse happens
+    * BEFORE the join (activity table shrinks from O(events) to
+    * O(user-days)), the join key is user_id, and the final agg is
+    * bounded by cohorts × offsets — the shape that holds when events is
+    * 100 TB but user-days is thousandths of it. */
+  def retention(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val activeDays = events.select(col("user_id"), EventCols.day).distinct()
+    activeDays.join(firstDay, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  /** §2-89 `q_session_window`: gap-based sessionization via Spark's
+    * NATIVE `session_window` operator — the declarative twin of the
+    * lag+running-sum [[sessionize]] (which keeps the explicit session_id;
+    * this one gets Spark's built-in session merge and the exact shape
+    * the STREAMING path uses, see `EventStream.sessionWindowStream`).
+    * Session boundary: a new session starts when the gap is ≥ the
+    * threshold (the window [ts, ts+gap) is half-open), which is what the
+    * oracle's `>=` flag states — note [[sessionize]] uses strict `>`, so
+    * the two operators agree except at exact-gap ties. One shuffle on
+    * user_id; the merge is partition-local. */
+  def sessionWindow(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("ts"), EventCols.us)
+      .groupBy(col("user_id"), session_window(col("ts"), "4 hours").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / 1000000.0).as("duration_sec"))
+      .select(col("user_id"),
+        col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("n_events"), col("duration_sec"))
+      .orderBy("user_id", "session_start")
+
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      s"""WITH s1 AS (
+         |  SELECT user_id, MIN(${S.us}) AS t1
+         |  FROM events WHERE event_type = 'view' GROUP BY user_id
+         |), s2 AS (
+         |  SELECT e.user_id, MIN(${S.us}) AS t2, MIN(s1.t1) AS t1
+         |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'click' AND ${S.us} > s1.t1
+         |  GROUP BY e.user_id
+         |), s3 AS (
+         |  SELECT e.user_id, MIN(${S.us}) AS t3, MIN(s2.t2) AS t2
+         |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type = 'purchase' AND ${S.us} > s2.t2
+         |  GROUP BY e.user_id
+         |), agg AS (
+         |  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+         |         (SELECT COUNT(*) FROM s2) AS n2,
+         |         (SELECT COUNT(*) FROM s3) AS n3,
+         |         (SELECT CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM s2) AS g2,
+         |         (SELECT CAST(COALESCE(SUM(t3 - t2), 0) AS BIGINT) FROM s3) AS g3
+         |)
+         |SELECT '1_view' AS stage, n1 AS n_users,
+         |       CAST(0 AS BIGINT) AS sum_gap_us FROM agg
+         |UNION ALL SELECT '2_click', n2, g2 FROM agg
+         |UNION ALL SELECT '3_purchase', n3, g3 FROM agg
+         |ORDER BY stage""".stripMargin,
+    "q_retention" ->
+      s"""WITH f AS (
+         |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+         |  FROM events GROUP BY user_id
+         |), a AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+         |)
+         |SELECT cohort_day, date_diff('day', cohort_day, day) AS offset_days,
+         |  COUNT(*) AS n_users
+         |FROM a JOIN f USING (user_id)
+         |GROUP BY cohort_day, offset_days
+         |ORDER BY cohort_day, offset_days""".stripMargin,
+    "q_session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, ts, ${S.us} AS us FROM events
+         |), flagged AS (
+         |  SELECT *, CASE WHEN us - lag(us) OVER w >= $GapUs
+         |                   OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+         |), sess AS (
+         |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM flagged
+         |)
+         |SELECT user_id, MIN(ts) AS session_start,
+         |  MAX(ts) + INTERVAL 4 HOUR AS session_end,
+         |  COUNT(*) AS n_events,
+         |  (MAX(us) - MIN(us)) / 1000000.0 AS duration_sec
+         |FROM sess
+         |GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
     "q_journey" ->
       s"""SELECT user_id, ${S.day} AS day, COUNT(*) AS n_events,
          |  string_agg(event_type, '->'

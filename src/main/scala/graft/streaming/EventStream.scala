@@ -115,6 +115,26 @@ object EventStream {
     Session(userId, fromMicros(s.startUs),
       fromMicros(s.lastUs), s.n, (s.lastUs - s.startUs) / 1e6)
 
+  /** §2-C `sessionWindowStream`: gap-based sessions via Spark's NATIVE
+    * `session_window` — the declarative twin of [[sessionize]]'s
+    * flatMapGroupsWithState (same gap semantics up to the boundary tie:
+    * the built-in merges while the gap is STRICTLY below the threshold)
+    * and the streaming twin of `SessionOps.sessionWindow`
+    * (q_session_window). The built-in operator owns session merge and
+    * state cleanup under the watermark; append mode emits each session
+    * exactly once, when the watermark passes its close. Scale shape is
+    * the batch one: state and merge are partition-local after the
+    * user_id shuffle. */
+  def sessionWindowStream(events: DataFrame,
+                          gap: String = "4 hours",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** §2-C streaming exactly-once dedup: drop duplicate event ids within
     * the watermark horizon — the streaming twin of `q_dedup_exact` for an
     * at-least-once ingest (Kafka replays, task retries). State is bounded

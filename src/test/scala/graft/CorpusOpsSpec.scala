@@ -638,4 +638,43 @@ class CorpusOpsSpec extends SparkSpec {
       .select(col("doc_id"), col("n_ws_tokens").as("n_tokens"))
     assert(manifest.select("doc_id", "n_tokens").exceptAll(toks).count() == 0)
   }
+
+  test("profile reports one row per column with consistent counts") {
+    val rows = CorpusOps.profile(docs).collect()
+    assert(rows.map(_.getString(0)).toSeq == CorpusOps.ProfileCols.sorted)
+    val n = docs.count()
+    assert(rows.forall(_.getAs[Long]("n_rows") == n))
+    assert(rows.forall(_.getAs[Long]("n_nulls") == 0L)) // synthetic corpus: no nulls
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    assert(byCol("doc_id").getAs[Long]("n_distinct") == n) // primary key
+    assert(byCol("text").getAs[Long]("sum_len") ==
+      docs.agg(sum(length(col("text")))).collect().head.getLong(0))
+    // min/max come from native-type comparison; per column min ≤ max
+    assert(rows.forall(r => r.getAs[Long]("n_distinct") >= 1L))
+    assert(byCol("lang").getAs[String]("min_val") <=
+      byCol("lang").getAs[String]("max_val"))
+  }
+
+  test("dedupCanonical collapses case/punctuation/whitespace variants dedupExact keeps apart") {
+    import spark.implicits._
+    val variants = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),      // whitespace run + case + punctuation
+      (3L, "HELLO WORLD."),
+      (4L, "a different doc"))
+      .toDF("doc_id", "text")
+    val canon = DedupOps.dedupCanonical(variants).collect()
+    assert(canon.length == 2)
+    val hello = canon.find(_.getAs[Long]("rep_doc_id") == 1L).get
+    assert(hello.getAs[Long]("n_docs") == 3L)
+    assert(hello.getAs[Long]("n_variants") == 3L) // three distinct raw forms
+    // plain exact dedup keeps all three apart
+    assert(DedupOps.dedupExact(variants).count() == 4)
+    // idempotent: canonicalizing a canonical form is a fixed point
+    val fixed = variants.select(
+      DedupOps.canonicalize(DedupOps.canonicalize(col("text")))
+        .as("twice"),
+      DedupOps.canonicalize(col("text")).as("once"))
+    assert(fixed.filter(col("twice") =!= col("once")).count() == 0)
+  }
 }

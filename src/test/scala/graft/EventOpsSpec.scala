@@ -128,4 +128,50 @@ class EventOpsSpec extends SparkSpec {
     val df = EventOps.tumbling(events)
     assert(df.agg(sum("n")).collect().head.getLong(0) == events.count())
   }
+
+  test("funnel: single-shuffle window formulation equals the chained-join funnel") {
+    val rows = SessionOps.funnel(events).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_view", "2_click", "3_purchase"))
+    val Seq(n1, n2, n3) = rows.map(_.getAs[Long]("n_users")).toSeq
+    assert(n1 >= n2 && n2 >= n3) // a funnel can only narrow
+    // independent chained-min-join formulation (the oracle's shape)
+    import graft.functions.EventCols
+    val e = events.select(col("user_id"), col("event_type"), EventCols.us)
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val s2 = e.join(s1, "user_id")
+      .filter(col("event_type") === "click" && col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"), min("t1").as("t1b"))
+    val s3 = e.join(s2, "user_id")
+      .filter(col("event_type") === "purchase" && col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"), min("t2").as("t2b"))
+    assert(n1 == s1.count() && n2 == s2.count() && n3 == s3.count())
+    assert(rows(1).getAs[Long]("sum_gap_us") ==
+      s2.agg(coalesce(sum(col("t2") - col("t1b")), lit(0L))).collect().head.getLong(0))
+    assert(rows(2).getAs[Long]("sum_gap_us") ==
+      s3.agg(coalesce(sum(col("t3") - col("t2b")), lit(0L))).collect().head.getLong(0))
+  }
+
+  test("retention: offset-0 cohort counts equal cohort sizes, offsets non-negative") {
+    val df = SessionOps.retention(events).cache()
+    assert(df.filter(col("offset_days") < 0).count() == 0)
+    val cohortSizes = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+      .groupBy("cohort_day").agg(count(lit(1)).as("size"))
+    // every user is active on their first day → offset 0 row = cohort size
+    val zero = df.filter(col("offset_days") === 0)
+      .select(col("cohort_day"), col("n_users"))
+    assert(zero.exceptAll(cohortSizes.select(col("cohort_day"), col("size"))).count() == 0)
+    assert(cohortSizes.count() == zero.count())
+  }
+
+  test("sessionWindow agrees with sessionize (no exact-gap ties in the data)") {
+    val native = SessionOps.sessionWindow(events)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+    val manual = SessionOps.sessionize(events)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+    assert(native.exceptAll(manual).count() == 0)
+    assert(manual.exceptAll(native).count() == 0)
+  }
 }

@@ -79,6 +79,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindowStream (native session_window) matches the batch q_session_window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val gapMs = EventStream.GapUs / 1000
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val evs = Seq(
+      Event(new Timestamp(base), 1L, "click", 1.0),
+      Event(new Timestamp(base + 60000), 1L, "view", 1.0), // same session
+      Event(new Timestamp(base + gapMs + 120000), 1L, "click", 1.0), // new session
+      Event(new Timestamp(base + 30000), 2L, "click", 1.0))
+    // streaming watermarks require TIMESTAMP; the batch events-table
+    // contract is NTZ. Cast the stream OUTPUT and the batch INPUT with
+    // the same session-timezone mapping, so the comparison is exact
+    // whatever the session timezone is.
+    def toNtz(df: DataFrame): DataFrame =
+      df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionWindowStream(input.toDF(),
+      watermark = "0 seconds")
+      .writeStream.format("memory").queryName("swin").outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      // push the watermark past every session close so all sessions emit
+      input.addData(Event(new Timestamp(base + 10 * gapMs), 99L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(new Timestamp(base + 20 * gapMs), 99L, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("swin").filter(col("user_id") =!= 99L)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+      val batch = graft.operators.SessionOps.sessionWindow(toNtz(evs.toDF()))
+        .select("user_id", "session_start", "session_end", "n_events")
+      assert(got.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
   test("dedupStream drops replayed event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
