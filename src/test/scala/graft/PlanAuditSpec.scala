@@ -75,6 +75,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchangeCount(p) <= 1, s"plan had ${exchangeCount(p)} Exchanges:\n$p")
   }
 
+  test("q_funnel: one user_id shuffle feeds both windows AND the per-user agg") {
+    val p = plan(SessionOps.funnel(Tables.events(spark, sfDir)))
+    assert(hashExchangeCount(p) == 1, s"${hashExchangeCount(p)} hash exchanges:\n$p")
+    // the chained-join formulation would cost 3; the global stage-count
+    // agg and 3-row output sort are the only other exchanges
+    assert(exchangeCount(p) <= 2, s"${exchangeCount(p)} exchanges:\n$p")
+  }
+
+  test("q_session_window: native session merge is partition-local (one hash shuffle)") {
+    val p = plan(SessionOps.sessionWindow(Tables.events(spark, sfDir)))
+    assert(hashExchangeCount(p) <= 1, s"${hashExchangeCount(p)} hash exchanges:\n$p")
+  }
+
+  test("q_profile: single pass — one Expand into one hash shuffle") {
+    val p = plan(CorpusOps.profile(Tables.documents(spark, sfDir)))
+    assert(p.contains("Expand"), p) // the multi-column exact distincts
+    assert(hashExchangeCount(p) <= 1, s"${hashExchangeCount(p)} hash exchanges:\n$p")
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"$scans parquet scans:\n$p")
+  }
+
   test("native float_dot appears in the ANN plan (not a HOF fallback)") {
     graft.plans.GraftFunctions.register(spark)
     val p = plan(AnnOps.annTopK(Tables.embeddings(spark, sfDir)))
