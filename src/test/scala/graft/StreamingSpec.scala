@@ -120,6 +120,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindowStream restart from checkpoint: sessions emit exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val gapMs = EventStream.GapUs / 1000
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val out = Files.createTempDirectory("graft_swin_sink").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_swin_ckpt").toFile.getAbsolutePath
+    val batch1 = Seq(
+      Event(new Timestamp(base), 1L, "click", 1.0),
+      Event(new Timestamp(base + 60000), 1L, "view", 1.0))
+    // run 1: open user 1's session, then stop before it closes
+    val in1 = MemoryStream[Event]
+    val q1 = EventStream.sessionWindowStream(in1.toDF(), watermark = "0 seconds")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try { in1.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+    // run 2: SAME checkpoint; an at-least-once source re-offers batch1
+    // plus the watermark-advancing flush events. Session state recovered
+    // from the checkpoint must emit user 1's session exactly once.
+    val in2 = MemoryStream[Event]
+    in2.addData(batch1: _*)
+    in2.addData(Event(new Timestamp(base + 10 * gapMs), 99L, "click", 1.0))
+    in2.addData(Event(new Timestamp(base + 20 * gapMs), 99L, "click", 1.0))
+    val q2 = EventStream.sessionWindowStream(in2.toDF(), watermark = "0 seconds")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val sessions = spark.read.parquet(out).filter(col("user_id") === 1L).collect()
+    assert(sessions.length == 1, sessions.mkString("\n"))
+    assert(sessions.head.getAs[Long]("n_events") == 2L)
+  }
+
   test("dedupStream drops replayed event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
