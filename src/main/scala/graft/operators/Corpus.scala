@@ -938,6 +938,53 @@ object CorpusOps {
       .orderBy("col_name")
   }
 
+  /** Deterministic synthetic "drops" for [[dropDiff]]: drop A is the
+    * corpus minus the ids ≡ 7 (mod 10); drop B is the corpus minus the
+    * ids ≡ 3 (mod 10), with ids ≡ 0 (mod 13) carrying an edited text.
+    * Relative to A, drop B therefore ADDS the ≡7 ids, REMOVES the ≡3
+    * ids, and CHANGES the ≡0 (mod 13) survivors — a new-drop-vs-standing
+    * -corpus scenario derived reproducibly from one table. */
+  def dropA(documents: DataFrame): DataFrame =
+    documents.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+  def dropB(documents: DataFrame): DataFrame =
+    documents.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+
+  /** §2-92 `q_drop_diff`: drop-over-drop diff manifest — when a new drop
+    * of data arrives, the first question is WHAT CHANGED vs the standing
+    * corpus: per (source, status ∈ added/removed/changed/unchanged) doc
+    * counts and the net character delta. Texts compare by md5, so the
+    * join carries 16-byte digests, never the documents.
+    *
+    * Scale shape: one co-partitioned full-outer join on doc_id (both
+    * sides reduced to (id, source, digest, len) before the shuffle) into
+    * a sources×4-bounded agg. At 100 TB both drops live bucketed by
+    * doc_id ([[graft.sources.Tables.writeBucketed]]) and the join plans
+    * exchange-free. */
+  def dropDiff(documents: DataFrame): DataFrame = {
+    def digest(df: DataFrame, suffix: String): DataFrame =
+      df.select(col("doc_id").as(s"doc_id$suffix"),
+        col("source").as(s"source$suffix"),
+        md5(col("text")).as(s"h$suffix"),
+        length(col("text")).cast("long").as(s"len$suffix"))
+    digest(dropA(documents), "_a")
+      .join(digest(dropB(documents), "_b"),
+        col("doc_id_a") === col("doc_id_b"), "full_outer")
+      .select(
+        coalesce(col("source_a"), col("source_b")).as("source"),
+        when(col("doc_id_a").isNull, "added")
+          .when(col("doc_id_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("unchanged").as("status"),
+        (coalesce(col("len_b"), lit(0L)) - coalesce(col("len_a"), lit(0L)))
+          .as("d"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("d")).as("chars_delta"))
+      .orderBy("source", "status")
+  }
+
   private val normSql = "lower(trim(text))"
   private val toksSql = s"string_split($normSql, ' ')"
 
@@ -990,6 +1037,29 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> profileSql,
+    "q_drop_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, source, md5(text) AS h, length(text) AS len
+        |  FROM documents WHERE doc_id % 10 <> 7
+        |), b0 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |), b AS (
+        |  SELECT doc_id, source, md5(text) AS h, length(text) AS len FROM b0
+        |), j AS (
+        |  SELECT coalesce(a.source, b.source) AS source,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.h <> b.h THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    coalesce(b.len, 0) - coalesce(a.len, 0) AS d
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |)
+        |SELECT source, status, COUNT(*) AS n_docs,
+        |  CAST(SUM(d) AS BIGINT) AS chars_delta
+        |FROM j GROUP BY source, status
+        |ORDER BY source, status""".stripMargin,
     "q_lm_score" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents

@@ -655,6 +655,30 @@ class CorpusOpsSpec extends SparkSpec {
       byCol("lang").getAs[String]("max_val"))
   }
 
+  test("dropDiff statuses match the planted drop construction exactly") {
+    val diff = CorpusOps.dropDiff(docs).cache()
+    def total(status: String): Long = diff.filter(col("status") === status)
+      .agg(coalesce(sum("n_docs"), lit(0L))).collect().head.getLong(0)
+    // added = in B only (ids ≡ 7 mod 10); removed = in A only (≡ 3);
+    // changed = surviving ids ≡ 0 mod 13 (the ' v2' edit always changes
+    // the digest); everything else unchanged
+    val ids = docs.select(col("doc_id"))
+    assert(total("added") ==
+      ids.filter(pmod(col("doc_id"), lit(10)) === 7).count())
+    assert(total("removed") ==
+      ids.filter(pmod(col("doc_id"), lit(10)) === 3).count())
+    assert(total("changed") ==
+      ids.filter(pmod(col("doc_id"), lit(13)) === 0 &&
+        pmod(col("doc_id"), lit(10)) =!= 3 &&
+        pmod(col("doc_id"), lit(10)) =!= 7).count())
+    assert(total("added") + total("removed") + total("changed") +
+      total("unchanged") == docs.count())
+    // every changed doc grew by exactly " v2" (3 chars)
+    val changed = diff.filter(col("status") === "changed")
+      .agg(sum("chars_delta"), sum("n_docs")).collect().head
+    assert(changed.getLong(0) == 3 * changed.getLong(1))
+  }
+
   test("dedupCanonical collapses case/punctuation/whitespace variants dedupExact keeps apart") {
     import spark.implicits._
     val variants = Seq(
