@@ -101,6 +101,7 @@ object SparkEntry {
     "q_sample" -> ((s, dir) => CorpusOps.sample(Tables.documents(s, dir))),
     "q_profile" -> ((s, dir) => CorpusOps.profile(Tables.documents(s, dir))),
     "q_drop_diff" -> ((s, dir) => CorpusOps.dropDiff(Tables.documents(s, dir))),
+    "q_profile_by_source" -> ((s, dir) => CorpusOps.profileBySource(Tables.documents(s, dir))),
     "q_ngram_counts" -> ((s, dir) => CorpusOps.ngramCounts(Tables.documents(s, dir))),
     "q_tfidf" -> ((s, dir) => CorpusOps.tfidf(Tables.documents(s, dir))),
     "q_rollup" -> ((s, dir) => CorpusOps.rollup(Tables.documents(s, dir))),

@@ -918,9 +918,11 @@ object CorpusOps {
     * At 100 TB you'd swap the distincts for approx_count_distinct
     * (the [[EventOps.summaryApprox]] precedent) and keep everything else;
     * exact is kept here because the oracle hash-checks it. */
-  def profile(documents: DataFrame): DataFrame = {
-    val agg = documents.agg(
-      count(lit(1)).as("n_rows"),
+  /** The shared per-column metric expressions behind [[profile]] and
+    * [[profileBySource]] — ONE definition, so global and grouped
+    * profiling cannot drift. */
+  private def profileMetricExprs: Seq[org.apache.spark.sql.Column] =
+    count(lit(1)).as("n_rows") +:
       ProfileCols.flatMap { c => Seq(
         count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
         countDistinct(col(c)).as(s"${c}__distinct"),
@@ -928,14 +930,34 @@ object CorpusOps {
         max(col(c)).cast("string").as(s"${c}__max"),
         coalesce(sum(length(col(c).cast("string")).cast("long")), lit(0L))
           .as(s"${c}__len"))
-      }: _*)
+      }
+
+  private def profileStackExpr: String = {
     val stackArgs = ProfileCols.map(c =>
       s"'$c', n_rows, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max, ${c}__len")
       .mkString(", ")
-    agg.selectExpr(
-      s"stack(${ProfileCols.size}, $stackArgs) AS " +
-        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val, sum_len)")
+    s"stack(${ProfileCols.size}, $stackArgs) AS " +
+      "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val, sum_len)"
+  }
+
+  def profile(documents: DataFrame): DataFrame = {
+    val exprs = profileMetricExprs
+    documents.agg(exprs.head, exprs.tail: _*)
+      .selectExpr(profileStackExpr)
       .orderBy("col_name")
+  }
+
+  /** §2-93 `q_profile_by_source`: [[profile]] grouped by `source` — the
+    * drift axis: when one upstream's length distribution or distinct
+    * count moves between drops, the per-source manifest shows WHICH one
+    * (the global profile only shows THAT something moved). Same single
+    * pass and Expand→shuffle as [[profile]], keyed by source, so the
+    * grouped manifest costs the same one shuffle as the global one. */
+  def profileBySource(documents: DataFrame): DataFrame = {
+    val exprs = profileMetricExprs
+    documents.groupBy(col("source")).agg(exprs.head, exprs.tail: _*)
+      .selectExpr("source", profileStackExpr)
+      .orderBy("source", "col_name")
   }
 
   /** Deterministic synthetic "drops" for [[dropDiff]]: drop A is the
@@ -1010,9 +1032,11 @@ object CorpusOps {
        |         THEN 'val'
        |       ELSE 'test' END""".stripMargin
 
-  /** DuckDB twin of [[profile]] — generated from the same ProfileCols list
-    * so the two sides cannot drift column-by-column. */
-  private val profileSql: String = {
+  /** DuckDB twin of [[profile]] / [[profileBySource]] — generated from
+    * the same ProfileCols list (and one builder for both the global and
+    * grouped forms) so the sides cannot drift column-by-column. */
+  private def profileSqlFor(groupKey: Option[String]): String = {
+    val keySel = groupKey.map(k => s"$k, ").getOrElse("")
     val metrics = ProfileCols.map { c =>
       s"""    COUNT(*) FILTER ($c IS NULL) AS ${c}__nulls,
          |    COUNT(DISTINCT $c) AS ${c}__distinct,
@@ -1022,21 +1046,25 @@ object CorpusOps {
          |      AS ${c}__len""".stripMargin
     }.mkString(",\n")
     val branches = ProfileCols.map { c =>
-      s"""SELECT '$c' AS col_name, n_rows, ${c}__nulls AS n_nulls,
+      s"""SELECT $keySel'$c' AS col_name, n_rows, ${c}__nulls AS n_nulls,
          |  ${c}__distinct AS n_distinct, ${c}__min AS min_val,
          |  ${c}__max AS max_val, ${c}__len AS sum_len FROM a""".stripMargin
     }.mkString("\nUNION ALL ")
+    val grp = groupKey.map(k => s"\n  GROUP BY $k").getOrElse("")
+    val ord = groupKey.map(k => s"$k, col_name").getOrElse("col_name")
     s"""WITH a AS (
-       |  SELECT COUNT(*) AS n_rows,
+       |  SELECT ${keySel}COUNT(*) AS n_rows,
        |$metrics
-       |  FROM documents
+       |  FROM documents$grp
        |)
        |$branches
-       |ORDER BY col_name""".stripMargin
+       |ORDER BY $ord""".stripMargin
   }
+  private val profileSql: String = profileSqlFor(None)
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> profileSql,
+    "q_profile_by_source" -> profileSqlFor(Some("source")),
     "q_drop_diff" ->
       """WITH a AS (
         |  SELECT doc_id, source, md5(text) AS h, length(text) AS len

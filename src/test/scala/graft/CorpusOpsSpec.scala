@@ -655,6 +655,31 @@ class CorpusOpsSpec extends SparkSpec {
       byCol("lang").getAs[String]("max_val"))
   }
 
+  test("profileBySource partitions the global profile: counts sum, min/max bound") {
+    val global = CorpusOps.profile(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val grouped = CorpusOps.profileBySource(docs).collect()
+    val nSources = docs.select("source").distinct().count()
+    assert(grouped.length == nSources * CorpusOps.ProfileCols.size)
+    for (c <- CorpusOps.ProfileCols) {
+      val rows = grouped.filter(_.getString(1) == c)
+      // row counts and lengths partition exactly
+      assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+        global(c).getAs[Long]("n_rows"))
+      assert(rows.map(_.getAs[Long]("sum_len")).sum ==
+        global(c).getAs[Long]("sum_len"))
+      // the global min/max is attained by some group (comparison happens
+      // on the native type, so string-ordering the casts would be wrong)
+      assert(rows.map(_.getAs[String]("min_val"))
+        .contains(global(c).getAs[String]("min_val")))
+      assert(rows.map(_.getAs[String]("max_val"))
+        .contains(global(c).getAs[String]("max_val")))
+      // per-group distincts can only over-count the global
+      assert(rows.map(_.getAs[Long]("n_distinct")).sum >=
+        global(c).getAs[Long]("n_distinct"))
+    }
+  }
+
   test("dropDiff statuses match the planted drop construction exactly") {
     val diff = CorpusOps.dropDiff(docs).cache()
     def total(status: String): Long = diff.filter(col("status") === status)
