@@ -59,4 +59,44 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Compact a flat parquet directory's small files into
+    * ⌈totalBytes / targetFileBytes⌉ right-sized ones, written to
+    * `outPath` (write-to-new-then-swap is the atomic deployment move —
+    * never rewrite a layout in place while readers hold its file list).
+    *
+    * Small files are the silent 100 TB killer: a streaming sink or a
+    * 1000-task job writing a 128 MB-row-group format in 200 KB pieces
+    * turns every later scan into metadata chatter (one footer read +
+    * seek per file, open-file caps on the NameNode/object store). One
+    * shuffle, sized by actual BYTES (from the filesystem, not a row
+    * guess), restores scan-sized files. Returns the target file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+    spark.read.parquet(inPath)
+      .repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
+  /** Partition-preserving compaction for a `col=value` layout: shuffle
+    * on the partition column so each partition's rows land in one task
+    * → ONE data file per partition directory (bounded above by
+    * `maxRecordsPerFile` when a partition is hot, so a skewed day still
+    * splits rather than producing one monster file). The layout contract
+    * (pruning via PartitionFilters) is unchanged — only the file count
+    * inside each directory drops. */
+  def compactPartitioned(spark: SparkSession, inPath: String,
+                         outPath: String, partitionCol: String,
+                         maxRecordsPerFile: Long = 5000000L): Unit =
+    spark.read.parquet(inPath)
+      .repartition(col(partitionCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(outPath)
 }

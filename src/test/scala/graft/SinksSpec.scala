@@ -94,6 +94,57 @@ class SinksSpec extends SparkSpec {
       s"approx $gotUsers vs exact $exactUsers")
   }
 
+  test("compact: many small files become the byte-sized count, rows exact") {
+    val events = Tables.events(spark, sfDir)
+    val in = java.nio.file.Files.createTempDirectory("graft_compact_in")
+      .toFile.getAbsolutePath
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_out")
+      .toFile.getAbsolutePath
+    // simulate a chatty writer: many tiny files
+    events.repartition(64).write.mode("overwrite").parquet(in)
+    def dataFiles(dir: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles(in).size == 64)
+    val target = 256L * 1024
+    val n = Sinks.compact(spark, in, out, targetFileBytes = target)
+    val outFiles = dataFiles(out)
+    assert(outFiles.size == n, s"${outFiles.size} files, planned $n")
+    assert(outFiles.size < 64)
+    // byte-sizing: planned count = ceil(inputBytes / target)
+    val inBytes = dataFiles(in).map(_.length).sum
+    assert(n == (inBytes + target - 1) / target)
+    // no rows lost or duplicated
+    val back = spark.read.parquet(out)
+    assert(back.exceptAll(events).count() == 0)
+    assert(events.exceptAll(back).count() == 0)
+  }
+
+  test("compactPartitioned: one file per day directory, layout preserved") {
+    val events = Tables.events(spark, sfDir)
+    val in = java.nio.file.Files.createTempDirectory("graft_cp_in")
+      .toFile.getAbsolutePath
+    val out = java.nio.file.Files.createTempDirectory("graft_cp_out")
+      .toFile.getAbsolutePath
+    // a fragmented day layout: several files inside each day directory
+    Sinks.withDay(events.repartition(8)).write.mode("overwrite")
+      .partitionBy("day").parquet(in)
+    def dayDirs(dir: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("day="))
+    assert(dayDirs(in).exists(
+      _.listFiles().count(_.getName.endsWith(".parquet")) > 1))
+    Sinks.compactPartitioned(spark, in, out, "day")
+    val outDays = dayDirs(out)
+    assert(outDays.map(_.getName).sorted == dayDirs(in).map(_.getName).sorted)
+    assert(outDays.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    val back = spark.read.parquet(out).drop("day")
+    val orig = spark.read.parquet(in).drop("day")
+    assert(back.exceptAll(orig).count() == 0)
+    assert(orig.exceptAll(back).count() == 0)
+  }
+
   test("percentileApprox quantiles are flat scalar columns, ordered") {
     val events = Tables.events(spark, sfDir)
     val df = StatsOps.percentileApprox(events)
