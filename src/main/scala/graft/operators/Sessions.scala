@@ -163,51 +163,63 @@ object SessionOps {
           x => x.getField("event_type"))).as("path"))
       .orderBy("user_id", "day")
 
-  /** §2-87 `q_funnel`: ordered conversion funnel view → click → purchase,
-    * counting users reaching each stage plus the exact summed
-    * stage-to-stage gap (int64 micros — no float drift at any corpus
-    * size).
+  /** Default funnel step chain (and the q_funnel oracle's contract). */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** §2-87 `q_funnel`: ordered conversion funnel over an arbitrary step
+    * chain (default view → click → purchase), counting users reaching
+    * each stage plus the exact summed stage-to-stage gap (int64 micros —
+    * no float drift at any corpus size).
     *
-    * Spark-first shape: ONE shuffle on user_id and one window sort —
-    * no chained per-stage joins. The running min of view times (`t1r`)
-    * marks each click that has a view strictly before it; the running
-    * min of those qualified click times (`t2r`) marks each purchase
-    * with a qualified click strictly before it. A click qualifies here
-    * iff its time exceeds the user's FIRST view time (t1r at the click
-    * row < us ⟺ us > min view us), so the window formulation computes
-    * exactly the chained-min-join semantics the DuckDB oracle states —
-    * same argument one level up for purchases. At 100 TB this is the
-    * same co-partitioned sort [[sessionize]] pays, vs three shuffled
-    * joins for the naive funnel. */
-  def funnel(events: DataFrame): DataFrame = {
+    * Spark-first shape: ONE shuffle on user_id and one window sort
+    * shared by every stage — no chained per-stage joins. The running min
+    * of stage-1 times (`r1`) marks each stage-2 event with a stage-1
+    * event strictly before it; the running min of those qualified times
+    * (`r2`) marks stage 3, and so on. A stage-i event qualifies iff its
+    * time exceeds the user's FIRST qualified stage-(i−1) time
+    * (rᵢ₋₁ at the row < us ⟺ us > min qualified stage-(i−1) us), so the
+    * window formulation computes exactly the chained-min-join semantics
+    * the DuckDB oracle states — spec-asserted against an independent
+    * chained-join build. At 100 TB this is the same co-partitioned sort
+    * [[sessionize]] pays, vs |steps| shuffled joins for the naive
+    * funnel. */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = FunnelSteps): DataFrame = {
+    // single-digit stage prefixes keep the output ordering lexicographic
+    require(steps.size >= 2 && steps.size <= 9, "funnel needs 2-9 steps")
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val staged = events
-      .filter(col("event_type").isin("view", "click", "purchase"))
+    // qᵢ = this row's us if it qualifies for stage i (its type matches
+    // and some stage-(i-1)-qualified event sorts strictly earlier, via
+    // the running min rᵢ₋₁); all chains share the ONE window sort.
+    val base = events
+      .filter(col("event_type").isin(steps: _*))
       .select(col("user_id"), col("event_id"), col("event_type"), EventCols.us)
-      .withColumn("t1r",
-        min(when(col("event_type") === "view", col("us"))).over(w))
-      .withColumn("t2c",
-        when(col("event_type") === "click" && col("t1r") < col("us"), col("us")))
-      .withColumn("t2r", min(col("t2c")).over(w))
-      .withColumn("t3c",
-        when(col("event_type") === "purchase" && col("t2r") < col("us"), col("us")))
-    staged
-      .groupBy(col("user_id"))
-      .agg(
-        min(when(col("event_type") === "view", col("us"))).as("t1"),
-        min(col("t2c")).as("t2"),
-        min(col("t3c")).as("t3"))
-      .agg(
-        count(col("t1")).as("n1"), count(col("t2")).as("n2"),
-        count(col("t3")).as("n3"),
-        coalesce(sum(col("t2") - col("t1")), lit(0L)).as("g2"),
-        coalesce(sum(col("t3") - col("t2")), lit(0L)).as("g3"))
+      .withColumn("q1", when(col("event_type") === steps.head, col("us")))
+    val staged = (2 to steps.size).foldLeft(
+      base.withColumn("r1", min(col("q1")).over(w))) { (df, i) =>
+      val qualified = df.withColumn(s"q$i",
+        when(col("event_type") === steps(i - 1) &&
+          col(s"r${i - 1}") < col("us"), col("us")))
+      if (i < steps.size)
+        qualified.withColumn(s"r$i", min(col(s"q$i")).over(w))
+      else qualified
+    }
+    val perUser = staged.groupBy(col("user_id")).agg(
+      min(col("q1")).as("t1"),
+      (2 to steps.size).map(i => min(col(s"q$i")).as(s"t$i")): _*)
+    val totals =
+      (1 to steps.size).map(i => count(col(s"t$i")).as(s"n$i")) ++
+        (2 to steps.size).map(i =>
+          coalesce(sum(col(s"t$i") - col(s"t${i - 1}")), lit(0L)).as(s"g$i"))
+    val stackRows = steps.zipWithIndex.map { case (s, idx) =>
+      val i = idx + 1
+      val gap = if (i == 1) "CAST(0 AS BIGINT)" else s"g$i"
+      s"'${i}_$s', n$i, $gap"
+    }.mkString(", ")
+    perUser.agg(totals.head, totals.tail: _*)
       .selectExpr(
-        """stack(3,
-          |  '1_view',     n1, CAST(0 AS BIGINT),
-          |  '2_click',    n2, g2,
-          |  '3_purchase', n3, g3) AS (stage, n_users, sum_gap_us)""".stripMargin)
+        s"stack(${steps.size}, $stackRows) AS (stage, n_users, sum_gap_us)")
       .orderBy("stage")
   }
 

@@ -153,6 +153,29 @@ class EventOpsSpec extends SparkSpec {
       s3.agg(coalesce(sum(col("t3") - col("t2b")), lit(0L))).collect().head.getLong(0))
   }
 
+  test("funnel generalizes: 2-step and 4-step chains stay consistent") {
+    // 2-step error → view: verify against a direct computation
+    val two = SessionOps.funnel(events, Seq("error", "view")).collect()
+    assert(two.map(_.getString(0)).toSeq == Seq("1_error", "2_view"))
+    import graft.functions.EventCols
+    val e = events.select(col("user_id"), col("event_type"), EventCols.us)
+    val firstErr = e.filter(col("event_type") === "error")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val converted = e.join(firstErr, "user_id")
+      .filter(col("event_type") === "view" && col("us") > col("t1"))
+      .select("user_id").distinct()
+    assert(two(0).getAs[Long]("n_users") == firstErr.count())
+    assert(two(1).getAs[Long]("n_users") == converted.count())
+    // 4-step chain: prefix stages agree with the default 3-step run
+    val three = SessionOps.funnel(events).collect()
+    val four = SessionOps.funnel(events,
+      SessionOps.FunnelSteps :+ "signup").collect()
+    assert(four.length == 4)
+    assert(four.take(3).map(r => (r.getString(0), r.getAs[Long]("n_users"))).toSeq ==
+      three.map(r => (r.getString(0), r.getAs[Long]("n_users"))).toSeq)
+    assert(four(3).getAs[Long]("n_users") <= four(2).getAs[Long]("n_users"))
+  }
+
   test("retention: offset-0 cohort counts equal cohort sizes, offsets non-negative") {
     val df = SessionOps.retention(events).cache()
     assert(df.filter(col("offset_days") < 0).count() == 0)
