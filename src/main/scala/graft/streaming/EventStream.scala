@@ -135,6 +135,60 @@ object EventStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** A user's first qualified time per funnel stage (Long.MaxValue =
+    * stage not yet reached); fixed size |steps|, so total state is
+    * O(users × steps × 8 B) — the bounded cost of a live funnel. */
+  case class FunnelState(times: List[Long])
+
+  /** Emitted once per (user, stage): the moment the user first qualified. */
+  case class StageHit(user_id: Long, stage: Int, ts: Timestamp)
+
+  /** §2-C `funnelStream`: the LIVE funnel — the streaming twin of
+    * `SessionOps.funnel`. Per user, `flatMapGroupsWithState` keeps one
+    * first-qualified time per stage and emits a [[StageHit]] the moment
+    * a stage is first reached (stage i qualifies when the event's type
+    * is steps(i−1) and its time is STRICTLY after the stored
+    * stage-(i−1) time — the batch operator's chain verbatim). Stage
+    * counts/conversion are a downstream agg over the emitted hits.
+    *
+    * Each micro-batch is processed in event-time order, so for
+    * in-order-by-batch arrival the emitted hits equal the batch funnel
+    * exactly (spec-asserted); an out-of-order event that lands in a
+    * LATER micro-batch can only delay a qualification, never invent one
+    * — the append-mode hits stay set-once-correct, which is the
+    * monitoring contract (the nightly batch funnel remains the exact
+    * accounting). State never times out: a user mid-funnel stays
+    * trackable indefinitely at 8·|steps| bytes. */
+  def funnelStream(events: Dataset[Event],
+                   steps: Seq[String] = graft.operators.SessionOps.FunnelSteps,
+                   watermark: String = "2 hours"): Dataset[StageHit] = {
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .filter(col("event_type").isin(steps: _*))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val times = state.getOption.map(_.times.toArray)
+            .getOrElse(Array.fill(steps.size)(Long.MaxValue))
+          val hits = Seq.newBuilder[StageHit]
+          batch.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val us = micros(e.ts)
+            val i = stepIdx(e.event_type)
+            val qualified = times(i) == Long.MaxValue &&
+              (i == 0 || (times(i - 1) != Long.MaxValue && us > times(i - 1)))
+            if (qualified) {
+              times(i) = us
+              hits += StageHit(userId, i + 1, fromMicros(us))
+            }
+          }
+          state.update(FunnelState(times.toList))
+          hits.result().iterator
+      }
+  }
+
   /** §2-C streaming exactly-once dedup: drop duplicate event ids within
     * the watermark horizon — the streaming twin of `q_dedup_exact` for an
     * at-least-once ingest (Kafka replays, task retries). State is bounded

@@ -152,6 +152,44 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.head.getAs[Long]("n_events") == 2L)
   }
 
+  test("funnelStream stage hits match the batch funnel across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(offsetMs: Long, uid: Long, typ: String) =
+      Event(new Timestamp(base + offsetMs), uid, typ, 1.0)
+    val batch1 = Seq(
+      ev(0, 1L, "view"), ev(60000, 1L, "click"),
+      ev(0, 2L, "click"), // click BEFORE any view: must never reach stage 2
+      ev(60000, 2L, "view"))
+    val batch2 = Seq(
+      ev(120000, 1L, "purchase"),   // completes user 1's funnel (state crossed batches)
+      ev(120000, 2L, "click"),      // now qualified: strictly after user 2's first view
+      ev(0, 3L, "purchase"))        // purchase with no prior stages: no hit
+    val input = MemoryStream[Event]
+    val q = EventStream.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("fnl").outputMode("append").start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val hits = spark.table("fnl").as[EventStream.StageHit].collect()
+        .map(h => (h.user_id, h.stage, h.ts.getTime - base)).toSet
+      assert(hits == Set(
+        (1L, 1, 0L), (1L, 2, 60000L), (1L, 3, 120000L),
+        (2L, 1, 60000L), (2L, 2, 120000L)))
+      // stage counts equal the batch funnel on the union of both batches
+      val all = (batch1 ++ batch2).toDF()
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .withColumn("event_id", col("user_id")) // any deterministic tiebreak
+      val batchCounts = graft.operators.SessionOps.funnel(all).collect()
+        .map(r => r.getString(0).takeWhile(_ != '_').toInt -> r.getAs[Long]("n_users"))
+        .toMap
+      val streamCounts = hits.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      assert((1 to 3).forall(i =>
+        batchCounts(i) == streamCounts.getOrElse(i, 0L)), s"$batchCounts vs $streamCounts")
+    } finally q.stop()
+  }
+
   test("dedupStream drops replayed event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
