@@ -225,21 +225,27 @@ object SessionOps {
 
   /** §2-88 `q_retention`: cohort retention — users grouped by the day of
     * their first event, counted on each later active day as an offset
-    * from the cohort day. The distinct (user, day) collapse happens
-    * BEFORE the join (activity table shrinks from O(events) to
-    * O(user-days)), the join key is user_id, and the final agg is
-    * bounded by cohorts × offsets — the shape that holds when events is
-    * 100 TB but user-days is thousandths of it. */
-  def retention(events: DataFrame): DataFrame = {
-    val firstDay = events.groupBy(col("user_id"))
-      .agg(min(to_date(col("ts"))).as("cohort_day"))
-    val activeDays = events.select(col("user_id"), EventCols.day).distinct()
-    activeDays.join(firstDay, "user_id")
+    * from the cohort day.
+    *
+    * Spark-first shape: NO join. ONE user_id shuffle computes the
+    * cohort day AND the distinct active-day set in the same partial
+    * aggregation (collect_set dedups map-side, so the shuffle carries
+    * per-user day SETS, not events); the explode back out is
+    * O(user-days) rows into the cohorts×offsets-bounded final agg. The
+    * join formulation costs two extra shuffles (the distinct + the join
+    * re-partition). Per-user state is bounded by the retention horizon
+    * (days, not events) — thousands at worst, regardless of corpus
+    * size. */
+  def retention(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), EventCols.day)
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"), collect_set(col("day")).as("days"))
+      .select(col("cohort_day"), explode(col("days")).as("day"))
       .groupBy(col("cohort_day"),
         datediff(col("day"), col("cohort_day")).cast("long").as("offset_days"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_day", "offset_days")
-  }
 
   /** §2-89 `q_session_window`: gap-based sessionization via Spark's
     * NATIVE `session_window` operator — the declarative twin of the

@@ -83,6 +83,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchangeCount(p) <= 2, s"${exchangeCount(p)} exchanges:\n$p")
   }
 
+  test("q_retention: join-free — two hash shuffles (user sets, then cohort agg)") {
+    val p = plan(SessionOps.retention(Tables.events(spark, sfDir)))
+    assert(hashExchangeCount(p) <= 2, s"${hashExchangeCount(p)} hash exchanges:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_session_window: native session merge is partition-local (one hash shuffle)") {
     val p = plan(SessionOps.sessionWindow(Tables.events(spark, sfDir)))
     assert(hashExchangeCount(p) <= 1, s"${hashExchangeCount(p)} hash exchanges:\n$p")
