@@ -153,6 +153,36 @@ class EventOpsSpec extends SparkSpec {
       s3.agg(coalesce(sum(col("t3") - col("t2b")), lit(0L))).collect().head.getLong(0))
   }
 
+  test("Tables.events normalizes every historical ts layout to TIMESTAMP_NTZ") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    import spark.implicits._
+    val utc = java.time.ZoneOffset.UTC
+    val t = java.time.LocalDateTime.parse("2024-01-05T10:30:00")
+    def readBack(write: String => Unit): org.apache.spark.sql.Row = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_layout")
+        .toFile.getAbsolutePath
+      write(s"$dir/events.parquet")
+      val df = Tables.events(spark, dir)
+      assert(df.schema("ts").dataType == TimestampNTZType, df.schema.treeString)
+      df.select("ts").collect().head
+    }
+    // legacy nanos-as-long layout: sub-microsecond part truncates exactly
+    val ns = t.toInstant(utc).getEpochSecond * 1000000000L + 123456789L
+    val fromNanos = readBack(p =>
+      Seq((1L, ns, 42L, "click", 1.0, """{"k": 5}"""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(p))
+    assert(fromNanos.getAs[java.time.LocalDateTime]("ts") ==
+      t.plusNanos(123456000L))
+    // UTC-adjusted TIMESTAMP(MICROS) layout: instant → its UTC wall time
+    val inst = t.toInstant(utc)
+    val fromTz = readBack(p =>
+      Seq((1L, java.sql.Timestamp.from(inst), 42L, "click", 1.0, """{"k": 5}"""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(p))
+    assert(fromTz.getAs[java.time.LocalDateTime]("ts") == t)
+  }
+
   test("funnel generalizes: 2-step and 4-step chains stay consistent") {
     // 2-step error → view: verify against a direct computation
     val two = SessionOps.funnel(events, Seq("error", "view")).collect()
