@@ -45,6 +45,7 @@ object SparkEntry {
     "q_radar_norm" -> ((s, dir) => StatsOps.radarNorm(Tables.events(s, dir))),
     "q_topk_per_group" -> ((s, dir) => StatsOps.topKPerGroup(Tables.events(s, dir))),
     "q_ntile" -> ((s, dir) => StatsOps.ntileDeciles(Tables.events(s, dir))),
+    "q_anomaly" -> ((s, dir) => StatsOps.anomaly(Tables.events(s, dir))),
     // --- temporal (§2 rows 11-13) ---
     "q_sessionize" -> ((s, dir) => SessionOps.sessionize(Tables.events(s, dir))),
     "q_window_after" -> ((s, dir) => SessionOps.windowAfter(Tables.events(s, dir))),

@@ -189,7 +189,61 @@ object StatsOps {
       .orderBy("user_id")
   }
 
+  /** §2-94 `q_anomaly`: each user's anomalous days — daily value sums
+    * deviating more than 3σ from the user's OWN mean — flagged by an
+    * INTEGER-EXACT variance test, so the statistical monitor is
+    * hash-checkable: with per-day cent sums xc, n days, S = Σxc,
+    * Q = Σxc², the z² > 9 test
+    *     (x − μ)² > 9σ²   ⟺   (n·xc − S)² > 9·(n·Q − S²)
+    * clears all denominators; every term is an exact integer (DECIMAL(38)
+    * on the Spark side, HUGEINT in DuckDB), so no float rounding can
+    * flip a flag on either engine. n = 1 collapses both sides to 0 > 0 —
+    * never flagged, no divide-by-zero to guard.
+    *
+    * Scale shape: raw events reduce in ONE (user, day) shuffle; the
+    * per-user moments are a window over the tiny daily frame (the
+    * StatsOps contract: windows never see raw events). */
+  def anomaly(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = events
+      .groupBy(col("user_id"), EventCols.day)
+      // exact cents: DECIMAL(18,2) sum × 100 is an integer by construction
+      .agg((sum(col("value").cast(d18)) * 100).cast("long").as("xc"))
+    val w = Window.partitionBy("user_id")
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("xc").cast(d38)).over(w))
+      .withColumn("q",
+        sum((col("xc").cast(d38) * col("xc"))).over(w))
+      .withColumn("lhs", {
+        val a = col("n").cast(d38) * col("xc") - col("s")
+        a * a
+      })
+      .withColumn("rhs",
+        lit(9) * (col("n").cast(d38) * col("q") - col("s") * col("s")))
+      .filter(col("lhs") > col("rhs"))
+      .select(col("user_id"), col("day"),
+        (col("xc") / 100.0).as("day_sum"), col("n").as("n_days"))
+      .orderBy("user_id", "day")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_anomaly" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, ${S.day} AS day,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS xc
+         |  FROM events GROUP BY user_id, ${S.day}
+         |), m AS (
+         |  SELECT *, COUNT(*) OVER w AS n,
+         |    SUM(CAST(xc AS HUGEINT)) OVER w AS s,
+         |    SUM(CAST(xc AS HUGEINT) * xc) OVER w AS q
+         |  FROM daily WINDOW w AS (PARTITION BY user_id)
+         |)
+         |SELECT user_id, day, xc / 100.0 AS day_sum, n AS n_days
+         |FROM m
+         |WHERE (n * CAST(xc AS HUGEINT) - s) * (n * CAST(xc AS HUGEINT) - s)
+         |      > 9 * (n * q - s * s)
+         |ORDER BY user_id, day""".stripMargin,
     "q_ntile" ->
       s"""WITH daily AS (
          |  SELECT user_id, ${S.day} AS day,

@@ -153,6 +153,29 @@ class EventOpsSpec extends SparkSpec {
       s3.agg(coalesce(sum(col("t3") - col("t2b")), lit(0L))).collect().head.getLong(0))
   }
 
+  test("anomaly flags exactly the >3-sigma days (BigInt re-derivation)") {
+    import graft.functions.EventCols
+    val daily = events.groupBy(col("user_id"), EventCols.day)
+      .agg((sum(col("value").cast(EventCols.d18)) * 100).cast("long").as("xc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date]("day").toString, r.getLong(2)))
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val n = BigInt(rows.length)
+      val s = rows.map(r => BigInt(r._3)).sum
+      val q = rows.map(r => BigInt(r._3) * r._3).sum
+      rows.toSeq.filter { r =>
+        val a = n * r._3 - s
+        a * a > 9 * (n * q - s * s)
+      }.map(r => (u, r._2))
+    }.toSet
+    val got = StatsOps.anomaly(events).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date]("day").toString)).toSet
+    assert(got == expected)
+    // single-day users can never be flagged (both sides collapse to 0)
+    val singleDay = daily.groupBy(_._1).filter(_._2.length == 1).keySet
+    assert(got.forall { case (u, _) => !singleDay.contains(u) })
+  }
+
   test("Tables.events normalizes every historical ts layout to TIMESTAMP_NTZ") {
     import org.apache.spark.sql.types.TimestampNTZType
     import spark.implicits._
