@@ -203,25 +203,42 @@ object StatsOps {
     * Scale shape: raw events reduce in ONE (user, day) shuffle; the
     * per-user moments are a window over the tiny daily frame (the
     * StatsOps contract: windows never see raw events). */
-  def anomaly(events: DataFrame): DataFrame = {
-    val d38 = "decimal(38,0)"
-    val daily = events
+  private val d38 = "decimal(38,0)"
+
+  /** Per-(user, day) exact cent sums — the daily frame [[anomaly]],
+    * [[userMoments]], and the streaming scorer all derive from (ONE
+    * definition, so batch and stream cannot disagree on what a "day
+    * sum" is). DECIMAL(18,2) sum × 100 is an integer by construction. */
+  def dailyCents(events: DataFrame): DataFrame =
+    events
       .groupBy(col("user_id"), EventCols.day)
-      // exact cents: DECIMAL(18,2) sum × 100 is an integer by construction
       .agg((sum(col("value").cast(d18)) * 100).cast("long").as("xc"))
+
+  /** Per-user moments (n days, S = Σ cents, Q = Σ cents²) — what a
+    * nightly batch job persists for `EventStream.anomalyStream`'s live
+    * scoring. Exact integers end to end (DECIMAL(38)). */
+  def userMoments(events: DataFrame): DataFrame =
+    dailyCents(events)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xc").cast(d38)).as("s"),
+        sum(col("xc").cast(d38) * col("xc")).as("q"))
+
+  /** The integer-exact 3σ test: (n·x − S)² > 9·(nQ − S²), all DECIMAL(38)
+    * — shared by the batch operator and the streaming scorer. */
+  def exceeds3Sigma: org.apache.spark.sql.Column = {
+    val a = col("n").cast(d38) * col("xc") - col("s")
+    a * a > lit(9) * (col("n").cast(d38) * col("q") - col("s") * col("s"))
+  }
+
+  def anomaly(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
-    daily
+    dailyCents(events)
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("s", sum(col("xc").cast(d38)).over(w))
       .withColumn("q",
         sum((col("xc").cast(d38) * col("xc"))).over(w))
-      .withColumn("lhs", {
-        val a = col("n").cast(d38) * col("xc") - col("s")
-        a * a
-      })
-      .withColumn("rhs",
-        lit(9) * (col("n").cast(d38) * col("q") - col("s") * col("s")))
-      .filter(col("lhs") > col("rhs"))
+      .filter(exceeds3Sigma)
       .select(col("user_id"), col("day"),
         (col("xc") / 100.0).as("day_sum"), col("n").as("n_days"))
       .orderBy("user_id", "day")

@@ -189,6 +189,34 @@ object EventStream {
       }
   }
 
+  /** §2-C `anomalyStream`: live 3σ scoring against PERSISTED per-user
+    * moments — the deployment split of `q_anomaly`: a nightly batch job
+    * writes `StatsOps.userMoments` (n, S, Q — exact integers) and the
+    * stream scores each CLOSED day against them (watermarked tumbling
+    * 1-day window emits a day's cent sum once late data can no longer
+    * change it; the moments re-read per micro-batch, so the nightly
+    * refresh picks up live). The flag test IS `StatsOps.exceeds3Sigma`
+    * and the day sum IS the batch `dailyCents` definition — shared
+    * expressions, so batch and stream cannot drift. Stream-static join
+    * on user_id: stateless beyond the window agg, no stream-side
+    * moments state. */
+  def anomalyStream(events: DataFrame, momentsPath: String,
+                    watermark: String = "1 day"): DataFrame = {
+    import graft.operators.StatsOps
+    val spark = events.sparkSession
+    val moments = spark.read.parquet(momentsPath) // user_id, n, s, q
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
+      .agg((sum(col("value").cast(graft.functions.EventCols.d18)) * 100)
+        .cast("long").as("xc"))
+      .select(col("user_id"), col("w.start").cast("date").as("day"), col("xc"))
+      .join(moments, "user_id")
+      .filter(StatsOps.exceeds3Sigma)
+      .select(col("user_id"), col("day"),
+        (col("xc") / 100.0).as("day_sum"), col("n").as("n_days"))
+  }
+
   /** §2-C streaming exactly-once dedup: drop duplicate event ids within
     * the watermark horizon — the streaming twin of `q_dedup_exact` for an
     * at-least-once ingest (Kafka replays, task retries). State is bounded

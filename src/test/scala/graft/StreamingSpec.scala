@@ -190,6 +190,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyStream scores closed days against persisted moments = batch anomaly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.StatsOps
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val dayMs = 24L * 3600 * 1000
+    // user 1: ten flat days then a spike (z = 3.16 > 3); user 2: flat
+    val evs = (0 until 10).map(d =>
+      Event(new Timestamp(base + d * dayMs), 1L, "click", 10.0)) ++
+      Seq(Event(new Timestamp(base + 10 * dayMs), 1L, "click", 100.0)) ++
+      (0 until 11).map(d =>
+        Event(new Timestamp(base + d * dayMs), 2L, "click", 5.0))
+    val fixture = evs.toDF()
+    val momentsDir = Files.createTempDirectory("graft_moments")
+      .toFile.getAbsolutePath
+    StatsOps.userMoments(fixture).write.mode("overwrite").parquet(momentsDir)
+    val input = MemoryStream[Event]
+    val q = EventStream.anomalyStream(input.toDF(), momentsDir,
+      watermark = "0 seconds")
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      // advance the watermark past every day so all windows close
+      input.addData(Event(new Timestamp(base + 40 * dayMs), 99L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(new Timestamp(base + 80 * dayMs), 99L, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("anom")
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          col("day_sum"), col("n_days")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      assert(got.toSet == Set((1L, "2024-01-11", 100.0, 11L)), got.mkString("\n"))
+      // exactly the batch q_anomaly flags on the same events
+      val batch = StatsOps.anomaly(fixture)
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          col("day_sum"), col("n_days")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      assert(batch.toSet == got.toSet)
+    } finally q.stop()
+  }
+
   test("dedupStream drops replayed event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
