@@ -985,14 +985,20 @@ object CorpusOps {
     * a sources×4-bounded agg. At 100 TB both drops live bucketed by
     * doc_id ([[graft.sources.Tables.writeBucketed]]) and the join plans
     * exchange-free. */
-  def dropDiff(documents: DataFrame): DataFrame = {
+  def dropDiff(documents: DataFrame): DataFrame =
+    dropDiffFrames(dropA(documents), dropB(documents))
+
+  /** The general two-drop diff — [[dropDiff]] is this applied to the
+    * synthetic drops (which is what the oracle checks); a real pipeline
+    * calls it on yesterday's and today's actual document frames. */
+  def dropDiffFrames(a: DataFrame, b: DataFrame): DataFrame = {
     def digest(df: DataFrame, suffix: String): DataFrame =
       df.select(col("doc_id").as(s"doc_id$suffix"),
         col("source").as(s"source$suffix"),
         md5(col("text")).as(s"h$suffix"),
         length(col("text")).cast("long").as(s"len$suffix"))
-    digest(dropA(documents), "_a")
-      .join(digest(dropB(documents), "_b"),
+    digest(a, "_a")
+      .join(digest(b, "_b"),
         col("doc_id_a") === col("doc_id_b"), "full_outer")
       .select(
         coalesce(col("source_a"), col("source_b")).as("source"),
