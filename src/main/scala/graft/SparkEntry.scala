@@ -103,6 +103,7 @@ object SparkEntry {
     "q_profile" -> ((s, dir) => CorpusOps.profile(Tables.documents(s, dir))),
     "q_drop_diff" -> ((s, dir) => CorpusOps.dropDiff(Tables.documents(s, dir))),
     "q_profile_by_source" -> ((s, dir) => CorpusOps.profileBySource(Tables.documents(s, dir))),
+    "q_mixture" -> ((s, dir) => CorpusOps.mixture(Tables.documents(s, dir))),
     "q_ngram_counts" -> ((s, dir) => CorpusOps.ngramCounts(Tables.documents(s, dir))),
     "q_tfidf" -> ((s, dir) => CorpusOps.tfidf(Tables.documents(s, dir))),
     "q_rollup" -> ((s, dir) => CorpusOps.rollup(Tables.documents(s, dir))),

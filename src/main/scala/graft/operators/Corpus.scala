@@ -1013,6 +1013,34 @@ object CorpusOps {
       .orderBy("source", "status")
   }
 
+  /** §2-95 `q_mixture`: training-mix accounting — per-source document and
+    * token tallies, each source's ACTUAL token share vs a TARGET mixture,
+    * and the sampling factor (target/actual) an upsampler/downsampler
+    * must apply to hit it. The table a data-mix owner actually maintains:
+    * `q_upsample`/`q_token_budget_weighted` apply factors like these;
+    * this query derives them. The synthetic target weights each source
+    * 20 − idx (deterministic, so the oracle hash-checks the divisions —
+    * integer tallies, then the same IEEE double ops on both engines).
+    *
+    * ONE shuffle on source (token counting rides the map side of the
+    * same agg); totals are a 1-row broadcast — no second corpus pass. */
+  def mixture(documents: DataFrame): DataFrame = {
+    val tallies = documents.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextFuns.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("wgt",
+        (lit(20) - substring(col("source"), 4, 8).cast("int")).cast("long"))
+    val totals = tallies.agg(
+      sum(col("n_tokens")).as("tok_total"), sum(col("wgt")).as("wgt_total"))
+    tallies.crossJoin(broadcast(totals))
+      .withColumn("share", col("n_tokens") * 1.0 / col("tok_total"))
+      .withColumn("target_share", col("wgt") * 1.0 / col("wgt_total"))
+      .withColumn("sampling_factor", col("target_share") / col("share"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("share"), col("target_share"), col("sampling_factor"))
+      .orderBy("source")
+  }
+
   private val normSql = "lower(trim(text))"
   private val toksSql = s"string_split($normSql, ' ')"
 
@@ -1071,6 +1099,26 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "q_profile" -> profileSql,
     "q_profile_by_source" -> profileSqlFor(Some("source")),
+    "q_mixture" ->
+      s"""WITH t AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source
+         |), w AS (
+         |  SELECT *, CAST(20 - CAST(substr(source, 4) AS INT) AS BIGINT) AS wgt
+         |  FROM t
+         |), tot AS (
+         |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+         |         CAST(SUM(wgt) AS BIGINT) AS wgt_total FROM w
+         |), j AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    n_tokens * 1.0 / tok_total AS share,
+         |    wgt * 1.0 / wgt_total AS target_share
+         |  FROM w, tot
+         |)
+         |SELECT source, n_docs, n_tokens, share, target_share,
+         |  target_share / share AS sampling_factor
+         |FROM j ORDER BY source""".stripMargin,
     "q_drop_diff" ->
       """WITH a AS (
         |  SELECT doc_id, source, md5(text) AS h, length(text) AS len

@@ -680,6 +680,20 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixture: shares sum to 1, factors invert exactly, weights ordered") {
+    val rows = CorpusOps.mixture(docs).collect()
+    assert(rows.length == docs.select("source").distinct().count())
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("target_share")).sum - 1.0) < 1e-9)
+    // sampling_factor is EXACTLY target/actual (same doubles, no re-derivation)
+    assert(rows.forall(r =>
+      r.getAs[Double]("sampling_factor") ==
+        r.getAs[Double]("target_share") / r.getAs[Double]("share")))
+    // the synthetic target weights src0 heaviest
+    val byName = rows.map(r => r.getString(0) -> r.getAs[Double]("target_share")).toMap
+    assert(byName("src0") > byName("src19"))
+  }
+
   test("dropDiff statuses match the planted drop construction exactly") {
     val diff = CorpusOps.dropDiff(docs).cache()
     def total(status: String): Long = diff.filter(col("status") === status)
