@@ -104,6 +104,7 @@ object SparkEntry {
     "q_drop_diff" -> ((s, dir) => CorpusOps.dropDiff(Tables.documents(s, dir))),
     "q_profile_by_source" -> ((s, dir) => CorpusOps.profileBySource(Tables.documents(s, dir))),
     "q_mixture" -> ((s, dir) => CorpusOps.mixture(Tables.documents(s, dir))),
+    "q_epoch_order" -> ((s, dir) => CorpusOps.epochOrder(Tables.documents(s, dir))),
     "q_ngram_counts" -> ((s, dir) => CorpusOps.ngramCounts(Tables.documents(s, dir))),
     "q_tfidf" -> ((s, dir) => CorpusOps.tfidf(Tables.documents(s, dir))),
     "q_rollup" -> ((s, dir) => CorpusOps.rollup(Tables.documents(s, dir))),

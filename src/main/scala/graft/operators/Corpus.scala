@@ -1041,6 +1041,37 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** §2-96 `q_epoch_order`: the deterministic TRAINING ORDER — sources
+    * interleaved round-robin (all the rank-1 docs across sources, then
+    * the rank-2 docs, …), the epoch ordering a trainer consumes so no
+    * source clusters at one end of the epoch.
+    *
+    * Spark-first trick: the global position needs NO global sort. With
+    * per-source rank rk and the (tiny) source-size histogram broadcast,
+    * the lexicographic-(rk, source) position has the closed form
+    *     pos = 1 + Σ_{s'} min(rk−1, n_{s'}) + |{s' < s : n_{s'} ≥ rk}|
+    * — a row-level fold over the ~|sources|-entry array. One hash
+    * shuffle (the per-source rank window) computes the whole ordering;
+    * the trailing orderBy is only this harness's deterministic-output
+    * contract (at scale you'd range-partition WRITE by pos, not sort
+    * rows). The DuckDB oracle states the same ordering as a global
+    * row_number — single-node, where that's free. */
+  def epochOrder(documents: DataFrame): DataFrame = {
+    val perSource = Window.partitionBy("source").orderBy("doc_id")
+    val ranked = documents.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(perSource).cast("long"))
+    val sizes = ranked.groupBy(col("source").as("s2"))
+      .agg(count(lit(1)).as("n2"))
+      .agg(collect_list(struct(col("s2"), col("n2"))).as("sz"))
+    ranked.crossJoin(broadcast(sizes))
+      .withColumn("pos",
+        expr("""1 + aggregate(sz, 0L, (acc, x) ->
+                acc + least(rk - 1, x.n2) +
+                IF(x.s2 < source AND x.n2 >= rk, 1L, 0L))"""))
+      .select(col("doc_id"), col("source"), col("rk"), col("pos"))
+      .orderBy("pos")
+  }
+
   private val normSql = "lower(trim(text))"
   private val toksSql = s"string_split($normSql, ' ')"
 
@@ -1099,6 +1130,16 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "q_profile" -> profileSql,
     "q_profile_by_source" -> profileSqlFor(Some("source")),
+    "q_epoch_order" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |         AS BIGINT) AS rk
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, rk,
+        |  CAST(row_number() OVER (ORDER BY rk, source) AS BIGINT) AS pos
+        |FROM r ORDER BY pos""".stripMargin,
     "q_mixture" ->
       s"""WITH t AS (
          |  SELECT source, COUNT(*) AS n_docs,

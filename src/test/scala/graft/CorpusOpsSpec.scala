@@ -680,6 +680,25 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("epochOrder is a sort-free round-robin permutation of the corpus") {
+    val rows = CorpusOps.epochOrder(docs).collect()
+    val n = docs.count()
+    // pos is a permutation of 1..N
+    assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to n))
+    // the first |sources| positions hold every source's rank-1 doc,
+    // in source order (the round-robin head)
+    val nSources = docs.select("source").distinct().count().toInt
+    val head = rows.sortBy(_.getAs[Long]("pos")).take(nSources)
+    assert(head.forall(_.getAs[Long]("rk") == 1L))
+    assert(head.map(_.getString(1)).toSeq ==
+      head.map(_.getString(1)).sorted.toSeq)
+    // within a source, epoch position increases with rank
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("pos"))
+      assert(byRank.toSeq == byRank.sorted.toSeq)
+    }
+  }
+
   test("mixture: shares sum to 1, factors invert exactly, weights ordered") {
     val rows = CorpusOps.mixture(docs).collect()
     assert(rows.length == docs.select("source").distinct().count())
