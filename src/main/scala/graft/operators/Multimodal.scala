@@ -71,6 +71,7 @@ object MultimodalOps {
           val bytes = r.getAs[Array[Byte]](2)
           val feats = decodePpm(bytes, dim)
             .orElse(decodeWav(bytes, dim))
+            .orElse(decodeBmp(bytes, dim))
             .getOrElse(decodeStub(bytes, dim))
           Row(id, mime, bytes.length, feats)
         }
@@ -219,6 +220,74 @@ object MultimodalOps {
       min(0), ch1(min), max(0), ch1(max),
       math.sqrt(sumSq(0) / nFrames).toFloat,
       if (chs > 1) math.sqrt(sumSq(1) / nFrames).toFloat else 0f)
+    System.arraycopy(raw, 0, feats, 0, math.min(raw.length, dim))
+    Some(feats)
+  }
+
+  /** Dependency-free BMP decoder: 'BM' file header (pixel-data offset at
+    * byte 10), BITMAPINFOHEADER (size ≥ 40: width s32, height s32 —
+    * positive = bottom-up rows, negative = top-down — planes, bpp,
+    * compression), 24-bpp uncompressed (BI_RGB) only, rows padded to
+    * 4-byte boundaries, pixels stored BGR. Features mirror [[decodePpm]]
+    * exactly — [w, h, mean R..B, min R..B, max R..B] normalized to
+    * [0, 1] — so an image's stats are comparable across container
+    * formats. None = not 'BM', compressed, non-24-bpp, or a pixel plane
+    * shorter than the declared geometry (truncated upload) — the caller
+    * falls back to the stub rather than poisoning the batch. */
+  private[graft] def decodeBmp(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def s32(off: Int): Int = u32(off).toInt
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOff = u32(10)
+    val hdrSize = u32(14)
+    if (hdrSize < 40) return None // core/OS2 headers out of scope
+    val w = s32(18)
+    val hRaw = s32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw.toLong).toInt
+    val bpp = u16(28)
+    val compression = u32(30)
+    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0L) return None
+    // rows pad to 4-byte words; compare by division (w near MaxInt would
+    // overflow the row-size product and slip past a multiplied guard)
+    val rowBytes = ((w.toLong * 3 + 3) / 4) * 4
+    if (dataOff < 54 || dataOff > bytes.length) return None
+    if ((bytes.length - dataOff) / rowBytes < h.toLong) return None
+    val sum = new Array[Long](3)
+    val min = Array.fill(3)(255)
+    val max = new Array[Int](3)
+    var row = 0
+    while (row < h) {
+      // bottom-up storage: pixel row y sits at (h-1-y) from the top
+      val srcRow = if (topDown) row else h - 1 - row
+      val base = dataOff + srcRow * rowBytes
+      var x = 0
+      while (x < w) {
+        val o = (base + x * 3L).toInt
+        // BGR on disk → RGB channel order in the stats
+        val b = bytes(o) & 0xff
+        val g = bytes(o + 1) & 0xff
+        val r = bytes(o + 2) & 0xff
+        sum(0) += r; sum(1) += g; sum(2) += b
+        if (r < min(0)) min(0) = r; if (r > max(0)) max(0) = r
+        if (g < min(1)) min(1) = g; if (g > max(1)) max(1) = g
+        if (b < min(2)) min(2) = b; if (b > max(2)) max(2) = b
+        x += 1
+      }
+      row += 1
+    }
+    val n = w.toLong * h
+    val feats = new Array[Float](dim)
+    val raw = Array[Float](w.toFloat, h.toFloat,
+      (sum(0).toDouble / n / 255).toFloat,
+      (sum(1).toDouble / n / 255).toFloat,
+      (sum(2).toDouble / n / 255).toFloat,
+      min(0) / 255f, min(1) / 255f, min(2) / 255f,
+      max(0) / 255f, max(1) / 255f, max(2) / 255f)
     System.arraycopy(raw, 0, feats, 0, math.min(raw.length, dim))
     Some(feats)
   }

@@ -1275,6 +1275,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.getSeq[Float](3)(1) == 44100f)
   }
 
+  test("decodeBmp: real 24bpp bottom-up pixels with row padding; rejects junk") {
+    import spark.implicits._
+    // 2×2 image — top row (red, green), bottom row (blue, white) —
+    // stored bottom-up, BGR, rows padded from 6 to 8 bytes
+    def u16(v: Int): Seq[Int] = Seq(v & 0xff, (v >> 8) & 0xff)
+    def u32(v: Int): Seq[Int] =
+      Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    val header =
+      Seq('B'.toInt, 'M'.toInt) ++ u32(54 + 16) ++ u32(0) ++ u32(54) ++ // file header
+        u32(40) ++ u32(2) ++ u32(2) ++ u16(1) ++ u16(24) ++ u32(0) ++   // info header
+        u32(16) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+    val pixels =
+      Seq(255, 0, 0, 255, 255, 255, 0, 0) ++ // bottom: blue, white, pad
+        Seq(0, 0, 255, 0, 255, 0, 0, 0)      // top: red, green, pad
+    val bmp = (header ++ pixels).map(_.toByte).toArray
+    val f = MultimodalOps.decodeBmp(bmp, 16).get
+    assert(f(0) == 2f && f(1) == 2f, f.toSeq)                    // w, h
+    assert(f(2) == 0.5f && f(3) == 0.5f && f(4) == 0.5f, f.toSeq) // means
+    assert(f(5) == 0f && f(6) == 0f && f(7) == 0f, f.toSeq)      // mins
+    assert(f(8) == 1f && f(9) == 1f && f(10) == 1f, f.toSeq)     // maxs
+    // rejects: truncated pixel plane, compressed, not BM at all
+    assert(MultimodalOps.decodeBmp(bmp.dropRight(9), 16).isEmpty)
+    val compressed = bmp.clone(); compressed(30) = 1.toByte // BI_RLE8
+    assert(MultimodalOps.decodeBmp(compressed, 16).isEmpty)
+    assert(MultimodalOps.decodeBmp("not an image".getBytes("US-ASCII"), 16).isEmpty)
+    // sniffed through decodeBatches despite a lying mime label
+    val df = Seq((1L, "audio/wav", bmp)).toDF("doc_id", "mime", "payload")
+    val out = MultimodalOps.decodeBatches(df, dim = 16).collect().head
+    assert(out.getSeq[Float](3)(0) == 2f && out.getSeq[Float](3)(2) == 0.5f)
+  }
+
   test("multimodalMeta + decodeBatches plumbing round-trips") {
     val meta = MultimodalOps.multimodalMeta(docs)
     assert(meta.count() == docs.count())
