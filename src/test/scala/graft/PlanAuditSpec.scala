@@ -94,6 +94,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchangeCount(p) <= 1, s"${hashExchangeCount(p)} hash exchanges:\n$p")
   }
 
+  test("q_anomaly: daily agg + user window — two hash shuffles, no join") {
+    val p = plan(StatsOps.anomaly(Tables.events(spark, sfDir)))
+    assert(hashExchangeCount(p) <= 2, s"${hashExchangeCount(p)} hash exchanges:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_mixture / q_epoch_order: totals ride broadcasts, never a shuffle join") {
+    val pm = plan(CorpusOps.mixture(Tables.documents(spark, sfDir)))
+    assert(hashExchangeCount(pm) <= 2, s"${hashExchangeCount(pm)} hash exchanges:\n$pm")
+    assert(!pm.contains("SortMergeJoin"), pm)
+    val pe = plan(CorpusOps.epochOrder(Tables.documents(spark, sfDir)))
+    assert(hashExchangeCount(pe) <= 2, s"${hashExchangeCount(pe)} hash exchanges:\n$pe")
+    assert(!pe.contains("SortMergeJoin"), pe)
+  }
+
+  test("q_drop_diff: digest-reduced full-outer join (SMJ on doc_id, bounded shuffles)") {
+    val p = plan(CorpusOps.dropDiff(Tables.documents(spark, sfDir)))
+    assert(p.contains("SortMergeJoin"), p) // full-outer on a high-card key
+    assert(hashExchangeCount(p) <= 3, s"${hashExchangeCount(p)} hash exchanges:\n$p")
+  }
+
   test("q_profile: single pass — one Expand into one hash shuffle") {
     val p = plan(CorpusOps.profile(Tables.documents(spark, sfDir)))
     assert(p.contains("Expand"), p) // the multi-column exact distincts
