@@ -1028,8 +1028,16 @@ object CorpusOps {
     val tallies = documents.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(size(TextFuns.tokens(col("text"))).cast("long")).as("n_tokens"))
+      // The synthetic target contract is sources src0..src19 → weight
+      // 20−idx. A source OUTSIDE it (srcFoo → null weight, src20+ → a
+      // zero/negative weight) would silently corrupt every target
+      // share, so fail loudly instead of emitting a poisoned mix table.
       .withColumn("wgt",
-        (lit(20) - substring(col("source"), 4, 8).cast("int")).cast("long"))
+        when(col("source").rlike("^src(\\d|1\\d)$"),
+          (lit(20) - substring(col("source"), 4, 8).cast("int")).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("q_mixture: source outside the synthetic target " +
+              "contract src0..src19: "), col("source")))))
     val totals = tallies.agg(
       sum(col("n_tokens")).as("tok_total"), sum(col("wgt")).as("wgt_total"))
     tallies.crossJoin(broadcast(totals))

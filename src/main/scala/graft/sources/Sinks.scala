@@ -73,6 +73,7 @@ object Sinks {
     * guess), restores scan-sized files. Returns the target file count. */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    requireDistinctPaths(spark, inPath, outPath)
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(p).getLength
@@ -92,11 +93,28 @@ object Sinks {
     * inside each directory drops. */
   def compactPartitioned(spark: SparkSession, inPath: String,
                          outPath: String, partitionCol: String,
-                         maxRecordsPerFile: Long = 5000000L): Unit =
+                         maxRecordsPerFile: Long = 5000000L): Unit = {
+    requireDistinctPaths(spark, inPath, outPath)
     spark.read.parquet(inPath)
       .repartition(col(partitionCol))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol)
       .parquet(outPath)
+  }
+
+  /** Both compactors read `inPath` LAZILY while overwriting `outPath`;
+    * called with the same (canonicalized) path they would clobber their
+    * own input mid-scan. Enforce the write-to-new-then-swap contract. */
+  private def requireDistinctPaths(spark: SparkSession, inPath: String,
+                                   outPath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = new org.apache.hadoop.fs.Path(inPath)
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    val inQ = in.getFileSystem(conf).makeQualified(in)
+    val outQ = out.getFileSystem(conf).makeQualified(out)
+    require(inQ != outQ,
+      s"compact: outPath must differ from inPath ($inQ) — " +
+        "write to a new location, then swap")
+  }
 }

@@ -163,6 +163,15 @@ object EventStream {
                    steps: Seq[String] = graft.operators.SessionOps.FunnelSteps,
                    watermark: String = "2 hours"): Dataset[StageHit] = {
     import events.sparkSession.implicits._
+    // Same 2-9-step contract as the batch funnel, PLUS distinctness:
+    // stepIdx maps each event type to ONE stage, so a chain with a
+    // repeated type (view->click->view — which the batch fold supports)
+    // would silently drop the earlier stage. Refuse it here rather than
+    // diverge from batch semantics.
+    require(steps.size >= 2 && steps.size <= 9, "funnel needs 2-9 steps")
+    require(steps.distinct.size == steps.size,
+      s"funnelStream needs distinct step types (got $steps); " +
+        "repeated-type chains are batch-funnel-only")
     val stepIdx = steps.zipWithIndex.toMap
     events
       .filter(col("event_type").isin(steps: _*))
@@ -194,8 +203,14 @@ object EventStream {
     * writes `StatsOps.userMoments` (n, S, Q — exact integers) and the
     * stream scores each CLOSED day against them (watermarked tumbling
     * 1-day window emits a day's cent sum once late data can no longer
-    * change it; the moments re-read per micro-batch, so the nightly
-    * refresh picks up live). The flag test IS `StatsOps.exceeds3Sigma`
+    * change it). The static side's FILE LISTING is snapshotted when this
+    * DataFrame is built (InMemoryFileIndex) — a nightly overwrite of
+    * `momentsPath` is NOT picked up live, and deleting the old files
+    * under a running query risks FileNotFoundException; the deployment
+    * move is to write each refresh to a new path and restart the query
+    * on it (checkpointed offsets make the restart exactly-once), or use
+    * a snapshot-refreshing table format.
+    * The flag test IS `StatsOps.exceeds3Sigma`
     * and the day sum IS the batch `dailyCents` definition — shared
     * expressions, so batch and stream cannot drift. Stream-static join
     * on user_id: stateless beyond the window agg, no stream-side
@@ -234,9 +249,10 @@ object EventStream {
     * row-level native-expression signature pass, stateless, so it runs
     * unchanged on an unbounded stream) and stream-static-joins the
     * PERSISTED corpus band index (the write-once (band, key)-bucketed
-    * frame a real pipeline maintains with `Tables.writeBucketed`; the
-    * static side is re-read per micro-batch, so a nightly index refresh
-    * picks up without restarting the query). Corpus×corpus pairs never
+    * frame a real pipeline maintains with `Tables.writeBucketed`; note
+    * the static side's file listing is snapshotted at DataFrame build —
+    * an index refresh needs a new path + query restart, same contract as
+    * [[anomalyStream]]). Corpus×corpus pairs never
     * form — candidates are (new, corpus) band collisions only, exactly
     * the batch twin's universe (spec-asserted batch-equivalent on the
     * same delta in StreamingSpec).
@@ -322,8 +338,9 @@ object EventStream {
     *   1. docs whose text_hash already exists in the STANDING corpus
     *      drop via a stream-static LEFT-ANTI join against the persisted
     *      hash index (a one-column (text_hash) frame the batch estate
-    *      maintains; re-read per micro-batch, so a nightly index
-    *      refresh picks up without restarting the query);
+    *      maintains; its file listing is snapshotted at DataFrame
+    *      build, so an index refresh needs a new path + query restart
+    *      — [[anomalyStream]]'s contract);
     *   2. within and across micro-batches, `dropDuplicates(text_hash)`
     *      keeps the FIRST arrival as the representative — arrival order
     *      replaces the batch path's min-doc_id convention, the honest
@@ -360,8 +377,9 @@ object EventStream {
     * positives included, a tiny fraction of the stream; an
     * ingest-timestamped deployment swaps in
     * dropDuplicatesWithinWatermark, the [[dedupStream]] trade). The
-    * probes frame is static and re-read per micro-batch, so a probe-set
-    * refresh picks up without restarting the query. At 100 TB/day the
+    * probes frame is static — file-backed probes snapshot their listing
+    * at DataFrame build, so a probe-set refresh needs a new path +
+    * query restart ([[anomalyStream]]'s contract). At 100 TB/day the
     * stream cost is exactly the batch screen's: one pass, bitmap
     * broadcast, only hits move. */
   def contaminationBloomStream(docs: DataFrame, probes: DataFrame,
@@ -403,8 +421,10 @@ object EventStream {
       .start()
 
   /** §2-C stream-static enrichment: join the unbounded stream against a
-    * bounded dimension. The static side is re-read per micro-batch (so a
-    * slowly-changing dim refreshes without restarting the query) and
+    * bounded dimension. The static side's DATA files are re-read per
+    * micro-batch but its file LISTING is snapshotted at DataFrame build
+    * — a slowly-changing dim refresh needs a new path + query restart
+    * ([[anomalyStream]]'s contract). The dim is
     * broadcast — no stream-side state at all, unlike a stream-stream
     * join. This is the dimension-enrichment shape of `q_revenue_nation`
     * on a live stream; at 100 TB/day the stream never shuffles. */

@@ -713,6 +713,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(byName("src0") > byName("src19"))
   }
 
+  test("mixture: a source outside the src0..src19 contract fails loudly") {
+    import spark.implicits._
+    val bad = Seq((1L, "hello world", "wiki"), (2L, "more text", "src1"))
+      .toDF("doc_id", "text", "source")
+    val e = intercept[Exception] { CorpusOps.mixture(bad).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("synthetic target contract")))
+    // src20 would get weight 0 — equally refused, not silently zeroed
+    val overflow = Seq((1L, "t", "src20")).toDF("doc_id", "text", "source")
+    val e2 = intercept[Exception] { CorpusOps.mixture(overflow).collect() }
+    assert(msgs(e2).exists(_.contains("synthetic target contract")))
+  }
+
   test("dropDiff statuses match the planted drop construction exactly") {
     val diff = CorpusOps.dropDiff(docs).cache()
     def total(status: String): Long = diff.filter(col("status") === status)

@@ -120,6 +120,19 @@ class SinksSpec extends SparkSpec {
     assert(events.exceptAll(back).count() == 0)
   }
 
+  test("compact refuses inPath == outPath (would clobber its own input)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_same")
+      .toFile.getAbsolutePath
+    spark.range(10).write.mode("overwrite").parquet(dir)
+    // equal after canonicalization too: a trailing slash must not fool it
+    intercept[IllegalArgumentException] { Sinks.compact(spark, dir, dir + "/") }
+    intercept[IllegalArgumentException] {
+      Sinks.compactPartitioned(spark, dir, dir, "id")
+    }
+    // input untouched by the refusal
+    assert(spark.read.parquet(dir).count() == 10)
+  }
+
   test("compactPartitioned: one file per day directory, layout preserved") {
     val events = Tables.events(spark, sfDir)
     val in = java.nio.file.Files.createTempDirectory("graft_cp_in")

@@ -152,6 +152,20 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.head.getAs[Long]("n_events") == 2L)
   }
 
+  test("funnelStream refuses chains the stream cannot represent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // repeated type: stepIdx would map 'view' to its LAST stage only
+    intercept[IllegalArgumentException] {
+      EventStream.funnelStream(input.toDS(), Seq("view", "click", "view"))
+    }
+    // same 2-9 size contract as the batch funnel
+    intercept[IllegalArgumentException] {
+      EventStream.funnelStream(input.toDS(), Seq("view"))
+    }
+  }
+
   test("funnelStream stage hits match the batch funnel across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
