@@ -104,7 +104,17 @@ object Bench {
       s"""{"sec":${Seq(calib0, calib1, calib2).min},"passes":[$calib0,$calib1,$calib2]}"""
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"calib":$calibJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"calib":$calibJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's log capture keeps only the tail of stdout, which has
+    // truncated the per-query table two rounds running (BENCH_r07/r08
+    // `parsed: null`). Also write the full line to a file so every
+    // number survives regardless of how much log the harness keeps.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () } // stdout line already out
     spark.stop()
   }
 }

@@ -127,11 +127,17 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) => CorpusOps.lmScore(Tables.documents(s, dir))),
     "q_bm25" -> ((s, dir) => CorpusOps.bm25(Tables.documents(s, dir))),
     "q_bm25_multi" -> ((s, dir) => CorpusOps.bm25Multi(Tables.documents(s, dir))),
+    // --- trained tokenizer (§2 rows 97-98) ---
+    "q_bpe_train" -> ((s, dir) => BpeOps.train(Tables.documents(s, dir))),
+    "q_bpe_encode" -> ((s, dir) => BpeOps.encodeSelf(Tables.documents(s, dir))),
+    // --- composed end-to-end manifest (§2 row 99) ---
+    "q_pipeline" -> ((s, dir) => CorpusOps.pipelineManifest(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 row 35) ---
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---
     "q_summary_approx" -> ((s, dir) => EventOps.summaryApprox(Tables.events(s, dir))),
     "q_percentile_approx" -> ((s, dir) => StatsOps.percentileApprox(Tables.events(s, dir))),
+    "q_profile_approx" -> ((s, dir) => CorpusOps.profileApprox(Tables.documents(s, dir))),
     "q_frame_sample" -> ((s, dir) => MultimodalOps.frameSample(
       Tables.documents(s, dir).withColumn(
         "payload", org.apache.spark.sql.functions.col("text").cast("binary"))))
@@ -146,5 +152,5 @@ object SparkEntry {
     Relational.oracles ++ EventOps.oracles ++ StatsOps.oracles ++
       SessionOps.oracles ++ GeometryOps.oracles ++ DedupOps.oracles ++
       AnnOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles ++
-      CorpusOps.oracles ++ Skew.oracles
+      CorpusOps.oracles ++ Skew.oracles ++ BpeOps.oracles
 }

@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained byte-pair-encoding tokenizer — the piece that turns every
+  * token-denominated operator in the corpus estate ([[CorpusOps.pack]],
+  * [[CorpusOps.tokenBudgetSample]], `q_mixture`, `q_curate`) from
+  * "counts whitespace words" into "counts tokens a trainer actually
+  * pays for".
+  *
+  * Re-expresses the reference's token-budgeting idea
+  * (`/root/reference/core/pedri_analysis.py:201-218` estimates a
+  * per-match budget; a pretraining pipeline's budget unit is the BPE
+  * token) with the classic Sennrich-style merge learner:
+  *
+  *   1. pre-tokenize to a word stream (lowercase alnum runs),
+  *   2. start every word as its character sequence,
+  *   3. repeat N times: count adjacent symbol pairs over the corpus
+  *      (weighted by word frequency), merge the most frequent pair
+  *      everywhere (ties broken lexicographically).
+  *
+  * Spark-first scale shape: the ONLY corpus-sized pass is the word-
+  * frequency aggregation (one hash shuffle → a VOCAB-bounded (word,
+  * freq) table; at 100 TB that's millions of rows, not the corpus).
+  * Every merge round then runs on the vocab frame alone — a pair
+  * explode + partial agg + 1-row argmax + broadcast replace — with the
+  * per-round result eagerly checkpointed ([[AnnOps.kmeans]]'s
+  * iterate-with-checkpoint lesson: cut lineage each round or round R
+  * replays rounds 1..R−1). Encoding is a pure row-level fold with the
+  * merge table broadcast — no join, no shuffle, the shape that encodes
+  * 100 TB as a map-only pass.
+  *
+  * Exactness contract (the DuckDB-replayable part): symbol sequences
+  * are strings with `chr(1)` sentinels — each token wrapped `·tok·`, so
+  * tokens are separated by a DOUBLE sentinel and the merge of pair
+  * (l, r) is literally `replace(seq, '·l··r·', '·lr·')`. Both engines'
+  * `replace` is left-to-right non-overlapping replace-all, and the
+  * double sentinel makes consecutive matches share no characters, so
+  * one replace call IS the greedy left-to-right BPE merge application
+  * ("aaaa" + (a,a) → [aa, aa]; "aaa" → [aa, a]) — identical on Spark
+  * and DuckDB, which is what lets the oracle replay the whole training
+  * trajectory as unrolled CTEs (the [[AnnOps.kmeans]] oracle pattern).
+  * Pre-tokenization keeps only `[a-z0-9]+` runs, so `chr(1)` can never
+  * appear inside a symbol and byte-order string comparison (the
+  * tie-break) agrees across engines.
+  */
+object BpeOps {
+
+  /** Learned merges for the q_bpe_* queries — enough for multi-char
+    * subwords to emerge from the synthetic corpus (at 20 merges whole
+    * frequent words like "join"/"hash"/"batch" become single tokens)
+    * while the unrolled oracle stays tractable. A production tokenizer
+    * runs the same loop to 30k+; rounds are sequential but each costs
+    * O(vocab), not O(corpus). */
+  val Merges = 20
+
+  /** The pre-tokenizer: lowercase-alnum word runs of `text`. Group-0
+    * extraction spelled explicitly — Spark's regexp_extract_all
+    * defaults to group 1, DuckDB's to group 0. */
+  private val WordsExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+  /** Initial symbol sequence of word `w`: every character wrapped in
+    * chr(1) sentinels ("abc" → "·a··b··c·"). */
+  private def seq0(w: String): String =
+    s"concat(chr(1), array_join(transform(sequence(1, length($w)), " +
+      s"i -> substr($w, i, 1)), concat(chr(1), chr(1))), chr(1))"
+
+  /** One merge application: replace every adjacent (l, r) with the
+    * concatenated symbol — greedy left-to-right by `replace` semantics
+    * (see object doc). `l`/`r` are SQL fragments naming columns. */
+  private def mergeStep(seqCol: String, l: String, r: String): String =
+    s"replace($seqCol, concat(chr(1), $l, chr(1), chr(1), $r, chr(1)), " +
+      s"concat(chr(1), $l, $r, chr(1)))"
+
+  /** Adjacent-pair counts over a (word, freq, seq) vocab frame —
+    * vocab-bounded work: explode the per-word pair list, one partial
+    * agg on (lhs, rhs). */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("freq"),
+        split(trim(col("seq"), "\u0001"), "\u0001\u0001").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("freq"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(a, b) -> named_struct('lhs', a, 'rhs', b))")).as("p"))
+      .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"), col("freq"))
+      .groupBy("lhs", "rhs")
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Materialization for the merge loop — localCheckpoint by default,
+    * reliable checkpoints under `checkpointDir` on a cluster (the
+    * [[AnnOps]] durability option: a multi-hour 100 TB training must
+    * survive a lost executor). */
+  private def mat(checkpointDir: Option[String])(df: DataFrame): DataFrame = {
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    if (checkpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+  }
+
+  /** §2-97 `q_bpe_train`: learn the merge table — (merge_rank, lhs,
+    * rhs, merged, cnt), rank in learning order, cnt the exact weighted
+    * pair count that won the round (ties: smallest (lhs, rhs)). */
+  def train(documents: DataFrame, merges: Int = Merges,
+            checkpointDir: Option[String] = None): DataFrame =
+    trainPieces(documents, merges, checkpointDir)._1
+
+  /** (merge table, final vocab (word, freq, seq)) — the vocab lets a
+    * spec assert the row-level encoder reproduces the training
+    * trajectory word-for-word. */
+  private[graft] def trainPieces(documents: DataFrame, merges: Int = Merges,
+                                 checkpointDir: Option[String] = None)
+      : (DataFrame, DataFrame) = {
+    require(merges >= 1 && merges <= 64,
+      s"merges must be in [1, 64] (oracle unrolls them): $merges")
+    val freq = documents
+      .select(explode(expr(WordsExpr)).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+    var vocab = mat(checkpointDir)(
+      freq.withColumn("seq", expr(seq0("word"))))
+    val bests = (1 to merges).map { i =>
+      val best = mat(checkpointDir)(
+        pairCounts(vocab)
+          .orderBy(desc("cnt"), col("lhs"), col("rhs"))
+          .limit(1)
+          .select(lit(i).as("merge_rank"), col("lhs"), col("rhs"),
+            concat(col("lhs"), col("rhs")).as("merged"), col("cnt")))
+      vocab = mat(checkpointDir)(
+        vocab
+          .crossJoin(broadcast(
+            best.select(col("lhs").as("_l"), col("rhs").as("_r"))))
+          .withColumn("seq", expr(mergeStep("seq", "_l", "_r")))
+          .select(col("word"), col("freq"), col("seq")))
+      best
+    }
+    (bests.reduce(_.union(_)).orderBy("merge_rank"), vocab)
+  }
+
+  /** The merge table collapsed to ONE row carrying the rank-ordered
+    * merges array — the broadcastable artifact [[encode]] folds over
+    * (the scalar-broadcast idiom; a tokenizer's merge table is KBs). */
+  def mergesArray(mergeTable: DataFrame): DataFrame =
+    mergeTable.agg(expr(
+      "transform(sort_array(collect_list(struct(merge_rank, lhs, rhs, merged))), " +
+        "x -> named_struct('lhs', x.lhs, 'rhs', x.rhs, 'merged', x.merged))")
+      .as("ms"))
+
+  /** BPE token count of `text` given an `ms` merges-array column in
+    * scope: per word, fold the merges in rank order over the char
+    * sequence, count surviving symbols; sum over words. Pure row-level
+    * higher-order expressions — this is the Column [[CorpusOps.pack]] /
+    * token-budget variants plug in to budget in trained-tokenizer
+    * units. */
+  def bpeTokenCount: Column = expr(
+    s"aggregate($WordsExpr, cast(0 as bigint), (acc, w) -> acc + size(split(" +
+      s"trim(BOTH chr(1) FROM aggregate(ms, ${seq0("w")}, " +
+      s"(s, m) -> ${mergeStep("s", "m.lhs", "m.rhs")})), " +
+      "concat(chr(1), chr(1)))))")
+
+  /** §2-98 `q_bpe_encode`: tokenize the corpus with the learned merges
+    * — per doc, pre-tokenized word count and BPE token count. Training
+    * is vocab-bounded; this encode pass is corpus-sized but PURE MAP:
+    * the merge table rides in as one broadcast row and the fold is
+    * row-level, so at 100 TB nothing shuffles (the orderBy is this
+    * harness's deterministic-output contract only). Docs with no
+    * alnum word (none in the corpus) are dropped — the oracle's inner
+    * join semantics, stated rather than accidental. */
+  def encode(documents: DataFrame, mergeTable: DataFrame): DataFrame =
+    documents
+      .crossJoin(broadcast(mergesArray(mergeTable)))
+      .filter(size(expr(WordsExpr)) > 0)
+      .select(col("doc_id"),
+        size(expr(WordsExpr)).cast("long").as("n_words"),
+        bpeTokenCount.as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** q_bpe_encode over the corpus' own training run. */
+  def encodeSelf(documents: DataFrame, merges: Int = Merges): DataFrame =
+    encode(documents, train(documents, merges))
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle: the training trajectory unrolled as CTEs (the
+  // q_kmeans precedent). MATERIALIZED is load-bearing: s{i} is
+  // referenced twice (pair counts + next merge), and without it the
+  // inlined chain expands exponentially.
+  // ---------------------------------------------------------------
+
+  private val OracleBase =
+    """WITH w AS MATERIALIZED (
+      |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |        FROM documents)
+      |  GROUP BY 1
+      |), s0 AS MATERIALIZED (
+      |  SELECT word, freq,
+      |    chr(1) || array_to_string(string_split(word, ''), chr(1)||chr(1))
+      |      || chr(1) AS seq
+      |  FROM w
+      |)""".stripMargin
+
+  private def oracleRound(i: Int): String =
+    s"""p$i AS (
+       |  SELECT t[i] AS lhs, t[i+1] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, t, unnest(generate_series(1, len(t)-1)) AS i
+       |        FROM (SELECT freq,
+       |                string_split(trim(seq, chr(1)), chr(1)||chr(1)) AS t
+       |              FROM s${i - 1})
+       |        WHERE len(t) >= 2)
+       |  GROUP BY 1, 2
+       |), m$i AS MATERIALIZED (
+       |  SELECT $i AS merge_rank, lhs, rhs, lhs || rhs AS merged, cnt
+       |  FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1
+       |), s$i AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    replace(seq, chr(1)||m.lhs||chr(1)||chr(1)||m.rhs||chr(1),
+       |            chr(1)||m.merged||chr(1)) AS seq
+       |  FROM s${i - 1} CROSS JOIN m$i m
+       |)""".stripMargin
+
+  private def oracleCtes(merges: Int): String =
+    OracleBase + ",\n" + (1 to merges).map(oracleRound).mkString(",\n")
+
+  private def trainOracle(merges: Int): String =
+    oracleCtes(merges) + "\n" +
+      "SELECT merge_rank, lhs, rhs, merged, cnt FROM (\n" +
+      (1 to merges).map(i => s"SELECT * FROM m$i").mkString("\nUNION ALL ") +
+      "\n) ORDER BY merge_rank"
+
+  private def encodeOracle(merges: Int): String =
+    oracleCtes(merges) +
+      s""",
+         |d AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |  FROM documents
+         |), tk AS (
+         |  SELECT word,
+         |    CAST(len(string_split(trim(seq, chr(1)), chr(1)||chr(1)))
+         |      AS BIGINT) AS ntok
+         |  FROM s$merges
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens
+         |FROM d JOIN tk USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_bpe_train" -> trainOracle(Merges),
+    "q_bpe_encode" -> encodeOracle(Merges))
+}

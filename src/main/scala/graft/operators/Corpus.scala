@@ -525,13 +525,20 @@ object CorpusOps {
     * doc straddling a boundary stays in the earlier pack (truncation is
     * the trainer's call). Per-(source, pack) accounting comes out of the
     * same pass. Scales: the window partitions by source (the shard key
-    * of a real corpus layout), never globally. */
-  def pack(documents: DataFrame): DataFrame = {
+    * of a real corpus layout), never globally.
+    *
+    * `tokenCount` is the budgeting unit — default whitespace tokens
+    * (the oracle contract); pass [[BpeOps.bpeTokenCount]] (with the
+    * merges array in scope) to pack in trained-tokenizer units, the
+    * count a trainer actually pays for (spec-asserted in BpeSpec). */
+  def pack(documents: DataFrame,
+           tokenCount: Column = size(TextFuns.tokens(col("text")))
+             .cast("long")): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents
       .select(col("doc_id"), col("source"),
-        size(TextFuns.tokens(col("text"))).as("n_tokens"))
+        tokenCount.as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       // integer DIV, not double `/`+cast: double division can land within
       // one ulp ABOVE an integer boundary for large cumulative counts and
@@ -654,14 +661,17 @@ object CorpusOps {
   /** The shared single-cumsum core: keep a doc iff the tokens BEFORE it
     * (in deterministic hash order, per source) are under that row's
     * budget expression. */
-  private def budgetFiltered(documents: DataFrame,
-                             budget: Column): DataFrame = {
+  private[graft] def budgetFiltered(documents: DataFrame,
+                                    budget: Column,
+                                    tokenCount: Column =
+                                      size(TextFuns.tokens(col("text")))
+                                        .cast("long")): DataFrame = {
     val w = Window.partitionBy("source")
       .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents
       .select(col("doc_id"), col("source"),
-        size(TextFuns.tokens(col("text"))).as("n_tokens"))
+        tokenCount.as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") - col("n_tokens") < budget)
       .orderBy("doc_id")
@@ -738,6 +748,13 @@ object CorpusOps {
     * shuffle moves only gate-survivors, and the decontamination costs
     * zero extra IO (same read). */
   def curate(documents: DataFrame): DataFrame =
+    curated(documents).orderBy("doc_id")
+
+  /** [[curate]] without the trailing presentational sort — the form
+    * [[pipelineManifest]] composes over (a global sort mid-pipeline
+    * would be a wasted range exchange; EliminateSorts usually removes
+    * it under the next shuffle, but not emitting it is simpler). */
+  private def curated(documents: DataFrame): DataFrame =
     gated(documents, decontaminate = true)
       .withColumn("rep_doc_id",
         min(col("doc_id")).over(Window.partitionBy("text_hash")))
@@ -745,7 +762,6 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), col("quality_score"),
         size(TextFuns.tokens(col("text"))).as("n_tokens"),
         splitOf(col("doc_id")).as("split"))
-      .orderBy("doc_id")
 
   /** Benchmark probes for the decontamination scan — in production this
     * is the eval-set n-gram list; here a deterministic sample of corpus
@@ -915,9 +931,9 @@ object CorpusOps {
     * ONE pass over the corpus: all metrics partial-aggregate; the
     * multi-column exact distincts make Catalyst plan an Expand (rows ×
     * |cols|) feeding one shuffle — the honest cost of exact profiling.
-    * At 100 TB you'd swap the distincts for approx_count_distinct
-    * (the [[EventOps.summaryApprox]] precedent) and keep everything else;
-    * exact is kept here because the oracle hash-checks it. */
+    * At 100 TB run [[profileApprox]] — the same manifest with HLL
+    * distincts and no Expand; exact is kept here because the oracle
+    * hash-checks it. */
   /** The shared per-column metric expressions behind [[profile]] and
     * [[profileBySource]] — ONE definition, so global and grouped
     * profiling cannot drift. */
@@ -942,6 +958,32 @@ object CorpusOps {
 
   def profile(documents: DataFrame): DataFrame = {
     val exprs = profileMetricExprs
+    documents.agg(exprs.head, exprs.tail: _*)
+      .selectExpr(profileStackExpr)
+      .orderBy("col_name")
+  }
+
+  /** §2-D `q_profile_approx`: the 100 TB twin of [[profile]] — identical
+    * manifest schema, but every per-column distinct is
+    * `approx_count_distinct` (HLL++). The multi-column EXACT distincts
+    * are [[profile]]'s only non-linear cost: Catalyst plans them as an
+    * Expand (rows × |cols|) into the shuffle, 5× the shuffled rows here.
+    * HLL sketches partial-aggregate per column in the SAME one pass with
+    * NO Expand (plan-asserted in PlanAuditSpec, the
+    * [[EventOps.summaryApprox]] precedent), so the full-drop QA gate —
+    * the profile every ingest must pass before anything trusts the data
+    * — stays a single linear scan at any scale. Approximate by design
+    * (rows-only check; spec bounds the error <10% vs [[profile]]). */
+  def profileApprox(documents: DataFrame): DataFrame = {
+    val exprs = count(lit(1)).as("n_rows") +:
+      ProfileCols.flatMap { c => Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        approx_count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"),
+        coalesce(sum(length(col(c).cast("string")).cast("long")), lit(0L))
+          .as(s"${c}__len"))
+      }
     documents.agg(exprs.head, exprs.tail: _*)
       .selectExpr(profileStackExpr)
       .orderBy("col_name")
@@ -1024,20 +1066,23 @@ object CorpusOps {
     *
     * ONE shuffle on source (token counting rides the map side of the
     * same agg); totals are a 1-row broadcast — no second corpus pass. */
+  /** The synthetic target-mix weight: sources src0..src19 → 20−idx.
+    * A source OUTSIDE the contract (srcFoo → null weight, src20+ → a
+    * zero/negative weight) would silently corrupt every target share,
+    * so fail loudly instead of emitting a poisoned mix table. Shared
+    * by [[mixture]] and [[pipelineManifest]] — one contract. */
+  private def syntheticTargetWgt: Column =
+    when(col("source").rlike("^src(\\d|1\\d)$"),
+      (lit(20) - substring(col("source"), 4, 8).cast("int")).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("source outside the synthetic target " +
+          "contract src0..src19: "), col("source"))))
+
   def mixture(documents: DataFrame): DataFrame = {
     val tallies = documents.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(size(TextFuns.tokens(col("text"))).cast("long")).as("n_tokens"))
-      // The synthetic target contract is sources src0..src19 → weight
-      // 20−idx. A source OUTSIDE it (srcFoo → null weight, src20+ → a
-      // zero/negative weight) would silently corrupt every target
-      // share, so fail loudly instead of emitting a poisoned mix table.
-      .withColumn("wgt",
-        when(col("source").rlike("^src(\\d|1\\d)$"),
-          (lit(20) - substring(col("source"), 4, 8).cast("int")).cast("long"))
-          .otherwise(raise_error(concat(
-            lit("q_mixture: source outside the synthetic target " +
-              "contract src0..src19: "), col("source")))))
+      .withColumn("wgt", syntheticTargetWgt)
     val totals = tallies.agg(
       sum(col("n_tokens")).as("tok_total"), sum(col("wgt")).as("wgt_total"))
     tallies.crossJoin(broadcast(totals))
@@ -1077,6 +1122,96 @@ object CorpusOps {
                 acc + least(rk - 1, x.n2) +
                 IF(x.s2 < source AND x.n2 >= rk, 1L, 0L))"""))
       .select(col("doc_id"), col("source"), col("rk"), col("pos"))
+      .orderBy("pos")
+  }
+
+  /** §2-99 `q_pipeline`: the WHOLE mixing estate composed end-to-end in
+    * ONE oracle-checked plan — the manifest a trainer actually consumes:
+    *
+    *   [[curate]] (gates + decontamination + exact-dedup + split)
+    *     → train split
+    *     → [[mixture]]-derived per-source sampling factors
+    *     → [[upsample]]-style application (full epochs + a fractional
+    *       md5-band epoch — the SAME machinery handles factor < 1, a
+    *       down-sample, and factor ≥ 1, an up-sample)
+    *     → [[pack]] ids over the sampled (source, epoch, doc) stream
+    *     → [[epochOrder]]'s closed-form round-robin position.
+    *
+    * Each stage is verified alone elsewhere (§2 rows 80/95/69/56/96);
+    * this query proves their column contracts actually COMPOSE — SURVEY
+    * row 95's "mixture derives the factors the others apply", made a
+    * single hash-checked DataFrame.
+    *
+    * Exactness: the sampling factor is applied as INTEGERS — with
+    * num = wgt·tok_total and den = wgt_total·tok_s, full epochs are
+    * `num DIV den` and the fractional epoch keeps a doc iff its md5
+    * band < the 2-hex-digit threshold `((num mod den)·256) DIV den` —
+    * so both engines make bit-identical keep decisions (no IEEE
+    * boundary can flip a doc, the [[pack]] integer-DIV lesson applied
+    * to sampling).
+    *
+    * Scale shape: the curated train split feeds BOTH the factor branch
+    * (a per-source aggregate, KBs, broadcast back) and the manifest
+    * branch — so by default the operator MATERIALIZES it once
+    * (`localCheckpoint`; at 100 TB this is the standard persist-the-
+    * curated-split move, since that frame is the input to every
+    * downstream stage, and exchange reuse can NOT substitute: the two
+    * branches prune different columns, so their curate subtrees
+    * canonicalize differently and AQE sees distinct stages — verified
+    * empirically, plan-audited). After it, the whole composition is
+    * source-keyed only: one agg shuffle for the tallies, ONE
+    * source-partitioned exchange shared by the pack cumsum and the rank
+    * window (same partition key), and the tiny histogram broadcast for
+    * the closed-form pos. `materializeTrain = false` gives the fully
+    * declarative two-pass plan instead (both shapes plan-audited). The
+    * trailing orderBy is the harness's deterministic-output contract;
+    * the scale consumer is [[graft.sources.Sinks.writeOrdered]] on
+    * `pos`. */
+  def pipelineManifest(documents: DataFrame,
+                       materializeTrain: Boolean = true): DataFrame = {
+    val train0 = curated(documents).filter(col("split") === "train")
+    val train = if (materializeTrain) train0.localCheckpoint(true) else train0
+    val tallies = train.groupBy(col("source"))
+      .agg(sum(col("n_tokens").cast("long")).as("tok_s"))
+      .withColumn("wgt", syntheticTargetWgt)
+    val totals = tallies.agg(
+      sum(col("tok_s")).as("tok_total"), sum(col("wgt")).as("wgt_total"))
+    val factors = tallies.crossJoin(broadcast(totals))
+      .withColumn("num", col("wgt") * col("tok_total"))
+      .withColumn("den", col("wgt_total") * col("tok_s"))
+      .select(col("source").as("_s"),
+        expr("num DIV den").as("n_full"),
+        expr("lpad(lower(hex(((num % den) * 256) DIV den)), 2, '0')")
+          .as("band"))
+    val draw = md5Band(concat(col("doc_id").cast("string"), lit(":"),
+      col("epoch").cast("string")))
+    val sampled = train
+      .join(broadcast(factors), col("source") === col("_s"))
+      .withColumn("upper",
+        (col("n_full") + when(col("band") === "00", 0).otherwise(1)).cast("int"))
+      .withColumn("epoch", explode(when(col("upper") >= 1,
+        sequence(lit(1), col("upper"))).otherwise(typedlit(Seq.empty[Int]))))
+      .filter(col("epoch") <= col("n_full") || draw < col("band"))
+      .select(col("doc_id"), col("source"), col("epoch"),
+        col("n_tokens").cast("long").as("n_tokens"))
+    // pack cumsum + rank share ONE source-partitioned exchange (same
+    // partition key; Catalyst plans a single shuffle, two sorts)
+    val byEpoch = Window.partitionBy("source").orderBy("epoch", "doc_id")
+    val ranked = sampled
+      .withColumn("cum", sum(col("n_tokens"))
+        .over(byEpoch.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) DIV $PackBudget"))
+      .withColumn("rk", row_number().over(byEpoch).cast("long"))
+    val sizes = ranked.groupBy(col("source").as("s2"))
+      .agg(count(lit(1)).as("n2"))
+      .agg(collect_list(struct(col("s2"), col("n2"))).as("sz"))
+    ranked.crossJoin(broadcast(sizes))
+      .withColumn("pos",
+        expr("""1 + aggregate(sz, 0L, (acc, x) ->
+                acc + least(rk - 1, x.n2) +
+                IF(x.s2 < source AND x.n2 >= rk, 1L, 0L))"""))
+      .select(col("doc_id"), col("source"), col("epoch"), col("n_tokens"),
+        col("pack_id"), col("pos"))
       .orderBy("pos")
   }
 
@@ -1557,6 +1692,64 @@ object CorpusOps {
          |  AND quality_score >= $QualityTau
          |  AND $notContaminated
          |ORDER BY doc_id""".stripMargin
+    },
+    "q_pipeline" -> {
+      val notContaminated = Probes
+        .map(p => s"NOT contains($normSql, ${TextFuns.sqlLit(p)})")
+        .mkString(" AND ")
+      s"""$filterCtePrefix,
+         |cur AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM p
+         |  WHERE doc_id = rep_doc_id AND pred_lang = 'en'
+         |    AND quality_score >= $QualityTau
+         |    AND $notContaminated
+         |    AND $splitCaseSql = 'train'
+         |), t AS (
+         |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tok_s
+         |  FROM cur GROUP BY source
+         |), w AS (
+         |  SELECT *, CAST(20 - CAST(substr(source, 4) AS INT) AS BIGINT) AS wgt
+         |  FROM t
+         |), tot AS (
+         |  SELECT CAST(SUM(tok_s) AS BIGINT) AS tok_total,
+         |         CAST(SUM(wgt) AS BIGINT) AS wgt_total FROM w
+         |), f AS (
+         |  SELECT source AS fs, wgt * tok_total AS num, wgt_total * tok_s AS den
+         |  FROM w, tot
+         |), f2 AS (
+         |  SELECT fs, num // den AS n_full,
+         |    printf('%02x', CAST(((num % den) * 256) // den AS INT)) AS band
+         |  FROM f
+         |), e0 AS (
+         |  -- generate_series and its unnest split across two CTEs: fused
+         |  -- in one SELECT behind this many CTEs they trip a DuckDB
+         |  -- internal binder error ("Failed to bind column reference ep")
+         |  SELECT cur.doc_id, cur.source, cur.n_tokens, f2.n_full, f2.band,
+         |    generate_series(1, CAST(n_full +
+         |      CASE WHEN band = '00' THEN 0 ELSE 1 END AS BIGINT)) AS eps
+         |  FROM cur JOIN f2 ON cur.source = f2.fs
+         |), e AS (
+         |  SELECT doc_id, source, n_tokens, n_full, band, unnest(eps) AS ep
+         |  FROM e0
+         |), smp AS (
+         |  SELECT doc_id, source, CAST(ep AS INT) AS epoch, n_tokens
+         |  FROM e
+         |  WHERE ep <= n_full
+         |     OR substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |               CAST(ep AS VARCHAR)), 1, 2) < band
+         |), pk AS (
+         |  SELECT *,
+         |    (SUM(n_tokens) OVER (PARTITION BY source ORDER BY epoch, doc_id)
+         |      - n_tokens) // $PackBudget AS pack_id,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY epoch, doc_id)
+         |      AS BIGINT) AS rk
+         |  FROM smp
+         |)
+         |SELECT doc_id, source, epoch, n_tokens,
+         |  CAST(pack_id AS BIGINT) AS pack_id,
+         |  CAST(row_number() OVER (ORDER BY rk, source) AS BIGINT) AS pos
+         |FROM pk ORDER BY pos""".stripMargin
     }
   )
 

@@ -53,8 +53,11 @@ object MultimodalOps {
     * ([[decodePpm]]) — proving the batched binary path decodes actual
     * image bytes end-to-end without image libraries — AND for WAV/PCM
     * payloads (RIFF chunk walk + 8/16-bit sample parse into per-channel
-    * audio statistics, [[decodeWav]]), so both an image and an audio
-    * format decode for real. Payloads in any other format fall back to
+    * audio statistics, [[decodeWav]]), for BMP ([[decodeBmp]]), and for
+    * PNG — a REAL compressed format: zlib-inflated IDAT stream with the
+    * full five-filter scanline reconstruction ([[decodePng]]) — so
+    * compressed images, uncompressed images, and audio all decode for
+    * real. Payloads in any other format fall back to
     * the deterministic byte-feature stub; on a cluster with codec libs,
     * that branch is where a JPEG/Opus decoder (JNI or `mapInPandas` +
     * PIL/soundfile) slots in without touching the plumbing. Formats are
@@ -72,6 +75,7 @@ object MultimodalOps {
           val feats = decodePpm(bytes, dim)
             .orElse(decodeWav(bytes, dim))
             .orElse(decodeBmp(bytes, dim))
+            .orElse(decodePng(bytes, dim))
             .getOrElse(decodeStub(bytes, dim))
           Row(id, mime, bytes.length, feats)
         }
@@ -289,6 +293,143 @@ object MultimodalOps {
       min(0) / 255f, min(1) / 255f, min(2) / 255f,
       max(0) / 255f, max(1) / 255f, max(2) / 255f)
     System.arraycopy(raw, 0, feats, 0, math.min(raw.length, dim))
+    Some(feats)
+  }
+
+  /** Dependency-free PNG decoder (`java.util.zip.Inflater` is in the
+    * JDK): 8-byte signature, big-endian chunk walk (IHDR geometry, all
+    * IDAT chunks concatenated into one zlib stream, stop at IEND),
+    * 8-bit-depth non-interlaced gray / gray+alpha / RGB / RGBA, per-
+    * scanline filter bytes un-applied (None/Sub/Up/Average/Paeth —
+    * the full filter set, since real encoders pick per row). Features
+    * mirror [[decodePpm]] exactly — [w, h, mean R..B, min R..B,
+    * max R..B] normalized to [0, 1], gray replicated across the three
+    * channels, alpha excluded from stats — so an image's stats are
+    * comparable across ALL the container formats (PPM/BMP/PNG). None =
+    * bad signature, 16-bit/palette/interlaced (out of scope), broken
+    * zlib stream, or fewer decompressed bytes than the declared
+    * geometry (truncated upload) — the caller falls back to the stub
+    * rather than poisoning the batch. */
+  private[graft] def decodePng(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (bytes.length < 8 + 25 ||
+      !sig.indices.forall(j => (bytes(j) & 0xff) == sig(j))) return None
+    def u32be(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def chunkType(off: Int): String =
+      new String(bytes, off, 4, "US-ASCII")
+    // ---- chunk walk: IHDR first (per spec), gather IDAT, stop at IEND
+    var i = 8
+    if (u32be(i) != 13L || chunkType(i + 4) != "IHDR") return None
+    val w = u32be(i + 8)
+    val h = u32be(i + 12)
+    val bitDepth = bytes(i + 16) & 0xff
+    val colorType = bytes(i + 17) & 0xff
+    val interlace = bytes(i + 20) & 0xff
+    val channels = colorType match {
+      case 0 => 1 // gray
+      case 2 => 3 // RGB
+      case 4 => 2 // gray + alpha
+      case 6 => 4 // RGBA
+      case _ => return None // palette (3) and invalid types out of scope
+    }
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+    // geometry sanity BEFORE allocating: a lying 4 GB-pixel header must
+    // not OOM the executor (this is a feature extractor, not a viewer)
+    val rowBytes = 1L + w * channels
+    val expected = h * rowBytes
+    if (expected > 256L * 1024 * 1024) return None
+    i += 8 + 13 + 4
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= bytes.length) {
+      val len = u32be(i)
+      val typ = chunkType(i + 4)
+      if (i + 8 + len + 4 > bytes.length) return None // truncated chunk
+      if (typ == "IDAT") idat.write(bytes, i + 8, len.toInt)
+      if (typ == "IEND") sawEnd = true
+      i += 8 + len.toInt + 4
+    }
+    if (!sawEnd || idat.size == 0) return None
+    // ---- inflate the concatenated IDAT payload
+    val raw = new Array[Byte](expected.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      var stalled = false
+      while (got < raw.length && !inf.finished() && !stalled) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        got += n
+        // needsInput while we've already given it everything = truncated
+        stalled = n == 0 && (inf.needsInput() || inf.needsDictionary())
+      }
+      if (got < raw.length) return None // truncated pixel stream
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // ---- un-filter scanlines in place (raw becomes the pixel plane)
+    val bpp = channels // bytes per pixel at bit depth 8
+    var y = 0
+    while (y < h) {
+      val base = (y * rowBytes).toInt
+      val filter = raw(base) & 0xff
+      if (filter > 4) return None
+      var x = 0
+      val n = (w * channels).toInt
+      while (x < n) {
+        val o = base + 1 + x
+        val a = if (x >= bpp) raw(o - bpp) & 0xff else 0 // left
+        val b = if (y > 0) raw(o - rowBytes.toInt) & 0xff else 0 // up
+        val c = if (x >= bpp && y > 0) raw(o - rowBytes.toInt - bpp) & 0xff else 0
+        val cur = raw(o) & 0xff
+        val recon = filter match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + b
+          case 3 => cur + (a + b) / 2
+          case 4 => // Paeth predictor
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(o) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // ---- per-channel stats (gray replicated, alpha skipped)
+    val sum = new Array[Long](3)
+    val min = Array.fill(3)(255)
+    val max = new Array[Int](3)
+    val nPix = w * h
+    y = 0
+    while (y < h) {
+      val base = (y * rowBytes).toInt + 1
+      var px = 0
+      while (px < w) {
+        val o = base + px * bpp
+        val r = raw(o) & 0xff
+        val g = if (channels >= 3) raw(o + 1) & 0xff else r
+        val b = if (channels >= 3) raw(o + 2) & 0xff else r
+        sum(0) += r; sum(1) += g; sum(2) += b
+        if (r < min(0)) min(0) = r; if (r > max(0)) max(0) = r
+        if (g < min(1)) min(1) = g; if (g > max(1)) max(1) = g
+        if (b < min(2)) min(2) = b; if (b > max(2)) max(2) = b
+        px += 1
+      }
+      y += 1
+    }
+    val feats = new Array[Float](dim)
+    val out = Array[Float](w.toFloat, h.toFloat,
+      (sum(0).toDouble / nPix / 255).toFloat,
+      (sum(1).toDouble / nPix / 255).toFloat,
+      (sum(2).toDouble / nPix / 255).toFloat,
+      min(0) / 255f, min(1) / 255f, min(2) / 255f,
+      max(0) / 255f, max(1) / 255f, max(2) / 255f)
+    System.arraycopy(out, 0, feats, 0, math.min(out.length, dim))
     Some(feats)
   }
 

@@ -324,6 +324,28 @@ object StatsBombOps {
       .agg(count(lit(1)).as("n_assisted_shots"), sum(col("xg")).as("xa"))
   }
 
+  /** reference extended.py:520-541 `plot_scatter_pp_vs_pc` — the scatter
+    * FEED: per (player, match) progressive passes vs progressive carries
+    * with the reference's xA-scaled marker size `max(20.0, xa * 300.0)`.
+    * The last reference figure without a named feed; the plot itself is
+    * out of scope, this DataFrame is its input. One pass for the
+    * extended stats; the per-match xA aggregate is tiny → broadcast
+    * left join (a player with no assisted shots scatters at the 20.0
+    * floor, xa = 0 like the reference's missing-key default). */
+  def scatterPpVsPc(flat: DataFrame): DataFrame =
+    extendedMatchStats(flat)
+      .filter(col("player_id").isNotNull)
+      .select(col("player_id"), col("match_file"),
+        col("progressive_passes").as("pp"),
+        col("progressive_carries").as("pc"))
+      .join(broadcast(xA(flat).select(col("player_id").as("_pid"),
+        col("match_file").as("_mf"), col("xa"))),
+        col("player_id") === col("_pid") && col("match_file") === col("_mf"),
+        "left")
+      .select(col("player_id"), col("match_file"), col("pp"), col("pc"),
+        coalesce(col("xa"), lit(0.0)).as("xa"))
+      .withColumn("marker_size", greatest(lit(20.0), col("xa") * 300.0))
+
   /** reference extended.py:543-585 `plot_heatmap_points` + :272-274/
     * :317-318 — the heatmap FEED: completed-pass or carry start
     * locations binned on the 48×32 grid over the 120×80 pitch

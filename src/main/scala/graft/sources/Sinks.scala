@@ -103,6 +103,22 @@ object Sinks {
       .parquet(outPath)
   }
 
+  /** Write a frame as a GLOBALLY ordered parquet layout without a global
+    * sort: `repartitionByRange(orderCol)` range-partitions rows (sampled
+    * split points, one shuffle), `sortWithinPartitions` orders each part
+    * locally, and zero-padded part file numbering makes lexicographic
+    * file order = global row order. This is the scale consumer of
+    * [[graft.operators.CorpusOps.epochOrder]]'s `pos`: a trainer reads
+    * part files in name order and sees the exact epoch ordering, yet no
+    * single task ever held more than one range (the `orderBy` in the
+    * query itself is only the harness's deterministic-output contract).
+    * `nFiles` sizes the ranges (a 100 TB epoch wants thousands). */
+  def writeOrdered(df: DataFrame, path: String, orderCol: String,
+                   nFiles: Int = 32): Unit =
+    df.repartitionByRange(nFiles, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Both compactors read `inPath` LAZILY while overwriting `outPath`;
     * called with the same (canonicalized) path they would clobber their
     * own input mid-scan. Enforce the write-to-new-then-swap contract. */

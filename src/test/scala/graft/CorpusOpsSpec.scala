@@ -699,6 +699,91 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("profileApprox: distincts within 10% of exact, everything else equal") {
+    val docs01 = Tables.documents(spark, sf01Dir)
+    def byCol(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r).toMap
+    val exact = byCol(CorpusOps.profile(docs01))
+    val approx = byCol(CorpusOps.profileApprox(docs01))
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      // HLL error bound: within 10% of the exact distinct count
+      val (de, da) = (e.getAs[Long]("n_distinct"), a.getAs[Long]("n_distinct"))
+      assert(math.abs(da - de) <= math.max(1L, de / 10),
+        s"col $c: approx $da vs exact $de")
+      // every non-sketched metric is identical
+      Seq("n_rows", "n_nulls", "sum_len").foreach(m =>
+        assert(e.getAs[Long](m) == a.getAs[Long](m), s"$c.$m"))
+      Seq("min_val", "max_val").foreach(m =>
+        assert(e.getAs[String](m) == a.getAs[String](m), s"$c.$m"))
+    }
+  }
+
+  test("pipelineManifest: stage contracts compose (curate ⊃ manifest, integer factors, pack ids, round-robin pos)") {
+    val manifest = CorpusOps.pipelineManifest(docs).collect()
+    val train = CorpusOps.curate(docs)
+      .filter(col("split") === "train").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("n_tokens")).toMap
+    assert(manifest.nonEmpty)
+
+    // 1. every manifest row is a curated-train survivor with its token count
+    manifest.foreach { r =>
+      val id = r.getLong(0)
+      assert(train.contains(id), s"doc $id not in curated train split")
+      assert(r.getAs[Long]("n_tokens") == train(id).toLong, s"doc $id tokens")
+    }
+
+    // 2. pos is the permutation 1..N in round-robin (rk, source) order
+    val n = manifest.length
+    assert(manifest.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to n).toSeq)
+    val byKey: Map[(Long, Int), (Long, String)] =
+      manifest.groupBy(_.getString(1)).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (r.getAs[Int]("epoch"), r.getLong(0))).zipWithIndex
+          .map { case (r, i) => (r.getLong(0), r.getAs[Int]("epoch")) ->
+            (i + 1L, r.getString(1)) }.toSeq
+      }.toMap
+    val inPosOrder: Seq[(Long, String)] = manifest
+      .sortBy(_.getAs[Long]("pos"))
+      .map(r => byKey((r.getLong(0), r.getAs[Int]("epoch")))).toSeq
+    assert(inPosOrder == inPosOrder.sorted,
+      "pos order != lexicographic (rk, source)")
+
+    // 3. the integer factor math, recomputed independently: full epochs
+    //    and fractional-band thresholds per source
+    val talliesDf = CorpusOps.curate(docs).filter(col("split") === "train")
+      .groupBy("source").agg(sum(col("n_tokens").cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wgts = talliesDf.keys.map(s => s -> (20L - s.drop(3).toInt)).toMap
+    val tokTotal = talliesDf.values.sum
+    val wgtTotal = wgts.values.sum
+    manifest.groupBy(_.getString(1)).foreach { case (s, rows) =>
+      val num = wgts(s) * tokTotal
+      val den = wgtTotal * talliesDf(s)
+      val nFull = num / den
+      val t256 = ((num % den) * 256) / den
+      val nDocs = rows.map(_.getLong(0)).distinct.length
+      val maxEpoch = rows.map(_.getAs[Int]("epoch")).max
+      assert(maxEpoch <= nFull + (if (t256 > 0) 1 else 0), s"source $s epochs")
+      // every full epoch contains EVERY train doc of the source
+      (1 to nFull.toInt).foreach { ep =>
+        assert(rows.count(_.getAs[Int]("epoch") == ep) == nDocs ||
+          nFull == 0L, s"source $s epoch $ep incomplete")
+      }
+    }
+
+    // 4. pack ids: recompute the per-source cumsum over (epoch, doc_id)
+    manifest.groupBy(_.getString(1)).foreach { case (s, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r.getAs[Int]("epoch"), r.getLong(0))).foreach { r =>
+        val nt = r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("pack_id") == cum / CorpusOps.PackBudget,
+          s"source $s doc ${r.getLong(0)} pack_id")
+        cum += nt
+      }
+    }
+  }
+
   test("mixture: shares sum to 1, factors invert exactly, weights ordered") {
     val rows = CorpusOps.mixture(docs).collect()
     assert(rows.length == docs.select("source").distinct().count())

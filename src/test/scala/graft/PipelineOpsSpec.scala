@@ -763,7 +763,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bySource("a").length == 3, bySource.view.mapValues(_.length).toMap)
     assert(bySource("b").length == 2)
     // every kept doc STARTS inside the budget
-    assert(got.forall(r => r.getLong(3) - r.getInt(2) < 10L))
+    assert(got.forall(r => r.getLong(3) - r.getLong(2) < 10L))
     // exact boundary: tokens-before == budget is OUT (third 5-token doc
     // starts exactly at 10)
     val exact = Seq((31L, "c", "w1 w2 w3 w4 w5"), (32L, "c", "x1 x2 x3 x4 x5"),
@@ -1302,6 +1302,102 @@ class PipelineOpsSpec extends SparkSpec {
     assert(MultimodalOps.decodeBmp("not an image".getBytes("US-ASCII"), 16).isEmpty)
     // sniffed through decodeBatches despite a lying mime label
     val df = Seq((1L, "audio/wav", bmp)).toDF("doc_id", "mime", "payload")
+    val out = MultimodalOps.decodeBatches(df, dim = 16).collect().head
+    assert(out.getSeq[Float](3)(0) == 2f && out.getSeq[Float](3)(2) == 0.5f)
+  }
+
+  test("decodePng: real zlib-compressed pixels through all five filters; rejects junk") {
+    import spark.implicits._
+    def u32be(v: Long): Seq[Byte] =
+      Seq(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val body = typ.getBytes("US-ASCII") ++ data
+      crc.update(body)
+      (u32be(data.length) ++ body ++ u32be(crc.getValue)).toArray
+    }
+    // filtered = scanlines WITH their per-row filter bytes, pre-filtered
+    // by the test (so the decoder's reconstruction is what's under test)
+    def png(w: Int, h: Int, colorType: Int, filtered: Array[Byte],
+            bitDepth: Int = 8, interlace: Int = 0,
+            splitIdat: Boolean = false): Array[Byte] = {
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte)
+      val ihdr = (u32be(w) ++ u32be(h) ++
+        Seq(bitDepth.toByte, colorType.toByte, 0.toByte, 0.toByte,
+          interlace.toByte)).toArray
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(filtered); deflater.finish()
+      val buf = new Array[Byte](filtered.length * 2 + 64)
+      val n = deflater.deflate(buf); deflater.end()
+      val z = buf.take(n)
+      // two IDAT chunks when asked — the spec REQUIRES decoders to
+      // concatenate IDAT data into one zlib stream
+      val idats =
+        if (splitIdat && z.length > 2)
+          chunk("IDAT", z.take(2)) ++ chunk("IDAT", z.drop(2))
+        else chunk("IDAT", z)
+      sig ++ chunk("IHDR", ihdr) ++ idats ++ chunk("IEND", Array.empty)
+    }
+    // 2×2 RGB — top (red, green), bottom (blue, white) — same image as
+    // the PPM and BMP fixtures, filter None on both rows
+    val rgbRaw = Array[Int](
+      0, 255, 0, 0, 0, 255, 0,
+      0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val f = MultimodalOps.decodePng(png(2, 2, 2, rgbRaw, splitIdat = true), 16).get
+    assert(f(0) == 2f && f(1) == 2f, f.toSeq)                     // w, h
+    assert(f(2) == 0.5f && f(3) == 0.5f && f(4) == 0.5f, f.toSeq) // means
+    assert(f(5) == 0f && f(6) == 0f && f(7) == 0f, f.toSeq)       // mins
+    assert(f(8) == 1f && f(9) == 1f && f(10) == 1f, f.toSeq)      // maxs
+    // filter gauntlet: a 3×5 gray image, pixel value = 10*y + x heads
+    // through Sub, Up, Average, Paeth (and None) — one filter per row,
+    // each filter byte chosen so reconstruction must actually run
+    val w3 = 3
+    val gray = Array.tabulate(5, w3)((y, x) => 10 * y + x)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val rows = Seq(
+      0.toByte +: gray(0).map(_.toByte), // None
+      1.toByte +: gray(1).zipWithIndex.map { case (v, x) =>
+        ((v - (if (x > 0) gray(1)(x - 1) else 0)) & 0xff).toByte }, // Sub
+      2.toByte +: gray(2).zipWithIndex.map { case (v, x) =>
+        ((v - gray(1)(x)) & 0xff).toByte },                         // Up
+      3.toByte +: gray(3).zipWithIndex.map { case (v, x) =>
+        ((v - ((if (x > 0) gray(3)(x - 1) else 0) + gray(2)(x)) / 2) & 0xff)
+          .toByte },                                                // Average
+      4.toByte +: gray(4).zipWithIndex.map { case (v, x) =>
+        ((v - paeth(if (x > 0) gray(4)(x - 1) else 0, gray(3)(x),
+          if (x > 0) gray(3)(x - 1) else 0)) & 0xff).toByte })      // Paeth
+    val g = MultimodalOps.decodePng(png(w3, 5, 0, rows.flatten.toArray), 16).get
+    assert(g(0) == 3f && g(1) == 5f, g.toSeq)
+    val mean = gray.flatten.sum.toDouble / 15 / 255
+    assert(math.abs(g(2) - mean) < 1e-6 && g(2) == g(3) && g(3) == g(4), g.toSeq)
+    assert(g(5) == 0f && g(8) == 42f / 255f, g.toSeq) // min 0, max 42
+    // RGBA: alpha ignored in stats — same stats as the RGB fixture
+    val rgbaRaw = Array[Int](
+      0, 255, 0, 0, 7, 0, 255, 0, 9,
+      0, 0, 0, 255, 11, 255, 255, 255, 13).map(_.toByte)
+    val fa = MultimodalOps.decodePng(png(2, 2, 6, rgbaRaw), 16).get
+    assert(fa.toSeq == f.toSeq)
+    // rejects: 16-bit depth, interlaced, palette, truncated zlib, junk
+    assert(MultimodalOps.decodePng(
+      png(2, 2, 2, rgbRaw, bitDepth = 16), 16).isEmpty)
+    assert(MultimodalOps.decodePng(
+      png(2, 2, 2, rgbRaw, interlace = 1), 16).isEmpty)
+    assert(MultimodalOps.decodePng(png(2, 2, 3, rgbRaw), 16).isEmpty)
+    assert(MultimodalOps.decodePng(
+      png(4, 4, 2, rgbRaw), 16).isEmpty) // declared 4×4, pixels for 2×2
+    assert(MultimodalOps.decodePng(
+      "not an image".getBytes("US-ASCII"), 16).isEmpty)
+    // sniffed through decodeBatches despite a lying mime label — the
+    // fixture mime generator labels docs image/png (multimodalMeta), and
+    // now those payloads really decode as PNG
+    val df = Seq((1L, "audio/wav", png(2, 2, 2, rgbRaw)))
+      .toDF("doc_id", "mime", "payload")
     val out = MultimodalOps.decodeBatches(df, dim = 16).collect().head
     assert(out.getSeq[Float](3)(0) == 2f && out.getSeq[Float](3)(2) == 0.5f)
   }

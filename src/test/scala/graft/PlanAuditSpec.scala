@@ -123,6 +123,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"$scans parquet scans:\n$p")
   }
 
+  test("q_profile_approx: single pass, NO Expand (the linear 100 TB gate)") {
+    val p = plan(CorpusOps.profileApprox(Tables.documents(spark, sfDir)))
+    assert(!p.contains("Expand"), p) // HLL sketches replace exact distincts
+    assert(hashExchangeCount(p) == 0, s"${hashExchangeCount(p)} hash exchanges:\n$p")
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"$scans parquet scans:\n$p")
+  }
+
+  test("q_pipeline: curate materialized once, then source-keyed only; both shapes broadcast-join") {
+    def keysOf(p: String): Set[String] = p.linesIterator.flatMap(l =>
+      "hashpartitioning\\((\\w+)#".r.findFirstMatchIn(l).map(_.group(1)))
+      .toSet
+    // default shape: the curated train split is materialized ONCE (the
+    // persist-the-curated-split move — exchange reuse cannot substitute,
+    // the branches prune different columns); everything after it is
+    // source-keyed, no doc_id/epoch shuffle ever appears
+    val p = plan(CorpusOps.pipelineManifest(Tables.documents(spark, sfDir)))
+    assert(p.contains("ExistingRDD"), p) // the materialized train split
+    assert(keysOf(p) == Set("source"), s"shuffle keys ${keysOf(p)}:\n$p")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) == 0,
+      s"corpus re-scan after materialization:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+    // declarative two-pass shape: same keys + curate's text_hash window
+    val p2 = plan(CorpusOps.pipelineManifest(
+      Tables.documents(spark, sfDir), materializeTrain = false))
+    assert(keysOf(p2) == Set("text_hash", "source"),
+      s"shuffle keys ${keysOf(p2)}:\n$p2")
+    assert(!p2.contains("SortMergeJoin"), p2)
+    assert(!p2.contains("ShuffledHashJoin"), p2)
+  }
+
   test("native float_dot appears in the ANN plan (not a HOF fallback)") {
     graft.plans.GraftFunctions.register(spark)
     val p = plan(AnnOps.annTopK(Tables.embeddings(spark, sfDir)))

@@ -120,6 +120,40 @@ class SinksSpec extends SparkSpec {
     assert(events.exceptAll(back).count() == 0)
   }
 
+  test("writeOrdered: epoch order survives as file order, with NO global sort") {
+    import graft.operators.CorpusOps
+    val docs = Tables.documents(spark, sfDir)
+    val epoch = CorpusOps.epochOrder(docs)
+    val out = java.nio.file.Files.createTempDirectory("graft_ordered")
+      .toFile.getAbsolutePath
+    Sinks.writeOrdered(epoch, out, "pos", nFiles = 8)
+    // reading part files ONE AT A TIME in name order reproduces the
+    // exact global ordering the query's own orderBy states
+    val files = new java.io.File(out).listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.size > 1, "want multiple ranges to make the claim real")
+    val concatenated = files.flatMap(f =>
+      spark.read.parquet(f.getAbsolutePath)
+        .select("pos").collect().map(_.getLong(0)))
+    assert(concatenated == concatenated.sorted, "file order != global order")
+    assert(concatenated.size == docs.count())
+    // the write plan range-partitions; it must NOT collapse to a global
+    // single-partition sort (the thing writeOrdered exists to avoid)
+    val p = epoch.repartitionByRange(8, col("pos"))
+      .sortWithinPartitions("pos")
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("rangepartitioning(pos"), p)
+    // every Sort on pos is LOCAL (global=false): the query's own
+    // presentational orderBy is superseded by the range repartition, so
+    // no stage ever holds the whole epoch in one task. (The plan's one
+    // SinglePartition exchange is epochOrder's 1-row histogram agg.)
+    val sortArgs = p.linesIterator
+      .filter(l => l.contains("Arguments: [pos") && l.contains("ASC"))
+      .toSeq
+    assert(sortArgs.nonEmpty, p)
+    sortArgs.foreach(l => assert(l.contains("], false, 0"), s"global sort: $l"))
+  }
+
   test("compact refuses inPath == outPath (would clobber its own input)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_same")
       .toFile.getAbsolutePath

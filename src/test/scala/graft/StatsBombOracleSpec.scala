@@ -193,6 +193,24 @@ class StatsBombOracleSpec extends SparkSpec {
          |JOIN (SELECT key_pass_id, xg FROM $f WHERE key_pass_id IS NOT NULL) s
          |  ON p.event_id = s.key_pass_id
          |GROUP BY 1, 2""".stripMargin,
+    // reference extended.py:520-541 — pp vs pc scatter feed, xA-scaled
+    // marker size with the 20.0 floor
+    "sb_scatter" ->
+      s"""${dirAdj(f)}, base AS (
+         |$extendedSelect
+         |), xa AS (
+         |  SELECT p.player_id AS xpid, p.match_file AS xmf, SUM(s.xg) AS xa
+         |  FROM (SELECT event_id, player_id, match_file FROM $f
+         |        WHERE event_type = 'Pass') p
+         |  JOIN (SELECT key_pass_id, xg FROM $f WHERE key_pass_id IS NOT NULL) s
+         |    ON p.event_id = s.key_pass_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT player_id, match_file,
+         |       progressive_passes AS pp, progressive_carries AS pc,
+         |       COALESCE(xa, 0.0) AS xa,
+         |       GREATEST(20.0, COALESCE(xa, 0.0) * 300.0) AS marker_size
+         |FROM base LEFT JOIN xa ON player_id = xpid AND match_file = xmf""".stripMargin,
     // reference extended.py:543-585 histogram2d binning (intensity
     // excluded — see class doc)
     "sb_heatmap" ->
@@ -264,6 +282,7 @@ class StatsBombOracleSpec extends SparkSpec {
       "sb_team_xg" -> StatsBombOps.teamTotalXg(flat),
       "sb_minutes" -> StatsBombOps.minutesPlayed(flat, 1001L),
       "sb_xa" -> StatsBombOps.xA(flat),
+      "sb_scatter" -> StatsBombOps.scatterPpVsPc(flat),
       "sb_heatmap" -> StatsBombOps.heatmapBins(flat).select("bx", "by", "n"),
       "sb_positions" -> StatsBombOps.positionFrequency(flat),
       "sb_lineups" -> StatsBombOps.lineupPositions(nested),

@@ -20,7 +20,8 @@ class SurveyCoverageSpec extends SparkSpec {
     * SQL-expressible DuckDB oracle (the driver records a rows-only check).
     * Everything else MUST have an exact oracle. */
   private val rowsOnly = Set(
-    "q_summary_approx", "q_percentile_approx", "q_frame_sample")
+    "q_summary_approx", "q_percentile_approx", "q_frame_sample",
+    "q_profile_approx")
 
   test("every SURVEY §2 query key has a DuckDB oracle unless declared rows-only") {
     val missing = surveyKeys -- SparkEntry.oracleSql.keySet -- rowsOnly
