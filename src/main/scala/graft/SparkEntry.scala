@@ -132,6 +132,8 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, dir) => BpeOps.encodeSelf(Tables.documents(s, dir))),
     // --- composed end-to-end manifest (§2 row 99) ---
     "q_pipeline" -> ((s, dir) => CorpusOps.pipelineManifest(Tables.documents(s, dir))),
+    // --- profile drift (§2 row 100) ---
+    "q_profile_drift" -> ((s, dir) => CorpusOps.profileDriftSynthetic(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 row 35) ---
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---

@@ -1002,6 +1002,51 @@ object CorpusOps {
       .orderBy("source", "col_name")
   }
 
+  /** §2-100 `q_profile_drift` (core): the drift face of profiling — a
+    * new drop's per-source manifest against a PERSISTED baseline
+    * manifest (a prior [[profileBySource]] output), emitting one row
+    * per (source, col_name, numeric metric) with base/current values
+    * and the relative delta. [[dropDiff]] answers "which documents
+    * changed"; this answers "which DISTRIBUTIONS moved" — the signal
+    * that catches an upstream silently shipping truncated text or a
+    * null-ridden column even when doc counts look fine.
+    *
+    * FULL-outer on (source, col_name): a source present in only one
+    * side IS the drift (a brand-new upstream, or one that vanished) —
+    * its missing side reads as zeros. Cost shape: profiling the drop is
+    * [[profileBySource]]'s one pass; the join runs on two manifests of
+    * |sources|×|cols| rows — KBs at any corpus scale, so drift
+    * detection adds nothing to the 100 TB bill. (At scale, profile the
+    * drop with the [[profileApprox]] metrics instead — the drift math
+    * is identical.) `EventStream.profileStream` runs this same
+    * function per micro-batch. */
+  def profileDrift(drop: DataFrame, baseline: DataFrame): DataFrame = {
+    val base = baseline.select(col("source"), col("col_name"),
+      col("n_rows").as("b_n_rows"), col("n_nulls").as("b_n_nulls"),
+      col("n_distinct").as("b_n_distinct"), col("sum_len").as("b_sum_len"))
+    profileBySource(drop)
+      .join(base, Seq("source", "col_name"), "full_outer")
+      .selectExpr("source", "col_name",
+        "stack(4, " +
+          "'n_distinct', b_n_distinct, n_distinct, " +
+          "'n_nulls', b_n_nulls, n_nulls, " +
+          "'n_rows', b_n_rows, n_rows, " +
+          "'sum_len', b_sum_len, sum_len) AS (metric, base_val, cur_val)")
+      .withColumn("base_val", coalesce(col("base_val"), lit(0L)))
+      .withColumn("cur_val", coalesce(col("cur_val"), lit(0L)))
+      .withColumn("rel_delta",
+        when(col("base_val") =!= 0,
+          (col("cur_val") - col("base_val")) * lit(1.0) / col("base_val")))
+      .orderBy("source", "col_name", "metric")
+  }
+
+  /** §2-100 `q_profile_drift`: [[profileDrift]] on the same synthetic
+    * drop pair [[dropDiff]] uses (baseline = drop A's manifest, new
+    * drop = B) — deterministic, so the oracle replays both profiles
+    * and the drift math from one table. */
+  def profileDriftSynthetic(documents: DataFrame): DataFrame =
+    profileDrift(dropB(documents), profileBySource(dropA(documents)))
+
   /** Deterministic synthetic "drops" for [[dropDiff]]: drop A is the
     * corpus minus the ids ≡ 7 (mod 10); drop B is the corpus minus the
     * ids ≡ 3 (mod 10), with ids ≡ 0 (mod 13) carrying an edited text.
@@ -1270,9 +1315,67 @@ object CorpusOps {
   }
   private val profileSql: String = profileSqlFor(None)
 
+  /** Two named CTEs computing the NUMERIC per-source profile (n_rows,
+    * n_nulls, n_distinct, sum_len per column) of `from` — the oracle
+    * twin of [[profileBySource]]'s numeric metrics, embeddable in the
+    * drift oracle's chain. */
+  private def profileSourceCte(name: String, from: String): String = {
+    val metrics = ProfileCols.map { c =>
+      s"""    COUNT(*) FILTER ($c IS NULL) AS ${c}__nulls,
+         |    COUNT(DISTINCT $c) AS ${c}__distinct,
+         |    CAST(COALESCE(SUM(length(CAST($c AS VARCHAR))), 0) AS BIGINT)
+         |      AS ${c}__len""".stripMargin
+    }.mkString(",\n")
+    val branches = ProfileCols.map { c =>
+      s"""SELECT source, '$c' AS col_name, n_rows, ${c}__nulls AS n_nulls,
+         |  ${c}__distinct AS n_distinct, ${c}__len AS sum_len
+         |FROM ${name}_w""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""${name}_w AS (
+       |  SELECT source, COUNT(*) AS n_rows,
+       |$metrics
+       |  FROM $from GROUP BY source
+       |), $name AS (
+       |$branches
+       |)""".stripMargin
+  }
+
+  private val profileDriftSql: String =
+    s"""WITH da AS (
+       |  SELECT * FROM documents WHERE doc_id % 10 <> 7
+       |), db AS (
+       |  SELECT doc_id, lang, n_chars, source,
+       |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 10 <> 3
+       |), ${profileSourceCte("pa", "da")},
+       |${profileSourceCte("pb", "db")},
+       |j AS (
+       |  SELECT COALESCE(pa.source, pb.source) AS source,
+       |    COALESCE(pa.col_name, pb.col_name) AS col_name,
+       |    pa.n_rows AS b_n_rows, pa.n_nulls AS b_n_nulls,
+       |    pa.n_distinct AS b_n_distinct, pa.sum_len AS b_sum_len,
+       |    pb.n_rows, pb.n_nulls, pb.n_distinct, pb.sum_len
+       |  FROM pa FULL OUTER JOIN pb
+       |    ON pa.source = pb.source AND pa.col_name = pb.col_name
+       |), u AS (
+       |  SELECT source, col_name, 'n_distinct' AS metric,
+       |    b_n_distinct AS base_val, n_distinct AS cur_val FROM j
+       |  UNION ALL SELECT source, col_name, 'n_nulls', b_n_nulls, n_nulls FROM j
+       |  UNION ALL SELECT source, col_name, 'n_rows', b_n_rows, n_rows FROM j
+       |  UNION ALL SELECT source, col_name, 'sum_len', b_sum_len, sum_len FROM j
+       |)
+       |SELECT source, col_name, metric,
+       |  CAST(COALESCE(base_val, 0) AS BIGINT) AS base_val,
+       |  CAST(COALESCE(cur_val, 0) AS BIGINT) AS cur_val,
+       |  CASE WHEN COALESCE(base_val, 0) <> 0
+       |       THEN (COALESCE(cur_val, 0) - base_val) * 1.0 / base_val
+       |  END AS rel_delta
+       |FROM u ORDER BY source, col_name, metric""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_profile" -> profileSql,
     "q_profile_by_source" -> profileSqlFor(Some("source")),
+    "q_profile_drift" -> profileDriftSql,
     "q_epoch_order" ->
       """WITH r AS (
         |  SELECT doc_id, source,

@@ -232,6 +232,35 @@ object EventStream {
         (col("xc") / 100.0).as("day_sum"), col("n").as("n_days"))
   }
 
+  /** §2-C streaming profile DRIFT — the live face of `q_profile_drift`,
+    * completing the ingest-QA family's batch/stream pair (q_profile /
+    * q_profile_by_source / q_drop_diff / q_anomaly all have one): each
+    * micro-batch of documents is a DROP, profiled per source and
+    * diffed against the persisted baseline manifest (a prior
+    * `CorpusOps.profileBySource` output), emitting the per-(source,
+    * col_name, metric) drift rows. A per-batch profile is a
+    * per-trigger COMPLETE computation, not a running aggregate — the
+    * [[annSearchStream]] shape — so it runs through `foreachBatch`:
+    * the drift frame for each trigger goes to `sink` with the batch id.
+    *
+    * The whole computation IS `CorpusOps.profileDrift` — one shared
+    * definition, so batch and stream cannot drift about drift. The
+    * baseline rides in as a THUNK re-evaluated every micro-batch
+    * ([[annSearchStream]]'s convention): a nightly baseline refresh
+    * written to a NEW path is picked up by the next trigger without a
+    * query restart — the file-listing-snapshot trap ([[anomalyStream]]'s
+    * contract) applies per-batch, not per-query. Cost: profiling the
+    * batch is one pass over the batch; the join touches two
+    * |sources|×|cols| manifests — KBs at any scale. */
+  def profileStream(docs: DataFrame, baseline: () => DataFrame)
+                   (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.operators.CorpusOps.profileDrift(batch, baseline()), id)
+      }
+      .start()
+
   /** §2-C streaming exactly-once dedup: drop duplicate event ids within
     * the watermark horizon — the streaming twin of `q_dedup_exact` for an
     * at-least-once ingest (Kafka replays, task retries). State is bounded

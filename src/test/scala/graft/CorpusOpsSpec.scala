@@ -784,6 +784,45 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("profileDrift: planted null/truncation/new-source drift all surface, clean drop is flat") {
+    import spark.implicits._
+    val baseline = CorpusOps.profileBySource(docs)
+    // a clean identical drop drifts nowhere: every rel_delta is 0
+    val flat = CorpusOps.profileDrift(docs, baseline).collect()
+    assert(flat.nonEmpty)
+    assert(flat.forall(r => r.getAs[Long]("base_val") == r.getAs[Long]("cur_val")),
+      flat.filter(r => r.getAs[Long]("base_val") != r.getAs[Long]("cur_val"))
+        .mkString("\n"))
+    assert(flat.forall(r => r.isNullAt(r.fieldIndex("rel_delta")) ||
+      r.getAs[Double]("rel_delta") == 0.0))
+    // planted drift: null out lang and truncate text in one source, and
+    // add a brand-new source the baseline has never seen
+    val plantedSource = docs.select("source").head().getString(0)
+    val drop = docs
+      .withColumn("lang", when(col("source") === plantedSource, lit(null))
+        .otherwise(col("lang")))
+      .withColumn("text", when(col("source") === plantedSource,
+        substring(col("text"), 1, 5)).otherwise(col("text")))
+      .unionByName(
+        Seq((900001L, "en", 4L, "brand_new_src", "a new upstream appeared"))
+          .toDF("doc_id", "lang", "n_chars", "source", "text"),
+        allowMissingColumns = true)
+    val drift = CorpusOps.profileDrift(drop, baseline).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r).toMap
+    val nulls = drift((plantedSource, "lang", "n_nulls"))
+    assert(nulls.getAs[Long]("cur_val") > nulls.getAs[Long]("base_val"))
+    val len = drift((plantedSource, "text", "sum_len"))
+    assert(len.getAs[Long]("cur_val") < len.getAs[Long]("base_val"))
+    assert(len.getAs[Double]("rel_delta") < 0.0)
+    // the new source appears with base_val = 0 on every metric (the
+    // full-outer side of drift: missing baseline IS the signal)
+    val newRows = CorpusOps.profileDrift(drop, baseline)
+      .filter(col("source") === "brand_new_src").collect()
+    assert(newRows.nonEmpty)
+    assert(newRows.forall(_.getAs[Long]("base_val") == 0L))
+    assert(newRows.exists(_.getAs[Long]("cur_val") > 0L))
+  }
+
   test("mixture: shares sum to 1, factors invert exactly, weights ordered") {
     val rows = CorpusOps.mixture(docs).collect()
     assert(rows.length == docs.select("source").distinct().count())

@@ -703,6 +703,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("profileStream: per-batch drift vs the persisted baseline, batch-equivalent, refresh picked up") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    // persisted baseline manifest — a prior profileBySource output
+    val baseDir = Files.createTempDirectory("graft_profile_base").toFile
+      .getAbsolutePath
+    val corpus = Tables.documents(spark, sfDir)
+    CorpusOps.profileBySource(corpus).write.mode("overwrite")
+      .parquet(s"$baseDir/v1")
+    @volatile var basePath = s"$baseDir/v1"
+    val results = new scala.collection.concurrent.TrieMap[Long, Array[org.apache.spark.sql.Row]]
+    val input = MemoryStream[(Long, Option[String], Long, String, String)]
+    val q = EventStream.profileStream(
+      input.toDF().toDF("doc_id", "lang", "n_chars", "source", "text"),
+      () => spark.read.parquet(basePath)) { (drift, id) =>
+      results.put(id, drift.collect())
+    }
+    try {
+      // batch 1: a healthy-looking drop with a planted null lang
+      val batch1 = Seq(
+        (1L, Some("en"), 10L, "src0", "alpha beta gamma"),
+        (2L, None: Option[String], 8L, "src0", "delta epsilon"))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val d1 = results(0L)
+      assert(d1.nonEmpty)
+      // batch-equivalence: the stream's drift frame IS profileDrift of
+      // the same batch against the same baseline
+      val batchDf = batch1.toDF("doc_id", "lang", "n_chars", "source", "text")
+      val expected = CorpusOps.profileDrift(
+        batchDf, spark.read.parquet(s"$baseDir/v1")).collect()
+      assert(d1.map(_.toString).sorted.toSeq ==
+        expected.map(_.toString).sorted.toSeq)
+      // the planted null surfaces in the (src0, lang, n_nulls) row
+      val nulls = d1.find(r => r.getString(0) == "src0" &&
+        r.getString(1) == "lang" && r.getString(2) == "n_nulls").get
+      assert(nulls.getAs[Long]("cur_val") == 1L)
+      // baseline refresh at a NEW path: the thunk re-resolves next batch
+      // without a query restart (the annSearchStream convention)
+      CorpusOps.profileBySource(batchDf).write.mode("overwrite")
+        .parquet(s"$baseDir/v2")
+      basePath = s"$baseDir/v2"
+      input.addData((3L, Some("en"), 5L, "src0", "zeta"))
+      q.processAllAvailable()
+      val d2 = results(1L)
+      // against v2 (profiled from batch 1), batch 2's n_rows drift for
+      // src0 is 1 vs baseline 2 — proving v2, not v1, was read
+      val rows = d2.find(r => r.getString(0) == "src0" &&
+        r.getString(1) == "doc_id" && r.getString(2) == "n_rows").get
+      assert(rows.getAs[Long]("base_val") == 2L &&
+        rows.getAs[Long]("cur_val") == 1L, rows)
+    } finally q.stop()
+  }
+
   test("EventsJsonSource reads and flattens StatsBomb-shaped nested JSON") {
     val dir = Files.createTempDirectory("graft_json").toFile
     val json =
