@@ -124,6 +124,26 @@ class BpeSpec extends SparkSpec {
     assert(enc.length == words.count(_._2.nonEmpty))
   }
 
+  test("encodeWithVocab fast path ≡ fold-only encode, including forced vocab misses") {
+    val (mt, vocab) = BpeOps.trainPieces(docs, merges = 8)
+    val slow = BpeOps.encode(docs, mt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fast = BpeOps.encodeWithVocab(docs, mt, vocab).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fast == slow)
+    // vocabTopK = 3 forces almost every word through the fold fallback —
+    // the mixed lookup/fold path must still be bit-identical
+    val mixed = BpeOps.encodeWithVocab(docs, mt, vocab, vocabTopK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mixed == slow)
+    // unseen words (absent from vocab AND merge table inputs) fall to
+    // the fold and still encode
+    val unseen = docsDf(Seq("zzqx glorblatt"))
+    val u = BpeOps.encodeWithVocab(unseen, mt, vocab).collect()
+    val uSlow = BpeOps.encode(unseen, mt).collect()
+    assert(u.map(_.toString).toSeq == uSlow.map(_.toString).toSeq)
+  }
+
   test("pack and token budget consume BPE counts") {
     val mt = BpeOps.train(docs)
     val withMs = docs.crossJoin(broadcast(BpeOps.mergesArray(mt)))

@@ -155,6 +155,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("ShuffledHashJoin"), p2)
   }
 
+  test("q_bpe_encode: corpus side is a pure map — broadcast merges/vocab, zero corpus shuffle") {
+    val (mt, vocab) = BpeOps.trainPieces(
+      Tables.documents(spark, sfDir), merges = 4)
+    val p = plan(BpeOps.encodeWithVocab(
+      Tables.documents(spark, sfDir), mt, vocab))
+    // no hash exchange anywhere: the merge table and vocab map collapse
+    // to 1-row broadcasts (their inputs are tiny checkpointed frames);
+    // the corpus never shuffles — the trailing sort is the harness's
+    // deterministic-output range partition only
+    assert(hashExchangeCount(p) == 0, s"${hashExchangeCount(p)} hash exchanges:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"$scans parquet scans:\n$p")
+  }
+
   test("native float_dot appears in the ANN plan (not a HOF fallback)") {
     graft.plans.GraftFunctions.register(spark)
     val p = plan(AnnOps.annTopK(Tables.embeddings(spark, sfDir)))
