@@ -23,6 +23,10 @@ object SparkEntry {
     "q_top_customers" -> ((s, dir) =>
       Relational.topCustomers(Tables.lineitem(s, dir), Tables.orders(s, dir),
         Tables.customer(s, dir))),
+    "q_order_priority" -> ((s, dir) =>
+      Relational.orderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q_promo_share" -> ((s, dir) =>
+      Relational.promoShare(Tables.lineitem(s, dir), Tables.part(s, dir))),
     // --- event analytics (§2 rows 1-4, 10, 14, 23) ---
     "q_event_scan" -> ((s, dir) => EventOps.eventScan(Tables.events(s, dir))),
     "q_match_stats" -> ((s, dir) => EventOps.matchStats(Tables.events(s, dir))),
@@ -62,6 +66,7 @@ object SparkEntry {
     "q_receptions" -> ((s, dir) => GeometryOps.receptions(Tables.events(s, dir))),
     // --- dedup family (§2 rows 24-28) ---
     "q_dedup_exact" -> ((s, dir) => DedupOps.dedupExact(Tables.documents(s, dir))),
+    "q_dedup_lines" -> ((s, dir) => DedupOps.dedupLines(Tables.documents(s, dir))),
     "q_dedup_canonical" -> ((s, dir) => DedupOps.dedupCanonical(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => DedupOps.dedupMinhash(Tables.documents(s, dir))),
     "q_dedup_minhash_wide" -> ((s, dir) => DedupOps.dedupMinhashWide(Tables.documents(s, dir))),
@@ -80,6 +85,7 @@ object SparkEntry {
     "q_dedup_embedding_incremental" -> ((s, dir) => DedupOps.dedupEmbeddingIncremental(Tables.embeddings(s, dir))),
     // --- ANN (§2 rows 29-30) ---
     "q_ann_topk" -> ((s, dir) => AnnOps.annTopK(Tables.embeddings(s, dir))),
+    "q_knn_graph" -> ((s, dir) => AnnOps.knnGraph(Tables.embeddings(s, dir))),
     "q_quantize" -> ((s, dir) => AnnOps.quantize(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => AnnOps.annLsh(Tables.embeddings(s, dir))),
     "q_ann_ivf_q8" -> ((s, dir) =>
@@ -98,6 +104,13 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "q_redact" -> ((s, dir) => TextOps.redact(Tables.documents(s, dir))),
     "q_hash_embed" -> ((s, dir) => TextOps.hashEmbed(Tables.documents(s, dir))),
+    // --- trained classifiers (§2 rows 101-103) ---
+    "q_classifier_train" -> ((s, dir) =>
+      ClassifierOps.nbTrain(Tables.documents(s, dir))),
+    "q_classifier_score" -> ((s, dir) =>
+      ClassifierOps.nbScore(Tables.documents(s, dir))),
+    "q_embed_classify" -> ((s, dir) =>
+      ClassifierOps.centroidClassify(Tables.embeddings(s, dir))),
     // --- corpus-pipeline composites (§2 rows 36-40) ---
     "q_sample" -> ((s, dir) => CorpusOps.sample(Tables.documents(s, dir))),
     "q_profile" -> ((s, dir) => CorpusOps.profile(Tables.documents(s, dir))),
@@ -154,5 +167,6 @@ object SparkEntry {
     Relational.oracles ++ EventOps.oracles ++ StatsOps.oracles ++
       SessionOps.oracles ++ GeometryOps.oracles ++ DedupOps.oracles ++
       AnnOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles ++
-      CorpusOps.oracles ++ Skew.oracles ++ BpeOps.oracles
+      CorpusOps.oracles ++ Skew.oracles ++ BpeOps.oracles ++
+      ClassifierOps.oracles
 }

@@ -35,6 +35,77 @@ object AnnOps {
       .limit(k)
   }
 
+  /** §2-105 `q_knn_graph`: the exact k-nearest-neighbor GRAPH — top-k
+    * cosine neighbors for EVERY vector, not one query. The all-pairs
+    * primitive behind SemDeDup-style semantic dedup, duplicate-cluster
+    * mining, and graph-based label propagation.
+    *
+    * This is the EXACTNESS BASELINE (like [[DedupOps.dedupEmbedding]] vs
+    * its LSH variants): candidate generation is all n² ordered pairs, so
+    * it is quadratic by definition — correct at any size that can afford
+    * it, and the recall yardstick for [[knnGraphRp]], the scale path.
+    * Plan shape: norms computed ONCE per row before the pair join (never
+    * per pair), the smaller side broadcast (local) / block-tiled
+    * (cluster), ranking is a window partitioned by src_id — per-vector
+    * state is a k-row heap, never a global sort. */
+  def knnGraph(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val withNorm = embeddings.select(col("vec_id"), col("label"),
+      col("embedding"), VectorFuns.l2normNative(col("embedding")).as("nrm"))
+    val left = withNorm.toDF("src_id", "src_label", "src_emb", "src_nrm")
+    val right = withNorm.toDF("nbr_id", "nbr_label", "nbr_emb", "nbr_nrm")
+    val pairs = left
+      .join(broadcast(right), col("src_id") =!= col("nbr_id"))
+      .filter(col("src_nrm") > 0 && col("nbr_nrm") > 0)
+      .select(col("src_id"), col("nbr_id"), col("nbr_label"),
+        VectorFuns.cosine6Pre(col("src_emb"), col("nbr_emb"),
+          col("src_nrm"), col("nbr_nrm")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(col("score").desc, col("nbr_id").asc)
+    pairs
+      .withColumn("nbr_rank", row_number().over(w))
+      .filter(col("nbr_rank") <= k)
+      .select(col("src_id"), col("nbr_rank"), col("nbr_id"),
+        col("nbr_label"), col("score"))
+      .orderBy("src_id", "nbr_rank")
+  }
+
+  /** [[knnGraph]]'s 100 TB shape: candidates restricted to pairs sharing
+    * ≥1 random-hyperplane band key ([[graft.plans.RpLsh]] — the same
+    * trained coefficient table the embedding-dedup family blocks on), so
+    * pair volume is band collisions (~bands·n²/2^(bits+1), geometry-sized
+    * to the corpus) instead of n². Same scoring and ranking as the exact
+    * graph; recall vs [[knnGraph]] is spec-asserted on the labeled
+    * corpus. Neighbors the bands never collide are simply absent — a
+    * vector may emit < k rows (approximate contract, like every LSH op
+    * here). */
+  def knnGraphRp(embeddings: DataFrame, k: Int = 5,
+                 bands: Int = graft.plans.RpLsh.Bands,
+                 bitsPerBand: Int = graft.plans.RpLsh.BitsPerBand): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val cand = DedupOps.embeddingRpCandidates(embeddings, bands, bitsPerBand)
+    val both = cand.union(cand.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+    val withNorm = embeddings.select(col("vec_id"), col("label"),
+      col("embedding"), VectorFuns.l2normNative(col("embedding")).as("nrm"))
+    val pairs = both
+      .join(withNorm.toDF("src_id", "src_label", "src_emb", "src_nrm"),
+        col("vec_a") === col("src_id"))
+      .join(withNorm.toDF("nbr_id", "nbr_label", "nbr_emb", "nbr_nrm"),
+        col("vec_b") === col("nbr_id"))
+      .filter(col("src_nrm") > 0 && col("nbr_nrm") > 0)
+      .select(col("src_id"), col("nbr_id"), col("nbr_label"),
+        VectorFuns.cosine6Pre(col("src_emb"), col("nbr_emb"),
+          col("src_nrm"), col("nbr_nrm")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(col("score").desc, col("nbr_id").asc)
+    pairs
+      .withColumn("nbr_rank", row_number().over(w))
+      .filter(col("nbr_rank") <= k)
+      .select(col("src_id"), col("nbr_rank"), col("nbr_id"),
+        col("nbr_label"), col("score"))
+      .orderBy("src_id", "nbr_rank")
+  }
+
   /** §2-30 `q_ann_lsh`: sign-LSH bucketed ANN — search ONLY the query's
     * bucket (sign bits of the first 8 dimensions). Exact float-sign
     * comparisons make the bucket engine-portable; recall is traded for a
@@ -1097,6 +1168,25 @@ object AnnOps {
         |  sum_q6 / 1e6 / n AS mean_val
         |FROM sums
         |ORDER BY label, pos""".stripMargin,
+    "q_knn_graph" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${VectorFuns.sql.l2norm("embedding")} AS nrm
+         |  FROM embeddings
+         |), pairs AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id, b.label AS nbr_label,
+         |    ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} AS score
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         |  WHERE a.nrm > 0 AND b.nrm > 0
+         |), ranked AS (
+         |  SELECT src_id, nbr_id, nbr_label, score,
+         |    ROW_NUMBER() OVER (PARTITION BY src_id
+         |      ORDER BY score DESC, nbr_id ASC) AS nbr_rank
+         |  FROM pairs
+         |)
+         |SELECT src_id, nbr_rank, nbr_id, nbr_label, score
+         |FROM ranked WHERE nbr_rank <= 5
+         |ORDER BY src_id, nbr_rank""".stripMargin,
     "q_ann_topk" ->
       s"""SELECT e.vec_id, e.label,
          |  ${VectorFuns.sql.cosine6("e.embedding", "q.embedding")} AS score

@@ -24,6 +24,42 @@ object DedupOps {
     documents.repartition(
       documents.sparkSession.sparkContext.defaultParallelism)
 
+  /** §2-104 `q_dedup_lines`: SEGMENT-level exact dedup with per-document
+    * accounting — the C4/CCNet "remove duplicate lines across the corpus,
+    * keep the first occurrence" pass, at a granularity finer than whole-doc
+    * dedup and cheaper than substring dedup. The synthetic corpus has no
+    * newlines, so a "line" is a fixed 10-token window (deterministic
+    * segmentation; on real data the splitter would be `\n`) — the
+    * accounting semantics are identical.
+    *
+    * First occurrence = lowest (doc_id, seg_pos) among all copies of a
+    * segment. Shape: segmentation is ROW-LEVEL (sequence→slice→join, no
+    * shuffle), then ONE shuffle partitioned by the segment's md5 (32-byte
+    * shuffle key — the segment text itself never shuffles as a key), a
+    * rank-1 window inside each hash partition, and a per-doc re-agg. At
+    * 100 TB this is two keyed shuffles, both with map-side partials on
+    * bounded keys; no self-join, no sort. */
+  def dedupLines(documents: DataFrame, segTokens: Int = 10): DataFrame = {
+    val toks = TextFuns.tokens(col("text"))
+    val nSeg = greatest(ceil(size(toks) / lit(segTokens.toDouble)).cast("int"), lit(1))
+    val segArr = transform(sequence(lit(0), nSeg - 1),
+      i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+    val segs = documents
+      .select(col("doc_id"), col("source"), posexplode(segArr).as(Seq("seg_pos", "seg")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("seg").cast("binary")))
+      .orderBy(col("doc_id"), col("seg_pos"))
+    segs
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") === 1, length(col("seg"))).otherwise(lit(0)).cast("long"))
+          .as("kept_chars"))
+      .orderBy("doc_id")
+  }
+
   /** §2-24 `q_dedup_exact`: exact dedup on the md5 of normalized text,
     * keeping the minimum doc_id as representative. ONE shuffle on a
     * 128-bit key; at 100 TB this is the cheapest possible full-corpus
@@ -1032,6 +1068,29 @@ object DedupOps {
   private val minhashPairsSql: String = minhashPairsSqlFor(MinhashK, Bands)
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_lines" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, string_split($normSql, ' ') AS tk FROM documents
+         |), segn AS (
+         |  SELECT doc_id, source, tk,
+         |    unnest(generate_series(0,
+         |      CAST(greatest(ceil(len(tk) / 10.0), 1) AS BIGINT) - 1)) AS i
+         |  FROM toks
+         |), segs AS (
+         |  SELECT doc_id, source, i AS seg_pos,
+         |    array_to_string(tk[(CAST(i AS INTEGER) * 10 + 1):(CAST(i AS INTEGER) * 10 + 10)], ' ') AS seg
+         |  FROM segn
+         |), ranked AS (
+         |  SELECT doc_id, source, seg,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_pos) AS rn
+         |  FROM segs
+         |)
+         |SELECT doc_id, source, COUNT(*) AS n_seg,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN length(seg) ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM ranked
+         |GROUP BY doc_id, source
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT md5($normSql) AS text_hash,
          |  MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies

@@ -98,7 +98,84 @@ object Relational {
       .limit(n)
   }
 
+  /** TPC-H-Q4-shaped priority count: orders in a quarter with at least one
+    * returned lineitem, counted per priority class. (The testdata schema
+    * carries no commit/receipt dates, so "late" becomes `l_returnflag='R'`
+    * — the plan shape, not the predicate, is the point.)
+    *
+    * Plan shape: LEFT SEMI join — the probe side never duplicates order
+    * rows no matter how many lineitems match, so the join output is
+    * bounded by |orders|, not |orders|×|lineitem|. Both sides filter
+    * BEFORE the join (pushdown audited); the shuffle keys are the join
+    * key, and at 100 TB AQE can still flip the build side to broadcast
+    * when the quarter's order slice is small. An EXISTS subquery in SQL
+    * is exactly this operator — no distinct, no row explosion.
+    */
+  def orderPriority(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val o = orders.filter(
+      col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+      col("o_orderdate") <  lit("1998-04-01").cast("timestamp"))
+    val returned = lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(returned, o("o_orderkey") === returned("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H-Q14-shaped promo share: revenue fraction from PROMO-type parts
+    * in a shipdate window — the conditional-ratio-over-a-join shape (the
+    * reference computes the same shape per match: completed/attempted
+    * passes, core/pedri_analysis.py:262-271).
+    *
+    * Plan shape: fact ⋈ broadcast(dim) — part is the small side and is
+    * broadcast explicitly, so the fact table never shuffles; the ratio is
+    * one conditional DECIMAL aggregate over the joined stream (exact,
+    * order-independent partials) and the division happens once on the
+    * 1-row result. At 100 TB: part stays MB-scale → broadcast holds;
+    * zero shuffles beyond the final 1-row agg.
+    */
+  def promoShare(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = col("l_extendedprice").cast(d18) *
+      (lit(1) - col("l_discount").cast(d18))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-07-01").cast("timestamp"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(d18)))
+          .cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .withColumn("promo_share",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_promo_share" ->
+      """WITH j AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+        |         p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-07-01'
+        |)
+        |SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(rev) AS DOUBLE) AS promo_share
+        |FROM j""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

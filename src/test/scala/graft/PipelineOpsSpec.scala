@@ -1402,6 +1402,77 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.getSeq[Float](3)(0) == 2f && out.getSeq[Float](3)(2) == 0.5f)
   }
 
+  test("dedupLines keeps the first occurrence of a repeated segment and accounts exactly") {
+    import spark.implicits._
+    // 10-token segments: A|B in doc 0, A|C in doc 1 (A repeats), D in doc 2
+    val segA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val segC = (1 to 10).map(i => s"c$i").mkString(" ")
+    val segD = (1 to 10).map(i => s"d$i").mkString(" ")
+    val planted = Seq(
+      (0L, s"$segA $segB", "s0"),
+      (1L, s"$segA $segC", "s0"),
+      (2L, segD, "s1")
+    ).toDF("doc_id", "text", "source")
+    val out = DedupOps.dedupLines(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("n_seg") == 2 && out(0L).getAs[Long]("n_kept") == 2)
+    // doc 1 loses exactly the repeated segment A (first occurrence is doc 0)
+    assert(out(1L).getAs[Long]("n_seg") == 2 && out(1L).getAs[Long]("n_kept") == 1)
+    assert(out(1L).getAs[Long]("kept_chars") == segC.length)
+    assert(out(2L).getAs[Long]("n_kept") == 1)
+    // corpus-level conservation on real docs: every segment counted once,
+    // kept ≤ total, and a doc-0-only corpus keeps everything
+    val real = DedupOps.dedupLines(docs).collect()
+    assert(real.map(_.getAs[Long]("n_seg")).sum >= real.map(_.getAs[Long]("n_kept")).sum)
+    // planted full-duplicate docs legitimately keep ZERO segments; the
+    // lowest doc_id can never lose one (nothing precedes it)
+    val firstDoc = real.minBy(_.getLong(0))
+    assert(firstDoc.getAs[Long]("n_kept") == firstDoc.getAs[Long]("n_seg"))
+  }
+
+  test("knnGraph is the exact cosine top-k graph; knnGraphRp recalls its edges") {
+    import spark.implicits._
+    def vec(xs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f); xs.foreach { case (i, v) => a(i) = v }; a
+    }
+    // 0 and 1 nearly parallel; 2 orthogonal-ish; 3 anti-aligned
+    val planted = Seq(
+      (0L, vec(0 -> 1f, 1 -> 0.1f), 0),
+      (1L, vec(0 -> 1f, 1 -> 0.2f), 0),
+      (2L, vec(5 -> 1f), 1),
+      (3L, vec(0 -> -1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val g = AnnOps.knnGraph(planted, k = 2).collect()
+    // every vector emits exactly min(k, n-1)=2 ranked rows
+    assert(g.groupBy(_.getLong(0)).forall(_._2.length == 2))
+    val n0 = g.filter(_.getLong(0) == 0L).sortBy(_.getAs[Int]("nbr_rank"))
+    assert(n0.head.getAs[Long]("nbr_id") == 1L, "nearest of 0 must be 1")
+    assert(n0.head.getAs[Double]("score") > 0.99)
+    // rank is consistent with score ordering
+    g.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("nbr_rank"))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+    }
+    // the RP-banded graph on the real corpus: recall vs the exact graph is
+    // the GEOMETRY knob — top-5 neighbors here sit at modest cosines, so
+    // 8-bit bands (sized for near-dup mining at cos≥0.9) see few of them,
+    // and narrowing to 4-bit bands must recover most of the graph.
+    // (At production scale the operator contract is the same: pick
+    // bits/bands from the target cosine via 1-(1-(1-θ/π)^bits)^bands.)
+    val exact = AnnOps.knnGraph(embs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallAt(bits: Int): Double = {
+      val approx = AnnOps.knnGraphRp(embs, k = 5, bitsPerBand = bits).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val r8 = recallAt(8); val r4 = recallAt(4)
+    assert(r4 > r8, f"narrower bands must raise recall: $r4%.3f vs $r8%.3f")
+    assert(r4 >= 0.7, f"kNN-graph recall at 4-bit bands $r4%.3f below floor")
+  }
+
   test("multimodalMeta + decodeBatches plumbing round-trips") {
     val meta = MultimodalOps.multimodalMeta(docs)
     assert(meta.count() == docs.count())

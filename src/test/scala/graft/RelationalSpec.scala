@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Relational
 import graft.sources.Tables
 
@@ -32,6 +34,38 @@ class RelationalSpec extends SparkSpec {
     assert(totalOrders == Tables.orders(spark, sfDir).count())
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "dims must be broadcast")
+  }
+
+  test("orderPriority is a semi-join: counts orders once regardless of matching lineitems") {
+    val orders = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val out = Relational.orderPriority(orders, li)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // independent recomputation via a distinct-key join for one priority
+    val pri = rows.head.getString(0)
+    val expected = orders
+      .where(s"o_orderdate >= timestamp '1998-01-01' AND o_orderdate < timestamp '1998-04-01' " +
+        s"AND o_orderpriority = '$pri'")
+      .join(li.where("l_returnflag = 'R'").select("l_orderkey").distinct(),
+        col("o_orderkey") === col("l_orderkey"))
+      .count()
+    assert(rows.head.getAs[Long]("order_count") == expected)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "must plan as a semi-join (no row explosion)")
+  }
+
+  test("promoShare is an exact conditional ratio over a broadcast part join") {
+    val out = Relational.promoShare(Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir))
+    val row = out.collect().head
+    val promo = row.getAs[Double]("promo_revenue")
+    val total = row.getAs[Double]("total_revenue")
+    val share = row.getAs[Double]("promo_share")
+    assert(promo >= 0 && promo <= total)
+    assert(share >= 0 && share <= 100)
+    assert(math.abs(share - 100.0 * promo / total) < 1e-9)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "part must be broadcast")
   }
 
   test("topCustomers returns at most N with descending revenue") {
