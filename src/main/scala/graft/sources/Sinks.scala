@@ -119,6 +119,54 @@ object Sinks {
       .sortWithinPartitions(orderCol)
       .write.mode("overwrite").parquet(path)
 
+  /** MERGE (SCD-1 upsert) an updates frame into an existing partitioned
+    * parquet layout by key, rewriting ONLY the partitions the updates
+    * touch — the incremental-corpus-maintenance primitive (a new drop
+    * revises some documents of some sources; the other 99% of the layout
+    * is untouched bytes).
+    *
+    * Semantics: within every partition value present in `updates`, rows
+    * whose `keyCol` appears in `updates` are REPLACED, other rows are
+    * kept, new keys are appended. Partitions absent from `updates` are
+    * not read, not written, not listed.
+    *
+    * Two-phase by construction: the merged touched-partition rows are
+    * materialized to a SIBLING staging directory first, then re-read and
+    * committed with dynamic partition overwrite. Never read-and-overwrite
+    * the same files in one job — the lazy scan's file list would be
+    * deleted mid-job by its own write (the [[requireDistinctPaths]]
+    * hazard, here made structurally impossible instead of just guarded).
+    *
+    * Scale: cost ∝ touched partitions' bytes, not the corpus. The
+    * touched-partition filter is a broadcast semi-join (partition values
+    * are few); the replace is a key anti-join inside those partitions
+    * only. Returns the number of partition values rewritten. */
+  def upsertPartitioned(spark: SparkSession, updates: DataFrame, path: String,
+                        partitionCol: String, keyCol: String,
+                        maxRecordsPerFile: Long = 5000000L): Long = {
+    val staging = path.stripSuffix("/") + ".upsert-staging"
+    requireDistinctPaths(spark, path, staging)
+    val touched = updates.select(partitionCol).distinct()
+    val existing = readPartitioned(spark, path)
+      .join(broadcast(touched), Seq(partitionCol), "left_semi")
+    val merged = existing
+      .join(broadcast(updates.select(keyCol).distinct()), Seq(keyCol), "left_anti")
+      .unionByName(updates.select(existing.columns.map(col).toIndexedSeq: _*))
+    merged.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol).parquet(staging)
+    val nTouched = spark.read.parquet(staging).select(partitionCol)
+      .distinct().count()
+    spark.read.parquet(staging)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol).parquet(path)
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    nTouched
+  }
+
   /** Both compactors read `inPath` LAZILY while overwriting `outPath`;
     * called with the same (canonicalized) path they would clobber their
     * own input mid-scan. Enforce the write-to-new-then-swap contract. */

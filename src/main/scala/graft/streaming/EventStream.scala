@@ -449,6 +449,40 @@ object EventStream {
       }
       .start()
 
+  /** §2-C stream-STREAM interval join: pair each left event with the
+    * same user's right events landing within `(l_ts, l_ts + maxGap]` —
+    * the attribution shape (view→click, impression→conversion) that
+    * NEEDS two live sides, where [[enrichStream]]'s broadcast dim can't
+    * help. The streaming twin of the batch `q_window_after`/range-join
+    * family.
+    *
+    * Both sides are watermarked and the join condition carries an
+    * explicit time bound, so Spark derives state-eviction watermarks for
+    * BOTH buffers: each side holds only `watermark + maxGap` of events
+    * per user — state is O(rate × gap), never O(stream). Without the
+    * time bound the state would grow without limit; this operator makes
+    * the bound part of its signature. Shuffle: both sides hash-partition
+    * on user_id once, the interval predicate evaluates inside the
+    * co-partitioned join — the same one-keyed-shuffle budget as the
+    * batch twin. Inner join → append mode; results emit as soon as both
+    * sides arrive (no watermark wait on the match itself). */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       maxGap: String = "10 minutes",
+                       watermark: String = "20 minutes"): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGap"))
+      .select(col("user_id"), col("l_ts"), col("l_type"), col("l_value"),
+        col("r_ts"), col("r_type"), col("r_value"))
+  }
+
   /** §2-C stream-static enrichment: join the unbounded stream against a
     * bounded dimension. The static side's DATA files are re-read per
     * micro-batch but its file LISTING is snapshotted at DataFrame build

@@ -192,6 +192,34 @@ class SinksSpec extends SparkSpec {
     assert(orig.exceptAll(back).count() == 0)
   }
 
+  test("upsertPartitioned rewrites only touched partitions and merges by key") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_upsert")
+      .toFile.getAbsolutePath
+    val base = Seq(
+      (1L, "one", "s0"), (2L, "two", "s0"),
+      (3L, "three", "s1"), (4L, "four", "s1")
+    ).toDF("doc_id", "text", "source")
+    Sinks.writePartitionedBy(base, path, "source")
+    def filesOf(part: String): Set[String] =
+      new java.io.File(s"$path/source=$part").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val s1Before = filesOf("s1")
+    // replace doc 1, add doc 5 — both in partition s0; s1 untouched
+    val updates = Seq((1L, "one-v2", "s0"), (5L, "five", "s0"))
+      .toDF("doc_id", "text", "source")
+    val touched = Sinks.upsertPartitioned(spark, updates, path, "source", "doc_id")
+    assert(touched == 1L)
+    val after = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    assert(after == Map(1L -> "one-v2", 2L -> "two", 3L -> "three",
+      4L -> "four", 5L -> "five"))
+    // dynamic overwrite left the untouched partition's FILES alone
+    assert(filesOf("s1") == s1Before, "s1 must not be rewritten")
+    // staging is cleaned up
+    assert(!new java.io.File(path + ".upsert-staging").exists())
+  }
+
   test("percentileApprox quantiles are flat scalar columns, ordered") {
     val events = Tables.events(spark, sfDir)
     val df = StatsOps.percentileApprox(events)

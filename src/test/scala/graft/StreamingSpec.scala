@@ -795,4 +795,34 @@ class StreamingSpec extends SparkSpec {
     val r = xa.head()
     assert(r.getLong(0) == 30486L && r.getDouble(1) == 0.31)
   }
+
+  test("streamStreamJoin pairs events within the gap; batch run agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val viewEvs = Seq(Event(ts(0), 1L, "view", 1.0), Event(ts(0), 2L, "view", 1.0))
+    val clickEvs = Seq(
+      Event(ts(5), 1L, "click", 2.0), // within the 10 min gap → match
+      Event(ts(20), 1L, "click", 3.0), // outside the gap → no match
+      Event(ts(3), 2L, "click", 4.0)) // match for user 2
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStream.streamStreamJoin(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      views.addData(viewEvs: _*)
+      clicks.addData(clickEvs: _*)
+      q.processAllAvailable()
+      val got = spark.table("ssj").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("r_ts"))).toSet
+      assert(got == Set((1L, ts(5)), (2L, ts(3))), s"got $got")
+      // the SAME operator over the same frames in batch mode agrees
+      // (watermarks are a no-op in batch; the interval predicate is not)
+      val batch = EventStream.streamStreamJoin(viewEvs.toDF(), clickEvs.toDF())
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("r_ts"))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
 }

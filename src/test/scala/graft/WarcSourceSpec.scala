@@ -1,0 +1,79 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import graft.sources.WarcSource
+
+/** WARC ingestion: record walk, gzip members, malformed-tail tolerance,
+  * HTTP response projection (SURVEY §2-C). */
+class WarcSourceSpec extends SparkSpec {
+
+  private def record(typ: String, uri: String, payload: Array[Byte],
+                     id: String = "rec"): Array[Byte] = {
+    val hdr = ("WARC/1.0\r\n" +
+      s"WARC-Type: $typ\r\n" +
+      s"WARC-Record-ID: <urn:test:$id>\r\n" +
+      "WARC-Date: 2026-08-14T00:00:00Z\r\n" +
+      (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+      "Content-Type: application/http\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(US_ASCII)
+    hdr ++ payload ++ "\r\n\r\n".getBytes(US_ASCII)
+  }
+
+  private val httpPayload =
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html>hello corpus</html>").getBytes(US_ASCII)
+
+  private def warcBytes: Array[Byte] =
+    record("warcinfo", "", "software: graft-test\r\n".getBytes(US_ASCII), "info") ++
+      record("response", "http://example.com/a", httpPayload, "resp") ++
+      record("request", "http://example.com/a",
+        "GET /a HTTP/1.1\r\n".getBytes(US_ASCII), "req")
+
+  test("parses plain and member-gzipped WARC files with per-file parallelism") {
+    val dir = Files.createTempDirectory("graft_warc")
+    Files.write(dir.resolve("seg-0.warc"), warcBytes)
+    // the Common Crawl layout: one gzip MEMBER per record, concatenated
+    val gz = new ByteArrayOutputStream()
+    Seq(
+      record("warcinfo", "", "software: graft-test\r\n".getBytes(US_ASCII), "info"),
+      record("response", "http://example.com/b", httpPayload, "resp2"),
+      record("request", "http://example.com/b",
+        "GET /b HTTP/1.1\r\n".getBytes(US_ASCII), "req2")
+    ).foreach { r =>
+      val g = new GZIPOutputStream(gz); g.write(r); g.finish()
+    }
+    Files.write(dir.resolve("seg-1.warc.gz"), gz.toByteArray)
+
+    val df = WarcSource.read(spark, dir.toString)
+    val rows = df.collect()
+    assert(rows.length == 6, s"expected 6 records, got ${rows.length}")
+    assert(df.rdd.getNumPartitions >= 2, "per-file parallelism")
+    val byType = rows.groupBy(_.getAs[String]("warc_type"))
+    assert(byType("response").length == 2 && byType("request").length == 2)
+    val resp = byType("response").map(_.getAs[String]("target_uri")).toSet
+    assert(resp == Set("http://example.com/a", "http://example.com/b"))
+    assert(rows.forall(r =>
+      r.getAs[Long]("content_length") == r.getAs[Array[Byte]]("payload").length))
+  }
+
+  test("httpResponses splits status and body; malformed tail drops cleanly") {
+    val dir = Files.createTempDirectory("graft_warc2")
+    // valid records followed by a record whose declared length overruns
+    // the buffer (truncated upload) — prior records must survive
+    val truncated = record("response", "http://x/y", httpPayload, "trunc")
+      .dropRight(40)
+    Files.write(dir.resolve("seg.warc"), warcBytes ++ truncated)
+
+    val recs = WarcSource.read(spark, dir.toString)
+    assert(recs.count() == 3, "valid prefix kept, malformed tail dropped")
+    val http = WarcSource.httpResponses(recs).collect()
+    assert(http.length == 1)
+    assert(http.head.getAs[Int]("http_status") == 200)
+    assert(http.head.getAs[String]("body") == "<html>hello corpus</html>")
+    assert(http.head.getAs[String]("target_uri") == "http://example.com/a")
+  }
+}
