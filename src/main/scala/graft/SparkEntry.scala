@@ -86,6 +86,7 @@ object SparkEntry {
     // --- ANN (§2 rows 29-30) ---
     "q_ann_topk" -> ((s, dir) => AnnOps.annTopK(Tables.embeddings(s, dir))),
     "q_knn_graph" -> ((s, dir) => AnnOps.knnGraph(Tables.embeddings(s, dir))),
+    "q_knn_graph_rp" -> ((s, dir) => AnnOps.knnGraphRp(Tables.embeddings(s, dir))),
     "q_quantize" -> ((s, dir) => AnnOps.quantize(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => AnnOps.annLsh(Tables.embeddings(s, dir))),
     "q_ann_ivf_q8" -> ((s, dir) =>
@@ -109,6 +110,8 @@ object SparkEntry {
       ClassifierOps.nbTrain(Tables.documents(s, dir))),
     "q_classifier_score" -> ((s, dir) =>
       ClassifierOps.nbScore(Tables.documents(s, dir))),
+    "q_classifier_filter" -> ((s, dir) =>
+      ClassifierOps.nbFilter(Tables.documents(s, dir))),
     "q_embed_classify" -> ((s, dir) =>
       ClassifierOps.centroidClassify(Tables.embeddings(s, dir))),
     // --- corpus-pipeline composites (§2 rows 36-40) ---

@@ -1168,6 +1168,28 @@ object AnnOps {
         |  sum_q6 / 1e6 / n AS mean_val
         |FROM sums
         |ORDER BY label, pos""".stripMargin,
+    // §2-108: the SAME graph contract over the RP-band candidate universe
+    // — the oracle derives the identical band keys (DedupOps.rpBkCteSql is
+    // the proven exact transcription), so both engines rank the identical
+    // candidate set: the SCALE path is cross-engine verified, not just
+    // recall-spec'd.
+    "q_knn_graph_rp" ->
+      s"""WITH ${DedupOps.rpBkCteSql}, pairs AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         |    ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} AS score
+         |  FROM bk a JOIN bk b
+         |    ON a.vec_id <> b.vec_id AND (${DedupOps.rpAnyBandSql})
+         |), ranked AS (
+         |  SELECT src_id, nbr_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY src_id
+         |      ORDER BY score DESC, nbr_id ASC) AS nbr_rank
+         |  FROM pairs
+         |)
+         |SELECT r.src_id, CAST(r.nbr_rank AS INTEGER) AS nbr_rank, r.nbr_id,
+         |  e.label AS nbr_label, r.score
+         |FROM ranked r JOIN embeddings e ON e.vec_id = r.nbr_id
+         |WHERE r.nbr_rank <= 5
+         |ORDER BY src_id, nbr_rank""".stripMargin,
     "q_knn_graph" ->
       s"""WITH n AS (
          |  SELECT vec_id, label, embedding,
@@ -1184,7 +1206,7 @@ object AnnOps {
          |      ORDER BY score DESC, nbr_id ASC) AS nbr_rank
          |  FROM pairs
          |)
-         |SELECT src_id, nbr_rank, nbr_id, nbr_label, score
+         |SELECT src_id, CAST(nbr_rank AS INTEGER) AS nbr_rank, nbr_id, nbr_label, score
          |FROM ranked WHERE nbr_rank <= 5
          |ORDER BY src_id, nbr_rank""".stripMargin,
     "q_ann_topk" ->

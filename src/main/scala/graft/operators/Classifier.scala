@@ -78,7 +78,10 @@ object ClassifierOps {
     * BROADCAST join against the KB-sized model grid, per-(doc, lang)
     * integer agg, then an argmax window partitioned by doc_id (never
     * unpartitioned). The confusion agg output is |langs|² rows. */
-  def nbScore(documents: DataFrame): DataFrame = {
+  /** Per-document NB prediction: (doc_id, lang, pred_lang) — the shared
+    * core of [[nbScore]] (confusion matrix) and [[nbFilter]] (mislabel
+    * audit). Same shapes as documented on the consumers. */
+  def nbPredict(documents: DataFrame): DataFrame = {
     val model = nbModel(documents)
     val langDocs = documents.groupBy("lang").agg(count(lit(1)).as("n_docs_lang"))
     val prior = langDocs
@@ -101,11 +104,26 @@ object ClassifierOps {
     scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .groupBy(col("lang"), col("cand"))
-      .agg(count(lit(1)).as("n_docs"))
-      .select(col("lang"), col("cand").as("pred_lang"), col("n_docs"))
-      .orderBy("lang", "pred_lang")
+      .select(col("doc_id"), col("lang"), col("cand").as("pred_lang"))
   }
+
+  def nbScore(documents: DataFrame): DataFrame =
+    nbPredict(documents)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+
+  /** §2-109 `q_classifier_filter`: the MISLABEL AUDIT — documents whose
+    * trained-NB prediction disagrees with their upstream lang label.
+    * This is the filter face of the classifier: a real pipeline routes
+    * these rows to quarantine/re-labeling before they poison a
+    * lang-filtered training mix (upstream metadata lies; CCNet keeps
+    * only docs where lid agrees). Same plan as [[nbPredict]] plus one
+    * row-level inequality — no extra shuffle. */
+  def nbFilter(documents: DataFrame): DataFrame =
+    nbPredict(documents)
+      .filter(col("pred_lang") =!= col("lang"))
+      .orderBy("doc_id")
 
   /** §2-103 `q_embed_classify`: nearest-centroid classification of every
     * embedding against the per-label centroids, as a confusion matrix —
@@ -208,6 +226,31 @@ object ClassifierOps {
          |FROM pred WHERE rn = 1
          |GROUP BY lang, cand
          |ORDER BY lang, pred_lang""".stripMargin,
+    "q_classifier_filter" ->
+      s"""WITH $modelCtes, prior_n AS (
+         |  SELECT lang, COUNT(*) AS nd FROM documents GROUP BY lang
+         |), prior AS (
+         |  SELECT lang AS cand,
+         |    CAST(round(ln(nd * 1.0 / (SELECT SUM(nd) FROM prior_n)) * 1e6) AS BIGINT) AS p_q6
+         |  FROM prior_n
+         |), doctok AS (
+         |  SELECT doc_id, lang, token, COUNT(*) AS c FROM toks GROUP BY doc_id, lang, token
+         |), scored AS (
+         |  SELECT d.doc_id, d.lang, g.lang AS cand,
+         |    CAST(SUM(d.c * g.w_q6) AS BIGINT) AS s
+         |  FROM doctok d JOIN grid g ON d.token = g.token
+         |  GROUP BY d.doc_id, d.lang, g.lang
+         |), tot AS (
+         |  SELECT s.doc_id, s.lang, s.cand, s.s + p.p_q6 AS score
+         |  FROM scored s JOIN prior p ON p.cand = s.cand
+         |), pred AS (
+         |  SELECT doc_id, lang, cand,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+         |  FROM tot
+         |)
+         |SELECT doc_id, lang, cand AS pred_lang
+         |FROM pred WHERE rn = 1 AND cand <> lang
+         |ORDER BY doc_id""".stripMargin,
     "q_embed_classify" ->
       s"""WITH idx AS (
          |  SELECT vec_id, label, embedding,

@@ -1378,7 +1378,7 @@ object DedupOps {
     * coefficient table over the 10⁶-quantized vector, so DuckDB derives
     * the SAME 16 band keys the native `rp_band_keys` does and both
     * engines see an identical pair universe. */
-  private lazy val rpBkCteSql: String = {
+  private[graft] lazy val rpBkCteSql: String = {
     val keys = (0 until graft.plans.RpLsh.Bands).map(j =>
       s"${VectorFuns.sql.rpBandKey("qv", j)} AS k$j").mkString(",\n    ")
     s"""q AS (
@@ -1405,7 +1405,7 @@ object DedupOps {
        |)""".stripMargin
   }
 
-  private lazy val rpAnyBandSql: String = (0 until graft.plans.RpLsh.Bands)
+  private[graft] lazy val rpAnyBandSql: String = (0 until graft.plans.RpLsh.Bands)
     .map(j => s"a.k$j = b.k$j").mkString(" OR ")
 
   /** Random-hyperplane pair SQL (see [[rpBkCteSql]]). */

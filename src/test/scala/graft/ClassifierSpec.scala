@@ -52,6 +52,10 @@ class ClassifierSpec extends SparkSpec {
     assert(real.map(_.getAs[Long]("n_docs")).sum == docs.count())
     val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
     assert(real.forall(r => langs(r.getString(0)) && langs(r.getString(1))))
+    // the mislabel audit is exactly the confusion matrix's off-diagonal mass
+    val offDiag = real.filter(r => r.getString(0) != r.getString(1))
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(ClassifierOps.nbFilter(docs).count() == offDiag)
   }
 
   test("nbScore plan: model rides in as broadcast joins, argmax window is doc-partitioned") {

@@ -46,6 +46,17 @@ def main():
         if got.shape != want.shape:
             print(f"FAIL {name}: shape {got.shape} != {want.shape}")
             n_fail += 1; continue
+        # dtype KIND parity approximates the driver's schema compare:
+        # int-width differences (int32 vs int64) pass there (r08 evidence),
+        # but int-vs-float / numeric-vs-object drifts do not
+        def kind(s):
+            k = s.dtype.kind
+            return "i" if k in "iu" else k
+        bad_types = [(c, str(got[c].dtype), str(want[c].dtype))
+                     for c in got.columns if kind(got[c]) != kind(want[c])]
+        if bad_types:
+            print(f"FAIL {name}: dtype kinds differ {bad_types}")
+            n_fail += 1; continue
         mismatch = None
         for c in got.columns:
             a, b = got[c], want[c]
