@@ -120,6 +120,8 @@ object SparkEntry {
     "q_drop_diff" -> ((s, dir) => CorpusOps.dropDiff(Tables.documents(s, dir))),
     "q_profile_by_source" -> ((s, dir) => CorpusOps.profileBySource(Tables.documents(s, dir))),
     "q_mixture" -> ((s, dir) => CorpusOps.mixture(Tables.documents(s, dir))),
+    "q_source_divergence" -> ((s, dir) =>
+      CorpusOps.sourceDivergence(Tables.documents(s, dir))),
     "q_epoch_order" -> ((s, dir) => CorpusOps.epochOrder(Tables.documents(s, dir))),
     "q_ngram_counts" -> ((s, dir) => CorpusOps.ngramCounts(Tables.documents(s, dir))),
     "q_tfidf" -> ((s, dir) => CorpusOps.tfidf(Tables.documents(s, dir))),
@@ -156,6 +158,8 @@ object SparkEntry {
     "q_summary_approx" -> ((s, dir) => EventOps.summaryApprox(Tables.events(s, dir))),
     "q_percentile_approx" -> ((s, dir) => StatsOps.percentileApprox(Tables.events(s, dir))),
     "q_profile_approx" -> ((s, dir) => CorpusOps.profileApprox(Tables.documents(s, dir))),
+    "q_compress_ratio" -> ((s, dir) =>
+      TextOps.compressRatio(Tables.documents(s, dir))),
     "q_frame_sample" -> ((s, dir) => MultimodalOps.frameSample(
       Tables.documents(s, dir).withColumn(
         "payload", org.apache.spark.sql.functions.col("text").cast("binary"))))

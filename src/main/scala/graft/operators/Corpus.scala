@@ -1123,6 +1123,51 @@ object CorpusOps {
         lit("source outside the synthetic target " +
           "contract src0..src19: "), col("source"))))
 
+  /** §2-110 `q_source_divergence`: per-source unigram KL divergence from
+    * the corpus distribution — KL(source ‖ corpus) in nats. THE domain-
+    * shift diagnostic of a mixing table: a source whose token
+    * distribution sits far from the blend (high KL) dominates or fights
+    * the mix; `q_mixture` says how much of each source, this says how
+    * DIFFERENT each source is. (Smoothing-free by construction: a
+    * source's tokens are a subset of the corpus's, so q_i > 0 wherever
+    * p_i > 0.)
+    *
+    * Integer-exact cross-engine trick (the NB-classifier discipline):
+    * KL = (1/N_s) Σ_i c_i · ln(p_i/q_i) with p_i = c_i/N_s, q_i = C_i/N.
+    * Each per-token log ratio is quantized ONCE to integer micro-nats,
+    * the weighted sum Σ c_i · w_q6 runs in int64 (order-independent),
+    * and the final /1e6/N_s is two IEEE divisions on exact integers.
+    *
+    * Shape: ONE corpus pass (the (source, token) count agg, map-side
+    * partials, vocab-bounded output); corpus totals derive from that
+    * frame (vocab-sized re-aggs) and ride back as broadcasts. At 100 TB:
+    * one keyed shuffle, model-sized everything-else. */
+  def sourceDivergence(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("source"), explode(TextFuns.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocab-bounded; consumed by 3 branches
+    val srcTotals = counts.groupBy("source").agg(sum("c").as("n_src"))
+    val tokTotals = counts.groupBy("token").agg(sum("c").as("c_tok"))
+    val grand = counts.agg(sum("c").as("n_all"))
+    counts
+      .join(broadcast(srcTotals), "source")
+      .join(broadcast(tokTotals), "token")
+      .crossJoin(broadcast(grand))
+      // w_q6 = round(ln((c/n_src)/(c_tok/n_all))·1e6): ln of a ratio of
+      // two exact-integer IEEE quotients — identical in both engines
+      .withColumn("w_q6",
+        round(log((col("c") * lit(1.0) / col("n_src")) /
+          (col("c_tok") * lit(1.0) / col("n_all"))) * 1e6).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("c") * col("w_q6")).as("kl_q6_sum"),
+        max(col("n_src")).as("n_tokens"))
+      .select(col("source"), col("n_tokens"), col("kl_q6_sum"),
+        (col("kl_q6_sum") / 1e6 / col("n_tokens")).as("kl_nats"))
+      .orderBy("source")
+  }
+
   def mixture(documents: DataFrame): DataFrame = {
     val tallies = documents.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
@@ -1386,6 +1431,31 @@ object CorpusOps {
         |SELECT doc_id, source, rk,
         |  CAST(row_number() OVER (ORDER BY rk, source) AS BIGINT) AS pos
         |FROM r ORDER BY pos""".stripMargin,
+    "q_source_divergence" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split($normSql, ' ')) AS token FROM documents
+         |), counts AS (
+         |  SELECT source, token, COUNT(*) AS c FROM toks GROUP BY source, token
+         |), src_tot AS (
+         |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM counts GROUP BY source
+         |), tok_tot AS (
+         |  SELECT token, CAST(SUM(c) AS BIGINT) AS c_tok FROM counts GROUP BY token
+         |), grand AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM counts
+         |), weighted AS (
+         |  SELECT c.source, c.c, s.n_src,
+         |    CAST(round(ln((c.c * 1.0 / s.n_src) / (t.c_tok * 1.0 / g.n_all)) * 1e6)
+         |      AS BIGINT) AS w_q6
+         |  FROM counts c
+         |  JOIN src_tot s ON s.source = c.source
+         |  JOIN tok_tot t ON t.token = c.token
+         |  CROSS JOIN grand g
+         |)
+         |SELECT source, MAX(n_src) AS n_tokens,
+         |  CAST(SUM(c * w_q6) AS BIGINT) AS kl_q6_sum,
+         |  CAST(SUM(c * w_q6) AS BIGINT) / 1e6 / MAX(n_src) AS kl_nats
+         |FROM weighted
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
     "q_mixture" ->
       s"""WITH t AS (
          |  SELECT source, COUNT(*) AS n_docs,

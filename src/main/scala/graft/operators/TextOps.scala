@@ -233,6 +233,47 @@ object TextOps {
     * synthetic corpus has no PII (those counts exercise the zero path;
     * planted-fixture spec covers the hit path); the probe phrases DO
     * occur, so redaction is exercised for real under the oracle. */
+  /** §2-D `q_compress_ratio`: zlib compressibility as a QUALITY signal —
+    * compressed/raw byte ratio per document. The classic cheap detector
+    * (Gopher/RefinedWeb lineage): near-zero ratio = templated/repetitive
+    * boilerplate, ratio near 1 = high-entropy noise (binary soup,
+    * encrypted junk); natural prose sits in a band between. Emitted
+    * per-doc so `curate`-style gates can threshold both tails.
+    *
+    * Deterministic for a fixed zlib level, but NOT SQL-expressible →
+    * rows-only driver check + behavioral spec (planted repetitive vs
+    * high-entropy text). Scale shape: pure map over partitions; ONE
+    * `Deflater` per partition, `reset()` between docs (allocating a
+    * native zlib stream per row would dominate the pass), freed on
+    * iterator exhaustion. No shuffle at all. */
+  def compressRatio(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        val mapped = it.map { case (id, src, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          d.reset()
+          d.setInput(raw)
+          d.finish()
+          // stored-mode worst case: ~5 bytes per 16 KB block + header
+          val buf = new Array[Byte](raw.length + (raw.length >> 9) + 64)
+          var n = 0
+          while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+          val ratio = if (raw.length == 0) 1.0 else n.toDouble / raw.length
+          (id, src, raw.length.toLong, n.toLong, ratio)
+        }
+        new scala.collection.AbstractIterator[(Long, String, Long, Long, Double)] {
+          def hasNext: Boolean = { val h = mapped.hasNext; if (!h) d.end(); h }
+          def next(): (Long, String, Long, Long, Double) = mapped.next()
+        }
+      }
+      .toDF("doc_id", "source", "n_bytes", "n_compressed", "compress_ratio")
+      .orderBy("doc_id")
+  }
+
   def redact(documents: DataFrame): DataFrame = {
     val start = documents.select(col("doc_id"), TextFuns.norm(col("text")).as("t"))
     val (done, counts) = RedactPatterns.foldLeft((start, Seq.empty[String])) {

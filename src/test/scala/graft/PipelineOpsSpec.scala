@@ -1473,6 +1473,65 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r4 >= 0.7, f"kNN-graph recall at 4-bit bands $r4%.3f below floor")
   }
 
+  test("compressRatio separates repetitive boilerplate from high-entropy noise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val planted = Seq(
+      (0L, ("spam ham " * 200).trim, "s0"), // templated → compresses hard
+      (1L, Array.fill(1600)(('a' + rnd.nextInt(26)).toChar).mkString, "s0"), // entropy
+      (2L, docs.select("text").head().getString(0), "s0") // natural-ish corpus text
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.compressRatio(planted).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("compress_ratio")).toMap
+    assert(out(0L) < 0.1, s"boilerplate must crush: ${out(0L)}")
+    assert(out(1L) > 0.5, s"entropy must resist: ${out(1L)}")
+    // short corpus docs carry fixed deflate overhead, so only the
+    // boilerplate bound is universal: both tails beat it clearly
+    assert(out(0L) < out(2L), s"corpus text must beat boilerplate: $out")
+    // ratio definition sanity on the real corpus + determinism across runs
+    val real = TextOps.compressRatio(docs).collect()
+    assert(real.forall(r => r.getAs[Double]("compress_ratio") > 0))
+    assert(real.forall(r => r.getAs[Long]("n_compressed") > 0))
+    val again = TextOps.compressRatio(docs).collect()
+    assert(real.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("sourceDivergence: KL is ~0 for a corpus-like source, large for a skewed one") {
+    import spark.implicits._
+    // s_same mirrors the corpus blend; s_skew speaks almost one token
+    val planted = Seq(
+      (0L, "aa bb cc dd", "s_same"), (1L, "aa bb cc dd", "s_same"),
+      (2L, "aa aa aa aa", "s_skew"), (3L, "aa aa aa bb", "s_skew")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusOps.sourceDivergence(planted).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("kl_q6_sum"), r.getAs[Double]("kl_nats"))).toMap
+    assert(out.keySet == Set("s_same", "s_skew"))
+    // replicate the integer-exact formula independently: per-token
+    // w_q6 = round(ln((c/n_src)/(c_tok/n_all))·1e6), KL_sum = Σ c·w_q6
+    val toks = Seq("aa bb cc dd" -> "s_same", "aa bb cc dd" -> "s_same",
+      "aa aa aa aa" -> "s_skew", "aa aa aa bb" -> "s_skew")
+      .flatMap { case (t, s) => t.split(" ").map(s -> _) }
+    val counts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nSrc = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cTok = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nAll = toks.size.toLong
+    val expected = counts.groupBy(_._1._1).map { case (s, m) =>
+      s -> m.map { case ((_, t), c) =>
+        c * math.round(math.log((c * 1.0 / nSrc(s)) / (cTok(t) * 1.0 / nAll)) * 1e6)
+      }.sum
+    }
+    assert(out("s_same")._1 == expected("s_same") &&
+      out("s_skew")._1 == expected("s_skew"), s"got $out want $expected")
+    // the nearly-one-token source diverges far more than the mixed one
+    assert(out("s_skew")._2 > out("s_same")._2 + 0.1, s"$out")
+    // real corpus: one row per source, n_tokens conserved
+    val real = CorpusOps.sourceDivergence(docs)
+    val nTok = real.agg(sum("n_tokens")).collect().head.getLong(0)
+    val expectedTok = docs.select(explode(
+      graft.functions.TextFuns.tokens(col("text")))).count()
+    assert(nTok == expectedTok)
+  }
+
   test("multimodalMeta + decodeBatches plumbing round-trips") {
     val meta = MultimodalOps.multimodalMeta(docs)
     assert(meta.count() == docs.count())

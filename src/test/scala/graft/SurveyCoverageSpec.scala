@@ -21,7 +21,7 @@ class SurveyCoverageSpec extends SparkSpec {
     * Everything else MUST have an exact oracle. */
   private val rowsOnly = Set(
     "q_summary_approx", "q_percentile_approx", "q_frame_sample",
-    "q_profile_approx")
+    "q_profile_approx", "q_compress_ratio")
 
   test("every SURVEY §2 query key has a DuckDB oracle unless declared rows-only") {
     val missing = surveyKeys -- SparkEntry.oracleSql.keySet -- rowsOnly
