@@ -387,4 +387,48 @@ class PlanAuditSpec extends SparkSpec {
     val generates = p.linesIterator.count(_.trim.startsWith("Generate"))
     assert(generates <= 2, s"$generates Generate nodes:\n$p")
   }
+
+  test("q_dedup_lines: row-level segmentation, two keyed shuffles, no join") {
+    val p = plan(DedupOps.dedupLines(Tables.documents(spark, sfDir)))
+    assert(!p.contains("Join"), p)
+    // md5 rank window + per-doc re-agg; + the output sort
+    assert(hashExchangeCount(p) <= 2, s"${hashExchangeCount(p)} hash exchanges:\n$p")
+    assert(exchangeCount(p) <= 3, s"${exchangeCount(p)} exchanges:\n$p")
+  }
+
+  test("q_source_divergence: one corpus-sized shuffle; model rides as broadcasts") {
+    val p = plan(CorpusOps.sourceDivergence(Tables.documents(spark, sfDir)))
+    // the (source, token) count agg is the only corpus-sized exchange;
+    // totals come back as broadcast joins, never shuffle joins
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q_classifier_score/q_classifier_filter: no shuffle joins anywhere") {
+    Seq(ClassifierOps.nbScore(Tables.documents(spark, sfDir)),
+      ClassifierOps.nbFilter(Tables.documents(spark, sfDir))).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+      // rank-1 argmax gets the group-limit pushdown (k rows per doc
+      // survive the partial stage, not |langs| rows)
+      assert(p.contains("WindowGroupLimit"), p)
+    }
+  }
+
+  test("q_knn_graph family: norms computed before the pair join; rank-k is group-limited") {
+    val exact = plan(AnnOps.knnGraph(Tables.embeddings(spark, sfDir)))
+    // the pair join must be a broadcast nested loop (no shuffle of pairs)
+    assert(exact.contains("BroadcastNestedLoopJoin"), exact)
+    assert(exact.contains("WindowGroupLimit"), exact)
+    val rp = plan(AnnOps.knnGraphRp(Tables.embeddings(spark, sfDir)))
+    assert(rp.contains("WindowGroupLimit"), rp)
+    // candidates come from the band equi-join — no nested loop anywhere
+    assert(!rp.contains("BroadcastNestedLoopJoin"), rp)
+  }
+
+  test("q_compress_ratio: map-only — zero hash exchanges before the output sort") {
+    val p = plan(TextOps.compressRatio(Tables.documents(spark, sfDir)))
+    assert(hashExchangeCount(p) == 0, s"${hashExchangeCount(p)} hash exchanges:\n$p")
+  }
 }
