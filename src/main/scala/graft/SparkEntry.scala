@@ -27,6 +27,11 @@ object SparkEntry {
       Relational.orderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "q_promo_share" -> ((s, dir) =>
       Relational.promoShare(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_shipping_priority" -> ((s, dir) =>
+      Relational.shippingPriority(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir))),
+    "q_forecast_revenue" -> ((s, dir) =>
+      Relational.forecastRevenue(Tables.lineitem(s, dir))),
     // --- event analytics (§2 rows 1-4, 10, 14, 23) ---
     "q_event_scan" -> ((s, dir) => EventOps.eventScan(Tables.events(s, dir))),
     "q_match_stats" -> ((s, dir) => EventOps.matchStats(Tables.events(s, dir))),

@@ -78,17 +78,26 @@ object ClassifierOps {
     * BROADCAST join against the KB-sized model grid, per-(doc, lang)
     * integer agg, then an argmax window partitioned by doc_id (never
     * unpartitioned). The confusion agg output is |langs|² rows. */
-  /** Per-document NB prediction: (doc_id, lang, pred_lang) — the shared
-    * core of [[nbScore]] (confusion matrix) and [[nbFilter]] (mislabel
-    * audit). Same shapes as documented on the consumers. */
-  def nbPredict(documents: DataFrame): DataFrame = {
-    val model = nbModel(documents)
+  /** The class-prior table (cand, p_q6) in integer micro-nats —
+    * persisted next to [[nbModel]]'s grid at train time; the pair IS the
+    * deployable model artifact. */
+  def nbPrior(documents: DataFrame): DataFrame = {
     val langDocs = documents.groupBy("lang").agg(count(lit(1)).as("n_docs_lang"))
-    val prior = langDocs
+    langDocs
       .crossJoin(broadcast(langDocs.agg(sum("n_docs_lang").as("n_total"))))
       .select(col("lang").as("cand"),
         round(log(col("n_docs_lang") * lit(1.0) / col("n_total")) * 1e6)
           .cast("long").as("p_q6"))
+  }
+
+  /** APPLY a trained model to any documents frame: (doc_id, lang,
+    * pred_lang). The model (grid + prior) rides in as broadcasts, so
+    * this is the pure scoring pass — train once, apply to a new drop or
+    * a live stream (`EventStream.classifyStream`) without retraining.
+    * Out-of-vocabulary tokens are SKIPPED (the fastText convention): an
+    * unseen token carries no evidence either way. */
+  def nbApply(documents: DataFrame, model: DataFrame,
+              prior: DataFrame): DataFrame = {
     val docTok = documents
       .select(col("doc_id"), col("lang"), explode(TextFuns.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("lang"), col("token"))
@@ -106,6 +115,12 @@ object ClassifierOps {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("cand").as("pred_lang"))
   }
+
+  /** Per-document NB prediction: (doc_id, lang, pred_lang) — the shared
+    * core of [[nbScore]] (confusion matrix) and [[nbFilter]] (mislabel
+    * audit): train on the corpus, apply to the corpus. */
+  def nbPredict(documents: DataFrame): DataFrame =
+    nbApply(documents, nbModel(documents), nbPrior(documents))
 
   def nbScore(documents: DataFrame): DataFrame =
     nbPredict(documents)

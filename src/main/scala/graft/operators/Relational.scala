@@ -151,7 +151,69 @@ object Relational {
         lit(100.0) * col("promo_revenue") / col("total_revenue"))
   }
 
+  /** TPC-H-Q3-shaped shipping priority: top unshipped orders by revenue
+    * — fact ⋈ fact ⋈ small dim with a top-k head.
+    *
+    * Plan shape: customer prunes (broadcast) BEFORE the fact join; both
+    * facts filter at the scan (pushdown); the lineitem⋈orders join is
+    * the one real shuffle; the k-row head compiles to
+    * TakeOrderedAndProject (per-partition heaps — no global sort of the
+    * join output). The canonical "find the work queue" query at any
+    * scale. */
+  def shippingPriority(lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame, n: Int = 10): DataFrame = {
+    val cut = lit("1998-03-15").cast("timestamp")
+    val rev = col("l_extendedprice").cast(d18) *
+      (lit(1) - col("l_discount").cast(d18))
+    lineitem.filter(col("l_shipdate") > cut)
+      .join(orders.filter(col("o_orderdate") < cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(n)
+  }
+
+  /** TPC-H-Q6-shaped forecast revenue: one filtered aggregate, no joins
+    * — the query whose entire cost is the SCAN, so it is the purest
+    * pushdown/pruning benchmark in the suite.
+    *
+    * Plan shape: all three range predicates reach the parquet scan
+    * (PushedFilters); only two columns are read (ReadSchema); the agg is
+    * a 1-row DECIMAL-exact fold. At 100 TB this is the query that shows
+    * whether the scan layer is doing its job — nothing else can hide. */
+  def forecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(d18) * col("l_discount").cast(d18))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+
   val oracles: Map[String, String] = Map(
+    "q_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_shipdate > TIMESTAMP '1998-03-15'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders

@@ -483,6 +483,27 @@ object EventStream {
         col("r_ts"), col("r_type"), col("r_value"))
   }
 
+  /** §2-C stream-static CLASSIFICATION: score each micro-batch of
+    * documents against a PERSISTED NB model (the
+    * `ClassifierOps.nbModel` grid + `nbPrior` table written at train
+    * time) — the train-batch / apply-stream deployment of the
+    * classifier family, e.g. live langid on an ingest stream before
+    * routing. Per batch: `ClassifierOps.nbApply` (broadcast model, one
+    * token pass, doc-partitioned argmax) — the SAME function the batch
+    * estate uses, so stream and batch predictions cannot drift. The
+    * model frames ride in as THUNKS re-evaluated per micro-batch (the
+    * profileStream convention): a nightly retrain at a NEW path is
+    * picked up without restarting the query. */
+  def classifyStream(docs: DataFrame, model: () => DataFrame,
+                     prior: () => DataFrame)
+                    (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.operators.ClassifierOps.nbApply(batch, model(), prior()), id)
+      }
+      .start()
+
   /** §2-C stream-static enrichment: join the unbounded stream against a
     * bounded dimension. The static side's DATA files are re-read per
     * micro-batch but its file LISTING is snapshotted at DataFrame build

@@ -427,6 +427,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!rp.contains("BroadcastNestedLoopJoin"), rp)
   }
 
+  test("q_forecast_revenue: every predicate reaches the scan; two columns read") {
+    val p = plan(Relational.forecastRevenue(Tables.lineitem(spark, sfDir)))
+    assert(p.contains("PushedFilters"), p)
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), pushed)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("q_shipping_priority: dim broadcast, top-k head, one fact shuffle join") {
+    val p = plan(Relational.shippingPriority(Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_compress_ratio: map-only — zero hash exchanges before the output sort") {
     val p = plan(TextOps.compressRatio(Tables.documents(spark, sfDir)))
     assert(hashExchangeCount(p) == 0, s"${hashExchangeCount(p)} hash exchanges:\n$p")

@@ -796,6 +796,38 @@ class StreamingSpec extends SparkSpec {
     assert(r.getLong(0) == 30486L && r.getDouble(1) == 0.31)
   }
 
+  test("classifyStream scores micro-batches with the persisted model = batch apply") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.ClassifierOps
+    val docs = Tables.documents(spark, sfDir)
+    // train once, persist the model pair (the deployable artifact)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nbmodel").toString
+    ClassifierOps.nbModel(docs).write.parquet(s"$dir/grid")
+    ClassifierOps.nbPrior(docs).write.parquet(s"$dir/prior")
+    val model = () => spark.read.parquet(s"$dir/grid")
+    val prior = () => spark.read.parquet(s"$dir/prior")
+    val expected = ClassifierOps.nbApply(docs, model(), prior())
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val input = MemoryStream[(Long, String, String)]
+    val sunk = scala.collection.mutable.Map[Long, String]()
+    val q = EventStream.classifyStream(
+      input.toDF().toDF("doc_id", "lang", "text"), model, prior) { (df, _) =>
+      df.collect().foreach(r => sunk(r.getLong(0)) = r.getString(2))
+    }
+    try {
+      val rows = docs.select("doc_id", "lang", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      input.addData(rows.take(20).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(20).take(20).toSeq: _*)
+      q.processAllAvailable()
+      assert(sunk.size == 40)
+      assert(sunk.forall { case (id, pred) => expected(id) == pred },
+        "stream prediction must equal the batch apply")
+    } finally q.stop()
+  }
+
   test("streamStreamJoin pairs events within the gap; batch run agrees") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
