@@ -76,6 +76,7 @@ object MultimodalOps {
             .orElse(decodeWav(bytes, dim))
             .orElse(decodeBmp(bytes, dim))
             .orElse(decodePng(bytes, dim))
+            .orElse(decodeQoi(bytes, dim))
             .getOrElse(decodeStub(bytes, dim))
           Row(id, mime, bytes.length, feats)
         }
@@ -422,6 +423,93 @@ object MultimodalOps {
       }
       y += 1
     }
+    val feats = new Array[Float](dim)
+    val out = Array[Float](w.toFloat, h.toFloat,
+      (sum(0).toDouble / nPix / 255).toFloat,
+      (sum(1).toDouble / nPix / 255).toFloat,
+      (sum(2).toDouble / nPix / 255).toFloat,
+      min(0) / 255f, min(1) / 255f, min(2) / 255f,
+      max(0) / 255f, max(1) / 255f, max(2) / 255f)
+    System.arraycopy(out, 0, feats, 0, math.min(out.length, dim))
+    Some(feats)
+  }
+
+  /** Dependency-free QOI decoder (qoiformat.org — the one-page public
+    * spec): 14-byte header (magic "qoif", u32be w/h, channels 3|4),
+    * then a chunk stream of RGB/RGBA literals, 64-slot hash-index
+    * refs, DIFF/LUMA deltas, and runs. Same feature contract as the
+    * PPM/BMP/PNG paths: [w, h, mean RGB, min RGB, max RGB] over /255.
+    *
+    * Decoded STREAMING: QOI needs only the previous pixel + the 64-entry
+    * index table, and this is a feature extractor — stats fold per pixel,
+    * so memory is O(1) regardless of geometry (the PNG path must
+    * materialize rows for its filters; QOI never does). A pixel budget
+    * still bounds CPU against a lying header. None = wrong magic,
+    * malformed chunk stream, or fewer pixels than the header promised. */
+  private[graft] def decodeQoi(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (bytes.length < 14 + 8 || bytes(0) != 'q' || bytes(1) != 'o' ||
+      bytes(2) != 'i' || bytes(3) != 'f') return None
+    def u32be(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    val w = u32be(4)
+    val h = u32be(8)
+    val channels = bytes(12) & 0xff
+    if (w <= 0 || h <= 0 || (channels != 3 && channels != 4)) return None
+    val nPix = w * h
+    if (nPix > 256L * 1024 * 1024) return None // CPU bomb guard
+    // running pixel state + the 64-slot index (r,g,b,a packed per slot)
+    var r = 0; var g = 0; var b = 0; var a = 255
+    val idx = new Array[Int](64 * 4)
+    val sum = new Array[Long](3)
+    val min = Array.fill(3)(255)
+    val max = new Array[Int](3)
+    var seen = 0L
+    var i = 14
+    def emit(run: Int): Unit = {
+      sum(0) += r.toLong * run; sum(1) += g.toLong * run; sum(2) += b.toLong * run
+      if (r < min(0)) min(0) = r; if (r > max(0)) max(0) = r
+      if (g < min(1)) min(1) = g; if (g > max(1)) max(1) = g
+      if (b < min(2)) min(2) = b; if (b > max(2)) max(2) = b
+      seen += run
+    }
+    while (seen < nPix && i < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      i += 1
+      if (b0 == 0xfe) { // QOI_OP_RGB
+        if (i + 3 > bytes.length) return None
+        r = bytes(i) & 0xff; g = bytes(i + 1) & 0xff; b = bytes(i + 2) & 0xff
+        i += 3; emit(1)
+      } else if (b0 == 0xff) { // QOI_OP_RGBA
+        if (i + 4 > bytes.length) return None
+        r = bytes(i) & 0xff; g = bytes(i + 1) & 0xff; b = bytes(i + 2) & 0xff
+        a = bytes(i + 3) & 0xff
+        i += 4; emit(1)
+      } else (b0 >> 6) match {
+        case 0 => // QOI_OP_INDEX
+          val s = (b0 & 0x3f) * 4
+          r = idx(s); g = idx(s + 1); b = idx(s + 2); a = idx(s + 3)
+          emit(1)
+        case 1 => // QOI_OP_DIFF (wrapping, per spec)
+          r = (r + ((b0 >> 4) & 3) - 2) & 0xff
+          g = (g + ((b0 >> 2) & 3) - 2) & 0xff
+          b = (b + (b0 & 3) - 2) & 0xff
+          emit(1)
+        case 2 => // QOI_OP_LUMA
+          if (i >= bytes.length) return None
+          val b1 = bytes(i) & 0xff; i += 1
+          val dg = (b0 & 0x3f) - 32
+          r = (r + dg + ((b1 >> 4) & 0xf) - 8) & 0xff
+          g = (g + dg) & 0xff
+          b = (b + dg + (b1 & 0xf) - 8) & 0xff
+          emit(1)
+        case _ => // QOI_OP_RUN (1..62; 63/64 are the RGB/RGBA tags)
+          emit((b0 & 0x3f) + 1)
+      }
+      val s = ((r * 3 + g * 5 + b * 7 + a * 11) % 64) * 4
+      idx(s) = r; idx(s + 1) = g; idx(s + 2) = b; idx(s + 3) = a
+    }
+    if (seen != nPix) return None // truncated, or run overshot the count
     val feats = new Array[Float](dim)
     val out = Array[Float](w.toFloat, h.toFloat,
       (sum(0).toDouble / nPix / 255).toFloat,

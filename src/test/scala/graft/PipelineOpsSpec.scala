@@ -1306,6 +1306,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.getSeq[Float](3)(0) == 2f && out.getSeq[Float](3)(2) == 0.5f)
   }
 
+  test("decodeQoi: all six opcodes decode streaming; rejects junk and bombs") {
+    import spark.implicits._
+    def header(w: Int, h: Int, ch: Int = 3): Seq[Int] =
+      Seq('q'.toInt, 'o'.toInt, 'i'.toInt, 'f'.toInt,
+        w >> 24, (w >> 16) & 0xff, (w >> 8) & 0xff, w & 0xff,
+        h >> 24, (h >> 16) & 0xff, (h >> 8) & 0xff, h & 0xff, ch, 0)
+    // 2×4 image, every opcode: RGB literal, RUN×2, DIFF, LUMA, INDEX
+    // (back to px1's slot), RGBA literal, RUN×1
+    val chunks = Seq(
+      0xfe, 10, 20, 30, // OP_RGB            → (10,20,30)
+      0xc0 | 1, // OP_RUN 2                  → ×2
+      (1 << 6) | (3 << 4) | (2 << 2) | 1, // OP_DIFF +1,0,-1 → (11,20,29)
+      0x80 | 37, (9 << 4) | 7, // OP_LUMA dg=5, dr=6, db=4    → (17,25,33)
+      0x09, // OP_INDEX slot 9 = hash(10,20,30,255)           → (10,20,30)
+      0xff, 100, 110, 120, 128, // OP_RGBA   → (100,110,120)
+      0xc0) // OP_RUN 1                      → ×1
+    val end = Seq(0, 0, 0, 0, 0, 0, 0, 1)
+    val qoi = (header(2, 4) ++ chunks ++ end).map(_.toByte).toArray
+    val f = MultimodalOps.decodeQoi(qoi, 16).get
+    assert(f(0) == 2f && f(1) == 4f, f.toSeq)
+    // sums over the 8 pixels: r=268, g=345, b=422 (hand-derived)
+    assert(f(2) == (268.0 / 8 / 255).toFloat, f.toSeq)
+    assert(f(3) == (345.0 / 8 / 255).toFloat, f.toSeq)
+    assert(f(4) == (422.0 / 8 / 255).toFloat, f.toSeq)
+    assert(f(5) == 10 / 255f && f(6) == 20 / 255f && f(7) == 29 / 255f, f.toSeq)
+    assert(f(8) == 100 / 255f && f(9) == 110 / 255f && f(10) == 120 / 255f, f.toSeq)
+    // rejects: truncated stream, run overshooting the pixel count,
+    // geometry bomb, wrong magic
+    assert(MultimodalOps.decodeQoi(qoi.dropRight(end.length + 2), 16).isEmpty)
+    val overshoot = (header(2, 4) ++ Seq(0xfe, 1, 2, 3, 0xc0 | 61) ++ end)
+      .map(_.toByte).toArray // 1 + 62 pixels promised 8
+    assert(MultimodalOps.decodeQoi(overshoot, 16).isEmpty)
+    val bomb = (header(0x7fffff, 0x7fffff) ++ chunks ++ end).map(_.toByte).toArray
+    assert(MultimodalOps.decodeQoi(bomb, 16).isEmpty)
+    assert(MultimodalOps.decodeQoi("qoij not this".getBytes("US-ASCII"), 16).isEmpty)
+    // sniffed through decodeBatches despite a lying mime label
+    val df = Seq((1L, "text/plain", qoi)).toDF("doc_id", "mime", "payload")
+    val out = MultimodalOps.decodeBatches(df, dim = 16).collect().head
+    assert(out.getSeq[Float](3)(0) == 2f && out.getSeq[Float](3)(1) == 4f)
+  }
+
   test("decodePng: real zlib-compressed pixels through all five filters; rejects junk") {
     import spark.implicits._
     def u32be(v: Long): Seq[Byte] =
