@@ -107,6 +107,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextOps.quality(Tables.documents(s, dir))),
     "q_tokens" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
+    "q_seqlen_hist" -> ((s, dir) => TextOps.seqlenHist(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "q_redact" -> ((s, dir) => TextOps.redact(Tables.documents(s, dir))),
     "q_hash_embed" -> ((s, dir) => TextOps.hashEmbed(Tables.documents(s, dir))),

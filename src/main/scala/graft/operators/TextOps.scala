@@ -115,6 +115,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** §2-113 `q_seqlen_hist`: per-source sequence-length histogram over
+    * the BPE-ish token count — the PACKING PLANNER's input: bin counts
+    * tell you how many docs fit a context window whole, how many must
+    * chunk, and what `q_pack`'s bin utilization will be BEFORE running
+    * it. One row per (source, bin of `binWidth` tokens), with each
+    * bin's doc count, token mass, and its share of the source's docs.
+    *
+    * Shape: row-level token count (codegen'd regex, no explode) → ONE
+    * shuffle on (source, bin) with map-side partials → per-source
+    * totals as a window over the bin frame (sources × bins rows — KBs).
+    * The share division is exact-integer → IEEE, oracle-hashable. */
+  def seqlenHist(documents: DataFrame, binWidth: Int = 32): DataFrame = {
+    val t = TextFuns.norm(col("text"))
+    val nTok = size(regexp_extract_all(t, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    val binned = documents
+      .select(col("source"), nTok.cast("long").as("n_tok"))
+      .withColumn("bin", (col("n_tok") / binWidth).cast("long") * binWidth)
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    binned
+      .withColumn("doc_share",
+        col("n_docs") * lit(1.0) / sum(col("n_docs")).over(w))
+      .orderBy("source", "bin")
+  }
+
   /** §2-84 `q_hash_embed`: feature-hashed bag-of-words embedding — the
     * "hashing trick": every token maps to one of `dims` slots by a hash
     * of the token itself (no vocabulary, no model, no training pass),
@@ -343,6 +369,20 @@ object TextOps {
          |            THEN 0.2 ELSE 0.0 END) AS quality_score
          |FROM s
          |ORDER BY doc_id""".stripMargin,
+    "q_seqlen_hist" ->
+      s"""WITH counted AS (
+         |  SELECT source,
+         |    CAST(len(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tok
+         |  FROM documents
+         |), binned AS (
+         |  SELECT source, (n_tok // 32) * 32 AS bin,
+         |    COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM counted GROUP BY source, (n_tok // 32) * 32
+         |)
+         |SELECT source, bin, n_docs, n_tokens,
+         |  n_docs * 1.0 / SUM(n_docs) OVER (PARTITION BY source) AS doc_share
+         |FROM binned
+         |ORDER BY source, bin""".stripMargin,
     "q_tokens" ->
       s"""WITH s AS (
          |  SELECT doc_id,

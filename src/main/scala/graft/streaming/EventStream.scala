@@ -468,7 +468,8 @@ object EventStream {
     * sides arrive (no watermark wait on the match itself). */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
                        maxGap: String = "10 minutes",
-                       watermark: String = "20 minutes"): DataFrame = {
+                       watermark: String = "20 minutes",
+                       joinType: String = "inner"): DataFrame = {
     val l = left.select(col("user_id"), col("ts").as("l_ts"),
         col("event_type").as("l_type"), col("value").as("l_value"))
       .withWatermark("l_ts", watermark)
@@ -478,10 +479,26 @@ object EventStream {
     l.join(r,
         col("user_id") === col("r_user") &&
           col("r_ts") > col("l_ts") &&
-          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGap"))
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGap"),
+        joinType)
       .select(col("user_id"), col("l_ts"), col("l_type"), col("l_value"),
         col("r_ts"), col("r_type"), col("r_value"))
   }
+
+  /** The NEGATIVE-attribution face of [[streamStreamJoin]]: left events
+    * with NO matching right event inside the gap — e.g. views that never
+    * converted, ingest batches that never acked. Structured Streaming
+    * semantics worth spelling out: a LEFT OUTER interval join cannot
+    * emit the null-matched row until the WATERMARK passes the end of the
+    * left row's match window (only then is "no match" final) — so
+    * results trail by `watermark + maxGap`, the price of a correct
+    * negative. State stays bounded exactly like the inner join. */
+  def streamStreamUnmatched(left: DataFrame, right: DataFrame,
+                            maxGap: String = "10 minutes",
+                            watermark: String = "20 minutes"): DataFrame =
+    streamStreamJoin(left, right, maxGap, watermark, "left_outer")
+      .filter(col("r_ts").isNull)
+      .select(col("user_id"), col("l_ts"), col("l_type"), col("l_value"))
 
   /** §2-C stream-static CLASSIFICATION: score each micro-batch of
     * documents against a PERSISTED NB model (the

@@ -1514,6 +1514,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r4 >= 0.7, f"kNN-graph recall at 4-bit bands $r4%.3f below floor")
   }
 
+  test("seqlenHist bins conserve docs and tokens; shares sum to 1 per source") {
+    val out = TextOps.seqlenHist(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val expectedTokens = TextOps.tokenCounts(docs)
+      .agg(sum(col("n_bpe_tokens"))).collect().head.getLong(0)
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == expectedTokens)
+    out.groupBy(_.getString(0)).values.foreach { rows =>
+      val share = rows.map(_.getAs[Double]("doc_share")).sum
+      assert(math.abs(share - 1.0) < 1e-9, s"shares sum to $share")
+    }
+    // every doc's count falls inside its bin
+    assert(out.forall { r =>
+      val bin = r.getAs[Long]("bin"); val n = r.getAs[Long]("n_docs")
+      val tks = r.getAs[Long]("n_tokens")
+      tks >= bin * n && tks < (bin + 32) * n
+    })
+  }
+
   test("compressRatio separates repetitive boilerplate from high-entropy noise") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -828,6 +828,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamStreamUnmatched emits a never-converted view only after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStream.streamStreamUnmatched(views.toDF(), clicks.toDF(),
+      maxGap = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("ssu").outputMode("append").start()
+    try {
+      // user 1 converts inside the gap; user 2 never converts
+      views.addData(Event(ts(0), 1L, "view", 1.0), Event(ts(0), 2L, "view", 1.0))
+      clicks.addData(Event(ts(5), 1L, "click", 2.0))
+      q.processAllAvailable()
+      // watermark has not passed 10:00 + gap yet → NO negative emitted
+      assert(spark.table("ssu").isEmpty, "negative must wait for the watermark")
+      // advance BOTH watermarks far past the match window
+      views.addData(Event(ts(60), 3L, "view", 1.0))
+      clicks.addData(Event(ts(60), 3L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssu").collect()
+      assert(rows.map(_.getAs[Long]("user_id")).toSet == Set(2L),
+        s"only the never-converted view: ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("streamStreamJoin pairs events within the gap; batch run agrees") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
