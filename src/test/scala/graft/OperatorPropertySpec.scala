@@ -62,4 +62,63 @@ class OperatorPropertySpec extends SparkSpec {
       assert(plain.exceptAll(saltedCols).count() == 0, s"$jt missing rows")
     }
   }
+
+  test("dedupLines matches a plain-Scala first-occurrence model on random corpora") {
+    import spark.implicits._
+    val words = Vector("aa", "bb", "cc", "dd", "ee")
+    val gen = Gen.listOfN(40, Gen.listOfN(
+      25, Gen.oneOf(words)).map(_.mkString(" ")))
+    val texts = gen.sample.get
+    val docs = texts.zipWithIndex
+      .map { case (t, id) => (id.toLong, t, s"s${id % 3}") }
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.DedupOps.dedupLines(docs, segTokens = 10).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_seg"), r.getAs[Long]("n_kept")))
+      .toMap
+    // model: segments in (doc_id, pos) order; a segment is kept iff its
+    // text was never seen before
+    val seen = scala.collection.mutable.Set[String]()
+    texts.zipWithIndex.foreach { case (t, id) =>
+      val segs = t.split(" ").grouped(10).map(_.mkString(" ")).toSeq
+      val kept = segs.count(s => seen.add(s))
+      assert(got(id.toLong) == (segs.length.toLong, kept.toLong),
+        s"doc $id: got ${got(id.toLong)} want (${segs.length}, $kept)")
+    }
+  }
+
+  test("nbScore confusion equals a plain-Scala NB model on random corpora") {
+    import spark.implicits._
+    val words = Vector("tok0", "tok1", "tok2", "tok3")
+    val langs = Vector("aa", "bb")
+    val gen = Gen.listOfN(30, for {
+      n <- Gen.choose(3, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf(words))
+      l <- Gen.oneOf(langs)
+    } yield (ws.mkString(" "), l))
+    val rows = gen.sample.get
+    val docs = rows.zipWithIndex
+      .map { case ((t, l), id) => (id.toLong, t, l) }.toDF("doc_id", "text", "lang")
+    // plain-Scala model with the identical integer quantization
+    val toks = rows.flatMap { case (t, l) => t.split(" ").map(l -> _) }
+    val counts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nLang = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val vocab = toks.map(_._2).distinct
+    val v = vocab.size.toLong
+    def w(l: String, t: String): Long = math.round(math.log(
+      (counts.getOrElse((l, t), 0L) + 1) * 1.0 / (nLang(l) + v)) * 1e6)
+    val nDocs = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def prior(l: String): Long =
+      math.round(math.log(nDocs(l) * 1.0 / rows.size) * 1e6)
+    val present = langs.filter(nDocs.contains)
+    val predicted = rows.map { case (t, actual) =>
+      val scores = present.map { l =>
+        l -> (t.split(" ").map(tok => w(l, tok)).sum + prior(l))
+      }
+      actual -> scores.minBy { case (l, s) => (-s, l) }._1
+    }
+    val expected = predicted.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.ClassifierOps.nbScore(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs")).toMap
+    assert(got == expected, s"got $got want $expected")
+  }
 }

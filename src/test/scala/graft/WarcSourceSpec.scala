@@ -60,6 +60,31 @@ class WarcSourceSpec extends SparkSpec {
       r.getAs[Long]("content_length") == r.getAs[Array[Byte]]("payload").length))
   }
 
+  test("WARC bodies flow into the text estate: langId + exact dedup end-to-end") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_warc3")
+    def resp(uri: String, body: String, id: String): Array[Byte] = {
+      val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body)
+        .getBytes(US_ASCII)
+      record("response", uri, payload, id)
+    }
+    val dup = "the a the a common crawl body repeated verbatim"
+    Files.write(dir.resolve("seg.warc"),
+      resp("http://x/1", dup, "r1") ++
+        resp("http://x/2", dup, "r2") ++ // exact duplicate page
+        resp("http://x/3", "table part window batch table part", "r3"))
+    // WARC → (uri, body) → the documents shape the whole estate consumes
+    val docs = graft.sources.WarcSource.httpResponses(
+        graft.sources.WarcSource.read(spark, dir.toString))
+      .select(monotonically_increasing_id().as("doc_id"),
+        col("body").as("text"), col("target_uri"))
+    val lang = graft.operators.TextOps.langId(docs).collect()
+    assert(lang.length == 3)
+    val deduped = graft.operators.DedupOps.dedupExact(docs).collect()
+    assert(deduped.length == 2, "the two identical pages must collapse")
+    assert(deduped.map(_.getAs[Long]("n_copies")).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("httpResponses splits status and body; malformed tail drops cleanly") {
     val dir = Files.createTempDirectory("graft_warc2")
     // valid records followed by a record whose declared length overruns
