@@ -63,6 +63,7 @@ object SparkEntry {
     "q_lag_delta" -> ((s, dir) => SessionOps.lagDelta(Tables.events(s, dir))),
     "q_journey" -> ((s, dir) => SessionOps.journey(Tables.events(s, dir))),
     "q_funnel" -> ((s, dir) => SessionOps.funnel(Tables.events(s, dir))),
+    "q_funnel_latency" -> ((s, dir) => SessionOps.funnelLatency(Tables.events(s, dir))),
     "q_retention" -> ((s, dir) => SessionOps.retention(Tables.events(s, dir))),
     "q_session_window" -> ((s, dir) => SessionOps.sessionWindow(Tables.events(s, dir))),
     // --- geometry (§2 rows 15, 17, 18) ---

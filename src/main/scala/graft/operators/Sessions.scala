@@ -183,8 +183,13 @@ object SessionOps {
     * chained-join build. At 100 TB this is the same co-partitioned sort
     * [[sessionize]] pays, vs |steps| shuffled joins for the naive
     * funnel. */
-  def funnel(events: DataFrame,
-             steps: Seq[String] = FunnelSteps): DataFrame = {
+  /** Per-user first-qualifying timestamp of every funnel stage —
+    * (user_id, t1..tk µs, null where the user never reached the stage).
+    * The shared core of [[funnel]] (counts + summed gaps) and
+    * [[funnelLatency]] (per-transition latency stats): one user_id
+    * window sort feeds every chain. */
+  private[graft] def funnelUserTimes(events: DataFrame,
+                                     steps: Seq[String]): DataFrame = {
     // single-digit stage prefixes keep the output ordering lexicographic
     require(steps.size >= 2 && steps.size <= 9, "funnel needs 2-9 steps")
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -205,9 +210,14 @@ object SessionOps {
         qualified.withColumn(s"r$i", min(col(s"q$i")).over(w))
       else qualified
     }
-    val perUser = staged.groupBy(col("user_id")).agg(
+    staged.groupBy(col("user_id")).agg(
       min(col("q1")).as("t1"),
       (2 to steps.size).map(i => min(col(s"q$i")).as(s"t$i")): _*)
+  }
+
+  def funnel(events: DataFrame,
+             steps: Seq[String] = FunnelSteps): DataFrame = {
+    val perUser = funnelUserTimes(events, steps)
     val totals =
       (1 to steps.size).map(i => count(col(s"t$i")).as(s"n$i")) ++
         (2 to steps.size).map(i =>
@@ -220,6 +230,36 @@ object SessionOps {
     perUser.agg(totals.head, totals.tail: _*)
       .selectExpr(
         s"stack(${steps.size}, $stackRows) AS (stage, n_users, sum_gap_us)")
+      .orderBy("stage")
+  }
+
+  /** §2-114 `q_funnel_latency`: TIME-TO-CONVERT per funnel transition —
+    * for each stage i ≥ 2, over the users who completed it: how many,
+    * and the sum/min/max/mean of (tᵢ − tᵢ₋₁) in µs. `q_funnel` says
+    * where users drop; this says how long the survivors take — the
+    * second question every funnel owner asks.
+    *
+    * Same ONE user_id window sort as the funnel ([[funnelUserTimes]]);
+    * latencies are integer-µs sums (order-independent, exact), the mean
+    * is one IEEE division on the 1-row result. A stage nobody completed
+    * is all-NULL except n_users=0 — identical semantics in both
+    * engines. */
+  def funnelLatency(events: DataFrame,
+                    steps: Seq[String] = FunnelSteps): DataFrame = {
+    val perUser = funnelUserTimes(events, steps)
+    val aggs = (2 to steps.size).flatMap { i =>
+      val gap = col(s"t$i") - col(s"t${i - 1}")
+      Seq(count(col(s"t$i")).as(s"n$i"), sum(gap).as(s"g$i"),
+        min(gap).as(s"mn$i"), max(gap).as(s"mx$i"))
+    }
+    val stackRows = (2 to steps.size).map { i =>
+      s"'${i}_${steps(i - 1)}', n$i, g$i, mn$i, mx$i"
+    }.mkString(", ")
+    perUser.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${steps.size - 1}, $stackRows) AS " +
+        "(stage, n_users, sum_gap_us, min_gap_us, max_gap_us)")
+      .withColumn("avg_gap_us",
+        when(col("n_users") > 0, col("sum_gap_us") * lit(1.0) / col("n_users")))
       .orderBy("stage")
   }
 
@@ -295,6 +335,37 @@ object SessionOps {
          |       CAST(0 AS BIGINT) AS sum_gap_us FROM agg
          |UNION ALL SELECT '2_click', n2, g2 FROM agg
          |UNION ALL SELECT '3_purchase', n3, g3 FROM agg
+         |ORDER BY stage""".stripMargin,
+    "q_funnel_latency" ->
+      s"""WITH s1 AS (
+         |  SELECT user_id, MIN(${S.us}) AS t1
+         |  FROM events WHERE event_type = 'view' GROUP BY user_id
+         |), s2 AS (
+         |  SELECT e.user_id, MIN(${S.us}) AS t2, MIN(s1.t1) AS t1
+         |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'click' AND ${S.us} > s1.t1
+         |  GROUP BY e.user_id
+         |), s3 AS (
+         |  SELECT e.user_id, MIN(${S.us}) AS t3, MIN(s2.t2) AS t2
+         |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type = 'purchase' AND ${S.us} > s2.t2
+         |  GROUP BY e.user_id
+         |), stages AS (
+         |  SELECT '2_click' AS stage,
+         |    (SELECT COUNT(*) FROM s2) AS n_users,
+         |    (SELECT CAST(SUM(t2 - t1) AS BIGINT) FROM s2) AS sum_gap_us,
+         |    (SELECT CAST(MIN(t2 - t1) AS BIGINT) FROM s2) AS min_gap_us,
+         |    (SELECT CAST(MAX(t2 - t1) AS BIGINT) FROM s2) AS max_gap_us
+         |  UNION ALL
+         |  SELECT '3_purchase',
+         |    (SELECT COUNT(*) FROM s3),
+         |    (SELECT CAST(SUM(t3 - t2) AS BIGINT) FROM s3),
+         |    (SELECT CAST(MIN(t3 - t2) AS BIGINT) FROM s3),
+         |    (SELECT CAST(MAX(t3 - t2) AS BIGINT) FROM s3)
+         |)
+         |SELECT stage, n_users, sum_gap_us, min_gap_us, max_gap_us,
+         |  CASE WHEN n_users > 0 THEN sum_gap_us * 1.0 / n_users END AS avg_gap_us
+         |FROM stages
          |ORDER BY stage""".stripMargin,
     "q_retention" ->
       s"""WITH f AS (

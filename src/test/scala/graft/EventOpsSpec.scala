@@ -153,6 +153,35 @@ class EventOpsSpec extends SparkSpec {
       s3.agg(coalesce(sum(col("t3") - col("t2b")), lit(0L))).collect().head.getLong(0))
   }
 
+  test("funnelLatency: planted gaps measure exactly; never-reached stage is null") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long, u: Long, min: Int, typ: String) =
+      (id, new java.sql.Timestamp(t0.getTime + min * 60000L), u, typ, 1.0, "{}")
+    // user 1: view@0 → click@7 (gap 7 min); user 2: view@0 → click@3;
+    // nobody purchases → stage 3 all-null
+    val planted = Seq(
+      ev(1, 1L, 0, "view"), ev(2, 1L, 7, "click"),
+      ev(3, 2L, 0, "view"), ev(4, 2L, 3, "click"),
+      ev(5, 3L, 1, "click") // click with no prior view: qualifies nothing
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = SessionOps.funnelLatency(planted).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("2_click", "3_purchase"))
+    val c = rows(0)
+    assert(c.getAs[Long]("n_users") == 2)
+    assert(c.getAs[Long]("sum_gap_us") == 10L * 60 * 1000000)
+    assert(c.getAs[Long]("min_gap_us") == 3L * 60 * 1000000)
+    assert(c.getAs[Long]("max_gap_us") == 7L * 60 * 1000000)
+    assert(c.getAs[Double]("avg_gap_us") == 5.0 * 60 * 1000000)
+    val p = rows(1)
+    assert(p.getAs[Long]("n_users") == 0 && p.isNullAt(2) && p.isNullAt(5))
+    // real corpus: consistent with the funnel's own counts and sums
+    val lat = SessionOps.funnelLatency(events).collect()
+    val fun = SessionOps.funnel(events).collect()
+    assert(lat.map(r => (r.getString(0), r.getAs[Long]("n_users"))).toSeq ==
+      fun.drop(1).map(r => (r.getString(0), r.getAs[Long]("n_users"))).toSeq)
+  }
+
   test("anomaly flags exactly the >3-sigma days (BigInt re-derivation)") {
     import graft.functions.EventCols
     val daily = events.groupBy(col("user_id"), EventCols.day)
