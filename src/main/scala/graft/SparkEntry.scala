@@ -129,6 +129,8 @@ object SparkEntry {
     "q_mixture" -> ((s, dir) => CorpusOps.mixture(Tables.documents(s, dir))),
     "q_source_divergence" -> ((s, dir) =>
       CorpusOps.sourceDivergence(Tables.documents(s, dir))),
+    "q_cooccurrence" -> ((s, dir) =>
+      CorpusOps.cooccurrence(Tables.documents(s, dir))),
     "q_epoch_order" -> ((s, dir) => CorpusOps.epochOrder(Tables.documents(s, dir))),
     "q_ngram_counts" -> ((s, dir) => CorpusOps.ngramCounts(Tables.documents(s, dir))),
     "q_tfidf" -> ((s, dir) => CorpusOps.tfidf(Tables.documents(s, dir))),

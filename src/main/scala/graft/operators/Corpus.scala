@@ -1100,6 +1100,52 @@ object CorpusOps {
       .orderBy("source", "status")
   }
 
+  /** §2-115 `q_cooccurrence`: windowed token co-occurrence with PMI —
+    * the association-mining pass behind classic word-vector features,
+    * collocation detection, and template/boilerplate discovery (a pair
+    * with huge PMI and huge count is a template). Pairs = each token
+    * with its next `window` neighbors, unordered; PMI in integer
+    * micro-nats (the q6-ln discipline): round(ln((c_ab/N_pair) /
+    * ((c_a/N_tok)(c_b/N_tok)))·10⁶), identical IEEE op order in both
+    * engines. Top-k by PMI, count-floored.
+    *
+    * Shape: pair generation is ROW-LEVEL (indexed transform + slice —
+    * no self-join); ONE (a, b) count shuffle bounded by vocab²; the
+    * unigram marginals and totals are vocab-bounded broadcasts. At
+    * 100 TB: one corpus pass + KB-sized model frames — the
+    * sourceDivergence/classifier cost class. */
+  def cooccurrence(documents: DataFrame, window: Int = 3,
+                   minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val pairsArr = expr(
+      s"""flatten(transform(tk, (x, i) ->
+         |  transform(slice(tk, i + 2, $window), y ->
+         |    if(x <= y, struct(x AS a, y AS b), struct(y AS a, x AS b)))))"""
+        .stripMargin)
+    val tk = documents.select(TextFuns.tokens(col("text")).as("tk"))
+    val pairCounts = tk
+      .select(explode(pairsArr).as("p"))
+      .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint() // vocab²-bounded; consumed by totals + output
+    val uni = tk.select(explode(col("tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum("c").as("n_tok"))
+    val nPair = pairCounts.agg(sum("c_ab").as("n_pair"))
+    pairCounts
+      .join(broadcast(uni.select(col("tok").as("tok_a"), col("c").as("c_a"))), "tok_a")
+      .join(broadcast(uni.select(col("tok").as("tok_b"), col("c").as("c_b"))), "tok_b")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nPair))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("pmi_q6",
+        round(log((col("c_ab") * lit(1.0) / col("n_pair")) /
+          ((col("c_a") * lit(1.0) / col("n_tok")) *
+            (col("c_b") * lit(1.0) / col("n_tok")))) * 1e6).cast("long"))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"), col("pmi_q6"))
+      .orderBy(col("pmi_q6").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(k)
+  }
+
   /** §2-95 `q_mixture`: training-mix accounting — per-source document and
     * token tallies, each source's ACTUAL token share vs a TARGET mixture,
     * and the sampling factor (target/actual) an upsampler/downsampler
@@ -1431,6 +1477,37 @@ object CorpusOps {
         |SELECT doc_id, source, rk,
         |  CAST(row_number() OVER (ORDER BY rk, source) AS BIGINT) AS pos
         |FROM r ORDER BY pos""".stripMargin,
+    "q_cooccurrence" ->
+      s"""WITH tk AS (
+         |  SELECT $toksSql AS tk FROM documents
+         |), pos AS (
+         |  SELECT tk, unnest(generate_series(1, len(tk))) AS i FROM tk
+         |), raw AS (
+         |  SELECT tk[CAST(i AS INTEGER)] AS x,
+         |    unnest(tk[(CAST(i AS INTEGER) + 1):(CAST(i AS INTEGER) + 3)]) AS y
+         |  FROM pos
+         |), pr AS (
+         |  SELECT CASE WHEN x <= y THEN x ELSE y END AS tok_a,
+         |         CASE WHEN x <= y THEN y ELSE x END AS tok_b
+         |  FROM raw
+         |), pc AS (
+         |  SELECT tok_a, tok_b, COUNT(*) AS c_ab FROM pr GROUP BY tok_a, tok_b
+         |), uni AS (
+         |  SELECT t AS tok, COUNT(*) AS c
+         |  FROM (SELECT unnest(tk) AS t FROM tk) GROUP BY t
+         |), nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni
+         |), np AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pair FROM pc)
+         |SELECT tok_a, tok_b, c_ab,
+         |  CAST(round(ln((c_ab * 1.0 / np.n_pair) /
+         |    ((ca.c * 1.0 / nt.n_tok) * (cb.c * 1.0 / nt.n_tok))) * 1e6)
+         |    AS BIGINT) AS pmi_q6
+         |FROM pc
+         |JOIN uni ca ON ca.tok = pc.tok_a
+         |JOIN uni cb ON cb.tok = pc.tok_b
+         |CROSS JOIN nt CROSS JOIN np
+         |WHERE c_ab >= 5
+         |ORDER BY pmi_q6 DESC, tok_a ASC, tok_b ASC
+         |LIMIT 50""".stripMargin,
     "q_source_divergence" ->
       s"""WITH toks AS (
          |  SELECT source, unnest(string_split($normSql, ' ')) AS token FROM documents

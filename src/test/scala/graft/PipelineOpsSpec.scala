@@ -1532,6 +1532,44 @@ class PipelineOpsSpec extends SparkSpec {
     })
   }
 
+  test("cooccurrence matches a plain-Scala PMI model; a planted collocation tops the list") {
+    import spark.implicits._
+    // "zz qq" always adjacent (a collocation); "aa".."dd" random filler
+    val rnd = new scala.util.Random(11)
+    val filler = Vector("aa", "bb", "cc", "dd")
+    val texts = (0 until 30).map { _ =>
+      (0 until 10).flatMap(_ =>
+        if (rnd.nextInt(4) == 0) Seq("zz", "qq")
+        else Seq(filler(rnd.nextInt(4)))).mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = CorpusOps.cooccurrence(docs, window = 3, minCount = 5L, k = 10)
+      .collect()
+    // independent model: same window pairs, same integer quantization
+    val pairs = texts.flatMap { t =>
+      val tk = t.split(" ")
+      tk.indices.flatMap(i => (i + 1 to math.min(i + 3, tk.length - 1)).map { j =>
+        if (tk(i) <= tk(j)) (tk(i), tk(j)) else (tk(j), tk(i))
+      })
+    }
+    val pc = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val uni = texts.flatMap(_.split(" ")).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val nTok = uni.values.sum; val nPair = pc.values.sum
+    def pmi(a: String, b: String): Long = math.round(math.log(
+      (pc((a, b)) * 1.0 / nPair) /
+        ((uni(a) * 1.0 / nTok) * (uni(b) * 1.0 / nTok))) * 1e6)
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("c_ab") == pc((a, b)), s"count ($a,$b)")
+      assert(r.getAs[Long]("pmi_q6") == pmi(a, b), s"pmi ($a,$b)")
+    }
+    // the planted collocation has the highest PMI
+    assert((out.head.getString(0), out.head.getString(1)) == ("qq", "zz"),
+      out.take(3).mkString("; "))
+  }
+
   test("compressRatio separates repetitive boilerplate from high-entropy noise") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
