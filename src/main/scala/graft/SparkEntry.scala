@@ -131,6 +131,7 @@ object SparkEntry {
       CorpusOps.sourceDivergence(Tables.documents(s, dir))),
     "q_cooccurrence" -> ((s, dir) =>
       CorpusOps.cooccurrence(Tables.documents(s, dir))),
+    "q_zipf_fit" -> ((s, dir) => CorpusOps.zipfFit(Tables.documents(s, dir))),
     "q_epoch_order" -> ((s, dir) => CorpusOps.epochOrder(Tables.documents(s, dir))),
     "q_ngram_counts" -> ((s, dir) => CorpusOps.ngramCounts(Tables.documents(s, dir))),
     "q_tfidf" -> ((s, dir) => CorpusOps.tfidf(Tables.documents(s, dir))),

@@ -1146,6 +1146,48 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** §2-116 `q_zipf_fit`: Zipf's-law fit of the token rank-frequency
+    * curve — closed-form least squares of ln(freq) on ln(rank). THE
+    * one-number corpus-health check: natural text sits near slope −1;
+    * a much flatter slope means templated/duplicated text, much steeper
+    * means a vocabulary collapse (OCR junk, language soup). Also the
+    * demonstration that MODEL FITTING is just aggregation when the
+    * normal equations are closed-form.
+    *
+    * Exactness: x=round(ln(rank)·10⁶), y=round(ln(count)·10⁶) are
+    * integers; Σx, Σy, Σxy, Σx² accumulate in DECIMAL(38) ≡ HUGEINT
+    * (order-independent); slope/intercept are the SAME few IEEE ops on
+    * those exact integers in both engines.
+    *
+    * Shape: ONE corpus pass (token counts); the rank window runs over
+    * the VOCAB-bounded frame (the one place an unpartitioned window is
+    * fine — vocab rows, not corpus rows); the fit is a 1-row agg. */
+  def zipfFit(documents: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val uni = documents
+      .select(explode(TextFuns.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val ranked = uni.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("token").asc)))
+      .select(
+        round(log(col("rank") * lit(1.0)) * 1e6).cast("long").cast(dec).as("x"),
+        round(log(col("c") * lit(1.0)) * 1e6).cast("long").cast(dec).as("y"))
+    ranked.agg(
+      count(lit(1)).as("n_vocab"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        (col("n_vocab").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_vocab").cast(dec) * col("sxx") - col("sx") * col("sx")).cast("double"))
+      // intercept back in NATURAL nats (the q6 scale divides out of the
+      // slope but not the intercept)
+      .withColumn("intercept_nats",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n_vocab") / 1e6)
+      .select(col("n_vocab"), col("slope"), col("intercept_nats"))
+  }
+
   /** §2-95 `q_mixture`: training-mix accounting — per-source document and
     * token tallies, each source's ACTUAL token share vs a TARGET mixture,
     * and the sampling factor (target/actual) an upsampler/downsampler
@@ -1477,6 +1519,31 @@ object CorpusOps {
         |SELECT doc_id, source, rk,
         |  CAST(row_number() OVER (ORDER BY rk, source) AS BIGINT) AS pos
         |FROM r ORDER BY pos""".stripMargin,
+    "q_zipf_fit" ->
+      s"""WITH uni AS (
+         |  SELECT t AS token, COUNT(*) AS c
+         |  FROM (SELECT unnest($toksSql) AS t FROM documents) GROUP BY t
+         |), ranked AS (
+         |  SELECT CAST(CAST(round(ln(ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) * 1.0) * 1e6)
+         |      AS BIGINT) AS HUGEINT) AS x,
+         |    CAST(CAST(round(ln(c * 1.0) * 1e6) AS BIGINT) AS HUGEINT) AS y
+         |  FROM uni
+         |), sums AS (
+         |  SELECT COUNT(*) AS n_vocab,
+         |    SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+         |  FROM ranked
+         |), fitted AS (
+         |  SELECT n_vocab,
+         |    CAST(CAST(n_vocab AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+         |      CAST(CAST(n_vocab AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS slope,
+         |    sx, sy
+         |  FROM sums
+         |)
+         |SELECT n_vocab, slope,
+         |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n_vocab / 1e6
+         |    AS intercept_nats
+         |FROM fitted""".stripMargin,
     "q_cooccurrence" ->
       s"""WITH tk AS (
          |  SELECT $toksSql AS tk FROM documents

@@ -1532,6 +1532,41 @@ class PipelineOpsSpec extends SparkSpec {
     })
   }
 
+  test("zipfFit matches a plain-Scala normal-equations model; planted 1/rank gives slope ~ -1") {
+    import spark.implicits._
+    // planted Zipfian corpus: token t_i appears ceil(120/i) times
+    val planted = (1 to 12).flatMap(i =>
+      Seq.fill(math.ceil(120.0 / i).toInt)(s"t$i"))
+    val docs = planted.grouped(30).zipWithIndex
+      .map { case (ws, id) => (id.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val row = CorpusOps.zipfFit(docs).collect().head
+    val slope = row.getAs[Double]("slope")
+    assert(slope < -0.8 && slope > -1.2, s"planted 1/rank corpus fit $slope")
+    // independent normal-equations model with the identical quantization
+    def model(counts: Seq[Long]): (Double, Double) = {
+      val ranked = counts.sorted(Ordering[Long].reverse).zipWithIndex
+      val xy = ranked.map { case (c, i) =>
+        (BigInt(math.round(math.log((i + 1) * 1.0) * 1e6)),
+          BigInt(math.round(math.log(c * 1.0) * 1e6)))
+      }
+      val n = BigInt(xy.size)
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val sl = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      (sl, (sy.toDouble - sl * sx.toDouble) / n.toDouble / 1e6)
+    }
+    // tie-break caveat: equal counts make rank assignment token-ordered,
+    // but ln(rank) over a PERMUTATION of tied ranks sums identically
+    val real = CorpusOps.zipfFit(docs).collect().head
+    val counts = planted.groupBy(identity).values.map(_.size.toLong).toSeq
+    val (expSlope, expIntercept) = model(counts)
+    assert(real.getAs[Double]("slope") == expSlope)
+    assert(real.getAs[Double]("intercept_nats") == expIntercept)
+    assert(real.getAs[Long]("n_vocab") == 12L)
+  }
+
   test("cooccurrence matches a plain-Scala PMI model; a planted collocation tops the list") {
     import spark.implicits._
     // "zz qq" always adjacent (a collocation); "aa".."dd" random filler
