@@ -140,12 +140,21 @@ object Sinks {
     * Scale: cost ∝ touched partitions' bytes, not the corpus. The
     * touched-partition filter is a broadcast semi-join (partition values
     * are few); the replace is a key anti-join inside those partitions
-    * only. Returns the number of partition values rewritten. */
+    * only. Returns the number of partition values rewritten.
+    *
+    * Caller contract: `updates` carries ONE row per key (this is a
+    * MERGE, not an append — two update rows for the same key would both
+    * land). Enforced: duplicate keys in `updates` fail the write. */
   def upsertPartitioned(spark: SparkSession, updates: DataFrame, path: String,
                         partitionCol: String, keyCol: String,
                         maxRecordsPerFile: Long = 5000000L): Long = {
     val staging = path.stripSuffix("/") + ".upsert-staging"
     requireDistinctPaths(spark, path, staging)
+    val dup = updates.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert: updates carry duplicate $keyCol ${dup.headOption.map(_.get(0))} " +
+        "— a merge takes one row per key")
     val touched = updates.select(partitionCol).distinct()
     val existing = readPartitioned(spark, path)
       .join(broadcast(touched), Seq(partitionCol), "left_semi")

@@ -470,6 +470,11 @@ object EventStream {
                        maxGap: String = "10 minutes",
                        watermark: String = "20 minutes",
                        joinType: String = "inner"): DataFrame = {
+    // the gap is spliced into SQL text — accept only a plain duration
+    // literal so a malformed caller value fails HERE, not as a parser
+    // error three operators deep
+    require(maxGap.matches("\\d+ (millisecond|second|minute|hour|day)s?"),
+      s"maxGap must be '<n> <unit>', got '$maxGap'")
     val l = left.select(col("user_id"), col("ts").as("l_ts"),
         col("event_type").as("l_type"), col("value").as("l_value"))
       .withWatermark("l_ts", watermark)
@@ -510,7 +515,12 @@ object EventStream {
     * estate uses, so stream and batch predictions cannot drift. The
     * model frames ride in as THUNKS re-evaluated per micro-batch (the
     * profileStream convention): a nightly retrain at a NEW path is
-    * picked up without restarting the query. */
+    * picked up without restarting the query.
+    *
+    * Input contract: `docs` carries (doc_id, lang, text) — `lang` is
+    * only echoed as the "actual" column; for an UNLABELED stream pass a
+    * constant (`lit("unknown").as("lang")`), the prediction ignores
+    * it. */
   def classifyStream(docs: DataFrame, model: () => DataFrame,
                      prior: () => DataFrame)
                     (sink: (DataFrame, Long) => Unit)

@@ -218,6 +218,13 @@ class SinksSpec extends SparkSpec {
     assert(filesOf("s1") == s1Before, "s1 must not be rewritten")
     // staging is cleaned up
     assert(!new java.io.File(path + ".upsert-staging").exists())
+    // a merge takes one row per key: duplicate update keys fail loudly
+    val dupUpdates = Seq((7L, "seven", "s0"), (7L, "seven-again", "s0"))
+      .toDF("doc_id", "text", "source")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertPartitioned(spark, dupUpdates, path, "source", "doc_id")
+    }
+    assert(e.getMessage.contains("duplicate"))
   }
 
   test("percentileApprox quantiles are flat scalar columns, ordered") {
