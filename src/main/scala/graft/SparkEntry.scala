@@ -82,6 +82,7 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) => DedupOps.dedupNgram(Tables.documents(s, dir))),
     "q_dedup_substring" -> ((s, dir) => DedupOps.dedupSubstring(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),
+    "q_dup_inflation" -> ((s, dir) => DedupOps.dupInflation(Tables.documents(s, dir))),
     "q_dedup_representative" -> ((s, dir) => DedupOps.dedupRepresentative(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => DedupOps.dedupEmbedding(Tables.embeddings(s, dir))),
     "q_dedup_embedding_lsh" -> ((s, dir) => DedupOps.dedupEmbeddingLsh(Tables.embeddings(s, dir))),

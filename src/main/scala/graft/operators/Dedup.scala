@@ -520,6 +520,35 @@ object DedupOps {
       minhashPairs(documents, k, bands), maxIters, checkpointDir)
       .orderBy("doc_id")
 
+  /** §2-117 `q_dup_inflation`: the DUPLICATION PROFILE — cluster-size
+    * histogram of the near-dup components, plus each size's doc mass
+    * and the share of the corpus it holds. The one table that says how
+    * much a dedup pass will shrink the corpus (Σ docs − Σ clusters)
+    * and whether duplication is a long tail of pairs or a few monster
+    * mirror-families — the two regimes need different budgets
+    * ([[dedupClusters]]' CC rounds scale with component DIAMETER).
+    *
+    * Rides entirely on the proven [[dedupClusters]] machinery: the
+    * histogram is two tiny re-aggs over the CC output (cluster sizes →
+    * size counts), both key-bounded; the corpus share is one broadcast
+    * total. */
+  def dupInflation(documents: DataFrame, maxIters: Int = 50,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = connectedComponents(documents.select(col("doc_id")),
+      minhashPairs(documents, MinhashK, Bands), maxIters, checkpointDir)
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val total = sizes.agg(sum(col("cluster_size")).as("n_total"))
+    sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") * col("n_clusters")) * lit(1.0) / col("n_total"))
+          .as("doc_share"))
+      .orderBy("cluster_size")
+  }
+
   /** §2-75 `q_dedup_representative`: the keep/drop DECISION —
     * [[dedupClusters]]'s components reduced to one surviving doc per
     * cluster, chosen as the HIGHEST-QUALITY member
@@ -1115,6 +1144,28 @@ object DedupOps {
          | AND b.doc_id % $IncrementalDeltaMod <> 0
          | AND (${bandCondSqlFor(MinhashK, Bands)})
          |ORDER BY doc_new, doc_corpus""".stripMargin,
+    "q_dup_inflation" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashPairsSql
+         |), edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION
+         |  SELECT doc_b AS u, doc_a AS v FROM pairs
+         |), walk(u, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+         |), clusters AS (
+         |  SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY u
+         |), sizes AS (
+         |  SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id
+         |), tot AS (SELECT CAST(SUM(cluster_size) AS BIGINT) AS n_total FROM sizes)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+         |  (cluster_size * COUNT(*)) * 1.0 / tot.n_total AS doc_share
+         |FROM sizes CROSS JOIN tot
+         |GROUP BY cluster_size, tot.n_total
+         |ORDER BY cluster_size""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (
          |$minhashPairsSql

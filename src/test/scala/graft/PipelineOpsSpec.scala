@@ -1532,6 +1532,19 @@ class PipelineOpsSpec extends SparkSpec {
     })
   }
 
+  test("dupInflation histogram is consistent with the cluster assignment") {
+    val clusters = DedupOps.dedupClusters(docs).collect()
+      .groupBy(_.getAs[Long]("cluster_id")).view.mapValues(_.length.toLong).toMap
+    val expected = clusters.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val out = DedupOps.dupInflation(docs).collect()
+    assert(out.map(r => r.getLong(0) -> r.getAs[Long]("n_clusters")).toMap == expected)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(math.abs(out.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-9)
+    // the synthetic corpus plants duplicates: some cluster is bigger than 1
+    assert(out.exists(r => r.getLong(0) > 1L))
+  }
+
   test("zipfFit matches a plain-Scala normal-equations model; planted 1/rank gives slope ~ -1") {
     import spark.implicits._
     // planted Zipfian corpus: token t_i appears ceil(120/i) times
