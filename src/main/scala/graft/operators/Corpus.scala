@@ -1122,21 +1122,30 @@ object CorpusOps {
          |    if(x <= y, struct(x AS a, y AS b), struct(y AS a, x AS b)))))"""
         .stripMargin)
     val tk = documents.select(TextFuns.tokens(col("text")).as("tk"))
+    // total pair count in CLOSED FORM from doc lengths — never from the
+    // pair frame itself, so the count agg below can be min-count-pruned
+    // immediately (the observed-pair frame is the one thing here that
+    // can get big on a real vocabulary; everything that needs ALL pairs
+    // is a formula on L): Σᵢ min(W, L−1−i) = W(W−1)/2 + (L−W)·W for
+    // L > W, else L(L−1)/2
+    val L = size(col("tk")).cast("long")
+    val perDocPairs = when(L - 1 >= window,
+      lit(window.toLong * (window - 1) / 2) + (L - window) * window)
+      .otherwise(L * (L - 1) / 2)
+    val nPair = tk.agg(sum(perDocPairs).as("n_pair"))
     val pairCounts = tk
       .select(explode(pairsArr).as("p"))
       .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
       .agg(count(lit(1)).as("c_ab"))
-      .localCheckpoint() // vocab²-bounded; consumed by totals + output
+      .filter(col("c_ab") >= minCount) // prune BEFORE anything downstream
     val uni = tk.select(explode(col("tk")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val nTok = uni.agg(sum("c").as("n_tok"))
-    val nPair = pairCounts.agg(sum("c_ab").as("n_pair"))
     pairCounts
       .join(broadcast(uni.select(col("tok").as("tok_a"), col("c").as("c_a"))), "tok_a")
       .join(broadcast(uni.select(col("tok").as("tok_b"), col("c").as("c_b"))), "tok_b")
       .crossJoin(broadcast(nTok))
       .crossJoin(broadcast(nPair))
-      .filter(col("c_ab") >= minCount)
       .withColumn("pmi_q6",
         round(log((col("c_ab") * lit(1.0) / col("n_pair")) /
           ((col("c_a") * lit(1.0) / col("n_tok")) *
