@@ -73,6 +73,7 @@ object SparkEntry {
     // --- dedup family (§2 rows 24-28) ---
     "q_dedup_exact" -> ((s, dir) => DedupOps.dedupExact(Tables.documents(s, dir))),
     "q_dedup_lines" -> ((s, dir) => DedupOps.dedupLines(Tables.documents(s, dir))),
+    "q_boilerplate" -> ((s, dir) => DedupOps.boilerplate(Tables.documents(s, dir))),
     "q_dedup_canonical" -> ((s, dir) => DedupOps.dedupCanonical(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => DedupOps.dedupMinhash(Tables.documents(s, dir))),
     "q_dedup_minhash_wide" -> ((s, dir) => DedupOps.dedupMinhashWide(Tables.documents(s, dir))),

@@ -39,13 +39,41 @@ object DedupOps {
     * rank-1 window inside each hash partition, and a per-doc re-agg. At
     * 100 TB this is two keyed shuffles, both with map-side partials on
     * bounded keys; no self-join, no sort. */
-  def dedupLines(documents: DataFrame, segTokens: Int = 10): DataFrame = {
+  /** The fixed-window segmentation [[dedupLines]] and [[boilerplate]]
+    * share — (doc_id, source, seg_pos, seg), row-level. */
+  private def segmented(documents: DataFrame, segTokens: Int): DataFrame = {
     val toks = TextFuns.tokens(col("text"))
     val nSeg = greatest(ceil(size(toks) / lit(segTokens.toDouble)).cast("int"), lit(1))
     val segArr = transform(sequence(lit(0), nSeg - 1),
       i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
-    val segs = documents
+    documents
       .select(col("doc_id"), col("source"), posexplode(segArr).as(Seq("seg_pos", "seg")))
+  }
+
+  /** §2-118 `q_boilerplate`: segments recurring across MANY documents —
+    * the C4/RefinedWeb "remove lines that appear in ≥ N pages" mining
+    * pass (nav bars, cookie banners, license footers). [[dedupLines]]
+    * answers per-document accounting; this surfaces the offending
+    * segments themselves, with reach (distinct docs), total
+    * occurrences, and the earliest carrier for triage.
+    *
+    * ONE seg-keyed shuffle; the distinct-doc count is a partial-agg
+    * two-phase distinct on the same key. Top-k compiles to a heap.
+    * (At 100 TB the shuffle key would be md5(seg) with the text joined
+    * back for the k survivors only — same contract.) */
+  def boilerplate(documents: DataFrame, segTokens: Int = 10,
+                  minDocs: Long = 2L, k: Int = 50): DataFrame =
+    segmented(documents, segTokens)
+      .groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("seg").asc)
+      .limit(k)
+
+  def dedupLines(documents: DataFrame, segTokens: Int = 10): DataFrame = {
+    val segs = segmented(documents, segTokens)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("seg").cast("binary")))
       .orderBy(col("doc_id"), col("seg_pos"))
@@ -1097,6 +1125,26 @@ object DedupOps {
   private val minhashPairsSql: String = minhashPairsSqlFor(MinhashK, Bands)
 
   val oracles: Map[String, String] = Map(
+    "q_boilerplate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents
+         |), segn AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(0,
+         |      CAST(greatest(ceil(len(tk) / 10.0), 1) AS BIGINT) - 1)) AS i
+         |  FROM toks
+         |), segs AS (
+         |  SELECT doc_id,
+         |    array_to_string(tk[(CAST(i AS INTEGER) * 10 + 1):(CAST(i AS INTEGER) * 10 + 10)], ' ') AS seg
+         |  FROM segn
+         |)
+         |SELECT seg, COUNT(DISTINCT doc_id) AS n_docs,
+         |  COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
+         |FROM segs
+         |GROUP BY seg
+         |HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, seg ASC
+         |LIMIT 50""".stripMargin,
     "q_dedup_lines" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source, string_split($normSql, ' ') AS tk FROM documents

@@ -1532,6 +1532,27 @@ class PipelineOpsSpec extends SparkSpec {
     })
   }
 
+  test("boilerplate surfaces planted repeated segments with exact reach") {
+    import spark.implicits._
+    val footer = (1 to 10).map(i => s"f$i").mkString(" ")
+    val unique = (i: Int) => (1 to 10).map(j => s"u${i}_$j").mkString(" ")
+    val planted = (0 until 6).map(i =>
+      (i.toLong, s"${unique(i)} $footer", "s0")) :+
+      (6L, s"${unique(6)} ${unique(7)}", "s0")
+    val out = DedupOps.boilerplate(planted.toDF("doc_id", "text", "source"))
+      .collect()
+    assert(out.length == 1, out.mkString("; "))
+    assert(out.head.getString(0) == footer)
+    assert(out.head.getAs[Long]("n_docs") == 6)
+    assert(out.head.getAs[Long]("n_occurrences") == 6)
+    assert(out.head.getAs[Long]("first_doc") == 0L)
+    // real corpus: reach never exceeds occurrences; threshold respected
+    val real = DedupOps.boilerplate(docs).collect()
+    assert(real.forall(r =>
+      r.getAs[Long]("n_docs") >= 2 &&
+        r.getAs[Long]("n_occurrences") >= r.getAs[Long]("n_docs")))
+  }
+
   test("dupInflation histogram is consistent with the cluster assignment") {
     val clusters = DedupOps.dedupClusters(docs).collect()
       .groupBy(_.getAs[Long]("cluster_id")).view.mapValues(_.length.toLong).toMap
