@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.ByteArrayInputStream
+import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, IOException, InputStream, PushbackInputStream}
 import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPInputStream
 
@@ -12,21 +12,27 @@ import org.apache.spark.sql.functions._
   * the raw input of every from-the-web training-data pipeline.
   *
   * Spark-first ingestion shape: `binaryFile` scan → per-file record walk
-  * in `mapPartitions` (the one genuinely imperative step: WARC records
-  * are length-prefixed by a `Content-Length` header, so no line-based
-  * reader can split them safely) → a flat typed DataFrame any downstream
+  * in `flatMap` (the one genuinely imperative step: WARC records are
+  * length-prefixed by a `Content-Length` header, so no line-based reader
+  * can split them safely) → a flat typed DataFrame any downstream
   * operator (lang-id, dedup, curate) consumes columnar.
   *
   * Scale contract: parallelism is PER FILE — exactly the Common Crawl
   * layout (tens of thousands of ~1 GB segment files per crawl), so a
   * 1000-executor cluster saturates without splitting inside a file.
-  * Records inside one file are parsed streaming off one byte walk (no
-  * per-record copies of the whole buffer). Gzip is handled in its
+  * Records stream one at a time off the (gzip-sniffed) InputStream:
+  * [[parseFile]] returns an `Iterator[WarcRecord]` whose live state is
+  * ONE record's payload plus the inflater and a 64 KiB read buffer —
+  * the decompressed file is never materialized (spec-asserted via a
+  * byte-consumption probe on [[parseStream]]). Peak per-task heap is
+  * therefore the raw compressed file (binaryFile's row) + `maxRecord`,
+  * not a multiple of the decompressed size. Gzip is handled in its
   * real-world form: CC WARCs are CONCATENATED per-record gzip members,
   * which one `GZIPInputStream` decompresses end-to-end. A `maxRecord`
   * guard drops pathological records (a declared Content-Length past the
-  * buffer — truncated file or bomb) instead of throwing mid-job; the
-  * malformed tail is skipped, prior records survive (spec-asserted).
+  * cap — bomb or corruption) instead of throwing mid-job; any malformed
+  * or truncated tail (including a torn gzip member) ends the walk with
+  * prior records kept (spec-asserted).
   *
   * NOT copied from the reference — the reference ingests StatsBomb JSON
   * only; this is the corpus-scale source its pipeline estate needs.
@@ -56,104 +62,123 @@ object WarcSource {
     files.flatMap { case (p, bytes) => parseFile(p, bytes, maxRecord) }.toDF()
   }
 
-  /** Parse one file's bytes (gzip-sniffed) into records. */
+  /** Stream one file's records (gzip-sniffed). The iterator inflates and
+    * parses lazily — consuming record N never requires record N+1 to have
+    * been read, and no whole-file decompressed buffer exists. */
   def parseFile(path: String, raw: Array[Byte],
-                maxRecord: Int = 64 << 20): Seq[WarcRecord] = {
-    val bytes =
+                maxRecord: Int = 64 << 20): Iterator[WarcRecord] = {
+    val base = new ByteArrayInputStream(raw)
+    val in: InputStream =
       if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
-        gunzipAll(raw)
-      else raw
-    parseRecords(path, bytes, maxRecord)
+        new GZIPInputStream(base, 64 << 10)
+      else base
+    parseStream(path, in, maxRecord)
   }
 
-  /** Decompress a stream of CONCATENATED gzip members (the CC layout —
-    * one member per record). */
-  private def gunzipAll(raw: Array[Byte]): Array[Byte] = {
-    val in = new GZIPInputStream(new ByteArrayInputStream(raw))
-    val out = new java.io.ByteArrayOutputStream(raw.length * 4)
-    val buf = new Array[Byte](64 << 10)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
-  }
+  /** Walk the record chain off any InputStream: version line, header
+    * lines to the blank line, `Content-Length` bytes of payload, trailing
+    * CRLFCRLF (consumed as inter-record padding). A record that does not
+    * parse (bad magic, missing/oversized length, short payload read, or
+    * an IOException from a torn gzip member) ends the walk — records
+    * before it are kept, nothing is thrown. Exposed (not just
+    * [[parseFile]]) so the streaming contract is directly testable
+    * against an instrumented stream. */
+  def parseStream(path: String, in: InputStream,
+                  maxRecord: Int = 64 << 20): Iterator[WarcRecord] =
+    new RecordIterator(path, in, maxRecord)
 
-  private val Magic = "WARC/".getBytes(StandardCharsets.US_ASCII)
+  private val MaxHeaderLine = 1 << 20 // a sane cap; real WARC headers are tiny
 
-  private def startsWith(b: Array[Byte], off: Int, pat: Array[Byte]): Boolean =
-    off + pat.length <= b.length &&
-      pat.indices.forall(i => b(off + i) == pat(i))
+  private final class RecordIterator(path: String, in0: InputStream, maxRecord: Int)
+      extends Iterator[WarcRecord] {
+    private val in = new PushbackInputStream(new BufferedInputStream(in0, 64 << 10), 1)
+    private var nextRec: WarcRecord = null
+    private var finished = false
 
-  /** Walk the record chain: version line, header lines to the blank line,
-    * `Content-Length` bytes of payload, trailing CRLFCRLF. A record that
-    * does not parse (bad magic, missing/oversized length) ends the walk —
-    * records before it are kept. */
-  private def parseRecords(path: String, bytes: Array[Byte],
-                           maxRecord: Int): Seq[WarcRecord] = {
-    val out = Vector.newBuilder[WarcRecord]
-    var pos = 0
-    var ok = true
-    while (ok && pos < bytes.length) {
-      // skip inter-record CR/LF padding
-      while (pos < bytes.length && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
-      if (pos >= bytes.length) ok = false
-      else if (!startsWith(bytes, pos, Magic)) ok = false
-      else {
-        val headerEnd = findBlankLine(bytes, pos)
-        if (headerEnd < 0) ok = false
-        else {
-          val headerText = new String(bytes, pos, headerEnd - pos, StandardCharsets.UTF_8)
-          val headers = parseHeaders(headerText)
-          val len = headers.getOrElse("content-length", "-1").trim.toLongOption.getOrElse(-1L)
-          val bodyStart = headerEnd + blankLen(bytes, headerEnd)
-          if (len < 0 || len > maxRecord || bodyStart + len > bytes.length) ok = false
-          else {
-            val payload = java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + len.toInt)
-            out += WarcRecord(
-              file = path,
-              warc_type = headers.getOrElse("warc-type", ""),
-              record_id = headers.getOrElse("warc-record-id", ""),
-              target_uri = headers.getOrElse("warc-target-uri", ""),
-              warc_date = headers.getOrElse("warc-date", ""),
-              content_type = headers.getOrElse("content-type", ""),
-              content_length = len,
-              payload = payload)
-            pos = bodyStart + len.toInt
+    override def hasNext: Boolean = {
+      if (nextRec == null && !finished) advance()
+      nextRec != null
+    }
+
+    override def next(): WarcRecord = {
+      if (!hasNext) throw new NoSuchElementException("end of WARC stream")
+      val r = nextRec
+      nextRec = null
+      r
+    }
+
+    /** Parse one record into `nextRec`, or set `finished`. All IO errors
+      * (incl. a truncated gzip member mid-inflate) terminate the walk. */
+    private def advance(): Unit =
+      try {
+        // skip inter-record CR/LF padding
+        var b = in.read()
+        while (b == '\r' || b == '\n') b = in.read()
+        if (b < 0) { finished = true; return }
+        in.unread(b)
+
+        val version = readLine()
+        if (version == null || !version.startsWith("WARC/")) { finished = true; return }
+
+        var headers = Map.empty[String, String]
+        var line = readLine()
+        while (line != null && line.nonEmpty) {
+          val i = line.indexOf(':')
+          // first occurrence wins — duplicate WARC headers are malformed
+          if (i > 0) {
+            val k = line.substring(0, i).trim.toLowerCase
+            if (!headers.contains(k))
+              headers = headers.updated(k, line.substring(i + 1).trim)
           }
+          line = readLine()
         }
+        if (line == null) { finished = true; return } // EOF inside the header block
+
+        val len = headers.getOrElse("content-length", "-1").trim.toLongOption.getOrElse(-1L)
+        if (len < 0 || len > maxRecord) { finished = true; return }
+
+        val payload = new Array[Byte](len.toInt)
+        var off = 0
+        while (off < payload.length) {
+          val n = in.read(payload, off, payload.length - off)
+          if (n < 0) { finished = true; return } // truncated body — drop, keep priors
+          off += n
+        }
+        nextRec = WarcRecord(
+          file = path,
+          warc_type = headers.getOrElse("warc-type", ""),
+          record_id = headers.getOrElse("warc-record-id", ""),
+          target_uri = headers.getOrElse("warc-target-uri", ""),
+          warc_date = headers.getOrElse("warc-date", ""),
+          content_type = headers.getOrElse("content-type", ""),
+          content_length = len,
+          payload = payload)
+      } catch {
+        case _: EOFException | _: IOException => finished = true
       }
+
+    /** One header line, `\n`-terminated (terminator consumed, trailing
+      * `\r` stripped — handles CRLF and bare-LF files alike). Returns ""
+      * for the blank separator line, null at EOF before any byte. */
+    private def readLine(): String = {
+      val sb = new java.lang.StringBuilder(64)
+      var b = in.read()
+      if (b < 0) return null
+      while (b >= 0 && b != '\n') {
+        sb.append(b.toChar) // header bytes; UTF-8 multibyte survives round-trip below
+        if (sb.length > MaxHeaderLine) return null // header bomb → malformed
+        b = in.read()
+      }
+      if (b < 0) return null // EOF with no terminator: torn header line
+      var len = sb.length
+      if (len > 0 && sb.charAt(len - 1) == '\r') len -= 1
+      // re-decode as UTF-8 (bytes were latin-1-widened into chars above)
+      val bytes = new Array[Byte](len)
+      var i = 0
+      while (i < len) { bytes(i) = sb.charAt(i).toByte; i += 1 }
+      new String(bytes, StandardCharsets.UTF_8)
     }
-    out.result()
   }
-
-  /** Offset of the blank line ending the header block (handles \r\n\r\n
-    * and bare \n\n), or -1. Returns the offset OF the blank separator. */
-  private def findBlankLine(bytes: Array[Byte], from: Int): Int = {
-    var i = from
-    while (i < bytes.length - 1) {
-      if (bytes(i) == '\n' &&
-          (bytes(i + 1) == '\n' ||
-           (bytes(i + 1) == '\r' && i + 2 < bytes.length && bytes(i + 2) == '\n')))
-        return i + 1
-      i += 1
-    }
-    -1
-  }
-
-  private def blankLen(bytes: Array[Byte], at: Int): Int =
-    if (bytes(at) == '\n') 1 else 2 // "\n" or "\r\n"
-
-  /** Case-insensitive `Name: value` header map (first occurrence wins —
-    * duplicate WARC headers are malformed). */
-  private def parseHeaders(text: String): Map[String, String] =
-    text.linesIterator.drop(1) // the WARC/1.x version line
-      .flatMap { line =>
-        val i = line.indexOf(':')
-        if (i <= 0) None
-        else Some(line.substring(0, i).trim.toLowerCase -> line.substring(i + 1).trim)
-      }
-      .foldLeft(Map.empty[String, String]) { case (m, (k, v)) =>
-        if (m.contains(k)) m else m.updated(k, v)
-      }
 
   /** Project `response` records into (uri, HTTP status, body text) — the
     * frame a text-extraction pipeline starts from. The HTTP header block

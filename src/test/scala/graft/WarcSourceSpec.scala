@@ -85,6 +85,64 @@ class WarcSourceSpec extends SparkSpec {
     assert(deduped.map(_.getAs[Long]("n_copies")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("record walk is streaming: first record consumes a sliver of the stream") {
+    // 200 records of 32 KiB each; an InputStream that counts consumed bytes.
+    // If parseFile materialized the decompressed whole (the round-9 weak),
+    // pulling record 1 would consume ~all bytes; a streaming walk consumes
+    // about one record + read-ahead buffer.
+    val payload = Array.fill[Byte](32 << 10)('x'.toByte)
+    val all = (0 until 200).map(i =>
+      record("response", s"http://x/$i", payload, s"r$i")).reduce(_ ++ _)
+    var consumed = 0L
+    val counting = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(all)
+      override def read(): Int = { val b = in.read(); if (b >= 0) consumed += 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = in.read(b, off, len); if (n > 0) consumed += n; n
+      }
+    }
+    val it = WarcSource.parseStream("mem", counting)
+    val first = it.next()
+    assert(first.target_uri == "http://x/0")
+    // one 32 KiB record + the 64 KiB BufferedInputStream read-ahead, far
+    // under the 6.5 MB total
+    assert(consumed < (256 << 10),
+      s"streaming walk must not slurp the stream: consumed $consumed of ${all.length}")
+    assert(it.size == 199, "rest of the stream still parses")
+  }
+
+  test("large multi-member gzip streams record-by-record with exact payload sum") {
+    // 1000 gzip members × 64 KiB decompressed (~64 MB total decompressed,
+    // tiny compressed) — the CC shape. The fold touches one record at a
+    // time; sum and count prove every member inflated intact.
+    val payload = Array.fill[Byte](64 << 10)('z'.toByte)
+    val gz = new ByteArrayOutputStream()
+    (0 until 1000).foreach { i =>
+      val g = new GZIPOutputStream(gz)
+      g.write(record("response", s"http://big/$i", payload, s"b$i")); g.finish()
+    }
+    val raw = gz.toByteArray
+    val it = WarcSource.parseFile("mem.warc.gz", raw)
+    var n = 0; var bytes = 0L
+    it.foreach { r => n += 1; bytes += r.payload.length }
+    assert(n == 1000)
+    assert(bytes == 1000L * (64 << 10), s"payload bytes: $bytes")
+  }
+
+  test("torn gzip member mid-stream keeps prior records, never throws") {
+    def member(r: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(o); g.write(r); g.finish()
+      o.toByteArray
+    }
+    val good1 = member(record("response", "http://x/ok1", httpPayload, "ok1"))
+    val good2 = member(record("response", "http://x/ok2", httpPayload, "ok2"))
+    val torn = member(record("response", "http://x/torn", httpPayload, "torn"))
+      .dropRight(12) // rip the member's tail: CRC + length trailer gone
+    val recs = WarcSource.parseFile("mem.warc.gz", good1 ++ good2 ++ torn).toVector
+    assert(recs.map(_.target_uri) == Vector("http://x/ok1", "http://x/ok2"))
+  }
+
   test("httpResponses splits status and body; malformed tail drops cleanly") {
     val dir = Files.createTempDirectory("graft_warc2")
     // valid records followed by a record whose declared length overruns
