@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFuns
+
+/** HTML text extraction — the WARC → documents bridge (the trafilatura
+  * slot of a from-the-web pipeline): strip script/style/comment blocks,
+  * drop tags, decode the common entities, collapse whitespace. Pure
+  * row-level codegen'd string work, so extraction costs exactly one
+  * read at 100 TB and fuses into the ingest scan (`q_redact`'s shape).
+  *
+  * Cross-engine discipline (the [[TextOps.RedactPatterns]] precedent):
+  * every pattern sits in the regex subset where Java and RE2 agree —
+  * lazy dot-all block matches (`.*?` is leftmost-first in BOTH engines,
+  * verified), character classes, inline `(?is)` flags — so the same
+  * chain replayed by DuckDB produces byte-identical text and
+  * `q_html_extract` is hash-checked, not eyeballed.
+  *
+  * Re-expresses no reference capability (the reference ingests StatsBomb
+  * JSON only) — this is the pipeline estate's ingest step between
+  * [[graft.sources.WarcSource]] and every documents-table operator.
+  */
+object HtmlOps {
+
+  /** Tag/block strip chain, applied IN ORDER (blocks before bare tags —
+    * a script body may contain `<` that is not markup). */
+  val StripPatterns: Seq[(String, String)] = Seq(
+    "(?s)<!--.*?-->" -> "",
+    "(?is)<script[^>]*>.*?</script>" -> "",
+    "(?is)<style[^>]*>.*?</style>" -> "",
+    "<[^>]*>" -> " ")
+
+  /** Entity decode set (the handful that dominates real crawl text).
+    * `&amp;` is LAST — so `&amp;lt;` decodes to the literal text `&lt;`,
+    * never to `<` (standard double-decode avoidance). */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** The pure string-transform core: html → visible text. */
+  def extractText(html: Column): Column = {
+    val stripped = StripPatterns.foldLeft(html) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    val decoded = Entities.foldLeft(stripped) {
+      case (c, (e, ch)) => replace(c, lit(e), lit(ch))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** The synthetic page wrapper for `q_html_extract`: both engines build
+    * the SAME messy-but-deterministic HTML around each document's text
+    * (head/title, style + script blocks, a comment, nav links, entity
+    * soup in the footer; `&`/`<` in the body text entity-escaped), so the
+    * extraction chain is exercised on every rule and the output is
+    * oracle-hashable. Left = literal chunk, Right = per-row expression
+    * key (resolved per engine below). */
+  private val HtmlParts: Seq[Either[String, String]] = Seq(
+    Left("<html><head><title>"), Right("source"),
+    Left(" page</title><style type=\"text/css\">body { margin: 0; }</style>" +
+      "<script type=\"text/javascript\">var doc = "), Right("id"),
+    Left("; track(doc);</script></head><body><!-- build "), Right("id"),
+    Left(" --><nav><a href=\"/\">home</a> | <a href=\"/about\">about</a></nav><h1>"),
+    Right("source"),
+    Left("</h1><p>"), Right("escaped"),
+    Left("</p><footer>contact &lt;admin&gt; &amp; &quot;staff&quot;&nbsp;now" +
+      "</footer></body></html>"))
+
+  /** §2-119 `q_html_extract`: the extraction core under the oracle —
+    * deterministic synthetic HTML per document (the corpus has no raw
+    * HTML; both engines wrap the text identically), then the full strip/
+    * decode/collapse chain, emitting the extracted text and its length.
+    * Pure map: no shuffle, one scan, WholeStageCodegen end to end. */
+  def htmlExtract(documents: DataFrame): DataFrame = {
+    val escaped = replace(replace(col("text"), lit("&"), lit("&amp;")),
+      lit("<"), lit("&lt;"))
+    val html = concat(HtmlParts.map {
+      case Left(s) => lit(s)
+      case Right("source") => col("source")
+      case Right("id") => col("doc_id").cast("string")
+      case Right("escaped") => escaped
+      case Right(other) => throw new IllegalArgumentException(other)
+    }: _*)
+    documents
+      .select(col("doc_id"), extractText(html).as("text_extracted"))
+      .withColumn("n_chars_extracted", length(col("text_extracted")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** The WARC → documents bridge: [[graft.sources.WarcSource.read]]
+    * response records into the documents shape every downstream operator
+    * consumes, with the real-ingest concerns handled row-level:
+    *
+    *  - charset RESOLUTION from the HTTP `Content-Type` header — the
+    *    byte-level header/body split rides a bijective ISO-8859-1 decode
+    *    (every byte ↔ one char), the body re-encodes to its true bytes,
+    *    and the declared charset picks the decode branch (utf-8 default;
+    *    iso-8859-1/latin-1; us-ascii — Spark's `decode` whitelist);
+    *  - an UNDECODABLE page (charset outside the whitelist, non-2xx
+    *    status, or extraction yielding no text) routes to QUARANTINE
+    *    with the reason + re-fetch ledger (the [[graft.sources.DocsJsonlSource]]
+    *    pattern) instead of poisoning the corpus or vanishing;
+    *  - doc identity = hash of the CANONICAL URL ([[UrlOps.canon]]), so
+    *    refetches of one page under cosmetic URL variants collide.
+    *
+    * Clean schema: (doc_id, url, source=host, text, n_chars, fetch_date)
+    * — `lang` is deliberately absent: upstream metadata lies, downstream
+    * `TextOps.langId` / `ClassifierOps` derive it. All row-level (one
+    * scan, zero shuffles); parallelism stays per-WARC-file. */
+  def warcToDocuments(records: DataFrame): (DataFrame, DataFrame) = {
+    val blank = "(?s)\\r?\\n\\r?\\n"
+    val l1 = decode(col("payload"), "ISO-8859-1")
+    val resp = records.filter(col("warc_type") === "response")
+      .withColumn("_l1", l1)
+      .withColumn("_hdr",
+        when(regexp_extract(col("_l1"), blank, 0) === "", col("_l1"))
+          .otherwise(regexp_extract(col("_l1"), s"(?s)^(.*?)\\r?\\n\\r?\\n", 1)))
+      .withColumn("_body_l1",
+        when(regexp_extract(col("_l1"), blank, 0) === "", lit(""))
+          .otherwise(regexp_replace(col("_l1"), s"(?s)^.*?\\r?\\n\\r?\\n", "")))
+      .withColumn("http_status",
+        regexp_extract(col("_hdr"), "^HTTP/[0-9.]+ ([0-9]{3})", 1).cast("int"))
+      .withColumn("_cs", lower(regexp_extract(col("_hdr"),
+        "(?im)^content-type:[^\\r\\n]*?charset=\"?([a-zA-Z0-9_.:-]+)", 1)))
+      .withColumn("_charset",
+        when(col("_cs").isin("", "utf-8", "utf8"), lit("utf-8"))
+          .when(col("_cs").isin("iso-8859-1", "iso8859-1", "latin-1", "latin1"),
+            lit("iso-8859-1"))
+          .when(col("_cs").isin("us-ascii", "ascii"), lit("us-ascii"))
+          .otherwise(lit("unsupported")))
+      .withColumn("_raw", encode(col("_body_l1"), "ISO-8859-1"))
+      .withColumn("_text", extractText(
+        when(col("_charset") === "iso-8859-1", col("_body_l1"))
+          .when(col("_charset") === "us-ascii", decode(col("_raw"), "US-ASCII"))
+          .otherwise(decode(col("_raw"), "UTF-8"))))
+      .withColumn("_reason",
+        when(col("http_status").isNull ||
+          !col("http_status").between(200, 299), lit("status"))
+          .when(col("_charset") === "unsupported", lit("charset"))
+          .when(col("_text") === "", lit("empty")))
+      .cache() // both routes are consumed (the DocsJsonlSource precedent)
+    val clean = resp.filter(col("_reason").isNull)
+      .withColumn("url", UrlOps.canon(col("target_uri")))
+      .select(
+        xxhash64(col("url")).as("doc_id"),
+        col("url"),
+        regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1).as("source"),
+        col("_text").as("text"),
+        length(col("_text")).cast("long").as("n_chars"),
+        col("warc_date").as("fetch_date"))
+    val quarantine = resp.filter(col("_reason").isNotNull)
+      .select(col("file"), col("target_uri"), col("http_status"),
+        col("_reason").as("reason"))
+    (clean, quarantine)
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_html_extract" -> {
+      val htmlSql = HtmlParts.map {
+        case Left(s) => TextFuns.sqlLit(s)
+        case Right("source") => "source"
+        case Right("id") => "CAST(doc_id AS VARCHAR)"
+        case Right("escaped") =>
+          "replace(replace(text, '&', '&amp;'), '<', '&lt;')"
+        case Right(other) => throw new IllegalArgumentException(other)
+      }.mkString(" || ")
+      val strips = StripPatterns.map { case (p, r) =>
+        (TextFuns.sqlLit(p), TextFuns.sqlLit(r))
+      }
+      val stripped = strips.foldLeft("html") { case (acc, (p, r)) =>
+        s"regexp_replace($acc, $p, $r, 'g')"
+      }
+      val decoded = Entities.foldLeft(stripped) { case (acc, (e, ch)) =>
+        s"replace($acc, ${TextFuns.sqlLit(e)}, ${TextFuns.sqlLit(ch)})"
+      }
+      s"""WITH h AS (
+         |  SELECT doc_id, $htmlSql AS html FROM documents
+         |)
+         |SELECT doc_id,
+         |  trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS text_extracted,
+         |  length(trim(regexp_replace($decoded, '\\s+', ' ', 'g'))) AS n_chars_extracted
+         |FROM h
+         |ORDER BY doc_id""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, US_ASCII, UTF_8}
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, HtmlOps, TextOps, UrlOps}
+
+/** HTML extraction chain, URL canonicalization, and the WARC → documents
+  * bridge (SURVEY §2 rows 119-120 + HtmlOps.warcToDocuments). */
+class HtmlUrlSpec extends SparkSpec {
+
+  private def extract(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h").select(HtmlOps.extractText(col("h")).as("t"))
+      .collect().head.getString(0)
+  }
+
+  test("extractText strips blocks/tags, decodes entities, collapses whitespace") {
+    val html =
+      """<html><head><title>My Page</title>
+        |<style type="text/css">body { color: red; }</style>
+        |<SCRIPT src="x.js">var a = 1 < 2; track("</p>");</SCRIPT>
+        |</head><body><!-- hidden
+        |comment --><nav><a href="/">home</a></nav>
+        |<h1>Header</h1>
+        |<p>one &amp; two &lt;three&gt;&nbsp;&quot;four&quot; &#39;five&#39;</p>
+        |<p>already &amp;lt; stays literal</p>
+        |</body></html>""".stripMargin
+    assert(extract(html) ==
+      "My Page home Header one & two <three> \"four\" 'five' already &lt; stays literal")
+  }
+
+  test("canon normalizes scheme/host case, ports, fragments, tracking, slashes") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTP://WWW.Example.COM:80/a/b" -> "http://www.example.com/a/b",
+      "https://h.io:443/x" -> "https://h.io/x",
+      "https://h.io:8443/x" -> "https://h.io:8443/x", // non-default port kept
+      "http://h.io/a//b///c/" -> "http://h.io/a/b/c",
+      "http://h.io/a#frag" -> "http://h.io/a",
+      "http://h.io/a?utm_source=x&utm_medium=y" -> "http://h.io/a",
+      // tracking removed mid-query, real params survive with repaired '?'
+      "http://h.io/a?utm_source=x&q=1&fbclid=zz&r=2" -> "http://h.io/a?q=1&r=2",
+      "http://h.io/a?q=1&gclid=abc" -> "http://h.io/a?q=1",
+      "http://h.io/" -> "http://h.io",
+      "  http://h.io/a  " -> "http://h.io/a",
+      "not a url" -> "not a url") // no scheme://host → trimmed passthrough
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), UrlOps.canon(col("u")).as("c")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"canon($in) = ${got(in)}, want $want")
+    }
+  }
+
+  test("urlDedup collapses all five messy variants of one page") {
+    import spark.implicits._
+    // doc_ids 7, 107, 207, 307, 407 share source+path, cycle the variants
+    val docs = (0 to 4).map(i => (7L + 100 * i, "src3")).toDF("doc_id", "source")
+    val out = UrlOps.urlDedup(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("canon_url") == "http://src3.example.com/docs/7")
+    assert(r.getAs[Long]("doc_id") == 7L)
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Long]("n_variants") == 5L)
+  }
+
+  // --- the WARC → documents bridge ---
+
+  private def record(typ: String, uri: String, payload: Array[Byte]): Array[Byte] = {
+    val hdr = ("WARC/1.0\r\n" +
+      s"WARC-Type: $typ\r\n" +
+      "WARC-Date: 2026-08-14T00:00:00Z\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(US_ASCII)
+    hdr ++ payload ++ "\r\n\r\n".getBytes(US_ASCII)
+  }
+
+  private def http(status: String, ctype: String, body: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\n\r\n").getBytes(US_ASCII) ++ body
+
+  test("warcToDocuments: charset resolution, quarantine routes, canonical identity") {
+    val dir = Files.createTempDirectory("graft_warc_docs")
+    val utf8Body = "<html><body><p>café &amp; the crawl page</p></body></html>"
+    val latin1Body = "<html><p>naïve résumé</p></html>"
+    val recs =
+      // same page fetched twice under cosmetic URL variants → one identity
+      record("response", "HTTP://Site.COM:80/a?utm_source=x",
+        http("200 OK", "text/html; charset=utf-8", utf8Body.getBytes(UTF_8))) ++
+      record("response", "http://site.com/a#frag",
+        http("200 OK", "text/html; charset=UTF-8", utf8Body.getBytes(UTF_8))) ++
+      record("response", "http://other.org/l1",
+        http("200 OK", "text/html; charset=ISO-8859-1", latin1Body.getBytes(ISO_8859_1))) ++
+      record("response", "http://plain.net/no-charset",
+        http("200 OK", "text/html", "<p>default utf8 page</p>".getBytes(UTF_8))) ++
+      record("response", "http://bad.net/cp1252",
+        http("200 OK", "text/html; charset=windows-1252", "x".getBytes(US_ASCII))) ++
+      record("response", "http://gone.net/404",
+        http("404 Not Found", "text/html", "<p>gone</p>".getBytes(UTF_8))) ++
+      record("response", "http://empty.net/blank",
+        http("200 OK", "text/html", "<style>p{}</style>".getBytes(UTF_8))) ++
+      record("request", "http://site.com/a", "GET /a HTTP/1.1\r\n".getBytes(US_ASCII))
+    Files.write(dir.resolve("seg.warc"), recs)
+
+    val (clean, quarantine) =
+      HtmlOps.warcToDocuments(graft.sources.WarcSource.read(spark, dir.toString))
+    val cleanRows = clean.collect()
+    assert(cleanRows.length == 4)
+    val byUrl = cleanRows.groupBy(_.getAs[String]("url"))
+    // the two fetches of site.com/a canonicalize to ONE url and doc_id
+    val dups = byUrl("http://site.com/a")
+    assert(dups.length == 2 && dups.map(_.getAs[Long]("doc_id")).distinct.length == 1)
+    assert(dups.forall(_.getAs[String]("text") == "café & the crawl page"))
+    assert(dups.forall(_.getAs[String]("source") == "site.com"))
+    // latin-1 bytes decoded under the DECLARED charset, not utf-8-lossy
+    assert(byUrl("http://other.org/l1").head.getAs[String]("text") == "naïve résumé")
+    assert(byUrl("http://plain.net/no-charset").head.getAs[String]("text") == "default utf8 page")
+
+    val q = quarantine.collect().map(r =>
+      r.getAs[String]("target_uri") -> r.getAs[String]("reason")).toMap
+    assert(q == Map(
+      "http://bad.net/cp1252" -> "charset",
+      "http://gone.net/404" -> "status",
+      "http://empty.net/blank" -> "empty"))
+  }
+
+  test("warc bridge chains into langId and dedupLines (the documents estate)") {
+    val dir = Files.createTempDirectory("graft_warc_chain")
+    val page = "<p>the of and to in for is on that the of and to in for is on that</p>"
+    Files.write(dir.resolve("seg.warc"),
+      record("response", "http://en.site/x",
+        http("200 OK", "text/html; charset=utf-8", page.getBytes(UTF_8))) ++
+      record("response", "http://en.site/y",
+        http("200 OK", "text/html", page.getBytes(UTF_8))))
+    val (clean, _) =
+      HtmlOps.warcToDocuments(graft.sources.WarcSource.read(spark, dir.toString))
+    val docs = clean.select(col("doc_id"), col("text"), col("source"))
+    val langs = TextOps.langId(docs).collect()
+    assert(langs.length == 2 && langs.forall(_.getAs[String]("pred_lang") == "en"))
+    val lines = DedupOps.dedupLines(docs).collect()
+    assert(lines.length == 2)
+    // identical page bodies: the second doc's segments are all duplicates
+    assert(lines.map(_.getAs[Long]("n_kept")).sorted.toSeq.head == 0L)
+  }
+}
