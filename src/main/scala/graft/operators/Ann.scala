@@ -45,9 +45,12 @@ object AnnOps {
     * it is quadratic by definition — correct at any size that can afford
     * it, and the recall yardstick for [[knnGraphRp]], the scale path.
     * Plan shape: norms computed ONCE per row before the pair join (never
-    * per pair), the smaller side broadcast (local) / block-tiled
-    * (cluster), ranking is a window partitioned by src_id — per-vector
-    * state is a k-row heap, never a global sort. */
+    * per pair), ranking is a window partitioned by src_id — per-vector
+    * state is a k-row heap, never a global sort. The pair join BROADCASTS
+    * the full vector table (its one honest cap: this baseline only runs
+    * at broadcast-size corpora — fitting, since past that size the n²
+    * pair count is unaffordable anyway); [[knnGraphRp]] is the unbounded
+    * production path. */
   def knnGraph(embeddings: DataFrame, k: Int = 5): DataFrame = {
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val withNorm = embeddings.select(col("vec_id"), col("label"),
@@ -1179,6 +1182,10 @@ object AnnOps {
          |    ${VectorFuns.sql.cosine6("a.embedding", "b.embedding")} AS score
          |  FROM bk a JOIN bk b
          |    ON a.vec_id <> b.vec_id AND (${DedupOps.rpAnyBandSql})
+         |  -- zero-norm vectors are outside the graph universe on BOTH
+         |  -- engines (the Spark side filters src_nrm/nbr_nrm > 0)
+         |  WHERE ${VectorFuns.sql.l2norm("a.embedding")} > 0
+         |    AND ${VectorFuns.sql.l2norm("b.embedding")} > 0
          |), ranked AS (
          |  SELECT src_id, nbr_id, score,
          |    ROW_NUMBER() OVER (PARTITION BY src_id

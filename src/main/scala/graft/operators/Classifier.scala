@@ -50,7 +50,9 @@ object ClassifierOps {
     val vocab = counts.select("token").distinct()
     val vsize = vocab.agg(count(lit(1)).as("v"))
     val langs = counts.select("lang").distinct()
-    langs.crossJoin(vocab)
+    // explicit hint: statistics usually pick the |langs|-row side anyway,
+    // but the grid build must be plan-stable, like every model join here
+    broadcast(langs).crossJoin(vocab)
       .join(counts, Seq("lang", "token"), "left")
       .join(langTotals, Seq("lang"))
       .crossJoin(broadcast(vsize))

@@ -57,20 +57,35 @@ object DedupOps {
     * segments themselves, with reach (distinct docs), total
     * occurrences, and the earliest carrier for triage.
     *
-    * ONE seg-keyed shuffle; the distinct-doc count is a partial-agg
-    * two-phase distinct on the same key. Top-k compiles to a heap.
-    * (At 100 TB the shuffle key would be md5(seg) with the text joined
-    * back for the k survivors only — same contract.) */
+    * ONE md5(seg)-keyed shuffle (the 32-char digest is the partition
+    * key — segment TEXT never rides an exchange, plan-audited); the
+    * distinct-doc count is a partial-agg two-phase distinct on the same
+    * key; the top-k selection ranks (n_docs desc, digest asc) — no text
+    * needed to rank — and compiles to a heap. The text joins back for
+    * the k SURVIVORS only: the k-row frame broadcasts against a second
+    * row-level segmentation pass, so at 100 TB the price of readable
+    * output is one extra scan, never a corpus-sized text shuffle. */
   def boilerplate(documents: DataFrame, segTokens: Int = 10,
-                  minDocs: Long = 2L, k: Int = 50): DataFrame =
-    segmented(documents, segTokens)
-      .groupBy(col("seg"))
+                  minDocs: Long = 2L, k: Int = 50): DataFrame = {
+    val segs = segmented(documents, segTokens)
+    val survivors = segs
+      .select(md5(col("seg").cast("binary")).as("seg_hash"), col("doc_id"))
+      .groupBy(col("seg_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
-      .orderBy(col("n_docs").desc, col("seg").asc)
+      .orderBy(col("n_docs").desc, col("seg_hash").asc)
       .limit(k)
+    segs
+      .select(md5(col("seg").cast("binary")).as("seg_hash"), col("seg"))
+      .join(broadcast(survivors), "seg_hash")
+      .groupBy(col("seg_hash"), col("n_docs"), col("n_occurrences"),
+        col("first_doc"))
+      .agg(min(col("seg")).as("seg")) // all group members are one text
+      .select(col("seg"), col("n_docs"), col("n_occurrences"), col("first_doc"))
+      .orderBy(col("n_docs").desc, col("seg").asc)
+  }
 
   def dedupLines(documents: DataFrame, segTokens: Int = 10): DataFrame = {
     val segs = segmented(documents, segTokens)
@@ -1137,14 +1152,20 @@ object DedupOps {
          |  SELECT doc_id,
          |    array_to_string(tk[(CAST(i AS INTEGER) * 10 + 1):(CAST(i AS INTEGER) * 10 + 10)], ' ') AS seg
          |  FROM segn
+         |), ranked AS (
+         |  -- selection ranks on the DIGEST (the Spark side never ranks
+         |  -- on text — the shuffle key is md5(seg)); display order below
+         |  SELECT seg, COUNT(DISTINCT doc_id) AS n_docs,
+         |    COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
+         |  FROM segs
+         |  GROUP BY seg
+         |  HAVING COUNT(DISTINCT doc_id) >= 2
+         |  ORDER BY n_docs DESC, md5(seg) ASC
+         |  LIMIT 50
          |)
-         |SELECT seg, COUNT(DISTINCT doc_id) AS n_docs,
-         |  COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
-         |FROM segs
-         |GROUP BY seg
-         |HAVING COUNT(DISTINCT doc_id) >= 2
-         |ORDER BY n_docs DESC, seg ASC
-         |LIMIT 50""".stripMargin,
+         |SELECT seg, n_docs, n_occurrences, first_doc
+         |FROM ranked
+         |ORDER BY n_docs DESC, seg ASC""".stripMargin,
     "q_dedup_lines" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source, string_split($normSql, ' ') AS tk FROM documents

@@ -279,7 +279,13 @@ object TextOps {
       .as[(Long, String, String)]
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
-        val mapped = it.map { case (id, src, text) =>
+        // release the native zlib stream however the task ends — an
+        // early-terminating consumer (limit/take) never drains the
+        // iterator, so an exhaustion-triggered end() would leak one
+        // native stream per partition
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.end()))
+        it.map { case (id, src, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           d.reset()
           d.setInput(raw)
@@ -290,10 +296,6 @@ object TextOps {
           while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
           val ratio = if (raw.length == 0) 1.0 else n.toDouble / raw.length
           (id, src, raw.length.toLong, n.toLong, ratio)
-        }
-        new scala.collection.AbstractIterator[(Long, String, Long, Long, Double)] {
-          def hasNext: Boolean = { val h = mapped.hasNext; if (!h) d.end(); h }
-          def next(): (Long, String, Long, Long, Double) = mapped.next()
         }
       }
       .toDF("doc_id", "source", "n_bytes", "n_compressed", "compress_ratio")

@@ -144,10 +144,23 @@ object Sinks {
     *
     * Caller contract: `updates` carries ONE row per key (this is a
     * MERGE, not an append — two update rows for the same key would both
-    * land). Enforced: duplicate keys in `updates` fail the write. */
+    * land). Enforced: duplicate keys in `updates` fail the write.
+    *
+    * Caller contract 2: keys are PARTITION-STABLE — an update must carry
+    * the key's existing partition value. A key that MOVES partitions
+    * (old partition untouched by this batch) would leave its stale row
+    * alive there: detecting that case requires reading every untouched
+    * partition, exactly the cost this primitive exists to avoid, so it
+    * cannot be an always-on check. Moves BETWEEN touched partitions are
+    * handled correctly (the key anti-join spans all touched partitions).
+    * `auditKeyMoves = true` opts into the full-layout audit: the write
+    * fails if any update key still exists outside the touched set —
+    * run it on low-traffic batches or after schema/partitioning changes,
+    * at the documented price of one key-column scan of the layout. */
   def upsertPartitioned(spark: SparkSession, updates: DataFrame, path: String,
                         partitionCol: String, keyCol: String,
-                        maxRecordsPerFile: Long = 5000000L): Long = {
+                        maxRecordsPerFile: Long = 5000000L,
+                        auditKeyMoves: Boolean = false): Long = {
     val staging = path.stripSuffix("/") + ".upsert-staging"
     requireDistinctPaths(spark, path, staging)
     val dup = updates.groupBy(col(keyCol)).count()
@@ -156,6 +169,21 @@ object Sinks {
       s"upsert: updates carry duplicate $keyCol ${dup.headOption.map(_.get(0))} " +
         "— a merge takes one row per key")
     val touched = updates.select(partitionCol).distinct()
+    if (auditKeyMoves) {
+      // opt-in full-layout check (reads key+partition columns only):
+      // an update key alive OUTSIDE the touched partitions is a moved
+      // key whose stale row this merge would strand
+      val stale = readPartitioned(spark, path)
+        .join(broadcast(touched), Seq(partitionCol), "left_anti")
+        .join(broadcast(updates.select(keyCol).distinct()), Seq(keyCol), "left_semi")
+        .select(col(keyCol), col(partitionCol))
+        .limit(1).collect()
+      require(stale.isEmpty,
+        s"upsert: key ${stale.headOption.map(_.get(0))} moved partitions — " +
+          s"its stale row lives in untouched $partitionCol=" +
+          s"${stale.headOption.map(_.get(1))}; include that partition's " +
+          "rows in the update batch or delete the old row first")
+    }
     val existing = readPartitioned(spark, path)
       .join(broadcast(touched), Seq(partitionCol), "left_semi")
     val merged = existing

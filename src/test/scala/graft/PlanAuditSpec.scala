@@ -449,4 +449,19 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(TextOps.compressRatio(Tables.documents(spark, sfDir)))
     assert(hashExchangeCount(p) == 0, s"${hashExchangeCount(p)} hash exchanges:\n$p")
   }
+
+  test("q_boilerplate: exchanges key on the digest, never the raw segment text") {
+    val p = plan(DedupOps.boilerplate(Tables.documents(spark, sfDir)))
+    // every hashpartitioning key set must mention seg_hash and not seg —
+    // the segment text may ride as an aggregated VALUE (the survivor
+    // join-back), but a text-keyed exchange is the 100 TB killer
+    val keys = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty, p)
+    keys.foreach { k =>
+      assert(!"(^|[ (])seg#".r.findFirstIn(k).isDefined, s"seg-keyed exchange: $k")
+    }
+    // the k-survivor text join-back is a broadcast, not a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

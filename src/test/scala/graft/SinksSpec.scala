@@ -227,6 +227,30 @@ class SinksSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("upsertPartitioned auditKeyMoves catches a key moving partitions") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_upsert_mv")
+      .toFile.getAbsolutePath
+    Sinks.writePartitionedBy(Seq(
+      (1L, "one", "s0"), (3L, "three", "s1")
+    ).toDF("doc_id", "text", "source"), path, "source")
+    // doc 3 lives in s1; this update claims it for s0 (s1 untouched) —
+    // the audited merge must refuse (the stale s1 row would survive)
+    val moving = Seq((3L, "three-v2", "s0")).toDF("doc_id", "text", "source")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertPartitioned(spark, moving, path, "source", "doc_id",
+        auditKeyMoves = true)
+    }
+    assert(e.getMessage.contains("moved partitions"), e.getMessage)
+    // partition-stable updates pass the same audit
+    val stable = Seq((1L, "one-v2", "s0")).toDF("doc_id", "text", "source")
+    assert(Sinks.upsertPartitioned(spark, stable, path, "source", "doc_id",
+      auditKeyMoves = true) == 1L)
+    val after = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    assert(after == Map(1L -> "one-v2", 3L -> "three"))
+  }
+
   test("percentileApprox quantiles are flat scalar columns, ordered") {
     val events = Tables.events(spark, sfDir)
     val df = StatsOps.percentileApprox(events)
