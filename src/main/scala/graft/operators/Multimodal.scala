@@ -91,7 +91,58 @@ object MultimodalOps {
     * pixel stats normalized by maxval to [0, 1]. None = not a P6
     * payload or malformed/truncated — the caller falls back to the
     * stub rather than poisoning the batch. */
+  /** Row-major per-pixel consumer — the ONE walk each image format
+    * implements ([[ppmWalk]]/[[bmpWalk]]/[[pngWalk]]/[[qoiWalk]]), so the
+    * stats features and the dHash gray grid share the same parse code
+    * instead of duplicating four decoders. `start` fires once with the
+    * geometry; `px` fires w×h times in row-major display order (top row
+    * first — the BMP walk un-reverses bottom-up storage). A walk that
+    * returns None may have fed a PARTIAL pixel stream; callers use a
+    * fresh sink per attempt. */
+  private[graft] trait PixelSink {
+    def start(w: Int, h: Int): Unit
+    def px(r: Int, g: Int, b: Int): Unit
+  }
+
+  /** The per-channel stats accumulation every decode* feature vector is
+    * built from — byte-identical to the pre-refactor inline loops (same
+    * update order, same integer accumulators). */
+  private final class StatsSink extends PixelSink {
+    val sum = new Array[Long](3)
+    val min = Array.fill(3)(255)
+    val max = new Array[Int](3)
+    var w = 0L; var h = 0L
+    def start(w: Int, h: Int): Unit = { this.w = w; this.h = h }
+    def px(r: Int, g: Int, b: Int): Unit = {
+      sum(0) += r; sum(1) += g; sum(2) += b
+      if (r < min(0)) min(0) = r; if (r > max(0)) max(0) = r
+      if (g < min(1)) min(1) = g; if (g > max(1)) max(1) = g
+      if (b < min(2)) min(2) = b; if (b > max(2)) max(2) = b
+    }
+    def feats(dim: Int, maxv: Int): Array[Float] = {
+      val n = w * h
+      val out = new Array[Float](dim)
+      val raw = Array[Float](w.toFloat, h.toFloat,
+        (sum(0).toDouble / n / maxv).toFloat,
+        (sum(1).toDouble / n / maxv).toFloat,
+        (sum(2).toDouble / n / maxv).toFloat,
+        min(0).toFloat / maxv, min(1).toFloat / maxv, min(2).toFloat / maxv,
+        max(0).toFloat / maxv, max(1).toFloat / maxv, max(2).toFloat / maxv)
+      System.arraycopy(raw, 0, out, 0, math.min(raw.length, dim))
+      out
+    }
+  }
+
   private[graft] def decodePpm(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val s = new StatsSink
+    ppmWalk(bytes, s).map { case (_, _, maxv) => s.feats(dim, maxv) }
+  }
+
+  /** PPM P6 walk: magic, ASCII header, one whitespace byte, RGB24 plane.
+    * Some((w, h, maxval)) after feeding every pixel; None = not P6 or
+    * malformed/truncated. */
+  private[graft] def ppmWalk(bytes: Array[Byte],
+                             sink: PixelSink): Option[(Int, Int, Int)] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     var i = 2
     def ws(b: Byte): Boolean =
@@ -126,27 +177,14 @@ object MultimodalOps {
     // dims (w = h = MaxInt → n·3 wraps NEGATIVE and the guard would
     // pass, fabricating stats from a 30-byte payload)
     if ((bytes.length - i) / 3L < n) return None // truncated pixel plane
-    val sum = new Array[Long](3)
-    val min = Array.fill(3)(255)
-    val max = new Array[Int](3)
+    sink.start(w, h)
     var p = 0L
-    while (p < n * 3) {
-      val c = (p % 3).toInt
-      val v = bytes(i + p.toInt) & 0xff
-      sum(c) += v
-      if (v < min(c)) min(c) = v
-      if (v > max(c)) max(c) = v
+    while (p < n) {
+      val o = i + (p * 3).toInt
+      sink.px(bytes(o) & 0xff, bytes(o + 1) & 0xff, bytes(o + 2) & 0xff)
       p += 1
     }
-    val feats = new Array[Float](dim)
-    val raw = Array[Float](w.toFloat, h.toFloat,
-      (sum(0).toDouble / n / maxv).toFloat,
-      (sum(1).toDouble / n / maxv).toFloat,
-      (sum(2).toDouble / n / maxv).toFloat,
-      min(0).toFloat / maxv, min(1).toFloat / maxv, min(2).toFloat / maxv,
-      max(0).toFloat / maxv, max(1).toFloat / maxv, max(2).toFloat / maxv)
-    System.arraycopy(raw, 0, feats, 0, math.min(raw.length, dim))
-    Some(feats)
+    Some((w, h, maxv))
   }
 
   /** Dependency-free WAV/PCM decoder: RIFF container walk ("RIFF" +
@@ -240,6 +278,14 @@ object MultimodalOps {
     * shorter than the declared geometry (truncated upload) — the caller
     * falls back to the stub rather than poisoning the batch. */
   private[graft] def decodeBmp(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val s = new StatsSink
+    bmpWalk(bytes, s).map(_ => s.feats(dim, 255))
+  }
+
+  /** BMP 24-bpp BI_RGB walk (bottom-up and top-down, 4-byte row padding,
+    * BGR→RGB). Pixels feed in DISPLAY row order regardless of storage. */
+  private[graft] def bmpWalk(bytes: Array[Byte],
+                             sink: PixelSink): Option[(Int, Int)] = {
     def u16(off: Int): Int =
       (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
     def u32(off: Int): Long =
@@ -262,9 +308,7 @@ object MultimodalOps {
     val rowBytes = ((w.toLong * 3 + 3) / 4) * 4
     if (dataOff < 54 || dataOff > bytes.length) return None
     if ((bytes.length - dataOff) / rowBytes < h.toLong) return None
-    val sum = new Array[Long](3)
-    val min = Array.fill(3)(255)
-    val max = new Array[Int](3)
+    sink.start(w, h)
     var row = 0
     while (row < h) {
       // bottom-up storage: pixel row y sits at (h-1-y) from the top
@@ -274,27 +318,12 @@ object MultimodalOps {
       while (x < w) {
         val o = (base + x * 3L).toInt
         // BGR on disk → RGB channel order in the stats
-        val b = bytes(o) & 0xff
-        val g = bytes(o + 1) & 0xff
-        val r = bytes(o + 2) & 0xff
-        sum(0) += r; sum(1) += g; sum(2) += b
-        if (r < min(0)) min(0) = r; if (r > max(0)) max(0) = r
-        if (g < min(1)) min(1) = g; if (g > max(1)) max(1) = g
-        if (b < min(2)) min(2) = b; if (b > max(2)) max(2) = b
+        sink.px(bytes(o + 2) & 0xff, bytes(o + 1) & 0xff, bytes(o) & 0xff)
         x += 1
       }
       row += 1
     }
-    val n = w.toLong * h
-    val feats = new Array[Float](dim)
-    val raw = Array[Float](w.toFloat, h.toFloat,
-      (sum(0).toDouble / n / 255).toFloat,
-      (sum(1).toDouble / n / 255).toFloat,
-      (sum(2).toDouble / n / 255).toFloat,
-      min(0) / 255f, min(1) / 255f, min(2) / 255f,
-      max(0) / 255f, max(1) / 255f, max(2) / 255f)
-    System.arraycopy(raw, 0, feats, 0, math.min(raw.length, dim))
-    Some(feats)
+    Some((w, h))
   }
 
   /** Dependency-free PNG decoder (`java.util.zip.Inflater` is in the
@@ -312,6 +341,14 @@ object MultimodalOps {
     * geometry (truncated upload) — the caller falls back to the stub
     * rather than poisoning the batch. */
   private[graft] def decodePng(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val s = new StatsSink
+    pngWalk(bytes, s).map(_ => s.feats(dim, 255))
+  }
+
+  /** PNG walk: chunk scan, IDAT inflate, five-filter reconstruction,
+    * then the row-major pixel feed (gray replicated, alpha skipped). */
+  private[graft] def pngWalk(bytes: Array[Byte],
+                             sink: PixelSink): Option[(Int, Int)] = {
     val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
     if (bytes.length < 8 + 25 ||
       !sig.indices.forall(j => (bytes(j) & 0xff) == sig(j))) return None
@@ -401,11 +438,8 @@ object MultimodalOps {
       }
       y += 1
     }
-    // ---- per-channel stats (gray replicated, alpha skipped)
-    val sum = new Array[Long](3)
-    val min = Array.fill(3)(255)
-    val max = new Array[Int](3)
-    val nPix = w * h
+    // ---- row-major pixel feed (gray replicated, alpha skipped)
+    sink.start(w.toInt, h.toInt)
     y = 0
     while (y < h) {
       val base = (y * rowBytes).toInt + 1
@@ -415,23 +449,12 @@ object MultimodalOps {
         val r = raw(o) & 0xff
         val g = if (channels >= 3) raw(o + 1) & 0xff else r
         val b = if (channels >= 3) raw(o + 2) & 0xff else r
-        sum(0) += r; sum(1) += g; sum(2) += b
-        if (r < min(0)) min(0) = r; if (r > max(0)) max(0) = r
-        if (g < min(1)) min(1) = g; if (g > max(1)) max(1) = g
-        if (b < min(2)) min(2) = b; if (b > max(2)) max(2) = b
+        sink.px(r, g, b)
         px += 1
       }
       y += 1
     }
-    val feats = new Array[Float](dim)
-    val out = Array[Float](w.toFloat, h.toFloat,
-      (sum(0).toDouble / nPix / 255).toFloat,
-      (sum(1).toDouble / nPix / 255).toFloat,
-      (sum(2).toDouble / nPix / 255).toFloat,
-      min(0) / 255f, min(1) / 255f, min(2) / 255f,
-      max(0) / 255f, max(1) / 255f, max(2) / 255f)
-    System.arraycopy(out, 0, feats, 0, math.min(out.length, dim))
-    Some(feats)
+    Some((w.toInt, h.toInt))
   }
 
   /** Dependency-free QOI decoder (qoiformat.org — the one-page public
@@ -447,6 +470,16 @@ object MultimodalOps {
     * still bounds CPU against a lying header. None = wrong magic,
     * malformed chunk stream, or fewer pixels than the header promised. */
   private[graft] def decodeQoi(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val s = new StatsSink
+    qoiWalk(bytes, s).map(_ => s.feats(dim, 255))
+  }
+
+  /** QOI walk — still streaming: state is the previous pixel + the
+    * 64-slot index; runs feed the sink per pixel (run length ≤ 62, so
+    * the fan-out is bounded and sums land identical to the batched
+    * pre-refactor accumulation). */
+  private[graft] def qoiWalk(bytes: Array[Byte],
+                             sink: PixelSink): Option[(Int, Int)] = {
     if (bytes.length < 14 + 8 || bytes(0) != 'q' || bytes(1) != 'o' ||
       bytes(2) != 'i' || bytes(3) != 'f') return None
     def u32be(off: Int): Long =
@@ -461,16 +494,12 @@ object MultimodalOps {
     // running pixel state + the 64-slot index (r,g,b,a packed per slot)
     var r = 0; var g = 0; var b = 0; var a = 255
     val idx = new Array[Int](64 * 4)
-    val sum = new Array[Long](3)
-    val min = Array.fill(3)(255)
-    val max = new Array[Int](3)
     var seen = 0L
     var i = 14
+    sink.start(w.toInt, h.toInt)
     def emit(run: Int): Unit = {
-      sum(0) += r.toLong * run; sum(1) += g.toLong * run; sum(2) += b.toLong * run
-      if (r < min(0)) min(0) = r; if (r > max(0)) max(0) = r
-      if (g < min(1)) min(1) = g; if (g > max(1)) max(1) = g
-      if (b < min(2)) min(2) = b; if (b > max(2)) max(2) = b
+      var k = 0
+      while (k < run) { sink.px(r, g, b); k += 1 }
       seen += run
     }
     while (seen < nPix && i < bytes.length) {
@@ -510,15 +539,7 @@ object MultimodalOps {
       idx(s) = r; idx(s + 1) = g; idx(s + 2) = b; idx(s + 3) = a
     }
     if (seen != nPix) return None // truncated, or run overshot the count
-    val feats = new Array[Float](dim)
-    val out = Array[Float](w.toFloat, h.toFloat,
-      (sum(0).toDouble / nPix / 255).toFloat,
-      (sum(1).toDouble / nPix / 255).toFloat,
-      (sum(2).toDouble / nPix / 255).toFloat,
-      min(0) / 255f, min(1) / 255f, min(2) / 255f,
-      max(0) / 255f, max(1) / 255f, max(2) / 255f)
-    System.arraycopy(out, 0, feats, 0, math.min(out.length, dim))
-    Some(feats)
+    Some((w.toInt, h.toInt))
   }
 
   /** Deterministic fallback for non-PPM payloads: byte i (cyclic) scaled
@@ -526,6 +547,102 @@ object MultimodalOps {
   private def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] =
     Array.tabulate(dim)(i =>
       if (bytes.isEmpty) 0f else (bytes(i % bytes.length) & 0xff) / 256f)
+
+  /** Box-downsampled luminance grid (gw × gh) fed off any pixel walk —
+    * the dHash front end. Cell value = integer mean of 299r+587g+114b
+    * (milli-weight BT.601 luma; integer-exact, so the hash can never
+    * float-drift between formats or runs). Empty cells (image narrower
+    * than the grid) read 0. */
+  private[graft] final class GraySink(gw: Int, gh: Int) extends PixelSink {
+    private val sums = new Array[Long](gw * gh)
+    private val counts = new Array[Long](gw * gh)
+    private var w = 0L
+    private var h = 0L
+    private var n = 0L
+    def start(w: Int, h: Int): Unit = { this.w = w; this.h = h }
+    def px(r: Int, g: Int, b: Int): Unit = {
+      val x = n % w
+      val y = n / w
+      val cell = ((y * gh / h) * gw + x * gw / w).toInt
+      sums(cell) += 299L * r + 587L * g + 114L * b
+      counts(cell) += 1
+      n += 1
+    }
+    def gray(cell: Int): Long =
+      if (counts(cell) == 0) 0L else sums(cell) / counts(cell)
+  }
+
+  /** 64-bit difference hash (dHash) of an image payload: downsample to a
+    * 9×8 luminance grid through the format's own pixel walk, then bit
+    * (y·8+x) = [cell(x+1, y) brighter than cell(x, y)] — the classic
+    * gradient-sign fingerprint: invariant to the CONTAINER (the same
+    * pixels as PPM, BMP, PNG, or QOI hash identically, spec-asserted),
+    * to uniform brightness scaling, and robust to small edits. None =
+    * payload is not a decodable image (audio/junk stays out of the
+    * image-dedup universe). */
+  private[graft] def dhashOf(bytes: Array[Byte]): Option[Long] = {
+    def tryWalk(walk: PixelSink => Option[_]): Option[GraySink] = {
+      val s = new GraySink(9, 8) // fresh per attempt: a failed walk may
+      walk(s).map(_ => s)        // have fed a partial stream
+    }
+    tryWalk(ppmWalk(bytes, _))
+      .orElse(tryWalk(bmpWalk(bytes, _)))
+      .orElse(tryWalk(pngWalk(bytes, _)))
+      .orElse(tryWalk(qoiWalk(bytes, _)))
+      .map { s =>
+        var bits = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (s.gray(y * 9 + x + 1) > s.gray(y * 9 + x))
+              bits |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        bits
+      }
+  }
+
+  /** §2-C `imageDhash`: the multimodal column estate's first real
+    * cross-format DEDUP key — (doc_id, dhash) for every payload that
+    * decodes as an image (non-images drop out; they have content hashes
+    * of their own). Same mapPartitions batch shape as [[decodeBatches]];
+    * the payload never survives past the hash. */
+  def imageDhash(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dhash", LongType)))
+    val rdd = withPayload
+      .select(col("doc_id").cast("long"), col("payload"))
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          dhashOf(r.getAs[Array[Byte]](1)).map(hsh => Row(r.getLong(0), hsh))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** §2-C `imageDhashPairs`: near-identical image pairs at Hamming ≤
+    * `maxHamming` of the 64-bit dHash — EXACTLY the SimHash pigeonhole
+    * machinery ([[DedupOps.dedupSimhashPairs]]'s 4×16-bit blocking: any
+    * pair within Hamming 3 agrees on ≥1 piece), so candidates are block
+    * collisions, never n². Hamming ≤3 of 64 is the near-IDENTICAL tier
+    * (re-encodes, small overlays, single-region edits); a looser
+    * perceptual sweep would need more pieces, same machinery. */
+  def imageDhashPairs(withPayload: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < DedupOps.SimhashPieces,
+      s"pigeonhole blocking over ${DedupOps.SimhashPieces} pieces only " +
+        s"finds pairs with Hamming < ${DedupOps.SimhashPieces}; got $maxHamming")
+    DedupOps.simhashBlockCandidates(
+      imageDhash(withPayload).withColumnRenamed("dhash", "simhash"),
+      pieceBits = 16)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** §2-C frame sampling as a DECLARATIVE plan: split the binary payload
     * into fixed-size frames and keep every `everyNth` — `substring` works

@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.MultimodalOps
+
+/** Cross-format image near-dup dedup: the 64-bit dHash over the shared
+  * per-format pixel walks + the SimHash pigeonhole pair machinery
+  * (SURVEY §2-C imageDhash / imageDhashPairs). */
+class ImageDhashSpec extends SparkSpec {
+
+  private val W = 18
+  private val H = 16
+
+  /** Deterministic test image: left-to-right luminance gradient with
+    * per-row drift — every adjacent dHash cell pair differs, so the
+    * hash has no accidental ties. */
+  private def lum(x: Int, y: Int): Int = (x * 13 + y * 7) % 200
+
+  private def pixels(f: (Int, Int) => Int): IndexedSeq[(Int, Int, Int)] =
+    for (y <- 0 until H; x <- 0 until W) yield {
+      val v = f(x, y); (v, v, v)
+    }
+
+  private def ppm(px: IndexedSeq[(Int, Int, Int)]): Array[Byte] =
+    (s"P6\n$W $H\n255\n".getBytes("US-ASCII") ++
+      px.flatMap { case (r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }).toArray
+
+  private def bmp(px: IndexedSeq[(Int, Int, Int)]): Array[Byte] = {
+    def u16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    def u32(v: Int) =
+      Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    val rowBytes = ((W * 3 + 3) / 4) * 4
+    val header =
+      Seq('B'.toInt, 'M'.toInt) ++ u32(54 + rowBytes * H) ++ u32(0) ++ u32(54) ++
+        u32(40) ++ u32(W) ++ u32(H) ++ u16(1) ++ u16(24) ++ u32(0) ++
+        u32(rowBytes * H) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+    // bottom-up storage, BGR, padded rows
+    val rows = (H - 1 to 0 by -1).flatMap { y =>
+      (0 until W).flatMap { x =>
+        val (r, g, b) = px(y * W + x); Seq(b, g, r)
+      } ++ Seq.fill(rowBytes - W * 3)(0)
+    }
+    (header ++ rows).map(_.toByte).toArray
+  }
+
+  private def png(px: IndexedSeq[(Int, Int, Int)]): Array[Byte] = {
+    def u32be(v: Long) = Seq(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val body = typ.getBytes("US-ASCII") ++ data
+      crc.update(body)
+      (u32be(data.length) ++ body ++ u32be(crc.getValue)).toArray
+    }
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = (u32be(W) ++ u32be(H) ++
+      Seq(8.toByte, 2.toByte, 0.toByte, 0.toByte, 0.toByte)).toArray
+    val filtered = (0 until H).flatMap { y =>
+      0.toByte +: (0 until W).flatMap { x =>
+        val (r, g, b) = px(y * W + x); Seq(r.toByte, g.toByte, b.toByte)
+      }
+    }.toArray
+    val d = new java.util.zip.Deflater()
+    d.setInput(filtered); d.finish()
+    val buf = new Array[Byte](filtered.length * 2 + 64)
+    val n = d.deflate(buf); d.end()
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+      chunk("IEND", Array.empty)
+  }
+
+  private def qoi(px: IndexedSeq[(Int, Int, Int)]): Array[Byte] = {
+    def u32be(v: Int) = Seq(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val header = "qoif".getBytes("US-ASCII") ++ u32be(W) ++ u32be(H) ++
+      Seq(3.toByte, 0.toByte)
+    // every pixel an RGB literal — valid (if uncompressed) QOI
+    val body = px.flatMap { case (r, g, b) =>
+      Seq(0xfe.toByte, r.toByte, g.toByte, b.toByte)
+    }
+    val end = Seq.fill(7)(0.toByte) :+ 1.toByte
+    (header ++ body ++ end).toArray
+  }
+
+  test("one image hashes identically across PPM, BMP, PNG, and QOI containers") {
+    val px = pixels(lum)
+    val hashes = Seq(ppm(px), bmp(px), png(px), qoi(px))
+      .map(b => MultimodalOps.dhashOf(b).get)
+    assert(hashes.distinct.length == 1,
+      s"container must not change the dHash: $hashes")
+    // and the hash actually encodes the gradient (not degenerate)
+    assert(hashes.head != 0L && hashes.head != -1L)
+  }
+
+  test("near-identical pair blocks together; different image does not; audio stays out") {
+    import spark.implicits._
+    val base = pixels(lum)
+    // one 2x2-pixel region (one dHash cell) brightened — a small overlay
+    val edited = pixels((x, y) =>
+      if (x >= 4 && x <= 5 && y >= 2 && y <= 3) math.min(lum(x, y) + 60, 255)
+      else lum(x, y))
+    val reversed = pixels((x, y) => lum(W - 1 - x, y))
+    val hBase = MultimodalOps.dhashOf(ppm(base)).get
+    val hEdit = MultimodalOps.dhashOf(qoi(edited)).get
+    assert(java.lang.Long.bitCount(hBase ^ hEdit) <= 3, "small edit, small Hamming")
+    assert(java.lang.Long.bitCount(
+      hBase ^ MultimodalOps.dhashOf(bmp(reversed)).get) > 3)
+    val docs = Seq(
+      (1L, ppm(base)), (2L, qoi(edited)), (3L, bmp(reversed)),
+      (4L, "RIFFnot really audio but junk".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    // doc 4 never decodes as an image → absent from the hash universe
+    assert(MultimodalOps.imageDhash(docs).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 3L))
+    val pairs = MultimodalOps.imageDhashPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.toSeq == Seq((1L, 2L)),
+      s"only the planted near-identical pair may surface: ${pairs.toSeq}")
+  }
+}
