@@ -225,6 +225,40 @@ object BpeOps {
     encodeWithVocab(documents, mt, vocab)
   }
 
+  /** Persist the trained tokenizer as write-once parquet artifacts —
+    * `<path>/merges` (merge_rank, lhs, rhs, merged, cnt) and
+    * `<path>/vocab` (word, freq, seq) — the deployment split the index
+    * family set with `pqIvfIndex` ([[graft.operators.AnnOps]]): a
+    * nightly train writes the artifact, every consumer (batch encode,
+    * `EventStream.tokenizeStream`, pack/token-budget in BPE units)
+    * reads it with nothing re-trained per use. KBs at any corpus
+    * size — the artifact broadcasts whole. */
+  def writeTokenizer(mergeTable: DataFrame, vocab: DataFrame,
+                     path: String): Unit = {
+    val p = path.stripSuffix("/")
+    mergeTable.write.mode("overwrite").parquet(s"$p/merges")
+    vocab.write.mode("overwrite").parquet(s"$p/vocab")
+  }
+
+  /** Train on `documents` and persist in one step. */
+  def trainTokenizer(documents: DataFrame, path: String,
+                     merges: Int = Merges,
+                     checkpointDir: Option[String] = None): Unit = {
+    val (mt, vocab) = trainPieces(documents, merges, checkpointDir)
+    writeTokenizer(mt, vocab, path)
+  }
+
+  /** (merge table, vocab) off a [[writeTokenizer]] layout. Encoding over
+    * the round-tripped artifact is bit-identical to the inline
+    * [[encodeSelf]] (spec-pinned — the stored vocab `seq` IS the
+    * training trajectory's final state, and parquet round-trips it
+    * exactly). */
+  def readTokenizer(spark: org.apache.spark.sql.SparkSession,
+                    path: String): (DataFrame, DataFrame) = {
+    val p = path.stripSuffix("/")
+    (spark.read.parquet(s"$p/merges"), spark.read.parquet(s"$p/vocab"))
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle: the training trajectory unrolled as CTEs (the
   // q_kmeans precedent). MATERIALIZED is load-bearing: s{i} is

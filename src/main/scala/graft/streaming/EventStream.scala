@@ -203,33 +203,41 @@ object EventStream {
     * writes `StatsOps.userMoments` (n, S, Q — exact integers) and the
     * stream scores each CLOSED day against them (watermarked tumbling
     * 1-day window emits a day's cent sum once late data can no longer
-    * change it). The static side's FILE LISTING is snapshotted when this
-    * DataFrame is built (InMemoryFileIndex) — a nightly overwrite of
-    * `momentsPath` is NOT picked up live, and deleting the old files
-    * under a running query risks FileNotFoundException; the deployment
-    * move is to write each refresh to a new path and restart the query
-    * on it (checkpointed offsets make the restart exactly-once), or use
-    * a snapshot-refreshing table format.
-    * The flag test IS `StatsOps.exceeds3Sigma`
+    * change it). The moments ride in as a THUNK re-evaluated per
+    * micro-batch (the `profileStream`/`classifyStream`/`annSearchStream`
+    * convention, unified here in round 10): a nightly refresh written
+    * to a NEW path is picked up by the next trigger without a query
+    * restart — the file-listing snapshot trap applies per batch, not
+    * per query. The flag test IS `StatsOps.exceeds3Sigma`
     * and the day sum IS the batch `dailyCents` definition — shared
     * expressions, so batch and stream cannot drift. Stream-static join
     * on user_id: stateless beyond the window agg, no stream-side
     * moments state. */
-  def anomalyStream(events: DataFrame, momentsPath: String,
-                    watermark: String = "1 day"): DataFrame = {
+  def anomalyStream(events: DataFrame, moments: () => DataFrame,
+                    watermark: String = "1 day")
+                   (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.StatsOps
-    val spark = events.sparkSession
-    val moments = spark.read.parquet(momentsPath) // user_id, n, s, q
-    events
+    // the day-sum agg must live in the streaming engine (watermarked
+    // state; append mode emits each day once, when it closes); the
+    // moments join runs per micro-batch so the THUNK re-resolves a
+    // refreshed artifact live — round 10's unification: every
+    // stream-static model/baseline side now takes () => DataFrame
+    val days = events
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
       .agg((sum(col("value").cast(graft.functions.EventCols.d18)) * 100)
         .cast("long").as("xc"))
       .select(col("user_id"), col("w.start").cast("date").as("day"), col("xc"))
-      .join(moments, "user_id")
-      .filter(StatsOps.exceeds3Sigma)
-      .select(col("user_id"), col("day"),
-        (col("xc") / 100.0).as("day_sum"), col("n").as("n_days"))
+    days.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(batch.join(moments(), "user_id") // user_id, n, s, q
+          .filter(StatsOps.exceeds3Sigma)
+          .select(col("user_id"), col("day"),
+            (col("xc") / 100.0).as("day_sum"), col("n").as("n_days")), id)
+      }
+      .start()
   }
 
   /** §2-C streaming profile DRIFT — the live face of `q_profile_drift`,
@@ -532,16 +540,42 @@ object EventStream {
       .start()
 
   /** §2-C stream-static enrichment: join the unbounded stream against a
-    * bounded dimension. The static side's DATA files are re-read per
-    * micro-batch but its file LISTING is snapshotted at DataFrame build
-    * — a slowly-changing dim refresh needs a new path + query restart
-    * ([[anomalyStream]]'s contract). The dim is
-    * broadcast — no stream-side state at all, unlike a stream-stream
-    * join. This is the dimension-enrichment shape of `q_revenue_nation`
-    * on a live stream; at 100 TB/day the stream never shuffles. */
-  def enrichStream(events: DataFrame, dim: DataFrame,
-                   key: String = "user_id"): DataFrame =
-    events.join(broadcast(dim), Seq(key), "left")
+    * bounded dimension, broadcast per micro-batch — no stream-side
+    * state at all, unlike a stream-stream join. The dim is a THUNK
+    * re-evaluated every trigger (the shared static-side convention —
+    * see [[anomalyStream]]), so a slowly-changing-dimension refresh at
+    * a new path is live by the next batch with no query restart. This
+    * is the dimension-enrichment shape of `q_revenue_nation` on a live
+    * stream; at 100 TB/day the stream never shuffles. */
+  def enrichStream(events: DataFrame, dim: () => DataFrame,
+                   key: String = "user_id")
+                  (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(batch.join(broadcast(dim()), Seq(key), "left"), id)
+      }
+      .start()
+
+  /** §2-C streaming TOKENIZATION — the deployment face of the trained
+    * BPE tokenizer (rows 97-98): each micro-batch of documents encodes
+    * against the PERSISTED artifact (`BpeOps.readTokenizer` of a
+    * nightly `trainTokenizer` run) through the same `encodeWithVocab`
+    * the batch estate uses — stream and batch token counts cannot
+    * drift (spec-asserted equal). The tokenizer rides in as a thunk:
+    * a nightly retrain at a new path is picked up live. Stateless —
+    * the merge table + vocab broadcast per batch, the encode is the
+    * batch op's pure map. */
+  def tokenizeStream(docs: DataFrame,
+                     tokenizer: () => (DataFrame, DataFrame))
+                    (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val (mt, vocab) = tokenizer()
+        sink(graft.operators.BpeOps.encodeWithVocab(batch, mt, vocab), id)
+      }
+      .start()
 
   /** §2-C streaming sink: append the stream to a day-partitioned parquet
     * layout with exactly-once file commits (checkpointed offsets +

@@ -172,4 +172,21 @@ class BpeSpec extends SparkSpec {
       assert(r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens") < 400L)
     }
   }
+
+  test("persisted tokenizer artifact round-trips bit-equal to the inline encode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tokenizer")
+      .toFile.getAbsolutePath
+    BpeOps.trainTokenizer(docs, dir, merges = 8)
+    val (mt, vocab) = BpeOps.readTokenizer(spark, dir)
+    val fromDisk = BpeOps.encodeWithVocab(docs, mt, vocab).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (mtIn, vocabIn) = BpeOps.trainPieces(docs, merges = 8)
+    val inline = BpeOps.encodeWithVocab(docs, mtIn, vocabIn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fromDisk == inline,
+      "the persisted artifact must encode exactly as the live training run")
+    // the artifact really is the two write-once frames, nothing more
+    assert(new java.io.File(s"$dir/merges").exists())
+    assert(new java.io.File(s"$dir/vocab").exists())
+  }
 }

@@ -219,11 +219,15 @@ class StreamingSpec extends SparkSpec {
     val fixture = evs.toDF()
     val momentsDir = Files.createTempDirectory("graft_moments")
       .toFile.getAbsolutePath
-    StatsOps.userMoments(fixture).write.mode("overwrite").parquet(momentsDir)
+    StatsOps.userMoments(fixture).write.mode("overwrite").parquet(s"$momentsDir/v1")
+    @volatile var momentsPath = s"$momentsDir/v1"
+    val sunk = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
     val input = MemoryStream[Event]
-    val q = EventStream.anomalyStream(input.toDF(), momentsDir,
-      watermark = "0 seconds")
-      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    val q = EventStream.anomalyStream(input.toDF(),
+      () => spark.read.parquet(momentsPath),
+      watermark = "0 seconds") { (flagged, _) =>
+      sunk.synchronized { sunk ++= flagged.collect() }
+    }
     try {
       input.addData(evs: _*)
       q.processAllAvailable()
@@ -232,11 +236,24 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(Event(new Timestamp(base + 80 * dayMs), 99L, "click", 1.0))
       q.processAllAvailable()
-      val got = spark.table("anom")
-        .select(col("user_id"), col("day").cast("string").as("day"),
-          col("day_sum"), col("n_days")).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
-      assert(got.toSet == Set((1L, "2024-01-11", 100.0, 11L)), got.mkString("\n"))
+      def collected() = sunk.synchronized {
+        sunk.map(r => (r.getLong(0), r.getAs[java.sql.Date]("day").toString,
+          r.getDouble(2), r.getLong(3))).toSet
+      }
+      val got = collected()
+      assert(got == Set((1L, "2024-01-11", 100.0, 11L)), got.mkString("\n"))
+      // live moments refresh at a NEW path: the thunk re-resolves next
+      // batch without a restart — tightened moments (tiny variance) now
+      // flag user 2's ordinary day too
+      val tight = StatsOps.userMoments(fixture.filter(col("user_id") === 1L))
+        .unionByName(Seq((2L, 3L, 900L, 270750L)).toDF("user_id", "n", "s", "q"))
+      tight.write.mode("overwrite").parquet(s"$momentsDir/v2")
+      momentsPath = s"$momentsDir/v2"
+      input.addData(Event(new Timestamp(base + 100 * dayMs), 2L, "click", 50.0))
+      input.addData(Event(new Timestamp(base + 140 * dayMs), 99L, "click", 1.0))
+      q.processAllAvailable()
+      assert(collected().exists(_._1 == 2L),
+        s"v2 moments must flag user 2's spike: ${collected()}")
       // exactly the batch q_anomaly flags on the same events
       val batch = StatsOps.anomaly(fixture)
         .select(col("user_id"), col("day").cast("string").as("day"),
@@ -315,25 +332,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("enrichStream joins a static dim with no stream-side shuffle state") {
+  test("enrichStream joins a static dim per batch; dim refresh is live") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
-    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    @volatile var dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val sunk = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
     val input = MemoryStream[Event]
-    val q = EventStream.enrichStream(input.toDF(), dim)
-      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    val q = EventStream.enrichStream(input.toDF(), () => dim) { (out, _) =>
+      sunk.synchronized { sunk ++= out.collect() }
+    }
     try {
       input.addData(
         Event(new Timestamp(base), 1L, "click", 1.0),
         Event(new Timestamp(base + 1000), 3L, "view", 2.0)) // no dim row
       q.processAllAvailable()
-      val rows = spark.table("enrich").collect()
+      val rows = sunk.synchronized(sunk.toArray)
       assert(rows.length == 2)
       assert(rows.find(_.getAs[Long]("user_id") == 1L)
         .get.getAs[String]("tier") == "gold")
       assert(rows.find(_.getAs[Long]("user_id") == 3L).get.isNullAt(
         rows.head.fieldIndex("tier"))) // left join keeps unmatched stream rows
+      // the thunk re-resolves the dim next trigger: user 1 upgraded
+      dim = Seq((1L, "platinum")).toDF("user_id", "tier")
+      input.addData(Event(new Timestamp(base + 2000), 1L, "click", 3.0))
+      q.processAllAvailable()
+      val last = sunk.synchronized(sunk.last)
+      assert(last.getAs[String]("tier") == "platinum")
     } finally q.stop()
   }
 
@@ -825,6 +850,54 @@ class StreamingSpec extends SparkSpec {
       assert(sunk.size == 40)
       assert(sunk.forall { case (id, pred) => expected(id) == pred },
         "stream prediction must equal the batch apply")
+    } finally q.stop()
+  }
+
+  test("tokenizeStream encodes micro-batches with the persisted tokenizer = batch encode; retrain is live") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.BpeOps
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok_stream").toString
+    BpeOps.trainTokenizer(docs, s"$dir/v1", merges = 8)
+    @volatile var tokPath = s"$dir/v1"
+    val expected = {
+      val (mt, vocab) = BpeOps.readTokenizer(spark, s"$dir/v1")
+      BpeOps.encodeWithVocab(docs, mt, vocab).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+    }
+    val input = MemoryStream[(Long, String)]
+    val sunk = scala.collection.mutable.Map[Long, Long]()
+    val q = EventStream.tokenizeStream(
+      input.toDF().toDF("doc_id", "text"),
+      () => BpeOps.readTokenizer(spark, tokPath)) { (df, _) =>
+      df.collect().foreach(r => sunk(r.getLong(0)) = r.getLong(2))
+    }
+    try {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.take(15).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(15).take(15).toSeq: _*)
+      q.processAllAvailable()
+      assert(sunk.size == 30)
+      assert(sunk.forall { case (id, n) => expected(id) == n },
+        "stream token counts must equal the batch encode")
+      // nightly retrain at a NEW path (fewer merges → more tokens for
+      // at least one doc): the thunk picks it up next trigger
+      BpeOps.trainTokenizer(docs, s"$dir/v2", merges = 1)
+      tokPath = s"$dir/v2"
+      val probe = rows.take(15)
+      input.addData(probe.toSeq: _*)
+      q.processAllAvailable()
+      val (mt2, vocab2) = BpeOps.readTokenizer(spark, s"$dir/v2")
+      val expect2 = BpeOps.encodeWithVocab(
+        probe.toSeq.toDF("doc_id", "text"), mt2, vocab2).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(probe.forall { case (id, _) => sunk(id) == expect2(id) },
+        "retrained tokenizer must be live on the next trigger")
+      assert(probe.exists { case (id, _) => expect2(id) != expected(id) },
+        "the v1/v2 tokenizers must actually disagree somewhere")
     } finally q.stop()
   }
 
