@@ -111,28 +111,42 @@ object BpeOps {
   private[graft] def trainPieces(documents: DataFrame, merges: Int = Merges,
                                  checkpointDir: Option[String] = None)
       : (DataFrame, DataFrame) = {
-    require(merges >= 1 && merges <= 64,
-      s"merges must be in [1, 64] (oracle unrolls them): $merges")
+    // the [1, 64] cap is the ORACLE's (it unrolls one CTE per round —
+    // enforced in oracleCtes); training itself runs any merge count: a
+    // production tokenizer is thousands of rounds, each vocab-bounded
+    require(merges >= 1, s"merges must be >= 1: $merges")
     val freq = documents
       .select(explode(expr(WordsExpr)).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("freq"))
     var vocab = mat(checkpointDir)(
       freq.withColumn("seq", expr(seq0("word"))))
-    val bests = (1 to merges).map { i =>
+    val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var saturated = false
+    var i = 1
+    while (i <= merges && !saturated) {
       val best = mat(checkpointDir)(
         pairCounts(vocab)
           .orderBy(desc("cnt"), col("lhs"), col("rhs"))
           .limit(1)
           .select(lit(i).as("merge_rank"), col("lhs"), col("rhs"),
             concat(col("lhs"), col("rhs")).as("merged"), col("cnt")))
-      vocab = mat(checkpointDir)(
-        vocab
-          .crossJoin(broadcast(
-            best.select(col("lhs").as("_l"), col("rhs").as("_r"))))
-          .withColumn("seq", expr(mergeStep("seq", "_l", "_r")))
-          .select(col("word"), col("freq"), col("seq")))
-      best
+      // SATURATION guard (round-10 probe find): once every word is one
+      // symbol no pair remains — `best` is empty, and the crossJoin
+      // below would EMPTY the vocab (killing the encode fast path for a
+      // merge budget past saturation). Stop with the vocab intact; the
+      // merge table honestly ends at the last learnable rank.
+      if (best.isEmpty) saturated = true
+      else {
+        vocab = mat(checkpointDir)(
+          vocab
+            .crossJoin(broadcast(
+              best.select(col("lhs").as("_l"), col("rhs").as("_r"))))
+            .withColumn("seq", expr(mergeStep("seq", "_l", "_r")))
+            .select(col("word"), col("freq"), col("seq")))
+        bests += best
+        i += 1
+      }
     }
     (bests.reduce(_.union(_)).orderBy("merge_rank"), vocab)
   }
@@ -298,8 +312,11 @@ object BpeOps {
        |  FROM s${i - 1} CROSS JOIN m$i m
        |)""".stripMargin
 
-  private def oracleCtes(merges: Int): String =
+  private def oracleCtes(merges: Int): String = {
+    require(merges >= 1 && merges <= 64,
+      s"the oracle unrolls one CTE per merge round; [1, 64] only: $merges")
     OracleBase + ",\n" + (1 to merges).map(oracleRound).mkString(",\n")
+  }
 
   private def trainOracle(merges: Int): String =
     oracleCtes(merges) + "\n" +

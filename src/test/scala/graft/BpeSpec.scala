@@ -173,6 +173,23 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("a merge budget past saturation stops cleanly with the vocab intact") {
+    // 'abab'/'ab' saturate after two merges (a+b, then ab+ab); a
+    // 50-merge budget must stop there, NOT empty the vocab
+    val tiny = docsDf(Seq("abab ab", "abab"))
+    val (mt, vocab) = BpeOps.trainPieces(tiny, merges = 50)
+    val ranks = mt.select("merge_rank").collect().map(_.getInt(0)).sorted
+    assert(ranks.nonEmpty && ranks.last < 50, s"must saturate early: ${ranks.toSeq}")
+    assert(ranks.toSeq == (1 to ranks.last), "contiguous ranks")
+    val v = vocab.collect().map(r => r.getString(0) ->
+      r.getString(2).split("").length).toMap
+    assert(v.keySet == Set("abab", "ab"), s"vocab survives saturation: $v")
+    assert(v.values.forall(_ == 1), s"fully merged words are one symbol: $v")
+    // and encoding with the saturated tokenizer still takes the fast path
+    val enc = BpeOps.encodeWithVocab(tiny, mt, vocab).collect()
+    assert(enc.map(_.getLong(2)).toSeq == Seq(2L, 1L), enc.mkString(","))
+  }
+
   test("persisted tokenizer artifact round-trips bit-equal to the inline encode") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tokenizer")
       .toFile.getAbsolutePath
