@@ -77,6 +77,7 @@ object MultimodalOps {
             .orElse(decodeBmp(bytes, dim))
             .orElse(decodePng(bytes, dim))
             .orElse(decodeQoi(bytes, dim))
+            .orElse(decodeJpeg(bytes, dim))
             .getOrElse(decodeStub(bytes, dim))
           Row(id, mime, bytes.length, feats)
         }
@@ -474,6 +475,14 @@ object MultimodalOps {
     qoiWalk(bytes, s).map(_ => s.feats(dim, 255))
   }
 
+  /** Baseline JPEG — round 10: the real-world-dominant format decodes
+    * for real through [[JpegDecode]] (same feature contract; lossy
+    * format, so cross-format spec assertions are tolerance-based). */
+  private[graft] def decodeJpeg(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val s = new StatsSink
+    JpegDecode.walk(bytes, s).map(_ => s.feats(dim, 255))
+  }
+
   /** QOI walk — still streaming: state is the previous pixel + the
     * 64-slot index; runs feed the sink per pixel (run length ≤ 62, so
     * the fan-out is bounded and sums land identical to the batched
@@ -589,6 +598,7 @@ object MultimodalOps {
       .orElse(tryWalk(bmpWalk(bytes, _)))
       .orElse(tryWalk(pngWalk(bytes, _)))
       .orElse(tryWalk(qoiWalk(bytes, _)))
+      .orElse(tryWalk(JpegDecode.walk(bytes, _)))
       .map { s =>
         var bits = 0L
         var y = 0

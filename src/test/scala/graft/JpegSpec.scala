@@ -1,0 +1,152 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.operators.MultimodalOps
+
+/** Baseline JPEG decode (SURVEY §2-C, round 10): the JDK's own encoder
+  * (javax.imageio — in the JDK, not a dependency) produces the
+  * fixtures, so the decoder is tested against a REAL second
+  * implementation, not hand-rolled bytes. JPEG is lossy → tolerance
+  * assertions; the JDK's default RGB output is 4:2:0, so subsampled
+  * chroma + MCU interleave is the exercised path. */
+class JpegSpec extends SparkSpec {
+
+  private val W = 33 // deliberately not a multiple of 16: partial MCUs
+  private val H = 22
+
+  private def lum(x: Int, y: Int): Int = (x * 6 + y * 4) % 240
+
+  private def rgbImage: BufferedImage = {
+    val img = new BufferedImage(W, H, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until H; x <- 0 until W) {
+      // smooth gradient (JPEG-friendly) with a colored band
+      val v = lum(x, y)
+      val rgb = if (y >= 8 && y < 12) (v << 16) | (32 << 8) | 32
+                else (v << 16) | (v << 8) | v
+      img.setRGB(x, y, rgb)
+    }
+    img
+  }
+
+  private def encode(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "jpg", out), "JDK must encode the fixture")
+    out.toByteArray
+  }
+
+  test("JDK-encoded RGB JPEG decodes: geometry exact, stats near the source") {
+    val img = rgbImage
+    val bytes = encode(img)
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+    val f = MultimodalOps.decodeJpeg(bytes, 16).get
+    assert(f(0) == W.toFloat && f(1) == H.toFloat, f.toSeq)
+    // ground truth from the source pixels
+    def mean(ch: Int): Double = {
+      var s = 0L
+      for (y <- 0 until H; x <- 0 until W)
+        s += (img.getRGB(x, y) >> (16 - 8 * ch)) & 0xff
+      s.toDouble / (W * H) / 255
+    }
+    for (ch <- 0 to 2)
+      assert(math.abs(f(2 + ch) - mean(ch)) < 0.02,
+        s"channel $ch mean ${f(2 + ch)} vs ${mean(ch)}")
+    assert(f(5) < 0.1 && f(8) > 0.8, f.toSeq) // min near 0, max near 1
+  }
+
+  test("grayscale JPEG decodes with gray replicated across channels") {
+    val img = new BufferedImage(W, H, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until H; x <- 0 until W) {
+      val v = lum(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bytes = encode(img)
+    val f = MultimodalOps.decodeJpeg(bytes, 16).get
+    assert(f(0) == W.toFloat && f(1) == H.toFloat)
+    assert(f(2) == f(3) && f(3) == f(4), f.toSeq)
+    // truth from the JDK's OWN decoder of the same bytes — raw raster
+    // samples (getRGB would re-apply a gray→sRGB colorspace transform;
+    // the file's stored Y values are what a decoder must reproduce)
+    val jdk = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val raster = jdk.getRaster
+    val jdkMean = (for (y <- 0 until H; x <- 0 until W)
+      yield raster.getSample(x, y, 0)).sum.toDouble / (W * H) / 255
+    assert(math.abs(f(2) - jdkMean) < 0.005, s"${f(2)} vs JDK $jdkMean")
+  }
+
+  test("JPEG dHash lands within a small Hamming distance of the lossless source") {
+    // the same pixels as a PPM (lossless) vs through the JPEG round trip
+    val img = rgbImage
+    val ppm = (s"P6\n$W $H\n255\n".getBytes("US-ASCII") ++
+      (for (y <- 0 until H; x <- 0 until W) yield img.getRGB(x, y))
+        .flatMap(p => Seq(((p >> 16) & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+          (p & 0xff).toByte))).toArray
+    val hLossless = MultimodalOps.dhashOf(ppm).get
+    val hJpeg = MultimodalOps.dhashOf(encode(img)).get
+    val hamming = java.lang.Long.bitCount(hLossless ^ hJpeg)
+    assert(hamming <= 6, s"lossy round trip moved $hamming of 64 dHash bits")
+  }
+
+  test("the RGB fixture really is 4:2:0 — subsampled chroma is the exercised path") {
+    val bytes = encode(rgbImage)
+    val sofAt = bytes.indices.find(i =>
+      (bytes(i) & 0xff) == 0xff &&
+        ((bytes(i + 1) & 0xff) == 0xc0 || (bytes(i + 1) & 0xff) == 0xc1)).get
+    assert((bytes(sofAt + 9) & 0xff) == 3, "3 components")
+    assert((bytes(sofAt + 11) & 0xff) == 0x22,
+      "JDK default = 2x2 luma sampling (4:2:0); if this ever changes the " +
+        "subsampling claim in the decoder scaladoc needs a new fixture")
+  }
+
+  test("restart intervals (DRI/RSTn) decode: predictors reset, segments realign") {
+    import javax.imageio.metadata.IIOMetadataNode
+    import javax.imageio.{IIOImage, ImageTypeSpecifier}
+    // inject a DRI node through the JDK's metadata tree → the encoder
+    // emits real restart markers every 2 MCUs
+    val img = rgbImage
+    val w = ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    val md = w.getDefaultImageMetadata(new ImageTypeSpecifier(img), p)
+    val fmt = "javax_imageio_jpeg_image_1.0"
+    val root = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+    val seq = root.getElementsByTagName("markerSequence").item(0)
+      .asInstanceOf[IIOMetadataNode]
+    val dri = new IIOMetadataNode("dri")
+    dri.setAttribute("interval", "2")
+    seq.insertBefore(dri, seq.getFirstChild)
+    md.setFromTree(fmt, root)
+    val bos = new ByteArrayOutputStream()
+    w.setOutput(ImageIO.createImageOutputStream(bos))
+    w.write(null, new IIOImage(img, null, md), p)
+    val bytes = bos.toByteArray
+    assert(bytes.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) >= 0xd0 && (s(1) & 0xff) <= 0xd7),
+      "fixture must actually contain RST markers")
+    val f = MultimodalOps.decodeJpeg(bytes, 16).get
+    val plain = MultimodalOps.decodeJpeg(encode(img), 16).get
+    assert(f(0) == W.toFloat && f(1) == H.toFloat)
+    // same image, same quality → restart-segmented stats ≈ plain stats
+    for (c <- 2 to 4)
+      assert(math.abs(f(c) - plain(c)) < 0.01, s"$c: ${f(c)} vs ${plain(c)}")
+  }
+
+  test("rejects truncated scans, progressive-style unknowns, and junk; sniffs via decodeBatches") {
+    import spark.implicits._
+    val good = encode(rgbImage)
+    assert(MultimodalOps.decodeJpeg(good.dropRight(good.length / 3), 16).isEmpty,
+      "truncated entropy data must not fabricate stats")
+    assert(MultimodalOps.decodeJpeg("not a jpeg".getBytes("US-ASCII"), 16).isEmpty)
+    // flip SOF0 to SOF2 (progressive) — out of scope must be a clean None
+    val prog = good.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(MultimodalOps.decodeJpeg(prog, 16).isEmpty)
+    // magic-sniffed through decodeBatches despite a lying mime label
+    val df = Seq((1L, "audio/wav", good)).toDF("doc_id", "mime", "payload")
+    val out = MultimodalOps.decodeBatches(df, dim = 16).collect().head
+    assert(out.getSeq[Float](3)(0) == W.toFloat)
+  }
+}
