@@ -78,6 +78,7 @@ object MultimodalOps {
             .orElse(decodePng(bytes, dim))
             .orElse(decodeQoi(bytes, dim))
             .orElse(decodeJpeg(bytes, dim))
+            .orElse(decodeGif(bytes, dim))
             .getOrElse(decodeStub(bytes, dim))
           Row(id, mime, bytes.length, feats)
         }
@@ -483,6 +484,12 @@ object MultimodalOps {
     JpegDecode.walk(bytes, s).map(_ => s.feats(dim, 255))
   }
 
+  /** GIF (87a/89a, first frame) — round 10, via [[GifDecode]]'s LZW. */
+  private[graft] def decodeGif(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val s = new StatsSink
+    GifDecode.walk(bytes, s).map(_ => s.feats(dim, 255))
+  }
+
   /** QOI walk — still streaming: state is the previous pixel + the
     * 64-slot index; runs feed the sink per pixel (run length ≤ 62, so
     * the fan-out is bounded and sums land identical to the batched
@@ -599,6 +606,7 @@ object MultimodalOps {
       .orElse(tryWalk(pngWalk(bytes, _)))
       .orElse(tryWalk(qoiWalk(bytes, _)))
       .orElse(tryWalk(JpegDecode.walk(bytes, _)))
+      .orElse(tryWalk(GifDecode.walk(bytes, _)))
       .map { s =>
         var bits = 0L
         var y = 0
