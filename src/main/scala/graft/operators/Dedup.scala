@@ -388,6 +388,30 @@ object DedupOps {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
   }
 
+  /** Cross-set pigeonhole candidates — the DELTA-vs-CORPUS face of
+    * [[simhashBlockCandidates]] (the `dedupIncremental` pattern for the
+    * fingerprint family): the delta's piece keys PROBE the corpus piece
+    * index; corpus×corpus pairs never form. The delta side broadcasts
+    * (a batch is small against the standing corpus); at scale the
+    * corpus pieces are the persisted write-once index. Both inputs:
+    * (doc_id, simhash). Output: (delta_id, corpus_id, hamming). */
+  private[graft] def simhashCrossCandidates(delta: DataFrame, corpus: DataFrame,
+                                            pieceBits: Int): DataFrame = {
+    def pieces(df: DataFrame): DataFrame = {
+      val ps = (0 until SimhashPieces).map(p => struct(lit(p).as("p"),
+        shiftright(col("simhash"), pieceBits * p)
+          .bitwiseAND((1L << pieceBits) - 1).as("v")))
+      df.select(col("doc_id"), col("simhash"), explode(array(ps: _*)).as("b"))
+        .select(col("doc_id"), col("simhash"),
+          col("b.p").as("p"), col("b.v").as("v"))
+    }
+    pieces(corpus).as("c")
+      .join(broadcast(pieces(delta).as("d")),
+        col("d.p") === col("c.p") && col("d.v") === col("c.v"))
+      .select(col("d.doc_id").as("delta_id"), col("c.doc_id").as("corpus_id"),
+        bit_count(col("d.simhash").bitwiseXOR(col("c.simhash"))).as("hamming"))
+  }
+
   /** Document-frequency cap for [[dedupNgram]]'s inverted index: shingles
     * appearing in more than this many documents are boilerplate (a
     * navigation bar, a license header, a hot phrase of a shared

@@ -662,6 +662,42 @@ object MultimodalOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** §2-C `imageDhashIncremental`: delta-vs-corpus image dedup — the
+    * ingestion shape (a new crawl batch probes the STANDING corpus's
+    * persisted dHash table; corpus×corpus pairs never form — the
+    * `dedupIncremental` contract for the image family). `corpusDhash`
+    * is a prior [[imageDhash]] output off disk; only the delta decodes.
+    * Output: (delta_id, corpus_id, hamming ≤ maxHamming). */
+  def imageDhashIncremental(deltaPayloads: DataFrame, corpusDhash: DataFrame,
+                            maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < DedupOps.SimhashPieces,
+      s"pigeonhole pieces only find Hamming < ${DedupOps.SimhashPieces}")
+    DedupOps.simhashCrossCandidates(
+      imageDhash(deltaPayloads).withColumnRenamed("dhash", "simhash"),
+      corpusDhash.withColumnRenamed("dhash", "simhash"),
+      pieceBits = 16)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("delta_id", "corpus_id")
+  }
+
+  /** §2-C `imageDedupStream`: scrub-on-ingest for IMAGES — each
+    * micro-batch of (doc_id, payload) decodes to dHashes and probes the
+    * persisted corpus hash table ([[imageDhashIncremental]] per
+    * trigger, the `foreachBatch` deployment). The corpus table is a
+    * THUNK (the unified static-side convention) so a nightly rebuild is
+    * live next trigger. */
+  def imageDedupStream(docs: DataFrame, corpusDhash: () => DataFrame,
+                       maxHamming: Int = 3)
+                      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          sink(imageDhashIncremental(batch, corpusDhash(), maxHamming), id)
+      }
+      .start()
+
   /** §2-C frame sampling as a DECLARATIVE plan: split the binary payload
     * into fixed-size frames and keep every `everyNth` — `substring` works
     * on BinaryType, so the whole thing is a codegen'd row-level

@@ -57,6 +57,21 @@ object UrlOps {
     * (source, doc_id)), keeping the min doc_id per canonical URL with
     * variant accounting. Exactly `q_dedup_exact`'s scale shape: pure
     * row-level canon, ONE hash shuffle on the canonical key. */
+  /** URL-level dedup over an existing URL column (the general operator;
+    * `q_url_dedup` instantiates it on synthetic variants): one
+    * canonical identity per page, min doc_id kept, with (n_docs,
+    * n_variants) accounting. Row-level canon + ONE hash shuffle. */
+  def urlDedupBy(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs
+      .select(col("doc_id"), col(urlCol).as("url"))
+      .select(col("doc_id"), col("url"), canon(col("url")).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_variants"))
+      .select(col("canon_url"), col("doc_id"), col("n_docs"), col("n_variants"))
+      .orderBy(col("canon_url"))
+
   def urlDedup(documents: DataFrame): DataFrame = {
     val host = concat(col("source"), lit(".example.com"))
     // path keyed mod 100 → real collapse groups at every SF; the variant
@@ -72,15 +87,7 @@ object UrlOps {
           lit("?utm_source=feed&utm_campaign=x")))
         .otherwise(concat(lit("http://"), host, lit("/docs/"), pathId,
           lit("#section-2")))
-    documents
-      .select(col("doc_id"), url.as("url"))
-      .select(col("doc_id"), col("url"), canon(col("url")).as("canon_url"))
-      .groupBy(col("canon_url"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("url")).as("n_variants"))
-      .select(col("canon_url"), col("doc_id"), col("n_docs"), col("n_variants"))
-      .orderBy(col("canon_url"))
+    urlDedupBy(documents.select(col("doc_id"), url.as("url")))
   }
 
   val oracles: Map[String, String] = Map(

@@ -127,6 +127,25 @@ class HtmlUrlSpec extends SparkSpec {
       "http://empty.net/blank" -> "empty"))
   }
 
+  test("urlDedupBy collapses the warc bridge's refetches on the real url column") {
+    val dir = Files.createTempDirectory("graft_warc_urldedup")
+    val body = "<p>the of and to page body</p>"
+    Files.write(dir.resolve("seg.warc"),
+      record("response", "HTTP://Site.COM:80/a?utm_source=x",
+        http("200 OK", "text/html; charset=utf-8", body.getBytes(UTF_8))) ++
+        record("response", "http://site.com/a#frag",
+          http("200 OK", "text/html", body.getBytes(UTF_8))) ++
+        record("response", "http://site.com/b",
+          http("200 OK", "text/html", body.getBytes(UTF_8))))
+    val (clean, _) =
+      HtmlOps.warcToDocuments(graft.sources.WarcSource.read(spark, dir.toString))
+    val out = UrlOps.urlDedupBy(clean).collect()
+    assert(out.length == 2)
+    val a = out.find(_.getAs[String]("canon_url") == "http://site.com/a").get
+    assert(a.getAs[Long]("n_docs") == 2 && a.getAs[Long]("n_variants") == 1,
+      "bridge already canonicalized: one variant, two fetches")
+  }
+
   test("warc bridge chains into langId and dedupLines (the documents estate)") {
     val dir = Files.createTempDirectory("graft_warc_chain")
     val page = "<p>the of and to in for is on that the of and to in for is on that</p>"

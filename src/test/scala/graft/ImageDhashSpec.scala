@@ -115,4 +115,48 @@ class ImageDhashSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)),
       s"only the planted near-identical pair may surface: ${pairs.toSeq}")
   }
+
+  test("incremental image dedup: delta probes the persisted corpus hash table") {
+    import spark.implicits._
+    val base = pixels(lum)
+    val edited = pixels((x, y) =>
+      if (x >= 4 && x <= 5 && y >= 2 && y <= 3) math.min(lum(x, y) + 60, 255)
+      else lum(x, y))
+    val reversed = pixels((x, y) => lum(W - 1 - x, y))
+    // the standing corpus: two distinct images, hashed and persisted
+    val dir = java.nio.file.Files.createTempDirectory("graft_dhash_idx")
+      .toFile.getAbsolutePath
+    MultimodalOps.imageDhash(
+      Seq((10L, ppm(base)), (11L, bmp(reversed))).toDF("doc_id", "payload"))
+      .write.mode("overwrite").parquet(dir)
+    // delta: a near-dup of image 10, a fresh image, junk
+    val delta = Seq(
+      (20L, qoi(edited)),
+      (21L, png(pixels((x, y) => (x * 31 + y * 17) % 251))),
+      (22L, "not an image at all".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val hits = MultimodalOps.imageDhashIncremental(
+      delta, spark.read.parquet(dir)).collect()
+      .map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("corpus_id")))
+    assert(hits.toSeq == Seq((20L, 10L)),
+      s"only the near-dup probe may hit: ${hits.toSeq}")
+    // streaming twin: batch-equivalent per trigger, thunk-refreshed index
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val sunk = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+    val q = MultimodalOps.imageDedupStream(
+      input.toDF().toDF("doc_id", "payload"),
+      () => spark.read.parquet(dir)) { (df, _) =>
+      sunk.synchronized {
+        sunk ++= df.collect().map(r =>
+          (r.getAs[Long]("delta_id"), r.getAs[Long]("corpus_id")))
+      }
+    }
+    try {
+      input.addData((30L, qoi(edited)), (31L, "junk".getBytes("US-ASCII")))
+      q.processAllAvailable()
+      assert(sunk.synchronized(sunk.toSeq) == Seq((30L, 10L)))
+    } finally q.stop()
+  }
 }
