@@ -32,6 +32,13 @@ object SparkEntry {
         Tables.customer(s, dir))),
     "q_forecast_revenue" -> ((s, dir) =>
       Relational.forecastRevenue(Tables.lineitem(s, dir))),
+    "q_regional_revenue" -> ((s, dir) =>
+      Relational.regionalRevenue(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
+    "q_returns_by_customer" -> ((s, dir) =>
+      Relational.returnsByCustomer(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir))),
     // --- event analytics (§2 rows 1-4, 10, 14, 23) ---
     "q_event_scan" -> ((s, dir) => EventOps.eventScan(Tables.events(s, dir))),
     "q_match_stats" -> ((s, dir) => EventOps.matchStats(Tables.events(s, dir))),

@@ -193,7 +193,109 @@ object Relational {
         .cast("double").as("revenue"),
         count(lit(1)).as("n_lineitems"))
 
+  /** TPC-H-Q5-shaped regional same-nation revenue: lineitem ⋈ orders ⋈
+    * customer ⋈ supplier ⋈ nation ⋈ region, keeping only rows where the
+    * SUPPLYING nation equals the customer's nation, one region, one
+    * order year — the classic star-join-with-a-correlation-predicate
+    * shape (the same-nation condition cannot push into either dim
+    * alone; it binds two of them through the facts).
+    *
+    * Plan shape: ONE real shuffle (lineitem⋈orders on orderkey); the
+    * region-filtered nation list, customer, and supplier all broadcast
+    * — the same-nation equality rides the supplier broadcast join as a
+    * residual condition, never a shuffle of its own. At 100 TB supplier
+    * and nation stay MB-scale; customer is the first dim to outgrow a
+    * broadcast, at which point the o_custkey join becomes the second
+    * keyed shuffle and the rest of the plan is unchanged. */
+  def regionalRevenue(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame,
+                      regionName: String = "ASIA"): DataFrame = {
+    val regionNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    lineitem
+      .join(orders.filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(regionNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(d18) *
+        (lit(1) - col("l_discount").cast(d18))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** TPC-H-Q10-shaped returned-item reporting: customers ranked by the
+    * revenue they returned in one quarter — "who should support call
+    * first". The topCustomers discipline applies: lineitem PRE-AGGREGATES
+    * to one row per orderkey (returns only) BEFORE the orders join, so
+    * the fact⋈fact shuffle moves per-order partials, not lineitems;
+    * customer and nation broadcast; top-N is TakeOrderedAndProject. */
+  def returnsByCustomer(lineitem: DataFrame, orders: DataFrame,
+                        customer: DataFrame, nation: DataFrame,
+                        n: Int = 20): DataFrame = {
+    val returnedPerOrder = lineitem
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast(d18) *
+        (lit(1) - col("l_discount").cast(d18))).as("order_rev"))
+    returnedPerOrder
+      .join(orders.filter(
+        col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("order_rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(n)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_regional_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_returns_by_customer" ->
+      """WITH ret AS (
+        |  SELECT l_orderkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS order_rev
+        |  FROM lineitem
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY l_orderkey
+        |)
+        |SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(order_rev) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM ret
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
     "q_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, sum}
 
 import graft.operators.Relational
 import graft.sources.Tables
@@ -74,5 +74,52 @@ class RelationalSpec extends SparkSpec {
     assert(out.length <= 10 && out.nonEmpty)
     val revs = out.map(_.getAs[Double]("revenue"))
     assert(revs.sameElements(revs.sorted(Ordering[Double].reverse)))
+  }
+
+  test("regionalRevenue binds customer and supplier nations through the facts") {
+    val out = Relational.regionalRevenue(Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.supplier(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.region(spark, sfDir))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every surviving nation belongs to the requested region
+    val asiaNations = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).forall(asiaNations))
+    // all dims broadcast: exactly ONE shuffle join (lineitem ⋈ orders)
+    val plan = out.queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBroadcast >= 3, s"dims must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") ||
+      "SortMergeJoin".r.findAllIn(plan).size <= 1, "one fact shuffle join at most")
+  }
+
+  test("returnsByCustomer pre-aggregates returns before the fact join; top-N head") {
+    val out = Relational.returnsByCustomer(Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.nation(spark, sfDir))
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sorted(Ordering[Double].reverse)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-N must be a heap")
+    // independent recomputation for the top customer
+    val top = rows.head
+    val expected = Tables.lineitem(spark, sfDir)
+      .where("l_returnflag = 'R'")
+      .join(Tables.orders(spark, sfDir)
+        .where("o_orderdate >= timestamp '1996-10-01' AND o_orderdate < timestamp '1997-01-01'"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir)
+        .filter(col("c_custkey") === top.getAs[Long]("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("double"))
+      .collect().head.getDouble(0)
+    assert(top.getAs[Double]("revenue") == expected)
   }
 }
