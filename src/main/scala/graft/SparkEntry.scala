@@ -121,9 +121,11 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "q_redact" -> ((s, dir) => TextOps.redact(Tables.documents(s, dir))),
     "q_hash_embed" -> ((s, dir) => TextOps.hashEmbed(Tables.documents(s, dir))),
-    // --- crawl-ingest string cores (§2 rows 119-120) ---
+    // --- crawl-ingest string cores + link graph (§2 rows 119-120, 123-124) ---
     "q_html_extract" -> ((s, dir) => HtmlOps.htmlExtract(Tables.documents(s, dir))),
     "q_url_dedup" -> ((s, dir) => UrlOps.urlDedup(Tables.documents(s, dir))),
+    "q_link_extract" -> ((s, dir) => HtmlOps.linkExtract(Tables.documents(s, dir))),
+    "q_pagerank" -> ((s, dir) => GraphOps.pagerank(Tables.documents(s, dir))),
     // --- trained classifiers (§2 rows 101-103) ---
     "q_classifier_train" -> ((s, dir) =>
       ClassifierOps.nbTrain(Tables.documents(s, dir))),
@@ -197,5 +199,6 @@ object SparkEntry {
       SessionOps.oracles ++ GeometryOps.oracles ++ DedupOps.oracles ++
       AnnOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles ++
       CorpusOps.oracles ++ Skew.oracles ++ BpeOps.oracles ++
-      ClassifierOps.oracles ++ HtmlOps.oracles ++ UrlOps.oracles
+      ClassifierOps.oracles ++ HtmlOps.oracles ++ UrlOps.oracles ++
+      GraphOps.oracles
 }

@@ -156,7 +156,57 @@ object HtmlOps {
     (clean, quarantine)
   }
 
+  /** §2-123 `q_link_extract`: outlink extraction — the crawl-frontier /
+    * link-graph builder: pull `<a href="...">` targets out of the HTML,
+    * canonicalize each ([[UrlOps.canon]] — frontier URLs must dedupe
+    * under the same identity the fetch log uses), emit one row per
+    * (doc_id, distinct canonical outlink). Synthetic pages carry three
+    * deterministic messy links (one with tracking params, one with a
+    * fragment, one duplicated under a different surface form — so the
+    * distinct actually bites). Pure row-level extract + explode; ONE
+    * distinct shuffle on (doc_id, url) — at 100 TB this is the frontier
+    * builder's whole cost. */
+  def linkExtract(documents: DataFrame): DataFrame = {
+    val host = concat(col("source"), lit(".example.com"))
+    val p1 = (col("doc_id") * 7 + 13) % 100
+    val p2 = (col("doc_id") * 11 + 5) % 100
+    val html = concat(
+      lit("<html><body><p>see <a href=\"http://"), host,
+      lit("/docs/"), p1.cast("string"),
+      lit("?utm_source=page&utm_medium=m\">one</a> and <a href=\"HTTP://"),
+      upper(host), lit(":80/docs/"), p2.cast("string"),
+      lit("#frag\">two</a>; also <a href=\"http://"), host,
+      lit("/docs/"), p1.cast("string"),
+      lit("/\">one again</a></p></body></html>"))
+    documents
+      .select(col("doc_id"),
+        explode(regexp_extract_all(html,
+          lit("<a href=\"([^\"]*)\""), lit(1))).as("href"))
+      .select(col("doc_id"), UrlOps.canon(col("href")).as("dst_url"))
+      .distinct()
+      .orderBy("doc_id", "dst_url")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_link_extract" ->
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body><p>see <a href="http://' || source || '.example.com/docs/' ||
+        |      CAST((doc_id * 7 + 13) % 100 AS VARCHAR) ||
+        |      '?utm_source=page&utm_medium=m">one</a> and <a href="HTTP://' ||
+        |      upper(source || '.example.com') || ':80/docs/' ||
+        |      CAST((doc_id * 11 + 5) % 100 AS VARCHAR) ||
+        |      '#frag">two</a>; also <a href="http://' || source || '.example.com/docs/' ||
+        |      CAST((doc_id * 7 + 13) % 100 AS VARCHAR) ||
+        |      '/">one again</a></p></body></html>' AS html
+        |  FROM documents
+        |), links AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS href
+        |  FROM h
+        |)
+        |SELECT DISTINCT doc_id, ${UrlOps.canonSql("href")} AS dst_url
+        |FROM links
+        |ORDER BY doc_id, dst_url""".stripMargin,
     "q_html_extract" -> {
       val htmlSql = HtmlParts.map {
         case Left(s) => TextFuns.sqlLit(s)

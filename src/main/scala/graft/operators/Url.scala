@@ -25,6 +25,24 @@ object UrlOps {
   private val SchemeHost = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
   private val Tracking = "[?&](utm_[a-z0-9_]*|gclid|fbclid)=[^&#]*"
 
+  /** The canonicalization as ONE DuckDB SQL expression over `u` — the
+    * single source of truth every oracle that canonicalizes builds on
+    * (q_url_dedup, q_link_extract), so the SQL face cannot drift from
+    * [[canon]] rule by rule. Subexpressions repeat rather than CTE —
+    * correctness over elegance; the oracle runs once per verify. */
+  private[graft] def canonSql(u: String): String = {
+    val pre0 = s"lower(regexp_extract(trim($u), '$SchemeHost', 0))"
+    val rest0 = s"regexp_replace(trim($u), '$SchemeHost', '')"
+    val pre = s"regexp_replace(regexp_replace($pre0, '^(http://.*):80$$', " +
+      s"'\\1'), '^(https://.*):443$$', '\\1')"
+    val notrack = s"regexp_replace(regexp_replace(regexp_replace($rest0, " +
+      s"'(?s)#.*', ''), '$Tracking', '', 'g'), '^([^?&]*)&', '\\1?')"
+    s"CASE WHEN $pre0 = '' THEN trim($u) ELSE $pre || " +
+      s"regexp_replace(regexp_replace(regexp_extract($notrack, '^[^?]*', 0), " +
+      s"'/{2,}', '/', 'g'), '/+$$', '') || " +
+      s"regexp_replace($notrack, '^[^?]*', '') END"
+  }
+
   /** Canonical form of a URL column. A string with no `scheme://host`
     * prefix is returned trimmed-only (not a fetchable URL — callers
     * route those to quarantine, the rule stays total and deterministic). */
@@ -102,27 +120,8 @@ object UrlOps {
          |      ELSE 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR) || '#section-2'
          |    END AS url
          |  FROM documents
-         |), c AS (
-         |  SELECT doc_id, url,
-         |    lower(regexp_extract(trim(url), '$SchemeHost', 0)) AS pre0,
-         |    regexp_replace(trim(url), '$SchemeHost', '') AS rest0
-         |  FROM u
-         |), c2 AS (
-         |  SELECT doc_id, url, pre0,
-         |    regexp_replace(regexp_replace(pre0, '^(http://.*):80$$', '\\1'),
-         |      '^(https://.*):443$$', '\\1') AS pre,
-         |    regexp_replace(regexp_replace(regexp_replace(rest0, '(?s)#.*', ''),
-         |      '$Tracking', '', 'g'), '^([^?&]*)&', '\\1?') AS notrack
-         |  FROM c
          |), c3 AS (
-         |  SELECT doc_id, url,
-         |    CASE WHEN pre0 = '' THEN trim(url) ELSE
-         |      pre ||
-         |      regexp_replace(regexp_replace(regexp_extract(notrack, '^[^?]*', 0),
-         |        '/{2,}', '/', 'g'), '/+$$', '') ||
-         |      regexp_replace(notrack, '^[^?]*', '')
-         |    END AS canon_url
-         |  FROM c2
+         |  SELECT doc_id, url, ${canonSql("url")} AS canon_url FROM u
          |)
          |SELECT canon_url, MIN(doc_id) AS doc_id,
          |  COUNT(*) AS n_docs, COUNT(DISTINCT url) AS n_variants

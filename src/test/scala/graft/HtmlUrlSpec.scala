@@ -68,6 +68,47 @@ class HtmlUrlSpec extends SparkSpec {
     assert(r.getAs[Long]("n_variants") == 5L)
   }
 
+  test("linkExtract canonicalizes and dedupes the synthetic outlinks") {
+    import spark.implicits._
+    val docs = Seq((7L, "src3")).toDF("doc_id", "source")
+    val out = HtmlOps.linkExtract(docs).collect().map(_.getString(1))
+    // three raw hrefs; the tracking-only and trailing-slash variants of
+    // link one collapse → exactly two distinct canonical targets
+    assert(out.toSeq == Seq(
+      "http://src3.example.com/docs/62", // (7*7+13)%100, both variants
+      "http://src3.example.com/docs/82"), // (7*11+5)%100, :80 + fragment gone
+      out.toSeq.toString)
+  }
+
+  test("pagerank conserves damped mass and rewards in-degree") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    val docs = (0L until 20L).map(i => (i, s"s$i")).toDF("doc_id", "source")
+    val pr = GraphOps.pagerank(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.size == 20)
+    assert(pr.values.forall(_ > 0))
+    // total mass ≤ Q (integer truncation + dangling leak only shrink it)
+    assert(pr.values.sum <= 1000000000000L)
+    // a BigInt re-derivation of one full round must agree exactly
+    val n = 20L
+    val edges = for {
+      i <- 0L until n; k <- 1 to 3
+      d = (i * 7 + 13 * k) % n if d != i
+    } yield (i, d)
+    val odeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var p = (0L until n).map(_ -> 1000000000000L / n).toMap
+    (1 to GraphOps.Rounds).foreach { _ =>
+      val infl = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => p(s) / odeg(s) }.sum
+      }
+      p = (0L until n).map(i =>
+        i -> ((15L * (1000000000000L / n)) / 100 +
+          (85L * infl.getOrElse(i, 0L)) / 100)).toMap
+    }
+    assert(pr == p, "Spark ranks must equal the independent integer replay")
+  }
+
   // --- the WARC → documents bridge ---
 
   private def record(typ: String, uri: String, payload: Array[Byte]): Array[Byte] = {
