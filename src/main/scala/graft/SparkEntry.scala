@@ -126,6 +126,8 @@ object SparkEntry {
     "q_url_dedup" -> ((s, dir) => UrlOps.urlDedup(Tables.documents(s, dir))),
     "q_link_extract" -> ((s, dir) => HtmlOps.linkExtract(Tables.documents(s, dir))),
     "q_pagerank" -> ((s, dir) => GraphOps.pagerank(Tables.documents(s, dir))),
+    "q_robots_filter" -> ((s, dir) => CrawlOps.robotsFilter(Tables.documents(s, dir))),
+    "q_frontier" -> ((s, dir) => CrawlOps.frontier(Tables.documents(s, dir))),
     // --- trained classifiers (§2 rows 101-103) ---
     "q_classifier_train" -> ((s, dir) =>
       ClassifierOps.nbTrain(Tables.documents(s, dir))),
@@ -200,5 +202,5 @@ object SparkEntry {
       AnnOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles ++
       CorpusOps.oracles ++ Skew.oracles ++ BpeOps.oracles ++
       ClassifierOps.oracles ++ HtmlOps.oracles ++ UrlOps.oracles ++
-      GraphOps.oracles
+      GraphOps.oracles ++ CrawlOps.oracles
 }

@@ -109,6 +109,36 @@ class HtmlUrlSpec extends SparkSpec {
     assert(pr == p, "Spark ranks must equal the independent integer replay")
   }
 
+  test("robotsFilter: longest match wins and Allow overrides Disallow") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // src3's rules: Disallow /docs/3, Allow /docs/33 (longer)
+    val docs = Seq((30L, "src3"), (33L, "src3"), (50L, "src3"))
+      .toDF("doc_id", "source")
+    val out = CrawlOps.robotsFilter(docs).collect()
+      .map(r => r.getString(0) ->
+        (Option(r.getString(1)), r.getBoolean(2))).toMap
+    assert(out("http://src3.example.com/docs/30") ==
+      (Some("/docs/3"), false), out)
+    assert(out("http://src3.example.com/docs/33") ==
+      (Some("/docs/33"), true), "the longer Allow must win")
+    assert(out("http://src3.example.com/docs/50") == (None, true))
+  }
+
+  test("frontier excludes robots-blocked and already-fetched outlinks") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // doc 7 links to 62/82; doc 31 links to 30 (robots-blocked) and 46;
+    // fetch log = this corpus's own urls with path id < 50 → 7 and 31
+    val docs = Seq((7L, "src3"), (31L, "src3")).toDF("doc_id", "source")
+    val out = CrawlOps.frontier(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      "http://src3.example.com/docs/46" -> 1L,
+      "http://src3.example.com/docs/62" -> 1L,
+      "http://src3.example.com/docs/82" -> 1L), out)
+  }
+
   // --- the WARC → documents bridge ---
 
   private def record(typ: String, uri: String, payload: Array[Byte]): Array[Byte] = {
