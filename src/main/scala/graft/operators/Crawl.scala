@@ -77,9 +77,20 @@ object CrawlOps {
     val links = HtmlOps.linkExtract(documents)
       .groupBy(col("dst_url").as("canon_url"))
       .agg(countDistinct(col("doc_id")).as("n_referrers"))
+    val fetched = UrlOps.urlDedup(documents)
+      .select(col("canon_url"))
+      .filter(expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT) < 50"))
+    frontierCore(links, rulesOf(documents), fetched)
+      .orderBy("canon_url")
+  }
+
+  /** The frontier computation proper, over ANY (canon_url, n_referrers)
+    * link frame + rule set + fetch log — shared by the batch query and
+    * [[frontierStream]] so the two cannot drift. */
+  private[graft] def frontierCore(links: DataFrame, rules: DataFrame,
+                                  fetched: DataFrame): DataFrame = {
     val parts = withParts(links)
-    val rules = rulesOf(documents)
-    val allowed = parts
+    parts
       .join(broadcast(rules),
         parts("source") === rules("source") &&
           col("path").startsWith(col("prefix")), "left")
@@ -87,14 +98,30 @@ object CrawlOps {
       .agg(max(when(col("prefix").isNotNull,
         struct(length(col("prefix")).as("l"), col("allow").as("allow")))).as("m"))
       .filter(coalesce(col("m.allow"), lit(true)))
-    val fetched = UrlOps.urlDedup(documents)
-      .select(col("canon_url"))
-      .filter(expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT) < 50"))
-    allowed
-      .join(fetched, Seq("canon_url"), "left_anti")
+      .join(fetched.select(col("canon_url")), Seq("canon_url"), "left_anti")
       .select(col("canon_url"), col("n_referrers"))
-      .orderBy("canon_url")
   }
+
+  /** §2-C `frontierStream`: live frontier DISCOVERY — each micro-batch
+    * of fetched documents yields its outlinks, politeness-filters them,
+    * and anti-joins the PERSISTED fetch log (a thunk, so the log the
+    * scheduler just appended to is live next trigger — the unified
+    * static-side convention). Emits per-trigger discoveries; CROSS-batch
+    * dedup is the fetch log's job (the scheduler records enqueues), not
+    * stream state — that keeps this operator stateless. */
+  def frontierStream(docs: DataFrame, rules: () => DataFrame,
+                     fetched: () => DataFrame)
+                    (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val links = HtmlOps.linkExtract(batch)
+            .groupBy(col("dst_url").as("canon_url"))
+            .agg(countDistinct(col("doc_id")).as("n_referrers"))
+          sink(frontierCore(links, rules(), fetched()), id)
+      }
+      .start()
 
   private def rulesSql: String =
     """rules AS (

@@ -139,6 +139,39 @@ class HtmlUrlSpec extends SparkSpec {
       "http://src3.example.com/docs/82" -> 1L), out)
   }
 
+  test("frontierStream discovers per trigger against the live fetch log") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    implicit val sqlCtx = spark.sqlContext
+    val logDir = Files.createTempDirectory("graft_fetchlog").toFile.getAbsolutePath
+    // fetch log v1: /docs/62 already fetched
+    Seq("http://src3.example.com/docs/62").toDF("canon_url")
+      .write.mode("overwrite").parquet(s"$logDir/v1")
+    @volatile var logPath = s"$logDir/v1"
+    val results = new scala.collection.concurrent.TrieMap[Long, Set[String]]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = CrawlOps.frontierStream(
+      input.toDF().toDF("doc_id", "source"),
+      () => CrawlOps.rulesOf(Seq((0L, "src3")).toDF("doc_id", "source")),
+      () => spark.read.parquet(logPath)) { (df, id) =>
+      results.put(id, df.collect().map(_.getString(0)).toSet)
+    }
+    try {
+      input.addData((7L, "src3")) // links → 62 (fetched), 82 (new)
+      q.processAllAvailable()
+      assert(results(0L) == Set("http://src3.example.com/docs/82"), results)
+      // the scheduler records 82; the refreshed log is live next trigger
+      Seq("http://src3.example.com/docs/62", "http://src3.example.com/docs/82")
+        .toDF("canon_url").write.mode("overwrite").parquet(s"$logDir/v2")
+      logPath = s"$logDir/v2"
+      input.addData((7L, "src3"))
+      q.processAllAvailable()
+      assert(results(1L) == Set.empty[String],
+        "refetch discovers nothing once the log holds both targets")
+    } finally q.stop()
+  }
+
   // --- the WARC → documents bridge ---
 
   private def record(typ: String, uri: String, payload: Array[Byte]): Array[Byte] = {
