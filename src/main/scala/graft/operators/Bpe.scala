@@ -148,7 +148,24 @@ object BpeOps {
         i += 1
       }
     }
-    (bests.reduce(_.union(_)).orderBy("merge_rank"), vocab)
+    // a same-schema empty seed keeps the reduce total when saturation
+    // hits on round 1 (every word already a single symbol — e.g. a
+    // one-char-word corpus): the merge table is honestly empty
+    val spark = documents.sparkSession
+    val zero = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("merge_rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("lhs",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rhs",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("merged",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType))))
+    ((zero +: bests.toSeq).reduce(_.union(_)).orderBy("merge_rank"), vocab)
   }
 
   /** The merge table collapsed to ONE row carrying the rank-ordered

@@ -10,14 +10,18 @@ import org.apache.spark.sql.functions._
   *  - [[robotsFilter]]: robots.txt semantics over per-host rule sets —
   *    LONGEST-MATCH-WINS with Allow overriding Disallow at equal-or-
   *    longer prefixes (the Googlebot/RFC 9309 rule, not first-match);
+  *    rules match against the PATH + QUERY (RFC 9309's match target),
+  *    one convention shared by every matcher in this file;
   *  - [[frontier]]: the not-yet-fetched, robots-allowed outlink set
   *    with referrer counts — what the scheduler actually enqueues.
   *
   * Rules are synthesized deterministically per host from the source
   * name (both engines derive the same table), so both queries are fully
-  * hash-checked. Scale shapes: rules are KBs → broadcast; the frontier
-  * anti-join keys on the canonical URL (the fetch log's identity, so
-  * the join is exact, not heuristic). */
+  * hash-checked; the URL and link universes are the SHARED builders
+  * ([[UrlOps.urlUniverseSql]], [[HtmlOps.linkUniverseSql]]) — no oracle
+  * carries a private copy that could drift. Scale shapes: rules are
+  * KBs → broadcast; the frontier anti-join keys on the canonical URL
+  * (the fetch log's identity, so the join is exact, not heuristic). */
 object CrawlOps {
 
   /** Per-host synthetic rule set: Disallow `/docs/<d>` (d = source idx
@@ -35,7 +39,9 @@ object CrawlOps {
         col("r.allow").as("allow"))
   }
 
-  /** Split a canonical URL frame into (canon_url, source, path). */
+  /** Split a canonical URL frame into (…, source, path) — `path`
+    * includes any surviving query (the RFC 9309 match target), so every
+    * matcher built on these parts agrees by construction. */
   private def withParts(urls: DataFrame): DataFrame =
     urls
       .withColumn("source",
@@ -43,29 +49,34 @@ object CrawlOps {
       .withColumn("path",
         regexp_replace(col("canon_url"), "^[a-z]+://[^/?#]*", ""))
 
-  /** §2-125 `q_robots_filter`: every canonical URL in the fetch-log
-    * universe ([[UrlOps.urlDedup]]'s) against its host's rules —
-    * longest matching prefix decides, Allow wins it carries, unmatched
-    * URLs default allowed. Output (canon_url, rule_prefix, allowed).
-    * ONE broadcast join + ONE url-keyed argmax (the struct-max idiom,
-    * partial-aggregatable — no window). */
-  def robotsFilter(documents: DataFrame): DataFrame = {
-    val urls = withParts(UrlOps.urlDedup(documents).select(col("canon_url")))
-    val rules = rulesOf(documents)
-    urls
+  /** The rule match shared by [[robotsFilter]] and [[frontierCore]]:
+    * longest matching prefix per URL via a partial-aggregatable
+    * struct-max (no window), unmatched → null `m`. Input needs
+    * (canon_url, source, path) + any carry columns in `carry`. */
+  private def matchRules(parts: DataFrame, rules: DataFrame,
+                         carry: Seq[String]): DataFrame =
+    parts
       .join(broadcast(rules),
-        urls("source") === rules("source") &&
-          substring_index(col("path"), "?", 1)
-            .startsWith(col("prefix")), "left")
-      .groupBy(col("canon_url"))
+        parts("source") === rules("source") &&
+          col("path").startsWith(col("prefix")), "left")
+      .groupBy((col("canon_url") +: carry.map(col)): _*)
       .agg(max(when(col("prefix").isNotNull,
         struct(length(col("prefix")).as("l"), col("allow").as("allow"),
           col("prefix").as("prefix")))).as("m"))
+
+  /** §2-125 `q_robots_filter`: every canonical URL in the fetch-log
+    * universe ([[UrlOps.canonUrls]] — the distinct-set form, none of
+    * urlDedup's accounting aggregates) against its host's rules —
+    * longest matching prefix decides, Allow wins if it carries,
+    * unmatched URLs default allowed. Output (canon_url, rule_prefix,
+    * allowed). ONE broadcast join + ONE url-keyed argmax. */
+  def robotsFilter(documents: DataFrame): DataFrame =
+    matchRules(withParts(UrlOps.canonUrls(documents)),
+      rulesOf(documents), Seq.empty)
       .select(col("canon_url"),
         col("m.prefix").as("rule_prefix"),
         coalesce(col("m.allow"), lit(true)).as("allowed"))
       .orderBy("canon_url")
-  }
 
   /** §2-126 `q_frontier`: the crawl scheduler's enqueue set — distinct
     * robots-ALLOWED outlinks ([[HtmlOps.linkExtract]]'s universe) that
@@ -77,8 +88,7 @@ object CrawlOps {
     val links = HtmlOps.linkExtract(documents)
       .groupBy(col("dst_url").as("canon_url"))
       .agg(countDistinct(col("doc_id")).as("n_referrers"))
-    val fetched = UrlOps.urlDedup(documents)
-      .select(col("canon_url"))
+    val fetched = UrlOps.canonUrls(documents)
       .filter(expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT) < 50"))
     frontierCore(links, rulesOf(documents), fetched)
       .orderBy("canon_url")
@@ -88,19 +98,11 @@ object CrawlOps {
     * link frame + rule set + fetch log — shared by the batch query and
     * [[frontierStream]] so the two cannot drift. */
   private[graft] def frontierCore(links: DataFrame, rules: DataFrame,
-                                  fetched: DataFrame): DataFrame = {
-    val parts = withParts(links)
-    parts
-      .join(broadcast(rules),
-        parts("source") === rules("source") &&
-          col("path").startsWith(col("prefix")), "left")
-      .groupBy(col("canon_url"), col("n_referrers"))
-      .agg(max(when(col("prefix").isNotNull,
-        struct(length(col("prefix")).as("l"), col("allow").as("allow")))).as("m"))
+                                  fetched: DataFrame): DataFrame =
+    matchRules(withParts(links), rules, Seq("n_referrers"))
       .filter(coalesce(col("m.allow"), lit(true)))
       .join(fetched.select(col("canon_url")), Seq("canon_url"), "left_anti")
       .select(col("canon_url"), col("n_referrers"))
-  }
 
   /** §2-C `frontierStream`: live frontier DISCOVERY — each micro-batch
     * of fetched documents yields its outlinks, politeness-filters them,
@@ -134,18 +136,10 @@ object CrawlOps {
       |  ) r
       |)""".stripMargin
 
-  private def urlUniverseSql: String =
-    s"""u AS (
-       |  SELECT doc_id,
-       |    CASE CAST((doc_id // 100) % 5 AS INTEGER)
-       |      WHEN 0 THEN 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR)
-       |      WHEN 1 THEN 'HTTP://' || upper(source || '.example.com') || ':80/docs/' || CAST(doc_id % 100 AS VARCHAR)
-       |      WHEN 2 THEN 'http://' || source || '.example.com//docs//' || CAST(doc_id % 100 AS VARCHAR) || '/'
-       |      WHEN 3 THEN 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
-       |      ELSE 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR) || '#section-2'
-       |    END AS url
-       |  FROM documents
-       |), urls AS (
+  /** `urls (canon_url)` + `parts (canon_url, source, path)` over the
+    * SHARED url universe CTE. */
+  private def partsSql: String =
+    s"""urls AS (
        |  SELECT DISTINCT ${UrlOps.canonSql("url")} AS canon_url FROM u
        |), parts AS (
        |  SELECT canon_url,
@@ -156,7 +150,8 @@ object CrawlOps {
 
   val oracles: Map[String, String] = Map(
     "q_robots_filter" ->
-      s"""WITH $urlUniverseSql,
+      s"""WITH ${UrlOps.urlUniverseSql},
+         |$partsSql,
          |$rulesSql,
          |matched AS (
          |  SELECT p.canon_url, r.prefix, r.allow,
@@ -164,7 +159,7 @@ object CrawlOps {
          |      ORDER BY length(r.prefix) DESC, r.allow DESC) AS rk
          |  FROM parts p JOIN rules r
          |    ON p.source = r.source
-         |   AND substr(string_split(p.path, '?')[1], 1, length(r.prefix)) = r.prefix
+         |   AND substr(p.path, 1, length(r.prefix)) = r.prefix
          |)
          |SELECT p.canon_url,
          |  m.prefix AS rule_prefix,
@@ -173,19 +168,7 @@ object CrawlOps {
          |  ON m.canon_url = p.canon_url
          |ORDER BY p.canon_url""".stripMargin,
     "q_frontier" ->
-      s"""WITH h AS (
-         |  SELECT doc_id,
-         |    '<a href="http://' || source || '.example.com/docs/' ||
-         |      CAST((doc_id * 7 + 13) % 100 AS VARCHAR) || '?utm_source=page&utm_medium=m">' ||
-         |    '<a href="HTTP://' || upper(source || '.example.com') || ':80/docs/' ||
-         |      CAST((doc_id * 11 + 5) % 100 AS VARCHAR) || '#frag">' ||
-         |    '<a href="http://' || source || '.example.com/docs/' ||
-         |      CAST((doc_id * 7 + 13) % 100 AS VARCHAR) || '/">' AS html
-         |  FROM documents
-         |), raw_links AS (
-         |  SELECT doc_id, unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS href
-         |  FROM h
-         |), links AS (
+      s"""WITH ${HtmlOps.linkUniverseSql}, links AS (
          |  SELECT ${UrlOps.canonSql("href")} AS canon_url,
          |    COUNT(DISTINCT doc_id) AS n_referrers
          |  FROM raw_links
@@ -211,10 +194,10 @@ object CrawlOps {
          |    ON m.canon_url = p.canon_url
          |  WHERE COALESCE(m.allow, TRUE)
          |),
-         |$urlUniverseSql,
+         |${UrlOps.urlUniverseSql},
          |fetched AS (
-         |  SELECT canon_url FROM urls
-         |  WHERE CAST(regexp_extract(canon_url, '/docs/([0-9]+)$$', 1) AS INT) < 50
+         |  SELECT DISTINCT ${UrlOps.canonSql("url")} AS canon_url FROM u
+         |  WHERE CAST(regexp_extract(${UrlOps.canonSql("url")}, '/docs/([0-9]+)$$', 1) AS INT) < 50
          |)
          |SELECT a.canon_url, a.n_referrers
          |FROM allowed a

@@ -187,25 +187,32 @@ object HtmlOps {
       .orderBy("doc_id", "dst_url")
   }
 
+  /** SQL twin of [[linkExtract]]'s synthetic page + href pull: the
+    * `h` + `raw_links (doc_id, href)` CTEs — shared with the crawl
+    * oracles ([[CrawlOps]]) so no oracle carries a private copy of the
+    * link universe. */
+  private[graft] val linkUniverseSql: String =
+    """h AS (
+      |  SELECT doc_id,
+      |    '<html><body><p>see <a href="http://' || source || '.example.com/docs/' ||
+      |      CAST((doc_id * 7 + 13) % 100 AS VARCHAR) ||
+      |      '?utm_source=page&utm_medium=m">one</a> and <a href="HTTP://' ||
+      |      upper(source || '.example.com') || ':80/docs/' ||
+      |      CAST((doc_id * 11 + 5) % 100 AS VARCHAR) ||
+      |      '#frag">two</a>; also <a href="http://' || source || '.example.com/docs/' ||
+      |      CAST((doc_id * 7 + 13) % 100 AS VARCHAR) ||
+      |      '/">one again</a></p></body></html>' AS html
+      |  FROM documents
+      |), raw_links AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS href
+      |  FROM h
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_link_extract" ->
-      s"""WITH h AS (
-        |  SELECT doc_id,
-        |    '<html><body><p>see <a href="http://' || source || '.example.com/docs/' ||
-        |      CAST((doc_id * 7 + 13) % 100 AS VARCHAR) ||
-        |      '?utm_source=page&utm_medium=m">one</a> and <a href="HTTP://' ||
-        |      upper(source || '.example.com') || ':80/docs/' ||
-        |      CAST((doc_id * 11 + 5) % 100 AS VARCHAR) ||
-        |      '#frag">two</a>; also <a href="http://' || source || '.example.com/docs/' ||
-        |      CAST((doc_id * 7 + 13) % 100 AS VARCHAR) ||
-        |      '/">one again</a></p></body></html>' AS html
-        |  FROM documents
-        |), links AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS href
-        |  FROM h
-        |)
+      s"""WITH $linkUniverseSql
         |SELECT DISTINCT doc_id, ${UrlOps.canonSql("href")} AS dst_url
-        |FROM links
+        |FROM raw_links
         |ORDER BY doc_id, dst_url""".stripMargin,
     "q_html_extract" -> {
       val htmlSql = HtmlParts.map {

@@ -514,8 +514,12 @@ object MultimodalOps {
     var i = 14
     sink.start(w.toInt, h.toInt)
     def emit(run: Int): Unit = {
-      var k = 0
-      while (k < run) { sink.px(r, g, b); k += 1 }
+      // feed the sink at most the declared pixel count — a malformed
+      // stream whose runs overshoot w*h must still be rejected (seen
+      // tracks the TRUE count for the != nPix check below), but the
+      // sink's geometry contract is exactly w*h pixels, never more
+      var k = math.min(run.toLong, nPix - seen).toInt
+      while (k > 0) { sink.px(r, g, b); k -= 1 }
       seen += run
     }
     while (seen < nPix && i < bytes.length) {
@@ -577,6 +581,7 @@ object MultimodalOps {
     private var n = 0L
     def start(w: Int, h: Int): Unit = { this.w = w; this.h = h }
     def px(r: Int, g: Int, b: Int): Unit = {
+      if (n >= w * h) return // defensive: never index past the grid
       val x = n % w
       val y = n / w
       val cell = ((y * gh / h) * gw + x * gw / w).toInt

@@ -35,12 +35,12 @@ object UrlOps {
     val rest0 = s"regexp_replace(trim($u), '$SchemeHost', '')"
     val pre = s"regexp_replace(regexp_replace($pre0, '^(http://.*):80$$', " +
       s"'\\1'), '^(https://.*):443$$', '\\1')"
-    val notrack = s"regexp_replace(regexp_replace(regexp_replace($rest0, " +
-      s"'(?s)#.*', ''), '$Tracking', '', 'g'), '^([^?&]*)&', '\\1?')"
-    s"CASE WHEN $pre0 = '' THEN trim($u) ELSE $pre || " +
-      s"regexp_replace(regexp_replace(regexp_extract($notrack, '^[^?]*', 0), " +
-      s"'/{2,}', '/', 'g'), '/+$$', '') || " +
-      s"regexp_replace($notrack, '^[^?]*', '') END"
+    val noFrag = s"regexp_replace($rest0, '(?s)#.*', '')"
+    val path = s"regexp_replace(regexp_replace(regexp_extract($noFrag, " +
+      s"'^[^?]*', 0), '/{2,}', '/', 'g'), '/+$$', '')"
+    val query = s"regexp_replace(regexp_replace(regexp_replace($noFrag, " +
+      s"'^[^?]*', ''), '$Tracking', '', 'g'), '^&', '?')"
+    s"CASE WHEN $pre0 = '' THEN trim($u) ELSE $pre || $path || $query END"
   }
 
   /** Canonical form of a URL column. A string with no `scheme://host`
@@ -55,16 +55,18 @@ object UrlOps {
       "^(https://.*):443$", "$1")
     val rest0 = regexp_replace(u, SchemeHost, "")
     val noFrag = regexp_replace(rest0, "(?s)#.*", "")
-    // drop tracking params (with their delimiter), then re-point the
-    // first surviving param at '?' if the original '?' was consumed
-    // `[^?&]*` pins the match to the FIRST '&' (greedy `[^?]*` would
-    // repair the last one) and only when no '?' precedes it
-    val noTrack = regexp_replace(
-      regexp_replace(noFrag, Tracking, ""), "^([^?&]*)&", "$1?")
+    // split path/query at the ORIGINAL '?' FIRST — a literal '&' in the
+    // path is a legal RFC 3986 character and must never be mistaken for
+    // a parameter delimiter (the delimiter repair below runs on the
+    // query string alone, where '&' genuinely delimits)
     val path = regexp_replace(
-      regexp_replace(regexp_extract(noTrack, "^[^?]*", 0), "/{2,}", "/"),
+      regexp_replace(regexp_extract(noFrag, "^[^?]*", 0), "/{2,}", "/"),
       "/+$", "")
-    val query = regexp_replace(noTrack, "^[^?]*", "")
+    val query0 = regexp_replace(noFrag, "^[^?]*", "")
+    // drop tracking params (with their delimiter); if the removed pair
+    // held the '?', promote the now-leading '&' back to '?'
+    val query = regexp_replace(
+      regexp_replace(query0, Tracking, ""), "^&", "?")
     when(pre0 === "", u).otherwise(concat(pre, path, query))
   }
 
@@ -90,11 +92,14 @@ object UrlOps {
       .select(col("canon_url"), col("doc_id"), col("n_docs"), col("n_variants"))
       .orderBy(col("canon_url"))
 
-  def urlDedup(documents: DataFrame): DataFrame = {
+  /** The synthetic messy fetch-log universe (doc_id, url) — path keyed
+    * mod 100 → real collapse groups at every SF; the variant cycles on
+    * the stride (div 100) so one canonical page accumulates ALL five
+    * messy forms as the corpus grows. Shared by `q_url_dedup` and the
+    * crawl estate ([[graft.operators.CrawlOps]]); [[urlUniverseSql]] is
+    * its SQL twin, so no oracle carries a private copy. */
+  private[graft] def syntheticUrls(documents: DataFrame): DataFrame = {
     val host = concat(col("source"), lit(".example.com"))
-    // path keyed mod 100 → real collapse groups at every SF; the variant
-    // cycles on the stride (div 100) so one canonical page accumulates
-    // ALL five messy forms as the corpus grows
     val pathId = (col("doc_id") % 100).cast("string")
     val v = expr("(doc_id div 100) % 5")
     val url =
@@ -105,22 +110,38 @@ object UrlOps {
           lit("?utm_source=feed&utm_campaign=x")))
         .otherwise(concat(lit("http://"), host, lit("/docs/"), pathId,
           lit("#section-2")))
-    urlDedupBy(documents.select(col("doc_id"), url.as("url")))
+    documents.select(col("doc_id"), url.as("url"))
   }
+
+  /** Distinct canonical URLs of the synthetic universe — the cheap form
+    * for consumers that need the URL SET only (robots/frontier): a
+    * plain one-column hash distinct, none of [[urlDedup]]'s variant
+    * accounting aggregates. */
+  private[graft] def canonUrls(documents: DataFrame): DataFrame =
+    syntheticUrls(documents)
+      .select(canon(col("url")).as("canon_url"))
+      .distinct()
+
+  /** SQL twin of [[syntheticUrls]]: the `u (doc_id, url)` CTE. */
+  private[graft] val urlUniverseSql: String =
+    """u AS (
+      |  SELECT doc_id,
+      |    CASE CAST((doc_id // 100) % 5 AS INTEGER)
+      |      WHEN 0 THEN 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR)
+      |      WHEN 1 THEN 'HTTP://' || upper(source || '.example.com') || ':80/docs/' || CAST(doc_id % 100 AS VARCHAR)
+      |      WHEN 2 THEN 'http://' || source || '.example.com//docs//' || CAST(doc_id % 100 AS VARCHAR) || '/'
+      |      WHEN 3 THEN 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+      |      ELSE 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR) || '#section-2'
+      |    END AS url
+      |  FROM documents
+      |)""".stripMargin
+
+  def urlDedup(documents: DataFrame): DataFrame =
+    urlDedupBy(syntheticUrls(documents))
 
   val oracles: Map[String, String] = Map(
     "q_url_dedup" ->
-      s"""WITH u AS (
-         |  SELECT doc_id,
-         |    CASE CAST((doc_id // 100) % 5 AS INTEGER)
-         |      WHEN 0 THEN 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR)
-         |      WHEN 1 THEN 'HTTP://' || upper(source || '.example.com') || ':80/docs/' || CAST(doc_id % 100 AS VARCHAR)
-         |      WHEN 2 THEN 'http://' || source || '.example.com//docs//' || CAST(doc_id % 100 AS VARCHAR) || '/'
-         |      WHEN 3 THEN 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
-         |      ELSE 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR) || '#section-2'
-         |    END AS url
-         |  FROM documents
-         |), c3 AS (
+      s"""WITH $urlUniverseSql, c3 AS (
          |  SELECT doc_id, url, ${canonSql("url")} AS canon_url FROM u
          |)
          |SELECT canon_url, MIN(doc_id) AS doc_id,

@@ -190,6 +190,18 @@ class BpeSpec extends SparkSpec {
     assert(enc.map(_.getLong(2)).toSeq == Seq(2L, 1L), enc.mkString(","))
   }
 
+  test("a corpus of single-char words trains an honestly-empty merge table") {
+    // saturation on ROUND 1: no pair exists at all — the merge table is
+    // empty (not a crash), the vocab intact, encoding still works
+    val tiny = docsDf(Seq("a b", "c"))
+    val (mt, vocab) = BpeOps.trainPieces(tiny, merges = 5)
+    assert(mt.isEmpty)
+    assert(vocab.count() == 3)
+    val enc = BpeOps.encodeWithVocab(tiny, mt, vocab).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(enc.values.toSeq.sorted == Seq(1L, 2L), enc)
+  }
+
   test("persisted tokenizer artifact round-trips bit-equal to the inline encode") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tokenizer")
       .toFile.getAbsolutePath

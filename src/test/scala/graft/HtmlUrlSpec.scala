@@ -45,6 +45,9 @@ class HtmlUrlSpec extends SparkSpec {
       "http://h.io/a?utm_source=x&q=1&fbclid=zz&r=2" -> "http://h.io/a?q=1&r=2",
       "http://h.io/a?q=1&gclid=abc" -> "http://h.io/a?q=1",
       "http://h.io/" -> "http://h.io",
+      // '&' is a legal PATH character — never a delimiter without a '?'
+      "http://h.io/a&b" -> "http://h.io/a&b",
+      "http://h.io/a&b?utm_source=x&c=1" -> "http://h.io/a&b?c=1",
       "  http://h.io/a  " -> "http://h.io/a",
       "not a url" -> "not a url") // no scheme://host → trimmed passthrough
     val got = cases.map(_._1).toDF("u")
