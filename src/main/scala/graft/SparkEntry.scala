@@ -145,6 +145,8 @@ object SparkEntry {
     "q_mixture" -> ((s, dir) => CorpusOps.mixture(Tables.documents(s, dir))),
     "q_source_divergence" -> ((s, dir) =>
       CorpusOps.sourceDivergence(Tables.documents(s, dir))),
+    "q_split_divergence" -> ((s, dir) =>
+      CorpusOps.splitDivergence(Tables.documents(s, dir))),
     "q_cooccurrence" -> ((s, dir) =>
       CorpusOps.cooccurrence(Tables.documents(s, dir))),
     "q_zipf_fit" -> ((s, dir) => CorpusOps.zipfFit(Tables.documents(s, dir))),

@@ -1265,6 +1265,67 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** §2-127 `q_split_divergence`: per-eval-split unigram KL divergence
+    * from the TRAIN distribution, Laplace-smoothed — the split-QA gate
+    * beside [[splitLeakage]]: leakage asks "does eval contain train
+    * near-twins?", this asks "does eval even SPEAK like train?" (a val
+    * set drawn from different sources/epochs than train measures domain
+    * shift, not generalization). Smoothing is REQUIRED here, unlike
+    * [[sourceDivergence]]: an eval token absent from train would hit
+    * ln(·/0) — add-1 over the corpus vocab keeps every term finite.
+    *
+    * KL(s‖train) = Σ_V p_i ln(p_i/q_i), p_i = (c_i^s+1)/(N_s+V),
+    * q_i = (c_i^t+1)/(N_t+V). Integer-exact cross-engine (the
+    * [[sourceDivergence]] discipline): per-token log ratio quantized
+    * once to micro-nats from exactly-rounded IEEE quotients of int64s,
+    * the weighted sum Σ (c_i^s+1)·w_q6 in int64 (order-independent),
+    * two IEEE divisions at the end.
+    *
+    * Shape: ONE corpus pass into (split, token) counts (vocab×3
+    * bounded); the scoring grid is eval-splits × corpus vocab — 2×V
+    * rows regardless of corpus size — with train counts and totals
+    * riding broadcasts. */
+  def splitDivergence(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val counts = documents
+      .select(splitOf(col("doc_id")).as("split"),
+        explode(TextFuns.tokens(col("text"))).as("token"))
+      .groupBy(col("split"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocab-bounded; consumed by 4 branches
+    val vocabN = counts.select("token").distinct().agg(count(lit(1)).as("v"))
+    val trainTok = counts.filter(col("split") === "train")
+      .select(col("token"), col("c").as("ct"))
+    val nTrain = counts.filter(col("split") === "train")
+      .agg(sum(col("c")).as("nt"))
+    val evalTotals = counts.filter(col("split") =!= "train")
+      .groupBy(col("split")).agg(sum(col("c")).as("ns"))
+    val grid = Seq("test", "val").toDF("split")
+      .crossJoin(counts.select("token").distinct()
+        .join(trainTok, Seq("token"), "left")
+        .withColumn("ct", coalesce(col("ct"), lit(0L))))
+      .join(counts.filter(col("split") =!= "train")
+        .select(col("split"), col("token"), col("c").as("cs")),
+        Seq("split", "token"), "left")
+      .withColumn("cs", coalesce(col("cs"), lit(0L)))
+    grid
+      .join(broadcast(evalTotals), "split")
+      .crossJoin(broadcast(nTrain))
+      .crossJoin(broadcast(vocabN))
+      .withColumn("w_q6",
+        round(log(((col("cs") + 1) * lit(1.0) / (col("ns") + col("v"))) /
+          ((col("ct") + 1) * lit(1.0) / (col("nt") + col("v")))) * 1e6)
+          .cast("long"))
+      .groupBy(col("split"))
+      .agg(max(col("ns")).as("n_tokens"), max(col("v")).as("vocab"),
+        sum((col("cs") + 1) * col("w_q6")).as("kl_q6_sum"))
+      .select(col("split"), col("n_tokens"), col("vocab"), col("kl_q6_sum"),
+        (col("kl_q6_sum") / 1e6 / (col("n_tokens") + col("vocab")))
+          .as("kl_nats"))
+      .orderBy("split")
+  }
+
   def mixture(documents: DataFrame): DataFrame = {
     val tallies = documents.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
@@ -1609,6 +1670,44 @@ object CorpusOps {
          |FROM weighted
          |GROUP BY source
          |ORDER BY source""".stripMargin,
+    "q_split_divergence" ->
+      s"""WITH toks AS (
+         |  SELECT $splitCaseSql AS split,
+         |    unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents
+         |), counts AS (
+         |  SELECT split, token, COUNT(*) AS c FROM toks GROUP BY split, token
+         |), voc AS (
+         |  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM counts
+         |), train_tok AS (
+         |  SELECT token, c AS ct FROM counts WHERE split = 'train'
+         |), ttot AS (
+         |  SELECT CAST(SUM(c) AS BIGINT) AS nt FROM counts WHERE split = 'train'
+         |), stot AS (
+         |  SELECT split, CAST(SUM(c) AS BIGINT) AS ns
+         |  FROM counts WHERE split <> 'train' GROUP BY split
+         |), grid AS (
+         |  SELECT s.split, t.token,
+         |    COALESCE(tt.ct, 0) AS ct, COALESCE(e.c, 0) AS cs
+         |  FROM (SELECT 'test' AS split UNION ALL SELECT 'val') s
+         |  CROSS JOIN (SELECT DISTINCT token FROM counts) t
+         |  LEFT JOIN train_tok tt ON tt.token = t.token
+         |  LEFT JOIN (SELECT split, token, c FROM counts WHERE split <> 'train') e
+         |    ON e.split = s.split AND e.token = t.token
+         |), weighted AS (
+         |  SELECT g.split, g.cs, stot.ns, voc.v,
+         |    CAST(round(ln(((g.cs + 1) * 1.0 / (stot.ns + voc.v)) /
+         |      ((g.ct + 1) * 1.0 / (ttot.nt + voc.v))) * 1e6) AS BIGINT) AS w_q6
+         |  FROM grid g
+         |  JOIN stot ON stot.split = g.split
+         |  CROSS JOIN ttot CROSS JOIN voc
+         |)
+         |SELECT split, MAX(ns) AS n_tokens, MAX(v) AS vocab,
+         |  CAST(SUM((cs + 1) * w_q6) AS BIGINT) AS kl_q6_sum,
+         |  CAST(SUM((cs + 1) * w_q6) AS BIGINT) / 1e6 / (MAX(ns) + MAX(v)) AS kl_nats
+         |FROM weighted
+         |GROUP BY split
+         |ORDER BY split""".stripMargin,
     "q_mixture" ->
       s"""WITH t AS (
          |  SELECT source, COUNT(*) AS n_docs,

@@ -897,4 +897,25 @@ class CorpusOpsSpec extends SparkSpec {
       DedupOps.canonicalize(col("text")).as("once"))
     assert(fixed.filter(col("twice") =!= col("once")).count() == 0)
   }
+
+  test("splitDivergence: planted val-domain shift raises KL; matched vocab stays near zero") {
+    import spark.implicits._
+    val ids = (0L until 400L).toDF("doc_id")
+    val assign = CorpusOps.split(
+      ids.withColumn("lang", lit("en")).withColumn("source", lit("s")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    def corpus(valText: String): org.apache.spark.sql.DataFrame =
+      (0L until 400L).map { i =>
+        val t = if (assign(i) == "val") valText else "alpha beta gamma delta"
+        (i, t)
+      }.toDF("doc_id", "text")
+    def klOf(df: org.apache.spark.sql.DataFrame): Double =
+      CorpusOps.splitDivergence(df).filter(col("split") === "val")
+        .collect().head.getAs[Double]("kl_nats")
+    val shifted = klOf(corpus("zeta eta theta iota")) // disjoint vocabulary
+    val matched = klOf(corpus("alpha beta gamma delta"))
+    assert(shifted > 10 * math.max(matched, 1e-9),
+      s"disjoint val vocab must dominate: $shifted vs $matched")
+    assert(matched < 0.05, s"matched vocab reads near zero: $matched")
+  }
 }
