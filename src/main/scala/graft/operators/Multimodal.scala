@@ -231,8 +231,13 @@ object MultimodalOps {
     val nch = u16(f + 2)
     val rate = u32(f + 4)
     val bits = u16(f + 14)
-    if (audioFormat != 1 || nch < 1 || rate <= 0 ||
-      (bits != 8 && bits != 16)) return None
+    // PCM (1) at 8/16 bits; G.711 A-law (6) / μ-law (7) at 8 bits —
+    // round 10: the telephony codecs real call-center/voice crawls ship
+    // (one table-free expansion per sample, normalized like 16-bit PCM)
+    val g711 = audioFormat == 6 || audioFormat == 7
+    if (!(audioFormat == 1 && (bits == 8 || bits == 16)) &&
+      !(g711 && bits == 8)) return None
+    if (nch < 1 || rate <= 0) return None
     val blockAlign = nch * bits / 8
     val nFrames = dataLen / blockAlign
     if (nFrames <= 0) return None
@@ -247,7 +252,9 @@ object MultimodalOps {
       while (c < chs) {
         val off = (dataOff + frame * blockAlign).toInt + c * bits / 8
         val v =
-          if (bits == 16) (u16(off).toShort).toFloat / 32768f
+          if (g711 && audioFormat == 7) muLaw(bytes(off)) / 32768f
+          else if (g711) aLaw(bytes(off)) / 32768f
+          else if (bits == 16) (u16(off).toShort).toFloat / 32768f
           else ((bytes(off) & 0xff) - 128).toFloat / 128f
         sum(c) += v
         sumSq(c) += v.toDouble * v
@@ -267,6 +274,27 @@ object MultimodalOps {
       if (chs > 1) math.sqrt(sumSq(1) / nFrames).toFloat else 0f)
     System.arraycopy(raw, 0, feats, 0, math.min(raw.length, dim))
     Some(feats)
+  }
+
+  /** G.711 μ-law expansion (ITU-T G.711 / Sun au convention): byte →
+    * 16-bit linear sample. */
+  private def muLaw(b: Byte): Float = {
+    val u = ~b & 0xff
+    val exp = (u >> 4) & 7
+    val mant = u & 0xf
+    val mag = ((mant << 3) + 0x84 << exp) - 0x84
+    (if ((u & 0x80) != 0) -mag else mag).toFloat
+  }
+
+  /** G.711 A-law expansion: byte → 16-bit linear sample. */
+  private def aLaw(b: Byte): Float = {
+    val a = (b ^ 0x55) & 0xff
+    val exp = (a >> 4) & 7
+    val mant = a & 0xf
+    val mag =
+      if (exp == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (exp - 1)
+    (if ((a & 0x80) != 0) mag else -mag).toFloat
   }
 
   /** Dependency-free BMP decoder: 'BM' file header (pixel-data offset at

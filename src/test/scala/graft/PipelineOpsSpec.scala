@@ -1275,6 +1275,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.getSeq[Float](3)(1) == 44100f)
   }
 
+  test("decodeWav expands G.711 mu-law and A-law to exact linear samples") {
+    def u16le(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def u32le(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def g711wav(fmtCode: Int, codes: Seq[Int]): Array[Byte] = {
+      val data = codes.map(_.toByte)
+      val fmt = u16le(fmtCode) ++ u16le(1) ++ u32le(8000) ++
+        u32le(8000) ++ u16le(1) ++ u16le(8)
+      ("RIFF".getBytes("US-ASCII").toSeq ++ u32le(4 + 16 + 8 + 8 + data.length) ++
+        "WAVE".getBytes("US-ASCII").toSeq ++
+        "fmt ".getBytes("US-ASCII").toSeq ++ u32le(16) ++ fmt ++
+        "data".getBytes("US-ASCII").toSeq ++ u32le(data.length) ++ data).toArray
+    }
+    // mu-law (fmt 7): 0xFF = 0, 0x80 = +32124, 0x00 = -32124 (G.711 table ends)
+    val mu = MultimodalOps.decodeWav(g711wav(7, Seq(0xff, 0x80, 0x00)), 16).get
+    assert(mu(0) == 1f && mu(1) == 8000f && mu(2) == 3f, mu.toSeq)
+    assert(mu(5) == -32124f / 32768 && mu(7) == 32124f / 32768, mu.toSeq)
+    assert(mu(3) == 0f, mu.toSeq) // +32124 and -32124 cancel; 0 is 0
+    // A-law (fmt 6): 0x55 = -8, 0xD5 = +8, 0x2A = -32256 (the table's min)
+    val al = MultimodalOps.decodeWav(g711wav(6, Seq(0x55, 0xd5, 0x2a)), 16).get
+    assert(al(5) == -32256f / 32768 && al(7) == 8f / 32768, al.toSeq)
+    // 16-bit G.711 is malformed (the codecs are 8-bit by definition)
+    val bad = {
+      val w = g711wav(7, Seq(0, 0))
+      // patch bits-per-sample to 16
+      w(34 + 0) = 16.toByte; w
+    }
+    assert(MultimodalOps.decodeWav(bad, 16).isEmpty)
+  }
+
   test("decodeBmp: real 24bpp bottom-up pixels with row padding; rejects junk") {
     import spark.implicits._
     // 2×2 image — top row (red, green), bottom row (blue, white) —
