@@ -150,21 +150,14 @@ object BpeOps {
     }
     // a same-schema empty seed keeps the reduce total when saturation
     // hits on round 1 (every word already a single symbol — e.g. a
-    // one-char-word corpus): the merge table is honestly empty
-    val spark = documents.sparkSession
-    val zero = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("merge_rank",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("lhs",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("rhs",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("merged",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("cnt",
-          org.apache.spark.sql.types.LongType))))
+    // one-char-word corpus): the merge table is honestly empty. The
+    // seed is the ROUND PROJECTION over a limit(0) source, so its
+    // schema tracks the per-round select by construction (the
+    // positional union can never drift), and OptimizeLimitZero folds
+    // it to an empty relation at planning — no runtime cost
+    val zero = pairCounts(vocab).limit(0)
+      .select(lit(0).as("merge_rank"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
     ((zero +: bests.toSeq).reduce(_.union(_)).orderBy("merge_rank"), vocab)
   }
 

@@ -1294,15 +1294,16 @@ object CorpusOps {
       .groupBy(col("split"), col("token"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint() // vocab-bounded; consumed by 4 branches
-    val vocabN = counts.select("token").distinct().agg(count(lit(1)).as("v"))
-    val trainTok = counts.filter(col("split") === "train")
-      .select(col("token"), col("c").as("ct"))
-    val nTrain = counts.filter(col("split") === "train")
-      .agg(sum(col("c")).as("nt"))
+    val vocabTokens = counts.select("token").distinct()
+      .localCheckpoint(false) // consumed twice (count + grid)
+    val trainCounts = counts.filter(col("split") === "train")
+    val vocabN = vocabTokens.agg(count(lit(1)).as("v"))
+    val trainTok = trainCounts.select(col("token"), col("c").as("ct"))
+    val nTrain = trainCounts.agg(sum(col("c")).as("nt"))
     val evalTotals = counts.filter(col("split") =!= "train")
       .groupBy(col("split")).agg(sum(col("c")).as("ns"))
     val grid = Seq("test", "val").toDF("split")
-      .crossJoin(counts.select("token").distinct()
+      .crossJoin(vocabTokens
         .join(trainTok, Seq("token"), "left")
         .withColumn("ct", coalesce(col("ct"), lit(0L))))
       .join(counts.filter(col("split") =!= "train")

@@ -198,8 +198,12 @@ object MultimodalOps {
     * two fold into none (stats are per-channel for ch0/ch1 only; mono
     * leaves the ch1 slots 0). Samples normalize to [-1, 1]: 16-bit
     * signed LE / 32768, 8-bit unsigned (s − 128) / 128 (the WAV spec's
-    * two PCM layouts). None = not RIFF/WAVE, non-PCM encoding, absent
-    * fmt/data chunks, or a data chunk longer than the payload
+    * two PCM layouts); since round 10, G.711 μ-law (format 7) and
+    * A-law (format 6) 8-bit streams ALSO decode — expanded to 16-bit
+    * linear by the ITU segment/mantissa formulas and normalized like
+    * PCM-16. None = not RIFF/WAVE, any other encoding (MP3-in-WAV,
+    * float PCM, a 16-bit G.711 header — malformed by definition),
+    * absent fmt/data chunks, or a data chunk longer than the payload
     * (truncated upload) — the caller falls back to the stub rather
     * than poisoning the batch. */
   private[graft] def decodeWav(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
