@@ -127,6 +127,7 @@ object SparkEntry {
     "q_link_extract" -> ((s, dir) => HtmlOps.linkExtract(Tables.documents(s, dir))),
     "q_pagerank" -> ((s, dir) => GraphOps.pagerank(Tables.documents(s, dir))),
     "q_robots_filter" -> ((s, dir) => CrawlOps.robotsFilter(Tables.documents(s, dir))),
+    "q_robots_parse" -> ((s, dir) => CrawlOps.robotsParse(Tables.documents(s, dir))),
     "q_frontier" -> ((s, dir) => CrawlOps.frontier(Tables.documents(s, dir))),
     // --- trained classifiers (§2 rows 101-103) ---
     "q_classifier_train" -> ((s, dir) =>

@@ -125,6 +125,48 @@ object CrawlOps {
       }
       .start()
 
+  /** §2-128 `q_robots_parse`: parse actual robots.txt BODIES into the
+    * rules table — the textual face of [[rulesOf]]: each host's
+    * synthetic robots.txt carries a comment, a foreign user-agent group
+    * (which must be IGNORED), a Crawl-delay line (ignored), and the
+    * `User-agent: *` group holding exactly the rules [[rulesOf]]
+    * declares (spec-asserted equal — the two representations cannot
+    * drift). Group scoping is positional: directives belong to the
+    * nearest preceding User-agent line, so parsing is a posexplode over
+    * lines + two tiny per-source aggregates — sources × ~8 lines, KBs
+    * at any corpus size. */
+  def robotsParse(documents: DataFrame): DataFrame = {
+    val d = expr("CAST(substr(source, 4, 10) AS INT) % 10").cast("string")
+    val nl = lit("\n")
+    val body = concat(
+      lit("# robots for "), col("source"), nl,
+      lit("User-agent: megabot"), nl, lit("Disallow: /private"), nl,
+      nl,
+      lit("User-agent: *"), nl,
+      lit("Crawl-delay: 2"), nl,
+      lit("Disallow: /docs/"), d, nl,
+      lit("Allow: /docs/"), d, lit("3"), nl)
+    val lines = documents.select(col("source")).distinct()
+      .select(col("source"), posexplode(split(body, "\n")).as(Seq("pos", "line")))
+      .localCheckpoint(false) // tiny; consumed by 3 branches
+    val starPos = lines.filter(col("line") === "User-agent: *")
+      .groupBy(col("source")).agg(min(col("pos")).as("p0"))
+    val nextAgent = lines.join(starPos, "source")
+      .filter(col("pos") > col("p0") && col("line").startsWith("User-agent:"))
+      .groupBy(col("source")).agg(min(col("pos")).as("p1"))
+    lines
+      .join(broadcast(starPos), "source")
+      .join(broadcast(nextAgent), Seq("source"), "left")
+      .filter(col("pos") > col("p0") &&
+        col("pos") < coalesce(col("p1"), lit(Int.MaxValue)) &&
+        (col("line").startsWith("Allow: ") ||
+          col("line").startsWith("Disallow: ")))
+      .select(col("source"),
+        regexp_replace(col("line"), "^(Dis)?(A|a)llow: ", "").as("prefix"),
+        col("line").startsWith("Allow: ").as("allow"))
+      .orderBy("source", "prefix")
+  }
+
   private def rulesSql: String =
     """rules AS (
       |  SELECT source, r.prefix, r.allow
@@ -149,6 +191,44 @@ object CrawlOps {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_robots_parse" ->
+      """WITH srcs AS (
+        |  SELECT DISTINCT source FROM documents
+        |), bodies AS (
+        |  SELECT source,
+        |    '# robots for ' || source || chr(10) ||
+        |    'User-agent: megabot' || chr(10) || 'Disallow: /private' || chr(10) ||
+        |    chr(10) ||
+        |    'User-agent: *' || chr(10) ||
+        |    'Crawl-delay: 2' || chr(10) ||
+        |    'Disallow: /docs/' || CAST(CAST(substr(source, 4, 10) AS INT) % 10 AS VARCHAR) || chr(10) ||
+        |    'Allow: /docs/' || CAST(CAST(substr(source, 4, 10) AS INT) % 10 AS VARCHAR) || '3' || chr(10)
+        |      AS body
+        |  FROM srcs
+        |), split0 AS (
+        |  SELECT source, string_split(body, chr(10)) AS ls FROM bodies
+        |), idx AS (
+        |  SELECT source, ls, unnest(generate_series(1, len(ls))) AS i FROM split0
+        |), lines AS (
+        |  SELECT source, (i - 1) AS pos, ls[CAST(i AS INT)] AS line FROM idx
+        |), star AS (
+        |  SELECT source, MIN(pos) AS p0 FROM lines
+        |  WHERE line = 'User-agent: *' GROUP BY source
+        |), nxt AS (
+        |  SELECT l.source, MIN(l.pos) AS p1
+        |  FROM lines l JOIN star s ON s.source = l.source
+        |  WHERE l.pos > s.p0 AND l.line LIKE 'User-agent:%'
+        |  GROUP BY l.source
+        |)
+        |SELECT l.source,
+        |  regexp_replace(l.line, '^(Dis)?(A|a)llow: ', '') AS prefix,
+        |  l.line LIKE 'Allow: %' AS allow
+        |FROM lines l
+        |JOIN star s ON s.source = l.source
+        |LEFT JOIN nxt n ON n.source = l.source
+        |WHERE l.pos > s.p0 AND l.pos < COALESCE(n.p1, 2147483647)
+        |  AND (l.line LIKE 'Allow: %' OR l.line LIKE 'Disallow: %')
+        |ORDER BY l.source, prefix""".stripMargin,
     "q_robots_filter" ->
       s"""WITH ${UrlOps.urlUniverseSql},
          |$partsSql,

@@ -128,6 +128,20 @@ class HtmlUrlSpec extends SparkSpec {
     assert(out("http://src3.example.com/docs/50") == (None, true))
   }
 
+  test("robotsParse scopes to the * group and equals the declared rules table") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val docs = Seq((0L, "src3"), (1L, "src17")).toDF("doc_id", "source")
+    val parsed = CrawlOps.robotsParse(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    val declared = CrawlOps.rulesOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(parsed == declared,
+      s"textual and relational rule faces must agree:\n$parsed\nvs\n$declared")
+    // the foreign group's /private never leaks into the * rules
+    assert(!parsed.exists(_._2 == "/private"))
+  }
+
   test("frontier excludes robots-blocked and already-fetched outlinks") {
     import spark.implicits._
     import graft.operators.CrawlOps
