@@ -236,7 +236,7 @@ object CrawlOps {
          |matched AS (
          |  SELECT p.canon_url, r.prefix, r.allow,
          |    ROW_NUMBER() OVER (PARTITION BY p.canon_url
-         |      ORDER BY length(r.prefix) DESC, r.allow DESC) AS rk
+         |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rk
          |  FROM parts p JOIN rules r
          |    ON p.source = r.source
          |   AND substr(p.path, 1, length(r.prefix)) = r.prefix
@@ -263,7 +263,7 @@ object CrawlOps {
          |matched AS (
          |  SELECT p.canon_url, r.allow,
          |    ROW_NUMBER() OVER (PARTITION BY p.canon_url
-         |      ORDER BY length(r.prefix) DESC, r.allow DESC) AS rk
+         |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rk
          |  FROM lparts p JOIN rules r
          |    ON p.source = r.source
          |   AND substr(p.path, 1, length(r.prefix)) = r.prefix
@@ -277,7 +277,7 @@ object CrawlOps {
          |${UrlOps.urlUniverseSql},
          |fetched AS (
          |  SELECT DISTINCT ${UrlOps.canonSql("url")} AS canon_url FROM u
-         |  WHERE CAST(regexp_extract(${UrlOps.canonSql("url")}, '/docs/([0-9]+)$$', 1) AS INT) < 50
+         |  WHERE TRY_CAST(regexp_extract(${UrlOps.canonSql("url")}, '/docs/([0-9]+)$$', 1) AS INT) < 50
          |)
          |SELECT a.canon_url, a.n_referrers
          |FROM allowed a

@@ -7,9 +7,12 @@ package graft.operators
   * dictionary rebuild), interlace row remap, palette → RGB feed of the
   * shared [[MultimodalOps.PixelSink]] — so stats and dHash ride the
   * same walk as every other format. Animated GIFs contribute their
-  * first frame (the thumbnail/dedup-relevant one); malformed streams,
-  * missing color tables, or a lying geometry return None and fall to
-  * the stub. Spec-tested against the JDK's own ImageIO GIF encoder. */
+  * first frame (the thumbnail/dedup-relevant one), and ONLY when that
+  * frame covers the whole logical screen (left/top = 0, frame dims =
+  * screen dims) — an offset or partial first frame would silently hash
+  * a crop, so it returns None and falls to the stub like malformed
+  * streams, missing color tables, or a lying geometry do.
+  * Spec-tested against the JDK's own ImageIO GIF encoder. */
 private[graft] object GifDecode {
 
   import MultimodalOps.PixelSink
@@ -50,10 +53,16 @@ private[graft] object GifDecode {
           while (u8(i) != 0) i += 1 + u8(i)
           i += 1
         case 0x2c => // image descriptor — decode this frame and finish
+          val left = u16le(i + 1)
+          val top = u16le(i + 3)
           val w = u16le(i + 5)
           val h = u16le(i + 7)
           val iflags = u8(i + 9)
           if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+          // a first frame that is NOT the whole logical screen (offset, or
+          // smaller than the canvas) would silently hash a crop — fall to
+          // the stub instead of lying about the image's pixels
+          if (left != 0 || top != 0 || w != u16le(6) || h != u16le(8)) return None
           i += 10
           var palette = gct
           if ((iflags & 0x80) != 0) {

@@ -98,6 +98,11 @@ object HtmlOps {
     *    (every byte ↔ one char), the body re-encodes to its true bytes,
     *    and the declared charset picks the decode branch (utf-8 default;
     *    iso-8859-1/latin-1; us-ascii — Spark's `decode` whitelist);
+    *  - `Transfer-Encoding: chunked` bodies (which CC records preserve
+    *    verbatim) are DE-CHUNKED before charset decode via the native
+    *    `http_dechunk` expression ([[graft.plans.HttpCodec]]) — hex size
+    *    lines never reach the corpus; malformed chunked framing routes
+    *    to quarantine with reason `chunked`;
     *  - an UNDECODABLE page (charset outside the whitelist, non-2xx
     *    status, or extraction yielding no text) routes to QUARANTINE
     *    with the reason + re-fetch ledger (the [[graft.sources.DocsJsonlSource]]
@@ -110,6 +115,7 @@ object HtmlOps {
     * `TextOps.langId` / `ClassifierOps` derive it. All row-level (one
     * scan, zero shuffles); parallelism stays per-WARC-file. */
   def warcToDocuments(records: DataFrame): (DataFrame, DataFrame) = {
+    graft.plans.GraftFunctions.register(records.sparkSession)
     val blank = "(?s)\\r?\\n\\r?\\n"
     val l1 = decode(col("payload"), "ISO-8859-1")
     val resp = records.filter(col("warc_type") === "response")
@@ -130,16 +136,24 @@ object HtmlOps {
             lit("iso-8859-1"))
           .when(col("_cs").isin("us-ascii", "ascii"), lit("us-ascii"))
           .otherwise(lit("unsupported")))
-      .withColumn("_raw", encode(col("_body_l1"), "ISO-8859-1"))
+      .withColumn("_chunked",
+        col("_hdr").rlike("(?im)^transfer-encoding:\\s*chunked"))
+      .withColumn("_raw0", encode(col("_body_l1"), "ISO-8859-1"))
+      // de-chunk BEFORE charset decode: the framing is byte-level and
+      // charset-independent; null (malformed framing) → quarantine below
+      .withColumn("_raw",
+        when(col("_chunked"), call_function("http_dechunk", col("_raw0")))
+          .otherwise(col("_raw0")))
       .withColumn("_text", extractText(
-        when(col("_charset") === "iso-8859-1", col("_body_l1"))
+        when(col("_charset") === "iso-8859-1", decode(col("_raw"), "ISO-8859-1"))
           .when(col("_charset") === "us-ascii", decode(col("_raw"), "US-ASCII"))
           .otherwise(decode(col("_raw"), "UTF-8"))))
       .withColumn("_reason",
         when(col("http_status").isNull ||
           !col("http_status").between(200, 299), lit("status"))
+          .when(col("_chunked") && col("_raw").isNull, lit("chunked"))
           .when(col("_charset") === "unsupported", lit("charset"))
-          .when(col("_text") === "", lit("empty")))
+          .when(coalesce(col("_text"), lit("")) === "", lit("empty")))
       .cache() // both routes are consumed (the DocsJsonlSource precedent)
     val clean = resp.filter(col("_reason").isNull)
       .withColumn("url", UrlOps.canon(col("target_uri")))

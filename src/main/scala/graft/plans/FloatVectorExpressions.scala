@@ -196,6 +196,9 @@ object GraftFunctions {
       (es: Seq[Expression]) => BloomAgg(es(0),
         if (es.length > 1) litInt(es(1), "bloom_agg")
         else GraftBloom.DefaultHexChars)),
+    (FunctionIdentifier("http_dechunk"),
+      new ExpressionInfo(classOf[HttpDechunk].getName, "http_dechunk"),
+      (es: Seq[Expression]) => HttpDechunk(es(0))),
     (FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_contains"),
       (es: Seq[Expression]) => BloomMightContain(es(0), es(1),

@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** HTTP payload codecs for the WARC ingest path.
+  *
+  * Common Crawl `response` records preserve the HTTP message verbatim —
+  * including `Transfer-Encoding: chunked` framing, whose hex size lines
+  * would otherwise leak into extracted text. De-chunking is a per-byte
+  * stateful walk (variable chunk count, hex size parsing), beyond any
+  * composition of built-in functions — exactly the custom-`Expression`
+  * slot: one codegen-compatible row-level call, no UDF, no shuffle.
+  */
+object HttpCodec {
+
+  /** RFC 9112 §7.1 chunked-body decode: `hex-size[;ext]\r\n data \r\n`
+    * repeated, terminated by a `0` chunk (trailers ignored). Returns the
+    * concatenated chunk data, or NULL for malformed framing (no valid
+    * size line, declared size past the end, missing terminator) — the
+    * caller routes null to quarantine rather than keeping a body whose
+    * framing lies. Bare-LF line endings are tolerated (robustness
+    * priority of a crawl pipeline, matching the WARC header walk). */
+  def dechunk(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var i = 0
+    while (true) {
+      // parse the hex size line
+      var size = 0L
+      var digits = 0
+      while (i < body.length && isHex(body(i))) {
+        size = size * 16 + hexVal(body(i))
+        digits += 1
+        if (digits > 8) return null // > 4 GiB declared: framing lies
+        i += 1
+      }
+      if (digits == 0) return null // no size where one is required
+      // skip chunk extensions to end of line
+      while (i < body.length && body(i) != '\n') i += 1
+      if (i >= body.length) return null // size line never terminated
+      i += 1
+      if (size == 0) return out.toByteArray // terminal chunk; ignore trailers
+      if (i + size > body.length) return null // declared past the end
+      out.write(body, i, size.toInt)
+      i += size.toInt
+      // consume the CRLF (or LF) after the chunk data
+      if (i < body.length && body(i) == '\r') i += 1
+      if (i >= body.length || body(i) != '\n') return null
+      i += 1
+    }
+    null // unreachable
+  }
+
+  private def isHex(b: Byte): Boolean =
+    (b >= '0' && b <= '9') || (b >= 'a' && b <= 'f') || (b >= 'A' && b <= 'F')
+
+  private def hexVal(b: Byte): Int =
+    if (b <= '9') b - '0'
+    else (b | 0x20) - 'a' + 10
+}
+
+/** `http_dechunk(binary)` → de-chunked binary, null on malformed framing
+  * (see [[HttpCodec.dechunk]]). */
+case class HttpDechunk(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${other.sql}")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // malformed framing → null
+  override def prettyName: String = "http_dechunk"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HttpCodec.dechunk(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.HttpCodec.dechunk($c);
+         |${ev.isNull} = ${ev.value} == null;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HttpDechunk =
+    copy(child = newChild)
+}
