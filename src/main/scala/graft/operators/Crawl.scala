@@ -53,8 +53,8 @@ object CrawlOps {
     * longest matching prefix per URL via a partial-aggregatable
     * struct-max (no window), unmatched → null `m`. Input needs
     * (canon_url, source, path) + any carry columns in `carry`. */
-  private def matchRules(parts: DataFrame, rules: DataFrame,
-                         carry: Seq[String]): DataFrame =
+  private[graft] def matchRules(parts: DataFrame, rules: DataFrame,
+                                carry: Seq[String]): DataFrame =
     parts
       .join(broadcast(rules),
         parts("source") === rules("source") &&

@@ -101,10 +101,19 @@ object HtmlOps {
     *  - `Transfer-Encoding: chunked` bodies (which CC records preserve
     *    verbatim) are DE-CHUNKED before charset decode via the native
     *    `http_dechunk` expression ([[graft.plans.HttpCodec]]) — hex size
-    *    lines never reach the corpus; malformed chunked framing routes
-    *    to quarantine with reason `chunked`;
-    *  - an UNDECODABLE page (charset outside the whitelist, non-2xx
-    *    status, or extraction yielding no text) routes to QUARANTINE
+    *    lines never reach the corpus; chunked is matched anywhere in the
+    *    RFC 9112 transfer-coding LIST; malformed chunked framing routes
+    *    to quarantine with reason `chunked`, and any OTHER non-identity
+    *    transfer-coding (`gzip, chunked`) quarantines as
+    *    `transfer-encoding` (undecodable row-level today);
+    *  - `Content-Encoding` other than identity (gzip/br/deflate bodies)
+    *    quarantines as `content-encoding` — compressed bytes must never
+    *    "decode" as charset text into the clean route;
+    *  - an UNDECODABLE page (charset outside the whitelist, invalid bytes
+    *    under the declared charset — validated BEFORE Spark 4's strict
+    *    `decode`, so a bad page quarantines as `encoding` instead of
+    *    crashing the job — non-2xx status, or extraction yielding no
+    *    text) routes to QUARANTINE
     *    with the reason + re-fetch ledger (the [[graft.sources.DocsJsonlSource]]
     *    pattern) instead of poisoning the corpus or vanishing;
     *  - doc identity = hash of the CANONICAL URL ([[UrlOps.canon]]), so
@@ -136,24 +145,46 @@ object HtmlOps {
             lit("iso-8859-1"))
           .when(col("_cs").isin("us-ascii", "ascii"), lit("us-ascii"))
           .otherwise(lit("unsupported")))
-      .withColumn("_chunked",
-        col("_hdr").rlike("(?im)^transfer-encoding:\\s*chunked"))
+      // RFC 9112 allows a transfer-coding LIST (`gzip, chunked` — chunked
+      // must be final), so match chunked ANYWHERE in the value; any OTHER
+      // non-identity coding in the list is undecodable row-level today →
+      // its own quarantine reason below, never mojibake in the clean route
+      .withColumn("_te", lower(regexp_extract(col("_hdr"),
+        "(?im)^transfer-encoding:([^\\r\\n]*)", 1)))
+      .withColumn("_chunked", col("_te").rlike("\\bchunked\\b"))
+      .withColumn("_te_other",
+        regexp_replace(col("_te"), "\\bchunked\\b|\\bidentity\\b|[\\s,]", "") =!= "")
+      // `Content-Encoding: gzip/br/…` bodies are COMPRESSED — a charset
+      // decode would emit mojibake into the corpus; route to quarantine
+      .withColumn("_ce", lower(trim(regexp_extract(col("_hdr"),
+        "(?im)^content-encoding:([^\\r\\n]*)", 1))))
+      .withColumn("_ce_bad", !col("_ce").isin("", "identity"))
       .withColumn("_raw0", encode(col("_body_l1"), "ISO-8859-1"))
       // de-chunk BEFORE charset decode: the framing is byte-level and
       // charset-independent; null (malformed framing) → quarantine below
       .withColumn("_raw",
         when(col("_chunked"), call_function("http_dechunk", col("_raw0")))
           .otherwise(col("_raw0")))
+      // Spark 4's `decode` is STRICT (MALFORMED_CHARACTER_CODING throws) —
+      // a single invalid byte in a declared-utf-8 page would crash the
+      // whole ingest job. Validate first: invalid bytes → null text →
+      // quarantine reason `encoding`, never a job failure. ISO-8859-1 is
+      // bijective (cannot fail); us-ascii rides the utf-8 branch (ASCII is
+      // a strict UTF-8 subset, and a lying ascii declaration with valid
+      // UTF-8 multibyte text is better decoded than dropped).
       .withColumn("_text", extractText(
         when(col("_charset") === "iso-8859-1", decode(col("_raw"), "ISO-8859-1"))
-          .when(col("_charset") === "us-ascii", decode(col("_raw"), "US-ASCII"))
-          .otherwise(decode(col("_raw"), "UTF-8"))))
+          .otherwise(when(expr("is_valid_utf8(_raw)"),
+            decode(col("_raw"), "UTF-8")))))
       .withColumn("_reason",
         when(col("http_status").isNull ||
           !col("http_status").between(200, 299), lit("status"))
+          .when(col("_te_other"), lit("transfer-encoding"))
           .when(col("_chunked") && col("_raw").isNull, lit("chunked"))
+          .when(col("_ce_bad"), lit("content-encoding"))
           .when(col("_charset") === "unsupported", lit("charset"))
-          .when(coalesce(col("_text"), lit("")) === "", lit("empty")))
+          .when(col("_text").isNull, lit("encoding"))
+          .when(col("_text") === "", lit("empty")))
       .cache() // both routes are consumed (the DocsJsonlSource precedent)
     val clean = resp.filter(col("_reason").isNull)
       .withColumn("url", UrlOps.canon(col("target_uri")))

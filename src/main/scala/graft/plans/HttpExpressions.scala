@@ -29,14 +29,16 @@ object HttpCodec {
     while (true) {
       // parse the hex size line
       var size = 0L
-      var digits = 0
+      var seen = 0 // any hex digit (a size line must carry at least one)
+      var sig = 0 // significant digits — RFC 9112 permits leading zeros
       while (i < body.length && isHex(body(i))) {
         size = size * 16 + hexVal(body(i))
-        digits += 1
-        if (digits > 8) return null // > 4 GiB declared: framing lies
+        seen += 1
+        if (size != 0) sig += 1
+        if (sig > 8) return null // > 4 GiB declared: framing lies
         i += 1
       }
-      if (digits == 0) return null // no size where one is required
+      if (seen == 0) return null // no size where one is required
       // skip chunk extensions to end of line
       while (i < body.length && body(i) != '\n') i += 1
       if (i >= body.length) return null // size line never terminated

@@ -90,6 +90,42 @@ class GifSpec extends SparkSpec {
     assert(out.getSeq[Float](3)(0) == W.toFloat)
   }
 
+  test("partial or offset first frame falls to the stub (round-11 crop guard)") {
+    // the JDK encoder always writes full-frame descriptors, so build the
+    // guard's inputs by hand: walk to the image descriptor and patch its
+    // left/top/dims — decoding such a frame would silently hash a crop
+    val base = encode(grayImage)
+    def descriptorOffset(b: Array[Byte]): Int = {
+      var i = 13
+      if ((b(10) & 0x80) != 0) i += 3 * (2 << (b(10) & 7))
+      while ((b(i) & 0xff) == 0x21) {
+        i += 2
+        while ((b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+        i += 1
+      }
+      assert((b(i) & 0xff) == 0x2c, "image descriptor")
+      i
+    }
+    val d = descriptorOffset(base)
+    assert(MultimodalOps.decodeGif(base, 16).isDefined, "unpatched sanity")
+    // frame offset left=1 → crop guard
+    val offset = base.clone()
+    offset(d + 1) = 1
+    assert(MultimodalOps.decodeGif(offset, 16).isEmpty, "offset frame")
+    // frame top=2 → crop guard
+    val top = base.clone()
+    top(d + 3) = 2
+    assert(MultimodalOps.decodeGif(top, 16).isEmpty, "offset-top frame")
+    // frame narrower than the logical screen → crop guard
+    val narrow = base.clone()
+    narrow(d + 5) = ((W - 1) & 0xff).toByte
+    assert(MultimodalOps.decodeGif(narrow, 16).isEmpty, "narrow frame")
+    // frame shorter than the logical screen → crop guard
+    val short = base.clone()
+    short(d + 7) = ((H - 1) & 0xff).toByte
+    assert(MultimodalOps.decodeGif(short, 16).isEmpty, "short frame")
+  }
+
   test("rejects truncated streams and junk") {
     val gif = encode(grayImage)
     assert(MultimodalOps.decodeGif(gif.dropRight(gif.length / 2), 16).isEmpty)

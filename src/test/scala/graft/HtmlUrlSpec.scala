@@ -223,6 +223,10 @@ class HtmlUrlSpec extends SparkSpec {
         http("404 Not Found", "text/html", "<p>gone</p>".getBytes(UTF_8))) ++
       record("response", "http://empty.net/blank",
         http("200 OK", "text/html", "<style>p{}</style>".getBytes(UTF_8))) ++
+      // invalid bytes under the declared utf-8: must quarantine, not crash
+      record("response", "http://broken.net/bytes",
+        http("200 OK", "text/html; charset=utf-8",
+          Array[Byte]('<', 'p', '>', 0xC3.toByte, 0x28.toByte, '<', '/', 'p', '>'))) ++
       record("request", "http://site.com/a", "GET /a HTTP/1.1\r\n".getBytes(US_ASCII))
     Files.write(dir.resolve("seg.warc"), recs)
 
@@ -245,7 +249,112 @@ class HtmlUrlSpec extends SparkSpec {
     assert(q == Map(
       "http://bad.net/cp1252" -> "charset",
       "http://gone.net/404" -> "status",
-      "http://empty.net/blank" -> "empty"))
+      "http://empty.net/blank" -> "empty",
+      "http://broken.net/bytes" -> "encoding"))
+  }
+
+  test("warcToDocuments de-chunks chunked bodies; malformed framing quarantines") {
+    import java.io.ByteArrayOutputStream
+    import java.util.zip.GZIPOutputStream
+    val dir = Files.createTempDirectory("graft_warc_chunked")
+    val html = "<html><body><p>the chunked crawl page body</p></body></html>"
+    // split the page across three chunks, one with an extension token
+    val chunked =
+      (f"${20}%x\r\n" + html.substring(0, 20) + "\r\n" +
+        f"${15}%x;ext=v\r\n" + html.substring(20, 35) + "\r\n" +
+        f"${html.length - 35}%x\r\n" + html.substring(35) + "\r\n" +
+        "0\r\n\r\n").getBytes(US_ASCII)
+    def chunkedHttp(te: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        s"Transfer-Encoding: $te\r\n\r\n").getBytes(US_ASCII) ++ body
+    val recs =
+      record("response", "http://chunky.net/ok", chunkedHttp("chunked", chunked)) ++
+      // RFC 9112 list form: chunked matched anywhere in the value
+      record("response", "http://chunky.net/list-ok",
+        chunkedHttp("identity, chunked", chunked)) ++
+      // hex framing lies (declared size past the end) → quarantine
+      record("response", "http://chunky.net/torn",
+        chunkedHttp("chunked", "ffff\r\nshort\r\n0\r\n\r\n".getBytes(US_ASCII))) ++
+      // a non-identity coding besides chunked is undecodable row-level
+      record("response", "http://chunky.net/gz",
+        chunkedHttp("gzip, chunked", chunked))
+    // the CC container shape: one gzip member per record, .warc.gz
+    val gz = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(gz); g.write(recs); g.finish()
+    Files.write(dir.resolve("seg.warc.gz"), gz.toByteArray)
+
+    val (clean, quarantine) =
+      HtmlOps.warcToDocuments(graft.sources.WarcSource.read(spark, dir.toString))
+    val cleanByUrl = clean.collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(cleanByUrl == Map(
+      "http://chunky.net/ok" -> "the chunked crawl page body",
+      "http://chunky.net/list-ok" -> "the chunked crawl page body"),
+      s"hex size lines must never reach the corpus: $cleanByUrl")
+    val q = quarantine.collect().map(r =>
+      r.getAs[String]("target_uri") -> r.getAs[String]("reason")).toMap
+    assert(q == Map(
+      "http://chunky.net/torn" -> "chunked",
+      "http://chunky.net/gz" -> "transfer-encoding"), q)
+  }
+
+  test("warcToDocuments quarantines compressed Content-Encoding bodies") {
+    import java.io.ByteArrayOutputStream
+    import java.util.zip.GZIPOutputStream
+    val dir = Files.createTempDirectory("graft_warc_ce")
+    val page = "<p>would be mojibake if charset-decoded</p>".getBytes(UTF_8)
+    val gzBody = { val o = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(o); g.write(page); g.finish(); o.toByteArray }
+    def http2(hdrs: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$hdrs\r\n\r\n").getBytes(US_ASCII) ++ body
+    val recs =
+      record("response", "http://ce.net/gzip",
+        http2("Content-Type: text/html\r\nContent-Encoding: gzip", gzBody)) ++
+      record("response", "http://ce.net/br",
+        http2("Content-Type: text/html\r\nContent-Encoding: br", page)) ++
+      // identity is NOT compression — must stay on the clean route
+      record("response", "http://ce.net/identity",
+        http2("Content-Type: text/html\r\nContent-Encoding: identity", page)) ++
+      record("response", "http://ce.net/plain",
+        http2("Content-Type: text/html", page))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val (clean, quarantine) =
+      HtmlOps.warcToDocuments(graft.sources.WarcSource.read(spark, dir.toString))
+    assert(clean.collect().map(_.getAs[String]("url")).sorted.toSeq ==
+      Seq("http://ce.net/identity", "http://ce.net/plain"))
+    val q = quarantine.collect().map(r =>
+      r.getAs[String]("target_uri") -> r.getAs[String]("reason")).toMap
+    assert(q == Map(
+      "http://ce.net/gzip" -> "content-encoding",
+      "http://ce.net/br" -> "content-encoding"), q)
+  }
+
+  test("robots rule tie-breaks agree with the oracle's ordering (Allow wins)") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // equal-length SAME-prefix conflict (the only way two equal-length
+    // prefixes can both match one path): Allow must win in both engines
+    val parts = Seq(("http://h.example.com/docs/31", "h", "/docs/31"))
+      .toDF("canon_url", "source", "path")
+    val rules = Seq(
+      ("h", "/docs/3", false), ("h", "/docs/3", true), // dup prefix, conflict
+      ("h", "/docs/4", false)) // equal length, non-matching — inert
+      .toDF("source", "prefix", "allow")
+    val m = CrawlOps.matchRules(parts, rules, Seq.empty)
+      .select(col("canon_url"), col("m.prefix").as("p"), col("m.allow").as("a"))
+      .collect().head
+    assert(m.getString(1) == "/docs/3" && m.getBoolean(2),
+      "struct-max must pick allow=true at equal length")
+    // replay the oracle's ROW_NUMBER ordering (length DESC, allow DESC,
+    // prefix DESC — Crawl.scala oracle) over the same matching rules: the
+    // two engines' tie-break keys must elect the same rule
+    val matching = Seq(("/docs/3", false), ("/docs/3", true))
+    val oracleWinner = matching.sortWith { case ((p1, a1), (p2, a2)) =>
+      if (p1.length != p2.length) p1.length > p2.length
+      else if (a1 != a2) a1 > a2
+      else p1 > p2
+    }.head
+    assert((m.getString(1), m.getBoolean(2)) == oracleWinner)
   }
 
   test("urlDedupBy collapses the warc bridge's refetches on the real url column") {

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{HttpCodec, HttpDechunk}
+
+/** RFC 9112 chunked-body decode — the round-11 `http_dechunk` expression
+  * (SURVEY §2-C, warcToDocuments' chunked path): framing happy paths,
+  * every malformed-framing null route, and eval ≡ codegen parity. */
+class HttpCodecSpec extends SparkSpec {
+
+  private def b(s: String): Array[Byte] = s.getBytes(US_ASCII)
+  private def dec(s: String): Array[Byte] = HttpCodec.dechunk(b(s))
+  private def decS(s: String): String = new String(dec(s), US_ASCII)
+
+  test("multi-chunk body concatenates in order, terminal chunk ends it") {
+    assert(decS("5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n") == "hello world")
+    assert(decS("1\r\nx\r\n0\r\n\r\n") == "x")
+    // data after the terminal chunk (next response, junk) is ignored
+    assert(decS("5\r\nhello\r\n0\r\n\r\ntrailing junk") == "hello")
+  }
+
+  test("chunk extensions and trailers are skipped, not decoded") {
+    assert(decS("5;name=val;q=\"x\"\r\nhello\r\n0\r\n\r\n") == "hello")
+    assert(decS("5\r\nhello\r\n0\r\nX-Checksum: abc\r\nX-More: v\r\n\r\n")
+      == "hello")
+  }
+
+  test("bare-LF line endings tolerated (crawl-robustness contract)") {
+    assert(decS("5\nhello\n6\n world\n0\n\n") == "hello world")
+    // mixed CRLF/LF within one body
+    assert(decS("5\r\nhello\n6\n world\r\n0\r\n\r\n") == "hello world")
+  }
+
+  test("leading zeros in the chunk size are legal (RFC 9112)") {
+    assert(decS("000000005\r\nhello\r\n0\r\n\r\n") == "hello")
+    // 10 digits, but only 2 significant — must NOT trip the 8-digit cap
+    assert(decS("000000001f\r\n" + "a" * 0x1f + "\r\n0\r\n\r\n") == "a" * 0x1f)
+  }
+
+  test("malformed framing returns null: every route") {
+    assert(dec("") == null) // empty body: no size line
+    assert(dec("zz\r\nhi\r\n0\r\n\r\n") == null) // no hex digit first
+    assert(dec("5") == null) // size line never terminated
+    assert(dec("5\r\nhel") == null) // declared size past the end
+    assert(dec("ff\r\nshort\r\n0\r\n\r\n") == null) // declared past end
+    assert(dec("5\r\nhelloX0\r\n\r\n") == null) // missing data terminator
+    assert(dec("5\r\nhello\r\n") == null) // stream ends before terminal chunk
+    assert(dec("fffffffff\r\nx\r\n0\r\n\r\n") == null) // 9 significant digits > 4 GiB
+    assert(dec("123456789\r\nx\r\n0\r\n\r\n") == null) // ditto, decimal-looking
+  }
+
+  test("binary chunk data survives byte-for-byte") {
+    val payload = Array.tabulate[Byte](256)(_.toByte)
+    val body = b("100\r\n") ++ payload ++ b("\r\n0\r\n\r\n")
+    assert(java.util.Arrays.equals(HttpCodec.dechunk(body), payload))
+  }
+
+  test("eval and codegen paths agree on every fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    graft.plans.GraftFunctions.register(spark)
+    val cases = Seq(
+      "5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n",
+      "5;ext=1\r\nhello\r\n0\r\n\r\n",
+      "5\nhello\n0\n\n",
+      "000000005\r\nhello\r\n0\r\n\r\n",
+      "", "zz", "5", "5\r\nhel", "ff\r\nshort\r\n",
+      "5\r\nhelloX0\r\n\r\n", "fffffffff\r\nx\r\n0\r\n\r\n")
+    // codegen route: whole-stage codegen through a projection
+    val viaDf = cases.zipWithIndex.map { case (s, i) => (i, b(s)) }
+      .toDF("i", "body")
+      .select(col("i"), call_function("http_dechunk", col("body")).as("out"))
+      .collect().map(r => r.getInt(0) -> Option(r.getAs[Array[Byte]]("out")))
+      .toMap
+    cases.zipWithIndex.foreach { case (s, i) =>
+      val direct = Option(HttpCodec.dechunk(b(s)))
+      // interpreted Expression eval
+      val interp = Option(HttpDechunk(Literal(b(s), BinaryType)).eval(null))
+        .map(_.asInstanceOf[Array[Byte]])
+      assert(direct.map(_.toSeq) == interp.map(_.toSeq), s"interp: <$s>")
+      assert(direct.map(_.toSeq) == viaDf(i).map(_.toSeq), s"codegen: <$s>")
+    }
+    // null input → null out (nullSafeEval contract)
+    val nullRow = Seq((0, null: Array[Byte])).toDF("i", "body")
+      .select(call_function("http_dechunk", col("body"))).collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("http_dechunk rejects non-binary input at analysis time") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      Seq("s").toDF("s").select(call_function("http_dechunk", col("s")))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("binary") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"), e.getMessage)
+  }
+}
