@@ -11,24 +11,26 @@ import org.apache.spark.sql.functions._
   * corpora (Common Crawl and anything wget/heritrix writes) ship in, and
   * the raw input of every from-the-web training-data pipeline.
   *
-  * Spark-first ingestion shape: `binaryFile` scan → per-file record walk
-  * in `flatMap` (the one genuinely imperative step: WARC records are
-  * length-prefixed by a `Content-Length` header, so no line-based reader
-  * can split them safely) → a flat typed DataFrame any downstream
-  * operator (lang-id, dedup, curate) consumes columnar.
+  * Spark-first ingestion shape: driver-side path LISTING → per-file
+  * `FileSystem.open` + record walk in `flatMap` (the one genuinely
+  * imperative step: WARC records are length-prefixed by a
+  * `Content-Length` header, so no line-based reader can split them
+  * safely) → a flat typed DataFrame any downstream operator (lang-id,
+  * dedup, curate) consumes columnar.
   *
   * Scale contract: parallelism is PER FILE — exactly the Common Crawl
   * layout (tens of thousands of ~1 GB segment files per crawl), so a
   * 1000-executor cluster saturates without splitting inside a file.
-  * Records stream one at a time off the (gzip-sniffed) InputStream:
-  * [[parseFile]] returns an `Iterator[WarcRecord]` whose live state is
-  * ONE record's payload plus the inflater and a 64 KiB read buffer —
-  * the decompressed file is never materialized (spec-asserted via a
-  * byte-consumption probe on [[parseStream]]). Peak per-task heap is
-  * therefore the raw compressed file (binaryFile's row) + `maxRecord`,
-  * not a multiple of the decompressed size. Gzip is handled in its
-  * real-world form: CC WARCs are CONCATENATED per-record gzip members,
-  * which one `GZIPInputStream` decompresses end-to-end. A `maxRecord`
+  * Records stream one at a time off the (gzip-sniffed) file stream:
+  * the iterator's live state is ONE record's payload plus the inflater
+  * and a 64 KiB read buffer — neither the raw file nor its decompressed
+  * form is ever materialized (spec-asserted via byte-consumption probes
+  * on BOTH the in-memory and the open→sniff→parse path route). Peak
+  * per-task heap is therefore `maxRecord` + buffers, independent of
+  * file size — no 2 GiB cap, unlike a `binaryFile` content row. Gzip is
+  * handled in its real-world form: CC WARCs are CONCATENATED per-record
+  * gzip members, which one `GZIPInputStream` decompresses end-to-end;
+  * the stream closes at end-of-walk (no leaked FS handles). A `maxRecord`
   * guard drops pathological records (a declared Content-Length past the
   * cap — bomb or corruption) instead of throwing mid-job; any malformed
   * or truncated tail (including a torn gzip member) ends the walk with
@@ -51,29 +53,73 @@ object WarcSource {
       content_length: Long,
       payload: Array[Byte])
 
-  /** Read every WARC (or .warc.gz) file under `path` into a record frame. */
+  /** Read every WARC (or .warc.gz) file under `path` into a record frame.
+    *
+    * PATH-STREAMING: the scan ships file PATHS, not file bytes — each
+    * task opens its file off the Hadoop `FileSystem` and feeds the
+    * streaming record walk directly, so (a) there is NO 2 GiB per-file
+    * cap (binaryFile's row limit — real CC segments exceed it), and
+    * (b) per-task heap is one record + the 64 KiB read buffer, never
+    * the file. One round-robin partition per file = the per-file
+    * parallelism contract. */
   def read(spark: SparkSession, path: String,
            maxRecord: Int = 64 << 20): DataFrame = {
     import spark.implicits._
-    val files: Dataset[(String, Array[Byte])] = spark.read.format("binaryFile")
-      .load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-    files.flatMap { case (p, bytes) => parseFile(p, bytes, maxRecord) }.toDF()
+    // Configuration is a Hadoop Writable → SerializableWritable ships the
+    // driver's FS conf (credentials, endpoints) to tasks intact
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration))
+    val paths = listFiles(spark, path)
+    val files: Dataset[String] = spark.createDataset(paths)
+      .repartition(math.max(paths.length, 1))
+    files.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(confBc.value.value)
+      parseStream(p, sniffGzip(fs.open(hp)), maxRecord)
+    }.toDF()
   }
 
-  /** Stream one file's records (gzip-sniffed). The iterator inflates and
-    * parses lazily — consuming record N never requires record N+1 to have
-    * been read, and no whole-file decompressed buffer exists. */
-  def parseFile(path: String, raw: Array[Byte],
-                maxRecord: Int = 64 << 20): Iterator[WarcRecord] = {
-    val base = new ByteArrayInputStream(raw)
-    val in: InputStream =
-      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
-        new GZIPInputStream(base, 64 << 10)
-      else base
-    parseStream(path, in, maxRecord)
+  /** Driver-side listing (file STATUSES only — metadata, never content):
+    * glob or literal path; one directory level, hidden/success markers
+    * skipped. Listing tens of thousands of segment paths is driver-cheap
+    * (Spark's own InMemoryFileIndex does the same). */
+  private def listFiles(spark: SparkSession, path: String): Seq[String] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+    matched
+      .flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
+      }
+      .filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .map(_.getPath.toString)
+      .sorted
   }
+
+  /** Gzip-sniff any InputStream (2-byte magic peek, pushed back) — the
+    * shared front of the path route and the in-memory route, so the
+    * byte-consumption probe exercises exactly what a task runs. */
+  private[graft] def sniffGzip(in0: InputStream): InputStream = {
+    val in = new PushbackInputStream(new BufferedInputStream(in0, 64 << 10), 2)
+    val b1 = in.read()
+    val b2 = in.read()
+    if (b2 >= 0) in.unread(b2)
+    if (b1 >= 0) in.unread(b1)
+    if (b1 == 0x1f && b2 == 0x8b) new GZIPInputStream(in, 64 << 10) else in
+  }
+
+  /** Stream one in-memory file's records (gzip-sniffed). The iterator
+    * inflates and parses lazily — consuming record N never requires
+    * record N+1 to have been read, and no whole-file decompressed buffer
+    * exists. */
+  def parseFile(path: String, raw: Array[Byte],
+                maxRecord: Int = 64 << 20): Iterator[WarcRecord] =
+    parseStream(path, sniffGzip(new ByteArrayInputStream(raw)), maxRecord)
 
   /** Walk the record chain off any InputStream: version line, header
     * lines to the blank line, `Content-Length` bytes of payload, trailing
@@ -95,6 +141,13 @@ object WarcSource {
     private var nextRec: WarcRecord = null
     private var finished = false
 
+    /** End the walk and release the underlying stream — on the path
+      * route that is an open FileSystem handle per task. */
+    private def finish(): Unit = {
+      finished = true
+      try in.close() catch { case _: IOException => () }
+    }
+
     override def hasNext: Boolean = {
       if (nextRec == null && !finished) advance()
       nextRec != null
@@ -114,11 +167,11 @@ object WarcSource {
         // skip inter-record CR/LF padding
         var b = in.read()
         while (b == '\r' || b == '\n') b = in.read()
-        if (b < 0) { finished = true; return }
+        if (b < 0) { finish(); return }
         in.unread(b)
 
         val version = readLine()
-        if (version == null || !version.startsWith("WARC/")) { finished = true; return }
+        if (version == null || !version.startsWith("WARC/")) { finish(); return }
 
         var headers = Map.empty[String, String]
         var line = readLine()
@@ -132,16 +185,16 @@ object WarcSource {
           }
           line = readLine()
         }
-        if (line == null) { finished = true; return } // EOF inside the header block
+        if (line == null) { finish(); return } // EOF inside the header block
 
         val len = headers.getOrElse("content-length", "-1").trim.toLongOption.getOrElse(-1L)
-        if (len < 0 || len > maxRecord) { finished = true; return }
+        if (len < 0 || len > maxRecord) { finish(); return }
 
         val payload = new Array[Byte](len.toInt)
         var off = 0
         while (off < payload.length) {
           val n = in.read(payload, off, payload.length - off)
-          if (n < 0) { finished = true; return } // truncated body — drop, keep priors
+          if (n < 0) { finish(); return } // truncated body — drop, keep priors
           off += n
         }
         nextRec = WarcRecord(
@@ -154,7 +207,7 @@ object WarcSource {
           content_length = len,
           payload = payload)
       } catch {
-        case _: EOFException | _: IOException => finished = true
+        case _: EOFException | _: IOException => finish()
       }
 
     /** One header line, `\n`-terminated (terminator consumed, trailing

@@ -111,6 +111,48 @@ class WarcSourceSpec extends SparkSpec {
     assert(it.size == 199, "rest of the stream still parses")
   }
 
+  test("path route is streaming: open → sniff → parse consumes a sliver of the FILE") {
+    // the exact composition a read() task runs: FileSystem open, gzip
+    // sniff, streaming walk. A whole-file materialization (binaryFile's
+    // row, the pre-round-12 shape) would consume ~all 6.5 MB on disk
+    // before the first record; the path route must not.
+    val payload = Array.fill[Byte](32 << 10)('x'.toByte)
+    val all = (0 until 200).map(i =>
+      record("response", s"http://x/$i", payload, s"r$i")).reduce(_ ++ _)
+    val f = Files.createTempDirectory("graft_warc_path").resolve("big.warc")
+    Files.write(f, all)
+    var consumed = 0L
+    val counting = new java.io.InputStream {
+      private val in = new java.io.FileInputStream(f.toFile)
+      override def read(): Int = { val b = in.read(); if (b >= 0) consumed += 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = in.read(b, off, len); if (n > 0) consumed += n; n
+      }
+      override def close(): Unit = in.close()
+    }
+    val it = WarcSource.parseStream("file", WarcSource.sniffGzip(counting))
+    assert(it.next().target_uri == "http://x/0")
+    assert(consumed < (256 << 10),
+      s"path route must stream, not slurp: consumed $consumed of ${all.length}")
+    assert(it.size == 199, "rest of the file still parses")
+  }
+
+  test("read() lists paths only, streams off the filesystem, keeps the gz shape") {
+    // functional regression for the path-streaming read(): same dir layout
+    // as the first test but asserting plan-level independence from
+    // binaryFile (no 2 GiB content row anywhere: the scan's input is the
+    // driver-listed path strings)
+    val dir = Files.createTempDirectory("graft_warc_pathroute")
+    Files.write(dir.resolve("seg-0.warc"), warcBytes)
+    Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray) // must be skipped
+    Files.write(dir.resolve(".hidden.warc"), warcBytes) // must be skipped
+    val df = WarcSource.read(spark, dir.toString)
+    assert(df.collect().length == 3, "marker + hidden files skipped")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("binaryFile") && !plan.contains("BinaryFile"), plan)
+  }
+
   test("large multi-member gzip streams record-by-record with exact payload sum") {
     // 1000 gzip members × 64 KiB decompressed (~64 MB total decompressed,
     // tiny compressed) — the CC shape. The fold touches one record at a
