@@ -135,15 +135,31 @@ object CrawlOps {
     * nearest preceding User-agent line, so parsing is a posexplode over
     * lines + two tiny per-source aggregates — sources × ~8 lines, KBs
     * at any corpus size. */
-  def robotsParse(documents: DataFrame): DataFrame = {
+  def robotsParse(documents: DataFrame): DataFrame =
+    starGroupLines(documents)
+      .filter(col("line").startsWith("Allow: ") ||
+        col("line").startsWith("Disallow: "))
+      .select(col("source"),
+        regexp_replace(col("line"), "^(Dis)?(A|a)llow: ", "").as("prefix"),
+        col("line").startsWith("Allow: ").as("allow"))
+      .orderBy("source", "prefix")
+
+  /** Lines of each host's robots.txt that belong to the `User-agent: *`
+    * group (positional scoping: after the star line, before the next
+    * User-agent line) — shared by [[robotsParse]] (Allow/Disallow) and
+    * [[crawlDelayOf]] (Crawl-delay), so the two parses cannot scope
+    * differently. Per-host Crawl-delay VARIES ((idx % 5) + 1 s) so the
+    * schedule query exercises real per-host arithmetic. */
+  private def starGroupLines(documents: DataFrame): DataFrame = {
     val d = expr("CAST(substr(source, 4, 10) AS INT) % 10").cast("string")
+    val delay = expr("CAST(substr(source, 4, 10) AS INT) % 5 + 1").cast("string")
     val nl = lit("\n")
     val body = concat(
       lit("# robots for "), col("source"), nl,
       lit("User-agent: megabot"), nl, lit("Disallow: /private"), nl,
       nl,
       lit("User-agent: *"), nl,
-      lit("Crawl-delay: 2"), nl,
+      lit("Crawl-delay: "), delay, nl,
       lit("Disallow: /docs/"), d, nl,
       lit("Allow: /docs/"), d, lit("3"), nl)
     val lines = documents.select(col("source")).distinct()
@@ -158,13 +174,51 @@ object CrawlOps {
       .join(broadcast(starPos), "source")
       .join(broadcast(nextAgent), Seq("source"), "left")
       .filter(col("pos") > col("p0") &&
-        col("pos") < coalesce(col("p1"), lit(Int.MaxValue)) &&
-        (col("line").startsWith("Allow: ") ||
-          col("line").startsWith("Disallow: ")))
+        col("pos") < coalesce(col("p1"), lit(Int.MaxValue)))
+      .select(col("source"), col("line"))
+  }
+
+  /** Per-host politeness delay PARSED from the robots body's
+    * `Crawl-delay` line in the `*` group (the textual face; the declared
+    * face is `(idx % 5) + 1` — spec-asserted equal, the
+    * [[robotsParse]]/[[rulesOf]] duality). */
+  private[graft] def crawlDelayOf(documents: DataFrame): DataFrame =
+    starGroupLines(documents)
+      .filter(col("line").startsWith("Crawl-delay: "))
       .select(col("source"),
-        regexp_replace(col("line"), "^(Dis)?(A|a)llow: ", "").as("prefix"),
-        col("line").startsWith("Allow: ").as("allow"))
-      .orderBy("source", "prefix")
+        regexp_extract(col("line"), "^Crawl-delay: ([0-9]+)$", 1)
+          .cast("long").as("delay_s"))
+
+  /** Schedule epoch (2026-08-14T00:00:00Z) — fixed so `next_allowed_ts`
+    * is deterministic and oracle-hashable. */
+  val ScheduleEpoch = 1755129600L
+
+  /** §2 `q_crawl_schedule`: WHEN each frontier URL may be fetched — the
+    * politeness answer [[robotsFilter]] (whether) leaves open. Each
+    * host's frontier URLs queue in canonical-URL order, one fetch per
+    * `Crawl-delay` seconds: next_allowed_offset_s = cumulative delay of
+    * the URLs ahead in the host's queue (a host-partitioned window
+    * cumsum — `q_pack`'s shape), next_allowed_ts = epoch + offset.
+    *
+    * Scale: the frontier is the only big frame; delays are hosts-bounded
+    * KBs → broadcast join; the window partitions BY HOST, so no
+    * single-partition window at any corpus size (hot hosts are the skew
+    * bound — exactly the real scheduler's constraint). */
+  def crawlSchedule(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("canon_url"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    frontier(documents)
+      .withColumn("source",
+        regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1))
+      .join(broadcast(crawlDelayOf(documents)), "source")
+      .withColumn("next_allowed_offset_s",
+        coalesce(sum(col("delay_s")).over(w), lit(0L)))
+      .select(col("canon_url"), col("source"), col("n_referrers"),
+        col("delay_s"),
+        col("next_allowed_offset_s"),
+        (lit(ScheduleEpoch) + col("next_allowed_offset_s")).as("next_allowed_ts"))
+      .orderBy("canon_url")
   }
 
   private def rulesSql: String =
@@ -200,7 +254,7 @@ object CrawlOps {
         |    'User-agent: megabot' || chr(10) || 'Disallow: /private' || chr(10) ||
         |    chr(10) ||
         |    'User-agent: *' || chr(10) ||
-        |    'Crawl-delay: 2' || chr(10) ||
+        |    'Crawl-delay: ' || CAST(CAST(substr(source, 4, 10) AS INT) % 5 + 1 AS VARCHAR) || chr(10) ||
         |    'Disallow: /docs/' || CAST(CAST(substr(source, 4, 10) AS INT) % 10 AS VARCHAR) || chr(10) ||
         |    'Allow: /docs/' || CAST(CAST(substr(source, 4, 10) AS INT) % 10 AS VARCHAR) || '3' || chr(10)
         |      AS body
@@ -248,40 +302,73 @@ object CrawlOps {
          |  ON m.canon_url = p.canon_url
          |ORDER BY p.canon_url""".stripMargin,
     "q_frontier" ->
-      s"""WITH ${HtmlOps.linkUniverseSql}, links AS (
-         |  SELECT ${UrlOps.canonSql("href")} AS canon_url,
-         |    COUNT(DISTINCT doc_id) AS n_referrers
-         |  FROM raw_links
-         |  GROUP BY 1
-         |), lparts AS (
+      s"""WITH $frontierCtes
+         |SELECT canon_url, n_referrers
+         |FROM frontier_set
+         |ORDER BY canon_url""".stripMargin,
+    "q_crawl_schedule" ->
+      s"""WITH $frontierCtes,
+         |frs AS (
          |  SELECT canon_url, n_referrers,
-         |    regexp_extract(canon_url, '^[a-z]+://([^./]+)\\.', 1) AS source,
-         |    regexp_replace(canon_url, '^[a-z]+://[^/?#]*', '') AS path
-         |  FROM links
+         |    regexp_extract(canon_url, '^[a-z]+://([^./]+)\\.', 1) AS source
+         |  FROM frontier_set
          |),
-         |$rulesSql,
-         |matched AS (
-         |  SELECT p.canon_url, r.allow,
-         |    ROW_NUMBER() OVER (PARTITION BY p.canon_url
-         |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rk
-         |  FROM lparts p JOIN rules r
-         |    ON p.source = r.source
-         |   AND substr(p.path, 1, length(r.prefix)) = r.prefix
-         |),
-         |allowed AS (
-         |  SELECT p.canon_url, p.n_referrers
-         |  FROM lparts p LEFT JOIN (SELECT * FROM matched WHERE rk = 1) m
-         |    ON m.canon_url = p.canon_url
-         |  WHERE COALESCE(m.allow, TRUE)
-         |),
-         |${UrlOps.urlUniverseSql},
-         |fetched AS (
-         |  SELECT DISTINCT ${UrlOps.canonSql("url")} AS canon_url FROM u
-         |  WHERE TRY_CAST(regexp_extract(${UrlOps.canonSql("url")}, '/docs/([0-9]+)$$', 1) AS INT) < 50
+         |del AS (
+         |  SELECT DISTINCT source,
+         |    CAST(CAST(substr(source, 4, 10) AS INT) % 5 + 1 AS BIGINT) AS delay_s
+         |  FROM documents
          |)
-         |SELECT a.canon_url, a.n_referrers
-         |FROM allowed a
-         |WHERE a.canon_url NOT IN (SELECT canon_url FROM fetched)
-         |ORDER BY a.canon_url""".stripMargin
+         |SELECT f.canon_url, f.source, f.n_referrers, d.delay_s,
+         |  CAST(COALESCE(SUM(d.delay_s) OVER (
+         |    PARTITION BY f.source ORDER BY f.canon_url
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS next_allowed_offset_s,
+         |  CAST($ScheduleEpoch + COALESCE(SUM(d.delay_s) OVER (
+         |    PARTITION BY f.source ORDER BY f.canon_url
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS next_allowed_ts
+         |FROM frs f JOIN del d ON d.source = f.source
+         |ORDER BY f.canon_url""".stripMargin
   )
+
+  /** The full frontier derivation as CTEs ending in
+    * `frontier_set (canon_url, n_referrers)` — shared by `q_frontier`
+    * and `q_crawl_schedule` so the two cannot drift. */
+  private def frontierCtes: String =
+    s"""${HtmlOps.linkUniverseSql}, links AS (
+       |  SELECT ${UrlOps.canonSql("href")} AS canon_url,
+       |    COUNT(DISTINCT doc_id) AS n_referrers
+       |  FROM raw_links
+       |  GROUP BY 1
+       |), lparts AS (
+       |  SELECT canon_url, n_referrers,
+       |    regexp_extract(canon_url, '^[a-z]+://([^./]+)\\.', 1) AS source,
+       |    regexp_replace(canon_url, '^[a-z]+://[^/?#]*', '') AS path
+       |  FROM links
+       |),
+       |$rulesSql,
+       |matched AS (
+       |  SELECT p.canon_url, r.allow,
+       |    ROW_NUMBER() OVER (PARTITION BY p.canon_url
+       |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rk
+       |  FROM lparts p JOIN rules r
+       |    ON p.source = r.source
+       |   AND substr(p.path, 1, length(r.prefix)) = r.prefix
+       |),
+       |allowed AS (
+       |  SELECT p.canon_url, p.n_referrers
+       |  FROM lparts p LEFT JOIN (SELECT * FROM matched WHERE rk = 1) m
+       |    ON m.canon_url = p.canon_url
+       |  WHERE COALESCE(m.allow, TRUE)
+       |),
+       |${UrlOps.urlUniverseSql},
+       |fetched AS (
+       |  SELECT DISTINCT ${UrlOps.canonSql("url")} AS canon_url FROM u
+       |  WHERE TRY_CAST(regexp_extract(${UrlOps.canonSql("url")}, '/docs/([0-9]+)$$', 1) AS INT) < 50
+       |),
+       |frontier_set AS (
+       |  SELECT a.canon_url, a.n_referrers
+       |  FROM allowed a
+       |  WHERE a.canon_url NOT IN (SELECT canon_url FROM fetched)
+       |)""".stripMargin
 }

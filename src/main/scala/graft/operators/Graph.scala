@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * the same edges from the documents table alone. Mass model: p⁰ =
   * Q div N with Q = 10¹² micro-units; per round, each page divides its
   * mass over its outlinks (integer div), and p' = (15·(Q div N)) div
-  * 100 + (85·inflow) div 100 — the 0.85 damping as exact integer ops.
-  * Dangling pages (no surviving outlinks) leak their mass, the
-  * documented simplification of the uniform-redistribution variant.
+  * 100 + (85·(inflow + dang div N)) div 100 — the 0.85 damping as exact
+  * integer ops. Dangling pages (no surviving outlinks) REDISTRIBUTE
+  * their mass uniformly each round: a 1-row aggregate over the
+  * no-outlink set, broadcast back as `dang div N` per page — integer
+  * division, so the only loss is sub-unit truncation (spec-bounded).
   *
   * Scale: each round is ONE edge-keyed join + ONE dst-keyed agg —
   * shuffle payload is O(edges) with map-side partials; rounds are the
@@ -56,14 +58,21 @@ object GraphOps {
       val contrib = p
         .join(outdeg, p("doc_id") === outdeg("src"))
         .select(col("src"), expr("pr div odeg").as("c"))
+      // dangling mass: a 1-row agg over pages with NO outlinks, broadcast
+      // back — the scalar-join pattern, O(1) payload at any graph size
+      val dangling = p
+        .join(outdeg, p("doc_id") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
       val inflow = edges.join(contrib, "src")
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("infl"))
       p = base
         .join(inflow, base("doc_id") === inflow("dst"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("doc_id"),
           (expr(s"(15 * (CAST($Q AS BIGINT) div n)) div 100") +
-            expr("(85 * coalesce(infl, CAST(0 AS BIGINT))) div 100")).as("pr"))
+            expr("(85 * (coalesce(infl, CAST(0 AS BIGINT)) + (dang div n))) div 100"))
+            .as("pr"))
         .localCheckpoint(false) // lineage flat per round (the CC lesson)
     }
     p.orderBy("doc_id")
@@ -77,10 +86,15 @@ object GraphOps {
            |  SELECT e.dst AS doc_id, CAST(SUM(p.pr // o.odeg) AS BIGINT) AS infl
            |  FROM e JOIN $prev p ON p.doc_id = e.src JOIN o ON o.src = e.src
            |  GROUP BY e.dst
+           |), dang$i AS (
+           |  SELECT CAST(COALESCE(SUM(pr), 0) AS BIGINT) AS dm FROM $prev
+           |  WHERE doc_id NOT IN (SELECT src FROM o)
            |), p$i AS (
            |  SELECT d.doc_id,
-           |    (15 * ($Q // nn.n)) // 100 + (85 * COALESCE(i.infl, 0)) // 100 AS pr
-           |  FROM d CROSS JOIN nn LEFT JOIN inflow$i i ON i.doc_id = d.doc_id
+           |    (15 * ($Q // nn.n)) // 100 +
+           |    (85 * (COALESCE(i.infl, 0) + (g.dm // nn.n))) // 100 AS pr
+           |  FROM d CROSS JOIN nn CROSS JOIN dang$i g
+           |  LEFT JOIN inflow$i i ON i.doc_id = d.doc_id
            |)""".stripMargin
       }.mkString(",\n")
       s"""WITH d AS (SELECT doc_id FROM documents),

@@ -73,19 +73,71 @@ object HtmlOps {
     * HTML; both engines wrap the text identically), then the full strip/
     * decode/collapse chain, emitting the extracted text and its length.
     * Pure map: no shuffle, one scan, WholeStageCodegen end to end. */
-  def htmlExtract(documents: DataFrame): DataFrame = {
+  /** The deterministic synthetic page as a Column (both engines build the
+    * same bytes — see [[HtmlParts]]). */
+  private def synthHtml: Column = {
     val escaped = replace(replace(col("text"), lit("&"), lit("&amp;")),
       lit("<"), lit("&lt;"))
-    val html = concat(HtmlParts.map {
+    concat(HtmlParts.map {
       case Left(s) => lit(s)
       case Right("source") => col("source")
       case Right("id") => col("doc_id").cast("string")
       case Right("escaped") => escaped
       case Right(other) => throw new IllegalArgumentException(other)
     }: _*)
+  }
+
+  def htmlExtract(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), extractText(html).as("text_extracted"))
+      .select(col("doc_id"), extractText(synthHtml).as("text_extracted"))
       .withColumn("n_chars_extracted", length(col("text_extracted")).cast("long"))
+      .orderBy("doc_id")
+
+  /** §2 `q_extract_clean`: the extraction → boilerplate-removal
+    * COMPOSITION — what a real WARC pipeline runs as one pass: extract
+    * visible text ([[htmlExtract]]'s chain), segment it (the fixed
+    * 10-token windows `q_dedup_lines`/`q_boilerplate` use), mine the
+    * top-k cross-document boilerplate segments (nav bars, footers — the
+    * synthetic wrapper plants both on every page), drop them from every
+    * document, and re-join the surviving segments in order.
+    *
+    * Scale shape: segmentation is row-level; the blocklist is ONE
+    * md5(seg)-keyed shuffle ending in a k-row frame → BROADCAST
+    * anti-join (no second corpus shuffle for the filter); the re-join is
+    * one doc_id-keyed agg whose payload is the kept text (the output
+    * itself). Order inside a doc rides an array_sort over (seg_pos, seg)
+    * structs — deterministic, no window. */
+  def extractClean(documents: DataFrame, segTokens: Int = 10,
+                   minDocs: Long = 2L, k: Int = 50): DataFrame = {
+    val toks = TextFuns.tokens(col("text_extracted"))
+    val nSeg = greatest(ceil(size(toks) / lit(segTokens.toDouble)).cast("int"), lit(1))
+    val segArr = transform(sequence(lit(0), nSeg - 1),
+      i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+    val segs = documents
+      .select(col("doc_id"), extractText(synthHtml).as("text_extracted"))
+      .select(col("doc_id"), posexplode(segArr).as(Seq("seg_pos", "seg")))
+    val blocklist = segs
+      .select(md5(col("seg").cast("binary")).as("seg_hash"), col("doc_id"))
+      .groupBy(col("seg_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("seg_hash").asc)
+      .limit(k)
+      .select(col("seg_hash"))
+    val kept = segs
+      .withColumn("seg_hash", md5(col("seg").cast("binary")))
+      .join(broadcast(blocklist), Seq("seg_hash"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_pos"), col("seg")))),
+          s => s.getField("seg")), " ").as("text_clean"))
+    documents.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_seg_kept"), lit(0L)).as("n_seg_kept"))
+      .withColumn("n_chars_clean", length(col("text_clean")).cast("long"))
       .orderBy("doc_id")
   }
 
@@ -259,32 +311,75 @@ object HtmlOps {
         |SELECT DISTINCT doc_id, ${UrlOps.canonSql("href")} AS dst_url
         |FROM raw_links
         |ORDER BY doc_id, dst_url""".stripMargin,
-    "q_html_extract" -> {
-      val htmlSql = HtmlParts.map {
-        case Left(s) => TextFuns.sqlLit(s)
-        case Right("source") => "source"
-        case Right("id") => "CAST(doc_id AS VARCHAR)"
-        case Right("escaped") =>
-          "replace(replace(text, '&', '&amp;'), '<', '&lt;')"
-        case Right(other) => throw new IllegalArgumentException(other)
-      }.mkString(" || ")
-      val strips = StripPatterns.map { case (p, r) =>
-        (TextFuns.sqlLit(p), TextFuns.sqlLit(r))
-      }
-      val stripped = strips.foldLeft("html") { case (acc, (p, r)) =>
-        s"regexp_replace($acc, $p, $r, 'g')"
-      }
-      val decoded = Entities.foldLeft(stripped) { case (acc, (e, ch)) =>
-        s"replace($acc, ${TextFuns.sqlLit(e)}, ${TextFuns.sqlLit(ch)})"
-      }
+    "q_html_extract" ->
       s"""WITH h AS (
-         |  SELECT doc_id, $htmlSql AS html FROM documents
+         |  SELECT doc_id, $synthHtmlSql AS html FROM documents
          |)
          |SELECT doc_id,
-         |  trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS text_extracted,
-         |  length(trim(regexp_replace($decoded, '\\s+', ' ', 'g'))) AS n_chars_extracted
+         |  $extractedSqlExpr AS text_extracted,
+         |  length($extractedSqlExpr) AS n_chars_extracted
          |FROM h
-         |ORDER BY doc_id""".stripMargin
-    }
+         |ORDER BY doc_id""".stripMargin,
+    "q_extract_clean" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $synthHtmlSql AS html FROM documents
+         |), ext AS (
+         |  SELECT doc_id, $extractedSqlExpr AS text_extracted FROM h
+         |), toks AS (
+         |  SELECT doc_id, string_split(lower(trim(text_extracted)), ' ') AS tk
+         |  FROM ext
+         |), segn AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(0,
+         |      CAST(greatest(ceil(len(tk) / 10.0), 1) AS BIGINT) - 1)) AS i
+         |  FROM toks
+         |), segs AS (
+         |  SELECT doc_id, i AS seg_pos,
+         |    array_to_string(tk[(CAST(i AS INTEGER) * 10 + 1):(CAST(i AS INTEGER) * 10 + 10)], ' ') AS seg
+         |  FROM segn
+         |), block AS (
+         |  SELECT seg
+         |  FROM segs
+         |  GROUP BY seg
+         |  HAVING COUNT(DISTINCT doc_id) >= 2
+         |  ORDER BY COUNT(DISTINCT doc_id) DESC, md5(seg) ASC
+         |  LIMIT 50
+         |), kept AS (
+         |  SELECT doc_id, seg_pos, seg FROM segs
+         |  WHERE seg NOT IN (SELECT seg FROM block)
+         |), agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_seg_kept,
+         |    array_to_string(list(seg ORDER BY seg_pos, seg), ' ') AS text_clean
+         |  FROM kept
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  COALESCE(a.text_clean, '') AS text_clean,
+         |  CAST(COALESCE(a.n_seg_kept, 0) AS BIGINT) AS n_seg_kept,
+         |  CAST(length(COALESCE(a.text_clean, '')) AS BIGINT) AS n_chars_clean
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
   )
+
+  /** The synthetic page, SQL face (shared by both html oracles). */
+  private def synthHtmlSql: String = HtmlParts.map {
+    case Left(s) => TextFuns.sqlLit(s)
+    case Right("source") => "source"
+    case Right("id") => "CAST(doc_id AS VARCHAR)"
+    case Right("escaped") =>
+      "replace(replace(text, '&', '&amp;'), '<', '&lt;')"
+    case Right(other) => throw new IllegalArgumentException(other)
+  }.mkString(" || ")
+
+  /** The full strip/decode/collapse chain over a column named `html`,
+    * SQL face — byte-identical to [[extractText]] (shared subset). */
+  private def extractedSqlExpr: String = {
+    val stripped = StripPatterns.foldLeft("html") { case (acc, (p, r)) =>
+      s"regexp_replace($acc, ${TextFuns.sqlLit(p)}, ${TextFuns.sqlLit(r)}, 'g')"
+    }
+    val decoded = Entities.foldLeft(stripped) { case (acc, (e, ch)) =>
+      s"replace($acc, ${TextFuns.sqlLit(e)}, ${TextFuns.sqlLit(ch)})"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
 }

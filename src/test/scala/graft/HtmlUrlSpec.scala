@@ -105,11 +105,51 @@ class HtmlUrlSpec extends SparkSpec {
       val infl = edges.groupBy(_._2).map { case (d, es) =>
         d -> es.map { case (s, _) => p(s) / odeg(s) }.sum
       }
+      val dang = p.collect { case (i, m) if !odeg.contains(i) => m }.sum
       p = (0L until n).map(i =>
         i -> ((15L * (1000000000000L / n)) / 100 +
-          (85L * infl.getOrElse(i, 0L)) / 100)).toMap
+          (85L * (infl.getOrElse(i, 0L) + dang / n)) / 100)).toMap
     }
     assert(pr == p, "Spark ranks must equal the independent integer replay")
+  }
+
+  test("pagerank redistributes dangling mass instead of leaking it") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    val Q = 1000000000000L
+    // sparse ids {0, 5, 11} with n = max+1 = 12: targets (7i+13k) mod 12
+    // give node 0 → {1,2,3} and node 11 → {6,7,8}, none of which exist →
+    // BOTH are dangling; node 5 keeps one edge (5 → 0)
+    val ids = Seq(0L, 5L, 11L)
+    val docs = ids.map(i => (i, s"s$i")).toDF("doc_id", "source")
+    val pr = GraphOps.pagerank(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = 12L
+    val edges = for {
+      i <- ids; k <- 1 to 3
+      d = (i * 7 + 13 * k) % n if d != i && ids.contains(d)
+    } yield (i, d)
+    assert(edges == Seq((5L, 0L)), s"fixture sanity: $edges")
+    val odeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var p = ids.map(_ -> Q / n).toMap
+    var leak = ids.map(_ -> Q / n).toMap // the old drop-dangling model
+    (1 to GraphOps.Rounds).foreach { _ =>
+      val infl = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => p(s) / odeg(s) }.sum
+      }
+      val inflLeak = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => leak(s) / odeg(s) }.sum
+      }
+      val dang = p.collect { case (i, m) if !odeg.contains(i) => m }.sum
+      assert(dang > 0, "the fixture must actually exercise dangling mass")
+      p = ids.map(i => i -> ((15L * (Q / n)) / 100 +
+        (85L * (infl.getOrElse(i, 0L) + dang / n)) / 100)).toMap
+      leak = ids.map(i => i -> ((15L * (Q / n)) / 100 +
+        (85L * inflLeak.getOrElse(i, 0L)) / 100)).toMap
+    }
+    assert(pr == p, s"Spark must match the redistribution replay: $pr vs $p")
+    assert(pr.values.sum > leak.values.sum,
+      "redistribution must retain strictly more mass than the leak model")
   }
 
   test("robotsFilter: longest match wins and Allow overrides Disallow") {
@@ -154,6 +194,53 @@ class HtmlUrlSpec extends SparkSpec {
       "http://src3.example.com/docs/46" -> 1L,
       "http://src3.example.com/docs/62" -> 1L,
       "http://src3.example.com/docs/82" -> 1L), out)
+  }
+
+  test("crawlDelayOf parses the star group's Crawl-delay and equals the declared face") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val docs = Seq((0L, "src3"), (1L, "src17"), (2L, "src20"))
+      .toDF("doc_id", "source")
+    val parsed = CrawlOps.crawlDelayOf(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // declared face: (idx % 5) + 1
+    assert(parsed == Map("src3" -> 4L, "src17" -> 3L, "src20" -> 1L), parsed)
+  }
+
+  test("crawlSchedule queues each host's frontier by cumulative Crawl-delay") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // docs 7 + 31 on src3 → frontier {46, 62, 82} (see the frontier spec);
+    // src3's delay = 3 % 5 + 1 = 4 s → offsets 0, 4, 8 in canon_url order
+    val docs = Seq((7L, "src3"), (31L, "src3")).toDF("doc_id", "source")
+    val out = CrawlOps.crawlSchedule(docs).collect()
+      .map(r => (r.getAs[String]("canon_url"), r.getAs[Long]("delay_s"),
+        r.getAs[Long]("next_allowed_offset_s"), r.getAs[Long]("next_allowed_ts")))
+    val e = CrawlOps.ScheduleEpoch
+    assert(out.toSeq == Seq(
+      ("http://src3.example.com/docs/46", 4L, 0L, e),
+      ("http://src3.example.com/docs/62", 4L, 4L, e + 4),
+      ("http://src3.example.com/docs/82", 4L, 8L, e + 8)), out.toSeq)
+  }
+
+  test("extractClean drops cross-document boilerplate, keeps unique text") {
+    import spark.implicits._
+    // two byte-identical pages (same source+text → identical extracted
+    // text → every 10-token window repeats across the pair and blocks)
+    // plus one unique page whose windows survive
+    val docs = Seq(
+      (1L, "src3", "alpha beta gamma delta shared page body tokens one two"),
+      (2L, "src3", "alpha beta gamma delta shared page body tokens one two"),
+      (3L, "src9", "completely different unique zebra content for the third page"))
+      .toDF("doc_id", "source", "text")
+    val out = HtmlOps.extractClean(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_clean"), r.getAs[Long]("n_seg_kept"))).toMap
+    assert(out(1L)._1 == "" && out(1L)._2 == 0L,
+      s"identical pages must be fully blocklisted: ${out(1L)}")
+    assert(out(2L)._1 == "" && out(2L)._2 == 0L)
+    assert(out(3L)._1.contains("zebra") && out(3L)._2 > 0L,
+      s"unique page must keep its body: ${out(3L)}")
   }
 
   test("frontierStream discovers per trigger against the live fetch log") {
