@@ -718,6 +718,77 @@ object MultimodalOps {
       .orderBy("delta_id", "corpus_id")
   }
 
+  /** Planted near-dup image: a 9×8 grayscale PPM whose dHash is KNOWN by
+    * construction. Pixel (0,y) = 100 + c; each step right moves ±6 by
+    * bit x of the group byte B = doc_id % groups, so dHash bit (8y+x) =
+    * bit x of B exactly (every pixel is its own GraySink cell at 9×8) and
+    * the full hash is B replicated into all 8 bytes: B·0x0101010101010101.
+    * The brightness offset c = (doc_id div groups) % 30 shifts every cell
+    * mean by exactly 1000c (integer-exact), so every GRADIENT SIGN — and
+    * therefore the dHash — is untouched: group members are planted
+    * Hamming-0 near-dups, distinct groups differ by ≥ 8 bits (8 rows ×
+    * ≥1 bit of B). */
+  private[graft] def plantedImage(docId: Long, groups: Int): Array[Byte] = {
+    val g = (docId % groups).toInt
+    val c = ((docId / groups) % 30).toInt
+    val hdr = "P6\n9 8\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](9 * 8 * 3)
+    var i = 0
+    var y = 0
+    while (y < 8) {
+      var v = 100 + c
+      var x = 0
+      while (x < 9) {
+        px(i) = v.toByte; px(i + 1) = v.toByte; px(i + 2) = v.toByte
+        i += 3
+        if (x < 8) v += (if (((g >> x) & 1) == 1) 6 else -6)
+        x += 1
+      }
+      y += 1
+    }
+    hdr ++ px
+  }
+
+  /** §2 `q_image_dedup_representative`: the IMAGE dedup endgame — the
+    * rows-44/75 pattern over the dHash universe: decode every payload to
+    * its 64-bit dHash, block near-identical candidates with the SimHash
+    * pigeonhole machinery (Hamming ≤ 3 of 64), run the shared
+    * connected-components core, and reduce each cluster to one
+    * representative manifest row (cluster id = min member, the cluster's
+    * shared hash as the content key).
+    *
+    * The corpus is [[plantedImage]]'s deterministic construction, so the
+    * DuckDB oracle states the planted truth — group membership, sizes,
+    * and the EXACT 64-bit hash — while Spark must reproduce it through
+    * the real decode → dHash → block-join → CC pipeline: a full-stack
+    * correctness check of the image family, not a replay.
+    *
+    * Scale: one decode pass (payload dies at the hash), pair candidates
+    * via 4×16-bit piece collisions (never n²), CC rounds over the pair
+    * graph, one final cluster-keyed agg. */
+  def imageDedupRepresentative(documents: DataFrame,
+                               groups: Int = 50): DataFrame = {
+    val spark = documents.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    val payloads = spark.createDataFrame(
+      documents.select(col("doc_id").cast("long")).rdd.map(r =>
+        Row(r.getLong(0), plantedImage(r.getLong(0), groups))), schema)
+    // decode ONCE; the hash frame feeds blocking, vertices, and the final
+    // join (localCheckpoint — the CC-family lineage discipline)
+    val hashes = imageDhash(payloads).localCheckpoint(false)
+    val pairs = DedupOps.simhashBlockCandidates(
+      hashes.withColumnRenamed("dhash", "simhash"), pieceBits = 16)
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    DedupOps.connectedComponents(hashes.select(col("doc_id")), pairs)
+      .join(hashes, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), min(col("dhash")).as("rep_dhash"))
+      .orderBy("cluster_id")
+  }
+
   /** §2-C `imageDedupStream`: scrub-on-ingest for IMAGES — each
     * micro-batch of (doc_id, payload) decodes to dHashes and probes the
     * persisted corpus hash table ([[imageDhashIncremental]] per
@@ -772,6 +843,17 @@ object MultimodalOps {
         |  CAST(16 + (doc_id % 16) * 4 AS INTEGER) AS width,
         |  CAST(16 + (doc_id % 9) * 4 AS INTEGER) AS height
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // the planted truth of [[plantedImage]]'s construction: clusters are
+    // the doc_id % 50 groups, the representative hash is the group byte
+    // replicated into all 8 bytes — Spark must REPRODUCE this through the
+    // real decode → dHash → block-join → CC pipeline
+    "q_image_dedup_representative" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS cluster_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST((doc_id % 50) * 72340172838076673 AS BIGINT) AS rep_dhash
+        |FROM documents
+        |GROUP BY doc_id % 50
+        |ORDER BY cluster_id""".stripMargin
   )
 }

@@ -116,6 +116,39 @@ class ImageDhashSpec extends SparkSpec {
       s"only the planted near-identical pair may surface: ${pairs.toSeq}")
   }
 
+  test("plantedImage encodes the declared dHash; brightness variants are Hamming-0") {
+    val Rep = 0x0101010101010101L
+    // group byte lands verbatim in every hash byte
+    (Seq(0L, 1L, 7L, 13L, 49L)).foreach { g =>
+      val h = MultimodalOps.dhashOf(MultimodalOps.plantedImage(g, 50)).get
+      assert(h == g * Rep, s"group $g: got ${h.toHexString}")
+    }
+    // members of one group (same g, different brightness offset) collide
+    val a = MultimodalOps.dhashOf(MultimodalOps.plantedImage(7L, 50)).get
+    val b = MultimodalOps.dhashOf(MultimodalOps.plantedImage(57L, 50)).get
+    val c = MultimodalOps.dhashOf(MultimodalOps.plantedImage(707L, 50)).get
+    assert(a == b && b == c, "uniform brightness must not move a dHash bit")
+    // distinct groups differ by ≥ 8 bits (8 rows × ≥1 bit of the byte)
+    for (g1 <- 0 until 8; g2 <- 0 until 8 if g1 != g2) {
+      val h1 = MultimodalOps.dhashOf(MultimodalOps.plantedImage(g1, 50)).get
+      val h2 = MultimodalOps.dhashOf(MultimodalOps.plantedImage(g2, 50)).get
+      assert(java.lang.Long.bitCount(h1 ^ h2) >= 8, s"$g1 vs $g2")
+    }
+  }
+
+  test("imageDedupRepresentative recovers the planted clusters end-to-end") {
+    import spark.implicits._
+    // 3 groups of sizes 3/2/1 with scrambled brightness variants
+    val docs = Seq(0L, 4L, 8L, 1L, 5L, 2L).map(i => (i, "s"))
+      .toDF("doc_id", "source")
+    val out = graft.operators.MultimodalOps
+      .imageDedupRepresentative(docs, groups = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val Rep = 0x0101010101010101L
+    assert(out.toSeq == Seq(
+      (0L, 3L, 0L), (1L, 2L, 1 * Rep), (2L, 1L, 2 * Rep)), out.toSeq)
+  }
+
   test("incremental image dedup: delta probes the persisted corpus hash table") {
     import spark.implicits._
     val base = pixels(lum)

@@ -38,6 +38,38 @@ class JpegSpec extends SparkSpec {
     out.toByteArray
   }
 
+  private def encodeProgressive(img: BufferedImage): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageWriteParam}
+    val w = ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new IIOImage(img, null, null), p)
+    w.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Marker scan: all (marker, offset) pairs at segment boundaries. */
+  private def markers(b: Array[Byte]): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var i = 2
+    var done = false
+    while (!done && i + 3 < b.length) {
+      while ((b(i) & 0xff) != 0xff) i += 1
+      while ((b(i) & 0xff) == 0xff) i += 1
+      val m = b(i) & 0xff
+      out += m
+      i += 1
+      if (m == 0xd9 || m == 0xda) done = true // stop at first scan / EOI
+      else if (m != 0x01 && !(m >= 0xd0 && m <= 0xd7))
+        i += ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    }
+    out.result()
+  }
+
   test("JDK-encoded RGB JPEG decodes: geometry exact, stats near the source") {
     val img = rgbImage
     val bytes = encode(img)
@@ -132,18 +164,77 @@ class JpegSpec extends SparkSpec {
       assert(math.abs(f(c) - plain(c)) < 0.01, s"$c: ${f(c)} vs ${plain(c)}")
   }
 
+  test("progressive (SOF2) RGB JPEG decodes: geometry exact, stats near the source") {
+    val img = rgbImage
+    val bytes = encodeProgressive(img)
+    assert(markers(bytes).contains(0xc2), "fixture must really be SOF2")
+    val f = MultimodalOps.decodeJpeg(bytes, 16).get
+    assert(f(0) == W.toFloat && f(1) == H.toFloat, f.toSeq)
+    def mean(ch: Int): Double = {
+      var s = 0L
+      for (y <- 0 until H; x <- 0 until W)
+        s += (img.getRGB(x, y) >> (16 - 8 * ch)) & 0xff
+      s.toDouble / (W * H) / 255
+    }
+    for (ch <- 0 to 2)
+      assert(math.abs(f(2 + ch) - mean(ch)) < 0.02,
+        s"channel $ch mean ${f(2 + ch)} vs ${mean(ch)}")
+    assert(f(5) < 0.1 && f(8) > 0.8, f.toSeq)
+  }
+
+  test("progressive decode agrees with the JDK's own decode of the same bytes") {
+    val bytes = encodeProgressive(rgbImage)
+    val f = MultimodalOps.decodeJpeg(bytes, 16).get
+    val jdk = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    def jdkMean(ch: Int): Double = {
+      var s = 0L
+      for (y <- 0 until H; x <- 0 until W)
+        s += (jdk.getRGB(x, y) >> (16 - 8 * ch)) & 0xff
+      s.toDouble / (W * H) / 255
+    }
+    // two independent decoders of one progressive stream: near-identical
+    for (ch <- 0 to 2)
+      assert(math.abs(f(2 + ch) - jdkMean(ch)) < 0.01,
+        s"channel $ch: ${f(2 + ch)} vs JDK ${jdkMean(ch)}")
+  }
+
+  test("progressive grayscale decodes; dHash lands near the lossless source") {
+    val img = new BufferedImage(W, H, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until H; x <- 0 until W) {
+      val v = lum(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val gray = encodeProgressive(img)
+    assert(markers(gray).contains(0xc2))
+    val f = MultimodalOps.decodeJpeg(gray, 16).get
+    assert(f(0) == W.toFloat && f(1) == H.toFloat)
+    assert(f(2) == f(3) && f(3) == f(4), f.toSeq)
+    // dHash stability across baseline and progressive encodes of one image
+    val rgb = rgbImage
+    val hProg = MultimodalOps.dhashOf(encodeProgressive(rgb)).get
+    val hBase = MultimodalOps.dhashOf(encode(rgb)).get
+    val hamming = java.lang.Long.bitCount(hProg ^ hBase)
+    assert(hamming <= 6, s"progressive re-encode moved $hamming of 64 bits")
+  }
+
   test("rejects truncated scans, progressive-style unknowns, and junk; sniffs via decodeBatches") {
     import spark.implicits._
     val good = encode(rgbImage)
     assert(MultimodalOps.decodeJpeg(good.dropRight(good.length / 3), 16).isEmpty,
       "truncated entropy data must not fabricate stats")
     assert(MultimodalOps.decodeJpeg("not a jpeg".getBytes("US-ASCII"), 16).isEmpty)
-    // flip SOF0 to SOF2 (progressive) — out of scope must be a clean None
+    // flip SOF0 to SOF2: the baseline full-band interleaved scan is
+    // MALFORMED under progressive scan-header rules (Ss=0 with Se=63)
+    // — must be a clean None, not a garbage decode
     val prog = good.clone()
     val sofAt = prog.indices.find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     assert(MultimodalOps.decodeJpeg(prog, 16).isEmpty)
+    // truncated REAL progressive stream: prior scans are not enough —
+    // the walk must reach EOI to finish, so a torn tail is a clean None
+    val realProg = encodeProgressive(rgbImage)
+    assert(MultimodalOps.decodeJpeg(
+      realProg.dropRight(realProg.length / 4), 16).isEmpty)
     // magic-sniffed through decodeBatches despite a lying mime label
     val df = Seq((1L, "audio/wav", good)).toDF("doc_id", "mime", "payload")
     val out = MultimodalOps.decodeBatches(df, dim = 16).collect().head
