@@ -129,6 +129,8 @@ object SparkEntry {
     "q_robots_filter" -> ((s, dir) => CrawlOps.robotsFilter(Tables.documents(s, dir))),
     "q_robots_parse" -> ((s, dir) => CrawlOps.robotsParse(Tables.documents(s, dir))),
     "q_frontier" -> ((s, dir) => CrawlOps.frontier(Tables.documents(s, dir))),
+    "q_crawl_schedule" -> ((s, dir) => CrawlOps.crawlSchedule(Tables.documents(s, dir))),
+    "q_extract_clean" -> ((s, dir) => HtmlOps.extractClean(Tables.documents(s, dir))),
     // --- trained classifiers (§2 rows 101-103) ---
     "q_classifier_train" -> ((s, dir) =>
       ClassifierOps.nbTrain(Tables.documents(s, dir))),
@@ -181,8 +183,10 @@ object SparkEntry {
     "q_pipeline" -> ((s, dir) => CorpusOps.pipelineManifest(Tables.documents(s, dir))),
     // --- profile drift (§2 row 100) ---
     "q_profile_drift" -> ((s, dir) => CorpusOps.profileDriftSynthetic(Tables.documents(s, dir))),
-    // --- multimodal plumbing (§2 row 35) ---
+    // --- multimodal plumbing (§2 rows 35, 131) ---
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
+    "q_image_dedup_representative" -> ((s, dir) =>
+      MultimodalOps.imageDedupRepresentative(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---
     "q_summary_approx" -> ((s, dir) => EventOps.summaryApprox(Tables.events(s, dir))),
     "q_percentile_approx" -> ((s, dir) => StatsOps.percentileApprox(Tables.events(s, dir))),
