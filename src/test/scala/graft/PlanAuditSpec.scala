@@ -450,6 +450,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchangeCount(p) == 0, s"${hashExchangeCount(p)} hash exchanges:\n$p")
   }
 
+  test("q_crawl_schedule: host-partitioned window, broadcast delays, no single-partition window") {
+    val p = plan(CrawlOps.crawlSchedule(Tables.documents(spark, sfDir)))
+    // the cumulative-delay window partitions BY HOST — a SinglePartition
+    // window here would serialize the whole frontier at 100 TB
+    assert(p.linesIterator.exists(l =>
+      l.trim.startsWith("Arguments: hashpartitioning(source")), p)
+    assert(!p.contains("No Partition Defined"), p)
+    // the hosts-bounded delay table rides a broadcast, never a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_extract_clean: digest-keyed exchanges, broadcast anti-join for the blocklist") {
+    val p = plan(HtmlOps.extractClean(Tables.documents(spark, sfDir)))
+    // the k-row blocklist must broadcast into the anti-join — a shuffle
+    // anti-join would move the whole segmented corpus a second time
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no exchange may key on raw segment text (the q_boilerplate rule)
+    val keys = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty, p)
+    keys.foreach { k =>
+      assert(!"(^|[ (])seg#".r.findFirstIn(k).isDefined, s"seg-keyed exchange: $k")
+    }
+  }
+
   test("q_boilerplate: exchanges key on the digest, never the raw segment text") {
     val p = plan(DedupOps.boilerplate(Tables.documents(spark, sfDir)))
     // every hashpartitioning key set must mention seg_hash and not seg —
