@@ -187,6 +187,8 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
     "q_image_dedup_representative" -> ((s, dir) =>
       MultimodalOps.imageDedupRepresentative(Tables.documents(s, dir))),
+    "q_audio_dedup_representative" -> ((s, dir) =>
+      MultimodalOps.audioDedupRepresentative(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---
     "q_summary_approx" -> ((s, dir) => EventOps.summaryApprox(Tables.events(s, dir))),
     "q_percentile_approx" -> ((s, dir) => StatsOps.percentileApprox(Tables.events(s, dir))),

@@ -767,17 +767,18 @@ object MultimodalOps {
     * via 4×16-bit piece collisions (never n²), CC rounds over the pair
     * graph, one final cluster-keyed agg. */
   def imageDedupRepresentative(documents: DataFrame,
-                               groups: Int = 50): DataFrame = {
-    val spark = documents.sparkSession
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("payload", org.apache.spark.sql.types.BinaryType)))
-    val payloads = spark.createDataFrame(
-      documents.select(col("doc_id").cast("long")).rdd.map(r =>
-        Row(r.getLong(0), plantedImage(r.getLong(0), groups))), schema)
-    // decode ONCE; the hash frame feeds blocking, vertices, and the final
-    // join (localCheckpoint — the CC-family lineage discipline)
-    val hashes = imageDhash(payloads).localCheckpoint(false)
+                               groups: Int = 50): DataFrame =
+    hashClusterRepresentative(
+      imageDhash(syntheticPayloads(documents, plantedImage(_, groups))))
+
+  /** The shared dedup ENDGAME over any (doc_id, dhash) frame: pigeonhole
+    * block candidates (Hamming ≤ 3), CC, one manifest row per cluster —
+    * used by the image and audio representatives so the two modalities
+    * cannot drift on the cluster semantics. */
+  private def hashClusterRepresentative(hashFrame: DataFrame): DataFrame = {
+    // hash ONCE; the frame feeds blocking, vertices, and the final join
+    // (localCheckpoint — the CC-family lineage discipline)
+    val hashes = hashFrame.localCheckpoint(false)
     val pairs = DedupOps.simhashBlockCandidates(
       hashes.withColumnRenamed("dhash", "simhash"), pieceBits = 16)
       .filter(col("hamming") <= 3)
@@ -788,6 +789,159 @@ object MultimodalOps {
       .agg(count(lit(1)).as("n_members"), min(col("dhash")).as("rep_dhash"))
       .orderBy("cluster_id")
   }
+
+  /** (doc_id, payload) frame synthesized row-level from a deterministic
+    * generator — the planted-corpus front of both dedup representatives. */
+  private def syntheticPayloads(documents: DataFrame,
+                                gen: Long => Array[Byte]): DataFrame = {
+    val spark = documents.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    spark.createDataFrame(
+      documents.select(col("doc_id").cast("long")).rdd.map(r =>
+        Row(r.getLong(0), gen(r.getLong(0)))), schema)
+  }
+
+  /** 64-bit AUDIO fingerprint — the dHash idea over a 72-window integer
+    * energy strip: decode ch0 sample values as INTEGERS (16-bit signed,
+    * 8-bit raw 0..255, G.711 expanded — each a monotone map, so
+    * comparisons are representation-free), split the frames into 72
+    * equal windows laid out as 8 rows × 9 columns, integer window mean,
+    * bit (8y+x) = [mean(9y+x+1) > mean(9y+x)] — gradient signs within a
+    * row only (the 9×8 dHash geometry exactly). Invariant to uniform
+    * gain/DC offset (every window mean shifts equally) and to container
+    * re-encodes that preserve the waveform. None = not decodable WAV or
+    * fewer than 72 frames. */
+  private[graft] def ahashOf(bytes: Array[Byte]): Option[Long] = {
+    def ascii(off: Int, s: String): Boolean =
+      off + s.length <= bytes.length &&
+        s.indices.forall(j => bytes(off + j) == s.charAt(j).toByte)
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes.length < 12 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    var i = 12L
+    var fmtOff = -1L
+    var dataOff = -1L
+    var dataLen = -1L
+    while (i + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+      val sz = u32(i.toInt + 4)
+      if (ascii(i.toInt, "fmt ") && sz >= 16) fmtOff = i + 8
+      else if (ascii(i.toInt, "data")) { dataOff = i + 8; dataLen = sz }
+      i += 8 + sz + (sz & 1)
+    }
+    if (fmtOff < 0 || dataOff < 0) return None
+    if (dataOff + dataLen > bytes.length) return None
+    val f = fmtOff.toInt
+    val audioFormat = u16(f)
+    val nch = u16(f + 2)
+    val bits = u16(f + 14)
+    val g711 = audioFormat == 6 || audioFormat == 7
+    if (!(audioFormat == 1 && (bits == 8 || bits == 16)) &&
+      !(g711 && bits == 8)) return None
+    if (nch < 1) return None
+    val blockAlign = nch * bits / 8
+    val nFrames = (dataLen / blockAlign).toInt
+    if (nFrames < 72) return None
+    val sums = new Array[Long](72)
+    val counts = new Array[Long](72)
+    var frame = 0
+    while (frame < nFrames) {
+      val wdw = (frame.toLong * 72 / nFrames).toInt
+      val off = (dataOff + frame.toLong * blockAlign).toInt
+      val v: Int =
+        if (g711 && audioFormat == 7) muLaw(bytes(off)).toInt
+        else if (g711) aLaw(bytes(off)).toInt
+        else if (bits == 16) u16(off).toShort.toInt
+        else bytes(off) & 0xff
+      sums(wdw) += v
+      counts(wdw) += 1
+      frame += 1
+    }
+    def mean(c: Int): Long = if (counts(c) == 0) 0L else sums(c) / counts(c)
+    var bitsOut = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (mean(y * 9 + x + 1) > mean(y * 9 + x))
+          bitsOut |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    Some(bitsOut)
+  }
+
+  /** Planted near-dup AUDIO: a mono 8-bit PCM WAV whose [[ahashOf]] is
+    * known by construction — [[plantedImage]]'s gradient-sign scheme on
+    * the 72-window strip: each 9-window row starts at 100 + c and steps
+    * ±6 by bit x of the group byte B = doc_id % groups (4 frames per
+    * window, so window means are the exact planted values), giving hash
+    * B·0x0101010101010101; the gain offset c = (doc_id div groups) % 30
+    * shifts every window mean equally — planted Hamming-0 variants. */
+  private[graft] def plantedAudio(docId: Long, groups: Int): Array[Byte] = {
+    val g = (docId % groups).toInt
+    val c = ((docId / groups) % 30).toInt
+    val nFrames = 72 * 4
+    val data = new Array[Byte](nFrames)
+    var w = 0
+    var v = 0
+    while (w < 72) {
+      if (w % 9 == 0) v = 100 + c
+      var j = 0
+      while (j < 4) { data(w * 4 + j) = v.toByte; j += 1 }
+      if (w % 9 != 8) v += (if (((g >> (w % 9)) & 1) == 1) 6 else -6)
+      w += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(44 + nFrames)
+    def str(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le16(x: Int): Unit = { bos.write(x & 0xff); bos.write((x >> 8) & 0xff) }
+    def le32(x: Int): Unit = { le16(x & 0xffff); le16((x >> 16) & 0xffff) }
+    str("RIFF"); le32(36 + nFrames); str("WAVE")
+    str("fmt "); le32(16)
+    le16(1); le16(1) // PCM, mono
+    le32(8000); le32(8000) // rate, byte rate
+    le16(1); le16(8) // block align, 8-bit
+    str("data"); le32(nFrames)
+    bos.write(data)
+    bos.toByteArray
+  }
+
+  /** §2-C `audioAhash`: (doc_id, dhash) for every payload that decodes
+    * as WAV audio — the audio face of [[imageDhash]], same mapPartitions
+    * batch shape, payload dies at the hash. */
+  def audioAhash(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dhash", LongType)))
+    val rdd = withPayload
+      .select(col("doc_id").cast("long"), col("payload"))
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          ahashOf(r.getAs[Array[Byte]](1)).map(hsh => Row(r.getLong(0), hsh))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** §2 `q_audio_dedup_representative`: the AUDIO dedup endgame —
+    * [[imageDedupRepresentative]]'s exact pipeline (planted corpus →
+    * 64-bit fingerprint → pigeonhole blocking → shared CC →
+    * representative manifest) over [[plantedAudio]] WAVs and
+    * [[ahashOf]], completing the text/image/audio dedup matrix. The
+    * oracle states the generative truth (doc_id % 40 groups and the
+    * exact replicated-byte hash); Spark must reproduce it through the
+    * real WAV decode → window-mean → gradient-sign → block-join → CC
+    * pipeline. */
+  def audioDedupRepresentative(documents: DataFrame,
+                               groups: Int = 40): DataFrame =
+    hashClusterRepresentative(
+      audioAhash(syntheticPayloads(documents, plantedAudio(_, groups))))
 
   /** §2-C `imageDedupStream`: scrub-on-ingest for IMAGES — each
     * micro-batch of (doc_id, payload) decodes to dHashes and probes the
@@ -854,6 +1008,16 @@ object MultimodalOps {
         |  CAST((doc_id % 50) * 72340172838076673 AS BIGINT) AS rep_dhash
         |FROM documents
         |GROUP BY doc_id % 50
+        |ORDER BY cluster_id""".stripMargin,
+    // the audio twin (plantedAudio / ahashOf): doc_id % 40 groups, same
+    // replicated-byte generative hash — Spark reproduces it through the
+    // real WAV decode → window-mean → gradient-sign → block-join → CC
+    "q_audio_dedup_representative" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS cluster_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST((doc_id % 40) * 72340172838076673 AS BIGINT) AS rep_dhash
+        |FROM documents
+        |GROUP BY doc_id % 40
         |ORDER BY cluster_id""".stripMargin
   )
 }

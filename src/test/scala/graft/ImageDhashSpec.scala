@@ -149,6 +149,56 @@ class ImageDhashSpec extends SparkSpec {
       (0L, 3L, 0L), (1L, 2L, 1 * Rep), (2L, 1L, 2 * Rep)), out.toSeq)
   }
 
+  test("plantedAudio encodes the declared aHash; gain variants are Hamming-0") {
+    val Rep = 0x0101010101010101L
+    Seq(0L, 1L, 7L, 13L, 39L).foreach { g =>
+      val h = MultimodalOps.ahashOf(MultimodalOps.plantedAudio(g, 40)).get
+      assert(h == g * Rep, s"group $g: got ${h.toHexString}")
+    }
+    // same group, different gain offset → identical fingerprint
+    val a = MultimodalOps.ahashOf(MultimodalOps.plantedAudio(7L, 40)).get
+    val b = MultimodalOps.ahashOf(MultimodalOps.plantedAudio(47L, 40)).get
+    assert(a == b, "uniform gain must not move an aHash bit")
+    // distinct groups ≥ 8 bits apart; junk and short audio stay out
+    val h0 = MultimodalOps.ahashOf(MultimodalOps.plantedAudio(0L, 40)).get
+    val h5 = MultimodalOps.ahashOf(MultimodalOps.plantedAudio(5L, 40)).get
+    assert(java.lang.Long.bitCount(h0 ^ h5) >= 8)
+    assert(MultimodalOps.ahashOf("RIFFjunk".getBytes("US-ASCII")).isEmpty)
+    val tiny = MultimodalOps.plantedAudio(0L, 40)
+    assert(MultimodalOps.ahashOf(tiny.take(44 + 40)).isEmpty,
+      "a data chunk longer than the payload (truncated) must be None")
+  }
+
+  test("ahash is waveform-representation-free: 16-bit re-encode hashes identically") {
+    // re-encode the planted 8-bit waveform as 16-bit PCM (v*256 — a
+    // monotone map); every gradient sign survives the representation
+    val src = MultimodalOps.plantedAudio(13L, 40)
+    val n = 72 * 4
+    val samples = src.takeRight(n)
+    val bos = new java.io.ByteArrayOutputStream()
+    def str(s: String) = bos.write(s.getBytes("US-ASCII"))
+    def le16(x: Int) = { bos.write(x & 0xff); bos.write((x >> 8) & 0xff) }
+    def le32(x: Int) = { le16(x & 0xffff); le16((x >> 16) & 0xffff) }
+    str("RIFF"); le32(36 + 2 * n); str("WAVE"); str("fmt "); le32(16)
+    le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+    str("data"); le32(2 * n)
+    samples.foreach(sByte => le16(((sByte & 0xff) - 128) * 256 & 0xffff))
+    assert(MultimodalOps.ahashOf(bos.toByteArray).get ==
+      MultimodalOps.ahashOf(src).get,
+      "container/precision re-encode must not move a fingerprint bit")
+  }
+
+  test("audioDedupRepresentative recovers the planted clusters end-to-end") {
+    import spark.implicits._
+    val docs = Seq(0L, 4L, 8L, 1L, 5L, 2L).map(i => (i, "s"))
+      .toDF("doc_id", "source")
+    val out = MultimodalOps.audioDedupRepresentative(docs, groups = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val Rep = 0x0101010101010101L
+    assert(out.toSeq == Seq(
+      (0L, 3L, 0L), (1L, 2L, 1 * Rep), (2L, 1L, 2 * Rep)), out.toSeq)
+  }
+
   test("incremental image dedup: delta probes the persisted corpus hash table") {
     import spark.implicits._
     val base = pixels(lum)
