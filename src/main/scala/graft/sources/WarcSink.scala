@@ -1,0 +1,93 @@
+package graft.sources
+
+import java.util.zip.GZIPOutputStream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.{SerializableWritable, TaskContext}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WET-style WARC WRITER — the other half of the crawl loop's container
+  * story: [[WarcSource]] reads a crawl's raw records, this emits the
+  * extracted-text corpus back OUT in the same container (the Common
+  * Crawl WET layout: `conversion` records, one gzip MEMBER per record,
+  * concatenated into per-partition `.warc.gz` segment files) so any
+  * WARC-consuming tool — including [[WarcSource]] itself — can read the
+  * pipeline's output.
+  *
+  * Scale shape mirrors the reader: one output file PER PARTITION
+  * (repartition upstream to size segments), each task streams its rows
+  * straight into its gzip members — per-task memory is one record, no
+  * collect, no driver involvement. Files appear atomically: tasks write
+  * a dot-prefixed in-progress name (which [[WarcSource.read]]'s listing
+  * skips) and rename on completion, so a killed task never leaves a
+  * half-readable segment visible.
+  *
+  * Determinism discipline: record ids are md5(url) URNs and WARC-Date
+  * comes from the `fetch_date` COLUMN (falling back to the epoch when
+  * absent) — nothing derives from wall clock or randomness, so a re-run
+  * writes byte-identical members. */
+object WarcSink {
+
+  /** Write `(url, text[, fetch_date])` rows as WET conversion records
+    * under `dir`, one `part-NNNNN.warc.gz` per non-empty partition. */
+  def writeWet(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableWritable(spark.sparkContext.hadoopConfiguration))
+    val date =
+      if (docs.columns.contains("fetch_date"))
+        coalesce(col("fetch_date").cast("string"),
+          lit("1970-01-01T00:00:00Z"))
+      else lit("1970-01-01T00:00:00Z")
+    docs
+      .select(col("url").cast("string"), col("text").cast("string"),
+        date.as("fetch_date"))
+      // shuffle REDUCE-side row order is fetch-order nondeterministic —
+      // a task-local sort (no exchange) pins each member's position so
+      // the byte-identical re-run contract actually holds
+      .sortWithinPartitions("url")
+      .rdd.foreachPartition { it =>
+        if (it.hasNext) {
+          val part = TaskContext.getPartitionId()
+          val finalPath = new Path(dir, f"part-$part%05d.warc.gz")
+          val tmpPath = new Path(dir, f".part-$part%05d.warc.gz.inprogress")
+          val fs = finalPath.getFileSystem(confBc.value.value)
+          val out = fs.create(tmpPath, true)
+          try {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.foreach { r =>
+              val url = r.getString(0)
+              val text = Option(r.getString(1)).getOrElse("")
+              val when = r.getString(2)
+              val payload = text.getBytes("UTF-8")
+              md.reset()
+              val id = md.digest(url.getBytes("UTF-8"))
+                .map(b => f"$b%02x").mkString
+              val hdr = ("WARC/1.0\r\n" +
+                "WARC-Type: conversion\r\n" +
+                s"WARC-Record-ID: <urn:md5:$id>\r\n" +
+                s"WARC-Target-URI: $url\r\n" +
+                s"WARC-Date: $when\r\n" +
+                "Content-Type: text/plain\r\n" +
+                s"Content-Length: ${payload.length}\r\n\r\n")
+                .getBytes("US-ASCII")
+              // one gzip member per record (the CC layout WarcSource's
+              // single-GZIPInputStream walk decompresses end-to-end)
+              val gz = new GZIPOutputStream(out, 64 << 10)
+              gz.write(hdr)
+              gz.write(payload)
+              gz.write("\r\n\r\n".getBytes("US-ASCII"))
+              gz.finish()
+            }
+          } finally out.close()
+          // rename never overwrites on Hadoop filesystems — drop a
+          // previous run's segment first (re-runs are byte-identical
+          // anyway, see the determinism contract)
+          if (fs.exists(finalPath)) fs.delete(finalPath, false)
+          if (!fs.rename(tmpPath, finalPath))
+            throw new java.io.IOException(s"rename failed: $finalPath")
+        }
+      }
+  }
+}

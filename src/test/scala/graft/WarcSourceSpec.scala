@@ -185,6 +185,61 @@ class WarcSourceSpec extends SparkSpec {
     assert(recs.map(_.target_uri) == Vector("http://x/ok1", "http://x/ok2"))
   }
 
+  test("WarcSink round-trips: WET conversion records read back by WarcSource") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wet").resolve("out").toString
+    val docs = Seq(
+      ("http://a.net/1", "plain ascii text", "2026-08-14T00:00:00Z"),
+      ("http://a.net/2", "café naïve — utf-8 survives", "2026-08-14T01:00:00Z"),
+      ("http://b.org/3", "", "2026-08-14T02:00:00Z")) // empty text legal
+      .toDF("url", "text", "fetch_date").repartition(2)
+    graft.sources.WarcSink.writeWet(docs, dir)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString)
+    assert(files.count(_.endsWith(".warc.gz")) >= 1, files.toSeq)
+    assert(!files.exists(_.contains("inprogress")), "no half-written segments")
+    val back = WarcSource.read(spark, dir).collect()
+    assert(back.length == 3)
+    assert(back.forall(_.getAs[String]("warc_type") == "conversion"))
+    val byUri = back.map(r => r.getAs[String]("target_uri") ->
+      new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).toMap
+    assert(byUri == Map(
+      "http://a.net/1" -> "plain ascii text",
+      "http://a.net/2" -> "café naïve — utf-8 survives",
+      "http://b.org/3" -> ""))
+    assert(back.forall(r => r.getAs[Long]("content_length") ==
+      r.getAs[Array[Byte]]("payload").length))
+    assert(back.map(_.getAs[String]("record_id")).distinct.length == 3,
+      "deterministic per-url record ids")
+    // determinism: a re-run overwrites with byte-identical segments
+    val before = files.filter(_.endsWith(".warc.gz")).sorted
+      .map(f => java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)).toSeq)
+    graft.sources.WarcSink.writeWet(docs, dir)
+    val after = files.filter(_.endsWith(".warc.gz")).sorted
+      .map(f => java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)).toSeq)
+    assert(before.toSeq == after.toSeq, "re-run must write byte-identical members")
+  }
+
+  test("the full loop: WARC in → warcToDocuments → WET out → WARC in again") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_loop")
+    Files.write(dir.resolve("seg.warc"),
+      record("response", "http://en.site/x",
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
+          "<html><p>the loop page body</p></html>").getBytes(US_ASCII), "x"))
+    val (clean, _) = graft.operators.HtmlOps.warcToDocuments(
+      WarcSource.read(spark, dir.toString))
+    val wetDir = dir.resolve("wet").toString
+    graft.sources.WarcSink.writeWet(clean, wetDir)
+    val again = WarcSource.read(spark, wetDir).collect()
+    assert(again.length == 1)
+    assert(again.head.getAs[String]("warc_type") == "conversion")
+    assert(new String(again.head.getAs[Array[Byte]]("payload"), "UTF-8") ==
+      "the loop page body")
+    assert(again.head.getAs[String]("target_uri") == "http://en.site/x")
+  }
+
   test("httpResponses splits status and body; malformed tail drops cleanly") {
     val dir = Files.createTempDirectory("graft_warc2")
     // valid records followed by a record whose declared length overruns
