@@ -121,6 +121,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "q_redact" -> ((s, dir) => TextOps.redact(Tables.documents(s, dir))),
     "q_hash_embed" -> ((s, dir) => TextOps.hashEmbed(Tables.documents(s, dir))),
+    "q_script_mix" -> ((s, dir) => TextOps.scriptMix(Tables.documents(s, dir))),
     // --- crawl-ingest string cores + link graph (§2 rows 119-120, 123-124) ---
     "q_html_extract" -> ((s, dir) => HtmlOps.htmlExtract(Tables.documents(s, dir))),
     "q_url_dedup" -> ((s, dir) => UrlOps.urlDedup(Tables.documents(s, dir))),

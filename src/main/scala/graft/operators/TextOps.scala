@@ -318,7 +318,98 @@ object TextOps {
   private val normSql = "lower(trim(text))"
   private val toksSql = s"string_split($normSql, ' ')"
 
+  /** Script classes as literal-BMP-range char classes — ONE string per
+    * script, shared verbatim by both engines (RE2 and Java both read
+    * bracket ranges over literal codepoints identically; every range is
+    * BMP so no surrogate games). */
+  private[graft] val Scripts: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z",
+    "cyrillic" -> "\u0400-\u04FF",
+    "greek" -> "\u0370-\u03FF",
+    "arabic" -> "\u0600-\u06FF",
+    "hangul" -> "\uAC00-\uD7A3",
+    "cjk" -> "\u4E00-\u9FFF")
+
+  /** Deterministic per-doc script injections (script, token, modulus):
+    * the corpus is ASCII, so both engines append `doc_id % modulus`
+    * copies of a native-script token — the script profile then VARIES by
+    * document and the counting/routing logic is actually exercised. */
+  private val ScriptInjections: Seq[(String, String, Int)] = Seq(
+    ("cyrillic", " привет", 7),
+    ("greek", " δεδομένα", 6),
+    ("arabic", " بيانات", 3),
+    ("hangul", " 데이터", 4),
+    ("cjk", " 数据", 5))
+
+  /** §2 `q_script_mix`: Unicode-SCRIPT profiling — the routing signal a
+    * multilingual pipeline needs before language ID is even meaningful
+    * (marker-word lang-id assumes Latin tokens; a Cyrillic or CJK page
+    * must route to its own pipeline): per-document character counts for
+    * six script classes, the dominant NON-Latin script (first-in-order
+    * tie-break, `none` when the page is pure Latin), and an integer
+    * non-Latin permille. Pure row-level regexp counting — zero shuffles,
+    * one scan, fuses into WholeStageCodegen. */
+  def scriptMix(documents: DataFrame): DataFrame = {
+    val aug = concat((col("text") +: ScriptInjections.map { case (_, tok, m) =>
+      expr(s"repeat('$tok', CAST(doc_id % $m AS INT))")
+    }): _*)
+    val counted = documents.select((col("doc_id") +:
+      Scripts.map { case (name, cls) =>
+        length(regexp_replace(aug, s"[^$cls]", "")).cast("long").as(s"n_$name")
+      }): _*)
+    val nonLatinNames = Scripts.map(_._1).filterNot(_ == "latin")
+    val nonLatin = nonLatinNames.map(n => col(s"n_$n")).reduce(_ + _)
+    val total = nonLatin + col("n_latin")
+    val dominant = nonLatinNames.foldRight(lit("none"): org.apache.spark.sql.Column) {
+      case (name, rest) =>
+        val others = nonLatinNames.filterNot(_ == name).map(n => col(s"n_$n"))
+        when(col(s"n_$name") > 0 &&
+          col(s"n_$name") >= greatest(others: _*), name)
+          .otherwise(rest)
+    }
+    counted
+      .withColumn("dominant_nonlatin", dominant)
+      .withColumn("nonlatin_permille",
+        when(total === 0, 0L).otherwise(expr(
+          s"(1000 * (${nonLatinNames.map(n => s"n_$n").mkString(" + ")})) div " +
+            s"(${Scripts.map { case (n, _) => s"n_$n" }.mkString(" + ")})")))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_script_mix" -> {
+      val augSql = "text || " + ScriptInjections.map { case (_, tok, m) =>
+        s"repeat(${TextFuns.sqlLit(tok)}, CAST(doc_id % $m AS INT))"
+      }.mkString(" || ")
+      val countSql = Scripts.map { case (name, cls) =>
+        s"CAST(length(regexp_replace(aug, ${TextFuns.sqlLit(s"[^$cls]")}, '', 'g')) AS BIGINT) AS n_$name"
+      }.mkString(",\n  ")
+      val nonLatinNames = Scripts.map(_._1).filterNot(_ == "latin")
+      val nonLatinSum = nonLatinNames.map(n => s"n_$n").mkString(" + ")
+      val totalSum = Scripts.map { case (n, _) => s"n_$n" }.mkString(" + ")
+      val dominantSql = nonLatinNames.map { name =>
+        val others = nonLatinNames.filterNot(_ == name)
+          .map(n => s"n_$n").mkString(", ")
+        s"WHEN n_$name > 0 AND n_$name >= greatest($others) THEN '$name'"
+      }.mkString("\n    ")
+      s"""WITH a AS (
+         |  SELECT doc_id, $augSql AS aug FROM documents
+         |), c AS (
+         |  SELECT doc_id,
+         |  $countSql
+         |  FROM a
+         |)
+         |SELECT doc_id, ${Scripts.map { case (n, _) => s"n_$n" }.mkString(", ")},
+         |  CASE
+         |    $dominantSql
+         |    ELSE 'none'
+         |  END AS dominant_nonlatin,
+         |  CASE WHEN ($totalSum) = 0 THEN 0
+         |       ELSE (1000 * ($nonLatinSum)) // ($totalSum)
+         |  END AS nonlatin_permille
+         |FROM c
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_hash_embed" ->
       s"""WITH t AS (
         |  SELECT doc_id, unnest($toksSql) AS term

@@ -534,6 +534,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(l.exceptAll(viaLang).count() == 0)
   }
 
+  test("scriptMix counts scripts exactly and routes the dominant non-Latin") {
+    import spark.implicits._
+    // doc 7's injections: cyr 7%7=0, greek 7%6=1 (8 chars), arabic
+    // 7%3=1 (6), hangul 7%4=3 (9), cjk 7%5=2 (4) → dominant hangul,
+    // nonlatin 27 of 35 counted chars → 771 permille (integer div).
+    // doc 0 gets zero injections → pure Latin, 'none', 0 permille.
+    val docs = Seq((7L, "abcd efgh"), (0L, "abcd efgh")).toDF("doc_id", "text")
+    val out = TextOps.scriptMix(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d7 = out(7L)
+    assert(d7.getAs[Long]("n_latin") == 8)
+    assert(d7.getAs[Long]("n_cyrillic") == 0)
+    assert(d7.getAs[Long]("n_greek") == 8)
+    assert(d7.getAs[Long]("n_arabic") == 6)
+    assert(d7.getAs[Long]("n_hangul") == 9)
+    assert(d7.getAs[Long]("n_cjk") == 4)
+    assert(d7.getAs[String]("dominant_nonlatin") == "hangul")
+    assert(d7.getAs[Long]("nonlatin_permille") == 1000L * 27 / 35)
+    val d0 = out(0L)
+    assert(d0.getAs[String]("dominant_nonlatin") == "none")
+    assert(d0.getAs[Long]("nonlatin_permille") == 0L)
+  }
+
   test("bm25: tf raises a doc, absent terms drop it, length normalization bites") {
     import spark.implicits._
     // same-length docs: more 'spark' occurrences must outrank fewer; a
