@@ -84,14 +84,19 @@ object CrawlOps {
     * path id < 50), with referrer counts for prioritization. Outlink
     * agg is one (url) shuffle; rules broadcast; the fetch-log anti-join
     * keys on the canonical URL. */
-  def frontier(documents: DataFrame): DataFrame = {
-    val links = HtmlOps.linkExtract(documents)
+  def frontier(documents: DataFrame): DataFrame =
+    frontierSet(documents).orderBy("canon_url")
+
+  /** [[frontier]] without the presentation sort — the face composing
+    * queries consume ([[crawlSchedule]] re-partitions by host anyway;
+    * feeding it the sorted frame would buy a wasted range exchange). */
+  private def frontierSet(documents: DataFrame): DataFrame = {
+    val links = HtmlOps.linkExtractSet(documents)
       .groupBy(col("dst_url").as("canon_url"))
       .agg(countDistinct(col("doc_id")).as("n_referrers"))
     val fetched = UrlOps.canonUrls(documents)
       .filter(expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT) < 50"))
     frontierCore(links, rulesOf(documents), fetched)
-      .orderBy("canon_url")
   }
 
   /** The frontier computation proper, over ANY (canon_url, n_referrers)
@@ -118,7 +123,7 @@ object CrawlOps {
     docs.writeStream
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          val links = HtmlOps.linkExtract(batch)
+          val links = HtmlOps.linkExtractSet(batch)
             .groupBy(col("dst_url").as("canon_url"))
             .agg(countDistinct(col("doc_id")).as("n_referrers"))
           sink(frontierCore(links, rules(), fetched()), id)
@@ -208,7 +213,7 @@ object CrawlOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("canon_url"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    frontier(documents)
+    frontierSet(documents)
       .withColumn("source",
         regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1))
       .join(broadcast(crawlDelayOf(documents)), "source")

@@ -263,7 +263,14 @@ object HtmlOps {
     * distinct actually bites). Pure row-level extract + explode; ONE
     * distinct shuffle on (doc_id, url) — at 100 TB this is the frontier
     * builder's whole cost. */
-  def linkExtract(documents: DataFrame): DataFrame = {
+  def linkExtract(documents: DataFrame): DataFrame =
+    linkExtractSet(documents).orderBy("doc_id", "dst_url")
+
+  /** [[linkExtract]] without the presentation sort — the face composing
+    * consumers ([[CrawlOps]]' frontier/schedule, `frontierStream`) use:
+    * they re-aggregate immediately, so the sorted frame would only buy
+    * a wasted range exchange. */
+  private[graft] def linkExtractSet(documents: DataFrame): DataFrame = {
     val host = concat(col("source"), lit(".example.com"))
     val p1 = (col("doc_id") * 7 + 13) % 100
     val p2 = (col("doc_id") * 11 + 5) % 100
@@ -281,7 +288,6 @@ object HtmlOps {
           lit("<a href=\"([^\"]*)\""), lit(1))).as("href"))
       .select(col("doc_id"), UrlOps.canon(col("href")).as("dst_url"))
       .distinct()
-      .orderBy("doc_id", "dst_url")
   }
 
   /** SQL twin of [[linkExtract]]'s synthetic page + href pull: the

@@ -57,9 +57,11 @@ object WarcSink {
           try {
             val md = java.security.MessageDigest.getInstance("MD5")
             it.foreach { r =>
-              val url = r.getString(0)
+              // CR/LF inside a header VALUE would let one hostile url
+              // forge record framing — strip before the line is built
+              val url = r.getString(0).replaceAll("[\\r\\n]", "")
               val text = Option(r.getString(1)).getOrElse("")
-              val when = r.getString(2)
+              val when = r.getString(2).replaceAll("[\\r\\n]", "")
               val payload = text.getBytes("UTF-8")
               md.reset()
               val id = md.digest(url.getBytes("UTF-8"))
@@ -71,7 +73,8 @@ object WarcSink {
                 s"WARC-Date: $when\r\n" +
                 "Content-Type: text/plain\r\n" +
                 s"Content-Length: ${payload.length}\r\n\r\n")
-                .getBytes("US-ASCII")
+                .getBytes("UTF-8") // non-ASCII URIs survive (ASCII superset;
+                                   // WarcSource's readLine re-decodes UTF-8)
               // one gzip member per record (the CC layout WarcSource's
               // single-GZIPInputStream walk decompresses end-to-end)
               val gz = new GZIPOutputStream(out, 64 << 10)
