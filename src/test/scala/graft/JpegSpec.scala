@@ -216,6 +216,40 @@ class JpegSpec extends SparkSpec {
     assert(hamming <= 6, s"progressive re-encode moved $hamming of 64 bits")
   }
 
+  test("progressive + restart intervals: RSTn inside SOF2 scans decode (segments, EOB runs reset)") {
+    import javax.imageio.metadata.IIOMetadataNode
+    import javax.imageio.{IIOImage, ImageTypeSpecifier, ImageWriteParam}
+    val img = rgbImage
+    val w = ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val md = w.getDefaultImageMetadata(new ImageTypeSpecifier(img), p)
+    val fmt = "javax_imageio_jpeg_image_1.0"
+    val root = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+    val seq = root.getElementsByTagName("markerSequence").item(0)
+      .asInstanceOf[IIOMetadataNode]
+    val dri = new IIOMetadataNode("dri")
+    dri.setAttribute("interval", "2")
+    seq.insertBefore(dri, seq.getFirstChild)
+    md.setFromTree(fmt, root)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new IIOImage(img, null, md), p)
+    w.dispose(); ios.close()
+    val bytes = bos.toByteArray
+    assert(markers(bytes).contains(0xc2), "fixture must be SOF2")
+    assert(bytes.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) >= 0xd0 && (s(1) & 0xff) <= 0xd7),
+      "fixture must actually contain RST markers")
+    val f = MultimodalOps.decodeJpeg(bytes, 16).get
+    val plain = MultimodalOps.decodeJpeg(encodeProgressive(img), 16).get
+    assert(f(0) == W.toFloat && f(1) == H.toFloat)
+    // same image, same quality → restart-segmented stats ≈ plain stats
+    for (c <- 2 to 4)
+      assert(math.abs(f(c) - plain(c)) < 0.01, s"$c: ${f(c)} vs ${plain(c)}")
+  }
+
   test("rejects truncated scans, progressive-style unknowns, and junk; sniffs via decodeBatches") {
     import spark.implicits._
     val good = encode(rgbImage)
