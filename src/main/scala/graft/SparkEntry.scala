@@ -131,6 +131,7 @@ object SparkEntry {
     "q_robots_parse" -> ((s, dir) => CrawlOps.robotsParse(Tables.documents(s, dir))),
     "q_frontier" -> ((s, dir) => CrawlOps.frontier(Tables.documents(s, dir))),
     "q_crawl_schedule" -> ((s, dir) => CrawlOps.crawlSchedule(Tables.documents(s, dir))),
+    "q_sitemap" -> ((s, dir) => CrawlOps.sitemapSeeds(Tables.documents(s, dir))),
     "q_extract_clean" -> ((s, dir) => HtmlOps.extractClean(Tables.documents(s, dir))),
     // --- trained classifiers (§2 rows 101-103) ---
     "q_classifier_train" -> ((s, dir) =>

@@ -109,6 +109,50 @@ object CrawlOps {
       .join(fetched.select(col("canon_url")), Seq("canon_url"), "left_anti")
       .select(col("canon_url"), col("n_referrers"))
 
+  /** §2 `q_sitemap`: sitemap-SEEDED discovery — the crawl loop's other
+    * input path beside outlink extraction: each host publishes a
+    * deterministic synthetic sitemap.xml (both engines build the same
+    * bytes — one canonical `<loc>`, one MESSY variant with upper-case
+    * scheme/host, an explicit :80 and a fragment, and one
+    * trailing-slash duplicate of the first, so canonicalization
+    * actually bites), `<loc>` entries are pulled row-level, canonized
+    * under the fetch-log identity ([[UrlOps.canon]]), deduped, and
+    * annotated with the two flags a scheduler triages by: robots
+    * `allowed` (the shared [[matchRules]] argmax) and already-`fetched`
+    * (the shared synthetic fetch log). Hosts-bounded input (sitemaps
+    * are per-host artifacts like robots.txt), so the only corpus-scale
+    * frame is the fetch-log join — keyed on the canonical URL, the same
+    * identity every crawl operator joins on. */
+  def sitemapSeeds(documents: DataFrame): DataFrame = {
+    val idx = expr("CAST(substr(source, 4, 10) AS INT)")
+    val host = concat(col("source"), lit(".example.com"))
+    val d1 = ((idx * 3 + 1) % 100).cast("string")
+    val d2 = ((idx * 13 + 2) % 100).cast("string")
+    val body = concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset><url><loc>http://"),
+      host, lit("/docs/"), d1,
+      lit("</loc><lastmod>2026-08-01</lastmod></url><url><loc>HTTP://"),
+      upper(host), lit(":80/docs/"), d2,
+      lit("#frag</loc></url><url><loc>http://"), host,
+      lit("/docs/"), d1, lit("/</loc></url></urlset>"))
+    val seeds = documents.select(col("source")).distinct()
+      .select(explode(regexp_extract_all(body,
+        lit("<loc>([^<]*)</loc>"), lit(1))).as("loc"))
+      .select(UrlOps.canon(col("loc")).as("canon_url"))
+      .distinct()
+    val fetched = UrlOps.canonUrls(documents)
+      .filter(expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT) < 50"))
+      .withColumn("_f", lit(true))
+    matchRules(withParts(seeds), rulesOf(documents), Seq.empty)
+      .select(col("canon_url"), coalesce(col("m.allow"), lit(true)).as("allowed"))
+      .withColumn("source",
+        regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1))
+      .join(fetched, Seq("canon_url"), "left")
+      .select(col("canon_url"), col("source"), col("allowed"),
+        coalesce(col("_f"), lit(false)).as("fetched"))
+      .orderBy("canon_url")
+  }
+
   /** §2-C `frontierStream`: live frontier DISCOVERY — each micro-batch
     * of fetched documents yields its outlinks, politeness-filters them,
     * and anti-joins the PERSISTED fetch log (a thunk, so the log the
@@ -311,6 +355,54 @@ object CrawlOps {
          |SELECT canon_url, n_referrers
          |FROM frontier_set
          |ORDER BY canon_url""".stripMargin,
+    "q_sitemap" ->
+      s"""WITH srcs AS (
+         |  SELECT DISTINCT source FROM documents
+         |), sm AS (
+         |  SELECT source,
+         |    '<?xml version="1.0" encoding="UTF-8"?><urlset><url><loc>http://' ||
+         |    source || '.example.com/docs/' ||
+         |    CAST((CAST(substr(source, 4, 10) AS INT) * 3 + 1) % 100 AS VARCHAR) ||
+         |    '</loc><lastmod>2026-08-01</lastmod></url><url><loc>HTTP://' ||
+         |    upper(source || '.example.com') || ':80/docs/' ||
+         |    CAST((CAST(substr(source, 4, 10) AS INT) * 13 + 2) % 100 AS VARCHAR) ||
+         |    '#frag</loc></url><url><loc>http://' ||
+         |    source || '.example.com/docs/' ||
+         |    CAST((CAST(substr(source, 4, 10) AS INT) * 3 + 1) % 100 AS VARCHAR) ||
+         |    '/</loc></url></urlset>' AS body
+         |  FROM srcs
+         |), locs AS (
+         |  SELECT unnest(regexp_extract_all(body, '<loc>([^<]*)</loc>', 1)) AS loc
+         |  FROM sm
+         |), seeds AS (
+         |  SELECT DISTINCT ${UrlOps.canonSql("loc")} AS canon_url FROM locs
+         |), sparts AS (
+         |  SELECT canon_url,
+         |    regexp_extract(canon_url, '^[a-z]+://([^./]+)\\.', 1) AS source,
+         |    regexp_replace(canon_url, '^[a-z]+://[^/?#]*', '') AS path
+         |  FROM seeds
+         |),
+         |$rulesSql,
+         |smatched AS (
+         |  SELECT p.canon_url, r.allow,
+         |    ROW_NUMBER() OVER (PARTITION BY p.canon_url
+         |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rk
+         |  FROM sparts p JOIN rules r
+         |    ON p.source = r.source
+         |   AND substr(p.path, 1, length(r.prefix)) = r.prefix
+         |),
+         |${UrlOps.urlUniverseSql},
+         |fetched AS (
+         |  SELECT DISTINCT ${UrlOps.canonSql("url")} AS canon_url FROM u
+         |  WHERE TRY_CAST(regexp_extract(${UrlOps.canonSql("url")}, '/docs/([0-9]+)$$', 1) AS INT) < 50
+         |)
+         |SELECT p.canon_url, p.source,
+         |  COALESCE(m.allow, TRUE) AS allowed,
+         |  (p.canon_url IN (SELECT canon_url FROM fetched)) AS fetched
+         |FROM sparts p
+         |LEFT JOIN (SELECT * FROM smatched WHERE rk = 1) m
+         |  ON m.canon_url = p.canon_url
+         |ORDER BY p.canon_url""".stripMargin,
     "q_crawl_schedule" ->
       s"""WITH $frontierCtes,
          |frs AS (

@@ -243,6 +243,20 @@ class HtmlUrlSpec extends SparkSpec {
       s"unique page must keep its body: ${out(3L)}")
   }
 
+  test("sitemapSeeds canonizes locs, flags robots-blocked and already-fetched") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // src1 (idx 1): sitemap locs → /docs/4 (d1, twice under cosmetic
+    // variants) and /docs/15 (d2); rules Disallow /docs/1 blocks 15;
+    // corpus docs 4 + 60 → fetch log holds only /docs/4 (id < 50)
+    val docs = Seq((4L, "src1"), (60L, "src1")).toDF("doc_id", "source")
+    val out = CrawlOps.sitemapSeeds(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("http://src1.example.com/docs/15", "src1", false, false),
+      ("http://src1.example.com/docs/4", "src1", true, true)), out.toSeq)
+  }
+
   test("frontierStream discovers per trigger against the live fetch log") {
     import spark.implicits._
     import graft.operators.CrawlOps
