@@ -254,21 +254,61 @@ object CrawlOps {
     * single-partition window at any corpus size (hot hosts are the skew
     * bound — exactly the real scheduler's constraint). */
   def crawlSchedule(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val noCursors = Seq.empty[(String, Long)].toDF("source", "cursor_s")
+    scheduleCore(frontierSet(documents), crawlDelayOf(documents), noCursors)
+      .orderBy("canon_url")
+  }
+
+  /** The schedule computation proper over ANY (canon_url, n_referrers)
+    * frontier frame + per-host delays + per-host CURSORS (the host's
+    * next free offset — zero/absent for a cold batch run) — shared by
+    * the batch query and [[scheduleStream]] so the two cannot drift. */
+  private[graft] def scheduleCore(frontier: DataFrame, delays: DataFrame,
+                                  cursors: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("canon_url"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    frontierSet(documents)
+    frontier
       .withColumn("source",
         regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1))
-      .join(broadcast(crawlDelayOf(documents)), "source")
+      .join(broadcast(delays), "source")
+      .join(broadcast(cursors), Seq("source"), "left")
       .withColumn("next_allowed_offset_s",
-        coalesce(sum(col("delay_s")).over(w), lit(0L)))
+        coalesce(col("cursor_s"), lit(0L)) +
+          coalesce(sum(col("delay_s")).over(w), lit(0L)))
       .select(col("canon_url"), col("source"), col("n_referrers"),
         col("delay_s"),
         col("next_allowed_offset_s"),
         (lit(ScheduleEpoch) + col("next_allowed_offset_s")).as("next_allowed_ts"))
-      .orderBy("canon_url")
   }
+
+  /** §2-C `scheduleStream`: live politeness SCHEDULING — the WHEN face
+    * of [[frontierStream]]'s discovery: each micro-batch's discovered
+    * frontier is queued behind the host's PERSISTED cursor (the next
+    * free offset the scheduler recorded after the previous trigger —
+    * the fetch-log convention: cross-batch continuity is the persisted
+    * table's job, so the stream itself stays stateless). rules /
+    * fetched / delays / cursors all ride as thunks re-resolved per
+    * trigger (the unified static-side convention — a nightly robots
+    * refresh or a cursor advance is live next trigger). Shares
+    * [[scheduleCore]] with `q_crawl_schedule` — batch and stream cannot
+    * drift on the queueing arithmetic. */
+  def scheduleStream(docs: DataFrame, rules: () => DataFrame,
+                     fetched: () => DataFrame, delays: () => DataFrame,
+                     cursors: () => DataFrame)
+                    (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val links = HtmlOps.linkExtractSet(batch)
+            .groupBy(col("dst_url").as("canon_url"))
+            .agg(countDistinct(col("doc_id")).as("n_referrers"))
+          sink(scheduleCore(frontierCore(links, rules(), fetched()),
+            delays(), cursors()), id)
+      }
+      .start()
 
   private def rulesSql: String =
     """rules AS (

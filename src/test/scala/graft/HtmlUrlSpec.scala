@@ -290,6 +290,51 @@ class HtmlUrlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scheduleStream queues discoveries behind the persisted host cursor") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    implicit val sqlCtx = spark.sqlContext
+    val srcDocs = Seq((0L, "src3")).toDF("doc_id", "source")
+    val logDir = Files.createTempDirectory("graft_cursor").toFile.getAbsolutePath
+    // fetch log: /docs/62 fetched; cursors v1: cold (empty)
+    Seq("http://src3.example.com/docs/62").toDF("canon_url")
+      .write.mode("overwrite").parquet(s"$logDir/log")
+    Seq.empty[(String, Long)].toDF("source", "cursor_s")
+      .write.mode("overwrite").parquet(s"$logDir/cur1")
+    @volatile var curPath = s"$logDir/cur1"
+    val results = new scala.collection.concurrent.TrieMap[Long, Seq[(String, Long, Long)]]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = CrawlOps.scheduleStream(
+      input.toDF().toDF("doc_id", "source"),
+      () => CrawlOps.rulesOf(srcDocs),
+      () => spark.read.parquet(s"$logDir/log"),
+      () => CrawlOps.crawlDelayOf(srcDocs), // src3 → 4 s
+      () => spark.read.parquet(curPath)) { (df, id) =>
+      results.put(id, df.collect().map(r => (r.getAs[String]("canon_url"),
+        r.getAs[Long]("next_allowed_offset_s"),
+        r.getAs[Long]("next_allowed_ts"))).sortBy(_._1).toSeq)
+    }
+    val e = CrawlOps.ScheduleEpoch
+    try {
+      // trigger 1: doc 7 links → 62 (fetched) + 82 (new) → 82 at offset 0
+      input.addData((7L, "src3"))
+      q.processAllAvailable()
+      assert(results(0L) == Seq(("http://src3.example.com/docs/82", 0L, e)),
+        results.toMap.toString)
+      // the scheduler records the host's next free slot (0 + 4 s)
+      Seq(("src3", 4L)).toDF("source", "cursor_s")
+        .write.mode("overwrite").parquet(s"$logDir/cur2")
+      curPath = s"$logDir/cur2"
+      // trigger 2: doc 31 links → 30 (robots-blocked) + 46 (new) → 46
+      // queues BEHIND the cursor at offset 4
+      input.addData((31L, "src3"))
+      q.processAllAvailable()
+      assert(results(1L) == Seq(("http://src3.example.com/docs/46", 4L, e + 4)),
+        results.toMap.toString)
+    } finally q.stop()
+  }
+
   // --- the WARC → documents bridge ---
 
   private def record(typ: String, uri: String, payload: Array[Byte]): Array[Byte] = {
