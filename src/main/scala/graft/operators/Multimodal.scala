@@ -929,6 +929,39 @@ object MultimodalOps {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** §2-C `audioAhashIncremental`: delta-vs-corpus AUDIO dedup — the
+    * ingestion shape ([[imageDhashIncremental]]'s exact contract for the
+    * audio family): a new batch's fingerprints probe the STANDING
+    * corpus's persisted aHash table; corpus×corpus pairs never form,
+    * only the delta decodes. Output (delta_id, corpus_id, hamming). */
+  def audioAhashIncremental(deltaPayloads: DataFrame, corpusAhash: DataFrame,
+                            maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < DedupOps.SimhashPieces,
+      s"pigeonhole pieces only find Hamming < ${DedupOps.SimhashPieces}")
+    DedupOps.simhashCrossCandidates(
+      audioAhash(deltaPayloads).withColumnRenamed("dhash", "simhash"),
+      corpusAhash.withColumnRenamed("dhash", "simhash"),
+      pieceBits = 16)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("delta_id", "corpus_id")
+  }
+
+  /** §2-C `audioDedupStream`: scrub-on-ingest for AUDIO — the streaming
+    * face of [[audioAhashIncremental]] ([[imageDedupStream]]'s shape):
+    * each micro-batch probes the thunk-refreshed persisted corpus hash
+    * table per trigger. */
+  def audioDedupStream(docs: DataFrame, corpusAhash: () => DataFrame,
+                       maxHamming: Int = 3)
+                      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          sink(audioAhashIncremental(batch, corpusAhash(), maxHamming), id)
+      }
+      .start()
+
   /** §2 `q_audio_dedup_representative`: the AUDIO dedup endgame —
     * [[imageDedupRepresentative]]'s exact pipeline (planted corpus →
     * 64-bit fingerprint → pigeonhole blocking → shared CC →

@@ -199,6 +199,47 @@ class ImageDhashSpec extends SparkSpec {
       (0L, 3L, 0L), (1L, 2L, 1 * Rep), (2L, 1L, 2 * Rep)), out.toSeq)
   }
 
+  test("incremental + streaming audio dedup probe the persisted aHash table") {
+    import spark.implicits._
+    // corpus: groups 3 and 5 (planted), persisted fingerprints
+    val dir = java.nio.file.Files.createTempDirectory("graft_ahash_idx")
+      .toFile.getAbsolutePath
+    MultimodalOps.audioAhash(
+      Seq((10L, MultimodalOps.plantedAudio(3L, 40)),
+        (11L, MultimodalOps.plantedAudio(5L, 40))).toDF("doc_id", "payload"))
+      .write.mode("overwrite").parquet(dir)
+    // delta: a gain variant of group 3, a fresh group, junk
+    val delta = Seq(
+      (20L, MultimodalOps.plantedAudio(43L, 40)), // group 3, gain +1
+      (21L, MultimodalOps.plantedAudio(9L, 40)), // unseen group
+      (22L, "not audio".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val hits = MultimodalOps.audioAhashIncremental(
+      delta, spark.read.parquet(dir)).collect()
+      .map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("corpus_id")))
+    assert(hits.toSeq == Seq((20L, 10L)),
+      s"only the gain-variant probe may hit: ${hits.toSeq}")
+    // streaming twin: batch-equivalent per trigger
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val sunk = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+    val q = MultimodalOps.audioDedupStream(
+      input.toDF().toDF("doc_id", "payload"),
+      () => spark.read.parquet(dir)) { (df, _) =>
+      sunk.synchronized {
+        sunk ++= df.collect().map(r =>
+          (r.getAs[Long]("delta_id"), r.getAs[Long]("corpus_id")))
+      }
+    }
+    try {
+      input.addData((30L, MultimodalOps.plantedAudio(83L, 40)), // group 3
+        (31L, "junk".getBytes("US-ASCII")))
+      q.processAllAvailable()
+      assert(sunk.synchronized(sunk.toSeq) == Seq((30L, 10L)))
+    } finally q.stop()
+  }
+
   test("incremental image dedup: delta probes the persisted corpus hash table") {
     import spark.implicits._
     val base = pixels(lum)
