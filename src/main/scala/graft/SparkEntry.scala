@@ -122,6 +122,7 @@ object SparkEntry {
     "q_redact" -> ((s, dir) => TextOps.redact(Tables.documents(s, dir))),
     "q_hash_embed" -> ((s, dir) => TextOps.hashEmbed(Tables.documents(s, dir))),
     "q_script_mix" -> ((s, dir) => TextOps.scriptMix(Tables.documents(s, dir))),
+    "q_normalize" -> ((s, dir) => TextOps.normalize(Tables.documents(s, dir))),
     // --- crawl-ingest string cores + link graph (§2 rows 119-120, 123-124) ---
     "q_html_extract" -> ((s, dir) => HtmlOps.htmlExtract(Tables.documents(s, dir))),
     "q_url_dedup" -> ((s, dir) => UrlOps.urlDedup(Tables.documents(s, dir))),

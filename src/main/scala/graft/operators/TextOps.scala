@@ -376,7 +376,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** §2 `q_normalize`: Unicode NFC normalization on ingest — the fix for
+    * mixed-normalization crawl text (the same word as precomposed `é` or
+    * decomposed `e`+U+0301 breaks every byte-keyed operator downstream:
+    * exact dedup, token counting, contamination screens). The native
+    * codegen'd `utf8_nfc` expression ([[graft.plans.UnicodeCodec]] —
+    * `java.text.Normalizer`, the UAX #15 algorithm DuckDB's
+    * `nfc_normalize` also implements, so the output text is hash-checked
+    * cross-engine). The ASCII corpus is augmented with deterministic
+    * DECOMPOSED sequences per doc (both engines build the same bytes) so
+    * composition actually fires. Pure map — zero shuffles, one scan. */
+  def normalize(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val aug = concat(col("text"),
+      expr("repeat(' cafe\u0301', CAST(doc_id % 3 AS INT))"),
+      expr("repeat(' u\u0308ber', CAST(doc_id % 2 AS INT))"))
+    documents.select(col("doc_id"),
+      call_function("utf8_nfc", aug).as("text_nfc"),
+      length(aug).cast("long").as("n_chars_raw"))
+      .withColumn("n_chars_nfc", length(col("text_nfc")).cast("long"))
+      .withColumn("changed", col("n_chars_nfc") =!= col("n_chars_raw"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_normalize" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || repeat(' cafe' || chr(769), CAST(doc_id % 3 AS INT))
+        |         || repeat(' u' || chr(776) || 'ber', CAST(doc_id % 2 AS INT))
+        |      AS aug
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  nfc_normalize(aug) AS text_nfc,
+        |  CAST(length(aug) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(nfc_normalize(aug)) AS BIGINT) AS n_chars_nfc,
+        |  (length(nfc_normalize(aug)) <> length(aug)) AS changed
+        |FROM a
+        |ORDER BY doc_id""".stripMargin,
     "q_script_mix" -> {
       val augSql = "text || " + ScriptInjections.map { case (_, tok, m) =>
         s"repeat(${TextFuns.sqlLit(tok)}, CAST(doc_id % $m AS INT))"

@@ -199,6 +199,9 @@ object GraftFunctions {
     (FunctionIdentifier("http_dechunk"),
       new ExpressionInfo(classOf[HttpDechunk].getName, "http_dechunk"),
       (es: Seq[Expression]) => HttpDechunk(es(0))),
+    (FunctionIdentifier("utf8_nfc"),
+      new ExpressionInfo(classOf[Utf8Nfc].getName, "utf8_nfc"),
+      (es: Seq[Expression]) => Utf8Nfc(es(0))),
     (FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_contains"),
       (es: Seq[Expression]) => BloomMightContain(es(0), es(1),

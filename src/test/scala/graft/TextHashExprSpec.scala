@@ -85,6 +85,49 @@ class TextHashExprSpec extends SparkSpec {
     assert(!p.contains("Generate"), p) // no explode anywhere
   }
 
+  test("utf8_nfc: composes decomposed sequences, idempotent, codegen ≡ eval") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, call_function, length}
+    graft.plans.GraftFunctions.register(spark)
+    val decomposed = "cafe\u0301 u\u0308ber" // e+combining acute, u+combining diaeresis
+    val composed = "caf\u00e9 \u00fcber"
+    val cases = Seq(
+      (1L, decomposed), (2L, composed), (3L, "plain ascii"),
+      (4L, "emoji \ud83d\ude00 e\u0301"), // supplementary char + combining
+      (5L, ""))
+    val out = cases.toDF("id", "s")
+      .select(col("id"), call_function("utf8_nfc", col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == composed, "decomposed must compose")
+    assert(out(2L) == composed, "already-composed passes through")
+    assert(out(3L) == "plain ascii")
+    assert(out(4L) == "emoji \ud83d\ude00 \u00e9",
+      "supplementary chars survive, trailing combining composes")
+    assert(out(5L) == "")
+    // idempotence + interpreted-eval parity with the codegen result
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    cases.foreach { case (id, s) =>
+      val interp = graft.plans.Utf8Nfc(
+        Literal(UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType)).eval(null).toString
+      assert(interp == out(id), s"interp parity for <$s>")
+      assert(graft.plans.UnicodeCodec.nfc(
+        UTF8String.fromString(interp)).toString == interp, "idempotent")
+    }
+    // null in → null out
+    val nullOut = Seq((0L, null: String)).toDF("id", "s")
+      .select(call_function("utf8_nfc", col("s"))).collect().head
+    assert(nullOut.isNullAt(0))
+    // the q_normalize face: known doc arithmetic (doc 5: 2 cafés + 1 über
+    // → 3 compositions, each one char shorter)
+    val docs = Seq((5L, "x")).toDF("doc_id", "text")
+    val n = graft.operators.TextOps.normalize(docs).collect().head
+    assert(n.getAs[Long]("n_chars_raw") - n.getAs[Long]("n_chars_nfc") == 3)
+    assert(n.getAs[Boolean]("changed"))
+    assert(n.getAs[String]("text_nfc") == "x caf\u00e9 caf\u00e9 \u00fcber")
+  }
+
   test("text-hash expressions survive both codegen and interpreted eval") {
     import graft.plans.{FingerprintMin, MinhashSlices}
     import org.apache.spark.sql.catalyst.expressions.Literal
