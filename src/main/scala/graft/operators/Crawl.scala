@@ -199,21 +199,32 @@ object CrawlOps {
     * [[crawlDelayOf]] (Crawl-delay), so the two parses cannot scope
     * differently. Per-host Crawl-delay VARIES ((idx % 5) + 1 s) so the
     * schedule query exercises real per-host arithmetic. */
-  private def starGroupLines(documents: DataFrame): DataFrame = {
+  /** The raw (source, pos, line) explode of every host's robots body —
+    * the shared front of group-scoped parsing ([[starGroupLines]]) and
+    * GLOBAL directives ([[sitemapUrlOf]] — per RFC 9309 `Sitemap:` is
+    * not user-agent scoped). The body carries a `Sitemap:` pointer to
+    * the host's sitemap.xml, closing the textual chain robots →
+    * sitemap URL → `q_sitemap`'s parse. */
+  private def robotsLines(documents: DataFrame): DataFrame = {
     val d = expr("CAST(substr(source, 4, 10) AS INT) % 10").cast("string")
     val delay = expr("CAST(substr(source, 4, 10) AS INT) % 5 + 1").cast("string")
     val nl = lit("\n")
     val body = concat(
       lit("# robots for "), col("source"), nl,
+      lit("Sitemap: http://"), col("source"), lit(".example.com/sitemap.xml"), nl,
       lit("User-agent: megabot"), nl, lit("Disallow: /private"), nl,
       nl,
       lit("User-agent: *"), nl,
       lit("Crawl-delay: "), delay, nl,
       lit("Disallow: /docs/"), d, nl,
       lit("Allow: /docs/"), d, lit("3"), nl)
-    val lines = documents.select(col("source")).distinct()
+    documents.select(col("source")).distinct()
       .select(col("source"), posexplode(split(body, "\n")).as(Seq("pos", "line")))
-      .localCheckpoint(false) // tiny; consumed by 3 branches
+      .localCheckpoint(false) // tiny; consumed by several branches
+  }
+
+  private def starGroupLines(documents: DataFrame): DataFrame = {
+    val lines = robotsLines(documents)
     val starPos = lines.filter(col("line") === "User-agent: *")
       .groupBy(col("source")).agg(min(col("pos")).as("p0"))
     val nextAgent = lines.join(starPos, "source")
@@ -226,6 +237,17 @@ object CrawlOps {
         col("pos") < coalesce(col("p1"), lit(Int.MaxValue)))
       .select(col("source"), col("line"))
   }
+
+  /** The host's sitemap location from its robots body's GLOBAL
+    * `Sitemap:` directive (RFC 9309: valid anywhere, outside any
+    * user-agent group — so this parses the RAW line frame, not the
+    * star-scoped one). Feeds the sitemap fetch whose parsed content is
+    * `q_sitemap`'s input. */
+  private[graft] def sitemapUrlOf(documents: DataFrame): DataFrame =
+    robotsLines(documents)
+      .filter(col("line").startsWith("Sitemap: "))
+      .select(col("source"),
+        regexp_replace(col("line"), "^Sitemap: ", "").as("sitemap_url"))
 
   /** Per-host politeness delay PARSED from the robots body's
     * `Crawl-delay` line in the `*` group (the textual face; the declared
@@ -340,6 +362,7 @@ object CrawlOps {
         |), bodies AS (
         |  SELECT source,
         |    '# robots for ' || source || chr(10) ||
+        |    'Sitemap: http://' || source || '.example.com/sitemap.xml' || chr(10) ||
         |    'User-agent: megabot' || chr(10) || 'Disallow: /private' || chr(10) ||
         |    chr(10) ||
         |    'User-agent: *' || chr(10) ||

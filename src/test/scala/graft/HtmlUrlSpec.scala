@@ -168,6 +168,17 @@ class HtmlUrlSpec extends SparkSpec {
     assert(out("http://src3.example.com/docs/50") == (None, true))
   }
 
+  test("sitemapUrlOf parses the GLOBAL Sitemap directive outside any group") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val docs = Seq((0L, "src3"), (1L, "src17")).toDF("doc_id", "source")
+    val got = CrawlOps.sitemapUrlOf(docs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "src3" -> "http://src3.example.com/sitemap.xml",
+      "src17" -> "http://src17.example.com/sitemap.xml"), got)
+  }
+
   test("robotsParse scopes to the * group and equals the declared rules table") {
     import spark.implicits._
     import graft.operators.CrawlOps
