@@ -218,13 +218,53 @@ object CrawlOps {
       lit("Crawl-delay: "), delay, nl,
       lit("Disallow: /docs/"), d, nl,
       lit("Allow: /docs/"), d, lit("3"), nl)
-    documents.select(col("source")).distinct()
-      .select(col("source"), posexplode(split(body, "\n")).as(Seq("pos", "line")))
-      .localCheckpoint(false) // tiny; consumed by several branches
+    linesOf(documents.select(col("source")).distinct()
+      .withColumn("body", body))
   }
 
-  private def starGroupLines(documents: DataFrame): DataFrame = {
-    val lines = robotsLines(documents)
+  /** Line-explode of ANY (source, body) robots frame — the general face
+    * real crawled robots.txt bodies enter through (CRLF and bare-LF
+    * alike); the synthetic universe rides the same path via
+    * [[robotsLines]], so the two cannot parse differently. */
+  private[graft] def linesOf(bodies: DataFrame): DataFrame =
+    bodies
+      .select(col("source"),
+        posexplode(split(col("body"), "\r?\n")).as(Seq("pos", "line")))
+      .localCheckpoint(false) // tiny; consumed by several branches
+
+  /** [[robotsParse]] / [[crawlDelayOf]] / [[sitemapUrlOf]] over ANY
+    * (source, body) frame of REAL robots.txt text — e.g. robots records
+    * pulled off a WARC crawl. Returns (rules, delays, sitemaps); group
+    * scoping and directive grammar are the single shared implementation
+    * below. */
+  private[graft] def parseRobotsBodies(bodies: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val star = starGroupOf(linesOf(bodies))
+    val rules = star
+      .filter(col("line").startsWith("Allow: ") ||
+        col("line").startsWith("Disallow: "))
+      .select(col("source"),
+        regexp_replace(col("line"), "^(Dis)?(A|a)llow: ", "").as("prefix"),
+        col("line").startsWith("Allow: ").as("allow"))
+    val delays = star
+      .filter(col("line").startsWith("Crawl-delay: "))
+      .select(col("source"),
+        regexp_extract(col("line"), "^Crawl-delay: ([0-9]+)$", 1)
+          .cast("long").as("delay_s"))
+    val sitemaps = linesOf(bodies)
+      .filter(col("line").startsWith("Sitemap: "))
+      .select(col("source"),
+        regexp_replace(col("line"), "^Sitemap: ", "").as("sitemap_url"))
+    (rules, delays, sitemaps)
+  }
+
+  /** The synthetic universe's star-group lines ([[robotsLines]] through
+    * the general scoping). */
+  private def starGroupLines(documents: DataFrame): DataFrame =
+    starGroupOf(robotsLines(documents))
+
+  /** The `User-agent: *` group of a lines frame (positional scoping). */
+  private def starGroupOf(lines: DataFrame): DataFrame = {
     val starPos = lines.filter(col("line") === "User-agent: *")
       .groupBy(col("source")).agg(min(col("pos")).as("p0"))
     val nextAgent = lines.join(starPos, "source")

@@ -179,6 +179,34 @@ class HtmlUrlSpec extends SparkSpec {
       "src17" -> "http://src17.example.com/sitemap.xml"), got)
   }
 
+  test("real crawled robots.txt (CRLF, via WARC) parses through the general face") {
+    import graft.operators.CrawlOps
+    import org.apache.spark.sql.functions.regexp_extract
+    val dir = Files.createTempDirectory("graft_warc_robots")
+    // a REAL robots body: CRLF endings, global Sitemap, a foreign group
+    val robots = "# robots\r\n" +
+      "Sitemap: http://h1.example.com/sitemap.xml\r\n" +
+      "User-agent: megabot\r\nDisallow: /private\r\n" +
+      "\r\n" +
+      "User-agent: *\r\nCrawl-delay: 7\r\nDisallow: /a\r\nAllow: /a/b\r\n"
+    Files.write(dir.resolve("seg.warc"),
+      record("response", "http://h1.example.com/robots.txt",
+        http("200 OK", "text/plain", robots.getBytes(US_ASCII))))
+    val bodies = graft.sources.WarcSource.httpResponses(
+        graft.sources.WarcSource.read(spark, dir.toString))
+      .select(regexp_extract(col("target_uri"),
+        "^https?://([^./]+)\\.", 1).as("source"), col("body"))
+    val (rules, delays, sitemaps) = CrawlOps.parseRobotsBodies(bodies)
+    assert(rules.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getBoolean(2))).toSet ==
+      Set(("h1", "/a", false), ("h1", "/a/b", true)),
+      "star-group rules only — the foreign group's /private must not leak")
+    assert(delays.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("h1", 7L)))
+    assert(sitemaps.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("h1", "http://h1.example.com/sitemap.xml")))
+  }
+
   test("robotsParse scopes to the * group and equals the declared rules table") {
     import spark.implicits._
     import graft.operators.CrawlOps
