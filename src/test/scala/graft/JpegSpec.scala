@@ -216,6 +216,46 @@ class JpegSpec extends SparkSpec {
     assert(hamming <= 6, s"progressive re-encode moved $hamming of 64 bits")
   }
 
+  test("low-quality progressive on a larger image agrees with the JDK decode") {
+    import javax.imageio.{IIOImage, ImageWriteParam}
+    // low quality → sparse coefficients → long EOB runs and heavy
+    // successive-approximation refinement; 67×41 stresses partial MCUs
+    // in the non-interleaved component geometry
+    val bw = 67
+    val bh = 41
+    val img = new BufferedImage(bw, bh, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until bh; x <- 0 until bw) {
+      val v = (x * 5 + y * 7) % 230
+      val rgb = if ((x / 8 + y / 8) % 2 == 0) (v << 16) | (v << 8) | v
+                else (v << 16) | (48 << 8) | (255 - v)
+      img.setRGB(x, y, rgb)
+    }
+    val w = ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.3f)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new IIOImage(img, null, null), p)
+    w.dispose(); ios.close()
+    val bytes = bos.toByteArray
+    assert(markers(bytes).contains(0xc2), "fixture must be SOF2")
+    val f = MultimodalOps.decodeJpeg(bytes, 16).get
+    assert(f(0) == bw.toFloat && f(1) == bh.toFloat, f.toSeq)
+    val jdk = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    def jdkMean(ch: Int): Double = {
+      var s = 0L
+      for (y <- 0 until bh; x <- 0 until bw)
+        s += (jdk.getRGB(x, y) >> (16 - 8 * ch)) & 0xff
+      s.toDouble / (bw * bh) / 255
+    }
+    for (ch <- 0 to 2)
+      assert(math.abs(f(2 + ch) - jdkMean(ch)) < 0.015,
+        s"channel $ch: ${f(2 + ch)} vs JDK ${jdkMean(ch)}")
+  }
+
   test("progressive + restart intervals: RSTn inside SOF2 scans decode (segments, EOB runs reset)") {
     import javax.imageio.metadata.IIOMetadataNode
     import javax.imageio.{IIOImage, ImageTypeSpecifier, ImageWriteParam}
