@@ -224,7 +224,10 @@ object MultimodalOps {
     var dataLen = -1L
     while (i + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
       val sz = u32(i.toInt + 4)
-      if (ascii(i.toInt, "fmt ") && sz >= 16) fmtOff = i + 8
+      // a declared-16 fmt chunk cut off at EOF must not read past the
+      // array: require the 16 fmt bytes actually present before accepting
+      if (ascii(i.toInt, "fmt ") && sz >= 16 && i + 24 <= bytes.length)
+        fmtOff = i + 8
       else if (ascii(i.toInt, "data")) { dataOff = i + 8; dataLen = sz }
       i += 8 + sz + (sz & 1)
     }
@@ -829,7 +832,10 @@ object MultimodalOps {
     var dataLen = -1L
     while (i + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
       val sz = u32(i.toInt + 4)
-      if (ascii(i.toInt, "fmt ") && sz >= 16) fmtOff = i + 8
+      // the decodeWav guard: a fmt chunk declaring size >= 16 but cut off
+      // at EOF must route to None, not read past the array
+      if (ascii(i.toInt, "fmt ") && sz >= 16 && i + 24 <= bytes.length)
+        fmtOff = i + 8
       else if (ascii(i.toInt, "data")) { dataOff = i + 8; dataLen = sz }
       i += 8 + sz + (sz & 1)
     }

@@ -388,14 +388,19 @@ object TextOps {
     * composition actually fires. Pure map — zero shuffles, one scan. */
   def normalize(documents: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(documents.sparkSession)
+    // the third injection is a LENGTH-PRESERVING NFC singleton (U+212B
+    // ANGSTROM SIGN \u2192 U+00C5): docs carrying only it are rewritten
+    // without changing length, so `changed` must compare TEXT, not size
     val aug = concat(col("text"),
       expr("repeat(' cafe\u0301', CAST(doc_id % 3 AS INT))"),
-      expr("repeat(' u\u0308ber', CAST(doc_id % 2 AS INT))"))
-    documents.select(col("doc_id"),
+      expr("repeat(' u\u0308ber', CAST(doc_id % 2 AS INT))"),
+      expr("repeat(' \u212b', CAST(doc_id % 5 AS INT))"))
+    documents.select(col("doc_id"), aug.as("_aug"),
       call_function("utf8_nfc", aug).as("text_nfc"),
       length(aug).cast("long").as("n_chars_raw"))
       .withColumn("n_chars_nfc", length(col("text_nfc")).cast("long"))
-      .withColumn("changed", col("n_chars_nfc") =!= col("n_chars_raw"))
+      .withColumn("changed", col("text_nfc") =!= col("_aug"))
+      .drop("_aug")
       .orderBy("doc_id")
   }
 
@@ -405,6 +410,7 @@ object TextOps {
         |  SELECT doc_id,
         |    text || repeat(' cafe' || chr(769), CAST(doc_id % 3 AS INT))
         |         || repeat(' u' || chr(776) || 'ber', CAST(doc_id % 2 AS INT))
+        |         || repeat(' ' || chr(8491), CAST(doc_id % 5 AS INT))
         |      AS aug
         |  FROM documents
         |)
@@ -412,7 +418,7 @@ object TextOps {
         |  nfc_normalize(aug) AS text_nfc,
         |  CAST(length(aug) AS BIGINT) AS n_chars_raw,
         |  CAST(length(nfc_normalize(aug)) AS BIGINT) AS n_chars_nfc,
-        |  (length(nfc_normalize(aug)) <> length(aug)) AS changed
+        |  (nfc_normalize(aug) <> aug) AS changed
         |FROM a
         |ORDER BY doc_id""".stripMargin,
     "q_script_mix" -> {

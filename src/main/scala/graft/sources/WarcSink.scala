@@ -50,11 +50,27 @@ object WarcSink {
       .rdd.foreachPartition { it =>
         if (it.hasNext) {
           val part = TaskContext.getPartitionId()
+          // attempt-keyed temp name: a speculative or retried attempt must
+          // never interleave bytes with a zombie first attempt's stream
+          // (the FileOutputCommitter convention) — rename on commit is the
+          // only cross-attempt rendezvous
+          val attempt = Option(TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
           val finalPath = new Path(dir, f"part-$part%05d.warc.gz")
-          val tmpPath = new Path(dir, f".part-$part%05d.warc.gz.inprogress")
+          val tmpPath = new Path(dir,
+            f".part-$part%05d-attempt-$attempt.warc.gz.inprogress")
           val fs = finalPath.getFileSystem(confBc.value.value)
           val out = fs.create(tmpPath, true)
           try {
+            // close-shield: gz.close() per record releases the member's
+            // native Deflater immediately (finish() alone leaves it to the
+            // GC Cleaner — millions of records per partition would exhaust
+            // off-heap memory) without closing the partition stream
+            val shield = new java.io.FilterOutputStream(out) {
+              override def write(b: Array[Byte], off: Int, len: Int): Unit =
+                out.write(b, off, len)
+              override def close(): Unit = flush()
+            }
             val md = java.security.MessageDigest.getInstance("MD5")
             it.foreach { r =>
               // CR/LF inside a header VALUE would let one hostile url
@@ -77,11 +93,11 @@ object WarcSink {
                                    // WarcSource's readLine re-decodes UTF-8)
               // one gzip member per record (the CC layout WarcSource's
               // single-GZIPInputStream walk decompresses end-to-end)
-              val gz = new GZIPOutputStream(out, 64 << 10)
+              val gz = new GZIPOutputStream(shield, 64 << 10)
               gz.write(hdr)
               gz.write(payload)
               gz.write("\r\n\r\n".getBytes("US-ASCII"))
-              gz.finish()
+              gz.close() // finish the member AND end() its Deflater
             }
           } finally out.close()
           // rename never overwrites on Hadoop filesystems — drop a

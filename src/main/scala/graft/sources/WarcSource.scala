@@ -76,7 +76,15 @@ object WarcSource {
     files.flatMap { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(confBc.value.value)
-      parseStream(p, sniffGzip(fs.open(hp)), maxRecord)
+      val in = fs.open(hp)
+      // end-of-walk close is the fast path; the listener covers a
+      // consumer that stops early (limit/take) — without it the FS
+      // handle would leak for the task lifetime
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          try in.close() catch { case _: IOException => () }
+        })
+      parseStream(p, sniffGzip(in), maxRecord)
     }.toDF()
   }
 
@@ -234,11 +242,18 @@ object WarcSource {
   }
 
   /** Project `response` records into (uri, HTTP status, body text) — the
-    * frame a text-extraction pipeline starts from. The HTTP header block
-    * is split off row-level (`split` on the first blank line, codegen'd);
-    * charset handling is UTF-8-lossy, the pragmatic crawl default. */
+    * frame a text-extraction pipeline starts from. The header/body split
+    * rides the bijective ISO-8859-1 decode (every byte ↔ one char, so the
+    * split can never fail), the body re-encodes to its true bytes, and
+    * the UTF-8 decode is GATED on `is_valid_utf8`: an invalid-UTF-8 body
+    * yields a NULL `body`, never a job-killing
+    * `MALFORMED_CHARACTER_CODING` (Spark 4's `decode` is strict). This is
+    * the same discipline [[graft.operators.HtmlOps.warcToDocuments]]
+    * applies — that face additionally resolves declared charsets and
+    * routes failures to a quarantine ledger; this one is the minimal
+    * (status, body) projection. */
   def httpResponses(records: DataFrame): DataFrame = {
-    val asText = decode(col("payload"), "UTF-8")
+    val asText = decode(col("payload"), "ISO-8859-1")
     records
       .filter(col("warc_type") === "response")
       .withColumn("_txt", asText)
@@ -246,9 +261,12 @@ object WarcSource {
         regexp_extract(col("_txt"), "^HTTP/[0-9.]+ ([0-9]{3})", 1).cast("int"))
       // body = everything after the FIRST blank line; a payload with no
       // blank line is a bare header block → empty body
-      .withColumn("body",
+      .withColumn("_body_l1",
         when(regexp_extract(col("_txt"), "(?s)\\r?\\n\\r?\\n", 0) === "", lit(""))
           .otherwise(regexp_replace(col("_txt"), "(?s)^.*?\\r?\\n\\r?\\n", "")))
+      .withColumn("_raw", encode(col("_body_l1"), "ISO-8859-1"))
+      .withColumn("body",
+        when(expr("is_valid_utf8(_raw)"), decode(col("_raw"), "UTF-8")))
       .select(col("file"), col("target_uri"), col("warc_date"),
         col("http_status"), col("body"))
   }

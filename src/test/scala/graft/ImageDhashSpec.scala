@@ -167,6 +167,20 @@ class ImageDhashSpec extends SparkSpec {
     val tiny = MultimodalOps.plantedAudio(0L, 40)
     assert(MultimodalOps.ahashOf(tiny.take(44 + 40)).isEmpty,
       "a data chunk longer than the payload (truncated) must be None")
+    // crafted truncation: a complete data chunk FIRST, then an fmt chunk
+    // declaring size 16 but cut off at EOF — the fmt field reads
+    // (u16(f+2)/u16(f+14)) would run past the array without the
+    // fmt-bytes-present guard; must be None, not AIOOBE
+    val bos = new java.io.ByteArrayOutputStream()
+    def str(s: String) = bos.write(s.getBytes("US-ASCII"))
+    def le32(x: Int) = (0 to 3).foreach(j => bos.write((x >> (8 * j)) & 0xff))
+    str("RIFF"); le32(0); str("WAVE")
+    str("data"); le32(4); bos.write(Array[Byte](1, 2, 3, 4))
+    str("fmt "); le32(16); bos.write(Array[Byte](1, 0)) // 2 of 16 bytes
+    assert(MultimodalOps.ahashOf(bos.toByteArray).isEmpty,
+      "truncated fmt chunk routes to None")
+    assert(MultimodalOps.decodeWav(bos.toByteArray, 16).isEmpty,
+      "decodeWav applies the same truncated-fmt guard")
   }
 
   test("ahash is waveform-representation-free: 16-bit re-encode hashes identically") {

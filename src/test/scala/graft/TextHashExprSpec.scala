@@ -126,6 +126,17 @@ class TextHashExprSpec extends SparkSpec {
     assert(n.getAs[Long]("n_chars_raw") - n.getAs[Long]("n_chars_nfc") == 3)
     assert(n.getAs[Boolean]("changed"))
     assert(n.getAs[String]("text_nfc") == "x caf\u00e9 caf\u00e9 \u00fcber")
+    // doc 6 receives ONLY the U+212B ANGSTROM SIGN injection (6%3=0,
+    // 6%2=0, 6%5=1) \u2014 an NFC SINGLETON substitution (\u2192 U+00C5) that
+    // preserves length: `changed` must still read true (the round-12
+    // length-based flag would have missed it)
+    val n6 = graft.operators.TextOps.normalize(
+      Seq((6L, "x")).toDF("doc_id", "text")).collect().head
+    assert(n6.getAs[Long]("n_chars_raw") == n6.getAs[Long]("n_chars_nfc"),
+      "singleton substitution preserves length")
+    assert(n6.getAs[Boolean]("changed"),
+      "length-preserving rewrite must still flag changed")
+    assert(n6.getAs[String]("text_nfc") == "x \u00c5")
   }
 
   test("text-hash expressions survive both codegen and interpreted eval") {

@@ -256,4 +256,23 @@ class WarcSourceSpec extends SparkSpec {
     assert(http.head.getAs[String]("body") == "<html>hello corpus</html>")
     assert(http.head.getAs[String]("target_uri") == "http://example.com/a")
   }
+
+  test("httpResponses: an invalid-UTF-8 body yields NULL, never a job crash") {
+    val dir = Files.createTempDirectory("graft_warc_utf8")
+    // 0xC3 0x28 is an invalid UTF-8 sequence — Spark 4's strict decode
+    // would throw MALFORMED_CHARACTER_CODING and kill the job; the
+    // is_valid_utf8 gate must route it to a null body instead
+    val badBody = Array[Byte](0xc3.toByte, 0x28, 'x', 'y')
+    val bad = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+      .getBytes(US_ASCII) ++ badBody
+    Files.write(dir.resolve("seg.warc"),
+      record("response", "http://example.com/good", httpPayload, "g") ++
+        record("response", "http://example.com/bad", bad, "b"))
+    val http = WarcSource.httpResponses(WarcSource.read(spark, dir.toString))
+      .collect().map(r => r.getAs[String]("target_uri") ->
+        Option(r.getAs[String]("body"))).toMap
+    assert(http("http://example.com/good").contains("<html>hello corpus</html>"))
+    assert(http("http://example.com/bad").isEmpty,
+      "invalid bytes must become a null body, not a decode error")
+  }
 }
