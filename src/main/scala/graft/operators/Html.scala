@@ -141,15 +141,36 @@ object HtmlOps {
       .orderBy("doc_id")
   }
 
+  /** windows-1252 ↔ latin-1 delta: the 27 defined code points in
+    * 0x80–0x9F (cp1252 maps them to punctuation/letters; latin-1 to C1
+    * controls). Decoding cp1252 = bijective latin-1 decode + this 1:1
+    * `translate` — exact, single-byte, no lossy fallback. The five
+    * UNDEFINED cp1252 bytes (81 8D 8F 90 9D) stay as C1 controls,
+    * matching the JDK windows-1252 charset's own behavior. */
+  private[graft] val Cp1252From: String =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008a\u008b" +
+      "\u008c\u008e\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099" +
+      "\u009a\u009b\u009c\u009e\u009f"
+  private[graft] val Cp1252To: String =
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039" +
+      "\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122" +
+      "\u0161\u203a\u0153\u017e\u0178"
+
   /** The WARC → documents bridge: [[graft.sources.WarcSource.read]]
     * response records into the documents shape every downstream operator
     * consumes, with the real-ingest concerns handled row-level:
     *
-    *  - charset RESOLUTION from the HTTP `Content-Type` header — the
-    *    byte-level header/body split rides a bijective ISO-8859-1 decode
-    *    (every byte ↔ one char), the body re-encodes to its true bytes,
-    *    and the declared charset picks the decode branch (utf-8 default;
-    *    iso-8859-1/latin-1; us-ascii — Spark's `decode` whitelist);
+    *  - charset RESOLUTION from the HTTP `Content-Type` header, falling
+    *    back to an HTML META SNIFF (`<meta charset=…>` /
+    *    `http-equiv=Content-Type`, first KB of the decoded body — the
+    *    real web's most common layout is a header with no charset and a
+    *    meta that has one) — the byte-level header/body split rides a
+    *    bijective ISO-8859-1 decode (every byte ↔ one char), the body
+    *    re-encodes to its true bytes, and the resolved charset picks the
+    *    decode branch: utf-8 default; iso-8859-1/latin-1; us-ascii;
+    *    windows-1252 (the most common non-UTF-8 web charset — decoded
+    *    EXACTLY via the latin-1 bijection + the 27-char 0x80–0x9F
+    *    [[Cp1252From]] translate);
     *  - `Transfer-Encoding: chunked` bodies (which CC records preserve
     *    verbatim) are DE-CHUNKED before charset decode via the native
     *    `http_dechunk` expression ([[graft.plans.HttpCodec]]) — hex size
@@ -158,9 +179,14 @@ object HtmlOps {
     *    to quarantine with reason `chunked`, and any OTHER non-identity
     *    transfer-coding (`gzip, chunked`) quarantines as
     *    `transfer-encoding` (undecodable row-level today);
-    *  - `Content-Encoding` other than identity (gzip/br/deflate bodies)
-    *    quarantines as `content-encoding` — compressed bytes must never
-    *    "decode" as charset text into the clean route;
+    *  - `Content-Encoding: gzip / x-gzip / deflate` bodies are INFLATED
+    *    before the charset chain via the bomb-guarded native
+    *    `http_inflate` expression ([[graft.plans.HttpCodec.inflate]] —
+    *    format sniffed from the bytes, zlib vs raw deflate
+    *    disambiguated, output capped); a corrupt/bomb stream routes to
+    *    quarantine as `content-encoding`, and any other coding
+    *    (`br`/`zstd`/unknown) still quarantines — compressed bytes must
+    *    never "decode" as charset text into the clean route;
     *  - an UNDECODABLE page (charset outside the whitelist, invalid bytes
     *    under the declared charset — validated BEFORE Spark 4's strict
     *    `decode`, so a bad page quarantines as `encoding` instead of
@@ -191,12 +217,6 @@ object HtmlOps {
         regexp_extract(col("_hdr"), "^HTTP/[0-9.]+ ([0-9]{3})", 1).cast("int"))
       .withColumn("_cs", lower(regexp_extract(col("_hdr"),
         "(?im)^content-type:[^\\r\\n]*?charset=\"?([a-zA-Z0-9_.:-]+)", 1)))
-      .withColumn("_charset",
-        when(col("_cs").isin("", "utf-8", "utf8"), lit("utf-8"))
-          .when(col("_cs").isin("iso-8859-1", "iso8859-1", "latin-1", "latin1"),
-            lit("iso-8859-1"))
-          .when(col("_cs").isin("us-ascii", "ascii"), lit("us-ascii"))
-          .otherwise(lit("unsupported")))
       // RFC 9112 allows a transfer-coding LIST (`gzip, chunked` — chunked
       // must be final), so match chunked ANYWHERE in the value; any OTHER
       // non-identity coding in the list is undecodable row-level today →
@@ -206,34 +226,62 @@ object HtmlOps {
       .withColumn("_chunked", col("_te").rlike("\\bchunked\\b"))
       .withColumn("_te_other",
         regexp_replace(col("_te"), "\\bchunked\\b|\\bidentity\\b|[\\s,]", "") =!= "")
-      // `Content-Encoding: gzip/br/…` bodies are COMPRESSED — a charset
-      // decode would emit mojibake into the corpus; route to quarantine
+      // `Content-Encoding`: gzip/x-gzip/deflate inflate below; any other
+      // non-identity coding (br/zstd/unknown) is undecodable row-level
+      // today → quarantine, never mojibake in the clean route
       .withColumn("_ce", lower(trim(regexp_extract(col("_hdr"),
         "(?im)^content-encoding:([^\\r\\n]*)", 1))))
-      .withColumn("_ce_bad", !col("_ce").isin("", "identity"))
+      .withColumn("_ce_gz", col("_ce").isin("gzip", "x-gzip", "deflate"))
+      .withColumn("_ce_bad",
+        !col("_ce").isin("", "identity") && !col("_ce_gz"))
       .withColumn("_raw0", encode(col("_body_l1"), "ISO-8859-1"))
-      // de-chunk BEFORE charset decode: the framing is byte-level and
-      // charset-independent; null (malformed framing) → quarantine below
-      .withColumn("_raw",
+      // wire-format order: TE framing wraps the CE-compressed entity, so
+      // de-chunk FIRST (byte-level, charset-independent; null = malformed
+      // framing → quarantine), THEN inflate the entity body
+      .withColumn("_raw1",
         when(col("_chunked"), call_function("http_dechunk", col("_raw0")))
           .otherwise(col("_raw0")))
+      .withColumn("_raw",
+        when(col("_ce_gz"), call_function("http_inflate", col("_raw1")))
+          .otherwise(col("_raw1")))
+      // charset fallback chain: header charset if declared, else the
+      // first-KB meta sniff over the bijective latin-1 view of the
+      // (de-chunked, inflated) body — meta tags are ASCII, so the
+      // latin-1 view is exact regardless of the page's true charset
+      .withColumn("_meta_cs", lower(regexp_extract(
+        substring(coalesce(decode(col("_raw"), "ISO-8859-1"), lit("")), 1, 1024),
+        "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([a-zA-Z0-9_.:-]+)", 1)))
+      .withColumn("_csx",
+        when(col("_cs") =!= "", col("_cs")).otherwise(col("_meta_cs")))
+      .withColumn("_charset",
+        when(col("_csx").isin("", "utf-8", "utf8"), lit("utf-8"))
+          .when(col("_csx").isin("iso-8859-1", "iso8859-1", "latin-1", "latin1"),
+            lit("iso-8859-1"))
+          .when(col("_csx").isin("us-ascii", "ascii"), lit("us-ascii"))
+          .when(col("_csx").isin("windows-1252", "cp1252", "x-cp1252",
+            "windows1252"), lit("windows-1252"))
+          .otherwise(lit("unsupported")))
       // Spark 4's `decode` is STRICT (MALFORMED_CHARACTER_CODING throws) —
       // a single invalid byte in a declared-utf-8 page would crash the
       // whole ingest job. Validate first: invalid bytes → null text →
       // quarantine reason `encoding`, never a job failure. ISO-8859-1 is
-      // bijective (cannot fail); us-ascii rides the utf-8 branch (ASCII is
-      // a strict UTF-8 subset, and a lying ascii declaration with valid
-      // UTF-8 multibyte text is better decoded than dropped).
+      // bijective (cannot fail) and windows-1252 rides it + the 1:1
+      // translate; us-ascii rides the utf-8 branch (ASCII is a strict
+      // UTF-8 subset, and a lying ascii declaration with valid UTF-8
+      // multibyte text is better decoded than dropped).
       .withColumn("_text", extractText(
         when(col("_charset") === "iso-8859-1", decode(col("_raw"), "ISO-8859-1"))
+          .when(col("_charset") === "windows-1252",
+            translate(decode(col("_raw"), "ISO-8859-1"), Cp1252From, Cp1252To))
           .otherwise(when(expr("is_valid_utf8(_raw)"),
             decode(col("_raw"), "UTF-8")))))
       .withColumn("_reason",
         when(col("http_status").isNull ||
           !col("http_status").between(200, 299), lit("status"))
           .when(col("_te_other"), lit("transfer-encoding"))
-          .when(col("_chunked") && col("_raw").isNull, lit("chunked"))
+          .when(col("_chunked") && col("_raw1").isNull, lit("chunked"))
           .when(col("_ce_bad"), lit("content-encoding"))
+          .when(col("_ce_gz") && col("_raw").isNull, lit("content-encoding"))
           .when(col("_charset") === "unsupported", lit("charset"))
           .when(col("_text").isNull, lit("encoding"))
           .when(col("_text") === "", lit("empty")))

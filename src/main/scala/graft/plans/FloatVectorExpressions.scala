@@ -199,6 +199,11 @@ object GraftFunctions {
     (FunctionIdentifier("http_dechunk"),
       new ExpressionInfo(classOf[HttpDechunk].getName, "http_dechunk"),
       (es: Seq[Expression]) => HttpDechunk(es(0))),
+    (FunctionIdentifier("http_inflate"),
+      new ExpressionInfo(classOf[HttpInflate].getName, "http_inflate"),
+      (es: Seq[Expression]) => HttpInflate(es(0),
+        if (es.length > 1) litInt(es(1), "http_inflate")
+        else HttpCodec.MaxInflate)),
     (FunctionIdentifier("utf8_nfc"),
       new ExpressionInfo(classOf[Utf8Nfc].getName, "utf8_nfc"),
       (es: Seq[Expression]) => Utf8Nfc(es(0))),

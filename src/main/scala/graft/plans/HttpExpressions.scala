@@ -1,5 +1,7 @@
 package graft.plans
 
+import java.io.IOException
+
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -61,6 +63,62 @@ object HttpCodec {
   private def hexVal(b: Byte): Int =
     if (b <= '9') b - '0'
     else (b | 0x20) - 'a' + 10
+
+  /** Output-size cap for [[inflate]] — matches [[graft.sources.WarcSource]]'s
+    * default `maxRecord`: a body that inflates past it is a bomb or
+    * corruption, not a web page. */
+  val MaxInflate: Int = 64 << 20
+
+  /** `Content-Encoding: gzip / x-gzip / deflate` body decode, bomb-guarded.
+    *
+    * Format is SNIFFED from the bytes, not trusted from the header
+    * (headers lie on the real web): the gzip magic (1f 8b) selects the
+    * RFC 1952 route; otherwise the zlib CMF/FLG checksum (RFC 1950 §2.2:
+    * low nibble 8, 16-bit header divisible by 31) decides between a zlib
+    * wrapper and RAW deflate — many servers send raw RFC 1951 streams
+    * despite `deflate` formally naming zlib, and the checksum heuristic
+    * is the standard browser-grade disambiguation.
+    *
+    * Returns NULL (→ quarantine at the caller) for: a corrupt or
+    * truncated stream, or output exceeding `maxOut` (decompression
+    * bomb). Trailing garbage after a complete gzip member is tolerated
+    * (Java's multi-member walk ends at the first non-member bytes). */
+  def inflate(body: Array[Byte], maxOut: Int = MaxInflate): Array[Byte] = {
+    if (body.length < 2) return null
+    val gzip = (body(0) & 0xff) == 0x1f && (body(1) & 0xff) == 0x8b
+    val b0 = body(0) & 0xff
+    val zlib = !gzip && (b0 & 0x0f) == 8 &&
+      ((b0 << 8 | (body(1) & 0xff)) % 31 == 0)
+    // the raw-deflate route owns its Inflater (InflaterInputStream only
+    // end()s a DEFAULT inflater on close — ours must be freed by hand or
+    // its native buffers leak until a GC Cleaner runs)
+    var owned: java.util.zip.Inflater = null
+    var in: java.io.InputStream = null
+    try {
+      val bis = new java.io.ByteArrayInputStream(body)
+      in =
+        if (gzip) new java.util.zip.GZIPInputStream(bis, 64 << 10)
+        else {
+          owned = new java.util.zip.Inflater(!zlib) // nowrap = raw deflate
+          new java.util.zip.InflaterInputStream(bis, owned, 64 << 10)
+        }
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(body.length * 4, 1 << 10), 1 << 20))
+      val buf = new Array[Byte](64 << 10)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size + n > maxOut) return null // bomb guard
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch {
+      case _: IOException => null // bad header, corrupt or truncated stream
+    } finally {
+      if (in != null) { try in.close() catch { case _: IOException => () } }
+      if (owned != null) owned.end()
+    }
+  }
 }
 
 /** `http_dechunk(binary)` → de-chunked binary, null on malformed framing
@@ -89,5 +147,37 @@ case class HttpDechunk(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): HttpDechunk =
+    copy(child = newChild)
+}
+
+/** `http_inflate(binary[, max_out])` → gzip/zlib/raw-deflate-decoded
+  * binary, null on a corrupt stream or a decompression bomb (see
+  * [[HttpCodec.inflate]]). `max_out` parameterizes codegen and must be
+  * an integer literal (default [[HttpCodec.MaxInflate]]). */
+case class HttpInflate(child: Expression, maxOut: Int = HttpCodec.MaxInflate)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${other.sql}")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // corrupt stream / bomb → null
+  override def prettyName: String = "http_inflate"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HttpCodec.inflate(input.asInstanceOf[Array[Byte]], maxOut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.HttpCodec.inflate($c, $maxOut);
+         |${ev.isNull} = ${ev.value} == null;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HttpInflate =
     copy(child = newChild)
 }

@@ -402,8 +402,8 @@ class HtmlUrlSpec extends SparkSpec {
         http("200 OK", "text/html; charset=ISO-8859-1", latin1Body.getBytes(ISO_8859_1))) ++
       record("response", "http://plain.net/no-charset",
         http("200 OK", "text/html", "<p>default utf8 page</p>".getBytes(UTF_8))) ++
-      record("response", "http://bad.net/cp1252",
-        http("200 OK", "text/html; charset=windows-1252", "x".getBytes(US_ASCII))) ++
+      record("response", "http://bad.net/sjis",
+        http("200 OK", "text/html; charset=shift_jis", "x".getBytes(US_ASCII))) ++
       record("response", "http://gone.net/404",
         http("404 Not Found", "text/html", "<p>gone</p>".getBytes(UTF_8))) ++
       record("response", "http://empty.net/blank",
@@ -432,10 +432,49 @@ class HtmlUrlSpec extends SparkSpec {
     val q = quarantine.collect().map(r =>
       r.getAs[String]("target_uri") -> r.getAs[String]("reason")).toMap
     assert(q == Map(
-      "http://bad.net/cp1252" -> "charset",
+      "http://bad.net/sjis" -> "charset",
       "http://gone.net/404" -> "status",
       "http://empty.net/blank" -> "empty",
       "http://broken.net/bytes" -> "encoding"))
+  }
+
+  test("warcToDocuments decodes windows-1252 exactly and sniffs meta charsets") {
+    val dir = Files.createTempDirectory("graft_warc_cp1252")
+    // curly quotes (93/94), apostrophe (92), em dash (97), euro (80) —
+    // the 0x80–0x9F range where cp1252 and latin-1 disagree
+    val cp1252Body = "<p>“hello” — it’s €5</p>"
+      .getBytes("windows-1252")
+    // header carries NO charset; the page declares itself via <meta>
+    val metaBody = ("<html><head><meta charset=\"windows-1252\"></head>" +
+      "<body><p>meta’page</p></body></html>").getBytes("windows-1252")
+    val httpEquivBody = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=ISO-8859-1\"></head>" +
+      "<body><p>equiv naïve</p></body></html>").getBytes(ISO_8859_1)
+    val recs =
+      record("response", "http://cp.net/quoted",
+        http("200 OK", "text/html; charset=windows-1252", cp1252Body)) ++
+      record("response", "http://cp.net/alias",
+        http("200 OK", "text/html; charset=cp1252", cp1252Body)) ++
+      record("response", "http://cp.net/meta", http("200 OK", "text/html", metaBody)) ++
+      record("response", "http://cp.net/equiv",
+        http("200 OK", "text/html", httpEquivBody)) ++
+      // a header-DECLARED charset outranks a lying meta
+      record("response", "http://cp.net/header-wins",
+        http("200 OK", "text/html; charset=utf-8",
+          "<html><head><meta charset=\"shift_jis\"></head><p>café</p></html>"
+            .getBytes(UTF_8)))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val (clean, quarantine) =
+      HtmlOps.warcToDocuments(graft.sources.WarcSource.read(spark, dir.toString))
+    val byUrl = clean.collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(byUrl == Map(
+      "http://cp.net/quoted" -> "“hello” — it’s €5",
+      "http://cp.net/alias" -> "“hello” — it’s €5",
+      "http://cp.net/meta" -> "meta’page",
+      "http://cp.net/equiv" -> "equiv naïve",
+      "http://cp.net/header-wins" -> "café"), byUrl)
+    assert(quarantine.count() == 0, "every page in this set decodes")
   }
 
   test("warcToDocuments de-chunks chunked bodies; malformed framing quarantines") {
@@ -483,35 +522,83 @@ class HtmlUrlSpec extends SparkSpec {
       "http://chunky.net/gz" -> "transfer-encoding"), q)
   }
 
-  test("warcToDocuments quarantines compressed Content-Encoding bodies") {
+  test("warcToDocuments inflates gzip/deflate bodies; br and corrupt quarantine") {
     import java.io.ByteArrayOutputStream
-    import java.util.zip.GZIPOutputStream
+    import java.util.zip.{Deflater, GZIPOutputStream}
     val dir = Files.createTempDirectory("graft_warc_ce")
-    val page = "<p>would be mojibake if charset-decoded</p>".getBytes(UTF_8)
+    val html = "<html><body><p>the gzip-encoded crawl page café</p></body></html>"
+    val page = html.getBytes(UTF_8)
     val gzBody = { val o = new ByteArrayOutputStream()
       val g = new GZIPOutputStream(o); g.write(page); g.finish(); o.toByteArray }
+    def deflated(raw: Boolean): Array[Byte] = {
+      val d = new Deflater(Deflater.DEFAULT_COMPRESSION, raw)
+      d.setInput(page); d.finish()
+      val o = new ByteArrayOutputStream(); val buf = new Array[Byte](4096)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray
+    }
+    val corrupt = gzBody.clone(); corrupt(14) = (corrupt(14) ^ 0xff).toByte
     def http2(hdrs: String, body: Array[Byte]): Array[Byte] =
       (s"HTTP/1.1 200 OK\r\n$hdrs\r\n\r\n").getBytes(US_ASCII) ++ body
+    val ct = "Content-Type: text/html; charset=utf-8"
     val recs =
       record("response", "http://ce.net/gzip",
-        http2("Content-Type: text/html\r\nContent-Encoding: gzip", gzBody)) ++
+        http2(s"$ct\r\nContent-Encoding: gzip", gzBody)) ++
+      record("response", "http://ce.net/xgzip",
+        http2(s"$ct\r\nContent-Encoding: x-gzip", gzBody)) ++
+      record("response", "http://ce.net/zlib",
+        http2(s"$ct\r\nContent-Encoding: deflate", deflated(raw = false))) ++
+      record("response", "http://ce.net/raw-deflate",
+        http2(s"$ct\r\nContent-Encoding: deflate", deflated(raw = true))) ++
+      record("response", "http://ce.net/corrupt",
+        http2(s"$ct\r\nContent-Encoding: gzip", corrupt)) ++
       record("response", "http://ce.net/br",
-        http2("Content-Type: text/html\r\nContent-Encoding: br", page)) ++
+        http2(s"$ct\r\nContent-Encoding: br", page)) ++
       // identity is NOT compression — must stay on the clean route
       record("response", "http://ce.net/identity",
-        http2("Content-Type: text/html\r\nContent-Encoding: identity", page)) ++
-      record("response", "http://ce.net/plain",
-        http2("Content-Type: text/html", page))
+        http2(s"$ct\r\nContent-Encoding: identity", page)) ++
+      record("response", "http://ce.net/plain", http2(ct, page))
     Files.write(dir.resolve("seg.warc"), recs)
     val (clean, quarantine) =
       HtmlOps.warcToDocuments(graft.sources.WarcSource.read(spark, dir.toString))
-    assert(clean.collect().map(_.getAs[String]("url")).sorted.toSeq ==
-      Seq("http://ce.net/identity", "http://ce.net/plain"))
+    val want = "the gzip-encoded crawl page café"
+    val byUrl = clean.collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(byUrl == Map(
+      "http://ce.net/gzip" -> want, "http://ce.net/xgzip" -> want,
+      "http://ce.net/zlib" -> want, "http://ce.net/raw-deflate" -> want,
+      "http://ce.net/identity" -> want, "http://ce.net/plain" -> want),
+      byUrl)
     val q = quarantine.collect().map(r =>
       r.getAs[String]("target_uri") -> r.getAs[String]("reason")).toMap
     assert(q == Map(
-      "http://ce.net/gzip" -> "content-encoding",
+      "http://ce.net/corrupt" -> "content-encoding",
       "http://ce.net/br" -> "content-encoding"), q)
+  }
+
+  test("warcToDocuments: chunked + gzip composition decodes through both codecs") {
+    import java.io.ByteArrayOutputStream
+    import java.util.zip.GZIPOutputStream
+    val dir = Files.createTempDirectory("graft_warc_tece")
+    val html = "<p>chunk-framed gzip entity</p>"
+    val gzBody = { val o = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(o); g.write(html.getBytes(UTF_8)); g.finish()
+      o.toByteArray }
+    // the REAL wire layout: CE compresses the entity, TE frames the bytes
+    val chunked = (f"${gzBody.length}%x\r\n").getBytes(US_ASCII) ++ gzBody ++
+      "\r\n0\r\n\r\n".getBytes(US_ASCII)
+    val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n")
+      .getBytes(US_ASCII) ++ chunked
+    Files.write(dir.resolve("seg.warc"),
+      record("response", "http://both.net/page", payload))
+    val (clean, quarantine) =
+      HtmlOps.warcToDocuments(graft.sources.WarcSource.read(spark, dir.toString))
+    val rows = clean.collect()
+    assert(rows.length == 1 &&
+      rows.head.getAs[String]("text") == "chunk-framed gzip entity",
+      rows.mkString(","))
+    assert(quarantine.count() == 0)
   }
 
   test("robots rule tie-breaks agree with the oracle's ordering (Allow wins)") {

@@ -100,4 +100,89 @@ class HttpCodecSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("binary") ||
       e.getMessage.contains("DATATYPE_MISMATCH"), e.getMessage)
   }
+
+  // ---- http_inflate (round 13: Content-Encoding body decode) ----
+
+  private def gzipped(payload: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(payload); gz.close()
+    bos.toByteArray
+  }
+
+  private def zlibbed(payload: Array[Byte], raw: Boolean): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+    d.setInput(payload); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  test("http_inflate decodes gzip, zlib-deflate, and RAW deflate bodies") {
+    val payload = b("<html>compressed corpus page</html>")
+    assert(HttpCodec.inflate(gzipped(payload)).toSeq == payload.toSeq)
+    assert(HttpCodec.inflate(zlibbed(payload, raw = false)).toSeq ==
+      payload.toSeq, "zlib wrapper (RFC 1950) sniffed by CMF/FLG checksum")
+    assert(HttpCodec.inflate(zlibbed(payload, raw = true)).toSeq ==
+      payload.toSeq, "raw deflate (RFC 1951) — the lying-server form")
+    // binary payloads survive byte-for-byte
+    val bin = Array.tabulate[Byte](4096)(i => (i * 31).toByte)
+    assert(HttpCodec.inflate(gzipped(bin)).toSeq == bin.toSeq)
+    // concatenated gzip members decode end-to-end
+    assert(HttpCodec.inflate(gzipped(b("ab")) ++ gzipped(b("cd"))).toSeq ==
+      b("abcd").toSeq)
+  }
+
+  test("http_inflate nulls on corrupt, truncated, and bomb streams") {
+    assert(HttpCodec.inflate(Array.emptyByteArray) == null)
+    assert(HttpCodec.inflate(b("x")) == null)
+    assert(HttpCodec.inflate(b("plain text, not compressed")) == null)
+    val good = gzipped(b("hello world hello world"))
+    assert(HttpCodec.inflate(good.dropRight(6)) == null, "truncated gzip")
+    val corrupt = good.clone()
+    corrupt(12) = (corrupt(12) ^ 0xff).toByte
+    assert(HttpCodec.inflate(corrupt) == null, "flipped deflate bytes")
+    // bomb guard: 1 MiB of zeros gzips to ~1 KB; cap the output at 64 KiB
+    val bomb = gzipped(new Array[Byte](1 << 20))
+    assert(HttpCodec.inflate(bomb, maxOut = 64 << 10) == null,
+      "output past maxOut must null, not allocate")
+    assert(HttpCodec.inflate(bomb).length == (1 << 20),
+      "same stream under the default cap decodes")
+  }
+
+  test("http_inflate eval ≡ codegen parity, null propagation, maxOut literal") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    graft.plans.GraftFunctions.register(spark)
+    val payload = b("parity fixture")
+    val cases: Seq[Array[Byte]] = Seq(
+      gzipped(payload), zlibbed(payload, raw = false),
+      zlibbed(payload, raw = true), b("junk"), Array.emptyByteArray,
+      gzipped(payload).dropRight(4))
+    val viaDf = cases.zipWithIndex.map { case (a, i) => (i, a) }
+      .toDF("i", "body")
+      .select(col("i"), call_function("http_inflate", col("body")).as("out"))
+      .collect().map(r => r.getInt(0) -> Option(r.getAs[Array[Byte]]("out")))
+      .toMap
+    cases.zipWithIndex.foreach { case (a, i) =>
+      val direct = Option(HttpCodec.inflate(a))
+      val interp = Option(graft.plans.HttpInflate(Literal(a, BinaryType))
+        .eval(null)).map(_.asInstanceOf[Array[Byte]])
+      assert(direct.map(_.toSeq) == interp.map(_.toSeq), s"interp case $i")
+      assert(direct.map(_.toSeq) == viaDf(i).map(_.toSeq), s"codegen case $i")
+    }
+    val nullRow = Seq((0, null: Array[Byte])).toDF("i", "body")
+      .select(call_function("http_inflate", col("body"))).collect().head
+    assert(nullRow.isNullAt(0))
+    // the 2-arg literal form parameterizes the bomb cap through SQL
+    val capped = Seq((0, gzipped(new Array[Byte](1 << 20))))
+      .toDF("i", "body")
+      .select(call_function("http_inflate", col("body"), lit(1024)))
+      .collect().head
+    assert(capped.isNullAt(0), "literal maxOut reaches codegen")
+  }
 }
