@@ -133,6 +133,7 @@ object SparkEntry {
     "q_frontier" -> ((s, dir) => CrawlOps.frontier(Tables.documents(s, dir))),
     "q_crawl_schedule" -> ((s, dir) => CrawlOps.crawlSchedule(Tables.documents(s, dir))),
     "q_sitemap" -> ((s, dir) => CrawlOps.sitemapSeeds(Tables.documents(s, dir))),
+    "q_redirects" -> ((s, dir) => CrawlOps.redirects(Tables.documents(s, dir))),
     "q_extract_clean" -> ((s, dir) => HtmlOps.extractClean(Tables.documents(s, dir))),
     // --- trained classifiers (§2 rows 101-103) ---
     "q_classifier_train" -> ((s, dir) =>

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Crawl-politeness + frontier discovery — the two steps that close the
@@ -151,6 +151,87 @@ object CrawlOps {
       .select(col("canon_url"), col("source"), col("allowed"),
         coalesce(col("_f"), lit(false)).as("fetched"))
       .orderBy("canon_url")
+  }
+
+  /** Synthetic redirect log (src_url, dst_url) — the crawl loop's
+    * redirect estate under the oracle: per host, a 2-hop chain
+    * `/r/<d> → /moved/<d> → /docs/<d>` whose target is a REAL page of
+    * the shared url universe (d = the link universe's `p1` arithmetic,
+    * so the chain lands in the frontier/fetch-log world), plus a 2-cycle
+    * `/loop/a ↔ /loop/b` so the hop cap actually bites. */
+  private[graft] def redirectEdges(documents: DataFrame): DataFrame = {
+    val host = concat(col("source"), lit(".example.com"))
+    val d = ((expr("CAST(substr(source, 4, 10) AS INT)") * 7 + 13) % 100)
+      .cast("string")
+    def u(path: Column*): Column =
+      concat((lit("http://") +: host +: path): _*)
+    documents.select(col("source")).distinct()
+      .select(explode(array(
+        struct(u(lit("/r/"), d).as("src_url"),
+          u(lit("/moved/"), d).as("dst_url")),
+        struct(u(lit("/moved/"), d).as("src_url"),
+          u(lit("/docs/"), d).as("dst_url")),
+        struct(u(lit("/loop/a")).as("src_url"),
+          u(lit("/loop/b")).as("dst_url")),
+        struct(u(lit("/loop/b")).as("src_url"),
+          u(lit("/loop/a")).as("dst_url")))).as("e"))
+      .select(col("e.src_url").as("src_url"), col("e.dst_url").as("dst_url"))
+  }
+
+  /** Resolve every redirect source to its FINAL destination by chasing
+    * the edge frame at most `maxHops` hops — one canonical-URL-keyed
+    * equi-join per hop, the standard bounded-unrolling shape (a redirect
+    * log at 100 TB is corpus-scale, so each hop is a hash join on the
+    * url key, never a driver loop; hop count is a small constant because
+    * real UAs cap chains the same way). `resolved` = the final URL has
+    * no outgoing edge — false flags a loop or an over-deep chain. */
+  private[graft] def redirectResolve(edges: DataFrame,
+                                     maxHops: Int = 4): DataFrame = {
+    var cur = edges.select(col("src_url"),
+      col("dst_url").as("final_url"), lit(1L).as("n_hops"))
+    (2 to maxHops).foreach { _ =>
+      val step = edges.select(col("src_url").as("_f"), col("dst_url").as("_n"))
+      cur = cur.join(step, col("final_url") === col("_f"), "left")
+        .select(col("src_url"),
+          coalesce(col("_n"), col("final_url")).as("final_url"),
+          (col("n_hops") +
+            when(col("_n").isNotNull, 1L).otherwise(0L)).as("n_hops"))
+    }
+    val more = edges.select(col("src_url").as("_f")).distinct()
+      .withColumn("_more", lit(true))
+    cur.join(more, col("final_url") === col("_f"), "left")
+      .select(col("src_url"), col("final_url"), col("n_hops"),
+        (coalesce(col("_more"), lit(false)) === lit(false)).as("resolved"))
+  }
+
+  /** §2 `q_redirects`: 3xx handling — the crawl-loop face VERDICT r12
+    * flagged as a dead end: every redirect source resolved to its final
+    * target (hop-capped, loop-flagged), with the scheduler's verdict on
+    * the TARGET: `enqueue` = resolved ∧ robots-allowed ∧ not-yet-fetched
+    * — a planted 301 chain thereby surfaces its target in the enqueue
+    * set, which is exactly what [[frontier]] consumes (the WARC-side
+    * twin [[HtmlOps.redirectsOf]] feeds real `Location:` headers through
+    * the same shape). Edges and targets ride the SHARED universe
+    * builders; rules broadcast; the fetch-log join keys on the canonical
+    * URL like every crawl operator. */
+  def redirects(documents: DataFrame): DataFrame = {
+    val resolved = redirectResolve(redirectEdges(documents))
+    val allowed = matchRules(
+      withParts(resolved.select(col("final_url").as("canon_url")).distinct()),
+      rulesOf(documents), Seq.empty)
+      .select(col("canon_url").as("_a_url"),
+        coalesce(col("m.allow"), lit(true)).as("_allowed"))
+    val fetched = UrlOps.canonUrls(documents)
+      .filter(expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT) < 50"))
+      .select(col("canon_url").as("_f_url"))
+      .withColumn("_fetched", lit(true))
+    resolved
+      .join(allowed, col("final_url") === col("_a_url"), "left")
+      .join(fetched, col("final_url") === col("_f_url"), "left")
+      .select(col("src_url"), col("final_url"), col("n_hops"), col("resolved"),
+        (col("resolved") && coalesce(col("_allowed"), lit(true)) &&
+          coalesce(col("_fetched"), lit(false)) === lit(false)).as("enqueue"))
+      .orderBy("src_url")
   }
 
   /** §2-C `frontierStream`: live frontier DISCOVERY — each micro-batch
@@ -506,6 +587,67 @@ object CrawlOps {
          |LEFT JOIN (SELECT * FROM smatched WHERE rk = 1) m
          |  ON m.canon_url = p.canon_url
          |ORDER BY p.canon_url""".stripMargin,
+    "q_redirects" -> {
+      val d = "CAST((CAST(substr(source, 4, 10) AS INT) * 7 + 13) % 100 AS VARCHAR)"
+      val h = "'http://' || source || '.example.com"
+      s"""WITH srcs AS (
+         |  SELECT DISTINCT source FROM documents
+         |), e AS (
+         |  SELECT $h/r/' || $d AS src_url, $h/moved/' || $d AS dst_url FROM srcs
+         |  UNION ALL
+         |  SELECT $h/moved/' || $d, $h/docs/' || $d FROM srcs
+         |  UNION ALL
+         |  SELECT $h/loop/a', $h/loop/b' FROM srcs
+         |  UNION ALL
+         |  SELECT $h/loop/b', $h/loop/a' FROM srcs
+         |), s1 AS (
+         |  SELECT src_url, dst_url AS final_url, 1 AS n_hops FROM e
+         |), s2 AS (
+         |  SELECT s.src_url, COALESCE(x.dst_url, s.final_url) AS final_url,
+         |    s.n_hops + CASE WHEN x.src_url IS NULL THEN 0 ELSE 1 END AS n_hops
+         |  FROM s1 s LEFT JOIN e x ON x.src_url = s.final_url
+         |), s3 AS (
+         |  SELECT s.src_url, COALESCE(x.dst_url, s.final_url) AS final_url,
+         |    s.n_hops + CASE WHEN x.src_url IS NULL THEN 0 ELSE 1 END AS n_hops
+         |  FROM s2 s LEFT JOIN e x ON x.src_url = s.final_url
+         |), s4 AS (
+         |  SELECT s.src_url, COALESCE(x.dst_url, s.final_url) AS final_url,
+         |    s.n_hops + CASE WHEN x.src_url IS NULL THEN 0 ELSE 1 END AS n_hops
+         |  FROM s3 s LEFT JOIN e x ON x.src_url = s.final_url
+         |), res AS (
+         |  SELECT s.src_url, s.final_url, CAST(s.n_hops AS BIGINT) AS n_hops,
+         |    NOT EXISTS (SELECT 1 FROM e x WHERE x.src_url = s.final_url)
+         |      AS resolved
+         |  FROM s4 s
+         |),
+         |$rulesSql,
+         |fparts AS (
+         |  SELECT DISTINCT final_url AS canon_url,
+         |    regexp_extract(final_url, '^[a-z]+://([^./]+)\\.', 1) AS source,
+         |    regexp_replace(final_url, '^[a-z]+://[^/?#]*', '') AS path
+         |  FROM res
+         |), matched AS (
+         |  SELECT p.canon_url, r.allow,
+         |    ROW_NUMBER() OVER (PARTITION BY p.canon_url
+         |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rk
+         |  FROM fparts p JOIN rules r
+         |    ON p.source = r.source
+         |   AND substr(p.path, 1, length(r.prefix)) = r.prefix
+         |),
+         |${UrlOps.urlUniverseSql},
+         |fetched AS (
+         |  SELECT DISTINCT ${UrlOps.canonSql("url")} AS canon_url FROM u
+         |  WHERE TRY_CAST(regexp_extract(${UrlOps.canonSql("url")}, '/docs/([0-9]+)$$', 1) AS INT) < 50
+         |)
+         |SELECT r.src_url, r.final_url, r.n_hops, r.resolved,
+         |  (r.resolved AND COALESCE(m.allow, TRUE) AND f.canon_url IS NULL)
+         |    AS enqueue
+         |FROM res r
+         |LEFT JOIN (SELECT * FROM matched WHERE rk = 1) m
+         |  ON m.canon_url = r.final_url
+         |LEFT JOIN fetched f ON f.canon_url = r.final_url
+         |ORDER BY r.src_url""".stripMargin
+    },
     "q_crawl_schedule" ->
       s"""WITH $frontierCtes,
          |frs AS (

@@ -301,6 +301,38 @@ object HtmlOps {
     (clean, quarantine)
   }
 
+  /** The redirect edges a WARC crawl actually contains: 3xx `response`
+    * records' `Location:` headers, canonicalized under the fetch-log
+    * identity ([[UrlOps.canon]]). Relative Locations (RFC 9110 allows
+    * them) resolve against the request's origin; a 3xx with no Location
+    * is dropped (nothing to follow). Feeds [[CrawlOps.redirectResolve]] /
+    * [[CrawlOps.frontierCore]] — the enqueue path `q_redirects` grades
+    * on the synthetic twin. Pure row-level header extraction — one scan,
+    * zero shuffles, the same latin-1 split discipline as
+    * [[warcToDocuments]]. */
+  def redirectsOf(records: DataFrame): DataFrame = {
+    val blank = "(?s)\\r?\\n\\r?\\n"
+    records.filter(col("warc_type") === "response")
+      .withColumn("_l1", decode(col("payload"), "ISO-8859-1"))
+      .withColumn("_hdr",
+        when(regexp_extract(col("_l1"), blank, 0) === "", col("_l1"))
+          .otherwise(regexp_extract(col("_l1"), s"(?s)^(.*?)\\r?\\n\\r?\\n", 1)))
+      .withColumn("http_status",
+        regexp_extract(col("_hdr"), "^HTTP/[0-9.]+ ([0-9]{3})", 1).cast("int"))
+      .filter(col("http_status").between(300, 399))
+      .withColumn("_loc", regexp_extract(col("_hdr"),
+        "(?im)^location:[ \\t]*([^\\r\\n]+)", 1))
+      .filter(col("_loc") =!= "")
+      .withColumn("_origin", regexp_extract(col("target_uri"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0))
+      .withColumn("_dst",
+        when(col("_loc").startsWith("/"), concat(col("_origin"), col("_loc")))
+          .otherwise(col("_loc")))
+      .select(UrlOps.canon(col("target_uri")).as("src_url"),
+        UrlOps.canon(col("_dst")).as("dst_url"),
+        col("http_status"))
+  }
+
   /** §2-123 `q_link_extract`: outlink extraction — the crawl-frontier /
     * link-graph builder: pull `<a href="...">` targets out of the HTML,
     * canonicalize each ([[UrlOps.canon]] — frontier URLs must dedupe

@@ -601,6 +601,58 @@ class HtmlUrlSpec extends SparkSpec {
     assert(quarantine.count() == 0)
   }
 
+  test("redirectsOf pulls 3xx Location edges; a planted 301 chain resolves and enqueues") {
+    import graft.operators.CrawlOps
+    val dir = Files.createTempDirectory("graft_warc_redir")
+    def resp(uri: String, status: String, hdrs: String): Array[Byte] =
+      record("response", uri,
+        (s"HTTP/1.1 $status\r\n$hdrs\r\n\r\n").getBytes(US_ASCII))
+    val recs =
+      // chain: /start -301-> /hop (RELATIVE Location) -302-> other host
+      resp("HTTP://Chain.NET:80/start?utm_source=x", "301 Moved Permanently",
+        "Location: /hop") ++
+      resp("http://chain.net/hop", "302 Found",
+        "Location: http://Target.ORG/final#frag") ++
+      // a 3xx with no Location: nothing to follow, dropped
+      resp("http://chain.net/dead", "303 See Other", "X-Other: v") ++
+      // non-3xx responses are not redirects
+      record("response", "http://chain.net/page",
+        http("200 OK", "text/html", "<p>x</p>".getBytes(UTF_8)))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val edges = HtmlOps.redirectsOf(
+      graft.sources.WarcSource.read(spark, dir.toString))
+    val got = edges.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(
+      ("http://chain.net/start", "http://chain.net/hop", 301),
+      ("http://chain.net/hop", "http://target.org/final", 302)), got)
+    // the chain resolves end-to-end through the shared resolver, and the
+    // final target is what the frontier would enqueue
+    val res = CrawlOps.redirectResolve(edges.select("src_url", "dst_url"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(res("http://chain.net/start") ==
+      (("http://target.org/final", 2L, true)))
+    assert(res("http://chain.net/hop") ==
+      (("http://target.org/final", 1L, true)))
+  }
+
+  test("redirectResolve caps loops: a 2-cycle never terminates but never hangs") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val e = Seq(
+      ("http://h/loop/a", "http://h/loop/b"),
+      ("http://h/loop/b", "http://h/loop/a"),
+      ("http://h/r", "http://h/done")).toDF("src_url", "dst_url")
+    val out = CrawlOps.redirectResolve(e).collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("http://h/r") == (("http://h/done", 1L, true)))
+    val (fa, ha, ra) = out("http://h/loop/a")
+    assert(!ra && ha == 4L, s"loop must exhaust the hop cap: $fa $ha")
+    assert(!out("http://h/loop/b")._3)
+  }
+
   test("robots rule tie-breaks agree with the oracle's ordering (Allow wins)") {
     import spark.implicits._
     import graft.operators.CrawlOps
