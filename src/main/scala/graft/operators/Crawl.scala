@@ -109,47 +109,164 @@ object CrawlOps {
       .join(fetched.select(col("canon_url")), Seq("canon_url"), "left_anti")
       .select(col("canon_url"), col("n_referrers"))
 
-  /** §2 `q_sitemap`: sitemap-SEEDED discovery — the crawl loop's other
-    * input path beside outlink extraction: each host publishes a
-    * deterministic synthetic sitemap.xml (both engines build the same
-    * bytes — one canonical `<loc>`, one MESSY variant with upper-case
-    * scheme/host, an explicit :80 and a fragment, and one
-    * trailing-slash duplicate of the first, so canonicalization
-    * actually bites), `<loc>` entries are pulled row-level, canonized
-    * under the fetch-log identity ([[UrlOps.canon]]), deduped, and
-    * annotated with the two flags a scheduler triages by: robots
-    * `allowed` (the shared [[matchRules]] argmax) and already-`fetched`
-    * (the shared synthetic fetch log). Hosts-bounded input (sitemaps
-    * are per-host artifacts like robots.txt), so the only corpus-scale
-    * frame is the fetch-log join — keyed on the canonical URL, the same
-    * identity every crawl operator joins on. */
-  def sitemapSeeds(documents: DataFrame): DataFrame = {
+  /** The synthetic per-host sitemap UNIVERSE, in its real nested form
+    * (round 13): `/sitemap.xml` is a `<sitemapindex>` pointing at two
+    * child `<urlset>` files — child A carries the original three locs
+    * (one canonical with `<lastmod>`, one MESSY upper-case/:80/#frag
+    * variant without, one trailing-slash duplicate of the first, so
+    * canonicalization still bites), child B two more with older
+    * lastmods (one recent enough to trigger recrawls for some fetch
+    * dates, one predating every fetch). Both engines derive the same
+    * bytes from `source` alone. Returns (source, url, body). */
+  private[graft] def sitemapBodies(documents: DataFrame): DataFrame = {
     val idx = expr("CAST(substr(source, 4, 10) AS INT)")
     val host = concat(col("source"), lit(".example.com"))
-    val d1 = ((idx * 3 + 1) % 100).cast("string")
+    // lastmod-bearing entries land in the host's OWN path-id residue
+    // class (the fetch universe's ids are doc_id % 100 with source =
+    // idx % 20, so only ids ≡ idx (mod 20) can ever be in the fetch
+    // log) — otherwise `fetched` would be near-constant false and the
+    // recrawl gate would grade nothing; d2 stays an arbitrary messy
+    // discovery-only entry
+    def cls(m: Int, a: Int): Column =
+      (((idx * m + a) % 5) * 20 + (idx % 20)).cast("string")
+    val d1 = cls(3, 1)
     val d2 = ((idx * 13 + 2) % 100).cast("string")
-    val body = concat(
-      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset><url><loc>http://"),
-      host, lit("/docs/"), d1,
+    val d3 = cls(9, 4)
+    val d4 = cls(17, 6)
+    val xml = lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>")
+    val index = concat(xml,
+      lit("<sitemapindex><sitemap><loc>http://"), host,
+      lit("/sitemap-a.xml</loc></sitemap><sitemap><loc>http://"), host,
+      lit("/sitemap-b.xml</loc><lastmod>2026-08-01</lastmod></sitemap>" +
+        "</sitemapindex>"))
+    val childA = concat(xml,
+      lit("<urlset><url><loc>http://"), host, lit("/docs/"), d1,
       lit("</loc><lastmod>2026-08-01</lastmod></url><url><loc>HTTP://"),
       upper(host), lit(":80/docs/"), d2,
       lit("#frag</loc></url><url><loc>http://"), host,
       lit("/docs/"), d1, lit("/</loc></url></urlset>"))
-    val seeds = documents.select(col("source")).distinct()
-      .select(explode(regexp_extract_all(body,
-        lit("<loc>([^<]*)</loc>"), lit(1))).as("loc"))
-      .select(UrlOps.canon(col("loc")).as("canon_url"))
+    val childB = concat(xml,
+      lit("<urlset><url><loc>http://"), host, lit("/docs/"), d3,
+      lit("</loc><lastmod>2026-07-20</lastmod></url><url><loc>http://"),
+      host, lit("/docs/"), d4,
+      lit("</loc><lastmod>2026-06-10</lastmod></url></urlset>"))
+    documents.select(col("source")).distinct()
+      .select(col("source"), explode(array(
+        struct(concat(lit("http://"), host, lit("/sitemap.xml")).as("url"),
+          index.as("body")),
+        struct(concat(lit("http://"), host, lit("/sitemap-a.xml")).as("url"),
+          childA.as("body")),
+        struct(concat(lit("http://"), host, lit("/sitemap-b.xml")).as("url"),
+          childB.as("body")))).as("s"))
+      .select(col("source"), col("s.url").as("url"), col("s.body").as("body"))
+  }
+
+  /** Parse ANY (source, url, body) sitemap frame — the general face real
+    * fetched sitemap bytes enter through: `<sitemapindex>` files recurse
+    * ONE level (their `<loc>` children are resolved against the frame by
+    * canonical URL — a child the crawl has not fetched contributes
+    * nothing, an index-of-indexes does not recurse further, per the
+    * protocol's own one-level convention), `<urlset>` files yield one
+    * row per `<url>` block with its `<loc>` and optional `<lastmod>`.
+    * A urlset is parsed whether it arrived standalone or via an index
+    * (dedup by canonical child identity). Returns (source, loc,
+    * lastmod). Sitemaps are hosts-bounded artifacts, so every frame
+    * here is KBs-per-host at any corpus size; the one join is keyed on
+    * the canonical URL like every crawl operator. */
+  private[graft] def parseSitemaps(bodies: DataFrame): DataFrame = {
+    val isIndex = col("body").contains("<sitemapindex")
+    val urlsets = bodies.filter(!isIndex)
+      .withColumn("_canon", UrlOps.canon(col("url")))
+    val referenced = bodies.filter(isIndex)
+      .select(explode(regexp_extract_all(col("body"),
+        lit("<loc>([^<]*)</loc>"), lit(1))).as("child"))
+      .select(UrlOps.canon(col("child")).as("_canon"))
       .distinct()
+    // a urlset parses once whether standalone or index-referenced; an
+    // index child with no fetched body simply contributes nothing
+    val reachable = urlsets.join(referenced, Seq("_canon"), "left_semi")
+      .unionByName(urlsets.join(referenced, Seq("_canon"), "left_anti"))
+    reachable
+      .select(col("source"), explode(regexp_extract_all(col("body"),
+        lit("<url>(.*?)</url>"), lit(1))).as("u"))
+      .select(col("source"),
+        regexp_extract(col("u"), "<loc>([^<]*)</loc>", 1).as("loc"),
+        nullif(regexp_extract(col("u"), "<lastmod>([^<]*)</lastmod>", 1),
+          lit("")).as("lastmod"))
+      .filter(col("loc") =!= "")
+  }
+
+  /** §2 `q_sitemap`: sitemap-SEEDED discovery — the crawl loop's other
+    * input path beside outlink extraction: each host publishes the
+    * nested synthetic sitemap universe ([[sitemapBodies]] — a
+    * `<sitemapindex>` over two `<urlset>` children, both engines build
+    * the same bytes), entries are pulled through the general
+    * [[parseSitemaps]] (one-level index recursion), canonized under the
+    * fetch-log identity ([[UrlOps.canon]]), deduped with the NEWEST
+    * `<lastmod>` kept (max — duplicates under cosmetic URL variants
+    * collapse to one row), and annotated with the two flags a scheduler
+    * triages by: robots `allowed` (the shared [[matchRules]] argmax)
+    * and already-`fetched` (the shared synthetic fetch log). `lastmod`
+    * carries forward as a column — it is [[recrawl]]'s input.
+    * Hosts-bounded input (sitemaps are per-host artifacts like
+    * robots.txt), so the only corpus-scale frame is the fetch-log join
+    * — keyed on the canonical URL, the same identity every crawl
+    * operator joins on. */
+  def sitemapSeeds(documents: DataFrame): DataFrame =
+    sitemapSeedSet(documents).orderBy("canon_url")
+
+  /** [[sitemapSeeds]] without the presentation sort (the face
+    * [[recrawl]] composes — it re-joins and re-sorts anyway). */
+  private def sitemapSeedSet(documents: DataFrame): DataFrame = {
+    val seeds = parseSitemaps(sitemapBodies(documents))
+      .select(UrlOps.canon(col("loc")).as("canon_url"), col("lastmod"))
+      .groupBy(col("canon_url"))
+      .agg(max(col("lastmod")).as("lastmod"))
     val fetched = UrlOps.canonUrls(documents)
       .filter(expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT) < 50"))
       .withColumn("_f", lit(true))
-    matchRules(withParts(seeds), rulesOf(documents), Seq.empty)
-      .select(col("canon_url"), coalesce(col("m.allow"), lit(true)).as("allowed"))
+    matchRules(withParts(seeds), rulesOf(documents), Seq("lastmod"))
+      .select(col("canon_url"), col("lastmod"),
+        coalesce(col("m.allow"), lit(true)).as("allowed"))
       .withColumn("source",
         regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1))
       .join(fetched, Seq("canon_url"), "left")
-      .select(col("canon_url"), col("source"), col("allowed"),
+      .select(col("canon_url"), col("source"), col("lastmod"), col("allowed"),
         coalesce(col("_f"), lit(false)).as("fetched"))
+  }
+
+  /** The synthetic fetch DATE of a fetched canonical URL — derived from
+    * the path id so both engines agree: day 1 + id % 28 of 2026-07.
+    * ISO strings compare lexicographically, the shared convention. */
+  private def fetchDateSql(urlCol: String): String =
+    s"'2026-07-' || lpad(CAST(1 + CAST(regexp_extract($urlCol, " +
+      s"'/docs/([0-9]+)$$', 1) AS INT) % 28 AS STRING), 2, '0')"
+
+  /** §2 `q_recrawl`: lastmod-driven RECRAWL — the scheduler input the
+    * sitemap's `<lastmod>` exists for: fetched URLs whose sitemap
+    * lastmod POSTDATES their fetch date (the page changed since we took
+    * it) are re-queued through the SAME politeness arithmetic as fresh
+    * fetches ([[scheduleCore]] — shared with `q_crawl_schedule` and the
+    * stream, so recrawl and crawl cannot drift on queueing): per-host
+    * canonical-URL order, one slot per Crawl-delay. Output carries the
+    * evidence (lastmod, fetch_date) beside the schedule. Scale: seeds
+    * are hosts-bounded; the fetch log is the one corpus-scale frame,
+    * joined on the canonical URL; delays broadcast; the window
+    * partitions BY HOST. */
+  def recrawl(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val due = sitemapSeedSet(documents)
+      .filter(col("fetched") && col("allowed"))
+      .withColumn("fetch_date", expr(fetchDateSql("canon_url")))
+      .filter(col("lastmod") > col("fetch_date"))
+    val noCursors = Seq.empty[(String, Long)].toDF("source", "cursor_s")
+    scheduleCore(due.select(col("canon_url"), lit(1L).as("n_referrers")),
+      crawlDelayOf(documents), noCursors)
+      .join(due.select(col("canon_url"), col("lastmod"), col("fetch_date")),
+        Seq("canon_url"))
+      .select(col("canon_url"), col("source"), col("lastmod"),
+        col("fetch_date"), col("delay_s"), col("next_allowed_offset_s"),
+        col("next_allowed_ts"))
       .orderBy("canon_url")
   }
 
@@ -540,53 +657,36 @@ object CrawlOps {
          |FROM frontier_set
          |ORDER BY canon_url""".stripMargin,
     "q_sitemap" ->
-      s"""WITH srcs AS (
-         |  SELECT DISTINCT source FROM documents
-         |), sm AS (
-         |  SELECT source,
-         |    '<?xml version="1.0" encoding="UTF-8"?><urlset><url><loc>http://' ||
-         |    source || '.example.com/docs/' ||
-         |    CAST((CAST(substr(source, 4, 10) AS INT) * 3 + 1) % 100 AS VARCHAR) ||
-         |    '</loc><lastmod>2026-08-01</lastmod></url><url><loc>HTTP://' ||
-         |    upper(source || '.example.com') || ':80/docs/' ||
-         |    CAST((CAST(substr(source, 4, 10) AS INT) * 13 + 2) % 100 AS VARCHAR) ||
-         |    '#frag</loc></url><url><loc>http://' ||
-         |    source || '.example.com/docs/' ||
-         |    CAST((CAST(substr(source, 4, 10) AS INT) * 3 + 1) % 100 AS VARCHAR) ||
-         |    '/</loc></url></urlset>' AS body
-         |  FROM srcs
-         |), locs AS (
-         |  SELECT unnest(regexp_extract_all(body, '<loc>([^<]*)</loc>', 1)) AS loc
+      s"""WITH $sitemapSeedCtes
+         |SELECT canon_url, source, lastmod, allowed, fetched
+         |FROM sm
+         |ORDER BY canon_url""".stripMargin,
+    "q_recrawl" ->
+      s"""WITH $sitemapSeedCtes,
+         |due AS (
+         |  SELECT canon_url, source, lastmod,
+         |    '2026-07-' || lpad(CAST(1 + CAST(regexp_extract(canon_url, '/docs/([0-9]+)$$', 1) AS INT) % 28 AS VARCHAR), 2, '0')
+         |      AS fetch_date
          |  FROM sm
-         |), seeds AS (
-         |  SELECT DISTINCT ${UrlOps.canonSql("loc")} AS canon_url FROM locs
-         |), sparts AS (
-         |  SELECT canon_url,
-         |    regexp_extract(canon_url, '^[a-z]+://([^./]+)\\.', 1) AS source,
-         |    regexp_replace(canon_url, '^[a-z]+://[^/?#]*', '') AS path
-         |  FROM seeds
-         |),
-         |$rulesSql,
-         |smatched AS (
-         |  SELECT p.canon_url, r.allow,
-         |    ROW_NUMBER() OVER (PARTITION BY p.canon_url
-         |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rk
-         |  FROM sparts p JOIN rules r
-         |    ON p.source = r.source
-         |   AND substr(p.path, 1, length(r.prefix)) = r.prefix
-         |),
-         |${UrlOps.urlUniverseSql},
-         |fetched AS (
-         |  SELECT DISTINCT ${UrlOps.canonSql("url")} AS canon_url FROM u
-         |  WHERE TRY_CAST(regexp_extract(${UrlOps.canonSql("url")}, '/docs/([0-9]+)$$', 1) AS INT) < 50
+         |  WHERE fetched AND allowed
+         |), due2 AS (
+         |  SELECT * FROM due WHERE lastmod > fetch_date
+         |), del AS (
+         |  SELECT DISTINCT source,
+         |    CAST(CAST(substr(source, 4, 10) AS INT) % 5 + 1 AS BIGINT) AS delay_s
+         |  FROM documents
          |)
-         |SELECT p.canon_url, p.source,
-         |  COALESCE(m.allow, TRUE) AS allowed,
-         |  (p.canon_url IN (SELECT canon_url FROM fetched)) AS fetched
-         |FROM sparts p
-         |LEFT JOIN (SELECT * FROM smatched WHERE rk = 1) m
-         |  ON m.canon_url = p.canon_url
-         |ORDER BY p.canon_url""".stripMargin,
+         |SELECT d.canon_url, d.source, d.lastmod, d.fetch_date, l.delay_s,
+         |  CAST(COALESCE(SUM(l.delay_s) OVER (
+         |    PARTITION BY d.source ORDER BY d.canon_url
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS next_allowed_offset_s,
+         |  CAST($ScheduleEpoch + COALESCE(SUM(l.delay_s) OVER (
+         |    PARTITION BY d.source ORDER BY d.canon_url
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS next_allowed_ts
+         |FROM due2 d JOIN del l ON l.source = d.source
+         |ORDER BY d.canon_url""".stripMargin,
     "q_redirects" -> {
       val d = "CAST((CAST(substr(source, 4, 10) AS INT) * 7 + 13) % 100 AS VARCHAR)"
       val h = "'http://' || source || '.example.com"
@@ -672,6 +772,70 @@ object CrawlOps {
          |FROM frs f JOIN del d ON d.source = f.source
          |ORDER BY f.canon_url""".stripMargin
   )
+
+  /** The nested sitemap universe's ENTRIES + triage flags as CTEs ending
+    * in `sm (canon_url, source, lastmod, allowed, fetched)` — shared by
+    * `q_sitemap` and `q_recrawl` so the two cannot drift. The oracle
+    * parses the child urlsets' entries directly (the index → child
+    * resolution is a Spark-face concern, spec-graded; the ENTRY SET the
+    * two derivations yield is identical by construction — both engines
+    * see exactly child A's three locs + child B's two). */
+  private def sitemapSeedCtes: String = {
+    def d(m: Int, a: Int): String =
+      s"CAST((CAST(substr(source, 4, 10) AS INT) * $m + $a) % 100 AS VARCHAR)"
+    // the residue-class form — see sitemapBodies' cls()
+    def cls(m: Int, a: Int): String =
+      s"CAST(((CAST(substr(source, 4, 10) AS INT) * $m + $a) % 5) * 20 + " +
+        s"(CAST(substr(source, 4, 10) AS INT) % 20) AS VARCHAR)"
+    val h = "'http://' || source || '.example.com"
+    s"""srcs AS (
+       |  SELECT DISTINCT source FROM documents
+       |), ent AS (
+       |  SELECT $h/docs/' || ${cls(3, 1)} AS loc,
+       |    '2026-08-01' AS lastmod FROM srcs
+       |  UNION ALL
+       |  SELECT 'HTTP://' || upper(source || '.example.com') || ':80/docs/' ||
+       |    ${d(13, 2)} || '#frag', NULL FROM srcs
+       |  UNION ALL
+       |  SELECT $h/docs/' || ${cls(3, 1)} || '/', NULL FROM srcs
+       |  UNION ALL
+       |  SELECT $h/docs/' || ${cls(9, 4)}, '2026-07-20' FROM srcs
+       |  UNION ALL
+       |  SELECT $h/docs/' || ${cls(17, 6)}, '2026-06-10' FROM srcs
+       |), seeds AS (
+       |  SELECT ${UrlOps.canonSql("loc")} AS canon_url,
+       |    MAX(lastmod) AS lastmod
+       |  FROM ent
+       |  GROUP BY 1
+       |), sparts AS (
+       |  SELECT canon_url, lastmod,
+       |    regexp_extract(canon_url, '^[a-z]+://([^./]+)\\.', 1) AS source,
+       |    regexp_replace(canon_url, '^[a-z]+://[^/?#]*', '') AS path
+       |  FROM seeds
+       |),
+       |$rulesSql,
+       |smatched AS (
+       |  SELECT p.canon_url, r.allow,
+       |    ROW_NUMBER() OVER (PARTITION BY p.canon_url
+       |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rk
+       |  FROM sparts p JOIN rules r
+       |    ON p.source = r.source
+       |   AND substr(p.path, 1, length(r.prefix)) = r.prefix
+       |),
+       |${UrlOps.urlUniverseSql},
+       |fetched AS (
+       |  SELECT DISTINCT ${UrlOps.canonSql("url")} AS canon_url FROM u
+       |  WHERE TRY_CAST(regexp_extract(${UrlOps.canonSql("url")}, '/docs/([0-9]+)$$', 1) AS INT) < 50
+       |),
+       |sm AS (
+       |  SELECT p.canon_url, p.source, p.lastmod,
+       |    COALESCE(m.allow, TRUE) AS allowed,
+       |    (p.canon_url IN (SELECT canon_url FROM fetched)) AS fetched
+       |  FROM sparts p
+       |  LEFT JOIN (SELECT * FROM smatched WHERE rk = 1) m
+       |    ON m.canon_url = p.canon_url
+       |)""".stripMargin
+  }
 
   /** The full frontier derivation as CTEs ending in
     * `frontier_set (canon_url, n_referrers)` — shared by `q_frontier`

@@ -282,18 +282,75 @@ class HtmlUrlSpec extends SparkSpec {
       s"unique page must keep its body: ${out(3L)}")
   }
 
-  test("sitemapSeeds canonizes locs, flags robots-blocked and already-fetched") {
+  test("sitemapSeeds recurses the index, keeps newest lastmod, flags triage") {
     import spark.implicits._
     import graft.operators.CrawlOps
-    // src1 (idx 1): sitemap locs → /docs/4 (d1, twice under cosmetic
-    // variants) and /docs/15 (d2); rules Disallow /docs/1 blocks 15;
-    // corpus docs 4 + 60 → fetch log holds only /docs/4 (id < 50)
-    val docs = Seq((4L, "src1"), (60L, "src1")).toDF("doc_id", "source")
+    // src0 (idx 0): child A → /docs/20 (d1, lastmod 2026-08-01, twice
+    // under cosmetic variants) + /docs/2 (d2 messy, no lastmod); child B
+    // → /docs/80 (2026-07-20) + /docs/20 again (d4 collides with d1:
+    // 2026-06-10 loses to 2026-08-01 under MAX); corpus doc 20 → the
+    // fetch log holds /docs/20 (id < 50); nothing robots-blocked for
+    // these paths (rules Disallow /docs/0)
+    val docs = Seq((20L, "src0")).toDF("doc_id", "source")
     val out = CrawlOps.sitemapSeeds(docs).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getBoolean(3)))
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)),
+        r.getBoolean(3), r.getBoolean(4)))
     assert(out.toSeq == Seq(
-      ("http://src1.example.com/docs/15", "src1", false, false),
-      ("http://src1.example.com/docs/4", "src1", true, true)), out.toSeq)
+      ("http://src0.example.com/docs/2", "src0", None, true, false),
+      ("http://src0.example.com/docs/20", "src0", Some("2026-08-01"), true, true),
+      ("http://src0.example.com/docs/80", "src0", Some("2026-07-20"), true, false)),
+      out.toSeq)
+  }
+
+  test("parseSitemaps: one-level index recursion, orphans parse, indexes don't nest") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val bodies = Seq(
+      // index referencing child A under a MESSY url variant + a child
+      // the crawl never fetched (contributes nothing)
+      ("h1", "http://h1.example.com/sitemap.xml",
+        "<sitemapindex><sitemap><loc>HTTP://H1.example.COM:80/maps/a.xml" +
+          "</loc></sitemap><sitemap><loc>http://h1.example.com/missing.xml" +
+          "</loc></sitemap><sitemap><loc>http://h1.example.com/inner-index.xml" +
+          "</loc></sitemap></sitemapindex>"),
+      ("h1", "http://h1.example.com/maps/a.xml",
+        "<urlset><url><loc>http://h1.example.com/p/1</loc>" +
+          "<lastmod>2026-05-01</lastmod></url>" +
+          "<url><loc>http://h1.example.com/p/2</loc></url></urlset>"),
+      // an index referenced BY an index must not recurse a second level
+      ("h1", "http://h1.example.com/inner-index.xml",
+        "<sitemapindex><sitemap><loc>http://h1.example.com/maps/deep.xml" +
+          "</loc></sitemap></sitemapindex>"),
+      ("h1", "http://h1.example.com/maps/deep.xml",
+        "<urlset><url><loc>http://h1.example.com/p/deep</loc></url></urlset>"),
+      // an orphan urlset (no index references it) still parses
+      ("h2", "http://h2.example.com/own.xml",
+        "<urlset><url><loc>http://h2.example.com/q/9</loc></url></urlset>"))
+      .toDF("source", "url", "body")
+    val got = CrawlOps.parseSitemaps(bodies).collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    // deep.xml IS in the frame (fetched), so it parses as a standalone
+    // urlset — one-level means the INDEX chain doesn't confer reach,
+    // not that a fetched urlset is suppressed
+    assert(got == Set(
+      ("h1", "http://h1.example.com/p/1", Some("2026-05-01")),
+      ("h1", "http://h1.example.com/p/2", None),
+      ("h1", "http://h1.example.com/p/deep", None),
+      ("h2", "http://h2.example.com/q/9", None)), got)
+  }
+
+  test("recrawl queues fetched pages whose lastmod postdates their fetch date") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // src0: /docs/20 fetched (fetch_date 2026-07-21) with lastmod
+    // 2026-08-01 → due; /docs/80 unfetched; /docs/2 no lastmod
+    val docs = Seq((20L, "src0")).toDF("doc_id", "source")
+    val out = CrawlOps.recrawl(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      ("http://src0.example.com/docs/20", "src0", "2026-08-01",
+        "2026-07-21", 1L, 0L, CrawlOps.ScheduleEpoch)), out.toSeq)
   }
 
   test("frontierStream discovers per trigger against the live fetch log") {
