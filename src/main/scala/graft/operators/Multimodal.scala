@@ -382,8 +382,20 @@ object MultimodalOps {
     pngWalk(bytes, s).map(_ => s.feats(dim, 255))
   }
 
+  /** Adam7 pass geometry (x0, y0, dx, dy) — PNG spec §8.2. */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** PNG walk: chunk scan, IDAT inflate, five-filter reconstruction,
-    * then the row-major pixel feed (gray replicated, alpha skipped). */
+    * then the row-major pixel feed (gray replicated, alpha skipped).
+    * Round 13: PALETTED images (color type 3 + PLTE, 8-bit indices —
+    * the common real-web palette form; tRNS alpha is skipped like every
+    * other alpha channel) and ADAM7 interlacing (each pass is an
+    * independently filtered sub-image; reconstruction scatters into the
+    * full RGB plane, so the feed order is identical to sequential and
+    * every downstream stat/dHash is interlace-invariant by
+    * construction). */
   private[graft] def pngWalk(bytes: Array[Byte],
                              sink: PixelSink): Option[(Int, Int)] = {
     val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
@@ -402,31 +414,52 @@ object MultimodalOps {
     val bitDepth = bytes(i + 16) & 0xff
     val colorType = bytes(i + 17) & 0xff
     val interlace = bytes(i + 20) & 0xff
-    val channels = colorType match {
+    // stream channels: bytes per pixel inside IDAT (palette = 1 index)
+    val sch = colorType match {
       case 0 => 1 // gray
       case 2 => 3 // RGB
+      case 3 => 1 // palette index — PLTE required below
       case 4 => 2 // gray + alpha
       case 6 => 4 // RGBA
-      case _ => return None // palette (3) and invalid types out of scope
+      case _ => return None
     }
-    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace > 1) return None
+    val wi = w.toInt
+    val hi = h.toInt
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 1) Adam7 else Array((0, 0, 1, 1))
+    def passW(p: (Int, Int, Int, Int)): Int =
+      math.max((wi - p._1 + p._3 - 1) / p._3, 0)
+    def passH(p: (Int, Int, Int, Int)): Int =
+      math.max((hi - p._2 + p._4 - 1) / p._4, 0)
     // geometry sanity BEFORE allocating: a lying 4 GB-pixel header must
     // not OOM the executor (this is a feature extractor, not a viewer)
-    val rowBytes = 1L + w * channels
-    val expected = h * rowBytes
+    val expected = passes.map { p =>
+      val wp = passW(p); val hp = passH(p)
+      if (wp > 0 && hp > 0) hp * (1L + wp.toLong * sch) else 0L
+    }.sum
     if (expected > 256L * 1024 * 1024) return None
+    if (3L * w * h > 256L * 1024 * 1024) return None
     i += 8 + 13 + 4
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var sawEnd = false
     while (!sawEnd && i + 8 <= bytes.length) {
       val len = u32be(i)
       val typ = chunkType(i + 4)
       if (i + 8 + len + 4 > bytes.length) return None // truncated chunk
       if (typ == "IDAT") idat.write(bytes, i + 8, len.toInt)
+      if (typ == "PLTE") {
+        if (len == 0 || len % 3 != 0 || len > 768) return None
+        plte = java.util.Arrays.copyOfRange(bytes, i + 8, (i + 8 + len).toInt)
+      }
+      // tRNS (palette alpha) deliberately ignored: every format's feed
+      // skips alpha
       if (typ == "IEND") sawEnd = true
       i += 8 + len.toInt + 4
     }
     if (!sawEnd || idat.size == 0) return None
+    if (colorType == 3 && plte == null) return None
     // ---- inflate the concatenated IDAT payload
     val raw = new Array[Byte](expected.toInt)
     val inf = new java.util.zip.Inflater()
@@ -444,54 +477,82 @@ object MultimodalOps {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // ---- un-filter scanlines in place (raw becomes the pixel plane)
-    val bpp = channels // bytes per pixel at bit depth 8
-    var y = 0
-    while (y < h) {
-      val base = (y * rowBytes).toInt
-      val filter = raw(base) & 0xff
-      if (filter > 4) return None
-      var x = 0
-      val n = (w * channels).toInt
-      while (x < n) {
-        val o = base + 1 + x
-        val a = if (x >= bpp) raw(o - bpp) & 0xff else 0 // left
-        val b = if (y > 0) raw(o - rowBytes.toInt) & 0xff else 0 // up
-        val c = if (x >= bpp && y > 0) raw(o - rowBytes.toInt - bpp) & 0xff else 0
-        val cur = raw(o) & 0xff
-        val recon = filter match {
-          case 0 => cur
-          case 1 => cur + a
-          case 2 => cur + b
-          case 3 => cur + (a + b) / 2
-          case 4 => // Paeth predictor
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b)
-            val pc = math.abs(p - c)
-            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+    // ---- per-pass un-filter, then scatter into the full RGB plane
+    // (sequential = one full-frame pass; filters reference the previous
+    // scanline OF THE SAME PASS, per spec)
+    val plane = new Array[Byte](3 * wi * hi)
+    var off = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy) = passes(pi)
+      val wp = passW(passes(pi))
+      val hp = passH(passes(pi))
+      if (wp > 0 && hp > 0) {
+        val rowB = 1 + wp * sch
+        var y = 0
+        while (y < hp) {
+          val base = off + y * rowB
+          val filter = raw(base) & 0xff
+          if (filter > 4) return None
+          var x = 0
+          val n = wp * sch
+          while (x < n) {
+            val o = base + 1 + x
+            val a = if (x >= sch) raw(o - sch) & 0xff else 0 // left
+            val b = if (y > 0) raw(o - rowB) & 0xff else 0 // up
+            val c = if (x >= sch && y > 0) raw(o - rowB - sch) & 0xff else 0
+            val cur = raw(o) & 0xff
+            val recon = filter match {
+              case 0 => cur
+              case 1 => cur + a
+              case 2 => cur + b
+              case 3 => cur + (a + b) / 2
+              case 4 => // Paeth predictor
+                val p = a + b - c
+                val pa = math.abs(p - a); val pb = math.abs(p - b)
+                val pc = math.abs(p - c)
+                cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            }
+            raw(o) = (recon & 0xff).toByte
+            x += 1
+          }
+          var px = 0
+          while (px < wp) {
+            val o = base + 1 + px * sch
+            var r = 0; var g = 0; var bl = 0
+            if (colorType == 3) {
+              val idx = raw(o) & 0xff
+              if (3 * idx + 2 >= plte.length) return None // index past PLTE
+              r = plte(3 * idx) & 0xff
+              g = plte(3 * idx + 1) & 0xff
+              bl = plte(3 * idx + 2) & 0xff
+            } else {
+              r = raw(o) & 0xff
+              g = if (sch >= 3) raw(o + 1) & 0xff else r
+              bl = if (sch >= 3) raw(o + 2) & 0xff else r
+            }
+            val po = 3 * ((y0 + y * dy) * wi + (x0 + px * dx))
+            plane(po) = r.toByte
+            plane(po + 1) = g.toByte
+            plane(po + 2) = bl.toByte
+            px += 1
+          }
+          y += 1
         }
-        raw(o) = (recon & 0xff).toByte
-        x += 1
+        off += hp * rowB
       }
-      y += 1
+      pi += 1
     }
-    // ---- row-major pixel feed (gray replicated, alpha skipped)
-    sink.start(w.toInt, h.toInt)
-    y = 0
-    while (y < h) {
-      val base = (y * rowBytes).toInt + 1
-      var px = 0
-      while (px < w) {
-        val o = base + px * bpp
-        val r = raw(o) & 0xff
-        val g = if (channels >= 3) raw(o + 1) & 0xff else r
-        val b = if (channels >= 3) raw(o + 2) & 0xff else r
-        sink.px(r, g, b)
-        px += 1
-      }
-      y += 1
+    // ---- row-major pixel feed off the reconstructed plane
+    sink.start(wi, hi)
+    var k = 0
+    val total = wi * hi
+    while (k < total) {
+      sink.px(plane(3 * k) & 0xff, plane(3 * k + 1) & 0xff,
+        plane(3 * k + 2) & 0xff)
+      k += 1
     }
-    Some((w.toInt, h.toInt))
+    Some((wi, hi))
   }
 
   /** Dependency-free QOI decoder (qoiformat.org — the one-page public

@@ -1392,7 +1392,8 @@ class PipelineOpsSpec extends SparkSpec {
     // by the test (so the decoder's reconstruction is what's under test)
     def png(w: Int, h: Int, colorType: Int, filtered: Array[Byte],
             bitDepth: Int = 8, interlace: Int = 0,
-            splitIdat: Boolean = false): Array[Byte] = {
+            splitIdat: Boolean = false,
+            plte: Array[Byte] = null): Array[Byte] = {
       val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
         .map(_.toByte)
       val ihdr = (u32be(w) ++ u32be(h) ++
@@ -1409,7 +1410,10 @@ class PipelineOpsSpec extends SparkSpec {
         if (splitIdat && z.length > 2)
           chunk("IDAT", z.take(2)) ++ chunk("IDAT", z.drop(2))
         else chunk("IDAT", z)
-      sig ++ chunk("IHDR", ihdr) ++ idats ++ chunk("IEND", Array.empty)
+      val plteChunk =
+        if (plte != null) chunk("PLTE", plte) else Array.empty[Byte]
+      sig ++ chunk("IHDR", ihdr) ++ plteChunk ++ idats ++
+        chunk("IEND", Array.empty)
     }
     // 2×2 RGB — top (red, green), bottom (blue, white) — same image as
     // the PPM and BMP fixtures, filter None on both rows
@@ -1454,12 +1458,41 @@ class PipelineOpsSpec extends SparkSpec {
       0, 0, 0, 255, 11, 255, 255, 255, 13).map(_.toByte)
     val fa = MultimodalOps.decodePng(png(2, 2, 6, rgbaRaw), 16).get
     assert(fa.toSeq == f.toSeq)
-    // rejects: 16-bit depth, interlaced, palette, truncated zlib, junk
+    // PALETTED (round 13): same 2×2 image through PLTE indices — stats
+    // must equal the truecolor fixture's exactly
+    val palette = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+      .map(_.toByte)
+    val palRaw = Array[Int](0, 0, 1, 0, 2, 3).map(_.toByte) // filter+idx rows
+    val fp = MultimodalOps.decodePng(
+      png(2, 2, 3, palRaw, plte = palette), 16).get
+    assert(fp.toSeq == f.toSeq, fp.toSeq)
+    // ADAM7 (round 13): the same 2×2 image laid out in interlace pass
+    // order (p1: (0,0); p6: (1,0); p7: (0,1),(1,1)) — stats must equal
+    // the sequential fixture's exactly (interlace-invariance)
+    val adamRaw = Array[Int](
+      0, 255, 0, 0, // pass 1: red
+      0, 0, 255, 0, // pass 6: green
+      0, 0, 0, 255, 255, 255, 255 // pass 7: blue, white
+    ).map(_.toByte)
+    val fi = MultimodalOps.decodePng(
+      png(2, 2, 2, adamRaw, interlace = 1), 16).get
+    assert(fi.toSeq == f.toSeq, fi.toSeq)
+    // paletted + Adam7 compose (same pass order, index stream)
+    val adamPal = Array[Int](0, 0, 0, 1, 0, 2, 3).map(_.toByte)
+    val fip = MultimodalOps.decodePng(
+      png(2, 2, 3, adamPal, interlace = 1, plte = palette), 16).get
+    assert(fip.toSeq == f.toSeq, fip.toSeq)
+    // rejects: 16-bit depth, palette WITHOUT a PLTE, index past the
+    // palette, oversized/ragged PLTE, short pixel stream, junk
     assert(MultimodalOps.decodePng(
       png(2, 2, 2, rgbRaw, bitDepth = 16), 16).isEmpty)
-    assert(MultimodalOps.decodePng(
-      png(2, 2, 2, rgbRaw, interlace = 1), 16).isEmpty)
     assert(MultimodalOps.decodePng(png(2, 2, 3, rgbRaw), 16).isEmpty)
+    assert(MultimodalOps.decodePng(
+      png(2, 2, 3, Array[Int](0, 0, 1, 0, 2, 9).map(_.toByte),
+        plte = palette), 16).isEmpty, "index 9 past a 4-entry palette")
+    assert(MultimodalOps.decodePng(
+      png(2, 2, 3, palRaw, plte = palette.take(11)), 16).isEmpty,
+      "PLTE length must be a multiple of 3")
     assert(MultimodalOps.decodePng(
       png(4, 4, 2, rgbRaw), 16).isEmpty) // declared 4×4, pixels for 2×2
     assert(MultimodalOps.decodePng(
@@ -1471,6 +1504,96 @@ class PipelineOpsSpec extends SparkSpec {
       .toDF("doc_id", "mime", "payload")
     val out = MultimodalOps.decodeBatches(df, dim = 16).collect().head
     assert(out.getSeq[Float](3)(0) == 2f && out.getSeq[Float](3)(2) == 0.5f)
+  }
+
+  test("JDK-encoded palette PNG (TYPE_BYTE_INDEXED) decodes with exact stats") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val W = 37; val H = 23 // odd sizes: no alignment luck
+    val img = new BufferedImage(W, H, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until H; x <- 0 until W) {
+      val v = (x * 6 + y * 5) % 250
+      img.setRGB(x, y, (v << 16) | ((v * 3 % 250) << 8) | (v * 7 % 250))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    // the JDK really wrote an 8-bit colorType-3 (palette) PNG
+    assert((bytes(24) & 0xff) == 8 && (bytes(25) & 0xff) == 3,
+      s"fixture not a palette png: depth=${bytes(24)} color=${bytes(25)}")
+    val f = MultimodalOps.decodePng(bytes, 16).get
+    assert(f(0) == W.toFloat && f(1) == H.toFloat, f.toSeq)
+    // exact truth from the JDK's own decode of the same bytes (the
+    // indexed write quantizes to its palette — read-back is the truth)
+    val jdk = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val px = for (y <- 0 until H; x <- 0 until W) yield jdk.getRGB(x, y)
+    def ch(shift: Int): Seq[Int] = px.map(p => (p >> shift) & 0xff)
+    val (rs, gs, bs) = (ch(16), ch(8), ch(0))
+    assert(f(2) == (rs.sum.toDouble / (W * H) / 255).toFloat, f.toSeq)
+    assert(f(3) == (gs.sum.toDouble / (W * H) / 255).toFloat, f.toSeq)
+    assert(f(4) == (bs.sum.toDouble / (W * H) / 255).toFloat, f.toSeq)
+    assert(f(5) == rs.min / 255f && f(6) == gs.min / 255f &&
+      f(7) == bs.min / 255f, f.toSeq)
+    assert(f(8) == rs.max / 255f && f(9) == gs.max / 255f &&
+      f(10) == bs.max / 255f, f.toSeq)
+  }
+
+  test("Adam7 PNG: a 9×9 gradient decodes identically interlaced and sequential") {
+    // 9×9 exercises every Adam7 pass with non-trivial extents AND odd
+    // tails; pixel = unique value per (x, y) so any scatter mistake
+    // moves a stat; fixtures are hand-laid pass streams (the JDK writer
+    // does not emit interlaced PNGs), sequential truth via the JDK read
+    import javax.imageio.ImageIO
+    def u32be(v: Long): Seq[Byte] =
+      Seq(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val body = typ.getBytes("US-ASCII") ++ data
+      crc.update(body)
+      (u32be(data.length) ++ body ++ u32be(crc.getValue)).toArray
+    }
+    val W = 9; val H = 9
+    def pix(x: Int, y: Int): Int = (x * 19 + y * 7) % 256 // gray value
+    // Adam7 pass geometry, PNG spec §8.2
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val interStream = passes.flatMap { case (x0, y0, dx, dy) =>
+      val wp = math.max((W - x0 + dx - 1) / dx, 0)
+      val hp = math.max((H - y0 + dy - 1) / dy, 0)
+      (0 until hp).flatMap { y =>
+        0.toByte +: (0 until wp).map(x => pix(x0 + x * dx, y0 + y * dy).toByte)
+      }
+    }.toArray
+    val seqStream = (0 until H).flatMap { y =>
+      0.toByte +: (0 until W).map(x => pix(x, y).toByte)
+    }.toArray
+    def png(stream: Array[Byte], interlace: Int): Array[Byte] = {
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte)
+      val ihdr = (u32be(W) ++ u32be(H) ++
+        Seq(8.toByte, 0.toByte, 0.toByte, 0.toByte, interlace.toByte)).toArray
+      val d = new java.util.zip.Deflater()
+      d.setInput(stream); d.finish()
+      val buf = new Array[Byte](stream.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+        chunk("IEND", Array.empty)
+    }
+    val inter = png(interStream, 1)
+    val seqn = png(seqStream, 0)
+    val fi = MultimodalOps.decodePng(inter, 16).get
+    val fs = MultimodalOps.decodePng(seqn, 16).get
+    assert(fi.toSeq == fs.toSeq, s"${fi.toSeq} vs ${fs.toSeq}")
+    // and both agree with the JDK's decode of the interlaced fixture —
+    // a REAL second implementation of the Adam7 reassembly
+    val jdk = ImageIO.read(new java.io.ByteArrayInputStream(inter))
+    val vals = for (y <- 0 until H; x <- 0 until W)
+      yield jdk.getRaster.getSample(x, y, 0)
+    assert(vals == (for (y <- 0 until H; x <- 0 until W) yield pix(x, y)),
+      "JDK agrees the interlaced fixture encodes the intended pixels")
+    assert(fi(2) == (vals.sum.toDouble / (W * H) / 255).toFloat, fi.toSeq)
+    assert(fi(5) == vals.min / 255f && fi(8) == vals.max / 255f, fi.toSeq)
   }
 
   test("dedupLines keeps the first occurrence of a repeated segment and accounts exactly") {
