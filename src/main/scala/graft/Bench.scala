@@ -38,13 +38,34 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // round 13 (VERDICT r12 item 7): a bench-only extra line so encode
+    // regressions aren't masked by q_bpe_encode's ~55% fixed inline
+    // training cost — encode against the PRE-TRAINED persisted artifact
+    // (the tokenizeStream deployment shape). NOT a SparkEntry key: its
+    // correctness face is q_bpe_encode (the artifact round-trip is
+    // spec-pinned bit-identical). The lazy trains once, during warmup.
+    lazy val tokenizer: (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+      val p = java.nio.file.Files.createTempDirectory("graft_bench_tok")
+        .toString
+      graft.operators.BpeOps.trainTokenizer(
+        graft.sources.Tables.documents(spark, sfDir), p)
+      graft.operators.BpeOps.readTokenizer(spark, p)
+    }
+    val allQueries: Map[String, (SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = SparkEntry.queries +
+      ("q_bpe_encode_pretrained" -> ((s: SparkSession, dir: String) =>
+        graft.operators.BpeOps.encodeWithVocab(
+          graft.sources.Tables.documents(s, dir),
+          tokenizer._1, tokenizer._2)))
+
     // None = the query failed; failures are reported, never summed or
     // min()'d against a successful pass (a -1 sentinel would both win the
     // best-of-2 min and silently shrink the total).
     def run(name: String, dir: String): Option[Double] = {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, dir)
+        allQueries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
       } catch {
@@ -80,7 +101,7 @@ object Bench {
     // driver's full run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = allQueries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     names.foreach(run(_, "/root/testdata/sf0.001")) // warmup
     calib() // warm the calib plan's codegen like everything else
