@@ -475,6 +475,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_redirects: hop joins key on the url; no single-partition stage") {
+    val p = plan(CrawlOps.redirects(Tables.documents(spark, sfDir)))
+    // each hop is an equi-join keyed on the (canonical) url — a
+    // redirect log at 100 TB must hash-join per hop, never nest-loop
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("No Partition Defined"), p)
+  }
+
+  test("q_recrawl: host-partitioned window, broadcast delays, url-keyed joins") {
+    val p = plan(CrawlOps.recrawl(Tables.documents(spark, sfDir)))
+    // the politeness cumsum partitions BY HOST (scheduleCore's contract,
+    // shared with q_crawl_schedule)
+    assert(p.linesIterator.exists(l =>
+      l.trim.startsWith("Arguments: hashpartitioning(source")), p)
+    assert(!p.contains("No Partition Defined"), p)
+    // the hosts-bounded delay table broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_boilerplate: exchanges key on the digest, never the raw segment text") {
     val p = plan(DedupOps.boilerplate(Tables.documents(spark, sfDir)))
     // every hashpartitioning key set must mention seg_hash and not seg —
