@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * link extraction → THIS → back to fetch):
   *
   *  - [[robotsFilter]]: robots.txt semantics over per-host rule sets —
-  *    LONGEST-MATCH-WINS with Allow overriding Disallow at equal-or-
-  *    longer prefixes (the Googlebot/RFC 9309 rule, not first-match);
-  *    rules match against the PATH + QUERY (RFC 9309's match target),
-  *    one convention shared by every matcher in this file;
+  *    MOST-SPECIFIC-MATCH-WINS (longest PATTERN) with Allow overriding
+  *    Disallow on equal-length ties (the Googlebot/RFC 9309 rule, not
+  *    first-match); since round 13 rule values are full RFC 9309
+  *    PATTERNS (`*` spans any bytes, a final `$` anchors — see
+  *    [[matchRules]]); rules match against the PATH + QUERY (RFC
+  *    9309's match target), one convention shared by every matcher in
+  *    this file;
   *  - [[frontier]]: the not-yet-fetched, robots-allowed outlink set
   *    with referrer counts — what the scheduler actually enqueues.
   *
@@ -25,16 +28,23 @@ import org.apache.spark.sql.functions._
 object CrawlOps {
 
   /** Per-host synthetic rule set: Disallow `/docs/<d>` (d = source idx
-    * mod 10 — a digit prefix, so it blocks ~11 of the 100 paths) and
+    * mod 10 — a digit prefix, so it blocks ~11 of the 100 paths),
     * Allow `/docs/<d>3` (longer → re-allows one blocked path, which is
-    * exactly the precedence case worth testing). */
+    * exactly the precedence case worth testing), and — round 13 — a
+    * WILDCARD rule `Disallow: /docs/` + `*<t>$` (t = (idx+7) mod 10: blocks
+    * any docs path ENDING in digit t — both RFC 9309 metacharacters in
+    * one rule, so `*`/`$` semantics are exercised by every consuming
+    * oracle). */
   private[graft] def rulesOf(documents: DataFrame): DataFrame = {
     val d = expr("CAST(substr(source, 4, 10) AS INT) % 10").cast("string")
+    val t = expr("(CAST(substr(source, 4, 10) AS INT) + 7) % 10").cast("string")
     documents.select(col("source")).distinct()
       .select(col("source"), explode(array(
         struct(concat(lit("/docs/"), d).as("prefix"), lit(false).as("allow")),
         struct(concat(lit("/docs/"), d, lit("3")).as("prefix"),
-          lit(true).as("allow")))).as("r"))
+          lit(true).as("allow")),
+        struct(concat(lit("/docs/*"), t, lit("$")).as("prefix"),
+          lit(false).as("allow")))).as("r"))
       .select(col("source"), col("r.prefix").as("prefix"),
         col("r.allow").as("allow"))
   }
@@ -50,19 +60,38 @@ object CrawlOps {
         regexp_replace(col("canon_url"), "^[a-z]+://[^/?#]*", ""))
 
   /** The rule match shared by [[robotsFilter]] and [[frontierCore]]:
-    * longest matching prefix per URL via a partial-aggregatable
+    * most-specific matching rule per URL via a partial-aggregatable
     * struct-max (no window), unmatched → null `m`. Input needs
-    * (canon_url, source, path) + any carry columns in `carry`. */
+    * (canon_url, source, path) + any carry columns in `carry`.
+    *
+    * RFC 9309 semantics (round 13): rule values are PATTERNS — `*`
+    * matches any byte sequence (incl. empty) and a FINAL `$` anchors
+    * the match to the path's end; a $-less pattern matches any path it
+    * prefixes. Both engines express this as ONE `LIKE … ESCAPE '\'`
+    * (`*`→`%`, literal `%`/`_`/`\` escaped, final `$` → full match,
+    * else a trailing `%`) — byte-identical semantics, no regex engine
+    * variance. Specificity = the PATTERN's octet length (the
+    * Googlebot/RFC reading); equal-length ties → Allow wins (the
+    * struct-max's allow field). */
   private[graft] def matchRules(parts: DataFrame, rules: DataFrame,
-                                carry: Seq[String]): DataFrame =
+                                carry: Seq[String]): DataFrame = {
+    val ruled = rules
+      .withColumn("_wild", replace(replace(replace(replace(col("prefix"),
+        lit("\\"), lit("\\\\")), lit("%"), lit("\\%")), lit("_"), lit("\\_")),
+        lit("*"), lit("%")))
+      .withColumn("_pat",
+        when(col("prefix").endsWith("$"),
+          expr("substring(_wild, 1, length(_wild) - 1)"))
+          .otherwise(concat(col("_wild"), lit("%"))))
     parts
-      .join(broadcast(rules),
-        parts("source") === rules("source") &&
-          col("path").startsWith(col("prefix")), "left")
+      .join(broadcast(ruled),
+        parts("source") === ruled("source") &&
+          expr("path LIKE _pat ESCAPE '\\\\'"), "left")
       .groupBy((col("canon_url") +: carry.map(col)): _*)
       .agg(max(when(col("prefix").isNotNull,
         struct(length(col("prefix")).as("l"), col("allow").as("allow"),
           col("prefix").as("prefix")))).as("m"))
+  }
 
   /** §2-125 `q_robots_filter`: every canonical URL in the fetch-log
     * universe ([[UrlOps.canonUrls]] — the distinct-set form, none of
@@ -405,6 +434,7 @@ object CrawlOps {
     * sitemap URL → `q_sitemap`'s parse. */
   private def robotsLines(documents: DataFrame): DataFrame = {
     val d = expr("CAST(substr(source, 4, 10) AS INT) % 10").cast("string")
+    val t = expr("(CAST(substr(source, 4, 10) AS INT) + 7) % 10").cast("string")
     val delay = expr("CAST(substr(source, 4, 10) AS INT) % 5 + 1").cast("string")
     val nl = lit("\n")
     val body = concat(
@@ -415,7 +445,8 @@ object CrawlOps {
       lit("User-agent: *"), nl,
       lit("Crawl-delay: "), delay, nl,
       lit("Disallow: /docs/"), d, nl,
-      lit("Allow: /docs/"), d, lit("3"), nl)
+      lit("Allow: /docs/"), d, lit("3"), nl,
+      lit("Disallow: /docs/*"), t, lit("$"), nl)
     linesOf(documents.select(col("source")).distinct()
       .withColumn("body", body))
   }
@@ -570,15 +601,30 @@ object CrawlOps {
       }
       .start()
 
+  /** The rules CTE with the shared LIKE-pattern derivation (`like_pat`)
+    * — every matched CTE joins `p.path LIKE r.like_pat ESCAPE '\'`, the
+    * exact twin of [[matchRules]]' predicate. */
   private def rulesSql: String =
-    """rules AS (
+    """rules0 AS (
       |  SELECT source, r.prefix, r.allow
       |  FROM (SELECT DISTINCT source FROM documents)
       |  CROSS JOIN LATERAL (
       |    SELECT '/docs/' || CAST(CAST(substr(source, 4, 10) AS INT) % 10 AS VARCHAR) AS prefix, FALSE AS allow
       |    UNION ALL
       |    SELECT '/docs/' || CAST(CAST(substr(source, 4, 10) AS INT) % 10 AS VARCHAR) || '3', TRUE
+      |    UNION ALL
+      |    SELECT '/docs/*' || CAST((CAST(substr(source, 4, 10) AS INT) + 7) % 10 AS VARCHAR) || '$', FALSE
       |  ) r
+      |), rules AS (
+      |  SELECT source, prefix, allow,
+      |    CASE WHEN prefix LIKE '%$'
+      |      THEN substring(w, 1, length(w) - 1)
+      |      ELSE w || '%' END AS like_pat
+      |  FROM (
+      |    SELECT source, prefix, allow,
+      |      replace(replace(replace(replace(prefix,
+      |        '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS w
+      |    FROM rules0)
       |)""".stripMargin
 
   /** `urls (canon_url)` + `parts (canon_url, source, path)` over the
@@ -606,7 +652,8 @@ object CrawlOps {
         |    'User-agent: *' || chr(10) ||
         |    'Crawl-delay: ' || CAST(CAST(substr(source, 4, 10) AS INT) % 5 + 1 AS VARCHAR) || chr(10) ||
         |    'Disallow: /docs/' || CAST(CAST(substr(source, 4, 10) AS INT) % 10 AS VARCHAR) || chr(10) ||
-        |    'Allow: /docs/' || CAST(CAST(substr(source, 4, 10) AS INT) % 10 AS VARCHAR) || '3' || chr(10)
+        |    'Allow: /docs/' || CAST(CAST(substr(source, 4, 10) AS INT) % 10 AS VARCHAR) || '3' || chr(10) ||
+        |    'Disallow: /docs/*' || CAST((CAST(substr(source, 4, 10) AS INT) + 7) % 10 AS VARCHAR) || '$' || chr(10)
         |      AS body
         |  FROM srcs
         |), split0 AS (
@@ -643,7 +690,7 @@ object CrawlOps {
          |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rk
          |  FROM parts p JOIN rules r
          |    ON p.source = r.source
-         |   AND substr(p.path, 1, length(r.prefix)) = r.prefix
+         |   AND p.path LIKE r.like_pat ESCAPE '\'
          |)
          |SELECT p.canon_url,
          |  m.prefix AS rule_prefix,
@@ -732,7 +779,7 @@ object CrawlOps {
          |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rk
          |  FROM fparts p JOIN rules r
          |    ON p.source = r.source
-         |   AND substr(p.path, 1, length(r.prefix)) = r.prefix
+         |   AND p.path LIKE r.like_pat ESCAPE '\'
          |),
          |${UrlOps.urlUniverseSql},
          |fetched AS (
@@ -820,7 +867,7 @@ object CrawlOps {
        |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rk
        |  FROM sparts p JOIN rules r
        |    ON p.source = r.source
-       |   AND substr(p.path, 1, length(r.prefix)) = r.prefix
+       |   AND p.path LIKE r.like_pat ESCAPE '\'
        |),
        |${UrlOps.urlUniverseSql},
        |fetched AS (
@@ -859,7 +906,7 @@ object CrawlOps {
        |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rk
        |  FROM lparts p JOIN rules r
        |    ON p.source = r.source
-       |   AND substr(p.path, 1, length(r.prefix)) = r.prefix
+       |   AND p.path LIKE r.like_pat ESCAPE '\'
        |),
        |allowed AS (
        |  SELECT p.canon_url, p.n_referrers

@@ -152,20 +152,71 @@ class HtmlUrlSpec extends SparkSpec {
       "redistribution must retain strictly more mass than the leak model")
   }
 
-  test("robotsFilter: longest match wins and Allow overrides Disallow") {
+  test("robotsFilter: most-specific match wins; Allow overrides; wildcards bite") {
     import spark.implicits._
     import graft.operators.CrawlOps
-    // src3's rules: Disallow /docs/3, Allow /docs/33 (longer)
-    val docs = Seq((30L, "src3"), (33L, "src3"), (50L, "src3"))
+    // src3's rules: Disallow /docs/3, Allow /docs/33 (longer), and the
+    // round-13 wildcard Disallow /docs/*0$ (t = (3+7)%10 = 0 — blocks
+    // docs paths ENDING in 0; pattern length 9 outranks /docs/3's 7)
+    val docs = Seq((30L, "src3"), (33L, "src3"), (50L, "src3"), (51L, "src3"))
       .toDF("doc_id", "source")
     val out = CrawlOps.robotsFilter(docs).collect()
       .map(r => r.getString(0) ->
         (Option(r.getString(1)), r.getBoolean(2))).toMap
     assert(out("http://src3.example.com/docs/30") ==
-      (Some("/docs/3"), false), out)
+      (Some("/docs/*0$"), false),
+      "the 9-octet wildcard pattern outranks the 7-octet prefix")
     assert(out("http://src3.example.com/docs/33") ==
       (Some("/docs/33"), true), "the longer Allow must win")
-    assert(out("http://src3.example.com/docs/50") == (None, true))
+    assert(out("http://src3.example.com/docs/50") ==
+      (Some("/docs/*0$"), false), "ends in 0 → the $-anchored rule bites")
+    assert(out("http://src3.example.com/docs/51") == (None, true))
+  }
+
+  test("matchRules: RFC 9309 wildcard semantics — * spans, $ anchors, LIKE chars literal") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    def matched(path: String, rules: Seq[(String, Boolean)]): Option[(String, Boolean)] = {
+      val parts = Seq(("u", "h", path)).toDF("canon_url", "source", "path")
+      val rf = rules.map { case (p, a) => ("h", p, a) }
+        .toDF("source", "prefix", "allow")
+      val r = CrawlOps.matchRules(parts, rf, Seq.empty)
+        .select(col("m.prefix"), col("m.allow")).collect().head
+      if (r.isNullAt(0)) None else Some((r.getString(0), r.getBoolean(1)))
+    }
+    // * spans any bytes including empty; the pattern still matches a
+    // PREFIX of the path unless $-anchored
+    assert(matched("/a/xyz/c/tail", Seq("/a/*/c" -> false)) ==
+      Some(("/a/*/c", false)))
+    assert(matched("/a//c", Seq("/a/*/c" -> false)) == Some(("/a/*/c", false)),
+      "* matches empty")
+    assert(matched("/a/x/d", Seq("/a/*/c" -> false)) == None)
+    // final $ anchors to the END of the path
+    assert(matched("/p/file.pdf", Seq("/p/*.pdf$" -> false)) ==
+      Some(("/p/*.pdf$", false)))
+    assert(matched("/p/file.pdf?x=1", Seq("/p/*.pdf$" -> false)) == None,
+      "$ must not match a path with a trailing query")
+    assert(matched("/p/file.pdf?x=1", Seq("/p/*.pdf" -> false)) ==
+      Some(("/p/*.pdf", false)), "un-anchored form matches the prefix")
+    // a NON-final $ is a literal octet (RFC: only the last char anchors)
+    assert(matched("/a$b/c", Seq("/a$b" -> false)) == Some(("/a$b", false)))
+    // LIKE metacharacters in the rule are literal path bytes, not wildcards
+    assert(matched("/100%25/x", Seq("/100%25" -> false)) ==
+      Some(("/100%25", false)))
+    assert(matched("/100X25/x", Seq("/100%25" -> false)) == None,
+      "% in a rule must not behave as a LIKE wildcard")
+    assert(matched("/a_b", Seq("/a_b" -> false)) == Some(("/a_b", false)))
+    assert(matched("/aXb", Seq("/a_b" -> false)) == None,
+      "_ in a rule must not behave as a LIKE single-char wildcard")
+    // specificity = pattern octet length; equal length → Allow wins
+    assert(matched("/dir/page9", Seq("/dir/page" -> true, "/dir/*9$" -> false))
+      == Some(("/dir/page", true)), "9-octet Allow vs 8-octet wildcard")
+    assert(matched("/dir/page9", Seq("/dir/pag" -> true, "/dir/*9$" -> false))
+      == Some(("/dir/pag", true)),
+      "8-octet tie between Allow and the wildcard Disallow → Allow wins")
+    assert(matched("/dir/page9", Seq("/dir/pa" -> true, "/dir/*9$" -> false))
+      == Some(("/dir/*9$", false)),
+      "the 8-octet wildcard outranks a 7-octet Allow")
   }
 
   test("sitemapUrlOf parses the GLOBAL Sitemap directive outside any group") {
