@@ -135,6 +135,7 @@ object SparkEntry {
     "q_sitemap" -> ((s, dir) => CrawlOps.sitemapSeeds(Tables.documents(s, dir))),
     "q_redirects" -> ((s, dir) => CrawlOps.redirects(Tables.documents(s, dir))),
     "q_recrawl" -> ((s, dir) => CrawlOps.recrawl(Tables.documents(s, dir))),
+    "q_link_resolve" -> ((s, dir) => UrlOps.linkResolve(Tables.documents(s, dir))),
     "q_extract_clean" -> ((s, dir) => HtmlOps.extractClean(Tables.documents(s, dir))),
     // --- trained classifiers (§2 rows 101-103) ---
     "q_classifier_train" -> ((s, dir) =>

@@ -244,15 +244,30 @@ object HtmlOps {
       .withColumn("_raw",
         when(col("_ce_gz"), call_function("http_inflate", col("_raw1")))
           .otherwise(col("_raw1")))
-      // charset fallback chain: header charset if declared, else the
-      // first-KB meta sniff over the bijective latin-1 view of the
-      // (de-chunked, inflated) body — meta tags are ASCII, so the
+      // charset resolution chain (WHATWG precedence): a BOM byte
+      // signature outranks everything (documents start with it
+      // deliberately; headers lie), then the Content-Type header, then
+      // the XML declaration's encoding= (XHTML/feeds declare there, not
+      // in a meta), then the first-KB <meta> sniff, then the utf-8
+      // default — all sniffed over the bijective latin-1 view of the
+      // (de-chunked, inflated) body: declarations are ASCII, so the
       // latin-1 view is exact regardless of the page's true charset
-      .withColumn("_meta_cs", lower(regexp_extract(
-        substring(coalesce(decode(col("_raw"), "ISO-8859-1"), lit("")), 1, 1024),
+      .withColumn("_sniff", substring(
+        coalesce(decode(col("_raw"), "ISO-8859-1"), lit("")), 1, 1024))
+      .withColumn("_bom",
+        when(col("_sniff").startsWith("\u00ef\u00bb\u00bf"), lit("utf-8"))
+          .when(col("_sniff").startsWith("\u00fe\u00ff") ||
+            col("_sniff").startsWith("\u00ff\u00fe"), lit("utf-16"))
+          .otherwise(lit("")))
+      .withColumn("_xml_cs", lower(regexp_extract(col("_sniff"),
+        "(?i)^(?:\u00ef\u00bb\u00bf)?<\\?xml[^>]*encoding\\s*=\\s*[\"']([a-zA-Z0-9_.:-]+)", 1)))
+      .withColumn("_meta_cs", lower(regexp_extract(col("_sniff"),
         "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([a-zA-Z0-9_.:-]+)", 1)))
       .withColumn("_csx",
-        when(col("_cs") =!= "", col("_cs")).otherwise(col("_meta_cs")))
+        when(col("_bom") =!= "", col("_bom"))
+          .when(col("_cs") =!= "", col("_cs"))
+          .when(col("_xml_cs") =!= "", col("_xml_cs"))
+          .otherwise(col("_meta_cs")))
       .withColumn("_charset",
         when(col("_csx").isin("", "utf-8", "utf8"), lit("utf-8"))
           .when(col("_csx").isin("iso-8859-1", "iso8859-1", "latin-1", "latin1"),
@@ -260,6 +275,10 @@ object HtmlOps {
           .when(col("_csx").isin("us-ascii", "ascii"), lit("us-ascii"))
           .when(col("_csx").isin("windows-1252", "cp1252", "x-cp1252",
             "windows1252"), lit("windows-1252"))
+          // utf-16 is RECOGNIZED (BOM) but deliberately unsupported:
+          // Spark's utf-16 decode is strict and there is no
+          // is_valid_utf16 gate — one unpaired surrogate would kill the
+          // job, so the safe route is the charset quarantine
           .otherwise(lit("unsupported")))
       // Spark 4's `decode` is STRICT (MALFORMED_CHARACTER_CODING throws) —
       // a single invalid byte in a declared-utf-8 page would crash the
@@ -268,13 +287,15 @@ object HtmlOps {
       // bijective (cannot fail) and windows-1252 rides it + the 1:1
       // translate; us-ascii rides the utf-8 branch (ASCII is a strict
       // UTF-8 subset, and a lying ascii declaration with valid UTF-8
-      // multibyte text is better decoded than dropped).
+      // multibyte text is better decoded than dropped). A leading
+      // U+FEFF (the decoded utf-8 BOM) is stripped — it is not \s, so
+      // the whitespace collapse would otherwise leak it into the corpus.
       .withColumn("_text", extractText(
         when(col("_charset") === "iso-8859-1", decode(col("_raw"), "ISO-8859-1"))
           .when(col("_charset") === "windows-1252",
             translate(decode(col("_raw"), "ISO-8859-1"), Cp1252From, Cp1252To))
           .otherwise(when(expr("is_valid_utf8(_raw)"),
-            decode(col("_raw"), "UTF-8")))))
+            regexp_replace(decode(col("_raw"), "UTF-8"), "^\uFEFF", "")))))
       .withColumn("_reason",
         when(col("http_status").isNull ||
           !col("http_status").between(200, 299), lit("status"))
@@ -367,6 +388,33 @@ object HtmlOps {
         explode(regexp_extract_all(html,
           lit("<a href=\"([^\"]*)\""), lit(1))).as("href"))
       .select(col("doc_id"), UrlOps.canon(col("href")).as("dst_url"))
+      .distinct()
+  }
+
+  /** Outlinks of REAL crawled pages — the general (page_url, html) face
+    * of the link-extraction stage: pull `<base href>` (first one wins;
+    * resolved against the page like any href), pull every `<a href>`
+    * (case-insensitive, optional attribute whitespace), resolve each
+    * against the effective base ([[UrlOps.resolve]] — relative forms,
+    * dot segments, protocol-relative; non-fetchable schemes and bare
+    * fragments drop), and canonicalize under the fetch-log identity.
+    * `q_link_resolve` hash-checks the resolve→canon pipeline on the
+    * synthetic twin; this face feeds [[CrawlOps.frontierCore]] from raw
+    * HTML. Row-level extract + ONE distinct shuffle on (page, url). */
+  def linksOf(pages: DataFrame): DataFrame = {
+    val baseHref = regexp_extract(col("html"),
+      "(?i)<base[^>]*href\\s*=\\s*[\"']([^\"'>]+)", 1)
+    val effBase = coalesce(
+      when(baseHref =!= "", UrlOps.resolve(col("page_url"), baseHref)),
+      col("page_url"))
+    pages
+      .select(col("page_url"), effBase.as("_base"),
+        explode(regexp_extract_all(col("html"),
+          lit("(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']"),
+          lit(1))).as("href"))
+      .select(col("page_url"),
+        UrlOps.canon(UrlOps.resolve(col("_base"), col("href"))).as("dst_url"))
+      .filter(col("dst_url").isNotNull)
       .distinct()
   }
 

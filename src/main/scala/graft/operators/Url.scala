@@ -70,6 +70,95 @@ object UrlOps {
     when(pre0 === "", u).otherwise(concat(pre, path, query))
   }
 
+  private val SchemeOnly = "^([a-zA-Z][a-zA-Z0-9+.-]*):"
+
+  /** Resolve an href against a base URL — the RFC 3986 §5 merge a real
+    * crawled page needs before its links can feed the frontier
+    * ([[HtmlOps.linkExtract]]'s synthetic universe is absolute-only;
+    * real pages are mostly relative):
+    *
+    *  - scheme-absolute hrefs pass through; NON-http(s) schemes
+    *    (mailto:, javascript:, data:, tel:) resolve to NULL — they are
+    *    not fetchable;
+    *  - protocol-relative (`//host/x`) takes the base's scheme;
+    *  - root-relative (`/x`) takes the base's origin;
+    *  - plain relative merges onto the base's path DIRECTORY, then
+    *    dot segments collapse (`./` removed, `segment/../` folded,
+    *    leading `/../` clamps at the root — RFC 3986 §5.2.4), applied
+    *    as BOUNDED regexp passes (4×`./`, 8×`../` — identical
+    *    non-overlapping left-to-right semantics in Java and RE2, the
+    *    [[canon]] discipline) over the PATH only (a `../` inside a
+    *    query string is data, not structure);
+    *  - empty hrefs and bare fragments resolve to NULL (same-page).
+    *
+    * Callers canon() the result — resolve() itself preserves case/
+    * ports/params so the two stages stay orthogonal. [[resolveSql]] is
+    * the DuckDB twin built from the same patterns. */
+  def resolve(base: Column, href: Column): Column = {
+    val h = trim(href)
+    val origin = regexp_extract(base, SchemeHost, 0)
+    val scheme = regexp_extract(base, SchemeOnly, 1)
+    val basePath = regexp_replace(regexp_replace(base, SchemeHost, ""),
+      "[?#].*", "")
+    val baseDir = when(basePath === "", lit("/"))
+      .otherwise(regexp_replace(basePath, "[^/]*$", ""))
+    val resolved0 =
+      when(h === "" || h.startsWith("#"), lit(null).cast("string"))
+        .when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"),
+          when(h.rlike("^[hH][tT][tT][pP][sS]?://"), h))
+        .when(h.rlike(SchemeOnly), lit(null).cast("string"))
+        .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+        .when(h.startsWith("/"), concat(origin, h))
+        .otherwise(concat(origin, baseDir, h))
+    val orig2 = regexp_extract(resolved0, SchemeHost, 0)
+    val rest = regexp_replace(resolved0, SchemeHost, "")
+    val p0 = regexp_extract(rest, "^[^?#]*", 0)
+    val tail = regexp_replace(rest, "^[^?#]*", "")
+    var p = p0
+    (1 to 4).foreach(_ => p = regexp_replace(p, "/\\.(/|$)", "/"))
+    (1 to 8).foreach(_ => p = regexp_replace(p, "/[^/]+/\\.\\.(/|$)", "/"))
+    (1 to 4).foreach(_ => p = regexp_replace(p, "^/\\.\\.(/|$)", "/"))
+    when(resolved0.isNull, lit(null).cast("string"))
+      .otherwise(concat(orig2, p, tail))
+  }
+
+  /** The resolution as ONE DuckDB SQL expression over base expr `b` and
+    * href expr `h` — the [[canonSql]] discipline: same patterns, same
+    * pass counts, so the SQL face cannot drift from [[resolve]]. */
+  private[graft] def resolveSql(b: String, h0: String): String = {
+    val h = s"trim($h0)"
+    val origin = s"regexp_extract($b, '$SchemeHost', 0)"
+    val scheme = s"regexp_extract($b, '$SchemeOnly', 1)"
+    val basePath =
+      s"regexp_replace(regexp_replace($b, '$SchemeHost', ''), '[?#].*', '')"
+    val baseDir = s"CASE WHEN $basePath = '' THEN '/' " +
+      s"ELSE regexp_replace($basePath, '[^/]*$$', '') END"
+    val resolved0 =
+      s"""CASE
+         |  WHEN $h = '' OR $h LIKE '#%' THEN NULL
+         |  WHEN regexp_matches($h, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+         |    THEN CASE WHEN regexp_matches($h, '^[hH][tT][tT][pP][sS]?://')
+         |              THEN $h END
+         |  WHEN regexp_matches($h, '$SchemeOnly') THEN NULL
+         |  WHEN $h LIKE '//%' THEN $scheme || ':' || $h
+         |  WHEN $h LIKE '/%' THEN $origin || $h
+         |  ELSE $origin || ($baseDir) || $h
+         |END""".stripMargin
+    // inline-and-repeat (the canonSql discipline — correctness over
+    // elegance; the oracle runs once per verify)
+    val r0 = s"($resolved0)"
+    val orig2 = s"regexp_extract($r0, '$SchemeHost', 0)"
+    val rest = s"regexp_replace($r0, '$SchemeHost', '')"
+    val p0 = s"regexp_extract($rest, '^[^?#]*', 0)"
+    val tail = s"regexp_replace($rest, '^[^?#]*', '')"
+    var p = p0
+    (1 to 4).foreach(_ => p = s"regexp_replace($p, '/\\.(/|$$)', '/', 'g')")
+    (1 to 8).foreach(_ =>
+      p = s"regexp_replace($p, '/[^/]+/\\.\\.(/|$$)', '/', 'g')")
+    (1 to 4).foreach(_ => p = s"regexp_replace($p, '^/\\.\\.(/|$$)', '/', 'g')")
+    s"CASE WHEN $r0 IS NULL THEN NULL ELSE $orig2 || $p || $tail END"
+  }
+
   /** §2-120 `q_url_dedup`: URL-level dedup over deterministic synthetic
     * crawl URLs (the corpus stores no URLs; both engines derive the same
     * messy variants — upper-cased scheme/host + default port, duplicate
@@ -139,7 +228,77 @@ object UrlOps {
   def urlDedup(documents: DataFrame): DataFrame =
     urlDedupBy(syntheticUrls(documents))
 
+  /** §2 `q_link_resolve`: [[resolve]] under the oracle — a synthetic
+    * page two directories deep per doc, half the docs carrying a
+    * `<base href="/based/">`, and a href set hitting every resolution
+    * branch: plain relative, `./`, parent `../`, a `../../../` that
+    * clamps at the root, root-relative, protocol-relative, a messy
+    * absolute (upper-case + :80 + fragment — canon bites), and two
+    * NULL routes (mailto:, bare fragment). Each resolved URL then
+    * rides [[canon]] — the exact pipeline real crawled links take into
+    * the frontier ([[HtmlOps.linksOf]] is the real-HTML face of the
+    * same two stages). Pure row-level string work + ONE distinct
+    * shuffle on (doc_id, url). */
+  def linkResolve(documents: DataFrame): DataFrame = {
+    val host = concat(col("source"), lit(".example.com"))
+    val page = concat(lit("http://"), host, lit("/sec/"),
+      (col("doc_id") % 5).cast("string"), lit("/sub/page.html"))
+    val baseHref = when(col("doc_id") % 2 === 1, lit("/based/"))
+      .otherwise(lit(""))
+    val effBase = when(baseHref =!= "", resolve(page, baseHref))
+      .otherwise(page)
+    val m = (col("doc_id") % 7).cast("string")
+    val r = (col("doc_id") % 9).cast("string")
+    val hrefs = array(
+      concat(lit("x/"), m),
+      concat(lit("../up/"), m),
+      lit("./here"),
+      lit("../../../deep"),
+      concat(lit("/root/"), r),
+      concat(lit("//"), host, lit("/proto")),
+      concat(lit("HTTP://"), upper(host), lit(":80/abs#frag")),
+      lit("mailto:x@y.example"),
+      lit("#top"))
+    documents
+      .select(col("doc_id"), effBase.as("_base"), explode(hrefs).as("href"))
+      .select(col("doc_id"),
+        canon(resolve(col("_base"), col("href"))).as("dst_url"))
+      .filter(col("dst_url").isNotNull)
+      .distinct()
+      .orderBy("doc_id", "dst_url")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_link_resolve" ->
+      s"""WITH pages AS (
+         |  SELECT doc_id, source,
+         |    'http://' || source || '.example.com/sec/' || CAST(doc_id % 5 AS VARCHAR) || '/sub/page.html' AS page,
+         |    CASE WHEN doc_id % 2 = 1 THEN '/based/' ELSE '' END AS base_href
+         |  FROM documents
+         |), based AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN base_href <> '' THEN ${resolveSql("page", "base_href")}
+         |         ELSE page END AS eff_base
+         |  FROM pages
+         |), hrefs AS (
+         |  SELECT doc_id, eff_base, unnest([
+         |    'x/' || CAST(doc_id % 7 AS VARCHAR),
+         |    '../up/' || CAST(doc_id % 7 AS VARCHAR),
+         |    './here',
+         |    '../../../deep',
+         |    '/root/' || CAST(doc_id % 9 AS VARCHAR),
+         |    '//' || source || '.example.com/proto',
+         |    'HTTP://' || upper(source || '.example.com') || ':80/abs#frag',
+         |    'mailto:x@y.example',
+         |    '#top']) AS href
+         |  FROM based
+         |), resolved AS (
+         |  SELECT doc_id, ${resolveSql("eff_base", "href")} AS rurl FROM hrefs
+         |)
+         |SELECT DISTINCT doc_id, ${canonSql("rurl")} AS dst_url
+         |FROM resolved
+         |WHERE rurl IS NOT NULL
+         |ORDER BY doc_id, dst_url""".stripMargin,
     "q_url_dedup" ->
       s"""WITH $urlUniverseSql, c3 AS (
          |  SELECT doc_id, url, ${canonSql("url")} AS canon_url FROM u

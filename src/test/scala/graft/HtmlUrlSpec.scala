@@ -630,6 +630,44 @@ class HtmlUrlSpec extends SparkSpec {
       "http://chunky.net/gz" -> "transfer-encoding"), q)
   }
 
+  test("warcToDocuments: BOM precedence and XML-declaration charset sniffing") {
+    val dir = Files.createTempDirectory("graft_warc_bom")
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte)
+    val utf8Page = "<p>bom page café</p>".getBytes(UTF_8)
+    val xmlLatin1 = ("<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?>" +
+      "<html><body><p>xml naïve</p></body></html>").getBytes(ISO_8859_1)
+    val utf16Page = "<p>sixteen</p>".getBytes("UTF-16LE")
+    val recs =
+      // UTF-8 BOM, no header charset → decodes; the BOM char must NOT
+      // leak into the corpus text
+      record("response", "http://bom.net/plain",
+        http("200 OK", "text/html", bom ++ utf8Page)) ++
+      // BOM outranks a LYING header (WHATWG precedence)
+      record("response", "http://bom.net/lying-header",
+        http("200 OK", "text/html; charset=ISO-8859-1", bom ++ utf8Page)) ++
+      // XML declaration supplies the charset when the header is silent
+      record("response", "http://bom.net/xml",
+        http("200 OK", "application/xhtml+xml", xmlLatin1)) ++
+      // UTF-16 BOM: recognized but unsupported → charset quarantine,
+      // never a strict-decode crash or mojibake
+      record("response", "http://bom.net/utf16",
+        http("200 OK", "text/html",
+          Array[Byte](0xff.toByte, 0xfe.toByte) ++ utf16Page))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val (clean, quarantine) =
+      HtmlOps.warcToDocuments(graft.sources.WarcSource.read(spark, dir.toString))
+    val byUrl = clean.collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(byUrl == Map(
+      "http://bom.net/plain" -> "bom page café",
+      "http://bom.net/lying-header" -> "bom page café",
+      "http://bom.net/xml" -> "xml naïve"), byUrl)
+    assert(!byUrl.values.exists(_.contains("﻿")), "BOM char leaked")
+    val q = quarantine.collect().map(r =>
+      r.getAs[String]("target_uri") -> r.getAs[String]("reason")).toMap
+    assert(q == Map("http://bom.net/utf16" -> "charset"), q)
+  }
+
   test("warcToDocuments inflates gzip/deflate bodies; br and corrupt quarantine") {
     import java.io.ByteArrayOutputStream
     import java.util.zip.{Deflater, GZIPOutputStream}
@@ -707,6 +745,69 @@ class HtmlUrlSpec extends SparkSpec {
       rows.head.getAs[String]("text") == "chunk-framed gzip entity",
       rows.mkString(","))
     assert(quarantine.count() == 0)
+  }
+
+  test("resolve: RFC 3986 merge — relative forms, dot segments, scheme filtering") {
+    import spark.implicits._
+    import graft.operators.UrlOps
+    def res(base: String, href: String): Option[String] = {
+      val r = Seq((base, href)).toDF("b", "h")
+        .select(UrlOps.resolve(col("b"), col("h"))).collect().head
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+    val base = "http://h.example.com/a/b/page.html?q=1#frag"
+    // plain relative merges onto the base DIRECTORY (query/frag ignored)
+    assert(res(base, "x/y") == Some("http://h.example.com/a/b/x/y"))
+    assert(res(base, "./here") == Some("http://h.example.com/a/b/here"))
+    assert(res(base, "../up") == Some("http://h.example.com/a/up"))
+    assert(res(base, "../../top") == Some("http://h.example.com/top"))
+    // over-deep ../ clamps at the root (RFC 3986 §5.2.4)
+    assert(res(base, "../../../../deep") == Some("http://h.example.com/deep"))
+    // root- and protocol-relative
+    assert(res(base, "/abs/p") == Some("http://h.example.com/abs/p"))
+    assert(res("https://s.example.com/x", "//cdn.example.com/lib")
+      == Some("https://cdn.example.com/lib"))
+    // absolute passes; non-http(s) schemes and same-page refs drop
+    assert(res(base, "http://other.example.com/z?a=1")
+      == Some("http://other.example.com/z?a=1"))
+    assert(res(base, "mailto:x@y.example") == None)
+    assert(res(base, "javascript:void(0)") == None)
+    assert(res(base, "data:text/plain,hi") == None)
+    assert(res(base, "tel:+1555") == None)
+    assert(res(base, "") == None)
+    assert(res(base, "#top") == None)
+    // a ../ inside the QUERY is data, not structure
+    assert(res(base, "x?path=../etc") ==
+      Some("http://h.example.com/a/b/x?path=../etc"))
+    // a host-only base resolves relatives at the root
+    assert(res("http://h.example.com", "r") == Some("http://h.example.com/r"))
+    // dotted chains interleave
+    assert(res(base, ".././x/./y/../z") == Some("http://h.example.com/a/x/z"))
+  }
+
+  test("linksOf: real HTML with <base>, relative links, and junk schemes") {
+    import spark.implicits._
+    val html =
+      """<html><head><BASE href="/based/sub/"><title>t</title></head>
+        |<body>
+        |<a href="one.html">one</a>
+        |<A HREF='../two'>two</A>
+        |<a class="x" href="/three?utm_source=z">three</a>
+        |<a href="//cdn.example.com/four">four</a>
+        |<a href="HTTP://Other.NET:80/five#f">five</a>
+        |<a href="mailto:a@b.example">mail</a>
+        |<a href="#sec">jump</a>
+        |<a href="one.html">dup</a>
+        |</body></html>""".stripMargin
+    val pages = Seq(("http://site.example.com/dir/page.html", html))
+      .toDF("page_url", "html")
+    val got = HtmlOps.linksOf(pages).collect().map(_.getString(1)).toSet
+    assert(got == Set(
+      "http://site.example.com/based/sub/one.html", // base redirects the merge
+      "http://site.example.com/based/two",
+      "http://site.example.com/three", // tracking param canoned away
+      "http://cdn.example.com/four",
+      "http://other.net/five"), got)
   }
 
   test("redirectsOf pulls 3xx Location edges; a planted 301 chain resolves and enqueues") {
