@@ -418,6 +418,9 @@ object CrawlOps {
       .select(col("source"),
         regexp_replace(col("line"), "^(Dis)?(A|a)llow: ", "").as("prefix"),
         col("line").startsWith("Allow: ").as("allow"))
+      // RFC 9309: an EMPTY rule value means "no restriction" — it must
+      // not become a match-everything pattern in the rules table
+      .filter(col("prefix") =!= "")
       .orderBy("source", "prefix")
 
   /** Lines of each host's robots.txt that belong to the `User-agent: *`
@@ -475,6 +478,8 @@ object CrawlOps {
       .select(col("source"),
         regexp_replace(col("line"), "^(Dis)?(A|a)llow: ", "").as("prefix"),
         col("line").startsWith("Allow: ").as("allow"))
+      // RFC 9309: an empty rule value means "no restriction"
+      .filter(col("prefix") =!= "")
     val delays = star
       .filter(col("line").startsWith("Crawl-delay: "))
       .select(col("source"),

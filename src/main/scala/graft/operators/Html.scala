@@ -325,12 +325,14 @@ object HtmlOps {
   /** The redirect edges a WARC crawl actually contains: 3xx `response`
     * records' `Location:` headers, canonicalized under the fetch-log
     * identity ([[UrlOps.canon]]). Relative Locations (RFC 9110 allows
-    * them) resolve against the request's origin; a 3xx with no Location
-    * is dropped (nothing to follow). Feeds [[CrawlOps.redirectResolve]] /
-    * [[CrawlOps.frontierCore]] — the enqueue path `q_redirects` grades
-    * on the synthetic twin. Pure row-level header extraction — one scan,
-    * zero shuffles, the same latin-1 split discipline as
-    * [[warcToDocuments]]. */
+    * ANY reference form) resolve against the request URL via the full
+    * [[UrlOps.resolve]] merge — root-relative, dot-segmented, and
+    * protocol-relative targets all land; a 3xx with no Location (or a
+    * non-http target, e.g. an ftp: bounce) is dropped. Feeds
+    * [[CrawlOps.redirectResolve]] / [[CrawlOps.frontierCore]] — the
+    * enqueue path `q_redirects` grades on the synthetic twin. Pure
+    * row-level header extraction — one scan, zero shuffles, the same
+    * latin-1 split discipline as [[warcToDocuments]]. */
   def redirectsOf(records: DataFrame): DataFrame = {
     val blank = "(?s)\\r?\\n\\r?\\n"
     records.filter(col("warc_type") === "response")
@@ -344,14 +346,11 @@ object HtmlOps {
       .withColumn("_loc", regexp_extract(col("_hdr"),
         "(?im)^location:[ \\t]*([^\\r\\n]+)", 1))
       .filter(col("_loc") =!= "")
-      .withColumn("_origin", regexp_extract(col("target_uri"),
-        "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0))
-      .withColumn("_dst",
-        when(col("_loc").startsWith("/"), concat(col("_origin"), col("_loc")))
-          .otherwise(col("_loc")))
+      .withColumn("dst_url",
+        UrlOps.canon(UrlOps.resolve(col("target_uri"), col("_loc"))))
+      .filter(col("dst_url").rlike("^https?://"))
       .select(UrlOps.canon(col("target_uri")).as("src_url"),
-        UrlOps.canon(col("_dst")).as("dst_url"),
-        col("http_status"))
+        col("dst_url"), col("http_status"))
   }
 
   /** §2-123 `q_link_extract`: outlink extraction — the crawl-frontier /
@@ -414,8 +413,34 @@ object HtmlOps {
           lit(1))).as("href"))
       .select(col("page_url"),
         UrlOps.canon(UrlOps.resolve(col("_base"), col("href"))).as("dst_url"))
-      .filter(col("dst_url").isNotNull)
+      // a junk page_url (no scheme://host) resolves relatives to junk —
+      // only fetchable http(s) URLs may reach the frontier
+      .filter(col("dst_url").rlike("^https?://"))
       .distinct()
+  }
+
+  /** Meta-refresh redirects — the in-PAGE redirect mechanism sites use
+    * when they cannot send a 3xx (`<meta http-equiv="refresh"
+    * content="0;url=/new">`): extracted from (page_url, html), the
+    * target resolved like any href ([[UrlOps.resolve]] — relative
+    * forms land) and canonicalized. Attribute ORDER is not assumed
+    * (content may precede http-equiv). Emits (src_url, dst_url) edges
+    * — union with [[redirectsOf]]'s 3xx edges before
+    * [[CrawlOps.redirectResolve]] and the chain walker follows both
+    * mechanisms. Row-level, one scan, zero shuffles. */
+  def metaRedirectsOf(pages: DataFrame): DataFrame = {
+    val orderA = regexp_extract(col("html"),
+      "(?i)<meta[^>]*http-equiv\\s*=\\s*[\"']?refresh[^>]*" +
+        "content\\s*=\\s*[\"'][^\"']*url\\s*=\\s*([^\"'\\s;>]+)", 1)
+    val orderB = regexp_extract(col("html"),
+      "(?i)<meta[^>]*content\\s*=\\s*[\"'][^\"']*url\\s*=\\s*([^\"'\\s;>]+)" +
+        "[\"'][^>]*http-equiv\\s*=\\s*[\"']?refresh", 1)
+    pages
+      .withColumn("_t", when(orderA =!= "", orderA).otherwise(orderB))
+      .filter(col("_t") =!= "")
+      .select(UrlOps.canon(col("page_url")).as("src_url"),
+        UrlOps.canon(UrlOps.resolve(col("page_url"), col("_t"))).as("dst_url"))
+      .filter(col("dst_url").rlike("^https?://"))
   }
 
   /** SQL twin of [[linkExtract]]'s synthetic page + href pull: the

@@ -84,6 +84,9 @@ object HttpCodec {
     * bomb). Trailing garbage after a complete gzip member is tolerated
     * (Java's multi-member walk ends at the first non-member bytes). */
   def inflate(body: Array[Byte], maxOut: Int = MaxInflate): Array[Byte] = {
+    // a zero-length entity with a Content-Encoding header is a legal
+    // empty body (204-adjacent server behavior) — identity, not corrupt
+    if (body.length == 0) return body
     if (body.length < 2) return null
     val gzip = (body(0) & 0xff) == 0x1f && (body(1) & 0xff) == 0x8b
     val b0 = body(0) & 0xff

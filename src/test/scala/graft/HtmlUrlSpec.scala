@@ -239,7 +239,8 @@ class HtmlUrlSpec extends SparkSpec {
       "Sitemap: http://h1.example.com/sitemap.xml\r\n" +
       "User-agent: megabot\r\nDisallow: /private\r\n" +
       "\r\n" +
-      "User-agent: *\r\nCrawl-delay: 7\r\nDisallow: /a\r\nAllow: /a/b\r\n"
+      "User-agent: *\r\nCrawl-delay: 7\r\nDisallow: /a\r\nAllow: /a/b\r\n" +
+      "Disallow: \r\n" // EMPTY value = no restriction (RFC 9309) — dropped
     Files.write(dir.resolve("seg.warc"),
       record("response", "http://h1.example.com/robots.txt",
         http("200 OK", "text/plain", robots.getBytes(US_ASCII))))
@@ -810,6 +811,33 @@ class HtmlUrlSpec extends SparkSpec {
       "http://other.net/five"), got)
   }
 
+  test("metaRedirectsOf: both attribute orders, relative targets, composes with resolve") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val pages = Seq(
+      ("http://m.example.com/a/old", // http-equiv first, relative target
+        "<html><head><meta http-equiv=\"refresh\" content=\"0;url=../new\">" +
+          "</head><body>moved</body></html>"),
+      ("http://m.example.com/b", // content FIRST, absolute target
+        "<head><meta content=\"5; URL=http://m.example.com/c#f\" " +
+          "http-equiv='refresh'></head>"),
+      ("http://m.example.com/plain", // no refresh — no edge
+        "<html><meta charset=\"utf-8\"><p>content=\"url=trap\"</p></html>"),
+      ("http://m.example.com/js", // non-fetchable target dropped
+        "<meta http-equiv=\"refresh\" content=\"0;url=javascript:alert(1)\">"))
+      .toDF("page_url", "html")
+    val got = HtmlOps.metaRedirectsOf(pages).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("http://m.example.com/a/old", "http://m.example.com/new"),
+      ("http://m.example.com/b", "http://m.example.com/c")), got)
+    // the meta edges walk the SAME resolver as 3xx edges
+    val res = CrawlOps.redirectResolve(
+      HtmlOps.metaRedirectsOf(pages).select("src_url", "dst_url")).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(3))).toMap
+    assert(res("http://m.example.com/a/old") == (("http://m.example.com/new", true)))
+  }
+
   test("redirectsOf pulls 3xx Location edges; a planted 301 chain resolves and enqueues") {
     import graft.operators.CrawlOps
     val dir = Files.createTempDirectory("graft_warc_redir")
@@ -824,6 +852,13 @@ class HtmlUrlSpec extends SparkSpec {
         "Location: http://Target.ORG/final#frag") ++
       // a 3xx with no Location: nothing to follow, dropped
       resp("http://chain.net/dead", "303 See Other", "X-Other: v") ++
+      // a RELATIVE dot-segmented Location (RFC 9110 allows any
+      // reference form) resolves against the request URL
+      resp("http://chain.net/a/b/old", "301 Moved Permanently",
+        "Location: ../new") ++
+      // a non-http bounce target is not fetchable — dropped
+      resp("http://chain.net/ftp", "302 Found",
+        "Location: ftp://files.example.com/x") ++
       // non-3xx responses are not redirects
       record("response", "http://chain.net/page",
         http("200 OK", "text/html", "<p>x</p>".getBytes(UTF_8)))
@@ -834,7 +869,8 @@ class HtmlUrlSpec extends SparkSpec {
       (r.getString(0), r.getString(1), r.getInt(2))).toSet
     assert(got == Set(
       ("http://chain.net/start", "http://chain.net/hop", 301),
-      ("http://chain.net/hop", "http://target.org/final", 302)), got)
+      ("http://chain.net/hop", "http://target.org/final", 302),
+      ("http://chain.net/a/b/old", "http://chain.net/a/new", 301)), got)
     // the chain resolves end-to-end through the shared resolver, and the
     // final target is what the frontier would enqueue
     val res = CrawlOps.redirectResolve(edges.select("src_url", "dst_url"))
