@@ -194,6 +194,11 @@ object HtmlOps {
     *    text) routes to QUARANTINE
     *    with the reason + re-fetch ledger (the [[graft.sources.DocsJsonlSource]]
     *    pattern) instead of poisoning the corpus or vanishing;
+    *  - a NON-TEXT media type (image/pdf/octet-stream — anything not
+    *    `text/`-prefixed, XHTML/XML, or a missing Content-Type)
+    *    quarantines as `content-type`: a latin-1-declared binary would
+    *    "decode" successfully into pure mojibake, the one failure the
+    *    byte validators cannot catch;
     *  - doc identity = hash of the CANONICAL URL ([[UrlOps.canon]]), so
     *    refetches of one page under cosmetic URL variants collide.
     *
@@ -217,6 +222,17 @@ object HtmlOps {
         regexp_extract(col("_hdr"), "^HTTP/[0-9.]+ ([0-9]{3})", 1).cast("int"))
       .withColumn("_cs", lower(regexp_extract(col("_hdr"),
         "(?im)^content-type:[^\\r\\n]*?charset=\"?([a-zA-Z0-9_.:-]+)", 1)))
+      // media-type gate: a non-text body (image/pdf/octet-stream) must
+      // never charset-decode into the corpus — a latin-1-declared JPEG
+      // "decodes" successfully into pure mojibake. text/*, the XHTML/XML
+      // application types, and a MISSING Content-Type (old servers; the
+      // charset sniff handles those) stay on the text route.
+      .withColumn("_mime", lower(trim(regexp_extract(col("_hdr"),
+        "(?im)^content-type:[ \\t]*([a-z0-9.+/-]+)", 1))))
+      .withColumn("_ct_bad",
+        col("_mime") =!= "" &&
+          !col("_mime").startsWith("text/") &&
+          !col("_mime").isin("application/xhtml+xml", "application/xml"))
       // RFC 9112 allows a transfer-coding LIST (`gzip, chunked` — chunked
       // must be final), so match chunked ANYWHERE in the value; any OTHER
       // non-identity coding in the list is undecodable row-level today →
@@ -299,6 +315,7 @@ object HtmlOps {
       .withColumn("_reason",
         when(col("http_status").isNull ||
           !col("http_status").between(200, 299), lit("status"))
+          .when(col("_ct_bad"), lit("content-type"))
           .when(col("_te_other"), lit("transfer-encoding"))
           .when(col("_chunked") && col("_raw1").isNull, lit("chunked"))
           .when(col("_ce_bad"), lit("content-encoding"))

@@ -631,6 +631,45 @@ class HtmlUrlSpec extends SparkSpec {
       "http://chunky.net/gz" -> "transfer-encoding"), q)
   }
 
+  test("warcToDocuments gates on media type: binaries never charset-decode") {
+    val dir = Files.createTempDirectory("graft_warc_ct")
+    // a fake JPEG whose bytes are VALID latin-1 AND valid UTF-8 — the
+    // byte validators cannot catch it; only the media-type gate can
+    val fakeJpeg = "JFIF-ish printable bytes pretending to be an image"
+      .getBytes(US_ASCII)
+    val recs =
+      record("response", "http://ct.net/img",
+        http("200 OK", "image/jpeg; charset=ISO-8859-1", fakeJpeg)) ++
+      record("response", "http://ct.net/pdf",
+        http("200 OK", "application/pdf", fakeJpeg)) ++
+      record("response", "http://ct.net/bin",
+        http("200 OK", "application/octet-stream", fakeJpeg)) ++
+      record("response", "http://ct.net/xhtml",
+        http("200 OK", "application/xhtml+xml",
+          "<html><p>xhtml page</p></html>".getBytes(UTF_8))) ++
+      record("response", "http://ct.net/txt",
+        http("200 OK", "text/plain", "plain text page".getBytes(UTF_8))) ++
+      // NO Content-Type header at all (old servers) → text route
+      record("response", "http://ct.net/bare",
+        "HTTP/1.1 200 OK\r\nX-Server: old\r\n\r\n<p>bare page</p>"
+          .getBytes(UTF_8))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val (clean, quarantine) =
+      HtmlOps.warcToDocuments(graft.sources.WarcSource.read(spark, dir.toString))
+    val byUrl = clean.collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(byUrl == Map(
+      "http://ct.net/xhtml" -> "xhtml page",
+      "http://ct.net/txt" -> "plain text page",
+      "http://ct.net/bare" -> "bare page"), byUrl)
+    val q = quarantine.collect().map(r =>
+      r.getAs[String]("target_uri") -> r.getAs[String]("reason")).toMap
+    assert(q == Map(
+      "http://ct.net/img" -> "content-type",
+      "http://ct.net/pdf" -> "content-type",
+      "http://ct.net/bin" -> "content-type"), q)
+  }
+
   test("warcToDocuments: BOM precedence and XML-declaration charset sniffing") {
     val dir = Files.createTempDirectory("graft_warc_bom")
     val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte)
