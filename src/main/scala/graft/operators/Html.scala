@@ -351,6 +351,7 @@ object HtmlOps {
     * row-level header extraction — one scan, zero shuffles, the same
     * latin-1 split discipline as [[warcToDocuments]]. */
   def redirectsOf(records: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(records.sparkSession)
     val blank = "(?s)\\r?\\n\\r?\\n"
     records.filter(col("warc_type") === "response")
       .withColumn("_l1", decode(col("payload"), "ISO-8859-1"))
@@ -418,6 +419,7 @@ object HtmlOps {
     * synthetic twin; this face feeds [[CrawlOps.frontierCore]] from raw
     * HTML. Row-level extract + ONE distinct shuffle on (page, url). */
   def linksOf(pages: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(pages.sparkSession)
     val baseHref = regexp_extract(col("html"),
       "(?i)<base[^>]*href\\s*=\\s*[\"']([^\"'>]+)", 1)
     val effBase = coalesce(
@@ -446,6 +448,7 @@ object HtmlOps {
     * [[CrawlOps.redirectResolve]] and the chain walker follows both
     * mechanisms. Row-level, one scan, zero shuffles. */
   def metaRedirectsOf(pages: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(pages.sparkSession)
     val orderA = regexp_extract(col("html"),
       "(?i)<meta[^>]*http-equiv\\s*=\\s*[\"']?refresh[^>]*" +
         "content\\s*=\\s*[\"'][^\"']*url\\s*=\\s*([^\"'\\s;>]+)", 1)

@@ -93,34 +93,18 @@ object UrlOps {
     *
     * Callers canon() the result — resolve() itself preserves case/
     * ports/params so the two stages stay orthogonal. [[resolveSql]] is
-    * the DuckDB twin built from the same patterns. */
-  def resolve(base: Column, href: Column): Column = {
-    val h = trim(href)
-    val origin = regexp_extract(base, SchemeHost, 0)
-    val scheme = regexp_extract(base, SchemeOnly, 1)
-    val basePath = regexp_replace(regexp_replace(base, SchemeHost, ""),
-      "[?#].*", "")
-    val baseDir = when(basePath === "", lit("/"))
-      .otherwise(regexp_replace(basePath, "[^/]*$", ""))
-    val resolved0 =
-      when(h === "" || h.startsWith("#"), lit(null).cast("string"))
-        .when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"),
-          when(h.rlike("^[hH][tT][tT][pP][sS]?://"), h))
-        .when(h.rlike(SchemeOnly), lit(null).cast("string"))
-        .when(h.startsWith("//"), concat(scheme, lit(":"), h))
-        .when(h.startsWith("/"), concat(origin, h))
-        .otherwise(concat(origin, baseDir, h))
-    val orig2 = regexp_extract(resolved0, SchemeHost, 0)
-    val rest = regexp_replace(resolved0, SchemeHost, "")
-    val p0 = regexp_extract(rest, "^[^?#]*", 0)
-    val tail = regexp_replace(rest, "^[^?#]*", "")
-    var p = p0
-    (1 to 4).foreach(_ => p = regexp_replace(p, "/\\.(/|$)", "/"))
-    (1 to 8).foreach(_ => p = regexp_replace(p, "/[^/]+/\\.\\.(/|$)", "/"))
-    (1 to 4).foreach(_ => p = regexp_replace(p, "^/\\.\\.(/|$)", "/"))
-    when(resolved0.isNull, lit(null).cast("string"))
-      .otherwise(concat(orig2, p, tail))
-  }
+    * the DuckDB twin built from the same patterns.
+    *
+    * Implementation is the NATIVE codegen'd `url_resolve` expression
+    * ([[graft.plans.UrlResolver]] — one compiled method per row, the
+    * same patterns precompiled): the composed-Column form was correct
+    * but Catalyst's filter pushdown re-inlined its ~25-node tree, and a
+    * resolve nested inside another resolve (the `<base href>` case)
+    * squared the node count — a 35 s pure map at sf0.1, fixed to
+    * sub-second. Callers must have graft functions registered (every
+    * query face calls [[graft.plans.GraftFunctions.register]]). */
+  def resolve(base: Column, href: Column): Column =
+    call_function("url_resolve", base, href)
 
   /** The resolution as ONE DuckDB SQL expression over base expr `b` and
     * href expr `h` — the [[canonSql]] discipline: same patterns, same
@@ -240,6 +224,7 @@ object UrlOps {
     * same two stages). Pure row-level string work + ONE distinct
     * shuffle on (doc_id, url). */
   def linkResolve(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
     val host = concat(col("source"), lit(".example.com"))
     val page = concat(lit("http://"), host, lit("/sec/"),
       (col("doc_id") % 5).cast("string"), lit("/sub/page.html"))

@@ -204,6 +204,9 @@ object GraftFunctions {
       (es: Seq[Expression]) => HttpInflate(es(0),
         if (es.length > 1) litInt(es(1), "http_inflate")
         else HttpCodec.MaxInflate)),
+    (FunctionIdentifier("url_resolve"),
+      new ExpressionInfo(classOf[UrlResolve].getName, "url_resolve"),
+      (es: Seq[Expression]) => UrlResolve(es(0), es(1))),
     (FunctionIdentifier("utf8_nfc"),
       new ExpressionInfo(classOf[Utf8Nfc].getName, "utf8_nfc"),
       (es: Seq[Expression]) => Utf8Nfc(es(0))),

@@ -823,6 +823,24 @@ class HtmlUrlSpec extends SparkSpec {
     assert(res("http://h.example.com", "r") == Some("http://h.example.com/r"))
     // dotted chains interleave
     assert(res(base, ".././x/./y/../z") == Some("http://h.example.com/a/x/z"))
+    // the native expression's interpreted eval agrees with the codegen
+    // route above (url_resolve is a custom Expression — the convention)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    Seq("x/y", "../up", "../../../../deep", "/abs/p", "//cdn.example.com/l",
+      "mailto:x@y.example", "#top", "", ".././x/./y/../z", "x?path=../etc")
+      .foreach { href =>
+        val interp = Option(graft.plans.UrlResolve(
+          Literal(UTF8String.fromString(base),
+            org.apache.spark.sql.types.StringType),
+          Literal(UTF8String.fromString(href),
+            org.apache.spark.sql.types.StringType)).eval(null))
+          .map(_.toString)
+        assert(interp == res(base, href), s"interp parity for <$href>")
+      }
+    // Spark-trim parity: only SPACE is trimmed (tab is part of the href
+    // and makes it unresolvable as a scheme... it stays a relative path)
+    assert(res(base, " spaced ") == Some("http://h.example.com/a/b/spaced"))
   }
 
   test("linksOf: real HTML with <base>, relative links, and junk schemes") {
