@@ -291,6 +291,13 @@ object HtmlOps {
           .when(col("_csx").isin("us-ascii", "ascii"), lit("us-ascii"))
           .when(col("_csx").isin("windows-1252", "cp1252", "x-cp1252",
             "windows1252"), lit("windows-1252"))
+          // the legacy multibyte/regional estate (shift_jis / GBK /
+          // Big5 / EUC-KR / windows-1251, …) decodes through the native
+          // strict charset_decode (round 13 — most of the pre-UTF-8
+          // CJK/Cyrillic web); malformed bytes → null → `encoding`
+          .when(col("_csx").isin(
+            graft.plans.CharsetCodec.Supported.keys.toSeq: _*),
+            col("_csx"))
           // utf-16 is RECOGNIZED (BOM) but deliberately unsupported:
           // Spark's utf-16 decode is strict and there is no
           // is_valid_utf16 gate — one unpaired surrogate would kill the
@@ -310,8 +317,12 @@ object HtmlOps {
         when(col("_charset") === "iso-8859-1", decode(col("_raw"), "ISO-8859-1"))
           .when(col("_charset") === "windows-1252",
             translate(decode(col("_raw"), "ISO-8859-1"), Cp1252From, Cp1252To))
-          .otherwise(when(expr("is_valid_utf8(_raw)"),
-            regexp_replace(decode(col("_raw"), "UTF-8"), "^\uFEFF", "")))))
+          .when(col("_charset").isin("utf-8", "us-ascii"),
+            when(expr("is_valid_utf8(_raw)"),
+              regexp_replace(decode(col("_raw"), "UTF-8"), "^\uFEFF", "")))
+          // the legacy estate: strict JDK decode, null on malformed
+          .otherwise(call_function("charset_decode",
+            col("_raw"), col("_charset")))))
       .withColumn("_reason",
         when(col("http_status").isNull ||
           !col("http_status").between(200, 299), lit("status"))

@@ -1,0 +1,134 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+import java.nio.charset.{CharacterCodingException, Charset, CodingErrorAction}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Legacy-charset decode for the WARC ingest path.
+  *
+  * Spark's `decode` whitelist stops at the unicode family + latin-1 —
+  * but a world crawl is full of shift_jis / GBK / Big5 / EUC-KR /
+  * windows-1251 pages (most of the pre-UTF-8 CJK and Cyrillic web),
+  * which the round-12 bridge could only quarantine. The JDK ships
+  * exactly these decode tables; this expression exposes them with the
+  * ingest discipline the rest of the bridge uses: STRICT decoding
+  * (CodingErrorAction.REPORT) with NULL on malformed/unmappable bytes
+  * or an unrecognized charset name — never a thrown error (Spark 4's
+  * strict `decode` failure mode), never U+FFFD mojibake smuggled into
+  * the corpus.
+  *
+  * No DuckDB twin exists (DuckDB has no sjis tables), so this is a
+  * spec-graded §2-C component: fixtures are JDK-ENCODED bytes decoded
+  * back through the expression — the JDK's encoder is the second
+  * implementation, the GIF/JPEG codec convention.
+  */
+object CharsetCodec {
+
+  /** lowercased IANA names/aliases the web actually declares → JDK
+    * canonical charset name. Single-purpose legacy encodings only —
+    * the unicode family and the exact-decode latin-1/cp1252 pair stay
+    * on the bridge's own branches. */
+  val Supported: Map[String, String] = Map(
+    "shift_jis" -> "Shift_JIS", "shift-jis" -> "Shift_JIS",
+    "sjis" -> "Shift_JIS", "x-sjis" -> "Shift_JIS",
+    "euc-jp" -> "EUC-JP", "eucjp" -> "EUC-JP",
+    "gbk" -> "GBK", "gb2312" -> "GBK", "gb-2312" -> "GBK",
+    "gb18030" -> "GB18030",
+    "big5" -> "Big5", "big-5" -> "Big5",
+    "euc-kr" -> "EUC-KR", "euckr" -> "EUC-KR",
+    "ks_c_5601-1987" -> "EUC-KR",
+    "koi8-r" -> "KOI8-R",
+    "windows-1250" -> "windows-1250", "cp1250" -> "windows-1250",
+    "windows-1251" -> "windows-1251", "cp1251" -> "windows-1251",
+    "windows-1253" -> "windows-1253",
+    "windows-1254" -> "windows-1254",
+    "windows-1255" -> "windows-1255",
+    "windows-1256" -> "windows-1256",
+    "windows-1257" -> "windows-1257",
+    "windows-874" -> "x-windows-874", "tis-620" -> "TIS-620",
+    "iso-8859-2" -> "ISO-8859-2", "latin2" -> "ISO-8859-2",
+    "iso-8859-4" -> "ISO-8859-4",
+    "iso-8859-5" -> "ISO-8859-5",
+    "iso-8859-6" -> "ISO-8859-6",
+    "iso-8859-7" -> "ISO-8859-7",
+    "iso-8859-8" -> "ISO-8859-8",
+    "iso-8859-9" -> "ISO-8859-9", "latin5" -> "ISO-8859-9",
+    "iso-8859-13" -> "ISO-8859-13",
+    "iso-8859-15" -> "ISO-8859-15", "latin9" -> "ISO-8859-15")
+
+  /** Charset objects are immutable/thread-safe; decoders are not —
+    * cache the charset, build a decoder per call (cheap). A JVM without
+    * an optional charset (x-windows-874 on minimal JREs) degrades that
+    * name to null, not an error. */
+  private val cache = new ConcurrentHashMap[String, Charset]()
+
+  private def charsetFor(declared: String): Charset =
+    Supported.get(declared) match {
+      case None => null
+      case Some(jdk) =>
+        cache.computeIfAbsent(jdk, n =>
+          try { if (Charset.isSupported(n)) Charset.forName(n) else null }
+          catch { case _: Exception => null })
+    }
+
+  /** Decode `bytes` under the (lowercased) declared charset name; null
+    * on unknown name, unavailable charset, or malformed/unmappable
+    * bytes. */
+  def decode(bytes: Array[Byte], declared: String): String = {
+    val cs = charsetFor(declared)
+    if (cs == null) return null
+    try {
+      cs.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+        .decode(ByteBuffer.wrap(bytes))
+        .toString
+    } catch {
+      case _: CharacterCodingException => null
+    }
+  }
+}
+
+/** `charset_decode(binary, charset_name)` → decoded string, null on an
+  * unknown/unavailable charset or malformed bytes (see
+  * [[CharsetCodec.decode]]). The name may be a per-row column (a crawl
+  * declares a different charset on every page). */
+case class CharsetDecode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, string), got $other")
+    }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "charset_decode"
+
+  override protected def nullSafeEval(bytes: Any, name: Any): Any = {
+    val r = CharsetCodec.decode(bytes.asInstanceOf[Array[Byte]],
+      name.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, n) => {
+      s"""
+         |String r = graft.plans.CharsetCodec.decode($b, $n.toString());
+         |${ev.value} = r == null ? null :
+         |  org.apache.spark.unsafe.types.UTF8String.fromString(r);
+         |${ev.isNull} = ${ev.value} == null;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharsetDecode =
+    copy(left = newLeft, right = newRight)
+}

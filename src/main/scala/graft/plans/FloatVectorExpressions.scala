@@ -207,6 +207,9 @@ object GraftFunctions {
     (FunctionIdentifier("url_resolve"),
       new ExpressionInfo(classOf[UrlResolve].getName, "url_resolve"),
       (es: Seq[Expression]) => UrlResolve(es(0), es(1))),
+    (FunctionIdentifier("charset_decode"),
+      new ExpressionInfo(classOf[CharsetDecode].getName, "charset_decode"),
+      (es: Seq[Expression]) => CharsetDecode(es(0), es(1))),
     (FunctionIdentifier("utf8_nfc"),
       new ExpressionInfo(classOf[Utf8Nfc].getName, "utf8_nfc"),
       (es: Seq[Expression]) => Utf8Nfc(es(0))),

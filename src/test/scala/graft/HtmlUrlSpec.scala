@@ -511,8 +511,8 @@ class HtmlUrlSpec extends SparkSpec {
         http("200 OK", "text/html; charset=ISO-8859-1", latin1Body.getBytes(ISO_8859_1))) ++
       record("response", "http://plain.net/no-charset",
         http("200 OK", "text/html", "<p>default utf8 page</p>".getBytes(UTF_8))) ++
-      record("response", "http://bad.net/sjis",
-        http("200 OK", "text/html; charset=shift_jis", "x".getBytes(US_ASCII))) ++
+      record("response", "http://bad.net/utf7",
+        http("200 OK", "text/html; charset=utf-7", "x".getBytes(US_ASCII))) ++
       record("response", "http://gone.net/404",
         http("404 Not Found", "text/html", "<p>gone</p>".getBytes(UTF_8))) ++
       record("response", "http://empty.net/blank",
@@ -541,7 +541,7 @@ class HtmlUrlSpec extends SparkSpec {
     val q = quarantine.collect().map(r =>
       r.getAs[String]("target_uri") -> r.getAs[String]("reason")).toMap
     assert(q == Map(
-      "http://bad.net/sjis" -> "charset",
+      "http://bad.net/utf7" -> "charset",
       "http://gone.net/404" -> "status",
       "http://empty.net/blank" -> "empty",
       "http://broken.net/bytes" -> "encoding"))
@@ -668,6 +668,57 @@ class HtmlUrlSpec extends SparkSpec {
       "http://ct.net/img" -> "content-type",
       "http://ct.net/pdf" -> "content-type",
       "http://ct.net/bin" -> "content-type"), q)
+  }
+
+  test("warcToDocuments decodes the legacy multibyte/regional charsets exactly") {
+    val dir = Files.createTempDirectory("graft_warc_legacy")
+    // JDK-encoded fixtures — the JDK's encoder is the second
+    // implementation, the codec-spec convention
+    val ja = "日本語のページです"
+    val ru = "русская страница"
+    val zh = "中文网页内容"
+    val ko = "한국어 페이지"
+    val el = "ελληνική σελίδα"
+    def page(s: String): String = s"<html><body><p>$s</p></body></html>"
+    val recs =
+      record("response", "http://jp.net/sjis",
+        http("200 OK", "text/html; charset=Shift_JIS",
+          page(ja).getBytes("Shift_JIS"))) ++
+      record("response", "http://ru.net/cp1251",
+        http("200 OK", "text/html; charset=windows-1251",
+          page(ru).getBytes("windows-1251"))) ++
+      record("response", "http://cn.net/gbk",
+        http("200 OK", "text/html; charset=GB2312",
+          page(zh).getBytes("GBK"))) ++
+      record("response", "http://kr.net/euckr",
+        http("200 OK", "text/html; charset=EUC-KR",
+          page(ko).getBytes("EUC-KR"))) ++
+      // meta-declared (no header charset) rides the same route
+      record("response", "http://gr.net/meta-el",
+        http("200 OK", "text/html",
+          (s"<html><head><meta charset=iso-8859-7></head><body><p>$el" +
+            "</p></body></html>").getBytes("ISO-8859-7"))) ++
+      // malformed bytes under a declared legacy charset → encoding
+      // quarantine, never a crash or mojibake (0x81 0x20 is an invalid
+      // shift_jis lead/trail pair)
+      record("response", "http://jp.net/torn",
+        http("200 OK", "text/html; charset=shift_jis",
+          "<p>ok ".getBytes(US_ASCII) ++
+            Array[Byte](0x81.toByte, 0x20) ++ "</p>".getBytes(US_ASCII)))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val (clean, quarantine) =
+      HtmlOps.warcToDocuments(graft.sources.WarcSource.read(spark, dir.toString))
+    val byUrl = clean.collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(byUrl == Map(
+      "http://jp.net/sjis" -> ja,
+      "http://ru.net/cp1251" -> ru,
+      "http://cn.net/gbk" -> zh,
+      "http://kr.net/euckr" -> ko,
+      "http://gr.net/meta-el" -> el), byUrl)
+    val q = quarantine.collect().map(r =>
+      r.getAs[String]("target_uri") -> r.getAs[String]("reason")).toMap
+    assert(q == Map("http://jp.net/torn" -> "encoding"), q)
   }
 
   test("warcToDocuments: BOM precedence and XML-declaration charset sniffing") {

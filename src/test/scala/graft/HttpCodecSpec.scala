@@ -154,6 +154,40 @@ class HttpCodecSpec extends SparkSpec {
       "same stream under the default cap decodes")
   }
 
+  test("charset_decode: strict JDK decode, alias map, eval ≡ codegen parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    graft.plans.GraftFunctions.register(spark)
+    val ja = "こんにちは"
+    val cases: Seq[(Array[Byte], String)] = Seq(
+      (ja.getBytes("Shift_JIS"), "shift_jis"),
+      (ja.getBytes("Shift_JIS"), "sjis"), // alias
+      ("привет".getBytes("windows-1251"), "cp1251"),
+      (Array[Byte](0x81.toByte, 0x20), "shift_jis"), // malformed → null
+      (ja.getBytes("Shift_JIS"), "no-such-charset"), // unknown → null
+      (Array.emptyByteArray, "gbk")) // empty → empty string
+    val viaDf = cases.zipWithIndex.map { case ((a, n), i) => (i, a, n) }
+      .toDF("i", "b", "n")
+      .select(col("i"), call_function("charset_decode", col("b"), col("n")))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    cases.zipWithIndex.foreach { case ((a, n), i) =>
+      val direct = Option(graft.plans.CharsetCodec.decode(a, n))
+      val interp = Option(graft.plans.CharsetDecode(
+        Literal(a, BinaryType),
+        Literal(UTF8String.fromString(n), StringType)).eval(null))
+        .map(_.toString)
+      assert(direct == interp, s"interp case $i")
+      assert(direct == viaDf(i), s"codegen case $i")
+    }
+    assert(viaDf(0).contains(ja) && viaDf(1).contains(ja))
+    assert(viaDf(2).contains("привет"))
+    assert(viaDf(3).isEmpty && viaDf(4).isEmpty)
+    assert(viaDf(5).contains(""))
+  }
+
   test("http_inflate eval ≡ codegen parity, null propagation, maxOut literal") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.Literal
