@@ -32,21 +32,19 @@ object HtmlOps {
     "(?is)<style[^>]*>.*?</style>" -> "",
     "<[^>]*>" -> " ")
 
-  /** Entity decode set (the handful that dominates real crawl text).
-    * `&amp;` is LAST — so `&amp;lt;` decodes to the literal text `&lt;`,
-    * never to `<` (standard double-decode avoidance). */
-  val Entities: Seq[(String, String)] = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-
-  /** The pure string-transform core: html → visible text. */
+  /** The pure string-transform core: html → visible text. Character
+    * references (decimal `&#233;`, hex `&#xE9;`, named `&eacute;` — the
+    * full grammar, round 14) decode through the native single-pass
+    * [[graft.plans.HtmlEntities]] expression; `&amp;lt;` stays the
+    * literal text `&lt;` (decoded output is never rescanned — standard
+    * double-decode avoidance). Callers must have run
+    * [[graft.plans.GraftFunctions.register]] (every public face here
+    * does). */
   def extractText(html: Column): Column = {
     val stripped = StripPatterns.foldLeft(html) {
       case (c, (p, r)) => regexp_replace(c, p, r)
     }
-    val decoded = Entities.foldLeft(stripped) {
-      case (c, (e, ch)) => replace(c, lit(e), lit(ch))
-    }
+    val decoded = call_function("html_entities_decode", stripped)
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
@@ -66,7 +64,9 @@ object HtmlOps {
     Right("source"),
     Left("</h1><p>"), Right("escaped"),
     Left("</p><footer>contact &lt;admin&gt; &amp; &quot;staff&quot;&nbsp;now" +
-      "</footer></body></html>"))
+      " &mdash; caf&eacute; men&uuml; &#233;clair &#xE9;clair&rsquo;s" +
+      " &hellip; &copy; 2026 &trade; 5&deg; 3&frac12;&euro;" +
+      " &unknown; &amp;#38; &#0; done</footer></body></html>"))
 
   /** §2-119 `q_html_extract`: the extraction core under the oracle —
     * deterministic synthetic HTML per document (the corpus has no raw
@@ -87,11 +87,13 @@ object HtmlOps {
     }: _*)
   }
 
-  def htmlExtract(documents: DataFrame): DataFrame =
+  def htmlExtract(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
     documents
       .select(col("doc_id"), extractText(synthHtml).as("text_extracted"))
       .withColumn("n_chars_extracted", length(col("text_extracted")).cast("long"))
       .orderBy("doc_id")
+  }
 
   /** §2 `q_extract_clean`: the extraction → boilerplate-removal
     * COMPOSITION — what a real WARC pipeline runs as one pass: extract
@@ -109,6 +111,7 @@ object HtmlOps {
     * structs — deterministic, no window. */
   def extractClean(documents: DataFrame, segTokens: Int = 10,
                    minDocs: Long = 2L, k: Int = 50): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
     val toks = TextFuns.tokens(col("text_extracted"))
     val nSeg = greatest(ceil(size(toks) / lit(segTokens.toDouble)).cast("int"), lit(1))
     val segArr = transform(sequence(lit(0), nSeg - 1),
@@ -504,18 +507,16 @@ object HtmlOps {
     "q_html_extract" ->
       s"""WITH h AS (
          |  SELECT doc_id, $synthHtmlSql AS html FROM documents
-         |)
+         |), $extractCtes
          |SELECT doc_id,
-         |  $extractedSqlExpr AS text_extracted,
-         |  length($extractedSqlExpr) AS n_chars_extracted
-         |FROM h
+         |  text_extracted,
+         |  length(text_extracted) AS n_chars_extracted
+         |FROM ext
          |ORDER BY doc_id""".stripMargin,
     "q_extract_clean" ->
       s"""WITH h AS (
          |  SELECT doc_id, $synthHtmlSql AS html FROM documents
-         |), ext AS (
-         |  SELECT doc_id, $extractedSqlExpr AS text_extracted FROM h
-         |), toks AS (
+         |), $extractCtes, toks AS (
          |  SELECT doc_id, string_split(lower(trim(text_extracted)), ' ') AS tk
          |  FROM ext
          |), segn AS (
@@ -561,15 +562,29 @@ object HtmlOps {
     case Right(other) => throw new IllegalArgumentException(other)
   }.mkString(" || ")
 
-  /** The full strip/decode/collapse chain over a column named `html`,
-    * SQL face — byte-identical to [[extractText]] (shared subset). */
-  private def extractedSqlExpr: String = {
+  /** The full strip/decode/collapse chain, SQL face — byte-identical to
+    * [[extractText]] (shared regex subset; the entity decode is the
+    * generated [[graft.plans.HtmlEntities.decodeSql]] twin of the native
+    * expression — same tokenizer regex, same name table, same codepoint
+    * guards). Emits CTEs `_st/_sp/ext` assuming a prior CTE
+    * `h (doc_id, html)`; `ext` ends as (doc_id, text_extracted). */
+  private def extractCtes: String = {
     val stripped = StripPatterns.foldLeft("html") { case (acc, (p, r)) =>
       s"regexp_replace($acc, ${TextFuns.sqlLit(p)}, ${TextFuns.sqlLit(r)}, 'g')"
     }
-    val decoded = Entities.foldLeft(stripped) { case (acc, (e, ch)) =>
-      s"replace($acc, ${TextFuns.sqlLit(e)}, ${TextFuns.sqlLit(ch)})"
-    }
-    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+    val re = graft.plans.HtmlEntities.tokenReSql
+    val decoded = graft.plans.HtmlEntities.decodeSql("_parts", "_ents")
+    s"""_st AS (
+       |  SELECT doc_id, $stripped AS _s FROM h
+       |), _sp AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(_s, $re) AS _parts,
+       |    regexp_extract_all(_s, $re, 1) AS _ents
+       |  FROM _st
+       |), ext AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS text_extracted
+       |  FROM _sp
+       |)""".stripMargin
   }
 }

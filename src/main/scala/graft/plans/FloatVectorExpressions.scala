@@ -210,6 +210,10 @@ object GraftFunctions {
     (FunctionIdentifier("charset_decode"),
       new ExpressionInfo(classOf[CharsetDecode].getName, "charset_decode"),
       (es: Seq[Expression]) => CharsetDecode(es(0), es(1))),
+    (FunctionIdentifier("html_entities_decode"),
+      new ExpressionInfo(classOf[HtmlEntitiesDecode].getName,
+        "html_entities_decode"),
+      (es: Seq[Expression]) => HtmlEntitiesDecode(es(0))),
     (FunctionIdentifier("utf8_nfc"),
       new ExpressionInfo(classOf[Utf8Nfc].getName, "utf8_nfc"),
       (es: Seq[Expression]) => Utf8Nfc(es(0))),

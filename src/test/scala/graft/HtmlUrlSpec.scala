@@ -32,6 +32,26 @@ class HtmlUrlSpec extends SparkSpec {
       "My Page home Header one & two <three> \"four\" 'five' already &lt; stays literal")
   }
 
+  test("entity decode: decimal ≡ hex ≡ named; unknowns and invalids verbatim") {
+    // the round-14 completion: all three reference forms of one
+    // codepoint agree post-extraction
+    assert(extract("<p>caf&#233; caf&#xE9; caf&eacute;</p>") == "café café café")
+    assert(extract("<p>&rsquo;&lsquo; &mdash;&ndash; &hellip; &copy;&trade; 5&deg;</p>")
+      == "’‘ —– … ©™ 5°")
+    // space-family refs normalize to plain space (named ≡ numeric), then
+    // collapse with their neighbors
+    assert(extract("a&nbsp;&#160;&#xA0;b &ensp;&thinsp; c") == "a b c")
+    // unknown names, malformed refs, and invalid codepoints pass VERBATIM
+    assert(extract("&unknown; &noSemi &#0; &#55296; &#1114112; &#xD800;")
+      == "&unknown; &noSemi &#0; &#55296; &#1114112; &#xD800;")
+    // single-pass: decoded output is never rescanned
+    assert(extract("&amp;lt; &amp;#38; &#38;#x41;") == "&lt; &#38; &#x41;")
+    // astral plane decodes to the surrogate pair (Spark-side; the
+    // synthetic oracle universe stays BMP-only by construction)
+    assert(extract("&#x1F600;") == new String(Character.toChars(0x1F600)))
+    assert(extract("&#128512;") == new String(Character.toChars(0x1F600)))
+  }
+
   test("canon normalizes scheme/host case, ports, fragments, tracking, slashes") {
     import spark.implicits._
     val cases = Seq(
