@@ -295,16 +295,14 @@ object HtmlOps {
           .when(col("_csx").isin("windows-1252", "cp1252", "x-cp1252",
             "windows1252"), lit("windows-1252"))
           // the legacy multibyte/regional estate (shift_jis / GBK /
-          // Big5 / EUC-KR / windows-1251, …) decodes through the native
-          // strict charset_decode (round 13 — most of the pre-UTF-8
-          // CJK/Cyrillic web); malformed bytes → null → `encoding`
+          // Big5 / EUC-KR / windows-1251, …) plus — round 14 — the
+          // UTF-16 family (BOM-detected or header-declared) decode
+          // through the native strict charset_decode; malformed bytes
+          // (incl. an unpaired UTF-16 surrogate, the case Spark's own
+          // strict decode would crash on) → null → `encoding`
           .when(col("_csx").isin(
             graft.plans.CharsetCodec.Supported.keys.toSeq: _*),
             col("_csx"))
-          // utf-16 is RECOGNIZED (BOM) but deliberately unsupported:
-          // Spark's utf-16 decode is strict and there is no
-          // is_valid_utf16 gate — one unpaired surrogate would kill the
-          // job, so the safe route is the charset quarantine
           .otherwise(lit("unsupported")))
       // Spark 4's `decode` is STRICT (MALFORMED_CHARACTER_CODING throws) —
       // a single invalid byte in a declared-utf-8 page would crash the
@@ -314,18 +312,21 @@ object HtmlOps {
       // translate; us-ascii rides the utf-8 branch (ASCII is a strict
       // UTF-8 subset, and a lying ascii declaration with valid UTF-8
       // multibyte text is better decoded than dropped). A leading
-      // U+FEFF (the decoded utf-8 BOM) is stripped — it is not \s, so
-      // the whitespace collapse would otherwise leak it into the corpus.
-      .withColumn("_text", extractText(
+      // U+FEFF (a decoded utf-8 BOM, or the BOM a fixed-endian UTF-16
+      // decoder keeps as content) is stripped ONCE after the chain —
+      // it is not \s, so the whitespace collapse would otherwise leak
+      // it into the corpus.
+      .withColumn("_text", extractText(regexp_replace(
         when(col("_charset") === "iso-8859-1", decode(col("_raw"), "ISO-8859-1"))
           .when(col("_charset") === "windows-1252",
             translate(decode(col("_raw"), "ISO-8859-1"), Cp1252From, Cp1252To))
           .when(col("_charset").isin("utf-8", "us-ascii"),
-            when(expr("is_valid_utf8(_raw)"),
-              regexp_replace(decode(col("_raw"), "UTF-8"), "^\uFEFF", "")))
-          // the legacy estate: strict JDK decode, null on malformed
+            when(expr("is_valid_utf8(_raw)"), decode(col("_raw"), "UTF-8")))
+          // the legacy + utf-16 estate: strict JDK decode, null on
+          // malformed
           .otherwise(call_function("charset_decode",
-            col("_raw"), col("_charset")))))
+            col("_raw"), col("_charset"))),
+        "^\uFEFF", "")))
       .withColumn("_reason",
         when(col("http_status").isNull ||
           !col("http_status").between(200, 299), lit("status"))
@@ -463,12 +464,15 @@ object HtmlOps {
     * mechanisms. Row-level, one scan, zero shuffles. */
   def metaRedirectsOf(pages: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(pages.sparkSession)
+    // the content attribute's quotes are OPTIONAL (legal-but-sloppy
+    // `content=0;url=/x` is real, round-14 fix) — the value walk is
+    // then `>`-bounded so an unquoted attribute cannot cross the tag
     val orderA = regexp_extract(col("html"),
       "(?i)<meta[^>]*http-equiv\\s*=\\s*[\"']?refresh[^>]*" +
-        "content\\s*=\\s*[\"'][^\"']*url\\s*=\\s*([^\"'\\s;>]+)", 1)
+        "content\\s*=\\s*[\"']?[^\"'>]*?url\\s*=\\s*([^\"'\\s;>]+)", 1)
     val orderB = regexp_extract(col("html"),
-      "(?i)<meta[^>]*content\\s*=\\s*[\"'][^\"']*url\\s*=\\s*([^\"'\\s;>]+)" +
-        "[\"'][^>]*http-equiv\\s*=\\s*[\"']?refresh", 1)
+      "(?i)<meta[^>]*content\\s*=\\s*[\"']?[^\"'>]*?url\\s*=\\s*([^\"'\\s;>]+)" +
+        "[\"']?[^>]*http-equiv\\s*=\\s*[\"']?refresh", 1)
     pages
       .withColumn("_t", when(orderA =!= "", orderA).otherwise(orderB))
       .filter(col("_t") =!= "")

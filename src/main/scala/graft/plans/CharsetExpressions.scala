@@ -31,10 +31,20 @@ import org.apache.spark.unsafe.types.UTF8String
 object CharsetCodec {
 
   /** lowercased IANA names/aliases the web actually declares → JDK
-    * canonical charset name. Single-purpose legacy encodings only —
-    * the unicode family and the exact-decode latin-1/cp1252 pair stay
-    * on the bridge's own branches. */
+    * canonical charset name. The legacy single-purpose encodings plus
+    * (round 14) the UTF-16 family — Spark's own `decode` is strict
+    * with no `is_valid_utf16` gate, so one unpaired surrogate would
+    * kill a job; this expression's REPORT→null discipline is exactly
+    * the validity gate UTF-16 needs. The JDK "UTF-16" charset consumes
+    * a BOM and picks endianness from it (BE default without one — the
+    * RFC 2781 rule); the LE/BE names fix endianness and keep a BOM as
+    * content (the bridge strips a leading U+FEFF after decode). UTF-8
+    * and the exact-decode latin-1/cp1252 pair stay on the bridge's own
+    * branches. */
   val Supported: Map[String, String] = Map(
+    "utf-16" -> "UTF-16", "utf16" -> "UTF-16",
+    "unicode" -> "UTF-16", "ucs-2" -> "UTF-16",
+    "utf-16le" -> "UTF-16LE", "utf-16be" -> "UTF-16BE",
     "shift_jis" -> "Shift_JIS", "shift-jis" -> "Shift_JIS",
     "sjis" -> "Shift_JIS", "x-sjis" -> "Shift_JIS",
     "euc-jp" -> "EUC-JP", "eucjp" -> "EUC-JP",

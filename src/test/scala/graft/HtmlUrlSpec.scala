@@ -567,6 +567,41 @@ class HtmlUrlSpec extends SparkSpec {
       "http://broken.net/bytes" -> "encoding"))
   }
 
+  test("warcToDocuments decodes UTF-16 pages (BOM and declared); malformed quarantines") {
+    val dir = Files.createTempDirectory("graft_warc_utf16")
+    val body = "<html><p>utf-16 café こん</p></html>"
+    val le = Array[Byte](0xFF.toByte, 0xFE.toByte) ++ body.getBytes("UTF-16LE")
+    val be = Array[Byte](0xFE.toByte, 0xFF.toByte) ++ body.getBytes("UTF-16BE")
+    // a high surrogate followed by a non-surrogate unit: the exact case
+    // Spark's own strict utf-16 decode would crash a job on
+    val unpaired = "<p>".getBytes("UTF-16BE") ++
+      Array[Byte](0xD8.toByte, 0x00) ++ "</p>".getBytes("UTF-16BE")
+    val recs =
+      record("response", "http://u16.net/bom-le",
+        http("200 OK", "text/html", le)) ++
+      record("response", "http://u16.net/bom-be",
+        http("200 OK", "text/html", be)) ++
+      record("response", "http://u16.net/declared-le",
+        http("200 OK", "text/html; charset=utf-16le", body.getBytes("UTF-16LE"))) ++
+      record("response", "http://u16.net/declared-be",
+        http("200 OK", "text/html; charset=UTF-16BE", body.getBytes("UTF-16BE"))) ++
+      record("response", "http://u16.net/bad",
+        http("200 OK", "text/html; charset=utf-16be", unpaired))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val (clean, quarantine) =
+      HtmlOps.warcToDocuments(graft.sources.WarcSource.read(spark, dir.toString))
+    val texts = clean.collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    val want = "utf-16 café こん"
+    assert(texts == Map(
+      "http://u16.net/bom-le" -> want, "http://u16.net/bom-be" -> want,
+      "http://u16.net/declared-le" -> want,
+      "http://u16.net/declared-be" -> want), texts)
+    val q = quarantine.collect()
+      .map(r => r.getAs[String]("target_uri") -> r.getAs[String]("reason")).toMap
+    assert(q == Map("http://u16.net/bad" -> "encoding"), q)
+  }
+
   test("warcToDocuments decodes windows-1252 exactly and sniffs meta charsets") {
     val dir = Files.createTempDirectory("graft_warc_cp1252")
     // curly quotes (93/94), apostrophe (92), em dash (97), euro (80) —
@@ -759,8 +794,8 @@ class HtmlUrlSpec extends SparkSpec {
       // XML declaration supplies the charset when the header is silent
       record("response", "http://bom.net/xml",
         http("200 OK", "application/xhtml+xml", xmlLatin1)) ++
-      // UTF-16 BOM: recognized but unsupported → charset quarantine,
-      // never a strict-decode crash or mojibake
+      // UTF-16 BOM routes through the strict charset_decode (round 14 —
+      // previously a deliberate quarantine), endianness from the BOM
       record("response", "http://bom.net/utf16",
         http("200 OK", "text/html",
           Array[Byte](0xff.toByte, 0xfe.toByte) ++ utf16Page))
@@ -772,11 +807,10 @@ class HtmlUrlSpec extends SparkSpec {
     assert(byUrl == Map(
       "http://bom.net/plain" -> "bom page café",
       "http://bom.net/lying-header" -> "bom page café",
-      "http://bom.net/xml" -> "xml naïve"), byUrl)
+      "http://bom.net/xml" -> "xml naïve",
+      "http://bom.net/utf16" -> "sixteen"), byUrl)
     assert(!byUrl.values.exists(_.contains("﻿")), "BOM char leaked")
-    val q = quarantine.collect().map(r =>
-      r.getAs[String]("target_uri") -> r.getAs[String]("reason")).toMap
-    assert(q == Map("http://bom.net/utf16" -> "charset"), q)
+    assert(quarantine.count() == 0L)
   }
 
   test("warcToDocuments inflates gzip/deflate bodies; br and corrupt quarantine") {
@@ -952,13 +986,19 @@ class HtmlUrlSpec extends SparkSpec {
       ("http://m.example.com/plain", // no refresh — no edge
         "<html><meta charset=\"utf-8\"><p>content=\"url=trap\"</p></html>"),
       ("http://m.example.com/js", // non-fetchable target dropped
-        "<meta http-equiv=\"refresh\" content=\"0;url=javascript:alert(1)\">"))
+        "<meta http-equiv=\"refresh\" content=\"0;url=javascript:alert(1)\">"),
+      ("http://m.example.com/d", // UNQUOTED content attribute (round 14)
+        "<html><meta http-equiv=refresh content=0;url=/x></html>"),
+      ("http://m.example.com/e", // unquoted, content first
+        "<meta content=3;url=rel2 http-equiv=refresh>"))
       .toDF("page_url", "html")
     val got = HtmlOps.metaRedirectsOf(pages).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(
       ("http://m.example.com/a/old", "http://m.example.com/new"),
-      ("http://m.example.com/b", "http://m.example.com/c")), got)
+      ("http://m.example.com/b", "http://m.example.com/c"),
+      ("http://m.example.com/d", "http://m.example.com/x"),
+      ("http://m.example.com/e", "http://m.example.com/rel2")), got)
     // the meta edges walk the SAME resolver as 3xx edges
     val res = CrawlOps.redirectResolve(
       HtmlOps.metaRedirectsOf(pages).select("src_url", "dst_url")).collect()

@@ -188,6 +188,23 @@ class HttpCodecSpec extends SparkSpec {
     assert(viaDf(5).contains(""))
   }
 
+  test("charset_decode: UTF-16 family — BOM auto-endian, fixed endians, strict validity") {
+    import graft.plans.CharsetCodec.decode
+    val s = "café こんにちは"
+    // "utf-16": BOM picks endianness and is consumed; BE default without
+    assert(decode(("\uFEFF" + s).getBytes("UTF-16BE"), "utf-16") == s)
+    assert(decode(("\uFEFF" + s).getBytes("UTF-16LE"), "utf-16") == s)
+    assert(decode(s.getBytes("UTF-16BE"), "utf-16") == s)
+    // fixed-endian names decode BOM-less bytes directly
+    assert(decode(s.getBytes("UTF-16LE"), "utf-16le") == s)
+    assert(decode(s.getBytes("UTF-16BE"), "utf-16be") == s)
+    // a fixed-endian decode keeps a BOM as content — callers strip it
+    assert(decode(("\uFEFF" + s).getBytes("UTF-16LE"), "utf-16le") == "\uFEFF" + s)
+    // strictness: odd byte count and an unpaired surrogate both → null
+    assert(decode(s.getBytes("UTF-16BE").dropRight(1), "utf-16be") == null)
+    assert(decode(Array[Byte](0xD8.toByte, 0x00, 0x00, 'a'), "utf-16be") == null)
+  }
+
   test("http_inflate eval ≡ codegen parity, null propagation, maxOut literal") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.Literal
