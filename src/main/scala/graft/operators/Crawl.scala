@@ -49,6 +49,32 @@ object CrawlOps {
         col("r.allow").as("allow"))
   }
 
+  /** Synthetic per-host robots-FETCH status — the reachability axis RFC
+    * 9309 §2.3.1 keys on, orthogonal to the rule text: most hosts 200
+    * (rules apply), idx%10==4 hosts 404 (robots.txt ABSENT → allow-all,
+    * any stale rules ignored), idx%10==8 hosts 503 (robots.txt
+    * UNREACHABLE → assume complete disallow — §2.3.1.4). Both engines
+    * derive the same table from `source` alone; hosts-bounded KBs →
+    * broadcast everywhere it joins. */
+  private[graft] def robotsStatusOf(documents: DataFrame): DataFrame = {
+    val m10 = expr("CAST(substr(source, 4, 10) AS INT) % 10")
+    documents.select(col("source")).distinct()
+      .withColumn("robots_status",
+        when(m10 === 8, lit(503))
+          .when(m10 === 4, lit(404))
+          .otherwise(lit(200)))
+  }
+
+  /** RFC 9309 §2.3.1 verdict over a [[matchRules]] output frame (which
+    * carries `m` + `robots_status`): 5xx (robots unreachable) →
+    * disallow-all; 4xx (robots absent) → allow-all, rules ignored;
+    * otherwise (2xx or no status recorded) the matched rule decides,
+    * unmatched defaulting to allowed. */
+  private[graft] def robotsAllowed: Column =
+    when(col("robots_status") >= 500, lit(false))
+      .when(col("robots_status") >= 400, lit(true))
+      .otherwise(coalesce(col("m.allow"), lit(true)))
+
   /** Split a canonical URL frame into (…, source, path) — `path`
     * includes any surviving query (the RFC 9309 match target), so every
     * matcher built on these parts agrees by construction. */
@@ -75,6 +101,19 @@ object CrawlOps {
     * struct-max's allow field). */
   private[graft] def matchRules(parts: DataFrame, rules: DataFrame,
                                 carry: Seq[String]): DataFrame = {
+    import parts.sparkSession.implicits._
+    matchRules(parts, rules,
+      Seq.empty[(String, Int)].toDF("source", "robots_status"), carry)
+  }
+
+  /** [[matchRules]] with the robots-fetch STATUS axis (round 14): the
+    * hosts-bounded `statuses (source, robots_status)` frame broadcasts
+    * in beside the rules and rides the output as `robots_status` (null
+    * for hosts it does not cover — [[robotsAllowed]] then falls through
+    * to the rule verdict). */
+  private[graft] def matchRules(parts: DataFrame, rules: DataFrame,
+                                statuses: DataFrame,
+                                carry: Seq[String]): DataFrame = {
     val ruled = rules
       .withColumn("_wild", replace(replace(replace(replace(col("prefix"),
         lit("\\"), lit("\\\\")), lit("%"), lit("\\%")), lit("_"), lit("\\_")),
@@ -83,28 +122,35 @@ object CrawlOps {
         when(col("prefix").endsWith("$"),
           expr("substring(_wild, 1, length(_wild) - 1)"))
           .otherwise(concat(col("_wild"), lit("%"))))
+    val stat = statuses.select(col("source").as("_st_src"),
+      col("robots_status").as("_st_code"))
     parts
       .join(broadcast(ruled),
         parts("source") === ruled("source") &&
           expr("path LIKE _pat ESCAPE '\\\\'"), "left")
+      .join(broadcast(stat), parts("source") === col("_st_src"), "left")
       .groupBy((col("canon_url") +: carry.map(col)): _*)
       .agg(max(when(col("prefix").isNotNull,
         struct(length(col("prefix")).as("l"), col("allow").as("allow"),
-          col("prefix").as("prefix")))).as("m"))
+          col("prefix").as("prefix")))).as("m"),
+        max(col("_st_code")).as("robots_status"))
   }
 
   /** §2-125 `q_robots_filter`: every canonical URL in the fetch-log
     * universe ([[UrlOps.canonUrls]] — the distinct-set form, none of
     * urlDedup's accounting aggregates) against its host's rules —
     * longest matching prefix decides, Allow wins if it carries,
-    * unmatched URLs default allowed. Output (canon_url, rule_prefix,
-    * allowed). ONE broadcast join + ONE url-keyed argmax. */
+    * unmatched URLs default allowed; the robots-fetch STATUS gates the
+    * whole host ([[robotsAllowed]] — 5xx disallow-all, 4xx allow-all
+    * with rule_prefix nulled: an absent robots file HAS no rules).
+    * Output (canon_url, rule_prefix, allowed). TWO broadcast joins +
+    * ONE url-keyed argmax. */
   def robotsFilter(documents: DataFrame): DataFrame =
     matchRules(withParts(UrlOps.canonUrls(documents)),
-      rulesOf(documents), Seq.empty)
+      rulesOf(documents), robotsStatusOf(documents), Seq.empty)
       .select(col("canon_url"),
-        col("m.prefix").as("rule_prefix"),
-        coalesce(col("m.allow"), lit(true)).as("allowed"))
+        when(col("robots_status") < 400, col("m.prefix")).as("rule_prefix"),
+        robotsAllowed.as("allowed"))
       .orderBy("canon_url")
 
   /** §2-126 `q_frontier`: the crawl scheduler's enqueue set — distinct
@@ -125,16 +171,17 @@ object CrawlOps {
       .agg(countDistinct(col("doc_id")).as("n_referrers"))
     val fetched = UrlOps.canonUrls(documents)
       .filter(expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT) < 50"))
-    frontierCore(links, rulesOf(documents), fetched)
+    frontierCore(links, rulesOf(documents), robotsStatusOf(documents), fetched)
   }
 
   /** The frontier computation proper, over ANY (canon_url, n_referrers)
     * link frame + rule set + fetch log — shared by the batch query and
     * [[frontierStream]] so the two cannot drift. */
   private[graft] def frontierCore(links: DataFrame, rules: DataFrame,
+                                  statuses: DataFrame,
                                   fetched: DataFrame): DataFrame =
-    matchRules(withParts(links), rules, Seq("n_referrers"))
-      .filter(coalesce(col("m.allow"), lit(true)))
+    matchRules(withParts(links), rules, statuses, Seq("n_referrers"))
+      .filter(robotsAllowed)
       .join(fetched.select(col("canon_url")), Seq("canon_url"), "left_anti")
       .select(col("canon_url"), col("n_referrers"))
 
@@ -254,9 +301,10 @@ object CrawlOps {
     val fetched = UrlOps.canonUrls(documents)
       .filter(expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT) < 50"))
       .withColumn("_f", lit(true))
-    matchRules(withParts(seeds), rulesOf(documents), Seq("lastmod"))
+    matchRules(withParts(seeds), rulesOf(documents),
+      robotsStatusOf(documents), Seq("lastmod"))
       .select(col("canon_url"), col("lastmod"),
-        coalesce(col("m.allow"), lit(true)).as("allowed"))
+        robotsAllowed.as("allowed"))
       .withColumn("source",
         regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1))
       .join(fetched, Seq("canon_url"), "left")
@@ -364,9 +412,9 @@ object CrawlOps {
     val resolved = redirectResolve(redirectEdges(documents))
     val allowed = matchRules(
       withParts(resolved.select(col("final_url").as("canon_url")).distinct()),
-      rulesOf(documents), Seq.empty)
+      rulesOf(documents), robotsStatusOf(documents), Seq.empty)
       .select(col("canon_url").as("_a_url"),
-        coalesce(col("m.allow"), lit(true)).as("_allowed"))
+        robotsAllowed.as("_allowed"))
     val fetched = UrlOps.canonUrls(documents)
       .filter(expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT) < 50"))
       .select(col("canon_url").as("_f_url"))
@@ -388,6 +436,7 @@ object CrawlOps {
     * dedup is the fetch log's job (the scheduler records enqueues), not
     * stream state — that keeps this operator stateless. */
   def frontierStream(docs: DataFrame, rules: () => DataFrame,
+                     statuses: () => DataFrame,
                      fetched: () => DataFrame)
                     (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -397,7 +446,7 @@ object CrawlOps {
           val links = HtmlOps.linkExtractSet(batch)
             .groupBy(col("dst_url").as("canon_url"))
             .agg(countDistinct(col("doc_id")).as("n_referrers"))
-          sink(frontierCore(links, rules(), fetched()), id)
+          sink(frontierCore(links, rules(), statuses(), fetched()), id)
       }
       .start()
 
@@ -591,6 +640,7 @@ object CrawlOps {
     * [[scheduleCore]] with `q_crawl_schedule` — batch and stream cannot
     * drift on the queueing arithmetic. */
   def scheduleStream(docs: DataFrame, rules: () => DataFrame,
+                     statuses: () => DataFrame,
                      fetched: () => DataFrame, delays: () => DataFrame,
                      cursors: () => DataFrame)
                     (sink: (DataFrame, Long) => Unit)
@@ -601,7 +651,7 @@ object CrawlOps {
           val links = HtmlOps.linkExtractSet(batch)
             .groupBy(col("dst_url").as("canon_url"))
             .agg(countDistinct(col("doc_id")).as("n_referrers"))
-          sink(scheduleCore(frontierCore(links, rules(), fetched()),
+          sink(scheduleCore(frontierCore(links, rules(), statuses(), fetched()),
             delays(), cursors()), id)
       }
       .start()
@@ -631,6 +681,25 @@ object CrawlOps {
       |        '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS w
       |    FROM rules0)
       |)""".stripMargin
+
+  /** The robots-fetch status universe as a CTE (`rstat`) — the SQL twin
+    * of [[robotsStatusOf]], shared by every consuming oracle. */
+  private def rstatSql: String =
+    """rstat AS (
+      |  SELECT DISTINCT source,
+      |    CASE WHEN CAST(substr(source, 4, 10) AS INT) % 10 = 8 THEN 503
+      |         WHEN CAST(substr(source, 4, 10) AS INT) % 10 = 4 THEN 404
+      |         ELSE 200 END AS robots_status
+      |  FROM documents
+      |)""".stripMargin
+
+  /** The SQL face of [[robotsAllowed]] over a status alias `s` and a
+    * matched-rule alias `m` — shared verbatim by every consuming oracle
+    * so the reachability semantics cannot drift. */
+  private def allowedSql(s: String, m: String): String =
+    s"CASE WHEN $s.robots_status >= 500 THEN FALSE " +
+      s"WHEN $s.robots_status >= 400 THEN TRUE " +
+      s"ELSE COALESCE($m.allow, TRUE) END"
 
   /** `urls (canon_url)` + `parts (canon_url, source, path)` over the
     * SHARED url universe CTE. */
@@ -689,6 +758,7 @@ object CrawlOps {
       s"""WITH ${UrlOps.urlUniverseSql},
          |$partsSql,
          |$rulesSql,
+         |$rstatSql,
          |matched AS (
          |  SELECT p.canon_url, r.prefix, r.allow,
          |    ROW_NUMBER() OVER (PARTITION BY p.canon_url
@@ -698,10 +768,11 @@ object CrawlOps {
          |   AND p.path LIKE r.like_pat ESCAPE '\'
          |)
          |SELECT p.canon_url,
-         |  m.prefix AS rule_prefix,
-         |  COALESCE(m.allow, TRUE) AS allowed
+         |  CASE WHEN s.robots_status < 400 THEN m.prefix END AS rule_prefix,
+         |  ${allowedSql("s", "m")} AS allowed
          |FROM parts p LEFT JOIN (SELECT * FROM matched WHERE rk = 1) m
          |  ON m.canon_url = p.canon_url
+         |LEFT JOIN rstat s ON s.source = p.source
          |ORDER BY p.canon_url""".stripMargin,
     "q_frontier" ->
       s"""WITH $frontierCtes
@@ -787,16 +858,19 @@ object CrawlOps {
          |   AND p.path LIKE r.like_pat ESCAPE '\'
          |),
          |${UrlOps.urlUniverseSql},
+         |$rstatSql,
          |fetched AS (
          |  SELECT DISTINCT ${UrlOps.canonSql("url")} AS canon_url FROM u
          |  WHERE TRY_CAST(regexp_extract(${UrlOps.canonSql("url")}, '/docs/([0-9]+)$$', 1) AS INT) < 50
          |)
          |SELECT r.src_url, r.final_url, r.n_hops, r.resolved,
-         |  (r.resolved AND COALESCE(m.allow, TRUE) AND f.canon_url IS NULL)
+         |  (r.resolved AND ${allowedSql("s", "m")} AND f.canon_url IS NULL)
          |    AS enqueue
          |FROM res r
          |LEFT JOIN (SELECT * FROM matched WHERE rk = 1) m
          |  ON m.canon_url = r.final_url
+         |LEFT JOIN rstat s
+         |  ON s.source = regexp_extract(r.final_url, '^[a-z]+://([^./]+)\\.', 1)
          |LEFT JOIN fetched f ON f.canon_url = r.final_url
          |ORDER BY r.src_url""".stripMargin
     },
@@ -879,13 +953,15 @@ object CrawlOps {
        |  SELECT DISTINCT ${UrlOps.canonSql("url")} AS canon_url FROM u
        |  WHERE TRY_CAST(regexp_extract(${UrlOps.canonSql("url")}, '/docs/([0-9]+)$$', 1) AS INT) < 50
        |),
+       |$rstatSql,
        |sm AS (
        |  SELECT p.canon_url, p.source, p.lastmod,
-       |    COALESCE(m.allow, TRUE) AS allowed,
+       |    ${allowedSql("s", "m")} AS allowed,
        |    (p.canon_url IN (SELECT canon_url FROM fetched)) AS fetched
        |  FROM sparts p
        |  LEFT JOIN (SELECT * FROM smatched WHERE rk = 1) m
        |    ON m.canon_url = p.canon_url
+       |  LEFT JOIN rstat s ON s.source = p.source
        |)""".stripMargin
   }
 
@@ -913,11 +989,13 @@ object CrawlOps {
        |    ON p.source = r.source
        |   AND p.path LIKE r.like_pat ESCAPE '\'
        |),
+       |$rstatSql,
        |allowed AS (
        |  SELECT p.canon_url, p.n_referrers
        |  FROM lparts p LEFT JOIN (SELECT * FROM matched WHERE rk = 1) m
        |    ON m.canon_url = p.canon_url
-       |  WHERE COALESCE(m.allow, TRUE)
+       |  LEFT JOIN rstat s ON s.source = p.source
+       |  WHERE ${allowedSql("s", "m")}
        |),
        |${UrlOps.urlUniverseSql},
        |fetched AS (

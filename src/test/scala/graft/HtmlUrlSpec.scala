@@ -293,6 +293,33 @@ class HtmlUrlSpec extends SparkSpec {
     assert(!parsed.exists(_._2 == "/private"))
   }
 
+  test("robots reachability: 5xx host disallows ALL; 4xx host ignores stale rules") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // src8 → robots_status 503 (unreachable), src4 → 404 (absent),
+    // src3 → 200 (rules apply); doc ids chosen so each host's url
+    // universe includes a path its own rules WOULD block (src4's rules
+    // Disallow /docs/4*, id 44; src3 Disallow /docs/3*, id 33)
+    val docs = Seq((44L, "src4"), (88L, "src8"), (31L, "src3"))
+      .toDF("doc_id", "source")
+    val verdicts = CrawlOps.robotsFilter(docs).collect()
+      .map(r => r.getString(0) ->
+        (Option(r.getString(1)), r.getBoolean(2))).toMap
+    // RFC 9309 §2.3.1.4: unreachable robots → assume complete disallow
+    assert(verdicts("http://src8.example.com/docs/88") == ((None, false)))
+    // §2.3.1.2-adjacent: 4xx = no robots → allow-all, rules ignored
+    assert(verdicts("http://src4.example.com/docs/44") == ((None, true)))
+    // a 200 host still enforces its rules (/docs/3 blocks id 31)
+    assert(verdicts("http://src3.example.com/docs/31") ==
+      ((Some("/docs/3"), false)))
+    // the 5xx host's urls vanish from the frontier + schedule entirely
+    val f = CrawlOps.frontier(docs).collect().map(_.getString(0))
+    assert(!f.exists(_.contains("src8.example.com")), f.toSeq)
+    assert(f.exists(_.contains("src4.example.com")), f.toSeq)
+    val sch = CrawlOps.crawlSchedule(docs).collect().map(_.getString(0))
+    assert(!sch.exists(_.contains("src8.example.com")), sch.toSeq)
+  }
+
   test("frontier excludes robots-blocked and already-fetched outlinks") {
     import spark.implicits._
     import graft.operators.CrawlOps
@@ -440,6 +467,7 @@ class HtmlUrlSpec extends SparkSpec {
     val q = CrawlOps.frontierStream(
       input.toDF().toDF("doc_id", "source"),
       () => CrawlOps.rulesOf(Seq((0L, "src3")).toDF("doc_id", "source")),
+      () => CrawlOps.robotsStatusOf(Seq((0L, "src3")).toDF("doc_id", "source")),
       () => spark.read.parquet(logPath)) { (df, id) =>
       results.put(id, df.collect().map(_.getString(0)).toSet)
     }
@@ -476,6 +504,7 @@ class HtmlUrlSpec extends SparkSpec {
     val q = CrawlOps.scheduleStream(
       input.toDF().toDF("doc_id", "source"),
       () => CrawlOps.rulesOf(srcDocs),
+      () => CrawlOps.robotsStatusOf(srcDocs),
       () => spark.read.parquet(s"$logDir/log"),
       () => CrawlOps.crawlDelayOf(srcDocs), // src3 → 4 s
       () => spark.read.parquet(curPath)) { (df, id) =>
