@@ -192,9 +192,13 @@ object CrawlOps {
     * variant without, one trailing-slash duplicate of the first, so
     * canonicalization still bites), child B two more with older
     * lastmods (one recent enough to trigger recrawls for some fetch
-    * dates, one predating every fetch). Both engines derive the same
-    * bytes from `source` alone. Returns (source, url, body). */
+    * dates, one predating every fetch). Child B ships GZIPPED under a
+    * `.xml.gz` name (round 14 — `Sitemap:`-referenced files are very
+    * often compressed; the entry SET is unchanged, so the oracles hold).
+    * Both engines derive the same entries from `source` alone. Returns
+    * (source, url, body_bytes). */
   private[graft] def sitemapBodies(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
     val idx = expr("CAST(substr(source, 4, 10) AS INT)")
     val host = concat(col("source"), lit(".example.com"))
     // lastmod-bearing entries land in the host's OWN path-id residue
@@ -213,7 +217,7 @@ object CrawlOps {
     val index = concat(xml,
       lit("<sitemapindex><sitemap><loc>http://"), host,
       lit("/sitemap-a.xml</loc></sitemap><sitemap><loc>http://"), host,
-      lit("/sitemap-b.xml</loc><lastmod>2026-08-01</lastmod></sitemap>" +
+      lit("/sitemap-b.xml.gz</loc><lastmod>2026-08-01</lastmod></sitemap>" +
         "</sitemapindex>"))
     val childA = concat(xml,
       lit("<urlset><url><loc>http://"), host, lit("/docs/"), d1,
@@ -229,16 +233,42 @@ object CrawlOps {
     documents.select(col("source")).distinct()
       .select(col("source"), explode(array(
         struct(concat(lit("http://"), host, lit("/sitemap.xml")).as("url"),
-          index.as("body")),
+          encode(index, "UTF-8").as("body_bytes")),
         struct(concat(lit("http://"), host, lit("/sitemap-a.xml")).as("url"),
-          childA.as("body")),
-        struct(concat(lit("http://"), host, lit("/sitemap-b.xml")).as("url"),
-          childB.as("body")))).as("s"))
-      .select(col("source"), col("s.url").as("url"), col("s.body").as("body"))
+          encode(childA, "UTF-8").as("body_bytes")),
+        struct(concat(lit("http://"), host, lit("/sitemap-b.xml.gz")).as("url"),
+          call_function("gzip_compress",
+            encode(childB, "UTF-8")).as("body_bytes")))).as("s"))
+      .select(col("source"), col("s.url").as("url"),
+        col("s.body_bytes").as("body_bytes"))
+  }
+
+  /** Byte-level front of [[parseSitemaps]] — the face real fetched
+    * sitemap BYTES enter through: gzip members (`.xml.gz` — the common
+    * wire form of `Sitemap:`-referenced files) are SNIFFED by magic
+    * (1f 8b, never trusted from the name) and inflated via the
+    * bomb-guarded native `http_inflate`; a corrupt stream DROPS the row
+    * (a lying sitemap must not poison discovery); valid-UTF-8 bodies
+    * decode as UTF-8, anything else falls back to the bijective latin-1
+    * view (sitemap XML is ASCII-framed, so locs survive either way).
+    * Input (source, url, body_bytes); output = [[parseSitemaps]]'. */
+  private[graft] def parseSitemapBytes(bodies: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(bodies.sparkSession)
+    val isGz = col("body_bytes").substr(1, 2) ===
+      lit(Array(0x1f.toByte, 0x8b.toByte))
+    parseSitemaps(bodies
+      .withColumn("_raw",
+        when(isGz, call_function("http_inflate", col("body_bytes")))
+          .otherwise(col("body_bytes")))
+      .filter(col("_raw").isNotNull)
+      .withColumn("body",
+        when(expr("is_valid_utf8(_raw)"), decode(col("_raw"), "UTF-8"))
+          .otherwise(decode(col("_raw"), "ISO-8859-1")))
+      .select(col("source"), col("url"), col("body")))
   }
 
   /** Parse ANY (source, url, body) sitemap frame — the general face real
-    * fetched sitemap bytes enter through: `<sitemapindex>` files recurse
+    * fetched sitemap TEXT enters through: `<sitemapindex>` files recurse
     * ONE level (their `<loc>` children are resolved against the frame by
     * canonical URL — a child the crawl has not fetched contributes
     * nothing, an index-of-indexes does not recurse further, per the
@@ -294,7 +324,7 @@ object CrawlOps {
   /** [[sitemapSeeds]] without the presentation sort (the face
     * [[recrawl]] composes — it re-joins and re-sorts anyway). */
   private def sitemapSeedSet(documents: DataFrame): DataFrame = {
-    val seeds = parseSitemaps(sitemapBodies(documents))
+    val seeds = parseSitemapBytes(sitemapBodies(documents))
       .select(UrlOps.canon(col("loc")).as("canon_url"), col("lastmod"))
       .groupBy(col("canon_url"))
       .agg(max(col("lastmod")).as("lastmod"))

@@ -204,6 +204,9 @@ object GraftFunctions {
       (es: Seq[Expression]) => HttpInflate(es(0),
         if (es.length > 1) litInt(es(1), "http_inflate")
         else HttpCodec.MaxInflate)),
+    (FunctionIdentifier("gzip_compress"),
+      new ExpressionInfo(classOf[GzipCompress].getName, "gzip_compress"),
+      (es: Seq[Expression]) => GzipCompress(es(0))),
     (FunctionIdentifier("url_resolve"),
       new ExpressionInfo(classOf[UrlResolve].getName, "url_resolve"),
       (es: Seq[Expression]) => UrlResolve(es(0), es(1))),

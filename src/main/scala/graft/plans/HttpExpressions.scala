@@ -64,6 +64,17 @@ object HttpCodec {
     if (b <= '9') b - '0'
     else (b | 0x20) - 'a' + 10
 
+  /** RFC 1952 gzip of a byte body — [[inflate]]'s inverse (see
+    * [[GzipCompress]]). */
+  def gzip(body: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(body.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos, 64 << 10)
+    // GZIPOutputStream owns its Deflater (usesDefaultDeflater) — close()
+    // frees the native buffers, unlike the custom-Deflater streams
+    try gz.write(body) finally gz.close()
+    bos.toByteArray
+  }
+
   /** Output-size cap for [[inflate]] — matches [[graft.sources.WarcSource]]'s
     * default `maxRecord`: a body that inflates past it is a bomb or
     * corruption, not a web page. */
@@ -182,5 +193,35 @@ case class HttpInflate(child: Expression, maxOut: Int = HttpCodec.MaxInflate)
     })
 
   override protected def withNewChildInternal(newChild: Expression): HttpInflate =
+    copy(child = newChild)
+}
+
+/** `gzip_compress(binary)` → RFC 1952 gzip member — [[HttpCodec.inflate]]'s
+  * inverse, for sinks and synthetic universes that must PLANT compressed
+  * bytes (e.g. the `.xml.gz` sitemap child). Java's GZIPOutputStream
+  * writes MTIME=0 and owns (and frees) its internal Deflater, so output
+  * is deterministic and native buffers never leak. */
+case class GzipCompress(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${other.sql}")
+    }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gzip_compress"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HttpCodec.gzip(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.HttpCodec.gzip($c);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GzipCompress =
     copy(child = newChild)
 }

@@ -438,6 +438,34 @@ class HtmlUrlSpec extends SparkSpec {
       ("h2", "http://h2.example.com/q/9", None)), got)
   }
 
+  test("parseSitemapBytes: a gzipped .xml.gz child parses identically to its plain twin") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val xml = "<urlset><url><loc>http://h1.example.com/p/1</loc>" +
+      "<lastmod>2026-05-01</lastmod></url>" +
+      "<url><loc>http://h1.example.com/p/2</loc></url></urlset>"
+    val plain = xml.getBytes(UTF_8)
+    val gz = graft.plans.HttpCodec.gzip(plain)
+    val corrupt = gz.clone(); corrupt(12) = (corrupt(12) ^ 0xff).toByte
+    def parse(bytes: Array[Byte]) =
+      CrawlOps.parseSitemapBytes(
+        Seq(("h1", "http://h1.example.com/m.xml.gz", bytes))
+          .toDF("source", "url", "body_bytes")).collect()
+        .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    val want = Set(
+      ("h1", "http://h1.example.com/p/1", Some("2026-05-01")),
+      ("h1", "http://h1.example.com/p/2", None))
+    assert(parse(plain) == want, "plain twin")
+    assert(parse(gz) == want, "gzip member sniffed by magic, not by name")
+    assert(parse(corrupt).isEmpty, "corrupt gzip drops the row, never poisons")
+    // the synthetic universe actually SHIPS child B gzipped — prove the
+    // production path inflates it (its two entries carry the old lastmods)
+    val docs = Seq((20L, "src0")).toDF("doc_id", "source")
+    val viaUniverse = CrawlOps.parseSitemapBytes(CrawlOps.sitemapBodies(docs))
+      .collect().map(r => Option(r.getString(2))).count(_.exists(_ < "2026-08"))
+    assert(viaUniverse == 2, "child B's 2026-07-20/2026-06-10 entries must land")
+  }
+
   test("recrawl queues fetched pages whose lastmod postdates their fetch date") {
     import spark.implicits._
     import graft.operators.CrawlOps

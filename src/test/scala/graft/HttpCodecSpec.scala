@@ -154,6 +154,23 @@ class HttpCodecSpec extends SparkSpec {
       "same stream under the default cap decodes")
   }
 
+  test("gzip_compress: inflate-roundtrip identity, magic bytes, codegen parity") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val payload = ("<urlset>" + "x" * 4096 + "</urlset>").getBytes(US_ASCII)
+    val gz = HttpCodec.gzip(payload)
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b, "RFC 1952 magic")
+    assert(HttpCodec.inflate(gz).toSeq == payload.toSeq, "roundtrip identity")
+    assert(HttpCodec.gzip(Array.emptyByteArray).length > 0, "empty body legal")
+    // deterministic (MTIME=0) — same input, same bytes
+    assert(HttpCodec.gzip(payload).toSeq == gz.toSeq)
+    val viaDf = Seq(Tuple1(payload)).toDF("b")
+      .select(call_function("http_inflate",
+        call_function("gzip_compress", col("b")))).collect().head
+      .getAs[Array[Byte]](0)
+    assert(viaDf.toSeq == payload.toSeq, "codegen roundtrip")
+  }
+
   test("charset_decode: strict JDK decode, alias map, eval ≡ codegen parity") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.Literal
