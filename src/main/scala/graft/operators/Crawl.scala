@@ -323,9 +323,44 @@ object CrawlOps {
 
   /** [[sitemapSeeds]] without the presentation sort (the face
     * [[recrawl]] composes — it re-joins and re-sorts anyway). */
-  private def sitemapSeedSet(documents: DataFrame): DataFrame = {
-    val seeds = parseSitemapBytes(sitemapBodies(documents))
+  private def sitemapSeedSet(documents: DataFrame): DataFrame =
+    triageSignals(sitemapSignals(documents), documents)
+
+  /** The sitemap freshness SIGNAL frame (canon_url, lastmod) — one of
+    * [[recrawl]]'s two inputs. */
+  private def sitemapSignals(documents: DataFrame): DataFrame =
+    parseSitemapBytes(sitemapBodies(documents))
       .select(UrlOps.canon(col("loc")).as("canon_url"), col("lastmod"))
+
+  /** Header-observed freshness signals — the OTHER recrawl input (round
+    * 14): most hosts publish no sitemap, but nearly every response
+    * carries `Last-Modified`, so a conditional-GET/HEAD sweep yields a
+    * (url, observed lastmod) frame the scheduler must honor exactly
+    * like sitemap lastmods. The synthetic twin: every fetched URL (the
+    * shared id<50 log) observes '2026-08-03' when id%4==1 (postdating
+    * every fetch → due) else '2026-06-15' (stale → never due); both
+    * engines derive it from the path id alone. The WARC face is
+    * [[HtmlOps.warcToDocuments]]'s `last_modified` column. */
+  private[graft] def headerSignals(documents: DataFrame): DataFrame = {
+    val id = expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT)")
+    UrlOps.canonUrls(documents)
+      .filter(id < 50)
+      .select(col("canon_url"),
+        when(id % 4 === 1, lit("2026-08-03"))
+          .otherwise(lit("2026-06-15")).as("lastmod"))
+  }
+
+  /** Triage ANY (canon_url, lastmod) signal frame into the scheduler
+    * shape: dedupe keeping the NEWEST lastmod (duplicates under
+    * cosmetic URL variants and across signal sources collapse), then
+    * annotate robots `allowed` (the shared [[matchRules]] argmax +
+    * [[robotsAllowed]] reachability) and already-`fetched` (the shared
+    * fetch log). Signals are hosts-bounded or fetch-log-bounded, so the
+    * only corpus-scale frame is the fetch-log join — keyed on the
+    * canonical URL like every crawl operator. */
+  private def triageSignals(signals: DataFrame,
+                            documents: DataFrame): DataFrame = {
+    val seeds = signals
       .groupBy(col("canon_url"))
       .agg(max(col("lastmod")).as("lastmod"))
     val fetched = UrlOps.canonUrls(documents)
@@ -362,7 +397,9 @@ object CrawlOps {
     * partitions BY HOST. */
   def recrawl(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    val due = sitemapSeedSet(documents)
+    val due = triageSignals(
+      sitemapSignals(documents).unionByName(headerSignals(documents)),
+      documents)
       .filter(col("fetched") && col("allowed"))
       .withColumn("fetch_date", expr(fetchDateSql("canon_url")))
       .filter(col("lastmod") > col("fetch_date"))
@@ -815,7 +852,7 @@ object CrawlOps {
          |FROM sm
          |ORDER BY canon_url""".stripMargin,
     "q_recrawl" ->
-      s"""WITH $sitemapSeedCtes,
+      s"""WITH ${seedCtes(withHeaderSignals = true)},
          |due AS (
          |  SELECT canon_url, source, lastmod,
          |    '2026-07-' || lpad(CAST(1 + CAST(regexp_extract(canon_url, '/docs/([0-9]+)$$', 1) AS INT) % 28 AS VARCHAR), 2, '0')
@@ -936,7 +973,14 @@ object CrawlOps {
     * resolution is a Spark-face concern, spec-graded; the ENTRY SET the
     * two derivations yield is identical by construction — both engines
     * see exactly child A's three locs + child B's two). */
-  private def sitemapSeedCtes: String = {
+  private def sitemapSeedCtes: String = seedCtes(withHeaderSignals = false)
+
+  /** [[sitemapSeedCtes]] generalized over the signal UNION (round 14):
+    * `q_sitemap` triages the sitemap entries alone; `q_recrawl` unions
+    * the header-observed lastmod signal ([[headerSignals]]' twin — the
+    * fetched universe with id%4-derived dates) before the max-dedup, so
+    * header-dated staleness feeds the same politeness tail. */
+  private def seedCtes(withHeaderSignals: Boolean): String = {
     def d(m: Int, a: Int): String =
       s"CAST((CAST(substr(source, 4, 10) AS INT) * $m + $a) % 100 AS VARCHAR)"
     // the residue-class form — see sitemapBodies' cls()
@@ -944,9 +988,20 @@ object CrawlOps {
       s"CAST(((CAST(substr(source, 4, 10) AS INT) * $m + $a) % 5) * 20 + " +
         s"(CAST(substr(source, 4, 10) AS INT) % 20) AS VARCHAR)"
     val h = "'http://' || source || '.example.com"
+    val idOf = s"TRY_CAST(regexp_extract(${UrlOps.canonSql("url")}, " +
+      "'/docs/([0-9]+)$', 1) AS INT)"
+    val headerSig = if (!withHeaderSignals) "" else
+      s"""  UNION ALL
+         |  SELECT DISTINCT ${UrlOps.canonSql("url")},
+         |    CASE WHEN $idOf % 4 = 1 THEN '2026-08-03'
+         |         ELSE '2026-06-15' END
+         |  FROM u WHERE $idOf < 50
+         |""".stripMargin
     s"""srcs AS (
        |  SELECT DISTINCT source FROM documents
-       |), ent AS (
+       |),
+       |${UrlOps.urlUniverseSql},
+       |ent AS (
        |  SELECT $h/docs/' || ${cls(3, 1)} AS loc,
        |    '2026-08-01' AS lastmod FROM srcs
        |  UNION ALL
@@ -959,9 +1014,10 @@ object CrawlOps {
        |  UNION ALL
        |  SELECT $h/docs/' || ${cls(17, 6)}, '2026-06-10' FROM srcs
        |), seeds AS (
-       |  SELECT ${UrlOps.canonSql("loc")} AS canon_url,
-       |    MAX(lastmod) AS lastmod
-       |  FROM ent
+       |  SELECT canon_url, MAX(lastmod) AS lastmod
+       |  FROM (
+       |    SELECT ${UrlOps.canonSql("loc")} AS canon_url, lastmod FROM ent
+       |$headerSig  )
        |  GROUP BY 1
        |), sparts AS (
        |  SELECT canon_url, lastmod,
@@ -978,7 +1034,6 @@ object CrawlOps {
        |    ON p.source = r.source
        |   AND p.path LIKE r.like_pat ESCAPE '\'
        |),
-       |${UrlOps.urlUniverseSql},
        |fetched AS (
        |  SELECT DISTINCT ${UrlOps.canonSql("url")} AS canon_url FROM u
        |  WHERE TRY_CAST(regexp_extract(${UrlOps.canonSql("url")}, '/docs/([0-9]+)$$', 1) AS INT) < 50

@@ -339,15 +339,31 @@ object HtmlOps {
           .when(col("_text").isNull, lit("encoding"))
           .when(col("_text") === "", lit("empty")))
       .cache() // both routes are consumed (the DocsJsonlSource precedent)
+    // freshness/validator headers (round 14): most hosts publish no
+    // sitemap, but nearly every response carries Last-Modified and/or
+    // ETag — carried as columns so the recrawl scheduler can union them
+    // with sitemap lastmods (CrawlOps.headerSignals' real face). The
+    // RFC 9110 IMF-fixdate also lands as a DATE (weekday/zone dropped —
+    // Spark's parser takes neither; fixdate is always GMT).
+    val lmDate = to_date(try_to_timestamp(
+      regexp_extract(col("_lm"),
+        "([0-9]{1,2} [A-Za-z]{3} [0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2})", 1),
+      lit("d MMM yyyy HH:mm:ss")))
     val clean = resp.filter(col("_reason").isNull)
       .withColumn("url", UrlOps.canon(col("target_uri")))
+      .withColumn("_lm", nullif(trim(regexp_extract(col("_hdr"),
+        "(?im)^last-modified:([^\\r\\n]*)", 1)), lit("")))
       .select(
         xxhash64(col("url")).as("doc_id"),
         col("url"),
         regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1).as("source"),
         col("_text").as("text"),
         length(col("_text")).cast("long").as("n_chars"),
-        col("warc_date").as("fetch_date"))
+        col("warc_date").as("fetch_date"),
+        col("_lm").as("last_modified"),
+        lmDate.as("last_modified_date"),
+        nullif(trim(regexp_extract(col("_hdr"),
+          "(?im)^etag:([^\\r\\n]*)", 1)), lit("")).as("etag"))
     val quarantine = resp.filter(col("_reason").isNotNull)
       .select(col("file"), col("target_uri"), col("http_status"),
         col("_reason").as("reason"))

@@ -480,6 +480,43 @@ class HtmlUrlSpec extends SparkSpec {
         "2026-07-21", 1L, 0L, CrawlOps.ScheduleEpoch)), out.toSeq)
   }
 
+  test("recrawl honors header-observed Last-Modified beside sitemap lastmod") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // /docs/45 is fetched (id < 50) and appears in NO sitemap for src0
+    // ({20, 2, 80}); its header signal (id%4==1 → 2026-08-03) postdates
+    // its fetch date (2026-07-18) → due purely on the header evidence
+    val docs = Seq((45L, "src0")).toDF("doc_id", "source")
+    val out = CrawlOps.recrawl(docs).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      ("http://src0.example.com/docs/45", "2026-08-03", "2026-07-18")),
+      out.toSeq)
+  }
+
+  test("warcToDocuments carries Last-Modified / ETag freshness headers") {
+    val dir = Files.createTempDirectory("graft_warc_fresh")
+    val recs =
+      record("response", "http://f.net/dated",
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Last-Modified: Tue, 04 Aug 2026 10:30:00 GMT\r\n" +
+          "ETag: \"abc123\"\r\n\r\n<p>dated page</p>").getBytes(US_ASCII)) ++
+      record("response", "http://f.net/bare",
+        http("200 OK", "text/html", "<p>bare page</p>".getBytes(UTF_8)))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val (clean, _) =
+      HtmlOps.warcToDocuments(graft.sources.WarcSource.read(spark, dir.toString))
+    val rows = clean.collect().map(r => r.getAs[String]("url") ->
+      (Option(r.getAs[String]("last_modified")),
+        Option(r.getAs[java.sql.Date]("last_modified_date")),
+        Option(r.getAs[String]("etag")))).toMap
+    assert(rows("http://f.net/dated") == ((
+      Some("Tue, 04 Aug 2026 10:30:00 GMT"),
+      Some(java.sql.Date.valueOf("2026-08-04")),
+      Some("\"abc123\""))), rows)
+    assert(rows("http://f.net/bare") == ((None, None, None)), rows)
+  }
+
   test("frontierStream discovers per trigger against the live fetch log") {
     import spark.implicits._
     import graft.operators.CrawlOps
