@@ -65,6 +65,27 @@ object CrawlOps {
           .otherwise(lit(200)))
   }
 
+  /** Per-host robots-fetch STATUS observed in a real WARC crawl — the
+    * ingest face of [[robotsStatusOf]]'s synthetic axis, closing the
+    * round-13 gap where the WARC path held the status code but the
+    * politeness layer never saw it: each host's LATEST `/robots.txt`
+    * response (by WARC-Date — a refetch supersedes; equal dates break
+    * toward the higher status, i.e. conservatively) yields one
+    * (source, robots_status) row for [[matchRules]] + [[robotsAllowed]].
+    * A 2xx row pairs with [[parseRobotsBodies]]' rules from the same
+    * records; a 4xx/5xx row gates the whole host with no rules needed.
+    * One row per host → broadcasts like every status frame. */
+  def robotsStatusesOf(records: DataFrame): DataFrame =
+    graft.sources.WarcSource.httpResponses(records)
+      .withColumn("_canon", UrlOps.canon(col("target_uri")))
+      .filter(col("_canon").rlike("^https?://[^/?#]+/robots\\.txt$"))
+      .withColumn("source",
+        regexp_extract(col("_canon"), "^[a-z]+://([^./]+)\\.", 1))
+      .filter(col("source") =!= "" && col("http_status").isNotNull)
+      .groupBy(col("source"))
+      .agg(max(struct(col("warc_date"), col("http_status")))
+        .getField("http_status").as("robots_status"))
+
   /** RFC 9309 §2.3.1 verdict over a [[matchRules]] output frame (which
     * carries `m` + `robots_status`): 5xx (robots unreachable) →
     * disallow-all; 4xx (robots absent) → allow-all, rules ignored;

@@ -186,10 +186,16 @@ object HtmlOps {
     *    before the charset chain via the bomb-guarded native
     *    `http_inflate` expression ([[graft.plans.HttpCodec.inflate]] —
     *    format sniffed from the bytes, zlib vs raw deflate
-    *    disambiguated, output capped); a corrupt/bomb stream routes to
-    *    quarantine as `content-encoding`, and any other coding
-    *    (`br`/`zstd`/unknown) still quarantines — compressed bytes must
-    *    never "decode" as charset text into the clean route;
+    *    disambiguated, output capped); `Content-Encoding: zstd` decodes
+    *    via the bomb-guarded native `zstd_inflate` (round 14 — the
+    *    zstd-jni library Spark itself ships); a corrupt/bomb stream
+    *    routes to quarantine as `content-encoding`, and any other
+    *    coding (`br`/unknown) still quarantines — compressed bytes must
+    *    never "decode" as charset text into the clean route (brotli is
+    *    a PERMANENT quarantine policy: no pure-JVM decoder exists on
+    *    the offline classpath, and a crawler that omits `br` from its
+    *    own Accept-Encoding never receives it, so the quarantine prices
+    *    only third-party WARCs);
     *  - an UNDECODABLE page (charset outside the whitelist, invalid bytes
     *    under the declared charset — validated BEFORE Spark 4's strict
     *    `decode`, so a bad page quarantines as `encoding` instead of
@@ -245,14 +251,16 @@ object HtmlOps {
       .withColumn("_chunked", col("_te").rlike("\\bchunked\\b"))
       .withColumn("_te_other",
         regexp_replace(col("_te"), "\\bchunked\\b|\\bidentity\\b|[\\s,]", "") =!= "")
-      // `Content-Encoding`: gzip/x-gzip/deflate inflate below; any other
-      // non-identity coding (br/zstd/unknown) is undecodable row-level
-      // today → quarantine, never mojibake in the clean route
+      // `Content-Encoding`: gzip/x-gzip/deflate inflate below; zstd
+      // decodes via the zstd-jni route Spark already ships (round 14);
+      // any other non-identity coding (br/unknown) is undecodable
+      // row-level today → quarantine, never mojibake in the clean route
       .withColumn("_ce", lower(trim(regexp_extract(col("_hdr"),
         "(?im)^content-encoding:([^\\r\\n]*)", 1))))
       .withColumn("_ce_gz", col("_ce").isin("gzip", "x-gzip", "deflate"))
+      .withColumn("_ce_zstd", col("_ce") === "zstd")
       .withColumn("_ce_bad",
-        !col("_ce").isin("", "identity") && !col("_ce_gz"))
+        !col("_ce").isin("", "identity") && !col("_ce_gz") && !col("_ce_zstd"))
       .withColumn("_raw0", encode(col("_body_l1"), "ISO-8859-1"))
       // wire-format order: TE framing wraps the CE-compressed entity, so
       // de-chunk FIRST (byte-level, charset-independent; null = malformed
@@ -262,6 +270,7 @@ object HtmlOps {
           .otherwise(col("_raw0")))
       .withColumn("_raw",
         when(col("_ce_gz"), call_function("http_inflate", col("_raw1")))
+          .when(col("_ce_zstd"), call_function("zstd_inflate", col("_raw1")))
           .otherwise(col("_raw1")))
       // charset resolution chain (WHATWG precedence): a BOM byte
       // signature outranks everything (documents start with it
@@ -334,7 +343,8 @@ object HtmlOps {
           .when(col("_te_other"), lit("transfer-encoding"))
           .when(col("_chunked") && col("_raw1").isNull, lit("chunked"))
           .when(col("_ce_bad"), lit("content-encoding"))
-          .when(col("_ce_gz") && col("_raw").isNull, lit("content-encoding"))
+          .when((col("_ce_gz") || col("_ce_zstd")) && col("_raw").isNull,
+            lit("content-encoding"))
           .when(col("_charset") === "unsupported", lit("charset"))
           .when(col("_text").isNull, lit("encoding"))
           .when(col("_text") === "", lit("empty")))

@@ -204,6 +204,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => HttpInflate(es(0),
         if (es.length > 1) litInt(es(1), "http_inflate")
         else HttpCodec.MaxInflate)),
+    (FunctionIdentifier("zstd_inflate"),
+      new ExpressionInfo(classOf[ZstdInflate].getName, "zstd_inflate"),
+      (es: Seq[Expression]) => ZstdInflate(es(0),
+        if (es.length > 1) litInt(es(1), "zstd_inflate")
+        else HttpCodec.MaxInflate)),
     (FunctionIdentifier("gzip_compress"),
       new ExpressionInfo(classOf[GzipCompress].getName, "gzip_compress"),
       (es: Seq[Expression]) => GzipCompress(es(0))),

@@ -64,6 +64,39 @@ object HttpCodec {
     if (b <= '9') b - '0'
     else (b | 0x20) - 'a' + 10
 
+  /** `Content-Encoding: zstd` body decode (RFC 8878), bomb-guarded like
+    * [[inflate]] — via the zstd-jni library Spark itself ships (and
+    * loads) for shuffle/parquet compression, so the route costs no new
+    * dependency. Streaming frame decode; null (→ quarantine at the
+    * caller) on a corrupt/truncated frame or output past `maxOut`.
+    * Brotli remains the one quarantined coding: no pure-JVM decoder
+    * exists on the offline classpath, and a polite crawler that omits
+    * `br` from Accept-Encoding never receives it — the quarantine only
+    * prices third-party WARCs. */
+  def zstd(body: Array[Byte], maxOut: Int = MaxInflate): Array[Byte] = {
+    if (body.length == 0) return body // legal empty entity — identity
+    var in: java.io.InputStream = null
+    try {
+      in = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(body))
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(body.length * 4, 1 << 10), 1 << 20))
+      val buf = new Array[Byte](64 << 10)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size + n > maxOut) return null // bomb guard
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch {
+      case _: IOException => null // corrupt or truncated frame
+    } finally {
+      // ZstdInputStream frees its native context on close
+      if (in != null) { try in.close() catch { case _: IOException => () } }
+    }
+  }
+
   /** RFC 1952 gzip of a byte body — [[inflate]]'s inverse (see
     * [[GzipCompress]]). */
   def gzip(body: Array[Byte]): Array[Byte] = {
@@ -223,5 +256,36 @@ case class GzipCompress(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): GzipCompress =
+    copy(child = newChild)
+}
+
+/** `zstd_inflate(binary[, max_out])` → RFC 8878 zstd-decoded binary,
+  * null on a corrupt frame or a decompression bomb (see
+  * [[HttpCodec.zstd]]). `max_out` must be an integer literal. */
+case class ZstdInflate(child: Expression, maxOut: Int = HttpCodec.MaxInflate)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${other.sql}")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // corrupt frame / bomb → null
+  override def prettyName: String = "zstd_inflate"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HttpCodec.zstd(input.asInstanceOf[Array[Byte]], maxOut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.HttpCodec.zstd($c, $maxOut);
+         |${ev.isNull} = ${ev.value} == null;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ZstdInflate =
     copy(child = newChild)
 }

@@ -293,6 +293,51 @@ class HtmlUrlSpec extends SparkSpec {
     assert(!parsed.exists(_._2 == "/private"))
   }
 
+  test("robotsStatusesOf: latest /robots.txt fetch per host gates the matcher") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val dir = Files.createTempDirectory("graft_warc_rstat")
+    def robotsResp(host: String, status: String, date: String): Array[Byte] = {
+      val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Date: $date\r\n" +
+        s"WARC-Target-URI: http://$host/robots.txt\r\n")
+      val payload = (s"HTTP/1.1 $status\r\nContent-Type: text/plain\r\n\r\nUser-agent: *\r\n")
+        .getBytes(US_ASCII)
+      (hdr + s"Content-Length: ${payload.length}\r\n\r\n").getBytes(US_ASCII) ++
+        payload ++ "\r\n\r\n".getBytes(US_ASCII)
+    }
+    val recs =
+      robotsResp("ok.example.com", "200 OK", "2026-08-01T00:00:00Z") ++
+      // flapping host: an old 200 SUPERSEDED by a later 503
+      robotsResp("flap.example.com", "200 OK", "2026-08-01T00:00:00Z") ++
+      robotsResp("flap.example.com", "503 Service Unavailable",
+        "2026-08-10T00:00:00Z") ++
+      robotsResp("gone.example.com", "404 Not Found", "2026-08-05T00:00:00Z") ++
+      // a non-robots response on the same host must not contribute
+      record("response", "http://ok.example.com/page",
+        http("500 Oops", "text/html", "x".getBytes(US_ASCII)))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val statuses = CrawlOps.robotsStatusesOf(
+      graft.sources.WarcSource.read(spark, dir.toString))
+    val got = statuses.collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("ok" -> 200, "flap" -> 503, "gone" -> 404), got)
+    // and the matcher honors it: the flapping host's urls are DISALLOWED
+    // even though its (stale) parsed rules would allow them
+    val parts = Seq(
+      ("http://flap.example.com/a", "flap", "/a"),
+      ("http://ok.example.com/a", "ok", "/a"))
+      .toDF("canon_url", "source", "path")
+    val rules = Seq.empty[(String, String, Boolean)]
+      .toDF("source", "prefix", "allow")
+    val verdicts = CrawlOps.matchRules(parts, rules, statuses, Seq.empty)
+      .select(col("canon_url"), CrawlOps.robotsAllowed).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(verdicts == Map(
+      "http://flap.example.com/a" -> false,
+      "http://ok.example.com/a" -> true), verdicts)
+  }
+
   test("robots reachability: 5xx host disallows ALL; 4xx host ignores stale rules") {
     import spark.implicits._
     import graft.operators.CrawlOps
@@ -907,7 +952,7 @@ class HtmlUrlSpec extends SparkSpec {
     assert(quarantine.count() == 0L)
   }
 
-  test("warcToDocuments inflates gzip/deflate bodies; br and corrupt quarantine") {
+  test("warcToDocuments inflates gzip/deflate/zstd bodies; br and corrupt quarantine") {
     import java.io.ByteArrayOutputStream
     import java.util.zip.{Deflater, GZIPOutputStream}
     val dir = Files.createTempDirectory("graft_warc_ce")
@@ -939,6 +984,11 @@ class HtmlUrlSpec extends SparkSpec {
         http2(s"$ct\r\nContent-Encoding: gzip", corrupt)) ++
       record("response", "http://ce.net/br",
         http2(s"$ct\r\nContent-Encoding: br", page)) ++
+      record("response", "http://ce.net/zstd",
+        http2(s"$ct\r\nContent-Encoding: zstd",
+          com.github.luben.zstd.Zstd.compress(page))) ++
+      record("response", "http://ce.net/zstd-corrupt",
+        http2(s"$ct\r\nContent-Encoding: zstd", page)) ++
       // identity is NOT compression — must stay on the clean route
       record("response", "http://ce.net/identity",
         http2(s"$ct\r\nContent-Encoding: identity", page)) ++
@@ -952,12 +1002,14 @@ class HtmlUrlSpec extends SparkSpec {
     assert(byUrl == Map(
       "http://ce.net/gzip" -> want, "http://ce.net/xgzip" -> want,
       "http://ce.net/zlib" -> want, "http://ce.net/raw-deflate" -> want,
+      "http://ce.net/zstd" -> want,
       "http://ce.net/identity" -> want, "http://ce.net/plain" -> want),
       byUrl)
     val q = quarantine.collect().map(r =>
       r.getAs[String]("target_uri") -> r.getAs[String]("reason")).toMap
     assert(q == Map(
       "http://ce.net/corrupt" -> "content-encoding",
+      "http://ce.net/zstd-corrupt" -> "content-encoding",
       "http://ce.net/br" -> "content-encoding"), q)
   }
 

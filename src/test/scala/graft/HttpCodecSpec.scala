@@ -154,6 +154,26 @@ class HttpCodecSpec extends SparkSpec {
       "same stream under the default cap decodes")
   }
 
+  test("zstd_inflate: roundtrip, corrupt frame nulls, bomb guard holds") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val payload = b("<html>zstd-encoded crawl page</html>")
+    val z = com.github.luben.zstd.Zstd.compress(payload)
+    assert(HttpCodec.zstd(z).toSeq == payload.toSeq, "roundtrip")
+    assert(HttpCodec.zstd(Array.emptyByteArray).length == 0, "empty = identity")
+    assert(HttpCodec.zstd(b("not a zstd frame")) == null, "corrupt → null")
+    assert(HttpCodec.zstd(z.dropRight(3)) == null, "truncated → null")
+    // 1 MiB of zeros compresses tiny; cap the output at 64 KiB
+    val bomb = com.github.luben.zstd.Zstd.compress(new Array[Byte](1 << 20))
+    assert(HttpCodec.zstd(bomb, maxOut = 64 << 10) == null, "bomb guard")
+    assert(HttpCodec.zstd(bomb).length == (1 << 20), "default cap decodes")
+    // codegen route
+    val viaDf = Seq(Tuple1(z)).toDF("b")
+      .select(call_function("zstd_inflate", col("b"))).collect().head
+      .getAs[Array[Byte]](0)
+    assert(viaDf.toSeq == payload.toSeq, "codegen parity")
+  }
+
   test("gzip_compress: inflate-roundtrip identity, magic bytes, codegen parity") {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)

@@ -495,6 +495,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_link_resolve: native url_resolve map, one distinct exchange, no join") {
+    val p = plan(UrlOps.linkResolve(Tables.documents(spark, sfDir)))
+    // the resolve→canon pipeline is a PURE MAP on the native codegen'd
+    // url_resolve expression — the round-13 Catalyst tree-reinlining
+    // blowup (35 s → 2.2 s) must not regress into a Column-chain form
+    assert(p.contains("url_resolve"), p)
+    // no join of any kind — resolution is row-local
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    // exactly ONE hash exchange (the distinct); the only other exchange
+    // is the presentation sort's range partitioning
+    val hashEx = p.linesIterator.count(l =>
+      l.trim.startsWith("Arguments: hashpartitioning("))
+    assert(hashEx == 1, s"want exactly 1 hash exchange, got $hashEx:\n$p")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("q_boilerplate: exchanges key on the digest, never the raw segment text") {
     val p = plan(DedupOps.boilerplate(Tables.documents(spark, sfDir)))
     // every hashpartitioning key set must mention seg_hash and not seg —
