@@ -425,10 +425,13 @@ object CrawlOps {
       .withColumn("fetch_date", expr(fetchDateSql("canon_url")))
       .filter(col("lastmod") > col("fetch_date"))
     val noCursors = Seq.empty[(String, Long)].toDF("source", "cursor_s")
-    scheduleCore(due.select(col("canon_url"), lit(1L).as("n_referrers")),
-      crawlDelayOf(documents), noCursors)
-      .join(due.select(col("canon_url"), col("lastmod"), col("fetch_date")),
-        Seq("canon_url"))
+    // lastmod/fetch_date CARRY through the schedule window — re-deriving
+    // `due` for a second evidence join would recompute the whole
+    // signal-union triage (a measured 1.6× of this query's cost)
+    scheduleCore(due.select(col("canon_url"), lit(1L).as("n_referrers"),
+      col("lastmod"), col("fetch_date")),
+      crawlDelayOf(documents), noCursors,
+      carry = Seq("lastmod", "fetch_date"))
       .select(col("canon_url"), col("source"), col("lastmod"),
         col("fetch_date"), col("delay_s"), col("next_allowed_offset_s"),
         col("next_allowed_ts"))
@@ -698,7 +701,8 @@ object CrawlOps {
     * next free offset — zero/absent for a cold batch run) — shared by
     * the batch query and [[scheduleStream]] so the two cannot drift. */
   private[graft] def scheduleCore(frontier: DataFrame, delays: DataFrame,
-                                  cursors: DataFrame): DataFrame = {
+                                  cursors: DataFrame,
+                                  carry: Seq[String] = Seq.empty): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("canon_url"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -710,10 +714,15 @@ object CrawlOps {
       .withColumn("next_allowed_offset_s",
         coalesce(col("cursor_s"), lit(0L)) +
           coalesce(sum(col("delay_s")).over(w), lit(0L)))
-      .select(col("canon_url"), col("source"), col("n_referrers"),
+      // `carry` columns ride the window unchanged — a consumer needing
+      // payload beside the schedule (q_recrawl's lastmod evidence) must
+      // not re-derive its input frame for a second join (round 14: that
+      // recompute-per-branch was a measured 1.6× on q_recrawl)
+      .select((Seq(col("canon_url"), col("source"), col("n_referrers"),
         col("delay_s"),
         col("next_allowed_offset_s"),
-        (lit(ScheduleEpoch) + col("next_allowed_offset_s")).as("next_allowed_ts"))
+        (lit(ScheduleEpoch) + col("next_allowed_offset_s"))
+          .as("next_allowed_ts")) ++ carry.map(col)): _*)
   }
 
   /** §2-C `scheduleStream`: live politeness SCHEDULING — the WHEN face
