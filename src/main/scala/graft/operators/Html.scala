@@ -24,29 +24,23 @@ import graft.functions.TextFuns
   */
 object HtmlOps {
 
-  /** Tag/block strip chain, applied IN ORDER (blocks before bare tags —
-    * a script body may contain `<` that is not markup). */
-  val StripPatterns: Seq[(String, String)] = Seq(
-    "(?s)<!--.*?-->" -> "",
-    "(?is)<script[^>]*>.*?</script>" -> "",
-    "(?is)<style[^>]*>.*?</style>" -> "",
-    "<[^>]*>" -> " ")
+  /** Tag/block strip chain, applied IN ORDER — single source of truth
+    * in [[graft.plans.HtmlExtract.StripPatterns]] (the native chain and
+    * the SQL twin both derive from it). */
+  val StripPatterns: Seq[(String, String)] = graft.plans.HtmlExtract.StripPatterns
 
-  /** The pure string-transform core: html → visible text. Character
-    * references (decimal `&#233;`, hex `&#xE9;`, named `&eacute;` — the
-    * full grammar, round 14) decode through the native single-pass
-    * [[graft.plans.HtmlEntities]] expression; `&amp;lt;` stays the
-    * literal text `&lt;` (decoded output is never rescanned — standard
-    * double-decode avoidance). Callers must have run
-    * [[graft.plans.GraftFunctions.register]] (every public face here
-    * does). */
-  def extractText(html: Column): Column = {
-    val stripped = StripPatterns.foldLeft(html) {
-      case (c, (p, r)) => regexp_replace(c, p, r)
-    }
-    val decoded = call_function("html_entities_decode", stripped)
-    trim(regexp_replace(decoded, "\\s+", " "))
-  }
+  /** The pure string-transform core: html → visible text — ONE native
+    * call ([[graft.plans.HtmlExtract]], round 14): the same
+    * java.util.regex strip patterns in the same order as the previous
+    * Column chain (so the DuckDB replay stays byte-identical), the
+    * full character-reference grammar ([[graft.plans.HtmlEntities]] —
+    * decimal/hex/named, single-pass, `&amp;lt;` stays the literal
+    * `&lt;`), whitespace collapse, space-only trim; fused so the row
+    * crosses the UTF8String boundary once instead of six times.
+    * Callers must have run [[graft.plans.GraftFunctions.register]]
+    * (every public face here does). */
+  def extractText(html: Column): Column =
+    call_function("html_text_extract", html)
 
   /** The synthetic page wrapper for `q_html_extract`: both engines build
     * the SAME messy-but-deterministic HTML around each document's text

@@ -222,6 +222,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[HtmlEntitiesDecode].getName,
         "html_entities_decode"),
       (es: Seq[Expression]) => HtmlEntitiesDecode(es(0))),
+    (FunctionIdentifier("html_text_extract"),
+      new ExpressionInfo(classOf[HtmlTextExtract].getName,
+        "html_text_extract"),
+      (es: Seq[Expression]) => HtmlTextExtract(es(0))),
     (FunctionIdentifier("utf8_nfc"),
       new ExpressionInfo(classOf[Utf8Nfc].getName, "utf8_nfc"),
       (es: Seq[Expression]) => Utf8Nfc(es(0))),

@@ -243,3 +243,77 @@ case class HtmlEntitiesDecode(child: Expression) extends UnaryExpression {
       newChild: Expression): HtmlEntitiesDecode =
     copy(child = newChild)
 }
+
+/** The WHOLE extraction chain as one native call — strip blocks/tags,
+  * decode character references, collapse whitespace, trim. Runs the
+  * SAME java.util.regex patterns in the SAME order as the Column-chain
+  * form (and therefore as the DuckDB oracle replay — byte-identical by
+  * construction), but crosses the UTF8String↔String boundary ONCE per
+  * row instead of once per pass and keeps every Pattern precompiled.
+  * The final trim strips the SPACE character only (Spark/DuckDB `trim`
+  * semantics — Java's String.trim strips all ≤U+0020 and would
+  * diverge, the round-13 lesson). */
+object HtmlExtract {
+
+  /** Tag/block strip chain, applied IN ORDER (blocks before bare tags —
+    * a script body may contain `<` that is not markup). The single
+    * source of truth: [[graft.operators.HtmlOps]] re-exports it for the
+    * SQL twin. */
+  val StripPatterns: Seq[(String, String)] = Seq(
+    "(?s)<!--.*?-->" -> "",
+    "(?is)<script[^>]*>.*?</script>" -> "",
+    "(?is)<style[^>]*>.*?</style>" -> "",
+    "<[^>]*>" -> " ")
+
+  private val compiled: Array[(Pattern, String)] =
+    StripPatterns.map { case (p, r) => (Pattern.compile(p), r) }.toArray
+
+  private val ws: Pattern = Pattern.compile("\\s+")
+
+  def extract(html: String): String = {
+    var s = html
+    var i = 0
+    while (i < compiled.length) {
+      s = compiled(i)._1.matcher(s).replaceAll(compiled(i)._2)
+      i += 1
+    }
+    s = HtmlEntities.decode(s)
+    s = ws.matcher(s).replaceAll(" ")
+    // space-only trim (Spark/DuckDB semantics)
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    if (from == 0 && to == s.length) s else s.substring(from, to)
+  }
+}
+
+/** `html_text_extract(string)` → extracted visible text (see
+  * [[HtmlExtract]]). Null in → null out; never fails. */
+case class HtmlTextExtract(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.sql}")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_text_extract"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      HtmlExtract.extract(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.plans.HtmlExtract.extract($c.toString()));
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlTextExtract =
+    copy(child = newChild)
+}

@@ -52,6 +52,25 @@ class HtmlUrlSpec extends SparkSpec {
     assert(extract("&#128512;") == new String(Character.toChars(0x1F600)))
   }
 
+  test("html_text_extract: direct ≡ interpreted eval ≡ codegen on every route") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases = Seq(
+      "<html><p>a &amp; b</p><!-- c --></html>",
+      "<script>x<y; t(\"</p>\");</script>ok &#233; &eacute;",
+      "", "   ", "no markup at all", "&unknown; &#xD800; <b>t</b>",
+      "\tedge tabs collapse to spaces, then trim\t")
+    cases.foreach { h =>
+      val direct = graft.plans.HtmlExtract.extract(h)
+      val interp = graft.plans.HtmlTextExtract(
+        Literal(UTF8String.fromString(h), StringType)).eval(null).toString
+      assert(direct == interp, s"interp <$h>")
+      assert(extract(h) == direct, s"codegen <$h>")
+    }
+    assert(graft.plans.HtmlExtract.extract(" x ") == "x")
+  }
+
   test("canon normalizes scheme/host case, ports, fragments, tracking, slashes") {
     import spark.implicits._
     val cases = Seq(

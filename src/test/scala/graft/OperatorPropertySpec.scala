@@ -34,6 +34,39 @@ class OperatorPropertySpec extends SparkSpec {
     assert(sizes.forall(_ == frameBytes))
   }
 
+  test("html entity decode: escape-roundtrip identity and verbatim-safety on random text") {
+    import graft.plans.HtmlEntities
+    // roundtrip: markup-escaping arbitrary text then decoding restores it
+    // (the wrapper's `escaped` chain is exactly this in the oracle pair)
+    val texts = Gen.listOfN(200, Gen.asciiPrintableStr.map(_.take(80))).sample.get
+    texts.foreach { t =>
+      val escaped = t.replace("&", "&amp;").replace("<", "&lt;")
+        .replace(">", "&gt;").replace("\"", "&quot;")
+      assert(HtmlEntities.decode(escaped) == t, s"roundtrip failed: <$t>")
+    }
+    // verbatim-safety: decoding NEVER throws and never produces U+FFFD
+    // on arbitrary &-ridden garbage (the crawl's actual input contract)
+    val pieces = Gen.oneOf(
+      Gen.const("&"), Gen.const("#"), Gen.const(";"), Gen.const("&#"),
+      Gen.const("&#x"), Gen.numStr.map(_.take(9)), Gen.alphaStr.map(_.take(6)),
+      Gen.const("&amp;"), Gen.const("&#55296;"), Gen.const("&#xD800;"))
+    val garbage = Gen.listOfN(300,
+      Gen.listOfN(20, pieces).map(_.mkString)).sample.get
+    garbage.foreach { g =>
+      val d = HtmlEntities.decode(g)
+      assert(!d.contains('�'), s"U+FFFD from <$g>")
+    }
+    // every named entity decodes to its table value in isolation, and the
+    // numeric form of the same codepoint agrees (named ≡ numeric)
+    HtmlEntities.Named.foreach { case (n, v) =>
+      assert(HtmlEntities.decode(s"&$n;") == v, n)
+      if (v.length == 1 && !HtmlEntities.SpaceCodepoints(v.codePointAt(0))) {
+        assert(HtmlEntities.decode(s"&#${v.codePointAt(0)};") == v, s"numeric $n")
+        assert(HtmlEntities.decode(f"&#x${v.codePointAt(0)}%X;") == v, s"hex $n")
+      }
+    }
+  }
+
   test("saltedJoin matches the plain join for arbitrary key distributions") {
     import spark.implicits._
     val leftRows = Gen.listOfN(200, for {
