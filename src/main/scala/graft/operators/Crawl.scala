@@ -609,9 +609,10 @@ object CrawlOps {
     * pulled off a WARC crawl. Returns (rules, delays, sitemaps); group
     * scoping and directive grammar are the single shared implementation
     * below. */
-  private[graft] def parseRobotsBodies(bodies: DataFrame)
+  private[graft] def parseRobotsBodies(bodies: DataFrame,
+                                       agent: String = "*")
       : (DataFrame, DataFrame, DataFrame) = {
-    val star = starGroupOf(linesOf(bodies))
+    val star = groupOf(linesOf(bodies), agent)
     val rules = star
       .filter(col("line").startsWith("Allow: ") ||
         col("line").startsWith("Disallow: "))
@@ -637,18 +638,49 @@ object CrawlOps {
   private def starGroupLines(documents: DataFrame): DataFrame =
     starGroupOf(robotsLines(documents))
 
-  /** The `User-agent: *` group of a lines frame (positional scoping). */
-  private def starGroupOf(lines: DataFrame): DataFrame = {
-    val starPos = lines.filter(col("line") === "User-agent: *")
-      .groupBy(col("source")).agg(min(col("pos")).as("p0"))
-    val nextAgent = lines.join(starPos, "source")
-      .filter(col("pos") > col("p0") && col("line").startsWith("User-agent:"))
-      .groupBy(col("source")).agg(min(col("pos")).as("p1"))
-    lines
-      .join(broadcast(starPos), "source")
-      .join(broadcast(nextAgent), Seq("source"), "left")
-      .filter(col("pos") > col("p0") &&
-        col("pos") < coalesce(col("p1"), lit(Int.MaxValue)))
+  /** The `User-agent: *` group of a lines frame ([[groupOf]] with the
+    * wildcard token). */
+  private def starGroupOf(lines: DataFrame): DataFrame = groupOf(lines, "*")
+
+  /** RFC 9309 §2.2.1 group selection over a lines frame (round 14 —
+    * replaces the single-literal-line positional scan): User-agent
+    * headers match CASE-INSENSITIVELY (`User-Agent:` is everywhere on
+    * the real web); STACKED headers (`User-agent: a` directly above
+    * `User-agent: b`) form ONE run whose directives govern both
+    * agents; a host with ANY group naming `agent`'s product token uses
+    * those groups (all of them — multiple matching groups combine, per
+    * the RFC), other hosts fall back to the `*` groups. Directives
+    * before any header belong to no group and drop. Gaps-and-islands
+    * over the per-source line window — robots bodies are KBs per host,
+    * so every shape here is hosts-bounded. */
+  private[graft] def groupOf(lines: DataFrame, agent: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("pos"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val marked = lines
+      .withColumn("_ua",
+        when(lower(col("line")).rlike("^user-agent\\s*:"),
+          lower(trim(regexp_extract(col("line"),
+            "(?i)^user-agent\\s*:\\s*(\\S*)", 1)))))
+      .withColumn("_prev_ua", lag(col("_ua"), 1).over(w))
+      // a header starts a run iff the previous LINE is not a header
+      .withColumn("_run_start",
+        when(col("_ua").isNotNull && col("_prev_ua").isNull, col("pos")))
+      .withColumn("_run", last(col("_run_start"), ignoreNulls = true).over(cum))
+    val runs = marked.filter(col("_ua").isNotNull)
+      .groupBy(col("source"), col("_run"))
+      .agg(max(when(col("_ua") === agent.toLowerCase, 1).otherwise(0))
+        .as("_has_agent"),
+        max(when(col("_ua") === "*", 1).otherwise(0)).as("_has_star"))
+    val chosen = runs
+      .join(runs.groupBy(col("source"))
+        .agg(max(col("_has_agent")).as("_any_agent")), "source")
+      .filter((col("_any_agent") === 1 && col("_has_agent") === 1) ||
+        (col("_any_agent") === 0 && col("_has_star") === 1))
+      .select(col("source"), col("_run"))
+    marked.filter(col("_ua").isNull && col("_run").isNotNull)
+      .join(broadcast(chosen), Seq("source", "_run"), "left_semi")
       .select(col("source"), col("line"))
   }
 

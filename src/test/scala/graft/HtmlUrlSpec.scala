@@ -298,6 +298,31 @@ class HtmlUrlSpec extends SparkSpec {
       Seq(("h1", "http://h1.example.com/sitemap.xml")))
   }
 
+  test("robots group selection: agent-specific groups, stacked headers, case-insensitive") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val bodies = Seq(
+      // h1: an orphan directive (no group — must drop), a graftbot
+      // group AND a star group — graftbot prefers its own
+      ("h1", "Disallow: /orphan\nUser-agent: graftbot\nDisallow: /g\n\n" +
+        "User-agent: *\nDisallow: /s"),
+      // h2: STACKED headers in one run (both agents share the rules) +
+      // a case-variant header spelling
+      ("h2", "User-Agent: otherbot\nUser-agent: GraftBot\nDisallow: /shared"),
+      // h3: star only — graftbot falls back to it
+      ("h3", "User-agent: *\nDisallow: /fallback"))
+      .toDF("source", "body")
+    def rulesFor(agent: String): Set[(String, String)] = {
+      val (rules, _, _) = CrawlOps.parseRobotsBodies(bodies, agent)
+      rules.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    assert(rulesFor("graftbot") == Set(
+      ("h1", "/g"), ("h2", "/shared"), ("h3", "/fallback")), rulesFor("graftbot"))
+    // the default star agent: h1 star group, h2 has NO star group →
+    // no rules (allow-all), h3 star group; the orphan never appears
+    assert(rulesFor("*") == Set(("h1", "/s"), ("h3", "/fallback")), rulesFor("*"))
+  }
+
   test("robotsParse scopes to the * group and equals the declared rules table") {
     import spark.implicits._
     import graft.operators.CrawlOps
