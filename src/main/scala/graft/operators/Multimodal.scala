@@ -10,9 +10,11 @@ import org.apache.spark.sql.types._
   * `binary` columns that the PLAN never decodes — metadata lives in typed
   * sibling columns so Catalyst prunes the (huge) payload column whenever a
   * query only touches metadata. Decode runs batched per-partition at the
-  * very edge (here a deterministic stub: no codec libraries in this
-  * container — the schema/partitioning/batch plumbing is the real,
-  * tested part).
+  * very edge. The codecs are REAL for the image family (PPM/BMP/PNG/
+  * QOI/JPEG/GIF), WAV/G.711 audio, and — round 14 — MJPEG-in-AVI video
+  * ([[AviOps]]); only formats with no pure-JVM decoder on the offline
+  * classpath (Opus, inter-frame video codecs) fall back to the
+  * deterministic stub slot.
   */
 object MultimodalOps {
 

@@ -1,0 +1,150 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import javax.imageio.ImageIO
+
+import graft.operators.{AviOps, MultimodalOps}
+
+/** AVI (RIFF) container parse + MJPEG frame hashing (SURVEY §2-C, the
+  * round-14 video slot). Second-implementation discipline: containers
+  * are hand-built byte-by-byte around ImageIO-encoded JPEG frames — the
+  * parse must round-trip the built truth, and a frame must hash
+  * identically standalone and in-container. */
+class AviSpec extends SparkSpec {
+
+  // --- RIFF builders (the spec-side second implementation) ---
+
+  private def le32(n: Long): Array[Byte] = Array(
+    (n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+    ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte)
+
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+    id.getBytes(ISO_8859_1) ++ le32(data.length) ++ data ++ pad
+  }
+
+  private def list(typ: String, parts: Array[Byte]*): Array[Byte] =
+    chunk("LIST", typ.getBytes(ISO_8859_1) ++ parts.flatten.toArray)
+
+  private def avih(w: Int, h: Int, usPerFrame: Long, n: Int): Array[Byte] = {
+    val d = new Array[Byte](56)
+    def put(off: Int, v: Long): Unit = System.arraycopy(le32(v), 0, d, off, 4)
+    put(0, usPerFrame); put(16, n); put(32, w); put(36, h)
+    chunk("avih", d)
+  }
+
+  private def strh(handler: String): Array[Byte] = {
+    val d = new Array[Byte](56)
+    System.arraycopy("vids".getBytes(ISO_8859_1), 0, d, 0, 4)
+    System.arraycopy(handler.getBytes(ISO_8859_1), 0, d, 4, 4)
+    chunk("strh", d)
+  }
+
+  private def avi(frames: Seq[Array[Byte]], w: Int, h: Int,
+                  usPerFrame: Long = 40000L,
+                  movi: Seq[Array[Byte]] => Array[Byte] = null): Array[Byte] = {
+    val hdrl = list("hdrl", avih(w, h, usPerFrame, frames.length),
+      list("strl", strh("MJPG"), chunk("strf", new Array[Byte](40))))
+    val moviList =
+      if (movi != null) movi(frames)
+      else list("movi", frames.map(chunk("00dc", _)): _*)
+    val body = "AVI ".getBytes(ISO_8859_1) ++ hdrl ++ moviList ++
+      chunk("idx1", new Array[Byte](16)) // present and deliberately ignored
+    "RIFF".getBytes(ISO_8859_1) ++ le32(body.length) ++ body
+  }
+
+  /** A 96×80 block-gradient image derived from `seed` — block value gaps
+    * of ±80 levels survive JPEG quantization, so distinct seeds give
+    * distinct stable dHashes. */
+  private def blockImage(seed: Int): BufferedImage = {
+    val img = new BufferedImage(96, 80, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 80; x <- 0 until 96) {
+      val bx = x / 12 // 8 block columns
+      val v = if (((seed >> (bx % 8)) & 1) == 1) 60 + (bx % 2) * 80
+      else 180 - (bx % 2) * 80
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def jpeg(seed: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(blockImage(seed), "jpg", out), "JDK must encode")
+    out.toByteArray
+  }
+
+  test("aviWalk round-trips the hand-built container byte-exactly") {
+    // an ODD-size frame exercises RIFF word padding
+    val f0 = Array.tabulate[Byte](101)(i => (i * 7).toByte)
+    val f1 = Array.tabulate[Byte](64)(i => (i * 13).toByte)
+    val f2 = Array.tabulate[Byte](33)(i => (i * 31).toByte)
+    // frames split between a bare movi entry and a nested 'rec ' LIST;
+    // a junk chunk inside movi must be skipped, not treated as a frame
+    val bytes = avi(Seq(f0, f1, f2), w = 96, h = 80, usPerFrame = 33367L,
+      movi = fs => list("movi", chunk("00dc", fs(0)),
+        list("rec ", chunk("00db", fs(1)), chunk("00dc", fs(2))),
+        chunk("JUNK", new Array[Byte](6))))
+    val info = AviOps.aviWalk(bytes).get
+    assert(info.width == 96 && info.height == 80)
+    assert(info.usPerFrame == 33367L && info.declaredFrames == 3L)
+    assert(info.handler == "MJPG")
+    assert(info.frames.map(_.toSeq) == Vector(f0.toSeq, f1.toSeq, f2.toSeq))
+  }
+
+  test("aviWalk rejects junk, truncation, and non-AVI RIFF") {
+    assert(AviOps.aviWalk("not a riff at all".getBytes(ISO_8859_1)).isEmpty)
+    assert(AviOps.aviWalk(Array.emptyByteArray).isEmpty)
+    val wave = "RIFF".getBytes(ISO_8859_1) ++ le32(4) ++
+      "WAVE".getBytes(ISO_8859_1)
+    assert(AviOps.aviWalk(wave).isEmpty, "a WAV is not a video")
+    val good = avi(Seq(Array[Byte](1, 2, 3, 4)), 8, 8)
+    assert(AviOps.aviWalk(good).nonEmpty)
+    // a chunk whose declared size runs past the end = torn framing
+    assert(AviOps.aviWalk(good.dropRight(5)).isEmpty, "truncated mid-chunk")
+  }
+
+  test("videoFrames samples every Nth frame with container geometry") {
+    import spark.implicits._
+    val frames = (0 until 5).map(i => Array.fill[Byte](16)(i.toByte))
+    val docs = Seq(
+      (1L, avi(frames, 32, 24, usPerFrame = 40000L)),
+      (2L, "not a video".getBytes(ISO_8859_1))) // drops out
+      .toDF("doc_id", "payload")
+    val got = AviOps.videoFrames(docs, everyNth = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).head,
+        r.getInt(3), r.getInt(4), r.getLong(5))).sortBy(_._2)
+    assert(got.toSeq == Seq(
+      (1L, 0, 0.toByte, 32, 24, 40000L),
+      (1L, 2, 2.toByte, 32, 24, 40000L),
+      (1L, 4, 4.toByte, 32, 24, 40000L)), got.toSeq)
+  }
+
+  test("MJPEG frames hash identically in-container; shared-frame videos cluster") {
+    import spark.implicits._
+    val j1 = jpeg(0x35); val j2 = jpeg(0x4a); val j3 = jpeg(0x59)
+    val j4 = jpeg(0x66)
+    // standalone hashes through the existing image route (the second
+    // implementation: same bytes, container must not change the hash)
+    val standalone = Seq(j1, j2, j3, j4).map(b => MultimodalOps.dhashOf(b).get)
+    assert(standalone.distinct.length == 4, "fixture seeds must separate")
+    val docs = Seq(
+      (10L, avi(Seq(j1, j2), 96, 80)), // shares j2 with 20L
+      (20L, avi(Seq(j2, j3), 96, 80)),
+      (30L, avi(Seq(j4), 96, 80))) // distinct — stays a singleton
+      .toDF("doc_id", "payload")
+    val hashes = AviOps.videoDhashes(docs, everyNth = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(hashes == Map(
+      (10L, 0) -> standalone(0), (10L, 1) -> standalone(1),
+      (20L, 0) -> standalone(1), (20L, 1) -> standalone(2),
+      (30L, 0) -> standalone(3)), hashes)
+    val clusters = AviOps.videoDedupRepresentative(docs, everyNth = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(clusters.toSeq == Seq(
+      (10L, 2L, Seq(standalone(0), standalone(1), standalone(2)).min),
+      (30L, 1L, standalone(3))), clusters.toSeq)
+  }
+}
