@@ -195,6 +195,8 @@ object SparkEntry {
       MultimodalOps.imageDedupRepresentative(Tables.documents(s, dir))),
     "q_audio_dedup_representative" -> ((s, dir) =>
       MultimodalOps.audioDedupRepresentative(Tables.documents(s, dir))),
+    "q_video_dedup_representative" -> ((s, dir) =>
+      AviOps.videoDedupRepresentativeQuery(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---
     "q_summary_approx" -> ((s, dir) => EventOps.summaryApprox(Tables.events(s, dir))),
     "q_percentile_approx" -> ((s, dir) => StatsOps.percentileApprox(Tables.events(s, dir))),
@@ -217,5 +219,5 @@ object SparkEntry {
       AnnOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles ++
       CorpusOps.oracles ++ Skew.oracles ++ BpeOps.oracles ++
       ClassifierOps.oracles ++ HtmlOps.oracles ++ UrlOps.oracles ++
-      GraphOps.oracles ++ CrawlOps.oracles
+      GraphOps.oracles ++ CrawlOps.oracles ++ AviOps.oracles
 }

@@ -173,6 +173,96 @@ object AviOps {
     * Scale: one decode pass (frames die at their hashes); candidates
     * are 16-bit piece collisions, never n² videos × frames; CC rounds
     * over the pair graph; one final cluster-keyed agg. */
+  /** Minimal AVI WRITER — [[aviWalk]]'s inverse (the sink-side face, and
+    * the synthetic-universe builder for `q_video_dedup_representative`):
+    * one `vids` stream, frames as word-aligned `00dc` chunks, no index
+    * (aviWalk ignores `idx1` anyway). The spec builds containers with
+    * its OWN independent byte-writer — two implementations of the RIFF
+    * grammar, the codec convention. */
+  def buildAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+               usPerFrame: Long = 40000L, handler: String = "MJPG")
+      : Array[Byte] = {
+    def le32(n: Long): Array[Byte] = Array(
+      (n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+      ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte)
+    def ascii(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad =
+        if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+      ascii(id) ++ le32(data.length) ++ data ++ pad
+    }
+    def list(typ: String, parts: Array[Byte]*): Array[Byte] =
+      chunk("LIST", ascii(typ) ++ parts.flatten.toArray)
+    val avihData = new Array[Byte](56)
+    def put(d: Array[Byte], off: Int, v: Long): Unit =
+      System.arraycopy(le32(v), 0, d, off, 4)
+    put(avihData, 0, usPerFrame)
+    put(avihData, 16, frames.length)
+    put(avihData, 32, width)
+    put(avihData, 36, height)
+    val strhData = new Array[Byte](56)
+    System.arraycopy(ascii("vids"), 0, strhData, 0, 4)
+    System.arraycopy(ascii(handler), 0, strhData, 4, 4)
+    val body = ascii("AVI ") ++
+      list("hdrl", chunk("avih", avihData),
+        list("strl", chunk("strh", strhData),
+          chunk("strf", new Array[Byte](40)))) ++
+      list("movi", frames.map(chunk("00dc", _)): _*)
+    ascii("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Planted video corpus for the oracle query: per doc, a real AVI
+    * whose two frames are [[MultimodalOps.plantedImage]] PPMs of the
+    * doc's group (doc_id % groups) under two different brightness
+    * offsets — hash-identical frames by the planted-image invariant, so
+    * every frame of every group member carries the SAME known hash
+    * B·0x0101010101010101 and the cluster truth is SQL-computable from
+    * the generative model while Spark must reproduce it through the
+    * REAL container-walk → frame-sample → pixel-walk → dHash →
+    * block-join → CC pipeline. */
+  private def syntheticVideos(documents: DataFrame,
+                              groups: Int): DataFrame = {
+    val spark = documents.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    spark.createDataFrame(
+      documents.select(col("doc_id").cast("long")).rdd.map { r =>
+        val id = r.getLong(0)
+        // id + groups keeps the group, shifts the brightness offset —
+        // two distinct byte streams, one planted hash
+        Row(id, buildAvi(Seq(
+          MultimodalOps.plantedImage(id, groups),
+          MultimodalOps.plantedImage(id + groups, groups)), 9, 8))
+      }, schema)
+  }
+
+  /** §2 `q_video_dedup_representative`: the video dedup endgame under
+    * the ORACLE — the image/audio planted-truth pattern (§2 rows
+    * 131/132) extended through a real CONTAINER: every doc's payload is
+    * a built AVI of two hash-identical planted frames, the DuckDB
+    * oracle states the generative truth (groups of doc_id % 30, sizes,
+    * the exact replicated-byte hash), and Spark must reproduce it
+    * through aviWalk → frame extraction → the shared pixel walk → dHash
+    * → pigeonhole blocking → connected components → one manifest row.
+    * A full-stack correctness check of the video family, not a replay. */
+  def videoDedupRepresentativeQuery(documents: DataFrame,
+                                    groups: Int = 30): DataFrame =
+    videoDedupRepresentative(syntheticVideos(documents, groups),
+      everyNth = 1)
+
+  val oracles: Map[String, String] = Map(
+    // the planted truth of syntheticVideos' construction — the image
+    // convention (§2 row 131) at groups = 30
+    "q_video_dedup_representative" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS cluster_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST((doc_id % 30) * 72340172838076673 AS BIGINT) AS rep_dhash
+        |FROM documents
+        |GROUP BY doc_id % 30
+        |ORDER BY cluster_id""".stripMargin)
+
   def videoDedupRepresentative(withPayload: DataFrame,
                                everyNth: Int = 2): DataFrame = {
     val hashes = videoDhashes(withPayload, everyNth)
