@@ -133,14 +133,41 @@ object AviOps {
     StructField("frame_idx", IntegerType),
     StructField("dhash", LongType)))
 
+  /** A bare DIB frame (uncompressed `00db` AVI video: BITMAPINFOHEADER +
+    * pixel rows, no file header) wrapped into the BMP file shape
+    * [[MultimodalOps.dhashOf]]'s walk expects — 14-byte `BM` header
+    * whose pixel-data offset = 14 + the DIB's own biSize (24-bpp BI_RGB
+    * carries no palette; anything else fails the walk's own gates).
+    * None = too short to even hold a header. */
+  private def dibToBmp(frame: Array[Byte]): Option[Array[Byte]] = {
+    if (frame.length < 40) return None
+    val biSize = (frame(0) & 0xffL) | (frame(1) & 0xffL) << 8 |
+      (frame(2) & 0xffL) << 16 | (frame(3) & 0xffL) << 24
+    if (biSize < 40 || biSize > frame.length) return None
+    val out = new Array[Byte](14 + frame.length)
+    out(0) = 'B'; out(1) = 'M'
+    def le32(off: Int, v: Long): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    le32(2, out.length.toLong)
+    le32(10, 14 + biSize)
+    System.arraycopy(frame, 0, out, 14, frame.length)
+    Some(out)
+  }
+
   /** §2-C `videoDhashes`: per-frame perceptual signatures — sampled
     * frames hash through the SHARED cross-format image dHash
     * ([[MultimodalOps.dhashOf]]: MJPEG frames ride the native JPEG walk,
     * so a frame hashes IDENTICALLY standalone and in-container —
-    * spec-asserted against ImageIO-encoded truth). Frames of codecs the
-    * estate cannot decode yield no row (never a wrong hash). One
-    * mapPartitions pass: container walk + sample + decode + hash, the
-    * payload never survives the task. */
+    * spec-asserted against ImageIO-encoded truth; bare-DIB frames of
+    * UNCOMPRESSED AVIs get the 14-byte BMP file header prepended and
+    * ride the BMP walk). Frames of codecs the estate cannot decode
+    * yield no row (never a wrong hash). One mapPartitions pass:
+    * container walk + sample + decode + hash, the payload never
+    * survives the task. */
   def videoDhashes(withPayload: DataFrame, everyNth: Int = 2): DataFrame = {
     require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
     val spark = withPayload.sparkSession
@@ -151,7 +178,9 @@ object AviOps {
           aviWalk(r.getAs[Array[Byte]](1)).toSeq.flatMap { info =>
             info.frames.iterator.zipWithIndex.flatMap {
               case (f, i) if i % everyNth == 0 =>
-                MultimodalOps.dhashOf(f).map(hsh => Row(r.getLong(0), i, hsh))
+                MultimodalOps.dhashOf(f)
+                  .orElse(dibToBmp(f).flatMap(MultimodalOps.dhashOf))
+                  .map(hsh => Row(r.getLong(0), i, hsh))
               case _ => None
             }
           }

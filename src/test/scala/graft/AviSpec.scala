@@ -122,6 +122,41 @@ class AviSpec extends SparkSpec {
       (1L, 4, 4.toByte, 32, 24, 40000L)), got.toSeq)
   }
 
+  test("uncompressed-DIB frames hash like their standalone BMP (00db route)") {
+    import spark.implicits._
+    // a 24-bpp bottom-up BMP built by hand; its DIB = everything after
+    // the 14-byte file header — exactly what a '00db' AVI frame carries
+    val w = 18; val h = 16
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dib = new Array[Byte](40 + rowBytes * h)
+    def le32(off: Int, v: Long): Unit = for (k <- 0 until 4)
+      dib(off + k) = ((v >> (8 * k)) & 0xff).toByte
+    le32(0, 40); le32(4, w); le32(8, h)
+    dib(12) = 1; dib(14) = 24 // planes, bpp (compression stays 0)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (40 + 12 * (x / 3) + 7 * (y / 4)).toByte // a gradient
+      val off = 40 + y * rowBytes + x * 3
+      dib(off) = v; dib(off + 1) = v; dib(off + 2) = v
+    }
+    val bmp = {
+      val out = new Array[Byte](14 + dib.length)
+      out(0) = 'B'; out(1) = 'M'
+      for (k <- 0 until 4) {
+        out(2 + k) = ((out.length >> (8 * k)) & 0xff).toByte
+        out(10 + k) = ((54 >> (8 * k)) & 0xff).toByte
+      }
+      System.arraycopy(dib, 0, out, 14, dib.length)
+      out
+    }
+    val want = MultimodalOps.dhashOf(bmp).get
+    val docs = Seq((7L, avi(Seq(dib), w, h,
+      movi = fs => list("movi", chunk("00db", fs(0))))))
+      .toDF("doc_id", "payload")
+    val got = AviOps.videoDhashes(docs, everyNth = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((7L, 0, want)), got.toSeq)
+  }
+
   test("MJPEG frames hash identically in-container; shared-frame videos cluster") {
     import spark.implicits._
     val j1 = jpeg(0x35); val j2 = jpeg(0x4a); val j3 = jpeg(0x59)
