@@ -640,6 +640,42 @@ class HtmlUrlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frontierStream honors a refreshed robots status: a 5xx host vanishes live") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    implicit val sqlCtx = spark.sqlContext
+    val srcDocs = Seq((0L, "src3")).toDF("doc_id", "source")
+    val logDir = Files.createTempDirectory("graft_rstat_stream")
+      .toFile.getAbsolutePath
+    Seq.empty[String].toDF("canon_url")
+      .write.mode("overwrite").parquet(s"$logDir/log")
+    // the status table is a thunk like rules/fetched — a robots refresh
+    // (here: the host's robots endpoint starts flapping 503) is live
+    // next trigger, per the unified static-side convention
+    @volatile var status = 200
+    val results = new scala.collection.concurrent.TrieMap[Long, Set[String]]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = CrawlOps.frontierStream(
+      input.toDF().toDF("doc_id", "source"),
+      () => CrawlOps.rulesOf(srcDocs),
+      () => Seq(("src3", status)).toDF("source", "robots_status"),
+      () => spark.read.parquet(s"$logDir/log")) { (df, id) =>
+      results.put(id, df.collect().map(_.getString(0)).toSet)
+    }
+    try {
+      input.addData((7L, "src3")) // links → 62, 82 (nothing fetched yet)
+      q.processAllAvailable()
+      assert(results(0L) == Set("http://src3.example.com/docs/62",
+        "http://src3.example.com/docs/82"), results)
+      status = 503 // robots.txt unreachable → RFC 9309: complete disallow
+      input.addData((7L, "src3"))
+      q.processAllAvailable()
+      assert(results(1L) == Set.empty[String],
+        "a 5xx-robots host must discover NOTHING")
+    } finally q.stop()
+  }
+
   test("scheduleStream queues discoveries behind the persisted host cursor") {
     import spark.implicits._
     import graft.operators.CrawlOps
