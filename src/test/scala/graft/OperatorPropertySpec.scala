@@ -67,6 +67,28 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("aviWalk never throws on arbitrary bytes (crawl input contract)") {
+    import graft.operators.AviOps
+    val rnd = new scala.util.Random(14)
+    // pure garbage, garbage with RIFF/AVI magic grafted on, and torn
+    // prefixes of a VALID container — every route must return an Option
+    val valid = AviOps.buildAvi(
+      Seq(Array.tabulate[Byte](37)(_.toByte)), 16, 12)
+    val cases =
+      (0 until 200).map(_ => Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt.toByte)) ++
+      (0 until 100).map { _ =>
+        val g = Array.fill[Byte](rnd.nextInt(120) + 12)(rnd.nextInt.toByte)
+        System.arraycopy("RIFF".getBytes, 0, g, 0, 4)
+        System.arraycopy("AVI ".getBytes, 0, g, 8, 4)
+        g
+      } ++
+      (0 until valid.length).map(valid.take)
+    cases.foreach { bytes =>
+      AviOps.aviWalk(bytes) // Option out, never a throw
+    }
+    assert(AviOps.aviWalk(valid).exists(_.frames.length == 1))
+  }
+
   test("saltedJoin matches the plain join for arbitrary key distributions") {
     import spark.implicits._
     val leftRows = Gen.listOfN(200, for {
