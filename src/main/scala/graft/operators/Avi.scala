@@ -60,7 +60,15 @@ object AviOps {
     var handler = ""
     val frames = Vector.newBuilder[Array[Byte]]
     var ok = true
-    def walk(start: Long, end: Long, inMovi: Boolean): Unit = {
+    // LIST nesting cap: each level costs only 12 bytes on the wire, so
+    // a crafted few-hundred-KB AVI could nest tens of thousands of
+    // LISTs and blow the task stack (StackOverflowError is an Error —
+    // uncaught, it kills the task and violates the never-throw
+    // contract for untrusted payloads). Real AVIs nest ≤3 deep
+    // (RIFF → hdrl/movi → rec ); 64 is generous and bounds the stack.
+    val MaxDepth = 64
+    def walk(start: Long, end: Long, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > MaxDepth) { ok = false; return }
       var off = start
       while (ok && off + 8 <= end) {
         val id = fourcc(off.toInt)
@@ -71,7 +79,8 @@ object AviOps {
           if (size < 4) { ok = false; return }
           val typ = fourcc(dataOff)
           // 'rec ' groups inside movi recurse with movi membership kept
-          walk(dataOff + 4L, dataOff + size, inMovi || typ == "movi")
+          walk(dataOff + 4L, dataOff + size, inMovi || typ == "movi",
+            depth + 1)
         } else if (id == "avih" && size >= 40) {
           usPerFrame = u32(dataOff)
           declared = u32(dataOff + 16)
@@ -89,7 +98,7 @@ object AviOps {
         off = dataOff + size + (size & 1L) // RIFF word alignment
       }
     }
-    walk(12L, riffEnd, inMovi = false)
+    walk(12L, riffEnd, inMovi = false, depth = 0)
     if (!ok || w <= 0 || h <= 0) None
     else Some(AviInfo(w, h, usPerFrame, declared, handler, frames.result()))
   }

@@ -70,7 +70,10 @@ object CrawlOps {
     * round-13 gap where the WARC path held the status code but the
     * politeness layer never saw it: each host's LATEST `/robots.txt`
     * response (by WARC-Date — a refetch supersedes; equal dates break
-    * toward the higher status, i.e. conservatively) yields one
+    * toward the more CONSERVATIVE outcome, ranked 5xx > 2xx > 4xx:
+    * disallow-all beats rules-apply beats allow-all-ignore-rules — a
+    * raw status-code max would let a 404 beat a 200 and discard the
+    * host's parsed rules, the LEAST conservative reading) yields one
     * (source, robots_status) row for [[matchRules]] + [[robotsAllowed]].
     * A 2xx row pairs with [[parseRobotsBodies]]' rules from the same
     * records; a 4xx/5xx row gates the whole host with no rules needed.
@@ -82,8 +85,13 @@ object CrawlOps {
       .withColumn("source",
         regexp_extract(col("_canon"), "^[a-z]+://([^./]+)\\.", 1))
       .filter(col("source") =!= "" && col("http_status").isNotNull)
+      .withColumn("_conservatism",
+        when(col("http_status") >= 500, lit(2))
+          .when(col("http_status") < 400, lit(1))
+          .otherwise(lit(0)))
       .groupBy(col("source"))
-      .agg(max(struct(col("warc_date"), col("http_status")))
+      .agg(max(struct(col("warc_date"), col("_conservatism"),
+        col("http_status")))
         .getField("http_status").as("robots_status"))
 
   /** RFC 9309 §2.3.1 verdict over a [[matchRules]] output frame (which
@@ -170,7 +178,13 @@ object CrawlOps {
     matchRules(withParts(UrlOps.canonUrls(documents)),
       rulesOf(documents), robotsStatusOf(documents), Seq.empty)
       .select(col("canon_url"),
-        when(col("robots_status") < 400, col("m.prefix")).as("rule_prefix"),
+        // COALESCE to 200: a host whose robots-fetch status was never
+        // observed (the real-WARC face covers only crawled hosts) still
+        // reports the rule that decided it — robotsAllowed falls through
+        // to the rule verdict for that row, and a NULL status must not
+        // three-valued-logic the prefix away while the verdict stands.
+        when(coalesce(col("robots_status"), lit(200)) < 400,
+          col("m.prefix")).as("rule_prefix"),
         robotsAllowed.as("allowed"))
       .orderBy("canon_url")
 
@@ -897,7 +911,7 @@ object CrawlOps {
          |   AND p.path LIKE r.like_pat ESCAPE '\'
          |)
          |SELECT p.canon_url,
-         |  CASE WHEN s.robots_status < 400 THEN m.prefix END AS rule_prefix,
+         |  CASE WHEN COALESCE(s.robots_status, 200) < 400 THEN m.prefix END AS rule_prefix,
          |  ${allowedSql("s", "m")} AS allowed
          |FROM parts p LEFT JOIN (SELECT * FROM matched WHERE rk = 1) m
          |  ON m.canon_url = p.canon_url

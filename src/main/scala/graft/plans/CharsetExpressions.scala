@@ -43,7 +43,12 @@ object CharsetCodec {
     * branches. */
   val Supported: Map[String, String] = Map(
     "utf-16" -> "UTF-16", "utf16" -> "UTF-16",
-    "unicode" -> "UTF-16", "ucs-2" -> "UTF-16",
+    // WHATWG: the IE-era labels "unicode"/"ucs-2" mean UTF-16LE — the
+    // pages that declare them are little-endian; a BOM (either order)
+    // still wins via the sniff in [[decode]]. JDK "UTF-16" alone would
+    // default BOM-less content to BIG-endian (RFC 2781) and decode the
+    // real bytes wrong-endian into valid-but-garbage CJK.
+    "unicode" -> "UTF-16LE", "ucs-2" -> "UTF-16LE",
     "utf-16le" -> "UTF-16LE", "utf-16be" -> "UTF-16BE",
     "shift_jis" -> "Shift_JIS", "shift-jis" -> "Shift_JIS",
     "sjis" -> "Shift_JIS", "x-sjis" -> "Shift_JIS",
@@ -91,7 +96,18 @@ object CharsetCodec {
     * on unknown name, unavailable charset, or malformed/unmappable
     * bytes. */
   def decode(bytes: Array[Byte], declared: String): String = {
-    val cs = charsetFor(declared)
+    // BOM sniff for the LE-defaulting web labels: a BOM of either
+    // endianness overrides the label (WHATWG decode step 1) — route to
+    // the JDK's BOM-consuming "UTF-16" charset. The explicit utf-16le/
+    // utf-16be labels keep their fixed endianness (BOM stays content;
+    // the bridge strips a leading U+FEFF after decode).
+    val hasBom = bytes.length >= 2 &&
+      ((bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte) ||
+        (bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte))
+    val name =
+      if (hasBom && (declared == "unicode" || declared == "ucs-2")) "utf-16"
+      else declared
+    val cs = charsetFor(name)
     if (cs == null) return null
     try {
       cs.newDecoder()

@@ -90,7 +90,13 @@ object HttpCodec {
       }
       out.toByteArray
     } catch {
-      case _: IOException => null // corrupt or truncated frame
+      // zstd-jni's documented failure surface is IOException
+      // (ZstdIOException extends it), but the library also has
+      // RuntimeException paths on native-binding failure — NonFatal
+      // keeps the quarantine contract ("arbitrary bytes never throw")
+      // robust to library-version drift while still propagating
+      // Errors (OOM, linkage) that must kill the task.
+      case scala.util.control.NonFatal(_) => null
     } finally {
       // ZstdInputStream frees its native context on close
       if (in != null) { try in.close() catch { case _: IOException => () } }

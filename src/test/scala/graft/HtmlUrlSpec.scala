@@ -357,6 +357,15 @@ class HtmlUrlSpec extends SparkSpec {
       robotsResp("flap.example.com", "503 Service Unavailable",
         "2026-08-10T00:00:00Z") ++
       robotsResp("gone.example.com", "404 Not Found", "2026-08-05T00:00:00Z") ++
+      // EQUAL-date ties break by conservatism rank (5xx > 2xx > 4xx),
+      // not the raw status number: a 404 must NOT beat a 200 (that
+      // would discard the host's parsed rules — the least conservative
+      // outcome), and a 503 must beat both
+      robotsResp("tie.example.com", "404 Not Found", "2026-08-03T00:00:00Z") ++
+      robotsResp("tie.example.com", "200 OK", "2026-08-03T00:00:00Z") ++
+      robotsResp("tie5.example.com", "503 Service Unavailable",
+        "2026-08-03T00:00:00Z") ++
+      robotsResp("tie5.example.com", "200 OK", "2026-08-03T00:00:00Z") ++
       // a non-robots response on the same host must not contribute
       record("response", "http://ok.example.com/page",
         http("500 Oops", "text/html", "x".getBytes(US_ASCII)))
@@ -365,7 +374,8 @@ class HtmlUrlSpec extends SparkSpec {
       graft.sources.WarcSource.read(spark, dir.toString))
     val got = statuses.collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
-    assert(got == Map("ok" -> 200, "flap" -> 503, "gone" -> 404), got)
+    assert(got == Map("ok" -> 200, "flap" -> 503, "gone" -> 404,
+      "tie" -> 200, "tie5" -> 503), got)
     // and the matcher honors it: the flapping host's urls are DISALLOWED
     // even though its (stale) parsed rules would allow them
     val parts = Seq(

@@ -167,6 +167,18 @@ class HttpCodecSpec extends SparkSpec {
     val bomb = com.github.luben.zstd.Zstd.compress(new Array[Byte](1 << 20))
     assert(HttpCodec.zstd(bomb, maxOut = 64 << 10) == null, "bomb guard")
     assert(HttpCodec.zstd(bomb).length == (1 << 20), "default cap decodes")
+    // never-throws contract (the AVI fuzz standard): arbitrary bytes —
+    // including ones bearing the zstd magic — decode or null, never throw
+    val rnd = new scala.util.Random(15)
+    (0 until 200).foreach { _ =>
+      val junk = Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt.toByte)
+      if (junk.length >= 4) {
+        junk(0) = 0x28; junk(1) = 0xB5.toByte
+        junk(2) = 0x2F.toByte; junk(3) = 0xFD.toByte
+      }
+      HttpCodec.zstd(junk) // null or bytes, never a throw
+    }
+    (0 until z.length).foreach(n => HttpCodec.zstd(z.take(n)))
     // codegen route
     val viaDf = Seq(Tuple1(z)).toDF("b")
       .select(call_function("zstd_inflate", col("b"))).collect().head
@@ -240,6 +252,14 @@ class HttpCodecSpec extends SparkSpec {
     // strictness: odd byte count and an unpaired surrogate both → null
     assert(decode(s.getBytes("UTF-16BE").dropRight(1), "utf-16be") == null)
     assert(decode(Array[Byte](0xD8.toByte, 0x00, 0x00, 'a'), "utf-16be") == null)
+    // WHATWG web labels: BOM-less "unicode"/"ucs-2" mean UTF-16LE (the
+    // IE-era pages that declare them are little-endian; JDK UTF-16's
+    // BE default would decode them into valid-but-garbage CJK)
+    assert(decode(s.getBytes("UTF-16LE"), "unicode") == s)
+    assert(decode(s.getBytes("UTF-16LE"), "ucs-2") == s)
+    // ... but a BOM of either endianness overrides the label (sniff wins)
+    assert(decode(("\uFEFF" + s).getBytes("UTF-16BE"), "unicode") == s)
+    assert(decode(("\uFEFF" + s).getBytes("UTF-16LE"), "ucs-2") == s)
   }
 
   test("http_inflate eval ≡ codegen parity, null propagation, maxOut literal") {

@@ -87,6 +87,22 @@ class OperatorPropertySpec extends SparkSpec {
       AviOps.aviWalk(bytes) // Option out, never a throw
     }
     assert(AviOps.aviWalk(valid).exists(_.frames.length == 1))
+    // a crafted AVI nesting tens of thousands of LISTs (12 bytes per
+    // level) must hit the depth cap and return None — NOT recurse the
+    // task stack into a StackOverflowError (an Error, uncaught)
+    val n = 50000
+    val buf = java.nio.ByteBuffer.allocate(12 + 12 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(4 + 12 * n); buf.put("AVI ".getBytes)
+    (0 until n).foreach { i =>
+      buf.put("LIST".getBytes); buf.putInt(4 + 12 * (n - 1 - i))
+      buf.put("hdrl".getBytes)
+    }
+    assert(AviOps.aviWalk(buf.array()).isEmpty, "deep nesting → None")
+    // a realistically-nested container (movi → rec ) still parses
+    val recNested = AviOps.buildAvi(
+      Seq(Array.tabulate[Byte](21)(_.toByte)), 16, 12)
+    assert(AviOps.aviWalk(recNested).nonEmpty)
   }
 
   test("saltedJoin matches the plain join for arbitrary key distributions") {
