@@ -248,6 +248,10 @@ object CrawlOps {
     val d2 = ((idx * 13 + 2) % 100).cast("string")
     val d3 = cls(9, 4)
     val d4 = cls(17, 6)
+    // round 15: a lastmod-LESS entry with <changefreq>daily</changefreq>
+    // in the fetched residue class — the changefreq-prior recrawl route
+    // (a host that publishes change frequency but no timestamps)
+    val d5 = cls(7, 3)
     val xml = lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>")
     val index = concat(xml,
       lit("<sitemapindex><sitemap><loc>http://"), host,
@@ -256,15 +260,21 @@ object CrawlOps {
         "</sitemapindex>"))
     val childA = concat(xml,
       lit("<urlset><url><loc>http://"), host, lit("/docs/"), d1,
-      lit("</loc><lastmod>2026-08-01</lastmod></url><url><loc>HTTP://"),
+      lit("</loc><lastmod>2026-08-01</lastmod>" +
+        "<changefreq>weekly</changefreq><priority>0.8</priority>" +
+        "</url><url><loc>HTTP://"),
       upper(host), lit(":80/docs/"), d2,
       lit("#frag</loc></url><url><loc>http://"), host,
       lit("/docs/"), d1, lit("/</loc></url></urlset>"))
     val childB = concat(xml,
       lit("<urlset><url><loc>http://"), host, lit("/docs/"), d3,
-      lit("</loc><lastmod>2026-07-20</lastmod></url><url><loc>http://"),
+      lit("</loc><lastmod>2026-07-20</lastmod>" +
+        "<changefreq>monthly</changefreq></url><url><loc>http://"),
       host, lit("/docs/"), d4,
-      lit("</loc><lastmod>2026-06-10</lastmod></url></urlset>"))
+      lit("</loc><lastmod>2026-06-10</lastmod></url><url><loc>http://"),
+      host, lit("/docs/"), d5,
+      lit("</loc><changefreq>daily</changefreq>" +
+        "<priority>0.5</priority></url></urlset>"))
     documents.select(col("source")).distinct()
       .select(col("source"), explode(array(
         struct(concat(lit("http://"), host, lit("/sitemap.xml")).as("url"),
@@ -311,7 +321,10 @@ object CrawlOps {
     * row per `<url>` block with its `<loc>` and optional `<lastmod>`.
     * A urlset is parsed whether it arrived standalone or via an index
     * (dedup by canonical child identity). Returns (source, loc,
-    * lastmod). Sitemaps are hosts-bounded artifacts, so every frame
+    * lastmod, changefreq, priority) — changefreq/priority (round 15)
+    * are the protocol's OTHER scheduler hints: changefreq is the
+    * recrawl prior for entries that publish no timestamp, priority the
+    * host's own ranking. Sitemaps are hosts-bounded artifacts, so every frame
     * here is KBs-per-host at any corpus size; the one join is keyed on
     * the canonical URL like every crawl operator. */
   private[graft] def parseSitemaps(bodies: DataFrame): DataFrame = {
@@ -333,7 +346,11 @@ object CrawlOps {
       .select(col("source"),
         regexp_extract(col("u"), "<loc>([^<]*)</loc>", 1).as("loc"),
         nullif(regexp_extract(col("u"), "<lastmod>([^<]*)</lastmod>", 1),
-          lit("")).as("lastmod"))
+          lit("")).as("lastmod"),
+        nullif(regexp_extract(col("u"),
+          "<changefreq>([^<]*)</changefreq>", 1), lit("")).as("changefreq"),
+        nullif(regexp_extract(col("u"), "<priority>([^<]*)</priority>", 1),
+          lit("")).as("priority"))
       .filter(col("loc") =!= "")
   }
 
@@ -348,7 +365,8 @@ object CrawlOps {
     * collapse to one row), and annotated with the two flags a scheduler
     * triages by: robots `allowed` (the shared [[matchRules]] argmax)
     * and already-`fetched` (the shared synthetic fetch log). `lastmod`
-    * carries forward as a column — it is [[recrawl]]'s input.
+    * plus the round-15 `changefreq`/`priority` scheduler hints carry
+    * forward as columns — they are [[recrawl]]'s input.
     * Hosts-bounded input (sitemaps are per-host artifacts like
     * robots.txt), so the only corpus-scale frame is the fetch-log join
     * — keyed on the canonical URL, the same identity every crawl
@@ -357,58 +375,141 @@ object CrawlOps {
     sitemapSeedSet(documents).orderBy("canon_url")
 
   /** [[sitemapSeeds]] without the presentation sort (the face
-    * [[recrawl]] composes — it re-joins and re-sorts anyway). */
+    * [[recrawl]] composes — it re-joins and re-sorts anyway). The etag
+    * axis is identically false on a sitemap-only triage, so the column
+    * drops out of the query face. */
   private def sitemapSeedSet(documents: DataFrame): DataFrame =
     triageSignals(sitemapSignals(documents), documents)
+      .drop("etag_due")
 
-  /** The sitemap freshness SIGNAL frame (canon_url, lastmod) — one of
-    * [[recrawl]]'s two inputs. */
-  private def sitemapSignals(documents: DataFrame): DataFrame =
-    parseSitemapBytes(sitemapBodies(documents))
-      .select(UrlOps.canon(col("loc")).as("canon_url"), col("lastmod"))
-
-  /** Header-observed freshness signals — the OTHER recrawl input (round
-    * 14): most hosts publish no sitemap, but nearly every response
-    * carries `Last-Modified`, so a conditional-GET/HEAD sweep yields a
-    * (url, observed lastmod) frame the scheduler must honor exactly
-    * like sitemap lastmods. The synthetic twin: every fetched URL (the
-    * shared id<50 log) observes '2026-08-03' when id%4==1 (postdating
-    * every fetch → due) else '2026-06-15' (stale → never due); both
-    * engines derive it from the path id alone. The WARC face is
-    * [[HtmlOps.warcToDocuments]]'s `last_modified` column. */
-  private[graft] def headerSignals(documents: DataFrame): DataFrame = {
-    val id = expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT)")
-    UrlOps.canonUrls(documents)
-      .filter(id < 50)
-      .select(col("canon_url"),
-        when(id % 4 === 1, lit("2026-08-03"))
-          .otherwise(lit("2026-06-15")).as("lastmod"))
+  /** The recrawl-signal frame shape shared by every signal source:
+    * (canon_url, lastmod, changefreq, priority, etag_due). */
+  private def asSignals(df: DataFrame): DataFrame = {
+    val withDefaults = Seq(
+      "lastmod" -> lit(null).cast("string"),
+      "changefreq" -> lit(null).cast("string"),
+      "priority" -> lit(null).cast("string"),
+      "etag_due" -> lit(false))
+      .foldLeft(df) { case (d, (c, default)) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, default)
+      }
+    withDefaults.select(col("canon_url"), col("lastmod"), col("changefreq"),
+      col("priority"), col("etag_due"))
   }
 
-  /** Triage ANY (canon_url, lastmod) signal frame into the scheduler
-    * shape: dedupe keeping the NEWEST lastmod (duplicates under
-    * cosmetic URL variants and across signal sources collapse), then
-    * annotate robots `allowed` (the shared [[matchRules]] argmax +
-    * [[robotsAllowed]] reachability) and already-`fetched` (the shared
-    * fetch log). Signals are hosts-bounded or fetch-log-bounded, so the
-    * only corpus-scale frame is the fetch-log join — keyed on the
-    * canonical URL like every crawl operator. */
+  /** The sitemap freshness SIGNAL frame (canon_url, lastmod, changefreq,
+    * priority, etag_due=false) — one of [[recrawl]]'s three inputs. */
+  private def sitemapSignals(documents: DataFrame): DataFrame =
+    asSignals(parseSitemapBytes(sitemapBodies(documents))
+      .select(UrlOps.canon(col("loc")).as("canon_url"), col("lastmod"),
+        col("changefreq"), col("priority")))
+
+  /** Header-observed freshness signals — the SECOND recrawl input (round
+    * 14): most hosts publish no sitemap, but many responses carry
+    * `Last-Modified`, so a conditional-GET/HEAD sweep yields a
+    * (url, observed lastmod) frame the scheduler must honor exactly
+    * like sitemap lastmods. The synthetic twin: a fetched URL (the
+    * shared id<50 log) carries a date only when id%3 != 0 (round 15 —
+    * plenty of real responses ship NO Last-Modified, and the date-less
+    * residue is what the etag axis exists for): '2026-08-03' when
+    * id%4==1 (postdating every fetch → due) else '2026-06-15' (stale →
+    * never due); both engines derive it from the path id alone. The
+    * WARC face is [[HtmlOps.warcToDocuments]]'s `last_modified`
+    * column. */
+  private[graft] def headerSignals(documents: DataFrame): DataFrame = {
+    val id = expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT)")
+    asSignals(UrlOps.canonUrls(documents)
+      .filter(id < 50 && id % 3 =!= 0)
+      .select(col("canon_url"),
+        when(id % 4 === 1, lit("2026-08-03"))
+          .otherwise(lit("2026-06-15")).as("lastmod")))
+  }
+
+  /** ETag conditional-revalidation signals — the THIRD recrawl input
+    * (round 15): many hosts send no `Last-Modified` and publish no
+    * sitemap, but nearly all send an `ETag`; a revalidation sweep
+    * (If-None-Match) observing a DIFFERENT etag than the one recorded
+    * at fetch time is a change signal with no date attached. The
+    * synthetic twin: a fetched URL's etag has churned iff id%5 == 2 —
+    * both engines derive it from the path id alone. The WARC face is
+    * [[etagChanged]] over [[HtmlOps.warcToDocuments]]'s `etag` column
+    * vs a prior fetch-log frame. */
+  private[graft] def etagSignals(documents: DataFrame): DataFrame = {
+    val id = expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT)")
+    asSignals(UrlOps.canonUrls(documents)
+      .filter(id < 50 && id % 5 === 2)
+      .select(col("canon_url"), lit(true).as("etag_due")))
+  }
+
+  /** The real-WARC face of [[etagSignals]]: current observations
+    * (canon_url, etag) vs the PRIOR fetch log's recorded etags — rows
+    * whose strong validator changed (both present, unequal; RFC 9110
+    * §8.8.3: a missing side is no evidence either way) come back as
+    * etag_due signal rows for the same triage union. Both frames are
+    * fetch-log-bounded and join on the canonical URL like every crawl
+    * operator. */
+  private[graft] def etagChanged(current: DataFrame,
+                                 prior: DataFrame): DataFrame =
+    asSignals(current
+      .select(col("canon_url"), col("etag").as("_etag_now"))
+      .filter(col("_etag_now").isNotNull)
+      .join(prior.select(col("canon_url"), col("etag").as("_etag_prior"))
+        .filter(col("_etag_prior").isNotNull), Seq("canon_url"))
+      .filter(col("_etag_now") =!= col("_etag_prior"))
+      .select(col("canon_url"), lit(true).as("etag_due")))
+
+  /** changefreq → rank (most-frequent = lowest; the dedup below keeps
+    * the most conservative period when one page carries several) and
+    * rank → name, plus the period in DAYS the recrawl prior consumes —
+    * all three CASEs shared verbatim with the oracle's SQL. Unknown
+    * tokens rank null (the scheduler consumes known tokens only). */
+  private def freqRank(c: Column): Column =
+    when(c === "always", 0).when(c === "hourly", 1).when(c === "daily", 2)
+      .when(c === "weekly", 3).when(c === "monthly", 4)
+      .when(c === "yearly", 5)
+  private def freqName(rank: Column): Column =
+    when(rank === 0, "always").when(rank === 1, "hourly")
+      .when(rank === 2, "daily").when(rank === 3, "weekly")
+      .when(rank === 4, "monthly").when(rank === 5, "yearly")
+  private def freqDays(c: Column): Column =
+    when(c === "always" || c === "hourly" || c === "daily", 1)
+      .when(c === "weekly", 7).when(c === "monthly", 30)
+      .when(c === "yearly", 365)
+
+  /** Triage ANY signal frame ([[asSignals]] shape) into the scheduler
+    * shape: dedupe per canonical URL keeping the NEWEST lastmod, the
+    * most-frequent changefreq, the highest priority, and the OR of the
+    * etag axis (duplicates under cosmetic URL variants and across
+    * signal sources collapse), then annotate robots `allowed` (the
+    * shared [[matchRules]] argmax + [[robotsAllowed]] reachability) and
+    * already-`fetched` (the shared fetch log). Signals are
+    * hosts-bounded or fetch-log-bounded, so the only corpus-scale frame
+    * is the fetch-log join — keyed on the canonical URL like every
+    * crawl operator. */
   private def triageSignals(signals: DataFrame,
                             documents: DataFrame): DataFrame = {
     val seeds = signals
       .groupBy(col("canon_url"))
-      .agg(max(col("lastmod")).as("lastmod"))
+      .agg(max(col("lastmod")).as("lastmod"),
+        freqName(min(freqRank(col("changefreq")))).as("changefreq"),
+        // the universe's priorities are all '0.d' — lexical max ≡
+        // numeric max, and the string stays hash-exact cross-engine
+        max(col("priority")).as("priority"),
+        max(col("etag_due")).as("etag_due"))
     val fetched = UrlOps.canonUrls(documents)
       .filter(expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT) < 50"))
       .withColumn("_f", lit(true))
     matchRules(withParts(seeds), rulesOf(documents),
-      robotsStatusOf(documents), Seq("lastmod"))
-      .select(col("canon_url"), col("lastmod"),
+      robotsStatusOf(documents),
+      Seq("lastmod", "changefreq", "priority", "etag_due"))
+      .select(col("canon_url"), col("lastmod"), col("changefreq"),
+        col("priority"), col("etag_due"),
         robotsAllowed.as("allowed"))
       .withColumn("source",
         regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1))
       .join(fetched, Seq("canon_url"), "left")
-      .select(col("canon_url"), col("source"), col("lastmod"), col("allowed"),
+      .select(col("canon_url"), col("source"), col("lastmod"),
+        col("changefreq"), col("priority"), col("etag_due"), col("allowed"),
         coalesce(col("_f"), lit(false)).as("fetched"))
   }
 
@@ -419,36 +520,64 @@ object CrawlOps {
     s"'2026-07-' || lpad(CAST(1 + CAST(regexp_extract($urlCol, " +
       s"'/docs/([0-9]+)$$', 1) AS INT) % 28 AS STRING), 2, '0')"
 
-  /** §2 `q_recrawl`: lastmod-driven RECRAWL — the scheduler input the
-    * sitemap's `<lastmod>` exists for: fetched URLs whose sitemap
-    * lastmod POSTDATES their fetch date (the page changed since we took
-    * it) are re-queued through the SAME politeness arithmetic as fresh
+  /** The "now" of the changefreq recrawl prior — fixed like
+    * [[ScheduleEpoch]] so the due-set is deterministic and
+    * oracle-hashable. */
+  private[graft] val RecrawlAsOf = "2026-08-10"
+
+  /** §2 `q_recrawl`: change-driven RECRAWL — the scheduler input the
+    * freshness signals exist for. THREE signal axes union into one
+    * triage (round 15 completes the set), each deciding `reason` in
+    * this CASE order:
+    *
+    *  1. `lastmod` — a sitemap `<lastmod>` or header `Last-Modified`
+    *     POSTDATING the fetch date: the page changed since we took it;
+    *  2. `etag` — conditional revalidation observed a different entity
+    *     tag ([[etagSignals]]): changed, but no date attached (the
+    *     hosts that send no Last-Modified and publish no sitemap);
+    *  3. `changefreq` — no timestamp at all, but the sitemap declares a
+    *     change period ([[freqDays]]) that has elapsed since the fetch
+    *     as of the fixed [[RecrawlAsOf]] (integer-exact DATE + days in
+    *     both engines).
+    *
+    * Due rows re-queue through the SAME politeness arithmetic as fresh
     * fetches ([[scheduleCore]] — shared with `q_crawl_schedule` and the
     * stream, so recrawl and crawl cannot drift on queueing): per-host
     * canonical-URL order, one slot per Crawl-delay. Output carries the
-    * evidence (lastmod, fetch_date) beside the schedule. Scale: seeds
-    * are hosts-bounded; the fetch log is the one corpus-scale frame,
-    * joined on the canonical URL; delays broadcast; the window
+    * evidence (lastmod, fetch_date, reason) beside the schedule. Scale:
+    * seeds are hosts-bounded; the fetch log is the one corpus-scale
+    * frame, joined on the canonical URL; delays broadcast; the window
     * partitions BY HOST. */
   def recrawl(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    val due = triageSignals(
-      sitemapSignals(documents).unionByName(headerSignals(documents)),
+    val triaged = triageSignals(
+      sitemapSignals(documents)
+        .unionByName(headerSignals(documents))
+        .unionByName(etagSignals(documents)),
       documents)
       .filter(col("fetched") && col("allowed"))
       .withColumn("fetch_date", expr(fetchDateSql("canon_url")))
-      .filter(col("lastmod") > col("fetch_date"))
+    val reason =
+      when(col("lastmod").isNotNull && col("lastmod") > col("fetch_date"),
+        "lastmod")
+        .when(col("etag_due"), "etag")
+        .when(col("lastmod").isNull && col("changefreq").isNotNull &&
+          date_add(to_date(col("fetch_date")),
+            freqDays(col("changefreq"))) < to_date(lit(RecrawlAsOf)),
+          "changefreq")
+    val due = triaged.withColumn("reason", reason)
+      .filter(col("reason").isNotNull)
     val noCursors = Seq.empty[(String, Long)].toDF("source", "cursor_s")
-    // lastmod/fetch_date CARRY through the schedule window — re-deriving
-    // `due` for a second evidence join would recompute the whole
-    // signal-union triage (a measured 1.6× of this query's cost)
+    // lastmod/fetch_date/reason CARRY through the schedule window —
+    // re-deriving `due` for a second evidence join would recompute the
+    // whole signal-union triage (a measured 1.6× of this query's cost)
     scheduleCore(due.select(col("canon_url"), lit(1L).as("n_referrers"),
-      col("lastmod"), col("fetch_date")),
+      col("lastmod"), col("fetch_date"), col("reason")),
       crawlDelayOf(documents), noCursors,
-      carry = Seq("lastmod", "fetch_date"))
+      carry = Seq("lastmod", "fetch_date", "reason"))
       .select(col("canon_url"), col("source"), col("lastmod"),
-        col("fetch_date"), col("delay_s"), col("next_allowed_offset_s"),
-        col("next_allowed_ts"))
+        col("fetch_date"), col("reason"), col("delay_s"),
+        col("next_allowed_offset_s"), col("next_allowed_ts"))
       .orderBy("canon_url")
   }
 
@@ -924,25 +1053,37 @@ object CrawlOps {
          |ORDER BY canon_url""".stripMargin,
     "q_sitemap" ->
       s"""WITH $sitemapSeedCtes
-         |SELECT canon_url, source, lastmod, allowed, fetched
+         |SELECT canon_url, source, lastmod, changefreq, priority,
+         |  allowed, fetched
          |FROM sm
          |ORDER BY canon_url""".stripMargin,
     "q_recrawl" ->
       s"""WITH ${seedCtes(withHeaderSignals = true)},
          |due AS (
-         |  SELECT canon_url, source, lastmod,
+         |  SELECT canon_url, source, lastmod, changefreq, etag_due,
          |    '2026-07-' || lpad(CAST(1 + CAST(regexp_extract(canon_url, '/docs/([0-9]+)$$', 1) AS INT) % 28 AS VARCHAR), 2, '0')
          |      AS fetch_date
          |  FROM sm
          |  WHERE fetched AND allowed
          |), due2 AS (
-         |  SELECT * FROM due WHERE lastmod > fetch_date
+         |  SELECT * FROM (
+         |    SELECT *,
+         |      CASE
+         |        WHEN lastmod IS NOT NULL AND lastmod > fetch_date THEN 'lastmod'
+         |        WHEN etag_due THEN 'etag'
+         |        WHEN lastmod IS NULL AND changefreq IS NOT NULL
+         |             AND CAST(fetch_date AS DATE) + ${freqDaysSql("changefreq")}
+         |                 < DATE '$RecrawlAsOf' THEN 'changefreq'
+         |      END AS reason
+         |    FROM due
+         |  ) WHERE reason IS NOT NULL
          |), del AS (
          |  SELECT DISTINCT source,
          |    CAST(CAST(substr(source, 4, 10) AS INT) % 5 + 1 AS BIGINT) AS delay_s
          |  FROM documents
          |)
-         |SELECT d.canon_url, d.source, d.lastmod, d.fetch_date, l.delay_s,
+         |SELECT d.canon_url, d.source, d.lastmod, d.fetch_date, d.reason,
+         |  l.delay_s,
          |  CAST(COALESCE(SUM(l.delay_s) OVER (
          |    PARTITION BY d.source ORDER BY d.canon_url
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -1066,12 +1207,17 @@ object CrawlOps {
     val h = "'http://' || source || '.example.com"
     val idOf = s"TRY_CAST(regexp_extract(${UrlOps.canonSql("url")}, " +
       "'/docs/([0-9]+)$', 1) AS INT)"
+    // the header Last-Modified + etag-churn signal unions (recrawl only)
     val headerSig = if (!withHeaderSignals) "" else
       s"""  UNION ALL
          |  SELECT DISTINCT ${UrlOps.canonSql("url")},
          |    CASE WHEN $idOf % 4 = 1 THEN '2026-08-03'
-         |         ELSE '2026-06-15' END
-         |  FROM u WHERE $idOf < 50
+         |         ELSE '2026-06-15' END, NULL, NULL, FALSE
+         |  FROM u WHERE $idOf < 50 AND $idOf % 3 <> 0
+         |  UNION ALL
+         |  SELECT DISTINCT ${UrlOps.canonSql("url")},
+         |    NULL, NULL, NULL, TRUE
+         |  FROM u WHERE $idOf < 50 AND $idOf % 5 = 2
          |""".stripMargin
     s"""srcs AS (
        |  SELECT DISTINCT source FROM documents
@@ -1079,24 +1225,34 @@ object CrawlOps {
        |${UrlOps.urlUniverseSql},
        |ent AS (
        |  SELECT $h/docs/' || ${cls(3, 1)} AS loc,
-       |    '2026-08-01' AS lastmod FROM srcs
+       |    '2026-08-01' AS lastmod, 'weekly' AS changefreq,
+       |    '0.8' AS priority FROM srcs
        |  UNION ALL
        |  SELECT 'HTTP://' || upper(source || '.example.com') || ':80/docs/' ||
-       |    ${d(13, 2)} || '#frag', NULL FROM srcs
+       |    ${d(13, 2)} || '#frag', NULL, NULL, NULL FROM srcs
        |  UNION ALL
-       |  SELECT $h/docs/' || ${cls(3, 1)} || '/', NULL FROM srcs
+       |  SELECT $h/docs/' || ${cls(3, 1)} || '/', NULL, NULL, NULL FROM srcs
        |  UNION ALL
-       |  SELECT $h/docs/' || ${cls(9, 4)}, '2026-07-20' FROM srcs
+       |  SELECT $h/docs/' || ${cls(9, 4)}, '2026-07-20', 'monthly', NULL FROM srcs
        |  UNION ALL
-       |  SELECT $h/docs/' || ${cls(17, 6)}, '2026-06-10' FROM srcs
+       |  SELECT $h/docs/' || ${cls(17, 6)}, '2026-06-10', NULL, NULL FROM srcs
+       |  UNION ALL
+       |  SELECT $h/docs/' || ${cls(7, 3)}, NULL, 'daily', '0.5' FROM srcs
        |), seeds AS (
-       |  SELECT canon_url, MAX(lastmod) AS lastmod
+       |  SELECT canon_url, MAX(lastmod) AS lastmod,
+       |    CASE MIN($freqRankSql)
+       |      WHEN 0 THEN 'always' WHEN 1 THEN 'hourly' WHEN 2 THEN 'daily'
+       |      WHEN 3 THEN 'weekly' WHEN 4 THEN 'monthly' WHEN 5 THEN 'yearly'
+       |    END AS changefreq,
+       |    MAX(priority) AS priority,
+       |    MAX(etag_due) AS etag_due
        |  FROM (
-       |    SELECT ${UrlOps.canonSql("loc")} AS canon_url, lastmod FROM ent
+       |    SELECT ${UrlOps.canonSql("loc")} AS canon_url, lastmod,
+       |      changefreq, priority, FALSE AS etag_due FROM ent
        |$headerSig  )
        |  GROUP BY 1
        |), sparts AS (
-       |  SELECT canon_url, lastmod,
+       |  SELECT canon_url, lastmod, changefreq, priority, etag_due,
        |    regexp_extract(canon_url, '^[a-z]+://([^./]+)\\.', 1) AS source,
        |    regexp_replace(canon_url, '^[a-z]+://[^/?#]*', '') AS path
        |  FROM seeds
@@ -1116,7 +1272,8 @@ object CrawlOps {
        |),
        |$rstatSql,
        |sm AS (
-       |  SELECT p.canon_url, p.source, p.lastmod,
+       |  SELECT p.canon_url, p.source, p.lastmod, p.changefreq, p.priority,
+       |    p.etag_due,
        |    ${allowedSql("s", "m")} AS allowed,
        |    (p.canon_url IN (SELECT canon_url FROM fetched)) AS fetched
        |  FROM sparts p
@@ -1125,6 +1282,20 @@ object CrawlOps {
        |  LEFT JOIN rstat s ON s.source = p.source
        |)""".stripMargin
   }
+
+  /** changefreq → rank as a SQL CASE over a column named `changefreq` —
+    * the verbatim twin of [[freqRank]]. */
+  private def freqRankSql: String =
+    "CASE changefreq WHEN 'always' THEN 0 WHEN 'hourly' THEN 1 " +
+      "WHEN 'daily' THEN 2 WHEN 'weekly' THEN 3 WHEN 'monthly' THEN 4 " +
+      "WHEN 'yearly' THEN 5 END"
+
+  /** changefreq → period DAYS as a SQL CASE over an expression `e` —
+    * the verbatim twin of [[freqDays]]. */
+  private def freqDaysSql(e: String): String =
+    s"CASE $e WHEN 'always' THEN 1 WHEN 'hourly' THEN 1 " +
+      "WHEN 'daily' THEN 1 WHEN 'weekly' THEN 7 WHEN 'monthly' THEN 30 " +
+      "WHEN 'yearly' THEN 365 END"
 
   /** The full frontier derivation as CTEs ending in
     * `frontier_set (canon_url, n_referrers)` — shared by `q_frontier`

@@ -25,14 +25,53 @@ object UrlOps {
   private val SchemeHost = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
   private val Tracking = "[?&](utm_[a-z0-9_]*|gclid|fbclid)=[^&#]*"
 
+  /** RFC 3986 §6.2.2.2 percent-encoding normalization as a Column —
+    * the native single-pass [[graft.plans.PctNormalize]] built directly
+    * (no registry lookup, so [[canon]] stays a drop-in pure-Column
+    * function for sessions that never called GraftFunctions.register).
+    * Runs FIRST in [[canon]]: decoding an unreserved escape can never
+    * produce a delimiter (`/ ? # & %` are all reserved or non-unreserved),
+    * so every later rule — fragment strip, slash collapse, tracking
+    * strip, the RFC 9309 path match downstream — composes safely over
+    * the normalized spelling. */
+  private def pctNormalize(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.PctNormalize(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
+  /** The DuckDB twin of [[graft.plans.PctCodec.normalize]] over an
+    * expression `e` — the split/extract interleave (literal runs never
+    * rescanned, the single-pass semantics): unreserved escapes decode,
+    * all other valid escapes keep `%` + UPPERCASED hex, invalid escapes
+    * ride the literal runs verbatim. */
+  private[graft] def pctSql(e: String): String = {
+    val re = "'%([0-9A-Fa-f]{2})'"
+    val parts = s"regexp_split_to_array($e, $re)"
+    val ents = s"regexp_extract_all($e, $re, 1)"
+    val h = s"$ents[CAST(i AS INT)]"
+    val n = s"CAST(('0x' || $h) AS INT)"
+    val dec = s"CASE WHEN ($n >= 65 AND $n <= 90) OR ($n >= 97 AND $n <= 122)" +
+      s" OR ($n >= 48 AND $n <= 57) OR $n IN (45, 46, 95, 126)" +
+      s" THEN chr($n) ELSE '%' || upper($h) END"
+    s"""array_to_string(list_transform(
+       |    generate_series(1, len($parts)),
+       |    i -> $parts[CAST(i AS INT)] ||
+       |      CASE WHEN CAST(i AS INT) >= len($parts) THEN '' ELSE $dec END),
+       |    '')""".stripMargin
+  }
+
   /** The canonicalization as ONE DuckDB SQL expression over `u` — the
     * single source of truth every oracle that canonicalizes builds on
     * (q_url_dedup, q_link_extract), so the SQL face cannot drift from
     * [[canon]] rule by rule. Subexpressions repeat rather than CTE —
     * correctness over elegance; the oracle runs once per verify. */
   private[graft] def canonSql(u: String): String = {
-    val pre0 = s"lower(regexp_extract(trim($u), '$SchemeHost', 0))"
-    val rest0 = s"regexp_replace(trim($u), '$SchemeHost', '')"
+    // percent-encoding normalization FIRST (RFC 3986 §6.2.2.2) — every
+    // later rule sees the one true spelling; the no-scheme passthrough
+    // below stays the RAW trimmed string (quarantine keeps evidence)
+    val norm = s"(${pctSql(s"trim($u)")})"
+    val pre0 = s"lower(regexp_extract($norm, '$SchemeHost', 0))"
+    val rest0 = s"regexp_replace($norm, '$SchemeHost', '')"
     val pre = s"regexp_replace(regexp_replace($pre0, '^(http://.*):80$$', " +
       s"'\\1'), '^(https://.*):443$$', '\\1')"
     val noFrag = s"regexp_replace($rest0, '(?s)#.*', '')"
@@ -47,7 +86,9 @@ object UrlOps {
     * prefix is returned trimmed-only (not a fetchable URL — callers
     * route those to quarantine, the rule stays total and deterministic). */
   def canon(url: Column): Column = {
-    val u = trim(url)
+    val raw = trim(url)
+    // percent-encoding normalization first — see [[pctNormalize]]
+    val u = pctNormalize(raw)
     val pre0 = lower(regexp_extract(u, SchemeHost, 0))
     // default ports carry no information: http://h:80 ≡ http://h
     val pre = regexp_replace(
@@ -67,7 +108,7 @@ object UrlOps {
     // held the '?', promote the now-leading '&' back to '?'
     val query = regexp_replace(
       regexp_replace(query0, Tracking, ""), "^&", "?")
-    when(pre0 === "", u).otherwise(concat(pre, path, query))
+    when(pre0 === "", raw).otherwise(concat(pre, path, query))
   }
 
   private val SchemeOnly = "^([a-zA-Z][a-zA-Z0-9+.-]*):"
@@ -167,22 +208,29 @@ object UrlOps {
 
   /** The synthetic messy fetch-log universe (doc_id, url) — path keyed
     * mod 100 → real collapse groups at every SF; the variant cycles on
-    * the stride (div 100) so one canonical page accumulates ALL five
-    * messy forms as the corpus grows. Shared by `q_url_dedup` and the
-    * crawl estate ([[graft.operators.CrawlOps]]); [[urlUniverseSql]] is
-    * its SQL twin, so no oracle carries a private copy. */
+    * the stride (div 100) so one canonical page accumulates ALL seven
+    * messy forms as the corpus grows (round 15 adds the two %-spelling
+    * forms: an unreserved-character escape in the path — `%64`→`d`,
+    * RFC 3986 §6.2.2.2 — and a %-bearing tracking-param value, the
+    * `%20`/`%2B`-in-every-real-query-string case). Shared by
+    * `q_url_dedup` and the crawl estate ([[graft.operators.CrawlOps]]);
+    * [[urlUniverseSql]] is its SQL twin, so no oracle carries a private
+    * copy. */
   private[graft] def syntheticUrls(documents: DataFrame): DataFrame = {
     val host = concat(col("source"), lit(".example.com"))
     val pathId = (col("doc_id") % 100).cast("string")
-    val v = expr("(doc_id div 100) % 5")
+    val v = expr("(doc_id div 100) % 7")
     val url =
       when(v === 0, concat(lit("http://"), host, lit("/docs/"), pathId))
         .when(v === 1, concat(lit("HTTP://"), upper(host), lit(":80/docs/"), pathId))
         .when(v === 2, concat(lit("http://"), host, lit("//docs//"), pathId, lit("/")))
         .when(v === 3, concat(lit("http://"), host, lit("/docs/"), pathId,
           lit("?utm_source=feed&utm_campaign=x")))
-        .otherwise(concat(lit("http://"), host, lit("/docs/"), pathId,
+        .when(v === 4, concat(lit("http://"), host, lit("/docs/"), pathId,
           lit("#section-2")))
+        .when(v === 5, concat(lit("http://"), host, lit("/%64ocs/"), pathId))
+        .otherwise(concat(lit("http://"), host, lit("/docs/"), pathId,
+          lit("?gclid=x%2fy%20z")))
     documents.select(col("doc_id"), url.as("url"))
   }
 
@@ -199,12 +247,14 @@ object UrlOps {
   private[graft] val urlUniverseSql: String =
     """u AS (
       |  SELECT doc_id,
-      |    CASE CAST((doc_id // 100) % 5 AS INTEGER)
+      |    CASE CAST((doc_id // 100) % 7 AS INTEGER)
       |      WHEN 0 THEN 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR)
       |      WHEN 1 THEN 'HTTP://' || upper(source || '.example.com') || ':80/docs/' || CAST(doc_id % 100 AS VARCHAR)
       |      WHEN 2 THEN 'http://' || source || '.example.com//docs//' || CAST(doc_id % 100 AS VARCHAR) || '/'
       |      WHEN 3 THEN 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
-      |      ELSE 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR) || '#section-2'
+      |      WHEN 4 THEN 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR) || '#section-2'
+      |      WHEN 5 THEN 'http://' || source || '.example.com/%64ocs/' || CAST(doc_id % 100 AS VARCHAR)
+      |      ELSE 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR) || '?gclid=x%2fy%20z'
       |    END AS url
       |  FROM documents
       |)""".stripMargin

@@ -215,6 +215,9 @@ object GraftFunctions {
     (FunctionIdentifier("url_resolve"),
       new ExpressionInfo(classOf[UrlResolve].getName, "url_resolve"),
       (es: Seq[Expression]) => UrlResolve(es(0), es(1))),
+    (FunctionIdentifier("pct_normalize"),
+      new ExpressionInfo(classOf[PctNormalize].getName, "pct_normalize"),
+      (es: Seq[Expression]) => PctNormalize(es(0))),
     (FunctionIdentifier("charset_decode"),
       new ExpressionInfo(classOf[CharsetDecode].getName, "charset_decode"),
       (es: Seq[Expression]) => CharsetDecode(es(0), es(1))),

@@ -4,7 +4,7 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -137,4 +137,89 @@ case class UrlResolve(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): UrlResolve =
     copy(left = newLeft, right = newRight)
+}
+
+/** RFC 3986 §6.2.2.2 percent-encoding normalization — the URL-identity
+  * rule [[graft.operators.UrlOps.canon]] runs before its other rules:
+  *
+  *  - an escape of an UNRESERVED character (ALPHA / DIGIT / `-` / `.` /
+  *    `_` / `~`) decodes: `%41` → `A`, `%7E` → `~` — the two spellings
+  *    are the same URL and producers differ on which they emit;
+  *  - every OTHER valid escape keeps its encoding with the hex digits
+  *    uppercased (§6.2.2.1): `%2f` → `%2F` — and crucially `%2F` never
+  *    becomes `/` (it is data, not a path delimiter);
+  *  - an invalid escape (`%G1`, a trailing `%4`, a bare `%`) passes
+  *    through verbatim — the rule stays total over crawl garbage.
+  *
+  * Single left-to-right pass; decoded output is never rescanned (so
+  * `%2541` → `%41` literal, not `A` — the entity-decode discipline).
+  * The DuckDB twin ([[graft.operators.UrlOps.pctSql]]) replays the same
+  * semantics via the split/extract interleave over `%([0-9A-Fa-f]{2})`.
+  */
+object PctCodec {
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  private def hv(c: Char): Int =
+    if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
+
+  private def unreserved(n: Int): Boolean =
+    (n >= 'A' && n <= 'Z') || (n >= 'a' && n <= 'z') ||
+      (n >= '0' && n <= '9') ||
+      n == '-' || n == '.' || n == '_' || n == '~'
+
+  def normalize(s: String): String = {
+    if (s.indexOf('%') < 0) return s // common case: no escapes at all
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        val n = hv(s.charAt(i + 1)) * 16 + hv(s.charAt(i + 2))
+        if (unreserved(n)) b.append(n.toChar)
+        else {
+          b.append('%')
+          b.append(Character.toUpperCase(s.charAt(i + 1)))
+          b.append(Character.toUpperCase(s.charAt(i + 2)))
+        }
+        i += 3
+      } else {
+        b.append(c)
+        i += 1
+      }
+    }
+    b.toString
+  }
+}
+
+/** `pct_normalize(string)` → string with percent-encodings normalized
+  * (see [[PctCodec]]). Null in → null out; never fails. */
+case class PctNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.sql}")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "pct_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      PctCodec.normalize(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.plans.PctCodec.normalize($c.toString()));
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PctNormalize =
+    copy(child = newChild)
 }

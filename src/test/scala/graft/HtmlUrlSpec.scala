@@ -88,6 +88,21 @@ class HtmlUrlSpec extends SparkSpec {
       "http://h.io/a&b" -> "http://h.io/a&b",
       "http://h.io/a&b?utm_source=x&c=1" -> "http://h.io/a&b?c=1",
       "  http://h.io/a  " -> "http://h.io/a",
+      // RFC 3986 §6.2.2.2 percent-encoding normalization (round 15):
+      // unreserved escapes decode (%41→A, %7E→~, %2D→-) …
+      "http://h.io/p%41th" -> "http://h.io/pAth",
+      "http://h.io/%7Euser/%66%69le%2Dv2" -> "http://h.io/~user/file-v2",
+      // … reserved/other escapes KEEP their encoding, hex uppercased —
+      // %2F is data, never a path delimiter, and %25 ('%') never decodes
+      "http://h.io/a%2Fb" -> "http://h.io/a%2Fb",
+      "http://h.io/a%2fb" -> "http://h.io/a%2Fb",
+      "http://h.io/q%3f?x=%20%2b" -> "http://h.io/q%3F?x=%20%2B",
+      "http://h.io/p%2541" -> "http://h.io/p%2541", // no rescan of output
+      // invalid escapes pass verbatim (total over crawl garbage)
+      "http://h.io/bad%G1%4" -> "http://h.io/bad%G1%4",
+      // a decoded unreserved escape composes with the later rules:
+      // the %75tm spelling of a tracking param still strips
+      "http://h.io/a?%75tm_source=x&q=1" -> "http://h.io/a?q=1",
       "not a url" -> "not a url") // no scheme://host → trimmed passthrough
     val got = cases.map(_._1).toDF("u")
       .select(col("u"), UrlOps.canon(col("u")).as("c")).collect()
@@ -97,17 +112,39 @@ class HtmlUrlSpec extends SparkSpec {
     }
   }
 
-  test("urlDedup collapses all five messy variants of one page") {
+  test("pct_normalize: direct ≡ interpreted ≡ codegen, and the registry route") {
     import spark.implicits._
-    // doc_ids 7, 107, 207, 307, 407 share source+path, cycle the variants
-    val docs = (0 to 4).map(i => (7L + 100 * i, "src3")).toDF("doc_id", "source")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.plans.{PctCodec, PctNormalize}
+    graft.plans.GraftFunctions.register(spark)
+    val cases = Seq(
+      "http://h.io/p%41th%2f%G1%4%", "%7e%5A%30%2e%5F", "", "no escapes",
+      "%", "%2541", "a%ffb", "%00", "caf%C3%A9") // UTF-8 é stays encoded
+    val direct = cases.map(PctCodec.normalize)
+    assert(direct(1) == "~Z0._", "unreserved set decodes")
+    assert(direct(8) == "caf%C3%A9", "non-unreserved keeps encoding")
+    cases.zip(direct).foreach { case (in, want) =>
+      val interp = PctNormalize(Literal(in)).eval(null).toString
+      assert(interp == want, s"interp <$in>")
+    }
+    val viaDf = cases.toDF("s")
+      .select(call_function("pct_normalize", col("s"))).collect()
+      .map(_.getString(0))
+    assert(viaDf.toSeq == direct, "codegen ≡ direct")
+  }
+
+  test("urlDedup collapses all seven messy variants of one page") {
+    import spark.implicits._
+    // doc_ids 7, 107, …, 607 share source+path, cycle the variants
+    // (incl. the round-15 %-spellings: %64ocs path, %-bearing gclid)
+    val docs = (0 to 6).map(i => (7L + 100 * i, "src3")).toDF("doc_id", "source")
     val out = UrlOps.urlDedup(docs).collect()
     assert(out.length == 1)
     val r = out.head
     assert(r.getAs[String]("canon_url") == "http://src3.example.com/docs/7")
     assert(r.getAs[Long]("doc_id") == 7L)
-    assert(r.getAs[Long]("n_docs") == 5L)
-    assert(r.getAs[Long]("n_variants") == 5L)
+    assert(r.getAs[Long]("n_docs") == 7L)
+    assert(r.getAs[Long]("n_variants") == 7L)
   }
 
   test("linkExtract canonicalizes and dedupes the synthetic outlinks") {
@@ -483,20 +520,28 @@ class HtmlUrlSpec extends SparkSpec {
   test("sitemapSeeds recurses the index, keeps newest lastmod, flags triage") {
     import spark.implicits._
     import graft.operators.CrawlOps
-    // src0 (idx 0): child A → /docs/20 (d1, lastmod 2026-08-01, twice
-    // under cosmetic variants) + /docs/2 (d2 messy, no lastmod); child B
-    // → /docs/80 (2026-07-20) + /docs/20 again (d4 collides with d1:
-    // 2026-06-10 loses to 2026-08-01 under MAX); corpus doc 20 → the
-    // fetch log holds /docs/20 (id < 50); nothing robots-blocked for
-    // these paths (rules Disallow /docs/0)
+    // src0 (idx 0): child A → /docs/20 (d1, lastmod 2026-08-01 +
+    // weekly/0.8, twice under cosmetic variants) + /docs/2 (d2 messy,
+    // no lastmod); child B → /docs/80 (2026-07-20, monthly) + /docs/20
+    // again (d4 collides with d1: 2026-06-10 loses to 2026-08-01 under
+    // MAX) + /docs/60 (d5: no lastmod, daily + 0.5 — the changefreq
+    // prior entry); corpus doc 20 → the fetch log holds /docs/20
+    // (id < 50); nothing robots-blocked for these paths (rules
+    // Disallow /docs/0)
     val docs = Seq((20L, "src0")).toDF("doc_id", "source")
     val out = CrawlOps.sitemapSeeds(docs).collect()
       .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)),
-        r.getBoolean(3), r.getBoolean(4)))
+        Option(r.getString(3)), Option(r.getString(4)),
+        r.getBoolean(5), r.getBoolean(6)))
     assert(out.toSeq == Seq(
-      ("http://src0.example.com/docs/2", "src0", None, true, false),
-      ("http://src0.example.com/docs/20", "src0", Some("2026-08-01"), true, true),
-      ("http://src0.example.com/docs/80", "src0", Some("2026-07-20"), true, false)),
+      ("http://src0.example.com/docs/2", "src0", None, None, None,
+        true, false),
+      ("http://src0.example.com/docs/20", "src0", Some("2026-08-01"),
+        Some("weekly"), Some("0.8"), true, true),
+      ("http://src0.example.com/docs/60", "src0", None,
+        Some("daily"), Some("0.5"), true, false),
+      ("http://src0.example.com/docs/80", "src0", Some("2026-07-20"),
+        Some("monthly"), None, true, false)),
       out.toSeq)
   }
 
@@ -569,28 +614,89 @@ class HtmlUrlSpec extends SparkSpec {
     import spark.implicits._
     import graft.operators.CrawlOps
     // src0: /docs/20 fetched (fetch_date 2026-07-21) with lastmod
-    // 2026-08-01 → due; /docs/80 unfetched; /docs/2 no lastmod
+    // 2026-08-01 → due (reason lastmod); /docs/80 unfetched; /docs/2 no
+    // lastmod; the header signal for id 20 (20%4==0 → 2026-06-15) is
+    // stale and loses to the sitemap lastmod under MAX
     val docs = Seq((20L, "src0")).toDF("doc_id", "source")
     val out = CrawlOps.recrawl(docs).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
-        r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        r.getString(3), r.getString(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
     assert(out.toSeq == Seq(
       ("http://src0.example.com/docs/20", "src0", "2026-08-01",
-        "2026-07-21", 1L, 0L, CrawlOps.ScheduleEpoch)), out.toSeq)
+        "2026-07-21", "lastmod", 1L, 0L, CrawlOps.ScheduleEpoch)), out.toSeq)
   }
 
   test("recrawl honors header-observed Last-Modified beside sitemap lastmod") {
     import spark.implicits._
     import graft.operators.CrawlOps
-    // /docs/45 is fetched (id < 50) and appears in NO sitemap for src0
-    // ({20, 2, 80}); its header signal (id%4==1 → 2026-08-03) postdates
-    // its fetch date (2026-07-18) → due purely on the header evidence
-    val docs = Seq((45L, "src0")).toDF("doc_id", "source")
+    // /docs/13 is fetched (id < 50, 13%3!=0 so a date IS observed) and
+    // appears in NO sitemap for src0; its header signal (13%4==1 →
+    // 2026-08-03) postdates its fetch date (2026-07-14) → due purely on
+    // the header evidence
+    val docs = Seq((13L, "src0")).toDF("doc_id", "source")
     val out = CrawlOps.recrawl(docs).collect()
-      .map(r => (r.getString(0), r.getString(2), r.getString(3)))
+      .map(r => (r.getString(0), r.getString(2), r.getString(3),
+        r.getString(4)))
     assert(out.toSeq == Seq(
-      ("http://src0.example.com/docs/45", "2026-08-03", "2026-07-18")),
+      ("http://src0.example.com/docs/13", "2026-08-03", "2026-07-14",
+        "lastmod")),
       out.toSeq)
+  }
+
+  test("recrawl: etag churn makes a DATE-LESS fetched page due (reason etag)") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // /docs/12: fetched (id < 50), NO date signal (12%3==0 — the host
+    // sends no Last-Modified and no sitemap names it: src0's sitemap ids
+    // are {20, 2, 80, 60}), but its etag churned (12%5==2) → due with
+    // reason 'etag' and a NULL lastmod
+    val docs = Seq((12L, "src0")).toDF("doc_id", "source")
+    val out = CrawlOps.recrawl(docs).collect()
+      .map(r => (r.getString(0), Option(r.getString(2)), r.getString(3),
+        r.getString(4)))
+    assert(out.toSeq == Seq(
+      ("http://src0.example.com/docs/12", None, "2026-07-13", "etag")),
+      out.toSeq)
+  }
+
+  test("recrawl: a changefreq period elapsing makes a lastmod-LESS entry due") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // src4's d5 sitemap entry is /docs/24 (cls(7,3): ((7*4+3)%5)*20+4)
+    // — daily changefreq, NO lastmod; id 24 is fetched, has no header
+    // date (24%3==0) and no etag churn (24%5==4); fetch 2026-07-25 + 1
+    // day < the fixed as-of 2026-08-10 → due with reason 'changefreq'
+    // (src4's robots is 404 → allow-all, so the row survives triage)
+    val docs = Seq((24L, "src4")).toDF("doc_id", "source")
+    val out = CrawlOps.recrawl(docs).collect()
+      .map(r => (r.getString(0), Option(r.getString(2)), r.getString(3),
+        r.getString(4)))
+    assert(out.toSeq.contains(
+      ("http://src4.example.com/docs/24", None, "2026-07-25", "changefreq")),
+      out.toSeq)
+    // and every due row carries a reason
+    assert(out.forall(_._4 != null), out.toSeq)
+  }
+
+  test("etagChanged: only present-on-both-sides, unequal validators signal") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val current = Seq(
+      ("http://h.io/changed", "\"v2\""),
+      ("http://h.io/same", "\"s1\""),
+      ("http://h.io/new-etag", "\"n1\""), // prior recorded none
+      ("http://h.io/lost-etag", null: String)) // current sends none
+      .toDF("canon_url", "etag")
+    val prior = Seq(
+      ("http://h.io/changed", "\"v1\""),
+      ("http://h.io/same", "\"s1\""),
+      ("http://h.io/lost-etag", "\"l1\""),
+      ("http://h.io/unseen", "\"u1\"")) // not refetched at all
+      .toDF("canon_url", "etag")
+    val got = CrawlOps.etagChanged(current, prior).collect()
+      .map(r => (r.getString(0), r.getBoolean(4)))
+    assert(got.toSeq == Seq(("http://h.io/changed", true)), got.toSeq)
   }
 
   test("warcToDocuments carries Last-Modified / ETag freshness headers") {
