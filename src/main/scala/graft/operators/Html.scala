@@ -367,12 +367,72 @@ object HtmlOps {
         col("_lm").as("last_modified"),
         lmDate.as("last_modified_date"),
         nullif(trim(regexp_extract(col("_hdr"),
-          "(?im)^etag:([^\\r\\n]*)", 1)), lit("")).as("etag"))
+          "(?im)^etag:([^\\r\\n]*)", 1)), lit("")).as("etag"),
+        // the WARC-layer payload digest (round 15) — the prior-capture
+        // side `revisit` records compare against (revisitChurn)
+        nullif(col("payload_digest"), lit("")).as("payload_digest"))
+    // the ledger holds every record the clean route did NOT take:
+    // failed responses with their reason, and `revisit` records with
+    // reason 'revisit' — not failures (the writer stored no body by
+    // design; their evidence face is [[revisitsOf]]), but they must be
+    // COUNTED here or a dedup-aware crawl's refetch churn silently
+    // vanishes from ingest accounting.
     val quarantine = resp.filter(col("_reason").isNotNull)
       .select(col("file"), col("target_uri"), col("http_status"),
         col("_reason").as("reason"))
+      .unionByName(records.filter(col("warc_type") === "revisit")
+        .select(col("file"), col("target_uri"),
+          lit(null).cast("int").as("http_status"),
+          lit("revisit").as("reason")))
     (clean, quarantine)
   }
+
+  /** WARC `revisit` records as evidence rows (round 15 — previously
+    * silently dropped): Common Crawl and heritrix write one when a
+    * re-fetch produced content IDENTICAL to a prior capture (ISO 28500
+    * §6.7.2 identical-payload-digest) — the digest of the unchanged
+    * content rides `WARC-Payload-Digest`, the prior capture's identity
+    * rides `WARC-Refers-To-*`. Free exact-dedup evidence: the page did
+    * NOT change, with no body to re-extract. Identity = the canonical
+    * URL hash, the same as [[warcToDocuments]], so a revisit lands on
+    * its prior response's doc_id by construction. Pure row-level — one
+    * scan, zero shuffles. */
+  def revisitsOf(records: DataFrame): DataFrame =
+    records.filter(col("warc_type") === "revisit")
+      .withColumn("url", UrlOps.canon(col("target_uri")))
+      .select(
+        xxhash64(col("url")).as("doc_id"),
+        col("url"),
+        regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+          .as("source"),
+        col("warc_date").as("revisit_date"),
+        nullif(col("payload_digest"), lit("")).as("payload_digest"),
+        nullif(col("refers_to_uri"), lit("")).as("refers_to_uri"),
+        nullif(col("refers_to_date"), lit("")).as("refers_to_date"))
+
+  /** Refetch-churn accounting per canonical page: each clean capture
+    * joined with its revisits on the canonical identity —
+    * `n_unchanged` counts revisits whose payload digest EQUALS the
+    * capture's (exact-dedup evidence for free: the fetcher confirmed
+    * byte-identity, no extraction ran), `n_changed` counts
+    * digest-bearing revisits that differ (the writer recorded a
+    * revisit against an OLDER capture than this one — content churned
+    * in between). A recrawl scheduler reads n_unchanged as "stop
+    * refetching so often" and n_changed as churn. One hash shuffle on
+    * doc_id (both sides already carry it); the clean frame is the only
+    * corpus-scale side. */
+  def revisitChurn(clean: DataFrame, revisits: DataFrame): DataFrame =
+    clean.select(col("doc_id"), col("url"), col("payload_digest"))
+      .join(revisits.select(col("doc_id"),
+        col("payload_digest").as("_rv_digest")), Seq("doc_id"), "left")
+      .groupBy(col("doc_id"), col("url"))
+      .agg(
+        sum(when(col("_rv_digest").isNotNull &&
+          col("_rv_digest") === col("payload_digest"), 1L)
+          .otherwise(0L)).as("n_unchanged"),
+        sum(when(col("_rv_digest").isNotNull &&
+          col("_rv_digest") =!= col("payload_digest"), 1L)
+          .otherwise(0L)).as("n_changed"))
 
   /** The redirect edges a WARC crawl actually contains: 3xx `response`
     * records' `Location:` headers, canonicalized under the fetch-log

@@ -42,7 +42,14 @@ import org.apache.spark.sql.functions._
 object WarcSource {
 
   /** One parsed WARC record. `payload` is the raw record block (for
-    * `response` records: HTTP headers + body — see [[httpResponses]]). */
+    * `response` records: HTTP headers + body — see [[httpResponses]]).
+    * `payload_digest` / `refers_to_uri` / `refers_to_date` (round 15)
+    * carry the WARC named fields `revisit` records exist for (ISO 28500
+    * §6.7.2 identical-payload-digest: the re-fetch produced the SAME
+    * content as a prior capture, so the writer stored no body) — and
+    * `WARC-Payload-Digest` also rides `response` records, where it is
+    * the prior-capture side of that comparison. Empty string = header
+    * absent (the schema's existing convention). */
   case class WarcRecord(
       file: String,
       warc_type: String,
@@ -51,7 +58,10 @@ object WarcSource {
       warc_date: String,
       content_type: String,
       content_length: Long,
-      payload: Array[Byte])
+      payload: Array[Byte],
+      payload_digest: String,
+      refers_to_uri: String,
+      refers_to_date: String)
 
   /** Read every WARC (or .warc.gz) file under `path` into a record frame.
     *
@@ -213,7 +223,10 @@ object WarcSource {
           warc_date = headers.getOrElse("warc-date", ""),
           content_type = headers.getOrElse("content-type", ""),
           content_length = len,
-          payload = payload)
+          payload = payload,
+          payload_digest = headers.getOrElse("warc-payload-digest", ""),
+          refers_to_uri = headers.getOrElse("warc-refers-to-target-uri", ""),
+          refers_to_date = headers.getOrElse("warc-refers-to-date", ""))
       } catch {
         case _: EOFException | _: IOException => finish()
       }

@@ -182,4 +182,31 @@ class AviSpec extends SparkSpec {
       (10L, 2L, Seq(standalone(0), standalone(1), standalone(2)).min),
       (30L, 1L, standalone(3))), clusters.toSeq)
   }
+
+  test("frame-frequency guard: a ubiquitous junk frame never chains groups") {
+    import spark.implicits._
+    // 30 videos in 15 true pairs (i, i+15) sharing a planted distinctive
+    // frame — plus the SAME boilerplate frame (an intro card / logo) in
+    // EVERY video. Ungarded, the junk frame's pairs close transitively
+    // into ONE cluster of 30; the df guard (df=30 > n/10=3 and > floor)
+    // drops the junk hash from pairing while true-pair evidence
+    // (df=2 ≤ floor) survives.
+    val junk = MultimodalOps.plantedImage(99, 100) // hash 99·REP, high rep
+    val docs = (0L until 30L).map { id =>
+      (id, AviOps.buildAvi(
+        Seq(MultimodalOps.plantedImage(id, 15), junk), 9, 8))
+    }.toDF("doc_id", "payload")
+    val rep = 0x0101010101010101L
+    val got = AviOps.videoDedupRepresentative(docs, everyNth = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == (0L until 15L).map(i => (i, 2L, i * rep)),
+      got.toSeq)
+    // counter-factual: with the guard disabled (floor ≥ corpus) the junk
+    // frame chains everything into one cluster — the guard is the only
+    // thing standing between boilerplate footage and a monster component
+    val unguarded = AviOps.videoDedupRepresentative(docs, everyNth = 1,
+      frameDfFloor = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(unguarded.toSeq == Seq((0L, 30L)), unguarded.toSeq)
+  }
 }

@@ -699,6 +699,56 @@ class HtmlUrlSpec extends SparkSpec {
     assert(got.toSeq == Seq(("http://h.io/changed", true)), got.toSeq)
   }
 
+  test("revisit records: free exact-dedup evidence, counted in the ledger") {
+    val dir = Files.createTempDirectory("graft_warc_revisit")
+    val digestHdr = "WARC-Payload-Digest: sha1:AAAA1111\r\n"
+    val recs =
+      // prior capture with its payload digest
+      record("response", "http://rv.net/page",
+        http("200 OK", "text/html", "<p>the page body</p>".getBytes(UTF_8)),
+        digestHdr) ++
+      // identical-payload revisit: same digest, NO body re-shipped —
+      // must dedup against the prior capture without re-extracting
+      record("revisit", "http://RV.net/page#frag", // messy variant canons
+        Array.emptyByteArray,
+        digestHdr +
+          "WARC-Refers-To-Target-URI: http://rv.net/page\r\n" +
+          "WARC-Refers-To-Date: 2026-08-01T00:00:00Z\r\n") ++
+      // a second revisit whose digest DIFFERS (recorded against an older
+      // capture than the one we hold) → churn, not a duplicate
+      record("revisit", "http://rv.net/page",
+        Array.emptyByteArray, "WARC-Payload-Digest: sha1:BBBB2222\r\n") ++
+      // an unrelated page with no revisits
+      record("response", "http://rv.net/other",
+        http("200 OK", "text/html", "<p>other</p>".getBytes(UTF_8)))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val records = graft.sources.WarcSource.read(spark, dir.toString)
+    val (clean, ledger) = HtmlOps.warcToDocuments(records)
+    // the clean capture carries its WARC-layer digest
+    val cleanRows = clean.collect()
+      .map(r => r.getAs[String]("url") ->
+        Option(r.getAs[String]("payload_digest"))).toMap
+    assert(cleanRows == Map(
+      "http://rv.net/page" -> Some("sha1:AAAA1111"),
+      "http://rv.net/other" -> None), cleanRows)
+    // revisits surface as evidence rows on the SAME canonical identity
+    val rv = HtmlOps.revisitsOf(records).collect()
+    assert(rv.length == 2, rv.toSeq)
+    assert(rv.forall(_.getAs[String]("url") == "http://rv.net/page"))
+    assert(rv.map(r => Option(r.getAs[String]("refers_to_uri"))).toSet ==
+      Set(Some("http://rv.net/page"), None))
+    // churn accounting: one byte-identical revisit, one changed
+    val churn = HtmlOps.revisitChurn(clean, HtmlOps.revisitsOf(records))
+      .collect().map(r => r.getAs[String]("url") ->
+        (r.getAs[Long]("n_unchanged"), r.getAs[Long]("n_changed"))).toMap
+    assert(churn == Map(
+      "http://rv.net/page" -> ((1L, 1L)),
+      "http://rv.net/other" -> ((0L, 0L))), churn)
+    // and the ingest ledger COUNTS the revisits instead of dropping them
+    val ledgerRows = ledger.filter(col("reason") === "revisit").collect()
+    assert(ledgerRows.length == 2, ledger.collect().toSeq)
+  }
+
   test("warcToDocuments carries Last-Modified / ETag freshness headers") {
     val dir = Files.createTempDirectory("graft_warc_fresh")
     val recs =
@@ -840,11 +890,13 @@ class HtmlUrlSpec extends SparkSpec {
 
   // --- the WARC → documents bridge ---
 
-  private def record(typ: String, uri: String, payload: Array[Byte]): Array[Byte] = {
+  private def record(typ: String, uri: String, payload: Array[Byte],
+                     extraHeaders: String = ""): Array[Byte] = {
     val hdr = ("WARC/1.0\r\n" +
       s"WARC-Type: $typ\r\n" +
       "WARC-Date: 2026-08-14T00:00:00Z\r\n" +
       s"WARC-Target-URI: $uri\r\n" +
+      extraHeaders +
       s"Content-Length: ${payload.length}\r\n\r\n").getBytes(US_ASCII)
     hdr ++ payload ++ "\r\n\r\n".getBytes(US_ASCII)
   }
