@@ -137,6 +137,7 @@ object SparkEntry {
     "q_recrawl" -> ((s, dir) => CrawlOps.recrawl(Tables.documents(s, dir))),
     "q_link_resolve" -> ((s, dir) => UrlOps.linkResolve(Tables.documents(s, dir))),
     "q_extract_clean" -> ((s, dir) => HtmlOps.extractClean(Tables.documents(s, dir))),
+    "q_main_content" -> ((s, dir) => HtmlOps.mainContent(Tables.documents(s, dir))),
     // --- trained classifiers (§2 rows 101-103) ---
     "q_classifier_train" -> ((s, dir) =>
       ClassifierOps.nbTrain(Tables.documents(s, dir))),

@@ -434,6 +434,66 @@ object HtmlOps {
           col("_rv_digest") =!= col("payload_digest"), 1L)
           .otherwise(0L)).as("n_changed"))
 
+  /** The synthetic page for `q_main_content` — every flavor of
+    * page-unique chrome the cross-document route cannot catch, plus two
+    * genuine content blocks: a nav header (pure links, word-poor), the
+    * document's text as the body paragraph, a too-short fragment, a
+    * PAGE-UNIQUE related-links sidebar (its targets are keyed by doc_id
+    * — ≥5 words so only the link-density rule can drop it), and a
+    * closing paragraph. Left = literal, Right = per-row key. */
+  private val MainParts: Seq[Either[String, String]] = Seq(
+    Left("<html><body><header><a href=\"/\">Home</a> " +
+      "<a href=\"/about\">About</a> <a href=\"/login\">Login</a></header><p>"),
+    Right("escaped"),
+    Left("</p><p>Too short.</p><div class=\"sidebar\">Related: " +
+      "<a href=\"/r/"), Right("m7"),
+    Left("\">topic "), Right("m7"),
+    Left("</a> <a href=\"/r/"), Right("m7b"),
+    Left("\">topic "), Right("m7b"),
+    Left("</a></div><p>Deterministic closing paragraph with plenty of " +
+      "ordinary words here.</p></body></html>"))
+
+  private def mainSynthPage: Column = {
+    val escaped = replace(replace(col("text"), lit("&"), lit("&amp;")),
+      lit("<"), lit("&lt;"))
+    concat(MainParts.map {
+      case Left(s) => lit(s)
+      case Right("escaped") => escaped
+      case Right("m7") => (col("doc_id") % 7).cast("string")
+      case Right("m7b") => ((col("doc_id") + 3) % 7).cast("string")
+      case Right(other) => throw new IllegalArgumentException(other)
+    }: _*)
+  }
+
+  private def mainSynthPageSql: String = MainParts.map {
+    case Left(s) => TextFuns.sqlLit(s)
+    case Right("escaped") =>
+      "replace(replace(text, '&', '&amp;'), '<', '&lt;')"
+    case Right("m7") => "CAST(doc_id % 7 AS VARCHAR)"
+    case Right("m7b") => "CAST((doc_id + 3) % 7 AS VARCHAR)"
+    case Right(other) => throw new IllegalArgumentException(other)
+  }.mkString(" || ")
+
+  /** §2 `q_main_content`: per-page MAIN-CONTENT extraction — the
+    * link-density / text-density segment scorer
+    * ([[graft.plans.MainContent]], the boilerpipe core) under the
+    * oracle: the synthetic page plants a nav header, a too-short
+    * fragment, and a PAGE-UNIQUE link-dominated sidebar around the
+    * document's body text; only the body and the closing paragraph
+    * survive. This is the step [[extractClean]]'s cross-document
+    * blocklist cannot perform (a page-unique sidebar repeats nowhere),
+    * and together they are the real pipeline: main_content per page,
+    * THEN repeated-chrome removal across pages. Pure map — one scan,
+    * no shuffle, one native expression per row. */
+  def mainContent(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        call_function("main_content", mainSynthPage).as("main_text"))
+      .withColumn("n_chars_main", length(col("main_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** The redirect edges a WARC crawl actually contains: 3xx `response`
     * records' `Location:` headers, canonicalized under the fetch-log
     * identity ([[UrlOps.canon]]). Relative Locations (RFC 9110 allows
@@ -583,6 +643,16 @@ object HtmlOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_main_content" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $mainSynthPageSql AS html FROM documents
+         |)
+         |SELECT doc_id,
+         |  ${graft.plans.MainContent.extractSql("html")} AS main_text,
+         |  length(${graft.plans.MainContent.extractSql("html")})
+         |    AS n_chars_main
+         |FROM h
+         |ORDER BY doc_id""".stripMargin,
     "q_link_extract" ->
       s"""WITH $linkUniverseSql
         |SELECT DISTINCT doc_id, ${UrlOps.canonSql("href")} AS dst_url

@@ -218,6 +218,9 @@ object GraftFunctions {
     (FunctionIdentifier("pct_normalize"),
       new ExpressionInfo(classOf[PctNormalize].getName, "pct_normalize"),
       (es: Seq[Expression]) => PctNormalize(es(0))),
+    (FunctionIdentifier("main_content"),
+      new ExpressionInfo(classOf[MainContentExtract].getName, "main_content"),
+      (es: Seq[Expression]) => MainContentExtract(es(0))),
     (FunctionIdentifier("charset_decode"),
       new ExpressionInfo(classOf[CharsetDecode].getName, "charset_decode"),
       (es: Seq[Expression]) => CharsetDecode(es(0), es(1))),

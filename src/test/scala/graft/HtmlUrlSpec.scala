@@ -71,6 +71,41 @@ class HtmlUrlSpec extends SparkSpec {
     assert(graft.plans.HtmlExtract.extract(" x ") == "x")
   }
 
+  test("main_content drops page-unique link-heavy chrome, keeps body text") {
+    import spark.implicits._
+    import graft.plans.MainContent
+    val body = "the quick brown fox jumps over the lazy dog tonight"
+    val page =
+      "<html><body>" +
+      "<header><a href=\"/\">Home</a> <a href=\"/x\">X</a></header>" + // word-poor
+      s"<p>$body</p>" + // content: >=5 words, no links
+      "<p>Too short.</p>" + // short-block rule
+      "<div>Related reading list here today: <a href=\"/a\">one long related link</a>" +
+      " <a href=\"/b\">another long related link</a></div>" + // link-dominated
+      "<ul><li>a plain unordered list item with enough words</li></ul>" +
+      "<div>mostly words with a small <a href=\"/c\">link</a> inside the flow" +
+      " of a real sentence</div>" + // link_chars*3 <= len → keeps
+      "</body></html>"
+    val got = MainContent.extract(page)
+    assert(got == body +
+      " a plain unordered list item with enough words" +
+      " mostly words with a small link inside the flow of a real sentence",
+      got)
+    // never throws, total over garbage
+    Seq("", "<", "<a>", "<p></p>", "no tags at all but enough words here")
+      .foreach(MainContent.extract)
+    assert(MainContent.extract("no tags at all but enough words here") ==
+      "no tags at all but enough words here")
+    // eval ≡ codegen ≡ direct through the registered expression
+    graft.plans.GraftFunctions.register(spark)
+    val viaDf = Seq(page).toDF("h")
+      .select(call_function("main_content", col("h"))).collect().head.getString(0)
+    assert(viaDf == got, "codegen parity")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(graft.plans.MainContentExtract(Literal(page)).eval(null).toString
+      == got, "interpreted parity")
+  }
+
   test("canon normalizes scheme/host case, ports, fragments, tracking, slashes") {
     import spark.implicits._
     val cases = Seq(

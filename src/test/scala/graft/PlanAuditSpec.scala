@@ -511,6 +511,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("hash-cluster candidates: (piece, value)-keyed join, no cartesian, no single partition") {
+    import spark.implicits._
+    // the pair-candidate stage EVERY perceptual-dedup representative
+    // routes through (hashClusterRepresentative: image row 131, audio
+    // row 132, video row 139/140): proven-by-measurement family, pinned
+    // here so a refactor can never regress it to an n² comparison.
+    val fp = (0L until 64L).map(i => (i, i * 0x0101010101010101L))
+      .toDF("doc_id", "simhash")
+    val p = plan(DedupOps.simhashBlockCandidates(fp, pieceBits = 16)
+      .filter(org.apache.spark.sql.functions.col("hamming") <= 3))
+    // candidates come from piece-key COLLISIONS — never a cartesian or
+    // nested-loop pass over the hash universe
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // and never a drain to one partition — the stage must scale out
+    assert(!p.contains("SinglePartition"), p)
+    // the join keys are the (piece index, piece value) pair — a doc- or
+    // hash-keyed join here would mean the blocking key was lost and the
+    // stage degenerated. On a toy frame the small side broadcasts (the
+    // join KEYS are the invariant, not the exchange); at corpus scale
+    // the same keys hash-partition both sides.
+    val joinKeys = "(?:Left|Right) keys \\[2\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(joinKeys.size == 2, p)
+    joinKeys.foreach { k =>
+      assert(k.matches("p#\\d+, v#\\d+L?"),
+        s"non-(piece,value)-keyed join: $k\n$p")
+    }
+    // any hash exchange that does appear must also key on (p, v)
+    "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p).map(_.group(1))
+      .foreach { k =>
+        assert(k.contains("p#") && k.contains("v#"),
+          s"non-(piece,value)-keyed exchange: $k\n$p")
+      }
+  }
+
   test("q_boilerplate: exchanges key on the digest, never the raw segment text") {
     val p = plan(DedupOps.boilerplate(Tables.documents(spark, sfDir)))
     // every hashpartitioning key set must mention seg_hash and not seg —
