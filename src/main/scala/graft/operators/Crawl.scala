@@ -416,14 +416,27 @@ object CrawlOps {
     * never due); both engines derive it from the path id alone. The
     * WARC face is [[HtmlOps.warcToDocuments]]'s `last_modified`
     * column. */
-  private[graft] def headerSignals(documents: DataFrame): DataFrame = {
-    val id = expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT)")
-    asSignals(UrlOps.canonUrls(documents)
-      .filter(id < 50 && id % 3 =!= 0)
+  /** The canonical fetch-log universe WITH its path id — derived ONCE
+    * and locally checkpointed when several consumers need it
+    * ([[recrawl]]: header signals + etag signals + fetched flags each
+    * filter this frame; re-deriving it per consumer costs one
+    * corpus-scale distinct shuffle EACH — measured as 3 extra scans in
+    * the q_recrawl plan). */
+  private def fetchUniverse(documents: DataFrame): DataFrame =
+    UrlOps.canonUrls(documents)
+      .withColumn("_id",
+        expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT)"))
+      .localCheckpoint(false)
+
+  private[graft] def headerSignals(documents: DataFrame): DataFrame =
+    headerSignalsFrom(fetchUniverse(documents))
+
+  private def headerSignalsFrom(universe: DataFrame): DataFrame =
+    asSignals(universe
+      .filter(col("_id") < 50 && col("_id") % 3 =!= 0)
       .select(col("canon_url"),
-        when(id % 4 === 1, lit("2026-08-03"))
+        when(col("_id") % 4 === 1, lit("2026-08-03"))
           .otherwise(lit("2026-06-15")).as("lastmod")))
-  }
 
   /** ETag conditional-revalidation signals — the THIRD recrawl input
     * (round 15): many hosts send no `Last-Modified` and publish no
@@ -434,12 +447,13 @@ object CrawlOps {
     * both engines derive it from the path id alone. The WARC face is
     * [[etagChanged]] over [[HtmlOps.warcToDocuments]]'s `etag` column
     * vs a prior fetch-log frame. */
-  private[graft] def etagSignals(documents: DataFrame): DataFrame = {
-    val id = expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT)")
-    asSignals(UrlOps.canonUrls(documents)
-      .filter(id < 50 && id % 5 === 2)
+  private[graft] def etagSignals(documents: DataFrame): DataFrame =
+    etagSignalsFrom(fetchUniverse(documents))
+
+  private def etagSignalsFrom(universe: DataFrame): DataFrame =
+    asSignals(universe
+      .filter(col("_id") < 50 && col("_id") % 5 === 2)
       .select(col("canon_url"), lit(true).as("etag_due")))
-  }
 
   /** The real-WARC face of [[etagSignals]]: current observations
     * (canon_url, etag) vs the PRIOR fetch log's recorded etags — rows
@@ -487,7 +501,9 @@ object CrawlOps {
     * is the fetch-log join — keyed on the canonical URL like every
     * crawl operator. */
   private def triageSignals(signals: DataFrame,
-                            documents: DataFrame): DataFrame = {
+                            documents: DataFrame,
+                            fetchedFrame: Option[DataFrame] = None)
+      : DataFrame = {
     val seeds = signals
       .groupBy(col("canon_url"))
       .agg(max(col("lastmod")).as("lastmod"),
@@ -496,8 +512,9 @@ object CrawlOps {
         // numeric max, and the string stays hash-exact cross-engine
         max(col("priority")).as("priority"),
         max(col("etag_due")).as("etag_due"))
-    val fetched = UrlOps.canonUrls(documents)
-      .filter(expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT) < 50"))
+    val fetched = fetchedFrame.getOrElse(UrlOps.canonUrls(documents)
+      .filter(expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT) < 50")))
+      .select(col("canon_url"))
       .withColumn("_f", lit(true))
     matchRules(withParts(seeds), rulesOf(documents),
       robotsStatusOf(documents),
@@ -550,11 +567,16 @@ object CrawlOps {
     * partitions BY HOST. */
   def recrawl(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
+    // ONE corpus-scale distinct: header signals, etag signals, and the
+    // fetched flags all filter the same checkpointed universe (the
+    // per-consumer re-derivation cost three extra scans + shuffles)
+    val universe = fetchUniverse(documents)
     val triaged = triageSignals(
       sitemapSignals(documents)
-        .unionByName(headerSignals(documents))
-        .unionByName(etagSignals(documents)),
-      documents)
+        .unionByName(headerSignalsFrom(universe))
+        .unionByName(etagSignalsFrom(universe)),
+      documents,
+      fetchedFrame = Some(universe.filter(col("_id") < 50)))
       .filter(col("fetched") && col("allowed"))
       .withColumn("fetch_date", expr(fetchDateSql("canon_url")))
     val reason =
