@@ -720,8 +720,14 @@ object CrawlOps {
     starGroupLines(documents)
       .filter(col("line").startsWith("Allow: ") ||
         col("line").startsWith("Disallow: "))
+      // RFC 9309 §2.2.2 percent-aware comparison (round 15): rule values
+      // normalize exactly like the match target does inside UrlOps.canon
+      // — `Disallow: /caf%c3%a9` must match the canonical `/caf%C3%A9`
+      // (hex case), and `/p%61th` the decoded `/path`. Same native
+      // expression on both sides of the LIKE, so they cannot drift.
       .select(col("source"),
-        regexp_replace(col("line"), "^(Dis)?(A|a)llow: ", "").as("prefix"),
+        UrlOps.pctNormalize(regexp_replace(col("line"),
+          "^(Dis)?(A|a)llow: ", "")).as("prefix"),
         col("line").startsWith("Allow: ").as("allow"))
       // RFC 9309: an EMPTY rule value means "no restriction" — it must
       // not become a match-everything pattern in the rules table
@@ -781,8 +787,10 @@ object CrawlOps {
     val rules = star
       .filter(col("line").startsWith("Allow: ") ||
         col("line").startsWith("Disallow: "))
+      // percent-normalized like the match target — see [[robotsParse]]
       .select(col("source"),
-        regexp_replace(col("line"), "^(Dis)?(A|a)llow: ", "").as("prefix"),
+        UrlOps.pctNormalize(regexp_replace(col("line"),
+          "^(Dis)?(A|a)llow: ", "")).as("prefix"),
         col("line").startsWith("Allow: ").as("allow"))
       // RFC 9309: an empty rule value means "no restriction"
       .filter(col("prefix") =!= "")

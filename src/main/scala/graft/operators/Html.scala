@@ -331,8 +331,14 @@ object HtmlOps {
             col("_raw"), col("_charset"))),
         "^\uFEFF", "")))
       .withColumn("_reason",
-        when(col("http_status").isNull ||
-          !col("http_status").between(200, 299), lit("status"))
+        // 304 is the conditional-GET twin of a WARC revisit record —
+        // "content unchanged since the validator you sent", a churn
+        // signal, not a failure: it gets its own ledger reason so
+        // refetch accounting can read it (round 15; it was lumped into
+        // the generic non-2xx bucket before)
+        when(col("http_status") === 304, lit("not-modified"))
+          .when(col("http_status").isNull ||
+            !col("http_status").between(200, 299), lit("status"))
           .when(col("_ct_bad"), lit("content-type"))
           .when(col("_te_other"), lit("transfer-encoding"))
           .when(col("_chunked") && col("_raw1").isNull, lit("chunked"))

@@ -34,7 +34,7 @@ object UrlOps {
     * so every later rule — fragment strip, slash collapse, tracking
     * strip, the RFC 9309 path match downstream — composes safely over
     * the normalized spelling. */
-  private def pctNormalize(c: Column): Column =
+  private[graft] def pctNormalize(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.plans.PctNormalize(
         org.apache.spark.sql.GraftColumnBridge.expression(c)))

@@ -409,6 +409,38 @@ class HtmlUrlSpec extends SparkSpec {
     assert(!parsed.exists(_._2 == "/private"))
   }
 
+  test("robots rules match percent-aware (RFC 9309 §2.2.2)") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // a real host's rules spelled with escapes: lowercase-hex reserved
+    // (%c3%a9 → %C3%A9) and an unreserved escape (%61 → a) — both must
+    // match the canonical spelling UrlOps.canon produces for the path
+    val bodies = Seq(("h1",
+      "User-agent: *\nDisallow: /caf%c3%a9\nDisallow: /p%61th\n"))
+      .toDF("source", "body")
+    val (rules, _, _) = CrawlOps.parseRobotsBodies(bodies)
+    assert(rules.collect().map(_.getString(1)).sorted.toSeq ==
+      Seq("/caf%C3%A9", "/path"), "prefixes normalize like the target")
+    val urls = Seq(
+      "http://h1.example.com/caf%C3%A9/menu",
+      "http://h1.example.com/caf%c3%a9",   // hex-case variant, same page
+      "http://h1.example.com/p%61th/x",    // decodes to /path/x
+      "http://h1.example.com/other")
+      .toDF("u")
+      .select(UrlOps.canon(col("u")).as("canon_url"))
+      .withColumn("source", lit("h1"))
+      .withColumn("path",
+        regexp_replace(col("canon_url"), "^[a-z]+://[^/?#]*", ""))
+    val verdicts = CrawlOps.matchRules(urls, rules, Seq.empty)
+      .select(col("canon_url"), CrawlOps.robotsAllowed).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(verdicts == Map(
+      "http://h1.example.com/caf%C3%A9/menu" -> false,
+      "http://h1.example.com/caf%C3%A9" -> false,
+      "http://h1.example.com/path/x" -> false,
+      "http://h1.example.com/other" -> true), verdicts)
+  }
+
   test("robotsStatusesOf: latest /robots.txt fetch per host gates the matcher") {
     import spark.implicits._
     import graft.operators.CrawlOps
@@ -782,6 +814,24 @@ class HtmlUrlSpec extends SparkSpec {
     // and the ingest ledger COUNTS the revisits instead of dropping them
     val ledgerRows = ledger.filter(col("reason") === "revisit").collect()
     assert(ledgerRows.length == 2, ledger.collect().toSeq)
+  }
+
+  test("a 304 response ledgers as not-modified, not a generic status failure") {
+    val dir = Files.createTempDirectory("graft_warc_304")
+    val recs =
+      record("response", "http://nm.net/page",
+        "HTTP/1.1 304 Not Modified\r\nETag: \"v1\"\r\n\r\n".getBytes(US_ASCII)) ++
+      record("response", "http://nm.net/gone",
+        http("404 Not Found", "text/html", "nope".getBytes(UTF_8)))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val (_, ledger) = HtmlOps.warcToDocuments(
+      graft.sources.WarcSource.read(spark, dir.toString))
+    val got = ledger.collect()
+      .map(r => r.getAs[String]("target_uri") -> r.getAs[String]("reason"))
+      .toMap
+    assert(got == Map(
+      "http://nm.net/page" -> "not-modified",
+      "http://nm.net/gone" -> "status"), got)
   }
 
   test("warcToDocuments carries Last-Modified / ETag freshness headers") {
