@@ -35,10 +35,25 @@ object CrawlOps {
     * any docs path ENDING in digit t — both RFC 9309 metacharacters in
     * one rule, so `*`/`$` semantics are exercised by every consuming
     * oracle). */
-  private[graft] def rulesOf(documents: DataFrame): DataFrame = {
+  /** The host DIMENSION (distinct `source`), derived ONCE per composed
+    * query and locally checkpointed: every politeness frame (rules,
+    * statuses, delays, sitemap bodies, redirect edges) is hosts-bounded
+    * and synthesizes from this table — re-deriving it inside each
+    * helper cost one corpus-scale scan + distinct shuffle PER FRAME
+    * (q_sitemap's plan carried 14 parquet scans). At production scale
+    * this is the persisted host table a crawler maintains anyway. */
+  private[graft] def hostsOf(documents: DataFrame): DataFrame =
+    documents.select(col("source")).distinct().localCheckpoint(false)
+
+  private[graft] def rulesOf(documents: DataFrame): DataFrame =
+    rulesFrom(documents.select(col("source")).distinct())
+
+  /** [[rulesOf]] over a pre-derived host frame — the shared-dimension
+    * face composed queries use. */
+  private[graft] def rulesFrom(hosts: DataFrame): DataFrame = {
     val d = expr("CAST(substr(source, 4, 10) AS INT) % 10").cast("string")
     val t = expr("(CAST(substr(source, 4, 10) AS INT) + 7) % 10").cast("string")
-    documents.select(col("source")).distinct()
+    hosts
       .select(col("source"), explode(array(
         struct(concat(lit("/docs/"), d).as("prefix"), lit(false).as("allow")),
         struct(concat(lit("/docs/"), d, lit("3")).as("prefix"),
@@ -56,9 +71,13 @@ object CrawlOps {
     * UNREACHABLE → assume complete disallow — §2.3.1.4). Both engines
     * derive the same table from `source` alone; hosts-bounded KBs →
     * broadcast everywhere it joins. */
-  private[graft] def robotsStatusOf(documents: DataFrame): DataFrame = {
+  private[graft] def robotsStatusOf(documents: DataFrame): DataFrame =
+    robotsStatusFrom(documents.select(col("source")).distinct())
+
+  /** [[robotsStatusOf]] over a pre-derived host frame. */
+  private[graft] def robotsStatusFrom(hosts: DataFrame): DataFrame = {
     val m10 = expr("CAST(substr(source, 4, 10) AS INT) % 10")
-    documents.select(col("source")).distinct()
+    hosts
       .withColumn("robots_status",
         when(m10 === 8, lit(503))
           .when(m10 === 4, lit(404))
@@ -174,9 +193,10 @@ object CrawlOps {
     * with rule_prefix nulled: an absent robots file HAS no rules).
     * Output (canon_url, rule_prefix, allowed). TWO broadcast joins +
     * ONE url-keyed argmax. */
-  def robotsFilter(documents: DataFrame): DataFrame =
+  def robotsFilter(documents: DataFrame): DataFrame = {
+    val hosts = hostsOf(documents)
     matchRules(withParts(UrlOps.canonUrls(documents)),
-      rulesOf(documents), robotsStatusOf(documents), Seq.empty)
+      rulesFrom(hosts), robotsStatusFrom(hosts), Seq.empty)
       .select(col("canon_url"),
         // COALESCE to 200: a host whose robots-fetch status was never
         // observed (the real-WARC face covers only crawled hosts) still
@@ -187,6 +207,7 @@ object CrawlOps {
           col("m.prefix")).as("rule_prefix"),
         robotsAllowed.as("allowed"))
       .orderBy("canon_url")
+  }
 
   /** §2-126 `q_frontier`: the crawl scheduler's enqueue set — distinct
     * robots-ALLOWED outlinks ([[HtmlOps.linkExtract]]'s universe) that
@@ -200,13 +221,19 @@ object CrawlOps {
   /** [[frontier]] without the presentation sort — the face composing
     * queries consume ([[crawlSchedule]] re-partitions by host anyway;
     * feeding it the sorted frame would buy a wasted range exchange). */
-  private def frontierSet(documents: DataFrame): DataFrame = {
+  private def frontierSet(documents: DataFrame): DataFrame =
+    frontierSetFrom(documents, hostsOf(documents))
+
+  /** [[frontierSet]] over a pre-derived host frame (shared with the
+    * schedule composition). */
+  private def frontierSetFrom(documents: DataFrame,
+                              hosts: DataFrame): DataFrame = {
     val links = HtmlOps.linkExtractSet(documents)
       .groupBy(col("dst_url").as("canon_url"))
       .agg(countDistinct(col("doc_id")).as("n_referrers"))
     val fetched = UrlOps.canonUrls(documents)
       .filter(expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT) < 50"))
-    frontierCore(links, rulesOf(documents), robotsStatusOf(documents), fetched)
+    frontierCore(links, rulesFrom(hosts), robotsStatusFrom(hosts), fetched)
   }
 
   /** The frontier computation proper, over ANY (canon_url, n_referrers)
@@ -232,8 +259,12 @@ object CrawlOps {
     * often compressed; the entry SET is unchanged, so the oracles hold).
     * Both engines derive the same entries from `source` alone. Returns
     * (source, url, body_bytes). */
-  private[graft] def sitemapBodies(documents: DataFrame): DataFrame = {
-    graft.plans.GraftFunctions.register(documents.sparkSession)
+  private[graft] def sitemapBodies(documents: DataFrame): DataFrame =
+    sitemapBodiesFrom(documents.select(col("source")).distinct())
+
+  /** [[sitemapBodies]] over a pre-derived host frame. */
+  private[graft] def sitemapBodiesFrom(hosts: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(hosts.sparkSession)
     val idx = expr("CAST(substr(source, 4, 10) AS INT)")
     val host = concat(col("source"), lit(".example.com"))
     // lastmod-bearing entries land in the host's OWN path-id residue
@@ -275,7 +306,7 @@ object CrawlOps {
       host, lit("/docs/"), d5,
       lit("</loc><changefreq>daily</changefreq>" +
         "<priority>0.5</priority></url></urlset>"))
-    documents.select(col("source")).distinct()
+    hosts
       .select(col("source"), explode(array(
         struct(concat(lit("http://"), host, lit("/sitemap.xml")).as("url"),
           encode(index, "UTF-8").as("body_bytes")),
@@ -378,9 +409,12 @@ object CrawlOps {
     * [[recrawl]] composes — it re-joins and re-sorts anyway). The etag
     * axis is identically false on a sitemap-only triage, so the column
     * drops out of the query face. */
-  private def sitemapSeedSet(documents: DataFrame): DataFrame =
-    triageSignals(sitemapSignals(documents), documents)
+  private def sitemapSeedSet(documents: DataFrame): DataFrame = {
+    val hosts = hostsOf(documents)
+    triageSignals(sitemapSignalsFrom(hosts), documents,
+      hostsFrame = Some(hosts))
       .drop("etag_due")
+  }
 
   /** The recrawl-signal frame shape shared by every signal source:
     * (canon_url, lastmod, changefreq, priority, etag_due). */
@@ -400,7 +434,11 @@ object CrawlOps {
   /** The sitemap freshness SIGNAL frame (canon_url, lastmod, changefreq,
     * priority, etag_due=false) — one of [[recrawl]]'s three inputs. */
   private def sitemapSignals(documents: DataFrame): DataFrame =
-    asSignals(parseSitemapBytes(sitemapBodies(documents))
+    sitemapSignalsFrom(documents.select(col("source")).distinct())
+
+  /** [[sitemapSignals]] over a pre-derived host frame. */
+  private def sitemapSignalsFrom(hosts: DataFrame): DataFrame =
+    asSignals(parseSitemapBytes(sitemapBodiesFrom(hosts))
       .select(UrlOps.canon(col("loc")).as("canon_url"), col("lastmod"),
         col("changefreq"), col("priority")))
 
@@ -502,8 +540,10 @@ object CrawlOps {
     * crawl operator. */
   private def triageSignals(signals: DataFrame,
                             documents: DataFrame,
-                            fetchedFrame: Option[DataFrame] = None)
+                            fetchedFrame: Option[DataFrame] = None,
+                            hostsFrame: Option[DataFrame] = None)
       : DataFrame = {
+    val hosts = hostsFrame.getOrElse(hostsOf(documents))
     val seeds = signals
       .groupBy(col("canon_url"))
       .agg(max(col("lastmod")).as("lastmod"),
@@ -516,8 +556,8 @@ object CrawlOps {
       .filter(expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT) < 50")))
       .select(col("canon_url"))
       .withColumn("_f", lit(true))
-    matchRules(withParts(seeds), rulesOf(documents),
-      robotsStatusOf(documents),
+    matchRules(withParts(seeds), rulesFrom(hosts),
+      robotsStatusFrom(hosts),
       Seq("lastmod", "changefreq", "priority", "etag_due"))
       .select(col("canon_url"), col("lastmod"), col("changefreq"),
         col("priority"), col("etag_due"),
@@ -567,16 +607,19 @@ object CrawlOps {
     * partitions BY HOST. */
   def recrawl(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    // ONE corpus-scale distinct: header signals, etag signals, and the
-    // fetched flags all filter the same checkpointed universe (the
-    // per-consumer re-derivation cost three extra scans + shuffles)
+    // ONE corpus-scale distinct (header signals, etag signals, and the
+    // fetched flags all filter the same checkpointed universe) and ONE
+    // host-dimension derivation (rules, statuses, delays, sitemap
+    // bodies) — the per-consumer re-derivations cost six extra scans
     val universe = fetchUniverse(documents)
+    val hosts = hostsOf(documents)
     val triaged = triageSignals(
-      sitemapSignals(documents)
+      sitemapSignalsFrom(hosts)
         .unionByName(headerSignalsFrom(universe))
         .unionByName(etagSignalsFrom(universe)),
       documents,
-      fetchedFrame = Some(universe.filter(col("_id") < 50)))
+      fetchedFrame = Some(universe.filter(col("_id") < 50)),
+      hostsFrame = Some(hosts))
       .filter(col("fetched") && col("allowed"))
       .withColumn("fetch_date", expr(fetchDateSql("canon_url")))
     val reason =
@@ -595,7 +638,7 @@ object CrawlOps {
     // whole signal-union triage (a measured 1.6× of this query's cost)
     scheduleCore(due.select(col("canon_url"), lit(1L).as("n_referrers"),
       col("lastmod"), col("fetch_date"), col("reason")),
-      crawlDelayOf(documents), noCursors,
+      crawlDelayFrom(hosts), noCursors,
       carry = Seq("lastmod", "fetch_date", "reason"))
       .select(col("canon_url"), col("source"), col("lastmod"),
         col("fetch_date"), col("reason"), col("delay_s"),
@@ -609,13 +652,17 @@ object CrawlOps {
     * the shared url universe (d = the link universe's `p1` arithmetic,
     * so the chain lands in the frontier/fetch-log world), plus a 2-cycle
     * `/loop/a ↔ /loop/b` so the hop cap actually bites. */
-  private[graft] def redirectEdges(documents: DataFrame): DataFrame = {
+  private[graft] def redirectEdges(documents: DataFrame): DataFrame =
+    redirectEdgesFrom(documents.select(col("source")).distinct())
+
+  /** [[redirectEdges]] over a pre-derived host frame. */
+  private def redirectEdgesFrom(hosts: DataFrame): DataFrame = {
     val host = concat(col("source"), lit(".example.com"))
     val d = ((expr("CAST(substr(source, 4, 10) AS INT)") * 7 + 13) % 100)
       .cast("string")
     def u(path: Column*): Column =
       concat((lit("http://") +: host +: path): _*)
-    documents.select(col("source")).distinct()
+    hosts
       .select(explode(array(
         struct(u(lit("/r/"), d).as("src_url"),
           u(lit("/moved/"), d).as("dst_url")),
@@ -665,10 +712,11 @@ object CrawlOps {
     * builders; rules broadcast; the fetch-log join keys on the canonical
     * URL like every crawl operator. */
   def redirects(documents: DataFrame): DataFrame = {
-    val resolved = redirectResolve(redirectEdges(documents))
+    val hosts = hostsOf(documents)
+    val resolved = redirectResolve(redirectEdgesFrom(hosts))
     val allowed = matchRules(
       withParts(resolved.select(col("final_url").as("canon_url")).distinct()),
-      rulesOf(documents), robotsStatusOf(documents), Seq.empty)
+      rulesFrom(hosts), robotsStatusFrom(hosts), Seq.empty)
       .select(col("canon_url").as("_a_url"),
         robotsAllowed.as("_allowed"))
     val fetched = UrlOps.canonUrls(documents)
@@ -746,7 +794,11 @@ object CrawlOps {
     * not user-agent scoped). The body carries a `Sitemap:` pointer to
     * the host's sitemap.xml, closing the textual chain robots →
     * sitemap URL → `q_sitemap`'s parse. */
-  private def robotsLines(documents: DataFrame): DataFrame = {
+  private def robotsLines(documents: DataFrame): DataFrame =
+    robotsLinesFrom(documents.select(col("source")).distinct())
+
+  /** [[robotsLines]] over a pre-derived host frame. */
+  private def robotsLinesFrom(hosts: DataFrame): DataFrame = {
     val d = expr("CAST(substr(source, 4, 10) AS INT) % 10").cast("string")
     val t = expr("(CAST(substr(source, 4, 10) AS INT) + 7) % 10").cast("string")
     val delay = expr("CAST(substr(source, 4, 10) AS INT) % 5 + 1").cast("string")
@@ -761,8 +813,7 @@ object CrawlOps {
       lit("Disallow: /docs/"), d, nl,
       lit("Allow: /docs/"), d, lit("3"), nl,
       lit("Disallow: /docs/*"), t, lit("$"), nl)
-    linesOf(documents.select(col("source")).distinct()
-      .withColumn("body", body))
+    linesOf(hosts.withColumn("body", body))
   }
 
   /** Line-explode of ANY (source, body) robots frame — the general face
@@ -810,6 +861,10 @@ object CrawlOps {
     * the general scoping). */
   private def starGroupLines(documents: DataFrame): DataFrame =
     starGroupOf(robotsLines(documents))
+
+  /** [[starGroupLines]] over a pre-derived host frame. */
+  private def starGroupLinesFrom(hosts: DataFrame): DataFrame =
+    starGroupOf(robotsLinesFrom(hosts))
 
   /** The `User-agent: *` group of a lines frame ([[groupOf]] with the
     * wildcard token). */
@@ -873,7 +928,11 @@ object CrawlOps {
     * face is `(idx % 5) + 1` — spec-asserted equal, the
     * [[robotsParse]]/[[rulesOf]] duality). */
   private[graft] def crawlDelayOf(documents: DataFrame): DataFrame =
-    starGroupLines(documents)
+    crawlDelayFrom(documents.select(col("source")).distinct())
+
+  /** [[crawlDelayOf]] over a pre-derived host frame. */
+  private def crawlDelayFrom(hosts: DataFrame): DataFrame =
+    starGroupLinesFrom(hosts)
       .filter(col("line").startsWith("Crawl-delay: "))
       .select(col("source"),
         regexp_extract(col("line"), "^Crawl-delay: ([0-9]+)$", 1)
@@ -897,7 +956,9 @@ object CrawlOps {
   def crawlSchedule(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
     val noCursors = Seq.empty[(String, Long)].toDF("source", "cursor_s")
-    scheduleCore(frontierSet(documents), crawlDelayOf(documents), noCursors)
+    val hosts = hostsOf(documents)
+    scheduleCore(frontierSetFrom(documents, hosts), crawlDelayFrom(hosts),
+      noCursors)
       .orderBy("canon_url")
   }
 
