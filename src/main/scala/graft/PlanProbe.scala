@@ -18,16 +18,27 @@ object PlanProbe {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     try {
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val p = df.queryExecution.explainString(FormattedMode)
-      val scans = p.linesIterator.count(_.contains("Scan parquet"))
-      val hashEx = p.linesIterator.count(
-        _.trim.startsWith("Arguments: hashpartitioning("))
-      val rangeEx = p.linesIterator.count(
-        _.trim.startsWith("Arguments: rangepartitioning("))
-      println(s"== $name: parquet scans=$scans hashExchanges=$hashEx " +
-        s"rangeExchanges=$rangeEx ==")
-      println(p)
+      val names =
+        if (name == "--all") SparkEntry.queries.keys.toSeq.sorted
+        else Seq(name)
+      names.foreach { n =>
+        try {
+          val df = SparkEntry.queries(n)(spark, sfDir)
+          val p = df.queryExecution.explainString(FormattedMode)
+          val scans = p.linesIterator.count(_.contains("Scan parquet"))
+          val hashEx = p.linesIterator.count(
+            _.trim.startsWith("Arguments: hashpartitioning("))
+          val rangeEx = p.linesIterator.count(
+            _.trim.startsWith("Arguments: rangepartitioning("))
+          println(s"== $n: parquet scans=$scans hashExchanges=$hashEx " +
+            s"rangeExchanges=$rangeEx ==")
+          if (names.length == 1) println(p)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            println(s"== $n: PROBE FAILED ${e.getClass.getSimpleName}: " +
+              s"${e.getMessage} ==")
+        }
+      }
     } finally spark.stop()
   }
 }

@@ -145,10 +145,14 @@ object CorpusOps {
     * the term as tiebreak, so the row_number is deterministic in both
     * engines. */
   def tfidf(documents: DataFrame): DataFrame = {
+    // tf feeds BOTH the df aggregation and the scoring join — without a
+    // checkpoint Catalyst recomputes the tokenize+count subtree once per
+    // branch (measured: 6 parquet scans and the explode+agg run twice)
     val tf = documents
       .select(col("doc_id"), explode(TextFuns.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
     val scored = tf
@@ -1138,8 +1142,12 @@ object CorpusOps {
       .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount) // prune BEFORE anything downstream
+    // the unigram table feeds THREE consumers (the total and both
+    // broadcast sides) — vocabulary-bounded and tiny, so checkpoint it
+    // rather than re-run tokenize+count once per consumer
     val uni = tk.select(explode(col("tk")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val nTok = uni.agg(sum("c").as("n_tok"))
     pairCounts
       .join(broadcast(uni.select(col("tok").as("tok_a"), col("c").as("c_a"))), "tok_a")
