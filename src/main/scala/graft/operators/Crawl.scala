@@ -411,9 +411,9 @@ object CrawlOps {
     * drops out of the query face. */
   private def sitemapSeedSet(documents: DataFrame): DataFrame = {
     val hosts = hostsOf(documents)
-    triageSignals(sitemapSignalsFrom(hosts), documents,
-      hostsFrame = Some(hosts))
-      .drop("etag_due")
+    triageCore(sitemapSignalsFrom(hosts), rulesFrom(hosts),
+      robotsStatusFrom(hosts), fetchLogOf(fetchUniverse(documents)))
+      .drop("etag_due", "fetch_date")
   }
 
   /** The recrawl-signal frame shape shared by every signal source:
@@ -538,12 +538,28 @@ object CrawlOps {
     * hosts-bounded or fetch-log-bounded, so the only corpus-scale frame
     * is the fetch-log join — keyed on the canonical URL like every
     * crawl operator. */
-  private def triageSignals(signals: DataFrame,
-                            documents: DataFrame,
-                            fetchedFrame: Option[DataFrame] = None,
-                            hostsFrame: Option[DataFrame] = None)
-      : DataFrame = {
-    val hosts = hostsFrame.getOrElse(hostsOf(documents))
+  /** The synthetic fetch LOG with fetch dates, over a [[fetchUniverse]]
+    * frame — (canon_url, fetch_date), the shape a real scheduler
+    * persists after every fetch. */
+  private def fetchLogOf(universe: DataFrame): DataFrame =
+    universe.filter(col("_id") < 50)
+      .select(col("canon_url"),
+        expr(fetchDateSql("canon_url")).as("fetch_date"))
+
+  /** Triage ANY signal frame ([[asSignals]] shape) against ANY rule /
+    * status / fetch-log frames — the core shared by the batch queries
+    * and [[recrawlStream]] (the unified static-side convention: batch
+    * passes the synthetic universes, the stream passes thunk-refreshed
+    * tables): dedupe per canonical URL keeping the NEWEST lastmod, the
+    * most-frequent changefreq, the highest priority, and the OR of the
+    * etag axis; annotate robots `allowed` (the shared [[matchRules]]
+    * argmax + [[robotsAllowed]] reachability), already-`fetched`, and
+    * the fetch log's `fetch_date`. Signals and the politeness frames
+    * are hosts-bounded; the fetch log is the one corpus-scale frame —
+    * keyed on the canonical URL like every crawl operator. */
+  private[graft] def triageCore(signals: DataFrame, rules: DataFrame,
+                                statuses: DataFrame,
+                                fetchLog: DataFrame): DataFrame = {
     val seeds = signals
       .groupBy(col("canon_url"))
       .agg(max(col("lastmod")).as("lastmod"),
@@ -552,22 +568,39 @@ object CrawlOps {
         // numeric max, and the string stays hash-exact cross-engine
         max(col("priority")).as("priority"),
         max(col("etag_due")).as("etag_due"))
-    val fetched = fetchedFrame.getOrElse(UrlOps.canonUrls(documents)
-      .filter(expr("CAST(regexp_extract(canon_url, '/docs/([0-9]+)$', 1) AS INT) < 50")))
-      .select(col("canon_url"))
-      .withColumn("_f", lit(true))
-    matchRules(withParts(seeds), rulesFrom(hosts),
-      robotsStatusFrom(hosts),
+    matchRules(withParts(seeds), rules, statuses,
       Seq("lastmod", "changefreq", "priority", "etag_due"))
       .select(col("canon_url"), col("lastmod"), col("changefreq"),
         col("priority"), col("etag_due"),
         robotsAllowed.as("allowed"))
       .withColumn("source",
         regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1))
-      .join(fetched, Seq("canon_url"), "left")
+      .join(fetchLog.select(col("canon_url"), col("fetch_date")),
+        Seq("canon_url"), "left")
       .select(col("canon_url"), col("source"), col("lastmod"),
         col("changefreq"), col("priority"), col("etag_due"), col("allowed"),
-        coalesce(col("_f"), lit(false)).as("fetched"))
+        col("fetch_date"),
+        col("fetch_date").isNotNull.as("fetched"))
+  }
+
+  /** The recrawl DECISION over a [[triageCore]] output: fetched +
+    * allowed rows whose `reason` CASE fires — shared verbatim by
+    * [[recrawl]] and [[recrawlStream]] (and mirrored in the q_recrawl
+    * oracle SQL), so batch, stream, and oracle cannot drift on what
+    * "due" means. */
+  private[graft] def dueReasons(triaged: DataFrame): DataFrame = {
+    val reason =
+      when(col("lastmod").isNotNull && col("lastmod") > col("fetch_date"),
+        "lastmod")
+        .when(col("etag_due"), "etag")
+        .when(col("lastmod").isNull && col("changefreq").isNotNull &&
+          date_add(to_date(col("fetch_date")),
+            freqDays(col("changefreq"))) < to_date(lit(RecrawlAsOf)),
+          "changefreq")
+    triaged
+      .filter(col("fetched") && col("allowed"))
+      .withColumn("reason", reason)
+      .filter(col("reason").isNotNull)
   }
 
   /** The synthetic fetch DATE of a fetched canonical URL — derived from
@@ -608,30 +641,16 @@ object CrawlOps {
   def recrawl(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
     // ONE corpus-scale distinct (header signals, etag signals, and the
-    // fetched flags all filter the same checkpointed universe) and ONE
+    // fetch log all filter the same checkpointed universe) and ONE
     // host-dimension derivation (rules, statuses, delays, sitemap
     // bodies) — the per-consumer re-derivations cost six extra scans
     val universe = fetchUniverse(documents)
     val hosts = hostsOf(documents)
-    val triaged = triageSignals(
+    val due = dueReasons(triageCore(
       sitemapSignalsFrom(hosts)
         .unionByName(headerSignalsFrom(universe))
         .unionByName(etagSignalsFrom(universe)),
-      documents,
-      fetchedFrame = Some(universe.filter(col("_id") < 50)),
-      hostsFrame = Some(hosts))
-      .filter(col("fetched") && col("allowed"))
-      .withColumn("fetch_date", expr(fetchDateSql("canon_url")))
-    val reason =
-      when(col("lastmod").isNotNull && col("lastmod") > col("fetch_date"),
-        "lastmod")
-        .when(col("etag_due"), "etag")
-        .when(col("lastmod").isNull && col("changefreq").isNotNull &&
-          date_add(to_date(col("fetch_date")),
-            freqDays(col("changefreq"))) < to_date(lit(RecrawlAsOf)),
-          "changefreq")
-    val due = triaged.withColumn("reason", reason)
-      .filter(col("reason").isNotNull)
+      rulesFrom(hosts), robotsStatusFrom(hosts), fetchLogOf(universe)))
     val noCursors = Seq.empty[(String, Long)].toDF("source", "cursor_s")
     // lastmod/fetch_date/reason CARRY through the schedule window —
     // re-deriving `due` for a second evidence join would recompute the
@@ -1016,6 +1035,39 @@ object CrawlOps {
             .agg(countDistinct(col("doc_id")).as("n_referrers"))
           sink(scheduleCore(frontierCore(links, rules(), statuses(), fetched()),
             delays(), cursors()), id)
+      }
+      .start()
+
+  /** §2-C `recrawlStream`: live FRESHNESS triage — the recrawl loop's
+    * streaming face (round 15), completing the crawl streaming matrix
+    * beside [[frontierStream]] (discovery) and [[scheduleStream]]
+    * (politeness): each micro-batch of freshness OBSERVATIONS — header
+    * sweeps' (canon_url, lastmod), revalidation sweeps' etag_due rows,
+    * sitemap-parse output; any subset of the [[asSignals]] columns —
+    * triages against thunk-refreshed rules / robots statuses / the
+    * persisted fetch LOG (canon_url, fetch_date), and the due rows
+    * ([[dueReasons]] — the SAME reason CASE as `q_recrawl`, so batch
+    * and stream cannot drift) queue behind the hosts' persisted cursors
+    * through the shared [[scheduleCore]]. Stateless per trigger: the
+    * fetch log and cursors carry cross-batch continuity, the unified
+    * static-side convention. */
+  def recrawlStream(signals: DataFrame, rules: () => DataFrame,
+                    statuses: () => DataFrame,
+                    fetchLog: () => DataFrame,
+                    delays: () => DataFrame,
+                    cursors: () => DataFrame)
+                   (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    signals.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val due = dueReasons(triageCore(
+            asSignals(batch.toDF()), rules(), statuses(), fetchLog()))
+          sink(scheduleCore(
+            due.select(col("canon_url"), lit(1L).as("n_referrers"),
+              col("lastmod"), col("fetch_date"), col("reason")),
+            delays(), cursors(),
+            carry = Seq("lastmod", "fetch_date", "reason")), id)
       }
       .start()
 

@@ -973,6 +973,61 @@ class HtmlUrlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("recrawlStream triages live freshness observations against the fetch log") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    implicit val sqlCtx = spark.sqlContext
+    val srcDocs = Seq((0L, "src3")).toDF("doc_id", "source")
+    val dir = Files.createTempDirectory("graft_recrawl_stream")
+      .toFile.getAbsolutePath
+    // the persisted fetch log: /docs/62 and /docs/82 fetched in July
+    Seq(("http://src3.example.com/docs/62", "2026-07-10"),
+      ("http://src3.example.com/docs/82", "2026-07-20"))
+      .toDF("canon_url", "fetch_date")
+      .write.mode("overwrite").parquet(s"$dir/log")
+    Seq.empty[(String, Long)].toDF("source", "cursor_s")
+      .write.mode("overwrite").parquet(s"$dir/cur")
+    @volatile var status = 200
+    val results = new scala.collection.concurrent.TrieMap[
+      Long, Seq[(String, Option[String], String, Long)]]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Boolean)]
+    val q = CrawlOps.recrawlStream(
+      input.toDF().toDF("canon_url", "lastmod", "etag_due")
+        .withColumn("lastmod", nullif(col("lastmod"), lit(""))),
+      () => CrawlOps.rulesOf(srcDocs),
+      () => Seq(("src3", status)).toDF("source", "robots_status"),
+      () => spark.read.parquet(s"$dir/log"),
+      () => CrawlOps.crawlDelayOf(srcDocs), // src3 → 4 s
+      () => spark.read.parquet(s"$dir/cur")) { (df, id) =>
+      results.put(id, df.collect().map(r => (r.getAs[String]("canon_url"),
+        Option(r.getAs[String]("lastmod")), r.getAs[String]("reason"),
+        r.getAs[Long]("next_allowed_offset_s"))).sortBy(_._1).toSeq)
+    }
+    try {
+      // trigger 1: a header sweep saw /docs/62 modified AFTER its fetch
+      // (due: lastmod), an etag churn on the date-less /docs/82 (due:
+      // etag), a stale observation (not due), and an UNFETCHED url (no
+      // fetch-log row → never due). Due rows queue 4 s apart.
+      input.addData(
+        ("http://src3.example.com/docs/62", "2026-08-01", false),
+        ("http://src3.example.com/docs/82", "", true),
+        ("http://src3.example.com/docs/82", "2026-07-01", false),
+        ("http://src3.example.com/docs/7", "2026-08-01", false))
+      q.processAllAvailable()
+      assert(results(0L) == Seq(
+        ("http://src3.example.com/docs/62", Some("2026-08-01"), "lastmod", 0L),
+        ("http://src3.example.com/docs/82", Some("2026-07-01"), "etag", 4L)),
+        results.toMap.toString)
+      // trigger 2: the host's robots endpoint starts flapping 503 —
+      // RFC 9309 complete-disallow is live next trigger, nothing is due
+      status = 503
+      input.addData(("http://src3.example.com/docs/62", "2026-08-09", false))
+      q.processAllAvailable()
+      assert(results(1L).isEmpty, results.toMap.toString)
+    } finally q.stop()
+  }
+
   // --- the WARC → documents bridge ---
 
   private def record(typ: String, uri: String, payload: Array[Byte],
