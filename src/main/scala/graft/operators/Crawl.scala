@@ -397,7 +397,12 @@ object CrawlOps {
     * triages by: robots `allowed` (the shared [[matchRules]] argmax)
     * and already-`fetched` (the shared synthetic fetch log). `lastmod`
     * plus the round-15 `changefreq`/`priority` scheduler hints carry
-    * forward as columns — they are [[recrawl]]'s input.
+    * forward as columns — they are [[recrawl]]'s input. `priority` is
+    * DELIBERATELY not an ordering input to [[scheduleCore]]: the
+    * politeness queue orders by canonical URL so the schedule is
+    * deterministic (oracle-hashable) and starvation-free; priority is
+    * the host's own ranking hint, carried as data for a consumer that
+    * wants to re-rank within its politeness slot.
     * Hosts-bounded input (sitemaps are per-host artifacts like
     * robots.txt), so the only corpus-scale frame is the fetch-log join
     * — keyed on the canonical URL, the same identity every crawl
@@ -556,7 +561,11 @@ object CrawlOps {
     * argmax + [[robotsAllowed]] reachability), already-`fetched`, and
     * the fetch log's `fetch_date`. Signals and the politeness frames
     * are hosts-bounded; the fetch log is the one corpus-scale frame —
-    * keyed on the canonical URL like every crawl operator. */
+    * keyed on the canonical URL like every crawl operator. Fetch-log
+    * CONTRACT: one row per canonical URL (the persisted log a scheduler
+    * maintains is upsert-keyed on it — [[graft.operators.Sinks]]'
+    * pattern); a multi-capture HISTORY must be reduced to latest-fetch
+    * rows before it enters, or the left join would fan seeds out. */
   private[graft] def triageCore(signals: DataFrame, rules: DataFrame,
                                 statuses: DataFrame,
                                 fetchLog: DataFrame): DataFrame = {
