@@ -110,9 +110,13 @@ object HtmlOps {
     val nSeg = greatest(ceil(size(toks) / lit(segTokens.toDouble)).cast("int"), lit(1))
     val segArr = transform(sequence(lit(0), nSeg - 1),
       i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+    // the segment frame feeds BOTH the blocklist mine and the keep-side
+    // anti-join — without a checkpoint the extraction chain (the
+    // expensive fused native pass) runs once per branch
     val segs = documents
       .select(col("doc_id"), extractText(synthHtml).as("text_extracted"))
       .select(col("doc_id"), posexplode(segArr).as(Seq("seg_pos", "seg")))
+      .localCheckpoint(false)
     val blocklist = segs
       .select(md5(col("seg").cast("binary")).as("seg_hash"), col("doc_id"))
       .groupBy(col("seg_hash"))

@@ -104,6 +104,16 @@ class HtmlUrlSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.Literal
     assert(graft.plans.MainContentExtract(Literal(page)).eval(null).toString
       == got, "interpreted parity")
+    // the real pipeline ORDER: main_content consumes raw markup, THEN
+    // the extraction chain decodes entities/collapses — the sidebar is
+    // gone and the body's character references are decoded
+    val entPage = "<div>Related: <a href=\"/a\">one long related link</a>" +
+      " <a href=\"/b\">two long related links</a></div>" +
+      "<p>caf&eacute; &amp; cr&egrave;me with plenty of words here</p>"
+    val composed = Seq(entPage).toDF("h")
+      .select(call_function("html_text_extract",
+        call_function("main_content", col("h")))).collect().head.getString(0)
+    assert(composed == "café & crème with plenty of words here", composed)
   }
 
   test("canon normalizes scheme/host case, ports, fragments, tracking, slashes") {
