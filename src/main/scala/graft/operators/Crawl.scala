@@ -99,7 +99,7 @@ object CrawlOps {
     * One row per host → broadcasts like every status frame. */
   def robotsStatusesOf(records: DataFrame): DataFrame =
     graft.sources.WarcSource.httpResponses(records)
-      .withColumn("_canon", UrlOps.canon(col("target_uri")))
+      .withColumn("_canon", UrlOps.canonIdn(col("target_uri")))
       .filter(col("_canon").rlike("^https?://[^/?#]+/robots\\.txt$"))
       .withColumn("source",
         regexp_extract(col("_canon"), "^[a-z]+://([^./]+)\\.", 1))

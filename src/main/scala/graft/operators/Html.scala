@@ -364,7 +364,7 @@ object HtmlOps {
         "([0-9]{1,2} [A-Za-z]{3} [0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2})", 1),
       lit("d MMM yyyy HH:mm:ss")))
     val clean = resp.filter(col("_reason").isNull)
-      .withColumn("url", UrlOps.canon(col("target_uri")))
+      .withColumn("url", UrlOps.canonIdn(col("target_uri")))
       .withColumn("_lm", nullif(trim(regexp_extract(col("_hdr"),
         "(?im)^last-modified:([^\\r\\n]*)", 1)), lit("")))
       .select(
@@ -409,7 +409,7 @@ object HtmlOps {
     * scan, zero shuffles. */
   def revisitsOf(records: DataFrame): DataFrame =
     records.filter(col("warc_type") === "revisit")
-      .withColumn("url", UrlOps.canon(col("target_uri")))
+      .withColumn("url", UrlOps.canonIdn(col("target_uri")))
       .select(
         xxhash64(col("url")).as("doc_id"),
         col("url"),
@@ -530,9 +530,9 @@ object HtmlOps {
         "(?im)^location:[ \\t]*([^\\r\\n]+)", 1))
       .filter(col("_loc") =!= "")
       .withColumn("dst_url",
-        UrlOps.canon(UrlOps.resolve(col("target_uri"), col("_loc"))))
+        UrlOps.canonIdn(UrlOps.resolve(col("target_uri"), col("_loc"))))
       .filter(col("dst_url").rlike("^https?://"))
-      .select(UrlOps.canon(col("target_uri")).as("src_url"),
+      .select(UrlOps.canonIdn(col("target_uri")).as("src_url"),
         col("dst_url"), col("http_status"))
   }
 
@@ -596,7 +596,7 @@ object HtmlOps {
           lit("(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']"),
           lit(1))).as("href"))
       .select(col("page_url"),
-        UrlOps.canon(UrlOps.resolve(col("_base"), col("href"))).as("dst_url"))
+        UrlOps.canonIdn(UrlOps.resolve(col("_base"), col("href"))).as("dst_url"))
       // a junk page_url (no scheme://host) resolves relatives to junk —
       // only fetchable http(s) URLs may reach the frontier
       .filter(col("dst_url").rlike("^https?://"))
@@ -626,8 +626,8 @@ object HtmlOps {
     pages
       .withColumn("_t", when(orderA =!= "", orderA).otherwise(orderB))
       .filter(col("_t") =!= "")
-      .select(UrlOps.canon(col("page_url")).as("src_url"),
-        UrlOps.canon(UrlOps.resolve(col("page_url"), col("_t"))).as("dst_url"))
+      .select(UrlOps.canonIdn(col("page_url")).as("src_url"),
+        UrlOps.canonIdn(UrlOps.resolve(col("page_url"), col("_t"))).as("dst_url"))
       .filter(col("dst_url").rlike("^https?://"))
   }
 

@@ -111,6 +111,22 @@ object UrlOps {
     when(pre0 === "", raw).otherwise(concat(pre, path, query))
   }
 
+  /** The REAL-FACE canonical identity: [[canon]] plus IDN host
+    * normalization ([[graft.plans.IdnCodec]] — `http://bücher.example/`
+    * and `http://xn--bcher-kva.example/` are one origin and must be one
+    * fetch-log row). IDN runs FIRST (its ACE output is plain ASCII that
+    * every later rule handles; canon's host-lowercase covers the
+    * ASCII-case residue). This face is what the WARC ingest path keys
+    * on; the oracle-shared [[canon]] deliberately EXCLUDES the IDN rule
+    * — DuckDB has no Punycode, and the synthetic universes are
+    * ASCII-host by construction, so the twin would be untestable there.
+    * Correctness authority: the RFC 3492-vector spec. Registration-free
+    * like [[pctNormalize]]. */
+  def canonIdn(url: Column): Column =
+    canon(org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.IdnHostNormalize(
+        org.apache.spark.sql.GraftColumnBridge.expression(trim(url)))))
+
   private val SchemeOnly = "^([a-zA-Z][a-zA-Z0-9+.-]*):"
 
   /** Resolve an href against a base URL — the RFC 3986 §5 merge a real

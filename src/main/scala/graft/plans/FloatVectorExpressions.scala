@@ -221,6 +221,9 @@ object GraftFunctions {
     (FunctionIdentifier("main_content"),
       new ExpressionInfo(classOf[MainContentExtract].getName, "main_content"),
       (es: Seq[Expression]) => MainContentExtract(es(0))),
+    (FunctionIdentifier("idn_host"),
+      new ExpressionInfo(classOf[IdnHostNormalize].getName, "idn_host"),
+      (es: Seq[Expression]) => IdnHostNormalize(es(0))),
     (FunctionIdentifier("charset_decode"),
       new ExpressionInfo(classOf[CharsetDecode].getName, "charset_decode"),
       (es: Seq[Expression]) => CharsetDecode(es(0), es(1))),

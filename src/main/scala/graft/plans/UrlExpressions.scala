@@ -194,6 +194,96 @@ object PctCodec {
   }
 }
 
+/** IDN (internationalized domain name) HOST normalization — the last
+  * URL-identity rule: `http://bücher.example/x` and
+  * `http://xn--bcher-kva.example/x` are the SAME origin (RFC 3490: the
+  * wire form of a Unicode host is its Punycode ACE encoding), so a
+  * fetch-log identity must unify them or every IDN site splits in two.
+  *
+  *  - only the HOST converts (userinfo/port preserved; path/query/
+  *    fragment untouched — non-ASCII there is data, handled by the
+  *    percent/charset layers);
+  *  - an all-ASCII host passes through UNTOUCHED (case included —
+  *    [[graft.operators.UrlOps.canon]]'s lowercase runs after);
+  *  - conversion is the JDK's RFC 3490 ToASCII (`java.net.IDN`,
+  *    ALLOW_UNASSIGNED — a crawl sees tomorrow's scripts); a host it
+  *    rejects (empty/overlong labels, bidi violations) passes through
+  *    verbatim — the rule stays total over crawl garbage, and the
+  *    un-convertible spelling still gets a stable identity.
+  *
+  * NO cross-engine twin exists (DuckDB has no Punycode), so this rule
+  * lives in the REAL-FACE identity ([[graft.operators.UrlOps.canonIdn]]
+  * — the WARC ingest path) and NOT in the oracle-shared [[graft.operators.UrlOps.canon]];
+  * its correctness authority is the spec against RFC 3492 §7.1-style
+  * published vectors (bücher→xn--bcher-kva, münchen→xn--mnchen-3ya).
+  */
+object IdnCodec {
+
+  private val SchemeHost =
+    Pattern.compile("^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]*)(.*)$", Pattern.DOTALL)
+
+  private def hasNonAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 0x80) return true
+      i += 1
+    }
+    false
+  }
+
+  def normalizeHost(url: String): String = {
+    val m = SchemeHost.matcher(url)
+    if (!m.matches()) return url
+    val authority = m.group(2)
+    if (!hasNonAscii(authority)) return url
+    // split authority: [userinfo@]host[:port] — convert the host only
+    val at = authority.indexOf('@')
+    val userinfo = if (at >= 0) authority.substring(0, at + 1) else ""
+    val hostPort = authority.substring(at + 1)
+    val colon = hostPort.lastIndexOf(':')
+    val (host, port) =
+      if (colon >= 0 && hostPort.substring(colon + 1).forall(_.isDigit))
+        (hostPort.substring(0, colon), hostPort.substring(colon))
+      else (hostPort, "")
+    if (!hasNonAscii(host)) return url
+    val ace =
+      try java.net.IDN.toASCII(host, java.net.IDN.ALLOW_UNASSIGNED)
+      catch { case scala.util.control.NonFatal(_) => host }
+    m.group(1) + userinfo + ace + port + m.group(3)
+  }
+}
+
+/** `idn_host(string)` → URL with a Unicode host converted to its
+  * Punycode ACE form (see [[IdnCodec]]). Null in → null out; never
+  * fails. */
+case class IdnHostNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.sql}")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "idn_host"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      IdnCodec.normalizeHost(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.plans.IdnCodec.normalizeHost($c.toString()));
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IdnHostNormalize =
+    copy(child = newChild)
+}
+
 /** `pct_normalize(string)` → string with percent-encodings normalized
   * (see [[PctCodec]]). Null in → null out; never fails. */
 case class PctNormalize(child: Expression) extends UnaryExpression {

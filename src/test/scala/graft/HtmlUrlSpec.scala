@@ -178,6 +178,55 @@ class HtmlUrlSpec extends SparkSpec {
     assert(viaDf.toSeq == direct, "codegen ≡ direct")
   }
 
+  test("canonIdn unifies Unicode and Punycode spellings of one host (RFC 3490)") {
+    import spark.implicits._
+    import graft.plans.IdnCodec.normalizeHost
+    // RFC 3492-style published vectors through the host converter
+    assert(normalizeHost("http://bücher.example/x") ==
+      "http://xn--bcher-kva.example/x")
+    assert(normalizeHost("http://BÜCHER.example/x") ==
+      "http://xn--bcher-kva.example/x", "nameprep case-folds")
+    assert(normalizeHost("https://münchen.de:8443/a?q=1#f") ==
+      "https://xn--mnchen-3ya.de:8443/a?q=1#f", "port/path/query preserved")
+    assert(normalizeHost("http://u@bücher.example/x") ==
+      "http://u@xn--bcher-kva.example/x", "userinfo preserved")
+    // ASCII hosts pass through untouched (case included — canon's
+    // lowercase runs later); non-ASCII in the PATH is data, not a host
+    assert(normalizeHost("http://ExAmple.COM/Ü") == "http://ExAmple.COM/Ü")
+    assert(normalizeHost("not a url ü") == "not a url ü")
+    // garbage hosts the JDK rejects pass through verbatim, never throw
+    assert(normalizeHost("http://bad..ü/x") == "http://bad..ü/x")
+    assert(normalizeHost("http://" + "ü" * 80 + ".example/") ==
+      "http://" + "ü" * 80 + ".example/", "overlong label survives")
+    // the full identity: both spellings collapse to ONE canonical URL
+    val got = Seq("http://BÜCHER.example/x#f",
+      "http://xn--bcher-kva.EXAMPLE/x").toDF("u")
+      .select(UrlOps.canonIdn(col("u")).as("c")).collect().map(_.getString(0))
+    assert(got.toSet == Set("http://xn--bcher-kva.example/x"), got.toSeq)
+    // registered SQL surface + codegen parity
+    graft.plans.GraftFunctions.register(spark)
+    val viaSql = Seq("http://bücher.example/x").toDF("u")
+      .select(call_function("idn_host", col("u"))).collect().head.getString(0)
+    assert(viaSql == "http://xn--bcher-kva.example/x")
+  }
+
+  test("warc ingest keys Unicode- and Punycode-host fetches to one identity") {
+    val dir = Files.createTempDirectory("graft_warc_idn")
+    val recs =
+      record("response", "http://bücher.example/page",
+        http("200 OK", "text/html", "<p>erste fassung der seite</p>".getBytes(UTF_8))) ++
+      record("response", "http://xn--bcher-kva.example/page",
+        http("200 OK", "text/html", "<p>zweite fassung der seite</p>".getBytes(UTF_8)))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val (clean, _) = HtmlOps.warcToDocuments(
+      graft.sources.WarcSource.read(spark, dir.toString))
+    val rows = clean.collect()
+    assert(rows.map(_.getAs[String]("url")).toSet ==
+      Set("http://xn--bcher-kva.example/page"), rows.toSeq)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 1,
+      "one canonical identity for both spellings")
+  }
+
   test("urlDedup collapses all seven messy variants of one page") {
     import spark.implicits._
     // doc_ids 7, 107, …, 607 share source+path, cycle the variants
@@ -1042,12 +1091,14 @@ class HtmlUrlSpec extends SparkSpec {
 
   private def record(typ: String, uri: String, payload: Array[Byte],
                      extraHeaders: String = ""): Array[Byte] = {
+    // ISO 28500: WARC header values are UTF-8 (an IDN fixture's raw
+    // Unicode target URI must survive the write)
     val hdr = ("WARC/1.0\r\n" +
       s"WARC-Type: $typ\r\n" +
       "WARC-Date: 2026-08-14T00:00:00Z\r\n" +
       s"WARC-Target-URI: $uri\r\n" +
       extraHeaders +
-      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(US_ASCII)
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8)
     hdr ++ payload ++ "\r\n\r\n".getBytes(US_ASCII)
   }
 
