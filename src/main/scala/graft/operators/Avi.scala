@@ -301,6 +301,50 @@ object AviOps {
         |GROUP BY doc_id % 30
         |ORDER BY cluster_id""".stripMargin)
 
+  /** §2-C `videoDhashIncremental`: delta-vs-corpus VIDEO dedup — the
+    * ingestion shape completing the image/audio/video matrix
+    * ([[MultimodalOps.imageDhashIncremental]]'s exact contract with
+    * frames in between): the delta batch's sampled frame hashes probe
+    * the PERSISTED corpus frame-hash index (doc_id, dhash — built by
+    * [[videoDhashes]] and df-guarded at build time, the
+    * [[videoDedupRepresentative]] discipline), corpus×corpus pairs
+    * never form. A (delta, corpus) video pair reports its BEST
+    * (minimum) frame-pair Hamming — multiple shared frames collapse to
+    * one evidence row. */
+  def videoDhashIncremental(deltaPayloads: DataFrame, corpusDhash: DataFrame,
+                            maxHamming: Int = 3,
+                            everyNth: Int = 2): DataFrame = {
+    require(maxHamming < DedupOps.SimhashPieces,
+      s"pigeonhole pieces only find Hamming < ${DedupOps.SimhashPieces}")
+    DedupOps.simhashCrossCandidates(
+      videoDhashes(deltaPayloads, everyNth)
+        .select(col("doc_id"), col("dhash")).distinct()
+        .withColumnRenamed("dhash", "simhash"),
+      corpusDhash.withColumnRenamed("dhash", "simhash"),
+      pieceBits = 16)
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("delta_id"), col("corpus_id"))
+      .agg(min(col("hamming")).as("hamming"))
+      .orderBy("delta_id", "corpus_id")
+  }
+
+  /** §2-C `videoDedupStream`: scrub-on-ingest for VIDEO — each
+    * micro-batch of (doc_id, payload) AVIs walks to frame hashes and
+    * probes the thunk-refreshed persisted corpus frame-hash table
+    * ([[videoDhashIncremental]] per trigger, the `foreachBatch`
+    * deployment — [[MultimodalOps.imageDedupStream]]'s shape). */
+  def videoDedupStream(docs: DataFrame, corpusDhash: () => DataFrame,
+                       maxHamming: Int = 3, everyNth: Int = 2)
+                      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          sink(videoDhashIncremental(batch.toDF(), corpusDhash(),
+            maxHamming, everyNth), id)
+      }
+      .start()
+
   /** Frame-FREQUENCY guard (round 15): a frame hash carried by more
     * than one-in-`frameShareCap` of ALL videos is boilerplate footage —
     * a black intro/outro card, a network logo — and evidence of

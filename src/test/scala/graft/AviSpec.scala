@@ -183,6 +183,45 @@ class AviSpec extends SparkSpec {
       (30L, 1L, standalone(3))), clusters.toSeq)
   }
 
+  test("videoDhashIncremental + videoDedupStream probe the persisted frame index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val j1 = jpeg(0x35); val j2 = jpeg(0x4a); val j3 = jpeg(0x59)
+    val j4 = jpeg(0x66)
+    // the persisted corpus frame-hash index: video 1 (j1, j2), video 2 (j3)
+    val corpusDocs = Seq(
+      (1L, avi(Seq(j1, j2), 96, 80)),
+      (2L, avi(Seq(j3), 96, 80))).toDF("doc_id", "payload")
+    val corpusIdx = AviOps.videoDhashes(corpusDocs, everyNth = 1)
+      .select("doc_id", "dhash").distinct()
+    // delta: video 10 shares j2 with corpus video 1; video 11 is new
+    val delta = Seq(
+      (10L, AviOps.buildAvi(Seq(j2, j4), 96, 80)),
+      (11L, AviOps.buildAvi(Seq(j4), 96, 80))).toDF("doc_id", "payload")
+    val inc = AviOps.videoDhashIncremental(delta, corpusIdx, everyNth = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(inc.toSeq == Seq((10L, 1L, 0L)),
+      s"one evidence row per (delta, corpus) pair at min hamming: ${inc.toSeq}")
+    // corpus×corpus never forms: no (1, 2) row can exist by construction
+    // stream face: the same probe per trigger against the thunk
+    val results = new scala.collection.concurrent.TrieMap[Long, Seq[(Long, Long)]]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val q = AviOps.videoDedupStream(
+      input.toDF().toDF("doc_id", "payload"),
+      () => corpusIdx, everyNth = 1) { (df, id) =>
+      results.put(id, df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    }
+    try {
+      input.addData((20L, AviOps.buildAvi(Seq(j1), 96, 80)))
+      q.processAllAvailable()
+      assert(results(0L) == Seq((20L, 1L)), results.toMap.toString)
+      input.addData((21L, AviOps.buildAvi(Seq(j4), 96, 80)))
+      q.processAllAvailable()
+      assert(results(1L).isEmpty, "an unseen video hits nothing")
+    } finally q.stop()
+  }
+
   test("frame-frequency guard: a ubiquitous junk frame never chains groups") {
     import spark.implicits._
     // 30 videos in 15 true pairs (i, i+15) sharing a planted distinctive
