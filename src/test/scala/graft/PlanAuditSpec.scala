@@ -511,6 +511,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("q_main_content: one native map, zero hash exchanges, no join") {
+    val p = plan(HtmlOps.mainContent(Tables.documents(spark, sfDir)))
+    // the segment scorer is ONE codegen'd expression per row — a
+    // Column-chain form would re-inline under Catalyst (the url_resolve
+    // lesson, applied at design time)
+    assert(p.contains("main_content"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    // pure map: the only exchange is the presentation sort
+    val hashEx = p.linesIterator.count(l =>
+      l.trim.startsWith("Arguments: hashpartitioning("))
+    assert(hashEx == 0, s"want 0 hash exchanges, got $hashEx:\n$p")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("hash-cluster candidates: (piece, value)-keyed join, no cartesian, no single partition") {
     import spark.implicits._
     // the pair-candidate stage EVERY perceptual-dedup representative
