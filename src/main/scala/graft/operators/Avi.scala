@@ -301,6 +301,41 @@ object AviOps {
         |GROUP BY doc_id % 30
         |ORDER BY cluster_id""".stripMargin)
 
+  /** Build the PERSISTABLE corpus frame-hash index (doc_id, dhash) —
+    * what [[videoDhashIncremental]]/[[videoDedupStream]] probe: sampled
+    * frame hashes, deduped per video, with the frame-FREQUENCY guard
+    * applied AT BUILD TIME (the [[videoDedupRepresentative]]
+    * discipline — a boilerplate frame carried by more than
+    * one-in-`frameShareCap` of all videos would otherwise hit every
+    * delta batch forever; guarding once here beats re-guarding per
+    * probe). Write-once, upsert-keyed on doc_id like every persisted
+    * index in the estate. */
+  def videoFrameIndex(withPayload: DataFrame, everyNth: Int = 2,
+                      frameShareCap: Int = 10,
+                      frameDfFloor: Int = 4): DataFrame =
+    frameDfGuard(videoDhashes(withPayload, everyNth)
+      .select(col("doc_id"), col("dhash")).distinct()
+      .localCheckpoint(false), frameShareCap, frameDfFloor)
+
+  /** The frame-frequency guard proper over a DISTINCT (doc_id, dhash)
+    * frame — shared by [[videoFrameIndex]] and
+    * [[videoDedupRepresentative]] so the batch and incremental routes
+    * cannot drift on what counts as boilerplate footage. */
+  private def frameDfGuard(hashes: DataFrame, frameShareCap: Int,
+                           frameDfFloor: Int): DataFrame = {
+    val total = hashes.select(countDistinct(col("doc_id")).as("_n_total"))
+    // (doc_id, dhash) is distinct, so count(*) per dhash IS the
+    // document frequency; the window shuffles once by dhash (never a
+    // single partition), the 1-row total broadcasts
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dhash"))
+    hashes
+      .withColumn("_df", count(lit(1)).over(w))
+      .crossJoin(broadcast(total))
+      .filter(col("_df") <= lit(frameDfFloor) ||
+        col("_df") * lit(frameShareCap.toLong) <= col("_n_total"))
+      .select(col("doc_id"), col("dhash"))
+  }
+
   /** §2-C `videoDhashIncremental`: delta-vs-corpus VIDEO dedup — the
     * ingestion shape completing the image/audio/video matrix
     * ([[MultimodalOps.imageDhashIncremental]]'s exact contract with
@@ -367,18 +402,7 @@ object AviOps {
     val hashes = videoDhashes(withPayload, everyNth)
       .select(col("doc_id"), col("dhash")).distinct()
       .localCheckpoint(false) // CC-family lineage discipline
-    val total = hashes.select(
-      countDistinct(col("doc_id")).as("_n_total"))
-    // (doc_id, dhash) is distinct, so count(*) per dhash IS the
-    // document frequency; the window shuffles once by dhash (never a
-    // single partition), the 1-row total broadcasts
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dhash"))
-    val paired = hashes
-      .withColumn("_df", count(lit(1)).over(w))
-      .crossJoin(broadcast(total))
-      .filter(col("_df") <= lit(frameDfFloor) ||
-        col("_df") * lit(frameShareCap.toLong) <= col("_n_total"))
-      .select(col("doc_id"), col("dhash"))
+    val paired = frameDfGuard(hashes, frameShareCap, frameDfFloor)
     val pairs = DedupOps.simhashBlockCandidates(
       paired.withColumnRenamed("dhash", "simhash"), pieceBits = 16)
       .filter(col("hamming") <= 3)
