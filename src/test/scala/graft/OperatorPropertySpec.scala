@@ -105,6 +105,45 @@ class OperatorPropertySpec extends SparkSpec {
     assert(AviOps.aviWalk(recNested).nonEmpty)
   }
 
+  test("round-15 natives never throw on arbitrary strings (crawl input contract)") {
+    import graft.plans.{IdnCodec, MainContent, PctCodec}
+    val rnd = new scala.util.Random(15)
+    // raw garbage across the char space, plus adversarial shapes for
+    // each rule: dense '%' runs (pct), dense '<a'/boundary-tag soup
+    // (main_content), scheme://unicode-host junk (idn)
+    def randStr(maxLen: Int): String = {
+      val n = rnd.nextInt(maxLen)
+      val sb = new StringBuilder(n)
+      (0 until n).foreach { _ =>
+        sb += (rnd.nextInt(4) match {
+          case 0 => (rnd.nextInt(95) + 32).toChar // printable ASCII
+          case 1 => "%<>/aä:.#?&üb日"(rnd.nextInt(14))
+          case 2 => rnd.nextInt(0xD700).toChar // BMP below surrogates
+          case _ => (rnd.nextInt(256)).toChar // latin-1 incl. controls
+        })
+      }
+      sb.toString
+    }
+    (0 until 300).foreach { _ =>
+      val s = randStr(400)
+      PctCodec.normalize(s)
+      MainContent.extract(s)
+      IdnCodec.normalizeHost(s)
+      IdnCodec.normalizeHost("http://" + s)
+      PctCodec.normalize("%" * rnd.nextInt(50) + s)
+      MainContent.extract("<a " * rnd.nextInt(20) + s + "</div>" * rnd.nextInt(5))
+    }
+    // idempotence: normalizing a normalized string is a fixpoint (the
+    // single-pass no-rescan contract, property-checked)
+    (0 until 100).foreach { _ =>
+      val s = randStr(200)
+      val once = PctCodec.normalize(s)
+      assert(PctCodec.normalize(once) == once, s"pct not idempotent: <$s>")
+      val host = IdnCodec.normalizeHost("http://" + s.replace("/", "") + "/x")
+      assert(IdnCodec.normalizeHost(host) == host, s"idn not idempotent: <$s>")
+    }
+  }
+
   test("saltedJoin matches the plain join for arbitrary key distributions") {
     import spark.implicits._
     val leftRows = Gen.listOfN(200, for {
