@@ -612,6 +612,47 @@ object CrawlOps {
       .filter(col("reason").isNotNull)
   }
 
+  /** §2 `q_crawl_traps`: crawl-TRAP detection — the URL-shape profile a
+    * real crawler runs before a host eats its budget: a session-id /
+    * calendar / faceted-nav trap mints a DISTINCT URL per visit while
+    * serving the same few pages, so the tell is per-host
+    * `distinct canonical URLs ≫ distinct pages` (canonical URL with its
+    * query stripped). The synthetic universe plants the trap: hosts with
+    * idx % 7 == 5 additionally emit five `?sid=<doc>-<k>` spellings per
+    * document — session-id params survive canonicalization (they are
+    * not tracking params; that is exactly why real traps defeat URL
+    * dedup) — so the trap hosts' URL count explodes past the 3× page
+    * threshold (integer-exact `n_urls > 3·n_pages` in both engines)
+    * while every other host sits at n_urls == n_pages. Output (source,
+    * n_urls, n_pages, trap). Scale: one canon pass over the URL frame +
+    * ONE host-keyed distinct agg — hosts are the output cardinality; a
+    * flagged host feeds the frontier as a budget cap, not a new shuffle. */
+  def crawlTraps(documents: DataFrame): DataFrame = {
+    val idx = expr("CAST(substr(source, 4, 10) AS INT)")
+    val host = concat(col("source"), lit(".example.com"))
+    val sidUrls = documents
+      .filter(idx % 7 === 5)
+      .select(explode(sequence(lit(0), lit(4))).as("k"), col("source"),
+        col("doc_id"))
+      .select(concat(lit("http://"), host, lit("/docs/"),
+        (col("doc_id") % 100).cast("string"), lit("?sid="),
+        col("doc_id").cast("string"), lit("-"), col("k").cast("string"))
+        .as("url"))
+    val urls = UrlOps.syntheticUrls(documents).select(col("url"))
+      .unionByName(sidUrls)
+      .select(UrlOps.canon(col("url")).as("canon_url"))
+    urls
+      .select(col("canon_url"),
+        regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1)
+          .as("source"),
+        regexp_replace(col("canon_url"), "\\?.*$", "").as("page"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("canon_url")).as("n_urls"),
+        countDistinct(col("page")).as("n_pages"))
+      .withColumn("trap", col("n_urls") > col("n_pages") * 3)
+      .orderBy("source")
+  }
+
   /** The synthetic fetch DATE of a fetched canonical URL — derived from
     * the path id so both engines agree: day 1 + id % 28 of 2026-07.
     * ISO strings compare lexicographically, the shared convention. */
@@ -1138,6 +1179,34 @@ object CrawlOps {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_crawl_traps" ->
+      s"""WITH ${UrlOps.urlUniverseSql},
+         |sid AS (
+         |  SELECT doc_id, source, unnest(generate_series(0, 4)) AS k
+         |  FROM documents
+         |  WHERE CAST(substr(source, 4, 10) AS INT) % 7 = 5
+         |), allu AS (
+         |  SELECT url FROM u
+         |  UNION ALL
+         |  SELECT 'http://' || source || '.example.com/docs/' ||
+         |    CAST(doc_id % 100 AS VARCHAR) || '?sid=' ||
+         |    CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR)
+         |  FROM sid
+         |), canoned AS (
+         |  SELECT ${UrlOps.canonSql("url")} AS canon_url FROM allu
+         |), parts AS (
+         |  SELECT canon_url,
+         |    regexp_extract(canon_url, '^[a-z]+://([^./]+)\\.', 1) AS source,
+         |    regexp_replace(canon_url, '\\?.*$$', '') AS page
+         |  FROM canoned
+         |)
+         |SELECT source,
+         |  CAST(COUNT(DISTINCT canon_url) AS BIGINT) AS n_urls,
+         |  CAST(COUNT(DISTINCT page) AS BIGINT) AS n_pages,
+         |  COUNT(DISTINCT canon_url) > COUNT(DISTINCT page) * 3 AS trap
+         |FROM parts
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
     "q_robots_parse" ->
       """WITH srcs AS (
         |  SELECT DISTINCT source FROM documents
