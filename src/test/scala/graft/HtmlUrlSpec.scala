@@ -1032,6 +1032,34 @@ class HtmlUrlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frontierBudgeted caps trap hosts at their best-referenced URLs") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // trap host: 5 candidates; clean host: 3 — cap 2 bites the trap only
+    val frontier = (
+      (1 to 5).map(i => (s"http://trap.example.com/docs/$i", i.toLong)) ++
+        (1 to 3).map(i => (s"http://ok.example.com/docs/$i", 1L)))
+      .toDF("canon_url", "n_referrers")
+    val traps = Seq(("trap", true), ("ok", false)).toDF("source", "trap")
+    val got = CrawlOps.frontierBudgeted(frontier, traps, cap = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      // the trap host keeps its 2 best-referenced candidates (5, 4)
+      ("http://ok.example.com/docs/1", 1L),
+      ("http://ok.example.com/docs/2", 1L),
+      ("http://ok.example.com/docs/3", 1L),
+      ("http://trap.example.com/docs/4", 4L),
+      ("http://trap.example.com/docs/5", 5L)), got.toSeq)
+    // composes on the real frontier face: flagged synthetic hosts
+    // (idx%7==5) pass through at cap >= their frontier size, unchanged
+    val docs = Seq((20L, "src5")).toDF("doc_id", "source")
+    val full = CrawlOps.frontier(docs).collect().map(_.getString(0)).toSet
+    val capped = CrawlOps.frontierBudgeted(
+      CrawlOps.frontier(docs), CrawlOps.crawlTraps(docs), cap = 100)
+      .collect().map(_.getString(0)).toSet
+    assert(capped == full, "a generous cap changes nothing")
+  }
+
   test("recrawlStream triages live freshness observations against the fetch log") {
     import spark.implicits._
     import graft.operators.CrawlOps
