@@ -657,26 +657,41 @@ object CrawlOps {
     * trap host's frontier would otherwise grow without bound (every
     * visit mints new URLs), so flagged hosts keep only their `cap`
     * best-referenced enqueue candidates (n_referrers desc, canonical
-    * URL asc — deterministic) while clean hosts pass untouched. The
-    * rank window partitions BY HOST (never a single partition); the
-    * trap frame is hosts-bounded → broadcast. Composes on ANY
-    * (canon_url, n_referrers) frontier frame; spec-graded (the planted
-    * trap universe has no frontier-side oracle face — the flag itself
-    * is the oracle-checked artifact). */
+    * URL asc — deterministic) while clean hosts pass untouched.
+    *
+    * Scale shape (the ADVICE-r15 fix): the frontier is CORPUS-scale
+    * while trap hosts are a tiny flagged set, so ranking the whole
+    * frontier to cap only trap rows paid a full exchange+sort for rows
+    * the filter then passed unconditionally. Instead SPLIT on the
+    * broadcast trap flag first — clean-host rows pass through with no
+    * window at all (their branch is a broadcast-join + filter, zero
+    * exchanges) — and rank only the trap slice, whose window partitions
+    * BY HOST over a trap-bounded input (PlanAuditSpec pins exactly one
+    * window, fed by a trap-semi-joined slice). The two branches re-scan
+    * the frontier subtree; at scale two scans beat one full-frontier
+    * shuffle+sort by construction (scan is map-side, the sort is not).
+    * Composes on ANY (canon_url, n_referrers) frontier frame;
+    * spec-graded (the planted trap universe has no frontier-side oracle
+    * face — the flag itself is the oracle-checked artifact). */
   def frontierBudgeted(frontier: DataFrame, traps: DataFrame,
                        cap: Int = 100): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
+    val trapHosts = broadcast(
+      traps.filter(col("trap")).select(col("source")))
+    val withSource = frontier.withColumn("source",
+      regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1))
+    val clean = withSource
+      .join(trapHosts, Seq("source"), "left_anti")
+      .select(col("canon_url"), col("n_referrers"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("n_referrers").desc, col("canon_url").asc)
-    frontier
-      .withColumn("source",
-        regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1))
-      .join(broadcast(traps.filter(col("trap")).select(col("source"))
-        .withColumn("_trap", lit(true))), Seq("source"), "left")
+    val capped = withSource
+      .join(trapHosts, Seq("source"), "left_semi")
       .withColumn("_rk", row_number().over(w))
-      .filter(!coalesce(col("_trap"), lit(false)) || col("_rk") <= cap)
+      .filter(col("_rk") <= cap)
       .select(col("canon_url"), col("n_referrers"))
+    clean.unionByName(capped)
   }
 
   /** The synthetic fetch DATE of a fetched canonical URL — derived from

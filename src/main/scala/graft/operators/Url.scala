@@ -42,11 +42,14 @@ object UrlOps {
   /** The DuckDB twin of [[graft.plans.PctCodec.normalize]] over an
     * expression `e` — the split/extract interleave (literal runs never
     * rescanned, the single-pass semantics): unreserved escapes decode,
-    * all other valid escapes keep `%` + UPPERCASED hex, invalid escapes
-    * ride the literal runs verbatim. */
+    * all other valid escapes keep `%` + UPPERCASED hex, and stray `%`s
+    * riding the literal runs re-encode as `%25` (the fixpoint rule —
+    * a stray `%` is exactly a `%` in a literal run, since every valid
+    * escape was split out). */
   private[graft] def pctSql(e: String): String = {
     val re = "'%([0-9A-Fa-f]{2})'"
-    val parts = s"regexp_split_to_array($e, $re)"
+    val parts0 = s"regexp_split_to_array($e, $re)"
+    val parts = s"list_transform($parts0, p -> replace(p, '%', '%25'))"
     val ents = s"regexp_extract_all($e, $re, 1)"
     val h = s"$ents[CAST(i AS INT)]"
     val n = s"CAST(('0x' || $h) AS INT)"

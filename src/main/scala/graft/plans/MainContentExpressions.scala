@@ -47,7 +47,10 @@ object MainContent {
     "(?i)</(p|div|li|ul|ol|td|tr|table|h[1-6]|section|article|aside|nav|header|footer|blockquote)>")
   private val Anchor = Pattern.compile("(?is)<a[^>]*>(.*?)</a>")
   private val Tag = Pattern.compile("(?s)<[^>]*>")
-  private val Ws = Pattern.compile("\\s+")
+  // explicit class, NOT \s: Java's \s includes \x0B (vertical tab)
+  // while RE2's does not — the one divergence between the engines'
+  // shorthand classes, pinned out by spelling the set in both faces
+  private val Ws = Pattern.compile("[ \t\n\f\r]+")
 
   /** Space-only trim (Java's String.trim strips all ≤U+0020 and would
     * diverge from the SQL twin — the round-13 lesson; after the `\s+`
@@ -67,8 +70,12 @@ object MainContent {
       val seg = segs(i)
       var linkChars = 0
       val m = Anchor.matcher(seg)
-      while (m.find())
-        linkChars += Tag.matcher(m.group(1)).replaceAll("").length
+      while (m.find()) {
+        // CODE POINTS, not UTF-16 units — DuckDB len() counts code
+        // points, so an astral char must weigh 1 in both faces
+        val stripped = Tag.matcher(m.group(1)).replaceAll("")
+        linkChars += stripped.codePointCount(0, stripped.length)
+      }
       val text = trimSpaces(
         Ws.matcher(Tag.matcher(seg).replaceAll(" ")).replaceAll(" "))
       if (text.nonEmpty) {
@@ -78,7 +85,8 @@ object MainContent {
           if (text.charAt(j) == ' ') nWords += 1
           j += 1
         }
-        if (nWords >= MinWords && linkChars * 3 <= text.length) {
+        if (nWords >= MinWords &&
+          linkChars * 3 <= text.codePointCount(0, text.length)) {
           if (out.length > 0) out.append(' ')
           out.append(text)
         }
@@ -96,7 +104,7 @@ object MainContent {
       "article|aside|nav|header|footer|blockquote)>'"
     def text(s: String): String =
       s"trim(regexp_replace(regexp_replace($s, '<[^>]*>', ' ', 'g'), " +
-        s"'\\s+', ' ', 'g'))"
+        s"'[ \\t\\n\\f\\r]+', ' ', 'g'))"
     def keep(s: String): String = {
       val t = text(s)
       val nWords =

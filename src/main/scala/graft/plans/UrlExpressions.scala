@@ -148,13 +148,24 @@ case class UrlResolve(left: Expression, right: Expression)
   *  - every OTHER valid escape keeps its encoding with the hex digits
   *    uppercased (§6.2.2.1): `%2f` → `%2F` — and crucially `%2F` never
   *    becomes `/` (it is data, not a path delimiter);
-  *  - an invalid escape (`%G1`, a trailing `%4`, a bare `%`) passes
-  *    through verbatim — the rule stays total over crawl garbage.
+  *  - a STRAY `%` (one that does not head a valid escape — `%G1`, a
+  *    trailing `%4`, a bare `%`) re-encodes as `%25`, its own escape.
+  *    This is what makes the pass a true FIXPOINT: the old verbatim
+  *    pass-through let a stray `%` capture digits freed by a later
+  *    decode (`%%341` → `%41`, which a second pass turned into `A`),
+  *    so canonical identity was not stable under re-canonicalization
+  *    (frontier output fed back through ingest could shift doc_ids).
+  *    After this pass no literal `%` survives: every output `%` heads
+  *    a kept escape whose value is non-unreserved, so a re-pass maps
+  *    each escape to itself and the output is a fixpoint (property-
+  *    checked with the `%%XY` counterexample shapes in
+  *    OperatorPropertySpec).
   *
   * Single left-to-right pass; decoded output is never rescanned (so
   * `%2541` → `%41` literal, not `A` — the entity-decode discipline).
   * The DuckDB twin ([[graft.operators.UrlOps.pctSql]]) replays the same
-  * semantics via the split/extract interleave over `%([0-9A-Fa-f]{2})`.
+  * semantics via the split/extract interleave over `%([0-9A-Fa-f]{2})`
+  * with stray `%`s in the literal runs replaced by `%25`.
   */
 object PctCodec {
 
@@ -186,7 +197,8 @@ object PctCodec {
         }
         i += 3
       } else {
-        b.append(c)
+        // a stray '%' re-encodes as its own escape — the fixpoint rule
+        if (c == '%') b.append("%25") else b.append(c)
         i += 1
       }
     }
@@ -241,8 +253,12 @@ object IdnCodec {
     val userinfo = if (at >= 0) authority.substring(0, at + 1) else ""
     val hostPort = authority.substring(at + 1)
     val colon = hostPort.lastIndexOf(':')
+    // RFC 3986 ports are ASCII digits ONLY — Character.isDigit accepts
+    // Unicode digits, which would split a non-ASCII trailing segment
+    // off as a "port" and leave the authority partially unconverted
     val (host, port) =
-      if (colon >= 0 && hostPort.substring(colon + 1).forall(_.isDigit))
+      if (colon >= 0 &&
+        hostPort.substring(colon + 1).forall(c => c >= '0' && c <= '9'))
         (hostPort.substring(0, colon), hostPort.substring(colon))
       else (hostPort, "")
     if (!hasNonAscii(host)) return url

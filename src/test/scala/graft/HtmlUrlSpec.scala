@@ -143,8 +143,12 @@ class HtmlUrlSpec extends SparkSpec {
       "http://h.io/a%2fb" -> "http://h.io/a%2Fb",
       "http://h.io/q%3f?x=%20%2b" -> "http://h.io/q%3F?x=%20%2B",
       "http://h.io/p%2541" -> "http://h.io/p%2541", // no rescan of output
-      // invalid escapes pass verbatim (total over crawl garbage)
-      "http://h.io/bad%G1%4" -> "http://h.io/bad%G1%4",
+      // a stray '%' (invalid escape) re-encodes as %25 — the fixpoint
+      // rule (ADVICE r15): verbatim pass-through let '%%341' become
+      // '%41' whose RE-canonicalization decoded to 'A', shifting the
+      // identity of a stored canon_url fed back through ingest
+      "http://h.io/bad%G1%4" -> "http://h.io/bad%25G1%254",
+      "http://h.io/p%%341" -> "http://h.io/p%2541",
       // a decoded unreserved escape composes with the later rules:
       // the %75tm spelling of a tracking param still strips
       "http://h.io/a?%75tm_source=x&q=1" -> "http://h.io/a?q=1",

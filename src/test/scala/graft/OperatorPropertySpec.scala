@@ -133,10 +133,26 @@ class OperatorPropertySpec extends SparkSpec {
       PctCodec.normalize("%" * rnd.nextInt(50) + s)
       MainContent.extract("<a " * rnd.nextInt(20) + s + "</div>" * rnd.nextInt(5))
     }
-    // idempotence: normalizing a normalized string is a fixpoint (the
-    // single-pass no-rescan contract, property-checked)
+    // idempotence: normalizing a normalized string is a fixpoint. The
+    // ADVICE-r15 counterexample shapes go first: under the old verbatim
+    // stray-'%' pass-through, '%%341' → '%41' → 'A' (a stray '%'
+    // captured digits freed by a later decode); the %25 re-encoding
+    // rule makes these true fixpoints ('%%341' → '%2541' → '%2541').
+    assert(PctCodec.normalize("%%341") == "%2541")
+    assert(PctCodec.normalize("%2541") == "%2541")
+    assert(PctCodec.normalize("%%41f") == "%25Af")
+    assert(PctCodec.normalize("%25Af") == "%25Af")
+    assert(PctCodec.normalize("%4%41") == "%254A")
+    assert(PctCodec.normalize("%") == "%25")
+    assert(PctCodec.normalize("%g1%7e~") == "%25g1~~")
+    for (cx <- Seq("%%341", "%%41f", "%4%41", "%%%2e", "a%%%%41", "%4")) {
+      val once = PctCodec.normalize(cx)
+      assert(PctCodec.normalize(once) == once, s"pct not idempotent: <$cx>")
+    }
     (0 until 100).foreach { _ =>
-      val s = randStr(200)
+      // seed the generator output with dense '%'-runs so the random
+      // corpus ALSO walks the stray-%/escape interaction space
+      val s = "%" * rnd.nextInt(4) + randStr(200)
       val once = PctCodec.normalize(s)
       assert(PctCodec.normalize(once) == once, s"pct not idempotent: <$s>")
       val host = IdnCodec.normalizeHost("http://" + s.replace("/", "") + "/x")

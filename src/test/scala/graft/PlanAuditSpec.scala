@@ -461,6 +461,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("frontierBudgeted: the window ranks ONLY the trap slice (clean hosts bypass)") {
+    import spark.implicits._
+    val frontier = Seq(("http://a.example.com/x", 1L),
+      ("http://b.example.com/y", 2L)).toDF("canon_url", "n_referrers")
+    val traps = Seq(("a", true), ("b", false)).toDF("source", "trap")
+    val p = plan(CrawlOps.frontierBudgeted(frontier, traps))
+    // the ADVICE-r15 fix: at 100 TB the frontier is corpus-scale while
+    // trap hosts are a tiny flagged set — the clean branch must be a
+    // window-free broadcast anti-join, with exactly ONE window total
+    // sitting over the trap-semi-joined slice
+    val windows = p.linesIterator.count(_.trim.matches("""\(\d+\) Window"""))
+    assert(windows == 1, s"want exactly 1 Window node, got $windows:\n$p")
+    assert(p.contains("Union"), p)
+    assert(p.contains("LeftAnti") && p.contains("LeftSemi"), p)
+    // both trap-flag joins broadcast (the traps frame is hosts-bounded)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin")), p)
+  }
+
   test("q_extract_clean: digest-keyed exchanges, broadcast anti-join for the blocklist") {
     val p = plan(HtmlOps.extractClean(Tables.documents(spark, sfDir)))
     // the k-row blocklist must broadcast into the anti-join — a shuffle
