@@ -363,8 +363,41 @@ object HtmlOps {
       regexp_extract(col("_lm"),
         "([0-9]{1,2} [A-Za-z]{3} [0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2})", 1),
       lit("d MMM yyyy HH:mm:ss")))
+    // <link rel="canonical"> (round 16): the SITE-DECLARED identity,
+    // honored BEFORE any content dedup runs (real pipelines do — a
+    // ?ref= variant and its /print twin both point at one canonical).
+    // Parsed from the first-KB head slot (the meta-charset sniff
+    // window — rel=canonical lives in <head> by spec), attribute order
+    // NOT assumed, quotes optional; the target resolves like any href
+    // and canonicalizes under the fetch-log identity. A SAME-HOST
+    // canonical OVERRIDES the fetch URL as doc identity (so two fetch
+    // URLs with one declared canonical land on ONE doc_id by
+    // construction); a CROSS-HOST canonical only rides the
+    // `canonical_url` evidence column — whether to trust a host that
+    // points at another host is a dedup-policy call, not an ingest
+    // default (a hijacked page could otherwise steal a foreign
+    // identity).
+    val linkA = regexp_extract(col("_sniff"),
+      "(?i)<link[^>]*rel\\s*=\\s*[\"']?canonical[\"']?[^>]*" +
+        "href\\s*=\\s*[\"']?([^\"'>\\s]+)", 1)
+    val linkB = regexp_extract(col("_sniff"),
+      "(?i)<link[^>]*href\\s*=\\s*[\"']?([^\"'>\\s]+)[\"']?[^>]*" +
+        "rel\\s*=\\s*[\"']?canonical", 1)
+    val declRaw = when(linkA =!= "", linkA).otherwise(linkB)
+    val hostOf: Column => Column =
+      c => regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
     val clean = resp.filter(col("_reason").isNull)
-      .withColumn("url", UrlOps.canonIdn(col("target_uri")))
+      .withColumn("_fetch_url", UrlOps.canonIdn(col("target_uri")))
+      .withColumn("_decl0",
+        when(declRaw =!= "",
+          UrlOps.canonIdn(UrlOps.resolve(col("target_uri"), declRaw))))
+      .withColumn("canonical_url",
+        when(col("_decl0").rlike("^https?://"), col("_decl0")))
+      .withColumn("url",
+        when(col("canonical_url").isNotNull &&
+          hostOf(col("canonical_url")) === hostOf(col("_fetch_url")),
+          col("canonical_url"))
+          .otherwise(col("_fetch_url")))
       .withColumn("_lm", nullif(trim(regexp_extract(col("_hdr"),
         "(?im)^last-modified:([^\\r\\n]*)", 1)), lit("")))
       .select(
@@ -380,7 +413,8 @@ object HtmlOps {
           "(?im)^etag:([^\\r\\n]*)", 1)), lit("")).as("etag"),
         // the WARC-layer payload digest (round 15) — the prior-capture
         // side `revisit` records compare against (revisitChurn)
-        nullif(col("payload_digest"), lit("")).as("payload_digest"))
+        nullif(col("payload_digest"), lit("")).as("payload_digest"),
+        col("canonical_url"))
     // the ledger holds every record the clean route did NOT take:
     // failed responses with their reason, and `revisit` records with
     // reason 'revisit' — not failures (the writer stored no body by
@@ -603,6 +637,180 @@ object HtmlOps {
       .distinct()
   }
 
+  // ---------- image-text pair mining (round 16 — the LAION-shape
+  // bridge from a web crawl to a multimodal training set) ----------
+
+  /** Figure blocks delimit caption SCOPE: every `<img>` inside a
+    * `<figure>…</figure>` inherits that figure's `<figcaption>` text
+    * as its fallback caption; imgs outside any figure have none. */
+  private val FigRE = "(?is)<figure[^>]*>.*?</figure>"
+  private val ImgRE = "(?is)<img[^>]*>"
+  // anchored ^ so only a figure-block scope (never the figure-stripped
+  // remainder) can yield a caption
+  private val CapRE = "(?is)^<figure[^>]*>.*?<figcaption[^>]*>(.*?)</figcaption>"
+  // explicit whitespace class — Java \s includes \x0B, RE2's does not
+  // (the MainContent rule); the pattern TEXT is shared with the twin
+  private val WsCls = "[ \\t\\n\\f\\r]"
+
+  /** HTML attribute value with quote-style precedence double > single >
+    * unquoted; an EMPTY value counts as absent (`alt=""` is decorative-
+    * image markup, not a caption — WAI-ARIA's own convention). The
+    * leading whitespace requirement keeps `data-alt=` from matching
+    * `alt`. */
+  private def attrOf(tag: Column, name: String): Column = {
+    def nn(re: String): Column = {
+      val v = regexp_extract(tag, re, 1)
+      when(v =!= "", v)
+    }
+    coalesce(
+      nn(s"(?is)$WsCls$name$WsCls*=$WsCls*\"([^\"]*)\""),
+      nn(s"(?is)$WsCls$name$WsCls*=$WsCls*'([^']*)'"),
+      nn(s"(?is)$WsCls$name$WsCls*=$WsCls*([^ \\t\\n\\f\\r>\"']+)"))
+  }
+
+  /** Inline-markup cleanup for caption text: tags → space, whitespace
+    * collapsed, space-trimmed (the [[graft.plans.MainContent]] text
+    * rule, shared verbatim with the SQL twin). */
+  private def cleanInline(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "(?s)<[^>]*>", " "),
+      "[ \\t\\n\\f\\r]+", " "))
+
+  /** The shared extraction core: one page row → one row per `<img>` tag
+    * carrying `src` (attr precedence above) and `alt_text` = first of
+    * alt, title, enclosing-figure figcaption; imgs with no src drop.
+    * ONE evaluation of the page subtree: the figure blocks and the
+    * figure-stripped remainder explode together as caption SCOPES
+    * (`concat(blocks, array(remainder))`), so the html column is never
+    * consumed by two branches (the recompute-per-branch rule). */
+  private def imgTagsOf(pages: DataFrame, keep: Seq[String]): DataFrame = {
+    val scopes = concat(
+      regexp_extract_all(col("html"), lit(FigRE), lit(0)),
+      array(regexp_replace(col("html"), FigRE, "")))
+    val capRaw = cleanInline(regexp_extract(col("scope"), CapRE, 1))
+    pages
+      .select(keep.map(col) :+ explode(scopes).as("scope"): _*)
+      .select(keep.map(col) ++ Seq(
+        when(capRaw =!= "", capRaw).as("figcap"),
+        explode(regexp_extract_all(col("scope"), lit(ImgRE), lit(0)))
+          .as("tag")): _*)
+      .select(keep.map(col) ++ Seq(
+        attrOf(col("tag"), "src").as("src"),
+        coalesce(attrOf(col("tag"), "alt"), attrOf(col("tag"), "title"),
+          col("figcap")).as("alt_text")): _*)
+      .filter(col("src").isNotNull)
+  }
+
+  /** Image-text pairs of REAL crawled pages — the general
+    * (page_url, html) face: every `<img src>` resolves against the
+    * page's effective base (`<base href>` honored, the [[linksOf]]
+    * rule) and canonicalizes under the FETCH-LOG identity
+    * ([[UrlOps.canonIdn]]), so the emitted `img_url` joins the binary
+    * payload corpus keyed by the same canonical URL — crawl HTML on one
+    * side, [[MultimodalOps.imageDhash]]'s decode estate on the other,
+    * and this operator is the bridge between them (the LAION
+    * construction). `alt_text` = alt > title > figcaption, NULL when a
+    * page offers none (downstream curation decides whether captionless
+    * pairs survive). Row-level extract + ONE distinct shuffle on
+    * (page, img, text) — at 100 TB this is a pure map over the page
+    * corpus followed by the join against the (much smaller) image
+    * corpus, which shuffles on the canonical URL exactly like the
+    * fetch-log joins. */
+  def imagePairsOf(pages: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(pages.sparkSession)
+    val baseHref = regexp_extract(col("html"),
+      "(?i)<base[^>]*href\\s*=\\s*[\"']([^\"'>]+)", 1)
+    val effBase = coalesce(
+      when(baseHref =!= "", UrlOps.resolve(col("page_url"), baseHref)),
+      col("page_url"))
+    imgTagsOf(pages.withColumn("_base", effBase), Seq("page_url", "_base"))
+      .select(col("page_url"),
+        UrlOps.canonIdn(UrlOps.resolve(col("_base"), col("src")))
+          .as("img_url"),
+        col("alt_text"))
+      .filter(col("img_url").rlike("^https?://"))
+      .distinct()
+  }
+
+  /** The synthetic gallery page for `q_image_pairs` — every messy
+    * `<img>` form the extractor must survive: a relative double-quoted
+    * src with alt, an UPPER-CASE single-quoted SRC with TITLE fallback,
+    * an unquoted src inside a `<figure>` whose `<figcaption>` carries
+    * inline markup and stray spaces, a `data:` URI (dropped — not
+    * fetchable), a src-less img (dropped), an exact duplicate (distinct
+    * bites), and a protocol-relative src with `alt=""` (empty = absent
+    * → NULL alt_text). Left = literal, Right = per-row key. */
+  private val ImgParts: Seq[Either[String, String]] = Seq(
+    Left("<html><body><p>gallery intro text</p><img src=\"img/a"),
+    Right("m7"), Left(".png\" alt=\"red fox "), Right("m7"),
+    Left("\"><IMG SRC='/media/b"), Right("m9"),
+    Left(".jpg' TITLE='portrait "), Right("m9"),
+    Left("'><figure data-k=\"1\"><img src=c"), Right("m5"),
+    Left(".gif><figcaption> Caption <b>for</b> item "), Right("m5"),
+    Left(" </figcaption></figure>" +
+      "<img src=\"data:image/png;base64,AAAA\" alt=\"inline\">" +
+      "<img alt=\"no source here\">" +
+      "<img src=\"img/a"), Right("m7"), Left(".png\" alt=\"red fox "),
+    Right("m7"),
+    Left("\"><img src=\"//cdn."), Right("host"), Left("/shared/d"),
+    Right("m11"), Left(".png\" alt=\"\"></body></html>"))
+
+  private def imgSynthPage: Column = {
+    val host = concat(col("source"), lit(".example.com"))
+    concat(ImgParts.map {
+      case Left(s) => lit(s)
+      case Right("m7") => (col("doc_id") % 7).cast("string")
+      case Right("m9") => (col("doc_id") % 9).cast("string")
+      case Right("m5") => (col("doc_id") % 5).cast("string")
+      case Right("m11") => (col("doc_id") % 11).cast("string")
+      case Right("host") => host
+      case Right(other) => throw new IllegalArgumentException(other)
+    }: _*)
+  }
+
+  private def imgSynthPageSql: String = ImgParts.map {
+    case Left(s) => TextFuns.sqlLit(s)
+    case Right("m7") => "CAST(doc_id % 7 AS VARCHAR)"
+    case Right("m9") => "CAST(doc_id % 9 AS VARCHAR)"
+    case Right("m5") => "CAST(doc_id % 5 AS VARCHAR)"
+    case Right("m11") => "CAST(doc_id % 11 AS VARCHAR)"
+    case Right("host") => "(source || '.example.com')"
+    case Right(other) => throw new IllegalArgumentException(other)
+  }.mkString(" || ")
+
+  /** §2 `q_image_pairs`: image-text pair mining under the oracle — the
+    * synthetic gallery page rides the SAME [[imgTagsOf]] core as the
+    * real face, then resolve → [[UrlOps.canon]] (the oracle-shared
+    * identity; the real face swaps in canonIdn). Expected yield: four
+    * pairs per document — alt-captioned, title-captioned,
+    * figcaption-captioned, and one NULL-text pair. */
+  def imagePairs(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val host = concat(col("source"), lit(".example.com"))
+    val pageUrl = concat(lit("http://"), host, lit("/gal/"),
+      (col("doc_id") % 50).cast("string"), lit("/page.html"))
+    val pages = documents.select(col("doc_id"), pageUrl.as("page_url"),
+      imgSynthPage.as("html"))
+    imgTagsOf(pages.withColumn("_base", col("page_url")),
+      Seq("doc_id", "page_url", "_base"))
+      .select(col("doc_id"), col("page_url"),
+        UrlOps.canon(UrlOps.resolve(col("_base"), col("src")))
+          .as("img_url"),
+        col("alt_text"))
+      .filter(col("img_url").isNotNull)
+      .distinct()
+      .orderBy("doc_id", "img_url")
+  }
+
+  /** The DuckDB attribute chain of [[attrOf]] over a `tag` column —
+    * same pattern text, same precedence, same empty-is-absent rule. */
+  private def attrSql(name: String): String = {
+    def nn(re: String): String =
+      s"NULLIF(regexp_extract(tag, ${TextFuns.sqlLit(re)}, 1), '')"
+    s"COALESCE(${nn(s"(?is)$WsCls$name$WsCls*=$WsCls*\"([^\"]*)\"")}, " +
+      s"${nn(s"(?is)$WsCls$name$WsCls*=$WsCls*'([^']*)'")}, " +
+      s"${nn(s"(?is)$WsCls$name$WsCls*=$WsCls*([^ \\t\\n\\f\\r>\"']+)")})"
+  }
+
   /** Meta-refresh redirects — the in-PAGE redirect mechanism sites use
     * when they cannot send a 3xx (`<meta http-equiv="refresh"
     * content="0;url=/new">`): extracted from (page_url, html), the
@@ -668,6 +876,41 @@ object HtmlOps {
         |SELECT DISTINCT doc_id, ${UrlOps.canonSql("href")} AS dst_url
         |FROM raw_links
         |ORDER BY doc_id, dst_url""".stripMargin,
+    "q_image_pairs" -> {
+      val fig = TextFuns.sqlLit(FigRE)
+      val img = TextFuns.sqlLit(ImgRE)
+      val cap = TextFuns.sqlLit(CapRE)
+      val capClean = s"trim(regexp_replace(regexp_replace(" +
+        s"regexp_extract(scope, $cap, 1), '<[^>]*>', ' ', 'g'), " +
+        "'[ \\t\\n\\f\\r]+', ' ', 'g'))"
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    'http://' || source || '.example.com/gal/' || CAST(doc_id % 50 AS VARCHAR) || '/page.html' AS page_url,
+         |    $imgSynthPageSql AS html
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id, page_url,
+         |    unnest(list_append(regexp_extract_all(html, $fig, 0),
+         |      regexp_replace(html, $fig, '', 'g'))) AS scope
+         |  FROM p
+         |), tg AS (
+         |  SELECT doc_id, page_url, NULLIF($capClean, '') AS figcap,
+         |    unnest(regexp_extract_all(scope, $img, 0)) AS tag
+         |  FROM sc
+         |), at2 AS (
+         |  SELECT doc_id, page_url, ${attrSql("src")} AS src,
+         |    COALESCE(${attrSql("alt")}, ${attrSql("title")}, figcap) AS alt_text
+         |  FROM tg
+         |), rs AS (
+         |  SELECT doc_id, page_url,
+         |    ${UrlOps.resolveSql("page_url", "src")} AS r, alt_text
+         |  FROM at2 WHERE src IS NOT NULL
+         |)
+         |SELECT DISTINCT doc_id, page_url,
+         |  ${UrlOps.canonSql("r")} AS img_url, alt_text
+         |FROM rs WHERE r IS NOT NULL
+         |ORDER BY doc_id, img_url""".stripMargin
+    },
     "q_html_extract" ->
       s"""WITH h AS (
          |  SELECT doc_id, $synthHtmlSql AS html FROM documents

@@ -1064,6 +1064,106 @@ class HtmlUrlSpec extends SparkSpec {
     assert(capped == full, "a generous cap changes nothing")
   }
 
+  test("warcToDocuments honors <link rel=canonical>: same-host overrides identity, cross-host is evidence") {
+    val dir = Files.createTempDirectory("graft_warc_canonical")
+    def page(canonTag: String, body: String): Array[Byte] =
+      http("200 OK", "text/html",
+        (s"<html><head>$canonTag</head><body><p>$body</p></body></html>")
+          .getBytes(UTF_8))
+    val recs =
+      // a ?ref= variant and its /print twin both declare ONE canonical
+      record("response", "http://site.example/article?ref=twitter",
+        page("<link rel=\"canonical\" href=\"http://site.example/article\">",
+          "the article body text as shared")) ++
+      record("response", "http://site.example/article/print",
+        // attribute order flipped + relative href — both must parse
+        page("<link href=/article rel=canonical>",
+          "the article body text print layout")) ++
+      // cross-host canonical: identity stays on the fetch URL, the
+      // declared target rides the evidence column
+      record("response", "http://mirror.example/copy",
+        page("<link rel='canonical' href='http://origin.example/master'>",
+          "a mirrored copy of some page")) ++
+      // no canonical declared
+      record("response", "http://plain.example/solo",
+        page("", "a page declaring nothing at all"))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val (clean, _) = HtmlOps.warcToDocuments(
+      graft.sources.WarcSource.read(spark, dir.toString))
+    val rows = clean.collect()
+    val byFetch = rows.map(r => r.getAs[String]("text").take(12) -> r).toMap
+    // the two article variants land on ONE url + doc_id
+    val art = rows.filter(_.getAs[String]("url") == "http://site.example/article")
+    assert(art.length == 2, rows.map(_.getAs[String]("url")).toSeq.toString)
+    assert(art.map(_.getAs[Long]("doc_id")).distinct.length == 1)
+    assert(art.forall(_.getAs[String]("canonical_url") ==
+      "http://site.example/article"))
+    val mirror = rows.find(_.getAs[String]("text").contains("mirrored")).get
+    assert(mirror.getAs[String]("url") == "http://mirror.example/copy",
+      "cross-host canonical must NOT steal the identity")
+    assert(mirror.getAs[String]("canonical_url") ==
+      "http://origin.example/master")
+    val solo = rows.find(_.getAs[String]("text").contains("declaring")).get
+    assert(solo.getAs[String]("canonical_url") == null)
+    assert(solo.getAs[String]("url") == "http://plain.example/solo")
+    assert(byFetch.nonEmpty) // silence the unused-val lint
+  }
+
+  test("imagePairsOf mines <img> pairs: base href, quote styles, figcaption, IDN identity") {
+    import spark.implicits._
+    val html =
+      """<html><head><base href="/based/"></head><body>
+        |<img src="pic1.png" alt="a quick fox">
+        |<IMG SRC='pic2.jpg' TITLE="second one">
+        |<figure><img src=pic3.gif><figcaption> the <i>third</i>  image </figcaption></figure>
+        |<img src="data:image/gif;base64,R0l" alt="x">
+        |<img alt="no src">
+        |<img src="//bücher.example/p4.png" alt="">
+        |</body></html>""".stripMargin
+    val pages = Seq(("http://site.example/dir/page.html", html))
+      .toDF("page_url", "html")
+    val got = HtmlOps.imagePairsOf(pages).collect()
+      .map(r => r.getAs[String]("img_url") ->
+        Option(r.getAs[String]("alt_text"))).toMap
+    assert(got == Map(
+      // <base href> governs relative srcs; alt > title > figcaption;
+      // figcaption markup/whitespace cleaned; data:/src-less dropped;
+      // alt="" = absent; protocol-relative + IDN lands on the ACE host
+      "http://site.example/based/pic1.png" -> Some("a quick fox"),
+      "http://site.example/based/pic2.jpg" -> Some("second one"),
+      "http://site.example/based/pic3.gif" -> Some("the third image"),
+      "http://xn--bcher-kva.example/p4.png" -> None), got.toString)
+  }
+
+  test("imagePairsOf bridges crawl HTML to the image-dedup estate (LAION shape)") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    // two pages reference three images; a.ppm and c.ppm are the SAME
+    // planted gradient (dhash group 3) under different URLs — pair
+    // mining joins the HTML side to the binary corpus on the canonical
+    // URL, and the dhash estate collapses the near-duplicate
+    val pages = Seq(
+      ("http://x.example/p1",
+        "<img src=\"/i/a.ppm\" alt=\"first\"><img src=\"/i/b.ppm\" alt=\"second\">"),
+      ("http://x.example/p2", "<img src=\"/i/c.ppm\" alt=\"third\">"))
+      .toDF("page_url", "html")
+    val pairs = HtmlOps.imagePairsOf(pages)
+    assert(pairs.count() == 3)
+    val payloads = Seq(
+      ("http://x.example/i/a.ppm", 1L, MultimodalOps.plantedImage(3L, 8)),
+      ("http://x.example/i/b.ppm", 2L, MultimodalOps.plantedImage(4L, 8)),
+      ("http://x.example/i/c.ppm", 3L, MultimodalOps.plantedImage(11L, 8)))
+      .toDF("img_url", "doc_id", "payload")
+    val joined = pairs.join(payloads, "img_url")
+    assert(joined.count() == 3, "every mined pair finds its payload")
+    val hashes = MultimodalOps.imageDhash(
+      joined.select(col("doc_id"), col("payload"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.size == 3)
+    assert(hashes(1L) == hashes(3L), "planted duplicate pair collapses")
+    assert(hashes(1L) != hashes(2L), "distinct gradients stay apart")
+  }
+
   test("crawlTrapsBy profiles ANY url frame by FULL host (general face + WARC route)") {
     import spark.implicits._
     import graft.operators.CrawlOps
