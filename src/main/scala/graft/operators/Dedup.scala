@@ -560,6 +560,94 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** FOREIGN-owned fingerprints per later doc — the shared first stage
+    * of [[substringExcise]] / [[substringExciseText]]: each winnowing
+    * fingerprint's OWNER is the minimum doc_id carrying it (keep-first,
+    * the [[dedupLines]] convention; exact under the df cap because a
+    * surviving fingerprint's capped posting set is its complete one);
+    * every (doc, fingerprint) row whose doc is NOT the owner collects
+    * into that doc's foreign set. Same scale shape as
+    * [[dedupSubstring]]: fingerprint-keyed shuffles only, then ONE
+    * doc-keyed agg whose per-doc sets are bounded by the doc's own
+    * fingerprint count. */
+  private def foreignFps(documents: DataFrame, dfCap: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val fps = spread(documents)
+      .select(col("doc_id"), TextFuns.norm(col("text")).as("t"))
+      .filter(length(col("t")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"), explode(call_function("winnow_fingerprints",
+        col("t"), lit(WinnowK), lit(WinnowW))).as("f"))
+    val owned = fps
+      .groupBy(col("f"))
+      .agg(call_function("collect_set_capped", col("doc_id"), lit(dfCap))
+        .as("ds"))
+      .filter(size(col("ds")).between(2, dfCap))
+      .select(col("f"), array_min(col("ds")).as("owner"))
+    fps.join(owned, "f")
+      .filter(col("doc_id") > col("owner"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("f")).as("ffps"))
+  }
+
+  /** (doc_id, t, spans) — normalized text + its merged duplicated-run
+    * intervals (the native `winnow_cut_spans` scan over the foreign
+    * set; docs with nothing foreign get the empty interval list). */
+  private def withSpans(documents: DataFrame, dfCap: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val spansOf = (t: Column, fps: Column) => column(
+      graft.plans.WinnowCutSpans(expression(t), expression(fps), WinnowK))
+    documents
+      .select(col("doc_id"), TextFuns.norm(col("text")).as("t"))
+      .join(foreignFps(documents, dfCap), Seq("doc_id"), "left")
+      .withColumn("spans",
+        spansOf(col("t"), coalesce(col("ffps"), typedLit(Array.empty[String]))))
+  }
+
+  /** §2 `q_substring_excise`: passage EXCISION — the
+    * deduplicate-text-datasets ENDGAME [[dedupSubstring]]'s pair output
+    * stops short of: instead of dropping a whole doc for one shared
+    * passage, CUT the duplicated run from the LATER doc (keep-first)
+    * and keep the rest. A char position is duplicated when its kgram's
+    * winnowing hash is owned by an earlier doc; overlapping kgram marks
+    * merge into spans (adjacent spans stay distinct — the islands
+    * rule), and the accounting (n_chars, cut_chars, kept_chars,
+    * n_spans) is integer-exact in both engines. On real data this is a
+    * large corpus-yield difference vs whole-doc dropping; compose with
+    * `q_curate` by feeding [[substringExciseText]]'s kept_text in place
+    * of `text` BEFORE the quality gates, so a doc that is mostly
+    * original survives curation minus its quoted passage. Scale:
+    * [[dedupSubstring]]'s index shapes + one doc-keyed join + a pure
+    * row-level native scan; the corpus text never rides a shuffle
+    * wider than its own doc_id partition. */
+  def substringExcise(documents: DataFrame, dfCap: Int = NgramDfCap): DataFrame =
+    withSpans(documents, dfCap)
+      .withColumn("cut_chars",
+        expr("aggregate(spans, 0L, (a, x) -> a + (x.e - x.s))"))
+      .select(col("doc_id"),
+        length(col("t")).cast("long").as("n_chars"),
+        col("cut_chars"),
+        (length(col("t")).cast("long") - col("cut_chars")).as("kept_chars"),
+        size(col("spans")).cast("long").as("n_spans"))
+      .orderBy("doc_id")
+
+  /** The TEXT face of [[substringExcise]]: per doc, the normalized text
+    * with its duplicated runs cut out (spans are ascending and
+    * non-overlapping, so one ordered fold rebuilds the kept text —
+    * zero extra shuffles past the accounting plan). Spec-graded on
+    * planted shared passages; `q_substring_excise` is the hash-checked
+    * accounting twin of the same spans. */
+  def substringExciseText(documents: DataFrame,
+                          dfCap: Int = NgramDfCap): DataFrame =
+    withSpans(documents, dfCap)
+      .withColumn("kept_text", expr(
+        "aggregate(spans, struct(0 AS p, '' AS acc), " +
+          "(s, x) -> struct(x.e AS p, " +
+          "concat(s.acc, substring(t, s.p + 1, x.s - s.p)) AS acc), " +
+          "s -> concat(s.acc, substring(t, s.p + 1, char_length(t) - s.p)))"))
+      .select(col("doc_id"), col("kept_text"),
+        length(col("kept_text")).cast("long").as("n_chars_kept"))
+      .orderBy("doc_id")
+
   /** §2-44 `q_dedup_clusters`: connected components over the MinHash
     * near-dup pair graph — the dedup ENDGAME: candidate pairs are only
     * half the job; the keep/drop decision needs the transitive closure
@@ -1342,6 +1430,59 @@ object DedupOps {
          |)
          |SELECT doc_a, doc_b, CAST(c AS BIGINT) AS n_shared
          |FROM pairs WHERE c >= 2 ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_substring_excise" -> {
+      val minLen = WinnowK + WinnowW - 1
+      s"""WITH n AS (
+         |  SELECT doc_id, $normSql AS t FROM documents
+         |  WHERE length($normSql) >= $minLen
+         |), h AS (
+         |  SELECT doc_id, i, substr(md5(substr(t, i + 1, $WinnowK)), 1, 8) AS h
+         |  FROM (SELECT doc_id, t,
+         |          unnest(generate_series(0, length(t) - $WinnowK)) AS i
+         |        FROM n)
+         |), wm AS (
+         |  SELECT doc_id, i,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS f,
+         |    max(i) OVER (PARTITION BY doc_id) AS mi
+         |  FROM h
+         |), fp AS (
+         |  SELECT DISTINCT doc_id, f FROM wm WHERE i <= mi - ${WinnowW - 1}
+         |), own AS (
+         |  SELECT f, min(doc_id) AS owner FROM fp
+         |  GROUP BY f HAVING count(*) BETWEEN 2 AND $NgramDfCap
+         |), fdup AS (
+         |  SELECT fp.doc_id, fp.f FROM fp JOIN own ON fp.f = own.f
+         |  WHERE fp.doc_id > own.owner
+         |), pos AS (
+         |  SELECT h.doc_id, h.i FROM h
+         |  JOIN fdup ON fdup.doc_id = h.doc_id AND fdup.f = h.h
+         |), isl AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN i > COALESCE(max(i) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -$WinnowK)
+         |      + $WinnowK - 1 THEN 1 ELSE 0 END AS st
+         |  FROM pos
+         |), isl2 AS (
+         |  SELECT doc_id, i,
+         |    SUM(st) OVER (PARTITION BY doc_id ORDER BY i) AS g
+         |  FROM isl
+         |), spans AS (
+         |  SELECT doc_id, g, min(i) AS s, max(i) + $WinnowK AS e
+         |  FROM isl2 GROUP BY doc_id, g
+         |), cuts AS (
+         |  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS cut_chars,
+         |    CAST(count(*) AS BIGINT) AS n_spans
+         |  FROM spans GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(length($normSql) AS BIGINT) AS n_chars,
+         |  COALESCE(c.cut_chars, 0) AS cut_chars,
+         |  CAST(length($normSql) AS BIGINT) - COALESCE(c.cut_chars, 0) AS kept_chars,
+         |  COALESCE(c.n_spans, 0) AS n_spans
+         |FROM documents d LEFT JOIN cuts c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
     "q_dedup_simhash" -> {
       val sums = (0 until 16).map(b =>

@@ -154,6 +154,58 @@ object GraftHash {
     new GenericArrayData(out)
   }
 
+  /** DUPLICATED-RUN spans for passage EXCISION
+    * (`DedupOps.substringExcise` — the deduplicate-text-datasets cut):
+    * every kgram position p of `t` whose 8-hex-char md5 slice (the
+    * [[winnowFingerprints]] hash — same digest, same slice) appears in
+    * `fps` (the doc's FOREIGN-owned fingerprint values, computed by the
+    * keyed join outside) marks chars [p, p+nGram) as duplicated;
+    * overlapping marks merge into spans. A gap of exactly zero
+    * (adjacent spans) stays TWO spans — the SQL islands rule
+    * (`i > prev_max + nGram − 1` starts an island), replicated exactly
+    * so span counts hash-match the oracle. Scanning ALL positions (not
+    * just winnow-selected ones) is deliberate: every occurrence of a
+    * duplicated gram in the later doc is cut, not only the selected
+    * copy. Returns ascending non-overlapping (s, e) char intervals;
+    * empty array when `fps` is empty or the text is shorter than one
+    * gram. */
+  def winnowCutSpans(t: UTF8String, fps: ArrayData, nGram: Int): ArrayData = {
+    val nFps = if (fps == null) 0 else fps.numElements()
+    val nChars = t.numChars()
+    if (nFps == 0 || nChars < nGram) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.HashSet[java.lang.Long](nFps * 2)
+    var fi = 0
+    while (fi < nFps) {
+      set.add(java.lang.Long.parseLong(fps.getUTF8String(fi).toString, 16))
+      fi += 1
+    }
+    val bytes = t.getBytes
+    val ascii = bytes.length == nChars
+    val md = mdLocal.get()
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var curStart = -1
+    var curMax = -1
+    var p = 0
+    while (p <= nChars - nGram) {
+      val d = shingleDigest(md, t, bytes, ascii, p, nGram)
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      if (set.contains(v)) {
+        if (curStart >= 0 && p <= curMax + nGram - 1) curMax = p
+        else {
+          if (curStart >= 0)
+            spans += org.apache.spark.sql.catalyst.InternalRow(
+              curStart, curMax + nGram)
+          curStart = p; curMax = p
+        }
+      }
+      p += 1
+    }
+    if (curStart >= 0)
+      spans += org.apache.spark.sql.catalyst.InternalRow(curStart, curMax + nGram)
+    new GenericArrayData(spans.toArray)
+  }
+
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < a.length) {
@@ -300,6 +352,47 @@ case class WinnowFingerprints(child: Expression, nGram: Int, w: Int)
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
+}
+
+/** `winnow_cut_spans(text, fps, nGram)` → ascending non-overlapping
+  * (s, e) char intervals covering every kgram occurrence whose hash is
+  * in `fps` (see [[GraftHash.winnowCutSpans]] — the passage-excision
+  * marker). Built directly via the Column bridge (nGram is a
+  * construction parameter, the [[WinnowFingerprints]] convention). */
+case class WinnowCutSpans(left: Expression, right: Expression, nGram: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(nGram >= 1, s"winnow_cut_spans needs positive nGram, got $nGram")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, array<string>), got $other")
+    }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("e",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_cut_spans"
+
+  override protected def nullSafeEval(t: Any, fps: Any): Any =
+    GraftHash.winnowCutSpans(t.asInstanceOf[UTF8String],
+      fps.asInstanceOf[ArrayData], nGram)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, f) => {
+      s"""
+         |${ev.value} = graft.plans.GraftHash.winnowCutSpans($t, $f, $nGram);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WinnowCutSpans =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `fingerprint_min(text, nGram)` → lexicographic minimum md5 hex over the

@@ -61,7 +61,15 @@ object WarcSource {
       payload: Array[Byte],
       payload_digest: String,
       refers_to_uri: String,
-      refers_to_date: String)
+      refers_to_date: String,
+      // record position in the (decompressed) stream (round 16 — the
+      // CDX axis): `offset` = first byte of the `WARC/` version line,
+      // `length` = version line + headers + payload (the inter-record
+      // CRLFCRLF padding is excluded). For a plain .warc these are true
+      // FILE offsets; for .warc.gz they index the decompressed stream
+      // ([[readAt]] skips to either — see [[cdxIndex]]).
+      offset: Long,
+      length: Long)
 
   /** Read every WARC (or .warc.gz) file under `path` into a record frame.
     *
@@ -158,6 +166,16 @@ object WarcSource {
     private val in = new PushbackInputStream(new BufferedInputStream(in0, 64 << 10), 1)
     private var nextRec: WarcRecord = null
     private var finished = false
+    // position in the (decompressed) stream — counted at THIS layer
+    // (every read()/unread() below), never at the buffered layer whose
+    // 64 KiB lookahead would overcount
+    private var pos: Long = 0L
+
+    private def rd(): Int = {
+      val b = in.read()
+      if (b >= 0) pos += 1
+      b
+    }
 
     /** End the walk and release the underlying stream — on the path
       * route that is an open FileSystem handle per task. */
@@ -183,10 +201,12 @@ object WarcSource {
     private def advance(): Unit =
       try {
         // skip inter-record CR/LF padding
-        var b = in.read()
-        while (b == '\r' || b == '\n') b = in.read()
+        var b = rd()
+        while (b == '\r' || b == '\n') b = rd()
         if (b < 0) { finish(); return }
         in.unread(b)
+        pos -= 1
+        val start = pos
 
         val version = readLine()
         if (version == null || !version.startsWith("WARC/")) { finish(); return }
@@ -214,6 +234,7 @@ object WarcSource {
           val n = in.read(payload, off, payload.length - off)
           if (n < 0) { finish(); return } // truncated body — drop, keep priors
           off += n
+          pos += n
         }
         nextRec = WarcRecord(
           file = path,
@@ -226,7 +247,9 @@ object WarcSource {
           payload = payload,
           payload_digest = headers.getOrElse("warc-payload-digest", ""),
           refers_to_uri = headers.getOrElse("warc-refers-to-target-uri", ""),
-          refers_to_date = headers.getOrElse("warc-refers-to-date", ""))
+          refers_to_date = headers.getOrElse("warc-refers-to-date", ""),
+          offset = start,
+          length = pos - start)
       } catch {
         case _: EOFException | _: IOException => finish()
       }
@@ -236,12 +259,12 @@ object WarcSource {
       * for the blank separator line, null at EOF before any byte. */
     private def readLine(): String = {
       val sb = new java.lang.StringBuilder(64)
-      var b = in.read()
+      var b = rd()
       if (b < 0) return null
       while (b >= 0 && b != '\n') {
         sb.append(b.toChar) // header bytes; UTF-8 multibyte survives round-trip below
         if (sb.length > MaxHeaderLine) return null // header bomb → malformed
-        b = in.read()
+        b = rd()
       }
       if (b < 0) return null // EOF with no terminator: torn header line
       var len = sb.length
@@ -251,6 +274,55 @@ object WarcSource {
       var i = 0
       while (i < len) { bytes(i) = sb.charAt(i).toByte; i += 1 }
       new String(bytes, StandardCharsets.UTF_8)
+    }
+  }
+
+  /** §2-C `cdxIndex`: the CDX-style capture index (round 16) — the
+    * standard Common Crawl companion artifact: one row per captured URI
+    * with WHERE ITS BYTES LIVE, so a re-fetch ledger, a revisit audit,
+    * or a targeted re-parse reads exactly one record instead of
+    * re-scanning whole segments. Built for free during the record walk
+    * (the iterator already counts every byte): (canon_url, warc_date,
+    * warc_type, file, offset, length, payload_digest), keyed on the
+    * SAME canonical identity as the fetch log so it joins everything
+    * else in the estate. Offsets index the decompressed stream —
+    * exact file offsets for plain `.warc`; for `.warc.gz` the lookup
+    * skips through the inflater ([[readAt]]) since gzip members are
+    * not independently addressable without a member index. Pure
+    * projection of the record frame — zero extra scans, zero
+    * shuffles; the payload column is dropped, so persisting the index
+    * costs metadata only. */
+  def cdxIndex(records: DataFrame): DataFrame =
+    records
+      .filter(col("target_uri") =!= "")
+      .select(
+        graft.operators.UrlOps.canonIdn(col("target_uri")).as("canon_url"),
+        col("warc_date"), col("warc_type"), col("file"),
+        col("offset"), col("length"), col("payload_digest"))
+
+  /** Random access by a [[cdxIndex]] row: open `file`, position at
+    * `offset` (a true seek is unavailable through the gzip sniff, so
+    * this skips through the stream — O(offset) decompression for .gz,
+    * effectively free for plain .warc where the skip is a buffered
+    * seek), parse ONE record. Returns None past EOF / on a torn
+    * record. */
+  def readAt(spark: SparkSession, file: String, offset: Long,
+             maxRecord: Int = 64 << 20): Option[WarcRecord] = {
+    val hp = new org.apache.hadoop.fs.Path(file)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = sniffGzip(fs.open(hp))
+    try {
+      var toSkip = offset
+      while (toSkip > 0) {
+        val n = in.skip(toSkip)
+        if (n > 0) toSkip -= n
+        else if (in.read() >= 0) toSkip -= 1 // skip() can return 0 legally
+        else toSkip = 0 // EOF before offset → the walk below ends empty
+      }
+      val it = parseStream(file, in, maxRecord)
+      if (it.hasNext) Some(it.next()) else None
+    } finally {
+      try in.close() catch { case _: IOException => () }
     }
   }
 

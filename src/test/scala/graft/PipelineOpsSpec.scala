@@ -28,6 +28,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => !Set(a, b).exists(Set(2L, 3L)) })
   }
 
+  test("substringExcise cuts the shared passage from the LATER doc only") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    val prefix = "unrelated opening phrase entirely distinct here "
+    val suffix = " plus trailing original tail with words of its own"
+    val planted = Seq(
+      (0L, s"alpha beta gamma delta $passage epsilon zeta"),
+      (1L, prefix + passage + suffix),
+      (2L, "no shared runs in this body at all whatsoever for anybody today"))
+      .toDF("doc_id", "text")
+    val acct = DedupOps.substringExcise(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("cut_chars"),
+        r.getAs[Long]("kept_chars"), r.getAs[Long]("n_spans")))).toMap
+    // the OWNER (min doc_id) keeps everything; the clean doc too
+    assert(acct(0L) == ((0L, planted.collect()(0).getString(1).length.toLong, 0L)),
+      acct.toString)
+    assert(acct(2L)._1 == 0L)
+    // the later doc loses ONE contiguous span ≈ the shared run — the
+    // passage PLUS its flanking spaces (both docs surround it with a
+    // space, so the common run is len+2): winnowing selection can
+    // shave up to W-1 = 7 gram positions per edge
+    val common = passage.length + 2
+    val (cut, kept, spans) = acct(1L)
+    assert(spans == 1L, acct.toString)
+    assert(cut >= common - 2 * (DedupOps.WinnowW - 1) && cut <= common,
+      s"cut=$cut vs common run $common")
+    assert(kept == (prefix + passage + suffix).length - cut)
+    // the TEXT face: prefix/suffix survive, the passage core is gone,
+    // and the kept length matches the accounting
+    val texts = DedupOps.substringExciseText(planted).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("kept_text")).toMap
+    assert(texts(0L) == planted.collect()(0).getString(1))
+    val keptText = texts(1L)
+    assert(keptText.startsWith(prefix.trim.take(20)))
+    assert(keptText.endsWith(suffix.takeRight(20)))
+    assert(!keptText.contains(passage.substring(8, passage.length - 8)),
+      s"passage core must be excised: <$keptText>")
+    assert(keptText.length.toLong == kept)
+  }
+
   test("contaminationBloom never misses an exact hit; wider bitmap only narrows") {
     import spark.implicits._
     val exact = CorpusOps.contaminationNgram(docs)

@@ -60,6 +60,59 @@ class WarcSourceSpec extends SparkSpec {
       r.getAs[Long]("content_length") == r.getAs[Array[Byte]]("payload").length))
   }
 
+  test("cdxIndex records exact offsets; readAt re-reads exactly the indexed record") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_warc_cdx")
+    val plain = dir.resolve("seg-0.warc")
+    Files.write(plain, warcBytes)
+    // gz twin: one gzip member per record (the CC layout)
+    val gz = new ByteArrayOutputStream()
+    Seq(record("warcinfo", "", "software: graft-test\r\n".getBytes(US_ASCII), "info"),
+      record("response", "http://example.com/a", httpPayload, "resp"),
+      record("request", "http://example.com/a",
+        "GET /a HTTP/1.1\r\n".getBytes(US_ASCII), "req")).foreach { r =>
+      val o = new GZIPOutputStream(gz); o.write(r); o.finish()
+    }
+    val gzPath = dir.resolve("seg-1.warc.gz")
+    Files.write(gzPath, gz.toByteArray)
+
+    val records = WarcSource.read(spark, dir.toString)
+    // offsets in a PLAIN file are true byte offsets: recompute from the
+    // fixture construction (records are back-to-back; length excludes
+    // the CRLFCRLF padding, the next offset includes it)
+    val r0 = record("warcinfo", "", "software: graft-test\r\n".getBytes(US_ASCII), "info")
+    val r1 = record("response", "http://example.com/a", httpPayload, "resp")
+    val plainRows = records.filter(col("file").contains("seg-0"))
+      .orderBy("offset").collect()
+    assert(plainRows.map(_.getAs[Long]("offset")).toSeq ==
+      Seq(0L, r0.length.toLong, (r0.length + r1.length).toLong))
+    plainRows.foreach { r =>
+      assert(r.getAs[Long]("length") > 0)
+      // length = record bytes minus the 4-byte inter-record padding
+      val expectLen = record(r.getAs[String]("warc_type"),
+        r.getAs[String]("target_uri"), r.getAs[Array[Byte]]("payload"),
+        "x").length - 4 +
+        (r.getAs[String]("record_id").length - "<urn:test:x>".length)
+      assert(r.getAs[Long]("length") == expectLen.toLong, r.toString)
+    }
+    // the index carries no payload and keys on the canonical URL
+    val idx = WarcSource.cdxIndex(records).collect()
+    assert(!WarcSource.cdxIndex(records).columns.contains("payload"))
+    assert(idx.forall(_.getAs[String]("canon_url") != ""))
+    // readAt(file, offset) must return EXACTLY the indexed record, on
+    // the plain file (buffered skip) and through the gzip route alike
+    records.collect().foreach { r =>
+      val got = WarcSource.readAt(spark, r.getAs[String]("file"),
+        r.getAs[Long]("offset"))
+      assert(got.nonEmpty, s"no record at ${r.getAs[Long]("offset")}")
+      assert(got.get.record_id == r.getAs[String]("record_id"))
+      assert(got.get.target_uri == r.getAs[String]("target_uri"))
+      assert(got.get.payload.toSeq == r.getAs[Array[Byte]]("payload").toSeq,
+        "payload bytes round-trip")
+      assert(got.get.length == r.getAs[Long]("length"))
+    }
+  }
+
   test("WARC bodies flow into the text estate: langId + exact dedup end-to-end") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_warc3")
