@@ -577,13 +577,18 @@ object DedupOps {
       .filter(length(col("t")) >= WinnowK + WinnowW - 1)
       .select(col("doc_id"), explode(call_function("winnow_fingerprints",
         col("t"), lit(WinnowK), lit(WinnowW))).as("f"))
-    val owned = fps
+    // a surviving fingerprint's capped posting set IS its complete one
+    // (df ≤ cap survived the filter), so the non-owner docs come from
+    // exploding `ds` — never from a join back to the fingerprint
+    // stream, which would re-run the whole corpus scan + hash pass
+    // (recompute-per-branch; PlanProbe: 3 → 2 documents scans)
+    fps
       .groupBy(col("f"))
       .agg(call_function("collect_set_capped", col("doc_id"), lit(dfCap))
         .as("ds"))
       .filter(size(col("ds")).between(2, dfCap))
-      .select(col("f"), array_min(col("ds")).as("owner"))
-    fps.join(owned, "f")
+      .select(col("f"), array_min(col("ds")).as("owner"),
+        explode(col("ds")).as("doc_id"))
       .filter(col("doc_id") > col("owner"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("f")).as("ffps"))
