@@ -42,6 +42,13 @@ object CrawlOps {
     * helper cost one corpus-scale scan + distinct shuffle PER FRAME
     * (q_sitemap's plan carried 14 parquet scans). At production scale
     * this is the persisted host table a crawler maintains anyway. */
+  /** The FULL host of a canonical URL (authority minus userinfo and
+    * port) — the host identity the general real-data faces key on
+    * ([[crawlTrapsBy]], [[frontierBudgetedBy]]); the synthetic
+    * universes' `source` label is its first-DNS-label projection. */
+  private[graft] val FullHostRe =
+    "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
   private[graft] def hostsOf(documents: DataFrame): DataFrame =
     documents.select(col("source")).distinct().localCheckpoint(false)
 
@@ -667,9 +674,7 @@ object CrawlOps {
     urls
       .select(col(urlCol).as("canon_url"))
       .select(col("canon_url"),
-        regexp_extract(col("canon_url"),
-          "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)
-          .as("host"),
+        regexp_extract(col("canon_url"), FullHostRe, 1).as("host"),
         regexp_replace(col("canon_url"), "\\?.*$", "").as("page"))
       .groupBy(col("host"))
       .agg(countDistinct(col("canon_url")).as("n_urls"),
@@ -697,20 +702,37 @@ object CrawlOps {
     * spec-graded (the planted trap universe has no frontier-side oracle
     * face — the flag itself is the oracle-checked artifact). */
   def frontierBudgeted(frontier: DataFrame, traps: DataFrame,
-                       cap: Int = 100): DataFrame = {
+                       cap: Int = 100): DataFrame =
+    budgetCore(frontier, traps.filter(col("trap")).select(col("source")),
+      regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1),
+      "source", cap)
+
+  /** [[frontierBudgeted]] over [[crawlTrapsBy]]'s FULL-host trap frame —
+    * the real-data composition (round 16): a WARC-derived frontier's
+    * URLs key on the same full-host identity the general trap profile
+    * emits, so `crawlTrapsBy → frontierBudgetedBy` closes the loop on
+    * real fetch logs with no synthetic `source` label anywhere.
+    * Identical split shape: clean hosts bypass the window. */
+  def frontierBudgetedBy(frontier: DataFrame, trapsBy: DataFrame,
+                         cap: Int = 100): DataFrame =
+    budgetCore(frontier, trapsBy.filter(col("trap")).select(col("host")),
+      regexp_extract(col("canon_url"), FullHostRe, 1), "host", cap)
+
+  /** The shared budget-cap core: broadcast-split on the trap key, rank
+    * only the trap slice (see [[frontierBudgeted]]'s scale notes). */
+  private def budgetCore(frontier: DataFrame, trapKeys: DataFrame,
+                         key: Column, keyName: String, cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
-    val trapHosts = broadcast(
-      traps.filter(col("trap")).select(col("source")))
-    val withSource = frontier.withColumn("source",
-      regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1))
-    val clean = withSource
-      .join(trapHosts, Seq("source"), "left_anti")
+    val trapHosts = broadcast(trapKeys)
+    val keyed = frontier.withColumn(keyName, key)
+    val clean = keyed
+      .join(trapHosts, Seq(keyName), "left_anti")
       .select(col("canon_url"), col("n_referrers"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
+      .partitionBy(col(keyName))
       .orderBy(col("n_referrers").desc, col("canon_url").asc)
-    val capped = withSource
-      .join(trapHosts, Seq("source"), "left_semi")
+    val capped = keyed
+      .join(trapHosts, Seq(keyName), "left_semi")
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= cap)
       .select(col("canon_url"), col("n_referrers"))

@@ -694,9 +694,16 @@ object HtmlOps {
         explode(regexp_extract_all(col("scope"), lit(ImgRE), lit(0)))
           .as("tag")): _*)
       .select(keep.map(col) ++ Seq(
-        attrOf(col("tag"), "src").as("src"),
+        // lazy-load rule (the lazysizes pattern, everywhere on the real
+        // web): when `src` is absent or a `data:` placeholder, the real
+        // image rides `data-src` — otherwise `src` wins
+        attrOf(col("tag"), "src").as("_src0"),
+        attrOf(col("tag"), "data-src").as("_dsrc"),
         coalesce(attrOf(col("tag"), "alt"), attrOf(col("tag"), "title"),
           col("figcap")).as("alt_text")): _*)
+      .withColumn("src",
+        when(col("_src0").isNull || col("_src0").startsWith("data:"),
+          col("_dsrc")).otherwise(col("_src0")))
       .filter(col("src").isNotNull)
   }
 
@@ -736,9 +743,11 @@ object HtmlOps {
     * src with alt, an UPPER-CASE single-quoted SRC with TITLE fallback,
     * an unquoted src inside a `<figure>` whose `<figcaption>` carries
     * inline markup and stray spaces, a `data:` URI (dropped — not
-    * fetchable), a src-less img (dropped), an exact duplicate (distinct
-    * bites), and a protocol-relative src with `alt=""` (empty = absent
-    * → NULL alt_text). Left = literal, Right = per-row key. */
+    * fetchable), a src-less img (dropped), a LAZY-LOAD img whose src
+    * is a `data:` placeholder and whose real image rides `data-src`
+    * (the lazysizes pattern), an exact duplicate (distinct bites), and
+    * a protocol-relative src with `alt=""` (empty = absent → NULL
+    * alt_text). Left = literal, Right = per-row key. */
   private val ImgParts: Seq[Either[String, String]] = Seq(
     Left("<html><body><p>gallery intro text</p><img src=\"img/a"),
     Right("m7"), Left(".png\" alt=\"red fox "), Right("m7"),
@@ -749,7 +758,9 @@ object HtmlOps {
     Left(" </figcaption></figure>" +
       "<img src=\"data:image/png;base64,AAAA\" alt=\"inline\">" +
       "<img alt=\"no source here\">" +
-      "<img src=\"img/a"), Right("m7"), Left(".png\" alt=\"red fox "),
+      "<img src=\"data:image/gif;base64,R0lA\" data-src=\"lazy/e"),
+    Right("m3"), Left(".png\" alt=\"lazy loaded "), Right("m3"),
+    Left("\"><img src=\"img/a"), Right("m7"), Left(".png\" alt=\"red fox "),
     Right("m7"),
     Left("\"><img src=\"//cdn."), Right("host"), Left("/shared/d"),
     Right("m11"), Left(".png\" alt=\"\"></body></html>"))
@@ -761,6 +772,7 @@ object HtmlOps {
       case Right("m7") => (col("doc_id") % 7).cast("string")
       case Right("m9") => (col("doc_id") % 9).cast("string")
       case Right("m5") => (col("doc_id") % 5).cast("string")
+      case Right("m3") => (col("doc_id") % 3).cast("string")
       case Right("m11") => (col("doc_id") % 11).cast("string")
       case Right("host") => host
       case Right(other) => throw new IllegalArgumentException(other)
@@ -772,6 +784,7 @@ object HtmlOps {
     case Right("m7") => "CAST(doc_id % 7 AS VARCHAR)"
     case Right("m9") => "CAST(doc_id % 9 AS VARCHAR)"
     case Right("m5") => "CAST(doc_id % 5 AS VARCHAR)"
+    case Right("m3") => "CAST(doc_id % 3 AS VARCHAR)"
     case Right("m11") => "CAST(doc_id % 11 AS VARCHAR)"
     case Right("host") => "(source || '.example.com')"
     case Right(other) => throw new IllegalArgumentException(other)
@@ -780,9 +793,9 @@ object HtmlOps {
   /** §2 `q_image_pairs`: image-text pair mining under the oracle — the
     * synthetic gallery page rides the SAME [[imgTagsOf]] core as the
     * real face, then resolve → [[UrlOps.canon]] (the oracle-shared
-    * identity; the real face swaps in canonIdn). Expected yield: four
+    * identity; the real face swaps in canonIdn). Expected yield: five
     * pairs per document — alt-captioned, title-captioned,
-    * figcaption-captioned, and one NULL-text pair. */
+    * figcaption-captioned, lazy-loaded, and one NULL-text pair. */
   def imagePairs(documents: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(documents.sparkSession)
     val host = concat(col("source"), lit(".example.com"))
@@ -897,10 +910,17 @@ object HtmlOps {
          |  SELECT doc_id, page_url, NULLIF($capClean, '') AS figcap,
          |    unnest(regexp_extract_all(scope, $img, 0)) AS tag
          |  FROM sc
-         |), at2 AS (
-         |  SELECT doc_id, page_url, ${attrSql("src")} AS src,
+         |), at1 AS (
+         |  SELECT doc_id, page_url, ${attrSql("src")} AS src0,
+         |    ${attrSql("data-src")} AS dsrc,
          |    COALESCE(${attrSql("alt")}, ${attrSql("title")}, figcap) AS alt_text
          |  FROM tg
+         |), at2 AS (
+         |  SELECT doc_id, page_url,
+         |    CASE WHEN src0 IS NULL OR src0 LIKE 'data:%' THEN dsrc
+         |         ELSE src0 END AS src,
+         |    alt_text
+         |  FROM at1
          |), rs AS (
          |  SELECT doc_id, page_url,
          |    ${UrlOps.resolveSql("page_url", "src")} AS r, alt_text

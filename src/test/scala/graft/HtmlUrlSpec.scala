@@ -1118,6 +1118,7 @@ class HtmlUrlSpec extends SparkSpec {
         |<figure><img src=pic3.gif><figcaption> the <i>third</i>  image </figcaption></figure>
         |<img src="data:image/gif;base64,R0l" alt="x">
         |<img alt="no src">
+        |<img src="data:image/gif;base64,R0l" data-src="lazy.png" alt="deferred pic">
         |<img src="//bücher.example/p4.png" alt="">
         |</body></html>""".stripMargin
     val pages = Seq(("http://site.example/dir/page.html", html))
@@ -1132,6 +1133,8 @@ class HtmlUrlSpec extends SparkSpec {
       "http://site.example/based/pic1.png" -> Some("a quick fox"),
       "http://site.example/based/pic2.jpg" -> Some("second one"),
       "http://site.example/based/pic3.gif" -> Some("the third image"),
+      // the lazy-load rule: data: placeholder src defers to data-src
+      "http://site.example/based/lazy.png" -> Some("deferred pic"),
       "http://xn--bcher-kva.example/p4.png" -> None), got.toString)
   }
 
@@ -1209,6 +1212,22 @@ class HtmlUrlSpec extends SparkSpec {
         r.getAs[Boolean]("trap")).toMap
     assert(profile == Map("cal.shop.example" -> true,
       "news.press.example" -> false), profile.toString)
+    // the real-data composition closes end-to-end on the FULL-host key:
+    // crawlTrapsBy → frontierBudgetedBy, no synthetic source label
+    // anywhere — www.alpha (trap) caps at 2, www.beta (clean, SAME
+    // first label) passes every row
+    import spark.implicits._
+    val frontier = (
+      (1 to 5).map(i => (s"http://www.alpha.example/p?sid=$i", i.toLong)) ++
+        (1 to 3).map(i => (s"http://www.beta.example/page$i", 1L)))
+      .toDF("canon_url", "n_referrers")
+    val budgeted = CrawlOps.frontierBudgetedBy(
+      frontier, CrawlOps.crawlTrapsBy(urls), cap = 2)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(budgeted == Seq(
+      "http://www.alpha.example/p?sid=4", "http://www.alpha.example/p?sid=5",
+      "http://www.beta.example/page1", "http://www.beta.example/page2",
+      "http://www.beta.example/page3"), budgeted.toString)
   }
 
   test("crawlScheduleDamped stretches a trap host's queue by the damp factor") {
