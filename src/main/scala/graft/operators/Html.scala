@@ -696,14 +696,22 @@ object HtmlOps {
       .select(keep.map(col) ++ Seq(
         // lazy-load rule (the lazysizes pattern, everywhere on the real
         // web): when `src` is absent or a `data:` placeholder, the real
-        // image rides `data-src` — otherwise `src` wins
+        // image rides `data-src` — otherwise `src` wins; `srcset`'s
+        // FIRST candidate URL is the last resort (any candidate is a
+        // valid rendition of the same image; first = deterministic)
         attrOf(col("tag"), "src").as("_src0"),
         attrOf(col("tag"), "data-src").as("_dsrc"),
+        attrOf(col("tag"), "srcset").as("_srcset"),
         coalesce(attrOf(col("tag"), "alt"), attrOf(col("tag"), "title"),
           col("figcap")).as("alt_text")): _*)
+      .withColumn("_sset", {
+        val first = regexp_extract(col("_srcset"),
+          "^[ \\t\\n\\f\\r]*([^ \\t\\n\\f\\r,]+)", 1)
+        when(first =!= "", first)
+      })
       .withColumn("src",
         when(col("_src0").isNull || col("_src0").startsWith("data:"),
-          col("_dsrc")).otherwise(col("_src0")))
+          coalesce(col("_dsrc"), col("_sset"))).otherwise(col("_src0")))
       .filter(col("src").isNotNull)
   }
 
@@ -738,6 +746,66 @@ object HtmlOps {
       .distinct()
   }
 
+  /** Media-source mining for `<video>` / `<audio>` — the audio/video
+    * twin of [[imagePairsOf]], completing the multimodal bridge for the
+    * other two decode estates (WAV/G.711 audio, the AVI container):
+    * each media ELEMENT yields one row per source — the element's own
+    * `src`, every nested `<source src>`, and (video) the `poster`
+    * frame as kind `poster` (a poster is an IMAGE harvest: it joins
+    * the image corpus, not the video one). `caption_text` = the
+    * element's `title` > `aria-label` (media captioning is attribute-
+    * based on the real web; `<track>` subtitle files are a fetch
+    * target, not inline text). URLs resolve/canonicalize under the
+    * fetch-log identity exactly like image pairs; `data:` and
+    * non-http(s) sources drop. Output (page_url, media_url, kind ∈
+    * video|audio|poster, caption_text), distinct. Spec-graded (the
+    * block regexes need no DuckDB twin — this face has no oracle
+    * surface); row-level extract + ONE distinct shuffle. */
+  def mediaPairsOf(pages: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(pages.sparkSession)
+    val baseHref = regexp_extract(col("html"),
+      "(?i)<base[^>]*href\\s*=\\s*[\"']([^\"'>]+)", 1)
+    val effBase = coalesce(
+      when(baseHref =!= "", UrlOps.resolve(col("page_url"), baseHref)),
+      col("page_url"))
+    val blocks = concat(
+      regexp_extract_all(col("html"),
+        lit("(?is)<video[^>]*>.*?</video>"), lit(0)),
+      regexp_extract_all(col("html"),
+        lit("(?is)<audio[^>]*>.*?</audio>"), lit(0)))
+    pages
+      .select(col("page_url"), effBase.as("_base"),
+        explode(blocks).as("block"))
+      .withColumn("kind",
+        when(lower(col("block")).startsWith("<video"), "video")
+          .otherwise("audio"))
+      .withColumn("_head",
+        regexp_extract(col("block"), "(?is)^<[a-z]+[^>]*>", 0))
+      .withColumn("caption_text",
+        coalesce(attrOf(col("_head"), "title"),
+          attrOf(col("_head"), "aria-label")))
+      .select(col("page_url"), col("_base"), col("kind"),
+        col("caption_text"), col("_head"),
+        explode(concat(array(col("_head")),
+          regexp_extract_all(col("block"),
+            lit("(?is)<source[^>]*>"), lit(0)))).as("tag"))
+      .withColumn("_src", attrOf(col("tag"), "src"))
+      // the poster attr lives on the element head only
+      .withColumn("_poster",
+        when(col("tag") === col("_head"), attrOf(col("tag"), "poster")))
+      .select(col("page_url"), col("_base"), col("caption_text"),
+        explode(filter(array(
+          struct(col("_src").as("u"), col("kind").as("k")),
+          struct(col("_poster").as("u"), lit("poster").as("k"))),
+          c => c.getField("u").isNotNull)).as("c"))
+      .select(col("page_url"),
+        UrlOps.canonIdn(UrlOps.resolve(col("_base"), col("c.u")))
+          .as("media_url"),
+        col("c.k").as("kind"), col("caption_text"))
+      .filter(col("media_url").rlike("^https?://"))
+      .distinct()
+  }
+
   /** The synthetic gallery page for `q_image_pairs` — every messy
     * `<img>` form the extractor must survive: a relative double-quoted
     * src with alt, an UPPER-CASE single-quoted SRC with TITLE fallback,
@@ -745,9 +813,10 @@ object HtmlOps {
     * inline markup and stray spaces, a `data:` URI (dropped — not
     * fetchable), a src-less img (dropped), a LAZY-LOAD img whose src
     * is a `data:` placeholder and whose real image rides `data-src`
-    * (the lazysizes pattern), an exact duplicate (distinct bites), and
-    * a protocol-relative src with `alt=""` (empty = absent → NULL
-    * alt_text). Left = literal, Right = per-row key. */
+    * (the lazysizes pattern), a src-LESS responsive img whose only
+    * source is a `srcset` candidate list, an exact duplicate (distinct
+    * bites), and a protocol-relative src with `alt=""` (empty = absent
+    * → NULL alt_text). Left = literal, Right = per-row key. */
   private val ImgParts: Seq[Either[String, String]] = Seq(
     Left("<html><body><p>gallery intro text</p><img src=\"img/a"),
     Right("m7"), Left(".png\" alt=\"red fox "), Right("m7"),
@@ -760,6 +829,9 @@ object HtmlOps {
       "<img alt=\"no source here\">" +
       "<img src=\"data:image/gif;base64,R0lA\" data-src=\"lazy/e"),
     Right("m3"), Left(".png\" alt=\"lazy loaded "), Right("m3"),
+    Left("\"><img srcset=\"sm/g"), Right("m9"),
+    Left(".png 1x, lg/g"), Right("m9"),
+    Left(".png 2x\" alt=\"responsive "), Right("m9"),
     Left("\"><img src=\"img/a"), Right("m7"), Left(".png\" alt=\"red fox "),
     Right("m7"),
     Left("\"><img src=\"//cdn."), Right("host"), Left("/shared/d"),
@@ -793,9 +865,10 @@ object HtmlOps {
   /** §2 `q_image_pairs`: image-text pair mining under the oracle — the
     * synthetic gallery page rides the SAME [[imgTagsOf]] core as the
     * real face, then resolve → [[UrlOps.canon]] (the oracle-shared
-    * identity; the real face swaps in canonIdn). Expected yield: five
+    * identity; the real face swaps in canonIdn). Expected yield: six
     * pairs per document — alt-captioned, title-captioned,
-    * figcaption-captioned, lazy-loaded, and one NULL-text pair. */
+    * figcaption-captioned, lazy-loaded, srcset-only (first candidate),
+    * and one NULL-text pair. */
   def imagePairs(documents: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(documents.sparkSession)
     val host = concat(col("source"), lit(".example.com"))
@@ -913,11 +986,14 @@ object HtmlOps {
          |), at1 AS (
          |  SELECT doc_id, page_url, ${attrSql("src")} AS src0,
          |    ${attrSql("data-src")} AS dsrc,
+         |    NULLIF(regexp_extract(COALESCE(${attrSql("srcset")}, ''),
+         |      '^[ \\t\\n\\f\\r]*([^ \\t\\n\\f\\r,]+)', 1), '') AS sset,
          |    COALESCE(${attrSql("alt")}, ${attrSql("title")}, figcap) AS alt_text
          |  FROM tg
          |), at2 AS (
          |  SELECT doc_id, page_url,
-         |    CASE WHEN src0 IS NULL OR src0 LIKE 'data:%' THEN dsrc
+         |    CASE WHEN src0 IS NULL OR src0 LIKE 'data:%'
+         |         THEN COALESCE(dsrc, sset)
          |         ELSE src0 END AS src,
          |    alt_text
          |  FROM at1

@@ -1119,6 +1119,7 @@ class HtmlUrlSpec extends SparkSpec {
         |<img src="data:image/gif;base64,R0l" alt="x">
         |<img alt="no src">
         |<img src="data:image/gif;base64,R0l" data-src="lazy.png" alt="deferred pic">
+        |<img srcset=" small.png 480w, large.png 1024w" alt="responsive pic">
         |<img src="//bücher.example/p4.png" alt="">
         |</body></html>""".stripMargin
     val pages = Seq(("http://site.example/dir/page.html", html))
@@ -1135,6 +1136,9 @@ class HtmlUrlSpec extends SparkSpec {
       "http://site.example/based/pic3.gif" -> Some("the third image"),
       // the lazy-load rule: data: placeholder src defers to data-src
       "http://site.example/based/lazy.png" -> Some("deferred pic"),
+      // src-less responsive img: FIRST srcset candidate (leading
+      // whitespace tolerated, descriptor stripped)
+      "http://site.example/based/small.png" -> Some("responsive pic"),
       "http://xn--bcher-kva.example/p4.png" -> None), got.toString)
   }
 
@@ -1165,6 +1169,47 @@ class HtmlUrlSpec extends SparkSpec {
     assert(hashes.size == 3)
     assert(hashes(1L) == hashes(3L), "planted duplicate pair collapses")
     assert(hashes(1L) != hashes(2L), "distinct gradients stay apart")
+  }
+
+  test("mediaPairsOf mines video/audio sources, posters, and captions") {
+    import spark.implicits._
+    val html =
+      """<html><head><base href="/m/"></head><body>
+        |<video title="match highlights" poster="thumbs/v1.png" src="clips/v1.avi">
+        |  <source src="clips/v1.webm"><source src='clips/v1.mp4'>
+        |</video>
+        |<audio aria-label="interview audio"><source src="snd/a1.wav"></audio>
+        |<audio src="data:audio/wav;base64,AAAA" title="inline"></audio>
+        |</body></html>""".stripMargin
+    val pages = Seq(("http://site.example/shows/page.html", html))
+      .toDF("page_url", "html")
+    val got = HtmlOps.mediaPairsOf(pages).collect()
+      .map(r => r.getAs[String]("media_url") ->
+        ((r.getAs[String]("kind"), Option(r.getAs[String]("caption_text")))))
+      .toMap
+    assert(got == Map(
+      "http://site.example/m/clips/v1.avi" ->
+        (("video", Some("match highlights"))),
+      "http://site.example/m/clips/v1.webm" ->
+        (("video", Some("match highlights"))),
+      "http://site.example/m/clips/v1.mp4" ->
+        (("video", Some("match highlights"))),
+      // the poster frame is an IMAGE harvest — its own kind
+      "http://site.example/m/thumbs/v1.png" ->
+        (("poster", Some("match highlights"))),
+      "http://site.example/m/snd/a1.wav" ->
+        (("audio", Some("interview audio")))), got.toString)
+    // the bridge is real: a mined video URL joins a binary payload
+    // corpus on the canonical URL and the AVI walk parses the payload
+    import graft.operators.AviOps
+    val payloads = Seq(("http://site.example/m/clips/v1.avi",
+      AviOps.buildAvi(Seq(Array.tabulate[Byte](21)(_.toByte)), 16, 12)))
+      .toDF("media_url", "payload")
+    val joined = HtmlOps.mediaPairsOf(pages)
+      .filter(col("kind") === "video").join(payloads, "media_url")
+      .collect()
+    assert(joined.length == 1)
+    assert(AviOps.aviWalk(joined.head.getAs[Array[Byte]]("payload")).nonEmpty)
   }
 
   test("crawlTrapsBy profiles ANY url frame by FULL host (general face + WARC route)") {
