@@ -108,8 +108,10 @@ object CrawlOps {
     graft.sources.WarcSource.httpResponses(records)
       .withColumn("_canon", UrlOps.canonIdn(col("target_uri")))
       .filter(col("_canon").rlike("^https?://[^/?#]+/robots\\.txt$"))
-      .withColumn("source",
-        regexp_extract(col("_canon"), "^[a-z]+://([^./]+)\\.", 1))
+      // FULL host (round 16) — the warcToDocuments `source` convention:
+      // first-label keying merged www.alpha with www.beta, so one
+      // host's robots verdict could gate another's URLs
+      .withColumn("source", regexp_extract(col("_canon"), FullHostRe, 1))
       .filter(col("source") =!= "" && col("http_status").isNotNull)
       .withColumn("_conservatism",
         when(col("http_status") >= 500, lit(2))
@@ -132,11 +134,16 @@ object CrawlOps {
 
   /** Split a canonical URL frame into (…, source, path) — `path`
     * includes any surviving query (the RFC 9309 match target), so every
-    * matcher built on these parts agrees by construction. */
-  private def withParts(urls: DataFrame): DataFrame =
+    * matcher built on these parts agrees by construction. The host KEY
+    * is the caller's contract: the synthetic universes key on the
+    * first DNS label (their `source` column), the real-data faces on
+    * the FULL host ([[FullHostRe]] — the warcToDocuments convention);
+    * what matters is that parts and rules/statuses frames agree. */
+  private def withParts(urls: DataFrame,
+                        host: Column = regexp_extract(col("canon_url"),
+                          "^[a-z]+://([^./]+)\\.", 1)): DataFrame =
     urls
-      .withColumn("source",
-        regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1))
+      .withColumn("source", host)
       .withColumn("path",
         regexp_replace(col("canon_url"), "^[a-z]+://[^/?#]*", ""))
 
@@ -253,6 +260,70 @@ object CrawlOps {
       .filter(robotsAllowed)
       .join(fetched.select(col("canon_url")), Seq("canon_url"), "left_anti")
       .select(col("canon_url"), col("n_referrers"))
+
+  /** The latest 2xx `/robots.txt` BODY per host off a WARC record frame
+    * — the (source, body) input [[parseRobotsBodies]] wants, keyed on
+    * the FULL host like every round-16 real face (a refetch supersedes
+    * by WARC-Date, matching [[robotsStatusesOf]]'s latest-wins rule;
+    * 4xx/5xx fetches carry no usable body — the STATUS face gates
+    * those hosts). One hosts-bounded aggregation. */
+  def robotsBodiesOf(records: DataFrame): DataFrame =
+    graft.sources.WarcSource.httpResponses(records)
+      .withColumn("_canon", UrlOps.canonIdn(col("target_uri")))
+      .filter(col("_canon").rlike("^https?://[^/?#]+/robots\\.txt$"))
+      .withColumn("source", regexp_extract(col("_canon"), FullHostRe, 1))
+      .filter(col("source") =!= "" &&
+        col("http_status").between(200, 299) && col("body").isNotNull)
+      .groupBy(col("source"))
+      .agg(max(struct(col("warc_date"), col("body")))
+        .getField("body").as("body"))
+
+  /** The REAL-DATA frontier (round 16) — the public end-to-end face a
+    * crawl operator actually runs, wiring the general pieces the estate
+    * already proved one by one: crawled pages' outlinks
+    * ([[HtmlOps.linksOf]] — base-href, resolve, canonIdn) against the
+    * crawl's OWN robots records ([[robotsBodiesOf]] →
+    * [[parseRobotsBodies]] for the rules; [[robotsStatusesOf]] for the
+    * reachability axis) minus the fetch log. EVERY host keys on the
+    * FULL host — the synthetic first-label `source` never appears, so
+    * `www.alpha.example` and `www.beta.example` cannot gate each
+    * other's URLs. A host with no robots capture defaults to allowed
+    * (no rules, no status — RFC 9309 has nothing to say until the
+    * robots fetch happens; the scheduler fetches robots.txt first in
+    * practice). Scale: links are the one corpus-scale frame (one
+    * url-keyed agg + the anti-join); rules/statuses are hosts-bounded
+    * broadcasts. */
+  def frontierOf(pages: DataFrame, records: DataFrame,
+                 fetched: DataFrame, agent: String = "*"): DataFrame = {
+    val links = HtmlOps.linksOf(pages)
+      .groupBy(col("dst_url").as("canon_url"))
+      .agg(countDistinct(col("page_url")).as("n_referrers"))
+    val (rules, _, _) = parseRobotsBodies(robotsBodiesOf(records), agent)
+    matchRules(withParts(links, regexp_extract(col("canon_url"),
+      FullHostRe, 1)), rules, robotsStatusesOf(records),
+      Seq("n_referrers"))
+      .filter(robotsAllowed)
+      .join(fetched.select(col("canon_url")), Seq("canon_url"), "left_anti")
+      .select(col("canon_url"), col("n_referrers"))
+  }
+
+  /** The REAL-DATA politeness schedule (round 16) — [[frontierOf]]'s
+    * WHEN twin: the real frontier queued behind the crawl's own
+    * `Crawl-delay` declarations ([[parseRobotsBodies]]' delays face),
+    * full-host keyed end to end; hosts declaring no delay queue at
+    * `defaultDelayS` (real crawlers always impose SOME floor — a
+    * zero-delay host would collapse the politeness queue to a burst). */
+  def crawlScheduleOf(pages: DataFrame, records: DataFrame,
+                      fetched: DataFrame, agent: String = "*",
+                      defaultDelayS: Long = 1L): DataFrame = {
+    import pages.sparkSession.implicits._
+    val (_, delays, _) = parseRobotsBodies(robotsBodiesOf(records), agent)
+    val noCursors = Seq.empty[(String, Long)].toDF("source", "cursor_s")
+    scheduleCoreKeyed(frontierOf(pages, records, fetched, agent), delays,
+      noCursors, Seq.empty,
+      regexp_extract(col("canon_url"), FullHostRe, 1), Some(defaultDelayS))
+      .orderBy("canon_url")
+  }
 
   /** The synthetic per-host sitemap UNIVERSE, in its real nested form
     * (round 13): `/sitemap.xml` is a `<sitemapindex>` pointing at two
@@ -1150,14 +1221,32 @@ object CrawlOps {
     * the batch query and [[scheduleStream]] so the two cannot drift. */
   private[graft] def scheduleCore(frontier: DataFrame, delays: DataFrame,
                                   cursors: DataFrame,
-                                  carry: Seq[String] = Seq.empty): DataFrame = {
+                                  carry: Seq[String] = Seq.empty): DataFrame =
+    scheduleCoreKeyed(frontier, delays, cursors, carry,
+      regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1), None)
+
+  /** [[scheduleCore]] with the host KEY and a default delay as
+    * parameters (round 16): the synthetic faces keep the first-label
+    * key and REQUIRE a declared delay (every synthetic host has one —
+    * inner join, the oracle-pinned shape); the real face
+    * ([[crawlScheduleOf]]) keys on the full host and floors undeclared
+    * hosts at `defaultDelayS` via a left join + coalesce. */
+  private[graft] def scheduleCoreKeyed(frontier: DataFrame,
+                                       delays: DataFrame,
+                                       cursors: DataFrame,
+                                       carry: Seq[String],
+                                       host: Column,
+                                       defaultDelayS: Option[Long]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("canon_url"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    frontier
-      .withColumn("source",
-        regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1))
-      .join(broadcast(delays), "source")
+    val keyed = frontier.withColumn("source", host)
+    val withDelay = defaultDelayS match {
+      case None => keyed.join(broadcast(delays), "source")
+      case Some(d) => keyed.join(broadcast(delays), Seq("source"), "left")
+        .withColumn("delay_s", coalesce(col("delay_s"), lit(d)))
+    }
+    withDelay
       .join(broadcast(cursors), Seq("source"), "left")
       .withColumn("next_allowed_offset_s",
         coalesce(col("cursor_s"), lit(0L)) +

@@ -541,13 +541,15 @@ class HtmlUrlSpec extends SparkSpec {
       graft.sources.WarcSource.read(spark, dir.toString))
     val got = statuses.collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
-    assert(got == Map("ok" -> 200, "flap" -> 503, "gone" -> 404,
-      "tie" -> 200, "tie5" -> 503), got)
+    // FULL-host keys (round 16) — the warcToDocuments convention
+    assert(got == Map("ok.example.com" -> 200, "flap.example.com" -> 503,
+      "gone.example.com" -> 404, "tie.example.com" -> 200,
+      "tie5.example.com" -> 503), got)
     // and the matcher honors it: the flapping host's urls are DISALLOWED
     // even though its (stale) parsed rules would allow them
     val parts = Seq(
-      ("http://flap.example.com/a", "flap", "/a"),
-      ("http://ok.example.com/a", "ok", "/a"))
+      ("http://flap.example.com/a", "flap.example.com", "/a"),
+      ("http://ok.example.com/a", "ok.example.com", "/a"))
       .toDF("canon_url", "source", "path")
     val rules = Seq.empty[(String, String, Boolean)]
       .toDF("source", "prefix", "allow")
@@ -1169,6 +1171,51 @@ class HtmlUrlSpec extends SparkSpec {
     assert(hashes.size == 3)
     assert(hashes(1L) == hashes(3L), "planted duplicate pair collapses")
     assert(hashes(1L) != hashes(2L), "distinct gradients stay apart")
+  }
+
+  test("frontierOf/crawlScheduleOf: the real-data politeness loop, full-host keyed") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val dir = Files.createTempDirectory("graft_warc_realloop")
+    val newsRobots = "User-agent: *\r\nDisallow: /private\r\nCrawl-delay: 2\r\n"
+    val recs =
+      record("response", "http://www.news.example/robots.txt",
+        http("200 OK", "text/plain", newsRobots.getBytes(US_ASCII))) ++
+      record("response", "http://www.blog.example/robots.txt",
+        http("404 Not Found", "text/plain", "nope".getBytes(US_ASCII)))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val records = graft.sources.WarcSource.read(spark, dir.toString)
+    val pages = Seq(
+      ("http://www.news.example/home",
+        "<a href=\"/private/x\">p</a><a href=\"/story-1\">s1</a>" +
+          "<a href=\"/story-2\">s2</a>" +
+          "<a href=\"http://www.blog.example/post-9\">x</a>"),
+      ("http://www.blog.example/index",
+        "<a href=\"/post-9\">p9</a><a href=\"/about\">a</a>" +
+          "<a href=\"/private/y\">py</a>"))
+      .toDF("page_url", "html")
+    val fetched = Seq("http://www.news.example/story-2").toDF("canon_url")
+    val frontier = CrawlOps.frontierOf(pages, records, fetched)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(frontier == Map(
+      "http://www.news.example/story-1" -> 1L,
+      "http://www.blog.example/post-9" -> 2L, // two referring pages
+      "http://www.blog.example/about" -> 1L,
+      // FULL-host keying: news's `Disallow: /private` must NOT gate
+      // blog (its robots is 404 = allow-all) even though both hosts
+      // share the first DNS label — the round-16 key fix
+      "http://www.blog.example/private/y" -> 1L), frontier.toString)
+    // the WHEN twin: news queues at its declared Crawl-delay 2, blog
+    // (no declared delay) at the 1 s default floor, per-host order
+    val sched = CrawlOps.crawlScheduleOf(pages, records, fetched)
+      .collect().map(r => r.getAs[String]("canon_url") ->
+        ((r.getAs[Long]("delay_s"),
+          r.getAs[Long]("next_allowed_offset_s")))).toMap
+    assert(sched == Map(
+      "http://www.news.example/story-1" -> ((2L, 0L)),
+      "http://www.blog.example/about" -> ((1L, 0L)),
+      "http://www.blog.example/post-9" -> ((1L, 1L)),
+      "http://www.blog.example/private/y" -> ((1L, 2L))), sched.toString)
   }
 
   test("mediaPairsOf mines video/audio sources, posters, and captions") {
