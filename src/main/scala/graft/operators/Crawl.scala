@@ -325,6 +325,53 @@ object CrawlOps {
       .orderBy("canon_url")
   }
 
+  /** REAL-DATA sitemap discovery (round 16) — the third public face of
+    * the crawl loop beside [[frontierOf]] / [[crawlScheduleOf]]: the
+    * crawl's own robots records declare the sitemap URLs
+    * ([[parseRobotsBodies]]' `Sitemap:` face), their captured bodies
+    * (latest 2xx per canonical URL; `.xml.gz` inflates by magic sniff)
+    * parse through the general [[parseSitemaps]] with ONE level of
+    * `<sitemapindex>` recursion — index children are themselves looked
+    * up among the crawl's captures, so an unfetched child contributes
+    * nothing — and the entries triage exactly like the synthetic
+    * `q_sitemap`: newest lastmod per canonical URL, robots `allowed`,
+    * already-`fetched` against `fetchLog` (contract: one row per
+    * canonical URL, columns (canon_url, fetch_date)). FULL-host keyed
+    * end to end. Scale: sitemaps and robots are hosts-bounded; the
+    * capture-body lookup joins on the canonical URL (the fetch-log
+    * key); the fetch-log join is the one corpus-scale frame. */
+  def sitemapSeedsOf(records: DataFrame, fetchLog: DataFrame,
+                     agent: String = "*"): DataFrame = {
+    val (rules, _, sitemaps) = parseRobotsBodies(robotsBodiesOf(records), agent)
+    val captures = graft.sources.WarcSource.httpResponseBytes(records)
+      .filter(col("http_status").between(200, 299))
+      .withColumn("_canon", UrlOps.canonIdn(col("target_uri")))
+      .groupBy(col("_canon"))
+      .agg(max(struct(col("warc_date"), col("body_bytes")))
+        .getField("body_bytes").as("body_bytes"))
+    val declared = sitemaps
+      .select(col("source"), UrlOps.canonIdn(col("sitemap_url")).as("_canon"))
+      .distinct()
+    val lvl0 = decodeSitemapBodies(
+      declared.join(captures, "_canon")
+        .select(col("source"), col("_canon").as("url"), col("body_bytes")))
+      .localCheckpoint(false) // tiny; the child walk AND the parse read it
+    val children = lvl0.filter(col("body").contains("<sitemapindex"))
+      .select(col("source"), explode(regexp_extract_all(col("body"),
+        lit("<loc>([^<]*)</loc>"), lit(1))).as("child"))
+      .select(col("source"), UrlOps.canonIdn(col("child")).as("_canon"))
+      .distinct()
+    val lvl1 = decodeSitemapBodies(
+      children.join(captures, "_canon")
+        .select(col("source"), col("_canon").as("url"), col("body_bytes")))
+    val entries = parseSitemaps(lvl0.unionByName(lvl1))
+    val signals = asSignals(entries
+      .select(UrlOps.canonIdn(col("loc")).as("canon_url"),
+        col("lastmod"), col("changefreq"), col("priority")))
+    triageCore(signals, rules, robotsStatusesOf(records), fetchLog,
+      host = regexp_extract(col("canon_url"), FullHostRe, 1))
+  }
+
   /** The synthetic per-host sitemap UNIVERSE, in its real nested form
     * (round 13): `/sitemap.xml` is a `<sitemapindex>` pointing at two
     * child `<urlset>` files — child A carries the original three locs
@@ -406,11 +453,17 @@ object CrawlOps {
     * decode as UTF-8, anything else falls back to the bijective latin-1
     * view (sitemap XML is ASCII-framed, so locs survive either way).
     * Input (source, url, body_bytes); output = [[parseSitemaps]]'. */
-  private[graft] def parseSitemapBytes(bodies: DataFrame): DataFrame = {
+  private[graft] def parseSitemapBytes(bodies: DataFrame): DataFrame =
+    parseSitemaps(decodeSitemapBodies(bodies))
+
+  /** The byte → text half of [[parseSitemapBytes]], split out (round
+    * 16) so the real-data discovery face can peek at decoded INDEX
+    * bodies to fetch their children before the one parse pass. */
+  private[graft] def decodeSitemapBodies(bodies: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(bodies.sparkSession)
     val isGz = col("body_bytes").substr(1, 2) ===
       lit(Array(0x1f.toByte, 0x8b.toByte))
-    parseSitemaps(bodies
+    bodies
       .withColumn("_raw",
         when(isGz, call_function("http_inflate", col("body_bytes")))
           .otherwise(col("body_bytes")))
@@ -418,7 +471,7 @@ object CrawlOps {
       .withColumn("body",
         when(expr("is_valid_utf8(_raw)"), decode(col("_raw"), "UTF-8"))
           .otherwise(decode(col("_raw"), "ISO-8859-1")))
-      .select(col("source"), col("url"), col("body")))
+      .select(col("source"), col("url"), col("body"))
   }
 
   /** Parse ANY (source, url, body) sitemap frame — the general face real
@@ -646,7 +699,10 @@ object CrawlOps {
     * rows before it enters, or the left join would fan seeds out. */
   private[graft] def triageCore(signals: DataFrame, rules: DataFrame,
                                 statuses: DataFrame,
-                                fetchLog: DataFrame): DataFrame = {
+                                fetchLog: DataFrame,
+                                host: Column = regexp_extract(
+                                  col("canon_url"),
+                                  "^[a-z]+://([^./]+)\\.", 1)): DataFrame = {
     val seeds = signals
       .groupBy(col("canon_url"))
       .agg(max(col("lastmod")).as("lastmod"),
@@ -655,13 +711,12 @@ object CrawlOps {
         // numeric max, and the string stays hash-exact cross-engine
         max(col("priority")).as("priority"),
         max(col("etag_due")).as("etag_due"))
-    matchRules(withParts(seeds), rules, statuses,
+    matchRules(withParts(seeds, host), rules, statuses,
       Seq("lastmod", "changefreq", "priority", "etag_due"))
       .select(col("canon_url"), col("lastmod"), col("changefreq"),
         col("priority"), col("etag_due"),
         robotsAllowed.as("allowed"))
-      .withColumn("source",
-        regexp_extract(col("canon_url"), "^[a-z]+://([^./]+)\\.", 1))
+      .withColumn("source", host)
       .join(fetchLog.select(col("canon_url"), col("fetch_date")),
         Seq("canon_url"), "left")
       .select(col("canon_url"), col("source"), col("lastmod"),

@@ -337,6 +337,26 @@ object WarcSource {
     * applies — that face additionally resolves declared charsets and
     * routes failures to a quarantine ledger; this one is the minimal
     * (status, body) projection. */
+  /** Project `response` records into (uri, status, body BYTES) — the
+    * binary twin of [[httpResponses]] for consumers that must sniff
+    * the payload themselves (gzipped sitemaps, image bytes): the
+    * header/body split rides the same bijective latin-1 view, but the
+    * body re-encodes to its raw bytes instead of gating on UTF-8. */
+  def httpResponseBytes(records: DataFrame): DataFrame = {
+    val asText = decode(col("payload"), "ISO-8859-1")
+    records
+      .filter(col("warc_type") === "response")
+      .withColumn("_txt", asText)
+      .withColumn("http_status",
+        regexp_extract(col("_txt"), "^HTTP/[0-9.]+ ([0-9]{3})", 1).cast("int"))
+      .withColumn("_body_l1",
+        when(regexp_extract(col("_txt"), "(?s)\\r?\\n\\r?\\n", 0) === "", lit(""))
+          .otherwise(regexp_replace(col("_txt"), "(?s)^.*?\\r?\\n\\r?\\n", "")))
+      .withColumn("body_bytes", encode(col("_body_l1"), "ISO-8859-1"))
+      .select(col("file"), col("target_uri"), col("warc_date"),
+        col("http_status"), col("body_bytes"))
+  }
+
   def httpResponses(records: DataFrame): DataFrame = {
     val asText = decode(col("payload"), "ISO-8859-1")
     records

@@ -1218,6 +1218,56 @@ class HtmlUrlSpec extends SparkSpec {
       "http://www.blog.example/private/y" -> ((1L, 2L))), sched.toString)
   }
 
+  test("sitemapSeedsOf: robots-declared sitemaps discovered from the crawl's own captures") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val dir = Files.createTempDirectory("graft_warc_smof")
+    val host = "www.shop.example"
+    val robots = s"User-agent: *\r\nDisallow: /secret\r\n" +
+      s"Sitemap: http://$host/sitemap.xml\r\n"
+    val index =
+      s"""<sitemapindex><sitemap><loc>http://$host/sm-a.xml</loc></sitemap>
+         |<sitemap><loc>http://$host/sm-b.xml.gz</loc></sitemap>
+         |<sitemap><loc>http://$host/never-fetched.xml</loc></sitemap>
+         |</sitemapindex>""".stripMargin
+    val smA =
+      s"""<urlset><url><loc>http://$host/item-1</loc><lastmod>2026-08-01</lastmod></url>
+         |<url><loc>http://$host/secret/x</loc></url>
+         |<url><loc>http://$host/item-2</loc></url></urlset>""".stripMargin
+    val smB = s"<urlset><url><loc>http://$host/item-3</loc>" +
+      "<lastmod>2026-07-01</lastmod><changefreq>weekly</changefreq>" +
+      "</url></urlset>"
+    val gz = new java.io.ByteArrayOutputStream()
+    val go = new java.util.zip.GZIPOutputStream(gz)
+    go.write(smB.getBytes(UTF_8)); go.finish()
+    val recs =
+      record("response", s"http://$host/robots.txt",
+        http("200 OK", "text/plain", robots.getBytes(US_ASCII))) ++
+      record("response", s"http://$host/sitemap.xml",
+        http("200 OK", "application/xml", index.getBytes(UTF_8))) ++
+      record("response", s"http://$host/sm-a.xml",
+        http("200 OK", "application/xml", smA.getBytes(UTF_8))) ++
+      record("response", s"http://$host/sm-b.xml.gz",
+        http("200 OK", "application/gzip", gz.toByteArray))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val fetchLog = Seq((s"http://$host/item-2", "2026-07-15"))
+      .toDF("canon_url", "fetch_date")
+    val got = CrawlOps.sitemapSeedsOf(
+      graft.sources.WarcSource.read(spark, dir.toString), fetchLog)
+      .collect().map(r => r.getAs[String]("canon_url") -> ((
+        r.getAs[String]("source"), r.getAs[Boolean]("allowed"),
+        r.getAs[Boolean]("fetched"), Option(r.getAs[String]("lastmod")),
+        Option(r.getAs[String]("changefreq"))))).toMap
+    assert(got == Map(
+      // index → plain child: lastmod carried, robots gates /secret
+      s"http://$host/item-1" -> ((host, true, false, Some("2026-08-01"), None)),
+      s"http://$host/secret/x" -> ((host, false, false, None, None)),
+      s"http://$host/item-2" -> ((host, true, true, None, None)),
+      // index → GZIPPED child (magic-sniffed): changefreq rides along
+      s"http://$host/item-3" -> ((host, true, false, Some("2026-07-01"),
+        Some("weekly")))), got.toString)
+  }
+
   test("mediaPairsOf mines video/audio sources, posters, and captions") {
     import spark.implicits._
     val html =
