@@ -268,12 +268,18 @@ object CrawlOps {
     * 4xx/5xx fetches carry no usable body — the STATUS face gates
     * those hosts). One hosts-bounded aggregation. */
   def robotsBodiesOf(records: DataFrame): DataFrame =
-    graft.sources.WarcSource.httpResponses(records)
+    graft.sources.WarcSource.httpResponseBytes(records)
       .withColumn("_canon", UrlOps.canonIdn(col("target_uri")))
       .filter(col("_canon").rlike("^https?://[^/?#]+/robots\\.txt$"))
       .withColumn("source", regexp_extract(col("_canon"), FullHostRe, 1))
-      .filter(col("source") =!= "" &&
-        col("http_status").between(200, 299) && col("body").isNotNull)
+      .filter(col("source") =!= "" && col("http_status").between(200, 299))
+      // robots.txt SHOULD be UTF-8 (RFC 9309 §2.3) but a latin-1 body
+      // must not silently cost a host its rules (its ASCII directives
+      // survive either decode) — the decodeSitemapBodies fallback rule
+      .withColumn("body",
+        when(expr("is_valid_utf8(body_bytes)"),
+          decode(col("body_bytes"), "UTF-8"))
+          .otherwise(decode(col("body_bytes"), "ISO-8859-1")))
       .groupBy(col("source"))
       .agg(max(struct(col("warc_date"), col("body")))
         .getField("body").as("body"))
@@ -315,9 +321,26 @@ object CrawlOps {
     * zero-delay host would collapse the politeness queue to a burst). */
   def crawlScheduleOf(pages: DataFrame, records: DataFrame,
                       fetched: DataFrame, agent: String = "*",
-                      defaultDelayS: Long = 1L): DataFrame = {
+                      defaultDelayS: Long = 1L,
+                      trapsBy: Option[DataFrame] = None,
+                      damp: Long = 10L): DataFrame = {
     import pages.sparkSession.implicits._
-    val (_, delays, _) = parseRobotsBodies(robotsBodiesOf(records), agent)
+    val (_, delays0, _) = parseRobotsBodies(robotsBodiesOf(records), agent)
+    // trap damping on the REAL face (the crawlScheduleDamped rule over
+    // crawlTrapsBy's full-host flags): a flagged host's effective delay
+    // is damp × its declared-or-floored delay — both frames
+    // hosts-bounded, the frontier untouched
+    val delays = trapsBy match {
+      case None => delays0
+      case Some(t) =>
+        val trapHosts = t.filter(col("trap")).select(col("host").as("source"))
+        val damped = trapHosts.join(delays0, Seq("source"), "left")
+          .select(col("source"),
+            (coalesce(col("delay_s"), lit(defaultDelayS)) * damp)
+              .as("delay_s"))
+        delays0.join(trapHosts, Seq("source"), "left_anti")
+          .unionByName(damped)
+    }
     val noCursors = Seq.empty[(String, Long)].toDF("source", "cursor_s")
     scheduleCoreKeyed(frontierOf(pages, records, fetched, agent), delays,
       noCursors, Seq.empty,

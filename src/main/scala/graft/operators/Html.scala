@@ -806,6 +806,44 @@ object HtmlOps {
       .distinct()
   }
 
+  /** The multimodal DATASET BUILDER (round 16) — the img2dataset +
+    * dedup endgame in one face: [[imagePairsOf]]'s mined (page, img,
+    * text) pairs join the binary payload corpus on the canonical URL,
+    * every payload perceptual-hashes through the real decode estate
+    * ([[MultimodalOps.imageDhash]] — PPM/BMP/PNG/QOI/JPEG/GIF), and
+    * each dHash cluster keeps ONE representative pair: the
+    * BEST-CAPTIONED one (longest caption wins — the signal a
+    * caption-trained model actually wants; remaining ties break
+    * lexicographically, captionless pairs lose to any caption), with
+    * (n_pairs, n_pages, n_urls) accounting per cluster. `payloads` is
+    * (img_url, payload) — one payload per canonical URL (the fetch
+    * log's own invariant). Scale: the pair mine is a pure map + one
+    * distinct; the payload join keys on the canonical URL; payloads
+    * die inside [[MultimodalOps.imageDhash]]'s tasks (binary never
+    * rides a shuffle); the cluster agg keys on the 64-bit dhash. */
+  def imageDatasetOf(pages: DataFrame, payloads: DataFrame): DataFrame = {
+    val imgs = payloads.select(col("img_url"), col("payload"))
+    val hashes = MultimodalOps.imageDhash(
+      imgs.select(xxhash64(col("img_url")).as("doc_id"), col("payload")))
+    val urlHash = imgs
+      .select(col("img_url"), xxhash64(col("img_url")).as("doc_id"))
+      .join(hashes, "doc_id")
+      .select(col("img_url"), col("dhash"))
+    imagePairsOf(pages)
+      .join(urlHash, "img_url")
+      .groupBy(col("dhash"))
+      .agg(
+        max(struct(length(col("alt_text")).as("l"),
+          col("alt_text").as("alt_text"), col("img_url").as("img_url")))
+          .as("_rep"),
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("page_url")).as("n_pages"),
+        countDistinct(col("img_url")).as("n_urls"))
+      .select(col("dhash"), col("_rep.img_url").as("img_url"),
+        col("_rep.alt_text").as("alt_text"),
+        col("n_pairs"), col("n_pages"), col("n_urls"))
+  }
+
   /** The synthetic gallery page for `q_image_pairs` — every messy
     * `<img>` form the extractor must survive: a relative double-quoted
     * src with alt, an UPPER-CASE single-quoted SRC with TITLE fallback,

@@ -176,9 +176,14 @@ object GraftHash {
     val set = new java.util.HashSet[java.lang.Long](nFps * 2)
     var fi = 0
     while (fi < nFps) {
-      set.add(java.lang.Long.parseLong(fps.getUTF8String(fi).toString, 16))
+      // a non-hex entry cannot match any kgram hash — skip it rather
+      // than throw (the expression is public surface; input contract
+      // violations must not kill a job)
+      try set.add(java.lang.Long.parseLong(fps.getUTF8String(fi).toString, 16))
+      catch { case _: NumberFormatException => () }
       fi += 1
     }
+    if (set.isEmpty) return new GenericArrayData(Array.empty[Any])
     val bytes = t.getBytes
     val ascii = bytes.length == nChars
     val md = mdLocal.get()

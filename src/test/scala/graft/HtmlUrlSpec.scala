@@ -1171,6 +1171,17 @@ class HtmlUrlSpec extends SparkSpec {
     assert(hashes.size == 3)
     assert(hashes(1L) == hashes(3L), "planted duplicate pair collapses")
     assert(hashes(1L) != hashes(2L), "distinct gradients stay apart")
+    // the one-face dataset builder: the duplicate cluster keeps the
+    // best caption ("first" vs "third" tie on length → lexicographic
+    // max) with per-cluster accounting
+    val ds = HtmlOps.imageDatasetOf(pages,
+      payloads.select(col("img_url"), col("payload")))
+      .collect().map(r => r.getAs[String]("img_url") ->
+        ((r.getAs[String]("alt_text"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("n_pages"), r.getAs[Long]("n_urls")))).toMap
+    assert(ds == Map(
+      "http://x.example/i/c.ppm" -> (("third", 2L, 2L, 2L)),
+      "http://x.example/i/b.ppm" -> (("second", 1L, 1L, 1L))), ds.toString)
   }
 
   test("frontierOf/crawlScheduleOf: the real-data politeness loop, full-host keyed") {
@@ -1216,6 +1227,20 @@ class HtmlUrlSpec extends SparkSpec {
       "http://www.blog.example/about" -> ((1L, 0L)),
       "http://www.blog.example/post-9" -> ((1L, 1L)),
       "http://www.blog.example/private/y" -> ((1L, 2L))), sched.toString)
+    // trap damping composes on the real face too: flag blog via a
+    // crawlTrapsBy-shaped frame → its floored delay ×10, news untouched
+    val traps = Seq(("www.blog.example", true), ("www.news.example", false))
+      .toDF("host", "trap")
+    val damped = CrawlOps.crawlScheduleOf(pages, records, fetched,
+      trapsBy = Some(traps))
+      .collect().map(r => r.getAs[String]("canon_url") ->
+        ((r.getAs[Long]("delay_s"),
+          r.getAs[Long]("next_allowed_offset_s")))).toMap
+    assert(damped == Map(
+      "http://www.news.example/story-1" -> ((2L, 0L)),
+      "http://www.blog.example/about" -> ((10L, 0L)),
+      "http://www.blog.example/post-9" -> ((10L, 10L)),
+      "http://www.blog.example/private/y" -> ((10L, 20L))), damped.toString)
   }
 
   test("sitemapSeedsOf: robots-declared sitemaps discovered from the crawl's own captures") {

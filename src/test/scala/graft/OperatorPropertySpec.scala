@@ -160,6 +160,60 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowCutSpans: total over garbage; spans sorted/disjoint/in-bounds; equals the naive model") {
+    import graft.plans.GraftHash
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(16)
+    val K = graft.operators.DedupOps.WinnowK
+    def hex8(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      f"$v%08x"
+    }
+    (0 until 200).foreach { _ =>
+      // tiny alphabet → repeated grams → overlapping/adjacent spans
+      val t = (0 until rnd.nextInt(120))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val grams = (0 to math.max(-1, t.length - K))
+        .map(p => t.substring(p, p + K)).distinct
+      val real = rnd.shuffle(grams).take(rnd.nextInt(4)).map(hex8)
+      // junk entries incl. non-hex, empty, and a Long-overflowing hex —
+      // all must be SKIPPED, never thrown on (the hardening contract)
+      val junk = rnd.shuffle(Seq("zzzz", "", "ffffffffffffffff", "12"))
+        .take(rnd.nextInt(4))
+      val fps = new GenericArrayData(
+        rnd.shuffle(real ++ junk)
+          .map(s => UTF8String.fromString(s): Any).toArray)
+      val out = GraftHash.winnowCutSpans(UTF8String.fromString(t), fps, K)
+      val spans = (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2); (r.getInt(0), r.getInt(1))
+      }
+      spans.foreach { case (s, e) =>
+        assert(s >= 0 && e <= t.length && e > s, s"bad span ($s,$e) len=${t.length}")
+      }
+      spans.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 >= e1, "overlap/out-of-order")
+        case _ => ()
+      }
+      // the naive model: every matching gram position, islands merged
+      // with the SQL rule (new island when p > prevMax + K - 1)
+      val set = real.toSet
+      val hits = (0 to math.max(-1, t.length - K))
+        .filter(p => set.contains(hex8(t.substring(p, p + K))))
+      val model = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var cs = -1; var cm = -1
+      hits.foreach { p =>
+        if (cs >= 0 && p <= cm + K - 1) cm = p
+        else { if (cs >= 0) model += ((cs, cm + K)); cs = p; cm = p }
+      }
+      if (cs >= 0) model += ((cs, cm + K))
+      assert(spans == model.toSeq, s"t=<$t> real=$real got=$spans want=$model")
+    }
+  }
+
   test("saltedJoin matches the plain join for arbitrary key distributions") {
     import spark.implicits._
     val leftRows = Gen.listOfN(200, for {
