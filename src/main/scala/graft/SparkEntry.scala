@@ -140,6 +140,7 @@ object SparkEntry {
     "q_extract_clean" -> ((s, dir) => HtmlOps.extractClean(Tables.documents(s, dir))),
     "q_main_content" -> ((s, dir) => HtmlOps.mainContent(Tables.documents(s, dir))),
     "q_image_pairs" -> ((s, dir) => HtmlOps.imagePairs(Tables.documents(s, dir))),
+    "q_media_pairs" -> ((s, dir) => HtmlOps.mediaPairs(Tables.documents(s, dir))),
     "q_crawl_traps" -> ((s, dir) => CrawlOps.crawlTraps(Tables.documents(s, dir))),
     // --- trained classifiers (§2 rows 101-103) ---
     "q_classifier_train" -> ((s, dir) =>

@@ -768,14 +768,25 @@ object HtmlOps {
     val effBase = coalesce(
       when(baseHref =!= "", UrlOps.resolve(col("page_url"), baseHref)),
       col("page_url"))
+    mediaSrcOf(pages.withColumn("_base", effBase), Seq("page_url", "_base"))
+      .select(col("page_url"),
+        UrlOps.canonIdn(UrlOps.resolve(col("_base"), col("src")))
+          .as("media_url"),
+        col("kind"), col("caption_text"))
+      .filter(col("media_url").rlike("^https?://"))
+      .distinct()
+  }
+
+  /** The shared media-extraction core (the [[imgTagsOf]] shape): one
+    * page row → one row per media SOURCE with its kind and caption. */
+  private def mediaSrcOf(pages: DataFrame, keep: Seq[String]): DataFrame = {
     val blocks = concat(
       regexp_extract_all(col("html"),
         lit("(?is)<video[^>]*>.*?</video>"), lit(0)),
       regexp_extract_all(col("html"),
         lit("(?is)<audio[^>]*>.*?</audio>"), lit(0)))
     pages
-      .select(col("page_url"), effBase.as("_base"),
-        explode(blocks).as("block"))
+      .select(keep.map(col) :+ explode(blocks).as("block"): _*)
       .withColumn("kind",
         when(lower(col("block")).startsWith("<video"), "video")
           .otherwise("audio"))
@@ -784,26 +795,81 @@ object HtmlOps {
       .withColumn("caption_text",
         coalesce(attrOf(col("_head"), "title"),
           attrOf(col("_head"), "aria-label")))
-      .select(col("page_url"), col("_base"), col("kind"),
-        col("caption_text"), col("_head"),
+      .select(keep.map(col) ++ Seq(col("kind"), col("caption_text"),
+        col("_head"),
         explode(concat(array(col("_head")),
           regexp_extract_all(col("block"),
-            lit("(?is)<source[^>]*>"), lit(0)))).as("tag"))
+            lit("(?is)<source[^>]*>"), lit(0)))).as("tag")): _*)
       .withColumn("_src", attrOf(col("tag"), "src"))
       // the poster attr lives on the element head only
       .withColumn("_poster",
         when(col("tag") === col("_head"), attrOf(col("tag"), "poster")))
-      .select(col("page_url"), col("_base"), col("caption_text"),
+      .select(keep.map(col) ++ Seq(col("caption_text"),
         explode(filter(array(
           struct(col("_src").as("u"), col("kind").as("k")),
           struct(col("_poster").as("u"), lit("poster").as("k"))),
-          c => c.getField("u").isNotNull)).as("c"))
-      .select(col("page_url"),
-        UrlOps.canonIdn(UrlOps.resolve(col("_base"), col("c.u")))
+          c => c.getField("u").isNotNull)).as("c")): _*)
+      .select(keep.map(col) ++ Seq(col("c.u").as("src"),
+        col("c.k").as("kind"), col("caption_text")): _*)
+  }
+
+  /** The synthetic media page for `q_media_pairs` — a titled video
+    * with poster + two `<source>` children (one single-quoted, one
+    * double-quoted), an aria-labelled audio with an UNQUOTED source
+    * src, a caption-less bare video (NULL caption_text survives), and
+    * a `data:`-src audio (dropped). Left = literal, Right = key. */
+  private val MediaParts: Seq[Either[String, String]] = Seq(
+    Left("<html><body><p>media page</p><video title=\"clip "), Right("m7"),
+    Left("\" poster=\"th/p"), Right("m7"), Left(".png\" src=\"v/a"),
+    Right("m7"), Left(".avi\"><source src=\"v/a"), Right("m7"),
+    Left(".webm\"><source src='v/a"), Right("m7"),
+    Left(".mp4'></video><audio aria-label=\"pod "), Right("m9"),
+    Left("\"><source src=snd/b"), Right("m9"),
+    Left(".wav></audio><video src=\"/solo/c"), Right("m5"),
+    Left(".ogv\"></video>" +
+      "<audio src=\"data:audio/wav;base64,AAAA\" title=\"x\"></audio>" +
+      "</body></html>"))
+
+  private def mediaSynthPage: Column =
+    concat(MediaParts.map {
+      case Left(s) => lit(s)
+      case Right("m7") => (col("doc_id") % 7).cast("string")
+      case Right("m9") => (col("doc_id") % 9).cast("string")
+      case Right("m5") => (col("doc_id") % 5).cast("string")
+      case Right(other) => throw new IllegalArgumentException(other)
+    }: _*)
+
+  private def mediaSynthPageSql: String = MediaParts.map {
+    case Left(s) => TextFuns.sqlLit(s)
+    case Right("m7") => "CAST(doc_id % 7 AS VARCHAR)"
+    case Right("m9") => "CAST(doc_id % 9 AS VARCHAR)"
+    case Right("m5") => "CAST(doc_id % 5 AS VARCHAR)"
+    case Right(other) => throw new IllegalArgumentException(other)
+  }.mkString(" || ")
+
+  /** §2 `q_media_pairs`: media-source mining under the oracle — the
+    * synthetic media page rides the SAME [[mediaSrcOf]] core as the
+    * real face ([[mediaPairsOf]] — which swaps in base-href handling
+    * and canonIdn), then resolve → [[UrlOps.canon]]. Expected yield:
+    * six rows per document — three video sources sharing the element
+    * caption, the poster frame, the unquoted-src audio, and one
+    * caption-less bare video; the `data:` audio drops. */
+  def mediaPairs(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val host = concat(col("source"), lit(".example.com"))
+    val pageUrl = concat(lit("http://"), host, lit("/media/"),
+      (col("doc_id") % 50).cast("string"), lit("/page.html"))
+    val pages = documents.select(col("doc_id"), pageUrl.as("page_url"),
+      mediaSynthPage.as("html"))
+    mediaSrcOf(pages.withColumn("_base", col("page_url")),
+      Seq("doc_id", "page_url", "_base"))
+      .select(col("doc_id"),
+        UrlOps.canon(UrlOps.resolve(col("_base"), col("src")))
           .as("media_url"),
-        col("c.k").as("kind"), col("caption_text"))
-      .filter(col("media_url").rlike("^https?://"))
+        col("kind"), col("caption_text"))
+      .filter(col("media_url").isNotNull)
       .distinct()
+      .orderBy("doc_id", "media_url")
   }
 
   /** The multimodal DATASET BUILDER (round 16) — the img2dataset +
@@ -925,11 +991,11 @@ object HtmlOps {
       .orderBy("doc_id", "img_url")
   }
 
-  /** The DuckDB attribute chain of [[attrOf]] over a `tag` column —
+  /** The DuckDB attribute chain of [[attrOf]] over the `over` column —
     * same pattern text, same precedence, same empty-is-absent rule. */
-  private def attrSql(name: String): String = {
+  private def attrSql(name: String, over: String = "tag"): String = {
     def nn(re: String): String =
-      s"NULLIF(regexp_extract(tag, ${TextFuns.sqlLit(re)}, 1), '')"
+      s"NULLIF(regexp_extract($over, ${TextFuns.sqlLit(re)}, 1), '')"
     s"COALESCE(${nn(s"(?is)$WsCls$name$WsCls*=$WsCls*\"([^\"]*)\"")}, " +
       s"${nn(s"(?is)$WsCls$name$WsCls*=$WsCls*'([^']*)'")}, " +
       s"${nn(s"(?is)$WsCls$name$WsCls*=$WsCls*([^ \\t\\n\\f\\r>\"']+)")})"
@@ -1044,6 +1110,56 @@ object HtmlOps {
          |  ${UrlOps.canonSql("r")} AS img_url, alt_text
          |FROM rs WHERE r IS NOT NULL
          |ORDER BY doc_id, img_url""".stripMargin
+    },
+    "q_media_pairs" -> {
+      val vid = TextFuns.sqlLit("(?is)<video[^>]*>.*?</video>")
+      val aud = TextFuns.sqlLit("(?is)<audio[^>]*>.*?</audio>")
+      val headRe = TextFuns.sqlLit("(?is)^<[a-z]+[^>]*>")
+      val srcTag = TextFuns.sqlLit("(?is)<source[^>]*>")
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    'http://' || source || '.example.com/media/' || CAST(doc_id % 50 AS VARCHAR) || '/page.html' AS page_url,
+         |    $mediaSynthPageSql AS html
+         |  FROM documents
+         |), bl AS (
+         |  SELECT doc_id, page_url,
+         |    unnest(list_concat(regexp_extract_all(html, $vid, 0),
+         |      regexp_extract_all(html, $aud, 0))) AS block
+         |  FROM p
+         |), hd AS (
+         |  SELECT doc_id, page_url, block,
+         |    CASE WHEN lower(block) LIKE '<video%' THEN 'video'
+         |         ELSE 'audio' END AS kind,
+         |    regexp_extract(block, $headRe, 0) AS head
+         |  FROM bl
+         |), cp AS (
+         |  SELECT doc_id, page_url, block, kind, head,
+         |    COALESCE(${attrSql("title", "head")},
+         |      ${attrSql("aria-label", "head")}) AS caption_text
+         |  FROM hd
+         |), tg2 AS (
+         |  SELECT doc_id, page_url, kind, head, caption_text,
+         |    unnest(list_concat([head],
+         |      regexp_extract_all(block, $srcTag, 0))) AS tag
+         |  FROM cp
+         |), at3 AS (
+         |  SELECT doc_id, page_url, caption_text,
+         |    unnest(list_filter([
+         |      struct_pack(u := ${attrSql("src")}, k := kind),
+         |      struct_pack(u := CASE WHEN tag = head
+         |        THEN ${attrSql("poster")} END, k := 'poster')],
+         |      c -> c.u IS NOT NULL)) AS c
+         |  FROM tg2
+         |), rs2 AS (
+         |  SELECT doc_id, page_url,
+         |    ${UrlOps.resolveSql("page_url", "c.u")} AS r,
+         |    c.k AS kind, caption_text
+         |  FROM at3
+         |)
+         |SELECT DISTINCT doc_id, ${UrlOps.canonSql("r")} AS media_url,
+         |  kind, caption_text
+         |FROM rs2 WHERE r IS NOT NULL
+         |ORDER BY doc_id, media_url""".stripMargin
     },
     "q_html_extract" ->
       s"""WITH h AS (
