@@ -872,6 +872,24 @@ object HtmlOps {
       .orderBy("doc_id", "media_url")
   }
 
+  /** §2-C `imagePairsStream`: LIVE image-pair mining — [[imagePairsOf]]
+    * per micro-batch of freshly-crawled (page_url, html) rows. The
+    * extract is a pure per-page map, so the stream is STATELESS per
+    * trigger (the unified convention: cross-batch continuity — pair
+    * dedup against the standing corpus — is the persisted store's job,
+    * via `imageDhashIncremental` on the payload side). Batch twin:
+    * `q_image_pairs`' shared [[imgTagsOf]] core, so batch and stream
+    * cannot drift on the extraction rules. */
+  def imagePairsStream(pages: DataFrame)
+                      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) => sink(imagePairsOf(batch.toDF()), id)
+      }
+      .start()
+
   /** The multimodal DATASET BUILDER (round 16) — the img2dataset +
     * dedup endgame in one face: [[imagePairsOf]]'s mined (page, img,
     * text) pairs join the binary payload corpus on the canonical URL,

@@ -1293,6 +1293,34 @@ class HtmlUrlSpec extends SparkSpec {
         Some("weekly")))), got.toString)
   }
 
+  test("imagePairsStream mines pairs live, batch-twin rules per trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val results = new scala.collection.concurrent.TrieMap[
+      Long, Set[(String, String)]]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val q = HtmlOps.imagePairsStream(
+      input.toDF().toDF("page_url", "html")) { (df, id) =>
+      results.put(id, df.collect().map(r =>
+        r.getAs[String]("img_url") -> r.getAs[String]("alt_text")).toSet)
+    }
+    try {
+      input.addData(("http://s.example/p1",
+        "<img src=\"a.png\" alt=\"first pic\">"))
+      q.processAllAvailable()
+      assert(results(0L) ==
+        Set("http://s.example/a.png" -> "first pic"), results.toMap)
+      // trigger 2: a lazy-load img — the SAME extraction rules as the
+      // batch face (shared imgTagsOf core)
+      input.addData(("http://s.example/p2",
+        "<img src=\"data:image/gif;base64,x\" data-src=\"b.png\" alt=\"second\">"))
+      q.processAllAvailable()
+      assert(results(1L) ==
+        Set("http://s.example/b.png" -> "second"), results.toMap)
+    } finally q.stop()
+  }
+
   test("mediaPairsOf mines video/audio sources, posters, and captions") {
     import spark.implicits._
     val html =

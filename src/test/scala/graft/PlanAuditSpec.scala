@@ -544,6 +544,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("q_image_pairs / q_media_pairs: row-level extract, one distinct exchange, no join") {
+    for (df <- Seq(HtmlOps.imagePairs(Tables.documents(spark, sfDir)),
+      HtmlOps.mediaPairs(Tables.documents(spark, sfDir)))) {
+      val p = plan(df)
+      // pair mining is a pure per-page extract: generators + native
+      // url_resolve, ONE hash exchange (the distinct), and no join of
+      // any kind — at 100 TB the whole mine is map-side
+      assert(p.contains("url_resolve"), p)
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+      val hashEx = p.linesIterator.count(l =>
+        l.trim.startsWith("Arguments: hashpartitioning("))
+      assert(hashEx == 1, s"want exactly 1 hash exchange, got $hashEx:\n$p")
+      assert(!p.contains("SinglePartition"), p)
+    }
+  }
+
+  test("q_substring_excise: fingerprint- and doc-keyed exchanges only, no cartesian") {
+    val p = plan(DedupOps.substringExcise(Tables.documents(spark, sfDir)))
+    // the native expressions do the heavy lifting row-level
+    assert(p.contains("winnow_fingerprints") && p.contains("winnow_cut_spans"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SinglePartition"), p)
+    // every exchange keys on the fingerprint or the doc id — segment
+    // text never rides a shuffle (the q_boilerplate rule)
+    val keys = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty, p)
+    keys.foreach { k =>
+      assert(k.contains("f#") || k.contains("doc_id#"), s"unexpected key: $k")
+    }
+  }
+
   test("hash-cluster candidates: (piece, value)-keyed join, no cartesian, no single partition") {
     import spark.implicits._
     // the pair-candidate stage EVERY perceptual-dedup representative
