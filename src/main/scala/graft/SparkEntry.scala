@@ -90,6 +90,7 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) => DedupOps.dedupNgram(Tables.documents(s, dir))),
     "q_dedup_substring" -> ((s, dir) => DedupOps.dedupSubstring(Tables.documents(s, dir))),
     "q_substring_excise" -> ((s, dir) => DedupOps.substringExcise(Tables.documents(s, dir))),
+    "q_substring_excise_text" -> ((s, dir) => DedupOps.substringExciseText(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),
     "q_dup_inflation" -> ((s, dir) => DedupOps.dupInflation(Tables.documents(s, dir))),
     "q_dedup_representative" -> ((s, dir) => DedupOps.dedupRepresentative(Tables.documents(s, dir))),

@@ -635,12 +635,16 @@ object DedupOps {
         size(col("spans")).cast("long").as("n_spans"))
       .orderBy("doc_id")
 
-  /** The TEXT face of [[substringExcise]]: per doc, the normalized text
-    * with its duplicated runs cut out (spans are ascending and
-    * non-overlapping, so one ordered fold rebuilds the kept text —
-    * zero extra shuffles past the accounting plan). Spec-graded on
-    * planted shared passages; `q_substring_excise` is the hash-checked
-    * accounting twin of the same spans. */
+  /** §2 `q_substring_excise_text` — the TEXT face of
+    * [[substringExcise]]: per doc, the normalized text with its
+    * duplicated runs cut out (spans are ascending and non-overlapping,
+    * so one ordered fold rebuilds the kept text — zero extra shuffles
+    * past the accounting plan). Oracle-checked BYTE-FOR-BYTE: the
+    * DuckDB twin rebuilds kept_text as the ordered concatenation of
+    * inter-span gaps off the SAME shared spans derivation the
+    * accounting oracle uses, so the two faces cannot drift; the
+    * planted-passage spec additionally pins the semantics on known
+    * truth. */
   def substringExciseText(documents: DataFrame,
                           dfCap: Int = NgramDfCap): DataFrame =
     withSpans(documents, dfCap)
@@ -1210,6 +1214,54 @@ object DedupOps {
 
   private val normSql = "lower(trim(text))"
 
+  /** The duplicated-run SPANS derivation as a shared WITH-body (through
+    * the `spans (doc_id, g, s, e)` CTE) — the single source of truth
+    * for both excision oracles (`q_substring_excise`'s accounting and
+    * `q_substring_excise_text`'s reconstruction), so the two cannot
+    * drift on what a span is. */
+  private def exciseSpansCtes: String = {
+    val minLen = WinnowK + WinnowW - 1
+    s"""n AS (
+       |  SELECT doc_id, $normSql AS t FROM documents
+       |  WHERE length($normSql) >= $minLen
+       |), h AS (
+       |  SELECT doc_id, i, substr(md5(substr(t, i + 1, $WinnowK)), 1, 8) AS h
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(0, length(t) - $WinnowK)) AS i
+       |        FROM n)
+       |), wm AS (
+       |  SELECT doc_id, i,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS f,
+       |    max(i) OVER (PARTITION BY doc_id) AS mi
+       |  FROM h
+       |), fp AS (
+       |  SELECT DISTINCT doc_id, f FROM wm WHERE i <= mi - ${WinnowW - 1}
+       |), own AS (
+       |  SELECT f, min(doc_id) AS owner FROM fp
+       |  GROUP BY f HAVING count(*) BETWEEN 2 AND $NgramDfCap
+       |), fdup AS (
+       |  SELECT fp.doc_id, fp.f FROM fp JOIN own ON fp.f = own.f
+       |  WHERE fp.doc_id > own.owner
+       |), pos AS (
+       |  SELECT h.doc_id, h.i FROM h
+       |  JOIN fdup ON fdup.doc_id = h.doc_id AND fdup.f = h.h
+       |), isl AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN i > COALESCE(max(i) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -$WinnowK)
+       |      + $WinnowK - 1 THEN 1 ELSE 0 END AS st
+       |  FROM pos
+       |), isl2 AS (
+       |  SELECT doc_id, i,
+       |    SUM(st) OVER (PARTITION BY doc_id ORDER BY i) AS g
+       |  FROM isl
+       |), spans AS (
+       |  SELECT doc_id, g, min(i) AS s, max(i) + $WinnowK AS e
+       |  FROM isl2 GROUP BY doc_id, g
+       |)""".stripMargin
+  }
+
   /** MinHash candidate-pair SQL for any (k, bands) — mirrors
     * [[graft.plans.GraftHash.minhashSlices]]'s hash family exactly: slice
     * i comes from md5 digest ⌊i/4⌋ (digest j > 0 salted by PREPENDING the
@@ -1437,46 +1489,7 @@ object DedupOps {
          |FROM pairs WHERE c >= 2 ORDER BY doc_a, doc_b""".stripMargin
     },
     "q_substring_excise" -> {
-      val minLen = WinnowK + WinnowW - 1
-      s"""WITH n AS (
-         |  SELECT doc_id, $normSql AS t FROM documents
-         |  WHERE length($normSql) >= $minLen
-         |), h AS (
-         |  SELECT doc_id, i, substr(md5(substr(t, i + 1, $WinnowK)), 1, 8) AS h
-         |  FROM (SELECT doc_id, t,
-         |          unnest(generate_series(0, length(t) - $WinnowK)) AS i
-         |        FROM n)
-         |), wm AS (
-         |  SELECT doc_id, i,
-         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
-         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS f,
-         |    max(i) OVER (PARTITION BY doc_id) AS mi
-         |  FROM h
-         |), fp AS (
-         |  SELECT DISTINCT doc_id, f FROM wm WHERE i <= mi - ${WinnowW - 1}
-         |), own AS (
-         |  SELECT f, min(doc_id) AS owner FROM fp
-         |  GROUP BY f HAVING count(*) BETWEEN 2 AND $NgramDfCap
-         |), fdup AS (
-         |  SELECT fp.doc_id, fp.f FROM fp JOIN own ON fp.f = own.f
-         |  WHERE fp.doc_id > own.owner
-         |), pos AS (
-         |  SELECT h.doc_id, h.i FROM h
-         |  JOIN fdup ON fdup.doc_id = h.doc_id AND fdup.f = h.h
-         |), isl AS (
-         |  SELECT doc_id, i,
-         |    CASE WHEN i > COALESCE(max(i) OVER (PARTITION BY doc_id ORDER BY i
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -$WinnowK)
-         |      + $WinnowK - 1 THEN 1 ELSE 0 END AS st
-         |  FROM pos
-         |), isl2 AS (
-         |  SELECT doc_id, i,
-         |    SUM(st) OVER (PARTITION BY doc_id ORDER BY i) AS g
-         |  FROM isl
-         |), spans AS (
-         |  SELECT doc_id, g, min(i) AS s, max(i) + $WinnowK AS e
-         |  FROM isl2 GROUP BY doc_id, g
-         |), cuts AS (
+      s"""WITH $exciseSpansCtes, cuts AS (
          |  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS cut_chars,
          |    CAST(count(*) AS BIGINT) AS n_spans
          |  FROM spans GROUP BY doc_id
@@ -1487,6 +1500,33 @@ object DedupOps {
          |  CAST(length($normSql) AS BIGINT) - COALESCE(c.cut_chars, 0) AS kept_chars,
          |  COALESCE(c.n_spans, 0) AS n_spans
          |FROM documents d LEFT JOIN cuts c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    "q_substring_excise_text" -> {
+      // the kept text is the concatenation of the INTER-span gaps (plus
+      // the tail past the last span); docs with no spans keep their
+      // whole normalized text — byte-identical to the Spark fold
+      s"""WITH $exciseSpansCtes, g1 AS (
+         |  SELECT doc_id,
+         |    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs,
+         |    s AS ge
+         |  FROM spans
+         |), allg AS (
+         |  SELECT * FROM g1
+         |  UNION ALL
+         |  SELECT sp.doc_id, MAX(sp.e) AS gs, MAX(length(n.t)) AS ge
+         |  FROM spans sp JOIN n ON n.doc_id = sp.doc_id
+         |  GROUP BY sp.doc_id
+         |), kt AS (
+         |  SELECT a.doc_id,
+         |    array_to_string(list(substr(n.t, a.gs + 1, a.ge - a.gs)
+         |      ORDER BY a.gs), '') AS kept
+         |  FROM allg a JOIN n ON n.doc_id = a.doc_id
+         |  GROUP BY a.doc_id
+         |)
+         |SELECT d.doc_id, COALESCE(kt.kept, $normSql) AS kept_text,
+         |  CAST(length(COALESCE(kt.kept, $normSql)) AS BIGINT) AS n_chars_kept
+         |FROM documents d LEFT JOIN kt ON kt.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
     "q_dedup_simhash" -> {
