@@ -142,6 +142,7 @@ object SparkEntry {
     "q_main_content" -> ((s, dir) => HtmlOps.mainContent(Tables.documents(s, dir))),
     "q_image_pairs" -> ((s, dir) => HtmlOps.imagePairs(Tables.documents(s, dir))),
     "q_media_pairs" -> ((s, dir) => HtmlOps.mediaPairs(Tables.documents(s, dir))),
+    "q_image_dataset" -> ((s, dir) => HtmlOps.imageDataset(Tables.documents(s, dir))),
     "q_crawl_traps" -> ((s, dir) => CrawlOps.crawlTraps(Tables.documents(s, dir))),
     // --- trained classifiers (§2 rows 101-103) ---
     "q_classifier_train" -> ((s, dir) =>

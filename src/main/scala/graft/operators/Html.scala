@@ -905,7 +905,18 @@ object HtmlOps {
     * distinct; the payload join keys on the canonical URL; payloads
     * die inside [[MultimodalOps.imageDhash]]'s tasks (binary never
     * rides a shuffle); the cluster agg keys on the 64-bit dhash. */
-  def imageDatasetOf(pages: DataFrame, payloads: DataFrame): DataFrame = {
+  def imageDatasetOf(pages: DataFrame, payloads: DataFrame): DataFrame =
+    imageDatasetFromPairs(imagePairsOf(pages), payloads)
+
+  /** [[imageDatasetOf]] over an already-mined pair frame (the q-face
+    * reuses its pairs for the payload universe too — mining once). The
+    * representative struct COALESCES its compare fields (caption
+    * length −1 / empty string for a NULL caption) so the "longest
+    * caption wins, captionless loses" rule is engine-independent —
+    * struct comparison with a NULL field would otherwise hinge on
+    * null-ordering conventions the two engines disagree on. */
+  private def imageDatasetFromPairs(pairs: DataFrame,
+                                    payloads: DataFrame): DataFrame = {
     val imgs = payloads.select(col("img_url"), col("payload"))
     val hashes = MultimodalOps.imageDhash(
       imgs.select(xxhash64(col("img_url")).as("doc_id"), col("payload")))
@@ -913,18 +924,20 @@ object HtmlOps {
       .select(col("img_url"), xxhash64(col("img_url")).as("doc_id"))
       .join(hashes, "doc_id")
       .select(col("img_url"), col("dhash"))
-    imagePairsOf(pages)
+    pairs
       .join(urlHash, "img_url")
       .groupBy(col("dhash"))
       .agg(
-        max(struct(length(col("alt_text")).as("l"),
-          col("alt_text").as("alt_text"), col("img_url").as("img_url")))
-          .as("_rep"),
+        max(struct(
+          coalesce(length(col("alt_text")), lit(-1)).as("l"),
+          coalesce(col("alt_text"), lit("")).as("a"),
+          col("img_url").as("u"),
+          col("alt_text").as("alt"))).as("_rep"),
         count(lit(1)).as("n_pairs"),
         countDistinct(col("page_url")).as("n_pages"),
         countDistinct(col("img_url")).as("n_urls"))
-      .select(col("dhash"), col("_rep.img_url").as("img_url"),
-        col("_rep.alt_text").as("alt_text"),
+      .select(col("dhash"), col("_rep.u").as("img_url"),
+        col("_rep.alt").as("alt_text"),
         col("n_pairs"), col("n_pages"), col("n_urls"))
   }
 
@@ -991,13 +1004,19 @@ object HtmlOps {
     * pairs per document — alt-captioned, title-captioned,
     * figcaption-captioned, lazy-loaded, srcset-only (first candidate),
     * and one NULL-text pair. */
-  def imagePairs(documents: DataFrame): DataFrame = {
-    graft.plans.GraftFunctions.register(documents.sparkSession)
+  /** The synthetic gallery universe as (doc_id, page_url, html) — the
+    * shared input of `q_image_pairs` and `q_image_dataset`. */
+  private def imgSynthPages(documents: DataFrame): DataFrame = {
     val host = concat(col("source"), lit(".example.com"))
     val pageUrl = concat(lit("http://"), host, lit("/gal/"),
       (col("doc_id") % 50).cast("string"), lit("/page.html"))
-    val pages = documents.select(col("doc_id"), pageUrl.as("page_url"),
+    documents.select(col("doc_id"), pageUrl.as("page_url"),
       imgSynthPage.as("html"))
+  }
+
+  def imagePairs(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val pages = imgSynthPages(documents)
     imgTagsOf(pages.withColumn("_base", col("page_url")),
       Seq("doc_id", "page_url", "_base"))
       .select(col("doc_id"), col("page_url"),
@@ -1007,6 +1026,87 @@ object HtmlOps {
       .filter(col("img_url").isNotNull)
       .distinct()
       .orderBy("doc_id", "img_url")
+  }
+
+  /** §2 `q_image_dataset`: the multimodal dataset BUILDER under the
+    * oracle — the WHOLE LAION pipeline (mine pairs → join binary
+    * payloads on the canonical URL → decode → perceptual-hash →
+    * cluster → keep the best-captioned representative) hash-checked by
+    * the planted-truth construction (the q_image_dedup_representative
+    * discipline): each mined img_url gets a REAL PPM payload whose
+    * pixel gradients encode group `g` = the URL's trailing number
+    * ([[MultimodalOps.plantedImage]] — dHash = g · 0x0101010101010101
+    * by construction, brightness varied per URL so the decode must
+    * genuinely normalize it away), so the expected clusters, captions,
+    * and counts are SQL-computable from the pair universe alone while
+    * Spark reproduces them through the real decode → dhash → cluster →
+    * caption-argmax pipeline. Pairs are mined ONCE (localCheckpoint —
+    * the payload universe derives from the same frame). */
+  def imageDataset(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val pages = imgSynthPages(documents)
+    val pairs = imagePairsOf(pages).localCheckpoint(false)
+    val urls = pairs.select(col("img_url")).distinct()
+      .withColumn("_g", regexp_extract(col("img_url"),
+        "([0-9]+)\\.[a-z]+$", 1).cast("long"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("img_url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val rdd = urls.rdd.mapPartitions(_.map { r =>
+      val u = r.getString(0)
+      org.apache.spark.sql.Row(u,
+        MultimodalOps.plantedImage(r.getLong(1) + 12L * (u.length % 30), 12))
+    })
+    imageDatasetFromPairs(pairs, spark.createDataFrame(rdd, schema))
+      .orderBy("dhash")
+  }
+
+  /** The q_image_pairs extraction as a shared WITH body (through the
+    * `rs (doc_id, page_url, r, alt_text)` CTE) — the single source of
+    * truth for the pair oracle and the dataset oracle built on it. */
+  private def imagePairsCtes: String = {
+    val fig = TextFuns.sqlLit(FigRE)
+    val img = TextFuns.sqlLit(ImgRE)
+    val cap = TextFuns.sqlLit(CapRE)
+    val capClean = s"trim(regexp_replace(regexp_replace(" +
+      s"regexp_extract(scope, $cap, 1), '<[^>]*>', ' ', 'g'), " +
+      "'[ \\t\\n\\f\\r]+', ' ', 'g'))"
+    s"""p AS (
+       |  SELECT doc_id,
+       |    'http://' || source || '.example.com/gal/' || CAST(doc_id % 50 AS VARCHAR) || '/page.html' AS page_url,
+       |    $imgSynthPageSql AS html
+       |  FROM documents
+       |), sc AS (
+       |  SELECT doc_id, page_url,
+       |    unnest(list_append(regexp_extract_all(html, $fig, 0),
+       |      regexp_replace(html, $fig, '', 'g'))) AS scope
+       |  FROM p
+       |), tg AS (
+       |  SELECT doc_id, page_url, NULLIF($capClean, '') AS figcap,
+       |    unnest(regexp_extract_all(scope, $img, 0)) AS tag
+       |  FROM sc
+       |), at1 AS (
+       |  SELECT doc_id, page_url, ${attrSql("src")} AS src0,
+       |    ${attrSql("data-src")} AS dsrc,
+       |    NULLIF(regexp_extract(COALESCE(${attrSql("srcset")}, ''),
+       |      '^[ \\t\\n\\f\\r]*([^ \\t\\n\\f\\r,]+)', 1), '') AS sset,
+       |    COALESCE(${attrSql("alt")}, ${attrSql("title")}, figcap) AS alt_text
+       |  FROM tg
+       |), at2 AS (
+       |  SELECT doc_id, page_url,
+       |    CASE WHEN src0 IS NULL OR src0 LIKE 'data:%'
+       |         THEN COALESCE(dsrc, sset)
+       |         ELSE src0 END AS src,
+       |    alt_text
+       |  FROM at1
+       |), rs AS (
+       |  SELECT doc_id, page_url,
+       |    ${UrlOps.resolveSql("page_url", "src")} AS r, alt_text
+       |  FROM at2 WHERE src IS NOT NULL
+       |)""".stripMargin
   }
 
   /** The DuckDB attribute chain of [[attrOf]] over the `over` column —
@@ -1084,51 +1184,37 @@ object HtmlOps {
         |SELECT DISTINCT doc_id, ${UrlOps.canonSql("href")} AS dst_url
         |FROM raw_links
         |ORDER BY doc_id, dst_url""".stripMargin,
-    "q_image_pairs" -> {
-      val fig = TextFuns.sqlLit(FigRE)
-      val img = TextFuns.sqlLit(ImgRE)
-      val cap = TextFuns.sqlLit(CapRE)
-      val capClean = s"trim(regexp_replace(regexp_replace(" +
-        s"regexp_extract(scope, $cap, 1), '<[^>]*>', ' ', 'g'), " +
-        "'[ \\t\\n\\f\\r]+', ' ', 'g'))"
-      s"""WITH p AS (
-         |  SELECT doc_id,
-         |    'http://' || source || '.example.com/gal/' || CAST(doc_id % 50 AS VARCHAR) || '/page.html' AS page_url,
-         |    $imgSynthPageSql AS html
-         |  FROM documents
-         |), sc AS (
-         |  SELECT doc_id, page_url,
-         |    unnest(list_append(regexp_extract_all(html, $fig, 0),
-         |      regexp_replace(html, $fig, '', 'g'))) AS scope
-         |  FROM p
-         |), tg AS (
-         |  SELECT doc_id, page_url, NULLIF($capClean, '') AS figcap,
-         |    unnest(regexp_extract_all(scope, $img, 0)) AS tag
-         |  FROM sc
-         |), at1 AS (
-         |  SELECT doc_id, page_url, ${attrSql("src")} AS src0,
-         |    ${attrSql("data-src")} AS dsrc,
-         |    NULLIF(regexp_extract(COALESCE(${attrSql("srcset")}, ''),
-         |      '^[ \\t\\n\\f\\r]*([^ \\t\\n\\f\\r,]+)', 1), '') AS sset,
-         |    COALESCE(${attrSql("alt")}, ${attrSql("title")}, figcap) AS alt_text
-         |  FROM tg
-         |), at2 AS (
-         |  SELECT doc_id, page_url,
-         |    CASE WHEN src0 IS NULL OR src0 LIKE 'data:%'
-         |         THEN COALESCE(dsrc, sset)
-         |         ELSE src0 END AS src,
-         |    alt_text
-         |  FROM at1
-         |), rs AS (
-         |  SELECT doc_id, page_url,
-         |    ${UrlOps.resolveSql("page_url", "src")} AS r, alt_text
-         |  FROM at2 WHERE src IS NOT NULL
-         |)
+    "q_image_pairs" ->
+      s"""WITH $imagePairsCtes
          |SELECT DISTINCT doc_id, page_url,
          |  ${UrlOps.canonSql("r")} AS img_url, alt_text
          |FROM rs WHERE r IS NOT NULL
-         |ORDER BY doc_id, img_url""".stripMargin
-    },
+         |ORDER BY doc_id, img_url""".stripMargin,
+    "q_image_dataset" ->
+      s"""WITH $imagePairsCtes, prs AS (
+         |  SELECT DISTINCT page_url, ${UrlOps.canonSql("r")} AS img_url,
+         |    alt_text
+         |  FROM rs WHERE r IS NOT NULL
+         |), wg AS (
+         |  SELECT page_url, img_url, alt_text,
+         |    CAST(regexp_extract(img_url, '([0-9]+)\\.[a-z]+$$', 1) AS BIGINT) AS g
+         |  FROM prs
+         |), agg AS (
+         |  SELECT g,
+         |    max(struct_pack(l := COALESCE(length(alt_text), -1),
+         |      a := COALESCE(alt_text, ''), u := img_url,
+         |      alt := alt_text)) AS rep,
+         |    COUNT(*) AS n_pairs,
+         |    COUNT(DISTINCT page_url) AS n_pages,
+         |    COUNT(DISTINCT img_url) AS n_urls
+         |  FROM wg GROUP BY g
+         |)
+         |SELECT CAST(g * 72340172838076673 AS BIGINT) AS dhash,
+         |  rep.u AS img_url, rep.alt AS alt_text,
+         |  CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(n_pages AS BIGINT) AS n_pages,
+         |  CAST(n_urls AS BIGINT) AS n_urls
+         |FROM agg ORDER BY dhash""".stripMargin,
     "q_media_pairs" -> {
       val vid = TextFuns.sqlLit("(?is)<video[^>]*>.*?</video>")
       val aud = TextFuns.sqlLit("(?is)<audio[^>]*>.*?</audio>")
