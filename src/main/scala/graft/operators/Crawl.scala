@@ -1154,6 +1154,12 @@ object CrawlOps {
       .select(col("source"),
         regexp_extract(col("line"), "^Crawl-delay: ([0-9]+)$", 1)
           .cast("long").as("delay_s"))
+      // real bodies DO repeat the directive (copy-paste robots are
+      // everywhere) — the delays frame must stay one-row-per-host or
+      // the schedule join fans the frontier out; ties keep the most
+      // CONSERVATIVE (longest) delay
+      .groupBy(col("source"))
+      .agg(max(col("delay_s")).as("delay_s"))
     val sitemaps = linesOf(bodies)
       .filter(col("line").startsWith("Sitemap: "))
       .select(col("source"),

@@ -414,6 +414,10 @@ class HtmlUrlSpec extends SparkSpec {
       "User-agent: megabot\r\nDisallow: /private\r\n" +
       "\r\n" +
       "User-agent: *\r\nCrawl-delay: 7\r\nDisallow: /a\r\nAllow: /a/b\r\n" +
+      // copy-paste robots REPEAT directives — a duplicate Crawl-delay
+      // must reduce to ONE row (most conservative wins) or the delay
+      // join fans the schedule out
+      "Crawl-delay: 3\r\n" +
       "Disallow: \r\n" // EMPTY value = no restriction (RFC 9309) — dropped
     Files.write(dir.resolve("seg.warc"),
       record("response", "http://h1.example.com/robots.txt",
