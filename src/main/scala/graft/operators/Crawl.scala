@@ -365,7 +365,19 @@ object CrawlOps {
     * key); the fetch-log join is the one corpus-scale frame. */
   def sitemapSeedsOf(records: DataFrame, fetchLog: DataFrame,
                      agent: String = "*"): DataFrame = {
-    val (rules, _, sitemaps) = parseRobotsBodies(robotsBodiesOf(records), agent)
+    val (rules, _, _) = parseRobotsBodies(robotsBodiesOf(records), agent)
+    triageCore(asSignals(sitemapEntriesOf(records, agent)), rules,
+      robotsStatusesOf(records), fetchLog,
+      host = regexp_extract(col("canon_url"), FullHostRe, 1))
+  }
+
+  /** The raw sitemap ENTRY signals of a WARC crawl — [[sitemapSeedsOf]]
+    * before the triage, factored out (round 16) so [[recrawlOf]] can
+    * union them with the header signals under ONE triage. Returns
+    * (canon_url, lastmod, changefreq, priority). */
+  private[graft] def sitemapEntriesOf(records: DataFrame,
+                                      agent: String = "*"): DataFrame = {
+    val (_, _, sitemaps) = parseRobotsBodies(robotsBodiesOf(records), agent)
     val captures = graft.sources.WarcSource.httpResponseBytes(records)
       .filter(col("http_status").between(200, 299))
       .withColumn("_canon", UrlOps.canonIdn(col("target_uri")))
@@ -387,12 +399,63 @@ object CrawlOps {
     val lvl1 = decodeSitemapBodies(
       children.join(captures, "_canon")
         .select(col("source"), col("_canon").as("url"), col("body_bytes")))
-    val entries = parseSitemaps(lvl0.unionByName(lvl1))
-    val signals = asSignals(entries
+    parseSitemaps(lvl0.unionByName(lvl1))
       .select(UrlOps.canonIdn(col("loc")).as("canon_url"),
-        col("lastmod"), col("changefreq"), col("priority")))
-    triageCore(signals, rules, robotsStatusesOf(records), fetchLog,
-      host = regexp_extract(col("canon_url"), FullHostRe, 1))
+        col("lastmod"), col("changefreq"), col("priority"))
+  }
+
+  /** Header freshness signals straight off a WARC record frame (round
+    * 16) — the lean real face of [[headerSignals]]: `Last-Modified`
+    * parsed from the HTTP header block alone (the bijective latin-1
+    * view; the RFC 9110 IMF-fixdate → ISO date string, the lexical
+    * comparison convention), keyed on the canonical URL. No body
+    * decode — a freshness sweep must not pay the full ingest price. */
+  def headerSignalsOf(records: DataFrame): DataFrame = {
+    val blank = "(?s)\\r?\\n\\r?\\n"
+    records.filter(col("warc_type") === "response")
+      .withColumn("_l1", decode(col("payload"), "ISO-8859-1"))
+      .withColumn("_hdr",
+        when(regexp_extract(col("_l1"), blank, 0) === "", col("_l1"))
+          .otherwise(regexp_extract(col("_l1"), s"(?s)^(.*?)\\r?\\n\\r?\\n", 1)))
+      .withColumn("_lm", regexp_extract(col("_hdr"),
+        "(?im)^last-modified:([^\\r\\n]*)", 1))
+      .withColumn("lastmod", to_date(try_to_timestamp(
+        regexp_extract(col("_lm"),
+          "([0-9]{1,2} [A-Za-z]{3} [0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2})", 1),
+        lit("d MMM yyyy HH:mm:ss")).cast("timestamp")).cast("string"))
+      .filter(col("lastmod").isNotNull)
+      .select(UrlOps.canonIdn(col("target_uri")).as("canon_url"),
+        col("lastmod"))
+  }
+
+  /** The REAL-DATA recrawl (round 16) — the batch freshness face
+    * completing the WARC loop beside [[frontierOf]] (discovery),
+    * [[crawlScheduleOf]] (politeness), and [[sitemapSeedsOf]]
+    * (sitemap discovery): header `Last-Modified` observations
+    * ([[headerSignalsOf]]) UNION sitemap entries
+    * ([[sitemapEntriesOf]]) triage against the crawl's own robots
+    * rules/statuses and the fetch log (contract: one row per canonical
+    * URL, (canon_url, fetch_date)); due rows ([[dueReasons]] — the
+    * SAME reason CASE as `q_recrawl`, so the real face cannot drift
+    * from the oracle-checked one) queue through the politeness
+    * arithmetic behind the crawl's own Crawl-delays, FULL-host keyed,
+    * undeclared hosts floored at `defaultDelayS`. */
+  def recrawlOf(records: DataFrame, fetchLog: DataFrame,
+                agent: String = "*", defaultDelayS: Long = 1L): DataFrame = {
+    import records.sparkSession.implicits._
+    val (rules, delays, _) = parseRobotsBodies(robotsBodiesOf(records), agent)
+    val signals = asSignals(headerSignalsOf(records))
+      .unionByName(asSignals(sitemapEntriesOf(records, agent)))
+    val due = dueReasons(triageCore(signals, rules,
+      robotsStatusesOf(records), fetchLog,
+      host = regexp_extract(col("canon_url"), FullHostRe, 1)))
+    val noCursors = Seq.empty[(String, Long)].toDF("source", "cursor_s")
+    scheduleCoreKeyed(
+      due.select(col("canon_url"), lit(1L).as("n_referrers"),
+        col("lastmod"), col("fetch_date"), col("reason")),
+      delays, noCursors, Seq("lastmod", "fetch_date", "reason"),
+      regexp_extract(col("canon_url"), FullHostRe, 1), Some(defaultDelayS))
+      .orderBy("canon_url")
   }
 
   /** The synthetic per-host sitemap UNIVERSE, in its real nested form

@@ -1325,6 +1325,54 @@ class HtmlUrlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("recrawlOf: header + sitemap freshness off a WARC crawl, scheduled politely") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val dir = Files.createTempDirectory("graft_warc_recrawlof")
+    val host = "www.shop.example"
+    val robots = s"User-agent: *\r\nCrawl-delay: 2\r\nDisallow: /secret\r\n" +
+      s"Sitemap: http://$host/sitemap.xml\r\n"
+    val sm =
+      s"""<urlset><url><loc>http://$host/item-1</loc><lastmod>2026-08-01</lastmod></url>
+         |<url><loc>http://$host/secret/x</loc><lastmod>2026-08-09</lastmod></url>
+         |</urlset>""".stripMargin
+    def pageResp(lm: String): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        s"Last-Modified: $lm\r\n\r\n<p>the page body text</p>").getBytes(US_ASCII)
+    val recs =
+      record("response", s"http://$host/robots.txt",
+        http("200 OK", "text/plain", robots.getBytes(US_ASCII))) ++
+      record("response", s"http://$host/sitemap.xml",
+        http("200 OK", "application/xml", sm.getBytes(UTF_8))) ++
+      // header-observed change: fetched 07-20, modified 08-05 → due
+      record("response", s"http://$host/page-a",
+        pageResp("Wed, 05 Aug 2026 10:00:00 GMT")) ++
+      // already fresh: fetched 07-10, modified 07-01 → NOT due
+      record("response", s"http://$host/page-b",
+        pageResp("Wed, 01 Jul 2026 09:00:00 GMT"))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val fetchLog = Seq(
+      (s"http://$host/item-1", "2026-07-15"),
+      (s"http://$host/secret/x", "2026-07-15"),
+      (s"http://$host/page-a", "2026-07-20"),
+      (s"http://$host/page-b", "2026-07-10"))
+      .toDF("canon_url", "fetch_date")
+    val got = CrawlOps.recrawlOf(
+      graft.sources.WarcSource.read(spark, dir.toString), fetchLog)
+      .collect().map(r => r.getAs[String]("canon_url") -> ((
+        r.getAs[String]("reason"), r.getAs[String]("lastmod"),
+        r.getAs[Long]("delay_s"),
+        r.getAs[Long]("next_allowed_offset_s")))).toMap
+    // item-1 (sitemap lastmod) and page-a (header Last-Modified) are
+    // due; /secret/x is robots-gated despite its newer lastmod; page-b
+    // is fresh. One host, canonical order → offsets 0 then 2 (the
+    // declared Crawl-delay)
+    assert(got == Map(
+      s"http://$host/item-1" -> (("lastmod", "2026-08-01", 2L, 0L)),
+      s"http://$host/page-a" -> (("lastmod", "2026-08-05", 2L, 2L))),
+      got.toString)
+  }
+
   test("mediaPairsOf mines video/audio sources, posters, and captions") {
     import spark.implicits._
     val html =
