@@ -847,6 +847,16 @@ object HtmlOps {
     case Right(other) => throw new IllegalArgumentException(other)
   }.mkString(" || ")
 
+  /** The synthetic media universe as (doc_id, page_url, html) — shared
+    * by `q_media_pairs` and `q_media_dataset`. */
+  private def mediaSynthPages(documents: DataFrame): DataFrame = {
+    val host = concat(col("source"), lit(".example.com"))
+    val pageUrl = concat(lit("http://"), host, lit("/media/"),
+      (col("doc_id") % 50).cast("string"), lit("/page.html"))
+    documents.select(col("doc_id"), pageUrl.as("page_url"),
+      mediaSynthPage.as("html"))
+  }
+
   /** §2 `q_media_pairs`: media-source mining under the oracle — the
     * synthetic media page rides the SAME [[mediaSrcOf]] core as the
     * real face ([[mediaPairsOf]] — which swaps in base-href handling
@@ -856,11 +866,7 @@ object HtmlOps {
     * caption-less bare video; the `data:` audio drops. */
   def mediaPairs(documents: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(documents.sparkSession)
-    val host = concat(col("source"), lit(".example.com"))
-    val pageUrl = concat(lit("http://"), host, lit("/media/"),
-      (col("doc_id") % 50).cast("string"), lit("/page.html"))
-    val pages = documents.select(col("doc_id"), pageUrl.as("page_url"),
-      mediaSynthPage.as("html"))
+    val pages = mediaSynthPages(documents)
     mediaSrcOf(pages.withColumn("_base", col("page_url")),
       Seq("doc_id", "page_url", "_base"))
       .select(col("doc_id"),
@@ -870,6 +876,79 @@ object HtmlOps {
       .filter(col("media_url").isNotNull)
       .distinct()
       .orderBy("doc_id", "media_url")
+  }
+
+  /** The AUDIO dataset builder over mined media pairs — the audio twin
+    * of [[imageDatasetFromPairs]]: payloads keyed by the canonical
+    * media URL decode through the real WAV walk
+    * ([[MultimodalOps.audioAhash]] — a payload that is NOT valid WAV
+    * drops out, the decode gate), aHash clusters keep the
+    * best-captioned representative with (n_pairs, n_pages, n_urls)
+    * accounting. */
+  def mediaDatasetOf(pages: DataFrame, payloads: DataFrame): DataFrame =
+    mediaDatasetFromPairs(mediaPairsOf(pages), payloads)
+
+  private def mediaDatasetFromPairs(pairs: DataFrame,
+                                    payloads: DataFrame): DataFrame = {
+    val snd = payloads.select(col("media_url"), col("payload"))
+    val hashes = MultimodalOps.audioAhash(
+      snd.select(xxhash64(col("media_url")).as("doc_id"), col("payload")))
+    val urlHash = snd
+      .select(col("media_url"), xxhash64(col("media_url")).as("doc_id"))
+      .join(hashes, "doc_id")
+      .select(col("media_url"), col("dhash"))
+    pairs
+      .join(urlHash, "media_url")
+      .groupBy(col("dhash"))
+      .agg(
+        max(struct(
+          coalesce(length(col("caption_text")), lit(-1)).as("l"),
+          coalesce(col("caption_text"), lit("")).as("a"),
+          col("media_url").as("u"),
+          col("caption_text").as("alt"))).as("_rep"),
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("page_url")).as("n_pages"),
+        countDistinct(col("media_url")).as("n_urls"))
+      .select(col("dhash"), col("_rep.u").as("media_url"),
+        col("_rep.alt").as("caption_text"),
+        col("n_pairs"), col("n_pages"), col("n_urls"))
+  }
+
+  /** §2 `q_media_dataset`: the AUDIO dataset builder under the oracle —
+    * the [[imageDataset]] discipline on the audio estate: every mined
+    * media URL gets a payload, but ONLY the audio-kind ones get REAL
+    * WAV bytes (the [[MultimodalOps.plantedAudio]] construction, aHash
+    * = g · 0x0101010101010101 with g = the URL's trailing number and a
+    * per-URL brightness offset the window-mean decode must normalize
+    * away); video/poster URLs get deterministic JUNK bytes the WAV
+    * walk REJECTS — so the decode gate itself is part of what the hash
+    * check grades. DuckDB computes the expected clusters from the
+    * shared pair CTEs restricted to the audio kind; Spark must arrive
+    * there through mine → payload join → real WAV decode → aHash →
+    * cluster → caption-argmax. */
+  def mediaDataset(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val pages = mediaSynthPages(documents)
+    val pairs = mediaPairsOf(pages).localCheckpoint(false)
+    val urls = pairs.select(col("media_url"), col("kind")).distinct()
+      .withColumn("_g", regexp_extract(col("media_url"),
+        "([0-9]+)\\.[a-z0-9]+$", 1).cast("long"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val rdd = urls.rdd.mapPartitions(_.map { r =>
+      val u = r.getString(0)
+      val payload =
+        if (r.getString(1) == "audio")
+          MultimodalOps.plantedAudio(r.getLong(2) + 40L * (u.length % 30), 40)
+        else ("JUNK" + u).getBytes("UTF-8")
+      org.apache.spark.sql.Row(u, payload)
+    })
+    mediaDatasetFromPairs(pairs, spark.createDataFrame(rdd, schema))
+      .orderBy("dhash")
   }
 
   /** §2-C `imagePairsStream`: LIVE image-pair mining — [[imagePairsOf]]
@@ -1064,6 +1143,56 @@ object HtmlOps {
       .orderBy("dhash")
   }
 
+  /** The q_media_pairs extraction as a shared WITH body (through the
+    * `rs2 (doc_id, page_url, r, kind, caption_text)` CTE) — shared by
+    * the pair oracle and the audio-dataset oracle built on it. */
+  private def mediaPairsCtes: String = {
+    val vid = TextFuns.sqlLit("(?is)<video[^>]*>.*?</video>")
+    val aud = TextFuns.sqlLit("(?is)<audio[^>]*>.*?</audio>")
+    val headRe = TextFuns.sqlLit("(?is)^<[a-z]+[^>]*>")
+    val srcTag = TextFuns.sqlLit("(?is)<source[^>]*>")
+    s"""p AS (
+       |  SELECT doc_id,
+       |    'http://' || source || '.example.com/media/' || CAST(doc_id % 50 AS VARCHAR) || '/page.html' AS page_url,
+       |    $mediaSynthPageSql AS html
+       |  FROM documents
+       |), bl AS (
+       |  SELECT doc_id, page_url,
+       |    unnest(list_concat(regexp_extract_all(html, $vid, 0),
+       |      regexp_extract_all(html, $aud, 0))) AS block
+       |  FROM p
+       |), hd AS (
+       |  SELECT doc_id, page_url, block,
+       |    CASE WHEN lower(block) LIKE '<video%' THEN 'video'
+       |         ELSE 'audio' END AS kind,
+       |    regexp_extract(block, $headRe, 0) AS head
+       |  FROM bl
+       |), cp AS (
+       |  SELECT doc_id, page_url, block, kind, head,
+       |    COALESCE(${attrSql("title", "head")},
+       |      ${attrSql("aria-label", "head")}) AS caption_text
+       |  FROM hd
+       |), tg2 AS (
+       |  SELECT doc_id, page_url, kind, head, caption_text,
+       |    unnest(list_concat([head],
+       |      regexp_extract_all(block, $srcTag, 0))) AS tag
+       |  FROM cp
+       |), at3 AS (
+       |  SELECT doc_id, page_url, caption_text,
+       |    unnest(list_filter([
+       |      struct_pack(u := ${attrSql("src")}, k := kind),
+       |      struct_pack(u := CASE WHEN tag = head
+       |        THEN ${attrSql("poster")} END, k := 'poster')],
+       |      c -> c.u IS NOT NULL)) AS c
+       |  FROM tg2
+       |), rs2 AS (
+       |  SELECT doc_id, page_url,
+       |    ${UrlOps.resolveSql("page_url", "c.u")} AS r,
+       |    c.k AS kind, caption_text
+       |  FROM at3
+       |)""".stripMargin
+  }
+
   /** The q_image_pairs extraction as a shared WITH body (through the
     * `rs (doc_id, page_url, r, alt_text)` CTE) — the single source of
     * truth for the pair oracle and the dataset oracle built on it. */
@@ -1215,56 +1344,37 @@ object HtmlOps {
          |  CAST(n_pages AS BIGINT) AS n_pages,
          |  CAST(n_urls AS BIGINT) AS n_urls
          |FROM agg ORDER BY dhash""".stripMargin,
-    "q_media_pairs" -> {
-      val vid = TextFuns.sqlLit("(?is)<video[^>]*>.*?</video>")
-      val aud = TextFuns.sqlLit("(?is)<audio[^>]*>.*?</audio>")
-      val headRe = TextFuns.sqlLit("(?is)^<[a-z]+[^>]*>")
-      val srcTag = TextFuns.sqlLit("(?is)<source[^>]*>")
-      s"""WITH p AS (
-         |  SELECT doc_id,
-         |    'http://' || source || '.example.com/media/' || CAST(doc_id % 50 AS VARCHAR) || '/page.html' AS page_url,
-         |    $mediaSynthPageSql AS html
-         |  FROM documents
-         |), bl AS (
-         |  SELECT doc_id, page_url,
-         |    unnest(list_concat(regexp_extract_all(html, $vid, 0),
-         |      regexp_extract_all(html, $aud, 0))) AS block
-         |  FROM p
-         |), hd AS (
-         |  SELECT doc_id, page_url, block,
-         |    CASE WHEN lower(block) LIKE '<video%' THEN 'video'
-         |         ELSE 'audio' END AS kind,
-         |    regexp_extract(block, $headRe, 0) AS head
-         |  FROM bl
-         |), cp AS (
-         |  SELECT doc_id, page_url, block, kind, head,
-         |    COALESCE(${attrSql("title", "head")},
-         |      ${attrSql("aria-label", "head")}) AS caption_text
-         |  FROM hd
-         |), tg2 AS (
-         |  SELECT doc_id, page_url, kind, head, caption_text,
-         |    unnest(list_concat([head],
-         |      regexp_extract_all(block, $srcTag, 0))) AS tag
-         |  FROM cp
-         |), at3 AS (
-         |  SELECT doc_id, page_url, caption_text,
-         |    unnest(list_filter([
-         |      struct_pack(u := ${attrSql("src")}, k := kind),
-         |      struct_pack(u := CASE WHEN tag = head
-         |        THEN ${attrSql("poster")} END, k := 'poster')],
-         |      c -> c.u IS NOT NULL)) AS c
-         |  FROM tg2
-         |), rs2 AS (
-         |  SELECT doc_id, page_url,
-         |    ${UrlOps.resolveSql("page_url", "c.u")} AS r,
-         |    c.k AS kind, caption_text
-         |  FROM at3
-         |)
+    "q_media_pairs" ->
+      s"""WITH $mediaPairsCtes
          |SELECT DISTINCT doc_id, ${UrlOps.canonSql("r")} AS media_url,
          |  kind, caption_text
          |FROM rs2 WHERE r IS NOT NULL
-         |ORDER BY doc_id, media_url""".stripMargin
-    },
+         |ORDER BY doc_id, media_url""".stripMargin,
+    "q_media_dataset" ->
+      s"""WITH $mediaPairsCtes, prs AS (
+         |  SELECT DISTINCT page_url, ${UrlOps.canonSql("r")} AS media_url,
+         |    kind, caption_text
+         |  FROM rs2 WHERE r IS NOT NULL
+         |), wav AS (
+         |  SELECT page_url, media_url, caption_text,
+         |    CAST(regexp_extract(media_url, '([0-9]+)\\.[a-z0-9]+$$', 1) AS BIGINT) AS g
+         |  FROM prs WHERE kind = 'audio'
+         |), agg AS (
+         |  SELECT g,
+         |    max(struct_pack(l := COALESCE(length(caption_text), -1),
+         |      a := COALESCE(caption_text, ''), u := media_url,
+         |      alt := caption_text)) AS rep,
+         |    COUNT(*) AS n_pairs,
+         |    COUNT(DISTINCT page_url) AS n_pages,
+         |    COUNT(DISTINCT media_url) AS n_urls
+         |  FROM wav GROUP BY g
+         |)
+         |SELECT CAST(g * 72340172838076673 AS BIGINT) AS dhash,
+         |  rep.u AS media_url, rep.alt AS caption_text,
+         |  CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(n_pages AS BIGINT) AS n_pages,
+         |  CAST(n_urls AS BIGINT) AS n_urls
+         |FROM agg ORDER BY dhash""".stripMargin,
     "q_html_extract" ->
       s"""WITH h AS (
          |  SELECT doc_id, $synthHtmlSql AS html FROM documents
