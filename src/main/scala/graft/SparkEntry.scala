@@ -144,6 +144,7 @@ object SparkEntry {
     "q_media_pairs" -> ((s, dir) => HtmlOps.mediaPairs(Tables.documents(s, dir))),
     "q_image_dataset" -> ((s, dir) => HtmlOps.imageDataset(Tables.documents(s, dir))),
     "q_media_dataset" -> ((s, dir) => HtmlOps.mediaDataset(Tables.documents(s, dir))),
+    "q_video_dataset" -> ((s, dir) => HtmlOps.videoDataset(Tables.documents(s, dir))),
     "q_crawl_traps" -> ((s, dir) => CrawlOps.crawlTraps(Tables.documents(s, dir))),
     // --- trained classifiers (§2 rows 101-103) ---
     "q_classifier_train" -> ((s, dir) =>

@@ -893,10 +893,17 @@ object HtmlOps {
     val snd = payloads.select(col("media_url"), col("payload"))
     val hashes = MultimodalOps.audioAhash(
       snd.select(xxhash64(col("media_url")).as("doc_id"), col("payload")))
-    val urlHash = snd
+    mediaClusterAgg(pairs, snd
       .select(col("media_url"), xxhash64(col("media_url")).as("doc_id"))
       .join(hashes, "doc_id")
-      .select(col("media_url"), col("dhash"))
+      .select(col("media_url"), col("dhash")))
+  }
+
+  /** The shared cluster aggregation of the media dataset builders over
+    * any (media_url, dhash) identity frame — the [[imageDatasetFromPairs]]
+    * rule set (best caption wins, coalesced compare fields). */
+  private def mediaClusterAgg(pairs: DataFrame,
+                              urlHash: DataFrame): DataFrame =
     pairs
       .join(urlHash, "media_url")
       .groupBy(col("dhash"))
@@ -912,6 +919,53 @@ object HtmlOps {
       .select(col("dhash"), col("_rep.u").as("media_url"),
         col("_rep.alt").as("caption_text"),
         col("n_pairs"), col("n_pages"), col("n_urls"))
+
+  /** §2 `q_video_dataset`: the VIDEO dataset builder under the oracle —
+    * the modality triptych's third face, adding the CONTAINER dimension
+    * the image/audio builders (rows 146-147) don't exercise: only the
+    * `.avi` URLs carry real containers (two [[MultimodalOps.plantedImage]]
+    * frames per video under per-URL brightness offsets — every frame
+    * hashes to g · 0x0101010101010101, so the per-video identity
+    * min-frame-hash is the planted value); `.webm`/`.mp4`/`.ogv` URLs
+    * carry junk the AVI walk REJECTS (a container the estate cannot
+    * decode must yield NO identity, never a wrong one — the gate is
+    * graded). Spark: mine → join → container walk → frame dHash →
+    * min-hash identity → cluster → caption-argmax; DuckDB: the shared
+    * media-pair CTEs restricted to `.avi` + the generative model. */
+  def videoDataset(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val pages = mediaSynthPages(documents)
+    val pairs = mediaPairsOf(pages).localCheckpoint(false)
+    val urls = pairs.select(col("media_url"), col("kind")).distinct()
+      .withColumn("_g", regexp_extract(col("media_url"),
+        "([0-9]+)\\.[a-z0-9]+$", 1).cast("long"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val rdd = urls.rdd.mapPartitions(_.map { r =>
+      val u = r.getString(0)
+      val payload =
+        if (r.getString(1) == "video" && u.endsWith(".avi"))
+          AviOps.buildAvi(Seq(
+            MultimodalOps.plantedImage(r.getLong(2) + 12L * (u.length % 30), 12),
+            MultimodalOps.plantedImage(
+              r.getLong(2) + 12L * ((u.length + 7) % 30), 12)), 9, 8)
+        else ("JUNK" + u).getBytes("UTF-8")
+      org.apache.spark.sql.Row(u, payload)
+    })
+    val vids = spark.createDataFrame(rdd, schema)
+    val hashes = AviOps.videoDhashes(
+      vids.select(xxhash64(col("media_url")).as("doc_id"), col("payload")),
+      everyNth = 1)
+      .groupBy(col("doc_id")).agg(min(col("dhash")).as("dhash"))
+    mediaClusterAgg(pairs, vids
+      .select(col("media_url"), xxhash64(col("media_url")).as("doc_id"))
+      .join(hashes, "doc_id")
+      .select(col("media_url"), col("dhash")))
+      .orderBy("dhash")
   }
 
   /** §2 `q_media_dataset`: the AUDIO dataset builder under the oracle —
@@ -1350,6 +1404,31 @@ object HtmlOps {
          |  kind, caption_text
          |FROM rs2 WHERE r IS NOT NULL
          |ORDER BY doc_id, media_url""".stripMargin,
+    "q_video_dataset" ->
+      s"""WITH $mediaPairsCtes, prs AS (
+         |  SELECT DISTINCT page_url, ${UrlOps.canonSql("r")} AS media_url,
+         |    kind, caption_text
+         |  FROM rs2 WHERE r IS NOT NULL
+         |), avi AS (
+         |  SELECT page_url, media_url, caption_text,
+         |    CAST(regexp_extract(media_url, '([0-9]+)\\.[a-z0-9]+$$', 1) AS BIGINT) AS g
+         |  FROM prs WHERE kind = 'video' AND media_url LIKE '%.avi'
+         |), agg AS (
+         |  SELECT g,
+         |    max(struct_pack(l := COALESCE(length(caption_text), -1),
+         |      a := COALESCE(caption_text, ''), u := media_url,
+         |      alt := caption_text)) AS rep,
+         |    COUNT(*) AS n_pairs,
+         |    COUNT(DISTINCT page_url) AS n_pages,
+         |    COUNT(DISTINCT media_url) AS n_urls
+         |  FROM avi GROUP BY g
+         |)
+         |SELECT CAST(g * 72340172838076673 AS BIGINT) AS dhash,
+         |  rep.u AS media_url, rep.alt AS caption_text,
+         |  CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(n_pages AS BIGINT) AS n_pages,
+         |  CAST(n_urls AS BIGINT) AS n_urls
+         |FROM agg ORDER BY dhash""".stripMargin,
     "q_media_dataset" ->
       s"""WITH $mediaPairsCtes, prs AS (
          |  SELECT DISTINCT page_url, ${UrlOps.canonSql("r")} AS media_url,
