@@ -560,6 +560,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dataset builders: url/hash-keyed equi-joins only — no cartesian, no nested loop") {
+    for (df <- Seq(HtmlOps.imageDataset(Tables.documents(spark, sfDir)),
+      HtmlOps.mediaDataset(Tables.documents(spark, sfDir)),
+      HtmlOps.videoDataset(Tables.documents(spark, sfDir)))) {
+      val p = plan(df)
+      // the builder is mine → payload join (canonical URL) → hash join
+      // (64-bit id) → cluster agg: every join must stay an equi-join —
+      // a nested loop over a 100 TB pair corpus would be the bill
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
   test("q_substring_excise: fingerprint- and doc-keyed exchanges only, no cartesian") {
     val p = plan(DedupOps.substringExcise(Tables.documents(spark, sfDir)))
     // the native expressions do the heavy lifting row-level
