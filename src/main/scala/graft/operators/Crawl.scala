@@ -301,9 +301,19 @@ object CrawlOps {
     * broadcasts. */
   def frontierOf(pages: DataFrame, records: DataFrame,
                  fetched: DataFrame, agent: String = "*"): DataFrame = {
+    // discovery is THREE channels, exactly like the synthetic estate's
+    // loop: <a href> outlinks, 3xx Location targets off the records
+    // (a redirect IS a discovered link — q_redirects' enqueue rule),
+    // and meta-refresh targets (the in-page redirect sites use when
+    // they cannot send a 3xx)
     val links = HtmlOps.linksOf(pages)
+      .select(col("page_url").as("ref"), col("dst_url"))
+      .unionByName(HtmlOps.redirectsOf(records)
+        .select(col("src_url").as("ref"), col("dst_url")))
+      .unionByName(HtmlOps.metaRedirectsOf(pages)
+        .select(col("src_url").as("ref"), col("dst_url")))
       .groupBy(col("dst_url").as("canon_url"))
-      .agg(countDistinct(col("page_url")).as("n_referrers"))
+      .agg(countDistinct(col("ref")).as("n_referrers"))
     val (rules, _, _) = parseRobotsBodies(robotsBodiesOf(records), agent)
     matchRules(withParts(links, regexp_extract(col("canon_url"),
       FullHostRe, 1)), rules, robotsStatusesOf(records),

@@ -1197,7 +1197,11 @@ class HtmlUrlSpec extends SparkSpec {
       record("response", "http://www.news.example/robots.txt",
         http("200 OK", "text/plain", newsRobots.getBytes(US_ASCII))) ++
       record("response", "http://www.blog.example/robots.txt",
-        http("404 Not Found", "text/plain", "nope".getBytes(US_ASCII)))
+        http("404 Not Found", "text/plain", "nope".getBytes(US_ASCII))) ++
+      // a 3xx capture: its Location target is a DISCOVERED link too
+      record("response", "http://www.news.example/old",
+        ("HTTP/1.1 301 Moved Permanently\r\nLocation: /moved-1\r\n\r\n")
+          .getBytes(US_ASCII))
     Files.write(dir.resolve("seg.warc"), recs)
     val records = graft.sources.WarcSource.read(spark, dir.toString)
     val pages = Seq(
@@ -1214,6 +1218,8 @@ class HtmlUrlSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(frontier == Map(
       "http://www.news.example/story-1" -> 1L,
+      // the 3xx Location target, discovered off the records channel
+      "http://www.news.example/moved-1" -> 1L,
       "http://www.blog.example/post-9" -> 2L, // two referring pages
       "http://www.blog.example/about" -> 1L,
       // FULL-host keying: news's `Disallow: /private` must NOT gate
@@ -1227,7 +1233,8 @@ class HtmlUrlSpec extends SparkSpec {
         ((r.getAs[Long]("delay_s"),
           r.getAs[Long]("next_allowed_offset_s")))).toMap
     assert(sched == Map(
-      "http://www.news.example/story-1" -> ((2L, 0L)),
+      "http://www.news.example/moved-1" -> ((2L, 0L)),
+      "http://www.news.example/story-1" -> ((2L, 2L)),
       "http://www.blog.example/about" -> ((1L, 0L)),
       "http://www.blog.example/post-9" -> ((1L, 1L)),
       "http://www.blog.example/private/y" -> ((1L, 2L))), sched.toString)
@@ -1241,7 +1248,8 @@ class HtmlUrlSpec extends SparkSpec {
         ((r.getAs[Long]("delay_s"),
           r.getAs[Long]("next_allowed_offset_s")))).toMap
     assert(damped == Map(
-      "http://www.news.example/story-1" -> ((2L, 0L)),
+      "http://www.news.example/moved-1" -> ((2L, 0L)),
+      "http://www.news.example/story-1" -> ((2L, 2L)),
       "http://www.blog.example/about" -> ((10L, 0L)),
       "http://www.blog.example/post-9" -> ((10L, 10L)),
       "http://www.blog.example/private/y" -> ((10L, 20L))), damped.toString)
