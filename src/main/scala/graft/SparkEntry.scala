@@ -129,6 +129,7 @@ object SparkEntry {
     "q_html_extract" -> ((s, dir) => HtmlOps.htmlExtract(Tables.documents(s, dir))),
     "q_url_dedup" -> ((s, dir) => UrlOps.urlDedup(Tables.documents(s, dir))),
     "q_link_extract" -> ((s, dir) => HtmlOps.linkExtract(Tables.documents(s, dir))),
+    "q_anchor_text" -> ((s, dir) => HtmlOps.anchorText(Tables.documents(s, dir))),
     "q_pagerank" -> ((s, dir) => GraphOps.pagerank(Tables.documents(s, dir))),
     "q_robots_filter" -> ((s, dir) => CrawlOps.robotsFilter(Tables.documents(s, dir))),
     "q_robots_parse" -> ((s, dir) => CrawlOps.robotsParse(Tables.documents(s, dir))),

@@ -438,6 +438,40 @@ object CrawlOps {
         col("lastmod"))
   }
 
+  /** HTTP-caching expiry straight off a WARC record frame — the real
+    * face of [[expiresSignals]]: the stored copy's declared freshness
+    * lifetime as an absolute ISO date. RFC 9111 §4.2.1 precedence:
+    * `Cache-Control: max-age=N` over the response `Date` (seconds
+    * arithmetic on the epoch — integer-exact) wins; the `Expires` date
+    * is the fallback; a max-age with NO `Date` header yields nothing
+    * (no anchor to count from — conservative). Same latin-1 header
+    * split as [[headerSignalsOf]]; no body decode. */
+  def expiresSignalsOf(records: DataFrame): DataFrame = {
+    val blank = "(?s)\\r?\\n\\r?\\n"
+    val imf = "([0-9]{1,2} [A-Za-z]{3} [0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2})"
+    def httpDate(hdr: Column, name: String): Column = try_to_timestamp(
+      regexp_extract(regexp_extract(hdr,
+        s"(?im)^$name:([^\\r\\n]*)", 1), imf, 1),
+      lit("d MMM yyyy HH:mm:ss"))
+    records.filter(col("warc_type") === "response")
+      .withColumn("_l1", decode(col("payload"), "ISO-8859-1"))
+      .withColumn("_hdr",
+        when(regexp_extract(col("_l1"), blank, 0) === "", col("_l1"))
+          .otherwise(regexp_extract(col("_l1"), s"(?s)^(.*?)\\r?\\n\\r?\\n", 1)))
+      .withColumn("_maxage", regexp_extract(col("_hdr"),
+        "(?im)^cache-control:[^\\r\\n]*?max-age=([0-9]+)", 1))
+      .withColumn("_date", httpDate(col("_hdr"), "date"))
+      .withColumn("expires",
+        when(col("_maxage") =!= "" && col("_date").isNotNull,
+          to_date(from_unixtime(unix_timestamp(col("_date")) +
+            col("_maxage").cast("long"))).cast("string"))
+          .otherwise(to_date(httpDate(col("_hdr"), "expires"))
+            .cast("string")))
+      .filter(col("expires").isNotNull)
+      .select(UrlOps.canonIdn(col("target_uri")).as("canon_url"),
+        col("expires"))
+  }
+
   /** The REAL-DATA recrawl (round 16) — the batch freshness face
     * completing the WARC loop beside [[frontierOf]] (discovery),
     * [[crawlScheduleOf]] (politeness), and [[sitemapSeedsOf]]
@@ -451,14 +485,16 @@ object CrawlOps {
     * arithmetic behind the crawl's own Crawl-delays, FULL-host keyed,
     * undeclared hosts floored at `defaultDelayS`. */
   def recrawlOf(records: DataFrame, fetchLog: DataFrame,
-                agent: String = "*", defaultDelayS: Long = 1L): DataFrame = {
+                agent: String = "*", defaultDelayS: Long = 1L,
+                asOf: String = RecrawlAsOf): DataFrame = {
     import records.sparkSession.implicits._
     val (rules, delays, _) = parseRobotsBodies(robotsBodiesOf(records), agent)
     val signals = asSignals(headerSignalsOf(records))
+      .unionByName(asSignals(expiresSignalsOf(records)))
       .unionByName(asSignals(sitemapEntriesOf(records, agent)))
     val due = dueReasons(triageCore(signals, rules,
       robotsStatusesOf(records), fetchLog,
-      host = regexp_extract(col("canon_url"), FullHostRe, 1)))
+      host = regexp_extract(col("canon_url"), FullHostRe, 1)), asOf)
     val noCursors = Seq.empty[(String, Long)].toDF("source", "cursor_s")
     scheduleCoreKeyed(
       due.select(col("canon_url"), lit(1L).as("n_referrers"),
@@ -639,13 +675,13 @@ object CrawlOps {
 
   /** [[sitemapSeeds]] without the presentation sort (the face
     * [[recrawl]] composes — it re-joins and re-sorts anyway). The etag
-    * axis is identically false on a sitemap-only triage, so the column
-    * drops out of the query face. */
+    * and expiry axes are identically absent on a sitemap-only triage,
+    * so the columns drop out of the query face. */
   private def sitemapSeedSet(documents: DataFrame): DataFrame = {
     val hosts = hostsOf(documents)
     triageCore(sitemapSignalsFrom(hosts), rulesFrom(hosts),
       robotsStatusFrom(hosts), fetchLogOf(fetchUniverse(documents)))
-      .drop("etag_due", "fetch_date")
+      .drop("etag_due", "expires", "fetch_date")
   }
 
   /** The recrawl-signal frame shape shared by every signal source:
@@ -655,12 +691,13 @@ object CrawlOps {
       "lastmod" -> lit(null).cast("string"),
       "changefreq" -> lit(null).cast("string"),
       "priority" -> lit(null).cast("string"),
-      "etag_due" -> lit(false))
+      "etag_due" -> lit(false),
+      "expires" -> lit(null).cast("string"))
       .foldLeft(df) { case (d, (c, default)) =>
         if (d.columns.contains(c)) d else d.withColumn(c, default)
       }
     withDefaults.select(col("canon_url"), col("lastmod"), col("changefreq"),
-      col("priority"), col("etag_due"))
+      col("priority"), col("etag_due"), col("expires"))
   }
 
   /** The sitemap freshness SIGNAL frame (canon_url, lastmod, changefreq,
@@ -724,6 +761,26 @@ object CrawlOps {
     asSignals(universe
       .filter(col("_id") < 50 && col("_id") % 5 === 2)
       .select(col("canon_url"), lit(true).as("etag_due")))
+
+  /** HTTP-caching EXPIRY signals — the FOURTH recrawl input (round 16
+    * continuation): `Cache-Control: max-age` / `Expires` declare when
+    * the stored copy goes STALE — an explicit per-page freshness
+    * lifetime from the origin, sharper than a sitemap's vague
+    * changefreq (RFC 9111 §4.2: max-age over the response `Date`, else
+    * the `Expires` date). The synthetic twin assigns absolute expiry
+    * dates from the path id alone — id%7==1 expires BEFORE
+    * [[RecrawlAsOf]] (due), id%7==4 after (not due) — both engines
+    * derive it identically; dates are ISO strings under the lexical
+    * comparison convention. The WARC face is [[expiresSignalsOf]]. */
+  private[graft] def expiresSignals(documents: DataFrame): DataFrame =
+    expiresSignalsFrom(fetchUniverse(documents))
+
+  private def expiresSignalsFrom(universe: DataFrame): DataFrame =
+    asSignals(universe
+      .filter(col("_id") < 50 && (col("_id") % 7 === 1 || col("_id") % 7 === 4))
+      .select(col("canon_url"),
+        when(col("_id") % 7 === 1, lit("2026-07-01"))
+          .otherwise(lit("2027-01-01")).as("expires")))
 
   /** The real-WARC face of [[etagSignals]]: current observations
     * (canon_url, etag) vs the PRIOR fetch log's recorded etags — rows
@@ -806,18 +863,21 @@ object CrawlOps {
         // the universe's priorities are all '0.d' — lexical max ≡
         // numeric max, and the string stays hash-exact cross-engine
         max(col("priority")).as("priority"),
-        max(col("etag_due")).as("etag_due"))
+        max(col("etag_due")).as("etag_due"),
+        // latest expiry wins: a fresher response supersedes the stale
+        // lifetime an earlier observation declared
+        max(col("expires")).as("expires"))
     matchRules(withParts(seeds, host), rules, statuses,
-      Seq("lastmod", "changefreq", "priority", "etag_due"))
+      Seq("lastmod", "changefreq", "priority", "etag_due", "expires"))
       .select(col("canon_url"), col("lastmod"), col("changefreq"),
-        col("priority"), col("etag_due"),
+        col("priority"), col("etag_due"), col("expires"),
         robotsAllowed.as("allowed"))
       .withColumn("source", host)
       .join(fetchLog.select(col("canon_url"), col("fetch_date")),
         Seq("canon_url"), "left")
       .select(col("canon_url"), col("source"), col("lastmod"),
-        col("changefreq"), col("priority"), col("etag_due"), col("allowed"),
-        col("fetch_date"),
+        col("changefreq"), col("priority"), col("etag_due"), col("expires"),
+        col("allowed"), col("fetch_date"),
         col("fetch_date").isNotNull.as("fetched"))
   }
 
@@ -826,14 +886,21 @@ object CrawlOps {
     * [[recrawl]] and [[recrawlStream]] (and mirrored in the q_recrawl
     * oracle SQL), so batch, stream, and oracle cannot drift on what
     * "due" means. */
-  private[graft] def dueReasons(triaged: DataFrame): DataFrame = {
+  private[graft] def dueReasons(triaged: DataFrame,
+                                asOf: String = RecrawlAsOf): DataFrame = {
     val reason =
       when(col("lastmod").isNotNull && col("lastmod") > col("fetch_date"),
         "lastmod")
         .when(col("etag_due"), "etag")
+        // the stored copy's declared freshness lifetime has elapsed —
+        // an origin-stated revalidation trigger, orthogonal to lastmod
+        // evidence (it ranks above the sitemap's vague changefreq
+        // prior, below actual change observations)
+        .when(col("expires").isNotNull && col("expires") < lit(asOf),
+          "expired")
         .when(col("lastmod").isNull && col("changefreq").isNotNull &&
           date_add(to_date(col("fetch_date")),
-            freqDays(col("changefreq"))) < to_date(lit(RecrawlAsOf)),
+            freqDays(col("changefreq"))) < to_date(lit(asOf)),
           "changefreq")
     triaged
       .filter(col("fetched") && col("allowed"))
@@ -974,16 +1041,20 @@ object CrawlOps {
   private[graft] val RecrawlAsOf = "2026-08-10"
 
   /** §2 `q_recrawl`: change-driven RECRAWL — the scheduler input the
-    * freshness signals exist for. THREE signal axes union into one
-    * triage (round 15 completes the set), each deciding `reason` in
-    * this CASE order:
+    * freshness signals exist for. FOUR signal axes union into one
+    * triage (round 15 added etag/changefreq; round 16 the caching
+    * lifetime), each deciding `reason` in this CASE order:
     *
     *  1. `lastmod` — a sitemap `<lastmod>` or header `Last-Modified`
     *     POSTDATING the fetch date: the page changed since we took it;
     *  2. `etag` — conditional revalidation observed a different entity
     *     tag ([[etagSignals]]): changed, but no date attached (the
     *     hosts that send no Last-Modified and publish no sitemap);
-    *  3. `changefreq` — no timestamp at all, but the sitemap declares a
+    *  3. `expired` — the stored copy's HTTP-caching lifetime
+    *     ([[expiresSignals]]: `Cache-Control: max-age` / `Expires`)
+    *     has elapsed: an origin-stated revalidation trigger, sharper
+    *     than the sitemap prior, weaker than an observed change;
+    *  4. `changefreq` — no timestamp at all, but the sitemap declares a
     *     change period ([[freqDays]]) that has elapsed since the fetch
     *     as of the fixed [[RecrawlAsOf]] (integer-exact DATE + days in
     *     both engines).
@@ -1007,7 +1078,8 @@ object CrawlOps {
     val due = dueReasons(triageCore(
       sitemapSignalsFrom(hosts)
         .unionByName(headerSignalsFrom(universe))
-        .unionByName(etagSignalsFrom(universe)),
+        .unionByName(etagSignalsFrom(universe))
+        .unionByName(expiresSignalsFrom(universe)),
       rulesFrom(hosts), robotsStatusFrom(hosts), fetchLogOf(universe)))
     val noCursors = Seq.empty[(String, Long)].toDF("source", "cursor_s")
     // lastmod/fetch_date/reason CARRY through the schedule window —
@@ -1640,7 +1712,7 @@ object CrawlOps {
     "q_recrawl" ->
       s"""WITH ${seedCtes(withHeaderSignals = true)},
          |due AS (
-         |  SELECT canon_url, source, lastmod, changefreq, etag_due,
+         |  SELECT canon_url, source, lastmod, changefreq, etag_due, expires,
          |    '2026-07-' || lpad(CAST(1 + CAST(regexp_extract(canon_url, '/docs/([0-9]+)$$', 1) AS INT) % 28 AS VARCHAR), 2, '0')
          |      AS fetch_date
          |  FROM sm
@@ -1651,6 +1723,8 @@ object CrawlOps {
          |      CASE
          |        WHEN lastmod IS NOT NULL AND lastmod > fetch_date THEN 'lastmod'
          |        WHEN etag_due THEN 'etag'
+         |        WHEN expires IS NOT NULL AND expires < '$RecrawlAsOf'
+         |             THEN 'expired'
          |        WHEN lastmod IS NULL AND changefreq IS NOT NULL
          |             AND CAST(fetch_date AS DATE) + ${freqDaysSql("changefreq")}
          |                 < DATE '$RecrawlAsOf' THEN 'changefreq'
@@ -1787,17 +1861,24 @@ object CrawlOps {
     val h = "'http://' || source || '.example.com"
     val idOf = s"TRY_CAST(regexp_extract(${UrlOps.canonSql("url")}, " +
       "'/docs/([0-9]+)$', 1) AS INT)"
-    // the header Last-Modified + etag-churn signal unions (recrawl only)
+    // the header Last-Modified + etag-churn + caching-expiry signal
+    // unions (recrawl only)
     val headerSig = if (!withHeaderSignals) "" else
       s"""  UNION ALL
          |  SELECT DISTINCT ${UrlOps.canonSql("url")},
          |    CASE WHEN $idOf % 4 = 1 THEN '2026-08-03'
-         |         ELSE '2026-06-15' END, NULL, NULL, FALSE
+         |         ELSE '2026-06-15' END, NULL, NULL, FALSE, NULL
          |  FROM u WHERE $idOf < 50 AND $idOf % 3 <> 0
          |  UNION ALL
          |  SELECT DISTINCT ${UrlOps.canonSql("url")},
-         |    NULL, NULL, NULL, TRUE
+         |    NULL, NULL, NULL, TRUE, NULL
          |  FROM u WHERE $idOf < 50 AND $idOf % 5 = 2
+         |  UNION ALL
+         |  SELECT DISTINCT ${UrlOps.canonSql("url")},
+         |    NULL, NULL, NULL, FALSE,
+         |    CASE WHEN $idOf % 7 = 1 THEN '2026-07-01'
+         |         ELSE '2027-01-01' END
+         |  FROM u WHERE $idOf < 50 AND $idOf % 7 IN (1, 4)
          |""".stripMargin
     s"""srcs AS (
        |  SELECT DISTINCT source FROM documents
@@ -1825,14 +1906,15 @@ object CrawlOps {
        |      WHEN 3 THEN 'weekly' WHEN 4 THEN 'monthly' WHEN 5 THEN 'yearly'
        |    END AS changefreq,
        |    MAX(priority) AS priority,
-       |    MAX(etag_due) AS etag_due
+       |    MAX(etag_due) AS etag_due,
+       |    MAX(expires) AS expires
        |  FROM (
        |    SELECT ${UrlOps.canonSql("loc")} AS canon_url, lastmod,
-       |      changefreq, priority, FALSE AS etag_due FROM ent
+       |      changefreq, priority, FALSE AS etag_due, NULL AS expires FROM ent
        |$headerSig  )
        |  GROUP BY 1
        |), sparts AS (
-       |  SELECT canon_url, lastmod, changefreq, priority, etag_due,
+       |  SELECT canon_url, lastmod, changefreq, priority, etag_due, expires,
        |    regexp_extract(canon_url, '^[a-z]+://([^./]+)\\.', 1) AS source,
        |    regexp_replace(canon_url, '^[a-z]+://[^/?#]*', '') AS path
        |  FROM seeds
@@ -1853,7 +1935,7 @@ object CrawlOps {
        |$rstatSql,
        |sm AS (
        |  SELECT p.canon_url, p.source, p.lastmod, p.changefreq, p.priority,
-       |    p.etag_due,
+       |    p.etag_due, p.expires,
        |    ${allowedSql("s", "m")} AS allowed,
        |    (p.canon_url IN (SELECT canon_url FROM fetched)) AS fetched
        |  FROM sparts p

@@ -587,11 +587,25 @@ object HtmlOps {
     * consumers ([[CrawlOps]]' frontier/schedule, `frontierStream`) use:
     * they re-aggregate immediately, so the sorted frame would only buy
     * a wasted range exchange. */
-  private[graft] def linkExtractSet(documents: DataFrame): DataFrame = {
+  private[graft] def linkExtractSet(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        explode(regexp_extract_all(linkSynthHtml,
+          lit("<a href=\"([^\"]*)\""), lit(1))).as("href"))
+      .select(col("doc_id"), UrlOps.canon(col("href")).as("dst_url"))
+      .distinct()
+
+  /** The synthetic link page as a Column — single Spark-side source of
+    * truth for the link universe ([[linkExtractSet]], [[anchorText]]);
+    * [[linkPagesSql]] is its DuckDB twin. Three deterministic messy
+    * links with anchor TEXTS (`one` / `two` / `one again`): one with
+    * tracking params, one uppercased+default-port+fragment, one
+    * duplicated under a trailing-slash surface form. */
+  private def linkSynthHtml: Column = {
     val host = concat(col("source"), lit(".example.com"))
     val p1 = (col("doc_id") * 7 + 13) % 100
     val p2 = (col("doc_id") * 11 + 5) % 100
-    val html = concat(
+    concat(
       lit("<html><body><p>see <a href=\"http://"), host,
       lit("/docs/"), p1.cast("string"),
       lit("?utm_source=page&utm_medium=m\">one</a> and <a href=\"HTTP://"),
@@ -599,12 +613,6 @@ object HtmlOps {
       lit("#frag\">two</a>; also <a href=\"http://"), host,
       lit("/docs/"), p1.cast("string"),
       lit("/\">one again</a></p></body></html>"))
-    documents
-      .select(col("doc_id"),
-        explode(regexp_extract_all(html,
-          lit("<a href=\"([^\"]*)\""), lit(1))).as("href"))
-      .select(col("doc_id"), UrlOps.canon(col("href")).as("dst_url"))
-      .distinct()
   }
 
   /** Outlinks of REAL crawled pages — the general (page_url, html) face
@@ -635,6 +643,96 @@ object HtmlOps {
       // only fetchable http(s) URLs may reach the frontier
       .filter(col("dst_url").rlike("^https?://"))
       .distinct()
+  }
+
+  // ---------- anchor-text aggregation (round 16 continuation — the
+  // inbound-link description of a page, the classic web-corpus
+  // signal: search engines and quality scorers alike read a URL's
+  // identity from what OTHER pages call it) ----------
+
+  /** (src page, dst canonical URL, anchor text) triples of REAL crawled
+    * pages — the extraction face under [[anchorTextOf]]: every
+    * `<a href>text</a>` resolves against the page's effective base
+    * (`<base href>` honored, the [[linksOf]] rule), canonicalizes under
+    * the fetch-log identity ([[UrlOps.canonIdn]]), and carries its
+    * inner text with tags stripped and whitespace collapsed
+    * ([[cleanInline]]). Text-BEARING inlinks only: an anchor whose
+    * inner text is empty after the strip (image links, spacer links)
+    * drops — pure link counting is [[linksOf]] → frontier's job; this
+    * face exists for the text. Row-level extract, zero shuffles. */
+  def anchorsOf(pages: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(pages.sparkSession)
+    val baseHref = regexp_extract(col("html"),
+      "(?i)<base[^>]*href\\s*=\\s*[\"']([^\"'>]+)", 1)
+    val effBase = coalesce(
+      when(baseHref =!= "", UrlOps.resolve(col("page_url"), baseHref)),
+      col("page_url"))
+    pages
+      .select(col("page_url"), effBase.as("_base"),
+        explode(regexp_extract_all(col("html"),
+          lit("(?is)<a\\s[^>]*href\\s*=\\s*[\"'][^\"']*[\"'][^>]*>.*?</a>"),
+          lit(0))).as("a"))
+      .select(col("page_url"),
+        UrlOps.canonIdn(UrlOps.resolve(col("_base"),
+          regexp_extract(col("a"),
+            "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1))).as("dst_url"),
+        cleanInline(regexp_extract(col("a"), "(?is)^<a[^>]*>(.*)</a>$", 1))
+          .as("anchor"))
+      .filter(col("dst_url").rlike("^https?://") && col("anchor") =!= "")
+  }
+
+  /** The shared anchor aggregation: (src, dst_url, anchor) triples →
+    * one row per dst_url with `top_anchor` (the most-frequent anchor
+    * text; ties break to the struct-max larger text, identical
+    * field-order comparison in both engines — the q_image_dataset rep
+    * idiom), `top_cnt`, `n_inlinks` (text-bearing inlinks), `n_texts`
+    * (distinct anchor spellings), `n_docs` (distinct source pages).
+    * TWO aggregations + one join, ALL keyed on dst_url — at 100 TB
+    * this is the canonical two-pass MR anchor job: no collect, no
+    * window over the corpus, and AQE reuses the dst_url exchange
+    * across the branches. */
+  private[graft] def anchorCore(pairs: DataFrame, srcCol: String): DataFrame = {
+    val perText = pairs.groupBy("dst_url", "anchor")
+      .agg(count(lit(1)).as("cnt"))
+    val tops = perText.groupBy("dst_url").agg(
+      max(struct(col("cnt"), col("anchor"))).as("_top"),
+      sum("cnt").cast("long").as("n_inlinks"),
+      count(lit(1)).as("n_texts"))
+    val docs = pairs.select(col("dst_url"), col(srcCol)).distinct()
+      .groupBy("dst_url").agg(count(lit(1)).as("n_docs"))
+    tops.join(docs, Seq("dst_url"))
+      .select(col("dst_url"), col("_top.anchor").as("top_anchor"),
+        col("_top.cnt").as("top_cnt"), col("n_inlinks"),
+        col("n_texts"), col("n_docs"))
+  }
+
+  /** Anchor-text aggregation of REAL crawled pages — what the web
+    * calls each URL: [[anchorsOf]] triples rolled up per canonical
+    * target by [[anchorCore]]. The result is corpus metadata a
+    * training-data pipeline joins back on the canonical URL — an
+    * alt-text-like caption source for pages, a quality prior (how the
+    * web describes a document), and a retrieval label. */
+  def anchorTextOf(pages: DataFrame): DataFrame =
+    anchorCore(anchorsOf(pages), "page_url")
+
+  /** §2 `q_anchor_text`: anchor aggregation under the oracle — the
+    * synthetic link page ([[linkSynthHtml]], the q_link_extract
+    * universe) carries three deterministic anchor texts; both engines
+    * extract (href, text), canonicalize under [[UrlOps.canon]] (the
+    * oracle-shared identity — `one` and `one again` collapse onto ONE
+    * canonical target, so top-anchor selection genuinely bites), and
+    * aggregate through the same two-pass core. */
+  def anchorText(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val pairs = documents
+      .select(col("doc_id"),
+        explode(regexp_extract_all(linkSynthHtml,
+          lit("<a href=\"[^\"]*\">[^<]*</a>"), lit(0))).as("a"))
+      .select(col("doc_id"),
+        UrlOps.canon(regexp_extract(col("a"), "<a href=\"([^\"]*)\"", 1))
+          .as("dst_url"),
+        regexp_extract(col("a"), ">([^<]*)</a>", 1).as("anchor"))
+    anchorCore(pairs, "doc_id").orderBy("dst_url")
   }
 
   // ---------- image-text pair mining (round 16 — the LAION-shape
@@ -1334,7 +1432,7 @@ object HtmlOps {
     * `h` + `raw_links (doc_id, href)` CTEs — shared with the crawl
     * oracles ([[CrawlOps]]) so no oracle carries a private copy of the
     * link universe. */
-  private[graft] val linkUniverseSql: String =
+  private[graft] val linkPagesSql: String =
     """h AS (
       |  SELECT doc_id,
       |    '<html><body><p>see <a href="http://' || source || '.example.com/docs/' ||
@@ -1346,7 +1444,10 @@ object HtmlOps {
       |      CAST((doc_id * 7 + 13) % 100 AS VARCHAR) ||
       |      '/">one again</a></p></body></html>' AS html
       |  FROM documents
-      |), raw_links AS (
+      |)""".stripMargin
+
+  private[graft] val linkUniverseSql: String =
+    s"""$linkPagesSql, raw_links AS (
       |  SELECT doc_id, unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS href
       |  FROM h
       |)""".stripMargin
@@ -1367,6 +1468,34 @@ object HtmlOps {
         |SELECT DISTINCT doc_id, ${UrlOps.canonSql("href")} AS dst_url
         |FROM raw_links
         |ORDER BY doc_id, dst_url""".stripMargin,
+    "q_anchor_text" ->
+      s"""WITH $linkPagesSql, a0 AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(html, '<a href="[^"]*">[^<]*</a>', 0)) AS a
+         |  FROM h
+         |), pairs AS (
+         |  SELECT doc_id,
+         |    ${UrlOps.canonSql("regexp_extract(a, '<a href=\"([^\"]*)\"', 1)")}
+         |      AS dst_url,
+         |    regexp_extract(a, '>([^<]*)</a>', 1) AS anchor
+         |  FROM a0
+         |), per_text AS (
+         |  SELECT dst_url, anchor, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2
+         |), tops AS (
+         |  SELECT dst_url,
+         |    max(struct_pack(cnt := cnt, anchor := anchor)) AS top,
+         |    CAST(SUM(cnt) AS BIGINT) AS n_inlinks,
+         |    CAST(COUNT(*) AS BIGINT) AS n_texts
+         |  FROM per_text GROUP BY 1
+         |), docs AS (
+         |  SELECT dst_url, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM pairs GROUP BY 1
+         |)
+         |SELECT t.dst_url, t.top.anchor AS top_anchor,
+         |  CAST(t.top.cnt AS BIGINT) AS top_cnt,
+         |  t.n_inlinks, t.n_texts, d.n_docs
+         |FROM tops t JOIN docs d USING (dst_url)
+         |ORDER BY dst_url""".stripMargin,
     "q_image_pairs" ->
       s"""WITH $imagePairsCtes
          |SELECT DISTINCT doc_id, page_url,

@@ -1381,6 +1381,89 @@ class HtmlUrlSpec extends SparkSpec {
       got.toString)
   }
 
+  test("recrawl: an elapsed caching lifetime makes a fetched page due (reason expired)") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // /docs/15: fetched (id < 50), no header date (15%3==0), no etag
+    // churn (15%5==0), not in src0's sitemap ({20, 80, 60, 2}) — but
+    // its expiry signal (15%7==1 → 2026-07-01) predates the as-of →
+    // due purely on the caching lifetime, with a NULL lastmod
+    val due = CrawlOps.recrawl(Seq((15L, "src0")).toDF("doc_id", "source"))
+      .collect().map(r => (r.getString(0), Option(r.getString(2)),
+        r.getString(3), r.getString(4)))
+    assert(due.toSeq == Seq(
+      ("http://src0.example.com/docs/15", None, "2026-07-16", "expired")),
+      due.toSeq)
+    // /docs/4: expiry signal 2027-01-01 (4%7==4) is in the FUTURE, its
+    // header lastmod (2026-06-15) predates the fetch → nothing is due
+    val fresh = CrawlOps.recrawl(Seq((4L, "src0")).toDF("doc_id", "source"))
+      .collect()
+    assert(fresh.isEmpty, fresh.mkString(","))
+  }
+
+  test("expiresSignalsOf: max-age over Date wins, Expires falls back, no anchor drops") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val dir = Files.createTempDirectory("graft_warc_expires")
+    def resp(headers: String): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" + headers +
+        "\r\n<p>body</p>").getBytes(US_ASCII)
+    val recs =
+      // max-age anchored on Date: 2026-06-01 + 10 days
+      record("response", "http://h.example/ttl",
+        resp("Date: Mon, 01 Jun 2026 00:00:00 GMT\r\n" +
+          "Cache-Control: public, max-age=864000\r\n")) ++
+      // Expires fallback
+      record("response", "http://h.example/exp",
+        resp("Expires: Thu, 31 Dec 2026 23:59:59 GMT\r\n")) ++
+      // max-age with NO Date header: no anchor to count from — drops
+      record("response", "http://h.example/na",
+        resp("Cache-Control: max-age=60\r\n")) ++
+      // both present: max-age (RFC 9111 §4.2.1 precedence) wins
+      record("response", "http://h.example/both",
+        resp("Date: Mon, 01 Jun 2026 00:00:00 GMT\r\n" +
+          "Cache-Control: max-age=86400\r\n" +
+          "Expires: Thu, 31 Dec 2026 23:59:59 GMT\r\n"))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val got = CrawlOps.expiresSignalsOf(
+      graft.sources.WarcSource.read(spark, dir.toString))
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "http://h.example/ttl" -> "2026-06-11",
+      "http://h.example/exp" -> "2026-12-31",
+      "http://h.example/both" -> "2026-06-02"), got)
+  }
+
+  test("recrawlOf: an expired stored copy re-queues with reason expired") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val dir = Files.createTempDirectory("graft_warc_recrawl_exp")
+    val host = "cache.shop.example"
+    val recs =
+      record("response", s"http://$host/robots.txt",
+        http("200 OK", "text/plain",
+          "User-agent: *\r\nCrawl-delay: 3\r\n".getBytes(US_ASCII))) ++
+      // stale copy: expired 2026-07-11, no Last-Modified at all
+      record("response", s"http://$host/stale",
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Date: Wed, 01 Jul 2026 00:00:00 GMT\r\n" +
+          "Cache-Control: max-age=864000\r\n\r\n<p>x</p>").getBytes(US_ASCII)) ++
+      // still-fresh copy: expires far in the future
+      record("response", s"http://$host/fresh",
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Expires: Fri, 01 Jan 2027 00:00:00 GMT\r\n\r\n<p>y</p>")
+          .getBytes(US_ASCII))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val fetchLog = Seq(
+      (s"http://$host/stale", "2026-07-01"),
+      (s"http://$host/fresh", "2026-07-01")).toDF("canon_url", "fetch_date")
+    val got = CrawlOps.recrawlOf(
+      graft.sources.WarcSource.read(spark, dir.toString), fetchLog)
+      .collect().map(r => (r.getAs[String]("canon_url"),
+        r.getAs[String]("reason"), r.getAs[Long]("delay_s")))
+    assert(got.toSeq == Seq((s"http://$host/stale", "expired", 3L)), got.toSeq)
+  }
+
   test("mediaPairsOf mines video/audio sources, posters, and captions") {
     import spark.implicits._
     val html =
@@ -2047,6 +2130,79 @@ class HtmlUrlSpec extends SparkSpec {
       "http://site.example.com/three", // tracking param canoned away
       "http://cdn.example.com/four",
       "http://other.net/five"), got)
+  }
+
+  test("anchorsOf: inner text tag-stripped, base honored, empty/junk anchors drop") {
+    import spark.implicits._
+    val html =
+      """<html><head><base href="/docs/"></head><body>
+        |<a href="guide.html">The <b>full</b>   guide</a>
+        |<a class="nav" href='guide.html'>the full guide</a>
+        |<a href="/img/x"><img src="x.png"></a>
+        |<a href="mailto:a@b.example">write us</a>
+        |<a href="other.html"> spaced   text </a>
+        |</body></html>""".stripMargin
+    val pages = Seq(("http://site.example.com/dir/page.html", html))
+      .toDF("page_url", "html")
+    val got = HtmlOps.anchorsOf(pages)
+      .select("dst_url", "anchor").as[(String, String)].collect().toSet
+    // image-only anchor (empty after strip) and mailto both drop;
+    // nested tags strip to spaces and whitespace collapses
+    assert(got == Set(
+      ("http://site.example.com/docs/guide.html", "The full guide"),
+      ("http://site.example.com/docs/guide.html", "the full guide"),
+      ("http://site.example.com/docs/other.html", "spaced text")), got)
+  }
+
+  test("anchorTextOf: per-target aggregation, top anchor by count then text") {
+    import spark.implicits._
+    val mk = (hrefText: Seq[(String, String)]) =>
+      "<html><body>" + hrefText.map { case (h, t) =>
+        s"""<a href="$h">$t</a>""" }.mkString + "</body></html>"
+    val pages = Seq(
+      ("http://a.example.com/1", mk(Seq(
+        "http://t.example.com/page" -> "Home",
+        "http://t.example.com/page?utm_source=x" -> "home page",
+        "http://t.example.com/other" -> "misc"))),
+      ("http://a.example.com/2", mk(Seq(
+        "http://t.example.com/page" -> "home page",
+        "http://t.example.com/page" -> "home page"))),
+      ("http://b.example.com/1", mk(Seq(
+        "http://t.example.com/page" -> "Home")))
+    ).toDF("page_url", "html")
+    val rows = HtmlOps.anchorTextOf(pages).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val page = rows("http://t.example.com/page")
+    // home page ×3 beats Home ×2; 5 text-bearing inlinks, 2 spellings,
+    // 3 distinct source pages
+    assert(page.getString(1) == "home page")
+    assert(page.getLong(2) == 3L && page.getLong(3) == 5L)
+    assert(page.getLong(4) == 2L && page.getLong(5) == 3L)
+    val other = rows("http://t.example.com/other")
+    assert(other.getString(1) == "misc" && other.getLong(3) == 1L)
+  }
+
+  test("q_anchor_text: one/one again collapse onto one canonical target") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha"), (101L, "alpha"), (3L, "beta"))
+      .toDF("doc_id", "source")
+    val rows = HtmlOps.anchorText(docs).collect()
+    // docs 1 and 101 share (source=alpha, p1 = (id*7+13)%100 = 20):
+    // their `one` + `one again` anchors all land on ONE canonical
+    // /docs/20 target — 4 inlinks, 2 spellings, 2 docs, tie at 2/2
+    // broken to the struct-max larger text
+    val t = rows.find(r => r.getString(0).contains("alpha") &&
+      r.getString(0).endsWith("/docs/20")).get
+    assert(t.getString(1) == "one again" && t.getLong(2) == 2L)
+    assert(t.getLong(3) == 4L && t.getLong(4) == 2L && t.getLong(5) == 2L)
+    // doc 3 (beta): /docs/34 takes one + one again (2 inlinks, 2
+    // spellings, 1 doc), /docs/38 takes two — TWO beta targets
+    val beta = rows.filter(_.getString(0).contains("beta"))
+    assert(beta.length == 2)
+    val b34 = beta.find(_.getString(0).endsWith("/docs/34")).get
+    assert(b34.getLong(3) == 2L && b34.getLong(4) == 2L && b34.getLong(5) == 1L)
+    val b38 = beta.find(_.getString(0).endsWith("/docs/38")).get
+    assert(b38.getString(1) == "two" && b38.getLong(3) == 1L)
   }
 
   test("metaRedirectsOf: both attribute orders, relative targets, composes with resolve") {
