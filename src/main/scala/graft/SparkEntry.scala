@@ -130,12 +130,14 @@ object SparkEntry {
     "q_url_dedup" -> ((s, dir) => UrlOps.urlDedup(Tables.documents(s, dir))),
     "q_link_extract" -> ((s, dir) => HtmlOps.linkExtract(Tables.documents(s, dir))),
     "q_anchor_text" -> ((s, dir) => HtmlOps.anchorText(Tables.documents(s, dir))),
+    "q_meta_og" -> ((s, dir) => HtmlOps.metaOg(Tables.documents(s, dir))),
     "q_pagerank" -> ((s, dir) => GraphOps.pagerank(Tables.documents(s, dir))),
     "q_robots_filter" -> ((s, dir) => CrawlOps.robotsFilter(Tables.documents(s, dir))),
     "q_robots_parse" -> ((s, dir) => CrawlOps.robotsParse(Tables.documents(s, dir))),
     "q_frontier" -> ((s, dir) => CrawlOps.frontier(Tables.documents(s, dir))),
     "q_crawl_schedule" -> ((s, dir) => CrawlOps.crawlSchedule(Tables.documents(s, dir))),
     "q_sitemap" -> ((s, dir) => CrawlOps.sitemapSeeds(Tables.documents(s, dir))),
+    "q_feeds" -> ((s, dir) => CrawlOps.feeds(Tables.documents(s, dir))),
     "q_redirects" -> ((s, dir) => CrawlOps.redirects(Tables.documents(s, dir))),
     "q_recrawl" -> ((s, dir) => CrawlOps.recrawl(Tables.documents(s, dir))),
     "q_link_resolve" -> ((s, dir) => UrlOps.linkResolve(Tables.documents(s, dir))),

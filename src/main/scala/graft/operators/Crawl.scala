@@ -673,6 +673,148 @@ object CrawlOps {
   def sitemapSeeds(documents: DataFrame): DataFrame =
     sitemapSeedSet(documents).orderBy("canon_url")
 
+  // ---------- RSS/Atom feed discovery (round 16 continuation — the
+  // web's THIRD discovery channel beside outlinks and sitemaps, and
+  // the freshest one: feeds announce NEW and UPDATED pages with
+  // publication timestamps, which is why real crawlers poll them) ----
+
+  /** The synthetic feed universe — per host an RSS 2.0 feed at
+    * `/feed.xml` (an IMF-fixdate `<pubDate>` entry, a messy
+    * uppercase/:80/#frag link with NO date, and a trailing-slash
+    * duplicate of the first entry under an OLDER date — so canon
+    * collapse and max-dedup both bite) and an Atom feed at `/atom.xml`
+    * (an ISO `<updated>` entry and a date-less single-quoted-href
+    * entry). Entry ids land in the hosts' fetch-universe residue
+    * classes (the [[sitemapBodiesFrom]] `cls` arithmetic) so `fetched`
+    * genuinely varies. */
+  private[graft] def feedBodies(documents: DataFrame): DataFrame =
+    feedBodiesFrom(documents.select(col("source")).distinct())
+
+  private[graft] def feedBodiesFrom(hosts: DataFrame): DataFrame = {
+    val idx = expr("CAST(substr(source, 4, 10) AS INT)")
+    val host = concat(col("source"), lit(".example.com"))
+    def cls(m: Int, a: Int): Column =
+      (((idx * m + a) % 5) * 20 + (idx % 20)).cast("string")
+    val f1 = cls(3, 2)
+    val f2 = ((idx * 13 + 7) % 100).cast("string")
+    val a1 = cls(9, 5)
+    val a2 = cls(17, 8)
+    val rss = concat(
+      lit("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+        "<title>feed</title><item><link>http://"), host,
+      lit("/docs/"), f1,
+      lit("</link><pubDate>Wed, 05 Aug 2026 10:00:00 GMT</pubDate></item>" +
+        "<item><link>HTTP://"), upper(host), lit(":80/docs/"), f2,
+      lit("#frag</link></item><item><link>http://"), host,
+      lit("/docs/"), f1,
+      lit("/</link><pubDate>Tue, 15 Jul 2026 08:00:00 GMT</pubDate></item>" +
+        "</channel></rss>"))
+    val atom = concat(
+      lit("<?xml version=\"1.0\"?>" +
+        "<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+        "<entry><link href=\"http://"), host, lit("/docs/"), a1,
+      lit("\"/><updated>2026-07-18T09:30:00Z</updated></entry>" +
+        "<entry><link href='http://"), host, lit("/docs/"), a2,
+      lit("'/></entry></feed>"))
+    hosts.select(col("source"), explode(array(
+      struct(concat(lit("http://"), host, lit("/feed.xml")).as("url"),
+        rss.as("body")),
+      struct(concat(lit("http://"), host, lit("/atom.xml")).as("url"),
+        atom.as("body")))).as("f"))
+      .select(col("source"), col("f.url").as("url"), col("f.body").as("body"))
+  }
+
+  /** Parse ANY (source, url, body) feed frame — RSS 2.0 `<item>` blocks
+    * (`<link>` + `<pubDate>` IMF-fixdate → ISO date, the
+    * [[headerSignalsOf]] conversion) and Atom `<entry>` blocks
+    * (`<link href>` across quote styles + `<updated>` ISO 8601 → its
+    * date prefix). Returns (source, loc, lastmod) — the sitemap-entry
+    * shape, so feed entries ride the SAME triage as every other
+    * freshness signal. Feeds are hosts-bounded artifacts like sitemaps
+    * and robots.txt — KBs per host at any corpus size. */
+  private[graft] def parseFeeds(bodies: DataFrame): DataFrame = {
+    val imf = "([0-9]{1,2} [A-Za-z]{3} [0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2})"
+    val isRss = col("body").contains("<channel")
+    val rss = bodies.filter(isRss)
+      .select(col("source"), explode(regexp_extract_all(col("body"),
+        lit("(?s)<item>(.*?)</item>"), lit(1))).as("e"))
+      .select(col("source"),
+        regexp_extract(col("e"), "<link>([^<]*)</link>", 1).as("loc"),
+        to_date(try_to_timestamp(regexp_extract(
+          regexp_extract(col("e"), "<pubDate>([^<]*)</pubDate>", 1), imf, 1),
+          lit("d MMM yyyy HH:mm:ss")).cast("timestamp"))
+          .cast("string").as("lastmod"))
+    val atom = bodies.filter(!isRss && col("body").contains("<feed"))
+      .select(col("source"), explode(regexp_extract_all(col("body"),
+        lit("(?s)<entry>(.*?)</entry>"), lit(1))).as("e"))
+      .select(col("source"),
+        regexp_extract(col("e"),
+          "(?i)<link[^>]*href[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*[\"']([^\"']*)",
+          1).as("loc"),
+        nullif(regexp_extract(col("e"),
+          "<updated>([0-9]{4}-[0-9]{2}-[0-9]{2})", 1), lit(""))
+          .as("lastmod"))
+    rss.unionByName(atom).filter(col("loc") =!= "")
+  }
+
+  /** §2 `q_feeds`: feed-SEEDED discovery — the third discovery channel
+    * under the oracle: every host's synthetic RSS+Atom pair
+    * ([[feedBodies]]) parses through the general [[parseFeeds]],
+    * canonizes under the fetch-log identity, dedupes keeping the
+    * NEWEST date (the trailing-slash duplicate's older pubDate loses),
+    * and triages through the SAME shared core as sitemap seeds —
+    * robots `allowed` + already-`fetched`. A fetched entry with a
+    * fresh pubDate is [[recrawl]]-shaped input; an unfetched allowed
+    * one is frontier-shaped. Scale: feeds are hosts-bounded; the
+    * fetch-log join is the one corpus-scale frame, canonical-URL
+    * keyed. */
+  def feeds(documents: DataFrame): DataFrame = {
+    val hosts = hostsOf(documents)
+    triageCore(asSignals(parseFeeds(feedBodiesFrom(hosts))
+        .select(UrlOps.canon(col("loc")).as("canon_url"), col("lastmod"))),
+      rulesFrom(hosts), robotsStatusFrom(hosts),
+      fetchLogOf(fetchUniverse(documents)))
+      .drop("changefreq", "priority", "etag_due", "expires", "fetch_date")
+      .orderBy("canon_url")
+  }
+
+  /** Feed discovery over a REAL crawl — autodiscovery
+    * ([[HtmlOps.feedLinksOf]]: `<link rel=alternate type=rss/atom>`
+    * off the captured pages), feed bodies resolved from the crawl's
+    * OWN captures by canonical URL (the [[sitemapSeedsOf]] rule: a
+    * feed the crawl has not fetched contributes nothing), gzip-sniffed
+    * and charset-decoded through the shared byte front, parsed by
+    * [[parseFeeds]], and triaged against the crawl's robots
+    * rules/statuses and the fetch log — FULL-host keyed. */
+  def feedSeedsOf(records: DataFrame, fetchLog: DataFrame,
+                  agent: String = "*"): DataFrame = {
+    val (rules, _, _) = parseRobotsBodies(robotsBodiesOf(records), agent)
+    triageCore(asSignals(feedEntriesOf(records)), rules,
+      robotsStatusesOf(records), fetchLog,
+      host = regexp_extract(col("canon_url"), FullHostRe, 1))
+  }
+
+  /** The raw feed ENTRY signals of a WARC crawl — [[feedSeedsOf]]
+    * before the triage: discover feed URLs from the captures' own
+    * HTML, join the captures for their bodies, decode, parse.
+    * Returns (canon_url, lastmod). */
+  private[graft] def feedEntriesOf(records: DataFrame): DataFrame = {
+    val captures = graft.sources.WarcSource.httpResponseBytes(records)
+      .filter(col("http_status").between(200, 299))
+      .withColumn("_canon", UrlOps.canonIdn(col("target_uri")))
+      .localCheckpoint(false) // autodiscovery AND the body lookup read it
+    val pages = captures.select(col("_canon").as("page_url"),
+      when(expr("is_valid_utf8(body_bytes)"), decode(col("body_bytes"), "UTF-8"))
+        .otherwise(decode(col("body_bytes"), "ISO-8859-1")).as("html"))
+    val feedUrls = HtmlOps.feedLinksOf(pages)
+      .select(col("feed_url").as("_canon")).distinct()
+    val bodies = feedUrls.join(captures, Seq("_canon"))
+      .select(regexp_extract(col("_canon"), FullHostRe, 1).as("source"),
+        col("_canon").as("url"), col("body_bytes"))
+    parseFeeds(decodeSitemapBodies(bodies))
+      .select(UrlOps.canonIdn(col("loc")).as("canon_url"), col("lastmod"))
+  }
+
   /** [[sitemapSeeds]] without the presentation sort (the face
     * [[recrawl]] composes — it re-joins and re-sorts anyway). The etag
     * and expiry axes are identically absent on a sitemap-only triage,
@@ -1709,6 +1851,61 @@ object CrawlOps {
          |  allowed, fetched
          |FROM sm
          |ORDER BY canon_url""".stripMargin,
+    "q_feeds" -> {
+      def cls(m: Int, a: Int): String =
+        s"CAST(((CAST(substr(source, 4, 10) AS INT) * $m + $a) % 5) * 20 + " +
+          s"(CAST(substr(source, 4, 10) AS INT) % 20) AS VARCHAR)"
+      val d137 =
+        "CAST((CAST(substr(source, 4, 10) AS INT) * 13 + 7) % 100 AS VARCHAR)"
+      val h = "'http://' || source || '.example.com"
+      s"""WITH srcs AS (
+         |  SELECT DISTINCT source FROM documents
+         |),
+         |${UrlOps.urlUniverseSql},
+         |fent AS (
+         |  SELECT $h/docs/' || ${cls(3, 2)} AS loc, '2026-08-05' AS lastmod
+         |  FROM srcs
+         |  UNION ALL
+         |  SELECT 'HTTP://' || upper(source || '.example.com') || ':80/docs/' ||
+         |    $d137 || '#frag', NULL FROM srcs
+         |  UNION ALL
+         |  SELECT $h/docs/' || ${cls(3, 2)} || '/', '2026-07-15' FROM srcs
+         |  UNION ALL
+         |  SELECT $h/docs/' || ${cls(9, 5)}, '2026-07-18' FROM srcs
+         |  UNION ALL
+         |  SELECT $h/docs/' || ${cls(17, 8)}, NULL FROM srcs
+         |), fseeds AS (
+         |  SELECT ${UrlOps.canonSql("loc")} AS canon_url, MAX(lastmod) AS lastmod
+         |  FROM fent GROUP BY 1
+         |), fparts AS (
+         |  SELECT canon_url, lastmod,
+         |    regexp_extract(canon_url, '^[a-z]+://([^./]+)\\.', 1) AS source,
+         |    regexp_replace(canon_url, '^[a-z]+://[^/?#]*', '') AS path
+         |  FROM fseeds
+         |),
+         |$rulesSql,
+         |fmatched AS (
+         |  SELECT p.canon_url, r.allow,
+         |    ROW_NUMBER() OVER (PARTITION BY p.canon_url
+         |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rk
+         |  FROM fparts p JOIN rules r
+         |    ON p.source = r.source
+         |   AND p.path LIKE r.like_pat ESCAPE '\'
+         |),
+         |fetched AS (
+         |  SELECT DISTINCT ${UrlOps.canonSql("url")} AS canon_url FROM u
+         |  WHERE TRY_CAST(regexp_extract(${UrlOps.canonSql("url")}, '/docs/([0-9]+)$$', 1) AS INT) < 50
+         |),
+         |$rstatSql
+         |SELECT p.canon_url, p.source, p.lastmod,
+         |  ${allowedSql("s", "m")} AS allowed,
+         |  (p.canon_url IN (SELECT canon_url FROM fetched)) AS fetched
+         |FROM fparts p
+         |LEFT JOIN (SELECT * FROM fmatched WHERE rk = 1) m
+         |  ON m.canon_url = p.canon_url
+         |LEFT JOIN rstat s ON s.source = p.source
+         |ORDER BY p.canon_url""".stripMargin
+    },
     "q_recrawl" ->
       s"""WITH ${seedCtes(withHeaderSignals = true)},
          |due AS (

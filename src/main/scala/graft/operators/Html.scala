@@ -645,6 +645,37 @@ object HtmlOps {
       .distinct()
   }
 
+  /** Feed AUTODISCOVERY over real crawled pages — the standard
+    * `<link rel="alternate" type="application/rss+xml|atom+xml" href>`
+    * head declaration (attributes in ANY order: the tag is pulled
+    * whole, then filtered per attribute), href resolved against the
+    * effective base and canonicalized under the fetch-log identity.
+    * One row per (page, feed URL), distinct; feeds are the crawl's
+    * third discovery channel ([[graft.operators.CrawlOps.feedSeedsOf]]
+    * consumes this). Row-level extract + one distinct shuffle. */
+  def feedLinksOf(pages: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(pages.sparkSession)
+    val ws = "[ \\t\\n\\f\\r]*"
+    val baseHref = regexp_extract(col("html"),
+      "(?i)<base[^>]*href\\s*=\\s*[\"']([^\"'>]+)", 1)
+    val effBase = coalesce(
+      when(baseHref =!= "", UrlOps.resolve(col("page_url"), baseHref)),
+      col("page_url"))
+    pages
+      .select(col("page_url"), effBase.as("_base"),
+        explode(regexp_extract_all(col("html"),
+          lit("(?is)<link[ \\t\\n\\f\\r][^>]*>"), lit(0))).as("tag"))
+      .filter(col("tag").rlike(s"(?i)rel$ws=$ws[\"']?alternate") &&
+        col("tag").rlike(
+          s"(?i)type$ws=$ws[\"']application/(rss|atom)\\+xml"))
+      .select(col("page_url"),
+        UrlOps.canonIdn(UrlOps.resolve(col("_base"),
+          regexp_extract(col("tag"),
+            s"(?i)href$ws=$ws[\"']([^\"']*)", 1))).as("feed_url"))
+      .filter(col("feed_url").rlike("^https?://"))
+      .distinct()
+  }
+
   // ---------- anchor-text aggregation (round 16 continuation — the
   // inbound-link description of a page, the classic web-corpus
   // signal: search engines and quality scorers alike read a URL's
@@ -733,6 +764,131 @@ object HtmlOps {
           .as("dst_url"),
         regexp_extract(col("a"), ">([^<]*)</a>", 1).as("anchor"))
     anchorCore(pairs, "doc_id").orderBy("dst_url")
+  }
+
+  // ---------- page-metadata extraction (round 16 continuation — the
+  // OpenGraph/head fields every real corpus pipeline harvests:
+  // og:title/og:description are the publisher's OWN summary of the
+  // page, og:image its declared PRIMARY image — a caption source
+  // beside row 142's alt text — and <title>/<meta description> feed
+  // document metadata and quality scoring) ----------
+
+  // both attribute orders (property→content and content→property, the
+  // metaRedirectsOf precedent), both quote styles; explicit
+  // [ \t\n\f\r] whitespace class — identical pattern TEXT in the SQL
+  // twin (the ADVICE-r15 cross-engine discipline: no \s, whose
+  // \x0B membership differs between Java and RE2)
+  private def metaPatterns(attr: String, key: String): (String, String) = (
+    s"(?is)<meta[^>]*$attr[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*[\"']$key[\"']" +
+      s"[^>]*content[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*[\"']([^\"'>]*)",
+    s"(?is)<meta[^>]*content[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*[\"']([^\"'>]*)" +
+      s"[\"'][^>]*$attr[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*[\"']$key[\"']")
+
+  private def metaField(html: Column, attr: String, key: String): Column = {
+    val (a, b) = metaPatterns(attr, key)
+    val va = regexp_extract(html, a, 1)
+    val vb = regexp_extract(html, b, 1)
+    when(va =!= "", va).otherwise(when(vb =!= "", vb))
+  }
+
+  private def titleOf(html: Column): Column = {
+    val t = trim(regexp_replace(
+      regexp_extract(html, "(?is)<title[^>]*>([^<]*)</title>", 1),
+      "[ \\t\\n\\f\\r]+", " "))
+    when(t =!= "", t)
+  }
+
+  /** Head metadata of REAL crawled pages — the general (page_url, html)
+    * face: `<title>` (whitespace-collapsed), `<meta name=description>`,
+    * and the OpenGraph trio `og:title` / `og:description` / `og:image`
+    * — the og image resolved against the effective base (`<base href>`
+    * honored) and canonicalized under the fetch-log identity, so it
+    * joins the binary payload corpus exactly like row 142's mined
+    * pairs (og:image IS a mined image-text pair: the page's declared
+    * primary image, captioned by the page's own og:title). Absent or
+    * empty fields are NULL. Pure row-level extraction, zero shuffles —
+    * fuses into the ingest scan. */
+  def metaOf(pages: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(pages.sparkSession)
+    val baseHref = regexp_extract(col("html"),
+      "(?i)<base[^>]*href\\s*=\\s*[\"']([^\"'>]+)", 1)
+    val effBase = coalesce(
+      when(baseHref =!= "", UrlOps.resolve(col("page_url"), baseHref)),
+      col("page_url"))
+    val ogImg = UrlOps.canonIdn(UrlOps.resolve(effBase,
+      metaField(col("html"), "property", "og:image")))
+    pages.select(col("page_url"),
+      titleOf(col("html")).as("title"),
+      metaField(col("html"), "name", "description").as("meta_description"),
+      metaField(col("html"), "property", "og:title").as("og_title"),
+      metaField(col("html"), "property", "og:description")
+        .as("og_description"),
+      when(ogImg.rlike("^https?://"), ogImg).as("og_image_url"))
+  }
+
+  /** The synthetic head universe — single source of truth for
+    * `q_meta_og` in BOTH engines (the ImgParts discipline): every page
+    * carries a whitespace-messy `<title>`, a property-first og:title,
+    * a CONTENT-FIRST single-quoted og:description (the reversed
+    * attribute order), a plain meta description, and a ROOT-RELATIVE
+    * og:image (resolution bites on every row). */
+  private val MetaParts: Seq[Either[String, String]] = Seq(
+    Left("<html><head><title> Doc "), Right("m9"),
+    Left(" \t issue "), Right("m7"), Left(" </title>"),
+    Left("<meta property=\"og:title\" content=\"OG "), Right("m9"),
+    Left(" stories\">"),
+    Left("<meta content='About topic "), Right("m7"),
+    Left("' property='og:description'>"),
+    Left("<meta name=\"description\" content=\"Meta about "), Right("m11"),
+    Left("\">"),
+    Left("<meta property=\"og:image\" content=\"/img/"), Right("m5"),
+    Left("7.jpg\">"),
+    Left("</head><body><p>body</p></body></html>"))
+
+  private def metaSynthPage: Column =
+    concat(MetaParts.map {
+      case Left(s) => lit(s)
+      case Right("m9") => (col("doc_id") % 9).cast("string")
+      case Right("m7") => (col("doc_id") % 7).cast("string")
+      case Right("m11") => (col("doc_id") % 11).cast("string")
+      case Right("m5") => (col("doc_id") % 5).cast("string")
+      case Right(other) => throw new IllegalArgumentException(other)
+    }: _*)
+
+  private def metaSynthPageSql: String = MetaParts.map {
+    case Left(s) => TextFuns.sqlLit(s)
+    case Right("m9") => "CAST(doc_id % 9 AS VARCHAR)"
+    case Right("m7") => "CAST(doc_id % 7 AS VARCHAR)"
+    case Right("m11") => "CAST(doc_id % 11 AS VARCHAR)"
+    case Right("m5") => "CAST(doc_id % 5 AS VARCHAR)"
+    case Right(other) => throw new IllegalArgumentException(other)
+  }.mkString(" || ")
+
+  /** §2 `q_meta_og`: head-metadata extraction under the oracle — the
+    * synthetic head universe through the SAME field extractors as
+    * [[metaOf]] (attribute-order pair, quote styles, whitespace
+    * collapse, empty→NULL), with og:image resolved against the page
+    * and canonicalized under [[UrlOps.canon]] (the oracle-shared
+    * identity; the real face swaps in canonIdn + `<base href>`). */
+  def metaOg(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val host = concat(col("source"), lit(".example.com"))
+    val pageUrl = concat(lit("http://"), host, lit("/m/"),
+      (col("doc_id") % 50).cast("string"), lit("/page.html"))
+    documents
+      .select(col("doc_id"), pageUrl.as("page_url"),
+        metaSynthPage.as("html"))
+      .select(col("doc_id"),
+        titleOf(col("html")).as("title"),
+        metaField(col("html"), "name", "description")
+          .as("meta_description"),
+        metaField(col("html"), "property", "og:title").as("og_title"),
+        metaField(col("html"), "property", "og:description")
+          .as("og_description"),
+        UrlOps.canon(UrlOps.resolve(col("page_url"),
+          metaField(col("html"), "property", "og:image")))
+          .as("og_image_url"))
+      .orderBy("doc_id")
   }
 
   // ---------- image-text pair mining (round 16 — the LAION-shape
@@ -1452,7 +1608,39 @@ object HtmlOps {
       |  FROM h
       |)""".stripMargin
 
+  /** The DuckDB twin of [[metaField]] — same pattern TEXT (explicit
+    * whitespace class, both attribute orders, both quote styles),
+    * empty→NULL via NULLIF. */
+  private def metaFieldSql(attr: String, key: String): String = {
+    val ws = "[ \\t\\n\\f\\r]*"
+    val q = "[\"'']"
+    val a = s"(?is)<meta[^>]*$attr$ws=$ws$q$key$q[^>]*content$ws=$ws$q([^\"''>]*)"
+    val b = s"(?is)<meta[^>]*content$ws=$ws$q([^\"''>]*)$q[^>]*$attr$ws=$ws$q$key$q"
+    s"COALESCE(NULLIF(regexp_extract(html, '$a', 1), '')," +
+      s" NULLIF(regexp_extract(html, '$b', 1), ''))"
+  }
+
+  private def titleSql: String =
+    "NULLIF(trim(regexp_replace(regexp_extract(html, " +
+      "'(?is)<title[^>]*>([^<]*)</title>', 1), " +
+      "'[ \\t\\n\\f\\r]+', ' ', 'g')), '')"
+
   val oracles: Map[String, String] = Map(
+    "q_meta_og" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    'http://' || source || '.example.com/m/' ||
+         |      CAST(doc_id % 50 AS VARCHAR) || '/page.html' AS page_url,
+         |    $metaSynthPageSql AS html
+         |  FROM documents
+         |)
+         |SELECT doc_id, $titleSql AS title,
+         |  ${metaFieldSql("name", "description")} AS meta_description,
+         |  ${metaFieldSql("property", "og:title")} AS og_title,
+         |  ${metaFieldSql("property", "og:description")} AS og_description,
+         |  ${UrlOps.canonSql(UrlOps.resolveSql("page_url",
+              metaFieldSql("property", "og:image")))} AS og_image_url
+         |FROM h ORDER BY doc_id""".stripMargin,
     "q_main_content" ->
       s"""WITH h AS (
          |  SELECT doc_id, $mainSynthPageSql AS html FROM documents

@@ -1381,6 +1381,84 @@ class HtmlUrlSpec extends SparkSpec {
       got.toString)
   }
 
+  test("q_feeds: RSS+Atom parse, canon collapse keeps newest date, triage flags") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // src0 (idx 0): RSS f1=40 (08-05; trailing-slash dup at 07-15 must
+    // LOSE under max), messy f2=7 (date-less; /docs/*7$ disallows),
+    // Atom a1=0 (07-18; /docs/0 prefix disallows), a2=60 (date-less).
+    // The doc frame {0, 40, 7} puts exactly those ids in the fetch
+    // universe (all < 50 → fetched); 60 stays unfetched
+    val rows = CrawlOps.feeds(
+      Seq((0L, "src0"), (40L, "src0"), (7L, "src0")).toDF("doc_id", "source"))
+      .collect().map(r => (r.getString(0), Option(r.getString(2)),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.toSeq == Seq(
+      ("http://src0.example.com/docs/0", Some("2026-07-18"), false, true),
+      ("http://src0.example.com/docs/40", Some("2026-08-05"), true, true),
+      ("http://src0.example.com/docs/60", None, true, false),
+      ("http://src0.example.com/docs/7", None, false, true)), rows.toSeq)
+  }
+
+  test("feedLinksOf: any attribute order, relative href, non-feed links drop") {
+    import spark.implicits._
+    val html =
+      """<html><head>
+        |<link rel="alternate" type="application/rss+xml" href="/feed.xml">
+        |<link type='application/atom+xml' href='news/atom.xml' rel='alternate'>
+        |<link rel="stylesheet" href="/style.css">
+        |<link rel="alternate" type="text/html" href="/mobile">
+        |</head><body></body></html>""".stripMargin
+    val got = HtmlOps.feedLinksOf(
+      Seq(("http://site.example.com/sub/page.html", html))
+        .toDF("page_url", "html"))
+      .collect().map(_.getString(1)).toSet
+    assert(got == Set(
+      "http://site.example.com/feed.xml",
+      "http://site.example.com/sub/news/atom.xml"), got)
+  }
+
+  test("feedSeedsOf: autodiscovered feeds parse from the crawl's own captures") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val dir = Files.createTempDirectory("graft_warc_feeds")
+    val host = "blog.example.com"
+    val page = s"""<html><head><link rel="alternate"
+      |type="application/rss+xml" href="/feed.xml"></head>
+      |<body>hello</body></html>""".stripMargin
+    val feed =
+      s"""<?xml version="1.0"?><rss version="2.0"><channel><title>b</title>
+         |<item><link>http://$host/post-1</link>
+         |<pubDate>Wed, 05 Aug 2026 10:00:00 GMT</pubDate></item>
+         |<item><link>http://$host/post-2</link></item>
+         |<item><link>http://$host/secret/p</link>
+         |<pubDate>Thu, 06 Aug 2026 10:00:00 GMT</pubDate></item>
+         |</channel></rss>""".stripMargin
+    val recs =
+      record("response", s"http://$host/robots.txt",
+        http("200 OK", "text/plain",
+          "User-agent: *\r\nDisallow: /secret\r\n".getBytes(US_ASCII))) ++
+      record("response", s"http://$host/",
+        http("200 OK", "text/html", page.getBytes(UTF_8))) ++
+      record("response", s"http://$host/feed.xml",
+        http("200 OK", "application/rss+xml", feed.getBytes(UTF_8)))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val fetchLog = Seq((s"http://$host/post-1", "2026-07-20"))
+      .toDF("canon_url", "fetch_date")
+    val got = CrawlOps.feedSeedsOf(
+      graft.sources.WarcSource.read(spark, dir.toString), fetchLog)
+      .collect().map(r => r.getAs[String]("canon_url") -> ((
+        Option(r.getAs[String]("lastmod")), r.getAs[Boolean]("allowed"),
+        r.getAs[Boolean]("fetched")))).toMap
+    // post-1: fetched, pubDate postdates its fetch (recrawl-shaped);
+    // post-2: new, allowed (frontier-shaped); /secret/p: robots-gated
+    assert(got == Map(
+      s"http://$host/post-1" -> ((Some("2026-08-05"), true, true)),
+      s"http://$host/post-2" -> ((None, true, false)),
+      s"http://$host/secret/p" -> ((Some("2026-08-06"), false, false))),
+      got.toString)
+  }
+
   test("recrawl: an elapsed caching lifetime makes a fetched page due (reason expired)") {
     import spark.implicits._
     import graft.operators.CrawlOps
@@ -2152,6 +2230,37 @@ class HtmlUrlSpec extends SparkSpec {
       ("http://site.example.com/docs/guide.html", "The full guide"),
       ("http://site.example.com/docs/guide.html", "the full guide"),
       ("http://site.example.com/docs/other.html", "spaced text")), got)
+  }
+
+  test("metaOf: title collapse, both attribute orders, base-resolved og:image, NULLs") {
+    import spark.implicits._
+    val full =
+      """<html><head><base href="/assets/">
+        |<title> The
+        |	Story   Page </title>
+        |<meta name="description" content="a plain summary">
+        |<meta content='og summary' property='og:description'>
+        |<meta property="og:title" content="The Story">
+        |<meta property='og:image' content='hero.jpg'>
+        |</head><body></body></html>""".stripMargin
+    val bare = "<html><head><title></title>" +
+      "<meta property=\"og:image\" content=\"data:image/png;base64,x\">" +
+      "</head><body></body></html>"
+    val pages = Seq(
+      ("http://site.example.com/a/page.html", full),
+      ("http://site.example.com/b/page.html", bare)).toDF("page_url", "html")
+    val rows = HtmlOps.metaOf(pages).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val f = rows("http://site.example.com/a/page.html")
+    assert(f.getString(1) == "The Story Page") // newline/tab collapse
+    assert(f.getString(2) == "a plain summary")
+    assert(f.getString(3) == "The Story")
+    assert(f.getString(4) == "og summary") // content-first order
+    // og:image resolves against the BASE, not the page directory
+    assert(f.getString(5) == "http://site.example.com/assets/hero.jpg")
+    val b = rows("http://site.example.com/b/page.html")
+    // empty title and a data: og:image are both NULL routes
+    assert((1 to 5).forall(b.isNullAt), b.toString)
   }
 
   test("anchorTextOf: per-target aggregation, top anchor by count then text") {
