@@ -837,6 +837,51 @@ object MultimodalOps {
     hashClusterRepresentative(
       imageDhash(syntheticPayloads(documents, plantedImage(_, groups))))
 
+  /** The planted EVAL-image manifest for `q_contamination_image`: six
+    * images over five groups — group 3 TWICE under different
+    * brightnesses (the hit-count axis), each id's brightness c =
+    * (id div 50) % 30 distinct so the decode must genuinely normalize
+    * it away before any hash can match. */
+  private[graft] val ImageEvalIds: Seq[Long] =
+    Seq(3L + 50 * 13, 3L + 50 * 22, 7L + 50 * 9, 21L + 50 * 5,
+      34L + 50 * 17, 48L + 50 * 2)
+
+  /** §2 `q_contamination_image`: IMAGE eval-set decontamination — the
+    * multimodal twin of `q_contamination`'s text probes: a benchmark's
+    * images must not appear in the training corpus, and byte equality
+    * misses every re-encode/brightness variant, so the screen is
+    * PERCEPTUAL — corpus dHashes probed by the eval set's dHashes at
+    * Hamming ≤ 3 (the [[imageDhashIncremental]] cross-frame machinery:
+    * eval is the tiny delta, the corpus table is the standing side, so
+    * corpus×corpus never forms). The corpus is [[plantedImage]]'s
+    * construction and the eval manifest [[ImageEvalIds]] plants groups
+    * {3,7,21,34,48} (3 twice, distinct brightnesses), so the oracle
+    * states the generative truth — contaminated = doc_id%50 ∈ the eval
+    * groups, n_eval_hits = 2 for group 3 else 1, dhash = the group's
+    * replicated byte — while Spark must reproduce it through the real
+    * decode → dHash → piece-block cross-join → count pipeline. Output
+    * (doc_id, dhash, n_eval_hits) for contaminated docs only. Scale:
+    * the eval side is benchmark-sized (broadcastable); one decode pass
+    * over the corpus whose payloads die at the hash; candidates via
+    * piece collisions — the exact shape a 100 TB decontamination
+    * sweep needs. */
+  def contaminationImage(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val corpusHash = imageDhash(
+      syntheticPayloads(documents, plantedImage(_, 50)))
+      .localCheckpoint(false) // the probe AND the final hash join read it
+    val evalPayloads = syntheticPayloads(
+      ImageEvalIds.toDF("doc_id"), plantedImage(_, 50))
+    imageDhashIncremental(evalPayloads, corpusHash)
+      .groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n_eval_hits"))
+      .select(col("corpus_id").as("doc_id"), col("n_eval_hits"))
+      .join(corpusHash, Seq("doc_id"))
+      .select(col("doc_id"), col("dhash"), col("n_eval_hits"))
+      .orderBy("doc_id")
+  }
+
   /** The shared dedup ENDGAME over any (doc_id, dhash) frame: pigeonhole
     * block candidates (Hamming ≤ 3), CC, one manifest row per cluster —
     * used by the image and audio representatives so the two modalities
@@ -1104,6 +1149,16 @@ object MultimodalOps {
     // the doc_id % 50 groups, the representative hash is the group byte
     // replicated into all 8 bytes — Spark must REPRODUCE this through the
     // real decode → dHash → block-join → CC pipeline
+    // the eval groups are ImageEvalIds' ids mod 50 — group 3 planted
+    // twice, so its corpus members count two eval hits
+    "q_contamination_image" ->
+      """SELECT doc_id,
+        |  CAST((doc_id % 50) * 72340172838076673 AS BIGINT) AS dhash,
+        |  CAST(CASE WHEN doc_id % 50 = 3 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_eval_hits
+        |FROM documents
+        |WHERE doc_id % 50 IN (3, 7, 21, 34, 48)
+        |ORDER BY doc_id""".stripMargin,
     "q_image_dedup_representative" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS cluster_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_members,

@@ -254,6 +254,18 @@ class ImageDhashSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contaminationImage flags eval-group members only, counting planted hits") {
+    import spark.implicits._
+    // groups: 3 (eval, planted TWICE), 7 (eval), 5 (clean); 53 is a
+    // brightness variant of group 3 — the decode must normalize it
+    val docs = Seq(3L, 53L, 7L, 5L).toDF("doc_id")
+    val got = MultimodalOps.contaminationImage(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val k = 72340172838076673L
+    assert(got.toSeq == Seq((3L, 3 * k, 2L), (7L, 7 * k, 1L),
+      (53L, 3 * k, 2L)), got.toSeq)
+  }
+
   test("incremental image dedup: delta probes the persisted corpus hash table") {
     import spark.implicits._
     val base = pixels(lum)

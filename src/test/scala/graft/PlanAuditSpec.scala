@@ -590,6 +590,49 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_anchor_text: every exchange keys on the target url; no cartesian") {
+    val p = plan(HtmlOps.anchorText(Tables.documents(spark, sfDir)))
+    // the two-pass MR anchor job: per-text counts, top-spelling argmax,
+    // distinct-source counts — every shuffle must key on dst_url so the
+    // branches share AQE-reusable partitioning at 100 TB
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SinglePartition"), p)
+    val keys = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty, p)
+    keys.foreach { k =>
+      assert(k.contains("dst_url#"), s"exchange not keyed on dst_url: $k")
+    }
+  }
+
+  test("q_meta_og: pure head-field map, zero hash exchanges, no join") {
+    val p = plan(HtmlOps.metaOg(Tables.documents(spark, sfDir)))
+    assert(p.contains("url_resolve"), p) // og:image rides the native resolver
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    val hashEx = p.linesIterator.count(l =>
+      l.trim.startsWith("Arguments: hashpartitioning("))
+    assert(hashEx == 0, s"want 0 hash exchanges, got $hashEx:\n$p")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q_feeds: hosts-bounded triage — no cartesian, no single-partition stage") {
+    val p = plan(CrawlOps.feeds(Tables.documents(spark, sfDir)))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q_contamination_image: cross-probe stays collision-bounded, no cartesian") {
+    val p = plan(MultimodalOps.contaminationImage(
+      Tables.documents(spark, sfDir)))
+    // eval probes the corpus hash table via (piece, value) collisions —
+    // an n² image comparison (or a nested loop) would be the 100 TB bill
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("hash-cluster candidates: (piece, value)-keyed join, no cartesian, no single partition") {
     import spark.implicits._
     // the pair-candidate stage EVERY perceptual-dedup representative
