@@ -205,6 +205,10 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
     "q_contamination_image" -> ((s, dir) =>
       MultimodalOps.contaminationImage(Tables.documents(s, dir))),
+    "q_contamination_audio" -> ((s, dir) =>
+      MultimodalOps.contaminationAudio(Tables.documents(s, dir))),
+    "q_contamination_video" -> ((s, dir) =>
+      AviOps.contaminationVideo(Tables.documents(s, dir))),
     "q_image_dedup_representative" -> ((s, dir) =>
       MultimodalOps.imageDedupRepresentative(Tables.documents(s, dir))),
     "q_audio_dedup_representative" -> ((s, dir) =>

@@ -290,7 +290,46 @@ object AviOps {
     videoDedupRepresentative(syntheticVideos(documents, groups),
       everyNth = 1)
 
+  /** The planted eval-VIDEO manifest for `q_contamination_video`:
+    * groups {4,13,22} over [[syntheticVideos]]' 30-group universe —
+    * group 4 TWICE under different brightness offsets. */
+  private[graft] val VideoEvalIds: Seq[Long] =
+    Seq(4L + 30 * 8, 4L + 30 * 16, 13L + 30 * 5, 22L + 30 * 11)
+
+  /** §2 `q_contamination_video`: VIDEO eval-set decontamination —
+    * completing the modality matrix beside the image/audio screens,
+    * with the CONTAINER dimension in the loop: eval AVIs walk to frame
+    * hashes and probe the df-guarded PERSISTED corpus frame index
+    * ([[videoDhashIncremental]] — eval is the tiny delta side;
+    * corpus×corpus never forms; a shared frame at Hamming ≤ 3 is the
+    * evidence, best-frame collapsed per video pair). Oracle states the
+    * generative truth (doc_id%30 ∈ {4,13,22}, n_eval_hits 2 for group
+    * 4 else 1, dhash = the replicated group byte); Spark reproduces it
+    * through the real container walk → frame dHash → cross-probe →
+    * count, via the SAME [[MultimodalOps.evalContamination]] endgame
+    * as the other two modalities. */
+  def contaminationVideo(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val corpusIndex = videoFrameIndex(
+      syntheticVideos(documents, 30), everyNth = 1)
+      .localCheckpoint(false) // the probe AND the final hash join read it
+    val evalPayloads = syntheticVideos(VideoEvalIds.toDF("doc_id"), 30)
+    MultimodalOps.evalContamination(corpusIndex,
+      videoDhashIncremental(evalPayloads, corpusIndex, everyNth = 1))
+  }
+
   val oracles: Map[String, String] = Map(
+    // the eval groups are VideoEvalIds' ids mod 30 — group 4 planted
+    // twice, so its corpus members count two eval hits
+    "q_contamination_video" ->
+      """SELECT doc_id,
+        |  CAST((doc_id % 30) * 72340172838076673 AS BIGINT) AS dhash,
+        |  CAST(CASE WHEN doc_id % 30 = 4 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_eval_hits
+        |FROM documents
+        |WHERE doc_id % 30 IN (4, 13, 22)
+        |ORDER BY doc_id""".stripMargin,
     // the planted truth of syntheticVideos' construction — the image
     // convention (§2 row 131) at groups = 30
     "q_video_dedup_representative" ->

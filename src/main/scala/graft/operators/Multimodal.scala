@@ -873,13 +873,51 @@ object MultimodalOps {
       .localCheckpoint(false) // the probe AND the final hash join read it
     val evalPayloads = syntheticPayloads(
       ImageEvalIds.toDF("doc_id"), plantedImage(_, 50))
-    imageDhashIncremental(evalPayloads, corpusHash)
-      .groupBy(col("corpus_id"))
+    evalContamination(corpusHash,
+      imageDhashIncremental(evalPayloads, corpusHash))
+  }
+
+  /** The shared decontamination ENDGAME over any corpus hash table and
+    * its eval-probe hit frame (delta_id, corpus_id, …) — one count per
+    * contaminated corpus doc, joined back for the content hash. Shared
+    * by the image/audio/video screens so the three modalities cannot
+    * drift on what "contaminated" reports. */
+  private[graft] def evalContamination(corpusHash: DataFrame,
+                                       hits: DataFrame): DataFrame =
+    hits.groupBy(col("corpus_id"))
       .agg(count(lit(1)).as("n_eval_hits"))
       .select(col("corpus_id").as("doc_id"), col("n_eval_hits"))
       .join(corpusHash, Seq("doc_id"))
       .select(col("doc_id"), col("dhash"), col("n_eval_hits"))
       .orderBy("doc_id")
+
+  /** The planted eval-AUDIO manifest for `q_contamination_audio`:
+    * groups {5,11,26,33} over [[plantedAudio]]'s 40-group universe —
+    * group 5 TWICE under different gain offsets. */
+  private[graft] val AudioEvalIds: Seq[Long] =
+    Seq(5L + 40 * 7, 5L + 40 * 19, 11L + 40 * 3, 26L + 40 * 12,
+      33L + 40 * 9)
+
+  /** §2 `q_contamination_audio`: AUDIO eval-set decontamination — the
+    * [[contaminationImage]] screen over the WAV estate: corpus aHashes
+    * probed by the eval manifest's aHashes at Hamming ≤ 3 through
+    * [[audioAhashIncremental]] (eval = the tiny delta; corpus×corpus
+    * never forms); gain variants match because [[ahashOf]] is
+    * gain/DC-invariant by construction — exactly why a byte-equality
+    * screen misses re-encodes and this one cannot. Oracle states the
+    * generative truth (doc_id%40 ∈ {5,11,26,33}, n_eval_hits 2 for
+    * group 5 else 1); Spark reproduces it through the real WAV decode
+    * → window-mean → gradient-sign → cross-probe → count. */
+  def contaminationAudio(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val corpusHash = audioAhash(
+      syntheticPayloads(documents, plantedAudio(_, 40)))
+      .localCheckpoint(false)
+    val evalPayloads = syntheticPayloads(
+      AudioEvalIds.toDF("doc_id"), plantedAudio(_, 40))
+    evalContamination(corpusHash,
+      audioAhashIncremental(evalPayloads, corpusHash))
   }
 
   /** The shared dedup ENDGAME over any (doc_id, dhash) frame: pigeonhole
@@ -1149,6 +1187,16 @@ object MultimodalOps {
     // the doc_id % 50 groups, the representative hash is the group byte
     // replicated into all 8 bytes — Spark must REPRODUCE this through the
     // real decode → dHash → block-join → CC pipeline
+    // the eval groups are AudioEvalIds' ids mod 40 — group 5 planted
+    // twice, so its corpus members count two eval hits
+    "q_contamination_audio" ->
+      """SELECT doc_id,
+        |  CAST((doc_id % 40) * 72340172838076673 AS BIGINT) AS dhash,
+        |  CAST(CASE WHEN doc_id % 40 = 5 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_eval_hits
+        |FROM documents
+        |WHERE doc_id % 40 IN (5, 11, 26, 33)
+        |ORDER BY doc_id""".stripMargin,
     // the eval groups are ImageEvalIds' ids mod 50 — group 3 planted
     // twice, so its corpus members count two eval hits
     "q_contamination_image" ->

@@ -248,4 +248,16 @@ class AviSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(unguarded.toSeq == Seq((0L, 30L)), unguarded.toSeq)
   }
+
+  test("contaminationVideo flags eval-group members through the container walk") {
+    import spark.implicits._
+    // groups: 4 (eval, planted TWICE), 13 (eval), 2 (clean); 34 is a
+    // brightness variant of group 4 — the frame decode must normalize it
+    val docs = Seq(4L, 34L, 13L, 2L).toDF("doc_id")
+    val got = graft.operators.AviOps.contaminationVideo(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val k = 72340172838076673L
+    assert(got.toSeq == Seq((4L, 4 * k, 2L), (13L, 13 * k, 1L),
+      (34L, 4 * k, 2L)), got.toSeq)
+  }
 }

@@ -266,6 +266,18 @@ class ImageDhashSpec extends SparkSpec {
       (53L, 3 * k, 2L)), got.toSeq)
   }
 
+  test("contaminationAudio flags eval-group members through the gain-variant decode") {
+    import spark.implicits._
+    // groups: 5 (eval, planted TWICE), 11 (eval), 8 (clean); 45 is a
+    // gain variant of group 5 — aHash must normalize it
+    val docs = Seq(5L, 45L, 11L, 8L).toDF("doc_id")
+    val got = MultimodalOps.contaminationAudio(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val k = 72340172838076673L
+    assert(got.toSeq == Seq((5L, 5 * k, 2L), (11L, 11 * k, 1L),
+      (45L, 5 * k, 2L)), got.toSeq)
+  }
+
   test("incremental image dedup: delta probes the persisted corpus hash table") {
     import spark.implicits._
     val base = pixels(lum)

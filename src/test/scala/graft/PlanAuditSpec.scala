@@ -623,14 +623,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
-  test("q_contamination_image: cross-probe stays collision-bounded, no cartesian") {
-    val p = plan(MultimodalOps.contaminationImage(
-      Tables.documents(spark, sfDir)))
-    // eval probes the corpus hash table via (piece, value) collisions —
-    // an n² image comparison (or a nested loop) would be the 100 TB bill
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("SinglePartition"), p)
+  test("contamination screens: cross-probes stay collision-bounded, no cartesian") {
+    for (df <- Seq(
+      MultimodalOps.contaminationImage(Tables.documents(spark, sfDir)),
+      MultimodalOps.contaminationAudio(Tables.documents(spark, sfDir)),
+      AviOps.contaminationVideo(Tables.documents(spark, sfDir)))) {
+      val p = plan(df)
+      // eval probes the corpus hash table via (piece, value) collisions —
+      // an n² media comparison (or a nested loop) would be the 100 TB bill
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("SinglePartition"), p)
+    }
   }
 
   test("hash-cluster candidates: (piece, value)-keyed join, no cartesian, no single partition") {
