@@ -131,6 +131,7 @@ object SparkEntry {
     "q_link_extract" -> ((s, dir) => HtmlOps.linkExtract(Tables.documents(s, dir))),
     "q_anchor_text" -> ((s, dir) => HtmlOps.anchorText(Tables.documents(s, dir))),
     "q_meta_og" -> ((s, dir) => HtmlOps.metaOg(Tables.documents(s, dir))),
+    "q_noindex" -> ((s, dir) => HtmlOps.noindexFlags(Tables.documents(s, dir))),
     "q_pagerank" -> ((s, dir) => GraphOps.pagerank(Tables.documents(s, dir))),
     "q_robots_filter" -> ((s, dir) => CrawlOps.robotsFilter(Tables.documents(s, dir))),
     "q_robots_parse" -> ((s, dir) => CrawlOps.robotsParse(Tables.documents(s, dir))),

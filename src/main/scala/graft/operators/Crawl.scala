@@ -472,6 +472,28 @@ object CrawlOps {
         col("expires"))
   }
 
+  /** `X-Robots-Tag` directives straight off a WARC record frame — the
+    * HTTP-header twin of [[HtmlOps.robotsDirectivesOf]] (the route
+    * non-HTML resources declare noindex/nofollow; RFC-less but
+    * universally implemented): same latin-1 header split, same
+    * [[HtmlOps.robotsTokenFlags]] grammar, keyed on the canonical URL.
+    * A corpus builder must drop noindex rows from BOTH routes before
+    * any content operator runs. */
+  def xRobotsOf(records: DataFrame): DataFrame = {
+    val blank = "(?s)\\r?\\n\\r?\\n"
+    val hdr = when(
+      regexp_extract(decode(col("payload"), "ISO-8859-1"), blank, 0) === "",
+      decode(col("payload"), "ISO-8859-1"))
+      .otherwise(regexp_extract(decode(col("payload"), "ISO-8859-1"),
+        s"(?s)^(.*?)\\r?\\n\\r?\\n", 1))
+    val tag = nullif(regexp_extract(hdr,
+      "(?im)^x-robots-tag:[ \\t]*([^\\r\\n]*)", 1), lit(""))
+    val (noidx, nofollow) = HtmlOps.robotsTokenFlags(tag)
+    records.filter(col("warc_type") === "response")
+      .select(UrlOps.canonIdn(col("target_uri")).as("canon_url"),
+        noidx.as("noindex"), nofollow.as("nofollow"))
+  }
+
   /** The REAL-DATA recrawl (round 16) — the batch freshness face
     * completing the WARC loop beside [[frontierOf]] (discovery),
     * [[crawlScheduleOf]] (politeness), and [[sitemapSeedsOf]]

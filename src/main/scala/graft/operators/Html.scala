@@ -891,6 +891,91 @@ object HtmlOps {
       .orderBy("doc_id")
   }
 
+  // ---------- robots meta directives (round 16 continuation — the
+  // page-level politeness layer robots.txt cannot express: noindex
+  // excludes a page from the INDEXABLE corpus, nofollow keeps its
+  // outlinks out of the frontier; every real pipeline honors both
+  // before any content operator runs) ----------
+
+  /** Directive-token flags over a robots content value (meta robots or
+    * `X-Robots-Tag`): comma/space-separated, case-insensitive, `none` =
+    * noindex + nofollow (the de-facto grammar). NULL content → both
+    * false (absence permits). */
+  private[graft] def robotsTokenFlags(content: Column): (Column, Column) = {
+    val c = lower(content)
+    def has(tok: String): Column =
+      coalesce(c.rlike(s"(^|[ ,])$tok([ ,]|$$)"), lit(false))
+    (has("noindex") || has("none"), has("nofollow") || has("none"))
+  }
+
+  /** Page-level robots directives of REAL crawled pages —
+    * `<meta name="robots" content="...">` through the shared
+    * [[metaField]] attribute-order/quote machinery and
+    * [[robotsTokenFlags]]. Output (page_url, noindex, nofollow); a page
+    * with no meta robots is (false, false). Pure row-level map. */
+  def robotsDirectivesOf(pages: DataFrame): DataFrame = {
+    val (noidx, nofollow) =
+      robotsTokenFlags(metaField(col("html"), "name", "robots"))
+    pages.select(col("page_url"), noidx.as("noindex"),
+      nofollow.as("nofollow"))
+  }
+
+  /** FOLLOWABLE outlinks of real crawled pages — [[linksOf]] minus what
+    * the page forbids: pages declaring meta-robots `nofollow` (or
+    * `none`) contribute NO outlinks, and an `<a rel=nofollow>` link
+    * drops individually (the de-facto link-level grammar; `rel` value
+    * lists split on spaces). This is the frame a polite frontier
+    * builder must consume instead of [[linksOf]]. Row-level extract +
+    * ONE distinct shuffle, same as linksOf. */
+  def followableLinksOf(pages: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(pages.sparkSession)
+    val ws = "[ \\t\\n\\f\\r]*"
+    val pageNofollow =
+      robotsTokenFlags(metaField(col("html"), "name", "robots"))._2
+    val baseHref = regexp_extract(col("html"),
+      "(?i)<base[^>]*href\\s*=\\s*[\"']([^\"'>]+)", 1)
+    val effBase = coalesce(
+      when(baseHref =!= "", UrlOps.resolve(col("page_url"), baseHref)),
+      col("page_url"))
+    pages
+      .filter(!pageNofollow)
+      .select(col("page_url"), effBase.as("_base"),
+        explode(regexp_extract_all(col("html"),
+          lit("(?is)<a\\s[^>]*>"), lit(0))).as("tag"))
+      .filter(!col("tag").rlike(
+        s"(?i)rel$ws=$ws[\"']([^\"']*[ ,])?nofollow([ ,][^\"']*)?[\"']"))
+      .select(col("page_url"),
+        UrlOps.canonIdn(UrlOps.resolve(col("_base"),
+          regexp_extract(col("tag"),
+            s"(?i)href$ws=$ws[\"']([^\"']*)", 1))).as("dst_url"))
+      .filter(col("dst_url").rlike("^https?://"))
+      .distinct()
+  }
+
+  /** §2 `q_noindex`: page-level robots directives under the oracle —
+    * the planted-truth construction: each synthetic page carries a
+    * `<meta name=robots>` whose content cycles messy spellings by
+    * doc_id%4 (`noindex, follow` / `index, NOFOLLOW` / a spaced `none`
+    * / `index, follow`), so the oracle states the moduli truth while
+    * Spark must parse the attribute pair and tokenize the value
+    * (case-insensitive, `none` expands to both flags). */
+  def noindexFlags(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val m = col("doc_id") % 4
+    val content = when(m === 0, "noindex, follow")
+      .when(m === 1, "index, NOFOLLOW")
+      .when(m === 2, " none ")
+      .otherwise("index, follow")
+    val html = concat(
+      lit("<html><head><meta name=\"robots\" content=\""), content,
+      lit("\"><title>t</title></head><body><p>text</p></body></html>"))
+    val (noidx, nofollow) = robotsTokenFlags(
+      metaField(html, "name", "robots"))
+    documents
+      .select(col("doc_id"), noidx.as("noindex"), nofollow.as("nofollow"))
+      .orderBy("doc_id")
+  }
+
   // ---------- image-text pair mining (round 16 — the LAION-shape
   // bridge from a web crawl to a multimodal training set) ----------
 
@@ -1626,6 +1711,13 @@ object HtmlOps {
       "'[ \\t\\n\\f\\r]+', ' ', 'g')), '')"
 
   val oracles: Map[String, String] = Map(
+    // the moduli truth of noindexFlags' planted meta-robots values:
+    // %4==0 noindex, %4==1 NOFOLLOW, %4==2 none (= both), %4==3 neither
+    "q_noindex" ->
+      """SELECT doc_id,
+        |  (doc_id % 4 = 0 OR doc_id % 4 = 2) AS noindex,
+        |  (doc_id % 4 = 1 OR doc_id % 4 = 2) AS nofollow
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_meta_og" ->
       s"""WITH h AS (
          |  SELECT doc_id,

@@ -1188,6 +1188,109 @@ class HtmlUrlSpec extends SparkSpec {
       "http://x.example/i/b.ppm" -> (("second", 1L, 1L, 1L))), ds.toString)
   }
 
+  test("metaOf's og:image joins the payload corpus like a mined pair") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    // two pages declare og:images; hero-a and hero-b are the SAME
+    // planted gradient under different URLs — the og route is an
+    // image-text pair source exactly like <img> mining: og_image_url
+    // joins the binary corpus on the canonical URL, og_title captions
+    val pages = Seq(
+      ("http://x.example/art-1",
+        "<html><head><meta property=\"og:title\" content=\"Article One\">" +
+          "<meta property=\"og:image\" content=\"/i/hero-a.ppm\"></head></html>"),
+      ("http://x.example/art-2",
+        "<html><head><meta property=\"og:title\" content=\"Article Two\">" +
+          "<meta property=\"og:image\" content=\"/i/hero-b.ppm\"></head></html>"))
+      .toDF("page_url", "html")
+    val metas = HtmlOps.metaOf(pages)
+      .select(col("og_image_url").as("img_url"), col("og_title"))
+    val payloads = Seq(
+      ("http://x.example/i/hero-a.ppm", 1L, MultimodalOps.plantedImage(5L, 8)),
+      ("http://x.example/i/hero-b.ppm", 2L, MultimodalOps.plantedImage(13L, 8)))
+      .toDF("img_url", "doc_id", "payload")
+    val joined = metas.join(payloads, "img_url")
+    assert(joined.count() == 2, "every og:image finds its payload")
+    val hashes = MultimodalOps.imageDhash(
+      joined.select(col("doc_id"), col("payload"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L),
+      "the planted duplicate hero collapses across articles")
+  }
+
+  test("feed entries close the recrawl loop: a fresh pubDate re-queues its post") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val dir = Files.createTempDirectory("graft_warc_feedrecrawl")
+    val host = "news.example.com"
+    val page = s"""<html><head><link rel="alternate"
+      |type="application/rss+xml" href="/feed.xml"></head><body>n</body></html>"""
+      .stripMargin
+    val feed =
+      s"""<?xml version="1.0"?><rss version="2.0"><channel><title>n</title>
+         |<item><link>http://$host/story</link>
+         |<pubDate>Fri, 07 Aug 2026 12:00:00 GMT</pubDate></item>
+         |</channel></rss>""".stripMargin
+    val recs =
+      record("response", s"http://$host/",
+        http("200 OK", "text/html", page.getBytes(UTF_8))) ++
+      record("response", s"http://$host/feed.xml",
+        http("200 OK", "application/rss+xml", feed.getBytes(UTF_8)))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val fetchLog = Seq((s"http://$host/story", "2026-08-01"))
+      .toDF("canon_url", "fetch_date")
+    // feedSeedsOf returns the triaged frame — the SAME dueReasons CASE
+    // the recrawl faces run turns the fresh pubDate into a due row
+    val due = CrawlOps.dueReasons(CrawlOps.feedSeedsOf(
+      graft.sources.WarcSource.read(spark, dir.toString), fetchLog))
+      .collect().map(r => (r.getAs[String]("canon_url"),
+        r.getAs[String]("lastmod"), r.getAs[String]("reason")))
+    assert(due.toSeq == Seq(
+      (s"http://$host/story", "2026-08-07", "lastmod")), due.toSeq)
+  }
+
+  test("robots directives: meta tokens, X-Robots-Tag, and followable links") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val pages = Seq(
+      ("http://a.example/open",
+        "<html><head></head><body><a href=\"/x\">x</a>" +
+          "<a rel=\"nofollow\" href=\"/paid\">ad</a>" +
+          "<a rel=\"ugc nofollow\" href=\"/comment\">c</a>" +
+          "<a rel=\"author\" href=\"/about\">me</a></body></html>"),
+      ("http://a.example/closed",
+        "<html><head><meta name=\"robots\" content=\"noindex, nofollow\">" +
+          "</head><body><a href=\"/y\">y</a></body></html>"))
+      .toDF("page_url", "html")
+    val dirs = HtmlOps.robotsDirectivesOf(pages).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(dirs == Map(
+      "http://a.example/open" -> ((false, false)),
+      "http://a.example/closed" -> ((true, true))), dirs.toString)
+    // link-level nofollow (incl. inside a rel list) and page-level
+    // nofollow both keep targets OUT; plain rel values pass
+    val follow = HtmlOps.followableLinksOf(pages).collect()
+      .map(_.getString(1)).toSet
+    assert(follow == Set("http://a.example/x", "http://a.example/about"),
+      follow.toString)
+    // the header twin: X-Robots-Tag on a binary resource
+    val dir = Files.createTempDirectory("graft_warc_xrobots")
+    val recs =
+      record("response", "http://a.example/doc.pdf",
+        ("HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n" +
+          "X-Robots-Tag: noindex\r\n\r\n%PDF-junk").getBytes(US_ASCII)) ++
+      record("response", "http://a.example/pic.png",
+        ("HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\nPNG")
+          .getBytes(US_ASCII))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val x = CrawlOps.xRobotsOf(
+      graft.sources.WarcSource.read(spark, dir.toString)).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(x == Map(
+      "http://a.example/doc.pdf" -> ((true, false)),
+      "http://a.example/pic.png" -> ((false, false))), x.toString)
+  }
+
   test("frontierOf/crawlScheduleOf: the real-data politeness loop, full-host keyed") {
     import spark.implicits._
     import graft.operators.CrawlOps
