@@ -976,6 +976,107 @@ object HtmlOps {
       .orderBy("doc_id")
   }
 
+  // ---------- hreflang translation clusters (round 16 continuation —
+  // a multilingual corpus carries the SAME article in N languages;
+  // pages declare their translation set via <link rel=alternate
+  // hreflang>, and a corpus builder groups them so language variants
+  // sample/dedupe/mix as ONE article, not N unrelated pages) ----------
+
+  /** (page_url, lang, dst_url) triples from `<link rel="alternate"
+    * hreflang="…" href="…">` declarations — attributes in ANY order
+    * (whole-tag pull + per-attribute filters, the [[feedLinksOf]]
+    * pattern), lang lowercased (BCP 47 tags are case-insensitive),
+    * href resolved against the effective base under the fetch-log
+    * identity. Row-level extract + one distinct shuffle. */
+  def hreflangOf(pages: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(pages.sparkSession)
+    val ws = "[ \\t\\n\\f\\r]*"
+    val baseHref = regexp_extract(col("html"),
+      "(?i)<base[^>]*href\\s*=\\s*[\"']([^\"'>]+)", 1)
+    val effBase = coalesce(
+      when(baseHref =!= "", UrlOps.resolve(col("page_url"), baseHref)),
+      col("page_url"))
+    pages
+      .select(col("page_url"), effBase.as("_base"),
+        explode(regexp_extract_all(col("html"),
+          lit("(?is)<link[ \\t\\n\\f\\r][^>]*>"), lit(0))).as("tag"))
+      .filter(col("tag").rlike(s"(?i)rel$ws=$ws[\"']?alternate") &&
+        col("tag").rlike(s"(?i)hreflang$ws="))
+      .select(col("page_url"),
+        lower(regexp_extract(col("tag"),
+          s"(?i)hreflang$ws=$ws[\"']([^\"']*)", 1)).as("lang"),
+        UrlOps.canonIdn(UrlOps.resolve(col("_base"),
+          regexp_extract(col("tag"),
+            s"(?i)href$ws=$ws[\"']([^\"']*)", 1))).as("dst_url"))
+      .filter(col("dst_url").rlike("^https?://") && col("lang") =!= "")
+      .distinct()
+  }
+
+  /** Translation CLUSTERS over real crawled pages — [[hreflangOf]]
+    * declarations as an undirected graph (a page and every alternate it
+    * names are one article), resolved by the shared
+    * [[DedupOps.connectedComponents]] core (URL vertices ride xxhash64
+    * ids; the cluster key is the lexicographic min member URL, so the
+    * output is hash-free and engine-comparable). One row per cluster:
+    * (cluster_key, n_members, langs = the sorted distinct declared
+    * language tags). Scale: declarations are page-bounded; edges =
+    * one distinct shuffle; CC runs rounds-not-rows with per-round
+    * checkpoints — the q_dedup_clusters shape over URL identity. */
+  def hreflangClusters(pages: DataFrame): DataFrame = {
+    val decls = hreflangOf(pages)
+      .select(UrlOps.canonIdn(col("page_url")).as("src_url"),
+        col("lang"), col("dst_url"))
+      .localCheckpoint(false) // vertices, edges, and lang agg read it
+    val urls = decls.select(col("src_url").as("url"))
+      .unionByName(decls.select(col("dst_url").as("url"))).distinct()
+      .select(col("url"), xxhash64(col("url")).as("doc_id"))
+      .localCheckpoint(false) // CC vertices AND the member join
+    val edges = decls
+      .select(xxhash64(col("src_url")).as("doc_a"),
+        xxhash64(col("dst_url")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")).distinct()
+    val urlLang = decls.select(col("dst_url").as("url"), col("lang"))
+      .distinct()
+    DedupOps.connectedComponents(urls.select(col("doc_id")), edges)
+      .join(urls, Seq("doc_id"))
+      .join(urlLang, Seq("url"), "left")
+      .groupBy(col("cluster_id"))
+      .agg(min(col("url")).as("cluster_key"),
+        countDistinct(col("url")).as("n_members"),
+        concat_ws(" ", array_sort(collect_set(col("lang")))).as("langs"))
+      .select(col("cluster_key"), col("n_members"), col("langs"))
+      .orderBy("cluster_key")
+  }
+
+  /** §2 `q_hreflang`: translation clusters under the oracle — each doc
+    * publishes its article (g = doc_id % 50) in its own language
+    * (doc_id % 3 → en/de/fr) and declares the full three-language
+    * alternate set (one link in REVERSED single-quoted attribute order
+    * so the any-order pull is graded; the set includes self, per the
+    * published convention), so every (host, g) article clusters its
+    * three language URLs regardless of which variants were crawled —
+    * the oracle states the construction truth (min-URL key, 3 members,
+    * `de en fr`) while Spark must parse, resolve, canonicalize, and
+    * run the real CC. */
+  def hreflang(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val host = concat(col("source"), lit(".example.com"))
+    val g = (col("doc_id") % 50).cast("string")
+    val ownLang = when(col("doc_id") % 3 === 0, "en")
+      .when(col("doc_id") % 3 === 1, "de").otherwise("fr")
+    val pageUrl = concat(lit("http://"), host, lit("/"), ownLang,
+      lit("/art/"), g)
+    def alt(l: String): Column = concat(
+      lit(s"""<link rel="alternate" hreflang="$l" href="http://"""), host,
+      lit(s"/$l/art/"), g, lit("\">"))
+    val deMessy = concat(lit("<link hreflang='de' href='http://"), host,
+      lit("/de/art/"), g, lit("' rel='alternate'>"))
+    val html = concat(lit("<html><head>"), alt("en"), deMessy, alt("fr"),
+      lit("</head><body>a</body></html>"))
+    hreflangClusters(
+      documents.select(pageUrl.as("page_url"), html.as("html")))
+  }
+
   // ---------- image-text pair mining (round 16 — the LAION-shape
   // bridge from a web crawl to a multimodal training set) ----------
 
@@ -1711,6 +1812,18 @@ object HtmlOps {
       "'[ \\t\\n\\f\\r]+', ' ', 'g')), '')"
 
   val oracles: Map[String, String] = Map(
+    // the construction truth of q_hreflang's three-language articles:
+    // cluster key = the lexicographic-min member (de < en < fr)
+    "q_hreflang" ->
+      """WITH arts AS (
+        |  SELECT DISTINCT source, doc_id % 50 AS g FROM documents
+        |)
+        |SELECT 'http://' || source || '.example.com/de/art/' ||
+        |    CAST(g AS VARCHAR) AS cluster_key,
+        |  CAST(3 AS BIGINT) AS n_members,
+        |  'de en fr' AS langs
+        |FROM arts
+        |ORDER BY cluster_key""".stripMargin,
     // the moduli truth of noindexFlags' planted meta-robots values:
     // %4==0 noindex, %4==1 NOFOLLOW, %4==2 none (= both), %4==3 neither
     "q_noindex" ->

@@ -1249,6 +1249,28 @@ class HtmlUrlSpec extends SparkSpec {
       (s"http://$host/story", "2026-08-07", "lastmod")), due.toSeq)
   }
 
+  test("hreflangOf/hreflangClusters: declarations group translations into one article") {
+    import spark.implicits._
+    val art = (l: String, links: Seq[String]) =>
+      "<html><head>" + links.map(x =>
+        s"""<link rel="alternate" hreflang="$x" href="/$x/story">""").mkString +
+        s"</head><body>$l</body></html>"
+    val pages = Seq(
+      // en and de declare each other (and self); fr is declared but
+      // was never crawled — it still joins the cluster as a vertex
+      ("http://s.example/en/story", art("en", Seq("en", "de", "fr"))),
+      ("http://s.example/de/story", art("de", Seq("de", "en", "fr"))),
+      // an unrelated single-language page with no declarations
+      ("http://s.example/solo", "<html><head></head><body>x</body></html>"))
+      .toDF("page_url", "html")
+    val triples = HtmlOps.hreflangOf(pages)
+    assert(triples.count() == 6, triples.collect().mkString(","))
+    val clusters = HtmlOps.hreflangClusters(pages).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(clusters.toSeq == Seq(
+      ("http://s.example/de/story", 3L, "de en fr")), clusters.toSeq)
+  }
+
   test("robots directives: meta tokens, X-Robots-Tag, and followable links") {
     import spark.implicits._
     import graft.operators.CrawlOps
