@@ -722,20 +722,54 @@ object HtmlOps {
     * this is the canonical two-pass MR anchor job: no collect, no
     * window over the corpus, and AQE reuses the dst_url exchange
     * across the branches. */
-  private[graft] def anchorCore(pairs: DataFrame, srcCol: String): DataFrame = {
-    val perText = pairs.groupBy("dst_url", "anchor")
-      .agg(count(lit(1)).as("cnt"))
+  private[graft] def anchorCore(pairs: DataFrame, srcCol: String): DataFrame =
+    anchorCoreWeighted(pairs
+      .groupBy(col("dst_url"), col("anchor"), col(srcCol).as("src"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** [[anchorCore]] over the additive STATE shape (dst_url, anchor,
+    * src, cnt) — the single aggregation both the batch faces and the
+    * incremental merge route reduce through, so they cannot drift. */
+  private[graft] def anchorCoreWeighted(state: DataFrame): DataFrame = {
+    val perText = state.groupBy("dst_url", "anchor")
+      .agg(sum("cnt").cast("long").as("cnt"))
     val tops = perText.groupBy("dst_url").agg(
       max(struct(col("cnt"), col("anchor"))).as("_top"),
       sum("cnt").cast("long").as("n_inlinks"),
       count(lit(1)).as("n_texts"))
-    val docs = pairs.select(col("dst_url"), col(srcCol)).distinct()
+    val docs = state.select(col("dst_url"), col("src")).distinct()
       .groupBy("dst_url").agg(count(lit(1)).as("n_docs"))
     tops.join(docs, Seq("dst_url"))
       .select(col("dst_url"), col("_top.anchor").as("top_anchor"),
         col("_top.cnt").as("top_cnt"), col("n_inlinks"),
         col("n_texts"), col("n_docs"))
   }
+
+  /** The persisted anchor STATE of a page batch — one row per
+    * (dst_url, anchor, src page) with its occurrence count. ADDITIVE
+    * under [[anchorStateMerge]]: at 100 TB the anchor table is
+    * link-graph-scale and recomputing it from scratch per crawl batch
+    * would re-shuffle the whole history, so the state (not the
+    * summary) is THE persisted artifact — the
+    * [[graft.operators.Sinks]] upsert shape, keyed on the triple. */
+  def anchorState(pages: DataFrame): DataFrame =
+    anchorsOf(pages)
+      .groupBy(col("dst_url"), col("anchor"), col("page_url").as("src"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge a delta batch's anchor state into the prior table — one
+    * union + one triple-keyed re-agg (counts are additive; a re-crawled
+    * page's rows simply add, matching the batch face run over the
+    * concatenated page sets). */
+  def anchorStateMerge(prior: DataFrame, delta: DataFrame): DataFrame =
+    prior.unionByName(delta)
+      .groupBy(col("dst_url"), col("anchor"), col("src"))
+      .agg(sum("cnt").cast("long").as("cnt"))
+
+  /** The anchor summary off a persisted state table — what a consumer
+    * reads after any number of incremental merges. */
+  def anchorTextFromState(state: DataFrame): DataFrame =
+    anchorCoreWeighted(state)
 
   /** Anchor-text aggregation of REAL crawled pages — what the web
     * calls each URL: [[anchorsOf]] triples rolled up per canonical
@@ -744,7 +778,7 @@ object HtmlOps {
     * alt-text-like caption source for pages, a quality prior (how the
     * web describes a document), and a retrieval label. */
   def anchorTextOf(pages: DataFrame): DataFrame =
-    anchorCore(anchorsOf(pages), "page_url")
+    anchorTextFromState(anchorState(pages))
 
   /** §2 `q_anchor_text`: anchor aggregation under the oracle — the
     * synthetic link page ([[linkSynthHtml]], the q_link_extract

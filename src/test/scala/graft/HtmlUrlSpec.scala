@@ -2416,6 +2416,34 @@ class HtmlUrlSpec extends SparkSpec {
     assert(other.getString(1) == "misc" && other.getLong(3) == 1L)
   }
 
+  test("anchor state merges incrementally: batch-of-all equals merged deltas") {
+    import spark.implicits._
+    val mk = (links: Seq[(String, String)]) => "<html><body>" +
+      links.map { case (h, t) => s"""<a href="$h">$t</a>""" }.mkString +
+      "</body></html>"
+    val batch1 = Seq(
+      ("http://a.example/1", mk(Seq(
+        "http://t.example/page" -> "Home", "http://t.example/page" -> "Home"))),
+      ("http://b.example/1", mk(Seq("http://t.example/page" -> "home page"))))
+      .toDF("page_url", "html")
+    val batch2 = Seq(
+      // the SAME page re-crawled with one more link — counts just add
+      ("http://a.example/1", mk(Seq("http://t.example/page" -> "Home"))),
+      ("http://c.example/1", mk(Seq("http://t.example/other" -> "misc"))))
+      .toDF("page_url", "html")
+    val merged = HtmlOps.anchorTextFromState(HtmlOps.anchorStateMerge(
+      HtmlOps.anchorState(batch1), HtmlOps.anchorState(batch2)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // equivalent to the batch face over the concatenated page sets
+    val whole = HtmlOps.anchorTextOf(batch1.unionByName(batch2))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(merged == whole, s"$merged vs $whole")
+    assert(merged.contains(
+      ("http://t.example/page", "Home", 3L, 4L, 2L, 2L)), merged)
+  }
+
   test("q_anchor_text: one/one again collapse onto one canonical target") {
     import spark.implicits._
     val docs = Seq((1L, "alpha"), (101L, "alpha"), (3L, "beta"))
