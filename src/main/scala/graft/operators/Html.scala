@@ -1010,6 +1010,99 @@ object HtmlOps {
       .orderBy("doc_id")
   }
 
+  // ---------- JSON-LD structured data (round 16 continuation — the
+  // schema.org route: modern pipelines read an article's OWN declared
+  // metadata (headline, datePublished, image) from
+  // <script type="application/ld+json"> before falling back to
+  // heuristics; datePublished feeds freshness, headline/image are a
+  // caption source beside rows 142/150) ----------
+
+  private val LdBlockRE =
+    "(?is)<script[^>]*type[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*" +
+      "[\"']application/ld\\+json[\"'][^>]*>(.*?)</script>"
+
+  private val LdSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("@type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("headline",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("datePublished",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("image",
+      org.apache.spark.sql.types.StringType)))
+
+  /** JSON-LD article metadata of REAL crawled pages — one row per
+    * `<script type="application/ld+json">` block, parsed by a REAL
+    * JSON parser (`from_json`, permissive: a malformed block yields
+    * NULL fields, never a crash — and the DuckDB twin is a real JSON
+    * parser too, so the grammar is not regex-approximated in either
+    * engine); `image` resolves against the effective base under the
+    * fetch-log identity. Output (page_url, ld_type, headline,
+    * date_published, image_url). Row-level extract + parse, zero
+    * shuffles. */
+  def jsonLdOf(pages: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(pages.sparkSession)
+    val baseHref = regexp_extract(col("html"),
+      "(?i)<base[^>]*href\\s*=\\s*[\"']([^\"'>]+)", 1)
+    val effBase = coalesce(
+      when(baseHref =!= "", UrlOps.resolve(col("page_url"), baseHref)),
+      col("page_url"))
+    val img = UrlOps.canonIdn(UrlOps.resolve(col("_base"),
+      col("_j.image")))
+    pages
+      .select(col("page_url"), effBase.as("_base"),
+        explode(regexp_extract_all(col("html"), lit(LdBlockRE), lit(1)))
+          .as("block"))
+      .withColumn("_j", from_json(col("block"), LdSchema))
+      .select(col("page_url"),
+        col("_j.@type").as("ld_type"),
+        col("_j.headline").as("headline"),
+        col("_j.datePublished").as("date_published"),
+        when(img.rlike("^https?://"), img).as("image_url"))
+  }
+
+  /** §2 `q_jsonld`: JSON-LD extraction under the oracle — each
+    * synthetic page embeds a NewsArticle block with moduli-derived
+    * values, REAL JSON obstacles in place (multiline pretty-printing,
+    * an escaped quote inside the headline, field order varied by
+    * parity, a root-relative image needing resolution) plus a plain
+    * `<script>` block that must not match; both engines parse with
+    * their REAL JSON parsers, so this grades parser-level agreement,
+    * not regex mimicry. */
+  def jsonLd(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val host = concat(col("source"), lit(".example.com"))
+    val pageUrl = concat(lit("http://"), host, lit("/news/"),
+      (col("doc_id") % 50).cast("string"), lit(".html"))
+    val m9 = (col("doc_id") % 9).cast("string")
+    val day = lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    val core = concat(
+      lit("\"headline\": \"Story \\\""), m9,
+      lit("\\\" of the day\",\n  \"datePublished\": \"2026-07-"), day,
+      lit("\",\n  \"image\": \"/img/"), m9, lit("3.jpg\""))
+    val json = when(col("doc_id") % 2 === 0,
+      concat(lit("{\n  \"@type\": \"NewsArticle\",\n  "), core, lit("\n}")))
+      .otherwise(
+        concat(lit("{\n  "), core, lit(",\n  \"@type\": \"NewsArticle\"\n}")))
+    val html = concat(
+      lit("<html><head><script>var x = 1;</script>" +
+        "<script type=\"application/ld+json\">"), json,
+      lit("</script></head><body>b</body></html>"))
+    documents
+      .select(col("doc_id"), pageUrl.as("page_url"), html.as("html"))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("html"), lit(LdBlockRE), lit(1)))
+          .as("block"), col("page_url"))
+      .withColumn("_j", from_json(col("block"), LdSchema))
+      .select(col("doc_id"),
+        col("_j.@type").as("ld_type"),
+        col("_j.headline").as("headline"),
+        col("_j.datePublished").as("date_published"),
+        UrlOps.canon(UrlOps.resolve(col("page_url"), col("_j.image")))
+          .as("image_url"))
+      .orderBy("doc_id")
+  }
+
   // ---------- hreflang translation clusters (round 16 continuation —
   // a multilingual corpus carries the SAME article in N languages;
   // pages declare their translation set via <link rel=alternate
@@ -1846,6 +1939,20 @@ object HtmlOps {
       "'[ \\t\\n\\f\\r]+', ' ', 'g')), '')"
 
   val oracles: Map[String, String] = Map(
+    // the generative truth of q_jsonld's planted NewsArticle blocks:
+    // Spark must extract the ld+json block (skipping the plain script),
+    // parse REAL JSON (the headline carries an escaped quote), and
+    // resolve/canon the root-relative image
+    "q_jsonld" ->
+      """SELECT doc_id,
+        |  'NewsArticle' AS ld_type,
+        |  'Story "' || CAST(doc_id % 9 AS VARCHAR) || '" of the day'
+        |    AS headline,
+        |  '2026-07-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    AS date_published,
+        |  'http://' || source || '.example.com/img/' ||
+        |    CAST(doc_id % 9 AS VARCHAR) || '3.jpg' AS image_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the construction truth of q_hreflang's three-language articles:
     // cluster key = the lexicographic-min member (de < en < fr)
     "q_hreflang" ->

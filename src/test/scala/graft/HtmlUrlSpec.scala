@@ -1249,6 +1249,32 @@ class HtmlUrlSpec extends SparkSpec {
       (s"http://$host/story", "2026-08-07", "lastmod")), due.toSeq)
   }
 
+  test("jsonLdOf: real JSON parse, escaped quotes, malformed-block NULL route") {
+    import spark.implicits._
+    val html =
+      """<html><head><base href="/a/">
+        |<script>var notLd = {"headline": "nope"};</script>
+        |<script type="application/ld+json">
+        |{ "@type": "NewsArticle",
+        |  "headline": "He said \"go\"",
+        |  "datePublished": "2026-08-01",
+        |  "image": "pic.jpg" }
+        |</script>
+        |<script type='application/ld+json'>{ not valid json }</script>
+        |</head><body></body></html>""".stripMargin
+    val rows = HtmlOps.jsonLdOf(
+      Seq(("http://n.example/art/1", html)).toDF("page_url", "html"))
+      .collect()
+    assert(rows.length == 2, rows.mkString(","))
+    val ok = rows.find(!_.isNullAt(1)).get
+    assert(ok.getString(1) == "NewsArticle")
+    assert(ok.getString(2) == "He said \"go\"") // real unescaping
+    assert(ok.getString(3) == "2026-08-01")
+    assert(ok.getString(4) == "http://n.example/a/pic.jpg") // base-resolved
+    val bad = rows.find(_.isNullAt(1)).get // malformed: NULLs, no crash
+    assert((1 to 4).forall(bad.isNullAt), bad.toString)
+  }
+
   test("hreflangOf/hreflangClusters: declarations group translations into one article") {
     import spark.implicits._
     val art = (l: String, links: Seq[String]) =>

@@ -616,6 +616,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("q_jsonld: extract + real JSON parse as a pure map, zero hash exchanges") {
+    val p = plan(HtmlOps.jsonLd(Tables.documents(spark, sfDir)))
+    assert(p.contains("from_json"), p) // a real parser, not regex mimicry
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    val hashEx = p.linesIterator.count(l =>
+      l.trim.startsWith("Arguments: hashpartitioning("))
+    assert(hashEx == 0, s"want 0 hash exchanges, got $hashEx:\n$p")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("q_noindex: pure directive map, zero hash exchanges, no join") {
     val p = plan(HtmlOps.noindexFlags(Tables.documents(spark, sfDir)))
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
