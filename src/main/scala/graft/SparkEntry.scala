@@ -134,6 +134,7 @@ object SparkEntry {
     "q_noindex" -> ((s, dir) => HtmlOps.noindexFlags(Tables.documents(s, dir))),
     "q_hreflang" -> ((s, dir) => HtmlOps.hreflang(Tables.documents(s, dir))),
     "q_jsonld" -> ((s, dir) => HtmlOps.jsonLd(Tables.documents(s, dir))),
+    "q_pagination" -> ((s, dir) => HtmlOps.pagination(Tables.documents(s, dir))),
     "q_pagerank" -> ((s, dir) => GraphOps.pagerank(Tables.documents(s, dir))),
     "q_robots_filter" -> ((s, dir) => CrawlOps.robotsFilter(Tables.documents(s, dir))),
     "q_robots_parse" -> ((s, dir) => CrawlOps.robotsParse(Tables.documents(s, dir))),

@@ -1010,6 +1010,98 @@ object HtmlOps {
       .orderBy("doc_id")
   }
 
+  // ---------- pagination chains (round 16 continuation — multi-page
+  // articles: a real news/docs corpus splits one document across
+  // /art/1 → /art/2 → /art/3 behind <link rel=next>; an ingest that
+  // treats parts as unrelated pages dedups/scores/packs them wrongly,
+  // so the chain must be assembled BEFORE the content operators) ----
+
+  /** `rel=next` edges of real crawled pages — (page canon, next canon),
+    * attributes in any order, base-href honored, fetch-log identity.
+    * The prev direction is redundant on well-formed sites and ignored
+    * (next edges alone define the order). */
+  private[graft] def nextEdgesOf(pages: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(pages.sparkSession)
+    val ws = "[ \\t\\n\\f\\r]*"
+    val baseHref = regexp_extract(col("html"),
+      "(?i)<base[^>]*href\\s*=\\s*[\"']([^\"'>]+)", 1)
+    val effBase = coalesce(
+      when(baseHref =!= "", UrlOps.resolve(col("page_url"), baseHref)),
+      col("page_url"))
+    pages
+      .select(col("page_url"), effBase.as("_base"),
+        explode(regexp_extract_all(col("html"),
+          lit("(?is)<link[ \\t\\n\\f\\r][^>]*>"), lit(0))).as("tag"))
+      .filter(col("tag").rlike(s"(?i)rel$ws=$ws[\"']?next[\"' >]"))
+      .select(UrlOps.canonIdn(col("page_url")).as("src"),
+        UrlOps.canonIdn(UrlOps.resolve(col("_base"),
+          regexp_extract(col("tag"),
+            s"(?i)href$ws=$ws[\"']([^\"']*)", 1))).as("dst"))
+      .filter(col("dst").rlike("^https?://") && col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Pagination CHAINS over real crawled pages: heads (pages no next
+    * edge points AT) walk their rel=next successors a bounded number
+    * of hops — one url-keyed equi-join per hop, the `q_redirects`
+    * bounded-unrolling shape (real articles paginate shallowly; the
+    * cap also defuses planted cycles, which have no head and drop
+    * entirely). Output one row per chain member: (chain_key = the head
+    * URL, page_url, pos 1-based) — the frame a consumer ORDERS BY to
+    * reassemble the article text before dedup/scoring/packing. */
+  def paginationChainsOf(pages: DataFrame, maxParts: Int = 8): DataFrame = {
+    val edges = nextEdgesOf(pages)
+      .localCheckpoint(false) // head detection AND every hop read it
+    val heads = edges.join(
+      edges.select(col("dst").as("src")), Seq("src"), "left_anti")
+      .select(col("src")).distinct()
+    val first = heads.select(col("src").as("chain_key"),
+      col("src").as("page_url"), lit(1).as("pos"))
+    val hops = (2 to maxParts).scanLeft(first) { (cur, k) =>
+      // fresh column names per hop — the repeated edge frame would
+      // otherwise trip the ambiguous-self-join check
+      val e = edges.select(col("src").as("_hop_src"),
+        col("dst").as("_hop_dst"))
+      cur.join(e, col("page_url") === col("_hop_src"))
+        .select(col("chain_key"), col("_hop_dst").as("page_url"),
+          lit(k).as("pos"))
+    }
+    hops.reduce(_.unionByName(_)).orderBy("chain_key", "pos")
+  }
+
+  /** §2 `q_pagination`: chain assembly under the oracle — each doc's
+    * article (g = doc_id % 50) splits across three parts wired
+    * `/art/g/1 → 2 → 3` by rel=next (part 2's link rides REVERSED
+    * attribute order; prev links present and correctly ignored), so
+    * the oracle states the construction truth (3 rows per distinct
+    * (host, g), chain_key = part 1) while Spark must parse the link
+    * grammar, detect heads, and walk the real joins. */
+  def pagination(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val host = concat(col("source"), lit(".example.com"))
+    val g = (col("doc_id") % 50).cast("string")
+    def part(p: Column): Column = concat(lit("http://"), col("_h"),
+      lit("/art/"), col("_g"), lit("/"), p.cast("string"))
+    val withP = documents.select(col("doc_id"), host.as("_h"), g.as("_g"),
+      explode(sequence(lit(1), lit(3))).as("p"))
+    val nextLink = when(col("p") === 1,
+      concat(lit("<link rel=\"next\" href=\"http://"), col("_h"),
+        lit("/art/"), col("_g"), lit("/2\">")))
+      .when(col("p") === 2,
+        concat(lit("<link href='http://"), col("_h"), lit("/art/"),
+          col("_g"), lit("/3' rel='next'>")))
+      .otherwise(lit(""))
+    val prevLink = when(col("p") > 1,
+      concat(lit("<link rel=\"prev\" href=\"http://"), col("_h"),
+        lit("/art/"), col("_g"), lit("/"), (col("p") - 1).cast("string"),
+        lit("\">"))).otherwise(lit(""))
+    val pages = withP.select(
+      part(col("p")).as("page_url"),
+      concat(lit("<html><head>"), nextLink, prevLink,
+        lit("</head><body>part</body></html>")).as("html"))
+    paginationChainsOf(pages)
+  }
+
   // ---------- JSON-LD structured data (round 16 continuation — the
   // schema.org route: modern pipelines read an article's OWN declared
   // metadata (headline, datePublished, image) from
@@ -1939,6 +2031,21 @@ object HtmlOps {
       "'[ \\t\\n\\f\\r]+', ' ', 'g')), '')"
 
   val oracles: Map[String, String] = Map(
+    // the construction truth of q_pagination's three-part articles:
+    // chain_key = part 1, one row per part in rel=next walk order
+    "q_pagination" ->
+      """WITH arts AS (
+        |  SELECT DISTINCT source, doc_id % 50 AS g FROM documents
+        |), parts AS (
+        |  SELECT source, g, unnest([1, 2, 3]) AS p FROM arts
+        |)
+        |SELECT 'http://' || source || '.example.com/art/' ||
+        |    CAST(g AS VARCHAR) || '/1' AS chain_key,
+        |  'http://' || source || '.example.com/art/' ||
+        |    CAST(g AS VARCHAR) || '/' || CAST(p AS VARCHAR) AS page_url,
+        |  CAST(p AS INT) AS pos
+        |FROM parts
+        |ORDER BY chain_key, pos""".stripMargin,
     // the generative truth of q_jsonld's planted NewsArticle blocks:
     // Spark must extract the ld+json block (skipping the plain script),
     // parse REAL JSON (the headline carries an escaped quote), and

@@ -1249,6 +1249,36 @@ class HtmlUrlSpec extends SparkSpec {
       (s"http://$host/story", "2026-08-07", "lastmod")), due.toSeq)
   }
 
+  test("paginationChainsOf: heads walk next edges; cycles and over-deep chains cap") {
+    import spark.implicits._
+    def pg(url: String, next: Option[String]): (String, String) =
+      (url, "<html><head>" + next.map(n =>
+        s"""<link rel="next" href="$n">""").getOrElse("") +
+        "</head><body>p</body></html>")
+    val pages = Seq(
+      pg("http://s.example/a/1", Some("/a/2")),
+      pg("http://s.example/a/2", Some("/a/3")),
+      pg("http://s.example/a/3", None),
+      // a 2-cycle: no head, drops entirely
+      pg("http://s.example/loop/x", Some("/loop/y")),
+      pg("http://s.example/loop/y", Some("/loop/x")),
+      // a single page with no pagination: not a chain
+      pg("http://s.example/solo", None))
+      .toDF("page_url", "html")
+    val got = HtmlOps.paginationChainsOf(pages).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq == Seq(
+      ("http://s.example/a/1", "http://s.example/a/1", 1),
+      ("http://s.example/a/1", "http://s.example/a/2", 2),
+      ("http://s.example/a/1", "http://s.example/a/3", 3)), got.toSeq)
+    // the cap truncates a long chain instead of looping forever
+    val long = (1 to 12).map(i =>
+      pg(s"http://s.example/b/$i",
+        if (i < 12) Some(s"/b/${i + 1}") else None)).toDF("page_url", "html")
+    val capped = HtmlOps.paginationChainsOf(long)
+    assert(capped.count() == 8, capped.count())
+  }
+
   test("jsonLdOf: real JSON parse, escaped quotes, malformed-block NULL route") {
     import spark.implicits._
     val html =
