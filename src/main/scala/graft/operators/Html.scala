@@ -400,6 +400,14 @@ object HtmlOps {
           .otherwise(col("_fetch_url")))
       .withColumn("_lm", nullif(trim(regexp_extract(col("_hdr"),
         "(?im)^last-modified:([^\\r\\n]*)", 1)), lit("")))
+      // page-level robots directives (round 16 continuation): meta
+      // robots from the head sniff window (it lives in <head> by spec,
+      // the rel=canonical slot) ∪ X-Robots-Tag from the header block —
+      // a corpus builder drops noindex rows BEFORE any content
+      // operator, a frontier builder skips nofollow pages' outlinks
+      .withColumn("_rb_meta", metaField(col("_sniff"), "name", "robots"))
+      .withColumn("_rb_hdr", nullif(regexp_extract(col("_hdr"),
+        "(?im)^x-robots-tag:[ \\t]*([^\\r\\n]*)", 1), lit("")))
       .select(
         xxhash64(col("url")).as("doc_id"),
         col("url"),
@@ -414,7 +422,11 @@ object HtmlOps {
         // the WARC-layer payload digest (round 15) — the prior-capture
         // side `revisit` records compare against (revisitChurn)
         nullif(col("payload_digest"), lit("")).as("payload_digest"),
-        col("canonical_url"))
+        col("canonical_url"),
+        (robotsTokenFlags(col("_rb_meta"))._1 ||
+          robotsTokenFlags(col("_rb_hdr"))._1).as("noindex"),
+        (robotsTokenFlags(col("_rb_meta"))._2 ||
+          robotsTokenFlags(col("_rb_hdr"))._2).as("nofollow"))
     // the ledger holds every record the clean route did NOT take:
     // failed responses with their reason, and `revisit` records with
     // reason 'revisit' — not failures (the writer stored no body by

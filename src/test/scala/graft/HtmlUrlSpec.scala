@@ -1327,6 +1327,34 @@ class HtmlUrlSpec extends SparkSpec {
       ("http://s.example/de/story", 3L, "de en fr")), clusters.toSeq)
   }
 
+  test("warcToDocuments carries page-level robots directives from both routes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_warc_noidx")
+    val metaPage = "<html><head><meta name=\"robots\" " +
+      "content=\"noindex\"><title>t</title></head><body>secret page</body></html>"
+    val openPage = "<html><head></head><body>open page</body></html>"
+    val recs =
+      record("response", "http://h.example/meta-blocked",
+        http("200 OK", "text/html", metaPage.getBytes(UTF_8))) ++
+      record("response", "http://h.example/hdr-blocked",
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "X-Robots-Tag: none\r\n\r\n" + openPage).getBytes(US_ASCII)) ++
+      record("response", "http://h.example/open",
+        http("200 OK", "text/html", openPage.getBytes(UTF_8)))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val (docs, _) = HtmlOps.warcToDocuments(
+      graft.sources.WarcSource.read(spark, dir.toString))
+    val got = docs.collect().map(r => r.getAs[String]("url") ->
+      ((r.getAs[Boolean]("noindex"), r.getAs[Boolean]("nofollow")))).toMap
+    assert(got == Map(
+      "http://h.example/meta-blocked" -> ((true, false)),
+      "http://h.example/hdr-blocked" -> ((true, true)), // none = both
+      "http://h.example/open" -> ((false, false))), got.toString)
+    // the corpus gate is one row filter — what a builder runs at
+    // ingest: only the open page survives
+    assert(docs.filter(!col("noindex")).count() == 1)
+  }
+
   test("robots directives: meta tokens, X-Robots-Tag, and followable links") {
     import spark.implicits._
     import graft.operators.CrawlOps
