@@ -250,6 +250,86 @@ object TextOps {
     ("n_num", "\\d{7,}", "[NUM]"),
     ("n_probe", CorpusOps.Probes.map(regexLiteral).mkString("|"), "[REDACTED]"))
 
+  /** Per-doc augmentation suffixes for `q_gopher` — shared VERBATIM by
+    * both engines (doc_id % 4 selects), so the symbol/line rules
+    * genuinely vary: a hash-heavy non-alpha tail, a bullet-list tail,
+    * and an ellipsis-ended-lines tail. */
+  private[graft] val GopherAug: Seq[String] = Seq(
+    "",
+    "\n####### ###### ##### #### ###",
+    "\n- one\n- two\n- three\n- four\n- five\n- six\n- seven" +
+      "\n- eight\n- nine\n- ten",
+    "\nread more...\nto be continued...")
+
+  /** The Gopher rule set's stopword presence list (Rae et al. 2021,
+    * table A1: ≥2 of these must appear). */
+  private[graft] val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** §2 `q_gopher`: the FULL published Gopher quality-rule set (Rae et
+    * al. 2021, "Scaling Language Models", appendix A1.1) — `q_quality`
+    * scores three surface statistics; this gate evaluates all eight
+    * documented rules, each INTEGER-EXACT (every ratio threshold is a
+    * cross-multiplied integer comparison — the estate's hash-exactness
+    * discipline; no float ratio ever forms):
+    *  1. word count in [50, 100 000];
+    *  2. mean word length in [3, 10] (3·n ≤ totalLen ≤ 10·n);
+    *  3. hash-symbol share ≤ 0.1 (hash·10 ≤ n);
+    *  4. ellipsis share ≤ 0.1 (diff·10 ≤ 3·n — the `...` count rides
+    *     its ×3 length difference, division-free);
+    *  5. bullet-started lines ≤ 90% (bullets·10 ≤ 9·lines);
+    *  6. ellipsis-ended lines ≤ 30% (ends·10 ≤ 3·lines);
+    *  7. alphabetic-word share ≥ 80% (alpha·5 ≥ 4·n);
+    *  8. ≥ 2 distinct [[GopherStops]] present.
+    * The corpus is augmented per doc ([[GopherAug]], both engines) so
+    * rules 3-6 genuinely vary; 1-2 and 7-8 vary with the corpus.
+    * Output: counts + one boolean per rule + the AND (`gopher_pass`).
+    * Pure row-level map, zero shuffles — the shape of a 100 TB
+    * quality gate (it fuses into the ingest scan like q_quality). */
+  def gopher(documents: DataFrame): DataFrame = {
+    val aug = when(col("doc_id") % 4 === 1, lit(GopherAug(1)))
+      .when(col("doc_id") % 4 === 2, lit(GopherAug(2)))
+      .when(col("doc_id") % 4 === 3, lit(GopherAug(3)))
+      .otherwise(lit(""))
+    val t2 = concat(col("text"), aug)
+    val nrm = TextFuns.norm(t2)
+    val toks = TextFuns.tokens(t2)
+    val lines = split(t2, "\n")
+    documents
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        size(lines).cast("long").as("n_lines"),
+        (length(nrm) - (size(toks) - 1)).cast("long").as("_total_len"),
+        (length(t2) - length(replace(t2, lit("#"), lit(""))))
+          .cast("long").as("_hash_cnt"),
+        (length(t2) - length(replace(t2, lit("..."), lit(""))))
+          .cast("long").as("_ell3"),
+        size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ")))
+          .cast("long").as("_bullets"),
+        size(filter(lines, l => l.endsWith("...")))
+          .cast("long").as("_ellend"),
+        size(filter(toks, tk => tk.rlike("[a-z]")))
+          .cast("long").as("_alpha"),
+        GopherStops.map(s =>
+          when(array_contains(toks, s), 1).otherwise(0))
+          .reduce(_ + _).as("_stops"))
+      .select(col("doc_id"), col("n_words"), col("n_lines"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("wc_ok"),
+        (col("_total_len") >= col("n_words") * 3 &&
+          col("_total_len") <= col("n_words") * 10).as("mean_len_ok"),
+        (col("_hash_cnt") * 10 <= col("n_words")).as("hash_ok"),
+        (col("_ell3") * 10 <= col("n_words") * 3).as("ellipsis_ok"),
+        (col("_bullets") * 10 <= col("n_lines") * 9).as("bullets_ok"),
+        (col("_ellend") * 10 <= col("n_lines") * 3).as("ell_lines_ok"),
+        (col("_alpha") * 5 >= col("n_words") * 4).as("alpha_ok"),
+        (col("_stops") >= 2).as("stop_ok"))
+      .withColumn("gopher_pass",
+        col("wc_ok") && col("mean_len_ok") && col("hash_ok") &&
+          col("ellipsis_ok") && col("bullets_ok") && col("ell_lines_ok") &&
+          col("alpha_ok") && col("stop_ok"))
+      .orderBy("doc_id")
+  }
+
   /** §2-77 `q_redact`: PII scrubbing + in-place decontamination — the
     * pattern chain above over the normalized text, emitting per-pattern
     * match counts (counted on the running text, i.e. post-prior-
@@ -488,6 +568,59 @@ object TextOps {
          |SELECT *, CASE $cases ELSE '${langs.last}' END AS pred_lang
          |FROM s
          |ORDER BY doc_id""".stripMargin
+    },
+    "q_gopher" -> {
+      val stops = GopherStops.map(s =>
+        s"(CASE WHEN list_contains(ts, ${TextFuns.sqlLit(s)}) " +
+          "THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 4 = 1 THEN ${TextFuns.sqlLit(GopherAug(1))}
+         |         WHEN doc_id % 4 = 2 THEN ${TextFuns.sqlLit(GopherAug(2))}
+         |         WHEN doc_id % 4 = 3 THEN ${TextFuns.sqlLit(GopherAug(3))}
+         |         ELSE '' END AS t2
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, t2, lower(trim(t2)) AS nrm,
+         |    string_split(lower(trim(t2)), ' ') AS ts,
+         |    string_split(t2, chr(10)) AS ls
+         |  FROM t
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(ts) AS BIGINT) AS n_words,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(length(nrm) - (len(ts) - 1) AS BIGINT) AS total_len,
+         |    CAST(length(t2) - length(replace(t2, '#', '')) AS BIGINT)
+         |      AS hash_cnt,
+         |    CAST(length(t2) - length(replace(t2, '...', '')) AS BIGINT)
+         |      AS ell3,
+         |    CAST(len(list_filter(ls,
+         |      l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS bullets,
+         |    CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT)
+         |      AS ellend,
+         |    CAST(len(list_filter(ts,
+         |      tk -> regexp_matches(tk, '[a-z]'))) AS BIGINT) AS alpha,
+         |    ($stops) AS stop_cnt
+         |  FROM s
+         |)
+         |SELECT doc_id, n_words, n_lines,
+         |  (n_words >= 50 AND n_words <= 100000) AS wc_ok,
+         |  (total_len >= n_words * 3 AND total_len <= n_words * 10)
+         |    AS mean_len_ok,
+         |  (hash_cnt * 10 <= n_words) AS hash_ok,
+         |  (ell3 * 10 <= n_words * 3) AS ellipsis_ok,
+         |  (bullets * 10 <= n_lines * 9) AS bullets_ok,
+         |  (ellend * 10 <= n_lines * 3) AS ell_lines_ok,
+         |  (alpha * 5 >= n_words * 4) AS alpha_ok,
+         |  (stop_cnt >= 2) AS stop_ok,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND total_len >= n_words * 3 AND total_len <= n_words * 10
+         |    AND hash_cnt * 10 <= n_words AND ell3 * 10 <= n_words * 3
+         |    AND bullets * 10 <= n_lines * 9
+         |    AND ellend * 10 <= n_lines * 3
+         |    AND alpha * 5 >= n_words * 4 AND stop_cnt >= 2)
+         |    AS gopher_pass
+         |FROM m ORDER BY doc_id""".stripMargin
     },
     "q_quality" ->
       s"""WITH s AS (

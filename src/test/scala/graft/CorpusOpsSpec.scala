@@ -523,6 +523,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rescreen.count() == 0)
   }
 
+  test("gopher: all eight rules fire on planted docs, integer-exact") {
+    import spark.implicits._
+    val base = Array.fill(8)("the be to of and that have with").mkString(" ")
+    val planted = Seq(
+      (4L, base),        // clean aug: every rule passes (mean-len at the
+                         //            exact 3.0 boundary — equality holds)
+      (13L, base),       // %4==1: hash tail — hash_ok fails, alpha holds
+      (2L, base),        // %4==2: ten bullet lines of eleven — bullets fail
+      (3L, base),        // %4==3: 2 of 3 lines end '...' — ell_lines fail,
+                         //        total ellipsis share still fine
+      (8L, "the of"))    // clean but 2 words: wc fails, stopwords pass
+      .toDF("doc_id", "text")
+    val got = TextOps.gopher(planted).collect().map(r =>
+      r.getLong(0) -> r).toMap
+    def flags(id: Long): Seq[Boolean] =
+      (3 to 10).map(i => got(id).getBoolean(i))
+    // columns 3..10: wc, mean_len, hash, ellipsis, bullets, ell_lines,
+    // alpha, stop; column 11: gopher_pass
+    assert(flags(4L) == Seq(true, true, true, true, true, true, true, true))
+    assert(got(4L).getBoolean(11))
+    assert(flags(13L) == Seq(true, true, false, true, true, true, true, true))
+    assert(!got(13L).getBoolean(11))
+    assert(flags(2L)(4) == false && flags(2L)(0), flags(2L)) // bullets fail
+    assert(flags(3L)(5) == false && flags(3L)(3), flags(3L)) // ell_lines fail
+    assert(flags(8L)(0) == false && flags(8L)(7), flags(8L)) // wc fail
+  }
+
   test("corpusFilter helper columns agree with the standalone operators") {
     val q = TextOps.quality(docs).select(col("doc_id"), col("quality_score"))
     val viaHelper = docs.select(col("doc_id"),
