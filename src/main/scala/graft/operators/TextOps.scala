@@ -330,6 +330,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Planted material for `q_c4_clean`, shared VERBATIM by both
+    * engines: three always-appended GOOD lines (the synthetic base
+    * line carries no terminal punctuation, so these make the kept set
+    * non-trivial), and per-doc%5 bad tails — an unpunctuated line, a
+    * four-word line, a lorem-ipsum page marker, a code brace. */
+  private[graft] val C4Good: String =
+    "\nThis first planted line definitely has enough words and ends properly." +
+      "\nThe second planted line also carries plenty of words and a stop." +
+      "\nFinally a third planted line completes the minimum sentence count."
+  private[graft] val C4Aug: Seq[String] = Seq(
+    "",
+    "\nshort line",
+    "\nOnly four words here.",
+    "\nlorem ipsum dolor sit amet.",
+    "\nif (x) { return 1; }")
+
+  /** §2 `q_c4_clean`: the C4 line-filtering pipeline (Raffel et al.
+    * 2020 §2.2 — the OTHER canonical published cleaning recipe beside
+    * [[gopher]]'s thresholds, and unlike it a TRANSFORM, not just a
+    * gate): keep only lines that END IN TERMINAL PUNCTUATION
+    * (`.` `!` `?` `"`) and carry ≥ 5 words; drop the PAGE when it
+    * contains `lorem ipsum` or a code brace `{`, or when fewer than 3
+    * lines survive (the paper's three-sentence floor in this
+    * pipeline's line units); survivors re-join in order. Output
+    * (doc_id, n_lines, n_kept, page_ok, kept_text — NULL for dropped
+    * pages), the kept TEXT byte-identical across engines (the
+    * q_substring_excise_text discipline). Pure row-level map, zero
+    * shuffles — fuses into the ingest scan. */
+  def c4Clean(documents: DataFrame): DataFrame = {
+    val aug = when(col("doc_id") % 5 === 1, lit(C4Aug(1)))
+      .when(col("doc_id") % 5 === 2, lit(C4Aug(2)))
+      .when(col("doc_id") % 5 === 3, lit(C4Aug(3)))
+      .when(col("doc_id") % 5 === 4, lit(C4Aug(4)))
+      .otherwise(lit(""))
+    val t2 = concat(col("text"), lit(C4Good), aug)
+    val lines = split(t2, "\n")
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) && size(split(l, " ")) >= 5)
+    documents
+      .select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        (!lower(t2).contains("lorem ipsum") && !t2.contains("{") &&
+          size(kept) >= 3).as("page_ok"),
+        kept.as("_kept"))
+      .withColumn("kept_text",
+        when(col("page_ok"), array_join(col("_kept"), "\n")))
+      .drop("_kept")
+      .orderBy("doc_id")
+  }
+
   /** §2-77 `q_redact`: PII scrubbing + in-place decontamination — the
     * pattern chain above over the normalized text, emitting per-pattern
     * match counts (counted on the running text, i.e. post-prior-
@@ -568,6 +620,32 @@ object TextOps {
          |SELECT *, CASE $cases ELSE '${langs.last}' END AS pred_lang
          |FROM s
          |ORDER BY doc_id""".stripMargin
+    },
+    "q_c4_clean" -> {
+      val keepCond = "(l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' " +
+        "OR l LIKE '%\"') AND len(string_split(l, ' ')) >= 5"
+      val pageOk = "NOT contains(lower(t2), 'lorem ipsum') " +
+        "AND NOT contains(t2, '{') AND len(kept) >= 3"
+      s"""WITH t AS (
+         |  SELECT doc_id, text || ${TextFuns.sqlLit(C4Good)} ||
+         |    CASE WHEN doc_id % 5 = 1 THEN ${TextFuns.sqlLit(C4Aug(1))}
+         |         WHEN doc_id % 5 = 2 THEN ${TextFuns.sqlLit(C4Aug(2))}
+         |         WHEN doc_id % 5 = 3 THEN ${TextFuns.sqlLit(C4Aug(3))}
+         |         WHEN doc_id % 5 = 4 THEN ${TextFuns.sqlLit(C4Aug(4))}
+         |         ELSE '' END AS t2
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, t2, string_split(t2, chr(10)) AS ls,
+         |    list_filter(string_split(t2, chr(10)), l -> $keepCond) AS kept
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  ($pageOk) AS page_ok,
+         |  CASE WHEN $pageOk
+         |       THEN array_to_string(kept, chr(10)) END AS kept_text
+         |FROM s ORDER BY doc_id""".stripMargin
     },
     "q_gopher" -> {
       val stops = GopherStops.map(s =>

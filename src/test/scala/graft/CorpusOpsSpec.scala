@@ -550,6 +550,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(flags(8L)(0) == false && flags(8L)(7), flags(8L)) // wc fail
   }
 
+  test("c4Clean: line punctuation/word rules, page drops, in-order rejoin") {
+    import spark.implicits._
+    val planted = Seq(
+      (5L, "base without punct"),  // clean: 3 good lines survive
+      (1L, "base without punct"),  // + unpunctuated tail (dropped line)
+      (2L, "base without punct"),  // + four-word tail (dropped line)
+      (3L, "base without punct"),  // lorem ipsum: page dropped
+      (4L, "base without punct"))  // code brace: page dropped
+      .toDF("doc_id", "text")
+    val got = TextOps.c4Clean(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // clean doc: base line dropped (no punct), the 3 planted good
+    // lines survive in order
+    val c = got(5L)
+    assert(c.getLong(1) == 4L && c.getLong(2) == 3L && c.getBoolean(3))
+    assert(c.getString(4) == TextOps.C4Good.stripPrefix("\n"), c.getString(4))
+    // bad-line tails reduce nothing below the floor: pages stay ok,
+    // the bad line itself is gone
+    assert(got(1L).getLong(2) == 3L && got(1L).getBoolean(3))
+    assert(got(2L).getLong(2) == 3L && got(2L).getBoolean(3))
+    // page-level drops: NULL kept_text
+    assert(!got(3L).getBoolean(3) && got(3L).isNullAt(4))
+    assert(!got(4L).getBoolean(3) && got(4L).isNullAt(4))
+  }
+
   test("corpusFilter helper columns agree with the standalone operators") {
     val q = TextOps.quality(docs).select(col("doc_id"), col("quality_score"))
     val viaHelper = docs.select(col("doc_id"),
