@@ -305,8 +305,11 @@ object CrawlOps {
     // loop: <a href> outlinks, 3xx Location targets off the records
     // (a redirect IS a discovered link — q_redirects' enqueue rule),
     // and meta-refresh targets (the in-page redirect sites use when
-    // they cannot send a 3xx)
-    val links = HtmlOps.linksOf(pages)
+    // they cannot send a 3xx). Outlinks ride the FOLLOWABLE face
+    // (round 16 continuation): page-level meta-robots nofollow and
+    // rel=nofollow links never reach the frontier — the link-level
+    // politeness directive robots.txt cannot express
+    val links = HtmlOps.followableLinksOf(pages)
       .select(col("page_url").as("ref"), col("dst_url"))
       .unionByName(HtmlOps.redirectsOf(records)
         .select(col("src_url").as("ref"), col("dst_url")))

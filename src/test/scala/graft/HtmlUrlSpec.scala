@@ -1397,6 +1397,28 @@ class HtmlUrlSpec extends SparkSpec {
       "http://a.example/pic.png" -> ((false, false))), x.toString)
   }
 
+  test("frontierOf: nofollow links and nofollow pages never reach the frontier") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val dir = Files.createTempDirectory("graft_warc_nofollow")
+    val recs = record("response", "http://nf.example.com/robots.txt",
+      http("200 OK", "text/plain", "User-agent: *\r\n".getBytes(US_ASCII)))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val pages = Seq(
+      ("http://nf.example.com/a",
+        "<html><body><a href=\"/ok\">x</a>" +
+          "<a rel=\"sponsored nofollow\" href=\"/paid\">ad</a></body></html>"),
+      ("http://nf.example.com/b",
+        "<html><head><meta name=\"robots\" content=\"nofollow\"></head>" +
+          "<body><a href=\"/hidden\">y</a></body></html>"))
+      .toDF("page_url", "html")
+    val fetched = Seq.empty[String].toDF("canon_url")
+    val got = CrawlOps.frontierOf(pages,
+      graft.sources.WarcSource.read(spark, dir.toString), fetched)
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("http://nf.example.com/ok"), got.toString)
+  }
+
   test("frontierOf/crawlScheduleOf: the real-data politeness loop, full-host keyed") {
     import spark.implicits._
     import graft.operators.CrawlOps
