@@ -575,6 +575,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!got(4L).getBoolean(3) && got(4L).isNullAt(4))
   }
 
+  test("the two published recipes compose: C4 line-clean, then the Gopher gate") {
+    import spark.implicits._
+    // the real ingest order: C4 drops junk LINES first, then Gopher
+    // gates the cleaned DOC — a page whose raw text fails gopher's
+    // hash rule passes once c4 removes the offending line
+    val hashJunk = "\n##### ##### ##### ##### ##### ##### ##### #####"
+    val base = Array.fill(8)("the be to of and that have with").mkString(" ")
+    val raw = Seq((20L, base + "." + hashJunk)).toDF("doc_id", "text")
+    // doc_id 20: %4==0 and %5==0 — NO augmentation on either side, so
+    // only the planted content is in play
+    val rawGopher = TextOps.gopher(raw).collect().head
+    assert(!rawGopher.getBoolean(5), "raw text must fail the hash rule")
+    val cleaned = TextOps.c4Clean(raw)
+      .select(col("doc_id"), col("kept_text").as("text"))
+    assert(cleaned.collect().head.getString(1) != null)
+    val gated = TextOps.gopher(cleaned).collect().head
+    assert(gated.getBoolean(5), "the cleaned text passes the hash rule")
+    assert(gated.getBoolean(11), "and the whole gate")
+  }
+
   test("corpusFilter helper columns agree with the standalone operators") {
     val q = TextOps.quality(docs).select(col("doc_id"), col("quality_score"))
     val viaHelper = docs.select(col("doc_id"),

@@ -626,6 +626,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("quality gates (q_gopher / q_c4_clean): pure maps, zero hash exchanges") {
+    for (df <- Seq(TextOps.gopher(Tables.documents(spark, sfDir)),
+      TextOps.c4Clean(Tables.documents(spark, sfDir)))) {
+      val p = plan(df)
+      // both published cleaning recipes must stay free riders on the
+      // ingest scan — a shuffle here would bill the whole corpus
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+      val hashEx = p.linesIterator.count(l =>
+        l.trim.startsWith("Arguments: hashpartitioning("))
+      assert(hashEx == 0, s"want 0 hash exchanges, got $hashEx:\n$p")
+      assert(!p.contains("SinglePartition"), p)
+    }
+  }
+
   test("q_noindex: pure directive map, zero hash exchanges, no join") {
     val p = plan(HtmlOps.noindexFlags(Tables.documents(spark, sfDir)))
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
