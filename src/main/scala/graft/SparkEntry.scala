@@ -184,6 +184,7 @@ object SparkEntry {
     "q_cube" -> ((s, dir) => CorpusOps.cube(Tables.documents(s, dir))),
     "q_corpus_filter" -> ((s, dir) => CorpusOps.corpusFilter(Tables.documents(s, dir))),
     "q_curate" -> ((s, dir) => CorpusOps.curate(Tables.documents(s, dir))),
+    "q_curate_full" -> ((s, dir) => CorpusOps.curateFull(Tables.documents(s, dir))),
     "q_contamination" -> ((s, dir) => CorpusOps.contamination(Tables.documents(s, dir))),
     "q_contamination_ngram" -> ((s, dir) => CorpusOps.contaminationNgram(Tables.documents(s, dir))),
     "q_contamination_bloom" -> ((s, dir) => CorpusOps.contaminationBloom(Tables.documents(s, dir))),

@@ -373,7 +373,13 @@ object CorpusOps {
     * shuffles on bigram keys — skew-safe under AQE since hot bigrams
     * hash-spread across c2 partitions. Docs with < 2 tokens have no
     * bigram and drop out (mirrored by the oracle's len filter). */
-  def lmScore(documents: DataFrame): DataFrame = {
+  def lmScore(documents: DataFrame): DataFrame =
+    lmScored(documents).orderBy("doc_id")
+
+  /** [[lmScore]] without the trailing presentational sort — the form
+    * [[curateFullOf]] joins mid-pipeline (the curate/curated
+    * convention). */
+  private[graft] def lmScored(documents: DataFrame): DataFrame = {
     val bigrams = documents
       .select(col("doc_id"), TextFuns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -393,7 +399,6 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p6")).as("sum_p6"))
       .withColumn("lm_score",
         col("sum_p6").cast("double") / (col("n_bigrams") * lit(1000000.0d)))
-      .orderBy("doc_id")
   }
 
   /** §2-39 `q_rollup`: multi-granularity corpus accounting — doc counts
@@ -767,6 +772,95 @@ object CorpusOps {
         size(TextFuns.tokens(col("text"))).as("n_tokens"),
         splitOf(col("doc_id")).as("split"))
 
+  /** The integer lm-score band (units of the quantized p6 mean — the
+    * [[lmScore]] quantization) for [[curateFull]]: mean next-token
+    * probability in [0.25, 0.60]. Both tails are real signals: below
+    * the band the doc reads nothing like the corpus (gibberish), above
+    * it the doc is degenerately predictable (templated boilerplate). */
+  val LmBandP6: (Long, Long) = (250000L, 600000L)
+
+  /** §2-161 `q_curate_full`: the WIDE curation manifest — [[curate]]'s
+    * gate chain (language ∧ quality ∧ probe decontamination ∧ exact-dup
+    * representative ∧ split) COMPOSED with the published quality gates
+    * the estate ships separately: the full Gopher rule set
+    * ([[TextOps.gopherPassCol]], Rae et al. 2021 A1.1), the C4 page
+    * verdict ([[TextOps.c4PageOkCol]], Raffel et al. 2020 §2.2), the
+    * bigram-LM score band ([[lmScore]], integer cross-multiplied — no
+    * float forms before the final reported division), and optionally
+    * the zlib compressibility band ([[TextOps.compressRatio]] — OFF in
+    * the oracle-checked instantiation because zlib is not
+    * SQL-expressible; spec-covered instead, the q_compress_ratio
+    * precedent).
+    *
+    * [[curate]] stays the STATELESS-STREAMABLE core (its whole gate
+    * chain runs unchanged per micro-batch in
+    * `EventStream.curateStream`); this face is the batch composition —
+    * the LM gate needs a corpus-level model, so it can never ride a
+    * stateless stream. Plan shape: the row-level gates (lang, quality,
+    * probes, gopher, C4) all fuse into ONE WholeStageCodegen over one
+    * corpus scan; the LM side re-reads the corpus once into the
+    * localCheckpointed bigram stream (2 scans total, pinned) and joins
+    * back per doc_id; the rep window stays LAST so the wide text_hash
+    * exchange moves full-gate survivors only. Group-soundness of
+    * gate-before-window is preserved: every added gate is text-pure
+    * (identical text ⇒ identical bigrams ⇒ identical LM verdict even
+    * though the MODEL is corpus-level), so a dup group still survives
+    * or drops whole. Docs with < 2 tokens have no bigram, no LM
+    * verdict, and drop (inner join — mirrored by the oracle). */
+  def curateFullOf(documents: DataFrame,
+                   lmBandP6: (Long, Long) = LmBandP6,
+                   compressBandPermille: Option[(Long, Long)] = None): DataFrame = {
+    val rowGated = gated(documents, decontaminate = true)
+      .filter(TextOps.gopherPassCol(col("text")) &&
+        TextOps.c4PageOkCol(col("text")))
+    val lmGated = rowGated
+      .join(lmScored(documents)
+        .select(col("doc_id"), col("n_bigrams"), col("sum_p6")), Seq("doc_id"))
+      .filter(col("sum_p6") >= col("n_bigrams") * lmBandP6._1 &&
+        col("sum_p6") <= col("n_bigrams") * lmBandP6._2)
+    val crGated = compressBandPermille match {
+      case Some((lo, hi)) => lmGated
+        .join(TextOps.compressRatio(documents)
+          .select(col("doc_id"), col("n_bytes"), col("n_compressed")), Seq("doc_id"))
+        .filter(col("n_compressed") * 1000 >= col("n_bytes") * lo &&
+          col("n_compressed") * 1000 <= col("n_bytes") * hi)
+        .drop("n_bytes", "n_compressed")
+      case None => lmGated
+    }
+    crGated
+      .withColumn("rep_doc_id",
+        min(col("doc_id")).over(Window.partitionBy("text_hash")))
+      .filter(col("doc_id") === col("rep_doc_id"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        (col("sum_p6").cast("double") /
+          (col("n_bigrams") * lit(1000000.0d))).as("lm_score"),
+        size(TextFuns.tokens(col("text"))).as("n_tokens"),
+        splitOf(col("doc_id")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** [[curateFullOf]] on the planted-augmented corpus — the
+    * `queries()` binding: the synthetic corpus is single-line
+    * unpunctuated text, so the published gates would be vacuous on it
+    * raw; the q_ key appends [[TextOps.C4Good]] plus the per-doc
+    * [[TextOps.C4Aug]]/[[TextOps.GopherAug]] tails BEFORE the call
+    * (both engines identically — the fixture-outside-operator
+    * convention), making every composed gate genuinely bite at test
+    * scale while [[curateFullOf]] itself stays fixture-free. */
+  def curateFull(documents: DataFrame): DataFrame = {
+    val c4aug = when(col("doc_id") % 5 === 1, lit(TextOps.C4Aug(1)))
+      .when(col("doc_id") % 5 === 2, lit(TextOps.C4Aug(2)))
+      .when(col("doc_id") % 5 === 3, lit(TextOps.C4Aug(3)))
+      .when(col("doc_id") % 5 === 4, lit(TextOps.C4Aug(4)))
+      .otherwise(lit(""))
+    val gaug = when(col("doc_id") % 4 === 1, lit(TextOps.GopherAug(1)))
+      .when(col("doc_id") % 4 === 2, lit(TextOps.GopherAug(2)))
+      .when(col("doc_id") % 4 === 3, lit(TextOps.GopherAug(3)))
+      .otherwise(lit(""))
+    curateFullOf(documents.withColumn("text",
+      concat(col("text"), lit(TextOps.C4Good), c4aug, gaug)))
+  }
+
   /** Benchmark probes for the decontamination scan — in production this
     * is the eval-set n-gram list; here a deterministic sample of corpus
     * phrases. */
@@ -778,11 +872,12 @@ object CorpusOps {
     * broadcasts (it is KB even for real eval suites); the scan is one
     * pass with a codegen'd `contains` per probe — no shuffle, no index.
     * At 100 TB this is the canonical "grep the corpus for the test set"
-    * job: cost is exactly one read. */
-  def contamination(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val probes = Probes.toDF("probe")
+    * job: cost is exactly one read.
+    *
+    * Parameterized face (the [[contaminationNgram]] convention): the
+    * user passes THEIR eval suite as a one-column `probe` frame; the
+    * q_ key instantiates with the benchmark [[Probes]]. */
+  def contamination(documents: DataFrame, probes: DataFrame): DataFrame =
     documents
       // normalize ONCE per row, not once per (row, probe) inside the
       // nested-loop condition
@@ -790,6 +885,13 @@ object CorpusOps {
       .join(broadcast(probes), contains(col("t"), col("probe")))
       .select(col("doc_id"), col("probe"))
       .orderBy("doc_id", "probe")
+
+  /** [[contamination]] with the benchmark [[Probes]] as the probe table
+    * (the `queries()` binding). */
+  def contamination(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    contamination(documents, Probes.toDF("probe"))
   }
 
   /** §2-55 `q_contamination_ngram`: decontamination at real probe scale.
@@ -1584,7 +1686,10 @@ object CorpusOps {
        |  END AS rel_delta
        |FROM u ORDER BY source, col_name, metric""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // lazy: the q_curate_full entry reads TextOps' planted literals, and
+  // TextOps' own init reads CorpusOps.Probes — a strict val here would
+  // deadlock the two objects' initializers (order-dependent NPE)
+  lazy val oracles: Map[String, String] = Map(
     "q_profile" -> profileSql,
     "q_profile_by_source" -> profileSqlFor(Some("source")),
     "q_profile_drift" -> profileDriftSql,
@@ -2127,6 +2232,94 @@ object CorpusOps {
          |  AND $notContaminated
          |ORDER BY doc_id""".stripMargin
     },
+    "q_curate_full" -> {
+      val notContaminated = Probes
+        .map(p => s"NOT contains($normSql, ${TextFuns.sqlLit(p)})")
+        .mkString(" AND ")
+      val augSql = s"""text || ${TextFuns.sqlLit(TextOps.C4Good)} ||
+        |    CASE WHEN doc_id % 5 = 1 THEN ${TextFuns.sqlLit(TextOps.C4Aug(1))}
+        |         WHEN doc_id % 5 = 2 THEN ${TextFuns.sqlLit(TextOps.C4Aug(2))}
+        |         WHEN doc_id % 5 = 3 THEN ${TextFuns.sqlLit(TextOps.C4Aug(3))}
+        |         WHEN doc_id % 5 = 4 THEN ${TextFuns.sqlLit(TextOps.C4Aug(4))}
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ${TextFuns.sqlLit(TextOps.GopherAug(1))}
+        |         WHEN doc_id % 4 = 2 THEN ${TextFuns.sqlLit(TextOps.GopherAug(2))}
+        |         WHEN doc_id % 4 = 3 THEN ${TextFuns.sqlLit(TextOps.GopherAug(3))}
+        |         ELSE '' END""".stripMargin
+      val stops = TextOps.GopherStops.map(s =>
+        s"(CASE WHEN list_contains(ts, ${TextFuns.sqlLit(s)}) " +
+          "THEN 1 ELSE 0 END)").mkString(" + ")
+      val c4keep = "(l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' " +
+        "OR l LIKE '%\"') AND len(string_split(l, ' ')) >= 5"
+      s"""WITH d AS (
+         |  SELECT doc_id, source, $augSql AS text
+         |  FROM documents
+         |), ${filterCtes("d")}, gs AS (
+         |  SELECT doc_id, text, lower(trim(text)) AS nrm,
+         |    string_split(lower(trim(text)), ' ') AS ts,
+         |    string_split(text, chr(10)) AS ls
+         |  FROM p
+         |), gm AS (
+         |  SELECT doc_id,
+         |    CAST(len(ts) AS BIGINT) AS n_words,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(length(nrm) - (len(ts) - 1) AS BIGINT) AS total_len,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+         |      AS hash_cnt,
+         |    CAST(length(text) - length(replace(text, '...', '')) AS BIGINT)
+         |      AS ell3,
+         |    CAST(len(list_filter(ls,
+         |      l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS bullets,
+         |    CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT)
+         |      AS ellend,
+         |    CAST(len(list_filter(ts,
+         |      tk -> regexp_matches(tk, '[a-z]'))) AS BIGINT) AS alpha,
+         |    ($stops) AS stop_cnt,
+         |    CAST(len(list_filter(ls, l -> $c4keep)) AS BIGINT) AS c4_kept,
+         |    (NOT contains(lower(text), 'lorem ipsum')
+         |      AND NOT contains(text, '{')) AS page_clean
+         |  FROM gs
+         |), gok AS (
+         |  SELECT doc_id FROM gm
+         |  WHERE n_words >= 50 AND n_words <= 100000
+         |    AND total_len >= n_words * 3 AND total_len <= n_words * 10
+         |    AND hash_cnt * 10 <= n_words AND ell3 * 10 <= n_words * 3
+         |    AND bullets * 10 <= n_lines * 9
+         |    AND ellend * 10 <= n_lines * 3
+         |    AND alpha * 5 >= n_words * 4 AND stop_cnt >= 2
+         |    AND page_clean AND c4_kept >= 3
+         |), lt AS (
+         |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+         |  FROM d
+         |), lp AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1, len(toks) - 1)) AS i
+         |  FROM lt WHERE len(toks) >= 2
+         |), lb AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM lp
+         |), lc2 AS (
+         |  SELECT w1, w2, count(*) AS n2 FROM lb GROUP BY w1, w2
+         |), lc1 AS (
+         |  SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM lc2 GROUP BY w1
+         |), lq AS (
+         |  SELECT doc_id, (2000000 * n2 + n1) // (2 * n1) AS p6
+         |  FROM lb JOIN lc2 USING (w1, w2) JOIN lc1 USING (w1)
+         |), lsc AS (
+         |  SELECT doc_id, count(*) AS nb, CAST(sum(p6) AS BIGINT) AS sp
+         |  FROM lq GROUP BY doc_id
+         |)
+         |SELECT p.doc_id, p.source, p.quality_score,
+         |  CAST(lsc.sp AS DOUBLE) / (lsc.nb * 1000000.0) AS lm_score,
+         |  len($toksSql) AS n_tokens,
+         |  $splitCaseSql AS split
+         |FROM p JOIN gok USING (doc_id) JOIN lsc USING (doc_id)
+         |WHERE doc_id = rep_doc_id AND pred_lang = 'en'
+         |  AND quality_score >= $QualityTau
+         |  AND $notContaminated
+         |  AND lsc.sp >= lsc.nb * ${LmBandP6._1}
+         |  AND lsc.sp <= lsc.nb * ${LmBandP6._2}
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_pipeline" -> {
       val notContaminated = Probes
         .map(p => s"NOT contains($normSql, ${TextFuns.sqlLit(p)})")
@@ -2193,7 +2386,12 @@ object CorpusOps {
     * filters cannot drift. (The rep window runs over ALL docs while the
     * Spark side gates first — sound because every gate is text-pure, so
     * a dup group survives or drops whole and the min is unchanged.) */
-  private lazy val filterCtePrefix: String = {
+  private lazy val filterCtePrefix: String = "WITH " + filterCtes("documents")
+
+  /** [[filterCtePrefix]] parameterized by the source relation (no
+    * leading WITH) — the q_curate_full oracle runs it over the
+    * planted-augmented CTE instead of the raw table. */
+  private def filterCtes(from: String): String = {
     val langScores = TextOps.Markers.map { case (l, ws) =>
       val in = ws.map(TextFuns.sqlLit).mkString(", ")
       s"len(list_filter($toksSql, t -> t IN ($in))) AS s_$l"
@@ -2204,7 +2402,7 @@ object CorpusOps {
       s"WHEN $conds THEN '$l'"
     }.mkString("\n    ")
     val stopIn = TextOps.Stopwords.map(TextFuns.sqlLit).mkString(", ")
-    s"""WITH s AS (
+    s"""s AS (
        |  SELECT doc_id, source, text,
        |    MIN(doc_id) OVER (PARTITION BY md5($normSql)) AS rep_doc_id,
        |    $langScores,
@@ -2213,7 +2411,7 @@ object CorpusOps {
        |        / len($toksSql) * 0.2
        |      + (CASE WHEN (length($normSql) - (len($toksSql) - 1)) * 1.0 / len($toksSql)
        |              BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END) AS quality_score
-       |  FROM documents
+       |  FROM $from
        |), p AS (
        |  SELECT *, CASE $langCases ELSE '${langs.last}' END AS pred_lang FROM s
        |)""".stripMargin

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFuns
@@ -285,13 +285,53 @@ object TextOps {
     * rules 3-6 genuinely vary; 1-2 and 7-8 vary with the corpus.
     * Output: counts + one boolean per rule + the AND (`gopher_pass`).
     * Pure row-level map, zero shuffles — the shape of a 100 TB
-    * quality gate (it fuses into the ingest scan like q_quality). */
+    * quality gate (it fuses into the ingest scan like q_quality).
+    *
+    * The q_ key applies the synthetic [[GopherAug]] suffixes to the
+    * corpus BEFORE the call (both engines identically), so the general
+    * face [[gopherOf]] sees only the user's `text` column — the
+    * operator-vs-fixture separation (the `crawlTrapsBy` convention). */
   def gopher(documents: DataFrame): DataFrame = {
     val aug = when(col("doc_id") % 4 === 1, lit(GopherAug(1)))
       .when(col("doc_id") % 4 === 2, lit(GopherAug(2)))
       .when(col("doc_id") % 4 === 3, lit(GopherAug(3)))
       .otherwise(lit(""))
-    val t2 = concat(col("text"), aug)
+    gopherOf(documents.withColumn("text", concat(col("text"), aug)))
+  }
+
+  /** [[gopherOf]]'s eight-rule verdict as ONE row-level boolean Column
+    * over a text expression — the form [[CorpusOps.curateFullOf]] fuses
+    * into its single gate scan (an operator call would be a second
+    * subtree). Kept textually beside [[gopherOf]] and PINNED equivalent
+    * to its `gopher_pass` by spec so the two cannot drift; repeated
+    * sub-expressions (tokens/lines) are collapsed by codegen
+    * subexpression elimination within the project. */
+  def gopherPassCol(t: Column): Column = {
+    val nrm = TextFuns.norm(t)
+    val toks = TextFuns.tokens(t)
+    val lines = split(t, "\n")
+    val nWords = size(toks).cast("long")
+    val nLines = size(lines).cast("long")
+    val totalLen = (length(nrm) - (size(toks) - 1)).cast("long")
+    val hashCnt = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
+    val ell3 = (length(t) - length(replace(t, lit("..."), lit("")))).cast("long")
+    val bullets = size(filter(lines, l => l.startsWith("- ") || l.startsWith("* "))).cast("long")
+    val ellend = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val alpha = size(filter(toks, tk => tk.rlike("[a-z]"))).cast("long")
+    val stops = GopherStops.map(s =>
+      when(array_contains(toks, s), 1).otherwise(0)).reduce(_ + _)
+    (nWords >= 50 && nWords <= 100000) &&
+      (totalLen >= nWords * 3 && totalLen <= nWords * 10) &&
+      (hashCnt * 10 <= nWords) && (ell3 * 10 <= nWords * 3) &&
+      (bullets * 10 <= nLines * 9) && (ellend * 10 <= nLines * 3) &&
+      (alpha * 5 >= nWords * 4) && (stops >= 2)
+  }
+
+  /** The fixture-free face of [[gopher]]: the full published Gopher
+    * rule set over the frame's OWN `text` column, no augmentation —
+    * what a user runs on their corpus. Requires (doc_id, text). */
+  def gopherOf(documents: DataFrame): DataFrame = {
+    val t2 = col("text")
     val nrm = TextFuns.norm(t2)
     val toks = TextFuns.tokens(t2)
     val lines = split(t2, "\n")
@@ -357,14 +397,37 @@ object TextOps {
     * (doc_id, n_lines, n_kept, page_ok, kept_text — NULL for dropped
     * pages), the kept TEXT byte-identical across engines (the
     * q_substring_excise_text discipline). Pure row-level map, zero
-    * shuffles — fuses into the ingest scan. */
+    * shuffles — fuses into the ingest scan.
+    *
+    * The q_ key applies the planted [[C4Good]]/[[C4Aug]] material to
+    * the corpus BEFORE the call (both engines identically); the general
+    * face [[c4CleanOf]] sees only the user's `text` column (the
+    * operator-vs-fixture separation, the `crawlTrapsBy` convention). */
   def c4Clean(documents: DataFrame): DataFrame = {
     val aug = when(col("doc_id") % 5 === 1, lit(C4Aug(1)))
       .when(col("doc_id") % 5 === 2, lit(C4Aug(2)))
       .when(col("doc_id") % 5 === 3, lit(C4Aug(3)))
       .when(col("doc_id") % 5 === 4, lit(C4Aug(4)))
       .otherwise(lit(""))
-    val t2 = concat(col("text"), lit(C4Good), aug)
+    c4CleanOf(documents.withColumn("text",
+      concat(col("text"), lit(C4Good), aug)))
+  }
+
+  /** [[c4CleanOf]]'s page verdict as ONE row-level boolean Column over
+    * a text expression — the [[gopherPassCol]] convention; PINNED
+    * equivalent to `c4CleanOf`'s `page_ok` by spec. */
+  def c4PageOkCol(t: Column): Column = {
+    val kept = filter(split(t, "\n"), l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) && size(split(l, " ")) >= 5)
+    !lower(t).contains("lorem ipsum") && !t.contains("{") && size(kept) >= 3
+  }
+
+  /** The fixture-free face of [[c4Clean]]: the C4 line filter over the
+    * frame's OWN `text` column, no planted material — what a user runs
+    * on their corpus. Requires (doc_id, text). */
+  def c4CleanOf(documents: DataFrame): DataFrame = {
+    val t2 = col("text")
     val lines = split(t2, "\n")
     val kept = filter(lines, l =>
       (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
@@ -434,9 +497,24 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  def redact(documents: DataFrame): DataFrame = {
+  def redact(documents: DataFrame): DataFrame =
+    redact(documents, CorpusOps.Probes)
+
+  /** Parameterized face of the redaction chain: the PII patterns plus
+    * the CALLER's eval-probe phrases (the [[CorpusOps.contamination]]
+    * convention — the q_ key instantiates with [[CorpusOps.Probes]]).
+    * Probes are a driver-side literal list, not a DataFrame, because
+    * they compile into the codegen'd regexp alternation — the same
+    * reason the probe set must stay KB-scale, which real eval suites
+    * are. Oracle-hash-exactness across engines additionally requires
+    * the probes be mutually non-prefix with distinct first tokens (the
+    * [[RedactPatterns]] contract); the operator itself is correct for
+    * any literal phrases under Java semantics. */
+  def redact(documents: DataFrame, probes: Seq[String]): DataFrame = {
+    val patterns = RedactPatterns.init :+
+      (("n_probe", probes.map(regexLiteral).mkString("|"), "[REDACTED]"))
     val start = documents.select(col("doc_id"), TextFuns.norm(col("text")).as("t"))
-    val (done, counts) = RedactPatterns.foldLeft((start, Seq.empty[String])) {
+    val (done, counts) = patterns.foldLeft((start, Seq.empty[String])) {
       case ((df, cols), (cnt, pat, repl)) =>
         (df.withColumn(cnt, regexp_count(col("t"), lit(pat)).cast("int"))
           .withColumn("t", regexp_replace(col("t"), pat, repl)),

@@ -595,6 +595,101 @@ class CorpusOpsSpec extends SparkSpec {
     assert(gated.getBoolean(11), "and the whole gate")
   }
 
+  test("fixture-free faces: gopherOf/c4CleanOf never see the planted tails") {
+    // the raw corpus is single-line unpunctuated text: if the general
+    // faces secretly augmented (the round-16 regression), C4Good alone
+    // would flip page_ok true and GopherAug would fail hash/bullet rules
+    val c4 = TextOps.c4CleanOf(docs).collect()
+    assert(c4.forall(_.getLong(1) == 1L), "n_lines must be 1: no planted lines")
+    assert(c4.forall(r => !r.getBoolean(3) && r.isNullAt(4)),
+      "raw pages cannot pass the 3-line floor")
+    val g = TextOps.gopherOf(docs).collect()
+    // hash/bullets/ell_lines tails come only from GopherAug — absent here
+    assert(g.forall(r => r.getBoolean(5) && r.getBoolean(7) && r.getBoolean(8)))
+    // and the q_ wrappers ARE the general faces over the pre-augmented
+    // frame: same rows, so the aug lives outside the operator
+    val aug4 = when(col("doc_id") % 4 === 1, lit(TextOps.GopherAug(1)))
+      .when(col("doc_id") % 4 === 2, lit(TextOps.GopherAug(2)))
+      .when(col("doc_id") % 4 === 3, lit(TextOps.GopherAug(3)))
+      .otherwise(lit(""))
+    val viaFace = TextOps.gopherOf(
+      docs.withColumn("text", concat(col("text"), aug4)))
+    assert(TextOps.gopher(docs).exceptAll(viaFace).count() == 0)
+  }
+
+  test("gopherPassCol/c4PageOkCol pin: Column faces equal the operator verdicts") {
+    // over the planted-augmented corpus so every rule genuinely varies;
+    // a drift between the fused-gate Column and the standalone operator
+    // would silently change the q_curate_full manifest
+    val aug = concat(col("text"), lit(TextOps.C4Good),
+      when(col("doc_id") % 5 === 3, lit(TextOps.C4Aug(3)))
+        .when(col("doc_id") % 5 === 4, lit(TextOps.C4Aug(4)))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 1, lit(TextOps.GopherAug(1)))
+        .when(col("doc_id") % 4 === 2, lit(TextOps.GopherAug(2)))
+        .otherwise(lit("")))
+    val frame = docs.withColumn("text", aug)
+    val viaOp = TextOps.gopherOf(frame)
+      .select(col("doc_id"), col("gopher_pass"))
+    val viaCol = frame
+      .select(col("doc_id"), TextOps.gopherPassCol(col("text")).as("gopher_pass"))
+    assert(viaOp.exceptAll(viaCol).count() == 0)
+    assert(viaCol.exceptAll(viaOp).count() == 0)
+    val c4Op = TextOps.c4CleanOf(frame).select(col("doc_id"), col("page_ok"))
+    val c4Col = frame
+      .select(col("doc_id"), TextOps.c4PageOkCol(col("text")).as("page_ok"))
+    assert(c4Op.exceptAll(c4Col).count() == 0)
+    assert(c4Col.exceptAll(c4Op).count() == 0)
+  }
+
+  /** Planted docs for the curateFull composition: `base` passes every
+    * row-level gate once the three C4Good lines ride along. */
+  private def curateFullBase: String =
+    Array.fill(8)("the be to of and that have with").mkString(" ") +
+      TextOps.C4Good
+
+  test("curateFullOf: each published gate individually removes its doc") {
+    import spark.implicits._
+    val okDoc = curateFullBase
+    val gopherFail = "######## " * 30 + curateFullBase // hash rule
+    val c4Fail = curateFullBase + "\nlorem ipsum dolor."  // page drop
+    val planted = Seq(
+      (10L, "src0", okDoc), (11L, "src0", gopherFail), (12L, "src0", c4Fail))
+      .toDF("doc_id", "source", "text")
+    // LM band wide open: isolate the row-level gates
+    val kept = CorpusOps.curateFullOf(planted, lmBandP6 = (0L, 1000000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L), kept)
+    // and the LM band itself gates: an impossible band drops everything
+    assert(CorpusOps.curateFullOf(planted,
+      lmBandP6 = (999999L, 1000000L)).count() == 0)
+  }
+
+  test("curateFullOf: the compress band drops both tails, keeps prose") {
+    import spark.implicits._
+    val normal = curateFullBase
+    // templated boilerplate: near-zero zlib ratio
+    val repetitive = (Array.fill(8)("the be to of and that have with")
+      .mkString(" ") + " ") * 20 + TextOps.C4Good
+    // high-entropy noise: md5 hex in 8-char tokens (mean word length
+    // stays inside gopher's [3,10])
+    val entropy = (0 until 60).flatMap { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString
+      h.grouped(8)
+    }.mkString(" ") + " " + normal
+    val planted = Seq(
+      (20L, "src0", normal), (21L, "src0", repetitive), (22L, "src0", entropy))
+      .toDF("doc_id", "source", "text")
+    val noBand = CorpusOps.curateFullOf(planted, lmBandP6 = (0L, 1000000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(noBand == Set(20L, 21L, 22L), s"all pass the row gates: $noBand")
+    val banded = CorpusOps.curateFullOf(planted, lmBandP6 = (0L, 1000000L),
+      compressBandPermille = Some((100L, 450L)))
+      .collect().map(_.getLong(0)).toSet
+    assert(banded == Set(20L), s"compress band must cut both tails: $banded")
+  }
+
   test("corpusFilter helper columns agree with the standalone operators") {
     val q = TextOps.quality(docs).select(col("doc_id"), col("quality_score"))
     val viaHelper = docs.select(col("doc_id"),

@@ -354,6 +354,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchangeCount(p) == 1, s"${hashExchangeCount(p)} hash exchanges:\n$p")
   }
 
+  test("q_curate_full: row gates fuse onto ONE corpus scan; lm side rides the checkpoint") {
+    val p = plan(CorpusOps.curateFull(Tables.documents(spark, sfDir)))
+    // the gated side is the only parquet scan — lang/quality/probe/
+    // gopher/C4 all fuse into its filter; the LM model re-reads the
+    // corpus exactly once, into the localCheckpointed bigram stream
+    // (Scan ExistingRDD below, reused by c2, c1, and the probe side)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) == 1, p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    // hash exchanges: c2 agg, the c2/c1 derivation pair, the per-doc
+    // lm agg, and the ONE text_hash window — the corpus text itself
+    // crosses a wire only as full-gate survivors into that window
+    assert(hashExchangeCount(p) <= 5, s"${hashExchangeCount(p)} hash exchanges:\n$p")
+  }
+
   test("q_bm25: top-N heap, broadcast stats, map-side term filter — no shuffle join") {
     val p = plan(CorpusOps.bm25(Tables.documents(spark, sfDir)))
     assert(p.contains("TakeOrderedAndProject"), p)
