@@ -89,6 +89,8 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> ((s, dir) => DedupOps.dedupSimhashPairs(Tables.documents(s, dir))),
     "q_dedup_ngram" -> ((s, dir) => DedupOps.dedupNgram(Tables.documents(s, dir))),
     "q_dedup_substring" -> ((s, dir) => DedupOps.dedupSubstring(Tables.documents(s, dir))),
+    "q_dedup_substring_incremental" -> ((s, dir) =>
+      DedupOps.dedupSubstringIncremental(Tables.documents(s, dir))),
     "q_substring_excise" -> ((s, dir) => DedupOps.substringExcise(Tables.documents(s, dir))),
     "q_substring_excise_text" -> ((s, dir) => DedupOps.substringExciseText(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),
@@ -185,6 +187,7 @@ object SparkEntry {
     "q_corpus_filter" -> ((s, dir) => CorpusOps.corpusFilter(Tables.documents(s, dir))),
     "q_curate" -> ((s, dir) => CorpusOps.curate(Tables.documents(s, dir))),
     "q_curate_full" -> ((s, dir) => CorpusOps.curateFull(Tables.documents(s, dir))),
+    "q_pdf_text" -> ((s, dir) => PdfOps.pdfText(Tables.documents(s, dir))),
     "q_contamination" -> ((s, dir) => CorpusOps.contamination(Tables.documents(s, dir))),
     "q_contamination_ngram" -> ((s, dir) => CorpusOps.contaminationNgram(Tables.documents(s, dir))),
     "q_contamination_bloom" -> ((s, dir) => CorpusOps.contaminationBloom(Tables.documents(s, dir))),
@@ -244,5 +247,6 @@ object SparkEntry {
       AnnOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles ++
       CorpusOps.oracles ++ Skew.oracles ++ BpeOps.oracles ++
       ClassifierOps.oracles ++ HtmlOps.oracles ++ UrlOps.oracles ++
-      GraphOps.oracles ++ CrawlOps.oracles ++ AviOps.oracles
+      GraphOps.oracles ++ CrawlOps.oracles ++ AviOps.oracles ++
+      PdfOps.oracles
 }

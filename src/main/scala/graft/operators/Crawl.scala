@@ -308,8 +308,15 @@ object CrawlOps {
     // they cannot send a 3xx). Outlinks ride the FOLLOWABLE face
     // (round 16 continuation): page-level meta-robots nofollow and
     // rel=nofollow links never reach the frontier — the link-level
-    // politeness directive robots.txt cannot express
+    // politeness directive robots.txt cannot express. The HTTP route
+    // gates identically (round 17): an X-Robots-Tag: nofollow response
+    // keeps that page's outlinks out too — anti-join on the canonical
+    // URL, directive rows are hosts-bounded so AQE broadcasts them
+    val hdrNofollow = xRobotsOf(records).filter(col("nofollow"))
+      .select(col("canon_url").as("_nf_url")).distinct()
     val links = HtmlOps.followableLinksOf(pages)
+      .join(hdrNofollow,
+        UrlOps.canonIdn(col("page_url")) === col("_nf_url"), "left_anti")
       .select(col("page_url").as("ref"), col("dst_url"))
       .unionByName(HtmlOps.redirectsOf(records)
         .select(col("src_url").as("ref"), col("dst_url")))
@@ -489,9 +496,12 @@ object CrawlOps {
       decode(col("payload"), "ISO-8859-1"))
       .otherwise(regexp_extract(decode(col("payload"), "ISO-8859-1"),
         s"(?s)^(.*?)\\r?\\n\\r?\\n", 1))
-    val tag = nullif(regexp_extract(hdr,
-      "(?im)^x-robots-tag:[ \\t]*([^\\r\\n]*)", 1), lit(""))
-    val (noidx, nofollow) = HtmlOps.robotsTokenFlags(tag)
+    // ALL occurrences: one X-Robots-Tag per directive is the common
+    // server shape, so a single-extract reader misses a noindex in the
+    // second header
+    val tags = regexp_extract_all(hdr,
+      lit("(?im)^x-robots-tag:[ \\t]*([^\\r\\n]*)"), lit(1))
+    val (noidx, nofollow) = HtmlOps.robotsTokenFlagsAll(tags)
     records.filter(col("warc_type") === "response")
       .select(UrlOps.canonIdn(col("target_uri")).as("canon_url"),
         noidx.as("noindex"), nofollow.as("nofollow"))

@@ -560,6 +560,49 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** §2-162 `q_dedup_substring_incremental`: delta-vs-corpus passage
+    * dedup (round 17) — the [[dedupIncremental]] shape for the
+    * winnowing family, closing the one batch-only gap in the dedup
+    * estate: under continuous ingestion a full [[dedupSubstring]]
+    * re-run pays a whole-corpus fingerprint re-scan per arriving batch
+    * for O(delta) new information. Here the standing corpus's
+    * fingerprint index (fingerprint → df-capped posting set — the
+    * write-once artifact a real pipeline persists bucketed by `f`) is
+    * probed by the delta docs' fingerprints; corpus×corpus pairs never
+    * form. Output (doc_new, doc_corpus, n_shared ≥ minShared) — the
+    * cross-set restriction of [[dedupSubstring]]'s universe, with the
+    * corpus-side cap admitting singleton postings (the probing delta
+    * doc is the pair's second member; spec asserts the equivalence
+    * where the cap does not bind). `broadcastDelta = false` is the
+    * backfill path, exactly [[dedupIncremental]]'s contract. */
+  def dedupSubstringIncremental(documents: DataFrame,
+                                deltaMod: Int = IncrementalDeltaMod,
+                                minShared: Int = 2,
+                                dfCap: Int = NgramDfCap,
+                                broadcastDelta: Boolean = true): DataFrame = {
+    require(deltaMod >= 2, s"deltaMod=$deltaMod must be >= 2")
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val fps = spread(documents)
+      .select(col("doc_id"), TextFuns.norm(col("text")).as("t"))
+      .filter(length(col("t")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"), explode(call_function("winnow_fingerprints",
+        col("t"), lit(WinnowK), lit(WinnowW))).as("f"))
+    val corpusIdx = fps.filter(pmod(col("doc_id"), lit(deltaMod)) =!= 0)
+      .groupBy("f")
+      .agg(call_function("collect_set_capped", col("doc_id"), lit(dfCap))
+        .as("ds"))
+      .filter(size(col("ds")) <= dfCap)
+    val delta0 = fps.filter(pmod(col("doc_id"), lit(deltaMod)) === 0)
+      .select(col("doc_id").as("doc_new"), col("f"))
+    val delta = if (broadcastDelta) broadcast(delta0) else delta0
+    corpusIdx.join(delta, Seq("f"))
+      .select(col("doc_new"), explode(col("ds")).as("doc_corpus"))
+      .groupBy("doc_new", "doc_corpus")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_new", "doc_corpus")
+  }
+
   /** FOREIGN-owned fingerprints per later doc — the shared first stage
     * of [[substringExcise]] / [[substringExciseText]]: each winnowing
     * fingerprint's OWNER is the minimum doc_id carrying it (keep-first,
@@ -1454,6 +1497,42 @@ object DedupOps {
          |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
          |  doc_id AS rep_doc_id, qs AS rep_quality
          |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+    },
+    "q_dedup_substring_incremental" -> {
+      // the batch oracle's winnowing CTEs, restricted cross-set: the
+      // corpus-side index df-caps alone (singleton postings admitted —
+      // the probing delta doc is the second member)
+      val minLen = WinnowK + WinnowW - 1
+      s"""WITH n AS (
+         |  SELECT doc_id, $normSql AS t FROM documents
+         |  WHERE length($normSql) >= $minLen
+         |), h AS (
+         |  SELECT doc_id, i, substr(md5(substr(t, i + 1, $WinnowK)), 1, 8) AS h
+         |  FROM (SELECT doc_id, t,
+         |          unnest(generate_series(0, length(t) - $WinnowK)) AS i
+         |        FROM n)
+         |), wm AS (
+         |  SELECT doc_id, i,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS f,
+         |    max(i) OVER (PARTITION BY doc_id) AS mi
+         |  FROM h
+         |), fp AS (
+         |  SELECT DISTINCT doc_id, f FROM wm WHERE i <= mi - ${WinnowW - 1}
+         |), cidx AS (
+         |  SELECT f FROM fp WHERE doc_id % $IncrementalDeltaMod <> 0
+         |  GROUP BY f HAVING count(*) <= $NgramDfCap
+         |), pairs AS (
+         |  SELECT d.doc_id AS doc_new, c.doc_id AS doc_corpus,
+         |    count(*) AS cnt
+         |  FROM fp d
+         |  JOIN cidx ON d.f = cidx.f
+         |  JOIN fp c ON c.f = d.f AND c.doc_id % $IncrementalDeltaMod <> 0
+         |  WHERE d.doc_id % $IncrementalDeltaMod = 0
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_new, doc_corpus, CAST(cnt AS BIGINT) AS n_shared
+         |FROM pairs WHERE cnt >= 2 ORDER BY doc_new, doc_corpus""".stripMargin
     },
     "q_dedup_substring" -> {
       // window-min over ordered positions = the deque rolling min;

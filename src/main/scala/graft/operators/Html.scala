@@ -406,8 +406,10 @@ object HtmlOps {
       // a corpus builder drops noindex rows BEFORE any content
       // operator, a frontier builder skips nofollow pages' outlinks
       .withColumn("_rb_meta", metaField(col("_sniff"), "name", "robots"))
-      .withColumn("_rb_hdr", nullif(regexp_extract(col("_hdr"),
-        "(?im)^x-robots-tag:[ \\t]*([^\\r\\n]*)", 1), lit("")))
+      // ALL X-Robots-Tag occurrences: one header per directive is the
+      // common server shape, so flags must OR across them
+      .withColumn("_rb_hdr", regexp_extract_all(col("_hdr"),
+        lit("(?im)^x-robots-tag:[ \\t]*([^\\r\\n]*)"), lit(1)))
       .select(
         xxhash64(col("url")).as("doc_id"),
         col("url"),
@@ -424,9 +426,9 @@ object HtmlOps {
         nullif(col("payload_digest"), lit("")).as("payload_digest"),
         col("canonical_url"),
         (robotsTokenFlags(col("_rb_meta"))._1 ||
-          robotsTokenFlags(col("_rb_hdr"))._1).as("noindex"),
+          robotsTokenFlagsAll(col("_rb_hdr"))._1).as("noindex"),
         (robotsTokenFlags(col("_rb_meta"))._2 ||
-          robotsTokenFlags(col("_rb_hdr"))._2).as("nofollow"))
+          robotsTokenFlagsAll(col("_rb_hdr"))._2).as("nofollow"))
     // the ledger holds every record the clean route did NOT take:
     // failed responses with their reason, and `revisit` records with
     // reason 'revisit' — not failures (the writer stored no body by
@@ -778,6 +780,21 @@ object HtmlOps {
       .groupBy(col("dst_url"), col("anchor"), col("src"))
       .agg(sum("cnt").cast("long").as("cnt"))
 
+  /** REPLACE-merge (round 17): the additive [[anchorStateMerge]] is
+    * right when batches partition the crawl, but a RECRAWL of an
+    * unchanged page would inflate its counts on every visit — a real
+    * incremental anchor table wants the recrawled page's old
+    * contribution SUPERSEDED, not accumulated. Anti-join the prior on
+    * the delta's distinct source pages, then union: the two sides'
+    * (dst, anchor, src) triples are disjoint by construction, so no
+    * re-aggregation shuffle is needed — at 100 TB the link-graph-scale
+    * prior moves through one src-keyed anti-join only. */
+  def anchorStateMergeReplace(prior: DataFrame, delta: DataFrame): DataFrame =
+    prior
+      .join(delta.select(col("src")).distinct(), Seq("src"), "left_anti")
+      .unionByName(delta)
+      .select(col("dst_url"), col("anchor"), col("src"), col("cnt"))
+
   /** The anchor summary off a persisted state table — what a consumer
     * reads after any number of incremental merges. */
   def anchorTextFromState(state: DataFrame): DataFrame =
@@ -943,15 +960,51 @@ object HtmlOps {
   // outlinks out of the frontier; every real pipeline honors both
   // before any content operator runs) ----------
 
+  /** Directive names of the de-facto robots grammar — needed to tell a
+    * user-agent scope prefix (`googlebot: noindex`) from a directive
+    * that itself carries a colon (`max-snippet:50`,
+    * `unavailable_after: 25 Jun 2010`). */
+  private val RobotsDirectiveNames: Seq[String] = Seq(
+    "all", "none", "noindex", "nofollow", "noarchive", "nosnippet",
+    "notranslate", "noimageindex", "indexifembedded",
+    "nositelinkssearchbox", "max-snippet", "max-image-preview",
+    "max-video-preview", "unavailable_after")
+
   /** Directive-token flags over a robots content value (meta robots or
-    * `X-Robots-Tag`): comma/space-separated, case-insensitive, `none` =
-    * noindex + nofollow (the de-facto grammar). NULL content → both
-    * false (absence permits). */
-  private[graft] def robotsTokenFlags(content: Column): (Column, Column) = {
+    * `X-Robots-Tag`): comma/space/tab-separated, case-insensitive,
+    * `none` = noindex + nofollow (the de-facto grammar). NULL content →
+    * both false (absence permits). A value scoped to a user agent
+    * (`googlebot: noindex`) applies only when `agent` names that agent
+    * — for the default generic pipeline it applies to nobody, so a
+    * directive addressed to someone else never over-drops our rows; a
+    * leading token that is itself a known directive (`max-snippet:50`)
+    * is NOT a scope. */
+  private[graft] def robotsTokenFlags(content: Column,
+                                      agent: String = "*"): (Column, Column) = {
     val c = lower(content)
+    val rawPrefix = regexp_extract(c, "^[ \\t]*([a-z0-9_.*-]+)[ \\t]*:", 1)
+    val prefix = when(rawPrefix.isin(RobotsDirectiveNames: _*), lit(""))
+      .otherwise(rawPrefix)
+    val effective = when(prefix === "", c)
+      .when(prefix === lit(agent.toLowerCase),
+        regexp_replace(c, "^[ \\t]*[a-z0-9_.*-]+[ \\t]*:[ \\t]*", ""))
+      .otherwise(lit(""))
     def has(tok: String): Column =
-      coalesce(c.rlike(s"(^|[ ,])$tok([ ,]|$$)"), lit(false))
+      coalesce(effective.rlike(s"(^|[ ,\\t])$tok([ ,\\t]|$$)"), lit(false))
     (has("noindex") || has("none"), has("nofollow") || has("none"))
+  }
+
+  /** [[robotsTokenFlags]] over an ARRAY of header values — servers
+    * commonly emit one `X-Robots-Tag` header per directive, so a
+    * single-extract reader silently misses a noindex in the second
+    * header; flags OR across all occurrences (empty array → both
+    * false). */
+  private[graft] def robotsTokenFlagsAll(contents: Column,
+                                         agent: String = "*"): (Column, Column) = {
+    def anyOf(pick: Column => Column): Column =
+      coalesce(exists(contents, pick), lit(false))
+    (anyOf(v => robotsTokenFlags(v, agent)._1),
+      anyOf(v => robotsTokenFlags(v, agent)._2))
   }
 
   /** Page-level robots directives of REAL crawled pages —
@@ -988,8 +1041,13 @@ object HtmlOps {
       .select(col("page_url"), effBase.as("_base"),
         explode(regexp_extract_all(col("html"),
           lit("(?is)<a\\s[^>]*>"), lit(0))).as("tag"))
+      // quotes OPTIONAL (the nextEdgesOf/feedLinksOf leniency): an
+      // unquoted <a rel=nofollow href=...> must drop too. The trailing
+      // class is the hard boundary a bare "nofollow" needs so
+      // rel="nofollower" does NOT match — every tag ends in '>', so a
+      // real directive is always followed by one of these
       .filter(!col("tag").rlike(
-        s"(?i)rel$ws=$ws[\"']([^\"']*[ ,])?nofollow([ ,][^\"']*)?[\"']"))
+        s"(?i)rel$ws=$ws[\"']?([^\"'>]*[ ,])?nofollow[ ,\"'>\\t\\n\\f\\r]"))
       .select(col("page_url"),
         UrlOps.canonIdn(UrlOps.resolve(col("_base"),
           regexp_extract(col("tag"),
@@ -1079,6 +1137,42 @@ object HtmlOps {
           lit(k).as("pos"))
     }
     hops.reduce(_.unionByName(_)).orderBy("chain_key", "pos")
+  }
+
+  /** rel=next CYCLES (round 17) — [[paginationChainsOf]] detects heads
+    * by anti-join, so a cycle (`a → b → a`, the shape a session-id trap
+    * mints) has no head and its members silently vanish from the chain
+    * output. This face SURFACES them: follow each page's unique next
+    * pointer up to `maxParts` hops; returning to the start marks the
+    * whole orbit. Output (chain_key = the orbit's lexicographic-min
+    * member, page_url, cycle_len) — a consumer drops these from the
+    * reassembly frame, or feeds the URLs to the trap ledger beside
+    * [[graft.operators.CrawlOps.crawlTrapsBy]]. Orbits longer than
+    * `maxParts` stay invisible, the same bound the chain walk already
+    * accepts. Scale shape: the same bounded url-keyed equi-join per hop
+    * over the link-scale edge frame; never a driver loop. */
+  def paginationCyclesOf(pages: DataFrame, maxParts: Int = 8): DataFrame = {
+    val edges = nextEdgesOf(pages)
+      .localCheckpoint(false) // every hop reads it
+    val init = edges.select(col("src").as("start"), col("dst").as("cur"))
+    val walks = (2 to maxParts).scanLeft(init) { (cur, _) =>
+      val e = edges.select(col("src").as("_hop_src"),
+        col("dst").as("_hop_dst"))
+      cur.join(e, col("cur") === col("_hop_src"))
+        .select(col("start"), col("_hop_dst").as("cur"))
+    }
+    val visited = walks.reduce(_.unionByName(_)).localCheckpoint(false)
+    val onCycle = visited.filter(col("cur") === col("start"))
+      .select(col("start")).distinct()
+    // the walk from a cycle member covers its whole orbit within the
+    // bound, so min(visited) IS the orbit key and count(distinct) its
+    // length — identical for every member, no second pass needed
+    visited.join(onCycle, Seq("start"))
+      .groupBy(col("start"))
+      .agg(min(col("cur")).as("chain_key"),
+        countDistinct(col("cur")).as("cycle_len"))
+      .select(col("chain_key"), col("start").as("page_url"), col("cycle_len"))
+      .orderBy("chain_key", "page_url")
   }
 
   /** §2 `q_pagination`: chain assembly under the oracle — each doc's

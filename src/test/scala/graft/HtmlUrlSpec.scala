@@ -1279,6 +1279,46 @@ class HtmlUrlSpec extends SparkSpec {
     assert(capped.count() == 8, capped.count())
   }
 
+  test("paginationCyclesOf: the headless orbit surfaces flagged, tails stay out") {
+    import spark.implicits._
+    def pg(url: String, next: Option[String]): (String, String) =
+      (url, "<html><head>" + next.map(n =>
+        s"""<link rel="next" href="$n">""").getOrElse("") +
+        "</head><body>p</body></html>")
+    val pages = Seq(
+      // a normal chain: NOT cycle members
+      pg("http://s.example/a/1", Some("/a/2")),
+      pg("http://s.example/a/2", None),
+      // the planted a→b→a orbit paginationChainsOf silently drops
+      pg("http://s.example/loop/x", Some("/loop/y")),
+      pg("http://s.example/loop/y", Some("/loop/x")),
+      // a TAIL walking INTO the orbit: on no cycle itself
+      pg("http://s.example/loop/entry", Some("/loop/x")),
+      // a 3-orbit keyed by its lexicographic-min member
+      pg("http://s.example/tri/m", Some("/tri/a")),
+      pg("http://s.example/tri/a", Some("/tri/z")),
+      pg("http://s.example/tri/z", Some("/tri/m")))
+      .toDF("page_url", "html")
+    val got = HtmlOps.paginationCyclesOf(pages).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("http://s.example/loop/x", "http://s.example/loop/x", 2L),
+      ("http://s.example/loop/x", "http://s.example/loop/y", 2L),
+      ("http://s.example/tri/a", "http://s.example/tri/a", 3L),
+      ("http://s.example/tri/a", "http://s.example/tri/m", 3L),
+      ("http://s.example/tri/a", "http://s.example/tri/z", 3L)), got.toSeq)
+    // the chain face: headless orbits still drop, the headed chain
+    // stays, and the tail's walk into the orbit caps at maxParts (8) —
+    // subtracting the flagged cycle members from the chain frame is
+    // exactly what this face enables
+    val chains = HtmlOps.paginationChainsOf(pages)
+    val chainKeys = chains.collect().map(_.getString(0)).toSet
+    assert(chainKeys == Set("http://s.example/a/1",
+      "http://s.example/loop/entry"), chainKeys.toString)
+    assert(chains.filter(col("chain_key") ===
+      "http://s.example/loop/entry").count() == 8)
+  }
+
   test("jsonLdOf: real JSON parse, escaped quotes, malformed-block NULL route") {
     import spark.implicits._
     val html =
@@ -1395,6 +1435,75 @@ class HtmlUrlSpec extends SparkSpec {
     assert(x == Map(
       "http://a.example/doc.pdf" -> ((true, false)),
       "http://a.example/pic.png" -> ((false, false))), x.toString)
+  }
+
+  test("robots directives round 17: unquoted rel, multi-header/scoped/tabbed X-Robots-Tag") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // the nofollow drop must accept an UNQUOTED rel value (the
+    // nextEdgesOf leniency) without over-matching a token that merely
+    // contains "nofollow"
+    val pages = Seq(
+      ("http://u.example/open",
+        "<html><body><a rel=nofollow href=\"/paid\">ad</a>" +
+          "<a rel=author href=\"/about\">me</a>" +
+          "<a rel=\"nofollower\" href=\"/f\">odd</a>" +
+          "<a href=\"/x\">x</a></body></html>"))
+      .toDF("page_url", "html")
+    val follow = HtmlOps.followableLinksOf(pages).collect()
+      .map(_.getString(1)).toSet
+    assert(follow == Set("http://u.example/x", "http://u.example/about",
+      "http://u.example/f"), follow.toString)
+    // header route: one directive per header is the common server
+    // shape (the second must count); a user-agent-scoped value
+    // addresses someone else; tabs separate tokens; a directive that
+    // itself carries a colon is NOT a scope
+    val dir = Files.createTempDirectory("graft_warc_xrobots17")
+    val recs =
+      record("response", "http://u.example/two.pdf",
+        ("HTTP/1.1 200 OK\r\nX-Robots-Tag: noarchive\r\n" +
+          "X-Robots-Tag: noindex\r\n\r\nbody").getBytes(US_ASCII)) ++
+      record("response", "http://u.example/scoped.pdf",
+        ("HTTP/1.1 200 OK\r\nX-Robots-Tag: googlebot: noindex\r\n\r\nbody")
+          .getBytes(US_ASCII)) ++
+      record("response", "http://u.example/tabbed.pdf",
+        ("HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex\tnofollow\r\n\r\nbody")
+          .getBytes(US_ASCII)) ++
+      record("response", "http://u.example/snippet.pdf",
+        ("HTTP/1.1 200 OK\r\nX-Robots-Tag: max-snippet:50, noindex\r\n\r\nbody")
+          .getBytes(US_ASCII))
+    Files.write(dir.resolve("seg.warc"), recs)
+    val x = CrawlOps.xRobotsOf(
+      graft.sources.WarcSource.read(spark, dir.toString)).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(x == Map(
+      "http://u.example/two.pdf" -> ((true, false)),
+      "http://u.example/scoped.pdf" -> ((false, false)),
+      "http://u.example/tabbed.pdf" -> ((true, true)),
+      "http://u.example/snippet.pdf" -> ((true, false))), x.toString)
+  }
+
+  test("frontierOf: an X-Robots-Tag nofollow response gates its page's outlinks") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    val dir = Files.createTempDirectory("graft_warc_hdrnofollow")
+    val recs = record("response", "http://hn.example.com/robots.txt",
+      http("200 OK", "text/plain", "User-agent: *\r\n".getBytes(US_ASCII))) ++
+      record("response", "http://hn.example.com/closed",
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "X-Robots-Tag: nofollow\r\n\r\n<html>").getBytes(US_ASCII))
+    Files.write(dir.resolve("seg.warc"), recs)
+    // the page's HTML carries no meta nofollow — only the HTTP header
+    // route forbids following, and the frontier must honor it
+    val pages = Seq(
+      ("http://hn.example.com/closed", "<a href=\"/hidden\">h</a>"),
+      ("http://hn.example.com/open", "<a href=\"/ok\">o</a>"))
+      .toDF("page_url", "html")
+    val fetched = Seq.empty[String].toDF("canon_url")
+    val got = CrawlOps.frontierOf(pages,
+      graft.sources.WarcSource.read(spark, dir.toString), fetched)
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("http://hn.example.com/ok"), got.toString)
   }
 
   test("frontierOf: nofollow links and nofollow pages never reach the frontier") {
@@ -2548,6 +2657,42 @@ class HtmlUrlSpec extends SparkSpec {
     assert(merged == whole, s"$merged vs $whole")
     assert(merged.contains(
       ("http://t.example/page", "Home", 3L, 4L, 2L, 2L)), merged)
+  }
+
+  test("anchorStateMergeReplace: a recrawled page supersedes, never inflates") {
+    import spark.implicits._
+    val mk = (links: Seq[(String, String)]) => "<html><body>" +
+      links.map { case (h, t) => s"""<a href="$h">$t</a>""" }.mkString +
+      "</body></html>"
+    val batch1 = Seq(
+      ("http://a.example/1", mk(Seq(
+        "http://t.example/page" -> "Home", "http://t.example/page" -> "Home"))),
+      ("http://b.example/1", mk(Seq("http://t.example/page" -> "home page"))))
+      .toDF("page_url", "html")
+    // the SAME page recrawled UNCHANGED plus a new source page: under
+    // the additive merge a's counts would double; replace-merge keeps
+    // the state identical to a fresh batch over the CURRENT page set
+    val recrawl = Seq(
+      ("http://a.example/1", mk(Seq(
+        "http://t.example/page" -> "Home", "http://t.example/page" -> "Home"))),
+      ("http://c.example/1", mk(Seq("http://t.example/other" -> "misc"))))
+      .toDF("page_url", "html")
+    val replaced = HtmlOps.anchorStateMergeReplace(
+      HtmlOps.anchorState(batch1), HtmlOps.anchorState(recrawl))
+    val fresh = HtmlOps.anchorState(Seq(
+      ("http://a.example/1", mk(Seq(
+        "http://t.example/page" -> "Home", "http://t.example/page" -> "Home"))),
+      ("http://b.example/1", mk(Seq("http://t.example/page" -> "home page"))),
+      ("http://c.example/1", mk(Seq("http://t.example/other" -> "misc"))))
+      .toDF("page_url", "html"))
+    assert(replaced.exceptAll(fresh).count() == 0 &&
+      fresh.exceptAll(replaced).count() == 0)
+    // idempotence — the property the additive merge lacks: merging the
+    // identical recrawl again changes nothing
+    val twice = HtmlOps.anchorStateMergeReplace(
+      replaced, HtmlOps.anchorState(recrawl))
+    assert(twice.exceptAll(replaced).count() == 0 &&
+      replaced.exceptAll(twice).count() == 0)
   }
 
   test("q_anchor_text: one/one again collapse onto one canonical target") {

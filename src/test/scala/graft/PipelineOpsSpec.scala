@@ -436,6 +436,40 @@ class PipelineOpsSpec extends SparkSpec {
       .contains("strategy=broadcast"))
   }
 
+  test("dedupSubstringIncremental: the cross-set restriction of the passage pair universe") {
+    val m = DedupOps.IncrementalDeltaMod
+    // cap wide open on BOTH faces: the batch cap counts delta docs in a
+    // posting list, the incremental cap counts corpus docs only — the
+    // universes (and the per-pair shared-fingerprint counts) agree
+    // exactly where the cap does not bind
+    val full = DedupOps.dedupSubstring(docs, dfCap = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = full.flatMap { case (a, b, n) =>
+      (a % m == 0, b % m == 0) match {
+        case (true, false) => Some(((a, b), n))
+        case (false, true) => Some(((b, a), n))
+        case _             => None
+      }
+    }.toMap
+    val inc = DedupOps.dedupSubstringIncremental(docs, dfCap = 100000)
+    val got = inc.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == expected,
+      s"extra=${got.keySet -- expected.keySet} missing=${expected.keySet -- got.keySet}")
+    // delta probes the corpus fingerprint index map-side — never a
+    // corpus reshuffle
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // backfill path: identical rows with the hint dropped
+    val backfill = DedupOps.dedupSubstringIncremental(docs,
+      dfCap = 100000, broadcastDelta = false)
+    assert(backfill.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap == got)
+    assert(!backfill.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"))
+  }
+
   test("dedupEmbeddingIncremental: the cross-set restriction of the rp pair universe") {
     val m = DedupOps.IncrementalDeltaMod
     // full rp pairs are (a < b)-ordered; orient every pair with exactly
