@@ -354,6 +354,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchangeCount(p) == 1, s"${hashExchangeCount(p)} hash exchanges:\n$p")
   }
 
+  test("q_pdf_text: one codec walk, no exchange but the output sort") {
+    val p = plan(PdfOps.pdfText(Tables.documents(spark, sfDir)))
+    // synth + walk are mapPartitions over the doc partitions — the
+    // payload dies inside the task; nothing shuffles before the
+    // presentational sort
+    assert(hashExchangeCount(p) == 0, s"${hashExchangeCount(p)} hash exchanges:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_dedup_substring_incremental: corpus index probed map-side by the delta") {
+    graft.plans.GraftFunctions.register(spark)
+    val p = plan(DedupOps.dedupSubstringIncremental(Tables.documents(spark, sfDir)))
+    assert(p.contains("winnow_fingerprints"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q_curate_full: row gates fuse onto ONE corpus scan; lm side rides the checkpoint") {
     val p = plan(CorpusOps.curateFull(Tables.documents(spark, sfDir)))
     // the gated side is the only parquet scan — lang/quality/probe/
