@@ -122,6 +122,7 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => TextOps.quality(Tables.documents(s, dir))),
     "q_gopher" -> ((s, dir) => TextOps.gopher(Tables.documents(s, dir))),
     "q_c4_clean" -> ((s, dir) => TextOps.c4Clean(Tables.documents(s, dir))),
+    "q_c4_badwords" -> ((s, dir) => TextOps.c4Badwords(Tables.documents(s, dir))),
     "q_tokens" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
     "q_seqlen_hist" -> ((s, dir) => TextOps.seqlenHist(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),

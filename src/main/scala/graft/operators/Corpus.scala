@@ -809,10 +809,13 @@ object CorpusOps {
     * verdict, and drop (inner join — mirrored by the oracle). */
   def curateFullOf(documents: DataFrame,
                    lmBandP6: (Long, Long) = LmBandP6,
-                   compressBandPermille: Option[(Long, Long)] = None): DataFrame = {
-    val rowGated = gated(documents, decontaminate = true)
-      .filter(TextOps.gopherPassCol(col("text")) &&
-        TextOps.c4PageOkCol(col("text")))
+                   compressBandPermille: Option[(Long, Long)] = None,
+                   badwords: Seq[String] = Nil): DataFrame = {
+    val gateCol = TextOps.gopherPassCol(col("text")) &&
+      TextOps.c4PageOkCol(col("text")) &&
+      (if (badwords.isEmpty) lit(true)
+       else TextOps.c4BadwordsOkCol(col("text"), badwords))
+    val rowGated = gated(documents, decontaminate = true).filter(gateCol)
     val lmGated = rowGated
       .join(lmScored(documents)
         .select(col("doc_id"), col("n_bigrams"), col("sum_p6")), Seq("doc_id"))

@@ -267,28 +267,108 @@ object PdfOps {
       .filter(col("warc_type") === "response" && isPdf)
       .select(col("target_uri").cast("string"), col("payload"))
       .rdd.mapPartitions { it =>
-        it.map { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          // body = bytes after the first CRLFCRLF (or LFLF)
-          var cut = -1
-          var i = 0
-          while (cut < 0 && i < bytes.length - 1) {
-            if (bytes(i) == '\n' &&
-              (i + 1 < bytes.length && bytes(i + 1) == '\n')) cut = i + 2
-            else if (bytes(i) == '\r' && i + 3 < bytes.length &&
-              bytes(i + 1) == '\n' && bytes(i + 2) == '\r' &&
-              bytes(i + 3) == '\n') cut = i + 4
-            i += 1
-          }
-          val body =
-            if (cut < 0) Array.empty[Byte]
-            else java.util.Arrays.copyOfRange(bytes, cut, bytes.length)
-          Row(r.getString(0), body)
-        }
+        it.map(r => Row(r.getString(0), httpBody(r.getAs[Array[Byte]](1))))
       }
     pdfTextOf(spark.createDataFrame(rdd, StructType(Seq(
       StructField("url", StringType), StructField("payload", BinaryType)))))
   }
+
+  /** Body bytes of an HTTP response payload — everything after the
+    * first blank line, split at BYTE level (the latin-1 header decode
+    * is for sniffing only; a body split on decoded text would hand the
+    * walk mojibake). */
+  private[graft] def httpBody(bytes: Array[Byte]): Array[Byte] = {
+    var cut = -1
+    var i = 0
+    while (cut < 0 && i < bytes.length - 1) {
+      if (bytes(i) == '\n' && bytes(i + 1) == '\n') cut = i + 2
+      else if (bytes(i) == '\r' && i + 3 < bytes.length &&
+        bytes(i + 1) == '\n' && bytes(i + 2) == '\r' &&
+        bytes(i + 3) == '\n') cut = i + 4
+      i += 1
+    }
+    if (cut < 0) Array.empty[Byte]
+    else java.util.Arrays.copyOfRange(bytes, cut, bytes.length)
+  }
+
+  /** The PDF estate lifted into [[HtmlOps.warcToDocuments]]'s CLEAN
+    * document schema — the route that gate quarantines as
+    * `content-type` becomes corpus rows instead: same doc identity
+    * (xxhash64 of the canonical fetch URL), same header evidence
+    * (fetch_date, Last-Modified + parsed date, ETag, payload digest,
+    * X-Robots-Tag flags — a PDF has no HTML meta, so the header route
+    * is the only robots route, and `canonical_url` is NULL by
+    * construction). Quarantine twin carries (url, reason) for the
+    * walk's failures. One codec pass; header fields stay codegen'd
+    * Columns, only the body split + walk ride the task. */
+  def pdfDocumentsOf(records: DataFrame): (DataFrame, DataFrame) = {
+    val spark = records.sparkSession
+    val l1 = decode(col("payload"), "ISO-8859-1")
+    val hdrCol = when(regexp_extract(l1, "(?s)\\r?\\n\\r?\\n", 0) === "", l1)
+      .otherwise(regexp_extract(l1, "(?s)^(.*?)\\r?\\n\\r?\\n", 1))
+    val isPdf = lower(regexp_extract(hdrCol,
+      "(?im)^content-type:[ \\t]*([a-z0-9.+/-]+)", 1)) === "application/pdf"
+    val lm = nullif(trim(regexp_extract(hdrCol,
+      "(?im)^last-modified:([^\\r\\n]*)", 1)), lit(""))
+    val lmDate = to_date(try_to_timestamp(
+      regexp_extract(lm,
+        "([0-9]{1,2} [A-Za-z]{3} [0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2})", 1),
+      lit("d MMM yyyy HH:mm:ss")))
+    val xr = HtmlOps.robotsTokenFlagsAll(regexp_extract_all(hdrCol,
+      lit("(?im)^x-robots-tag:[ \\t]*([^\\r\\n]*)"), lit(1)))
+    val base = records
+      .filter(col("warc_type") === "response" && isPdf)
+      .select(
+        UrlOps.canonIdn(col("target_uri")).as("url"),
+        col("warc_date").as("fetch_date"),
+        lm.as("last_modified"),
+        lmDate.as("last_modified_date"),
+        nullif(trim(regexp_extract(hdrCol,
+          "(?im)^etag:([^\\r\\n]*)", 1)), lit("")).as("etag"),
+        nullif(col("payload_digest"), lit("")).as("payload_digest"),
+        xr._1.as("noindex"),
+        xr._2.as("nofollow"),
+        col("payload"))
+    val pIdx = base.schema.fieldIndex("payload")
+    val outSchema = StructType(
+      base.schema.fields.filterNot(_.name == "payload") ++ Seq(
+        StructField("text", StringType),
+        StructField("n_chars", LongType),
+        StructField("reason", StringType)))
+    val walked = spark.createDataFrame(base.rdd.mapPartitions { it =>
+      it.map { r =>
+        val keep = (0 until r.length).filterNot(_ == pIdx).map(r.get)
+        pdfTextWalk(httpBody(r.getAs[Array[Byte]](pIdx))) match {
+          case Right((t, _)) => Row.fromSeq(keep ++ Seq(t, t.length.toLong, null))
+          case Left(reason)  => Row.fromSeq(keep ++ Seq(null, null, reason))
+        }
+      }
+    }, outSchema)
+    val clean = walked.filter(col("reason").isNull)
+      .select(
+        xxhash64(col("url")).as("doc_id"),
+        col("url"),
+        regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+          .as("source"),
+        col("text"), col("n_chars"), col("fetch_date"),
+        col("last_modified"), col("last_modified_date"), col("etag"),
+        col("payload_digest"),
+        lit(null).cast(StringType).as("canonical_url"),
+        col("noindex"), col("nofollow"))
+    (clean, walked.filter(col("reason").isNotNull)
+      .select(col("url"), col("reason")))
+  }
+
+  /** The WHOLE-corpus ingest: [[HtmlOps.warcToDocuments]]'s clean HTML
+    * route ∪ the PDF route, one schema — what a corpus builder actually
+    * materializes now that the media-type gate has a consumer. The
+    * HTML-side quarantine still counts the PDFs under `content-type`
+    * (its accounting contract is every-record-lands-somewhere);
+    * [[pdfDocumentsOf]]'s own quarantine refines the undecodable
+    * remainder. */
+  def warcToCorpus(records: DataFrame): DataFrame =
+    HtmlOps.warcToDocuments(records)._1
+      .unionByName(pdfDocumentsOf(records)._1)
 
   // ---------- oracle instantiation (q_pdf_text) ----------
 

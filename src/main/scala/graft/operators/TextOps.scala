@@ -423,6 +423,44 @@ object TextOps {
     !lower(t).contains("lorem ipsum") && !t.contains("{") && size(kept) >= 3
   }
 
+  /** The benchmark blocklist for `q_c4_badwords` — corpus-vocabulary
+    * words so the gate genuinely bites at every SF (in production this
+    * is the C4 paper's public "dirty/naughty" word list). */
+  val C4Badwords: Seq[String] = Seq("slow", "merge")
+
+  /** The blocklist verdict as ONE row-level boolean Column (true =
+    * page clean) — the [[gopherPassCol]] convention, composable into
+    * [[CorpusOps.curateFullOf]]; token-exact matching (a blocklisted
+    * WORD, not substring — "class" must not trip on "ass", the
+    * documented C4 overreach this avoids). */
+  def c4BadwordsOkCol(t: Column, words: Seq[String]): Column = {
+    val toks = TextFuns.tokens(t)
+    !words.map(w => array_contains(toks, w)).reduce(_ || _)
+  }
+
+  /** §2-164 `q_c4_badwords`: the C4 recipe's OTHER published page gate
+    * (Raffel et al. 2020 §2.2 — [[c4Clean]] is the line filter, this is
+    * the word-blocklist drop: any page containing a listed word is
+    * removed wholesale). Parameterized by the CALLER's list (the
+    * [[redact]]/[[CorpusOps.contamination]] convention); token-exact
+    * over the normalized token stream. Output (doc_id, n_bad = listed
+    * token occurrences, page_ok). Pure row-level map, zero shuffles —
+    * fuses into the ingest scan beside the other gates. */
+  def c4BadwordsOf(documents: DataFrame, words: Seq[String]): DataFrame = {
+    val toks = TextFuns.tokens(col("text"))
+    val nBad = words.map(w => size(filter(toks, tk => tk === w)))
+      .reduce(_ + _)
+    documents
+      .select(col("doc_id"), nBad.cast("long").as("n_bad"))
+      .withColumn("page_ok", col("n_bad") === 0)
+      .orderBy("doc_id")
+  }
+
+  /** [[c4BadwordsOf]] with the benchmark [[C4Badwords]] list (the
+    * `queries()` binding). */
+  def c4Badwords(documents: DataFrame): DataFrame =
+    c4BadwordsOf(documents, C4Badwords)
+
   /** The fixture-free face of [[c4Clean]]: the C4 line filter over the
     * frame's OWN `text` column, no planted material — what a user runs
     * on their corpus. Requires (doc_id, text). */
@@ -698,6 +736,17 @@ object TextOps {
          |SELECT *, CASE $cases ELSE '${langs.last}' END AS pred_lang
          |FROM s
          |ORDER BY doc_id""".stripMargin
+    },
+    "q_c4_badwords" -> {
+      val in = C4Badwords.map(TextFuns.sqlLit).mkString(", ")
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter($toksSql, t -> t IN ($in))) AS BIGINT)
+         |      AS n_bad
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_bad, n_bad = 0 AS page_ok
+         |FROM s ORDER BY doc_id""".stripMargin
     },
     "q_c4_clean" -> {
       val keepCond = "(l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' " +

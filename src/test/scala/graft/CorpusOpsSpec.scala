@@ -665,6 +665,38 @@ class CorpusOpsSpec extends SparkSpec {
       lmBandP6 = (999999L, 1000000L)).count() == 0)
   }
 
+  test("c4Badwords: token-exact blocklist, Column face pinned, curate composition") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "a clean page of plain words"),
+      (2L, "this one runs slow in places"),     // blocklisted token
+      (3L, "massage and classes and molasses")) // substrings must NOT trip
+      .toDF("doc_id", "text")
+    val got = TextOps.c4BadwordsOf(planted, Seq("slow", "ass")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(1L -> ((0L, true)), 2L -> ((1L, false)),
+      3L -> ((0L, true))), got.toString)
+    // the Column face cannot drift from the operator verdict
+    val viaCol = planted.select(col("doc_id"),
+      TextOps.c4BadwordsOkCol(col("text"), Seq("slow", "ass")).as("page_ok"))
+    val viaOp = TextOps.c4BadwordsOf(planted, Seq("slow", "ass"))
+      .select(col("doc_id"), col("page_ok"))
+    assert(viaCol.exceptAll(viaOp).count() == 0 &&
+      viaOp.exceptAll(viaCol).count() == 0)
+    // and it composes into the wide manifest: the blocklisted doc drops
+    val okDoc = curateFullBase
+    val badDoc = curateFullBase + "\nAlso it got slow here somehow."
+    val docs2 = Seq((10L, "src0", okDoc), (11L, "src0", badDoc))
+      .toDF("doc_id", "source", "text")
+    val kept = CorpusOps.curateFullOf(docs2, lmBandP6 = (0L, 1000000L),
+      badwords = Seq("slow")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L), kept)
+    // with no list the gate is inert — q_curate_full unchanged
+    val keptAll = CorpusOps.curateFullOf(docs2, lmBandP6 = (0L, 1000000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptAll == Set(10L, 11L), keptAll)
+  }
+
   test("curateFullOf: the compress band drops both tails, keeps prose") {
     import spark.implicits._
     val normal = curateFullBase
