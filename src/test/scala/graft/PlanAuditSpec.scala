@@ -371,6 +371,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q_gopher_rep: zero shuffles — the whole rule set is one per-doc pass") {
+    val p = plan(TextOps.gopherRep(Tables.documents(spark, sfDir)))
+    // all thirteen repetition rules are within-document: nothing but
+    // the presentational sort may cross a wire
+    assert(hashExchangeCount(p) == 0, s"${hashExchangeCount(p)} hash exchanges:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_curate_full: row gates fuse onto ONE corpus scan; lm side rides the checkpoint") {
     val p = plan(CorpusOps.curateFull(Tables.documents(spark, sfDir)))
     // the gated side is the only parquet scan — lang/quality/probe/
