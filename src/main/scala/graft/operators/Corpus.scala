@@ -810,11 +810,18 @@ object CorpusOps {
   def curateFullOf(documents: DataFrame,
                    lmBandP6: (Long, Long) = LmBandP6,
                    compressBandPermille: Option[(Long, Long)] = None,
-                   badwords: Seq[String] = Nil): DataFrame = {
+                   badwords: Seq[String] = Nil,
+                   repetition: Boolean = true): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
     val gateCol = TextOps.gopherPassCol(col("text")) &&
       TextOps.c4PageOkCol(col("text")) &&
       (if (badwords.isEmpty) lit(true)
-       else TextOps.c4BadwordsOkCol(col("text"), badwords))
+       else TextOps.c4BadwordsOkCol(col("text"), badwords)) &&
+      // the repetition half of the published filter rides the SAME
+      // fused scan as a native codegen'd boolean (gopher_rep_pass —
+      // one shared core with gopherRepOf, drift-impossible)
+      (if (repetition) call_function("gopher_rep_pass", col("text"))
+       else lit(true))
     val rowGated = gated(documents, decontaminate = true).filter(gateCol)
     val lmGated = rowGated
       .join(lmScored(documents)
@@ -860,8 +867,16 @@ object CorpusOps {
       .when(col("doc_id") % 4 === 2, lit(TextOps.GopherAug(2)))
       .when(col("doc_id") % 4 === 3, lit(TextOps.GopherAug(3)))
       .otherwise(lit(""))
+    // %7 decorrelates the repetition tails from the %5/%4 families so
+    // gate combinations actually vary (round 17: the rep gate joined
+    // the manifest, so its tails joined the instantiation)
+    val raug = when(col("doc_id") % 7 === 1, lit(TextOps.GopherRepAug(1)))
+      .when(col("doc_id") % 7 === 2, lit(TextOps.GopherRepAug(2)))
+      .when(col("doc_id") % 7 === 3, lit(TextOps.GopherRepAug(3)))
+      .when(col("doc_id") % 7 === 4, lit(TextOps.GopherRepAug(4)))
+      .otherwise(lit(""))
     curateFullOf(documents.withColumn("text",
-      concat(col("text"), lit(TextOps.C4Good), c4aug, gaug)))
+      concat(col("text"), lit(TextOps.C4Good), c4aug, gaug, raug)))
   }
 
   /** Benchmark probes for the decontamination scan — in production this
@@ -2248,6 +2263,11 @@ object CorpusOps {
         |    CASE WHEN doc_id % 4 = 1 THEN ${TextFuns.sqlLit(TextOps.GopherAug(1))}
         |         WHEN doc_id % 4 = 2 THEN ${TextFuns.sqlLit(TextOps.GopherAug(2))}
         |         WHEN doc_id % 4 = 3 THEN ${TextFuns.sqlLit(TextOps.GopherAug(3))}
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 1 THEN ${TextFuns.sqlLit(TextOps.GopherRepAug(1))}
+        |         WHEN doc_id % 7 = 2 THEN ${TextFuns.sqlLit(TextOps.GopherRepAug(2))}
+        |         WHEN doc_id % 7 = 3 THEN ${TextFuns.sqlLit(TextOps.GopherRepAug(3))}
+        |         WHEN doc_id % 7 = 4 THEN ${TextFuns.sqlLit(TextOps.GopherRepAug(4))}
         |         ELSE '' END""".stripMargin
       val stops = TextOps.GopherStops.map(s =>
         s"(CASE WHEN list_contains(ts, ${TextFuns.sqlLit(s)}) " +
@@ -2291,6 +2311,88 @@ object CorpusOps {
          |    AND ellend * 10 <= n_lines * 3
          |    AND alpha * 5 >= n_words * 4 AND stop_cnt >= 2
          |    AND page_clean AND c4_kept >= 3
+         |), rb AS (
+         |  SELECT doc_id, string_split(text, chr(10)) AS lines,
+         |    string_split(text, chr(10) || chr(10)) AS paras,
+         |    string_split(lower(trim(text)), ' ') AS toks
+         |  FROM d
+         |), rm AS (
+         |  SELECT doc_id, len(lines) AS nl, len(paras) AS np,
+         |    list_sum(list_transform(lines, x -> length(x))) AS lc,
+         |    list_sum(list_transform(paras, x -> length(x))) AS pc,
+         |    list_sum(list_transform(toks, x -> length(x))) AS tc
+         |  FROM rb
+         |), rldup AS (
+         |  SELECT doc_id, count(*) AS dl, sum(length(v)) AS dlc
+         |  FROM (SELECT doc_id, v, count(*) OVER (PARTITION BY doc_id, v) AS c
+         |        FROM (SELECT doc_id, unnest(lines) AS v FROM rb))
+         |  WHERE c >= 2 GROUP BY 1
+         |), rpdup AS (
+         |  SELECT doc_id, count(*) AS dp, sum(length(v)) AS dpc
+         |  FROM (SELECT doc_id, v, count(*) OVER (PARTITION BY doc_id, v) AS c
+         |        FROM (SELECT doc_id, unnest(paras) AS v FROM rb))
+         |  WHERE c >= 2 GROUP BY 1
+         |), rgn AS (
+         |  SELECT doc_id, toks, unnest(generate_series(2, 10)) AS n FROM rb
+         |), rgi AS (
+         |  SELECT doc_id, toks, n,
+         |    unnest(generate_series(1, len(toks) - n + 1)) AS i
+         |  FROM rgn WHERE len(toks) >= n
+         |), rg AS (
+         |  SELECT doc_id, n, i, array_to_string(toks[i : i + n - 1], ' ') AS gm,
+         |    list_sum(list_transform(toks[i : i + n - 1],
+         |      x -> length(x))) AS gc
+         |  FROM rgi
+         |), rgcnt AS (
+         |  SELECT *, count(*) OVER (PARTITION BY doc_id, n, gm) AS cnt FROM rg
+         |), rmx AS (
+         |  SELECT doc_id, n, max(cnt) AS mc FROM rgcnt GROUP BY 1, 2
+         |), rtop AS (
+         |  SELECT g.doc_id, g.n, max(g.cnt * g.gc) AS prod
+         |  FROM rgcnt g JOIN rmx
+         |    ON g.doc_id = rmx.doc_id AND g.n = rmx.n AND g.cnt = rmx.mc
+         |  WHERE g.n <= 4 GROUP BY 1, 2
+         |), rcpos AS (
+         |  SELECT DISTINCT doc_id, n, p FROM (
+         |    SELECT doc_id, n, unnest(generate_series(i, i + n - 1)) AS p
+         |    FROM rgcnt WHERE n >= 5 AND cnt >= 2)
+         |), rtp AS (
+         |  SELECT doc_id, p, length(toks[p]) AS tl FROM (
+         |    SELECT doc_id, toks,
+         |      unnest(generate_series(1, len(toks))) AS p FROM rb)
+         |), rcov AS (
+         |  SELECT rcpos.doc_id, rcpos.n, sum(rtp.tl) AS cv
+         |  FROM rcpos JOIN rtp
+         |    ON rcpos.doc_id = rtp.doc_id AND rcpos.p = rtp.p
+         |  GROUP BY 1, 2
+         |), rrep AS (
+         |  SELECT rm.doc_id,
+         |    (coalesce(rldup.dl, 0) * 10 <= rm.nl * 3
+         |     AND coalesce(rpdup.dp, 0) * 10 <= rm.np * 3
+         |     AND coalesce(rldup.dlc, 0) * 10 <= rm.lc * 2
+         |     AND coalesce(rpdup.dpc, 0) * 10 <= rm.pc * 2
+         |     AND coalesce(t2.prod, 0) * 100 <= rm.tc * ${TextOps.TopGramPct(2)}
+         |     AND coalesce(t3.prod, 0) * 100 <= rm.tc * ${TextOps.TopGramPct(3)}
+         |     AND coalesce(t4.prod, 0) * 100 <= rm.tc * ${TextOps.TopGramPct(4)}
+         |     AND coalesce(c5.cv, 0) * 100 <= rm.tc * ${TextOps.DupGramPct(5)}
+         |     AND coalesce(c6.cv, 0) * 100 <= rm.tc * ${TextOps.DupGramPct(6)}
+         |     AND coalesce(c7.cv, 0) * 100 <= rm.tc * ${TextOps.DupGramPct(7)}
+         |     AND coalesce(c8.cv, 0) * 100 <= rm.tc * ${TextOps.DupGramPct(8)}
+         |     AND coalesce(c9.cv, 0) * 100 <= rm.tc * ${TextOps.DupGramPct(9)}
+         |     AND coalesce(c10.cv, 0) * 100 <= rm.tc * ${TextOps.DupGramPct(10)})
+         |      AS rep_pass
+         |  FROM rm
+         |  LEFT JOIN rldup USING (doc_id)
+         |  LEFT JOIN rpdup USING (doc_id)
+         |  LEFT JOIN rtop t2 ON t2.doc_id = rm.doc_id AND t2.n = 2
+         |  LEFT JOIN rtop t3 ON t3.doc_id = rm.doc_id AND t3.n = 3
+         |  LEFT JOIN rtop t4 ON t4.doc_id = rm.doc_id AND t4.n = 4
+         |  LEFT JOIN rcov c5 ON c5.doc_id = rm.doc_id AND c5.n = 5
+         |  LEFT JOIN rcov c6 ON c6.doc_id = rm.doc_id AND c6.n = 6
+         |  LEFT JOIN rcov c7 ON c7.doc_id = rm.doc_id AND c7.n = 7
+         |  LEFT JOIN rcov c8 ON c8.doc_id = rm.doc_id AND c8.n = 8
+         |  LEFT JOIN rcov c9 ON c9.doc_id = rm.doc_id AND c9.n = 9
+         |  LEFT JOIN rcov c10 ON c10.doc_id = rm.doc_id AND c10.n = 10
          |), lt AS (
          |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
          |  FROM d
@@ -2316,9 +2418,11 @@ object CorpusOps {
          |  len($toksSql) AS n_tokens,
          |  $splitCaseSql AS split
          |FROM p JOIN gok USING (doc_id) JOIN lsc USING (doc_id)
+         |  JOIN rrep USING (doc_id)
          |WHERE doc_id = rep_doc_id AND pred_lang = 'en'
          |  AND quality_score >= $QualityTau
          |  AND $notContaminated
+         |  AND rrep.rep_pass
          |  AND lsc.sp >= lsc.nb * ${LmBandP6._1}
          |  AND lsc.sp <= lsc.nb * ${LmBandP6._2}
          |ORDER BY doc_id""".stripMargin

@@ -441,9 +441,10 @@ object TextOps {
     * ≤ 30%, duplicate line / paragraph CHARACTER fraction ≤ 20%, top
     * {2,3,4}-gram character fraction ≤ {20,18,16}%, duplicate
     * {5..10}-gram character fraction ≤ {15,14,13,12,11,10}%. */
-  private[graft] val TopGramPct: Map[Int, Int] = Map(2 -> 20, 3 -> 18, 4 -> 16)
+  private[graft] val TopGramPct: Map[Int, Int] =
+    graft.plans.GopherRepCore.TopGramPct
   private[graft] val DupGramPct: Map[Int, Int] =
-    Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+    graft.plans.GopherRepCore.DupGramPct
 
   /** §2-165 `q_gopher_rep`: the FULL Gopher REPETITION rule set —
     * [[gopher]] evaluates appendix A1.1's quality rules; this is its
@@ -484,103 +485,13 @@ object TextOps {
     val rdd = documents.select(col("doc_id").cast("long"), col("text"))
       .rdd.mapPartitions { it =>
         it.map { r =>
-          val id = r.getLong(0)
-          val text = r.getString(1)
-          // EXACT engine-shared string semantics: split keeps trailing
-          // empties (Spark split / DuckDB string_split), trim strips
-          // SPACES only (SQL trim, not java.lang.String#trim)
-          val lines = text.split("\n", -1)
-          val paras = text.split("\n\n", -1)
-          val norm = {
-            var a = 0; var b = text.length
-            while (a < b && text.charAt(a) == ' ') a += 1
-            while (b > a && text.charAt(b - 1) == ' ') b -= 1
-            text.substring(a, b).toLowerCase(java.util.Locale.ROOT)
-          }
-          val toks = norm.split(" ", -1)
-          val tokChars = toks.iterator.map(_.length.toLong).sum
-          def dupStats(vs: Array[String]): (Long, Long) = {
-            val cnt = new java.util.HashMap[String, Int]()
-            vs.foreach(v => cnt.merge(v, 1, Integer.sum))
-            var n = 0L; var chars = 0L
-            vs.foreach { v =>
-              if (cnt.get(v) >= 2) { n += 1; chars += v.length }
-            }
-            (n, chars)
-          }
-          val (dupLines, dupLineChars) = dupStats(lines)
-          val (dupParas, dupParaChars) = dupStats(paras)
-          val lineChars = lines.iterator.map(_.length.toLong).sum
-          val paraChars = paras.iterator.map(_.length.toLong).sum
-          // per-n gram pass: counts keyed on the joined gram (exact —
-          // no hash collisions), then top product / covered positions
-          val topProd = new Array[Long](3)   // n = 2, 3, 4
-          val covChars = new Array[Long](6)  // n = 5 .. 10
-          var n = 2
-          while (n <= 10) {
-            val m = toks.length - n + 1
-            if (m >= 1) {
-              val cnt = new java.util.HashMap[String, Int]()
-              val grams = new Array[String](m)
-              var i = 0
-              while (i < m) {
-                val sb = new java.lang.StringBuilder
-                var j = 0
-                while (j < n) {
-                  if (j > 0) sb.append(' ')
-                  sb.append(toks(i + j)); j += 1
-                }
-                val g = sb.toString
-                grams(i) = g
-                cnt.merge(g, 1, Integer.sum)
-                i += 1
-              }
-              if (n <= 4) {
-                var bestCnt = 0L; var bestProd = 0L
-                i = 0
-                while (i < m) {
-                  val c = cnt.get(grams(i)).toLong
-                  // gram chars = joined length minus separators
-                  val gc = grams(i).length.toLong - (n - 1)
-                  val prod = c * gc
-                  if (c > bestCnt || (c == bestCnt && prod > bestProd)) {
-                    bestCnt = c; bestProd = prod
-                  }
-                  i += 1
-                }
-                topProd(n - 2) = bestProd
-              } else {
-                val covered = new Array[Boolean](toks.length)
-                i = 0
-                while (i < m) {
-                  if (cnt.get(grams(i)) >= 2) {
-                    var j = i; val e = i + n
-                    while (j < e) { covered(j) = true; j += 1 }
-                  }
-                  i += 1
-                }
-                var cv = 0L
-                i = 0
-                while (i < toks.length) {
-                  if (covered(i)) cv += toks(i).length
-                  i += 1
-                }
-                covChars(n - 5) = cv
-              }
-            }
-            n += 1
-          }
-          val flags: Seq[Boolean] = Seq(
-            dupLines * 10 <= lines.length.toLong * 3,
-            dupParas * 10 <= paras.length.toLong * 3,
-            dupLineChars * 10 <= lineChars * 2,
-            dupParaChars * 10 <= paraChars * 2) ++
-            Seq(2, 3, 4).map(k =>
-              topProd(k - 2) * 100 <= tokChars * TopGramPct(k)) ++
-            (5 to 10).map(k =>
-              covChars(k - 5) * 100 <= tokChars * DupGramPct(k))
-          Row.fromSeq(Seq(id, lines.length.toLong, tokChars) ++
-            flags :+ flags.forall(identity))
+          // the SHARED core ([[graft.plans.GopherRepCore]]) — one
+          // implementation with the fused `gopher_rep_pass` gate
+          // expression, so operator and gate cannot drift
+          val (nLines, tokChars, f) =
+            graft.plans.GopherRepCore.flags(r.getString(1))
+          Row.fromSeq(Seq(r.getLong(0), nLines, tokChars) ++
+            f.toSeq :+ f.forall(identity))
         }
       }
     spark.createDataFrame(rdd, schema).orderBy("doc_id")

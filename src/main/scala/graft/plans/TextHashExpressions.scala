@@ -429,3 +429,31 @@ case class FingerprintMin(child: Expression, nGram: Int)
   override protected def withNewChildInternal(newChild: Expression): FingerprintMin =
     copy(child = newChild)
 }
+
+/** `gopher_rep_pass(text)` → the AND of the thirteen Gopher REPETITION
+  * rules ([[GopherRepCore]] — one shared core with the detail-emitting
+  * `TextOps.gopherRepOf`, so the fused gate and the operator cannot
+  * drift). Row-level and codegen'd: composes into a curation manifest's
+  * single gate scan like any boolean Column. */
+case class GopherRepPass(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "gopher_rep_pass"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GopherRepCore.pass(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.plans.GopherRepCore.pass($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GopherRepPass =
+    copy(child = newChild)
+}

@@ -657,12 +657,12 @@ class CorpusOpsSpec extends SparkSpec {
       (10L, "src0", okDoc), (11L, "src0", gopherFail), (12L, "src0", c4Fail))
       .toDF("doc_id", "source", "text")
     // LM band wide open: isolate the row-level gates
-    val kept = CorpusOps.curateFullOf(planted, lmBandP6 = (0L, 1000000L))
-      .collect().map(_.getLong(0)).toSet
+    val kept = CorpusOps.curateFullOf(planted, lmBandP6 = (0L, 1000000L),
+      repetition = false).collect().map(_.getLong(0)).toSet
     assert(kept == Set(10L), kept)
     // and the LM band itself gates: an impossible band drops everything
     assert(CorpusOps.curateFullOf(planted,
-      lmBandP6 = (999999L, 1000000L)).count() == 0)
+      lmBandP6 = (999999L, 1000000L), repetition = false).count() == 0)
   }
 
   test("gopherRepOf: all thirteen repetition rules fire on planted docs") {
@@ -704,6 +704,37 @@ class CorpusOpsSpec extends SparkSpec {
     Seq(1L, 2L, 3L, 4L).foreach(id => assert(!flag(id, "rep_pass"), id.toString))
   }
 
+  test("gopher_rep_pass gate: shared core with gopherRepOf, composes into the manifest") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // drift pin over the planted-augmented corpus: the fused boolean
+    // expression must equal the detail operator's rep_pass everywhere
+    val aug = docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 5 === 1, lit(TextOps.GopherRepAug(1)))
+        .when(col("doc_id") % 5 === 3, lit(TextOps.GopherRepAug(3)))
+        .otherwise(lit(""))))
+    val viaOp = TextOps.gopherRepOf(aug).select(col("doc_id"), col("rep_pass"))
+    val viaExpr = aug.select(col("doc_id"),
+      call_function("gopher_rep_pass", col("text")).as("rep_pass"))
+    assert(viaOp.exceptAll(viaExpr).count() == 0 &&
+      viaExpr.exceptAll(viaOp).count() == 0)
+    // composition: curateFullBase is ITSELF repetitive (one 8-token
+    // block repeated eight times), so the default manifest drops it
+    // while a non-repetitive page of the same gates survives
+    val varied = (1 to 8).map(i =>
+      s"the big$i be cat$i to dog$i of owl$i and fox$i that hen$i " +
+        s"have pig$i with ram$i").mkString(" ") + TextOps.C4Good
+    val planted = Seq((30L, "src0", varied), (31L, "src0", curateFullBase))
+      .toDF("doc_id", "source", "text")
+    val kept = CorpusOps.curateFullOf(planted, lmBandP6 = (0L, 1000000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(30L), kept)
+    val keptNoRep = CorpusOps.curateFullOf(planted,
+      lmBandP6 = (0L, 1000000L), repetition = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptNoRep == Set(30L, 31L), keptNoRep)
+  }
+
   test("c4Badwords: token-exact blocklist, Column face pinned, curate composition") {
     import spark.implicits._
     val planted = Seq(
@@ -728,11 +759,12 @@ class CorpusOpsSpec extends SparkSpec {
     val docs2 = Seq((10L, "src0", okDoc), (11L, "src0", badDoc))
       .toDF("doc_id", "source", "text")
     val kept = CorpusOps.curateFullOf(docs2, lmBandP6 = (0L, 1000000L),
-      badwords = Seq("slow")).collect().map(_.getLong(0)).toSet
+      badwords = Seq("slow"), repetition = false)
+      .collect().map(_.getLong(0)).toSet
     assert(kept == Set(10L), kept)
     // with no list the gate is inert — q_curate_full unchanged
-    val keptAll = CorpusOps.curateFullOf(docs2, lmBandP6 = (0L, 1000000L))
-      .collect().map(_.getLong(0)).toSet
+    val keptAll = CorpusOps.curateFullOf(docs2, lmBandP6 = (0L, 1000000L),
+      repetition = false).collect().map(_.getLong(0)).toSet
     assert(keptAll == Set(10L, 11L), keptAll)
   }
 
@@ -752,11 +784,11 @@ class CorpusOpsSpec extends SparkSpec {
     val planted = Seq(
       (20L, "src0", normal), (21L, "src0", repetitive), (22L, "src0", entropy))
       .toDF("doc_id", "source", "text")
-    val noBand = CorpusOps.curateFullOf(planted, lmBandP6 = (0L, 1000000L))
-      .collect().map(_.getLong(0)).toSet
+    val noBand = CorpusOps.curateFullOf(planted, lmBandP6 = (0L, 1000000L),
+      repetition = false).collect().map(_.getLong(0)).toSet
     assert(noBand == Set(20L, 21L, 22L), s"all pass the row gates: $noBand")
     val banded = CorpusOps.curateFullOf(planted, lmBandP6 = (0L, 1000000L),
-      compressBandPermille = Some((100L, 450L)))
+      compressBandPermille = Some((100L, 450L)), repetition = false)
       .collect().map(_.getLong(0)).toSet
     assert(banded == Set(20L), s"compress band must cut both tails: $banded")
   }
