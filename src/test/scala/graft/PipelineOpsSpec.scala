@@ -436,6 +436,34 @@ class PipelineOpsSpec extends SparkSpec {
       .contains("strategy=broadcast"))
   }
 
+  test("excise-then-curate: kept_text feeds the wide manifest (the row-143 composition)") {
+    import spark.implicits._
+    // a mostly-original doc quoting a big passage verbatim from an
+    // earlier doc: whole-doc dropping loses it; excision keeps it
+    val passage = "this exact shared passage is long enough to carry " +
+      "several winnowing fingerprints across both documents entirely"
+    val original = (1 to 6).map(i =>
+      s"the big$i be cat$i to dog$i of owl$i and fox$i that hen$i " +
+        s"have pig$i with ram$i").mkString(" ")
+    val docs3 = Seq(
+      (1L, "src0", s"$passage and a short original tail here"),
+      (2L, "src0", s"$original $passage" + graft.operators.TextOps.C4Good))
+      .toDF("doc_id", "source", "text")
+    val excised = DedupOps.substringExciseText(docs3)
+      .select(col("doc_id"), col("kept_text").as("text"))
+      .join(docs3.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val keptText = excised.filter(col("doc_id") === 2L)
+      .collect().head.getAs[String]("text")
+    assert(!keptText.contains("shared passage"),
+      s"the quoted run must be cut: $keptText")
+    assert(keptText.contains("big1"), "the original prose survives")
+    // the excised doc then flows through the manifest as any doc would
+    // (the lm band wide open — two docs train a toy model)
+    val kept = CorpusOps.curateFullOf(excised, lmBandP6 = (0L, 1000000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(2L), s"excised doc 2 survives curation: $kept")
+  }
+
   test("dedupSubstringIncremental: the cross-set restriction of the passage pair universe") {
     val m = DedupOps.IncrementalDeltaMod
     // cap wide open on BOTH faces: the batch cap counts delta docs in a
