@@ -813,16 +813,8 @@ object CorpusOps {
                    badwords: Seq[String] = Nil,
                    repetition: Boolean = true): DataFrame = {
     graft.plans.GraftFunctions.register(documents.sparkSession)
-    val gateCol = TextOps.gopherPassCol(col("text")) &&
-      TextOps.c4PageOkCol(col("text")) &&
-      (if (badwords.isEmpty) lit(true)
-       else TextOps.c4BadwordsOkCol(col("text"), badwords)) &&
-      // the repetition half of the published filter rides the SAME
-      // fused scan as a native codegen'd boolean (gopher_rep_pass —
-      // one shared core with gopherRepOf, drift-impossible)
-      (if (repetition) call_function("gopher_rep_pass", col("text"))
-       else lit(true))
-    val rowGated = gated(documents, decontaminate = true).filter(gateCol)
+    val rowGated = gated(documents, decontaminate = true)
+      .filter(publishedGateCol(badwords, repetition))
     val lmGated = rowGated
       .join(lmScored(documents)
         .select(col("doc_id"), col("n_bigrams"), col("sum_p6")), Seq("doc_id"))
@@ -848,6 +840,22 @@ object CorpusOps {
         splitOf(col("doc_id")).as("split"))
       .orderBy("doc_id")
   }
+
+  /** The STATELESS published-gate chain — full Gopher quality rules ∧
+    * C4 page verdict ∧ the thirteen repetition rules (the fused
+    * `gopher_rep_pass` native) ∧ the optional word blocklist — as ONE
+    * row-level boolean Column. Single definition shared by
+    * [[curateFullOf]] and `EventStream.curateStream`'s wide variant
+    * (the `gated` convention: batch and stream cannot drift). Caller
+    * must have run `GraftFunctions.register` when `repetition` is on. */
+  private[graft] def publishedGateCol(badwords: Seq[String] = Nil,
+                                      repetition: Boolean = true): Column =
+    TextOps.gopherPassCol(col("text")) &&
+      TextOps.c4PageOkCol(col("text")) &&
+      (if (badwords.isEmpty) lit(true)
+       else TextOps.c4BadwordsOkCol(col("text"), badwords)) &&
+      (if (repetition) call_function("gopher_rep_pass", col("text"))
+       else lit(true))
 
   /** [[curateFullOf]] on the planted-augmented corpus — the
     * `queries()` binding: the synthetic corpus is single-line

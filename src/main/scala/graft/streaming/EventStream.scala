@@ -388,12 +388,26 @@ object EventStream {
     * `dropDuplicatesWithinWatermark` to bound it by the replay horizon
     * ([[dedupStream]]'s trade). Append mode; exactly-once via the
     * checkpointed transactional file sink like every sink here. */
-  def curateStream(docs: DataFrame, corpusHashIndex: DataFrame): DataFrame = {
+  def curateStream(docs: DataFrame, corpusHashIndex: DataFrame,
+                   publishedGates: Boolean = false,
+                   badwords: Seq[String] = Nil): DataFrame = {
     import graft.functions.TextFuns
     import graft.operators.CorpusOps
+    if (publishedGates) graft.plans.GraftFunctions.register(docs.sparkSession)
     // the gate chain is CorpusOps.gated — ONE definition across
-    // corpusFilter/curate/this, so batch and stream cannot drift
-    CorpusOps.gated(docs, decontaminate = true)
+    // corpusFilter/curate/this, so batch and stream cannot drift; the
+    // WIDE manifest's published gates (gopher ∧ C4 ∧ repetition ∧
+    // blocklist — CorpusOps.publishedGateCol, shared with curateFullOf)
+    // are ALL stateless row-level booleans, so they ride the same
+    // micro-batch pass when enabled. Only the LM band cannot stream
+    // (corpus-level model) — a deployment screens it downstream against
+    // a persisted model snapshot.
+    val gated0 = CorpusOps.gated(docs, decontaminate = true)
+    val gatedAll =
+      if (publishedGates)
+        gated0.filter(CorpusOps.publishedGateCol(badwords, repetition = true))
+      else gated0
+    gatedAll
       .join(corpusHashIndex.select(col("text_hash")), Seq("text_hash"), "left_anti")
       .dropDuplicates("text_hash")
       .select(col("doc_id"), col("source"), col("quality_score"),

@@ -566,6 +566,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream publishedGates: the wide manifest's stateless gates ride the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val idx = Seq.empty[String].toDF("text_hash")
+    val varied = (1 to 8).map(i =>
+      s"the big$i be cat$i to dog$i of owl$i and fox$i that hen$i " +
+        s"have pig$i with ram$i").mkString(" ") +
+      graft.operators.TextOps.C4Good
+    val planted = Seq(
+      (1L, varied, "s"),                                   // passes all
+      (2L, Seq.fill(30)("the a of and").mkString(" ") +
+        graft.operators.TextOps.C4Good, "s"), // hammered 4-gram: the
+                                              // repetition AND gopher
+                                              // mean-length rules kill it
+      (3L, varied + "\nAnd then it got slow somehow.", "s")) // blocklist
+    def run(gates: Boolean, words: Seq[String], name: String): Set[Long] = {
+      val input = MemoryStream[(Long, String, String)]
+      val q = EventStream.curateStream(
+        input.toDF().toDF("doc_id", "text", "source"), idx,
+        publishedGates = gates, badwords = words)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(planted: _*)
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    assert(run(gates = false, Nil, "cur_nogates") == Set(1L, 2L, 3L))
+    assert(run(gates = true, Nil, "cur_gates") == Set(1L, 3L))
+    assert(run(gates = true, Seq("slow"), "cur_gates_bw") == Set(1L))
+    // and the stream's verdicts ARE the batch manifest's row gates —
+    // the shared publishedGateCol cannot drift
+    val batch = graft.operators.CorpusOps.curateFullOf(
+      planted.toDF("doc_id", "text", "source")
+        .select(col("doc_id"), col("source"), col("text")),
+      lmBandP6 = (0L, 1000000L), badwords = Seq("slow"))
+      .collect().map(_.getLong(0)).toSet
+    assert(batch == Set(1L))
+  }
+
   test("curateStream restart from checkpoint: no lost, no duplicate manifest rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
