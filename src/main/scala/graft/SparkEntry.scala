@@ -215,6 +215,7 @@ object SparkEntry {
     "q_profile_drift" -> ((s, dir) => CorpusOps.profileDriftSynthetic(Tables.documents(s, dir))),
     // --- multimodal plumbing (§2 rows 35, 131) ---
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.multimodalMeta(Tables.documents(s, dir))),
+    "q_mime_sniff" -> ((s, dir) => MultimodalOps.mimeSniff(Tables.documents(s, dir))),
     "q_contamination_image" -> ((s, dir) =>
       MultimodalOps.contaminationImage(Tables.documents(s, dir))),
     "q_contamination_audio" -> ((s, dir) =>

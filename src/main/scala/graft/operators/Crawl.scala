@@ -507,6 +507,44 @@ object CrawlOps {
         noidx.as("noindex"), nofollow.as("nofollow"))
   }
 
+  /** Declared-vs-sniffed Content-Type AUDIT (round 17) — the
+    * deployment face of `magic_mime` ([[graft.plans.MagicMime]]): per
+    * response, the header's declared media type beside the BODY's
+    * magic-byte verdict. `mismatch` is any disagreement;
+    * `mojibake_risk` is the dangerous direction — binary content
+    * behind a text-prefixed (or missing) declaration, exactly the lie the
+    * ingest media-type gate cannot see (it trusts the header) and the
+    * one that would decode into mojibake. The body offset comes from
+    * the latin-1 header split (byte↔char 1:1, so the char position IS
+    * the byte position) and only the first 512 body bytes ride the
+    * sniff — row-level, codegen'd, zero shuffles. */
+  def sniffedTypesOf(records: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(records.sparkSession)
+    val l1 = decode(col("payload"), "ISO-8859-1")
+    val p1 = instr(l1, "\r\n\r\n")
+    val p2 = instr(l1, "\n\n")
+    val big = lit(Int.MaxValue)
+    val bodyStart = least(
+      coalesce(nullif(p1, lit(0)) + 4, big),
+      coalesce(nullif(p2, lit(0)) + 2, big))
+    val declared = lower(regexp_extract(l1,
+      "(?im)^content-type:[ \\t]*([a-z0-9.+/-]+)", 1))
+    val sniffed = call_function("magic_mime",
+      substring(col("payload"), bodyStart, lit(512)))
+    records.filter(col("warc_type") === "response")
+      .select(UrlOps.canonIdn(col("target_uri")).as("canon_url"),
+        nullif(declared, lit("")).as("declared_mime"),
+        when(bodyStart < big, sniffed)
+          .otherwise(lit("application/octet-stream")).as("sniffed_mime"))
+      .withColumn("mismatch",
+        col("declared_mime").isNotNull &&
+          col("declared_mime") =!= col("sniffed_mime"))
+      .withColumn("mojibake_risk",
+        !col("sniffed_mime").isin("text/plain", "text/html") &&
+          (col("declared_mime").isNull ||
+            col("declared_mime").startsWith("text/")))
+  }
+
   /** The REAL-DATA recrawl (round 16) — the batch freshness face
     * completing the WARC loop beside [[frontierOf]] (discovery),
     * [[crawlScheduleOf]] (politeness), and [[sitemapSeedsOf]]

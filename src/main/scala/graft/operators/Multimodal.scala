@@ -37,6 +37,39 @@ object MultimodalOps {
         (lit(16) + (col("doc_id") % 9) * 4).cast("int").as("height"))
       .orderBy("doc_id")
 
+  /** §2-166 `q_mime_sniff`: magic-byte MIME sniffing under the ORACLE —
+    * the ingest routing signal for when the Content-Type header LIES
+    * (the exact failure the media-type gate prices: a latin-1-declared
+    * JPEG "decodes" into mojibake; a real crawl routes by CONTENT).
+    * Planted-truth construction: each doc's text bytes ride behind a
+    * doc_id%10-selected magic prefix (none / PDF / PNG / GIF / JPEG /
+    * BMP / RIFF-WAVE / RIFF-AVI / gzip / whitespace-led DOCTYPE), Spark
+    * sniffs through the REAL first-match walk
+    * ([[graft.plans.MagicMime]], the codegen'd `magic_mime`
+    * expression), DuckDB states the construction truth. Row-level,
+    * zero shuffles; the deployment audit face is
+    * [[graft.operators.CrawlOps.sniffedTypesOf]]. */
+  def mimeSniff(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val m = col("doc_id") % 10
+    val t = col("text").cast("binary")
+    def s(x: String) = lit(x).cast("binary")
+    val payload = when(m === 1, concat(s("%PDF-1.4\n"), t))
+      .when(m === 2, concat(unhex(lit("89504E470D0A1A0A")), t))
+      .when(m === 3, concat(s("GIF89a"), t))
+      .when(m === 4, concat(unhex(lit("FFD8FFE0")), t))
+      .when(m === 5, concat(s("BM"), t))
+      .when(m === 6, concat(s("RIFF"), unhex(lit("04030201")), s("WAVE"), t))
+      .when(m === 7, concat(s("RIFF"), unhex(lit("04030201")), s("AVI "), t))
+      .when(m === 8, concat(unhex(lit("1F8B08")), t))
+      .when(m === 9, concat(s("  <!DOCTYPE html><html>"), t))
+      .otherwise(t)
+    documents
+      .select(col("doc_id"),
+        call_function("magic_mime", payload).as("sniffed_mime"))
+      .orderBy("doc_id")
+  }
+
   /** Decoded-feature schema produced by [[decodeBatches]]. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -1172,6 +1205,15 @@ object MultimodalOps {
         col("f.frame").as("frame"))
 
   val oracles: Map[String, String] = Map(
+    "q_mime_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 10
+        |    WHEN 1 THEN 'application/pdf' WHEN 2 THEN 'image/png'
+        |    WHEN 3 THEN 'image/gif' WHEN 4 THEN 'image/jpeg'
+        |    WHEN 5 THEN 'image/bmp' WHEN 6 THEN 'audio/wav'
+        |    WHEN 7 THEN 'video/avi' WHEN 8 THEN 'application/gzip'
+        |    WHEN 9 THEN 'text/html' ELSE 'text/plain' END AS sniffed_mime
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  strlen(text) AS n_bytes,

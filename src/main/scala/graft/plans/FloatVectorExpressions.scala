@@ -196,6 +196,9 @@ object GraftFunctions {
       (es: Seq[Expression]) => BloomAgg(es(0),
         if (es.length > 1) litInt(es(1), "bloom_agg")
         else GraftBloom.DefaultHexChars)),
+    (FunctionIdentifier("magic_mime"),
+      new ExpressionInfo(classOf[MagicMimeOf].getName, "magic_mime"),
+      (es: Seq[Expression]) => MagicMimeOf(es(0))),
     (FunctionIdentifier("gopher_rep_pass"),
       new ExpressionInfo(classOf[GopherRepPass].getName, "gopher_rep_pass"),
       (es: Seq[Expression]) => GopherRepPass(es(0))),
