@@ -344,6 +344,20 @@ object HtmlOps {
           .when(col("http_status").isNull ||
             !col("http_status").between(200, 299), lit("status"))
           .when(col("_ct_bad"), lit("content-type"))
+          // magic-byte gate (round 17): a KNOWN binary signature behind
+          // a text-ish declaration is the lie the header gate cannot
+          // see — it would charset-decode into mojibake. Deliberately
+          // CONSERVATIVE: only unambiguous ≥4-byte magics gate (no BM/
+          // PK two-byte prefixes, no octet-stream fallback — UTF-16 and
+          // legacy-multibyte pages legitimately fail a printable-ASCII
+          // test and must stay on the charset-decode route). Sniffs the
+          // de-chunked, inflated entity (_raw); null _raw skips to the
+          // framing reasons below
+          .when(call_function("magic_mime",
+            substring(col("_raw"), 1, 512)).isin(
+              "image/png", "image/gif", "image/jpeg", "application/pdf",
+              "audio/wav", "video/avi", "application/gzip", "image/qoi"),
+            lit("sniff"))
           .when(col("_te_other"), lit("transfer-encoding"))
           .when(col("_chunked") && col("_raw1").isNull, lit("chunked"))
           .when(col("_ce_bad"), lit("content-encoding"))

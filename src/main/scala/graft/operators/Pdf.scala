@@ -303,11 +303,25 @@ object PdfOps {
     * Columns, only the body split + walk ride the task. */
   def pdfDocumentsOf(records: DataFrame): (DataFrame, DataFrame) = {
     val spark = records.sparkSession
+    graft.plans.GraftFunctions.register(spark)
     val l1 = decode(col("payload"), "ISO-8859-1")
     val hdrCol = when(regexp_extract(l1, "(?s)\\r?\\n\\r?\\n", 0) === "", l1)
       .otherwise(regexp_extract(l1, "(?s)^(.*?)\\r?\\n\\r?\\n", 1))
+    // route by DECLARATION OR CONTENT (round 17): a PDF behind a lying
+    // text/html or octet-stream header still sniffs %PDF- — and the
+    // ingest gate quarantines it from the HTML route as `sniff`, so
+    // this pickup is what keeps the document out of the void. The walk
+    // re-validates the prefix, so a sniff false positive is impossible.
+    val p1 = instr(l1, "\r\n\r\n")
+    val p2 = instr(l1, "\n\n")
+    val big = lit(Int.MaxValue)
+    val bodyStart = least(
+      coalesce(nullif(p1, lit(0)) + 4, big),
+      coalesce(nullif(p2, lit(0)) + 2, big))
     val isPdf = lower(regexp_extract(hdrCol,
-      "(?im)^content-type:[ \\t]*([a-z0-9.+/-]+)", 1)) === "application/pdf"
+      "(?im)^content-type:[ \\t]*([a-z0-9.+/-]+)", 1)) === "application/pdf" ||
+      call_function("magic_mime",
+        substring(col("payload"), bodyStart, lit(8))) === "application/pdf"
     val lm = nullif(trim(regexp_extract(hdrCol,
       "(?im)^last-modified:([^\\r\\n]*)", 1)), lit(""))
     val lmDate = to_date(try_to_timestamp(

@@ -33,6 +33,40 @@ class MagicMimeSpec extends SparkSpec {
     assert(MagicMime.sniff(b("the <html> tag explained")) == "text/plain")
   }
 
+  test("warcToDocuments sniff gate: binary-behind-text quarantines, exotic charsets do not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_sniffgate")
+    def rec(uri: String, payload: Array[Byte]): Array[Byte] = {
+      val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Date: 2026-08-14T00:00:00Z\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ISO_8859_1)
+      hdr ++ payload ++ "\r\n\r\n".getBytes(ISO_8859_1)
+    }
+    val jpegAsHtml =
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n").getBytes(ISO_8859_1) ++
+        Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 1, 2, 3)
+    // a windows-1251 page: HIGH bytes fail a printable-ASCII test but
+    // carry no known magic — the conservative gate must NOT fire
+    val cyr = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=windows-1251\r\n\r\n" +
+      "<html><body>").getBytes(ISO_8859_1) ++
+      Array[Byte](0xcf.toByte, 0xf0.toByte, 0xe8.toByte) ++
+      "</body></html>".getBytes(ISO_8859_1)
+    val honest = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><body>plain honest page body</body></html>").getBytes(ISO_8859_1)
+    val recs = rec("http://g.example/lie", jpegAsHtml) ++
+      rec("http://g.example/cyr", cyr) ++
+      rec("http://g.example/ok", honest)
+    java.nio.file.Files.write(dir.resolve("seg.warc"), recs)
+    val (clean, quarantine) = graft.operators.HtmlOps.warcToDocuments(
+      graft.sources.WarcSource.read(spark, dir.toString))
+    val q = quarantine.collect()
+      .map(r => r.getAs[String]("target_uri") -> r.getAs[String]("reason")).toMap
+    assert(q == Map("http://g.example/lie" -> "sniff"), q.toString)
+    assert(clean.select("url").collect().map(_.getString(0)).toSet ==
+      Set("http://g.example/cyr", "http://g.example/ok"))
+  }
+
   test("sniffedTypesOf: the lying Content-Type is flagged as mojibake risk") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_sniff")
     def rec(uri: String, payload: Array[Byte]): Array[Byte] = {
