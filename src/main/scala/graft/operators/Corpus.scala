@@ -883,9 +883,23 @@ object CorpusOps {
       .when(col("doc_id") % 7 === 3, lit(TextOps.GopherRepAug(3)))
       .when(col("doc_id") % 7 === 4, lit(TextOps.GopherRepAug(4)))
       .otherwise(lit(""))
+    // the blocklist tail rides its own modulus (%11) so it intersects
+    // every other gate family; a planted token rather than a corpus
+    // word because the corpus vocabulary is either ~75%-frequent or
+    // (the one rare token, `dup`) always text-FINAL — where the C4Good
+    // join merges it out of the token stream
+    val bw = when(col("doc_id") % 11 === 1, lit(" " + ManifestBadwords.head))
+      .otherwise(lit(""))
     curateFullOf(documents.withColumn("text",
-      concat(col("text"), lit(TextOps.C4Good), c4aug, gaug, raug)))
+      concat(col("text"), lit(TextOps.C4Good), c4aug, gaug, raug, bw)),
+      badwords = ManifestBadwords)
   }
+
+  /** The blocklist the oracle-checked manifest instantiates with —
+    * planted on doc_id %11 so the gate bites a controlled slice
+    * ([[TextOps.C4Badwords]]'s corpus words hit ~95% of docs — right
+    * for grading that gate alone, wrong for a survivorship manifest). */
+  val ManifestBadwords: Seq[String] = Seq("forbiddenword")
 
   /** Benchmark probes for the decontamination scan — in production this
     * is the eval-set n-gram list; here a deterministic sample of corpus
@@ -2276,6 +2290,9 @@ object CorpusOps {
         |         WHEN doc_id % 7 = 2 THEN ${TextFuns.sqlLit(TextOps.GopherRepAug(2))}
         |         WHEN doc_id % 7 = 3 THEN ${TextFuns.sqlLit(TextOps.GopherRepAug(3))}
         |         WHEN doc_id % 7 = 4 THEN ${TextFuns.sqlLit(TextOps.GopherRepAug(4))}
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 1
+        |         THEN ${TextFuns.sqlLit(" " + ManifestBadwords.head)}
         |         ELSE '' END""".stripMargin
       val stops = TextOps.GopherStops.map(s =>
         s"(CASE WHEN list_contains(ts, ${TextFuns.sqlLit(s)}) " +
@@ -2431,6 +2448,9 @@ object CorpusOps {
          |  AND quality_score >= $QualityTau
          |  AND $notContaminated
          |  AND rrep.rep_pass
+         |  AND ${ManifestBadwords.map(w =>
+                  s"NOT list_contains($toksSql, ${TextFuns.sqlLit(w)})")
+                  .mkString(" AND ")}
          |  AND lsc.sp >= lsc.nb * ${LmBandP6._1}
          |  AND lsc.sp <= lsc.nb * ${LmBandP6._2}
          |ORDER BY doc_id""".stripMargin
