@@ -91,6 +91,8 @@ object SparkEntry {
     "q_dedup_substring" -> ((s, dir) => DedupOps.dedupSubstring(Tables.documents(s, dir))),
     "q_dedup_substring_incremental" -> ((s, dir) =>
       DedupOps.dedupSubstringIncremental(Tables.documents(s, dir))),
+    "q_substring_excise_incremental" -> ((s, dir) =>
+      DedupOps.substringExciseIncremental(Tables.documents(s, dir))),
     "q_substring_excise" -> ((s, dir) => DedupOps.substringExcise(Tables.documents(s, dir))),
     "q_substring_excise_text" -> ((s, dir) => DedupOps.substringExciseText(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),

@@ -603,6 +603,56 @@ object DedupOps {
       .orderBy("doc_new", "doc_corpus")
   }
 
+  /** §2-167 `q_substring_excise_incremental`: delta-vs-corpus passage
+    * EXCISION (round 17) — [[dedupSubstringIncremental]] names the
+    * cross-set pairs; this face performs the CUT on the arriving batch:
+    * a delta doc's char position is duplicated when its kgram's
+    * winnowing hash exists in the STANDING corpus's fingerprint index
+    * (corpus-first replaces the batch face's min-owner rule — under
+    * continuous ingestion the corpus is "earlier" by definition), spans
+    * merge under the same islands rule, and the accounting (n_chars,
+    * cut_chars, kept_chars, n_spans) covers every delta doc (zero rows
+    * cut nothing). The corpus index is the same write-once df-capped
+    * artifact the pair probe uses; only the delta moves. */
+  def substringExciseIncremental(documents: DataFrame,
+                                 deltaMod: Int = IncrementalDeltaMod,
+                                 dfCap: Int = NgramDfCap): DataFrame = {
+    require(deltaMod >= 2, s"deltaMod=$deltaMod must be >= 2")
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val fps = spread(documents)
+      .select(col("doc_id"), TextFuns.norm(col("text")).as("t"))
+      .filter(length(col("t")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"), explode(call_function("winnow_fingerprints",
+        col("t"), lit(WinnowK), lit(WinnowW))).as("f"))
+    val cidx = fps.filter(pmod(col("doc_id"), lit(deltaMod)) =!= 0)
+      .groupBy("f")
+      .agg(call_function("collect_set_capped", col("doc_id"), lit(dfCap))
+        .as("ds"))
+      .filter(size(col("ds")) <= dfCap)
+      .select(col("f"))
+    val ffps = fps.filter(pmod(col("doc_id"), lit(deltaMod)) === 0)
+      .join(cidx, Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("f")).as("ffps"))
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val spansOf = (t: Column, fs: Column) => column(
+      graft.plans.WinnowCutSpans(expression(t), expression(fs), WinnowK))
+    documents
+      .filter(pmod(col("doc_id"), lit(deltaMod)) === 0)
+      .select(col("doc_id"), TextFuns.norm(col("text")).as("t"))
+      .join(ffps, Seq("doc_id"), "left")
+      .withColumn("spans",
+        spansOf(col("t"), coalesce(col("ffps"), typedLit(Array.empty[String]))))
+      .withColumn("cut_chars",
+        expr("aggregate(spans, 0L, (a, x) -> a + (x.e - x.s))"))
+      .select(col("doc_id"),
+        length(col("t")).cast("long").as("n_chars"),
+        col("cut_chars"),
+        (length(col("t")).cast("long") - col("cut_chars")).as("kept_chars"),
+        size(col("spans")).cast("long").as("n_spans"))
+      .orderBy("doc_id")
+  }
+
   /** FOREIGN-owned fingerprints per later doc — the shared first stage
     * of [[substringExcise]] / [[substringExciseText]]: each winnowing
     * fingerprint's OWNER is the minimum doc_id carrying it (keep-first,
@@ -1262,7 +1312,18 @@ object DedupOps {
     * for both excision oracles (`q_substring_excise`'s accounting and
     * `q_substring_excise_text`'s reconstruction), so the two cannot
     * drift on what a span is. */
-  private def exciseSpansCtes: String = {
+  private def exciseSpansCtes: String = exciseSpansCtesWith(
+    s"""own AS (
+       |  SELECT f, min(doc_id) AS owner FROM fp
+       |  GROUP BY f HAVING count(*) BETWEEN 2 AND $NgramDfCap
+       |), fdup AS (
+       |  SELECT fp.doc_id, fp.f FROM fp JOIN own ON fp.f = own.f
+       |  WHERE fp.doc_id > own.owner
+       |)""".stripMargin)
+
+  /** [[exciseSpansCtes]] with a caller-supplied owner/foreign rule —
+    * the incremental oracle swaps min-owner for corpus-membership. */
+  private def exciseSpansCtesWith(ownFdup: String): String = {
     val minLen = WinnowK + WinnowW - 1
     s"""n AS (
        |  SELECT doc_id, $normSql AS t FROM documents
@@ -1280,13 +1341,7 @@ object DedupOps {
        |  FROM h
        |), fp AS (
        |  SELECT DISTINCT doc_id, f FROM wm WHERE i <= mi - ${WinnowW - 1}
-       |), own AS (
-       |  SELECT f, min(doc_id) AS owner FROM fp
-       |  GROUP BY f HAVING count(*) BETWEEN 2 AND $NgramDfCap
-       |), fdup AS (
-       |  SELECT fp.doc_id, fp.f FROM fp JOIN own ON fp.f = own.f
-       |  WHERE fp.doc_id > own.owner
-       |), pos AS (
+       |), $ownFdup, pos AS (
        |  SELECT h.doc_id, h.i FROM h
        |  JOIN fdup ON fdup.doc_id = h.doc_id AND fdup.f = h.h
        |), isl AS (
@@ -1566,6 +1621,31 @@ object DedupOps {
          |)
          |SELECT doc_a, doc_b, CAST(c AS BIGINT) AS n_shared
          |FROM pairs WHERE c >= 2 ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_substring_excise_incremental" -> {
+      val m = IncrementalDeltaMod
+      val ownFdup =
+        s"""own AS (
+           |  SELECT f FROM fp WHERE doc_id % $m <> 0
+           |  GROUP BY f HAVING count(*) <= $NgramDfCap
+           |), fdup AS (
+           |  SELECT fp.doc_id, fp.f FROM fp JOIN own ON fp.f = own.f
+           |  WHERE fp.doc_id % $m = 0
+           |)""".stripMargin
+      s"""WITH ${exciseSpansCtesWith(ownFdup)}, cuts AS (
+         |  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS cut_chars,
+         |    CAST(count(*) AS BIGINT) AS n_spans
+         |  FROM spans GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(length($normSql) AS BIGINT) AS n_chars,
+         |  COALESCE(c.cut_chars, 0) AS cut_chars,
+         |  CAST(length($normSql) AS BIGINT) - COALESCE(c.cut_chars, 0)
+         |    AS kept_chars,
+         |  COALESCE(c.n_spans, 0) AS n_spans
+         |FROM documents d LEFT JOIN cuts c ON d.doc_id = c.doc_id
+         |WHERE d.doc_id % $m = 0
+         |ORDER BY d.doc_id""".stripMargin
     },
     "q_substring_excise" -> {
       s"""WITH $exciseSpansCtes, cuts AS (

@@ -464,6 +464,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.contains(2L), s"excised doc 2 survives curation: $kept")
   }
 
+  test("substringExciseIncremental: corpus-owned passages cut from the delta only") {
+    import spark.implicits._
+    val p1 = "this exact shared passage is long enough to carry several " +
+      "winnowing fingerprints across both documents entirely"
+    val p2 = "a different run of duplicated text that lives only inside " +
+      "the arriving batch and never in the standing corpus"
+    val planted = Seq(
+      (1L, s"corpus original holding $p1 and some corpus-side tail"),
+      (2L, "an unrelated corpus document with nothing shared at all here"),
+      (10L, s"delta doc quoting $p1 plus its own fresh reporting text"),
+      (20L, s"first delta twin containing $p2 and original words"),
+      (30L, s"second delta twin also containing $p2 differently framed"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.substringExciseIncremental(planted)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    assert(got.keySet == Set(10L, 20L, 30L), s"delta docs only: $got")
+    assert(got(10L)._1 > 0 && got(10L)._2 >= 1,
+      s"the corpus-owned passage must cut: ${got(10L)}")
+    // delta-delta duplication is the NEXT batch's intra-batch problem
+    // (the batch face over the delta alone); the incremental face cuts
+    // only what the standing corpus owns
+    assert(got(20L)._1 == 0 && got(30L)._1 == 0, got.toString)
+  }
+
   test("dedupSubstringIncremental: the cross-set restriction of the passage pair universe") {
     val m = DedupOps.IncrementalDeltaMod
     // cap wide open on BOTH faces: the batch cap counts delta docs in a
