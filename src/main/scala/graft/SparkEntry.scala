@@ -93,6 +93,8 @@ object SparkEntry {
       DedupOps.dedupSubstringIncremental(Tables.documents(s, dir))),
     "q_substring_excise_incremental" -> ((s, dir) =>
       DedupOps.substringExciseIncremental(Tables.documents(s, dir))),
+    "q_substring_excise_incremental_text" -> ((s, dir) =>
+      DedupOps.substringExciseIncrementalText(Tables.documents(s, dir))),
     "q_substring_excise" -> ((s, dir) => DedupOps.substringExcise(Tables.documents(s, dir))),
     "q_substring_excise_text" -> ((s, dir) => DedupOps.substringExciseText(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),

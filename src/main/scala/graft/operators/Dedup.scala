@@ -616,7 +616,36 @@ object DedupOps {
     * artifact the pair probe uses; only the delta moves. */
   def substringExciseIncremental(documents: DataFrame,
                                  deltaMod: Int = IncrementalDeltaMod,
-                                 dfCap: Int = NgramDfCap): DataFrame = {
+                                 dfCap: Int = NgramDfCap): DataFrame =
+    withSpansIncremental(documents, deltaMod, dfCap)
+      .withColumn("cut_chars",
+        expr("aggregate(spans, 0L, (a, x) -> a + (x.e - x.s))"))
+      .select(col("doc_id"),
+        length(col("t")).cast("long").as("n_chars"),
+        col("cut_chars"),
+        (length(col("t")).cast("long") - col("cut_chars")).as("kept_chars"),
+        size(col("spans")).cast("long").as("n_spans"))
+      .orderBy("doc_id")
+
+  /** §2-168 `q_substring_excise_incremental_text` — the TEXT face of
+    * [[substringExciseIncremental]] (the batch pair's convention): each
+    * delta doc's normalized text with its corpus-owned runs cut out,
+    * rebuilt by the same ordered fold as the batch face. This IS the
+    * column a continuous-ingestion pipeline feeds to the curation
+    * manifest in place of `text`. */
+  def substringExciseIncrementalText(documents: DataFrame,
+                                     deltaMod: Int = IncrementalDeltaMod,
+                                     dfCap: Int = NgramDfCap): DataFrame =
+    withSpansIncremental(documents, deltaMod, dfCap)
+      .withColumn("kept_text", expr(KeptTextFold))
+      .select(col("doc_id"), col("kept_text"),
+        length(col("kept_text")).cast("long").as("n_chars_kept"))
+      .orderBy("doc_id")
+
+  /** The delta docs' (doc_id, t, spans) under CORPUS-membership
+    * ownership — [[substringExciseIncremental]]'s shared first half. */
+  private def withSpansIncremental(documents: DataFrame, deltaMod: Int,
+                                   dfCap: Int): DataFrame = {
     require(deltaMod >= 2, s"deltaMod=$deltaMod must be >= 2")
     graft.plans.GraftFunctions.register(documents.sparkSession)
     val fps = spread(documents)
@@ -643,14 +672,6 @@ object DedupOps {
       .join(ffps, Seq("doc_id"), "left")
       .withColumn("spans",
         spansOf(col("t"), coalesce(col("ffps"), typedLit(Array.empty[String]))))
-      .withColumn("cut_chars",
-        expr("aggregate(spans, 0L, (a, x) -> a + (x.e - x.s))"))
-      .select(col("doc_id"),
-        length(col("t")).cast("long").as("n_chars"),
-        col("cut_chars"),
-        (length(col("t")).cast("long") - col("cut_chars")).as("kept_chars"),
-        size(col("spans")).cast("long").as("n_spans"))
-      .orderBy("doc_id")
   }
 
   /** FOREIGN-owned fingerprints per later doc — the shared first stage
@@ -738,14 +759,18 @@ object DedupOps {
     * accounting oracle uses, so the two faces cannot drift; the
     * planted-passage spec additionally pins the semantics on known
     * truth. */
+  /** The ordered inter-span fold rebuilding kept_text — shared by the
+    * batch and incremental text faces. */
+  private val KeptTextFold: String =
+    "aggregate(spans, struct(0 AS p, '' AS acc), " +
+      "(s, x) -> struct(x.e AS p, " +
+      "concat(s.acc, substring(t, s.p + 1, x.s - s.p)) AS acc), " +
+      "s -> concat(s.acc, substring(t, s.p + 1, char_length(t) - s.p)))"
+
   def substringExciseText(documents: DataFrame,
                           dfCap: Int = NgramDfCap): DataFrame =
     withSpans(documents, dfCap)
-      .withColumn("kept_text", expr(
-        "aggregate(spans, struct(0 AS p, '' AS acc), " +
-          "(s, x) -> struct(x.e AS p, " +
-          "concat(s.acc, substring(t, s.p + 1, x.s - s.p)) AS acc), " +
-          "s -> concat(s.acc, substring(t, s.p + 1, char_length(t) - s.p)))"))
+      .withColumn("kept_text", expr(KeptTextFold))
       .select(col("doc_id"), col("kept_text"),
         length(col("kept_text")).cast("long").as("n_chars_kept"))
       .orderBy("doc_id")
@@ -1321,6 +1346,48 @@ object DedupOps {
        |  WHERE fp.doc_id > own.owner
        |)""".stripMargin)
 
+  /** The corpus-membership ownership rule of the incremental excise
+    * oracles (vs the batch min-owner rule). */
+  private def incrementalOwnFdup: String = {
+    val m = IncrementalDeltaMod
+    s"""own AS (
+       |  SELECT f FROM fp WHERE doc_id % $m <> 0
+       |  GROUP BY f HAVING count(*) <= $NgramDfCap
+       |), fdup AS (
+       |  SELECT fp.doc_id, fp.f FROM fp JOIN own ON fp.f = own.f
+       |  WHERE fp.doc_id % $m = 0
+       |)""".stripMargin
+  }
+
+  /** The kept-text reconstruction oracle over any span CTE chain: the
+    * kept text is the concatenation of the INTER-span gaps (plus the
+    * tail past the last span); docs with no spans keep their whole
+    * normalized text — byte-identical to the Spark fold. */
+  private def exciseTextSqlFor(ctes: String, where: String): String =
+    s"""WITH $ctes, g1 AS (
+       |  SELECT doc_id,
+       |    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs,
+       |    s AS ge
+       |  FROM spans
+       |), allg AS (
+       |  SELECT * FROM g1
+       |  UNION ALL
+       |  SELECT sp.doc_id, MAX(sp.e) AS gs, MAX(length(n.t)) AS ge
+       |  FROM spans sp JOIN n ON n.doc_id = sp.doc_id
+       |  GROUP BY sp.doc_id
+       |), kt AS (
+       |  SELECT a.doc_id,
+       |    array_to_string(list(substr(n.t, a.gs + 1, a.ge - a.gs)
+       |      ORDER BY a.gs), '') AS kept
+       |  FROM allg a JOIN n ON n.doc_id = a.doc_id
+       |  GROUP BY a.doc_id
+       |)
+       |SELECT d.doc_id, COALESCE(kt.kept, $normSql) AS kept_text,
+       |  CAST(length(COALESCE(kt.kept, $normSql)) AS BIGINT) AS n_chars_kept
+       |FROM documents d LEFT JOIN kt ON kt.doc_id = d.doc_id
+       |$where
+       |ORDER BY d.doc_id""".stripMargin
+
   /** [[exciseSpansCtes]] with a caller-supplied owner/foreign rule —
     * the incremental oracle swaps min-owner for corpus-membership. */
   private def exciseSpansCtesWith(ownFdup: String): String = {
@@ -1624,15 +1691,7 @@ object DedupOps {
     },
     "q_substring_excise_incremental" -> {
       val m = IncrementalDeltaMod
-      val ownFdup =
-        s"""own AS (
-           |  SELECT f FROM fp WHERE doc_id % $m <> 0
-           |  GROUP BY f HAVING count(*) <= $NgramDfCap
-           |), fdup AS (
-           |  SELECT fp.doc_id, fp.f FROM fp JOIN own ON fp.f = own.f
-           |  WHERE fp.doc_id % $m = 0
-           |)""".stripMargin
-      s"""WITH ${exciseSpansCtesWith(ownFdup)}, cuts AS (
+      s"""WITH ${exciseSpansCtesWith(incrementalOwnFdup)}, cuts AS (
          |  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS cut_chars,
          |    CAST(count(*) AS BIGINT) AS n_spans
          |  FROM spans GROUP BY doc_id
@@ -1661,33 +1720,10 @@ object DedupOps {
          |FROM documents d LEFT JOIN cuts c ON d.doc_id = c.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
-    "q_substring_excise_text" -> {
-      // the kept text is the concatenation of the INTER-span gaps (plus
-      // the tail past the last span); docs with no spans keep their
-      // whole normalized text — byte-identical to the Spark fold
-      s"""WITH $exciseSpansCtes, g1 AS (
-         |  SELECT doc_id,
-         |    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs,
-         |    s AS ge
-         |  FROM spans
-         |), allg AS (
-         |  SELECT * FROM g1
-         |  UNION ALL
-         |  SELECT sp.doc_id, MAX(sp.e) AS gs, MAX(length(n.t)) AS ge
-         |  FROM spans sp JOIN n ON n.doc_id = sp.doc_id
-         |  GROUP BY sp.doc_id
-         |), kt AS (
-         |  SELECT a.doc_id,
-         |    array_to_string(list(substr(n.t, a.gs + 1, a.ge - a.gs)
-         |      ORDER BY a.gs), '') AS kept
-         |  FROM allg a JOIN n ON n.doc_id = a.doc_id
-         |  GROUP BY a.doc_id
-         |)
-         |SELECT d.doc_id, COALESCE(kt.kept, $normSql) AS kept_text,
-         |  CAST(length(COALESCE(kt.kept, $normSql)) AS BIGINT) AS n_chars_kept
-         |FROM documents d LEFT JOIN kt ON kt.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin
-    },
+    "q_substring_excise_text" -> exciseTextSqlFor(exciseSpansCtes, ""),
+    "q_substring_excise_incremental_text" ->
+      exciseTextSqlFor(exciseSpansCtesWith(incrementalOwnFdup),
+        s"WHERE d.doc_id % $IncrementalDeltaMod = 0"),
     "q_dedup_simhash" -> {
       val sums = (0 until 16).map(b =>
         s"SUM(CASE WHEN strpos('13579bdf', substr(md5(tok), ${b + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS s$b")

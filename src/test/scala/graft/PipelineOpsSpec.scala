@@ -487,6 +487,13 @@ class PipelineOpsSpec extends SparkSpec {
     // (the batch face over the delta alone); the incremental face cuts
     // only what the standing corpus owns
     assert(got(20L)._1 == 0 && got(30L)._1 == 0, got.toString)
+    // the TEXT face rebuilds the kept prose — the column a continuous
+    // ingest feeds to curation in place of text
+    val kept = DedupOps.substringExciseIncrementalText(planted)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!kept(10L).contains("shared passage") &&
+      kept(10L).contains("fresh reporting"), kept(10L))
+    assert(kept(20L).contains("lives only inside"), kept(20L))
   }
 
   test("dedupSubstringIncremental: the cross-set restriction of the passage pair universe") {
