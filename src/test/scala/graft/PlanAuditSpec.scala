@@ -371,6 +371,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q_mime_sniff / q_c4_badwords: pure row-level maps — no exchange but the sort") {
+    val sniff = plan(MultimodalOps.mimeSniff(Tables.documents(spark, sfDir)))
+    assert(hashExchangeCount(sniff) == 0, sniff)
+    assert(!sniff.contains("Join"), sniff)
+    val bw = plan(TextOps.c4Badwords(Tables.documents(spark, sfDir)))
+    assert(hashExchangeCount(bw) == 0, bw)
+    assert(!bw.contains("Join"), bw)
+  }
+
+  test("q_substring_excise_incremental: fingerprint-keyed only, no cartesian") {
+    graft.plans.GraftFunctions.register(spark)
+    val p = plan(DedupOps.substringExciseIncremental(Tables.documents(spark, sfDir)))
+    assert(p.contains("winnow_fingerprints"), p)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_gopher_rep: zero shuffles — the whole rule set is one per-doc pass") {
     val p = plan(TextOps.gopherRep(Tables.documents(spark, sfDir)))
     // all thirteen repetition rules are within-document: nothing but
