@@ -47,6 +47,46 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("backfill-scale incremental passage dedup: co-bucketed fingerprint indexes join exchange-free") {
+    import graft.operators.DedupOps
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val m = DedupOps.IncrementalDeltaMod
+    val fps = docs
+      .select(col("doc_id"), graft.functions.TextFuns.norm(col("text")).as("t"))
+      .filter(length(col("t")) >= DedupOps.WinnowK + DedupOps.WinnowW - 1)
+      .select(col("doc_id"), explode(call_function("winnow_fingerprints",
+        col("t"), lit(DedupOps.WinnowK), lit(DedupOps.WinnowW))).as("f"))
+    Tables.writeBucketed(fps.filter(pmod(col("doc_id"), lit(m)) =!= 0),
+      "corpus_fp_idx", "f", buckets = 8)
+    Tables.writeBucketed(fps.filter(pmod(col("doc_id"), lit(m)) === 0),
+      "delta_fp_idx", "f", buckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("delta_fp_idx").as("d")
+        .join(spark.table("corpus_fp_idx").as("c"), Seq("f"))
+        .select(col("d.doc_id").as("doc_new"), col("c.doc_id").as("doc_corpus"))
+      val p = joined.queryExecution.explainString(FormattedMode)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) == 0,
+        s"unexpected Exchange:\n$p")
+      // pair universe ≡ the inline operator (cap wide open on both so
+      // the df-cap asymmetry cannot bind)
+      val got = joined.groupBy("doc_new", "doc_corpus").count()
+        .filter(col("count") >= 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = DedupOps.dedupSubstringIncremental(docs, dfCap = 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"extra=${got -- expected} missing=${expected -- got}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS corpus_fp_idx")
+      spark.sql("DROP TABLE IF EXISTS delta_fp_idx")
+    }
+  }
+
   test("co-bucketed fact tables join without any Exchange") {
     val li = Tables.lineitem(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)
