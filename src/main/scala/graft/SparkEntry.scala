@@ -126,6 +126,8 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => TextOps.quality(Tables.documents(s, dir))),
     "q_gopher" -> ((s, dir) => TextOps.gopher(Tables.documents(s, dir))),
     "q_gopher_rep" -> ((s, dir) => TextOps.gopherRep(Tables.documents(s, dir))),
+    "q_dedup_lines_within" -> ((s, dir) =>
+      TextOps.dedupLinesWithin(Tables.documents(s, dir))),
     "q_c4_clean" -> ((s, dir) => TextOps.c4Clean(Tables.documents(s, dir))),
     "q_c4_badwords" -> ((s, dir) => TextOps.c4Badwords(Tables.documents(s, dir))),
     "q_tokens" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),

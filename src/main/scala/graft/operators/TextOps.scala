@@ -510,6 +510,45 @@ object TextOps {
     gopherRepOf(documents.withColumn("text", concat(col("text"), aug)))
   }
 
+  /** Planted tails for `q_dedup_lines_within` (both engines, doc_id %
+    * 4): an interleaved nav-menu repeat, a triple footer, and a
+    * no-duplicate control. */
+  private[graft] val DedupLinesAug: Seq[String] = Seq(
+    "",
+    "\nnav menu home\nsome body text here\nnav menu home",
+    "\nfooter fine print\nfooter fine print\nfooter fine print",
+    "\nunique line one\nunique line two")
+
+  /** §2-169 `q_dedup_lines_within`: WITHIN-document duplicate-line
+    * removal — the page-local scrub real cleaners run before any
+    * scoring (nav menus, footers, and cookie banners repeat INSIDE a
+    * page; row 104's `q_dedup_lines` dedups segments across the
+    * corpus, this transform fixes the page itself): keep each line's
+    * FIRST occurrence in order, rejoin. Output (doc_id, n_lines,
+    * n_kept, kept_text) with the kept TEXT hash-checked byte-identical
+    * (the excise-text discipline). Spark side is one order-preserving
+    * `array_distinct`; the oracle replays it as a rank-1 window over
+    * line positions. Pure row-level map, zero shuffles. */
+  def dedupLinesWithinOf(documents: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = array_distinct(lines)
+    documents.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  /** [[dedupLinesWithinOf]] on the planted-augmented corpus (the
+    * `queries()` binding — the fixture-outside-operator convention). */
+  def dedupLinesWithin(documents: DataFrame): DataFrame = {
+    val aug = when(col("doc_id") % 4 === 1, lit(DedupLinesAug(1)))
+      .when(col("doc_id") % 4 === 2, lit(DedupLinesAug(2)))
+      .when(col("doc_id") % 4 === 3, lit(DedupLinesAug(3)))
+      .otherwise(lit(""))
+    dedupLinesWithinOf(documents.withColumn("text", concat(col("text"), aug)))
+  }
+
   /** The benchmark blocklist for `q_c4_badwords` — corpus-vocabulary
     * words so the gate genuinely bites at every SF (in production this
     * is the C4 paper's public "dirty/naughty" word list). */
@@ -823,6 +862,31 @@ object TextOps {
          |SELECT *, CASE $cases ELSE '${langs.last}' END AS pred_lang
          |FROM s
          |ORDER BY doc_id""".stripMargin
+    },
+    "q_dedup_lines_within" -> {
+      s"""WITH d AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 4 = 1 THEN ${TextFuns.sqlLit(DedupLinesAug(1))}
+         |         WHEN doc_id % 4 = 2 THEN ${TextFuns.sqlLit(DedupLinesAug(2))}
+         |         WHEN doc_id % 4 = 3 THEN ${TextFuns.sqlLit(DedupLinesAug(3))}
+         |         ELSE '' END AS text
+         |  FROM documents
+         |), t AS (
+         |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM d
+         |), x AS (
+         |  SELECT doc_id, p, ls[p] AS line, len(ls) AS nl
+         |  FROM (SELECT doc_id, ls,
+         |          unnest(generate_series(1, len(ls))) AS p FROM t)
+         |), k AS (
+         |  SELECT doc_id, p, line, nl,
+         |    row_number() OVER (PARTITION BY doc_id, line ORDER BY p) AS rn
+         |  FROM x
+         |)
+         |SELECT doc_id, CAST(MAX(nl) AS BIGINT) AS n_lines,
+         |  CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+         |  array_to_string(list(line ORDER BY p) FILTER (rn = 1), chr(10))
+         |    AS kept_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "q_gopher_rep" -> {
       s"""WITH d AS (

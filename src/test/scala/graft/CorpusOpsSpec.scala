@@ -665,6 +665,19 @@ class CorpusOpsSpec extends SparkSpec {
       lmBandP6 = (999999L, 1000000L), repetition = false).count() == 0)
   }
 
+  test("dedupLinesWithinOf: first occurrence survives in order, the rest drop") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nnav"),
+      (2L, "only\ndistinct\nlines"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dedupLinesWithinOf(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((5L, 3L, "nav\nbody one\nbody two")), got(1L))
+    assert(got(2L) == ((3L, 3L, "only\ndistinct\nlines")), got(2L))
+  }
+
   test("gopherRepOf: all thirteen repetition rules fire on planted docs") {
     import spark.implicits._
     // 40 distinct even-length words: long enough that a single
