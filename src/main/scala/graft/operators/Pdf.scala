@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   * mojibake):
   *  - classic cross-reference PDFs; content streams stored IDENTITY or
   *    `FlateDecode` (zlib — `java.util.zip.Inflater`, the offline-JVM
-  *    twin of the compressRatio Deflater). Any other `/Filter`
+  *    twin of the compressRatio Deflater, output BOMB-GUARDED at
+  *    max(64 × input, 1 MiB) ∧ 64 MiB — the `http_inflate` discipline;
+  *    overflow quarantines the doc as `bomb`). Any other `/Filter`
   *    (DCT/LZW/ASCII85/...) skips that stream; a doc with ONLY such
   *    streams quarantines as `filter`.
   *  - text = the show operators (`Tj`, `'`, `"`, `[...] TJ`) of the
@@ -51,30 +53,57 @@ object PdfOps {
   private def latin1(bytes: Array[Byte], from: Int, until: Int): String =
     new String(bytes, from, until - from, java.nio.charset.StandardCharsets.ISO_8859_1)
 
-  private[graft] def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+  /** Output cap for [[inflate]] — the [[graft.plans.HttpCodec]] bomb
+    * discipline scaled to PDF content streams: a legitimate text stream
+    * deflates well under 64:1, so the cap is max(64 × input, 1 MiB)
+    * with the estate-wide 64 MiB hard ceiling
+    * ([[graft.plans.HttpCodec.MaxInflate]]). A crafted high-ratio
+    * stream (zip bomb) hits the cap and quarantines instead of
+    * ballooning a task's heap. */
+  private[graft] def inflateCap(inputLen: Int): Int =
+    math.max(
+      math.min(64L * math.max(inputLen, 1),
+        graft.plans.HttpCodec.MaxInflate.toLong),
+      1L << 20).toInt
+
+  /** zlib-decode one FlateDecode stream: Right(bytes), Left("corrupt")
+    * on a malformed/truncated stream (the stream is skipped, matching
+    * the unsupported-filter route), Left("bomb") when output exceeds
+    * [[inflateCap]] (the whole doc quarantines — a hostile payload gets
+    * no further walk). */
+  private[graft] def inflate(data: Array[Byte]): Either[String, Array[Byte]] = {
+    val cap = inflateCap(data.length)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+      val out = new java.io.ByteArrayOutputStream(
+        math.max(64, math.min(data.length * 4, 1 << 20)))
       val buf = new Array[Byte](8192)
       while (!inf.finished()) {
         val n = inf.inflate(buf)
         if (n == 0) {
-          if (inf.needsInput() || inf.needsDictionary()) return None
-        } else out.write(buf, 0, n)
+          if (inf.needsInput() || inf.needsDictionary()) return Left("corrupt")
+        } else {
+          if (out.size + n > cap) return Left("bomb")
+          out.write(buf, 0, n)
+        }
       }
-      Some(out.toByteArray)
+      Right(out.toByteArray)
     } catch {
-      case _: java.util.zip.DataFormatException => None
+      case _: java.util.zip.DataFormatException => Left("corrupt")
     } finally inf.end()
   }
 
-  /** Show-operator text of ONE decoded content stream. Sequential
+  /** Show-operator text of ONE decoded content stream, plus whether any
+    * show operator appeared AT ALL (the structural signal — a `() Tj`
+    * empty show still marks the stream as a text stream, so stream
+    * accounting does not depend on the text's length). Sequential
     * tokenizer: string literals and hex strings buffer as PENDING;
     * a show operator (`Tj`, `TJ`, `'`, `"`) emits the buffer, any other
     * alphabetic operator clears it (numbers and names between strings —
     * the `[...] TJ` kerning shape — do not). */
-  private[graft] def streamText(content: Array[Byte]): String = {
+  private[graft] def streamText(content: Array[Byte]): (String, Boolean) = {
+    var sawShow = false
     val out = new java.lang.StringBuilder
     val pending = new java.lang.StringBuilder
     var i = 0
@@ -143,17 +172,22 @@ object PdfOps {
           c(j) == '\'' || c(j) == '"')) j += 1
         val op = latin1(content, i, j)
         if (op == "Tj" || op == "TJ" || op == "'" || op == "\"") {
+          sawShow = true
           out.append(pending)
           pending.setLength(0)
         } else pending.setLength(0) // a non-show operator consumed them
         i = j
       } else i += 1
     }
-    out.toString
+    (out.toString, sawShow)
   }
 
   /** Walk one PDF payload: Left(reason) or Right(text, nStreams) where
-    * nStreams counts the DECODED content streams that contributed. */
+    * nStreams counts the DECODED content streams carrying at least one
+    * show operator. Reasons: `not_pdf`, `encrypted`, `filter` (only
+    * unsupported filters present), `no_text` (no show-operator
+    * streams), `bomb` (a FlateDecode stream exceeded [[inflateCap]] —
+    * the walk stops immediately on a hostile payload). */
   private[graft] def pdfTextWalk(bytes: Array[Byte]): Either[String, (String, Int)] = {
     if (bytes.length < 8 || indexOf(bytes, "%PDF-", 0) != 0) return Left("not_pdf")
     // the trailer lives at the tail; scanning the whole file would read
@@ -202,13 +236,21 @@ object PdfOps {
             if (dataEnd > dataStart && bytes(dataEnd - 1) == '\r') dataEnd -= 1
           }
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-          val decoded =
-            if (dict.contains("/FlateDecode")) inflate(raw)
+          val decoded: Option[Array[Byte]] =
+            if (dict.contains("/FlateDecode")) inflate(raw) match {
+              case Right(d)     => Some(d)
+              case Left("bomb") => return Left("bomb") // hostile: stop the walk
+              case Left(_)      => None // corrupt stream: skip, like /Filter
+            }
             else if (dict.contains("/Filter")) { sawUnsupported = true; None }
             else Some(raw)
           decoded.foreach { d =>
-            val t = streamText(d)
-            if (t.nonEmpty) { out.append(t); nStreams += 1 }
+            val (t, sawShow) = streamText(d)
+            // structural count: a stream with a show operator is a text
+            // stream even when the shown text is empty — oracle parity
+            // (q_pdf_text's constant n_streams) must not depend on the
+            // corpus text's length
+            if (sawShow) { out.append(t); nStreams += 1 }
           }
           pos = e + "endstream".length
         }

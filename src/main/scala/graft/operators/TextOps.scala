@@ -465,36 +465,25 @@ object TextOps {
     * integer comparison, no float forms.
     *
     * Scale shape: every rule is WITHIN-document, so the whole gate is
-    * ONE zero-shuffle per-doc pass (mapPartitions — the compressRatio
-    * precedent: per-doc hash maps beat exploding a 9×-token gram
-    * stream through windows; measured 13.3 s → sub-second at sf0.1).
-    * At 100 TB it fuses into the ingest scan exactly like [[gopher]],
-    * the row-level half of the published filter. */
+    * ONE zero-shuffle per-doc pass — the native struct expression
+    * `gopher_rep_flags` (round 18; [[graft.plans.GopherRepFlags]],
+    * [[graft.plans.GopherRepCore]] shared with the fused
+    * `gopher_rep_pass` gate, so operator and gate cannot drift). The
+    * per-doc hash-map pass beats exploding a 9×-token gram stream
+    * through windows (measured 13.3 s → sub-second at sf0.1); staying a
+    * codegen'd expression (not an RDD hop) keeps the face inside
+    * Tungsten and NULL-SAFE: a null text row emits (n_lines = 0,
+    * tok_chars = 0, all-false, rep_pass = false) — the gate's
+    * null → false, not an NPE. At 100 TB it fuses into the ingest scan
+    * exactly like [[gopher]], the row-level half of the published
+    * filter. */
   def gopherRepOf(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val names = Seq("dup_line_ok", "dup_para_ok", "dup_line_char_ok",
-      "dup_para_char_ok") ++ Seq(2, 3, 4).map(n => s"top${n}_ok") ++
-      (5 to 10).map(n => s"dup${n}_ok")
-    val schema = StructType(
-      Seq(StructField("doc_id", LongType), StructField("n_lines", LongType),
-        StructField("tok_chars", LongType)) ++
-        names.map(StructField(_, BooleanType)) :+
-        StructField("rep_pass", BooleanType))
-    val rdd = documents.select(col("doc_id").cast("long"), col("text"))
-      .rdd.mapPartitions { it =>
-        it.map { r =>
-          // the SHARED core ([[graft.plans.GopherRepCore]]) — one
-          // implementation with the fused `gopher_rep_pass` gate
-          // expression, so operator and gate cannot drift
-          val (nLines, tokChars, f) =
-            graft.plans.GopherRepCore.flags(r.getString(1))
-          Row.fromSeq(Seq(r.getLong(0), nLines, tokChars) ++
-            f.toSeq :+ f.forall(identity))
-        }
-      }
-    spark.createDataFrame(rdd, schema).orderBy("doc_id")
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        call_function("gopher_rep_flags", col("text")).as("f"))
+      .select(col("doc_id"), col("f.*"))
+      .orderBy("doc_id")
   }
 
   /** [[gopherRepOf]] on the planted-augmented corpus (the `queries()`

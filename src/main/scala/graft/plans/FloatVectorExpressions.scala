@@ -202,6 +202,9 @@ object GraftFunctions {
     (FunctionIdentifier("gopher_rep_pass"),
       new ExpressionInfo(classOf[GopherRepPass].getName, "gopher_rep_pass"),
       (es: Seq[Expression]) => GopherRepPass(es(0))),
+    (FunctionIdentifier("gopher_rep_flags"),
+      new ExpressionInfo(classOf[GopherRepFlags].getName, "gopher_rep_flags"),
+      (es: Seq[Expression]) => GopherRepFlags(es(0))),
     (FunctionIdentifier("http_dechunk"),
       new ExpressionInfo(classOf[HttpDechunk].getName, "http_dechunk"),
       (es: Seq[Expression]) => HttpDechunk(es(0))),

@@ -14,6 +14,14 @@ object GopherRepCore {
   val DupGramPct: Map[Int, Int] =
     Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
 
+  /** The 13 rule names in [[flags]]' declaration order — shared by the
+    * operator face and the struct expression so field order cannot
+    * drift. */
+  val FlagNames: Seq[String] =
+    Seq("dup_line_ok", "dup_para_ok", "dup_line_char_ok",
+      "dup_para_char_ok") ++ Seq(2, 3, 4).map(n => s"top${n}_ok") ++
+      (5 to 10).map(n => s"dup${n}_ok")
+
   /** (n_lines, tok_chars, the 13 rule booleans in declaration order). */
   def flags(text: String): (Long, Long, Array[Boolean]) = {
     val lines = text.split("\n", -1)
@@ -117,5 +125,29 @@ object GopherRepCore {
   def pass(text: org.apache.spark.unsafe.types.UTF8String): Boolean = {
     if (text == null) return false
     flags(text.toString)._3.forall(identity)
+  }
+
+  /** [[flags]] as an InternalRow — the struct face (called from
+    * [[GopherRepFlags]]'s eval AND generated code). NULL-SAFE by
+    * construction: null text → (n_lines = 0, tok_chars = 0, all rules
+    * false, rep_pass = false), matching [[pass]]'s null → false — a
+    * null row must not NPE a task, and must not pass the gate. */
+  def flagsRow(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val vals = new Array[Any](16)
+    if (text == null) {
+      vals(0) = 0L
+      vals(1) = 0L
+      var i = 2
+      while (i < 16) { vals(i) = false; i += 1 }
+    } else {
+      val (nLines, tokChars, f) = flags(text.toString)
+      vals(0) = nLines
+      vals(1) = tokChars
+      var i = 0
+      while (i < 13) { vals(i + 2) = f(i); i += 1 }
+      vals(15) = f.forall(identity)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
 }

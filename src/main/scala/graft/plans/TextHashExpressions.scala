@@ -443,7 +443,10 @@ case class GopherRepPass(child: Expression) extends UnaryExpression {
         s"$prettyName requires string, got ${other.sql}")
     }
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
-  override def nullable: Boolean = false
+  // nullSafeEval/nullSafeCodeGen null-propagate, so the declared
+  // nullability must track the child's — declaring false while a null
+  // child yields null lets a projection read an undefined value
+  override def nullable: Boolean = child.nullable
   override def prettyName: String = "gopher_rep_pass"
 
   override protected def nullSafeEval(input: Any): Any =
@@ -456,4 +459,51 @@ case class GopherRepPass(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): GopherRepPass =
     copy(child = newChild)
+}
+
+/** `gopher_rep_flags(text)` → the full Gopher REPETITION verdict struct
+  * (n_lines, tok_chars, the 13 rule booleans, rep_pass) — the
+  * detail-emitting twin of [[GopherRepPass]], same [[GopherRepCore]],
+  * so gate and detail cannot drift. NEVER null: a null text evaluates
+  * to the gate's verdict shape (0 lines, all-false, rep_pass = false)
+  * inside [[GopherRepCore.flagsRow]] — `TextOps.gopherRepOf` rides this
+  * instead of an RDD hop, so the operator face stays inside Tungsten
+  * AND null-safe (round 18; was an NPE through `text.split`). */
+case class GopherRepFlags(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.sql}")
+    }
+  override def dataType: DataType = GopherRepFlags.schema
+  override def nullable: Boolean = false
+  override def prettyName: String = "gopher_rep_flags"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    GopherRepCore.flagsRow(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+          |InternalRow ${ev.value} = graft.plans.GopherRepCore.flagsRow(
+          |  ${c.isNull} ? null : ${c.value});
+          |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherRepFlags =
+    copy(child = newChild)
+}
+
+object GopherRepFlags {
+  import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+  /** Field order = [[GopherRepCore.flagsRow]]'s slot order. */
+  val schema: StructType = StructType(
+    Seq(StructField("n_lines", LongType), StructField("tok_chars", LongType)) ++
+      GopherRepCore.FlagNames.map(StructField(_, BooleanType)) :+
+      StructField("rep_pass", BooleanType))
 }

@@ -717,6 +717,33 @@ class CorpusOpsSpec extends SparkSpec {
     Seq(1L, 2L, 3L, 4L).foreach(id => assert(!flag(id, "rep_pass"), id.toString))
   }
 
+  test("gopherRepOf: null text emits the gate's verdict shape, never an NPE") {
+    import spark.implicits._
+    // 40 distinct words — long enough that no single n-gram trips the
+    // top-gram char-mass thresholds (same construction as the rules test)
+    val clean = (1 to 40).map(i => f"w$i%02d").mkString(" ")
+    val planted = Seq((0L, Option(clean)), (1L, None))
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRepOf(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val cols = TextOps.gopherRepOf(planted).columns
+    // the null row: 0 lines, 0 tok chars, every rule false, rep_pass
+    // false — matching gopher_rep_pass(null) = false (null-safe eval)
+    val nullRow = got(1L)
+    assert(nullRow.getLong(cols.indexOf("n_lines")) == 0L)
+    assert(nullRow.getLong(cols.indexOf("tok_chars")) == 0L)
+    (cols.indexOf("tok_chars") + 1 until cols.length).foreach { i =>
+      assert(!nullRow.getBoolean(i), s"${cols(i)} should be false on null text")
+    }
+    assert(got(0L).getBoolean(cols.indexOf("rep_pass")))
+    // the plan stays inside Tungsten: the native struct expression over
+    // the parquet scan, not an RDD hop materializing a new scan (the
+    // local planted frame above constant-folds, so pin on `docs`)
+    val plan = TextOps.gopherRepOf(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("gopher_rep_flags") && !plan.contains("Scan ExistingRDD"),
+      plan)
+  }
+
   test("gopher_rep_pass gate: shared core with gopherRepOf, composes into the manifest") {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
