@@ -1480,15 +1480,28 @@ object CrawlOps {
     linesOf(hosts.withColumn("body", body))
   }
 
+  /** RFC 9309 §2.4 parse limit: a crawler MAY cap robots.txt parsing at
+    * >= 500 KiB — without it one hostile multi-GB body becomes one
+    * hostile multi-GB line frame in the explode below. Applied on
+    * CHARACTERS of the decoded body (robots directives are ASCII, so
+    * chars = bytes for everything the grammar reads). */
+  private[graft] val MaxRobotsChars: Int = 500 * 1024
+
   /** Line-explode of ANY (source, body) robots frame — the general face
     * real crawled robots.txt bodies enter through (CRLF and bare-LF
     * alike); the synthetic universe rides the same path via
-    * [[robotsLines]], so the two cannot parse differently. */
-  private[graft] def linesOf(bodies: DataFrame): DataFrame =
+    * [[robotsLines]], so the two cannot parse differently. Bodies cap
+    * at [[MaxRobotsChars]] (round 18): rules parse from the kept
+    * prefix, and a line the truncation cut mid-directive drops rather
+    * than parse mangled. */
+  private[graft] def linesOf(bodies: DataFrame): DataFrame = {
+    val lines = split(substring(col("body"), 1, MaxRobotsChars), "\r?\n")
+    val kept = when(length(col("body")) > MaxRobotsChars,
+      slice(lines, lit(1), greatest(size(lines) - 1, lit(0)))).otherwise(lines)
     bodies
-      .select(col("source"),
-        posexplode(split(col("body"), "\r?\n")).as(Seq("pos", "line")))
-      .localCheckpoint(false) // tiny; consumed by several branches
+      .select(col("source"), posexplode(kept).as(Seq("pos", "line")))
+      .localCheckpoint(false) // hosts-bounded; consumed by several branches
+  }
 
   /** [[robotsParse]] / [[crawlDelayOf]] / [[sitemapUrlOf]] over ANY
     * (source, body) frame of REAL robots.txt text — e.g. robots records

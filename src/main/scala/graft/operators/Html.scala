@@ -347,16 +347,20 @@ object HtmlOps {
           // magic-byte gate (round 17): a KNOWN binary signature behind
           // a text-ish declaration is the lie the header gate cannot
           // see — it would charset-decode into mojibake. Deliberately
-          // CONSERVATIVE: only unambiguous ≥4-byte magics gate (no BM/
-          // PK two-byte prefixes, no octet-stream fallback — UTF-16 and
-          // legacy-multibyte pages legitimately fail a printable-ASCII
-          // test and must stay on the charset-decode route). Sniffs the
-          // de-chunked, inflated entity (_raw); null _raw skips to the
-          // framing reasons below
+          // CONSERVATIVE: only unambiguous magics gate — ≥4 bytes, or
+          // shape-validated shorter ones (gzip's 1F 8B checks its CM
+          // byte 08 too; MP3's ID3 validates the full 10-byte ID3v2
+          // header shape) — no BM/PK two-byte prefixes, no octet-stream
+          // fallback: UTF-16 and legacy-multibyte pages legitimately
+          // fail a printable-ASCII test and must stay on the
+          // charset-decode route. Sniffs the de-chunked, inflated
+          // entity (_raw); null _raw skips to the framing reasons below
           .when(call_function("magic_mime",
             substring(col("_raw"), 1, 512)).isin(
               "image/png", "image/gif", "image/jpeg", "application/pdf",
-              "audio/wav", "video/avi", "application/gzip", "image/qoi"),
+              "audio/wav", "video/avi", "application/gzip", "image/qoi",
+              "image/webp", "video/mp4", "audio/mp4", "application/ogg",
+              "audio/mpeg", "font/woff", "font/woff2"),
             lit("sniff"))
           .when(col("_te_other"), lit("transfer-encoding"))
           .when(col("_chunked") && col("_raw1").isNull, lit("chunked"))
@@ -1059,9 +1063,13 @@ object HtmlOps {
       // unquoted <a rel=nofollow href=...> must drop too. The trailing
       // class is the hard boundary a bare "nofollow" needs so
       // rel="nofollower" does NOT match — every tag ends in '>', so a
-      // real directive is always followed by one of these
+      // real directive is always followed by one of these. The LEADING
+      // class anchors `rel` to an attribute boundary (whitespace or a
+      // closing quote) so `rel=nofollow` TEXT inside another
+      // attribute's value — <a href="/out?rel=nofollow"> — does not
+      // drop a followable link (round 18)
       .filter(!col("tag").rlike(
-        s"(?i)rel$ws=$ws[\"']?([^\"'>]*[ ,])?nofollow[ ,\"'>\\t\\n\\f\\r]"))
+        s"(?i)[ \"'\\t\\n\\f\\r]rel$ws=$ws[\"']?([^\"'>]*[ ,])?nofollow[ ,\"'>\\t\\n\\f\\r]"))
       .select(col("page_url"),
         UrlOps.canonIdn(UrlOps.resolve(col("_base"),
           regexp_extract(col("tag"),
@@ -1156,10 +1164,12 @@ object HtmlOps {
   /** rel=next CYCLES (round 17) — [[paginationChainsOf]] detects heads
     * by anti-join, so a cycle (`a → b → a`, the shape a session-id trap
     * mints) has no head and its members silently vanish from the chain
-    * output. This face SURFACES them: follow each page's unique next
-    * pointer up to `maxParts` hops; returning to the start marks the
-    * whole orbit. Output (chain_key = the orbit's lexicographic-min
-    * member, page_url, cycle_len) — a consumer drops these from the
+    * output. This face SURFACES them: follow every next pointer up to
+    * `maxParts` hops; returning to the start marks the orbit, and the
+    * orbit itself is the MUTUALLY-reachable set (round 18) — a page
+    * with several rel=next edges cannot drag off-orbit pages into the
+    * key or the length. Output (chain_key = the orbit's
+    * lexicographic-min member, page_url, cycle_len) — a consumer drops these from the
     * reassembly frame, or feeds the URLs to the trap ledger beside
     * [[graft.operators.CrawlOps.crawlTrapsBy]]. Orbits longer than
     * `maxParts` stay invisible, the same bound the chain walk already
@@ -1178,10 +1188,18 @@ object HtmlOps {
     val visited = walks.reduce(_.unionByName(_)).localCheckpoint(false)
     val onCycle = visited.filter(col("cur") === col("start"))
       .select(col("start")).distinct()
-    // the walk from a cycle member covers its whole orbit within the
-    // bound, so min(visited) IS the orbit key and count(distinct) its
-    // length — identical for every member, no second pass needed
-    visited.join(onCycle, Seq("start"))
+    // the ORBIT is the mutually-reachable set, not everything the walk
+    // touched: a page minting MULTIPLE rel=next edges (round 18 — the
+    // trap shape allows it) lets the walk stray off-orbit, which would
+    // skew min(cur) and overstate countDistinct. Keep (start, cur)
+    // only when start is also reachable FROM cur — the strongly-
+    // connected component within the hop bound
+    val orbit = visited.join(
+      visited.select(col("start").as("cur"), col("cur").as("_back")),
+      Seq("cur"))
+      .filter(col("_back") === col("start"))
+      .select(col("start"), col("cur"))
+    orbit.join(onCycle, Seq("start"))
       .groupBy(col("start"))
       .agg(min(col("cur")).as("chain_key"),
         countDistinct(col("cur")).as("cycle_len"))

@@ -576,6 +576,25 @@ object TextOps {
   def c4Badwords(documents: DataFrame): DataFrame =
     c4BadwordsOf(documents, C4Badwords)
 
+  /** Load a ONE-WORD-PER-LINE blocklist artifact — the shape the C4
+    * paper's public "dirty/naughty" list ships in, so deploying the
+    * published gate is one call instead of ten re-implemented lines
+    * (round 18; the `readTokenizer` persisted-artifact precedent).
+    * Blank lines and `#` comments drop; words lowercase to match the
+    * normalized token stream. The list is KBs at any corpus size, so
+    * it collects to the driver ONCE and parameterizes the codegen'd
+    * row-level gate — a list, not a join side. */
+  def readBadwords(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Seq[String] =
+    spark.read.textFile(path).collect().toSeq
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(w => w.nonEmpty && !w.startsWith("#"))
+      .distinct
+
+  /** [[c4BadwordsOf]] straight off a blocklist artifact file. */
+  def c4BadwordsOf(documents: DataFrame, path: String): DataFrame =
+    c4BadwordsOf(documents, readBadwords(documents.sparkSession, path))
+
   /** The fixture-free face of [[c4Clean]]: the C4 line filter over the
     * frame's OWN `text` column, no planted material — what a user runs
     * on their corpus. Requires (doc_id, text). */

@@ -6,13 +6,21 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Magic-byte MIME sniffing (round 17) — the ingest routing signal for
-  * when the Content-Type header LIES (the exact failure the media-type
-  * gate documents: a latin-1-declared JPEG "decodes" into mojibake).
-  * Deterministic, content-only, first-match over the estate's own
-  * decodable formats plus the common containers; a printable-ASCII
-  * head (first 64 bytes ∈ {TAB, LF, CR, 0x20..0x7E}) reads text/plain,
-  * anything else application/octet-stream. Pure JVM so the expression
+/** Magic-byte MIME sniffing (round 17; extended round 18) — the ingest
+  * routing signal for when the Content-Type header LIES (the exact
+  * failure the media-type gate documents: a latin-1-declared JPEG
+  * "decodes" into mojibake). Deterministic, content-only, first-match
+  * over the estate's own decodable formats plus the common web media
+  * containers the real web actually serves behind lying headers —
+  * MP4/M4A (`ftyp` box), WebP (RIFF fourcc), Ogg (`OggS`), MP3 (ID3v2
+  * header, SHAPE-validated: version byte < 0x20, flags low nibble 0,
+  * sync-safe size bytes — a text page starting "ID3 ..." never
+  * matches), WOFF/WOFF2 — so the declared-vs-sniffed audit can NAME
+  * what the bytes are instead of octet-stream. A printable-ASCII head
+  * (first 64 bytes ∈ {TAB, LF, CR, 0x20..0x7E}) reads text/plain,
+  * anything else application/octet-stream. gzip checks its 3rd byte
+  * too (08 = deflate, the only defined CM), so the short prefix is as
+  * unambiguous as the 4-byte magics. Pure JVM so the expression
   * codegen calls it directly. */
 object MagicMime {
 
@@ -34,8 +42,27 @@ object MagicMime {
     if (ascii(b, 0, "RIFF") && b.length >= 12) {
       if (ascii(b, 8, "WAVE")) return "audio/wav"
       if (ascii(b, 8, "AVI ")) return "video/avi"
+      if (ascii(b, 8, "WEBP")) return "image/webp"
     }
-    if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
+    // ISO-BMFF: a 4-byte box size then `ftyp`; the major brand names
+    // the flavor (M4A = audio-only)
+    if (b.length >= 8 && ascii(b, 4, "ftyp"))
+      return if (b.length >= 11 && ascii(b, 8, "M4A")) "audio/mp4"
+      else "video/mp4"
+    if (ascii(b, 0, "OggS")) return "application/ogg"
+    if (ascii(b, 0, "wOFF")) return "font/woff"
+    if (ascii(b, 0, "wOF2")) return "font/woff2"
+    // ID3v2: "ID3", version (major < 0x20, minor < 0x20 — any printable
+    // text byte is >= 0x20), flags low nibble zero, 4 sync-safe size
+    // bytes — the shape check keeps a text page starting "ID3 ..." out
+    if (b.length >= 10 && ascii(b, 0, "ID3") && (b(3) & 0xff) < 0x20 &&
+      (b(4) & 0xff) < 0x20 && (b(5) & 0x0f) == 0 && (b(6) & 0x80) == 0 &&
+      (b(7) & 0x80) == 0 && (b(8) & 0x80) == 0 && (b(9) & 0x80) == 0)
+      return "audio/mpeg"
+    // gzip: 1F 8B + CM byte 08 (deflate, RFC 1952's only defined
+    // method) — 3 bytes, as unambiguous as the 4-byte magics
+    if (b.length >= 3 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b &&
+      b(2) == 8)
       return "application/gzip"
     if (ascii(b, 0, "PK")) return "application/zip"
     if (ascii(b, 0, "qoif")) return "image/qoi"

@@ -808,6 +808,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(keptAll == Set(10L, 11L), keptAll)
   }
 
+  test("c4Badwords artifact face: a one-word-per-line file round-trips the gate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_badwords")
+    val f = dir.resolve("badwords.txt")
+    // the published-list shape: one word per line, comments, a blank
+    // line, mixed case, a duplicate
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      "# the public blocklist", "", "SLOW", "ass", "slow"))
+    val words = TextOps.readBadwords(spark, f.toString)
+    assert(words.sorted == Seq("ass", "slow"), words.toString)
+    val planted = Seq(
+      (1L, "a clean page of plain words"),
+      (2L, "this one runs slow in places"),
+      (3L, "massage and classes and molasses"))
+      .toDF("doc_id", "text")
+    val viaFile = TextOps.c4BadwordsOf(planted, f.toString)
+    val viaList = TextOps.c4BadwordsOf(planted, Seq("slow", "ass"))
+    assert(viaFile.exceptAll(viaList).count() == 0 &&
+      viaList.exceptAll(viaFile).count() == 0)
+  }
+
   test("curateFullOf: the compress band drops both tails, keeps prose") {
     import spark.implicits._
     val normal = curateFullBase

@@ -462,6 +462,29 @@ class HtmlUrlSpec extends SparkSpec {
     assert(rulesFor("*") == Set(("h1", "/s"), ("h3", "/fallback")), rulesFor("*"))
   }
 
+  test("robots body caps at 500 KiB (RFC 9309 §2.4): prefix parses, host stays gated") {
+    import spark.implicits._
+    import graft.operators.CrawlOps
+    // a hostile oversized body: real rules in the first KB, then megabytes
+    // of filler lines, then a rule ONLY past the cap — the kept prefix
+    // must parse (the host stays gated), the past-cap rule must not,
+    // and the line the cut lands inside must drop, not parse mangled
+    val filler = ("# " + "x" * 96 + "\n") * ((2 * 1024 * 1024) / 99)
+    val body = "User-agent: *\nDisallow: /gated\n" + filler +
+      "Disallow: /past-the-cap\n"
+    assert(body.length > CrawlOps.MaxRobotsChars)
+    val bodies = Seq(("h1", body)).toDF("source", "body")
+    val (rules, _, _) = CrawlOps.parseRobotsBodies(bodies)
+    val got = rules.collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(got == Set(("/gated", false)), got.toString)
+    // and a body exactly under the cap keeps its final rule
+    val small = "User-agent: *\nDisallow: /gated\nDisallow: /tail"
+    val (rules2, _, _) = CrawlOps.parseRobotsBodies(
+      Seq(("h2", small)).toDF("source", "body"))
+    assert(rules2.collect().map(_.getString(1)).toSet ==
+      Set("/gated", "/tail"))
+  }
+
   test("robotsParse scopes to the * group and equals the declared rules table") {
     import spark.implicits._
     import graft.operators.CrawlOps
@@ -1297,11 +1320,21 @@ class HtmlUrlSpec extends SparkSpec {
       // a 3-orbit keyed by its lexicographic-min member
       pg("http://s.example/tri/m", Some("/tri/a")),
       pg("http://s.example/tri/a", Some("/tri/z")),
-      pg("http://s.example/tri/z", Some("/tri/m")))
+      pg("http://s.example/tri/z", Some("/tri/m")),
+      // a 2-orbit whose member ALSO mints a second, off-orbit next edge
+      // (round 18): the stray target must not skew the orbit's key or
+      // its length — the orbit is the mutually-reachable set
+      ("http://s.example/dbl/p",
+        "<html><head><link rel=\"next\" href=\"/dbl/q\">" +
+          "<link rel=\"next\" href=\"/dbl/0stray\"></head><body>p</body></html>"),
+      pg("http://s.example/dbl/q", Some("/dbl/p")),
+      pg("http://s.example/dbl/0stray", None))
       .toDF("page_url", "html")
     val got = HtmlOps.paginationCyclesOf(pages).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(got.toSeq == Seq(
+      ("http://s.example/dbl/p", "http://s.example/dbl/p", 2L),
+      ("http://s.example/dbl/p", "http://s.example/dbl/q", 2L),
       ("http://s.example/loop/x", "http://s.example/loop/x", 2L),
       ("http://s.example/loop/x", "http://s.example/loop/y", 2L),
       ("http://s.example/tri/a", "http://s.example/tri/a", 3L),
@@ -1448,12 +1481,16 @@ class HtmlUrlSpec extends SparkSpec {
         "<html><body><a rel=nofollow href=\"/paid\">ad</a>" +
           "<a rel=author href=\"/about\">me</a>" +
           "<a rel=\"nofollower\" href=\"/f\">odd</a>" +
+          // "rel=nofollow" TEXT inside another attribute's value is not
+          // a directive — the attribute-boundary anchor (round 18)
+          "<a href=\"/out?rel=nofollow\">q</a>" +
           "<a href=\"/x\">x</a></body></html>"))
       .toDF("page_url", "html")
     val follow = HtmlOps.followableLinksOf(pages).collect()
       .map(_.getString(1)).toSet
     assert(follow == Set("http://u.example/x", "http://u.example/about",
-      "http://u.example/f"), follow.toString)
+      "http://u.example/f", "http://u.example/out?rel=nofollow"),
+      follow.toString)
     // header route: one directive per header is the common server
     // shape (the second must count); a user-agent-scoped value
     // addresses someone else; tabs separate tokens; a directive that
