@@ -811,7 +811,8 @@ object CorpusOps {
                    lmBandP6: (Long, Long) = LmBandP6,
                    compressBandPermille: Option[(Long, Long)] = None,
                    badwords: Seq[String] = Nil,
-                   repetition: Boolean = true): DataFrame = {
+                   repetition: Boolean = true,
+                   nearDup: Option[(Int, Int)] = None): DataFrame = {
     graft.plans.GraftFunctions.register(documents.sparkSession)
     val rowGated = gated(documents, decontaminate = true)
       .filter(publishedGateCol(badwords, repetition))
@@ -829,10 +830,31 @@ object CorpusOps {
         .drop("n_bytes", "n_compressed")
       case None => lmGated
     }
-    crGated
+    val exactRep = crGated
       .withColumn("rep_doc_id",
         min(col("doc_id")).over(Window.partitionBy("text_hash")))
       .filter(col("doc_id") === col("rep_doc_id"))
+    // optional NEAR-dup stage (round 18): the manifest a trainer
+    // consumes should be near-dup-clean too, not just exact-hash-clean.
+    // `nearDup = Some((k, bands))` runs row 75's decision over the
+    // SURVIVORS — MinHash band clusters (never all-pairs; a production
+    // 0.8-threshold run passes (MinhashKWide, BandsWide)), keep the
+    // highest-quality member per cluster. Staged AFTER every gate and
+    // the exact rep, so the cluster universe is exactly the staged
+    // pipeline's (gates → exact dedup → near-dup rep — spec-asserted
+    // equivalent to running DedupOps.dedupRepresentative on the
+    // survivor frame). Near-twins are NOT text-identical, so this
+    // cannot ride the text-pure gate-before-shuffle argument — it is a
+    // separate banded pass over survivors only.
+    val survivors = nearDup match {
+      case Some((k, bands)) =>
+        val reps = DedupOps.dedupRepresentative(
+          exactRep.select(col("doc_id"), col("text")), k = k, bands = bands)
+          .select(col("rep_doc_id").as("doc_id"))
+        exactRep.join(reps, Seq("doc_id"), "left_semi")
+      case None => exactRep
+    }
+    survivors
       .select(col("doc_id"), col("source"), col("quality_score"),
         (col("sum_p6").cast("double") /
           (col("n_bigrams") * lit(1000000.0d))).as("lm_score"),

@@ -125,6 +125,16 @@ object Sinks {
     * revises some documents of some sources; the other 99% of the layout
     * is untouched bytes).
     *
+    * TABLE-FORMAT NOTE (round 18, adjudicated in SURVEY §5): this is
+    * exactly the operation a lakehouse table format gives for free —
+    * `MERGE INTO` with snapshot isolation on Iceberg/Delta subsumes the
+    * staged-temp-path + dynamic-partition-overwrite protocol below. The
+    * offline classpath carries no connector jar, so the estate ships
+    * the parquet protocol; on a cluster with the connector, swap this
+    * call for MERGE INTO and keep the partitioning semantics unchanged
+    * (the sink faces here use only the standard DataFrameWriter surface
+    * both connectors implement).
+    *
     * Semantics: within every partition value present in `updates`, rows
     * whose `keyCol` appears in `updates` are REPLACED, other rows are
     * kept, new keys are appended. Partitions absent from `updates` are

@@ -471,6 +471,33 @@ object EventStream {
       }
       .start()
 
+  /** §2-C streaming WARC ingest (round 18) — the live face of
+    * `PdfOps.warcToCorpus`, so a live crawl's PDF estate no longer
+    * waits for the nightly batch: each micro-batch of WARC record rows
+    * lands in the CLEAN document schema — the HTML route
+    * (`HtmlOps.warcToDocuments`) ∪ the PDF route (`PdfOps
+    * .pdfDocumentsOf`), with the same content-based routing (a %PDF-
+    * body behind a lying header sniffs into the PDF walk, never the
+    * void). Ingest is a per-trigger COMPLETE computation — the
+    * records→documents map holds no cross-batch state (revisit/dedup
+    * is [[curateStream]]'s job downstream), and the HTML route caches
+    * its two-consumer frame internally — so it runs through
+    * `foreachBatch` executing the SHARED batch function per trigger
+    * (the [[profileStream]]/[[annSearchStream]] shape): batch and
+    * stream cannot drift because they are the same code. `sink`
+    * receives each trigger's document frame + batch id (append it to
+    * the corpus store). Batch twin: `q_pdf_text` grades the PDF walk
+    * under the oracle; batch ≡ stream on a WARC fixture with an HTML +
+    * PDF + broken-PDF record is spec-asserted in StreamingSpec. */
+  def warcToCorpusStream(records: DataFrame)
+                        (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.operators.PdfOps.warcToCorpus(batch), id)
+      }
+      .start()
+
   /** §2-C stream-STREAM interval join: pair each left event with the
     * same user's right events landing within `(l_ts, l_ts + maxGap]` —
     * the attribution shape (view→click, impression→conversion) that

@@ -665,6 +665,39 @@ class CorpusOpsSpec extends SparkSpec {
       lmBandP6 = (999999L, 1000000L), repetition = false).count() == 0)
   }
 
+  test("curateFullOf nearDup: the manifest is near-dup-clean and equals the staged pipeline") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    // near-TWINS: same page modulo the last character — they pass every
+    // gate, are NOT exact dups (different text_hash), and share MinHash
+    // band keys, so only the near-dup stage can collapse them
+    val twinA = curateFullBase + "\nextra tail words here alpha"
+    val twinB = curateFullBase + "\nextra tail words here alphb"
+    val solo = (1 to 8).map(i =>
+      s"the big$i be cat$i to dog$i of owl$i and fox$i that hen$i " +
+        s"have pig$i with ram$i").mkString(" ") + TextOps.C4Good
+    val planted = Seq((20L, "src0", twinA), (21L, "src0", twinB),
+      (22L, "src0", solo)).toDF("doc_id", "source", "text")
+    val band = (0L, 1000000L)
+    // without the stage both twins survive (exact dedup can't see them)
+    val plain = CorpusOps.curateFullOf(planted, lmBandP6 = band,
+      repetition = false).collect().map(_.getLong(0)).toSet
+    assert(plain == Set(20L, 21L, 22L), plain)
+    // composed: one twin survives, the solo is untouched
+    val composed = CorpusOps.curateFullOf(planted, lmBandP6 = band,
+      repetition = false,
+      nearDup = Some((DedupOps.MinhashK, DedupOps.Bands)))
+      .collect().map(_.getLong(0)).toSet
+    assert(composed.contains(22L) && (composed & Set(20L, 21L)).size == 1,
+      composed)
+    // ... and equals the STAGED pipeline: gates → exact rep → row 75's
+    // decision over the survivor frame (here all three survive gates)
+    val staged = DedupOps.dedupRepresentative(
+      planted.select(col("doc_id"), col("text")))
+      .collect().map(_.getAs[Long]("rep_doc_id")).toSet
+    assert(composed == staged, s"composed $composed vs staged $staged")
+  }
+
   test("dedupLinesWithinOf: first occurrence survives in order, the rest drop") {
     import spark.implicits._
     val planted = Seq(

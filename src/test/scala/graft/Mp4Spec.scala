@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import graft.operators.Mp4Ops
+
+/** ISO-BMFF (MP4) container metadata (SURVEY §2 `q_mp4_meta`): the box
+  * walk's grammar paths, quarantine routing, and the WARC adapter. */
+class Mp4Spec extends SparkSpec {
+
+  test("mp4Walk: all three synth variants round-trip the construction truth") {
+    // variant 0: isom video-only
+    val v0 = Mp4Ops.mp4Walk(Mp4Ops.mp4Synth(0L))
+    assert(v0 == Right(Mp4Ops.Mp4Info("isom", 40L * 25, 1, 16, 16,
+      "avc1", "")), v0)
+    // variant 1: mp42 video + audio — two tracks, both codecs named
+    val v1 = Mp4Ops.mp4Walk(Mp4Ops.mp4Synth(1L))
+    assert(v1 == Right(Mp4Ops.Mp4Info("mp42", 40L * 26, 2, 20, 20,
+      "avc1", "mp4a")), v1)
+    // variant 2: M4A audio-only, 64-bit mvhd v1 duration
+    val v2 = Mp4Ops.mp4Walk(Mp4Ops.mp4Synth(2L))
+    assert(v2 == Right(Mp4Ops.Mp4Info("M4A ", 40L * 27, 1, -1, -1,
+      "", "mp4a")), v2)
+  }
+
+  test("mp4Walk: quarantine reasons and hostile shapes never throw") {
+    assert(Mp4Ops.mp4Walk("not an mp4 at all".getBytes(ISO_8859_1)) ==
+      Left("not_mp4"))
+    assert(Mp4Ops.mp4Walk(Array.empty[Byte]) == Left("not_mp4"))
+    // a bare ftyp with no moov: structurally mp4, no movie header
+    val bare = Mp4Ops.mp4Synth(0L).take(24) // just the ftyp box
+    assert(Mp4Ops.mp4Walk(bare.toArray) == Left("no_moov"))
+    // truncated mid-moov: the walk stops at the malformed box, keeps
+    // nothing half-read, and quarantines
+    val full = Mp4Ops.mp4Synth(0L)
+    val torn = full.take(full.length / 2).toArray
+    assert(Mp4Ops.mp4Walk(torn).isLeft)
+    // a size-0 (to-EOF) final box and a 64-bit largesize box both parse:
+    // synth variant 2 already exercises the 64-bit mvhd duration; here a
+    // crafted largesize mdat after a valid moov must not break the walk
+    val mdatLarge =
+      Array[Byte](0, 0, 0, 1) ++ "mdat".getBytes(ISO_8859_1) ++
+        Array[Byte](0, 0, 0, 0, 0, 0, 0, 17) ++ "x".getBytes(ISO_8859_1)
+    val withLarge = full.dropRight(9) ++ mdatLarge // replace the 9-byte mdat
+    assert(Mp4Ops.mp4Walk(withLarge).isRight, "largesize mdat must parse")
+  }
+
+  test("mp4MetaOf routes every payload to exactly one of clean/quarantine") {
+    import spark.implicits._
+    val rows = Seq(
+      ("u1", Mp4Ops.mp4Synth(1L)),
+      ("u2", "GIF89a junk".getBytes(ISO_8859_1)))
+      .toDF("url", "payload")
+    val (clean, quarantine) = Mp4Ops.mp4MetaOf(rows)
+    val c = clean.collect()
+    assert(c.length == 1 && c.head.getString(0) == "u1")
+    assert(c.head.getAs[String]("major_brand") == "mp42")
+    assert(c.head.getAs[Int]("width") == 20)
+    val q = quarantine.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(q.toSeq == Seq(("u2", "not_mp4")), q.toSeq)
+  }
+
+  private def warcRecord(uri: String, payload: Array[Byte]): Array[Byte] = {
+    val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Date: 2026-08-14T00:00:00Z\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ISO_8859_1)
+    hdr ++ payload ++ "\r\n\r\n".getBytes(ISO_8859_1)
+  }
+
+  test("mp4MetaOfRecords: declaration OR content routes; the lying header sniffs in") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_mp4")
+    def http(ctype: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n")
+        .getBytes(ISO_8859_1) ++ body
+    val recs =
+      warcRecord("http://v.example/clip.mp4",
+        http("video/mp4", Mp4Ops.mp4Synth(0L))) ++
+      // the common lie: MP4 bytes behind octet-stream — content routes it
+      warcRecord("http://v.example/lying.bin",
+        http("application/octet-stream", Mp4Ops.mp4Synth(1L))) ++
+      warcRecord("http://v.example/broken.mp4",
+        http("video/mp4", "junk body".getBytes(ISO_8859_1))) ++
+      warcRecord("http://v.example/page.html",
+        http("text/html", "<html><body>nope</body></html>".getBytes(ISO_8859_1)))
+    java.nio.file.Files.write(dir.resolve("seg.warc"), recs)
+    val records = graft.sources.WarcSource.read(spark, dir.toString)
+    val (clean, quarantine) = Mp4Ops.mp4MetaOfRecords(records)
+    val c = clean.collect().map(r =>
+      r.getString(0) -> r.getAs[String]("major_brand")).toMap
+    assert(c == Map("http://v.example/clip.mp4" -> "isom",
+      "http://v.example/lying.bin" -> "mp42"), c.toString)
+    val q = quarantine.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(q.toSeq == Seq(("http://v.example/broken.mp4", "not_mp4")), q.toSeq)
+  }
+
+  test("q_mp4_meta face reproduces the oracle arithmetic per doc") {
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(30)
+    val got = Mp4Ops.mp4Meta(docs).collect()
+    assert(got.length == 30)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(2) == 40L * (id % 977 + 25), s"duration doc $id")
+      if (id % 3 == 2) assert(r.isNullAt(r.fieldIndex("width")))
+      else assert(r.getLong(r.fieldIndex("width")) == 16 + (id % 16) * 4)
+    }
+  }
+}

@@ -999,4 +999,57 @@ class StreamingSpec extends SparkSpec {
       assert(batch == got)
     } finally q.stop()
   }
+
+  test("warcToCorpusStream: live WARC ingest lands HTML + PDF routes, batch-equivalent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def warcRecord(uri: String, payload: Array[Byte]): Array[Byte] = {
+      val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Date: 2026-08-14T00:00:00Z\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ISO_8859_1)
+      hdr ++ payload ++ "\r\n\r\n".getBytes(ISO_8859_1)
+    }
+    def http(ctype: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n")
+        .getBytes(ISO_8859_1) ++ body
+    val pdfBody = ("%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n" +
+      "2 0 obj << /Length 31 >> stream\n" +
+      "BT (live pdf corpus text) Tj ET" +
+      "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+      .getBytes(ISO_8859_1)
+    val fixture =
+      warcRecord("http://s.example/page.html", http("text/html",
+        "<html><body><p>an html page body here</p></body></html>"
+          .getBytes(ISO_8859_1))) ++
+      warcRecord("http://s.example/doc.pdf", http("application/pdf", pdfBody)) ++
+      warcRecord("http://s.example/broken.pdf",
+        http("application/pdf", "not a pdf at all".getBytes(ISO_8859_1)))
+    val recs = graft.sources.WarcSource.parseFile("mem", fixture).toSeq
+    assert(recs.length == 3)
+    val sunk = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+    val input = MemoryStream[graft.sources.WarcSource.WarcRecord]
+    val q = EventStream.warcToCorpusStream(input.toDF()) { (docs, _) =>
+      sunk.synchronized { sunk ++= docs.collect() }
+    }
+    try {
+      // trigger 1: the HTML page; trigger 2: both PDFs — the live crawl
+      // shape where routes arrive interleaved across micro-batches
+      input.addData(recs.head)
+      q.processAllAvailable()
+      input.addData(recs.tail: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sunk.synchronized {
+      sunk.map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    }
+    assert(got == Map(
+      "http://s.example/page.html" -> "an html page body here",
+      "http://s.example/doc.pdf" -> "live pdf corpus text"), got.toString)
+    // batch ≡ stream: the same records through the batch face
+    val batch = graft.operators.PdfOps.warcToCorpus(spark.createDataset(recs).toDF())
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(batch == got, s"batch $batch vs stream $got")
+  }
 }
