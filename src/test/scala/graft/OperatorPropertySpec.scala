@@ -105,6 +105,48 @@ class OperatorPropertySpec extends SparkSpec {
     assert(AviOps.aviWalk(recNested).nonEmpty)
   }
 
+  test("mp4Walk / pdfTextWalk / mp3Walk never throw on arbitrary bytes (crawl input contract)") {
+    import graft.operators.{Mp3Ops, Mp4Ops, PdfOps}
+    val rnd = new scala.util.Random(18)
+    val validMp4 = Mp4Ops.mp4Synth(7L)
+    val validPdf = PdfOps.pdfSynth("round eighteen walk fuzz text", 1)
+    val validMp3 = Mp3Ops.mp3Synth(7L)
+    val cases =
+      // pure garbage
+      (0 until 200).map(_ => Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt.toByte)) ++
+      // garbage with the magic grafted on — the walk must enter and survive
+      (0 until 100).map { _ =>
+        val g = Array.fill[Byte](rnd.nextInt(200) + 16)(rnd.nextInt.toByte)
+        System.arraycopy("....ftyp".getBytes, 0, g, 0, 8); g
+      } ++
+      (0 until 100).map { _ =>
+        val g = Array.fill[Byte](rnd.nextInt(200) + 16)(rnd.nextInt.toByte)
+        System.arraycopy("%PDF-1.4".getBytes, 0, g, 0, 8); g
+      } ++
+      (0 until 100).map { _ =>
+        val g = Array.fill[Byte](rnd.nextInt(200) + 16)(rnd.nextInt.toByte)
+        System.arraycopy("ID3".getBytes, 0, g, 0, 3)
+        g(3) = 4; g(4) = 0; g(5) = 0; g
+      } ++
+      // every torn prefix of a valid payload
+      (0 until validMp4.length).map(validMp4.take) ++
+      (0 until validPdf.length).map(validPdf.take) ++
+      (0 until validMp3.length).map(validMp3.take)
+    cases.foreach { bytes =>
+      Mp4Ops.mp4Walk(bytes)   // Either out, never a throw
+      PdfOps.pdfTextWalk(bytes)
+      Mp3Ops.mp3Walk(bytes)
+    }
+    // a crafted deep-nest moov (8 bytes per level) hits the depth cap,
+    // never a StackOverflowError
+    val n = 50000
+    val buf = java.nio.ByteBuffer.allocate(20 + 8 * n) // big-endian default
+    buf.put(Array[Byte](0, 0, 0, 20)); buf.put("ftypisom".getBytes)
+    buf.putInt(0); buf.put(Array[Byte](0, 0, 0, 0))
+    (0 until n).foreach { i => buf.putInt(8 * (n - i)); buf.put("moov".getBytes) }
+    assert(Mp4Ops.mp4Walk(buf.array()).isLeft, "deep nesting → quarantine")
+  }
+
   test("round-15 natives never throw on arbitrary strings (crawl input contract)") {
     import graft.plans.{IdnCodec, MainContent, PctCodec}
     val rnd = new scala.util.Random(15)

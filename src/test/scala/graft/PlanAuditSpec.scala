@@ -387,12 +387,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q_mp4_meta: one box walk, no exchange but the output sort") {
-    val p = plan(Mp4Ops.mp4Meta(Tables.documents(spark, sfDir)))
+  test("q_mp4_meta / q_mp3_meta: one box walk, no exchange but the output sort") {
     // synth + walk are mapPartitions over the doc partitions — the
     // payload dies inside the task (the q_pdf_text shape)
-    assert(hashExchangeCount(p) == 0, s"${hashExchangeCount(p)} hash exchanges:\n$p")
-    assert(!p.contains("Join"), p)
+    Seq(plan(Mp4Ops.mp4Meta(Tables.documents(spark, sfDir))),
+      plan(Mp3Ops.mp3Meta(Tables.documents(spark, sfDir)))).foreach { p =>
+      assert(hashExchangeCount(p) == 0, s"${hashExchangeCount(p)} hash exchanges:\n$p")
+      assert(!p.contains("Join"), p)
+    }
   }
 
   test("q_gopher_rep: zero shuffles — the whole rule set is one per-doc pass") {
