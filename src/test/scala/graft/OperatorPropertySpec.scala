@@ -111,6 +111,7 @@ class OperatorPropertySpec extends SparkSpec {
     val validMp4 = Mp4Ops.mp4Synth(7L)
     val validPdf = PdfOps.pdfSynth("round eighteen walk fuzz text", 1)
     val validMp3 = Mp3Ops.mp3Synth(7L)
+    val validWebp = graft.operators.WebpOps.webpSynth(4L)
     val cases =
       // pure garbage
       (0 until 200).map(_ => Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt.toByte)) ++
@@ -131,11 +132,13 @@ class OperatorPropertySpec extends SparkSpec {
       // every torn prefix of a valid payload
       (0 until validMp4.length).map(validMp4.take) ++
       (0 until validPdf.length).map(validPdf.take) ++
-      (0 until validMp3.length).map(validMp3.take)
+      (0 until validMp3.length).map(validMp3.take) ++
+      (0 until validWebp.length).map(validWebp.take)
     cases.foreach { bytes =>
       Mp4Ops.mp4Walk(bytes)   // Either out, never a throw
       PdfOps.pdfTextWalk(bytes)
       Mp3Ops.mp3Walk(bytes)
+      graft.operators.WebpOps.webpWalk(bytes)
     }
     // a crafted deep-nest moov (8 bytes per level) hits the depth cap,
     // never a StackOverflowError
