@@ -237,6 +237,7 @@ object SparkEntry {
     "q_mp4_meta" -> ((s, dir) => Mp4Ops.mp4Meta(Tables.documents(s, dir))),
     "q_mp3_meta" -> ((s, dir) => Mp3Ops.mp3Meta(Tables.documents(s, dir))),
     "q_webp_meta" -> ((s, dir) => WebpOps.webpMeta(Tables.documents(s, dir))),
+    "q_ogg_meta" -> ((s, dir) => OggOps.oggMeta(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---
     "q_summary_approx" -> ((s, dir) => EventOps.summaryApprox(Tables.events(s, dir))),
     "q_percentile_approx" -> ((s, dir) => StatsOps.percentileApprox(Tables.events(s, dir))),
@@ -260,5 +261,6 @@ object SparkEntry {
       CorpusOps.oracles ++ Skew.oracles ++ BpeOps.oracles ++
       ClassifierOps.oracles ++ HtmlOps.oracles ++ UrlOps.oracles ++
       GraphOps.oracles ++ CrawlOps.oracles ++ AviOps.oracles ++
-      PdfOps.oracles ++ Mp4Ops.oracles ++ Mp3Ops.oracles ++ WebpOps.oracles
+      PdfOps.oracles ++ Mp4Ops.oracles ++ Mp3Ops.oracles ++
+      WebpOps.oracles ++ OggOps.oracles
 }

@@ -74,6 +74,10 @@ object MediaOps {
             case Right(m) => row(m.width, m.height, null, m.format, null)
             case Left(reason) => row(null, null, null, null, reason)
           }
+          case "application/ogg" => OggOps.oggWalk(body) match {
+            case Right(m) => row(null, null, m.durationMs, m.codec, null)
+            case Left(reason) => row(null, null, null, null, reason)
+          }
           case _ => row(null, null, null, null, null)
         }
       }

@@ -112,6 +112,7 @@ class OperatorPropertySpec extends SparkSpec {
     val validPdf = PdfOps.pdfSynth("round eighteen walk fuzz text", 1)
     val validMp3 = Mp3Ops.mp3Synth(7L)
     val validWebp = graft.operators.WebpOps.webpSynth(4L)
+    val validOgg = graft.operators.OggOps.oggSynth(4L)
     val cases =
       // pure garbage
       (0 until 200).map(_ => Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt.toByte)) ++
@@ -133,12 +134,18 @@ class OperatorPropertySpec extends SparkSpec {
       (0 until validMp4.length).map(validMp4.take) ++
       (0 until validPdf.length).map(validPdf.take) ++
       (0 until validMp3.length).map(validMp3.take) ++
-      (0 until validWebp.length).map(validWebp.take)
+      (0 until validWebp.length).map(validWebp.take) ++
+      (0 until validOgg.length).map(validOgg.take) ++
+      (0 until 100).map { _ =>
+        val g = Array.fill[Byte](rnd.nextInt(200) + 30)(rnd.nextInt.toByte)
+        System.arraycopy("OggS".getBytes, 0, g, 0, 4); g
+      }
     cases.foreach { bytes =>
       Mp4Ops.mp4Walk(bytes)   // Either out, never a throw
       PdfOps.pdfTextWalk(bytes)
       Mp3Ops.mp3Walk(bytes)
       graft.operators.WebpOps.webpWalk(bytes)
+      graft.operators.OggOps.oggWalk(bytes)
     }
     // a crafted deep-nest moov (8 bytes per level) hits the depth cap,
     // never a StackOverflowError

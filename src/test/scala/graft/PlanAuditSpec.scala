@@ -392,7 +392,8 @@ class PlanAuditSpec extends SparkSpec {
     // payload dies inside the task (the q_pdf_text shape)
     Seq(plan(Mp4Ops.mp4Meta(Tables.documents(spark, sfDir))),
       plan(Mp3Ops.mp3Meta(Tables.documents(spark, sfDir))),
-      plan(WebpOps.webpMeta(Tables.documents(spark, sfDir)))).foreach { p =>
+      plan(WebpOps.webpMeta(Tables.documents(spark, sfDir))),
+      plan(OggOps.oggMeta(Tables.documents(spark, sfDir)))).foreach { p =>
       assert(hashExchangeCount(p) == 0, s"${hashExchangeCount(p)} hash exchanges:\n$p")
       assert(!p.contains("Join"), p)
     }
