@@ -498,6 +498,23 @@ object EventStream {
       }
       .start()
 
+  /** §2-C streaming MEDIA INVENTORY (round 18) — the live face of
+    * `MediaOps.mediaInventoryOf`, riding beside [[warcToCorpusStream]]
+    * on the same record stream: each micro-batch of WARC records is
+    * named (declared-vs-sniffed), measured (the MP4/MP3/WebP/Ogg
+    * walks), and lie-flagged per trigger. The inventory is stateless
+    * per record, and runs through `foreachBatch` executing the SHARED
+    * batch function (batch and stream are the same code — the
+    * [[warcToCorpusStream]] contract). */
+  def mediaInventoryStream(records: DataFrame)
+                          (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.operators.MediaOps.mediaInventoryOf(batch), id)
+      }
+      .start()
+
   /** §2-C stream-STREAM interval join: pair each left event with the
     * same user's right events landing within `(l_ts, l_ts + maxGap]` —
     * the attribution shape (view→click, impression→conversion) that

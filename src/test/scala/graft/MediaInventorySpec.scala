@@ -74,6 +74,48 @@ class MediaInventorySpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("mediaInventoryStream: per-trigger inventory equals the batch face") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val fixture =
+      warcRecord("http://m.example/clip.mp4",
+        http("video/mp4", Mp4Ops.mp4Synth(0L))) ++
+      warcRecord("http://m.example/song.ogg",
+        http("application/ogg", graft.operators.OggOps.oggSynth(2L))) ++
+      warcRecord("http://m.example/page.html",
+        http("text/html",
+          "<html><body>a page body</body></html>".getBytes(ISO_8859_1)))
+    val recs = graft.sources.WarcSource.parseFile("mem", fixture).toSeq
+    val sunk = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.sources.WarcSource.WarcRecord]
+    val q = graft.streaming.EventStream.mediaInventoryStream(input.toDF()) {
+      (inv, _) => sunk.synchronized { sunk ++= inv.collect() }
+    }
+    try {
+      input.addData(recs.take(1))
+      q.processAllAvailable()
+      input.addData(recs.drop(1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sunk.synchronized {
+      sunk.map(r => r.getString(0) -> r.getAs[String]("sniffed_mime")).toMap
+    }
+    assert(got == Map(
+      "http://m.example/clip.mp4" -> "video/mp4",
+      "http://m.example/song.ogg" -> "application/ogg",
+      "http://m.example/page.html" -> "text/html"), got.toString)
+    // batch ≡ stream (union of triggers)
+    val batch = MediaOps.mediaInventoryOf(spark.createDataset(recs).toDF())
+      .collect().map(r => r.getString(0) -> r.getAs[String]("sniffed_mime")).toMap
+    assert(batch == got)
+    val ogg = sunk.synchronized {
+      sunk.find(_.getString(0) == "http://m.example/song.ogg").get
+    }
+    assert(ogg.getAs[String]("media_format") == "opus" &&
+      ogg.getAs[Long]("duration_ms") == 30L, ogg.toString)
+  }
+
   test("mediaInventoryOf: a sniffed-media payload that fails its walk carries the reason") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_media2")
     // real ftyp magic so the sniff routes to the MP4 walk, but no moov
