@@ -9,13 +9,13 @@ import org.apache.spark.sql.types._
   * shape-validated ID3v2 magic); this walk READS them — the ID3v2 text
   * frames a corpus builder actually filters on (title / artist /
   * album) plus the first MPEG audio frame header (version, layer,
-  * bitrate, sample rate) and the CBR duration estimate. No sample
-  * decode (MP3's hybrid filterbank has no pure-JVM decoder on the
-  * offline classpath — the brotli precedent; G.711/WAV remain the
-  * decodable audio routes), and the duration is priced honestly as the
-  * CBR estimate: `(bytes after the tag) × 8 / bitrate` — exact for
-  * constant-bitrate files, approximate for VBR (whose Xing header is a
-  * recognized-but-unparsed refinement).
+  * bitrate, sample rate) and the duration. No sample decode (MP3's
+  * hybrid filterbank has no pure-JVM decoder on the offline
+  * classpath — the brotli precedent; G.711/WAV remain the decodable
+  * audio routes). Duration: a Xing/Info VBR header's exact frame count
+  * when present (frames × 1152 / rate), else the CBR estimate
+  * `(bytes after the tag) × 8 / bitrate` — exact for constant-bitrate
+  * files, priced as approximate for headerless VBR.
   *
   * ID3v2 grammar honored: v2.3 (plain 32-bit frame sizes) AND v2.4
   * (sync-safe frame sizes) — the two the real web ships; v2.2's
@@ -134,8 +134,28 @@ object Mp3Ops {
       return if (hasId3) Left("no_frames") else Left("not_mp3")
     val kbps = BitrateL3(brIdx)
     val sr = SampleRateMpeg1(srIdx)
-    val audioLen = (bytes.length - hdr).toLong
-    val durationMs = audioLen * 8000L / (kbps * 1000L)
+    // VBR: a Xing/Info header in the first frame's side-info region
+    // carries the exact frame count — frames × 1152 samples over the
+    // sample rate beats the CBR estimate (which under/over-shoots on
+    // VBR by design). Offset per the spec: 4-byte header + side info
+    // (MPEG1: 17 bytes mono, 32 otherwise).
+    val chMode = (bytes(hdr + 3) & 0xff) >> 6
+    val xing = hdr + 4 + (if (chMode == 3) 17 else 32)
+    def u32be(off: Int): Long =
+      (bytes(off) & 0xffL) << 24 | (bytes(off + 1) & 0xffL) << 16 |
+        (bytes(off + 2) & 0xffL) << 8 | (bytes(off + 3) & 0xffL)
+    def tag4(off: Int, s: String): Boolean =
+      off + 4 <= bytes.length && bytes(off) == s(0).toByte &&
+        bytes(off + 1) == s(1).toByte && bytes(off + 2) == s(2).toByte &&
+        bytes(off + 3) == s(3).toByte
+    val vbrFrames =
+      if ((tag4(xing, "Xing") || tag4(xing, "Info")) &&
+        xing + 12 <= bytes.length && (u32be(xing + 4) & 1L) == 1L)
+        u32be(xing + 8)
+      else -1L
+    val durationMs =
+      if (vbrFrames >= 0) vbrFrames * 1152L * 1000L / sr
+      else (bytes.length - hdr).toLong * 8000L / (kbps * 1000L)
     Right(Mp3Info(tagVersion, title, artist, album, kbps, sr, durationMs))
   }
 

@@ -46,6 +46,23 @@ class Mp3Spec extends SparkSpec {
     (0 until full.length).foreach(n => Mp3Ops.mp3Walk(full.take(n)))
   }
 
+  test("mp3Walk: a Xing VBR header's exact frame count beats the CBR estimate") {
+    // stereo MPEG1 L3 frame: Xing lives at header + 4 + 32
+    val audio = new Array[Byte](2000)
+    audio(0) = 0xff.toByte; audio(1) = 0xfb.toByte; audio(2) = 0x90.toByte
+    val xing = 4 + 32
+    System.arraycopy("Xing".getBytes(ISO_8859_1), 0, audio, xing, 4)
+    audio(xing + 7) = 1 // flags: frames present
+    // 441 frames × 1152 samples at 44100 Hz = exactly 11520 ms
+    audio(xing + 10) = 1; audio(xing + 11) = (441 - 256).toByte
+    val got = Mp3Ops.mp3Walk(audio)
+    assert(got.exists(_.durationMs == 11520L), got)
+    // without the header the same bytes read the CBR estimate
+    val cbr = audio.clone(); cbr(xing) = 0
+    assert(Mp3Ops.mp3Walk(cbr).exists(_.durationMs == 2000L * 8000 / 128000),
+      Mp3Ops.mp3Walk(cbr))
+  }
+
   test("mp3MetaOf routes every payload to exactly one of clean/quarantine") {
     import spark.implicits._
     val rows = Seq(
