@@ -27,9 +27,10 @@ import org.apache.spark.sql.types._
   * payload, payload dies in-task, zero shuffles. */
 object Mp3Ops {
 
-  /** Parsed metadata. `tagVersion` = 2/3/4, or -1 when the file opens
-    * straight at a frame sync (no ID3 tag). Strings are null-empty ""
-    * when the frame is absent. */
+  /** Parsed metadata. `tagVersion` = 2/3/4 (ID3v2), 1 (only the legacy
+    * v1 trailer), or -1 when the file opens straight at a frame sync
+    * with no tag at all. Strings are null-empty "" when the field is
+    * absent in every tag present. */
   final case class Mp3Info(tagVersion: Int, title: String, artist: String,
                            album: String, bitrateKbps: Int, sampleRate: Int,
                            durationMs: Long)
@@ -114,6 +115,27 @@ object Mp3Ops {
         }
       }
     }
+    // ID3v1 fallback (the 128-byte "TAG" trailer — the legacy tag many
+    // files still carry): fills fields v2 left empty; a v1-only file
+    // reports tagVersion 1. The trailer is NOT audio, so it also bounds
+    // the CBR byte estimate.
+    var audioEnd = bytes.length
+    if (bytes.length >= 128) {
+      val t = bytes.length - 128
+      if (bytes(t) == 'T' && bytes(t + 1) == 'A' && bytes(t + 2) == 'G') {
+        def field(off: Int, len: Int): String = {
+          var e = off + len
+          while (e > off && (bytes(e - 1) == 0 || bytes(e - 1) == ' ')) e -= 1
+          new String(bytes, off, e - off,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+        }
+        if (tagVersion < 0) tagVersion = 1
+        if (title.isEmpty) title = field(t + 3, 30)
+        if (artist.isEmpty) artist = field(t + 33, 30)
+        if (album.isEmpty) album = field(t + 63, 30)
+        audioEnd = t
+      }
+    }
     // first MPEG frame header at/after audioStart (bounded scan — real
     // files open the frame immediately; 4 KiB absorbs padding/junk)
     var p = audioStart
@@ -155,7 +177,7 @@ object Mp3Ops {
       else -1L
     val durationMs =
       if (vbrFrames >= 0) vbrFrames * 1152L * 1000L / sr
-      else (bytes.length - hdr).toLong * 8000L / (kbps * 1000L)
+      else math.max(audioEnd - hdr, 0).toLong * 8000L / (kbps * 1000L)
     Right(Mp3Info(tagVersion, title, artist, album, kbps, sr, durationMs))
   }
 

@@ -62,6 +62,7 @@ object Mp4Ops {
     val majorBrand = fourcc(8)
     var timescale = 0L
     var duration = -1L
+    var sawMoof = false
     var nTracks = 0
     var width = -1
     var height = -1
@@ -114,13 +115,20 @@ object Mp4Ops {
           case "stsd" =>
             // fullbox(4) + entry_count(4), first entry: size(4) + format
             if (u32(dataOff + 4) >= 1) tCodec = fourcc(dataOff + 12)
+          case "moof" =>
+            sawMoof = true // fragmented stream: no movie-level duration
           case _ => () // mdat, free, skip everything else
         }
         off = dataEnd
       }
     }
     walk(0, bytes.length.toLong, 0)
-    if (timescale <= 0 || duration < 0) Left("no_moov")
+    // fMP4 (moof fragments, no movie header): NAMED distinctly — a live
+    // -stream segment is a different ingest decision than a truncated
+    // file (its duration lives in sidx/tfdt, out of scope per the
+    // metadata-triage contract)
+    if (timescale <= 0 || duration < 0)
+      Left(if (sawMoof) "fragmented" else "no_moov")
     else Right(Mp4Info(majorBrand, duration * 1000L / timescale, nTracks,
       width, height, videoCodec, audioCodec))
   }

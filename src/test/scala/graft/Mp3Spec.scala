@@ -46,6 +46,31 @@ class Mp3Spec extends SparkSpec {
     (0 until full.length).foreach(n => Mp3Ops.mp3Walk(full.take(n)))
   }
 
+  test("mp3Walk: the ID3v1 trailer fills fields v2 left empty, and bounds the estimate") {
+    // a v1-only file: frame sync at 0, "TAG" trailer with padded fields
+    val audio = new Array[Byte](1600 + 128)
+    audio(0) = 0xff.toByte; audio(1) = 0xfb.toByte; audio(2) = 0x90.toByte
+    val t = audio.length - 128
+    System.arraycopy("TAG".getBytes(ISO_8859_1), 0, audio, t, 3)
+    System.arraycopy("Legacy Song".getBytes(ISO_8859_1), 0, audio, t + 3, 11)
+    System.arraycopy("Old Artist".getBytes(ISO_8859_1), 0, audio, t + 33, 10)
+    val got = Mp3Ops.mp3Walk(audio)
+    // the 128 trailer bytes are NOT audio: 1600 bytes at 128 kbps = 100 ms
+    assert(got == Right(Mp3Ops.Mp3Info(1, "Legacy Song", "Old Artist", "",
+      128, 44100, 100L)), got)
+    // v2 wins where it speaks; v1 fills the rest (album here)
+    val both = Mp3Ops.mp3Synth(6L) ++ {
+      val tr = new Array[Byte](128)
+      System.arraycopy("TAG".getBytes(ISO_8859_1), 0, tr, 0, 3)
+      System.arraycopy("v1 title ignored".getBytes(ISO_8859_1), 0, tr, 3, 16)
+      System.arraycopy("The Album".getBytes(ISO_8859_1), 0, tr, 63, 9)
+      tr
+    }
+    val merged = Mp3Ops.mp3Walk(both)
+    assert(merged.exists(m => m.tagVersion == 3 && m.title == "title 6" &&
+      m.album == "The Album"), merged)
+  }
+
   test("mp3Walk: a Xing VBR header's exact frame count beats the CBR estimate") {
     // stereo MPEG1 L3 frame: Xing lives at header + 4 + 32
     val audio = new Array[Byte](2000)

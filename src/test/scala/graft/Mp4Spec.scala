@@ -30,6 +30,12 @@ class Mp4Spec extends SparkSpec {
     // a bare ftyp with no moov: structurally mp4, no movie header
     val bare = Mp4Ops.mp4Synth(0L).take(24) // just the ftyp box
     assert(Mp4Ops.mp4Walk(bare.toArray) == Left("no_moov"))
+    // an fMP4 live-stream segment (moof, no moov) is NAMED, not lumped
+    // with truncation — a different ingest decision
+    val frag = Mp4Ops.mp4Synth(0L).take(20) ++
+      Array[Byte](0, 0, 0, 16) ++ "moof".getBytes(ISO_8859_1) ++
+      Array[Byte](0, 0, 0, 8) ++ "mfhd".getBytes(ISO_8859_1)
+    assert(Mp4Ops.mp4Walk(frag.toArray) == Left("fragmented"))
     // truncated mid-moov: the walk stops at the malformed box, keeps
     // nothing half-read, and quarantines
     val full = Mp4Ops.mp4Synth(0L)
