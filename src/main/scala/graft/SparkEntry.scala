@@ -238,6 +238,7 @@ object SparkEntry {
     "q_mp3_meta" -> ((s, dir) => Mp3Ops.mp3Meta(Tables.documents(s, dir))),
     "q_webp_meta" -> ((s, dir) => WebpOps.webpMeta(Tables.documents(s, dir))),
     "q_ogg_meta" -> ((s, dir) => OggOps.oggMeta(Tables.documents(s, dir))),
+    "q_url_filter" -> ((s, dir) => UrlOps.urlFilter(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---
     "q_summary_approx" -> ((s, dir) => EventOps.summaryApprox(Tables.events(s, dir))),
     "q_percentile_approx" -> ((s, dir) => StatsOps.percentileApprox(Tables.events(s, dir))),

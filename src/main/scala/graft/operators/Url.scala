@@ -281,6 +281,50 @@ object UrlOps {
   def urlDedup(documents: DataFrame): DataFrame =
     urlDedupBy(syntheticUrls(documents))
 
+  /** §2 `q_url_filter` — the URL-level curation gate (round 18; the
+    * C4/RefinedWeb URL filter: real pipelines drop a page by its URL
+    * BEFORE reading a byte of content): a page whose canonical HOST is
+    * on the blocked-domain list (exact match or any subdomain — `d` or
+    * `*.d`) or whose RAW fetch URL contains a blocked substring
+    * (tracking/adult/spam markers — the published recipes match the
+    * URL as fetched, case-insensitively) drops. Parameterized by the
+    * caller's lists (the redact/contamination/badwords convention).
+    * Output (doc_id, host, domain_blocked, pattern_blocked, url_ok).
+    * Pure row-level map, zero shuffles — the gate fuses into the fetch
+    * log scan in front of every content operator. */
+  def urlFilterOf(docs: DataFrame, blockedDomains: Seq[String],
+                  blockedPatterns: Seq[String],
+                  urlCol: String = "url"): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val host = regexp_extract(canon(col(urlCol)),
+      "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    val domBlocked = blockedDomains
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .map(d => col("host") === d || col("host").endsWith("." + d))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val patBlocked = blockedPatterns
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .map(p => lower(col(urlCol)).contains(p))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    docs
+      .select(col("doc_id"), col(urlCol), host.as("host"))
+      .withColumn("domain_blocked", domBlocked)
+      .withColumn("pattern_blocked", patBlocked)
+      .select(col("doc_id"), col("host"), col("domain_blocked"),
+        col("pattern_blocked"),
+        (!col("domain_blocked") && !col("pattern_blocked")).as("url_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** [[urlFilterOf]] on the synthetic messy URL universe (the
+    * `queries()` binding): two sources domain-blocked, the tracking
+    * substrings `utm_`/`gclid` pattern-blocked — the raw-URL variants
+    * v3/v6 carry them, so both rules genuinely bite at every SF. */
+  def urlFilter(documents: DataFrame): DataFrame =
+    urlFilterOf(syntheticUrls(documents),
+      Seq("src3.example.com", "src7.example.com"),
+      Seq("utm_", "gclid"))
+
   /** §2 `q_link_resolve`: [[resolve]] under the oracle — a synthetic
     * page two directories deep per doc, half the docs carrying a
     * `<base href="/based/">`, and a href set hitting every resolution
@@ -361,6 +405,19 @@ object UrlOps {
          |  COUNT(*) AS n_docs, COUNT(DISTINCT url) AS n_variants
          |FROM c3
          |GROUP BY canon_url
-         |ORDER BY canon_url""".stripMargin
+         |ORDER BY canon_url""".stripMargin,
+    "q_url_filter" ->
+      s"""WITH $urlUniverseSql, j AS (
+         |  SELECT d.doc_id, d.source, u.url
+         |  FROM documents d JOIN u ON d.doc_id = u.doc_id
+         |)
+         |SELECT doc_id, source || '.example.com' AS host,
+         |  source IN ('src3', 'src7') AS domain_blocked,
+         |  (contains(lower(url), 'utm_') OR contains(lower(url), 'gclid'))
+         |    AS pattern_blocked,
+         |  NOT (source IN ('src3', 'src7') OR
+         |       contains(lower(url), 'utm_') OR contains(lower(url), 'gclid'))
+         |    AS url_ok
+         |FROM j ORDER BY doc_id""".stripMargin
   )
 }

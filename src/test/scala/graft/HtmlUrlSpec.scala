@@ -245,6 +245,31 @@ class HtmlUrlSpec extends SparkSpec {
     assert(r.getAs[Long]("n_variants") == 7L)
   }
 
+  test("urlFilterOf: domain list blocks subdomains but not lookalikes; patterns match raw") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "http://bad.example/page"),            // exact domain match
+      (2L, "http://sub.deep.bad.example/x"),      // any-depth subdomain
+      (3L, "http://notbad.example/x"),            // lookalike: NOT blocked
+      (4L, "http://ok.example/buy?ref=CASINO-1"), // pattern, case-folded
+      (5L, "HTTP://OK.EXAMPLE:80/fine"),          // canon host, clean
+      (6L, "http://ok.example/casino-guide"))     // pattern in the path
+      .toDF("doc_id", "url")
+    val got = UrlOps.urlFilterOf(docs, Seq("bad.example"), Seq("casino"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) == (("bad.example", true, false, false)), got(1L))
+    assert(got(2L) == (("sub.deep.bad.example", true, false, false)), got(2L))
+    assert(got(3L) == (("notbad.example", false, false, true)), got(3L))
+    assert(got(4L) == (("ok.example", false, true, false)), got(4L))
+    assert(got(5L) == (("ok.example", false, false, true)), got(5L))
+    assert(got(6L) == (("ok.example", false, true, false)), got(6L))
+    // empty lists: the gate is inert
+    assert(UrlOps.urlFilterOf(docs, Nil, Nil)
+      .filter(col("url_ok")).count() == 6)
+  }
+
   test("linkExtract canonicalizes and dedupes the synthetic outlinks") {
     import spark.implicits._
     val docs = Seq((7L, "src3")).toDF("doc_id", "source")

@@ -378,6 +378,9 @@ class PlanAuditSpec extends SparkSpec {
     val bw = plan(TextOps.c4Badwords(Tables.documents(spark, sfDir)))
     assert(hashExchangeCount(bw) == 0, bw)
     assert(!bw.contains("Join"), bw)
+    val uf = plan(UrlOps.urlFilter(Tables.documents(spark, sfDir)))
+    assert(hashExchangeCount(uf) == 0, uf)
+    assert(!uf.contains("Join"), uf)
   }
 
   test("q_substring_excise_incremental: fingerprint-keyed only, no cartesian") {
