@@ -2920,6 +2920,32 @@ class HtmlUrlSpec extends SparkSpec {
       "bridge already canonicalized: one variant, two fetches")
   }
 
+  test("urlFilterOf gates the real ingest output before any content operator") {
+    val dir = Files.createTempDirectory("graft_warc_urlfilter")
+    val body = "<p>the of and to page body</p>"
+    Files.write(dir.resolve("seg.warc"),
+      record("response", "http://ads.bad.site/promo",
+        http("200 OK", "text/html", body.getBytes(UTF_8))) ++
+        record("response", "http://good.site/article?utm_source=feed",
+          http("200 OK", "text/html", body.getBytes(UTF_8))) ++
+        record("response", "http://good.site/clean",
+          http("200 OK", "text/html", body.getBytes(UTF_8))))
+    val (clean, _) =
+      HtmlOps.warcToDocuments(graft.sources.WarcSource.read(spark, dir.toString))
+    // the composition a pipeline runs: gate the corpus by its own url
+    // column, keep only url_ok docs for everything downstream
+    val verdicts = UrlOps.urlFilterOf(clean, Seq("bad.site"), Seq("utm_"))
+    val keep = clean.join(
+      verdicts.filter(col("url_ok")).select(col("doc_id")), Seq("doc_id"),
+      "left_semi")
+    val kept = keep.collect().map(_.getAs[String]("url")).toSet
+    // NOTE: the bridge canonicalizes urls (utm_ stripped by canon), so
+    // the pattern gate sees the CANONICAL url here — the raw-url gate
+    // belongs at fetch-log time; domain blocking works at either stage
+    assert(!kept.exists(_.contains("bad.site")), kept.toString)
+    assert(kept.contains("http://good.site/clean"))
+  }
+
   test("warc bridge chains into langId and dedupLines (the documents estate)") {
     val dir = Files.createTempDirectory("graft_warc_chain")
     val page = "<p>the of and to in for is on that the of and to in for is on that</p>"
