@@ -14,7 +14,10 @@ import org.apache.spark.sql.types._
   * declarations lie". Formats with full decoders (PNG/JPEG/GIF/WAV/
   * AVI/PDF) have their own richer routes (decodeBatches, the dataset
   * builders, pdfDocumentsOf); this inventory is the cheap first-pass
-  * triage that runs on EVERYTHING.
+  * triage that runs on EVERYTHING. Fonts (WOFF/WOFF2) are named but
+  * deliberately not measured — a font file carries no training-data
+  * signal beyond its mime, so naming is the whole triage (policy, not
+  * a gap).
   *
   * Scale shape: header fields stay codegen'd Columns; ONE mapPartitions
   * carries the body split + sniff + the per-format walk, payload dies

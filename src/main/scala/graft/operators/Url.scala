@@ -288,7 +288,9 @@ object UrlOps {
     * `*.d`) or whose RAW fetch URL contains a blocked substring
     * (tracking/adult/spam markers — the published recipes match the
     * URL as fetched, case-insensitively) drops. Parameterized by the
-    * caller's lists (the redact/contamination/badwords convention).
+    * caller's lists (the redact/contamination/badwords convention);
+    * published blocklists ship one-entry-per-line — load them with
+    * [[TextOps.readBadwords]], which reads exactly that shape.
     * Output (doc_id, host, domain_blocked, pattern_blocked, url_ok).
     * Pure row-level map, zero shuffles — the gate fuses into the fetch
     * log scan in front of every content operator. */
