@@ -65,7 +65,8 @@ object MediaOps {
             case Right(m) => row(
               if (m.width >= 0) m.width else null,
               if (m.height >= 0) m.height else null,
-              m.durationMs, m.majorBrand, null)
+              if (m.durationMs >= 0) m.durationMs else null,
+              m.majorBrand, null)
             case Left(reason) => row(null, null, null, null, reason)
           }
           case "audio/mpeg" => Mp3Ops.mp3Walk(body) match {

@@ -33,7 +33,9 @@ object Mp4Ops {
 
   /** Parsed container metadata. `width`/`height`/`videoCodec` are -1/""
     * for audio-only files; `durationMs` derives from mvhd
-    * duration/timescale (integer milliseconds, floor). */
+    * duration/timescale (integer milliseconds, floor), or -1 when the
+    * writer declared the ISO "unknown" sentinel (all-ones duration —
+    * common on live-captured files; the faces emit NULL). */
   final case class Mp4Info(majorBrand: String, durationMs: Long,
                            nTracks: Int, width: Int, height: Int,
                            videoCodec: String, audioCodec: String)
@@ -105,6 +107,10 @@ object Mp4Ops {
             val v = if (dataOff < bytes.length) bytes(dataOff.toInt) & 0xff else -1
             if (v == 1) { timescale = u32(dataOff + 20); duration = u64(dataOff + 24) }
             else if (v == 0) { timescale = u32(dataOff + 12); duration = u32(dataOff + 16) }
+            // ISO 14496-12: an all-ones duration means UNKNOWN (a live
+            // capture) — mark it, never compute a 49-day phantom
+            if ((v == 0 && duration == 0xffffffffL) ||
+              (v == 1 && duration == -1L)) duration = -2L
           case "tkhd" =>
             val v = if (dataOff < bytes.length) bytes(dataOff.toInt) & 0xff else -1
             val base = if (v == 1) dataOff + 88 else dataOff + 76
@@ -127,10 +133,11 @@ object Mp4Ops {
     // -stream segment is a different ingest decision than a truncated
     // file (its duration lives in sidx/tfdt, out of scope per the
     // metadata-triage contract)
-    if (timescale <= 0 || duration < 0)
+    if (timescale <= 0 || duration == -1L)
       Left(if (sawMoof) "fragmented" else "no_moov")
-    else Right(Mp4Info(majorBrand, duration * 1000L / timescale, nTracks,
-      width, height, videoCodec, audioCodec))
+    else Right(Mp4Info(majorBrand,
+      if (duration == -2L) -1L else duration * 1000L / timescale,
+      nTracks, width, height, videoCodec, audioCodec))
   }
 
   // ---------- operator faces ----------
@@ -158,7 +165,8 @@ object Mp4Ops {
           it.map { r =>
             val url = r.getString(0)
             mp4Walk(r.getAs[Array[Byte]](1)) match {
-              case Right(m) => Row(url, m.majorBrand, m.durationMs,
+              case Right(m) => Row(url, m.majorBrand,
+                if (m.durationMs >= 0) m.durationMs else null,
                 m.nTracks,
                 if (m.width >= 0) m.width else null,
                 if (m.height >= 0) m.height else null,

@@ -36,6 +36,14 @@ class Mp4Spec extends SparkSpec {
       Array[Byte](0, 0, 0, 16) ++ "moof".getBytes(ISO_8859_1) ++
       Array[Byte](0, 0, 0, 8) ++ "mfhd".getBytes(ISO_8859_1)
     assert(Mp4Ops.mp4Walk(frag.toArray) == Left("fragmented"))
+    // the ISO "unknown duration" sentinel (all-ones mvhd duration —
+    // live captures): parsed, duration UNKNOWN (-1), never a 49-day
+    // phantom clip
+    val live = Mp4Ops.mp4Synth(0L)
+    val durOff = 20 + 8 + 8 + 4 + 8 + 4 // ftyp + moov hdr + mvhd hdr + fullbox + cre/mod + ts
+    (0 until 4).foreach(i => live(durOff + i) = 0xff.toByte)
+    val got = Mp4Ops.mp4Walk(live)
+    assert(got.exists(m => m.durationMs == -1L && m.majorBrand == "isom"), got)
     // truncated mid-moov: the walk stops at the malformed box, keeps
     // nothing half-read, and quarantines
     val full = Mp4Ops.mp4Synth(0L)
