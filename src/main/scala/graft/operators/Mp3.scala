@@ -137,9 +137,10 @@ object Mp3Ops {
       }
     }
     // first MPEG frame header at/after audioStart (bounded scan — real
-    // files open the frame immediately; 4 KiB absorbs padding/junk)
+    // files open the frame immediately; 4 KiB absorbs padding/junk;
+    // the v1 trailer is excluded — its latin-1 text is not frame space)
     var p = audioStart
-    val bound = math.min(bytes.length - 4, audioStart + 4096)
+    val bound = math.min(audioEnd - 4, audioStart + 4096)
     var hdr = -1
     while (hdr < 0 && p <= bound) {
       if ((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xe0) == 0xe0) hdr = p
