@@ -2,8 +2,6 @@ package graft.sources
 
 import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, IOException, InputStream, PushbackInputStream}
 import java.nio.charset.StandardCharsets
-import java.util.zip.GZIPInputStream
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -69,7 +67,18 @@ object WarcSource {
       // FILE offsets; for .warc.gz they index the decompressed stream
       // ([[readAt]] skips to either — see [[cdxIndex]]).
       offset: Long,
-      length: Long)
+      length: Long,
+      // COMPRESSED coordinates (round 19 — the real Common Crawl CDX
+      // axis): `member_offset` = true file offset of the gzip member
+      // containing the record's first byte, `member_skip` = decompressed
+      // bytes between that member's start and the record (0 in the CC
+      // one-record-per-member layout). [[readAtMember]] seeks straight
+      // to `member_offset` and inflates only that member chain —
+      // O(record), not O(offset), on .warc.gz. For a plain .warc the
+      // file IS the stream: member_offset == offset, member_skip == 0,
+      // and readAtMember degrades to a true seek.
+      member_offset: Long,
+      member_skip: Long)
 
   /** Read every WARC (or .warc.gz) file under `path` into a record frame.
     *
@@ -129,14 +138,193 @@ object WarcSource {
 
   /** Gzip-sniff any InputStream (2-byte magic peek, pushed back) — the
     * shared front of the path route and the in-memory route, so the
-    * byte-consumption probe exercises exactly what a task runs. */
+    * byte-consumption probe exercises exactly what a task runs. A gzip
+    * stream gets the member-aware inflater (round 19): identical
+    * decompressed bytes to `GZIPInputStream` over concatenated members
+    * (CRC32 + ISIZE validated per member, trailing garbage = clean EOF,
+    * torn member = IOException → walk ends, priors kept), PLUS exact
+    * COMPRESSED member-boundary accounting so the record walk can stamp
+    * each record with the file offset of its gzip member — the key the
+    * public Common Crawl CDX uses for random access. */
   private[graft] def sniffGzip(in0: InputStream): InputStream = {
     val in = new PushbackInputStream(new BufferedInputStream(in0, 64 << 10), 2)
     val b1 = in.read()
     val b2 = in.read()
     if (b2 >= 0) in.unread(b2)
     if (b1 >= 0) in.unread(b1)
-    if (b1 == 0x1f && b2 == 0x8b) new GZIPInputStream(in, 64 << 10) else in
+    if (b1 == 0x1f && b2 == 0x8b) new MemberGzipStream(in) else in
+  }
+
+  /** Multi-member gzip inflater with exact compressed-offset accounting.
+    *
+    * `java.util.zip.GZIPInputStream` splices concatenated members
+    * together invisibly — correct bytes, but the member boundaries (the
+    * unit of random access in every public WARC index) are lost, and its
+    * internal read-ahead makes after-the-fact counting of the underlying
+    * stream overcount. This implementation parses the RFC 1952 framing
+    * itself (header incl. FEXTRA/FNAME/FCOMMENT/FHCRC, raw-deflate body
+    * via `Inflater(nowrap)`, CRC32+ISIZE trailer) off its own feed
+    * buffer, so `compressed bytes consumed = fed - Inflater.getRemaining`
+    * is exact at every member edge. Each member start is appended to a
+    * bounded deque of (decompressed pos, compressed pos) pairs;
+    * [[memberFor]] answers "which member holds decompressed position d"
+    * for the record walk's nondecreasing queries, pruning as it goes —
+    * live state is one feed buffer + the boundaries inside the consumer's
+    * read-ahead window, never the file. */
+  private[graft] final class MemberGzipStream(raw: InputStream) extends InputStream {
+    private val inf = new java.util.zip.Inflater(true)
+    private val crc = new java.util.zip.CRC32
+    private val buf = new Array[Byte](64 << 10)
+    private var bufPos = 0
+    private var bufLen = 0
+    private var compPos = 0L // compressed offset of buf(bufPos)
+    private var decompPos = 0L
+    private var memberSize = 0L // decompressed bytes of the current member
+    private var inputFed = 0 // bytes handed to the inflater by the live setInput
+    private var eof = false
+    private val one = new Array[Byte](1)
+    // (decompressed start, compressed start) per member, oldest first
+    private val boundaries = scala.collection.mutable.ArrayDeque.empty[(Long, Long)]
+
+    if (!startMember()) eof = true // sniff saw the magic, so this cannot EOF
+
+    /** Compressed offset + decompressed start of the member containing
+      * decompressed position `dpos`. Queries must be nondecreasing (the
+      * record walk's are); earlier boundaries are pruned on the way. */
+    def memberFor(dpos: Long): (Long, Long) = {
+      while (boundaries.length >= 2 && boundaries(1)._1 <= dpos)
+        boundaries.removeHead()
+      val (d, c) = boundaries.head
+      (c, d)
+    }
+
+    private def ensure(): Boolean = {
+      if (bufPos < bufLen) return true
+      bufPos = 0
+      bufLen = 0
+      var n = raw.read(buf)
+      while (n == 0) n = raw.read(buf)
+      if (n < 0) return false
+      bufLen = n
+      true
+    }
+
+    private def rdRaw(): Int = {
+      if (!ensure()) return -1
+      val b = buf(bufPos) & 0xff
+      bufPos += 1
+      compPos += 1
+      b
+    }
+
+    private def skipRaw(n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        if (rdRaw() < 0) throw new EOFException("torn gzip header")
+        i += 1
+      }
+    }
+
+    private def skipZeroTerminated(): Unit = {
+      var b = rdRaw()
+      while (b > 0) b = rdRaw()
+      if (b < 0) throw new EOFException("torn gzip header")
+    }
+
+    /** Reconcile the feed buffer with what the inflater actually consumed
+      * — called exactly when the inflater is at an input edge (needsInput
+      * or finished), so `getRemaining` is the leftover head of the
+      * trailer / next member still sitting in `buf`. */
+    private def syncInput(): Unit = {
+      if (inputFed > 0) {
+        val used = inputFed - inf.getRemaining
+        bufPos += used
+        compPos += used
+        inputFed = 0
+      }
+    }
+
+    /** Parse one member header (magic included). False = clean end of the
+      * member chain: EOF, or trailing non-gzip garbage (the
+      * `GZIPInputStream` convention). Records the member boundary. */
+    private def startMember(): Boolean = {
+      val mComp = compPos
+      val m1 = rdRaw()
+      if (m1 < 0) return false
+      val m2 = rdRaw()
+      if (m1 != 0x1f || m2 != 0x8b) return false
+      val cm = rdRaw()
+      if (cm != 8) throw new java.util.zip.ZipException(s"unsupported gzip method $cm")
+      val flg = rdRaw()
+      if (flg < 0) throw new EOFException("torn gzip header")
+      skipRaw(6) // MTIME(4) + XFL + OS
+      if ((flg & 4) != 0) { // FEXTRA
+        val x1 = rdRaw(); val x2 = rdRaw()
+        if (x2 < 0) throw new EOFException("torn gzip header")
+        skipRaw(x1 | (x2 << 8))
+      }
+      if ((flg & 8) != 0) skipZeroTerminated() // FNAME
+      if ((flg & 16) != 0) skipZeroTerminated() // FCOMMENT
+      if ((flg & 2) != 0) skipRaw(2) // FHCRC
+      boundaries += ((decompPos, mComp))
+      inf.reset()
+      crc.reset()
+      memberSize = 0L
+      true
+    }
+
+    private def readLe32(): Long = {
+      val a = rdRaw(); val b = rdRaw(); val c = rdRaw(); val d = rdRaw()
+      if (d < 0) throw new EOFException("torn gzip trailer")
+      (a | (b << 8) | (c << 16)).toLong | (d.toLong << 24)
+    }
+
+    private def readTrailer(): Unit = {
+      if (readLe32() != crc.getValue)
+        throw new java.util.zip.ZipException("corrupt gzip member (CRC32 mismatch)")
+      if (readLe32() != (memberSize & 0xffffffffL))
+        throw new java.util.zip.ZipException("corrupt gzip member (ISIZE mismatch)")
+    }
+
+    override def read(): Int = {
+      val n = read(one, 0, 1)
+      if (n < 0) -1 else one(0) & 0xff
+    }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (eof) return -1
+      if (len == 0) return 0
+      while (true) {
+        if (inf.finished()) {
+          syncInput()
+          readTrailer()
+          if (!startMember()) { eof = true; return -1 }
+        } else if (inf.needsInput()) {
+          syncInput()
+          if (!ensure()) throw new EOFException("truncated gzip member")
+          inf.setInput(buf, bufPos, bufLen - bufPos)
+          inputFed = bufLen - bufPos
+        } else {
+          val n = inf.inflate(b, off, len)
+          if (n > 0) {
+            crc.update(b, off, n)
+            decompPos += n
+            memberSize += n
+            return n
+          }
+          if (!inf.finished() && !inf.needsInput())
+            throw new java.util.zip.ZipException("gzip deflate stream needs a preset dictionary")
+        }
+      }
+      -1 // unreachable
+    }
+
+    override def available(): Int = if (eof) 0 else 1
+
+    override def close(): Unit = {
+      inf.end()
+      raw.close()
+    }
   }
 
   /** Stream one in-memory file's records (gzip-sniffed). The iterator
@@ -163,6 +351,13 @@ object WarcSource {
 
   private final class RecordIterator(path: String, in0: InputStream, maxRecord: Int)
       extends Iterator[WarcRecord] {
+    // gzip route: the member-aware inflater below the buffered layer
+    // answers "which gzip member holds this decompressed position" for
+    // the compressed CDX coordinates
+    private val gz: MemberGzipStream = in0 match {
+      case m: MemberGzipStream => m
+      case _ => null
+    }
     private val in = new PushbackInputStream(new BufferedInputStream(in0, 64 << 10), 1)
     private var nextRec: WarcRecord = null
     private var finished = false
@@ -236,6 +431,14 @@ object WarcSource {
           off += n
           pos += n
         }
+        // compressed member coordinates: query AFTER the record is fully
+        // read (the gzip layer has certainly produced byte `start` by
+        // then, so its member boundary is on record)
+        val (mOff, mSkip) =
+          if (gz != null) {
+            val (c, d) = gz.memberFor(start)
+            (c, start - d)
+          } else (start, 0L)
         nextRec = WarcRecord(
           file = path,
           warc_type = headers.getOrElse("warc-type", ""),
@@ -249,7 +452,9 @@ object WarcSource {
           refers_to_uri = headers.getOrElse("warc-refers-to-target-uri", ""),
           refers_to_date = headers.getOrElse("warc-refers-to-date", ""),
           offset = start,
-          length = pos - start)
+          length = pos - start,
+          member_offset = mOff,
+          member_skip = mSkip)
       } catch {
         case _: EOFException | _: IOException => finish()
       }
@@ -285,11 +490,16 @@ object WarcSource {
     * (the iterator already counts every byte): (canon_url, warc_date,
     * warc_type, file, offset, length, payload_digest), keyed on the
     * SAME canonical identity as the fetch log so it joins everything
-    * else in the estate. Offsets index the decompressed stream —
-    * exact file offsets for plain `.warc`; for `.warc.gz` the lookup
-    * skips through the inflater ([[readAt]]) since gzip members are
-    * not independently addressable without a member index. Pure
-    * projection of the record frame — zero extra scans, zero
+    * else in the estate. Two offset axes per row (round 19):
+    * `offset`/`length` index the DECOMPRESSED stream (exact file
+    * offsets for plain `.warc`), and `member_offset`/`member_skip` are
+    * the COMPRESSED coordinates — the true file offset of the gzip
+    * member holding the record, exactly what the public Common Crawl
+    * CDX records, so [[readAtMember]] re-fetches one record in
+    * O(record) on the real `.warc.gz` layout (a compressed member
+    * LENGTH, for HTTP range fetches, is the gap to the next member:
+    * `lead(member_offset) over (partition by file order by offset)`).
+    * Pure projection of the record frame — zero extra scans, zero
     * shuffles; the payload column is dropped, so persisting the index
     * costs metadata only. */
   def cdxIndex(records: DataFrame): DataFrame =
@@ -298,7 +508,8 @@ object WarcSource {
       .select(
         graft.operators.UrlOps.canonIdn(col("target_uri")).as("canon_url"),
         col("warc_date"), col("warc_type"), col("file"),
-        col("offset"), col("length"), col("payload_digest"))
+        col("offset"), col("length"),
+        col("member_offset"), col("member_skip"), col("payload_digest"))
 
   /** Random access by a [[cdxIndex]] row: open `file`, position at
     * `offset` (a true seek is unavailable through the gzip sniff, so
@@ -323,6 +534,38 @@ object WarcSource {
       if (it.hasNext) Some(it.next()) else None
     } finally {
       try in.close() catch { case _: IOException => () }
+    }
+  }
+
+  /** Random access by COMPRESSED coordinates (round 19) — the real
+    * Common Crawl access pattern: a true `FileSystem.seek` to
+    * `member_offset` (the gzip member's file offset from [[cdxIndex]]),
+    * a fresh inflater opened AT that member, `member_skip` decompressed
+    * bytes skipped within it (0 in the one-record-per-member CC
+    * layout), then ONE record parsed. Cost is O(seek + one member),
+    * never O(offset) re-inflation of the file head — on a plain
+    * `.warc` the coordinates degrade to (offset, 0) and this is a pure
+    * seek, strictly better than [[readAt]]'s skip-through there too. */
+  def readAtMember(spark: SparkSession, file: String, memberOffset: Long,
+                   memberSkip: Long = 0L,
+                   maxRecord: Int = 64 << 20): Option[WarcRecord] = {
+    val hp = new org.apache.hadoop.fs.Path(file)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fsin = fs.open(hp)
+    try {
+      if (memberOffset > 0) fsin.seek(memberOffset)
+      val in = sniffGzip(fsin)
+      var toSkip = memberSkip
+      while (toSkip > 0) {
+        val n = in.skip(toSkip)
+        if (n > 0) toSkip -= n
+        else if (in.read() >= 0) toSkip -= 1
+        else toSkip = 0 // EOF before the skip target → empty walk below
+      }
+      val it = parseStream(file, in, maxRecord)
+      if (it.hasNext) Some(it.next()) else None
+    } finally {
+      try fsin.close() catch { case _: IOException => () }
     }
   }
 

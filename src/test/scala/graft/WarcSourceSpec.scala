@@ -113,6 +113,129 @@ class WarcSourceSpec extends SparkSpec {
     }
   }
 
+  test("member_offset is the true compressed offset; readAtMember round-trips " +
+    "every record on a multi-member .warc.gz") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_warc_member")
+    // the CC layout: one gzip member per record; capture each member's
+    // true compressed start while building the file
+    val recs = Seq(
+      record("warcinfo", "", "software: graft-test\r\n".getBytes(US_ASCII), "info"),
+      record("response", "http://example.com/a", httpPayload, "resp"),
+      record("request", "http://example.com/a",
+        "GET /a HTTP/1.1\r\n".getBytes(US_ASCII), "req"))
+    val gz = new ByteArrayOutputStream()
+    val memberStarts = recs.map { r =>
+      val start = gz.size().toLong
+      val o = new GZIPOutputStream(gz); o.write(r); o.finish()
+      start
+    }
+    val gzPath = dir.resolve("seg.warc.gz")
+    Files.write(gzPath, gz.toByteArray)
+
+    val rows = WarcSource.read(spark, dir.toString).orderBy("offset").collect()
+    assert(rows.length == 3)
+    // compressed member offsets match the byte-exact construction; the
+    // CC layout puts every record at its member's start
+    assert(rows.map(_.getAs[Long]("member_offset")).toSeq == memberStarts)
+    assert(rows.forall(_.getAs[Long]("member_skip") == 0L))
+    // the index carries both axes
+    val idxCols = WarcSource.cdxIndex(
+      WarcSource.read(spark, dir.toString)).columns.toSet
+    assert(idxCols.contains("member_offset") && idxCols.contains("member_skip"))
+    // random access at the recorded COMPRESSED offset: byte-for-byte
+    rows.foreach { r =>
+      val got = WarcSource.readAtMember(spark, r.getAs[String]("file"),
+        r.getAs[Long]("member_offset"), r.getAs[Long]("member_skip"))
+      assert(got.nonEmpty, s"no record at member ${r.getAs[Long]("member_offset")}")
+      assert(got.get.record_id == r.getAs[String]("record_id"))
+      assert(got.get.payload.toSeq == r.getAs[Array[Byte]]("payload").toSeq,
+        "payload bytes round-trip through the member seek")
+      assert(got.get.length == r.getAs[Long]("length"))
+    }
+    // plain files: member coordinates degrade to (offset, 0) and
+    // readAtMember is a pure seek to the record
+    Files.write(dir.resolve("seg-plain.warc"), warcBytes)
+    val plainRows = WarcSource.read(spark, dir.toString)
+      .filter(col("file").contains("seg-plain")).collect()
+    plainRows.foreach { r =>
+      assert(r.getAs[Long]("member_offset") == r.getAs[Long]("offset"))
+      assert(r.getAs[Long]("member_skip") == 0L)
+      val got = WarcSource.readAtMember(spark, r.getAs[String]("file"),
+        r.getAs[Long]("member_offset"))
+      assert(got.map(_.record_id).contains(r.getAs[String]("record_id")))
+    }
+  }
+
+  test("a gzip member holding several records: shared member_offset, " +
+    "member_skip positions each record within it") {
+    val dir = Files.createTempDirectory("graft_warc_multirec")
+    val r0 = record("response", "http://m/0", httpPayload, "m0")
+    val r1 = record("response", "http://m/1", httpPayload, "m1")
+    val r2 = record("response", "http://m/2", httpPayload, "m2")
+    val gz = new ByteArrayOutputStream()
+    val g1 = new GZIPOutputStream(gz); g1.write(r0 ++ r1); g1.finish()
+    val secondStart = gz.size().toLong
+    val g2 = new GZIPOutputStream(gz); g2.write(r2); g2.finish()
+    Files.write(dir.resolve("multi.warc.gz"), gz.toByteArray)
+
+    val rows = WarcSource.read(spark, dir.toString).orderBy("offset").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Long]("member_offset") == 0L)
+    assert(rows(0).getAs[Long]("member_skip") == 0L)
+    assert(rows(1).getAs[Long]("member_offset") == 0L, "same member as record 0")
+    assert(rows(1).getAs[Long]("member_skip") == r0.length.toLong,
+      "decompressed skip within the shared member")
+    assert(rows(2).getAs[Long]("member_offset") == secondStart)
+    assert(rows(2).getAs[Long]("member_skip") == 0L)
+    rows.foreach { r =>
+      val got = WarcSource.readAtMember(spark, r.getAs[String]("file"),
+        r.getAs[Long]("member_offset"), r.getAs[Long]("member_skip"))
+      assert(got.map(_.record_id).contains(r.getAs[String]("record_id")), r.toString)
+    }
+  }
+
+  test("gzip members with FNAME/FCOMMENT header fields parse with exact offsets") {
+    // wget and friends set FNAME; the member walk must skip the optional
+    // header fields and still count their bytes into member_offset
+    def withFname(member: Array[Byte], name: String): Array[Byte] = {
+      val out = member.clone()
+      out(3) = (out(3) | 8).toByte // FLG |= FNAME
+      out.take(10) ++ name.getBytes(US_ASCII) ++ Array[Byte](0) ++ out.drop(10)
+    }
+    def member(r: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(o); g.write(r); g.finish()
+      o.toByteArray
+    }
+    val m0 = withFname(member(record("response", "http://f/0", httpPayload, "f0")),
+      "seg-0.warc")
+    val m1 = member(record("response", "http://f/1", httpPayload, "f1"))
+    val dir = Files.createTempDirectory("graft_warc_fname")
+    Files.write(dir.resolve("named.warc.gz"), m0 ++ m1)
+    val rows = WarcSource.read(spark, dir.toString).orderBy("offset").collect()
+    assert(rows.map(_.getAs[String]("target_uri")).toSeq ==
+      Seq("http://f/0", "http://f/1"))
+    assert(rows(1).getAs[Long]("member_offset") == m0.length.toLong)
+    val got = WarcSource.readAtMember(spark, rows(1).getAs[String]("file"),
+      rows(1).getAs[Long]("member_offset"))
+    assert(got.map(_.record_id).contains("<urn:test:f1>"))
+  }
+
+  test("a CRC-corrupt gzip member ends the walk; prior records survive") {
+    def member(r: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(o); g.write(r); g.finish()
+      o.toByteArray
+    }
+    val good = member(record("response", "http://c/ok", httpPayload, "ok"))
+    val bad = member(record("response", "http://c/bad", httpPayload, "bad"))
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x55).toByte // flip deflate bits
+    val recs = WarcSource.parseFile("mem.warc.gz", good ++ bad).toVector
+    assert(recs.map(_.target_uri) == Vector("http://c/ok"),
+      "corrupt member dropped, prior kept, nothing thrown")
+  }
+
   test("WARC bodies flow into the text estate: langId + exact dedup end-to-end") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_warc3")
