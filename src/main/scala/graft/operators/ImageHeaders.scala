@@ -1,0 +1,129 @@
+package graft.operators
+
+/** Header-only image geometry (round 19) — the cheap arm of the media
+  * inventory for the web's dominant media type. The full pixel decoders
+  * ([[MultimodalOps.pngWalk]], [[JpegDecode]], [[GifDecode]],
+  * [[MultimodalOps.bmpWalk]]) exist for feature extraction and dHash;
+  * running them just to MEASURE an image would make the first-pass
+  * inventory cost O(pixels) per payload. Every one of these formats
+  * states its geometry in a fixed-layout header (PNG IHDR, GIF logical
+  * screen descriptor, BMP info header, JPEG SOFn segment), so the probe
+  * reads dimensions in O(header) bytes — for JPEG a marker-segment skip
+  * scan, for the rest a handful of fixed offsets — and the inventory
+  * stays one cheap pass that measures everything.
+  *
+  * Spec contract: on every payload the full decoders accept, the probe's
+  * geometry is IDENTICAL to the decoder's (parity-tested against
+  * JDK-encoded fixtures); on junk it returns a named reason, never
+  * throws. Scope mirrors the sniffer's magics: png/gif/bmp/jpeg. */
+private[graft] object ImageHeaders {
+
+  /** (width, height, format) from the header alone, or Left(reason).
+    * `format` names the flavor the header declares — `png`, `gif87a`/
+    * `gif89a`, `bmp`, `jpeg-baseline`/`jpeg-progressive`/`jpeg-lossless`
+    * etc. per the SOF marker actually present. */
+  def probe(b: Array[Byte]): Either[String, (Int, Int, String)] = {
+    if (b == null || b.length < 2) return Left("bad_image_header")
+    graft.plans.MagicMime.sniff(
+      java.util.Arrays.copyOf(b, math.min(b.length, 64))) match {
+      case "image/png" => png(b)
+      case "image/gif" => gif(b)
+      case "image/bmp" => bmp(b)
+      case "image/jpeg" => jpeg(b)
+      case _ => Left("not_image")
+    }
+  }
+
+  private def u16be(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def u32be(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def u16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def s32le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** PNG: the IHDR chunk is REQUIRED to be first (spec §11.2.2), so
+    * geometry sits at fixed offsets 16/20 past the 8-byte signature and
+    * the 8-byte chunk preamble. */
+  private def png(b: Array[Byte]): Either[String, (Int, Int, String)] = {
+    if (b.length < 24 || u32be(b, 8) != 13L ||
+      b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
+      return Left("bad_image_header")
+    val w = u32be(b, 16)
+    val h = u32be(b, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue)
+      Left("bad_image_header")
+    else Right((w.toInt, h.toInt, "png"))
+  }
+
+  /** GIF: logical screen descriptor immediately after the 6-byte
+    * version magic — width/height as little-endian u16. */
+  private def gif(b: Array[Byte]): Either[String, (Int, Int, String)] = {
+    if (b.length < 10) return Left("bad_image_header")
+    val w = u16le(b, 6)
+    val h = u16le(b, 8)
+    if (w <= 0 || h <= 0) Left("bad_image_header")
+    else Right((w, h, if (b(4) == '7') "gif87a" else "gif89a"))
+  }
+
+  /** BMP: BITMAPINFOHEADER (size ≥ 40: signed little-endian geometry, a
+    * negative height = top-down storage) or the legacy 12-byte
+    * BITMAPCOREHEADER (u16 geometry). */
+  private def bmp(b: Array[Byte]): Either[String, (Int, Int, String)] = {
+    if (b.length < 26) return Left("bad_image_header")
+    val hdrSize = s32le(b, 14)
+    if (hdrSize >= 40 && b.length >= 26) {
+      val w = s32le(b, 18)
+      val h = math.abs(s32le(b, 22).toLong)
+      if (w <= 0 || h <= 0 || h > Int.MaxValue) Left("bad_image_header")
+      else Right((w, h.toInt, "bmp"))
+    } else if (hdrSize == 12 && b.length >= 22) {
+      val w = u16le(b, 18)
+      val h = u16le(b, 20)
+      if (w <= 0 || h <= 0) Left("bad_image_header")
+      else Right((w, h, "bmp-core"))
+    } else Left("bad_image_header")
+  }
+
+  /** JPEG: skip marker segments by their declared lengths until a SOFn
+    * frame header (C0–CF minus DHT C4 / JPGn C8 / DAC CC), whose payload
+    * opens precision(1) height(2 BE) width(2 BE). Standalone markers
+    * (TEM, RSTn) have no length field; hitting SOS or EOI before any SOF
+    * means a torn stream. The scan touches only marker bytes — entropy-
+    * coded data never starts before SOF, so cost is O(metadata). */
+  private def jpeg(b: Array[Byte]): Either[String, (Int, Int, String)] = {
+    var i = 2 // past FFD8
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return Left("bad_image_header")
+      var m = b(i + 1) & 0xff
+      while (m == 0xff && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff } // fill bytes
+      m match {
+        case 0x01 | 0xd8 => i += 2 // TEM / spurious SOI: standalone
+        case r if r >= 0xd0 && r <= 0xd7 => i += 2 // RSTn: standalone
+        case 0xd9 | 0xda => return Left("no_sof") // EOI / SOS before SOF
+        case sof if sof >= 0xc0 && sof <= 0xcf &&
+          sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
+          if (i + 8 >= b.length) return Left("bad_image_header")
+          val h = u16be(b, i + 5)
+          val w = u16be(b, i + 7)
+          if (w <= 0 || h <= 0) return Left("bad_image_header")
+          val flavor = sof match {
+            case 0xc0 | 0xc1 => "jpeg-baseline"
+            case 0xc2 => "jpeg-progressive"
+            case 0xc3 => "jpeg-lossless"
+            case x => f"jpeg-sof$x%02x"
+          }
+          return Right((w, h, flavor))
+        case _ =>
+          if (i + 3 >= b.length) return Left("bad_image_header")
+          val len = u16be(b, i + 2)
+          if (len < 2) return Left("bad_image_header")
+          i += 2 + len
+      }
+    }
+    Left("bad_image_header")
+  }
+}

@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * MP4/M4A ([[Mp4Ops]]), MP3 ([[Mp3Ops]]), WebP ([[WebpOps]]) — in one
   * frame a crawl operator actually consumes: "what media did this
   * segment fetch, what are its dimensions/durations, and which
-  * declarations lie". Formats with full decoders (PNG/JPEG/GIF/WAV/
-  * AVI/PDF) have their own richer routes (decodeBatches, the dataset
-  * builders, pdfDocumentsOf); this inventory is the cheap first-pass
-  * triage that runs on EVERYTHING. Fonts (WOFF/WOFF2) are named but
+  * declarations lie". Images (PNG/GIF/BMP/JPEG) measure from their
+  * HEADERS alone ([[ImageHeaders]], round 19) — O(header) bytes, no
+  * pixel decode, geometry parity-specced against the full decoders;
+  * the full routes (decodeBatches, the dataset builders,
+  * pdfDocumentsOf) remain the feature/dHash path. Fonts (WOFF/WOFF2)
+  * are named but
   * deliberately not measured — a font file carries no training-data
   * signal beyond its mime, so naming is the whole triage (policy, not
   * a gap).
@@ -40,7 +42,7 @@ object MediaOps {
     * media_reason). Geometry/duration populate for the walked formats;
     * `media_reason` carries a walk's quarantine verdict (a declared-
     * or-sniffed media payload whose bytes do not parse); both stay NULL
-    * for non-media and fully-decoded-elsewhere formats. */
+    * for non-media formats (fonts, archives, text). */
   def mediaInventoryOf(records: DataFrame): DataFrame = {
     val spark = records.sparkSession
     graft.plans.GraftFunctions.register(spark)
@@ -71,7 +73,7 @@ object MediaOps {
           }
           case "audio/mpeg" => Mp3Ops.mp3Walk(body) match {
             case Right(m) => row(null, null, m.durationMs,
-              s"mpeg1-l3-${m.bitrateKbps}k", null)
+              s"mpeg${m.mpegVersion}-l${m.layer}-${m.bitrateKbps}k", null)
             case Left(reason) => row(null, null, null, null, reason)
           }
           case "image/webp" => WebpOps.webpWalk(body) match {
@@ -82,6 +84,15 @@ object MediaOps {
             case Right(m) => row(null, null, m.durationMs, m.codec, null)
             case Left(reason) => row(null, null, null, null, reason)
           }
+          // the web's dominant media type measures from its header alone
+          // (round 19): PNG IHDR / GIF LSD / BMP info header / JPEG SOFn
+          // — O(header) bytes, no pixel decode, geometry parity-specced
+          // against the full decoders
+          case "image/png" | "image/gif" | "image/bmp" | "image/jpeg" =>
+            ImageHeaders.probe(body) match {
+              case Right((w, h, fmt)) => row(w, h, null, fmt, null)
+              case Left(reason) => row(null, null, null, null, reason)
+            }
           case _ => row(null, null, null, null, null)
         }
       }

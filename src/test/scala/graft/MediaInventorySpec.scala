@@ -2,7 +2,7 @@ package graft
 
 import java.nio.charset.StandardCharsets.ISO_8859_1
 
-import graft.operators.{MediaOps, Mp3Ops, Mp4Ops, WebpOps}
+import graft.operators.{MediaOps, Mp3Ops, Mp4Ops, MultimodalOps, WebpOps}
 
 /** The unified media inventory (SURVEY §2-C): one pass naming every
   * response's bytes and reading the walked formats' metadata. */
@@ -49,8 +49,8 @@ class MediaInventorySpec extends SparkSpec {
     assert(clip.getAs[String]("media_format") == "mp42")
     val song = got("http://m.example/song.mp3")
     assert(song.getAs[String]("sniffed_mime") == "audio/mpeg")
-    assert(song.getAs[Long]("duration_ms") == 70L)
-    assert(song.getAs[String]("media_format") == "mpeg1-l3-128k")
+    assert(song.getAs[Long]("duration_ms") == 36L * 7)
+    assert(song.getAs[String]("media_format") == "mpeg1-l3-64k")
     val hero = got("http://m.example/hero.img")
     assert(hero.getAs[String]("sniffed_mime") == "image/webp")
     assert(hero.getAs[Boolean]("mismatch") &&
@@ -114,6 +114,98 @@ class MediaInventorySpec extends SparkSpec {
     }
     assert(ogg.getAs[String]("media_format") == "opus" &&
       ogg.getAs[Long]("duration_ms") == 30L, ogg.toString)
+  }
+
+  test("image geometry from headers alone: png/gif/bmp/jpeg measured in the inventory") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def jdk(fmt: String, w: Int, h: Int,
+            kind: Int = BufferedImage.TYPE_INT_RGB): Array[Byte] = {
+      val img = new BufferedImage(w, h, kind)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, out), s"JDK must encode $fmt")
+      out.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_imgeo")
+    val recs =
+      warcRecord("http://i.example/a.png", http("image/png", jdk("png", 33, 21))) ++
+      warcRecord("http://i.example/b.gif",
+        http("image/gif", jdk("gif", 17, 9, BufferedImage.TYPE_BYTE_INDEXED))) ++
+      warcRecord("http://i.example/c.bmp", http("image/bmp", jdk("bmp", 24, 11))) ++
+      warcRecord("http://i.example/d.jpg", http("image/jpeg", jdk("jpg", 40, 25))) ++
+      // a torn JPEG: SOI+APP0 only, no SOF — named, not measured
+      warcRecord("http://i.example/torn.jpg",
+        http("image/jpeg", jdk("jpg", 8, 8).take(18).toArray))
+    java.nio.file.Files.write(dir.resolve("seg.warc"), recs)
+    val got = MediaOps.mediaInventoryOf(
+      graft.sources.WarcSource.read(spark, dir.toString))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def geo(u: String): (Int, Int, String) = {
+      val r = got(u)
+      (r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[String]("media_format"))
+    }
+    assert(geo("http://i.example/a.png") == ((33, 21, "png")))
+    assert(geo("http://i.example/b.gif") == ((17, 9, "gif89a")))
+    assert(geo("http://i.example/c.bmp") == ((24, 11, "bmp")))
+    assert(geo("http://i.example/d.jpg") == ((40, 25, "jpeg-baseline")))
+    val torn = got("http://i.example/torn.jpg")
+    assert(torn.getAs[String]("sniffed_mime") == "image/jpeg")
+    assert(torn.isNullAt(torn.fieldIndex("width")))
+    assert(torn.getAs[String]("media_reason") != null, torn.toString)
+  }
+
+  test("header geometry ≡ full-decode geometry on every payload the decoders accept") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    import graft.operators.{ImageHeaders, MultimodalOps}
+    def jdk(fmt: String, w: Int, h: Int, kind: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, kind)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, (x * 7 + y * 13) & 0xffffff); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, out), s"JDK must encode $fmt")
+      out.toByteArray
+    }
+    class Counter extends MultimodalOps.PixelSink {
+      override def start(w: Int, h: Int): Unit = ()
+      override def px(r: Int, g: Int, b: Int): Unit = ()
+    }
+    val cases: Seq[(String, Array[Byte], Option[(Int, Int)])] = Seq(
+      "png" -> jdk("png", 19, 27, BufferedImage.TYPE_INT_RGB),
+      "bmp" -> jdk("bmp", 31, 13, BufferedImage.TYPE_INT_RGB),
+      "gif" -> jdk("gif", 23, 15, BufferedImage.TYPE_BYTE_INDEXED),
+      "jpg" -> jdk("jpg", 44, 18, BufferedImage.TYPE_INT_RGB)
+    ).map { case (fmt, bytes) =>
+      val full = fmt match {
+        case "png" => MultimodalOps.pngWalk(bytes, new Counter)
+        case "bmp" => MultimodalOps.bmpWalk(bytes, new Counter)
+        case "gif" => graft.operators.GifDecode.walk(bytes, new Counter)
+        case "jpg" => graft.operators.JpegDecode.walk(bytes, new Counter)
+      }
+      (fmt, bytes, full)
+    }
+    cases.foreach { case (fmt, bytes, full) =>
+      assert(full.nonEmpty, s"$fmt: full decoder must accept the JDK fixture")
+      val probe = ImageHeaders.probe(bytes)
+      assert(probe.isRight, s"$fmt: $probe")
+      val Right((w, h, _)) = probe: @unchecked
+      assert((w, h) == full.get, s"$fmt: header $probe vs decode ${full.get}")
+    }
+    // junk never throws, names the reason
+    assert(ImageHeaders.probe("not an image at all".getBytes("US-ASCII")) ==
+      Left("not_image"))
+    assert(ImageHeaders.probe(Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 0, 9)) == Left("bad_image_header"))
   }
 
   test("mediaInventoryOf: a sniffed-media payload that fails its walk carries the reason") {
