@@ -4,26 +4,30 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
 
 import graft.operators.Mp3Ops
 
-/** MP3 metadata (SURVEY §2 `q_mp3_meta`): ID3v2.3/v2.4 frame grammars,
-  * the MPEG frame-header parse, quarantine routing, and the WARC
-  * adapter. */
+/** MP3 metadata (SURVEY §2 `q_mp3_meta`): ID3v2.2/v2.3/v2.4 frame
+  * grammars, unsynchronisation, the full MPEG version × layer header
+  * tables, the exact frame-walk duration, quarantine routing, and the
+  * WARC adapter. */
 class Mp3Spec extends SparkSpec {
 
   test("mp3Walk: both synth tag versions round-trip the construction truth") {
     val even = Mp3Ops.mp3Walk(Mp3Ops.mp3Synth(6L))
     assert(even == Right(Mp3Ops.Mp3Info(3, "title 6", "artist 6", "",
-      128, 44100, 10L * 7)), even)
+      "1", 3, 64, 32000, 36L * 7, durationExact = true)), even)
     val odd = Mp3Ops.mp3Walk(Mp3Ops.mp3Synth(7L))
     assert(odd == Right(Mp3Ops.Mp3Info(4, "title 7", "artist 7", "",
-      128, 44100, 10L * 8)), odd)
+      "1", 3, 64, 32000, 36L * 8, durationExact = true)), odd)
   }
 
   test("mp3Walk: tagless frame-sync files parse; hostile shapes quarantine") {
-    // a bare CBR stream with no ID3 tag: still an mp3, fields empty
+    // a bare stream with one real header then zeros: still an mp3; the
+    // frame walk cannot finish (the hop lands past the end), so the
+    // duration is the NAMED estimate
     val bare = new Array[Byte](320)
     bare(0) = 0xff.toByte; bare(1) = 0xfb.toByte; bare(2) = 0x90.toByte
     val got = Mp3Ops.mp3Walk(bare)
-    assert(got == Right(Mp3Ops.Mp3Info(-1, "", "", "", 128, 44100, 20L)), got)
+    assert(got == Right(Mp3Ops.Mp3Info(-1, "", "", "", "1", 3,
+      128, 44100, 20L, durationExact = false)), got)
     assert(Mp3Ops.mp3Walk("plain text file".getBytes(ISO_8859_1)) ==
       Left("not_mp3"))
     assert(Mp3Ops.mp3Walk(Array.empty[Byte]) == Left("not_mp3"))
@@ -46,6 +50,108 @@ class Mp3Spec extends SparkSpec {
     (0 until full.length).foreach(n => Mp3Ops.mp3Walk(full.take(n)))
   }
 
+  test("mp3Walk: ID3v2.2's 3-byte grammar parses title/artist/album") {
+    def frame22(id: String, text: String): Array[Byte] = {
+      val payload = Array[Byte](0) ++ text.getBytes(ISO_8859_1)
+      id.getBytes(ISO_8859_1) ++
+        Array[Byte](((payload.length >> 16) & 0xff).toByte,
+          ((payload.length >> 8) & 0xff).toByte,
+          (payload.length & 0xff).toByte) ++ payload
+    }
+    val frames = frame22("TT2", "Old Title") ++ frame22("TP1", "Old Artist") ++
+      frame22("TAL", "Old Album")
+    val tag = "ID3".getBytes(ISO_8859_1) ++ Array[Byte](2, 0, 0) ++
+      Array[Byte](0, 0, ((frames.length >> 7) & 0x7f).toByte,
+        (frames.length & 0x7f).toByte) ++ frames
+    val audio = Mp3Ops.mp3Synth(0L).drop(
+      Mp3Ops.mp3Synth(0L).indexOfSlice(Seq(0xff.toByte, 0xfb.toByte)))
+    val got = Mp3Ops.mp3Walk(tag ++ audio)
+    assert(got.exists(m => m.tagVersion == 2 && m.title == "Old Title" &&
+      m.artist == "Old Artist" && m.album == "Old Album"), got)
+    // the v2.2 whole-tag compression flag = unreadable fields, audio parsed
+    val compressed = (tag ++ audio).clone()
+    compressed(5) = 0x40
+    val c = Mp3Ops.mp3Walk(compressed)
+    assert(c.exists(m => m.tagVersion == 2 && m.title == "" &&
+      m.sampleRate == 32000), c)
+  }
+
+  test("mp3Walk: the global unsynchronisation flag de-stuffs before the frame walk") {
+    def stuff(b: Array[Byte]): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      b.foreach { x => out += x; if (x == 0xff.toByte) out += 0 }
+      out.toArray
+    }
+    val audio = {
+      val a = new Array[Byte](288)
+      a(0) = 0xff.toByte; a(1) = 0xfb.toByte; a(2) = 0x58.toByte; a
+    }
+    // v2.3: a UTF-16 title (BOM FF FE → stuffed on disk), whole-tag
+    // unsync; the frame size counts the UN-stuffed payload per spec
+    val full = Array[Byte](1, 0xff.toByte, 0xfe.toByte) ++
+      "Unsync Title".getBytes("UTF-16LE")
+    val frame = "TIT2".getBytes(ISO_8859_1) ++
+      Array[Byte](0, 0, 0, full.length.toByte, 0, 0) ++ full
+    val stuffed = stuff(frame)
+    val tag23 = "ID3".getBytes(ISO_8859_1) ++
+      Array[Byte](3, 0, 0x80.toByte, 0, 0,
+        ((stuffed.length >> 7) & 0x7f).toByte, (stuffed.length & 0x7f).toByte) ++
+      stuffed
+    val got = Mp3Ops.mp3Walk(tag23 ++ audio)
+    assert(got.exists(_.title == "Unsync Title"), got)
+    // v2.4: per-frame stuffing, the frame size counts the STUFFED bytes
+    val stuffedPayload = stuff(full)
+    val frame24 = "TIT2".getBytes(ISO_8859_1) ++
+      Array[Byte](0, 0, 0, stuffedPayload.length.toByte, 0, 0x02) ++
+      stuffedPayload
+    val tag24 = "ID3".getBytes(ISO_8859_1) ++
+      Array[Byte](4, 0, 0, 0, 0,
+        ((frame24.length >> 7) & 0x7f).toByte, (frame24.length & 0x7f).toByte) ++
+      frame24
+    val got24 = Mp3Ops.mp3Walk(tag24 ++ audio)
+    assert(got24.exists(_.title == "Unsync Title"), got24)
+  }
+
+  test("mp3Walk: MPEG2 / MPEG2.5 / Layer II headers parse with their own tables") {
+    def frames(b1: Int, b2: Int, flen: Int, n: Int): Array[Byte] = {
+      val a = new Array[Byte](flen * n)
+      (0 until n).foreach { f =>
+        a(flen * f) = 0xff.toByte
+        a(flen * f + 1) = b1.toByte
+        a(flen * f + 2) = b2.toByte
+      }
+      a
+    }
+    // MPEG2 Layer III, 64 kbps @ 16 kHz: 72*64000/16000 = 288 B, 36 ms/frame
+    val m2 = Mp3Ops.mp3Walk(frames(0xf3, 0x88, 288, 3))
+    assert(m2 == Right(Mp3Ops.Mp3Info(-1, "", "", "", "2", 3,
+      64, 16000, 108L, durationExact = true)), m2)
+    // MPEG1 Layer II, 64 kbps @ 32 kHz: 144*64000/32000 = 288 B, 36 ms/frame
+    val l2 = Mp3Ops.mp3Walk(frames(0xfd, 0x48, 288, 2))
+    assert(l2 == Right(Mp3Ops.Mp3Info(-1, "", "", "", "1", 2,
+      64, 32000, 72L, durationExact = true)), l2)
+    // MPEG2.5 Layer III, 32 kbps @ 8 kHz: 72*32000/8000 = 288 B, 72 ms/frame
+    val m25 = Mp3Ops.mp3Walk(frames(0xe3, 0x48, 288, 2))
+    assert(m25 == Right(Mp3Ops.Mp3Info(-1, "", "", "", "2.5", 3,
+      32, 8000, 144L, durationExact = true)), m25)
+  }
+
+  test("mp3Walk: a Xing-less VBR stream measures EXACTLY via the frame walk") {
+    // two frames at DIFFERENT bitrates, no Xing header: 64 kbps (288 B)
+    // then 128 kbps (576 B) at 32 kHz — true duration 2 × 36 ms
+    val a = new Array[Byte](288 + 576)
+    a(0) = 0xff.toByte; a(1) = 0xfb.toByte; a(2) = 0x58.toByte
+    a(288) = 0xff.toByte; a(289) = 0xfb.toByte; a(290) = 0x98.toByte
+    val got = Mp3Ops.mp3Walk(a)
+    assert(got.exists(m => m.durationMs == 72L && m.durationExact), got)
+    // the naive CBR estimate at the first frame's bitrate would be
+    // 864 × 8 / 64 = 108 ms — the walk must NOT report that
+    assert(!got.exists(_.durationMs == 108L))
+    // a truncated tail downgrades to the NAMED estimate
+    val torn = Mp3Ops.mp3Walk(a.dropRight(100))
+    assert(torn.exists(m => !m.durationExact), torn)
+  }
+
   test("mp3Walk: the ID3v1 trailer fills fields v2 left empty, and bounds the estimate") {
     // a v1-only file: frame sync at 0, "TAG" trailer with padded fields
     val audio = new Array[Byte](1600 + 128)
@@ -57,7 +163,7 @@ class Mp3Spec extends SparkSpec {
     val got = Mp3Ops.mp3Walk(audio)
     // the 128 trailer bytes are NOT audio: 1600 bytes at 128 kbps = 100 ms
     assert(got == Right(Mp3Ops.Mp3Info(1, "Legacy Song", "Old Artist", "",
-      128, 44100, 100L)), got)
+      "1", 3, 128, 44100, 100L, durationExact = false)), got)
     // v2 wins where it speaks; v1 fills the rest (album here)
     val both = Mp3Ops.mp3Synth(6L) ++ {
       val tr = new Array[Byte](128)
@@ -81,10 +187,11 @@ class Mp3Spec extends SparkSpec {
     // 441 frames × 1152 samples at 44100 Hz = exactly 11520 ms
     audio(xing + 10) = 1; audio(xing + 11) = (441 - 256).toByte
     val got = Mp3Ops.mp3Walk(audio)
-    assert(got.exists(_.durationMs == 11520L), got)
-    // without the header the same bytes read the CBR estimate
+    assert(got.exists(m => m.durationMs == 11520L && m.durationExact), got)
+    // without the header the same bytes read the NAMED CBR estimate
     val cbr = audio.clone(); cbr(xing) = 0
-    assert(Mp3Ops.mp3Walk(cbr).exists(_.durationMs == 2000L * 8000 / 128000),
+    assert(Mp3Ops.mp3Walk(cbr).exists(m =>
+      m.durationMs == 2000L * 8000 / 128000 && !m.durationExact),
       Mp3Ops.mp3Walk(cbr))
   }
 
@@ -99,6 +206,7 @@ class Mp3Spec extends SparkSpec {
     assert(c.length == 1 && c.head.getString(0) == "u1")
     assert(c.head.getAs[String]("title") == "title 1")
     assert(c.head.getAs[Int]("tag_version") == 4)
+    assert(c.head.getAs[Boolean]("duration_exact"))
     val q = quarantine.collect().map(r => (r.getString(0), r.getString(1)))
     assert(q.toSeq == Seq(("u2", "not_mp3")), q.toSeq)
   }
