@@ -35,10 +35,15 @@ object Mp4Ops {
     * for audio-only files; `durationMs` derives from mvhd
     * duration/timescale (integer milliseconds, floor), or -1 when the
     * writer declared the ISO "unknown" sentinel (all-ones duration —
-    * common on live-captured files; the faces emit NULL). */
+    * common on live-captured files; the faces emit NULL).
+    * `fragmented` = true when the duration was measured from a `sidx`
+    * segment index instead of a movie header (round 19) — a DASH/HLS
+    * media segment, where track metadata lives in the separate init
+    * segment (nTracks 0, no geometry). */
   final case class Mp4Info(majorBrand: String, durationMs: Long,
                            nTracks: Int, width: Int, height: Int,
-                           videoCodec: String, audioCodec: String)
+                           videoCodec: String, audioCodec: String,
+                           fragmented: Boolean = false)
 
   private val MaxDepth = 64
 
@@ -60,11 +65,17 @@ object Mp4Ops {
       if (off < 0 || off + 4 > bytes.length) ""
       else new String(bytes, off.toInt, 4,
         java.nio.charset.StandardCharsets.ISO_8859_1)
-    if (bytes.length < 16 || fourcc(4) != "ftyp") return Left("not_mp4")
+    // `styp` is the segment twin of `ftyp` (ISO 14496-12 §8.16.2) — the
+    // leading box of a real DASH/HLS media segment (round 19)
+    val lead = fourcc(4)
+    if (bytes.length < 16 || (lead != "ftyp" && lead != "styp"))
+      return Left("not_mp4")
     val majorBrand = fourcc(8)
     var timescale = 0L
     var duration = -1L
     var sawMoof = false
+    var sidxTimescale = -1L
+    var sidxDuration = 0L
     var nTracks = 0
     var width = -1
     var height = -1
@@ -123,19 +134,48 @@ object Mp4Ops {
             if (u32(dataOff + 4) >= 1) tCodec = fourcc(dataOff + 12)
           case "moof" =>
             sawMoof = true // fragmented stream: no movie-level duration
+          case "sidx" =>
+            // segment index (round 19): the self-describing duration of
+            // a DASH/HLS segment — its OWN timescale plus the sum of
+            // subsegment_durations. First (top-level) sidx only: a
+            // hierarchical index's top box already spans the whole
+            // segment, and summing per-track sibling boxes would double
+            // count parallel timelines.
+            if (sidxTimescale < 0 && dataOff + 4 <= dataEnd) {
+              val v = bytes(dataOff.toInt) & 0xff
+              val ts = u32(dataOff + 8)
+              val cntOff = if (v == 1) dataOff + 28 else dataOff + 20
+              if (ts > 0 && cntOff + 4 <= dataEnd) {
+                val n = u32(cntOff) & 0xffffL
+                var sum = 0L
+                var i = 0L
+                var ok = true
+                while (ok && i < n) {
+                  val ro = cntOff + 4 + i * 12
+                  if (ro + 12 > dataEnd) ok = false
+                  else { sum += u32(ro + 4); i += 1 }
+                }
+                if (ok) { sidxTimescale = ts; sidxDuration = sum }
+              }
+            }
           case _ => () // mdat, free, skip everything else
         }
         off = dataEnd
       }
     }
     walk(0, bytes.length.toLong, 0)
-    // fMP4 (moof fragments, no movie header): NAMED distinctly — a live
-    // -stream segment is a different ingest decision than a truncated
-    // file (its duration lives in sidx/tfdt, out of scope per the
-    // metadata-triage contract)
-    if (timescale <= 0 || duration == -1L)
-      Left(if (sawMoof) "fragmented" else "no_moov")
-    else Right(Mp4Info(majorBrand,
+    // fMP4 (moof fragments, no movie header): MEASURED where a sidx
+    // exists (round 19 — Σ subsegment_duration / the sidx's own
+    // timescale; self-describing, unlike tfdt/trun whose media
+    // timescale lives in the absent init segment). A segment with
+    // neither stays the NAMED quarantine — a live-stream fragment is a
+    // different ingest decision than a truncated file.
+    if (timescale <= 0 || duration == -1L) {
+      if (sidxTimescale > 0)
+        Right(Mp4Info(majorBrand, sidxDuration * 1000L / sidxTimescale,
+          nTracks, width, height, videoCodec, audioCodec, fragmented = true))
+      else Left(if (sawMoof) "fragmented" else "no_moov")
+    } else Right(Mp4Info(majorBrand,
       if (duration == -2L) -1L else duration * 1000L / timescale,
       nTracks, width, height, videoCodec, audioCodec))
   }
@@ -150,7 +190,8 @@ object Mp4Ops {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("video_codec", StringType),
-    StructField("audio_codec", StringType)))
+    StructField("audio_codec", StringType),
+    StructField("fragmented", BooleanType)))
 
   /** Container metadata of a (url, payload) frame — (clean, quarantine)
     * pair, the [[PdfOps.pdfTextOf]] discipline: every payload lands in
@@ -171,9 +212,11 @@ object Mp4Ops {
                 if (m.width >= 0) m.width else null,
                 if (m.height >= 0) m.height else null,
                 if (m.videoCodec.nonEmpty) m.videoCodec else null,
-                if (m.audioCodec.nonEmpty) m.audioCodec else null, null)
+                if (m.audioCodec.nonEmpty) m.audioCodec else null,
+                m.fragmented, null)
               case Left(reason) =>
-                Row(url, null, null, null, null, null, null, null, reason)
+                Row(url, null, null, null, null, null, null, null, null,
+                  reason)
             }
           }
         }, StructType(cleanSchema.fields :+ StructField("reason", StringType)))

@@ -44,11 +44,19 @@ object MagicMime {
       if (ascii(b, 8, "AVI ")) return "video/avi"
       if (ascii(b, 8, "WEBP")) return "image/webp"
     }
-    // ISO-BMFF: a 4-byte box size then `ftyp`; the major brand names
-    // the flavor (M4A = audio-only)
-    if (b.length >= 8 && ascii(b, 4, "ftyp"))
+    // ISO-BMFF: a 4-byte box size then `ftyp` — SHAPE-validated like the
+    // ID3 check: the size prefix must be a plausible box size (0 =
+    // to-EOF, 1 = 64-bit largesize follows, or 16..4096 — brand +
+    // version + compatible brands). Four printable text bytes decode to
+    // ≥ 0x20202020, so a page containing "ftyp" at offset 4 never
+    // matches.
+    if (b.length >= 8 && (ascii(b, 4, "ftyp") || ascii(b, 4, "styp")) && {
+      val sz = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+        ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+      sz == 0L || sz == 1L || (sz >= 16L && sz <= 4096L)
+    })
       return if (b.length >= 11 && ascii(b, 8, "M4A")) "audio/mp4"
-      else "video/mp4"
+      else "video/mp4" // `styp` = a DASH/HLS media segment (round 19)
     if (ascii(b, 0, "OggS")) return "application/ogg"
     if (ascii(b, 0, "wOFF")) return "font/woff"
     if (ascii(b, 0, "wOF2")) return "font/woff2"

@@ -59,6 +59,46 @@ class Mp4Spec extends SparkSpec {
     assert(Mp4Ops.mp4Walk(withLarge).isRight, "largesize mdat must parse")
   }
 
+  test("mp4Walk: a DASH segment's sidx measures the duration (v0 and v1)") {
+    // independent byte-writer (not mp4Synth): styp + sidx + moof + mdat
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def bx(t: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ t.getBytes(ISO_8859_1) ++ body
+    val styp = bx("styp",
+      "msdh".getBytes(ISO_8859_1) ++ be32(0) ++ "msdh".getBytes(ISO_8859_1))
+    def ref(dur: Long): Array[Byte] =
+      be32(0x100L) ++ be32(dur) ++ be32(0x90000000L)
+    // v0: fullbox, refID, timescale 1000, EPT u32, first_offset u32,
+    // reserved+count, then (type+size, subsegment_duration, SAP) × 3
+    val sidx0 = bx("sidx", Array[Byte](0, 0, 0, 0) ++ be32(1) ++ be32(1000) ++
+      be32(0) ++ be32(0) ++ Array[Byte](0, 0, 0, 3) ++
+      ref(2000) ++ ref(3000) ++ ref(1000))
+    val moof = bx("moof", bx("mfhd", Array[Byte](0, 0, 0, 0) ++ be32(1)))
+    val mdat = bx("mdat", "xx".getBytes(ISO_8859_1))
+    val got0 = Mp4Ops.mp4Walk(styp ++ sidx0 ++ moof ++ mdat)
+    assert(got0 == Right(Mp4Ops.Mp4Info("msdh", 6000L, 0, -1, -1, "", "",
+      fragmented = true)), got0)
+    // v1: 64-bit earliest_presentation_time / first_offset
+    val sidx1 = bx("sidx", Array[Byte](1, 0, 0, 0) ++ be32(1) ++ be32(600) ++
+      be64(0) ++ be64(0) ++ Array[Byte](0, 0, 0, 2) ++ ref(300) ++ ref(600))
+    val got1 = Mp4Ops.mp4Walk(styp ++ sidx1 ++ moof ++ mdat)
+    assert(got1 == Right(Mp4Ops.Mp4Info("msdh", 1500L, 0, -1, -1, "", "",
+      fragmented = true)), got1)
+    // ftyp-led self-initializing streams with a sidx measure too, but a
+    // real mvhd duration stays authoritative (synth variants unchanged)
+    val ftypFrag = Mp4Ops.mp4Synth(0L).take(20) ++ sidx0 ++ moof
+    val gotF = Mp4Ops.mp4Walk(ftypFrag.toArray)
+    assert(gotF.exists(m => m.durationMs == 6000L && m.fragmented), gotF)
+    // a torn sidx (reference table cut) falls back to the named
+    // quarantine, never a half sum
+    val torn = styp ++ sidx0.dropRight(8) // still a valid box? no: size lies
+    assert(Mp4Ops.mp4Walk(torn).isLeft)
+    // the segment sniffs as video/mp4 so the inventory routes it
+    assert(graft.plans.MagicMime.sniff(styp ++ sidx0) == "video/mp4")
+  }
+
   test("mp4MetaOf routes every payload to exactly one of clean/quarantine") {
     import spark.implicits._
     val rows = Seq(
