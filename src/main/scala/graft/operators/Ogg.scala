@@ -24,9 +24,13 @@ import org.apache.spark.sql.types._
 object OggOps {
 
   /** Parsed metadata. `sampleRate` is the granule clock (48000 for
-    * Opus by spec, the declared rate for Vorbis). */
+    * Opus by spec, the declared rate for Vorbis). `title`/`artist`/
+    * `album` come from the VorbisComment header (round 19 — the audio
+    * twin of ID3 text frames, shared verbatim by Opus `OpusTags` and
+    * Vorbis packet-type-3 headers); "" when absent. */
   final case class OggInfo(codec: String, channels: Int, sampleRate: Int,
-                           durationMs: Long)
+                           durationMs: Long, title: String = "",
+                           artist: String = "", album: String = "")
 
   /** Walk one payload: Left(reason) or Right(info). Reasons: `not_ogg`
     * (no OggS capture pattern), `bad_codec` (first page carries neither
@@ -54,6 +58,41 @@ object OggOps {
     var off = 0
     var first = true
     var ok = true
+    var title = ""; var artist = ""; var album = ""
+    var commentsDone = false
+    // VorbisComment list: vendor_length + vendor, then count ×
+    // (length + "KEY=value" UTF-8). Length-guarded throughout — a torn
+    // comment header keeps the fields read so far, never throws.
+    def parseComments(start: Int, end: Int): Unit = {
+      commentsDone = true
+      if (start + 4 > end) return
+      val vlen = u32le(start)
+      if (vlen < 0 || start + 4 + vlen + 4 > end) return
+      var p = (start + 4 + vlen).toInt
+      val n = u32le(p)
+      p += 4
+      var i = 0L
+      while (i < n && p + 4 <= end) {
+        val clen = u32le(p)
+        p += 4
+        if (clen < 0 || p + clen > end) i = n // torn list: stop
+        else {
+          val s = new String(bytes, p, clen.toInt,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val eq = s.indexOf('=')
+          if (eq > 0) {
+            s.substring(0, eq).toUpperCase(java.util.Locale.ROOT) match {
+              case "TITLE" => if (title.isEmpty) title = s.substring(eq + 1)
+              case "ARTIST" => if (artist.isEmpty) artist = s.substring(eq + 1)
+              case "ALBUM" => if (album.isEmpty) album = s.substring(eq + 1)
+              case _ => ()
+            }
+          }
+          p += clen.toInt
+          i += 1
+        }
+      }
+    }
     while (ok && off + 27 <= bytes.length && ascii(off, "OggS")) {
       val granule = s64le(off + 6)
       val nSegs = bytes(off + 26) & 0xff
@@ -78,6 +117,15 @@ object OggOps {
               channels = bytes(payOff + 11) & 0xff
               rate = u32le(payOff + 12).toInt
             } else return Left("bad_codec")
+          } else if (!commentsDone) {
+            // the comment header is the stream's SECOND packet; real
+            // comment headers fit one page, so the page payload bounds
+            // the parse
+            if (codec == "opus" && ascii(payOff, "OpusTags"))
+              parseComments(payOff + 8, payOff + payLen)
+            else if (codec == "vorbis" && payLen >= 7 &&
+              (bytes(payOff) & 0xff) == 3 && ascii(payOff + 1, "vorbis"))
+              parseComments(payOff + 7, payOff + payLen)
           }
           if (granule >= 0) lastGranule = math.max(lastGranule, granule)
           off = payOff + payLen
@@ -92,7 +140,7 @@ object OggOps {
           case "opus" => math.max(lastGranule - preskip, 0L) * 1000L / 48000L
           case _      => lastGranule * 1000L / rate
         }
-      Right(OggInfo(codec, channels, rate, durationMs))
+      Right(OggInfo(codec, channels, rate, durationMs, title, artist, album))
     }
   }
 
@@ -103,10 +151,14 @@ object OggOps {
     StructField("codec", StringType),
     StructField("channels", IntegerType),
     StructField("sample_rate", IntegerType),
-    StructField("duration_ms", LongType)))
+    StructField("duration_ms", LongType),
+    StructField("title", StringType),
+    StructField("artist", StringType),
+    StructField("album", StringType)))
 
   /** Metadata of a (url, payload) frame — (clean, quarantine) pair,
-    * the [[Mp4Ops.mp4MetaOf]] discipline. */
+    * the [[Mp4Ops.mp4MetaOf]] discipline. Absent comment fields are
+    * NULL. */
   def oggMetaOf(payloads: DataFrame): (DataFrame, DataFrame) = {
     val spark = payloads.sparkSession
     val walked = spark.createDataFrame(
@@ -116,8 +168,12 @@ object OggOps {
             val url = r.getString(0)
             oggWalk(r.getAs[Array[Byte]](1)) match {
               case Right(m) =>
-                Row(url, m.codec, m.channels, m.sampleRate, m.durationMs, null)
-              case Left(reason) => Row(url, null, null, null, null, reason)
+                Row(url, m.codec, m.channels, m.sampleRate, m.durationMs,
+                  if (m.title.nonEmpty) m.title else null,
+                  if (m.artist.nonEmpty) m.artist else null,
+                  if (m.album.nonEmpty) m.album else null, null)
+              case Left(reason) =>
+                Row(url, null, null, null, null, null, null, null, reason)
             }
           }
         }, StructType(cleanSchema.fields :+ StructField("reason", StringType)))
@@ -149,23 +205,35 @@ object OggOps {
 
   private val OpusPreskip = 312
 
+  /** One VorbisComment block: vendor + the planted TITLE/ARTIST list. */
+  private def comments(docId: Long): Array[Byte] = {
+    val vendor = cc("graft")
+    val list = Seq(s"TITLE=title $docId", s"ARTIST=artist ${docId % 50}")
+    le32(vendor.length.toLong) ++ vendor ++ le32(list.length.toLong) ++
+      list.flatMap(s => le32(s.length.toLong) ++ cc(s)).toArray
+  }
+
   /** Deterministic synthetic Ogg — variant doc_id%2: 0 = Opus
     * (duration 10 × (doc_id%29 + 1) ms on the 48 kHz granule clock,
     * pre-skip honored), 1 = Vorbis at 44100 (duration
     * 100 × (doc_id%29 + 1) ms — 4410-sample granules, integer-exact in
-    * both engines). */
+    * both engines). A VorbisComment header page (round 19) plants
+    * TITLE/ARTIST on both codecs. */
   private[graft] def oggSynth(docId: Long): Array[Byte] = {
     val k = (docId % 29 + 1).toInt
     if (docId % 2 == 0) {
       val id = cc("OpusHead") ++ Array[Byte](1, 2) ++ le16(OpusPreskip) ++
         le32(48000L) ++ le16(0) ++ Array[Byte](0)
       page(0x02, 0L, 0, id) ++
-        page(0x04, 48L * (10 * k) + OpusPreskip, 1, Array[Byte](1, 2, 3))
+        page(0x00, 0L, 1, cc("OpusTags") ++ comments(docId)) ++
+        page(0x04, 48L * (10 * k) + OpusPreskip, 2, Array[Byte](1, 2, 3))
     } else {
       val id = Array[Byte](1) ++ cc("vorbis") ++ le32(0) ++ Array[Byte](2) ++
         le32(44100L) ++ new Array[Byte](12) ++ Array[Byte](0x66, 1)
       page(0x02, 0L, 0, id) ++
-        page(0x04, 4410L * k, 1, Array[Byte](1, 2, 3))
+        page(0x00, 0L, 1,
+          Array[Byte](3) ++ cc("vorbis") ++ comments(docId) ++ Array[Byte](1)) ++
+        page(0x04, 4410L * k, 2, Array[Byte](1, 2, 3))
     }
   }
 
@@ -187,7 +255,7 @@ object OggOps {
         col("codec"),
         col("channels").cast("long").as("channels"),
         col("sample_rate").cast("long").as("sample_rate"),
-        col("duration_ms"))
+        col("duration_ms"), col("title"), col("artist"))
       .orderBy("doc_id")
   }
 
@@ -198,7 +266,9 @@ object OggOps {
         |  2 AS channels,
         |  CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100 END AS sample_rate,
         |  CASE WHEN doc_id % 2 = 0 THEN 10 * (doc_id % 29 + 1)
-        |       ELSE 100 * (doc_id % 29 + 1) END AS duration_ms
+        |       ELSE 100 * (doc_id % 29 + 1) END AS duration_ms,
+        |  'title ' || doc_id AS title,
+        |  'artist ' || (doc_id % 50) AS artist
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
