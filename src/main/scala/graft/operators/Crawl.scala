@@ -1491,11 +1491,16 @@ object CrawlOps {
     * real crawled robots.txt bodies enter through (CRLF and bare-LF
     * alike); the synthetic universe rides the same path via
     * [[robotsLines]], so the two cannot parse differently. Bodies cap
-    * at [[MaxRobotsChars]] (round 18): rules parse from the kept
-    * prefix, and a line the truncation cut mid-directive drops rather
-    * than parse mangled. */
+    * at [[MaxRobotsChars]] (round 18): only lines fully TERMINATED
+    * inside the cap window parse — the split looks 2 chars past the cap
+    * (room for the terminating CRLF of a directive that ends exactly AT
+    * the cap, round 19) and the final unterminated fragment drops
+    * rather than parse mangled. A hostile over-cap body with no newline
+    * at all in the window therefore yields ZERO lines — no directives
+    * means no rules for that host (the RFC treatment of an unparseable
+    * robots body), not a crash and not a multi-GB line frame. */
   private[graft] def linesOf(bodies: DataFrame): DataFrame = {
-    val lines = split(substring(col("body"), 1, MaxRobotsChars), "\r?\n")
+    val lines = split(substring(col("body"), 1, MaxRobotsChars + 2), "\r?\n")
     val kept = when(length(col("body")) > MaxRobotsChars,
       slice(lines, lit(1), greatest(size(lines) - 1, lit(0)))).otherwise(lines)
     bodies

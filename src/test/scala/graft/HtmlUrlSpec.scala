@@ -508,6 +508,26 @@ class HtmlUrlSpec extends SparkSpec {
       Seq(("h2", small)).toDF("source", "body"))
     assert(rules2.collect().map(_.getString(1)).toSet ==
       Set("/gated", "/tail"))
+    // cap landing exactly at the END of a complete directive (its
+    // newline is the first char past the cap): the intact rule is KEPT
+    // (round 19) — only a truly unterminated fragment drops
+    val head = "User-agent: *\nDisallow: /first\n"
+    val tail = "Disallow: /exact"
+    val pad = "# " + "y" * (CrawlOps.MaxRobotsChars - head.length -
+      tail.length - 3) + "\n"
+    val exact = head + pad + tail + "\nDisallow: /past\n"
+    assert((head + pad + tail).length == CrawlOps.MaxRobotsChars)
+    val (rules3, _, _) = CrawlOps.parseRobotsBodies(
+      Seq(("h3", exact)).toDF("source", "body"))
+    assert(rules3.collect().map(_.getString(1)).toSet ==
+      Set("/first", "/exact"), "directive ending AT the cap must survive")
+    // a >cap body with no newline anywhere in the window: zero
+    // directives → no rules for the host (unparseable robots =
+    // allow-all), and nothing throws
+    val noNl = "z" * (CrawlOps.MaxRobotsChars + 1000)
+    val (rules4, _, _) = CrawlOps.parseRobotsBodies(
+      Seq(("h4", noNl)).toDF("source", "body"))
+    assert(rules4.collect().isEmpty)
   }
 
   test("robotsParse scopes to the * group and equals the declared rules table") {
@@ -2944,6 +2964,41 @@ class HtmlUrlSpec extends SparkSpec {
     // belongs at fetch-log time; domain blocking works at either stage
     assert(!kept.exists(_.contains("bad.site")), kept.toString)
     assert(kept.contains("http://good.site/clean"))
+  }
+
+  test("urlFilterOf with FILE-loaded domain and pattern blocklists end-to-end") {
+    // the deployment recipe the Url scaladoc documents, executed: both
+    // lists live as one-entry-per-line artifact files (comments and
+    // blanks dropped by readBadwords), loaded into the gate over real
+    // warcToDocuments output
+    val dir = Files.createTempDirectory("graft_warc_urlfilter_files")
+    val body = "<p>the of and to page body</p>"
+    Files.write(dir.resolve("seg.warc"),
+      record("response", "http://ads.bad.site/promo",
+        http("200 OK", "text/html", body.getBytes(UTF_8))) ++
+        record("response", "http://tracker.example/path/casino/x",
+          http("200 OK", "text/html", body.getBytes(UTF_8))) ++
+        record("response", "http://good.site/clean",
+          http("200 OK", "text/html", body.getBytes(UTF_8))))
+    val domainsFile = dir.resolve("blocked_domains.txt")
+    Files.write(domainsFile, java.util.Arrays.asList(
+      "# adult/ads domain list", "", "BAD.SITE", "other.example"))
+    val patternsFile = dir.resolve("blocked_patterns.txt")
+    Files.write(patternsFile, java.util.Arrays.asList(
+      "# url substring markers", "casino", ""))
+    val domains = TextOps.readBadwords(spark, domainsFile.toString)
+    val patterns = TextOps.readBadwords(spark, patternsFile.toString)
+    assert(domains == Seq("bad.site", "other.example"), domains)
+    assert(patterns == Seq("casino"), patterns)
+    val (clean, _) =
+      HtmlOps.warcToDocuments(graft.sources.WarcSource.read(spark, dir.toString))
+    val verdicts = UrlOps.urlFilterOf(clean, domains, patterns)
+      .collect().map(r => r.getAs[String]("host") ->
+        (r.getAs[Boolean]("domain_blocked"), r.getAs[Boolean]("pattern_blocked"),
+          r.getAs[Boolean]("url_ok"))).toMap
+    assert(verdicts("ads.bad.site") == ((true, false, false)), verdicts)
+    assert(verdicts("tracker.example") == ((false, true, false)), verdicts)
+    assert(verdicts("good.site") == ((false, false, true)), verdicts)
   }
 
   test("warc bridge chains into langId and dedupLines (the documents estate)") {
