@@ -93,6 +93,20 @@ object MediaOps {
               case Right((w, h, fmt)) => row(w, h, null, fmt, null)
               case Left(reason) => row(null, null, null, null, reason)
             }
+          // RIFF/QOI headers likewise (round 19): the movi/data payload
+          // bytes are skipped by declared size, never copied
+          case "audio/wav" => MediaHeaders.wav(body) match {
+            case Right((d, fmt)) => row(null, null, d, fmt, null)
+            case Left(reason) => row(null, null, null, null, reason)
+          }
+          case "video/avi" => MediaHeaders.avi(body) match {
+            case Right((w, h, d, handler)) => row(w, h, d, handler, null)
+            case Left(reason) => row(null, null, null, null, reason)
+          }
+          case "image/qoi" => MediaHeaders.qoi(body) match {
+            case Right((w, h)) => row(w, h, null, "qoi", null)
+            case Left(reason) => row(null, null, null, null, reason)
+          }
           case _ => row(null, null, null, null, null)
         }
       }

@@ -208,6 +208,89 @@ class MediaInventorySpec extends SparkSpec {
       0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 0, 9)) == Left("bad_image_header"))
   }
 
+  test("RIFF/QOI headers measure in the inventory; probe ≡ full decoder arithmetic") {
+    import graft.operators.{AviOps, MediaHeaders, MultimodalOps}
+    def u16le(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def u32le(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def wavOf(bits: Int, nch: Int, rate: Int, nFrames: Int,
+              fmtCode: Int = 1): Array[Byte] = {
+      val data = Seq.fill(nFrames * nch * bits / 8)(0x40.toByte)
+      val fmt = u16le(fmtCode) ++ u16le(nch) ++ u32le(rate) ++
+        u32le(rate * nch * bits / 8) ++ u16le(nch * bits / 8) ++ u16le(bits)
+      ("RIFF".getBytes(ISO_8859_1).toSeq ++ u32le(4 + 24 + 8 + data.length) ++
+        "WAVE".getBytes(ISO_8859_1).toSeq ++
+        "fmt ".getBytes(ISO_8859_1).toSeq ++ u32le(16) ++ fmt ++
+        "data".getBytes(ISO_8859_1).toSeq ++ u32le(data.length) ++ data).toArray
+    }
+    // PCM16 stereo, 441 frames at 44100 Hz = 10 ms — the exact frame
+    // arithmetic decodeWav uses
+    val pcm = wavOf(16, 2, 44100, 441)
+    assert(MultimodalOps.decodeWav(pcm, 16).nonEmpty)
+    assert(MediaHeaders.wav(pcm) == Right((10L, "pcm16")), MediaHeaders.wav(pcm))
+    // A-law mono
+    val alaw = wavOf(8, 1, 8000, 1600, fmtCode = 6)
+    assert(MediaHeaders.wav(alaw) == Right((200L, "alaw")))
+    // MP3-in-WAV (fmt 85): the decoder rejects, the probe still measures
+    // from the declared byte rate (duration = data / byte_rate)
+    val mp3wav = wavOf(16, 2, 44100, 441, fmtCode = 85)
+    assert(MultimodalOps.decodeWav(mp3wav, 16).isEmpty)
+    val Right((mp3Dur, mp3Fmt)) = MediaHeaders.wav(mp3wav): @unchecked
+    assert(mp3Fmt == "wav-fmt85" && mp3Dur == 441L * 4 * 1000 / (44100 * 4),
+      (mp3Dur, mp3Fmt))
+    // AVI: probe fields ≡ aviWalk's on the estate's own builder; the
+    // movi payload is skipped, never copied
+    val frame = Array.fill[Byte](64)(0x11)
+    val avi = AviOps.buildAvi(Seq(frame, frame, frame), 20, 10,
+      usPerFrame = 40000L, handler = "MJPG")
+    val full = AviOps.aviWalk(avi).get
+    val probe = MediaHeaders.avi(avi)
+    assert(probe == Right((full.width, full.height,
+      full.usPerFrame * full.declaredFrames / 1000L, full.handler)), probe)
+    assert(probe == Right((20, 10, 120L, "MJPG")))
+    // QOI: geometry parity against the full chunk walk on a real
+    // QOI_OP_RGB stream
+    def qoiOf(w: Int, h: Int): Array[Byte] = {
+      def be32(v: Int): Seq[Byte] = Seq(((v >> 24) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      ("qoif".getBytes(ISO_8859_1).toSeq ++ be32(w) ++ be32(h) ++
+        Seq(3.toByte, 0.toByte) ++
+        Seq.fill(w * h)(Seq(0xfe.toByte, 10.toByte, 20.toByte, 30.toByte))
+          .flatten ++
+        Seq[Byte](0, 0, 0, 0, 0, 0, 0, 1)).toArray
+    }
+    val q = qoiOf(5, 3)
+    class Nop extends MultimodalOps.PixelSink {
+      override def start(w: Int, h: Int): Unit = ()
+      override def px(r: Int, g: Int, b: Int): Unit = ()
+    }
+    assert(MultimodalOps.qoiWalk(q, new Nop).contains((5, 3)))
+    assert(MediaHeaders.qoi(q) == Right((5, 3)))
+    // junk names a reason, never throws
+    assert(MediaHeaders.wav("RIFFxxxxJUNK".getBytes(ISO_8859_1)).isLeft)
+    assert(MediaHeaders.avi("RIFFxxxxAVI but torn".getBytes(ISO_8859_1)).isLeft)
+    assert(MediaHeaders.qoi("qoif".getBytes(ISO_8859_1)).isLeft)
+    // and the inventory routes all three in one pass
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_riff")
+    val recs =
+      warcRecord("http://r.example/a.wav", http("audio/wav", pcm)) ++
+      warcRecord("http://r.example/b.avi", http("video/avi", avi)) ++
+      warcRecord("http://r.example/c.qoi", http("image/qoi", q))
+    java.nio.file.Files.write(dir.resolve("seg.warc"), recs)
+    val got = MediaOps.mediaInventoryOf(
+      graft.sources.WarcSource.read(spark, dir.toString))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val wv = got("http://r.example/a.wav")
+    assert(wv.getAs[Long]("duration_ms") == 10L &&
+      wv.getAs[String]("media_format") == "pcm16", wv.toString)
+    val av = got("http://r.example/b.avi")
+    assert(av.getAs[Int]("width") == 20 && av.getAs[Long]("duration_ms") == 120L &&
+      av.getAs[String]("media_format") == "MJPG", av.toString)
+    val qi = got("http://r.example/c.qoi")
+    assert(qi.getAs[Int]("width") == 5 && qi.getAs[Int]("height") == 3 &&
+      qi.getAs[String]("media_format") == "qoi", qi.toString)
+  }
+
   test("mediaInventoryOf: a sniffed-media payload that fails its walk carries the reason") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_media2")
     // real ftyp magic so the sniff routes to the MP4 walk, but no moov
