@@ -30,7 +30,17 @@ import org.apache.spark.sql.functions._
 object WarcSink {
 
   /** Write `(url, text[, fetch_date])` rows as WET conversion records
-    * under `dir`, one `part-NNNNN.warc.gz` per non-empty partition. */
+    * under `dir`, one `part-NNNNN.warc.gz` per non-empty partition —
+    * each with a `part-NNNNN.cdx` SIDECAR (round 19, the Common Crawl
+    * companion-file practice): one tab-separated line per record —
+    * url, date, COMPRESSED member offset, member length, record id —
+    * captured for free off the output stream's position as each gzip
+    * member closes, so a consumer can range-fetch any record with
+    * [[WarcSource.readAtMember]] without ever scanning the segment
+    * ([[readCdxSidecars]] is the frame face; the sidecar is what
+    * [[WarcSource.cdxIndex]] would recompute by reading the segment —
+    * writer-side, it costs nothing). Re-runs write byte-identical
+    * sidecars (same determinism contract as the members). */
   def writeWet(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
     val confBc = spark.sparkContext.broadcast(
@@ -59,8 +69,12 @@ object WarcSink {
           val finalPath = new Path(dir, f"part-$part%05d.warc.gz")
           val tmpPath = new Path(dir,
             f".part-$part%05d-attempt-$attempt.warc.gz.inprogress")
+          val cdxFinal = new Path(dir, f"part-$part%05d.cdx")
+          val cdxTmp = new Path(dir,
+            f".part-$part%05d-attempt-$attempt.cdx.inprogress")
           val fs = finalPath.getFileSystem(confBc.value.value)
           val out = fs.create(tmpPath, true)
+          val cdxOut = fs.create(cdxTmp, true)
           try {
             // close-shield: gz.close() per record releases the member's
             // native Deflater immediately (finish() alone leaves it to the
@@ -92,21 +106,54 @@ object WarcSink {
                 .getBytes("UTF-8") // non-ASCII URIs survive (ASCII superset;
                                    // WarcSource's readLine re-decodes UTF-8)
               // one gzip member per record (the CC layout WarcSource's
-              // single-GZIPInputStream walk decompresses end-to-end)
+              // member-aware walk decompresses end-to-end)
+              val memberStart = out.getPos
               val gz = new GZIPOutputStream(shield, 64 << 10)
               gz.write(hdr)
               gz.write(payload)
               gz.write("\r\n\r\n".getBytes("US-ASCII"))
               gz.close() // finish the member AND end() its Deflater
+              // the sidecar line: compressed coordinates off the stream
+              // position (gz.close flushed the member through the shield)
+              cdxOut.write((url + "\t" + when + "\t" + memberStart + "\t" +
+                (out.getPos - memberStart) + "\t<urn:md5:" + id + ">\n")
+                .getBytes("UTF-8"))
             }
-          } finally out.close()
+          } finally {
+            out.close()
+            cdxOut.close()
+          }
           // rename never overwrites on Hadoop filesystems — drop a
           // previous run's segment first (re-runs are byte-identical
           // anyway, see the determinism contract)
           if (fs.exists(finalPath)) fs.delete(finalPath, false)
           if (!fs.rename(tmpPath, finalPath))
             throw new java.io.IOException(s"rename failed: $finalPath")
+          if (fs.exists(cdxFinal)) fs.delete(cdxFinal, false)
+          if (!fs.rename(cdxTmp, cdxFinal))
+            throw new java.io.IOException(s"rename failed: $cdxFinal")
         }
       }
+  }
+
+  /** The CDX sidecars under `dir` as a frame: (file, canon-ready url,
+    * warc_date, member_offset, member_length, record_id) — `file` is
+    * the sibling `.warc.gz` path, so a row feeds
+    * [[WarcSource.readAtMember]] directly. One text scan, no WARC
+    * bytes touched. */
+  def readCdxSidecars(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    val lines = spark.read.text(new Path(dir, "*.cdx").toString)
+    lines
+      .select(regexp_replace(input_file_name(), "\\.cdx$", ".warc.gz")
+        .as("file"),
+        split(col("value"), "\t").as("f"))
+      .filter(size(col("f")) === 5)
+      .select(col("file"),
+        col("f").getItem(0).as("url"),
+        col("f").getItem(1).as("warc_date"),
+        col("f").getItem(2).cast("long").as("member_offset"),
+        col("f").getItem(3).cast("long").as("member_length"),
+        col("f").getItem(4).as("record_id"))
   }
 }

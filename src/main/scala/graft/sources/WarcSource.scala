@@ -130,7 +130,9 @@ object WarcSource {
       }
       .filterNot { st =>
         val n = st.getPath.getName
-        n.startsWith("_") || n.startsWith(".")
+        // hidden/marker files, and the CDX sidecars WarcSink writes
+        // beside its segments (an index, not a record stream)
+        n.startsWith("_") || n.startsWith(".") || n.endsWith(".cdx")
       }
       .map(_.getPath.toString)
       .sorted

@@ -397,6 +397,64 @@ class WarcSourceSpec extends SparkSpec {
     assert(before.toSeq == after.toSeq, "re-run must write byte-identical members")
   }
 
+  test("WarcSink writes a CDX sidecar; readAtMember fetches every record by it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wet_cdx").resolve("out").toString
+    val docs = Seq(
+      ("http://s.net/1", "first record body", "2026-08-14T00:00:00Z"),
+      ("http://s.net/2", "second record body", "2026-08-14T01:00:00Z"),
+      ("http://s.net/3", "third record body", "2026-08-14T02:00:00Z"))
+      .toDF("url", "text", "fetch_date").repartition(2)
+    graft.sources.WarcSink.writeWet(docs, dir)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString)
+    assert(files.count(_.endsWith(".cdx")) ==
+      files.count(_.endsWith(".warc.gz")), files.toSeq)
+    val idx = graft.sources.WarcSink.readCdxSidecars(spark, dir).collect()
+    assert(idx.length == 3, idx.toSeq)
+    // each sidecar row range-addresses its record: a seek to the
+    // recorded COMPRESSED offset re-reads exactly that record
+    idx.foreach { r =>
+      val got = WarcSource.readAtMember(spark, r.getAs[String]("file"),
+        r.getAs[Long]("member_offset"))
+      assert(got.nonEmpty, r.toString)
+      assert(got.get.target_uri == r.getAs[String]("url"))
+      assert(got.get.record_id == r.getAs[String]("record_id"))
+      // the recorded member length is the true compressed extent: the
+      // reader's own walk derives the same member_offset
+      assert(got.get.member_skip == 0L)
+    }
+    // sidecar offsets agree with the reader-side walk's member accounting
+    val walked = WarcSource.read(spark, dir).collect()
+      .map(r => (r.getAs[String]("target_uri"), r.getAs[Long]("member_offset")))
+      .toMap
+    idx.foreach { r =>
+      assert(walked(r.getAs[String]("url")) == r.getAs[Long]("member_offset"),
+        r.toString)
+    }
+    // member_length closes the range: offsets + lengths tile each file
+    idx.groupBy(_.getAs[String]("file")).foreach { case (f, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("member_offset"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("member_offset") + a.getAs[Long]("member_length")
+            == b.getAs[Long]("member_offset"), s"$f not tiled")
+        case _ => ()
+      }
+      val last = sorted.last
+      assert(last.getAs[Long]("member_offset") + last.getAs[Long]("member_length")
+        == java.nio.file.Files.size(java.nio.file.Paths.get(
+          f.stripPrefix("file:"))), s"$f tail")
+    }
+    // determinism: the re-run writes byte-identical sidecars
+    val before = files.filter(_.endsWith(".cdx")).sorted
+      .map(f => java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)).toSeq)
+    graft.sources.WarcSink.writeWet(docs, dir)
+    val after = files.filter(_.endsWith(".cdx")).sorted
+      .map(f => java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)).toSeq)
+    assert(before.toSeq == after.toSeq)
+  }
+
   test("the full loop: WARC in → warcToDocuments → WET out → WARC in again") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft_loop")
