@@ -571,6 +571,72 @@ object WarcSource {
     }
   }
 
+  /** BATCH random access (round 19) — the distributed face of
+    * [[readAtMember]]: re-read exactly the records an index frame names
+    * (`file`, `member_offset`[, `member_skip`] — a [[cdxIndex]]
+    * selection or [[WarcSink.readCdxSidecars]] output) without
+    * scanning a single segment. The 100 TB shape: a targeted re-parse
+    * of 10M records out of a crawl joins driver-cheap METADATA, then
+    * each task walks ITS files' rows sorted by (file, offset) — one
+    * open handle per file, strictly forward seeks, a fresh inflater
+    * per member — so cost is O(selected records), never O(corpus).
+    * Rows whose offset is torn/past-EOF are dropped (the keep-prior
+    * discipline); output schema = [[read]]'s. */
+  def readMembers(spark: SparkSession, index: DataFrame,
+                  maxRecord: Int = 64 << 20): DataFrame = {
+    import spark.implicits._
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration))
+    val skipCol =
+      if (index.columns.contains("member_skip")) col("member_skip")
+      else lit(0L)
+    index
+      .select(col("file").cast("string"),
+        col("member_offset").cast("long"), skipCol.cast("long").as("skip"))
+      .repartition(col("file"))
+      .sortWithinPartitions("file", "member_offset")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var openFile: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def close(): Unit = {
+          if (in != null) { try in.close() catch { case _: IOException => () } }
+          in = null
+          openFile = null
+        }
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => close()))
+        it.flatMap { case (file, memberOffset, skip) =>
+          try {
+            if (openFile != file) {
+              close()
+              val hp = new org.apache.hadoop.fs.Path(file)
+              in = hp.getFileSystem(confBc.value.value).open(hp)
+              openFile = file
+            }
+            in.seek(memberOffset)
+            val s = sniffGzip(new java.io.FilterInputStream(in) {
+              override def close(): Unit = () // handle reused across rows
+            })
+            var toSkip = skip
+            var eof = false
+            while (toSkip > 0 && !eof) {
+              val n = s.skip(toSkip)
+              if (n > 0) toSkip -= n
+              else if (s.read() >= 0) toSkip -= 1
+              else { toSkip = 0; eof = true }
+            }
+            val walk = parseStream(file, s, maxRecord)
+            if (!eof && walk.hasNext) Some(walk.next()) else None
+          } catch {
+            case _: IOException => close(); None // torn row: drop, keep going
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Project `response` records into (uri, HTTP status, body text) — the
     * frame a text-extraction pipeline starts from. The header/body split
     * rides the bijective ISO-8859-1 decode (every byte ↔ one char, so the

@@ -455,6 +455,38 @@ class WarcSourceSpec extends SparkSpec {
     assert(before.toSeq == after.toSeq)
   }
 
+  test("readMembers: a CDX frame fetches exactly its records, distributed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_wet_members").resolve("out").toString
+    val docs = (0 until 12).map(i =>
+      (s"http://m.net/$i", s"body of record $i", "2026-08-14T00:00:00Z"))
+      .toDF("url", "text", "fetch_date").repartition(3) // several segments
+    graft.sources.WarcSink.writeWet(docs, dir)
+    val idx = graft.sources.WarcSink.readCdxSidecars(spark, dir)
+    // the full index re-fetches the full corpus, record for record
+    val fetched = WarcSource.readMembers(spark, idx).collect()
+      .map(r => r.getAs[String]("target_uri") ->
+        new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).toMap
+    val scanned = WarcSource.read(spark, dir).collect()
+      .map(r => r.getAs[String]("target_uri") ->
+        new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).toMap
+    assert(fetched == scanned && fetched.size == 12, fetched.keySet)
+    // a SELECTION fetches only its rows — the targeted-re-parse shape
+    val some = WarcSource.readMembers(spark,
+      idx.filter(col("url").endsWith("/3") || col("url").endsWith("/7")))
+      .collect().map(_.getAs[String]("target_uri")).toSet
+    assert(some == Set("http://m.net/3", "http://m.net/7"), some)
+    // a torn row (offset past EOF) drops; the rest of the frame survives
+    val withBogus = idx.select(col("file"), col("member_offset"),
+      org.apache.spark.sql.functions.lit(0L).as("member_skip"))
+      .union(idx.limit(1).select(col("file"),
+        org.apache.spark.sql.functions.lit(999999999L).as("member_offset"),
+        org.apache.spark.sql.functions.lit(0L).as("member_skip")))
+    val robust = WarcSource.readMembers(spark, withBogus).collect()
+    assert(robust.length == 12, s"${robust.length}")
+  }
+
   test("the full loop: WARC in → warcToDocuments → WET out → WARC in again") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft_loop")
