@@ -120,7 +120,10 @@ object Mp3Ops {
       tagVersion = bytes(3) & 0xff
       val tagSize = syncSafe(bytes, 6)
       val tagEnd = math.min(10L + tagSize, bytes.length.toLong).toInt
-      audioStart = tagEnd
+      // v2.4 footer flag (0x10): a 10-byte "3DI" mirror AFTER the tag
+      // body — not audio, so the frame scan starts past it
+      val footer = if (tagVersion == 4 && (bytes(5) & 0x10) != 0) 10 else 0
+      audioStart = math.min(tagEnd + footer, bytes.length)
       val unsync = (bytes(5) & 0x80) != 0
       // v2.2/v2.3 apply unsynchronisation to the WHOLE tag as the last
       // encoding step, so frame sizes line up only AFTER de-stuffing;

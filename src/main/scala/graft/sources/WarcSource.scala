@@ -547,7 +547,13 @@ object WarcSource {
     * layout), then ONE record parsed. Cost is O(seek + one member),
     * never O(offset) re-inflation of the file head — on a plain
     * `.warc` the coordinates degrade to (offset, 0) and this is a pure
-    * seek, strictly better than [[readAt]]'s skip-through there too. */
+    * seek, strictly better than [[readAt]]'s skip-through there too.
+    * The returned record's MEMBER coordinates are rebased to absolute
+    * file coordinates (the walk's relative member start plus the seek
+    * position), so a re-fetched record round-trips through its own
+    * index row; `offset`/`length` remain walk-relative (the global
+    * decompressed position is unknowable without inflating the file
+    * head — exactly what this face exists to avoid). */
   def readAtMember(spark: SparkSession, file: String, memberOffset: Long,
                    memberSkip: Long = 0L,
                    maxRecord: Int = 64 << 20): Option[WarcRecord] = {
@@ -565,7 +571,10 @@ object WarcSource {
         else toSkip = 0 // EOF before the skip target → empty walk below
       }
       val it = parseStream(file, in, maxRecord)
-      if (it.hasNext) Some(it.next()) else None
+      if (it.hasNext) {
+        val r = it.next()
+        Some(r.copy(member_offset = memberOffset + r.member_offset))
+      } else None
     } finally {
       try fsin.close() catch { case _: IOException => () }
     }
@@ -628,7 +637,13 @@ object WarcSource {
               else { toSkip = 0; eof = true }
             }
             val walk = parseStream(file, s, maxRecord)
-            if (!eof && walk.hasNext) Some(walk.next()) else None
+            if (!eof && walk.hasNext) {
+              // member coordinates rebase to absolute file coordinates
+              // (readAtMember's contract); offset/length stay
+              // walk-relative
+              val r = walk.next()
+              Some(r.copy(member_offset = memberOffset + r.member_offset))
+            } else None
           } catch {
             case _: IOException => close(); None // torn row: drop, keep going
           }

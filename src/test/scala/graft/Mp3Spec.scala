@@ -112,6 +112,25 @@ class Mp3Spec extends SparkSpec {
     assert(got24.exists(_.title == "Unsync Title"), got24)
   }
 
+  test("mp3Walk: the ID3v2.4 footer is not audio — the frame scan starts past it") {
+    // a v2.4 tag with the footer flag (0x10): 10 header + body + 10
+    // footer bytes precede the audio
+    val payload = Array[Byte](0) ++ "Footed".getBytes(ISO_8859_1)
+    val frame = "TIT2".getBytes(ISO_8859_1) ++
+      Array[Byte](0, 0, 0, payload.length.toByte, 0, 0) ++ payload
+    val footer = "3DI".getBytes(ISO_8859_1) ++ Array[Byte](4, 0, 0x10) ++
+      Array[Byte](0, 0, 0, frame.length.toByte)
+    val tag = "ID3".getBytes(ISO_8859_1) ++ Array[Byte](4, 0, 0x10) ++
+      Array[Byte](0, 0, 0, frame.length.toByte) ++ frame ++ footer
+    val audio = {
+      val a = new Array[Byte](288)
+      a(0) = 0xff.toByte; a(1) = 0xfb.toByte; a(2) = 0x58.toByte; a
+    }
+    val got = Mp3Ops.mp3Walk(tag ++ audio)
+    assert(got.exists(m => m.title == "Footed" && m.durationMs == 36L &&
+      m.durationExact), got)
+  }
+
   test("mp3Walk: MPEG2 / MPEG2.5 / Layer II headers parse with their own tables") {
     def frames(b1: Int, b2: Int, flen: Int, n: Int): Array[Byte] = {
       val a = new Array[Byte](flen * n)

@@ -146,6 +146,26 @@ class OperatorPropertySpec extends SparkSpec {
       Mp3Ops.mp3Walk(bytes)
       graft.operators.WebpOps.webpWalk(bytes)
       graft.operators.OggOps.oggWalk(bytes)
+      // the round-19 header probes ride the same inventory pass and
+      // inherit the same contract
+      graft.operators.ImageHeaders.probe(bytes)
+      graft.operators.MediaHeaders.wav(bytes)
+      graft.operators.MediaHeaders.avi(bytes)
+      graft.operators.MediaHeaders.qoi(bytes)
+    }
+    // magic-grafted garbage for each probe family: the probe must enter
+    // its parser and survive
+    Seq("RIFF....WAVE", "RIFF....AVI ", "qoif....", "\u0089PNG\r\n\u001a\n",
+      "GIF89a", "BM......", "\u00ff\u00d8\u00ff\u00e0").foreach { magic =>
+      (0 until 60).foreach { _ =>
+        val g = Array.fill[Byte](rnd.nextInt(200) + 26)(rnd.nextInt.toByte)
+        val m = magic.toCharArray.map(_.toByte)
+        System.arraycopy(m, 0, g, 0, m.length)
+        graft.operators.ImageHeaders.probe(g)
+        graft.operators.MediaHeaders.wav(g)
+        graft.operators.MediaHeaders.avi(g)
+        graft.operators.MediaHeaders.qoi(g)
+      }
     }
     // a crafted deep-nest moov (8 bytes per level) hits the depth cap,
     // never a StackOverflowError

@@ -152,6 +152,10 @@ class WarcSourceSpec extends SparkSpec {
       assert(got.get.payload.toSeq == r.getAs[Array[Byte]]("payload").toSeq,
         "payload bytes round-trip through the member seek")
       assert(got.get.length == r.getAs[Long]("length"))
+      // member coordinates come back ABSOLUTE: the re-fetched record
+      // round-trips through its own index row
+      assert(got.get.member_offset == r.getAs[Long]("member_offset"),
+        s"rebased ${got.get.member_offset}")
     }
     // plain files: member coordinates degrade to (offset, 0) and
     // readAtMember is a pure seek to the record
@@ -472,6 +476,13 @@ class WarcSourceSpec extends SparkSpec {
       .map(r => r.getAs[String]("target_uri") ->
         new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).toMap
     assert(fetched == scanned && fetched.size == 12, fetched.keySet)
+    // member coordinates come back absolute (the readAtMember contract)
+    val coords = WarcSource.readMembers(spark, idx).collect()
+      .map(r => r.getAs[String]("target_uri") -> r.getAs[Long]("member_offset"))
+      .toMap
+    val declared = idx.collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[Long]("member_offset")).toMap
+    assert(coords == declared, coords)
     // a SELECTION fetches only its rows — the targeted-re-parse shape
     val some = WarcSource.readMembers(spark,
       idx.filter(col("url").endsWith("/3") || col("url").endsWith("/7")))
