@@ -240,6 +240,107 @@ class WarcSourceSpec extends SparkSpec {
       "corrupt member dropped, prior kept, nothing thrown")
   }
 
+  test("MemberGzipStream ≡ GZIPInputStream byte-for-byte (differential fuzz)") {
+    // the round-19 inflater must be indistinguishable from the JDK's on
+    // every well-formed stream: random member splits, payload sizes
+    // crossing the 64 KiB feed buffer, optional header fields
+    // (FEXTRA/FNAME/FCOMMENT/FHCRC), empty members, trailing garbage
+    val rnd = new scala.util.Random(19)
+    def member(payload: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(o); g.write(payload); g.finish()
+      o.toByteArray
+    }
+    def withHeaderFields(m: Array[Byte], extra: Boolean, name: Boolean,
+                         comment: Boolean, hcrc: Boolean): Array[Byte] = {
+      var flg = m(3).toInt
+      val mid = new ByteArrayOutputStream()
+      if (extra) {
+        flg |= 4
+        val x = Array[Byte](7, 3, 1, 4, 1, 5, 9)
+        mid.write(Array[Byte](x.length.toByte, 0)); mid.write(x)
+      }
+      if (name) {
+        flg |= 8
+        mid.write("a-file.warc".getBytes(US_ASCII)); mid.write(0)
+      }
+      if (comment) {
+        flg |= 16
+        mid.write("written by graft".getBytes(US_ASCII)); mid.write(0)
+      }
+      val head = m.take(10).clone()
+      // FHCRC covers the header WITH the flag bit set (RFC 1952)
+      head(3) = (if (hcrc) flg | 2 else flg).toByte
+      val tail =
+        if (hcrc) {
+          val c = new java.util.zip.CRC32
+          c.update(head ++ mid.toByteArray)
+          Array((c.getValue & 0xff).toByte, ((c.getValue >> 8) & 0xff).toByte)
+        } else Array.emptyByteArray
+      head ++ mid.toByteArray ++ tail ++ m.drop(10)
+    }
+    def inflateAll(mk: java.io.InputStream => java.io.InputStream,
+                   bytes: Array[Byte]): (Seq[Byte], Boolean) = {
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](1 + rnd.nextInt(8192)) // odd read sizes
+      try {
+        val in = mk(new java.io.ByteArrayInputStream(bytes))
+        try {
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        (out.toByteArray.toSeq, false)
+      } catch {
+        case _: java.io.IOException => (out.toByteArray.toSeq, true)
+      }
+    }
+    (0 until 40).foreach { trial =>
+      val nMembers = 1 + rnd.nextInt(5)
+      val stream = new ByteArrayOutputStream()
+      val payloads = (0 until nMembers).map { _ =>
+        val size = rnd.nextInt(4) match {
+          case 0 => 0 // empty member
+          case 1 => rnd.nextInt(64)
+          case 2 => rnd.nextInt(4096)
+          case _ => (64 << 10) + rnd.nextInt(64 << 10) // crosses the buffer
+        }
+        val p = new Array[Byte](size)
+        rnd.nextBytes(p)
+        p
+      }
+      payloads.foreach { p =>
+        val m = member(p)
+        stream.write(
+          if (rnd.nextBoolean()) m
+          else withHeaderFields(m, rnd.nextBoolean(), rnd.nextBoolean(),
+            rnd.nextBoolean(), rnd.nextBoolean()))
+      }
+      if (trial % 5 == 0) stream.write("trailing garbage".getBytes(US_ASCII))
+      val bytes = stream.toByteArray
+      val expected = payloads.flatten.toSeq
+      val (jdk, jdkThrew) =
+        inflateAll(s => new java.util.zip.GZIPInputStream(s, 64 << 10), bytes)
+      val (ours, oursThrew) = inflateAll(
+        s => new graft.sources.WarcSource.MemberGzipStream(s), bytes)
+      assert(!jdkThrew && !oursThrew, s"trial $trial threw")
+      assert(jdk == expected && ours == expected,
+        s"trial $trial: jdk ${jdk.length} ours ${ours.length} expected ${expected.length}")
+      // and TRUNCATIONS never diverge: whatever bytes each yields before
+      // EOF/throw, ours produces the same decompressed prefix
+      if (trial < 10) {
+        val cut = rnd.nextInt(bytes.length)
+        val (j, _) = inflateAll(
+          s => new java.util.zip.GZIPInputStream(s, 64 << 10), bytes.take(cut))
+        val (o, _) = inflateAll(
+          s => new graft.sources.WarcSource.MemberGzipStream(s), bytes.take(cut))
+        // both are prefixes of the truth; ours must never yield bytes the
+        // JDK's would not (modulo buffering, compare against the truth)
+        assert(o == expected.take(o.length), s"trial $trial cut $cut: bad bytes")
+        assert(j == expected.take(j.length), s"trial $trial cut $cut: jdk bad")
+      }
+    }
+  }
+
   test("WARC bodies flow into the text estate: langId + exact dedup end-to-end") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_warc3")
