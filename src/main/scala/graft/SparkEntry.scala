@@ -238,6 +238,8 @@ object SparkEntry {
     "q_mp3_meta" -> ((s, dir) => Mp3Ops.mp3Meta(Tables.documents(s, dir))),
     "q_webp_meta" -> ((s, dir) => WebpOps.webpMeta(Tables.documents(s, dir))),
     "q_ogg_meta" -> ((s, dir) => OggOps.oggMeta(Tables.documents(s, dir))),
+    "q_media_inventory" -> ((s, dir) =>
+      MediaOps.mediaInventory(Tables.documents(s, dir))),
     "q_url_filter" -> ((s, dir) => UrlOps.urlFilter(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---
     "q_summary_approx" -> ((s, dir) => EventOps.summaryApprox(Tables.events(s, dir))),
@@ -263,5 +265,5 @@ object SparkEntry {
       ClassifierOps.oracles ++ HtmlOps.oracles ++ UrlOps.oracles ++
       GraphOps.oracles ++ CrawlOps.oracles ++ AviOps.oracles ++
       PdfOps.oracles ++ Mp4Ops.oracles ++ Mp3Ops.oracles ++
-      WebpOps.oracles ++ OggOps.oracles
+      WebpOps.oracles ++ OggOps.oracles ++ MediaOps.oracles
 }

@@ -123,4 +123,108 @@ object MediaOps {
         col("mismatch"), col("mojibake_risk"), col("width"), col("height"),
         col("duration_ms"), col("media_format"), col("media_reason"))
   }
+
+  // ---------- oracle instantiation (q_media_inventory) ----------
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Deterministic synthetic WAV — PCM16 mono at 8 kHz,
+    * `80 × (doc_id % 29 + 1)` frames = `10 × (doc_id % 29 + 1)` ms
+    * (integer-exact in both engines). */
+  private[graft] def wavSynth(docId: Long): Array[Byte] = {
+    val nFrames = 80 * (docId % 29 + 1).toInt
+    val dataLen = nFrames * 2
+    val ascii = (s: String) =>
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    ascii("RIFF") ++ le32(4L + 24 + 8 + dataLen) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(16L) ++
+      le16(1) ++ le16(1) ++ le32(8000L) ++ le32(16000L) ++ le16(2) ++ le16(16) ++
+      ascii("data") ++ le32(dataLen.toLong) ++ new Array[Byte](dataLen)
+  }
+
+  /** The synthetic mixed-media WARC record frame behind
+    * `q_media_inventory`: one HTTP response per doc, format by
+    * doc_id % 6 — MP4 / MP3 / WebP / Ogg / WAV / AVI, each riding its
+    * format's existing planted-truth synth (so the class arithmetic is
+    * shared with the per-format oracles). The WebP class declares
+    * `text/html` — the real web's most common media lie — so the
+    * mismatch AND mojibake flags are both genuinely exercised; every
+    * other class declares honestly. */
+  private[graft] def mediaRecordsSynth(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val schema = StructType(Seq(
+      StructField("warc_type", StringType),
+      StructField("target_uri", StringType),
+      StructField("payload", BinaryType)))
+    spark.createDataFrame(
+      documents.select(col("doc_id").cast("long")).rdd.map { r =>
+        val id = r.getLong(0)
+        val (ctype, body) = (id % 6).toInt match {
+          case 0 => ("video/mp4", Mp4Ops.mp4Synth(id))
+          case 1 => ("audio/mpeg", Mp3Ops.mp3Synth(id))
+          case 2 => ("text/html", WebpOps.webpSynth(id)) // the lie
+          case 3 => ("application/ogg", OggOps.oggSynth(id))
+          case 4 => ("audio/wav", wavSynth(id))
+          case _ => ("video/avi", AviOps.buildAvi(
+            Seq(Array.tabulate[Byte](64)(i => ((id + i) & 0x7f).toByte)),
+            16 + (id % 8).toInt * 2, 10 + (id % 9).toInt * 2,
+            usPerFrame = 40000L, handler = "MJPG")) // 1 frame = 40 ms
+        }
+        val payload =
+          (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n")
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ body
+        Row("response", s"http://synth.example/$id", payload)
+      }, schema)
+  }
+
+  /** §2 `q_media_inventory`: the UNIFIED inventory under the ORACLE —
+    * the capstone of the planted-truth media estate: a mixed corpus
+    * (all six walked/probed families plus one lying declaration) runs
+    * the REAL one-pass inventory — sniff, declared-vs-sniffed audit,
+    * per-format walk/probe — while DuckDB states every class's
+    * construction arithmetic. Any drift in the sniff routing, the flag
+    * logic, or any single format's measurement breaks the hash. */
+  def mediaInventory(documents: DataFrame): DataFrame =
+    mediaInventoryOf(mediaRecordsSynth(documents))
+      .select(
+        regexp_extract(col("canon_url"), "([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        col("declared_mime"), col("sniffed_mime"),
+        col("mismatch"), col("mojibake_risk"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("duration_ms"), col("media_format"))
+      .orderBy("doc_id")
+
+  val oracles: Map[String, String] = Map(
+    "q_media_inventory" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6 WHEN 0 THEN 'video/mp4' WHEN 1 THEN 'audio/mpeg'
+        |       WHEN 2 THEN 'text/html' WHEN 3 THEN 'application/ogg'
+        |       WHEN 4 THEN 'audio/wav' ELSE 'video/avi' END AS declared_mime,
+        |  CASE doc_id % 6 WHEN 0 THEN 'video/mp4' WHEN 1 THEN 'audio/mpeg'
+        |       WHEN 2 THEN 'image/webp' WHEN 3 THEN 'application/ogg'
+        |       WHEN 4 THEN 'audio/wav' ELSE 'video/avi' END AS sniffed_mime,
+        |  (doc_id % 6 = 2) AS mismatch,
+        |  (doc_id % 6 = 2) AS mojibake_risk,
+        |  CASE doc_id % 6 WHEN 0 THEN 16 + (doc_id % 16) * 4
+        |       WHEN 2 THEN 16 + (doc_id % 16) * 4
+        |       WHEN 5 THEN 16 + (doc_id % 8) * 2 ELSE NULL END AS width,
+        |  CASE doc_id % 6 WHEN 0 THEN 16 + (doc_id % 9) * 4
+        |       WHEN 2 THEN 16 + (doc_id % 9) * 4
+        |       WHEN 5 THEN 10 + (doc_id % 9) * 2 ELSE NULL END AS height,
+        |  CASE doc_id % 6 WHEN 0 THEN 40 * (doc_id % 977 + 25)
+        |       WHEN 1 THEN 36 * (doc_id % 29 + 1)
+        |       WHEN 3 THEN 100 * (doc_id % 29 + 1)
+        |       WHEN 4 THEN 10 * (doc_id % 29 + 1)
+        |       WHEN 5 THEN 40 ELSE NULL END AS duration_ms,
+        |  CASE doc_id % 6 WHEN 0 THEN 'isom' WHEN 1 THEN 'mpeg1-l3-64k'
+        |       WHEN 2 THEN 'extended' WHEN 3 THEN 'vorbis'
+        |       WHEN 4 THEN 'pcm16' ELSE 'MJPG' END AS media_format
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -291,6 +291,34 @@ class MediaInventorySpec extends SparkSpec {
       qi.getAs[String]("media_format") == "qoi", qi.toString)
   }
 
+  test("q_media_inventory face reproduces the oracle arithmetic per class") {
+    import spark.implicits._
+    val docs = (0L until 12L).toDF("doc_id")
+    val got = MediaOps.mediaInventory(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.size == 12)
+    // class 0 (doc 0, 6): mp4 isom, honest declaration
+    assert(got(6L).getAs[String]("sniffed_mime") == "video/mp4")
+    assert(got(6L).getAs[String]("media_format") == "isom")
+    assert(got(6L).getAs[Long]("duration_ms") == 40L * (6 % 977 + 25))
+    assert(got(6L).getAs[Long]("width") == 16 + (6 % 16) * 4)
+    assert(!got(6L).getAs[Boolean]("mismatch"))
+    // class 2 (doc 2, 8): the LIE — webp behind text/html
+    assert(got(8L).getAs[String]("declared_mime") == "text/html")
+    assert(got(8L).getAs[String]("sniffed_mime") == "image/webp")
+    assert(got(8L).getAs[Boolean]("mismatch") &&
+      got(8L).getAs[Boolean]("mojibake_risk"))
+    assert(got(8L).getAs[String]("media_format") == "extended")
+    // class 4 (doc 4, 10): wav probe duration
+    assert(got(10L).getAs[Long]("duration_ms") == 10L * (10 % 29 + 1))
+    assert(got(10L).getAs[String]("media_format") == "pcm16")
+    // class 5 (doc 5, 11): avi probe geometry + one-frame duration
+    assert(got(11L).getAs[Long]("width") == 16 + (11 % 8) * 2)
+    assert(got(11L).getAs[Long]("height") == 10 + (11 % 9) * 2)
+    assert(got(11L).getAs[Long]("duration_ms") == 40L)
+    assert(got(11L).getAs[String]("media_format") == "MJPG")
+  }
+
   test("mediaInventoryOf: a sniffed-media payload that fails its walk carries the reason") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_media2")
     // real ftyp magic so the sniff routes to the MP4 walk, but no moov
