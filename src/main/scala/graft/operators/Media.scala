@@ -107,6 +107,14 @@ object MediaOps {
             case Right((w, h)) => row(w, h, null, "qoi", null)
             case Left(reason) => row(null, null, null, null, reason)
           }
+          // PDFs NAME their version in the header; measurement (text,
+          // pages) stays with the richer pdfDocumentsOf route
+          case "application/pdf" =>
+            val head = new String(body, 0,
+              math.min(16, body.length),
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            val v = "%PDF-(\\d\\.\\d)".r.findFirstMatchIn(head).map(_.group(1))
+            row(null, null, null, v.map("pdf-" + _).orNull, null)
           case _ => row(null, null, null, null, null)
         }
       }

@@ -289,6 +289,17 @@ class MediaInventorySpec extends SparkSpec {
     val qi = got("http://r.example/c.qoi")
     assert(qi.getAs[Int]("width") == 5 && qi.getAs[Int]("height") == 3 &&
       qi.getAs[String]("media_format") == "qoi", qi.toString)
+    // and a PDF names its version (header-only; no measurement here —
+    // pdfDocumentsOf is the measurement route)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_warc_pdfname")
+    java.nio.file.Files.write(dir2.resolve("seg.warc"),
+      warcRecord("http://r.example/d.pdf", http("application/pdf",
+        graft.operators.PdfOps.pdfSynth("inventory names the version", 1))))
+    val pd = MediaOps.mediaInventoryOf(
+      graft.sources.WarcSource.read(spark, dir2.toString)).collect().head
+    assert(pd.getAs[String]("sniffed_mime") == "application/pdf")
+    assert(pd.getAs[String]("media_format") == "pdf-1.4", pd.toString)
+    assert(pd.isNullAt(pd.fieldIndex("width")))
   }
 
   test("q_media_inventory face reproduces the oracle arithmetic per class") {
