@@ -599,6 +599,45 @@ class WarcSourceSpec extends SparkSpec {
     assert(robust.length == 12, s"${robust.length}")
   }
 
+  test("the re-fetch ledger: cdxIndex → latest capture per URL → readMembers") {
+    import org.apache.spark.sql.functions._
+    // two crawls of the same two URLs land in one directory; the ledger
+    // picks each URL's LATEST capture and re-fetches exactly those two
+    // records by compressed member coordinates — no segment rescanned
+    val dir = Files.createTempDirectory("graft_warc_ledger")
+    def seg(name: String, date: String, marker: String): Unit = {
+      val gz = new ByteArrayOutputStream()
+      Seq("http://l.site/a", "http://l.site/b").foreach { u =>
+        val payload = ("HTTP/1.1 200 OK\r\n\r\nbody " + marker + " " + u)
+          .getBytes(US_ASCII)
+        val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Record-ID: <urn:test:$marker-$u>\r\n" +
+          s"WARC-Date: $date\r\n" +
+          s"WARC-Target-URI: $u\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n").getBytes(US_ASCII)
+        val o = new GZIPOutputStream(gz)
+        o.write(hdr ++ payload ++ "\r\n\r\n".getBytes(US_ASCII)); o.finish()
+      }
+      Files.write(dir.resolve(name), gz.toByteArray)
+    }
+    seg("crawl-1.warc.gz", "2026-08-01T00:00:00Z", "old")
+    seg("crawl-2.warc.gz", "2026-08-14T00:00:00Z", "new")
+    val idx = WarcSource.cdxIndex(WarcSource.read(spark, dir.toString))
+    val latest = idx
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("canon_url").orderBy(col("warc_date").desc)))
+      .filter(col("rk") === 1)
+      .select(col("file"), col("member_offset"), col("member_skip"))
+    val fetched = WarcSource.readMembers(spark, latest).collect()
+    assert(fetched.length == 2, fetched.toSeq)
+    fetched.foreach { r =>
+      val body = new String(r.getAs[Array[Byte]]("payload"), "UTF-8")
+      assert(body.contains("body new"), body)
+      assert(r.getAs[String]("warc_date") == "2026-08-14T00:00:00Z")
+    }
+  }
+
   test("the full loop: WARC in → warcToDocuments → WET out → WARC in again") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft_loop")
