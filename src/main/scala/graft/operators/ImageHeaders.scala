@@ -88,6 +88,57 @@ private[graft] object ImageHeaders {
     } else Left("bad_image_header")
   }
 
+  /** GIF animation accounting (round 19): frame count and total
+    * duration from the block walk ALONE — Graphic Control Extension
+    * delays (1/100 s → ms) summed per image descriptor; LZW pixel data
+    * skips by its sub-block length bytes, never decoded. None = not a
+    * GIF; a malformed tail returns the frames counted so far. A still
+    * image reports (1, 0). */
+  def gifAnimation(b: Array[Byte]): Option[(Int, Long)] = {
+    if (b.length < 13 || !(b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))
+      return None
+    var p = 6 + 7 // header + logical screen descriptor
+    val lsdFlags = b(10) & 0xff
+    if ((lsdFlags & 0x80) != 0) p += 3 * (1 << ((lsdFlags & 7) + 1)) // GCT
+    var frames = 0
+    var durMs = 0L
+    var pendingDelayMs = 0L
+    def skipSubBlocks(start: Int): Int = {
+      var q = start
+      while (q < b.length && b(q) != 0) q += 1 + (b(q) & 0xff)
+      if (q < b.length) q + 1 else b.length // past the 0 terminator
+    }
+    var done = false
+    while (!done && p < b.length) {
+      (b(p) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          if (p + 2 >= b.length) done = true
+          else {
+            val label = b(p + 1) & 0xff
+            if (label == 0xf9 && p + 5 < b.length && (b(p + 2) & 0xff) >= 4)
+              pendingDelayMs =
+                (((b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8)) * 10).toLong
+            p = skipSubBlocks(p + 2)
+          }
+        case 0x2c => // image descriptor
+          if (p + 10 > b.length) done = true
+          else {
+            frames += 1
+            durMs += pendingDelayMs
+            pendingDelayMs = 0L
+            val flags = b(p + 9) & 0xff
+            var q = p + 10
+            if ((flags & 0x80) != 0) q += 3 * (1 << ((flags & 7) + 1)) // LCT
+            q += 1 // LZW minimum code size
+            p = skipSubBlocks(q)
+          }
+        case 0x3b => done = true // trailer
+        case _ => done = true // malformed: keep what's counted
+      }
+    }
+    Some((frames, durMs))
+  }
+
   /** JPEG: skip marker segments by their declared lengths until a SOFn
     * frame header (C0–CF minus DHT C4 / JPGn C8 / DAC CC), whose payload
     * opens precision(1) height(2 BE) width(2 BE). Standalone markers

@@ -77,7 +77,8 @@ object MediaOps {
             case Left(reason) => row(null, null, null, null, reason)
           }
           case "image/webp" => WebpOps.webpWalk(body) match {
-            case Right(m) => row(m.width, m.height, null, m.format, null)
+            case Right(m) => row(m.width, m.height,
+              if (m.durationMs >= 0) m.durationMs else null, m.format, null)
             case Left(reason) => row(null, null, null, null, reason)
           }
           case "application/ogg" => OggOps.oggWalk(body) match {
@@ -90,7 +91,17 @@ object MediaOps {
           // against the full decoders
           case "image/png" | "image/gif" | "image/bmp" | "image/jpeg" =>
             ImageHeaders.probe(body) match {
-              case Right((w, h, fmt)) => row(w, h, null, fmt, null)
+              case Right((w, h, fmt)) =>
+                // an ANIMATED gif measures its run time too (round 19):
+                // GCE delays summed over the block walk, no LZW decode
+                val anim =
+                  if (fmt.startsWith("gif")) ImageHeaders.gifAnimation(body)
+                  else None
+                anim match {
+                  case Some((frames, dur)) if frames > 1 =>
+                    row(w, h, dur, s"$fmt-anim", null)
+                  case _ => row(w, h, null, fmt, null)
+                }
               case Left(reason) => row(null, null, null, null, reason)
             }
           // RIFF/QOI headers likewise (round 19): the movi/data payload

@@ -24,9 +24,13 @@ import org.apache.spark.sql.types._
   * payload, payload dies in-task, zero shuffles. */
 object WebpOps {
 
-  /** Parsed header. `format` ∈ lossy | lossless | extended. */
+  /** Parsed header. `format` ∈ lossy | lossless | extended. For an
+    * ANIMATED extended file (round 19), `nFrames`/`durationMs` sum the
+    * ANMF frame chunks — the metadata walk's answer to "how long does
+    * this animation run" without touching a pixel; 0/-1 for stills. */
   final case class WebpInfo(format: String, width: Int, height: Int,
-                            hasAlpha: Boolean, hasAnim: Boolean)
+                            hasAlpha: Boolean, hasAnim: Boolean,
+                            nFrames: Int = 0, durationMs: Long = -1L)
 
   /** Walk one payload: Left(reason) or Right(info). Reasons:
     * `not_webp` (no RIFF/WEBP wrap), `bad_bitstream` (no parseable
@@ -79,8 +83,33 @@ object WebpOps {
           val flags = bytes(p) & 0xff
           val w = u24le(p + 4) + 1
           val h = u24le(p + 7) + 1
+          val anim = (flags & 0x02) != 0
+          if (!anim)
+            return Right(WebpInfo("extended", w, h,
+              hasAlpha = (flags & 0x10) != 0, hasAnim = false))
+          // animated: keep walking the sibling chunks, summing ANMF
+          // frame durations (u24 LE ms at payload offset 12) — still a
+          // chunk-skip walk, no pixel touched; a torn tail keeps the
+          // frames counted so far
+          var frames = 0
+          var dur = 0L
+          var o2 = off + 8 + size + (size & 1)
+          var torn = false
+          while (!torn && o2 + 8 <= end) {
+            val id2 = fourcc(o2.toInt)
+            val sz2 = u32le(o2.toInt + 4)
+            if (sz2 < 0 || o2 + 8 + sz2 > end) torn = true
+            else {
+              if (id2 == "ANMF" && sz2 >= 16) {
+                frames += 1
+                dur += u24le(o2.toInt + 8 + 12)
+              }
+              o2 += 8 + sz2 + (sz2 & 1)
+            }
+          }
           return Right(WebpInfo("extended", w, h,
-            hasAlpha = (flags & 0x10) != 0, hasAnim = (flags & 0x02) != 0))
+            hasAlpha = (flags & 0x10) != 0, hasAnim = true,
+            nFrames = frames, durationMs = if (frames > 0) dur else -1L))
         case _ => ()
       }
       off += 8 + size + (size & 1) // chunks pad to even

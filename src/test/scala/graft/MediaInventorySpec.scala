@@ -302,6 +302,77 @@ class MediaInventorySpec extends SparkSpec {
     assert(pd.isNullAt(pd.fieldIndex("width")))
   }
 
+  test("animated GIF and WebP measure their run time from the block walk") {
+    import graft.operators.{ImageHeaders, WebpOps}
+    // --- hand-built 2-frame GIF: delays 5 and 7 centiseconds = 120 ms
+    def le16(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def gce(delayCs: Int): Seq[Byte] =
+      Seq(0x21.toByte, 0xf9.toByte, 4.toByte, 0.toByte) ++ le16(delayCs) ++
+        Seq(0.toByte, 0.toByte)
+    def frame(w: Int, h: Int): Seq[Byte] =
+      Seq(0x2c.toByte) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h) ++
+        Seq(0.toByte) ++ // no LCT
+        Seq(2.toByte) ++ // LZW min code size
+        Seq(3.toByte, 1.toByte, 2.toByte, 3.toByte, 0.toByte) // one sub-block
+    val gif = ("GIF89a".getBytes(ISO_8859_1).toSeq ++
+      le16(11) ++ le16(9) ++ Seq(0.toByte, 0.toByte, 0.toByte) ++ // LSD, no GCT
+      gce(5) ++ frame(11, 9) ++ gce(7) ++ frame(11, 9) ++
+      Seq(0x3b.toByte)).toArray
+    assert(ImageHeaders.gifAnimation(gif).contains((2, 120L)),
+      ImageHeaders.gifAnimation(gif))
+    assert(ImageHeaders.probe(gif) == Right((11, 9, "gif89a")))
+    // a STILL JDK gif reports one frame, zero duration
+    val still = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "gif", out)
+      out.toByteArray
+    }
+    assert(ImageHeaders.gifAnimation(still).exists(_._1 == 1))
+    // --- animated WebP: VP8X anim flag + ANIM + two ANMF (40 + 60 ms)
+    def le32(v: Long): Seq[Byte] = Seq((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    def le24(v: Int): Seq[Byte] = Seq((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+    def chunk(id: String, body: Seq[Byte]): Seq[Byte] =
+      id.getBytes(ISO_8859_1).toSeq ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Seq(0.toByte) else Seq.empty)
+    def anmf(durMs: Int): Seq[Byte] =
+      chunk("ANMF", le24(0) ++ le24(0) ++ le24(19) ++ le24(13) ++
+        le24(durMs) ++ Seq(0.toByte) ++ Seq(1.toByte, 2.toByte)) // stub frame data
+    val vp8x = chunk("VP8X",
+      Seq[Byte](0x02, 0, 0, 0) ++ le24(19) ++ le24(13))
+    val animChunk = chunk("ANIM", le32(0) ++ Seq(0.toByte, 0.toByte))
+    val payload = vp8x ++ animChunk ++ anmf(40) ++ anmf(60)
+    val webp = ("RIFF".getBytes(ISO_8859_1).toSeq ++
+      le32(4L + payload.length) ++ "WEBP".getBytes(ISO_8859_1).toSeq ++
+      payload).toArray
+    val got = WebpOps.webpWalk(webp)
+    assert(got == Right(WebpOps.WebpInfo("extended", 20, 14,
+      hasAlpha = false, hasAnim = true, nFrames = 2, durationMs = 100L)), got)
+    // the synth's VP8X declares the anim FLAG but ships no ANMF frames:
+    // flagged animated, zero frames, duration unknown (-1 → NULL)
+    val stillX = WebpOps.webpWalk(WebpOps.webpSynth(2L))
+    assert(stillX.exists(m => m.hasAnim && m.nFrames == 0 &&
+      m.durationMs == -1L), stillX)
+    // and the inventory rows carry both durations
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_anim")
+    java.nio.file.Files.write(dir.resolve("seg.warc"),
+      warcRecord("http://a.example/loop.gif", http("image/gif", gif)) ++
+      warcRecord("http://a.example/loop.webp", http("image/webp", webp)))
+    val inv = MediaOps.mediaInventoryOf(
+      graft.sources.WarcSource.read(spark, dir.toString))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = inv("http://a.example/loop.gif")
+    assert(g.getAs[Long]("duration_ms") == 120L &&
+      g.getAs[String]("media_format") == "gif89a-anim", g.toString)
+    val w = inv("http://a.example/loop.webp")
+    assert(w.getAs[Long]("duration_ms") == 100L &&
+      w.getAs[String]("media_format") == "extended", w.toString)
+  }
+
   test("q_media_inventory face reproduces the oracle arithmetic per class") {
     import spark.implicits._
     val docs = (0L until 12L).toDF("doc_id")
