@@ -76,6 +76,16 @@ object Mp4Ops {
     var sawMoof = false
     var sidxTimescale = -1L
     var sidxDuration = 0L
+    // self-initializing fMP4 accounting (round 19): mdhd gives the
+    // MEDIA timescale the fragment durations are expressed in; trun/
+    // tfhd sum one track's sample durations across moofs (tracks run
+    // in parallel — summing every traf would double count)
+    var mdhdTimescale = -1L
+    var tMdhd = -1L
+    var fragTrack = -1L
+    var fragTicks = 0L
+    var trafTrack = -1L
+    var trafDefDur = -1L
     var nTracks = 0
     var width = -1
     var height = -1
@@ -93,7 +103,8 @@ object Mp4Ops {
       } else if (tHandler == "soun") {
         if (audioCodec.isEmpty) audioCodec = tCodec
       }
-      tW = -1; tH = -1; tHandler = ""; tCodec = ""
+      if (mdhdTimescale < 0 && tMdhd > 0) mdhdTimescale = tMdhd
+      tW = -1; tH = -1; tHandler = ""; tCodec = ""; tMdhd = -1L
     }
     def walk(start: Long, end: Long, depth: Int): Unit = {
       if (depth > MaxDepth) return
@@ -129,11 +140,55 @@ object Mp4Ops {
             if (fw >= 0 && fh >= 0) { tW = (fw >> 16).toInt; tH = (fh >> 16).toInt }
           case "hdlr" =>
             tHandler = fourcc(dataOff + 8)
+          case "mdhd" =>
+            // media timescale — the clock trun/tfhd durations tick in
+            val v = if (dataOff < bytes.length) bytes(dataOff.toInt) & 0xff else -1
+            tMdhd = if (v == 1) u32(dataOff + 20) else u32(dataOff + 12)
           case "stsd" =>
             // fullbox(4) + entry_count(4), first entry: size(4) + format
             if (u32(dataOff + 4) >= 1) tCodec = fourcc(dataOff + 12)
           case "moof" =>
             sawMoof = true // fragmented stream: no movie-level duration
+            walk(dataOff, dataEnd, depth + 1)
+          case "traf" =>
+            trafTrack = -1L
+            trafDefDur = -1L
+            walk(dataOff, dataEnd, depth + 1)
+          case "tfhd" =>
+            // fullbox flags pick the optional-field layout
+            val flags = (u32(dataOff) & 0xffffffL).toInt
+            trafTrack = u32(dataOff + 4)
+            var p = dataOff + 8
+            if ((flags & 0x01) != 0) p += 8 // base_data_offset
+            if ((flags & 0x02) != 0) p += 4 // sample_description_index
+            trafDefDur = if ((flags & 0x08) != 0) u32(p) else -1L
+          case "trun" =>
+            // one track's timeline only — the first track fragments name
+            if (fragTrack < 0 && trafTrack >= 0) fragTrack = trafTrack
+            if (trafTrack == fragTrack && fragTicks >= 0) {
+              val flags = (u32(dataOff) & 0xffffffL).toInt
+              val n = u32(dataOff + 4)
+              var p = dataOff + 8
+              if ((flags & 0x01) != 0) p += 4 // data_offset
+              if ((flags & 0x04) != 0) p += 4 // first_sample_flags
+              if ((flags & 0x100) != 0) {
+                // per-sample durations present: sum them
+                val stride = 4 + (if ((flags & 0x200) != 0) 4 else 0) +
+                  (if ((flags & 0x400) != 0) 4 else 0) +
+                  (if ((flags & 0x800) != 0) 4 else 0)
+                var i = 0L
+                var ok = true
+                while (ok && i < n) {
+                  val d = u32(p + i * stride)
+                  if (d < 0) { fragTicks = -1L; ok = false } // torn
+                  else { fragTicks += d; i += 1 }
+                }
+              } else if (trafDefDur > 0 && n >= 0) {
+                fragTicks += n * trafDefDur
+              } else if (n > 0) {
+                fragTicks = -1L // durations live in trex (init-only) — unmeasurable
+              }
+            }
           case "sidx" =>
             // segment index (round 19): the self-describing duration of
             // a DASH/HLS segment — its OWN timescale plus the sum of
@@ -164,20 +219,37 @@ object Mp4Ops {
       }
     }
     walk(0, bytes.length.toLong, 0)
-    // fMP4 (moof fragments, no movie header): MEASURED where a sidx
-    // exists (round 19 — Σ subsegment_duration / the sidx's own
-    // timescale; self-describing, unlike tfdt/trun whose media
-    // timescale lives in the absent init segment). A segment with
-    // neither stays the NAMED quarantine — a live-stream fragment is a
-    // different ingest decision than a truncated file.
+    // fMP4 measurement ladder (round 19): a real mvhd duration is
+    // authoritative; else a sidx (self-describing timescale); else the
+    // trun/tfhd sample-duration sum on one track's fragments — valid
+    // only when the stream SELF-INITIALIZES (its own moov carries the
+    // mdhd media timescale those ticks are expressed in). A standalone
+    // media segment with neither stays the NAMED quarantine — a
+    // live-stream fragment is a different ingest decision than a
+    // truncated file.
+    val sidxMs =
+      if (sidxTimescale > 0) sidxDuration * 1000L / sidxTimescale else -1L
+    val trunMs =
+      if (fragTicks > 0 && mdhdTimescale > 0) fragTicks * 1000L / mdhdTimescale
+      else -1L
     if (timescale <= 0 || duration == -1L) {
-      if (sidxTimescale > 0)
-        Right(Mp4Info(majorBrand, sidxDuration * 1000L / sidxTimescale,
+      if (sidxMs >= 0)
+        Right(Mp4Info(majorBrand, sidxMs,
+          nTracks, width, height, videoCodec, audioCodec, fragmented = true))
+      else if (trunMs >= 0)
+        Right(Mp4Info(majorBrand, trunMs,
           nTracks, width, height, videoCodec, audioCodec, fragmented = true))
       else Left(if (sawMoof) "fragmented" else "no_moov")
-    } else Right(Mp4Info(majorBrand,
-      if (duration == -2L) -1L else duration * 1000L / timescale,
-      nTracks, width, height, videoCodec, audioCodec))
+    } else {
+      val mvhdMs = if (duration == -2L) -1L else duration * 1000L / timescale
+      if (sawMoof && mvhdMs <= 0 && (sidxMs >= 0 || trunMs >= 0))
+        // self-initializing fMP4: the movie header declares nothing
+        // (duration 0 / unknown) — the fragments carry the truth
+        Right(Mp4Info(majorBrand, if (sidxMs >= 0) sidxMs else trunMs,
+          nTracks, width, height, videoCodec, audioCodec, fragmented = true))
+      else Right(Mp4Info(majorBrand, mvhdMs,
+        nTracks, width, height, videoCodec, audioCodec))
+    }
   }
 
   // ---------- operator faces ----------

@@ -99,6 +99,59 @@ class Mp4Spec extends SparkSpec {
     assert(graft.plans.MagicMime.sniff(styp ++ sidx0) == "video/mp4")
   }
 
+  test("mp4Walk: a self-initializing fMP4 (mvhd duration 0) measures via trun") {
+    // independent byte-writer: ftyp + moov(mvhd dur 0 + trak with the
+    // mdhd MEDIA timescale) + two moofs — one tfhd-default-duration
+    // trun, one per-sample-duration trun
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def bx(t: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ t.getBytes(ISO_8859_1) ++ body
+    def fb(flags: Int, body: Array[Byte]): Array[Byte] =
+      be32(flags.toLong) ++ body // version 0 + 24-bit flags
+    val ftyp = bx("ftyp", "isom".getBytes(ISO_8859_1) ++ be32(0) ++
+      "isom".getBytes(ISO_8859_1))
+    val mvhd = bx("mvhd", fb(0, new Array[Byte](8) ++ be32(1000) ++ be32(0) ++
+      new Array[Byte](80)))
+    val mdhd = bx("mdhd", fb(0, new Array[Byte](8) ++ be32(1000) ++ be32(0) ++
+      new Array[Byte](4)))
+    val hdlr = bx("hdlr", fb(0, be32(0) ++ "vide".getBytes(ISO_8859_1) ++
+      new Array[Byte](13)))
+    val stsd = bx("stbl", bx("stsd", fb(0, be32(1) ++ be32(16) ++
+      "avc1".getBytes(ISO_8859_1) ++ new Array[Byte](8))))
+    val tkhd = bx("tkhd", fb(0, new Array[Byte](72) ++
+      be32(320L << 16) ++ be32(240L << 16)))
+    val trak = bx("trak", tkhd ++ bx("mdia", mdhd ++ hdlr ++ bx("minf", stsd)))
+    val moov = bx("moov", mvhd ++ trak)
+    // moof 1: tfhd default_sample_duration 500 (flag 0x08), trun 4
+    // samples with data_offset only (flag 0x01) → 2000 ticks
+    val moof1 = bx("moof", bx("mfhd", fb(0, be32(1))) ++
+      bx("traf",
+        bx("tfhd", fb(0x08, be32(1) ++ be32(500))) ++
+        bx("trun", fb(0x01, be32(4) ++ be32(0)))))
+    // moof 2: per-sample durations 700 + 300 (flags 0x101) → 1000 ticks
+    val moof2 = bx("moof", bx("mfhd", fb(0, be32(2))) ++
+      bx("traf",
+        bx("tfhd", fb(0x08, be32(1) ++ be32(500))) ++
+        bx("trun", fb(0x101, be32(2) ++ be32(0) ++ be32(700) ++ be32(300)))))
+    val seg = ftyp ++ moov ++ moof1 ++ moof2 ++
+      bx("mdat", "xx".getBytes(ISO_8859_1))
+    val got = Mp4Ops.mp4Walk(seg)
+    // 3000 ticks at the mdhd 1000 Hz clock = 3000 ms, fragmented
+    assert(got == Right(Mp4Ops.Mp4Info("isom", 3000L, 1, 320, 240,
+      "avc1", "", fragmented = true)), got)
+    // the same stream with a REAL mvhd duration keeps mvhd authoritative
+    val real = ftyp ++ bx("moov",
+      bx("mvhd", fb(0, new Array[Byte](8) ++ be32(1000) ++ be32(7000) ++
+        new Array[Byte](80))) ++ trak) ++ moof1
+    val gotReal = Mp4Ops.mp4Walk(real)
+    assert(gotReal.exists(m => m.durationMs == 7000L && !m.fragmented), gotReal)
+    // a moof-only stream with neither sidx nor an own moov still
+    // quarantines by name (the media timescale is in the init segment)
+    val bare = ftyp ++ moof1
+    assert(Mp4Ops.mp4Walk(bare) == Left("fragmented"))
+  }
+
   test("mp4MetaOf routes every payload to exactly one of clean/quarantine") {
     import spark.implicits._
     val rows = Seq(
