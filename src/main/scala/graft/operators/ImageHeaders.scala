@@ -88,6 +88,42 @@ private[graft] object ImageHeaders {
     } else Left("bad_image_header")
   }
 
+  /** APNG animation accounting (round 19): frame count from the `acTL`
+    * chunk and total duration from the `fcTL` frame-control delays
+    * (delay_num / delay_den seconds; den 0 reads as 100 per spec) — a
+    * pure chunk-skip walk, IDAT/fdAT never inflated. None = not a PNG
+    * or no `acTL` (a still PNG); a malformed tail keeps the frames
+    * summed so far. */
+  def pngAnimation(b: Array[Byte]): Option[(Int, Long)] = {
+    if (b.length < 16 || (b(0) & 0xff) != 0x89 || b(1) != 'P') return None
+    var p = 8
+    var frames = -1
+    var durMs = 0L
+    var sawActl = false
+    var done = false
+    while (!done && p + 8 <= b.length) {
+      val len = u32be(b, p)
+      if (len < 0 || p + 12 + len > b.length) done = true // torn tail
+      else {
+        val typ = new String(b, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        typ match {
+          case "acTL" if len >= 8 =>
+            sawActl = true
+            frames = u32be(b, p + 8).toInt
+          case "fcTL" if len >= 26 =>
+            val num = ((b(p + 8 + 20) & 0xff) << 8) | (b(p + 8 + 21) & 0xff)
+            val den0 = ((b(p + 8 + 22) & 0xff) << 8) | (b(p + 8 + 23) & 0xff)
+            val den = if (den0 == 0) 100 else den0
+            durMs += num.toLong * 1000L / den
+          case "IEND" => done = true
+          case _ => ()
+        }
+        p += (12 + len).toInt
+      }
+    }
+    if (sawActl) Some((frames, durMs)) else None
+  }
+
   /** GIF animation accounting (round 19): frame count and total
     * duration from the block walk ALONE — Graphic Control Extension
     * delays (1/100 s → ms) summed per image descriptor; LZW pixel data

@@ -92,10 +92,12 @@ object MediaOps {
           case "image/png" | "image/gif" | "image/bmp" | "image/jpeg" =>
             ImageHeaders.probe(body) match {
               case Right((w, h, fmt)) =>
-                // an ANIMATED gif measures its run time too (round 19):
-                // GCE delays summed over the block walk, no LZW decode
+                // ANIMATED images measure their run time too (round 19):
+                // GIF via GCE delays, APNG via fcTL delays — block/chunk
+                // walks, no pixel decode
                 val anim =
                   if (fmt.startsWith("gif")) ImageHeaders.gifAnimation(body)
+                  else if (fmt == "png") ImageHeaders.pngAnimation(body)
                   else None
                 anim match {
                   case Some((frames, dur)) if frames > 1 =>

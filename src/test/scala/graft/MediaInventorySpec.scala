@@ -371,6 +371,39 @@ class MediaInventorySpec extends SparkSpec {
     val w = inv("http://a.example/loop.webp")
     assert(w.getAs[Long]("duration_ms") == 100L &&
       w.getAs[String]("media_format") == "extended", w.toString)
+    // --- APNG: a JDK still PNG with spliced acTL + two fcTL chunks
+    // (3/100 s + 7/100 s = 100 ms); chunk CRCs are skipped by the walk
+    def be32s(v: Long): Seq[Byte] = Seq(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def pngChunk(typ: String, body: Seq[Byte]): Seq[Byte] =
+      be32s(body.length.toLong) ++ typ.getBytes(ISO_8859_1).toSeq ++ body ++
+        be32s(0L) // CRC unchecked by the metadata walk
+    def fctl(num: Int, den: Int): Seq[Byte] =
+      pngChunk("fcTL", be32s(0) ++ be32s(4) ++ be32s(4) ++ be32s(0) ++
+        be32s(0) ++ Seq(((num >> 8) & 0xff).toByte, (num & 0xff).toByte,
+          ((den >> 8) & 0xff).toByte, (den & 0xff).toByte) ++
+        Seq(0.toByte, 0.toByte))
+    val stillPng = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // splice acTL + fcTLs right after IHDR (sig 8 + IHDR 25 bytes)
+    val apng = stillPng.take(33) ++
+      (pngChunk("acTL", be32s(2) ++ be32s(0)) ++ fctl(3, 100) ++
+        fctl(7, 100)).toArray ++ stillPng.drop(33)
+    assert(ImageHeaders.pngAnimation(apng).contains((2, 100L)),
+      ImageHeaders.pngAnimation(apng))
+    assert(ImageHeaders.pngAnimation(stillPng).isEmpty, "still PNG = None")
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_warc_apng")
+    java.nio.file.Files.write(dir3.resolve("seg.warc"),
+      warcRecord("http://a.example/loop.png", http("image/png", apng)))
+    val ap = MediaOps.mediaInventoryOf(
+      graft.sources.WarcSource.read(spark, dir3.toString)).collect().head
+    assert(ap.getAs[Long]("duration_ms") == 100L &&
+      ap.getAs[String]("media_format") == "png-anim", ap.toString)
   }
 
   test("q_media_inventory face reproduces the oracle arithmetic per class") {

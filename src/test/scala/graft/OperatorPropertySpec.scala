@@ -162,6 +162,8 @@ class OperatorPropertySpec extends SparkSpec {
         val m = magic.toCharArray.map(_.toByte)
         System.arraycopy(m, 0, g, 0, m.length)
         graft.operators.ImageHeaders.probe(g)
+        graft.operators.ImageHeaders.gifAnimation(g)
+        graft.operators.ImageHeaders.pngAnimation(g)
         graft.operators.MediaHeaders.wav(g)
         graft.operators.MediaHeaders.avi(g)
         graft.operators.MediaHeaders.qoi(g)
