@@ -120,6 +120,30 @@ object MediaOps {
             case Right((w, h)) => row(w, h, null, "qoi", null)
             case Left(reason) => row(null, null, null, null, reason)
           }
+          // SVG (round 19): geometry off the root tag's width/height
+          // attributes (px), falling back to the viewBox extent — a
+          // dimensionless SVG (scales to its container) keeps NULL
+          // geometry with no quarantine
+          case "image/svg+xml" =>
+            val head = new String(body, 0, math.min(body.length, 4096),
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            val tag = "(?is)<svg[^>]*>".r.findFirstIn(head).getOrElse("")
+            def dim(name: String): Option[Int] =
+              ("(?i)\\b" + name +
+                "\\s*=\\s*[\"']\\s*([0-9]+(?:\\.[0-9]+)?)\\s*(?:px)?\\s*[\"']").r
+                .findFirstMatchIn(tag)
+                .map(m => math.round(m.group(1).toDouble).toInt)
+            val wh = (dim("width"), dim("height")) match {
+              case (Some(w), Some(h)) => Some((w, h))
+              case _ =>
+                ("(?i)viewBox\\s*=\\s*[\"']\\s*[-0-9.]+[\\s,]+[-0-9.]+" +
+                  "[\\s,]+([0-9.]+)[\\s,]+([0-9.]+)").r
+                  .findFirstMatchIn(tag)
+                  .map(m => (math.round(m.group(1).toDouble).toInt,
+                    math.round(m.group(2).toDouble).toInt))
+            }
+            row(wh.map(x => Int.box(x._1)).orNull,
+              wh.map(x => Int.box(x._2)).orNull, null, "svg", null)
           // PDFs NAME their version in the header; measurement (text,
           // pages) stays with the richer pdfDocumentsOf route
           case "application/pdf" =>

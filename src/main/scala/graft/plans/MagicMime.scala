@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * MP4/M4A (`ftyp` box), WebP (RIFF fourcc), Ogg (`OggS`), MP3 (ID3v2
   * header, SHAPE-validated: version byte < 0x20, flags low nibble 0,
   * sync-safe size bytes — a text page starting "ID3 ..." never
-  * matches), WOFF/WOFF2 — so the declared-vs-sniffed audit can NAME
+  * matches), WOFF/WOFF2, SVG (first-real-tag validated, round 19) — so the declared-vs-sniffed audit can NAME
   * what the bytes are instead of octet-stream. A printable-ASCII head
   * (first 64 bytes ∈ {TAB, LF, CR, 0x20..0x7E}) reads text/plain,
   * anything else application/octet-stream. gzip checks its 3rd byte
@@ -88,6 +88,33 @@ object MagicMime {
       }
     if (asciiLower(w, "<!doctype") || asciiLower(w, "<html"))
       return "text/html"
+    // SVG (round 19): the FIRST real tag must be <svg — XML decls,
+    // doctypes, and comments skip first, so a page merely CONTAINING an
+    // inline <svg> fragment (no html/doctype head = not html above)
+    // never matches; "<svg" must close with whitespace/'>'/'/' so
+    // "<svgfoo>" stays text
+    if (w < b.length && b(w) == '<') {
+      var i = w
+      var scanning = true
+      while (scanning && i < b.length && b(i) == '<') {
+        if (asciiLower(i, "<?") || asciiLower(i, "<!")) {
+          // prolog: skip to the closing '>' (comments end "-->" but a
+          // '>' inside a comment body is illegal in practice; the scan
+          // is a sniff, not a parser)
+          while (i < b.length && b(i) != '>') i += 1
+          i += 1
+          while (i < b.length &&
+            (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r'))
+            i += 1
+        } else {
+          if (asciiLower(i, "<svg") && i + 4 < b.length &&
+            (b(i + 4) == ' ' || b(i + 4) == '>' || b(i + 4) == '/' ||
+              b(i + 4) == '\t' || b(i + 4) == '\n' || b(i + 4) == '\r'))
+            return "image/svg+xml"
+          scanning = false
+        }
+      }
+    }
     if (ascii(b, 0, "BM")) return "image/bmp"
     var i = 0
     val n = math.min(64, b.length)

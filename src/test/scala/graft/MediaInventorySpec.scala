@@ -406,6 +406,35 @@ class MediaInventorySpec extends SparkSpec {
       ap.getAs[String]("media_format") == "png-anim", ap.toString)
   }
 
+  test("SVG names and measures from the root tag; dimensionless stays NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_svg")
+    def svg(body: String): Array[Byte] = body.getBytes("UTF-8")
+    val recs =
+      warcRecord("http://s.example/sized.svg", http("image/svg+xml",
+        svg("<?xml version=\"1.0\"?><svg width=\"48px\" height=\"32\" " +
+          "xmlns=\"http://www.w3.org/2000/svg\"><rect/></svg>"))) ++
+      warcRecord("http://s.example/viewbox.svg", http("text/plain", // lying
+        svg("<svg viewBox=\"0 0 120.5 64\"><circle/></svg>"))) ++
+      warcRecord("http://s.example/fluid.svg", http("image/svg+xml",
+        svg("<svg xmlns=\"http://www.w3.org/2000/svg\"><path/></svg>")))
+    java.nio.file.Files.write(dir.resolve("seg.warc"), recs)
+    val got = MediaOps.mediaInventoryOf(
+      graft.sources.WarcSource.read(spark, dir.toString))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sized = got("http://s.example/sized.svg")
+    assert(sized.getAs[String]("sniffed_mime") == "image/svg+xml")
+    assert(sized.getAs[Int]("width") == 48 && sized.getAs[Int]("height") == 32)
+    assert(sized.getAs[String]("media_format") == "svg")
+    val vb = got("http://s.example/viewbox.svg")
+    assert(vb.getAs[Int]("width") == 121 && vb.getAs[Int]("height") == 64,
+      vb.toString) // viewBox extent, rounded
+    assert(vb.getAs[Boolean]("mismatch"), "text/plain declaration lies")
+    val fluid = got("http://s.example/fluid.svg")
+    assert(fluid.isNullAt(fluid.fieldIndex("width")) &&
+      fluid.getAs[String]("media_format") == "svg" &&
+      fluid.isNullAt(fluid.fieldIndex("media_reason")), fluid.toString)
+  }
+
   test("q_media_inventory face reproduces the oracle arithmetic per class") {
     import spark.implicits._
     val docs = (0L until 12L).toDF("doc_id")
