@@ -72,7 +72,15 @@ object MagicMime {
     if (b.length >= 3 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b &&
       b(2) == 8)
       return "application/gzip"
-    if (ascii(b, 0, "PK")) return "application/zip"
+    // EPUB self-identifies inside the zip (the OCF rule): the FIRST
+    // entry must be an UNCOMPRESSED file named "mimetype" whose content
+    // is the epub mime - name and content land at fixed offsets (30-
+    // byte local header + the 8-char name), so the dispatch is
+    // deterministic (round 19)
+    if (ascii(b, 0, "PK\u0003\u0004"))
+      return if (ascii(b, 30, "mimetype") &&
+        ascii(b, 38, "application/epub+zip")) "application/epub+zip"
+      else "application/zip"
     if (ascii(b, 0, "qoif")) return "image/qoi"
     // HTML: optional ASCII whitespace, then <!doctype or <html (any case)
     var w = 0

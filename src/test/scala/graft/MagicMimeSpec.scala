@@ -77,6 +77,13 @@ class MagicMimeSpec extends SparkSpec {
     assert(MagicMime.sniff(b("<div><svg width=\"2\"/></div>")) ==
       "text/plain", "fragment: first tag is div")
     assert(MagicMime.sniff(b("<svgfoo>not an svg</svgfoo>")) == "text/plain")
+    // EPUB dispatch off the zip magic (round 19): the OCF mimetype
+    // entry at its fixed offset; any other zip stays application/zip
+    val zipHdr = "PK\u0003\u0004" + "\u0000" * 22 +
+      "\u0008\u0000" + "\u0000\u0000" // name len 8, extra len 0 -> name at 30
+    assert(MagicMime.sniff(b(zipHdr + "mimetypeapplication/epub+zip")) ==
+      "application/epub+zip")
+    assert(MagicMime.sniff(b(zipHdr + "word/doc.xmlPK")) == "application/zip")
     // gzip now requires the deflate CM byte: 1F 8B 08 yes, 1F 8B 99 no
     assert(MagicMime.sniff(Array[Byte](0x1f, 0x8b.toByte, 8, 0)) ==
       "application/gzip")
