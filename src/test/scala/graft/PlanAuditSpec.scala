@@ -396,7 +396,11 @@ class PlanAuditSpec extends SparkSpec {
     Seq(plan(Mp4Ops.mp4Meta(Tables.documents(spark, sfDir))),
       plan(Mp3Ops.mp3Meta(Tables.documents(spark, sfDir))),
       plan(WebpOps.webpMeta(Tables.documents(spark, sfDir))),
-      plan(OggOps.oggMeta(Tables.documents(spark, sfDir)))).foreach { p =>
+      plan(OggOps.oggMeta(Tables.documents(spark, sfDir))),
+      // the round-19 unified inventory key keeps the same shape: one
+      // mapPartitions synth+sniff+walk, only the presentational sort
+      plan(MediaOps.mediaInventory(Tables.documents(spark, sfDir)))
+    ).foreach { p =>
       assert(hashExchangeCount(p) == 0, s"${hashExchangeCount(p)} hash exchanges:\n$p")
       assert(!p.contains("Join"), p)
     }
