@@ -88,6 +88,29 @@ private[graft] object ImageHeaders {
     } else Left("bad_image_header")
   }
 
+  /** ICO directory probe (round 19): (width, height, icon count) with
+    * geometry from the LARGEST entry (the one a dataset builder keeps;
+    * a 0 size byte means 256 per the format). Directory-only — pixel
+    * data (BMP or embedded PNG) never read. */
+  def ico(b: Array[Byte]): Either[String, (Int, Int, Int)] = {
+    if (b.length < 22 || b(0) != 0 || b(1) != 0 || b(2) != 1 || b(3) != 0)
+      return Left("bad_ico_header")
+    val count = u16le(b, 4)
+    if (count < 1 || count > 64) return Left("bad_ico_header")
+    var best = -1
+    var bw = 0
+    var bh = 0
+    var i = 0
+    while (i < count && 6 + 16 * i + 16 <= b.length) {
+      val e = 6 + 16 * i
+      val w = if ((b(e) & 0xff) == 0) 256 else b(e) & 0xff
+      val h = if ((b(e + 1) & 0xff) == 0) 256 else b(e + 1) & 0xff
+      if (w * h > best) { best = w * h; bw = w; bh = h }
+      i += 1
+    }
+    if (best < 0) Left("bad_ico_header") else Right((bw, bh, count))
+  }
+
   /** APNG animation accounting (round 19): frame count from the `acTL`
     * chunk and total duration from the `fcTL` frame-control delays
     * (delay_num / delay_den seconds; den 0 reads as 100 per spec) — a

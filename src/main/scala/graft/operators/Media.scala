@@ -120,6 +120,12 @@ object MediaOps {
             case Right((w, h)) => row(w, h, null, "qoi", null)
             case Left(reason) => row(null, null, null, null, reason)
           }
+          // ICO (round 19): largest-entry geometry off the directory,
+          // icon count in the format name — favicons are on every root
+          case "image/x-icon" => ImageHeaders.ico(body) match {
+            case Right((w, h, n)) => row(w, h, null, s"ico-$n", null)
+            case Left(reason) => row(null, null, null, null, reason)
+          }
           // SVG (round 19): geometry off the root tag's width/height
           // attributes (px), falling back to the viewBox extent — a
           // dimensionless SVG (scales to its container) keeps NULL

@@ -67,6 +67,22 @@ object MagicMime {
       (b(4) & 0xff) < 0x20 && (b(5) & 0x0f) == 0 && (b(6) & 0x80) == 0 &&
       (b(7) & 0x80) == 0 && (b(8) & 0x80) == 0 && (b(9) & 0x80) == 0)
       return "audio/mpeg"
+    // ICO (round 19): the 00 00 01 00 magic is weak alone, so the
+    // whole directory shape validates — entry count 1..64, and the
+    // first entry's reserved byte 0, planes ≤ 1, a defined bpp, and a
+    // data offset past the directory. Favicons are on every site root;
+    // random binary passing ALL of that is essentially impossible.
+    if (b.length >= 22 && b(0) == 0 && b(1) == 0 && b(2) == 1 && b(3) == 0 && {
+      val count = (b(4) & 0xff) | ((b(5) & 0xff) << 8)
+      val planes = (b(10) & 0xff) | ((b(11) & 0xff) << 8)
+      val bpp = (b(12) & 0xff) | ((b(13) & 0xff) << 8)
+      val off = (b(18) & 0xffL) | ((b(19) & 0xffL) << 8) |
+        ((b(20) & 0xffL) << 16) | ((b(21) & 0xffL) << 24)
+      count >= 1 && count <= 64 && b(9) == 0 && planes <= 1 &&
+        (bpp == 0 || bpp == 1 || bpp == 2 || bpp == 4 || bpp == 8 ||
+          bpp == 16 || bpp == 24 || bpp == 32) &&
+        off >= 6L + 16L * count
+    }) return "image/x-icon"
     // gzip: 1F 8B + CM byte 08 (deflate, RFC 1952's only defined
     // method) — 3 bytes, as unambiguous as the 4-byte magics
     if (b.length >= 3 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b &&

@@ -435,6 +435,43 @@ class MediaInventorySpec extends SparkSpec {
       fluid.isNullAt(fluid.fieldIndex("media_reason")), fluid.toString)
   }
 
+  test("ICO favicons name and measure from the directory alone") {
+    import graft.operators.ImageHeaders
+    def le16(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def entry(w: Int, h: Int, bpp: Int, off: Long): Seq[Byte] =
+      Seq(w.toByte, h.toByte, 0.toByte, 0.toByte) ++ le16(1) ++ le16(bpp) ++
+        le32(64L) ++ le32(off)
+    // two entries: 16x16@32bpp and 48x48@8bpp — geometry = the largest
+    val ico = (Seq[Byte](0, 0, 1, 0) ++ le16(2) ++
+      entry(16, 16, 32, 38L) ++ entry(48, 48, 8, 102L) ++
+      Seq.fill(128)(0x11.toByte)).toArray
+    assert(graft.plans.MagicMime.sniff(ico) == "image/x-icon")
+    assert(ImageHeaders.ico(ico) == Right((48, 48, 2)), ImageHeaders.ico(ico))
+    // the 0-size byte means 256
+    val big = (Seq[Byte](0, 0, 1, 0) ++ le16(1) ++ entry(0, 0, 32, 22L) ++
+      Seq.fill(32)(0x22.toByte)).toArray
+    assert(ImageHeaders.ico(big) == Right((256, 256, 1)))
+    // shape negatives: count 0 / bad bpp / offset inside the directory
+    assert(graft.plans.MagicMime.sniff((Seq[Byte](0, 0, 1, 0) ++ le16(0) ++
+      entry(16, 16, 32, 38L)).toArray) != "image/x-icon")
+    assert(graft.plans.MagicMime.sniff((Seq[Byte](0, 0, 1, 0) ++ le16(1) ++
+      entry(16, 16, 13, 22L)).toArray) != "image/x-icon")
+    assert(graft.plans.MagicMime.sniff((Seq[Byte](0, 0, 1, 0) ++ le16(1) ++
+      entry(16, 16, 32, 4L)).toArray) != "image/x-icon")
+    // and the inventory routes it (behind the typical lying text header)
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_ico")
+    java.nio.file.Files.write(dir.resolve("seg.warc"),
+      warcRecord("http://f.example/favicon.ico", http("text/plain", ico)))
+    val r = MediaOps.mediaInventoryOf(
+      graft.sources.WarcSource.read(spark, dir.toString)).collect().head
+    assert(r.getAs[String]("sniffed_mime") == "image/x-icon")
+    assert(r.getAs[Int]("width") == 48 && r.getAs[Int]("height") == 48)
+    assert(r.getAs[String]("media_format") == "ico-2", r.toString)
+    assert(r.getAs[Boolean]("mismatch") && r.getAs[Boolean]("mojibake_risk"))
+  }
+
   test("q_media_inventory face reproduces the oracle arithmetic per class") {
     import spark.implicits._
     val docs = (0L until 12L).toDF("doc_id")
