@@ -101,8 +101,25 @@ object Bench {
     // driver's full run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_SHARD=i/n — deterministic round-robin slice of the
+    // sorted key list (run shards 0/n .. n-1/n, merge the JSON lines)
+    // so a COMPLETE closing sweep after late changes fits a bounded
+    // tool window (round 20; the r19 close outran the 600 s cap and
+    // shipped a stale artifact). Composes with SPARK_GRAFT_ONLY; the
+    // calib triple still rides every shard, so shards remain
+    // cross-comparable.
+    val shard = sys.env.get("SPARK_GRAFT_SHARD").flatMap { s =>
+      s.split("/") match {
+        case Array(i, n) =>
+          scala.util.Try((i.trim.toInt, n.trim.toInt)).toOption
+            .filter { case (si, sn) => sn > 0 && si >= 0 && si < sn }
+        case _ => None
+      }
+    }
     val names = allQueries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+      .zipWithIndex
+      .collect { case (q, j) if shard.forall { case (i, n) => j % n == i } => q }
     names.foreach(run(_, "/root/testdata/sf0.001")) // warmup
     calib() // warm the calib plan's codegen like everything else
     // best-of-2: JIT noise on the first timed pass is real but not the

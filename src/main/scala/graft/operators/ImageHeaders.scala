@@ -111,6 +111,52 @@ private[graft] object ImageHeaders {
     if (best < 0) Left("bad_ico_header") else Right((bw, bh, count))
   }
 
+  /** TIFF geometry (round 20): an IFD walk for ImageWidth (tag 256) and
+    * ImageLength (tag 257) in EITHER byte order — `II*\0` little-endian
+    * or `MM\0*` big-endian, the one legacy image format the web still
+    * serves that the header estate couldn't name. Only the FIRST IFD is
+    * read (the primary image; thumbnails live in later IFDs), entry
+    * values decode per the declared SHORT/LONG type with the ≤4-byte
+    * inline-value rule (left-justified in the file's byte order), and
+    * the entry count is capped so a hostile header can't turn the probe
+    * into a scan. Pixel strips are never touched — O(header) bytes. */
+  def tiff(b: Array[Byte]): Either[String, (Int, Int, String)] = {
+    if (b.length < 8) return Left("bad_tiff_header")
+    val le =
+      if (b(0) == 'I' && b(1) == 'I' && b(2) == 0x2a && b(3) == 0) true
+      else if (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2a) false
+      else return Left("bad_tiff_header")
+    def u16(off: Int): Int = if (le) u16le(b, off) else u16be(b, off)
+    def u32(off: Int): Long =
+      if (le) s32le(b, off) & 0xffffffffL else u32be(b, off)
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return Left("bad_tiff_header")
+    val n = math.min(u16(ifd.toInt), 512) // cap: a real IFD has dozens
+    var w = -1L
+    var h = -1L
+    var i = 0
+    while (i < n && ifd + 2 + 12L * i + 12 <= b.length) {
+      val e = (ifd + 2 + 12 * i).toInt
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val count = u32(e + 4)
+      if ((tag == 256 || tag == 257) && count == 1) {
+        // SHORT (3) and LONG (4) values fit the 4-byte value field,
+        // stored left-justified in the file's byte order
+        val v = typ match {
+          case 3 => u16(e + 8).toLong
+          case 4 => u32(e + 8)
+          case _ => -1L
+        }
+        if (tag == 256) w = v else h = v
+      }
+      i += 1
+    }
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue)
+      Left("bad_tiff_header")
+    else Right((w.toInt, h.toInt, if (le) "tiff-le" else "tiff-be"))
+  }
+
   /** APNG animation accounting (round 19): frame count from the `acTL`
     * chunk and total duration from the `fcTL` frame-control delays
     * (delay_num / delay_den seconds; den 0 reads as 100 per spec) — a

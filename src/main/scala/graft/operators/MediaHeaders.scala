@@ -124,6 +124,33 @@ private[graft] object MediaHeaders {
       if (handler.nonEmpty) handler else "avi"))
   }
 
+  /** FLAC (round 20): (duration_ms, channels, sample_rate) from the
+    * STREAMINFO metadata block — the spec REQUIRES it first after the
+    * `fLaC` marker (type 0, length 34), so every field sits at a fixed
+    * offset and the probe reads EXACT duration in O(header) bytes:
+    * sample rate (20 bits), channels−1 (3 bits) and total samples
+    * (36 bits) are bit-packed at block offsets 10..17. A total-samples
+    * field of 0 means "unknown" by declaration (a live-captured
+    * stream) — duration reads −1, the caller's null, with no
+    * quarantine (the header is honest, not torn). */
+  def flac(b: Array[Byte]): Either[String, (Long, Int, Long)] = {
+    if (b.length < 42 || !ascii(b, 0, "fLaC")) return Left("bad_flac_header")
+    // block header: bit 7 = last-metadata-block, bits 0-6 = type (0 =
+    // STREAMINFO); 3-byte big-endian length must be the fixed 34
+    val blockType = b(4) & 0x7f
+    val blockLen = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+    if (blockType != 0 || blockLen != 34) return Left("bad_flac_header")
+    val rate = ((b(18) & 0xffL) << 12) | ((b(19) & 0xffL) << 4) |
+      ((b(20) & 0xf0L) >> 4)
+    val channels = ((b(20) >> 1) & 0x7) + 1
+    val totalSamples = ((b(21) & 0x0fL) << 32) | ((b(22) & 0xffL) << 24) |
+      ((b(23) & 0xffL) << 16) | ((b(24) & 0xffL) << 8) | (b(25) & 0xffL)
+    if (rate <= 0) return Left("bad_flac_header") // 0 is invalid per spec
+    val durationMs =
+      if (totalSamples == 0) -1L else totalSamples * 1000L / rate
+    Right((durationMs, channels, rate))
+  }
+
   /** QOI: geometry from the fixed 14-byte header. */
   def qoi(b: Array[Byte]): Either[String, (Int, Int)] = {
     if (b.length < 14 || !ascii(b, 0, "qoif")) return Left("bad_qoi_header")

@@ -176,12 +176,21 @@ object Mp4Ops {
                 val stride = 4 + (if ((flags & 0x200) != 0) 4 else 0) +
                   (if ((flags & 0x400) != 0) 4 else 0) +
                   (if ((flags & 0x800) != 0) 4 else 0)
-                var i = 0L
-                var ok = true
-                while (ok && i < n) {
-                  val d = u32(p + i * stride)
-                  if (d < 0) { fragTicks = -1L; ok = false } // torn
-                  else { fragTicks += d; i += 1 }
+                // the sample table must fit inside THIS trun box — a
+                // hostile/torn sample_count that overruns dataEnd would
+                // otherwise read the neighboring boxes' bytes as
+                // durations and report a confidently wrong total; the
+                // named quarantine is the honest answer (matches the
+                // out-of-file torn handling below)
+                if (p + n * stride > dataEnd) fragTicks = -1L
+                else {
+                  var i = 0L
+                  var ok = true
+                  while (ok && i < n) {
+                    val d = u32(p + i * stride)
+                    if (d < 0) { fragTicks = -1L; ok = false } // torn
+                    else { fragTicks += d; i += 1 }
+                  }
                 }
               } else if (trafDefDur > 0 && n >= 0) {
                 fragTicks += n * trafDefDur

@@ -97,6 +97,20 @@ object MagicMime {
       return if (ascii(b, 30, "mimetype") &&
         ascii(b, 38, "application/epub+zip")) "application/epub+zip"
       else "application/zip"
+    // empty archives open with the end-of-central-directory record
+    // (PK\x05\x06) and spanned archives with the data-descriptor split
+    // magic (PK\x07\x08) -- both are still zip, not text (round 20: the
+    // EPUB narrowing to PK\x03\x04 must not shrink zip coverage)
+    if (ascii(b, 0, "PK\u0005\u0006") || ascii(b, 0, "PK\u0007\u0008"))
+      return "application/zip"
+    // FLAC (round 20): the fLaC stream marker -- STREAMINFO follows at a
+    // fixed offset, so the probe reads exact duration in O(header)
+    if (ascii(b, 0, "fLaC")) return "audio/flac"
+    // TIFF (round 20): II*\0 (little-endian) / MM\0* (big-endian) -- the
+    // embedded NUL keeps any text page out of the 4-byte magic
+    if (b.length >= 4 && ((b(0) == 'I' && b(1) == 'I' && b(2) == 0x2a &&
+      b(3) == 0) || (b(0) == 'M' && b(1) == 'M' && b(2) == 0 &&
+      b(3) == 0x2a))) return "image/tiff"
     if (ascii(b, 0, "qoif")) return "image/qoi"
     // HTML: optional ASCII whitespace, then <!doctype or <html (any case)
     var w = 0

@@ -88,8 +88,13 @@ object WarcSink {
             val md = java.security.MessageDigest.getInstance("MD5")
             it.foreach { r =>
               // CR/LF inside a header VALUE would let one hostile url
-              // forge record framing — strip before the line is built
-              val url = r.getString(0).replaceAll("[\\r\\n]", "")
+              // forge record framing, and a TAB would corrupt the
+              // tab-separated CDX sidecar line (readCdxSidecars' field
+              // count would silently drop the record) — strip all three
+              // before either artifact is built, so the sidecar url and
+              // the WARC header url stay equal (RFC 3986 forbids raw
+              // whitespace in a URI anyway)
+              val url = r.getString(0).replaceAll("[\\r\\n\\t]", "")
               val text = Option(r.getString(1)).getOrElse("")
               val when = r.getString(2).replaceAll("[\\r\\n]", "")
               val payload = text.getBytes("UTF-8")
@@ -120,8 +125,10 @@ object WarcSink {
                 .getBytes("UTF-8"))
             }
           } finally {
-            out.close()
-            cdxOut.close()
+            // each stream closes in its own finally: an out.close()
+            // throw (e.g. an HDFS flush failure) must not leak the
+            // sidecar handle for the task attempt
+            try out.close() finally cdxOut.close()
           }
           // rename never overwrites on Hadoop filesystems — drop a
           // previous run's segment first (re-runs are byte-identical

@@ -560,9 +560,13 @@ object WarcSource {
     val hp = new org.apache.hadoop.fs.Path(file)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fsin = fs.open(hp)
+    // close the SNIFFED stream, not just the file handle — a
+    // MemberGzipStream holds a native zlib Inflater that must end()
+    // promptly, not wait for the GC Cleaner (it cascades to fsin)
+    var in: java.io.InputStream = fsin
     try {
       if (memberOffset > 0) fsin.seek(memberOffset)
-      val in = sniffGzip(fsin)
+      in = sniffGzip(fsin)
       var toSkip = memberSkip
       while (toSkip > 0) {
         val n = in.skip(toSkip)
@@ -576,7 +580,7 @@ object WarcSource {
         Some(r.copy(member_offset = memberOffset + r.member_offset))
       } else None
     } finally {
-      try fsin.close() catch { case _: IOException => () }
+      try in.close() catch { case _: IOException => () }
     }
   }
 
@@ -628,22 +632,30 @@ object WarcSource {
             val s = sniffGzip(new java.io.FilterInputStream(in) {
               override def close(): Unit = () // handle reused across rows
             })
-            var toSkip = skip
-            var eof = false
-            while (toSkip > 0 && !eof) {
-              val n = s.skip(toSkip)
-              if (n > 0) toSkip -= n
-              else if (s.read() >= 0) toSkip -= 1
-              else { toSkip = 0; eof = true }
+            // end() each row's Inflater as soon as its record is parsed
+            // — 10M index rows must not leave 10M native zlib handles
+            // to the GC Cleaner (the FilterInputStream's no-op close
+            // keeps the shared file handle alive)
+            try {
+              var toSkip = skip
+              var eof = false
+              while (toSkip > 0 && !eof) {
+                val n = s.skip(toSkip)
+                if (n > 0) toSkip -= n
+                else if (s.read() >= 0) toSkip -= 1
+                else { toSkip = 0; eof = true }
+              }
+              val walk = parseStream(file, s, maxRecord)
+              if (!eof && walk.hasNext) {
+                // member coordinates rebase to absolute file coordinates
+                // (readAtMember's contract); offset/length stay
+                // walk-relative
+                val r = walk.next()
+                Some(r.copy(member_offset = memberOffset + r.member_offset))
+              } else None
+            } finally {
+              try s.close() catch { case _: IOException => () }
             }
-            val walk = parseStream(file, s, maxRecord)
-            if (!eof && walk.hasNext) {
-              // member coordinates rebase to absolute file coordinates
-              // (readAtMember's contract); offset/length stay
-              // walk-relative
-              val r = walk.next()
-              Some(r.copy(member_offset = memberOffset + r.member_offset))
-            } else None
           } catch {
             case _: IOException => close(); None // torn row: drop, keep going
           }

@@ -94,6 +94,28 @@ class MagicMimeSpec extends SparkSpec {
       MagicMime.sniff(b("RIFF....ACONanih")) == "application/octet-stream")
   }
 
+  test("sniff round 20: zip edge magics, FLAC, TIFF") {
+    def b(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    // the EPUB narrowing to PK\x03\x04 must not drop the other zip
+    // opening records: an EMPTY archive is just the end-of-central-
+    // directory record, a spanned archive opens with PK\x07\x08
+    assert(MagicMime.sniff(Array[Byte]('P', 'K', 5, 6) ++ new Array[Byte](18)) ==
+      "application/zip")
+    assert(MagicMime.sniff(Array[Byte]('P', 'K', 7, 8) ++ b("split")) ==
+      "application/zip")
+    // a text page that merely starts "PK" stays text
+    assert(MagicMime.sniff(b("PK is a common abbreviation")) == "text/plain")
+    assert(MagicMime.sniff(b("fLaC") ++ new Array[Byte](38)) == "audio/flac")
+    assert(MagicMime.sniff(Array[Byte]('I', 'I', 0x2a, 0) ++ b("....")) ==
+      "image/tiff")
+    assert(MagicMime.sniff(Array[Byte]('M', 'M', 0, 0x2a) ++ b("....")) ==
+      "image/tiff")
+    // the NUL in the magic keeps text out: "II* " is not a TIFF
+    assert(MagicMime.sniff(b("II* and MM* are TIFF magics")) == "text/plain")
+    assert(MagicMime.sniff(b("fLaCxophone")) == "audio/flac") // magic wins: 4 bytes exact
+  }
+
   test("warcToDocuments sniff gate: binary-behind-text quarantines, exotic charsets do not") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_sniffgate")
     def rec(uri: String, payload: Array[Byte]): Array[Byte] = {

@@ -472,32 +472,148 @@ class MediaInventorySpec extends SparkSpec {
     assert(r.getAs[Boolean]("mismatch") && r.getAs[Boolean]("mojibake_risk"))
   }
 
+  test("FLAC STREAMINFO probe: exact duration, unknown-length, hostile shapes") {
+    import graft.operators.MediaHeaders
+    // the synth is the fixture: 8 kHz mono 16-bit, 80×k samples = 10×k ms
+    val f = MediaOps.flacSynth(7L) // k = 8 → 640 samples → 80 ms
+    assert(graft.plans.MagicMime.sniff(f) == "audio/flac")
+    assert(MediaHeaders.flac(f) == Right((80L, 1, 8000L)), MediaHeaders.flac(f))
+    // a 44.1 kHz stereo stream with a non-divisible sample count floors
+    // (the standard ms convention): 44100 samples + 441 → 1010 ms
+    val ts = 44541L
+    val custom = "fLaC".getBytes("ISO-8859-1") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++
+      Array[Byte](0x10, 0, 0x10, 0) ++ new Array[Byte](6) ++
+      // 44100 = 0x0AC44 (20 bits): b18 = 0x0A, b19 = 0xC4, b20 high = 0x4
+      Array[Byte](0x0a, 0xc4.toByte, (0x40 | (1 << 1)).toByte, // ch-1 = 1
+        (0xf0 | ((ts >> 32) & 0xf).toInt).toByte) ++
+      Array((ts >> 24).toByte, (ts >> 16).toByte, (ts >> 8).toByte, ts.toByte) ++
+      new Array[Byte](16)
+    assert(MediaHeaders.flac(custom) == Right((1010L, 2, 44100L)))
+    // total_samples 0 = unknown BY DECLARATION: duration −1, no quarantine
+    val unknown = MediaOps.flacSynth(0L).clone()
+    for (i <- 22 to 25) unknown(i) = 0 // ts field zeroed (k=1 → ts=80 < 2^32)
+    unknown(21) = 0xf0.toByte
+    assert(MediaHeaders.flac(unknown).map(_._1) == Right(-1L))
+    // hostile: wrong first-block type (a VORBIS_COMMENT leading = not a
+    // spec-conformant stream), truncation, zero sample rate
+    assert(MediaHeaders.flac("fLaC".getBytes("ISO-8859-1") ++
+      Array[Byte](0x84.toByte, 0, 0, 34) ++ new Array[Byte](34)).isLeft)
+    assert(MediaHeaders.flac(f.take(20)).isLeft)
+    val zeroRate = f.clone(); zeroRate(18) = 0; zeroRate(19) = 0; zeroRate(20) = 0
+    assert(MediaHeaders.flac(zeroRate).isLeft)
+    // and the inventory routes it
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_flac")
+    java.nio.file.Files.write(dir.resolve("seg.warc"),
+      warcRecord("http://f.example/a.flac", http("audio/flac", f)))
+    val r = MediaOps.mediaInventoryOf(
+      graft.sources.WarcSource.read(spark, dir.toString)).collect().head
+    assert(r.getAs[String]("media_format") == "flac")
+    assert(r.getAs[Long]("duration_ms") == 80L)
+  }
+
+  test("TIFF IFD probe: geometry in both byte orders, LONG values, hostile shapes") {
+    import graft.operators.ImageHeaders
+    val le = MediaOps.tiffSynth(4L) // even → II, w 32, h 32
+    val be = MediaOps.tiffSynth(5L) // odd → MM, w 36, h 36
+    assert(graft.plans.MagicMime.sniff(le) == "image/tiff")
+    assert(ImageHeaders.tiff(le) == Right((32, 32, "tiff-le")), ImageHeaders.tiff(le))
+    assert(ImageHeaders.tiff(be) == Right((36, 36, "tiff-be")), ImageHeaders.tiff(be))
+    // LONG-typed (type 4) geometry entries decode too — scanners emit them
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val long = Array[Byte]('M', 'M', 0, 0x2a) ++ be32(8L) ++ be16(2) ++
+      (be16(256) ++ be16(4) ++ be32(1L) ++ be32(70000L)) ++
+      (be16(257) ++ be16(4) ++ be32(1L) ++ be32(50000L)) ++ be32(0L)
+    assert(ImageHeaders.tiff(long) == Right((70000, 50000, "tiff-be")))
+    // hostile: IFD offset past EOF, missing geometry tags, truncation
+    assert(ImageHeaders.tiff(Array[Byte]('I', 'I', 0x2a, 0) ++
+      Array[Byte](0x40, 0, 0, 0)).isLeft)
+    val noGeom = Array[Byte]('I', 'I', 0x2a, 0, 8, 0, 0, 0, 1, 0) ++
+      Array[Byte](1, 1, 3, 0, 1, 0, 0, 0, 8, 0, 0, 0) ++ new Array[Byte](4)
+    assert(ImageHeaders.tiff(noGeom).isLeft)
+    assert(ImageHeaders.tiff(le.take(9)).isLeft)
+    // and the inventory routes it
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_tiff")
+    java.nio.file.Files.write(dir.resolve("seg.warc"),
+      warcRecord("http://f.example/scan.tif", http("image/tiff", be)))
+    val r = MediaOps.mediaInventoryOf(
+      graft.sources.WarcSource.read(spark, dir.toString)).collect().head
+    assert(r.getAs[Int]("width") == 36 && r.getAs[Int]("height") == 36)
+    assert(r.getAs[String]("media_format") == "tiff-be", r.toString)
+  }
+
   test("q_media_inventory face reproduces the oracle arithmetic per class") {
     import spark.implicits._
-    val docs = (0L until 12L).toDF("doc_id")
+    // two full doc_id % 17 cycles, so every class appears with two
+    // different variant residues (the prime class key's whole point)
+    val docs = (0L until 34L).toDF("doc_id")
     val got = MediaOps.mediaInventory(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
-    assert(got.size == 12)
-    // class 0 (doc 0, 6): mp4 isom, honest declaration
-    assert(got(6L).getAs[String]("sniffed_mime") == "video/mp4")
-    assert(got(6L).getAs[String]("media_format") == "isom")
-    assert(got(6L).getAs[Long]("duration_ms") == 40L * (6 % 977 + 25))
+    assert(got.size == 34)
+    // class 0 (doc 0: isom video; doc 17: %3=2 → M4A audio-only, 64-bit
+    // mvhd v1, no geometry, sniffs audio/mp4)
+    assert(got(0L).getAs[String]("media_format") == "isom")
+    assert(got(0L).getAs[Long]("width") == 16)
+    assert(got(17L).getAs[String]("sniffed_mime") == "audio/mp4")
+    assert(got(17L).getAs[String]("media_format") == "M4A ")
+    assert(got(17L).isNullAt(got(17L).fieldIndex("width")))
+    assert(got(17L).getAs[Long]("duration_ms") == 40L * (17 % 977 + 25))
+    assert(!got(17L).getAs[Boolean]("mismatch"))
+    // class 2: the LIE — webp behind text/html; variant by doc_id % 3
+    assert(got(2L).getAs[String]("declared_mime") == "text/html")
+    assert(got(2L).getAs[String]("sniffed_mime") == "image/webp")
+    assert(got(2L).getAs[Boolean]("mismatch") &&
+      got(2L).getAs[Boolean]("mojibake_risk"))
+    assert(got(2L).getAs[String]("media_format") == "extended") // 2 % 3 = 2
+    assert(got(19L).getAs[String]("media_format") == "lossless") // 19 % 3 = 1
+    // class 4: wav probe duration
+    assert(got(4L).getAs[Long]("duration_ms") == 10L * (4 % 29 + 1))
+    assert(got(4L).getAs[String]("media_format") == "pcm16")
+    // class 5: avi probe geometry + one-frame duration
+    assert(got(5L).getAs[Long]("width") == 16 + (5 % 8) * 2)
+    assert(got(5L).getAs[Long]("height") == 10 + (5 % 9) * 2)
+    assert(got(5L).getAs[Long]("duration_ms") == 40L)
+    assert(got(5L).getAs[String]("media_format") == "MJPG")
+    // class 6: JPEG header probe, SOF0/SOF2 by parity
+    assert(got(6L).getAs[String]("media_format") == "jpeg-baseline")
     assert(got(6L).getAs[Long]("width") == 16 + (6 % 16) * 4)
-    assert(!got(6L).getAs[Boolean]("mismatch"))
-    // class 2 (doc 2, 8): the LIE — webp behind text/html
-    assert(got(8L).getAs[String]("declared_mime") == "text/html")
-    assert(got(8L).getAs[String]("sniffed_mime") == "image/webp")
-    assert(got(8L).getAs[Boolean]("mismatch") &&
-      got(8L).getAs[Boolean]("mojibake_risk"))
-    assert(got(8L).getAs[String]("media_format") == "extended")
-    // class 4 (doc 4, 10): wav probe duration
-    assert(got(10L).getAs[Long]("duration_ms") == 10L * (10 % 29 + 1))
-    assert(got(10L).getAs[String]("media_format") == "pcm16")
-    // class 5 (doc 5, 11): avi probe geometry + one-frame duration
-    assert(got(11L).getAs[Long]("width") == 16 + (11 % 8) * 2)
-    assert(got(11L).getAs[Long]("height") == 10 + (11 % 9) * 2)
-    assert(got(11L).getAs[Long]("duration_ms") == 40L)
-    assert(got(11L).getAs[String]("media_format") == "MJPG")
+    assert(got(23L).getAs[String]("media_format") == "jpeg-progressive")
+    // class 7: still PNG — geometry, no run time
+    assert(got(7L).getAs[String]("media_format") == "png")
+    assert(got(7L).isNullAt(got(7L).fieldIndex("duration_ms")))
+    // class 8: animated GIF — GCE delay sums
+    assert(got(8L).getAs[String]("media_format") == "gif89a-anim")
+    assert(got(8L).getAs[Long]("duration_ms") ==
+      (8 % 5 + 2) * 10L * (8 % 7 + 1))
+    // class 9: BMP info header
+    assert(got(9L).getAs[String]("media_format") == "bmp")
+    assert(got(9L).getAs[Long]("height") == 16 + (9 % 9) * 4)
+    // class 10: ICO largest-entry geometry + count naming
+    assert(got(10L).getAs[String]("media_format") == s"ico-${10 % 4 + 1}")
+    assert(got(10L).getAs[Long]("width") == 16 + 8 * (10 % 4))
+    // class 11: SVG — doc 11 is odd = the viewBox fallback axis
+    assert(got(11L).getAs[String]("media_format") == "svg")
+    assert(got(11L).getAs[Long]("width") == 16 + (11 % 16) * 4)
+    assert(got(28L).getAs[Long]("height") == 16 + (28 % 9) * 4) // attrs axis
+    // class 12: APNG — fcTL delay sums
+    assert(got(12L).getAs[String]("media_format") == "png-anim")
+    assert(got(12L).getAs[Long]("duration_ms") ==
+      (12 % 5 + 2) * 10L * (12 % 7 + 1))
+    // class 13: PDF version naming
+    assert(got(13L).getAs[String]("media_format") == s"pdf-1.${13 % 8}")
+    // class 14: FLAC STREAMINFO exact duration
+    assert(got(14L).getAs[String]("media_format") == "flac")
+    assert(got(14L).getAs[Long]("duration_ms") == 10L * (14 % 29 + 1))
+    // class 15: TIFF in both byte orders
+    assert(got(15L).getAs[String]("media_format") == "tiff-be")
+    assert(got(32L).getAs[String]("media_format") == "tiff-le")
+    assert(got(15L).getAs[Long]("width") == 16 + (15 % 16) * 4)
+    // class 16: the planted quarantine — ftyp with no moov
+    assert(got(16L).getAs[String]("sniffed_mime") == "video/mp4")
+    assert(got(16L).getAs[String]("media_reason") == "no_moov")
+    assert(got(16L).isNullAt(got(16L).fieldIndex("media_format")))
   }
 
   test("mediaInventoryOf: a sniffed-media payload that fails its walk carries the reason") {
