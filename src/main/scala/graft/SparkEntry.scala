@@ -196,6 +196,7 @@ object SparkEntry {
     "q_curate" -> ((s, dir) => CorpusOps.curate(Tables.documents(s, dir))),
     "q_curate_full" -> ((s, dir) => CorpusOps.curateFull(Tables.documents(s, dir))),
     "q_pdf_text" -> ((s, dir) => PdfOps.pdfText(Tables.documents(s, dir))),
+    "q_epub_text" -> ((s, dir) => EpubOps.epubText(Tables.documents(s, dir))),
     "q_contamination" -> ((s, dir) => CorpusOps.contamination(Tables.documents(s, dir))),
     "q_contamination_ngram" -> ((s, dir) => CorpusOps.contaminationNgram(Tables.documents(s, dir))),
     "q_contamination_bloom" -> ((s, dir) => CorpusOps.contaminationBloom(Tables.documents(s, dir))),
@@ -265,5 +266,6 @@ object SparkEntry {
       ClassifierOps.oracles ++ HtmlOps.oracles ++ UrlOps.oracles ++
       GraphOps.oracles ++ CrawlOps.oracles ++ AviOps.oracles ++
       PdfOps.oracles ++ Mp4Ops.oracles ++ Mp3Ops.oracles ++
-      WebpOps.oracles ++ OggOps.oracles ++ MediaOps.oracles
+      WebpOps.oracles ++ OggOps.oracles ++ MediaOps.oracles ++
+      EpubOps.oracles
 }

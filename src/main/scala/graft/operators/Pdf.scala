@@ -416,15 +416,16 @@ object PdfOps {
   }
 
   /** The WHOLE-corpus ingest: [[HtmlOps.warcToDocuments]]'s clean HTML
-    * route ∪ the PDF route, one schema — what a corpus builder actually
-    * materializes now that the media-type gate has a consumer. The
-    * HTML-side quarantine still counts the PDFs under `content-type`
-    * (its accounting contract is every-record-lands-somewhere);
-    * [[pdfDocumentsOf]]'s own quarantine refines the undecodable
-    * remainder. */
+    * route ∪ the PDF route ∪ the EPUB route (round 20), one schema —
+    * what a corpus builder actually materializes now that the
+    * media-type gate has consumers. The HTML-side quarantine still
+    * counts the PDFs/EPUBs under `content-type` (its accounting
+    * contract is every-record-lands-somewhere); each route's own
+    * quarantine refines the undecodable remainder. */
   def warcToCorpus(records: DataFrame): DataFrame =
     HtmlOps.warcToDocuments(records)._1
       .unionByName(pdfDocumentsOf(records)._1)
+      .unionByName(EpubOps.epubDocumentsOf(records)._1)
 
   // ---------- oracle instantiation (q_pdf_text) ----------
 
