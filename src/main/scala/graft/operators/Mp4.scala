@@ -279,28 +279,67 @@ object Mp4Ops {
     * exactly one of the two. Audio-only files carry NULL
     * width/height/video_codec; a file with no audio track carries NULL
     * audio_codec. */
+  private def metaRow(url: String, bytes: Array[Byte]): Row =
+    mp4Walk(bytes) match {
+      case Right(m) => Row(url, m.majorBrand,
+        if (m.durationMs >= 0) m.durationMs else null,
+        m.nTracks,
+        if (m.width >= 0) m.width else null,
+        if (m.height >= 0) m.height else null,
+        if (m.videoCodec.nonEmpty) m.videoCodec else null,
+        if (m.audioCodec.nonEmpty) m.audioCodec else null,
+        m.fragmented, null)
+      case Left(reason) =>
+        Row(url, null, null, null, null, null, null, null, null, reason)
+    }
+
   def mp4MetaOf(payloads: DataFrame): (DataFrame, DataFrame) = {
     val spark = payloads.sparkSession
     val walked = spark.createDataFrame(
       payloads.select(col("url").cast("string"), col("payload"))
         .rdd.mapPartitions { it =>
-          it.map { r =>
-            val url = r.getString(0)
-            mp4Walk(r.getAs[Array[Byte]](1)) match {
-              case Right(m) => Row(url, m.majorBrand,
-                if (m.durationMs >= 0) m.durationMs else null,
-                m.nTracks,
-                if (m.width >= 0) m.width else null,
-                if (m.height >= 0) m.height else null,
-                if (m.videoCodec.nonEmpty) m.videoCodec else null,
-                if (m.audioCodec.nonEmpty) m.audioCodec else null,
-                m.fragmented, null)
-              case Left(reason) =>
-                Row(url, null, null, null, null, null, null, null, null,
-                  reason)
-            }
-          }
+          it.map(r => metaRow(r.getString(0), r.getAs[Array[Byte]](1)))
         }, StructType(cleanSchema.fields :+ StructField("reason", StringType)))
+    (walked.filter(col("reason").isNull).drop("reason"),
+      walked.filter(col("reason").isNotNull).select(col("url"), col("reason")))
+  }
+
+  /** DASH init + media-segment pairing (round 20) — the common DASH
+    * layout splits a stream into ONE init segment (ftyp + moov, mvhd
+    * duration 0, the media timescale in its mdhd) and many media
+    * segments (styp + moof + mdat) whose timescale lives only in that
+    * init; a standalone media segment therefore keeps [[mp4Walk]]'s
+    * named `fragmented` quarantine. This face resolves the pair: the
+    * `segments` frame carries an explicit `init_url` column, `inits` is
+    * the (init_url, payload) frame, and each joined pair walks as the
+    * CONCATENATED stream init ++ segment — exactly the byte sequence a
+    * DASH player feeds its demuxer, so the EXISTING self-initializing
+    * walk (tfhd/trun sums against the init's mdhd timescale, mvhd-0
+    * non-authoritative) measures it with no second parser. A segment
+    * whose init_url matches no init keeps the named quarantine.
+    *
+    * Scale shape: one hash join keyed on init_url (init payloads are
+    * KB-scale moov headers — the small side; AQE broadcasts it when it
+    * fits), then the codec convention — both payloads die inside the
+    * task, zero further shuffles. */
+  def mp4MetaOfWithInit(segments: DataFrame,
+                        inits: DataFrame): (DataFrame, DataFrame) = {
+    val spark = segments.sparkSession
+    val joined = segments
+      .select(col("url").cast("string"), col("init_url").cast("string"),
+        col("payload"))
+      .join(inits.select(col("init_url").cast("string"),
+        col("payload").as("init_payload")), Seq("init_url"), "left")
+      .select(col("url"), col("payload"), col("init_payload"))
+    val walked = spark.createDataFrame(
+      joined.rdd.mapPartitions { it =>
+        it.map { r =>
+          val seg = r.getAs[Array[Byte]](1)
+          val bytes =
+            if (r.isNullAt(2)) seg else r.getAs[Array[Byte]](2) ++ seg
+          metaRow(r.getString(0), bytes)
+        }
+      }, StructType(cleanSchema.fields :+ StructField("reason", StringType)))
     (walked.filter(col("reason").isNull).drop("reason"),
       walked.filter(col("reason").isNotNull).select(col("url"), col("reason")))
   }

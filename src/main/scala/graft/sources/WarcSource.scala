@@ -498,20 +498,61 @@ object WarcSource {
     * the COMPRESSED coordinates — the true file offset of the gzip
     * member holding the record, exactly what the public Common Crawl
     * CDX records, so [[readAtMember]] re-fetches one record in
-    * O(record) on the real `.warc.gz` layout (a compressed member
-    * LENGTH, for HTTP range fetches, is the gap to the next member:
-    * `lead(member_offset) over (partition by file order by offset)`).
-    * Pure projection of the record frame — zero extra scans, zero
-    * shuffles; the payload column is dropped, so persisting the index
-    * costs metadata only. */
-  def cdxIndex(records: DataFrame): DataFrame =
-    records
+    * O(record) on the real `.warc.gz` layout. `member_length`
+    * (round 20) MATERIALIZES the compressed range an HTTP range fetcher
+    * consumes: the gap to the next indexed member, the tail bounded by
+    * the segment's stat'ed file size — indexed offsets + lengths tile
+    * the captured span exactly (spec-pinned, mirroring the WET sidecar
+    * contract; a non-capture member between two captures folds into its
+    * predecessor's range — a conservative superset that still
+    * one-record-parses). The projection itself stays payload-free;
+    * member_length adds one METADATA-only shuffle (distinct members +
+    * a per-file window + a broadcast of per-file sizes stat'ed in
+    * tasks, never a driver collect). */
+  def cdxIndex(records: DataFrame): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    val base = records
       .filter(col("target_uri") =!= "")
       .select(
         graft.operators.UrlOps.canonIdn(col("target_uri")).as("canon_url"),
         col("warc_date"), col("warc_type"), col("file"),
         col("offset"), col("length"),
         col("member_offset"), col("member_skip"), col("payload_digest"))
+    // member_length (round 20) — an HTTP range fetcher consumes
+    // (offset, length), so the gap to the NEXT member materializes as a
+    // column instead of living in scaladoc as a lead() recipe. The tail
+    // member's bound is the segment's FILE SIZE, stat'ed IN TASKS (one
+    // getFileStatus per distinct segment — metadata only, no driver
+    // collect). Offsets + lengths tile each file exactly (spec-pinned,
+    // mirroring the WET sidecar contract).
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration))
+    val sizes = records.select(col("file").cast("string")).distinct()
+      .as[String].mapPartitions { it =>
+        it.map { f =>
+          val hp = new org.apache.hadoop.fs.Path(f)
+          (f, hp.getFileSystem(confBc.value.value).getFileStatus(hp).getLen)
+        }
+      }.toDF("file", "file_size")
+    // one row per MEMBER (a multi-record member's rows share its
+    // length); the window partitions by file — member counts per
+    // segment are bounded by segment size, so no skewed key forms
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file")).orderBy(col("member_offset"))
+    val memberLens = base.select(col("file"), col("member_offset")).distinct()
+      .withColumn("next_off", lead(col("member_offset"), 1).over(w))
+      .join(broadcast(sizes), Seq("file"))
+      .select(col("file"), col("member_offset"),
+        (coalesce(col("next_off"), col("file_size")) - col("member_offset"))
+          .as("member_length"))
+    base.join(memberLens, Seq("file", "member_offset"), "left")
+      .select(col("canon_url"), col("warc_date"), col("warc_type"),
+        col("file"), col("offset"), col("length"),
+        col("member_offset"), col("member_skip"), col("member_length"),
+        col("payload_digest"))
+  }
 
   /** Random access by a [[cdxIndex]] row: open `file`, position at
     * `offset` (a true seek is unavailable through the gzip sniff, so

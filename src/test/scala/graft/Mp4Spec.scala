@@ -167,6 +167,66 @@ class Mp4Spec extends SparkSpec {
     assert(q.toSeq == Seq(("u2", "not_mp4")), q.toSeq)
   }
 
+  test("mp4MetaOfWithInit: a DASH media segment measures against ITS init's timescale") {
+    import spark.implicits._
+    // the round-19 self-initializing fixture split into the real DASH
+    // layout: init = ftyp + moov (mvhd dur 0, mdhd timescale 1000);
+    // media segments = styp + moof(s) + mdat, NO moov of their own
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def bx(t: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ t.getBytes(ISO_8859_1) ++ body
+    def fb(flags: Int, body: Array[Byte]): Array[Byte] =
+      be32(flags.toLong) ++ body
+    val ftyp = bx("ftyp", "isom".getBytes(ISO_8859_1) ++ be32(0) ++
+      "isom".getBytes(ISO_8859_1))
+    val mvhd = bx("mvhd", fb(0, new Array[Byte](8) ++ be32(1000) ++ be32(0) ++
+      new Array[Byte](80)))
+    val mdhd = bx("mdhd", fb(0, new Array[Byte](8) ++ be32(1000) ++ be32(0) ++
+      new Array[Byte](4)))
+    val hdlr = bx("hdlr", fb(0, be32(0) ++ "vide".getBytes(ISO_8859_1) ++
+      new Array[Byte](13)))
+    val stsd = bx("stbl", bx("stsd", fb(0, be32(1) ++ be32(16) ++
+      "avc1".getBytes(ISO_8859_1) ++ new Array[Byte](8))))
+    val tkhd = bx("tkhd", fb(0, new Array[Byte](72) ++
+      be32(320L << 16) ++ be32(240L << 16)))
+    val init = ftyp ++ bx("moov", mvhd ++
+      bx("trak", tkhd ++ bx("mdia", mdhd ++ hdlr ++ bx("minf", stsd))))
+    val styp = bx("styp", "msdh".getBytes(ISO_8859_1) ++ be32(0) ++
+      "msdh".getBytes(ISO_8859_1))
+    def moof(seq: Long, trun: Array[Byte]): Array[Byte] =
+      bx("moof", bx("mfhd", fb(0, be32(seq))) ++
+        bx("traf", bx("tfhd", fb(0x08, be32(1) ++ be32(500))) ++ trun))
+    val segA = styp ++ moof(1, bx("trun", fb(0x01, be32(4) ++ be32(0)))) ++
+      bx("mdat", "xx".getBytes(ISO_8859_1)) // 4 × 500 = 2000 ticks
+    val segB = styp ++
+      moof(2, bx("trun", fb(0x101, be32(2) ++ be32(0) ++
+        be32(700) ++ be32(300)))) ++
+      bx("mdat", "yy".getBytes(ISO_8859_1)) // 700 + 300 = 1000 ticks
+    // standalone, the segments keep the NAMED quarantine
+    assert(Mp4Ops.mp4Walk(segA) == Left("fragmented"))
+    val segments = Seq(
+      ("http://d.example/a/seg1.m4s", "http://d.example/a/init.mp4", segA),
+      ("http://d.example/a/seg2.m4s", "http://d.example/a/init.mp4", segB),
+      // a segment whose init is missing keeps the quarantine
+      ("http://d.example/b/seg1.m4s", "http://d.example/b/init.mp4", segA))
+      .toDF("url", "init_url", "payload")
+    val inits = Seq(("http://d.example/a/init.mp4", init))
+      .toDF("init_url", "payload")
+    val (clean, quarantine) = Mp4Ops.mp4MetaOfWithInit(segments, inits)
+    val c = clean.collect().map(r => r.getString(0) -> r).toMap
+    assert(c.keySet == Set("http://d.example/a/seg1.m4s",
+      "http://d.example/a/seg2.m4s"), c.keySet)
+    // each segment's trun sums resolve against the INIT's 1000 Hz clock,
+    // and the init's geometry/brand carry over
+    assert(c("http://d.example/a/seg1.m4s").getAs[Long]("duration_ms") == 2000L)
+    assert(c("http://d.example/a/seg2.m4s").getAs[Long]("duration_ms") == 1000L)
+    assert(c.values.forall(_.getAs[Boolean]("fragmented")))
+    assert(c.values.forall(_.getAs[Int]("width") == 320))
+    val q = quarantine.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(q.toSeq == Seq(("http://d.example/b/seg1.m4s", "fragmented")), q.toSeq)
+  }
+
   private def warcRecord(uri: String, payload: Array[Byte]): Array[Byte] = {
     val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
       "WARC-Date: 2026-08-14T00:00:00Z\r\n" +

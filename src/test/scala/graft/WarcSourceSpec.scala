@@ -113,6 +113,61 @@ class WarcSourceSpec extends SparkSpec {
     }
   }
 
+  test("cdxIndex member_length: offsets + lengths tile each file exactly") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_warc_cdxlen")
+    // CC layout gz: one member per record; plus a plain twin (members
+    // degrade to records) — BOTH must tile to their file's size
+    val recs = Seq(
+      record("warcinfo", "", "software: graft-test\r\n".getBytes(US_ASCII), "info"),
+      record("response", "http://example.com/a", httpPayload, "resp"),
+      record("request", "http://example.com/a",
+        "GET /a HTTP/1.1\r\n".getBytes(US_ASCII), "req"))
+    val gz = new ByteArrayOutputStream()
+    recs.foreach { r =>
+      val o = new GZIPOutputStream(gz); o.write(r); o.finish()
+    }
+    Files.write(dir.resolve("seg.warc.gz"), gz.toByteArray)
+    Files.write(dir.resolve("seg2.warc"), recs.reduce(_ ++ _))
+    val idx = WarcSource.cdxIndex(WarcSource.read(spark, dir.toString))
+      .select(col("file"), col("member_offset"), col("member_length"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).map { case (f, rows) =>
+        f -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      }
+    assert(idx.size == 2)
+    idx.foreach { case (f, members) =>
+      val fileSize = java.nio.file.Files.size(
+        java.nio.file.Paths.get(new java.net.URI(f).getPath))
+      // each member ends where the next begins; the tail ends at EOF
+      members.sliding(2).foreach {
+        case Array((o1, l1), (o2, _)) => assert(o1 + l1 == o2, s"$f gap at $o1")
+        case _ => ()
+      }
+      val (lastOff, lastLen) = members.last
+      // the warcinfo record (empty target_uri) is not a capture, so the
+      // index starts at the SECOND member — the tiling contract covers
+      // the captured span through EOF
+      assert(members.head._1 > 0L)
+      assert(lastOff + lastLen == fileSize, s"$f tail")
+      // and every (offset, length) range-fetches its own record: the
+      // member_length is a valid HTTP range for readAtMember
+      assert(members.forall(_._2 > 0))
+    }
+    // a range fetch at (member_offset, member_length) is self-contained:
+    // re-read the gz file's middle record from EXACTLY its slice
+    val gzFile = idx.keys.find(_.endsWith(".warc.gz")).get
+    val mid = idx(gzFile)(0) // the response capture (warcinfo precedes)
+    val slice = java.util.Arrays.copyOfRange(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(new java.net.URI(gzFile).getPath)),
+      mid._1.toInt, (mid._1 + mid._2).toInt)
+    val reread = WarcSource.parseFile("slice", slice).toSeq
+    assert(reread.length == 1 &&
+      reread.head.target_uri == "http://example.com/a" &&
+      reread.head.warc_type == "response")
+  }
+
   test("member_offset is the true compressed offset; readAtMember round-trips " +
     "every record on a multi-member .warc.gz") {
     import org.apache.spark.sql.functions.col
