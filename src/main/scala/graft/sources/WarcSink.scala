@@ -41,18 +41,39 @@ object WarcSink {
     * [[WarcSource.cdxIndex]] would recompute by reading the segment —
     * writer-side, it costs nothing). Re-runs write byte-identical
     * sidecars (same determinism contract as the members). */
-  def writeWet(docs: DataFrame, dir: String): Unit = {
-    val spark = docs.sparkSession
+  def writeWet(docs: DataFrame, dir: String): Unit =
+    writeSegments(docs.select(col("url"), col("text").as("body"),
+      docs.columns.filter(_ == "fetch_date").map(col)
+        .headOption.getOrElse(lit(null)).as("fetch_date")),
+      dir, warcType = "conversion", contentType = "text/plain")
+
+  /** WAT-style metadata sink (round 20) — the third artifact of the
+    * Common Crawl trio (WARC/WAT/WET): per-capture METADATA as WARC
+    * `metadata` records with JSON bodies, so the extraction frames the
+    * estate already computes (linksOf / metaOf / jsonLdOf — composed by
+    * the caller into one JSON column, e.g. `to_json(struct(...))`) ship
+    * in the container every WARC-consuming tool reads. Input:
+    * `(url, metadata_json[, fetch_date])`. Same machinery, same
+    * contracts as [[writeWet]]: one gzip member per record, atomic
+    * per-partition segments, byte-identical re-runs, CDX sidecars.
+    * (Parquet frames remain the estate's PRIMARY metadata surface —
+    * columnar, pushdown-friendly; the WAT face exists for
+    * interoperability with WARC-native consumers.) */
+  def writeWat(meta: DataFrame, dir: String): Unit =
+    writeSegments(meta.select(col("url"), col("metadata_json").as("body"),
+      meta.columns.filter(_ == "fetch_date").map(col)
+        .headOption.getOrElse(lit(null)).as("fetch_date")),
+      dir, warcType = "metadata", contentType = "application/json")
+
+  private def writeSegments(rows: DataFrame, dir: String,
+                            warcType: String, contentType: String): Unit = {
+    val spark = rows.sparkSession
     val confBc = spark.sparkContext.broadcast(
       new SerializableWritable(spark.sparkContext.hadoopConfiguration))
-    val date =
-      if (docs.columns.contains("fetch_date"))
+    rows
+      .select(col("url").cast("string"), col("body").cast("string"),
         coalesce(col("fetch_date").cast("string"),
-          lit("1970-01-01T00:00:00Z"))
-      else lit("1970-01-01T00:00:00Z")
-    docs
-      .select(col("url").cast("string"), col("text").cast("string"),
-        date.as("fetch_date"))
+          lit("1970-01-01T00:00:00Z")).as("fetch_date"))
       // shuffle REDUCE-side row order is fetch-order nondeterministic —
       // a task-local sort (no exchange) pins each member's position so
       // the byte-identical re-run contract actually holds
@@ -102,11 +123,11 @@ object WarcSink {
               val id = md.digest(url.getBytes("UTF-8"))
                 .map(b => f"$b%02x").mkString
               val hdr = ("WARC/1.0\r\n" +
-                "WARC-Type: conversion\r\n" +
+                s"WARC-Type: $warcType\r\n" +
                 s"WARC-Record-ID: <urn:md5:$id>\r\n" +
                 s"WARC-Target-URI: $url\r\n" +
                 s"WARC-Date: $when\r\n" +
-                "Content-Type: text/plain\r\n" +
+                s"Content-Type: $contentType\r\n" +
                 s"Content-Length: ${payload.length}\r\n\r\n")
                 .getBytes("UTF-8") // non-ASCII URIs survive (ASCII superset;
                                    // WarcSource's readLine re-decodes UTF-8)

@@ -615,6 +615,40 @@ class WarcSourceSpec extends SparkSpec {
     assert(before.toSeq == after.toSeq)
   }
 
+  test("WarcSink.writeWat: metadata records round-trip; hostile urls sanitize") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wat").resolve("out").toString
+    // the WAT face: the caller composes its extraction frames into one
+    // JSON column; a url carrying raw \t / \r\n (header-forgery + CDX
+    // field-separator bytes) must reach both artifacts STRIPPED so the
+    // sidecar line stays 5 fields and the WARC header stays unforgeable
+    val meta = Seq(
+      ("http://w.net/1", """{"links":["http://w.net/2"],"title":"one"}""",
+        "2026-08-15T00:00:00Z"),
+      ("http://w.net/evil\tpath\r\nX-Forged: 1", """{"links":[]}""",
+        "2026-08-15T01:00:00Z"))
+      .toDF("url", "metadata_json", "fetch_date").repartition(1)
+    graft.sources.WarcSink.writeWat(meta, dir)
+    val back = WarcSource.read(spark, dir).collect()
+    assert(back.length == 2)
+    assert(back.forall(_.getAs[String]("warc_type") == "metadata"))
+    assert(back.forall(_.getAs[String]("content_type") == "application/json"))
+    val byUri = back.map(r => r.getAs[String]("target_uri") ->
+      new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).toMap
+    assert(byUri == Map(
+      "http://w.net/1" -> """{"links":["http://w.net/2"],"title":"one"}""",
+      "http://w.net/evilpathX-Forged: 1" -> """{"links":[]}"""))
+    // the sidecar addresses BOTH records — the sanitized url keeps its
+    // line at exactly 5 tab-separated fields
+    val idx = graft.sources.WarcSink.readCdxSidecars(spark, dir).collect()
+    assert(idx.length == 2, idx.toSeq)
+    idx.foreach { r =>
+      val got = WarcSource.readAtMember(spark, r.getAs[String]("file"),
+        r.getAs[Long]("member_offset"))
+      assert(got.nonEmpty && got.get.target_uri == r.getAs[String]("url"))
+    }
+  }
+
   test("readMembers: a CDX frame fetches exactly its records, distributed") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
