@@ -372,6 +372,9 @@ object AnnOps {
       .orderBy("h", "vec_id")
       .limit(k)
     val c0 = seeds
+      // unpartitioned window BY DESIGN: it runs over the limit(k) seed
+      // frame — k rows (the list count, a constant), never the corpus —
+      // so the SinglePartition stage Spark warns about is k-bounded
       .withColumn("list_id", (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("h", "vec_id")) - 1)
         .cast("int"))
@@ -642,6 +645,7 @@ object AnnOps {
         col("q6s"))
       .orderBy("h", "vec_id")
       .limit(k)
+      // k-bounded unpartitioned window — see kmeansPieces' seed numbering
       .withColumn("code", (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("h", "vec_id")) - 1)
         .cast("int"))
