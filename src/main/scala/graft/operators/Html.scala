@@ -907,6 +907,61 @@ object HtmlOps {
       when(ogImg.rlike("^https?://"), ogImg).as("og_image_url"))
   }
 
+  /** WAT metadata composer (round 20) — builds the `(url,
+    * metadata_json[, fetch_date])` frame
+    * [[graft.sources.WarcSink.writeWat]] consumes, from raw crawled
+    * pages, in ONE row-level pass. The load-bearing scale fact: every
+    * WAT field — outlinks, document meta, JSON-LD blocks — is a
+    * PAGE-LOCAL fact, so unlike the frontier-feeding [[linksOf]]
+    * (whose global `distinct` exists for cross-page dedup) the
+    * composer needs NO exchange at all: each row's html yields its own
+    * JSON and the whole stage fuses into the ingest scan
+    * (plan-asserted exchange-free in the spec). Fields: `title` /
+    * `meta_description` / `og_title` / `og_description` (NULL when
+    * absent — `to_json` drops them), `og_image` resolved + canonical
+    * (the [[metaOf]] identity), `links` resolved + canonicalized and
+    * deduped WITHIN the page (`array_distinct` — row-local, not the
+    * frontier's global distinct) keeping only fetchable http(s)
+    * targets, and `json_ld` — every block parsed by the REAL JSON
+    * parser under the [[jsonLdOf]] contract (malformed block = null
+    * fields, never a crash). `fetch_date` passes through when present
+    * so the sink's WARC-Date contract keeps working. */
+  def watOf(pages: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(pages.sparkSession)
+    val baseHref = regexp_extract(col("html"),
+      "(?i)<base[^>]*href\\s*=\\s*[\"']([^\"'>]+)", 1)
+    val effBase = coalesce(
+      when(baseHref =!= "", UrlOps.resolve(col("page_url"), baseHref)),
+      col("page_url"))
+    val ogImg = UrlOps.canonIdn(UrlOps.resolve(col("_base"),
+      metaField(col("html"), "property", "og:image")))
+    val links = filter(
+      array_distinct(transform(
+        regexp_extract_all(col("html"),
+          lit("(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1)),
+        h => UrlOps.canonIdn(UrlOps.resolve(col("_base"), h)))),
+      u => u.rlike("^https?://"))
+    val ld = transform(
+      regexp_extract_all(col("html"), lit(LdBlockRE), lit(1)),
+      b => from_json(b, LdSchema))
+    val dateCols =
+      if (pages.columns.contains("fetch_date")) Seq(col("fetch_date"))
+      else Seq.empty
+    pages
+      .withColumn("_base", effBase)
+      .select(Seq(col("page_url").as("url"),
+        to_json(struct(
+          titleOf(col("html")).as("title"),
+          metaField(col("html"), "name", "description")
+            .as("meta_description"),
+          metaField(col("html"), "property", "og:title").as("og_title"),
+          metaField(col("html"), "property", "og:description")
+            .as("og_description"),
+          when(ogImg.rlike("^https?://"), ogImg).as("og_image"),
+          links.as("links"),
+          ld.as("json_ld"))).as("metadata_json")) ++ dateCols: _*)
+  }
+
   /** The synthetic head universe — single source of truth for
     * `q_meta_og` in BOTH engines (the ImgParts discipline): every page
     * carries a whitespace-messy `<title>`, a property-first og:title,

@@ -130,6 +130,42 @@ object UrlOps {
       graft.plans.IdnHostNormalize(
         org.apache.spark.sql.GraftColumnBridge.expression(trim(url)))))
 
+  /** SURT — the Sort-friendly URI Reordering Transform, the key the
+    * public Common Crawl/Wayback CDX indexes sort and prefix-query by:
+    * `com,example)/path?a=1`. Host labels reverse (comma-joined) so one
+    * registrable domain's captures are CONTIGUOUS under a range scan —
+    * at 100 TB that is the difference between "all of example.com" as
+    * one sorted-index prefix seek and a full-index predicate scan.
+    * Rules (the IA default-canonicalizer subset, documented choices):
+    * whole URL lowercased; userinfo dropped; default port dropped
+    * (80/http, 443/https), NON-default ports kept as `host:port)`;
+    * one leading `www\d*.` label stripped (the IA rule — example.com
+    * and www.example.com interleave); empty path → `/`; query kept
+    * with `&`-split params SORTED (the IA argument reorder); fragment
+    * dropped. A url with no scheme://host yields NULL. Pure builtin
+    * expression — no UDF, fuses into the scan. */
+  def surt(url: Column): Column = {
+    val u = lower(trim(url))
+    val scheme = regexp_extract(u, "^([a-z][a-z0-9+.-]*)://", 1)
+    val auth = regexp_extract(u, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    val hostPort = element_at(split(auth, "@"), -1) // userinfo drops
+    val port = regexp_extract(hostPort, ":(\\d+)$", 1)
+    val keepPort = when(port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443"),
+      concat(lit(":"), port)).otherwise(lit(""))
+    val host = regexp_replace(
+      regexp_replace(hostPort, ":\\d+$", ""), "^www\\d*\\.", "")
+    val rev = array_join(reverse(split(host, "\\.")), ",")
+    val path0 = regexp_extract(u, "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q = regexp_extract(u, "^[^#]*\\?([^#]*)", 1)
+    val qSorted = when(q =!= "",
+      concat(lit("?"), array_join(array_sort(split(q, "&")), "&")))
+      .otherwise(lit(""))
+    when(host =!= "", concat(rev, keepPort, lit(")"), path, qSorted))
+  }
+
   private val SchemeOnly = "^([a-zA-Z][a-zA-Z0-9+.-]*):"
 
   /** Resolve an href against a base URL — the RFC 3986 §5 merge a real

@@ -548,7 +548,13 @@ object WarcSource {
         (coalesce(col("next_off"), col("file_size")) - col("member_offset"))
           .as("member_length"))
     base.join(memberLens, Seq("file", "member_offset"), "left")
-      .select(col("canon_url"), col("warc_date"), col("warc_type"),
+      // surt (round 20): the sort key the public CDX indexes use — a
+      // registrable domain's captures are CONTIGUOUS when the persisted
+      // index sorts/partitions by it, so "everything under example.com"
+      // is a prefix range scan, not a predicate over 100 TB of rows
+      .select(col("canon_url"),
+        graft.operators.UrlOps.surt(col("canon_url")).as("surt"),
+        col("warc_date"), col("warc_type"),
         col("file"), col("offset"), col("length"),
         col("member_offset"), col("member_skip"), col("member_length"),
         col("payload_digest"))

@@ -3019,4 +3019,77 @@ class HtmlUrlSpec extends SparkSpec {
     // identical page bodies: the second doc's segments are all duplicates
     assert(lines.map(_.getAs[Long]("n_kept")).sorted.toSeq.head == 0L)
   }
+
+  test("surt: the CDX sort key follows the IA canonicalization subset") {
+    import spark.implicits._
+    val cases = Seq(
+      // lowercase, www strip, default port drop, param sort, fragment drop
+      ("HTTP://WWW.Example.COM:80/A/B?b=2&a=1#frag", "com,example)/a/b?a=1&b=2"),
+      // userinfo drops, non-default port KEPT, label reversal
+      ("https://user:pw@Sub.Site.org:8443/x", "org,site,sub:8443)/x"),
+      // empty path → "/", single-label host, https default port drops
+      ("https://host:443", "host)/"),
+      // www2 counts as a www label; bare query survives sorted
+      ("http://www2.news.co.uk/p?z&a", "uk,co,news)/p?a&z"))
+      .toDF("url", "want")
+    val got = cases.select(col("want"),
+      graft.operators.UrlOps.surt(col("url")).as("got")).collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0), r.toString))
+    // junk with no authority yields NULL — it cannot sort into a domain
+    val junk = Seq("notaurl", "mailto:a@b.c").toDF("url")
+      .select(graft.operators.UrlOps.surt(col("url")).as("s")).collect()
+    assert(junk.forall(_.isNullAt(0)), junk.toSeq)
+  }
+
+  test("watOf composes page-local WAT metadata exchange-free; writeWat ships it") {
+    import spark.implicits._
+    val html1 =
+      """<html><head><title> WAT  one </title>
+        |<base href="http://a.net/sub/">
+        |<meta property="og:title" content="OG one">
+        |<meta name="description" content="about one">
+        |<meta property="og:image" content="/img/cover.png">
+        |<script type="application/ld+json">{"@type":"NewsArticle","headline":"H1"}</script>
+        |</head><body>
+        |<a href="x.html">rel</a>
+        |<a href="x.html">dup</a>
+        |<a href="mailto:z@q.com">mail</a>
+        |<a href="http://B.org/p">abs</a>
+        |</body></html>""".stripMargin
+    val pages = Seq(
+      ("http://a.net/page", html1, "2026-08-15T00:00:00Z"),
+      ("http://c.io/min", "<html><body>no head</body></html>",
+        "2026-08-15T01:00:00Z"))
+      .toDF("page_url", "html", "fetch_date")
+    val wat = graft.operators.HtmlOps.watOf(pages)
+    assert(wat.columns.toSeq == Seq("url", "metadata_json", "fetch_date"))
+    // the scale contract: every WAT field is page-local, so the composer
+    // must fuse into the scan — zero Exchange operators
+    val p = wat.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.linesIterator.exists(_.matches("""\(\d+\) Exchange.*""")), p)
+    val rows = wat.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val j1 = rows("http://a.net/page")
+    assert(j1.contains("\"title\":\"WAT one\""), j1)        // ws-collapsed
+    assert(j1.contains("\"og_title\":\"OG one\""), j1)
+    assert(j1.contains("\"meta_description\":\"about one\""), j1)
+    // og:image resolved against the base href + canonicalized
+    assert(j1.contains("\"og_image\":\"http://a.net/img/cover.png\""), j1)
+    // links: base-resolved, within-page deduped, mailto dropped, host
+    // case canonicalized — in first-occurrence order
+    assert(j1.contains(
+      "\"links\":[\"http://a.net/sub/x.html\",\"http://b.org/p\"]"), j1)
+    assert(j1.contains("\"headline\":\"H1\""), j1)          // real JSON parse
+    val j2 = rows("http://c.io/min")
+    assert(j2.contains("\"links\":[]") && !j2.contains("title"), j2)
+    // the full WAT loop: composer → sink → any WARC reader
+    val dir = Files.createTempDirectory("graft_watloop").resolve("out").toString
+    graft.sources.WarcSink.writeWat(wat, dir)
+    val back = graft.sources.WarcSource.read(spark, dir).collect()
+    assert(back.length == 2)
+    val byUri = back.map(r => r.getAs[String]("target_uri") ->
+      new String(r.getAs[Array[Byte]]("payload"), UTF_8)).toMap
+    assert(byUri == rows)
+  }
 }

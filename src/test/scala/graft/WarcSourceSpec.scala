@@ -198,6 +198,7 @@ class WarcSourceSpec extends SparkSpec {
     val idxCols = WarcSource.cdxIndex(
       WarcSource.read(spark, dir.toString)).columns.toSet
     assert(idxCols.contains("member_offset") && idxCols.contains("member_skip"))
+    assert(idxCols.contains("surt")) // the public CDX sort key (round 20)
     // random access at the recorded COMPRESSED offset: byte-for-byte
     rows.foreach { r =>
       val got = WarcSource.readAtMember(spark, r.getAs[String]("file"),
@@ -647,6 +648,34 @@ class WarcSourceSpec extends SparkSpec {
         r.getAs[Long]("member_offset"))
       assert(got.nonEmpty && got.get.target_uri == r.getAs[String]("url"))
     }
+  }
+
+  test("a persisted CDX sorted by surt serves one domain as a pushed prefix range") {
+    import spark.implicits._
+    // three domains' captures interleaved in url order — exactly the
+    // layout where a plain url sort scatters a domain across files but
+    // the surt sort makes it contiguous
+    val dir = Files.createTempDirectory("graft_surt_cdx").resolve("wet").toString
+    val docs = (0 until 4).flatMap(i => Seq(
+      (s"http://a$i.com/p", s"a $i", "2026-08-15T00:00:00Z"),
+      (s"http://b.net/p$i", s"b $i", "2026-08-15T00:00:00Z"),
+      (s"http://c$i.org/p", s"c $i", "2026-08-15T00:00:00Z")))
+      .toDF("url", "text", "fetch_date").repartition(2)
+    graft.sources.WarcSink.writeWet(docs, dir)
+    val idx = WarcSource.cdxIndex(WarcSource.read(spark, dir))
+    val out = Files.createTempDirectory("graft_surt_cdx").resolve("idx").toString
+    graft.sources.Sinks.writeOrdered(idx, out, "surt", nFiles = 3)
+    // the domain query is a PREFIX predicate on the sort key: it pushes
+    // to the parquet reader as StringStartsWith, so file/row-group
+    // min-max stats prune everything outside the domain's range
+    val dom = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("surt").startsWith("net,b)"))
+    val p = dom.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("StringStartsWith(surt,net,b)"), pushed)
+    val urls = dom.collect().map(_.getAs[String]("canon_url")).toSet
+    assert(urls == (0 until 4).map(i => s"http://b.net/p$i").toSet, urls)
   }
 
   test("readMembers: a CDX frame fetches exactly its records, distributed") {
