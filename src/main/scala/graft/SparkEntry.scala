@@ -242,6 +242,7 @@ object SparkEntry {
     "q_media_inventory" -> ((s, dir) =>
       MediaOps.mediaInventory(Tables.documents(s, dir))),
     "q_url_filter" -> ((s, dir) => UrlOps.urlFilter(Tables.documents(s, dir))),
+    "q_surt" -> ((s, dir) => UrlOps.surtQuery(Tables.documents(s, dir))),
     // --- §2-D: no SQL-expressible oracle (driver rows-only check) ---
     "q_summary_approx" -> ((s, dir) => EventOps.summaryApprox(Tables.events(s, dir))),
     "q_percentile_approx" -> ((s, dir) => StatsOps.percentileApprox(Tables.events(s, dir))),

@@ -404,7 +404,55 @@ object UrlOps {
       .orderBy("doc_id", "dst_url")
   }
 
+  /** §2 `q_surt`: [[surt]] under the oracle — a messy-URL universe
+    * hitting every canonicalization rule (one variant per `doc_id % 6`:
+    * plain; uppercase + `www.` + `:80` + mixed-case path; out-of-order
+    * params + fragment; userinfo + non-default port; default-https
+    * port with an EMPTY path; a `www2.` label), with the DuckDB twin
+    * stating the planted expected key from the same construction
+    * arithmetic — any drift in lowercasing, www/userinfo/fragment
+    * stripping, port policy, label reversal, param sorting, or the
+    * empty-path rule breaks the hash. Pure row-level map, zero
+    * shuffles — the key computes inside the index scan it serves. */
+  def surtQuery(documents: DataFrame): DataFrame = {
+    val v = (col("doc_id") % 6).cast("int")
+    val host = concat(col("source"), lit(".example.com"))
+    val n = (col("doc_id") % 100).cast("string")
+    val url = when(v === 0, concat(lit("http://"), host, lit("/docs/"), n))
+      .when(v === 1,
+        concat(lit("HTTP://WWW."), upper(host), lit(":80/Docs/"), n))
+      .when(v === 2,
+        concat(lit("http://"), host, lit("/docs/"), n, lit("?b=2&a=1#frag")))
+      .when(v === 3,
+        concat(lit("http://u:pw@"), host, lit(":8080/docs/"), n))
+      .when(v === 4, concat(lit("https://"), host, lit(":443")))
+      .otherwise(concat(lit("http://www2."), host, lit("/docs/"), n))
+    documents.select(col("doc_id"), url.as("url"))
+      .withColumn("surt", surt(col("url")))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_surt" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 6 AS INTEGER)
+        |      WHEN 0 THEN 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR)
+        |      WHEN 1 THEN 'HTTP://WWW.' || upper(source || '.example.com') || ':80/Docs/' || CAST(doc_id % 100 AS VARCHAR)
+        |      WHEN 2 THEN 'http://' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR) || '?b=2&a=1#frag'
+        |      WHEN 3 THEN 'http://u:pw@' || source || '.example.com:8080/docs/' || CAST(doc_id % 100 AS VARCHAR)
+        |      WHEN 4 THEN 'https://' || source || '.example.com:443'
+        |      ELSE 'http://www2.' || source || '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR)
+        |    END AS url,
+        |    CASE CAST(doc_id % 6 AS INTEGER)
+        |      WHEN 2 THEN 'com,example,' || source || ')/docs/' || CAST(doc_id % 100 AS VARCHAR) || '?a=1&b=2'
+        |      WHEN 3 THEN 'com,example,' || source || ':8080)/docs/' || CAST(doc_id % 100 AS VARCHAR)
+        |      WHEN 4 THEN 'com,example,' || source || ')/'
+        |      ELSE 'com,example,' || source || ')/docs/' || CAST(doc_id % 100 AS VARCHAR)
+        |    END AS surt
+        |  FROM documents
+        |)
+        |SELECT doc_id, url, surt FROM u ORDER BY doc_id""".stripMargin,
     "q_link_resolve" ->
       s"""WITH pages AS (
          |  SELECT doc_id, source,

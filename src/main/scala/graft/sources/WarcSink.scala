@@ -179,6 +179,10 @@ object WarcSink {
       .filter(size(col("f")) === 5)
       .select(col("file"),
         col("f").getItem(0).as("url"),
+        // the same sort key cdxIndex derives (round 20) — a sidecar
+        // frame persisted by surt serves domain range queries without
+        // ever re-reading the WARC bytes
+        graft.operators.UrlOps.surt(col("f").getItem(0)).as("surt"),
         col("f").getItem(1).as("warc_date"),
         col("f").getItem(2).cast("long").as("member_offset"),
         col("f").getItem(3).cast("long").as("member_length"),

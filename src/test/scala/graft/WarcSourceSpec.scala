@@ -573,6 +573,9 @@ class WarcSourceSpec extends SparkSpec {
       files.count(_.endsWith(".warc.gz")), files.toSeq)
     val idx = graft.sources.WarcSink.readCdxSidecars(spark, dir).collect()
     assert(idx.length == 3, idx.toSeq)
+    // the sidecar frame carries the same sort key cdxIndex derives
+    assert(idx.forall(r => r.getAs[String]("surt") ==
+      "net,s)/" + r.getAs[String]("url").last), idx.toSeq)
     // each sidecar row range-addresses its record: a seek to the
     // recorded COMPRESSED offset re-reads exactly that record
     idx.foreach { r =>
