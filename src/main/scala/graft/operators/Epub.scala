@@ -114,8 +114,12 @@ object EpubOps {
     * local header may defer sizes to a data descriptor). */
   private def readEntry(b: Array[Byte],
                         e: ZipEntry): Either[String, Array[Byte]] = {
+    // bounds-check on the LONG before narrowing: a hostile u32 offset in
+    // [2^31, 2^32) would wrap negative as an Int and index the array
+    // backwards — quarantine, never throw out of the walk
+    if (e.localOff < 0 || e.localOff + 30 > b.length) return Left("corrupt_zip")
     val off = e.localOff.toInt
-    if (!sig(b, off, 3, 4) || off + 30 > b.length) return Left("corrupt_zip")
+    if (!sig(b, off, 3, 4)) return Left("corrupt_zip")
     val nameLen = u16le(b, off + 26)
     val extraLen = u16le(b, off + 28)
     val data = off + 30 + nameLen + extraLen
@@ -154,8 +158,11 @@ object EpubOps {
   /** The whole walk: Right((text, n_chapters)) or Left(reason) —
     * `not_zip` / `not_epub` / `no_opf` / `corrupt_zip` / `bomb` /
     * `method`. Chapters follow the SPINE order; a spine item whose
-    * file is missing from the archive quarantines (`no_opf` would lie;
-    * a torn book must not silently shrink) as `corrupt_zip`. */
+    * file is missing from the archive OR whose idref has no manifest
+    * item quarantines (`no_opf` would lie; a torn book must not
+    * silently shrink) as `corrupt_zip`; a >10000-itemref spine
+    * quarantines as `bomb` (the entry-count cap discipline — never a
+    * silent truncation). */
   private[graft] def epubTextWalk(
       bytes: Array[Byte]): Either[String, (String, Int)] = {
     if (bytes == null || !sig(bytes, 0, 3, 4)) return Left("not_zip")
@@ -182,24 +189,34 @@ object EpubOps {
                         id <- attr(t, "id"); href <- attr(t, "href")
                       } yield id -> href).toMap
                     val spine = "(?is)<itemref\\b[^>]*>".r.findAllIn(opf)
-                      .flatMap(attr(_, "idref")).toList.take(10000)
-                    val paths = spine.flatMap(items.get)
-                      .map(resolveHref(op, _))
-                    // fold chapters left-to-right; the FIRST failure
-                    // quarantines the doc (keep-nothing beats emitting
-                    // a silently truncated book)
-                    val texts = paths.foldLeft(
-                      Right(Vector.empty[String]):
-                        Either[String, Vector[String]]) {
-                      case (Left(r), _) => Left(r)
-                      case (Right(acc), path) => dir.get(path) match {
-                        case None => Left("corrupt_zip")
-                        case Some(ce) => readEntry(bytes, ce).map(cb =>
-                          acc :+ graft.plans.HtmlExtract.extract(
-                            new String(cb, UTF8)))
+                      .flatMap(attr(_, "idref")).toList
+                    // the torn-book contract cuts BOTH ways: a spine
+                    // idref with no manifest item must quarantine, not
+                    // silently drop its chapter — and a >10k-itemref
+                    // spine is hostile-shaped (the entry-count cap
+                    // discipline), not a book to truncate quietly
+                    if (spine.length > 10000) Left("bomb")
+                    else if (spine.exists(id => !items.contains(id)))
+                      Left("corrupt_zip")
+                    else {
+                      val paths = spine.flatMap(items.get)
+                        .map(resolveHref(op, _))
+                      // fold chapters left-to-right; the FIRST failure
+                      // quarantines the doc (keep-nothing beats emitting
+                      // a silently truncated book)
+                      val texts = paths.foldLeft(
+                        Right(Vector.empty[String]):
+                          Either[String, Vector[String]]) {
+                        case (Left(r), _) => Left(r)
+                        case (Right(acc), path) => dir.get(path) match {
+                          case None => Left("corrupt_zip")
+                          case Some(ce) => readEntry(bytes, ce).map(cb =>
+                            acc :+ graft.plans.HtmlExtract.extract(
+                              new String(cb, UTF8)))
+                        }
                       }
+                      texts.map(ts => (ts.mkString("\n"), ts.length))
                     }
-                    texts.map(ts => (ts.mkString("\n"), ts.length))
                   }
                 }
               }

@@ -117,7 +117,7 @@ object WarcSink {
               // whitespace in a URI anyway)
               val url = r.getString(0).replaceAll("[\\r\\n\\t]", "")
               val text = Option(r.getString(1)).getOrElse("")
-              val when = r.getString(2).replaceAll("[\\r\\n]", "")
+              val when = r.getString(2).replaceAll("[\\r\\n\\t]", "")
               val payload = text.getBytes("UTF-8")
               md.reset()
               val id = md.digest(url.getBytes("UTF-8"))
@@ -179,10 +179,14 @@ object WarcSink {
       .filter(size(col("f")) === 5)
       .select(col("file"),
         col("f").getItem(0).as("url"),
-        // the same sort key cdxIndex derives (round 20) — a sidecar
-        // frame persisted by surt serves domain range queries without
-        // ever re-reading the WARC bytes
-        graft.operators.UrlOps.surt(col("f").getItem(0)).as("surt"),
+        // the same sort key cdxIndex derives (round 20) — surt over the
+        // CANONICAL url (cdxIndex keys surt on canonIdn(target_uri); a
+        // raw-url surt would split an IDN domain across two prefix
+        // ranges and break the contiguity the key exists for) — so a
+        // sidecar frame persisted by surt serves domain range queries
+        // without ever re-reading the WARC bytes
+        graft.operators.UrlOps.surt(
+          graft.operators.UrlOps.canonIdn(col("f").getItem(0))).as("surt"),
         col("f").getItem(1).as("warc_date"),
         col("f").getItem(2).cast("long").as("member_offset"),
         col("f").getItem(3).cast("long").as("member_length"),

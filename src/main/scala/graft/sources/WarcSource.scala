@@ -521,32 +521,52 @@ object WarcSource {
         col("member_offset"), col("member_skip"), col("payload_digest"))
     // member_length (round 20) — an HTTP range fetcher consumes
     // (offset, length), so the gap to the NEXT member materializes as a
-    // column instead of living in scaladoc as a lead() recipe. The tail
-    // member's bound is the segment's FILE SIZE, stat'ed IN TASKS (one
-    // getFileStatus per distinct segment — metadata only, no driver
-    // collect). Offsets + lengths tile each file exactly (spec-pinned,
-    // mirroring the WET sidecar contract).
+    // column instead of living in scaladoc as a lead() recipe. One row
+    // per MEMBER (a multi-record member's rows share its length); the
+    // window partitions by file — member counts per segment are bounded
+    // by segment size, so no skewed key forms. The TAIL member's bound
+    // is the segment's FILE SIZE, stat'ed INSIDE the window's own
+    // output tasks (one getFileStatus per file per task, cached — no
+    // third scan of the corpus, no driver collect); a file that cannot
+    // be stat'ed (a records frame parsed from in-memory bytes under a
+    // synthetic label, or a segment deleted since the scan) yields a
+    // NULL tail length instead of failing the whole build. Offsets +
+    // lengths tile each file exactly (spec-pinned, mirroring the WET
+    // sidecar contract). Index construction reads the records subtree
+    // TWICE (the full-row join side + this boundary projection) — the
+    // no-scan path on a 100 TB crawl is the sink's own CDX sidecars;
+    // this is the recompute face.
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.SerializableWritable(
         spark.sparkContext.hadoopConfiguration))
-    val sizes = records.select(col("file").cast("string")).distinct()
-      .as[String].mapPartitions { it =>
-        it.map { f =>
-          val hp = new org.apache.hadoop.fs.Path(f)
-          (f, hp.getFileSystem(confBc.value.value).getFileStatus(hp).getLen)
-        }
-      }.toDF("file", "file_size")
-    // one row per MEMBER (a multi-record member's rows share its
-    // length); the window partitions by file — member counts per
-    // segment are bounded by segment size, so no skewed key forms
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("file")).orderBy(col("member_offset"))
-    val memberLens = base.select(col("file"), col("member_offset")).distinct()
+    val withNext = base.select(col("file"), col("member_offset")).distinct()
       .withColumn("next_off", lead(col("member_offset"), 1).over(w))
-      .join(broadcast(sizes), Seq("file"))
-      .select(col("file"), col("member_offset"),
-        (coalesce(col("next_off"), col("file_size")) - col("member_offset"))
-          .as("member_length"))
+    val lensSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("member_offset",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("member_length",
+        org.apache.spark.sql.types.LongType)))
+    val memberLens = spark.createDataFrame(
+      withNext.rdd.mapPartitions { it =>
+        val sizeCache = scala.collection.mutable.Map.empty[String, Option[Long]]
+        it.map { r =>
+          val f = r.getString(0)
+          val off = r.getLong(1)
+          val end: Option[Long] =
+            if (!r.isNullAt(2)) Some(r.getLong(2))
+            else sizeCache.getOrElseUpdate(f, try {
+              val hp = new org.apache.hadoop.fs.Path(f)
+              Some(hp.getFileSystem(confBc.value.value)
+                .getFileStatus(hp).getLen)
+            } catch { case _: IOException => None })
+          org.apache.spark.sql.Row(f, off,
+            end.map(e => java.lang.Long.valueOf(e - off)).orNull)
+        }
+      }, lensSchema)
     base.join(memberLens, Seq("file", "member_offset"), "left")
       // surt (round 20): the sort key the public CDX indexes use — a
       // registrable domain's captures are CONTIGUOUS when the persisted

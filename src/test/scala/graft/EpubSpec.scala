@@ -94,6 +94,33 @@ class EpubSpec extends SparkSpec {
            bad(i + 2) == 1 && bad(i + 3) == 2) cd = i
     bad(cd + 10) = 9
     assert(EpubOps.epubTextWalk(bad) == Left("method"))
+    // a hostile u32 local-header offset in [2^31, 2^32): Int narrowing
+    // would index the array backwards — must quarantine, never throw
+    val wild = z.clone()
+    var cd2 = -1
+    for (i <- wild.indices.dropRight(3)
+         if cd2 < 0 && wild(i) == 'P' && wild(i + 1) == 'K' &&
+           wild(i + 2) == 1 && wild(i + 3) == 2) cd2 = i
+    wild(cd2 + 42) = 0; wild(cd2 + 43) = 0
+    wild(cd2 + 44) = 0; wild(cd2 + 45) = 0x80.toByte // localOff = 2^31
+    assert(EpubOps.epubTextWalk(wild) == Left("corrupt_zip"))
+    // a spine idref with NO manifest item is the same torn book —
+    // quarantine, never a silently shorter text
+    val ghostRef = {
+      val opf = ("<package><manifest>" +
+        "<item id=\"c1\" href=\"ch1.xhtml\"/></manifest>" +
+        "<spine><itemref idref=\"c1\"/><itemref idref=\"c3\"/></spine>" +
+        "</package>").getBytes(UTF_8)
+      val container = ("<container><rootfiles>" +
+        "<rootfile full-path=\"content.opf\"/></rootfiles></container>")
+        .getBytes(UTF_8)
+      EpubOps.buildZip(Seq(
+        ("mimetype", "application/epub+zip".getBytes(UTF_8), false),
+        ("META-INF/container.xml", container, false),
+        ("content.opf", opf, false),
+        ("ch1.xhtml", "<p>only chapter</p>".getBytes(UTF_8), false)))
+    }
+    assert(EpubOps.epubTextWalk(ghostRef) == Left("corrupt_zip"))
   }
 
   test("resolveHref: OPF-relative, root-absolute, and parent segments") {

@@ -166,6 +166,23 @@ class WarcSourceSpec extends SparkSpec {
     assert(reread.length == 1 &&
       reread.head.target_uri == "http://example.com/a" &&
       reread.head.warc_type == "response")
+    // a records frame whose file labels are NOT resolvable paths (e.g.
+    // parsed from in-memory bytes under a synthetic label) must not
+    // fail the build: the tail member's length is NULL, every
+    // non-tail length still computes from the next member's offset
+    val ghost = WarcSource.read(spark, dir.toString)
+      .withColumn("file", org.apache.spark.sql.functions
+        .concat(col("file"), org.apache.spark.sql.functions.lit(".gone")))
+    val gidx = WarcSource.cdxIndex(ghost)
+      .select(col("file"), col("member_offset"), col("member_length"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).map { case (f, rows) =>
+        f -> rows.sortBy(_.getLong(1))
+      }
+    gidx.values.foreach { members =>
+      members.dropRight(1).foreach(r => assert(!r.isNullAt(2), r.toString))
+      assert(members.last.isNullAt(2), members.last.toString)
+    }
   }
 
   test("member_offset is the true compressed offset; readAtMember round-trips " +
@@ -630,7 +647,9 @@ class WarcSourceSpec extends SparkSpec {
       ("http://w.net/1", """{"links":["http://w.net/2"],"title":"one"}""",
         "2026-08-15T00:00:00Z"),
       ("http://w.net/evil\tpath\r\nX-Forged: 1", """{"links":[]}""",
-        "2026-08-15T01:00:00Z"))
+        // a tab in fetch_date must strip too — it would add a 6th CDX
+        // field and readCdxSidecars would silently drop the record
+        "2026-08-15\t01:00:00Z"))
       .toDF("url", "metadata_json", "fetch_date").repartition(1)
     graft.sources.WarcSink.writeWat(meta, dir)
     val back = WarcSource.read(spark, dir).collect()
