@@ -263,74 +263,9 @@ object EpubOps {
     * EPUB behind a lying octet-stream header still sniffs through the
     * OCF mimetype rule at its fixed offsets; the walk re-validates the
     * whole container, so a sniff false positive is impossible. */
-  def epubDocumentsOf(records: DataFrame): (DataFrame, DataFrame) = {
-    val spark = records.sparkSession
-    graft.plans.GraftFunctions.register(spark)
-    val l1 = decode(col("payload"), "ISO-8859-1")
-    val hdrCol = when(regexp_extract(l1, "(?s)\\r?\\n\\r?\\n", 0) === "", l1)
-      .otherwise(regexp_extract(l1, "(?s)^(.*?)\\r?\\n\\r?\\n", 1))
-    val p1 = instr(l1, "\r\n\r\n")
-    val p2 = instr(l1, "\n\n")
-    val big = lit(Int.MaxValue)
-    val bodyStart = least(
-      coalesce(nullif(p1, lit(0)) + 4, big),
-      coalesce(nullif(p2, lit(0)) + 2, big))
-    val isEpub = lower(regexp_extract(hdrCol,
-      "(?im)^content-type:[ \\t]*([a-z0-9.+/-]+)", 1)) ===
-      "application/epub+zip" ||
-      call_function("magic_mime",
-        substring(col("payload"), bodyStart, lit(64))) ===
-        "application/epub+zip"
-    val lm = nullif(trim(regexp_extract(hdrCol,
-      "(?im)^last-modified:([^\\r\\n]*)", 1)), lit(""))
-    val lmDate = to_date(try_to_timestamp(
-      regexp_extract(lm,
-        "([0-9]{1,2} [A-Za-z]{3} [0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2})", 1),
-      lit("d MMM yyyy HH:mm:ss")))
-    val xr = HtmlOps.robotsTokenFlagsAll(regexp_extract_all(hdrCol,
-      lit("(?im)^x-robots-tag:[ \\t]*([^\\r\\n]*)"), lit(1)))
-    val base = records
-      .filter(col("warc_type") === "response" && isEpub)
-      .select(
-        UrlOps.canonIdn(col("target_uri")).as("url"),
-        col("warc_date").as("fetch_date"),
-        lm.as("last_modified"),
-        lmDate.as("last_modified_date"),
-        nullif(trim(regexp_extract(hdrCol,
-          "(?im)^etag:([^\\r\\n]*)", 1)), lit("")).as("etag"),
-        nullif(col("payload_digest"), lit("")).as("payload_digest"),
-        xr._1.as("noindex"),
-        xr._2.as("nofollow"),
-        col("payload"))
-    val pIdx = base.schema.fieldIndex("payload")
-    val outSchema = StructType(
-      base.schema.fields.filterNot(_.name == "payload") ++ Seq(
-        StructField("text", StringType),
-        StructField("n_chars", LongType),
-        StructField("reason", StringType)))
-    val walked = spark.createDataFrame(base.rdd.mapPartitions { it =>
-      it.map { r =>
-        val keep = (0 until r.length).filterNot(_ == pIdx).map(r.get)
-        epubTextWalk(PdfOps.httpBody(r.getAs[Array[Byte]](pIdx))) match {
-          case Right((t, _)) => Row.fromSeq(keep ++ Seq(t, t.length.toLong, null))
-          case Left(reason)  => Row.fromSeq(keep ++ Seq(null, null, reason))
-        }
-      }
-    }, outSchema)
-    val clean = walked.filter(col("reason").isNull)
-      .select(
-        xxhash64(col("url")).as("doc_id"),
-        col("url"),
-        regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
-          .as("source"),
-        col("text"), col("n_chars"), col("fetch_date"),
-        col("last_modified"), col("last_modified_date"), col("etag"),
-        col("payload_digest"),
-        lit(null).cast(StringType).as("canonical_url"),
-        col("noindex"), col("nofollow"))
-    (clean, walked.filter(col("reason").isNotNull)
-      .select(col("url"), col("reason")))
-  }
+  def epubDocumentsOf(records: DataFrame): (DataFrame, DataFrame) =
+    PdfOps.binaryDocumentsOf(records, "application/epub+zip", 64,
+      b => epubTextWalk(b))
 
   // ---------- oracle instantiation (q_epub_text) ----------
 

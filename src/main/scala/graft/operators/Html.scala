@@ -355,12 +355,24 @@ object HtmlOps {
           // fail a printable-ASCII test and must stay on the
           // charset-decode route. Sniffs the de-chunked, inflated
           // entity (_raw); null _raw skips to the framing reasons below
+          // round 20 (self-review): the zip family, FLAC, TIFF and the
+          // shape-validated ICO joined the sniff's named estate but not
+          // this gate — an EPUB behind text/html would land in the
+          // corpus TWICE (mojibake here AND extracted text via
+          // epubDocumentsOf's declaration-OR-content routing, same
+          // doc_id), and FLAC/TIFF/zip behind text/* decoded to
+          // mojibake. All meet the gate's stated bar: 4-byte magics
+          // (PK\x03\x04 / PK\x05\x06 / PK\x07\x08, fLaC, II*\0 / MM\0*)
+          // or whole-directory shape validation (ICO). SVG stays OFF
+          // the gate — it IS text.
           .when(call_function("magic_mime",
             substring(col("_raw"), 1, 512)).isin(
               "image/png", "image/gif", "image/jpeg", "application/pdf",
               "audio/wav", "video/avi", "application/gzip", "image/qoi",
               "image/webp", "video/mp4", "audio/mp4", "application/ogg",
-              "audio/mpeg", "font/woff", "font/woff2"),
+              "audio/mpeg", "font/woff", "font/woff2",
+              "application/epub+zip", "application/zip", "audio/flac",
+              "image/tiff", "image/x-icon"),
             lit("sniff"))
           .when(col("_te_other"), lit("transfer-encoding"))
           .when(col("_chunked") && col("_raw1").isNull, lit("chunked"))

@@ -343,27 +343,41 @@ object PdfOps {
     * construction). Quarantine twin carries (url, reason) for the
     * walk's failures. One codec pass; header fields stay codegen'd
     * Columns, only the body split + walk ride the task. */
-  def pdfDocumentsOf(records: DataFrame): (DataFrame, DataFrame) = {
+  def pdfDocumentsOf(records: DataFrame): (DataFrame, DataFrame) =
+    binaryDocumentsOf(records, "application/pdf", 8, b => pdfTextWalk(b))
+
+  /** Shared scaffolding for every DECLARATION-OR-CONTENT binary corpus
+    * route (round-20 self-review: this lived copy-pasted in the PDF and
+    * EPUB routes — one header-evidence or schema fix would have had to
+    * land twice or the two corpus faces silently diverge): a response
+    * routes here when its declared Content-Type IS `mime` or its body
+    * SNIFFS as `mime` (a binary behind a lying text header still lands —
+    * and the HTML route's magic gate quarantines it there as `sniff`,
+    * so the routes stay exclusive); header evidence (Last-Modified +
+    * parsed date, ETag, payload digest, X-Robots-Tag flags) stays
+    * codegen'd Columns; only the body split + `walk` ride the task.
+    * `walk` re-validates the content, so a sniff false positive is
+    * impossible. Output: warcToDocuments' clean schema (canonical_url
+    * NULL by construction — no HTML meta) + the (url, reason)
+    * quarantine twin. */
+  private[operators] def binaryDocumentsOf(records: DataFrame, mime: String,
+      sniffLen: Int, walk: Array[Byte] => Either[String, (String, Int)])
+      : (DataFrame, DataFrame) = {
     val spark = records.sparkSession
     graft.plans.GraftFunctions.register(spark)
     val l1 = decode(col("payload"), "ISO-8859-1")
     val hdrCol = when(regexp_extract(l1, "(?s)\\r?\\n\\r?\\n", 0) === "", l1)
       .otherwise(regexp_extract(l1, "(?s)^(.*?)\\r?\\n\\r?\\n", 1))
-    // route by DECLARATION OR CONTENT (round 17): a PDF behind a lying
-    // text/html or octet-stream header still sniffs %PDF- — and the
-    // ingest gate quarantines it from the HTML route as `sniff`, so
-    // this pickup is what keeps the document out of the void. The walk
-    // re-validates the prefix, so a sniff false positive is impossible.
     val p1 = instr(l1, "\r\n\r\n")
     val p2 = instr(l1, "\n\n")
     val big = lit(Int.MaxValue)
     val bodyStart = least(
       coalesce(nullif(p1, lit(0)) + 4, big),
       coalesce(nullif(p2, lit(0)) + 2, big))
-    val isPdf = lower(regexp_extract(hdrCol,
-      "(?im)^content-type:[ \\t]*([a-z0-9.+/-]+)", 1)) === "application/pdf" ||
+    val isMime = lower(regexp_extract(hdrCol,
+      "(?im)^content-type:[ \\t]*([a-z0-9.+/-]+)", 1)) === mime ||
       call_function("magic_mime",
-        substring(col("payload"), bodyStart, lit(8))) === "application/pdf"
+        substring(col("payload"), bodyStart, lit(sniffLen))) === mime
     val lm = nullif(trim(regexp_extract(hdrCol,
       "(?im)^last-modified:([^\\r\\n]*)", 1)), lit(""))
     val lmDate = to_date(try_to_timestamp(
@@ -373,7 +387,7 @@ object PdfOps {
     val xr = HtmlOps.robotsTokenFlagsAll(regexp_extract_all(hdrCol,
       lit("(?im)^x-robots-tag:[ \\t]*([^\\r\\n]*)"), lit(1)))
     val base = records
-      .filter(col("warc_type") === "response" && isPdf)
+      .filter(col("warc_type") === "response" && isMime)
       .select(
         UrlOps.canonIdn(col("target_uri")).as("url"),
         col("warc_date").as("fetch_date"),
@@ -394,7 +408,7 @@ object PdfOps {
     val walked = spark.createDataFrame(base.rdd.mapPartitions { it =>
       it.map { r =>
         val keep = (0 until r.length).filterNot(_ == pIdx).map(r.get)
-        pdfTextWalk(httpBody(r.getAs[Array[Byte]](pIdx))) match {
+        walk(httpBody(r.getAs[Array[Byte]](pIdx))) match {
           case Right((t, _)) => Row.fromSeq(keep ++ Seq(t, t.length.toLong, null))
           case Left(reason)  => Row.fromSeq(keep ++ Seq(null, null, reason))
         }

@@ -562,7 +562,12 @@ object WarcSource {
               val hp = new org.apache.hadoop.fs.Path(f)
               Some(hp.getFileSystem(confBc.value.value)
                 .getFileStatus(hp).getLen)
-            } catch { case _: IOException => None })
+            } catch {
+              // NonFatal, not just IOException: new Path("") and
+              // URI-invalid labels throw IllegalArgumentException — the
+              // NULL-tail contract must hold for those labels too
+              case scala.util.control.NonFatal(_) => None
+            })
           org.apache.spark.sql.Row(f, off,
             end.map(e => java.lang.Long.valueOf(e - off)).orNull)
         }

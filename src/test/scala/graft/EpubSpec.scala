@@ -149,6 +149,12 @@ class EpubSpec extends SparkSpec {
       // a declared EPUB whose bytes are junk: quarantines with a reason
       warcRecord("http://b.example/broken.epub",
         http("application/epub+zip", "not a zip at all".getBytes(UTF_8))) ++
+      // an EPUB behind a LYING text/html header (round-20 self-review):
+      // the HTML route's magic gate must quarantine it as `sniff` so the
+      // corpus holds exactly ONE row for it — the extracted book, never
+      // a second mojibake twin under the same doc_id
+      warcRecord("http://b.example/lying.epub",
+        http("text/html", EpubOps.epubSynth("gated book body", 2L))) ++
       // honest html must NOT route here
       warcRecord("http://b.example/page.html",
         http("text/html", "<html><body>page</body></html>".getBytes(UTF_8)))
@@ -157,7 +163,7 @@ class EpubSpec extends SparkSpec {
     val (clean, quarantine) = EpubOps.epubDocumentsOf(records)
     val rows = clean.collect().map(r => r.getAs[String]("url") -> r).toMap
     assert(rows.keySet == Set("http://b.example/a.epub",
-      "http://b.example/b.epub"), rows.keySet)
+      "http://b.example/b.epub", "http://b.example/lying.epub"), rows.keySet)
     assert(rows("http://b.example/a.epub").getAs[String]("text") ==
       "an honest book body\nend of doc 0")
     assert(rows("http://b.example/b.epub").getAs[String]("text") ==
@@ -168,9 +174,17 @@ class EpubSpec extends SparkSpec {
     assert(q.toSeq == Seq(("http://b.example/broken.epub", "not_zip")), q.toSeq)
     // and warcToCorpus lands the EPUB rows beside the HTML route
     val corpus = graft.operators.PdfOps.warcToCorpus(records)
-    val urls = corpus.select("url").collect().map(_.getString(0)).toSet
+    val urls = corpus.select("url").collect().map(_.getString(0)).toSeq
     assert(urls.contains("http://b.example/a.epub") &&
       urls.contains("http://b.example/page.html"), urls)
+    // route exclusivity: the lying EPUB appears ONCE, as extracted text
+    assert(urls.count(_ == "http://b.example/lying.epub") == 1, urls)
+    assert(urls.distinct.length == urls.length, "duplicate corpus rows")
+    val lyingText = corpus
+      .filter(org.apache.spark.sql.functions.col("url") ===
+        "http://b.example/lying.epub")
+      .collect().head.getAs[String]("text")
+    assert(lyingText == "gated book body\nend of doc 2", lyingText)
   }
 
   test("q_epub_text face reproduces the oracle construction") {
