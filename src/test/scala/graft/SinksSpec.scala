@@ -154,6 +154,57 @@ class SinksSpec extends SparkSpec {
     sortArgs.foreach(l => assert(l.contains("], false, 0"), s"global sort: $l"))
   }
 
+  test("writeZOrdered: every file carries a tight min/max box on BOTH keys") {
+    import spark.implicits._
+    // a 2-D uniform plane — the layout where a single-key sort leaves
+    // the second dimension's span at ~100% per file
+    val plane = (0 until 100000)
+      .map(i => (((i.toLong * 7919) % 1000).toInt,
+        ((i.toLong * 104729) % 1000).toInt))
+      .toDF("u", "d")
+    val zOut = java.nio.file.Files.createTempDirectory("graft_zorder")
+      .toFile.getAbsolutePath
+    Sinks.writeZOrdered(plane, zOut, "u", "d", nFiles = 16)
+    // per-file min/max boxes — exactly the stats parquet row-group/file
+    // skipping reads. (Per-file SPANS are the wrong assertion: a file
+    // straddling a top-bit z-boundary legitimately wraps one dimension
+    // high→low and shows a near-full span; the curve's guarantee is
+    // aggregate PRUNING power, asserted below, not per-file tightness.)
+    def boxes(dir: String): Seq[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(org.apache.spark.sql.functions.min(col("u")),
+                 org.apache.spark.sql.functions.max(col("u")),
+                 org.apache.spark.sql.functions.min(col("d")),
+                 org.apache.spark.sql.functions.max(col("d")))
+            .collect().head
+          (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+           r.getAs[Number](2).longValue, r.getAs[Number](3).longValue)
+        }
+    def overlapU(bs: Seq[(Long, Long, Long, Long)], lo: Long, hi: Long) =
+      bs.count { case (umin, umax, _, _) => umax >= lo && umin <= hi }
+    def overlapD(bs: Seq[(Long, Long, Long, Long)], lo: Long, hi: Long) =
+      bs.count { case (_, _, dmin, dmax) => dmax >= lo && dmin <= hi }
+    val zB = boxes(zOut)
+    assert(zB.size > 8, s"want a real tiling, got ${zB.size} files")
+    // the skipping claim: a narrow predicate on EITHER dimension
+    // overlaps only the tile row/column of files, never the corpus
+    assert(overlapU(zB, 495, 505) <= zB.size / 2, s"u-window hits: $zB")
+    assert(overlapD(zB, 495, 505) <= zB.size / 2, s"d-window hits: $zB")
+    // the contrast that motivates the curve: a single-key range sort
+    // prunes its own key but leaves the OTHER dimension unprunable —
+    // every file overlaps any d-window
+    val oOut = java.nio.file.Files.createTempDirectory("graft_zorder_1d")
+      .toFile.getAbsolutePath
+    Sinks.writeOrdered(plane.withColumn("u", col("u").cast("long")),
+      oOut, "u", nFiles = 16)
+    val oB = boxes(oOut)
+    assert(overlapU(oB, 495, 505) <= oB.size / 2) // its own key prunes
+    assert(overlapD(oB, 495, 505) == oB.size,
+      s"single-key layout should leave d unprunable: $oB")
+  }
+
   test("compact refuses inPath == outPath (would clobber its own input)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_same")
       .toFile.getAbsolutePath
