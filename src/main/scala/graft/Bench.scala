@@ -56,7 +56,7 @@ object Bench {
       org.apache.spark.sql.DataFrame] = SparkEntry.queries +
       ("q_bpe_encode_pretrained" -> ((s: SparkSession, dir: String) =>
         graft.operators.BpeOps.encodeWithVocab(
-          graft.sources.Tables.documents(s, dir),
+          graft.sources.Tables.spread(graft.sources.Tables.documents(s, dir)),
           tokenizer._1, tokenizer._2)))
 
     // None = the query failed; failures are reported, never summed or

@@ -55,7 +55,11 @@ object AnnOps {
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val withNorm = embeddings.select(col("vec_id"), col("label"),
       col("embedding"), VectorFuns.l2normNative(col("embedding")).as("nrm"))
-    val left = withNorm.toDF("src_id", "src_label", "src_emb", "src_nrm")
+    // the n·(n−1) cosine evaluations run in the STREAM side's map stage —
+    // spread a small scan so they use every core (guide §2.5; a
+    // broadcast-size corpus otherwise computes the whole n² on one task)
+    val left = graft.sources.Tables.spread(
+      withNorm.toDF("src_id", "src_label", "src_emb", "src_nrm"), "src_id")
     val right = withNorm.toDF("nbr_id", "nbr_label", "nbr_emb", "nbr_nrm")
     val pairs = left
       .join(broadcast(right), col("src_id") =!= col("nbr_id"))

@@ -13,16 +13,16 @@ import graft.functions.{TextFuns, VectorFuns}
   */
 object DedupOps {
 
-  /** Spread the corpus across all cores before a compute-heavy map.
-    *
-    * The hash/shingle passes below cost orders of magnitude more than one
-    * narrow shuffle of the raw text, so an explicit repartition is the
-    * right trade whenever the source arrives in fewer splits than cores
-    * (single-row-group files locally; skewed file sizes on a cluster —
-    * parquet can't split inside a row group). No-op cost at worst. */
+  /** Spread the corpus across all cores before a compute-heavy map —
+    * now the shared conditional [[graft.sources.Tables.spread]] (round
+    * 20): fires ONLY when the source arrives in fewer splits than cores
+    * (single-row-group files locally; parquet can't split inside a row
+    * group), so a 100 TB scan no longer pays the unconditional shuffle
+    * this used to issue, and the repartition key is the deterministic
+    * doc_id hash instead of round-robin (no sort-before-repartition,
+    * retry-safe — guide §2.5 / SPARK-38388). */
   private def spread(documents: DataFrame): DataFrame =
-    documents.repartition(
-      documents.sparkSession.sparkContext.defaultParallelism)
+    graft.sources.Tables.spread(documents)
 
   /** §2-104 `q_dedup_lines`: SEGMENT-level exact dedup with per-document
     * accounting — the C4/CCNet "remove duplicate lines across the corpus,
@@ -46,7 +46,7 @@ object DedupOps {
     val nSeg = greatest(ceil(size(toks) / lit(segTokens.toDouble)).cast("int"), lit(1))
     val segArr = transform(sequence(lit(0), nSeg - 1),
       i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
-    documents
+    spread(documents) // tokenize+segment on every core (guide §2.5)
       .select(col("doc_id"), col("source"), posexplode(segArr).as(Seq("seg_pos", "seg")))
   }
 
@@ -923,9 +923,20 @@ object DedupOps {
     // and convergence counts from O(corpus) to O(touched vertices); the
     // singletons re-enter once, join-free, after the fixpoint.
     val touched = edges.select(col("src").as("doc_id")).distinct()
+    // `chg` = did this label move LAST round (round 20): a vertex's
+    // neighbor-min can only decrease when a neighbor's label decreased
+    // in the previous round, so the neighbor-min join needs only the
+    // CHANGED labels — the classic frontier/delta propagation. Labels
+    // are monotone non-increasing and any vertex whose label drops
+    // (neighbor-min OR pointer jump) re-enters the frontier, so every
+    // edge (u,v) has seen u's final label by the fixpoint — the result
+    // is bit-identical (oracle-replayed), only the per-round label
+    // shuffle shrinks from O(vertices) to O(frontier). Round 1 starts
+    // all-true (everyone just "changed" to their own id).
     var labels = mat(touched.select(col("doc_id"),
       col("doc_id").as("cluster_id"),
-      col("doc_id").as("prev")))
+      col("doc_id").as("prev"),
+      lit(true).as("chg")))
     lap("touched vertices")
 
     // One propagation step: neighbor-min, then pointer jump (follow the
@@ -937,7 +948,9 @@ object DedupOps {
     // start) rides along so the convergence check is a narrow scan of
     // the checkpoint, not another shuffle join.
     def step(lbl: DataFrame): DataFrame = {
-      val compact = lbl.select(col("doc_id").as("n_id"),
+      // frontier only: labels that did not move last round cannot lower
+      // any neighbor's min (see `chg` above)
+      val compact = lbl.filter(col("chg")).select(col("doc_id").as("n_id"),
         col("cluster_id").as("n_cl"))
       val neighborMin = edges
         .join(compact, edges("dst") === col("n_id"))
@@ -985,8 +998,12 @@ object DedupOps {
         .observe(obs,
           count(when(col("cluster_id") < col("prev"), 1)).as("changed")))
       changed = obs.get("changed").asInstanceOf[Long]
+      // prev resets to the new label for the next convergence compare;
+      // chg records whether THIS round moved it (the next round's
+      // frontier) — both are narrow reads of the checkpoint, no recompute
       labels = next.select(col("doc_id"), col("cluster_id"),
-        col("cluster_id").as("prev"))
+        col("cluster_id").as("prev"),
+        (col("cluster_id") < col("prev")).as("chg"))
       iter += 1
       lap(s"round $iter (changed=$changed)")
     }

@@ -83,7 +83,9 @@ object HtmlOps {
 
   def htmlExtract(documents: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(documents.sparkSession)
-    documents
+    // spread a small scan before the fused extraction pass (guide §2.5)
+    graft.sources.Tables.spread(
+      documents.select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), extractText(synthHtml).as("text_extracted"))
       .withColumn("n_chars_extracted", length(col("text_extracted")).cast("long"))
       .orderBy("doc_id")
@@ -113,7 +115,8 @@ object HtmlOps {
     // the segment frame feeds BOTH the blocklist mine and the keep-side
     // anti-join — without a checkpoint the extraction chain (the
     // expensive fused native pass) runs once per branch
-    val segs = documents
+    val segs = graft.sources.Tables.spread(
+      documents.select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), extractText(synthHtml).as("text_extracted"))
       .select(col("doc_id"), posexplode(segArr).as(Seq("seg_pos", "seg")))
       .localCheckpoint(false)
@@ -575,7 +578,8 @@ object HtmlOps {
     * no shuffle, one native expression per row. */
   def mainContent(documents: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(documents.sparkSession)
-    documents
+    graft.sources.Tables.spread(
+      documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         call_function("main_content", mainSynthPage).as("main_text"))
       .withColumn("n_chars_main", length(col("main_text")).cast("long"))
@@ -848,7 +852,8 @@ object HtmlOps {
     * aggregate through the same two-pass core. */
   def anchorText(documents: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(documents.sparkSession)
-    val pairs = documents
+    val pairs = graft.sources.Tables.spread(
+      documents.select(col("doc_id"), col("source")))
       .select(col("doc_id"),
         explode(regexp_extract_all(linkSynthHtml,
           lit("<a href=\"[^\"]*\">[^<]*</a>"), lit(0))).as("a"))
@@ -1023,7 +1028,8 @@ object HtmlOps {
     val host = concat(col("source"), lit(".example.com"))
     val pageUrl = concat(lit("http://"), host, lit("/m/"),
       (col("doc_id") % 50).cast("string"), lit("/page.html"))
-    documents
+    graft.sources.Tables.spread(
+      documents.select(col("doc_id"), col("source")))
       .select(col("doc_id"), pageUrl.as("page_url"),
         metaSynthPage.as("html"))
       .select(col("doc_id"),
@@ -1287,8 +1293,10 @@ object HtmlOps {
     val g = (col("doc_id") % 50).cast("string")
     def part(p: Column): Column = concat(lit("http://"), col("_h"),
       lit("/art/"), col("_g"), lit("/"), p.cast("string"))
-    val withP = documents.select(col("doc_id"), host.as("_h"), g.as("_g"),
-      explode(sequence(lit(1), lit(3))).as("p"))
+    val withP = graft.sources.Tables.spread(
+      documents.select(col("doc_id"), col("source")))
+      .select(col("doc_id"), host.as("_h"), g.as("_g"),
+        explode(sequence(lit(1), lit(3))).as("p"))
     val nextLink = when(col("p") === 1,
       concat(lit("<link rel=\"next\" href=\"http://"), col("_h"),
         lit("/art/"), col("_g"), lit("/2\">")))
@@ -1497,8 +1505,9 @@ object HtmlOps {
       lit("/de/art/"), g, lit("' rel='alternate'>"))
     val html = concat(lit("<html><head>"), alt("en"), deMessy, alt("fr"),
       lit("</head><body>a</body></html>"))
-    hreflangClusters(
-      documents.select(pageUrl.as("page_url"), html.as("html")))
+    hreflangClusters(graft.sources.Tables.spread(
+      documents.select(col("doc_id"), col("source")))
+      .select(pageUrl.as("page_url"), html.as("html")))
   }
 
   // ---------- image-text pair mining (round 16 — the LAION-shape
@@ -1717,8 +1726,12 @@ object HtmlOps {
     val host = concat(col("source"), lit(".example.com"))
     val pageUrl = concat(lit("http://"), host, lit("/media/"),
       (col("doc_id") % 50).cast("string"), lit("/page.html"))
-    documents.select(col("doc_id"), pageUrl.as("page_url"),
-      mediaSynthPage.as("html"))
+    // spread a small scan before the per-page regex mining downstream
+    // (guide §2.5 input skew; the shuffle carries only doc_id + source)
+    graft.sources.Tables.spread(
+      documents.select(col("doc_id"), col("source")))
+      .select(col("doc_id"), pageUrl.as("page_url"),
+        mediaSynthPage.as("html"))
   }
 
   /** §2 `q_media_pairs`: media-source mining under the oracle — the
@@ -2007,8 +2020,11 @@ object HtmlOps {
     val host = concat(col("source"), lit(".example.com"))
     val pageUrl = concat(lit("http://"), host, lit("/gal/"),
       (col("doc_id") % 50).cast("string"), lit("/page.html"))
-    documents.select(col("doc_id"), pageUrl.as("page_url"),
-      imgSynthPage.as("html"))
+    // spread a small scan before the per-page regex mining downstream
+    graft.sources.Tables.spread(
+      documents.select(col("doc_id"), col("source")))
+      .select(col("doc_id"), pageUrl.as("page_url"),
+        imgSynthPage.as("html"))
   }
 
   def imagePairs(documents: DataFrame): DataFrame = {

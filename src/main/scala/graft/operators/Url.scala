@@ -395,7 +395,10 @@ object UrlOps {
       concat(lit("HTTP://"), upper(host), lit(":80/abs#frag")),
       lit("mailto:x@y.example"),
       lit("#top"))
-    documents
+    // 9 resolve+canon chains per doc fuse into the scan's map stage —
+    // spread a small scan before them so the regex work uses every core
+    // (guide §2.5 input skew; the shuffle carries only doc_id + source)
+    graft.sources.Tables.spread(documents.select(col("doc_id"), col("source")))
       .select(col("doc_id"), effBase.as("_base"), explode(hrefs).as("href"))
       .select(col("doc_id"),
         canon(resolve(col("_base"), col("href"))).as("dst_url"))

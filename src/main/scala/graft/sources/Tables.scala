@@ -24,6 +24,35 @@ object Tables {
   private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a SMALL scan across the cluster before per-row-heavy work —
+    * the guide-§2.5 input-skew fix (round 20). A scan whose split count
+    * is below the session's default parallelism (one tiny file, a
+    * single parquet row group, a small incremental delta) runs its
+    * whole fused map stage on ONE task while every other core idles;
+    * measured at sf0.1 the per-row-heavy queries spent 85-95% of their
+    * wall time in that single-task stage (every test table is a
+    * one-row-group file). Hash-repartitioning by the frame's unique key
+    * spreads the downstream work over every core.
+    *
+    * Scale-honest by construction: a 100 TB scan has orders of
+    * magnitude more splits than cores, so the condition is false and
+    * the frame passes through UNTOUCHED — no added exchange in the
+    * big-data plan. When it does fire, the shuffle carries only the
+    * columns the caller has already projected (call it AFTER the narrow
+    * select), and the key is a real unique column — hash partitioning
+    * is deterministic under task retry, unlike round-robin
+    * `repartition(n)` over a non-deterministic source (SPARK-38388),
+    * and pays no sort-before-repartition. */
+  def spread(df: DataFrame, key: String = "doc_id"): DataFrame = {
+    // streaming frames have no static split count (and micro-batch
+    // parallelism is the source's business) — pass through untouched
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target)
+      df.repartition(target, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
   /** Persist a fact table bucketed (and sorted) by its join key.
     *
     * Two tables bucketed by the same key into the same bucket count join

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.FormattedMode
 
 import graft.operators._
@@ -16,6 +17,30 @@ class PlanAuditSpec extends SparkSpec {
     // other specs may have cached identical subtrees; audit the real plan
     spark.catalog.clearCache()
     df.queryExecution.explainString(FormattedMode)
+  }
+
+  /** The documents table as a MULTI-SPLIT scan (one file per core):
+    * [[Tables.spread]] is then a no-op, so map-only plan audits below
+    * assert the 100 TB shape — a real corpus scan always has more
+    * splits than cores; the single-file test layout is the exception,
+    * and spread's conditional exchange on it is audited separately. */
+  private lazy val spreadNeutralDocs: DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_multi")
+      .toFile.getAbsolutePath + "/documents.parquet"
+    Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  test("Tables.spread: conditional — exchange on a single-split scan, " +
+      "no-op on a multi-split scan") {
+    val single = Tables.documents(spark, sfDir) // one file, one row group
+    val pSingle = plan(Tables.spread(single.select(col("doc_id"))))
+    assert(pSingle.contains("hashpartitioning(doc_id"), pSingle)
+    val pMulti = plan(Tables.spread(spreadNeutralDocs.select(col("doc_id"))))
+    assert(!pMulti.contains("Exchange"),
+      s"spread must be a no-op on a multi-split scan:\n$pMulti")
   }
 
   test("q_event_scan: equality AND time-range predicates reach the parquet scan") {
@@ -463,7 +488,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_dedup_lines: row-level segmentation, two keyed shuffles, no join") {
-    val p = plan(DedupOps.dedupLines(Tables.documents(spark, sfDir)))
+    val p = plan(DedupOps.dedupLines(spreadNeutralDocs))
     assert(!p.contains("Join"), p)
     // md5 rank window + per-doc re-agg; + the output sort
     assert(hashExchangeCount(p) <= 2, s"${hashExchangeCount(p)} hash exchanges:\n$p")
@@ -605,7 +630,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_main_content: one native map, zero hash exchanges, no join") {
-    val p = plan(HtmlOps.mainContent(Tables.documents(spark, sfDir)))
+    val p = plan(HtmlOps.mainContent(spreadNeutralDocs))
     // the segment scorer is ONE codegen'd expression per row — a
     // Column-chain form would re-inline under Catalyst (the url_resolve
     // lesson, applied at design time)
@@ -665,7 +690,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_anchor_text: every exchange keys on the target url; no cartesian") {
-    val p = plan(HtmlOps.anchorText(Tables.documents(spark, sfDir)))
+    val p = plan(HtmlOps.anchorText(spreadNeutralDocs))
     // the two-pass MR anchor job: per-text counts, top-spelling argmax,
     // distinct-source counts — every shuffle must key on dst_url so the
     // branches share AQE-reusable partitioning at 100 TB
@@ -681,7 +706,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_meta_og: pure head-field map, zero hash exchanges, no join") {
-    val p = plan(HtmlOps.metaOg(Tables.documents(spark, sfDir)))
+    val p = plan(HtmlOps.metaOg(spreadNeutralDocs))
     assert(p.contains("url_resolve"), p) // og:image rides the native resolver
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
     val hashEx = p.linesIterator.count(l =>
