@@ -145,14 +145,26 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"calib":$calibJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
-    // The driver's log capture keeps only the tail of stdout, which has
-    // truncated the per-query table two rounds running (BENCH_r07/r08
-    // `parsed: null`). Also write the full line to a file so every
-    // number survives regardless of how much log the harness keeps.
+    // Measurement-contract repair (round 21, VERDICT r20 item 2). The
+    // driver keeps only a 2,000-char TAIL of stdout, and the full line
+    // above is ~13 KB — head-truncated and unparseable three rounds
+    // running (PERF per_query empty since r18). Two fixes, both
+    // ADDITIVE (the full contract line above is printed unchanged):
+    //  1. the full line is ALSO written to a per-core-count file
+    //     (`bench_latest_c${cpus}.json`) so the driver's 8-core scaling
+    //     run no longer overwrites the 32-core table (bench_latest.json
+    //     keeps being written for continuity with earlier rounds);
+    //  2. the LAST printed stdout line is a compact summary — total,
+    //     calib, failures, and the out-file path — small enough to
+    //     survive any tail window, so a log-tail parser always sees one
+    //     complete JSON object.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(_) => () } // stdout line already out
+    val perCpuFile = s"bench_latest_c$cpus.json"
+    for (f <- Seq(outFile, perCpuFile).distinct)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => () } // stdout line already out
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"n_queries":${ok.size},"calib":$calibJson,"failed":$failedJson,"out":"$perCpuFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

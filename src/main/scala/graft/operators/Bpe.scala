@@ -125,26 +125,39 @@ object BpeOps {
     var saturated = false
     var i = 1
     while (i <= merges && !saturated) {
-      val best = mat(checkpointDir)(
-        pairCounts(vocab)
-          .orderBy(desc("cnt"), col("lhs"), col("rhs"))
-          .limit(1)
-          .select(lit(i).as("merge_rank"), col("lhs"), col("rhs"),
-            concat(col("lhs"), col("rhs")).as("merged"), col("cnt")))
-      // SATURATION guard (round-10 probe find): once every word is one
-      // symbol no pair remains — `best` is empty, and the crossJoin
-      // below would EMPTY the vocab (killing the encode fast path for a
-      // merge budget past saturation). Stop with the vocab intact; the
-      // merge table honestly ends at the last learnable rank.
-      if (best.isEmpty) saturated = true
-      else {
-        vocab = mat(checkpointDir)(
-          vocab
-            .crossJoin(broadcast(
-              best.select(col("lhs").as("_l"), col("rhs").as("_r"))))
-            .withColumn("seq", expr(mergeStep("seq", "_l", "_r")))
-            .select(col("word"), col("freq"), col("seq")))
-        bests += best
+      val best = pairCounts(vocab)
+        .orderBy(desc("cnt"), col("lhs"), col("rhs"))
+        .limit(1)
+        .select(lit(i).as("merge_rank"), col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
+      // ONE materialization per round (round 21; was three — best
+      // checkpoint, isEmpty probe, vocab checkpoint — each a scheduled
+      // job, and the driver-side job train was the top of the
+      // q_bpe_train/q_bpe_encode profile). The winner rides into the
+      // vocab update as the broadcast side of a LEFT join, so:
+      //  - the SATURATION guard (round-10 probe find: once every word
+      //    is one symbol no pair remains) is now structural — an empty
+      //    winner leaves every `lhs` null and the vocab passes through
+      //    UNCHANGED instead of being emptied by the old crossJoin;
+      //    the saturation signal itself rides the checkpoint job as an
+      //    observe() metric (count of non-null lhs), not its own action;
+      //  - the winning row is re-read from the checkpoint (every vocab
+      //    row carries it) instead of being its own materialization.
+      // Results are bit-identical: same deterministic winner, same merge
+      // application, same honest end of the merge table at saturation.
+      val obs = org.apache.spark.sql.Observation()
+      val next = mat(checkpointDir)(
+        vocab.join(broadcast(best), lit(true), "left")
+          .withColumn("seq", when(col("lhs").isNull, col("seq"))
+            .otherwise(expr(mergeStep("seq", "lhs", "rhs"))))
+          .observe(obs, count(col("lhs")).as("n_win")))
+      saturated = obs.get("n_win").asInstanceOf[Long] == 0L
+      vocab = next.select(col("word"), col("freq"), col("seq"))
+      if (!saturated) {
+        bests += next
+          .filter(col("lhs").isNotNull).limit(1)
+          .select(col("merge_rank"), col("lhs"), col("rhs"),
+            col("merged"), col("cnt"))
         i += 1
       }
     }

@@ -906,16 +906,21 @@ object DedupOps {
       println(f"  [clusters] $tag: ${(now - t0) / 1e9}%.3f s")
       t0 = now
     }
-    // materialize the pair set ONCE (the union below would otherwise run
-    // the whole upstream pipeline twice — once per branch)
-    val p = mat(pairs)
-    lap("pair edges")
-    // pre-partition the (bigger) edge side by the per-round join key ONCE
-    // — checkpointing preserves outputPartitioning, so every round's
-    // edges⋈labels join shuffles only the label side, never the edges
-    val edges = mat(p.union(p.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
+    // the symmetric edge closure in ONE materialization (round 21; was
+    // two — a pairs checkpoint, then a union of two branches over it into
+    // a second checkpoint): exploding each pair into its two directions
+    // is row-level, so the pair subtree runs exactly once and one whole
+    // checkpoint write+read cycle (and its scheduled job) disappears.
+    // Pre-partitioned by the per-round join key ONCE — checkpointing
+    // preserves outputPartitioning, so every round's edges⋈labels join
+    // shuffles only the label side, never the edges.
+    val edges = mat(pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst")))
+    lap("pair edges")
     // Iterate ONLY over edge-touched vertices: a near-dup graph is sparse
     // — the overwhelming share of a real corpus has no candidate pair at
     // all and is trivially its own singleton cluster. Keeping isolated

@@ -50,9 +50,72 @@ object Tables {
     // serves both sides of an A/B (and dumps the unspread plan).
     if (df.isStreaming || sys.env.contains("SPARK_GRAFT_NO_SPREAD")) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target)
+    if (scanSplitCount(df).exists(_ < target))
       df.repartition(target, org.apache.spark.sql.functions.col(key))
     else df
+  }
+
+  /** Estimated split count of the frame's file scan, WITHOUT planning the
+    * query (round 21, ADVICE r20). The previous gate probed
+    * `df.rdd.getNumPartitions`, which physically plans the query a second
+    * time just to decide a no-op — and, because AQE is on by default, it
+    * eagerly RUNS shuffle stages whenever the wrapped plan already holds
+    * an exchange. This walks the ANALYZED plan only (no optimizer, no
+    * physical planning, no jobs) and replays Spark's own
+    * `FilePartition.maxSplitBytes` + bin-packing arithmetic over the
+    * FileIndex's (driver-cached) listing.
+    *
+    * Returns None — spread then passes through untouched — unless the
+    * plan is a narrow chain (Project/Filter/alias) over file scans: the
+    * documented spread contract is "wrap raw scan projections", and a
+    * frame that already carries a repartition/aggregate/join upstream
+    * either is already spread or parallelizes itself at the exchange. */
+  private def scanSplitCount(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val session = df.sparkSession
+    var fileSizes = List.empty[Long]
+    var scans = 0
+    var narrow = true
+    def walk(p: LogicalPlan): Unit = p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          scans += 1
+          fileSizes = fs.location.listFiles(Nil, Nil)
+            .flatMap(_.files.map(_.getLen)).toList ::: fileSizes
+        case _ => narrow = false
+      }
+      case _: Project | _: Filter | _: SubqueryAlias =>
+        p.children.foreach(walk)
+      case _ => narrow = false
+    }
+    walk(df.queryExecution.analyzed)
+    if (!narrow || scans == 0) return None
+    // FilePartition.maxSplitBytes: min(maxPartitionBytes,
+    //   max(openCostInBytes, (totalBytes incl. open costs) / parallelism))
+    val conf = session.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val maxPB = conf.filesMaxPartitionBytes
+    val cores = math.max(1, session.sparkContext.defaultParallelism)
+    val totalBytes = fileSizes.map(_ + openCost).sum
+    val maxSplit = math.min(maxPB, math.max(openCost, totalBytes / cores))
+    // split each file, then bin-pack descending — FilePartition's exact
+    // close-when-over rule (parquet is splitable; all spread sources are)
+    val splits = fileSizes.flatMap { len =>
+      (0L until len by math.max(1L, maxSplit))
+        .map(off => math.min(maxSplit, len - off))
+    }.sortBy(-_)
+    var partitions = 0L
+    var currentSize = 0L
+    splits.foreach { len =>
+      if (currentSize + len > maxSplit && currentSize > 0) {
+        partitions += 1
+        currentSize = 0L
+      }
+      currentSize += len + openCost
+    }
+    if (currentSize > 0) partitions += 1
+    Some(partitions)
   }
 
   /** Persist a fact table bucketed (and sorted) by its join key.

@@ -389,13 +389,14 @@ class PipelineOpsSpec extends SparkSpec {
     val actions = jobStages.asScala.toSeq.map(_.headOption.getOrElse(""))
     val checkpoints = actions.count(_.toLowerCase.contains("checkpoint"))
     val counts = actions.count(_.startsWith("count at"))
-    // 3 one-off materializations (pairs, edges, initial labels) + ONE
-    // checkpoint action per round, which carries the observe() metrics
-    // the loop reads `changed` from — and NO count() action anywhere: a
-    // reintroduced per-round convergence count would show up as `rounds`
-    // "count at" jobs.
-    assert(checkpoints == 3 + rounds,
-      s"$checkpoints checkpoint actions for $rounds rounds (want ${3 + rounds}): $actions")
+    // 2 one-off materializations (exploded symmetric edges, initial
+    // labels — round 21 fused the former pairs+edges pair of checkpoints
+    // into one) + ONE checkpoint action per round, which carries the
+    // observe() metrics the loop reads `changed` from — and NO count()
+    // action anywhere: a reintroduced per-round convergence count would
+    // show up as `rounds` "count at" jobs.
+    assert(checkpoints == 2 + rounds,
+      s"$checkpoints checkpoint actions for $rounds rounds (want ${2 + rounds}): $actions")
     assert(counts == 0,
       s"$counts count() jobs — the convergence count is a separate job again: $actions")
   }
